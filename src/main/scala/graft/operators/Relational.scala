@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic relational operators backing the reference's query surface
+  * (SURVEY.md §2.2-§2.6, §2.8). All are single-pass DataFrame expressions —
+  * no collect(), no driver-side loops — and each notes its shuffle shape so
+  * the 100 TB story is explicit.
+  */
+object Relational {
+
+  /** W1 — latest row per key (reference api/main.py:248-320 "ORDER BY ts
+    * DESC LIMIT 1", generalized cross-key as in DOCUMENTATION.md:277-287).
+    *
+    * Implemented as a single hash aggregation `max(struct(orderCols ++
+    * payload))` rather than a window sort: one shuffle on the grouping keys,
+    * map-side partial aggregation, no per-partition sort, no skew from a
+    * global window. At 100 TB this is the difference between a partial-agg
+    * pipeline and a full sort of the fact table.
+    *
+    * `tiebreak` must make the struct ordering total (the reference's LIMIT 1
+    * is insert-order nondeterministic; we pin it — SURVEY §7.4.6).
+    *
+    * @param orderCols descending-significance ordering columns, e.g.
+    *                  (ts, event_id); the MAX struct wins.
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String],
+                   ordered: Seq[(String, Column)]): DataFrame = {
+    val packed = struct(ordered.map { case (n, c) => c.as(n) }: _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max(packed).as("_latest"))
+      .select(keys.map(col) ++ ordered.map { case (n, _) =>
+        col(s"_latest.$n").as(n) }: _*)
+  }
+
+  /** W1 as a window (row_number = 1) — kept for cases needing the whole row
+    * with arbitrary tie-break; costs a shuffle + sort per partition. */
+  def latestPerKeyWindow(df: DataFrame, keys: Seq[Column],
+                         order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** W2 — global top-N with deterministic tie-break. Spark plans this as
+    * TakeOrderedAndProject: per-partition top-N then a single-driver merge —
+    * no full sort, no full shuffle. */
+  def topN(df: DataFrame, order: Seq[Column], n: Int): DataFrame =
+    df.orderBy(order: _*).limit(n)
+
+  /** O2 — range-bounded scan; the predicate is pushed to the parquet scan
+    * (partition pruning when the table is date-partitioned). */
+  def rangeScan(df: DataFrame, tsCol: Column, lo: Column, hi: Column): DataFrame =
+    df.filter(tsCol >= lo && tsCol < hi)
+
+  /** J2 — reconcile diff (reference src/snoozerScheduler.py:85-127):
+    * full-outer join old vs new keyed sets, classifying survivors / added /
+    * removed. Both sides shuffle on the key; for control-plane-sized inputs
+    * Catalyst broadcasts instead. */
+  def reconcile(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    val o = oldDf.select(keys.map(col): _*).withColumn("_in_old", lit(1))
+    val n = newDf.select(keys.map(col): _*).withColumn("_in_new", lit(1))
+    o.join(n, keys, "full_outer")
+      .withColumn("status",
+        when(col("_in_old").isNotNull && col("_in_new").isNotNull, lit("survivor"))
+          .when(col("_in_new").isNotNull, lit("added"))
+          .otherwise(lit("removed")))
+      .drop("_in_old", "_in_new")
+  }
+
+  /** T1 — watermarked delta append (reference src/SQLinserts.py:515-587).
+    * Late points (≤ stored per-key max) are DROPPED, not merged; duplicates
+    * within the incoming batch collapse to one row (ON CONFLICT DO NOTHING).
+    *
+    * existing: the stored table; incoming: the fetched batch.
+    * Returns the rows that WOULD be inserted (the delta).
+    *
+    * Scale shape: one aggregation over existing restricted to incoming's
+    * keys (semi-join pushes the key filter down), then a broadcast-or-shuffle
+    * join of the (small) watermark map against incoming.
+    */
+  def deltaAppend(existing: DataFrame, incoming: DataFrame,
+                  keys: Seq[String], tsCol: String): DataFrame = {
+    val wm = existing
+      .join(incoming.select(keys.map(col): _*).distinct(), keys, "left_semi")
+      .groupBy(keys.map(col): _*).agg(max(col(tsCol)).as("_wm"))
+    incoming
+      .join(wm, keys, "left")
+      .filter(col("_wm").isNull || col(tsCol) > col("_wm"))
+      .drop("_wm")
+      .dropDuplicates(keys :+ tsCol)
+  }
+
+  /** T2 — staleness gate (reference collect_price_history.py:33-155): keep
+    * items whose newest point is missing or older than the cutoff. */
+  def stalenessGate(items: DataFrame, facts: DataFrame, keys: Seq[String],
+                    tsCol: String, cutoff: Column): DataFrame = {
+    val wm = facts.groupBy(keys.map(col): _*).agg(max(col(tsCol)).as("_wm"))
+    items.join(wm, keys, "left")
+      .filter(col("_wm").isNull || col("_wm") < cutoff)
+      .drop("_wm")
+  }
+
+  /** A6 — feasibility sum (reference utility/feasibility_utility.py:15-28):
+    * Σ floor(window / interval) over the enabled live set vs a budget. */
+  def feasibility(items: DataFrame, intervalCol: Column, windowSeconds: Long,
+                  budget: Long): DataFrame =
+    items.agg(
+      sum(floor(lit(windowSeconds) / intervalCol)).cast("long").as("required"),
+      lit(budget).as("budget"))
+      .withColumn("feasible", col("required") <= col("budget"))
+      .withColumn("utilization_pct",
+        round(col("required") / col("budget") * 100.0, 6))
+}

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Relational
+
+/** SURVEY.md §2 relational inventory expressed over the driver testdata
+  * (mapping per FIXTURES.md §5: events ≈ tick tables, orders/lineitem ≈
+  * price/volume facts, nation/region/part ≈ control-plane dims).
+  *
+  * Determinism contract with the DuckDB oracle:
+  *  - every query ends in a total ORDER BY (unique tie-break column);
+  *  - float aggregates go through exact DECIMAL internals and are cast to
+  *    DOUBLE only at the end (identical IEEE results in both engines);
+  *  - time-relative predicates use an explicit as-of literal (SURVEY §7.4.5).
+  */
+object CoreQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** events table ends 2024-01-30T23:57; fixed "now" for range queries. */
+  val AsOf = "2024-01-31 00:00:00"
+
+  // ---- flagship: TPC-H-Q1-shaped pricing summary (A8/A9 agg family) ------
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val dec = (c: String) => col(c).cast("decimal(12,2)")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(12,2)") - dec("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        round(sum(dec("l_quantity")).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+  val q1PricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- W1: latest row per key (single-shuffle max(struct) agg) -----------
+  def w1LatestEventPerUser(s: SparkSession, d: String): DataFrame =
+    Relational.latestPerKey(
+      Tables.events(s, d), Seq("user_id"),
+      Seq("ts" -> col("ts"), "event_id" -> col("event_id"),
+          "event_type" -> col("event_type"), "value" -> col("value")))
+      .orderBy(col("user_id"))
+  val w1LatestEventPerUserSql: String =
+    """SELECT user_id, ts, event_id, event_type, value FROM (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ---- O1: recent-overview projection (filter + top-200 desc) ------------
+  def o1RecentUserEvents(s: SparkSession, d: String): DataFrame =
+    Relational.topN(
+      Tables.events(s, d).filter(col("user_id") === 7)
+        .select(col("ts"), col("event_id"), col("event_type"), col("value")),
+      Seq(col("ts").desc, col("event_id").desc), 200)
+  val o1RecentUserEventsSql: String =
+    """SELECT ts, event_id, event_type, value FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+      |WHERE user_id = 7
+      |ORDER BY ts DESC, event_id DESC LIMIT 200""".stripMargin
+
+  // ---- O2: range-bounded history scan (as-of parameterized) --------------
+  def o2RangeScan(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("ts") >= lit(AsOf).cast("timestamp") - expr("INTERVAL 7 DAYS"))
+      .filter(col("user_id") === 3)
+      .select(col("ts"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+  val o2RangeScanSql: String =
+    s"""SELECT ts, event_id, event_type, value FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+       |WHERE ts >= TIMESTAMP '$AsOf' - INTERVAL 7 DAY AND user_id = 3
+       |ORDER BY ts ASC, event_id ASC""".stripMargin
+
+  // ---- A8: daily rollup ---------------------------------------------------
+  def a8DailyRollup(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        round(sum(col("value").cast("decimal(12,2)")).cast("double") / count(lit(1)), 6)
+          .as("avg_value"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("day"))
+  }
+  val a8DailyRollupSql: String =
+    """SELECT CAST(ts AS DATE) AS day,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      |  COUNT(*) AS n_events
+      |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin
+
+  // -------------------------------------------------------------------------
+
+  val defs: Map[String, Q] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "w1_latest_event_per_user" -> (w1LatestEventPerUser _),
+    "o1_recent_user_events" -> (o1RecentUserEvents _),
+    "o2_range_scan" -> (o2RangeScan _),
+    "a8_daily_rollup" -> (a8DailyRollup _))
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1PricingSummarySql,
+    "w1_latest_event_per_user" -> w1LatestEventPerUserSql,
+    "o1_recent_user_events" -> o1RecentUserEventsSql,
+    "o2_range_scan" -> o2RangeScanSql,
+    "a8_daily_rollup" -> a8DailyRollupSql)
+}
