@@ -59,11 +59,14 @@ def compare(exp, got):
         return True, "[unordered only]"
     for c in cols:
         if not exp_n[c].equals(got_n[c]):
-            diff = (exp_n[c] != got_n[c])
-            i = diff[diff].index[0] if diff.any() else None
-            return False, (f"col '{c}' differs at row {i}: "
-                           f"oracle={exp_n[c].iloc[i]!r} spark={got_n[c].iloc[i]!r}")
-    return False, "values differ"
+            for i in range(len(exp_n)):
+                a, b = exp_n[c].iloc[i], got_n[c].iloc[i]
+                if a != b and not (pd.isna(a) and pd.isna(b)):
+                    return False, (f"col '{c}' differs at row {i}: "
+                                   f"oracle={a!r} spark={b!r}")
+    return False, "values differ (dtype only?): " + str(
+        {c: (str(exp_n[c].dtype), str(got_n[c].dtype)) for c in cols
+         if str(exp_n[c].dtype) != str(got_n[c].dtype)})
 
 def normalize(df):
     df = df.copy()
