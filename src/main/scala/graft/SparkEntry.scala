@@ -10,9 +10,9 @@ object SparkEntry {
     CoreQueries.w1LatestEventPerUser(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.defs ++ InventoryQueries.defs
+    CoreQueries.defs ++ InventoryQueries.defs ++ SteamQueries.defs
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle ++ InventoryQueries.oracle
+    CoreQueries.oracle ++ InventoryQueries.oracle ++ SteamQueries.oracle
 }
