@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{graftExpr, Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{BandKeysExpr, MinHashSigExpr, PolyHashExpr, ShingleHashesExpr, SimHashExpr}
+
+/** Deduplication operators for large-scale text corpora: exact (hash),
+  * MinHash+LSH banding, SimHash, and blocked n-gram Jaccard.
+  *
+  * Everything is built from built-in expressions (no UDFs) and
+  * deterministic integer arithmetic, so results are reproducible across
+  * engines (the DuckDB oracle re-implements the same math) and across
+  * cluster sizes.
+  *
+  * Scale shapes (the part that matters at 100 TB):
+  *  - exact: one shuffle on the content hash, map-side partial agg first.
+  *  - text is hashed ONCE per token by a fused native kernel (HashOps,
+  *    codegen'd — the same math as interpreted higher-order lambdas was
+  *    ~3000× slower); shingles are composed arithmetically from token
+  *    hashes and carried as longs — no n-gram strings are materialized.
+  *  - minhash: banding shuffles on (band, key) — only docs sharing a band
+  *    key ever meet, the all-pairs product never materializes. Candidate
+  *    pairs are deduplicated BEFORE shingle sets are re-joined, so wide
+  *    arrays cross the shuffle once per doc, not once per band.
+  *  - simhash: pure projection — zero shuffles.
+  *  - ngram blocked pairs: equi-join on a length-bucket blocking key, so
+  *    the cross product is bounded per bucket instead of global.
+  */
+object Dedup {
+
+  val HashMod = 1000000007L
+
+  /** Deterministic polynomial rolling hash of a string column (31-base,
+    * mod 1e9+7) — matches `(acc*31 + code(c)) % p` left fold exactly in
+    * any engine. Native codegen'd kernel (HashOps.polyHash). */
+  def polyHash(c: Column): Column =
+    graftExpr.column(PolyHashExpr(graftExpr.expression(c)))
+
+  /** Distinct word n-gram shingle HASHES of a text column (default
+    * 3-grams): tokens are polyHash'd once, an n-gram hash is the 131-base
+    * fold of its token hashes. Empty for texts shorter than n tokens.
+    * Native codegen'd kernel (HashOps.shingleHashes). */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    graftExpr.column(ShingleHashesExpr(graftExpr.expression(text), n))
+
+  /** k-element MinHash signature from hashed shingles, using the affine
+    * family h_j(x) = ((2j+1)x + 7919j + 12345) mod p; NULL for an empty
+    * shingle set (mirrors array_min(empty)). */
+  def minhashSignature(hashes: Column, k: Int = 16): Column =
+    graftExpr.column(MinHashSigExpr(graftExpr.expression(hashes), k))
+
+  /** Collapse `rows` signature values per band into one join key (banded
+    * LSH). A fold combine keeps the key numeric (collisions only ever add
+    * candidates, which the verify step filters). */
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    graftExpr.column(BandKeysExpr(graftExpr.expression(sig), bands, rows))
+
+  /** Exact-duplicate canonical mapping: md5 content hash → representative
+    * (min id). Returns (idCol, content_hash, rep_id, is_dup, n_copies). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    val reps = hashed.groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
+    hashed.join(reps, "content_hash")
+      .select(col(idCol), col("content_hash"), col("rep_id"),
+        (col(idCol) =!= col("rep_id")).as("is_dup"), col("n_copies"))
+  }
+
+  /** Per-doc shingle-hash-set table (id, sh ARRAY<BIGINT>). Cheap enough
+    * (fused native kernel) to recompute per use — no cache barrier, which
+    * keeps the whole pipeline inside one codegen'd stage per branch. */
+  private def shingleTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
+
+  /** LSH candidate pairs verified by exact shingle Jaccard ≥ threshold.
+    * Output: (id_a, id_b, jaccard). Only candidates sharing ≥1 band key
+    * are ever compared; pairs are dedup'd before shingles are re-joined. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val sh = shingleTable(df, idCol, textCol)
+    val mh = sh
+      .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+      .select(col("id"), posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
+    val cand = mh.as("a").join(mh.as("b"), Seq("band", "key"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    jaccardVerify(cand, sh, threshold)
+  }
+
+  /** Join shingle sets onto candidate (id_a, id_b) pairs and keep those
+    * with exact Jaccard ≥ threshold. Integer sizes → one double division:
+    * bitwise-reproducible across engines. */
+  private def jaccardVerify(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val withSets = cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+    withSets.withColumn("jaccard", inter / union)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash fingerprint over distinct whitespace tokens: per-bit majority
+    * vote (+1/-1) over token hashes, packed little-endian. nBits ≤ 62
+    * stays in long range; pure projection — no shuffle. */
+  def simhash(text: Column, nBits: Int = 30): Column =
+    graftExpr.column(SimHashExpr(graftExpr.expression(text), nBits))
+
+  /** Length-blocked exact n-gram Jaccard pairs. Semantics: all pairs whose
+    * length buckets (floor(len/width)) differ by ≤ 1 — i.e. any pair with
+    * length gap < width — with exact shingle Jaccard ≥ threshold.
+    *
+    * Execution is an inverted index, not per-pair set intersection: explode
+    * shingle hashes, equi-join postings on the hash, count matches per
+    * (id_a, id_b) — that count IS |A∩B| because shingle sets are distinct.
+    * Pairs sharing zero shingles (jaccard 0) never materialize, and the
+    * whole pipeline is codegen'd join+agg instead of interpreted array
+    * intersects. The length-gap block is a cheap post-filter on the pair.
+    * At 100 TB the known hot-spot is high-frequency shingles (posting-list
+    * blowup); mitigation there is a document-frequency cap on postings,
+    * which changes recall only for stop-shingle-dominated pairs. */
+  def blockedNgramPairs(df: DataFrame, idCol: String, textCol: String,
+                        lenCol: String, threshold: Double,
+                        width: Int = 50): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol)
+    val meta = df.select(col(idCol).as("id"),
+      floor(col(lenCol) / width).cast("long").as("b0"))
+    val ex = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"), first(col("a.n")).as("n_a"), first(col("b.n")).as("n_b"))
+    val interD = col("inter").cast("double")
+    val unionD = (col("n_a") + col("n_b")).cast("double") - interD
+    inter
+      .join(meta.select(col("id").as("id_a"), col("b0").as("b_a")), "id_a")
+      .join(meta.select(col("id").as("id_b"), col("b0").as("b_b")), "id_b")
+      .filter(abs(col("b_a") - col("b_b")) <= 1)
+      .withColumn("jaccard", interD / unionD)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Dedup
+
+/** Training-data pipeline pack, part 1: deduplication over the `documents`
+  * table (doc_id, text, lang, source, n_chars).
+  *
+  * All four variants (exact, MinHash+LSH, SimHash, blocked n-gram) use
+  * deterministic integer math — the DuckDB oracles below re-implement the
+  * identical fold/hash formulas, so value hashes match bit-for-bit.
+  * Jaccard scores are a single double division of exact integers, which is
+  * IEEE-identical in both engines, so no rounding fudge is needed.
+  */
+object TrainingQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val P = Dedup.HashMod // 1e9+7
+
+  private val polyHashLambda =
+    s"s -> list_reduce(list_transform(string_split(s,''), c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc*31 + x) % $P)"
+
+  /** Shared oracle CTEs: token hashes → 3-gram shingle hashes (131-base
+    * fold of token hashes — mirrors Dedup.shingleHashes exactly). */
+  private val shingleCtes =
+    s"""toks AS (
+       |  SELECT doc_id, list_transform(string_split(trim(text), ' '), $polyHashLambda) AS th
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, CASE WHEN len(th) >= 3 THEN list_distinct(
+       |    list_transform(range(0, len(th)-3+1),
+       |      i -> ((th[i+1]*131 + th[i+2]) % $P * 131 + th[i+3]) % $P))
+       |    ELSE [] END AS sh FROM toks
+       |)""".stripMargin
+
+  // ---- exact dedup: md5 grouping → representative --------------------------
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  val dedupExactSql: String =
+    """SELECT doc_id, md5(text) AS content_hash,
+      |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id,
+      |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup,
+      |  COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- MinHash + banded LSH near-dup pairs ---------------------------------
+  def dedupMinhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.5, k = 16, bands = 4)
+      .orderBy(col("id_a"), col("id_b"))
+  val dedupMinhashPairsSql: String =
+    s"""WITH $shingleCtes, sig AS (
+       |  SELECT doc_id, list_transform(range(0,16), j ->
+       |    list_min(list_transform(sh, h -> ((2*j+1)*h + 7919*j + 12345) % $P))) AS sig
+       |  FROM sh
+       |), mh AS (
+       |  SELECT doc_id, bk.band AS band, bk.key AS key FROM (
+       |    SELECT doc_id, unnest(list_transform(range(0,4), b ->
+       |      {'band': b, 'key': list_reduce(sig[b*4+1:b*4+4], (acc,x) -> (acc*1000003 + x) % $P)})) AS bk
+       |    FROM sig)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM mh a JOIN mh b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b,
+       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |    (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) AS jaccard
+       |FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |    (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- SimHash fingerprint (pure projection) -------------------------------
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), Dedup.simhash(col("text"), 30).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  val dedupSimhashSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS tk FROM documents
+       |), hashes AS (
+       |  SELECT doc_id, list_transform(tk, $polyHashLambda) AS hs FROM toks
+       |)
+       |SELECT doc_id, CAST(list_sum(list_transform(range(0, 30), i ->
+       |  CASE WHEN list_sum(list_transform(hs, h -> ((h >> i) & 1)*2 - 1)) > 0
+       |       THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS BIGINT) AS fingerprint
+       |FROM hashes ORDER BY doc_id""".stripMargin
+
+  // ---- length-blocked exact n-gram Jaccard pairs ---------------------------
+  def dedupNgramPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.blockedNgramPairs(Tables.documents(s, d), "doc_id", "text",
+        "n_chars", threshold = 0.5, width = 50)
+      .orderBy(col("id_a"), col("id_b"))
+  val dedupNgramPairsSql: String =
+    s"""WITH $shingleCtes, buckets AS (
+       |  SELECT doc_id, unnest([n_chars // 50, n_chars // 50 + 1]) AS bucket FROM documents
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b,
+       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |    (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) AS jaccard
+       |FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |    (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // -------------------------------------------------------------------------
+
+  val defs: Map[String, Q] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_pairs" -> (dedupMinhashPairs _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ngram_pairs" -> (dedupNgramPairs _))
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_minhash_pairs" -> dedupMinhashPairsSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_ngram_pairs" -> dedupNgramPairsSql)
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** Dedup operator semantics on planted fixtures: exact-hash canonical
+  * mapping, MinHash/LSH recall of a planted near-dup, SimHash stability,
+  * and blocked n-gram pair discovery. */
+class DedupSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today", 49),
+      (1L, "the quick brown fox jumps over the lazy dog today", 49),   // exact dup of 0
+      (2L, "the quick brown fox jumps over the lazy cat today", 49),   // near dup of 0
+      (3L, "completely different tokens about spark query engines here", 58),
+      (4L, "tiny doc", 8)                                              // < 3 tokens
+    ).toDF("doc_id", "text", "n_chars")
+  }
+
+  test("exactDedup: canonical rep = min id, dup flagged") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 5)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(0L).getLong(2) == 0L && !byId(0L).getBoolean(3))
+    assert(byId(1L).getLong(2) == 0L && byId(1L).getBoolean(3))
+    assert(byId(1L).getLong(4) == 2L) // n_copies
+    assert(!byId(2L).getBoolean(3))   // near-dup is NOT an exact dup
+  }
+
+  test("shingleHashes: guarded for short docs, distinct 3-gram hashes") {
+    val out = docs.select(col("doc_id"), Dedup.shingleHashes(col("text")).as("sh"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getSeq[Long](1).length == 8) // 10 tokens → 8 3-grams, all distinct
+    assert(out(0).getSeq[Long](1) == out(1).getSeq[Long](1)) // identical text
+    assert(out(4).getSeq[Long](1).isEmpty)     // 2 tokens → empty, no ANSI error
+  }
+
+  test("minhashPairs: planted near-dup found, unrelated doc not paired") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 0-1 identical (jaccard 1.0); 0-2 and 1-2 share 6 of 10 distinct shingles
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
+    assert(pairs.forall(p => p._2 != 3L && p._1 != 3L))
+  }
+
+  test("simhash: identical text → identical fingerprint; disjoint text differs") {
+    val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(1L))
+    assert(fp(0L) != fp(3L))
+    assert(fp.values.forall(v => v >= 0 && v < (1L << 30)))
+  }
+
+  test("blockedNgramPairs: same-bucket near-dups found with exact jaccard") {
+    val pairs = Dedup.blockedNgramPairs(docs, "doc_id", "text", "n_chars",
+        threshold = 0.3, width = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
+    // 0 vs 2: 8 shingles each, only the two containing dog/cat differ → 6/10
+    val near = pairs.find(p => p._1 == 0L && p._2 == 2L)
+    assert(near.isDefined && math.abs(near.get._3 - 0.6) < 1e-12)
+  }
+}
