@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token statistics /
+  * quality scoring, corpus-learned language identification, and token
+  * counting. All math is integer counts + single double divisions, so the
+  * DuckDB oracle agrees bitwise.
+  *
+  * Scale shapes: stats and token counts are pure projections. Language-ID
+  * is two aggregations: profile learning is a groupBy over (lang, token)
+  * with map-side partial aggregation, and classification joins the
+  * (small, top-N per lang) profile table — broadcast — against exploded
+  * doc tokens, then one groupBy per (doc, lang). No all-pairs work. */
+object TextAnalysis {
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "data")
+
+  /** Per-doc token statistics + quality heuristics. */
+  def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(trim(col(textCol)), " ")
+    val nToks = size(toks)
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nStop = size(filter(toks, t => t.isin(Stopwords.map(x => x: Any): _*)))
+    df.select(
+      col(idCol),
+      nToks.cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      (sumLen.cast("double") / nToks.cast("double")).as("avg_token_len"),
+      (nStop.cast("double") / nToks.cast("double")).as("stopword_ratio"),
+      (nToks >= 10 && size(array_distinct(toks)).cast("double") / nToks.cast("double") >= 0.3)
+        .as("is_quality"))
+  }
+
+  /** Corpus-learned language profiles: top `n` tokens per lang by
+    * (count desc, token asc). Output: (lang, token). */
+  def langProfiles(df: DataFrame, langCol: String, textCol: String, n: Int): DataFrame = {
+    val tok = df.select(col(langCol).as("lang"),
+      explode(split(trim(col(textCol)), " ")).as("token"))
+    val counts = tok.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("token").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select(col("lang"), col("token"))
+  }
+
+  /** Classify each doc by profile-token overlap (distinct doc tokens ∩
+    * profile set), argmax by (overlap desc, lang asc). Output:
+    * (idCol, pred_lang, overlap). */
+  def langId(df: DataFrame, idCol: String, textCol: String,
+             profiles: DataFrame): DataFrame = {
+    val docTok = df.select(col(idCol),
+      explode(array_distinct(split(trim(col(textCol)), " "))).as("token"))
+    val overlaps = docTok.join(broadcast(profiles), "token")
+      .groupBy(col(idCol), col("lang"))
+      .agg(count(lit(1)).as("overlap"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("overlap").desc, col("lang").asc)
+    overlaps.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("lang").as("pred_lang"), col("overlap"))
+  }
+
+  /** Whitespace, regex-word, and BPE-estimate token counts. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String,
+                  lenCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(split(trim(col(textCol)), " ")).cast("long").as("n_ws"),
+      regexp_count(col(textCol), lit("[a-z0-9]+")).cast("long").as("n_re"),
+      expr(s"($lenCol + 3) div 4").as("n_bpe_est"))
+}

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Training-data pipeline pack, part 3: text analysis over `documents` —
+  * token/quality stats, corpus-learned language-ID, token counting, and
+  * document fingerprinting. Integer counts + single double divisions →
+  * bitwise oracle parity. */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopList = TextAnalysis.Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  // ---- per-doc stats + quality gate ----------------------------------------
+  def textStats(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.textStats(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  val textStatsSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents)
+       |SELECT doc_id,
+       |  len(tk) AS n_tokens,
+       |  len(list_distinct(tk)) AS n_distinct,
+       |  CAST(list_sum(list_transform(tk, t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS avg_token_len,
+       |  CAST(len(list_filter(tk, t -> list_contains($stopList, t))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS stopword_ratio,
+       |  len(tk) >= 10 AND CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) >= 0.3 AS is_quality
+       |FROM toks ORDER BY doc_id""".stripMargin
+
+  // ---- corpus-learned language-ID ------------------------------------------
+  def textLangid(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val profiles = TextAnalysis.langProfiles(docs, "lang", "text", 20)
+    TextAnalysis.langId(docs, "doc_id", "text", profiles)
+      .join(docs.select(col("doc_id"), col("lang").as("actual_lang")), "doc_id")
+      .withColumn("correct", col("pred_lang") === col("actual_lang"))
+      .orderBy(col("doc_id"))
+  }
+  val textLangidSql: String =
+    """WITH tok AS (
+      |  SELECT lang, unnest(string_split(trim(text), ' ')) AS token FROM documents
+      |), counts AS (
+      |  SELECT lang, token, count(*) AS cnt FROM tok GROUP BY lang, token
+      |), profiles AS (
+      |  SELECT lang, token FROM (
+      |    SELECT lang, token, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rn
+      |    FROM counts) t WHERE rn <= 20
+      |), doctok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS token FROM documents
+      |), ovl AS (
+      |  SELECT d.doc_id, p.lang, count(*) AS overlap
+      |  FROM doctok d JOIN profiles p ON d.token = p.token
+      |  GROUP BY d.doc_id, p.lang
+      |), best AS (
+      |  SELECT doc_id, lang AS pred_lang, overlap FROM (
+      |    SELECT doc_id, lang, overlap,
+      |           row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, lang ASC) AS rn
+      |    FROM ovl) t WHERE rn = 1
+      |)
+      |SELECT b.doc_id, b.pred_lang, b.overlap, doc.lang AS actual_lang,
+      |       b.pred_lang = doc.lang AS correct
+      |FROM best b JOIN documents doc ON doc.doc_id = b.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
+  // ---- token counting (whitespace / regex / BPE estimate) ------------------
+  def textTokenCounts(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text", "n_chars")
+      .orderBy(col("doc_id"))
+  val textTokenCountsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_re,
+      |  (n_chars + 3) // 4 AS n_bpe_est
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- document fingerprint (rolling hash) ---------------------------------
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), Dedup.polyHash(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  val textFingerprintSql: String =
+    s"""SELECT doc_id,
+       |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+       |    (acc, x) -> (acc*31 + x) % ${Dedup.HashMod}) AS fingerprint
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+
+  val defs: Map[String, Q] = Map(
+    "text_stats" -> (textStats _),
+    "text_langid" -> (textLangid _),
+    "text_token_counts" -> (textTokenCounts _),
+    "text_fingerprint" -> (textFingerprint _))
+
+  val oracle: Map[String, String] = Map(
+    "text_stats" -> textStatsSql,
+    "text_langid" -> textLangidSql,
+    "text_token_counts" -> textTokenCountsSql,
+    "text_fingerprint" -> textFingerprintSql)
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Similarity, TextAnalysis}
+
+/** Similarity-search and text-analysis operator semantics on planted
+  * fixtures. */
+class TrainingOpsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def vecs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),   // near 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+      (3L, Array(-1.0f, 0.0f, 0.0f)),  // opposite of 0
+      (4L, Array(0.0f, 0.0f, 0.0f))    // zero vector
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("cosine: identity ~1, orthogonal 0, opposite -1, zero-norm null") {
+    val out = vecs.crossJoin(vecs.select(col("vec_id").as("qid"), col("embedding").as("qe")))
+      .filter(col("qid") === 0)
+      .select(col("vec_id"), Similarity.cosine(col("qe"), col("embedding")).as("cos"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(math.abs(out(0L).asInstanceOf[Double] - 1.0) < 1e-12)
+    assert(out(2L).asInstanceOf[Double] == 0.0)
+    assert(math.abs(out(3L).asInstanceOf[Double] + 1.0) < 1e-12)
+    assert(out(4L) == null)
+  }
+
+  test("bruteForceTopK: nearest neighbor ranked first, self excluded") {
+    val q = vecs.filter(col("vec_id") === 0)
+    val out = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 2)
+      .orderBy("rank").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 1L && out(0).getInt(3) == 1) // closest = vec 1
+    assert(out(1).getLong(1) == 2L)                          // then orthogonal (0.0 > -1, null last)
+  }
+
+  test("lshBucket: deterministic, opposite vectors land in complementary-ish buckets") {
+    val b = vecs.select(col("vec_id"), Similarity.lshBucket(col("embedding"), 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b.values.forall(v => v >= 0 && v < 16))
+    assert(b(0L) != b(3L)) // sign flip must flip at least one plane bit
+    assert(b(4L) == 0L)    // zero vector: no positive dot products
+  }
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "the data of the engine", "en", 22),
+      (1L, "der daten und der motor", "de", 23),
+      (2L, "the engine the data the", "en", 23)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+  }
+
+  test("textStats: counts and ratios") {
+    val r = TextAnalysis.textStats(docs, "doc_id", "text")
+      .filter(col("doc_id") === 0).collect()(0)
+    assert(r.getLong(1) == 5)                      // n_tokens
+    assert(r.getLong(2) == 4)                      // the data of engine
+    assert(math.abs(r.getDouble(3) - 18.0 / 5) < 1e-12) // avg token len (22-4 spaces)/5
+    assert(r.getDouble(4) == 4.0 / 5)              // the, data, of, the
+    assert(!r.getBoolean(5))                       // n_tokens < 10
+  }
+
+  test("langId: profile overlap classifies planted docs") {
+    val profiles = TextAnalysis.langProfiles(docs, "lang", "text", 20)
+    val out = TextAnalysis.langId(docs, "doc_id", "text", profiles)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "de")
+    assert(out(0L) == "en" && out(2L) == "en")
+  }
+
+  test("tokenCounts: ws vs regex vs bpe estimate") {
+    val r = TextAnalysis.tokenCounts(docs, "doc_id", "text", "n_chars")
+      .filter(col("doc_id") === 0).collect()(0)
+    assert(r.getLong(1) == 5 && r.getLong(2) == 5)
+    assert(r.getLong(3) == (22 + 3) / 4)
+  }
+}
