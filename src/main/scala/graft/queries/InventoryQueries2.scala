@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY §2 inventory completion: the remaining SQL-expressible line
+  * items — A2/A7/A13 aggregates + invariants, F8/F10-F16 scalar surface,
+  * J4/J6 set-verify + lookup joins, O4/O5/O7 predicates, W5/W6 sorts and
+  * urgency, T14 no-op write suppression. Same determinism contract as
+  * CoreQueries (total ORDER BY, exact integer/decimal math, explicit
+  * as-of). */
+object InventoryQueries2 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val AsOf = CoreQueries.AsOf
+
+  /** DuckDB view of events with the NANOS→micros cast (see Tables.events). */
+  private val EventsSql = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events"
+
+  // ---- A2: scalar max watermark (pre-delta-append probe) -------------------
+  def a2MaxWatermark(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).filter(col("user_id") === 3)
+      .agg(max(col("ts")).as("wm"), count(lit(1)).as("n_points"))
+  val a2Sql: String =
+    s"SELECT max(ts) AS wm, count(*) AS n_points FROM $EventsSql WHERE user_id = 3"
+
+  // ---- A7 + A13: size() + invariant predicate flags ------------------------
+  def a13Invariants(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("n_nonpos_qty"),
+      sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("n_nonpos_price"),
+      sum(when(col("l_discount") > col("l_tax"), 1L).otherwise(0L)).as("n_crossed"),
+      sum(size(split(col("l_returnflag"), "")).cast("long")).as("n_flag_chars"))
+  }
+  val a13Sql: String =
+    """SELECT count(*) AS n_rows,
+      |  SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)::BIGINT AS n_nonpos_qty,
+      |  SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)::BIGINT AS n_nonpos_price,
+      |  SUM(CASE WHEN l_discount > l_tax THEN 1 ELSE 0 END)::BIGINT AS n_crossed,
+      |  SUM(length(l_returnflag))::BIGINT AS n_flag_chars
+      |FROM lineitem""".stripMargin
+
+  // ---- F10: currency-id ↔ ISO literal map lookup ---------------------------
+  def f10CurrencyMap(s: SparkSession, d: String): DataFrame = {
+    val m = map(lit(1), lit("USD"), lit(2), lit("GBP"), lit(3), lit("EUR"), lit(24), lit("INR"))
+    Tables.events(s, d)
+      .select(col("event_id"), (col("user_id") % 30).cast("int").as("currency_id"))
+      .withColumn("iso", element_at(m, col("currency_id")))
+      .filter(col("event_id") < 200)
+      .orderBy(col("event_id"))
+  }
+  val f10Sql: String =
+    """SELECT event_id, CAST(user_id % 30 AS INTEGER) AS currency_id,
+      |  CASE CAST(user_id % 30 AS INTEGER) WHEN 1 THEN 'USD' WHEN 2 THEN 'GBP'
+      |       WHEN 3 THEN 'EUR' WHEN 24 THEN 'INR' ELSE NULL END AS iso
+      |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin
+
+  // ---- F11: content hashing (loop-guard sha256 + md5) ----------------------
+  def f11Hash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") < 20)
+      .select(col("doc_id"), sha2(col("text").cast("binary"), 256).as("sha"),
+        md5(col("text").cast("binary")).as("md5"))
+      .orderBy(col("doc_id"))
+  val f11Sql: String =
+    """SELECT doc_id, sha256(text) AS sha, md5(text) AS md5
+      |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin
+
+  // ---- F12: NOTIFY-payload JSON construction -------------------------------
+  def f12JsonBuild(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .select(col("n_nationkey"),
+        to_json(struct(col("n_name").as("name"), col("n_regionkey").cast("string").as("stream")))
+          .as("payload"))
+      .orderBy(col("n_nationkey"))
+  val f12Sql: String =
+    """SELECT n_nationkey,
+      |  '{"name":"' || n_name || '","stream":"' || CAST(n_regionkey AS VARCHAR) || '"}' AS payload
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  // ---- F13: json_extract over the props JSON column ------------------------
+  def f13JsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).filter(col("event_id") < 200)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        length(col("props")).cast("long").as("props_len"))
+      .orderBy(col("event_id"))
+  val f13Sql: String =
+    """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k,
+      |  CAST(length(props) AS BIGINT) AS props_len
+      |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin
+
+  // ---- F15: date/hour bucketing --------------------------------------------
+  def f15DateBucket(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"),
+        concat(date_format(col("ts"), "HH"), lit(":00")).as("hour_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("day"), col("hour_label"))
+  val f15Sql: String =
+    s"""SELECT CAST(ts AS DATE) AS day, strftime(ts, '%H') || ':00' AS hour_label, count(*) AS n
+       |FROM $EventsSql GROUP BY 1, 2 ORDER BY day, hour_label""".stripMargin
+
+  // ---- F16: ISO-8601 UTC serialization -------------------------------------
+  def f16IsoFormat(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).filter(col("event_id") < 100)
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'+00:00'").as("iso"))
+      .orderBy(col("event_id"))
+  val f16Sql: String =
+    s"""SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S+00:00') AS iso
+       |FROM $EventsSql WHERE event_id < 100 ORDER BY event_id""".stripMargin
+
+  // ---- J4: seed verification (symmetric except, both directions) -----------
+  def j4SeedVerify(s: SparkSession, d: String): DataFrame = {
+    val cfg = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val db = cfg.filter(col("n_nationkey") =!= 5)
+      .unionByName(cfg.filter(col("n_nationkey") === 7)
+        .withColumn("n_name", concat(col("n_name"), lit("_X"))))
+    val missing = cfg.exceptAll(db).withColumn("side", lit("missing"))
+    val extra = db.exceptAll(cfg).withColumn("side", lit("extra"))
+    missing.unionByName(extra).orderBy(col("side"), col("n_nationkey"), col("n_name"))
+  }
+  val j4Sql: String =
+    """WITH cfg AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),
+      |db AS (
+      |  SELECT * FROM cfg WHERE n_nationkey <> 5
+      |  UNION ALL
+      |  SELECT n_nationkey, n_name || '_X', n_regionkey FROM cfg WHERE n_nationkey = 7
+      |)
+      |SELECT *, 'missing' AS side FROM (SELECT * FROM cfg EXCEPT ALL SELECT * FROM db)
+      |UNION ALL
+      |SELECT *, 'extra' AS side FROM (SELECT * FROM db EXCEPT ALL SELECT * FROM cfg)
+      |ORDER BY side, n_nationkey, n_name""".stripMargin
+
+  // ---- J6: ISO → (steam_id, country) lookup + currency-flip detect ---------
+  def j6IsoLookup(s: SparkSession, d: String): DataFrame = {
+    val s2 = s
+    import s2.implicits._
+    val dim = Seq(("USD", 1, "US"), ("GBP", 2, "GB"), ("EUR", 3, "DE"), ("INR", 24, "IN"))
+      .toDF("iso", "steam_id", "country")
+    val observed = Tables.events(s, d).filter(col("event_id") < 300)
+      .select(col("event_id"),
+        element_at(array(lit("USD"), lit("GBP"), lit("EUR"), lit("NOK")),
+          (col("user_id") % 4).cast("int") + 1).as("iso"),
+        (col("user_id") % 5 + 1).cast("int").as("requested_id"))
+    observed.join(broadcast(dim), Seq("iso"), "left")
+      .withColumn("flip_needed",
+        col("steam_id").isNotNull && col("steam_id") =!= col("requested_id"))
+      .select(col("event_id"), col("iso"), col("requested_id"),
+        col("steam_id"), col("country"), col("flip_needed"))
+      .orderBy(col("event_id"))
+  }
+  val j6Sql: String =
+    """WITH dim AS (
+      |  SELECT * FROM (VALUES ('USD', 1, 'US'), ('GBP', 2, 'GB'), ('EUR', 3, 'DE'), ('INR', 24, 'IN'))
+      |    AS t(iso, steam_id, country)
+      |), observed AS (
+      |  SELECT event_id,
+      |    (['USD','GBP','EUR','NOK'])[CAST(user_id % 4 AS INTEGER) + 1] AS iso,
+      |    CAST(user_id % 5 + 1 AS INTEGER) AS requested_id
+      |  FROM events WHERE event_id < 300
+      |)
+      |SELECT o.event_id, o.iso, o.requested_id, d.steam_id, d.country,
+      |  d.steam_id IS NOT NULL AND d.steam_id <> o.requested_id AS flip_needed
+      |FROM observed o LEFT JOIN dim d ON o.iso = d.iso
+      |ORDER BY o.event_id""".stripMargin
+
+  // ---- O4 + O5: stream split + budget-relevant filter ----------------------
+  def o4StreamSplit(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("split",
+        when(col("event_type") =!= "purchase", lit("live")).otherwise(lit("archival")))
+      .groupBy(col("split"), col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("split"), col("event_type"))
+  val o4Sql: String =
+    """SELECT CASE WHEN event_type <> 'purchase' THEN 'live' ELSE 'archival' END AS split,
+      |  event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2 ORDER BY split, event_type""".stripMargin
+
+  // ---- O7: cooldown gate (skip_until > now) --------------------------------
+  def o7Cooldown(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("skip_until_us",
+        unix_micros(col("ts")) + floor(col("value") * 60000000L).cast("long"))
+      .filter(col("skip_until_us") > unix_micros(lit(AsOf).cast("timestamp")))
+      .select(col("event_id"), col("user_id"), col("skip_until_us"))
+      .orderBy(col("event_id"))
+  val o7Sql: String =
+    s"""SELECT event_id, user_id,
+       |  epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS skip_until_us
+       |FROM $EventsSql
+       |WHERE epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) > epoch_us(TIMESTAMP '$AsOf')
+       |ORDER BY event_id""".stripMargin
+
+  // ---- W5: deterministic registry sort (column-pruned) ---------------------
+  def w5RegistrySort(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .orderBy(col("c_nationkey"), col("c_custkey"))
+      .limit(150)
+  val w5Sql: String =
+    """SELECT c_custkey, c_name, c_nationkey FROM customer
+      |ORDER BY c_nationkey, c_custkey LIMIT 150""".stripMargin
+
+  // ---- W6: urgency priority / argmin-sleep ---------------------------------
+  def w6Urgency(s: SparkSession, d: String): DataFrame = {
+    val asofUs = unix_micros(lit(AsOf).cast("timestamp"))
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_update"))
+      .withColumn("interval_s", (lit(60) + col("user_id") * 10).cast("long"))
+      .withColumn("elapsed_us", asofUs - unix_micros(col("last_update")))
+      .withColumn("urgency",
+        col("elapsed_us").cast("double") / (col("interval_s") * 1000000L).cast("double"))
+      .withColumn("overdue", col("urgency") >= 1.0)
+      .select(col("user_id"), col("last_update"), col("interval_s"),
+        col("elapsed_us"), col("urgency"), col("overdue"))
+      .orderBy(col("urgency").desc, col("user_id"))
+  }
+  val w6Sql: String =
+    s"""SELECT user_id, last_update, interval_s, elapsed_us,
+       |  CAST(elapsed_us AS DOUBLE) / CAST(interval_s * 1000000 AS DOUBLE) AS urgency,
+       |  CAST(elapsed_us AS DOUBLE) / CAST(interval_s * 1000000 AS DOUBLE) >= 1.0 AS overdue
+       |FROM (
+       |  SELECT user_id, max(ts) AS last_update,
+       |    CAST(60 + user_id * 10 AS BIGINT) AS interval_s,
+       |    epoch_us(TIMESTAMP '$AsOf') - epoch_us(max(ts)) AS elapsed_us
+       |  FROM $EventsSql GROUP BY user_id
+       |) t ORDER BY urgency DESC, user_id""".stripMargin
+
+  // ---- T14: no-op write suppression (conditional MERGE classify) -----------
+  def t14NoopSuppression(s: SparkSession, d: String): DataFrame = {
+    val current = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val desired = current.filter(col("n_nationkey") =!= 2)
+      .unionByName(current.filter(col("n_nationkey") === 3)
+        .withColumn("n_name", concat(col("n_name"), lit("_NEW"))))
+      .unionByName(Seq((99, "ATLANTIS", 0)).toDF_(s))
+    val j = desired.as("dd").join(current.as("c"),
+      col("dd.n_nationkey") === col("c.n_nationkey"), "full_outer")
+    j.select(
+        coalesce(col("dd.n_nationkey"), col("c.n_nationkey")).as("n_nationkey"),
+        when(col("c.n_nationkey").isNull, lit("insert"))
+          .when(col("dd.n_nationkey").isNull, lit("delete"))
+          .when(!(col("dd.n_name") <=> col("c.n_name")) ||
+                !(col("dd.n_regionkey") <=> col("c.n_regionkey")), lit("update"))
+          .otherwise(lit("noop")).as("op"))
+      .filter(col("op") =!= "noop")
+      .orderBy(col("n_nationkey"))
+  }
+  implicit private class SeqOps(val rows: Seq[(Int, String, Int)]) {
+    def toDF_(s: SparkSession): DataFrame = {
+      import s.implicits._
+      rows.toDF("n_nationkey", "n_name", "n_regionkey")
+        .select(col("n_nationkey").cast("int"), col("n_name"), col("n_regionkey").cast("int"))
+    }
+  }
+  val t14Sql: String =
+    """WITH cur AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),
+      |des AS (
+      |  SELECT * FROM cur WHERE n_nationkey <> 2
+      |  UNION ALL SELECT n_nationkey, n_name || '_NEW', n_regionkey FROM cur WHERE n_nationkey = 3
+      |  UNION ALL SELECT 99, 'ATLANTIS', 0
+      |)
+      |SELECT COALESCE(d.n_nationkey, c.n_nationkey) AS n_nationkey,
+      |  CASE WHEN c.n_nationkey IS NULL THEN 'insert'
+      |       WHEN d.n_nationkey IS NULL THEN 'delete'
+      |       WHEN d.n_name IS DISTINCT FROM c.n_name
+      |         OR d.n_regionkey IS DISTINCT FROM c.n_regionkey THEN 'update'
+      |       ELSE 'noop' END AS op
+      |FROM des d FULL JOIN cur c ON d.n_nationkey = c.n_nationkey
+      |WHERE NOT (CASE WHEN c.n_nationkey IS NULL THEN 'insert'
+      |       WHEN d.n_nationkey IS NULL THEN 'delete'
+      |       WHEN d.n_name IS DISTINCT FROM c.n_name
+      |         OR d.n_regionkey IS DISTINCT FROM c.n_regionkey THEN 'update'
+      |       ELSE 'noop' END) = 'noop'
+      |ORDER BY n_nationkey""".stripMargin
+
+  // -------------------------------------------------------------------------
+
+  val defs: Map[String, Q] = Map(
+    "a2_max_watermark" -> (a2MaxWatermark _),
+    "a13_invariants" -> (a13Invariants _),
+    "f10_currency_map" -> (f10CurrencyMap _),
+    "f11_hash" -> (f11Hash _),
+    "f12_json_build" -> (f12JsonBuild _),
+    "f13_json_extract" -> (f13JsonExtract _),
+    "f15_date_bucket" -> (f15DateBucket _),
+    "f16_iso_format" -> (f16IsoFormat _),
+    "j4_seed_verify" -> (j4SeedVerify _),
+    "j6_iso_lookup" -> (j6IsoLookup _),
+    "o4_stream_split" -> (o4StreamSplit _),
+    "o7_cooldown" -> (o7Cooldown _),
+    "w5_registry_sort" -> (w5RegistrySort _),
+    "w6_urgency" -> (w6Urgency _),
+    "t14_noop_suppression" -> (t14NoopSuppression _))
+
+  val oracle: Map[String, String] = Map(
+    "a2_max_watermark" -> a2Sql,
+    "a13_invariants" -> a13Sql,
+    "f10_currency_map" -> f10Sql,
+    "f11_hash" -> f11Sql,
+    "f12_json_build" -> f12Sql,
+    "f13_json_extract" -> f13Sql,
+    "f15_date_bucket" -> f15Sql,
+    "f16_iso_format" -> f16Sql,
+    "j4_seed_verify" -> j4Sql,
+    "j6_iso_lookup" -> j6Sql,
+    "o4_stream_split" -> o4Sql,
+    "o7_cooldown" -> o7Sql,
+    "w5_registry_sort" -> w5Sql,
+    "w6_urgency" -> w6Sql,
+    "t14_noop_suppression" -> t14Sql)
+}
