@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Multimodal
+
+/** Training-data pipeline pack, part 4: multimodal BINARY-column plumbing
+  * over `documents` reinterpreted as a media table. The decode stage is a
+  * stub (no codec libs here — see Multimodal.scala); these queries check
+  * the REAL parts: binary payload handling, typed metadata, deterministic
+  * frame sampling, and byte-level feature math, all DuckDB-replayable
+  * (ASCII text → identical bytes in both engines). */
+object MultimodalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- ingest: payload + typed meta + content hash -------------------------
+  def mmIngestStats(s: SparkSession, d: String): DataFrame =
+    Multimodal.ingestFromText(Tables.documents(s, d))
+      .select(col("media_id"),
+        col("meta").getField("format").as("format"),
+        col("meta").getField("width").as("width"),
+        col("meta").getField("height").as("height"),
+        col("meta").getField("n_bytes").as("n_bytes"),
+        md5(col("payload")).as("payload_md5"))
+      .orderBy(col("media_id"))
+  val mmIngestStatsSql: String =
+    """SELECT doc_id AS media_id, 'fake/' || source AS format,
+      |  CAST(32 + n_chars % 64 AS INTEGER) AS width,
+      |  CAST(32 + doc_id % 48 AS INTEGER) AS height,
+      |  CAST(length(text) AS BIGINT) AS n_bytes,
+      |  md5(text) AS payload_md5
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  // ---- frame sampling: k evenly-spaced byte windows, fingerprinted ---------
+  def mmFrameSample(s: SparkSession, d: String): DataFrame =
+    Multimodal.frameSample(
+        Multimodal.ingestFromText(Tables.documents(s, d)), k = 4, frameBytes = 16)
+      .orderBy(col("media_id"))
+  val mmFrameSampleSql: String =
+    """SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
+      |  md5(substring(text, 1, 16)) AS frame_0,
+      |  md5(substring(text, CAST(1 + (length(text) // 4) AS INTEGER), 16)) AS frame_1,
+      |  md5(substring(text, CAST(1 + 2 * (length(text) // 4) AS INTEGER), 16)) AS frame_2,
+      |  md5(substring(text, CAST(1 + 3 * (length(text) // 4) AS INTEGER), 16)) AS frame_3
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  // ---- decode (stubbed codec): byte-statistics features --------------------
+  def mmDecodeFeatures(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.asMedia(Multimodal.ingestFromText(Tables.documents(s, d)))
+    Multimodal.decodeFeatures(media).toDF()
+      .select(col("media_id"), col("format"), col("n_bytes"),
+        col("mean_byte"), col("byte_hist"))
+      .orderBy(col("media_id"))
+  }
+  val mmDecodeFeaturesSql: String =
+    """WITH bytes AS (
+      |  SELECT doc_id AS media_id, 'fake/' || source AS format,
+      |    CAST(length(text) AS BIGINT) AS n_bytes,
+      |    list_transform(string_split(text, ''), c -> ascii(c)) AS bs
+      |  FROM documents
+      |)
+      |SELECT media_id, format, n_bytes,
+      |  CAST(list_sum(bs) AS DOUBLE) / n_bytes AS mean_byte,
+      |  list_transform(range(0, 16), i ->
+      |    CAST(len(list_filter(bs, b -> b % 16 = i)) AS BIGINT)) AS byte_hist
+      |FROM bytes ORDER BY media_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+
+  val defs: Map[String, Q] = Map(
+    "mm_ingest_stats" -> (mmIngestStats _),
+    "mm_frame_sample" -> (mmFrameSample _),
+    "mm_decode_features" -> (mmDecodeFeatures _))
+
+  val oracle: Map[String, String] = Map(
+    "mm_ingest_stats" -> mmIngestStatsSql,
+    "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_decode_features" -> mmDecodeFeaturesSql)
+}

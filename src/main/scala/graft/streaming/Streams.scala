@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming re-expression of the reference's incremental
+  * chains (SURVEY §2.8). The append table IS the change stream — Spark's
+  * readStream over it replaces the whole INSERT → trigger → pg_notify →
+  * LISTEN → re-read → fan-out relay (utility/marketDataNotify_utility.py,
+  * api/marketDataStream.py):
+  *
+  *  - T1  watermarked delta append → withWatermark + dropDuplicates
+  *        within the watermark on the series key (late points beyond the
+  *        watermark are dropped, matching SQLinserts.py:546's `<= max`
+  *        stop).
+  *  - T3  CDC latest-1 push → foreachBatch: per-key argmax inside the
+  *        micro-batch, handed to a push callback (the WebSocket fan-out
+  *        seam; a no-op subscriber set short-circuits upstream of us).
+  *  - T4  debounce → Trigger.ProcessingTime ≈ the 0.25 s quiet window
+  *        (cerebro.py:315-332): one micro-batch coalesces a burst.
+  *  - A5  sliding request-rate count → event-time sliding window agg.
+  *  - T7-ish backoff bookkeeping → mapGroupsWithState over per-key state.
+  *
+  * Scale notes: every aggregation keys on the item/user — state is
+  * per-key and partitioned by the shuffle; watermarks bound state size;
+  * foreachBatch outputs only latest-1 per key per batch (thin frames, the
+  * same reason the reference keeps NOTIFY payloads under 8 KB).
+  */
+object Streams {
+
+  /** T1: idempotent delta append — drop duplicate (key, ts) points within
+    * the watermark window; points older than the watermark are dropped by
+    * construction (the reference's late-data semantics). */
+  def deltaAppendDedup(stream: DataFrame, keyCol: String, tsCol: String,
+                       lateness: String): DataFrame =
+    stream.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCol, tsCol)
+
+  /** T3: per-micro-batch latest-1 per key pushed to `push` (the WS seam).
+    * max_by(struct) keeps it one shuffle per batch. */
+  def cdcLatestPush(stream: DataFrame, keyCol: String, tsCol: String,
+                    trigger: Trigger, push: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val latest = batch
+            .groupBy(col(keyCol))
+            .agg(max_by(struct(batch.columns.map(col): _*), col(tsCol)).as("row"))
+            .select(col("row.*"))
+          push(latest)
+        }
+      }
+      .start()
+
+  /** A5: sliding event-time request count (rate-limiter reconstruction:
+    * 1 request = 1 row, summed per sliding window). */
+  def slidingRequestCount(stream: DataFrame, tsCol: String,
+                          window: String, slide: String,
+                          lateness: String): DataFrame =
+    stream.withWatermark(tsCol, lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window, slide))
+      .agg(count(lit(1)).as("n_requests"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n_requests"))
+
+  // ---- T7-ish: per-key poller state via mapGroupsWithState ---------------
+
+  case class PollEvent(item: String, ts: java.sql.Timestamp, ok: Boolean)
+  case class PollerState(failures: Int, cooldownMultiplier: Int, lastTs: Long)
+  case class PollerStatus(item: String, failures: Int, cooldownMultiplier: Int)
+
+  /** Exponential backoff bookkeeping (snoozerScheduler.py:192-222): per
+    * item, consecutive failures double the cooldown multiplier (cap 8);
+    * any success resets. Emits the post-batch state per key. */
+  def backoffState(events: Dataset[PollEvent]): Dataset[PollerStatus] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.item)
+      .mapGroupsWithState[PollerState, PollerStatus](GroupStateTimeout.NoTimeout) {
+        (item, evs, state: GroupState[PollerState]) =>
+          var st = state.getOption.getOrElse(PollerState(0, 1, 0L))
+          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            st = if (e.ok) PollerState(0, 1, e.ts.getTime)
+            else {
+              val f = st.failures + 1
+              PollerState(f, math.min(1 << (f - 1), 8), e.ts.getTime)
+            }
+          }
+          state.update(st)
+          PollerStatus(item, st.failures, st.cooldownMultiplier)
+      }
+  }
+}

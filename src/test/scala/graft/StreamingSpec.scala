@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+
+/** Structured Streaming semantics with MemoryStream fixtures: T1 dedup
+  * within watermark, T3 foreachBatch latest-1 push, A5 sliding counts,
+  * T7 backoff state machine. */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  case class Point(name: String, time: Timestamp, price: Double)
+
+  test("T1 deltaAppendDedup: duplicate (key, ts) dropped across batches within watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Point]
+    val q = Streams.deltaAppendDedup(in.toDF(), "name", "time", "10 minutes")
+      .writeStream.format("memory").queryName("t1_out").outputMode("append").start()
+    in.addData(Point("a", ts("2024-01-01 00:00:00"), 1.0),
+               Point("a", ts("2024-01-01 00:01:00"), 2.0))
+    q.processAllAvailable()
+    in.addData(Point("a", ts("2024-01-01 00:01:00"), 2.0), // dup within watermark
+               Point("a", ts("2024-01-01 00:02:00"), 3.0))
+    q.processAllAvailable()
+    val out = s.table("t1_out").collect()
+    q.stop()
+    assert(out.length == 3) // the re-sent 00:01 point was suppressed
+  }
+
+  test("T3 cdcLatestPush: foreachBatch pushes latest-1 per key per batch") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Point]
+    val pushed = scala.collection.mutable.ArrayBuffer[(String, Timestamp, Double)]()
+    val q = Streams.cdcLatestPush(in.toDF(), "name", "time",
+      Trigger.ProcessingTime(0), { latest =>
+        latest.collect().foreach(r =>
+          pushed.synchronized { pushed += ((r.getString(0), r.getTimestamp(1), r.getDouble(2))) })
+      })
+    in.addData(Point("a", ts("2024-01-01 00:00:00"), 1.0),
+               Point("a", ts("2024-01-01 00:05:00"), 5.0),
+               Point("b", ts("2024-01-01 00:01:00"), 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val byKey = pushed.groupBy(_._1)
+    assert(byKey("a").map(_._3).toSet == Set(5.0)) // only the latest 'a' frame
+    assert(byKey("b").map(_._3).toSet == Set(2.0))
+  }
+
+  test("A5 slidingRequestCount: sliding windows count overlapping rows") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Point]
+    val q = Streams.slidingRequestCount(in.toDF(), "time", "60 seconds", "30 seconds", "0 seconds")
+      .writeStream.format("memory").queryName("a5_out").outputMode("append").start()
+    in.addData(Point("a", ts("2024-01-01 00:00:10"), 1.0),
+               Point("b", ts("2024-01-01 00:00:40"), 1.0),
+               Point("c", ts("2024-01-01 00:01:10"), 1.0))
+    q.processAllAvailable()
+    in.addData(Point("z", ts("2024-01-01 00:10:00"), 1.0)) // advance watermark, close windows
+    q.processAllAvailable()
+    val counts = s.table("a5_out")
+      .select(date_format(col("window_start"), "HH:mm:ss").as("w"), col("n_requests"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(counts("00:00:00") == 2)  // 00:10 + 00:40
+    assert(counts("00:00:30") == 2)  // 00:40 + 01:10
+    assert(counts("00:01:00") == 1)  // 01:10
+  }
+
+  test("T7 backoffState: failures double cooldown (cap 8), success resets") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Streams.PollEvent]
+    val q = Streams.backoffState(in.toDS())
+      .writeStream.format("memory").queryName("t7_out").outputMode("update").start()
+    in.addData(
+      Streams.PollEvent("x", ts("2024-01-01 00:00:00"), false),
+      Streams.PollEvent("x", ts("2024-01-01 00:01:00"), false),
+      Streams.PollEvent("x", ts("2024-01-01 00:02:00"), false),
+      Streams.PollEvent("x", ts("2024-01-01 00:03:00"), false),
+      Streams.PollEvent("x", ts("2024-01-01 00:04:00"), false),
+      Streams.PollEvent("y", ts("2024-01-01 00:00:00"), false))
+    q.processAllAvailable()
+    in.addData(Streams.PollEvent("y", ts("2024-01-01 00:01:00"), true))
+    q.processAllAvailable()
+    val out = s.table("t7_out").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    q.stop()
+    // x: 5 consecutive failures → multiplier min(2^4, 8) = 8
+    assert(out.contains(("x", 5, 8)))
+    // y: failure then success → reset
+    assert(out.contains(("y", 1, 1)) && out.contains(("y", 0, 1)))
+  }
+}
