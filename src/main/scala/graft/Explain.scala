@@ -1,0 +1,18 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+    for (name <- Seq("o2_range_scan", "q1_pricing_summary", "j1_lookup_join",
+                     "w1_latest_event_per_user", "dedup_minhash_pairs", "sim_bruteforce_topk")) {
+      println(s"===== $name =====")
+      println(SparkEntry.queries(name)(spark, d).queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode))
+    }
+    spark.stop()
+  }
+}

@@ -23,12 +23,18 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   /** events.parquet carries TIMESTAMP(NANOS) which Spark cannot read as a
     * timestamp; read nanos as long and floor-convert to microseconds (the
-    * same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP). */
+    * same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP).
+    * The raw nanos survive as `ts_ns` so range predicates can be phrased
+    * against the PHYSICAL column and reach the parquet scan as
+    * PushedFilters (a filter on the derived `ts` cannot be pushed through
+    * the conversion expression — at cluster scale that is the difference
+    * between pruning row groups and reading the full table). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
+      .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+        org.apache.spark.sql.functions.expr("ts_ns div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -74,7 +74,10 @@ object CoreQueries {
   // ---- O2: range-bounded history scan (as-of parameterized) --------------
   def o2RangeScan(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .filter(col("ts") >= lit(AsOf).cast("timestamp") - expr("INTERVAL 7 DAYS"))
+      // range predicate on the PHYSICAL nanos column → PushedFilters
+      // (ts_ns >= µs*1000 ⟺ floor(ts_ns/1000) >= µs for integer bounds)
+      .filter(col("ts_ns") >=
+        unix_micros(lit(AsOf).cast("timestamp") - expr("INTERVAL 7 DAYS")) * 1000)
       .filter(col("user_id") === 3)
       .select(col("ts"), col("event_id"), col("event_type"), col("value"))
       .orderBy(col("ts").asc, col("event_id").asc)
