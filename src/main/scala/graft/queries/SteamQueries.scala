@@ -18,27 +18,27 @@ object SteamQueries {
 
   // Mirror of SteamParsers.stripSymbols / currencyMap (kept here to
   // generate the SQL side; the Scala side lives in SteamParsers).
-  private val stripSymbols = Seq(
+  private[queries] val stripSymbols = Seq(
     "$", "€", "£", "¥", "₹", "₽", "pуб.", "R$", "CDN$", "A$", "HK$", "S$",
     "₩", "₴", "CHF", "kr", "zł", "R", "฿")
-  private val currencyMap = Seq(
+  private[queries] val currencyMap = Seq(
     "$" -> "USD", "€" -> "EUR", "£" -> "GBP", "¥" -> "JPY", "₹" -> "INR",
     "₽" -> "RUB", "pуб." -> "RUB", "R$" -> "BRL", "CDN$" -> "CAD",
     "A$" -> "AUD", "HK$" -> "HKD", "S$" -> "SGD", "₩" -> "KRW",
     "₴" -> "UAH", "CHF" -> "CHF", "kr" -> "SEK", "zł" -> "PLN",
     "R" -> "ZAR", "฿" -> "THB")
 
-  private val pyFloatRe = """^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"""
-  private val pyIntRe = """^[+-]?[0-9]+$"""
+  private[queries] val pyFloatRe = """^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"""
+  private[queries] val pyIntRe = """^[+-]?[0-9]+$"""
 
   /** SQL expression: the 19-symbol ordered strip + trim of column `c`. */
-  private def sqlStrip(c: String): String =
+  private[queries] def sqlStrip(c: String): String =
     "trim(" + stripSymbols.foldLeft(s"trim($c)") {
       (acc, sym) => s"replace($acc, '$sym', '')"
     } + ")"
 
   /** SQL expression: ordered first-match currency scan of column `c`. */
-  private def sqlCurrency(c: String): String =
+  private[queries] def sqlCurrency(c: String): String =
     "CASE " + currencyMap.map { case (sym, code) =>
       s"WHEN contains($c, '$sym') THEN '$code'"
     }.mkString(" ") + " ELSE NULL END"
@@ -46,7 +46,7 @@ object SteamQueries {
   /** SQL expression replicating F1's locale disambiguation on a pre-stripped
     * string column `c` (EU vs US by last-separator position; lone comma is
     * decimal iff exactly 2 trailing digits). */
-  private def sqlEuUs(c: String): String =
+  private[queries] def sqlEuUs(c: String): String =
     s"""CASE
        |  WHEN contains($c, ',') AND contains($c, '.') THEN
        |    CASE WHEN strpos(reverse($c), ',') < strpos(reverse($c), '.')
@@ -193,7 +193,7 @@ object SteamQueries {
 
   // ---- F6/F7: activity HTML tape parse -----------------------------------
 
-  private def goldenHtml(price: String, action: String): String =
+  private[queries] def goldenHtml(price: String, action: String): String =
     "<div class=\"market_activity_line_item ellipsis\">\n\t" +
       "<span class=\"market_activity_placeholder\"></span>\n\t" +
       "<span class=\"market_activity_cell market_activity_price \">\n\t\t\t</span>\n\t" +

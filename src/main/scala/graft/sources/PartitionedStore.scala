@@ -1,0 +1,63 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Time-partitioned parquet store with retention — the Spark shape of the
+  * reference's hypertable + compression + retention policies
+  * (src/SQLinserts.py:246-357):
+  *
+  *  - hypertable partitioning on time  → `partitionBy(date)` directories;
+  *    range predicates prune partitions at the source level.
+  *  - `segmentby market_hash_name` compression → `sortWithinPartitions`
+  *    on the series key: parquet gets long same-key runs (RLE/dict), and
+  *    per-item scans touch few row groups via min/max stats — the same
+  *    locality the covering index provided.
+  *  - drop_chunks retention (90 d / 30 d)  → partition-directory drop; a
+  *    metadata-only operation, no data rewrite, exactly like chunk drops.
+  *
+  * At cluster scale the same code targets an object store; retention
+  * stays O(partitions-dropped). */
+object PartitionedStore {
+
+  val DateCol = "p_date"
+
+  /** Append rows partitioned by the date of `tsCol`, clustered by
+    * `keyCol` within each partition. */
+  def append(df: DataFrame, path: String, tsCol: String, keyCol: String): Unit =
+    df.withColumn(DateCol, to_date(col(tsCol)))
+      .repartition(col(DateCol))
+      .sortWithinPartitions(col(keyCol), col(tsCol))
+      .write.mode(SaveMode.Append)
+      .partitionBy(DateCol)
+      .parquet(path)
+
+  /** Read back with partition pruning available on DateCol. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Retention: drop partition directories strictly older than
+    * `keepDays` before `asOf`. Returns dropped partition names. */
+  def dropExpired(path: String, keepDays: Int, asOf: java.time.LocalDate): Seq[String] = {
+    val cutoff = asOf.minusDays(keepDays)
+    val root = Paths.get(path)
+    if (!Files.exists(root)) return Nil
+    val dropped = Files.list(root).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith(s"$DateCol="))
+      .filter { p =>
+        val d = p.getFileName.toString.stripPrefix(s"$DateCol=")
+        scala.util.Try(java.time.LocalDate.parse(d)).toOption.exists(_.isBefore(cutoff))
+      }
+      .toList
+    dropped.foreach(deleteRecursive)
+    dropped.map(_.getFileName.toString)
+  }
+
+  private def deleteRecursive(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toList.foreach(deleteRecursive)
+    Files.deleteIfExists(p)
+  }
+}

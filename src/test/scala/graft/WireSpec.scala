@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{PartitionedStore, Wire}
+
+/** Wire bronze→silver golden semantics (FIXTURES.md §1) + partitioned
+  * store with retention (S12/T12). */
+class WireSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("silverPriceOverview: golden EUR row parses (0.03, 0.01, 435, EUR)") {
+    val s = spark
+    import s.implicits._
+    val raw = Seq((1, """{"success":true,"lowest_price":"0,03€","median_price":"0,01€","volume":"435"}"""))
+      .toDF("id", "payload")
+    val r = Wire.silverPriceOverview(Wire.bronze(raw, Wire.priceOverviewWire)).collect()(0)
+    assert(r.getBoolean(1))
+    assert(r.getDouble(2) == 0.03 && r.getDouble(3) == 0.01)
+    assert(r.getInt(4) == 435 && r.getString(5) == "EUR")
+  }
+
+  test("silverOrdersHistogram: minor-units trap — scalar bid '3' is 0.03, not 3.0") {
+    val s = spark
+    import s.implicits._
+    val raw = Seq((1,
+      """{"success":1,"buy_order_count":"1","buy_order_table":[{"price":"0,03€","quantity":"2"}],""" +
+      """"highest_buy_order":"3","price_suffix":"€"}""")).toDF("id", "payload")
+    val r = Wire.silverOrdersHistogram(Wire.bronze(raw, Wire.ordersHistogramWire)).collect()(0)
+    assert(r.getDouble(r.fieldIndex("highest_buy_order")) == 0.03)
+    // the order-TABLE price stays a raw locale string (F1 territory, not F2)
+    assert(r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("buy_order_table"))
+      .head.getString(0) == "0,03€")
+    assert(r.getString(r.fieldIndex("currency")) == "EUR")
+  }
+
+  test("activityEvents: count invariant + response-level timestamp stamping") {
+    val s = spark
+    import s.implicits._
+    val html = "<span class=\"market_activity_cell market_activity_price \">0,85€</span>" +
+      "<span class=\"market_activity_action\">Purchased</span>"
+    val raw = Seq((1, s"""{"success":1,"activity":[${"\"" + html.replace("\"", "\\\"") + "\""},"<div>junk</div>"],"timestamp":1765687694}"""))
+      .toDF("id", "payload")
+    val silver = Wire.silverOrdersActivity(Wire.bronze(raw, Wire.ordersActivityWire))
+    val sr = silver.collect()(0)
+    assert(sr.getInt(sr.fieldIndex("activity_count")) == 2)
+    val evs = Wire.activityEvents(silver).orderBy("ord").collect()
+    assert(evs.length == 2)
+    assert(evs(0).getDouble(2) == 0.85 && evs(0).getString(3) == "EUR")
+    assert(evs(0).getString(4) == "Purchased")
+    assert(evs(0).getTimestamp(5).getTime == 1765687694000L)
+    assert(evs(1).isNullAt(2)) // junk line: kept, price null
+  }
+
+  test("partitioned store: append clustered, prune on read, retention drops old partitions") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val rows = Seq(
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      ("b", java.sql.Timestamp.valueOf("2024-01-15 10:00:00"), 2.0),
+      ("a", java.sql.Timestamp.valueOf("2024-02-01 10:00:00"), 3.0)
+    ).toDF("name", "time", "price")
+    PartitionedStore.append(rows, dir, "time", "name")
+    // partition pruning: physical plan carries a PartitionFilters entry
+    val pruned = PartitionedStore.read(s, dir).filter(col(PartitionedStore.DateCol) === "2024-01-01")
+    assert(pruned.count() == 1)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    // retention: keep 30 days from 2024-02-10 → drops 2024-01-01 only
+    val dropped = PartitionedStore.dropExpired(dir, 30, java.time.LocalDate.parse("2024-02-10"))
+    assert(dropped == Seq("p_date=2024-01-01"))
+    assert(PartitionedStore.read(s, dir).count() == 2)
+  }
+
+}
