@@ -192,37 +192,20 @@ object SteamParsers {
     Map("USD" -> (1, "US"), "GBP" -> (2, "GB"), "EUR" -> (3, "DE"),
         "INR" -> (24, "IN"))
 
-  // ---- Spark UDF surface --------------------------------------------------
-  // (Plain Scala UDFs; Option returns map to nullable columns.)
+  // ---- Column surface -----------------------------------------------------
+  // Native codegen expressions (ParserExprs.scala) calling the pure
+  // functions above — no ScalaUDF serialization boundary; the names keep
+  // the historical *Udf suffix so call sites read unchanged.
 
-  val parseSteamPriceUdf: Column => Column = {
-    val f = udf(parseSteamPrice _); c => f(c)
-  }
-  val orderPriceMinorToMajorUdf: Column => Column = {
-    val f = udf(orderPriceMinorToMajor _); c => f(c)
-  }
-  val parseVolumeUdf: Column => Column = {
-    val f = udf(parseVolume _); c => f(c)
-  }
-  val extractCurrencyUdf: Column => Column = {
-    val f = udf(extractCurrency _); c => f(c)
-  }
-  val parseSteamDatetimeUdf: Column => Column = {
-    val f = udf(parseSteamDatetime _); c => f(c)
-  }
-  val parsePriceToFloatUdf: Column => Column = {
-    val f = udf(parsePriceToFloat _); c => f(c)
-  }
+  import org.apache.spark.sql.graftExpr.{column => ec, expression => ee}
 
-  /** struct shape returned by [[parseActivityHtmlUdf]]. */
-  case class ParsedActivity(price: Option[Double], currency: Option[String],
-                            action: Option[String])
+  val parseSteamPriceUdf: Column => Column = c => ec(SteamPriceExpr(ee(c)))
+  val orderPriceMinorToMajorUdf: Column => Column = c => ec(MinorUnitsExpr(ee(c)))
+  val parseVolumeUdf: Column => Column = c => ec(VolumeExpr(ee(c)))
+  val extractCurrencyUdf: Column => Column = c => ec(CurrencyExpr(ee(c)))
+  val parseSteamDatetimeUdf: Column => Column = c => ec(SteamDatetimeExpr(ee(c)))
+  val parsePriceToFloatUdf: Column => Column = c => ec(PriceToFloatExpr(ee(c)))
 
   /** HTML line → struct(price, currency, action) for use under transform(). */
-  val parseActivityHtmlUdf: Column => Column = {
-    val f = udf { html: String =>
-      val (p, c, a) = parseActivityHtml(html); ParsedActivity(p, c, a)
-    }
-    c => f(c)
-  }
+  val parseActivityHtmlUdf: Column => Column = c => ec(ActivityHtmlExpr(ee(c)))
 }
