@@ -102,6 +102,43 @@ object Relational {
       .drop("_wm")
   }
 
+  /** Skew-safe aggregation: two-phase groupBy with a random-ish salt on the
+    * first phase. For a decomposable aggregate (sum/count/min/max), phase 1
+    * shuffles on (key, salt) — a hot key spreads over `saltBuckets`
+    * reducers — and phase 2 combines the per-salt partials with a second,
+    * tiny shuffle on the key alone. Use when one key holds a large share of
+    * the rows (AQE skew-join handles joins; this handles aggregations).
+    * The salt is derived from stable row content via hash(), so results
+    * are deterministic.
+    *
+    * aggs: (inputCol, "sum"|"count"|"min"|"max", outName). */
+  def saltedAgg(df: DataFrame, keys: Seq[String], saltCols: Seq[String],
+                saltBuckets: Int,
+                aggs: Seq[(String, String, String)]): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(hash(saltCols.map(col): _*), lit(saltBuckets)))
+    val phase1 = salted.groupBy((keys :+ "_salt").map(col): _*)
+      .agg(aggs.head match { case (c, f, o) => partialAgg(c, f, o) },
+        aggs.tail.map { case (c, f, o) => partialAgg(c, f, o) }: _*)
+    phase1.groupBy(keys.map(col): _*)
+      .agg(aggs.head match { case (c, f, o) => combineAgg(f, o) },
+        aggs.tail.map { case (c, f, o) => combineAgg(f, o) }: _*)
+  }
+
+  private def partialAgg(c: String, f: String, out: String): Column = f match {
+    case "sum" => sum(col(c)).as(out)
+    case "count" => count(col(c)).as(out)
+    case "min" => min(col(c)).as(out)
+    case "max" => max(col(c)).as(out)
+  }
+
+  /** combine of partials: count re-combines with sum; others idempotent. */
+  private def combineAgg(f: String, out: String): Column = f match {
+    case "sum" | "count" => sum(col(out)).as(out)
+    case "min" => min(col(out)).as(out)
+    case "max" => max(col(out)).as(out)
+  }
+
   /** A6 — feasibility sum (reference utility/feasibility_utility.py:15-28):
     * Σ floor(window / interval) over the enabled live set vs a budget. */
   def feasibility(items: DataFrame, intervalCol: Column, windowSeconds: Long,

@@ -74,13 +74,92 @@ object SimilarityQueries {
        |  FROM pairs) t
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  // ---- IVF-flat ANN: deterministic seed centroids, nprobe=1 ----------------
+  // Coarse quantizer: the first NCent vectors act as centroids (seeded,
+  // replayable); every vector is assigned to its max-cosine centroid
+  // (tie → lower centroid id). A query probes only its own cell and
+  // re-ranks exactly. At 100 TB the corpus is bucketed by cell id, so a
+  // probe reads one bucket; recall grows with nprobe.
+  private val NCent = 8
+
+  def simIvfTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = broadcast(emb.filter(col("vec_id") < NCent)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec")))
+    val assign = emb.crossJoin(cents)
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        Similarity.cosine(col("embedding"), col("cent_vec")).as("ccos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
+    val cells = assign.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val q = cells.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"), col("cell"))
+    val scored = cells.join(broadcast(q), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Similarity.cosine(col("q_vec"), col("embedding")).as("cos"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w2)).filter(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  val simIvfTopkSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings WHERE vec_id < $NCent),
+       |assign AS (
+       |  SELECT e.vec_id, e.embedding, c.cent_id, ${cosSql("e.embedding", "cent_vec")} AS ccos
+       |  FROM embeddings e CROSS JOIN cents c
+       |), cells AS (
+       |  SELECT vec_id, embedding, cent_id AS cell FROM (
+       |    SELECT vec_id, embedding, cent_id, ccos,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn
+       |    FROM assign) t WHERE rn = 1
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, cell FROM cells WHERE vec_id < $NQ
+       |), pairs AS (
+       |  SELECT q.query_id, e.vec_id, ${cosSql("qe", "e.embedding")} AS cos
+       |  FROM cells e JOIN q ON e.cell = q.cell AND e.vec_id <> q.query_id
+       |)
+       |SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT query_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM pairs) t
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  // ---- embedding-cosine near-dup pairs (LSH-blocked) -----------------------
+  private val DupTau = 0.42
+
+  def dedupEmbeddingPairs(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.lshBucket(col("embedding"), NPlanes).as("bucket"))
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("bucket"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= DupTau)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+  val dedupEmbeddingPairsSql: String =
+    s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.embedding", "b.embedding")} AS cos
+       |FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${cosSql("a.embedding", "b.embedding")} >= $DupTau
+       |ORDER BY id_a, id_b""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
-    "sim_lsh_topk" -> (simLshTopk _))
+    "sim_lsh_topk" -> (simLshTopk _),
+    "sim_ivf_topk" -> (simIvfTopk _),
+    "dedup_embedding_pairs" -> (dedupEmbeddingPairs _))
 
   val oracle: Map[String, String] = Map(
     "sim_bruteforce_topk" -> simBruteforceTopkSql,
-    "sim_lsh_topk" -> simLshTopkSql)
+    "sim_lsh_topk" -> simLshTopkSql,
+    "sim_ivf_topk" -> simIvfTopkSql,
+    "dedup_embedding_pairs" -> dedupEmbeddingPairsSql)
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.GraftExtensions
+
+/** SQL-surface registration of the native expressions. Own session: the
+  * extension must be installed at build time. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-ext")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .getOrCreate()
+
+  test("registered SQL functions evaluate like the Column API") {
+    val r = spark.sql(
+      """SELECT graft_poly_hash('abc')               AS ph,
+        |       graft_simhash('the quick fox', 30)   AS sh,
+        |       graft_steam_price('1.234,56€')       AS price,
+        |       graft_minor_to_major('3')            AS bid,
+        |       graft_extract_currency('0,03€')      AS cur,
+        |       graft_parse_volume('1,234')          AS vol,
+        |       size(graft_shingle_hashes('a b c d', 3)) AS nsh,
+        |       graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                    array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos
+        |""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 96354L)
+    assert(r.getLong(1) >= 0L)
+    assert(r.getDouble(2) == 1234.56)
+    assert(r.getDouble(3) == 0.03)
+    assert(r.getString(4) == "EUR")
+    assert(r.getInt(5) == 1234)
+    assert(r.getInt(6) == 2)
+    assert(math.abs(r.getDouble(7) - 1.0) < 1e-12)
+  }
+
+  test("activity html parse returns a struct in SQL") {
+    val r = spark.sql(
+      """SELECT graft_parse_activity_html(
+        |  '<span class="market_activity_cell market_activity_price ">0,85€</span><span class="market_activity_action">Purchased</span>') AS p
+        |""".stripMargin).select("p.price", "p.currency", "p.action").collect()(0)
+    assert(r.getDouble(0) == 0.85 && r.getString(1) == "EUR" && r.getString(2) == "Purchased")
+  }
+}

@@ -90,4 +90,20 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(r.getLong(1) == 5 && r.getLong(2) == 5)
     assert(r.getLong(3) == (22 + 3) / 4)
   }
+
+  test("saltedAgg: two-phase salted aggregation equals direct groupBy") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.operators.Relational
+    // skewed: key "hot" holds 90% of rows
+    val rows = (1 to 900).map(i => ("hot", i.toLong)) ++ (1 to 100).map(i => (s"k${i % 10}", i.toLong))
+    val df = rows.toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(sum("v").as("s"), count("v").as("c"), min("v").as("mn"), max("v").as("mx"))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    val salted = Relational.saltedAgg(df, Seq("k"), Seq("v"), 8,
+      Seq(("v", "sum", "s"), ("v", "count", "c"), ("v", "min", "mn"), ("v", "max", "mx")))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(direct == salted)
+  }
 }
