@@ -102,6 +102,43 @@ object Relational {
       .drop("_wm")
   }
 
+  /** As-of join: for every left row, the latest right row with the same
+    * key and right.ts ≤ left.ts. Spark has no native ASOF JOIN; a naive
+    * formulation is a range join (quadratic). This is the scalable shape:
+    * UNION both sides tagged, ONE shuffle + sort per key, and a running
+    * `last(payload, ignoreNulls)` window carries the most recent right
+    * payload forward into each left row. Ties at equal ts resolve
+    * right-before-left (≤ semantics), then by `rightOrd` for determinism.
+    *
+    * At 100 TB: one hash shuffle on the key (both inputs), per-partition
+    * sort — same cost class as a sort-merge join, with no range-explosion.
+    *
+    * @param rightPayload columns of `right` to carry (null when no match)
+    * @param rightOrd     unique ordering column of `right` for tie-break
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, rightPayload: Seq[String],
+               rightOrd: String): DataFrame = {
+    val lTagged = left
+      .withColumn("_side", lit(1))
+      .withColumn("_pay", lit(null).cast(
+        right.select(struct((rightPayload :+ rightOrd).map(col): _*)).schema.head.dataType))
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(col(tsCol), lit(0).as("_side"),
+        struct((rightPayload :+ rightOrd).map(col): _*).as("_pay")): _*)
+    val unioned = lTagged.select(
+      (keys.map(col) ++ Seq(col(tsCol), col("_side"), col("_pay")) ++
+        left.columns.filterNot(c => keys.contains(c) || c == tsCol).map(c => col(c))): _*)
+      .unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("_side").asc, col(s"_pay.$rightOrd").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_match", last(col("_pay"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_side", "_pay")
+  }
+
   /** Skew-safe aggregation: two-phase groupBy with a random-ish salt on the
     * first phase. For a decomposable aggregate (sum/count/min/max), phase 1
     * shuffles on (key, salt) — a hot key spreads over `saltBuckets`

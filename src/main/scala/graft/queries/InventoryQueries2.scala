@@ -279,9 +279,37 @@ object InventoryQueries2 {
       |       ELSE 'noop' END) = 'noop'
       |ORDER BY n_nationkey""".stripMargin
 
+  // ---- W7: as-of join (latest view at-or-before each purchase) -------------
+  def w7AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
+        col("value").as("view_value"))
+    graft.operators.Relational
+      .asofJoin(purchases, views, Seq("user_id"), "ts",
+        rightPayload = Seq("view_value"), rightOrd = "view_id")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("_match.view_id").as("view_id"),
+        col("_match.view_value").as("view_value"))
+      .orderBy(col("event_id"))
+  }
+  val w7Sql: String =
+    s"""WITH p AS (SELECT user_id, ts, event_id FROM $EventsSql WHERE event_type = 'purchase'),
+       |v AS (SELECT user_id, ts, event_id AS view_id, value AS view_value
+       |      FROM $EventsSql WHERE event_type = 'view')
+       |SELECT p.event_id, p.user_id, p.ts, m.view_id, m.view_value
+       |FROM p LEFT JOIN LATERAL (
+       |  SELECT view_id, view_value FROM v
+       |  WHERE v.user_id = p.user_id AND v.ts <= p.ts
+       |  ORDER BY v.ts DESC, view_id DESC LIMIT 1) m ON true
+       |ORDER BY p.event_id""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
+    "w7_asof_join" -> (w7AsofJoin _),
     "a2_max_watermark" -> (a2MaxWatermark _),
     "a13_invariants" -> (a13Invariants _),
     "f10_currency_map" -> (f10CurrencyMap _),
@@ -299,6 +327,7 @@ object InventoryQueries2 {
     "t14_noop_suppression" -> (t14NoopSuppression _))
 
   val oracle: Map[String, String] = Map(
+    "w7_asof_join" -> w7Sql,
     "a2_max_watermark" -> a2Sql,
     "a13_invariants" -> a13Sql,
     "f10_currency_map" -> f10Sql,
