@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.HashOps
+
+/** Property tests pinning the fused HashOps kernels to slow, obviously-
+  * correct reference implementations over seeded random ASCII corpora —
+  * the same math the DuckDB oracle replays, so a regression here breaks
+  * oracle parity before the integration gate sees it. */
+class HashOpsPropertySpec extends AnyFunSuite {
+
+  private val P = HashOps.P
+  private val rnd = new scala.util.Random(1234)
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "k9", "x", "longword", "data", "spark", "the")
+
+  private def randText(): String =
+    (0 until (2 + rnd.nextInt(40))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+  private def refPolyHash(s: String): Long =
+    s.codePoints().toArray.foldLeft(0L)((acc, cp) => (acc * 31 + cp) % P)
+
+  private def refShingles(text: String, n: Int): Seq[Long] = {
+    val th = text.trim.split(" ", -1).map(refPolyHash)
+    if (th.length < n) Seq.empty
+    else th.sliding(n).map(_.reduce((a, b) => (a * 131 + b) % P)).toSeq.distinct
+  }
+
+  test("polyHash: kernel == fold reference on 500 random strings") {
+    (0 until 500).foreach { _ =>
+      val t = randText()
+      assert(HashOps.polyHash(UTF8String.fromString(t)) == refPolyHash(t), t)
+    }
+  }
+
+  test("shingleHashes: kernel == sliding-window reference incl. short texts") {
+    (0 until 300).foreach { _ =>
+      val t = randText()
+      val got = HashOps.shingleHashes(UTF8String.fromString(t), 3).toLongArray.toSeq
+      assert(got == refShingles(t, 3), t)
+    }
+    assert(HashOps.shingleHashes(UTF8String.fromString("a b"), 3).numElements() == 0)
+    assert(HashOps.shingleHashes(UTF8String.fromString(""), 3).numElements() == 0)
+  }
+
+  test("minhashSig: each slot is the true min of the affine family") {
+    (0 until 100).foreach { _ =>
+      val t = randText()
+      val sh = HashOps.shingleHashes(UTF8String.fromString(t), 3)
+      if (sh.numElements() > 0) {
+        val hs = sh.toLongArray
+        val sig = HashOps.minhashSig(sh, 16).toLongArray
+        (0 until 16).foreach { j =>
+          val expect = hs.map(h => ((2L * j + 1) * h + 7919L * j + 12345L) % P).min
+          assert(sig(j) == expect)
+        }
+      }
+    }
+  }
+
+  test("simhash: permutation-invariant over tokens, bit-bounded") {
+    (0 until 100).foreach { _ =>
+      val toks = (0 until (3 + rnd.nextInt(10))).map(_ => vocab(rnd.nextInt(vocab.size)))
+      val a = HashOps.simhash(UTF8String.fromString(toks.mkString(" ")), 30)
+      val b = HashOps.simhash(UTF8String.fromString(rnd.shuffle(toks).mkString(" ")), 30)
+      assert(a == b)                      // distinct-token set is order-free
+      assert(a >= 0 && a < (1L << 30))
+    }
+  }
+
+  test("bandKeys: fold matches slice-by-slice reference") {
+    val sig = Array.fill(16)(rnd.nextLong().abs % P)
+    val keys = HashOps.bandKeys(
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(sig), 4, 4)
+      .toLongArray
+    (0 until 4).foreach { b =>
+      val expect = sig.slice(b * 4, b * 4 + 4).foldLeft(0L)((acc, x) => (acc * 1000003L + x) % P)
+      assert(keys(b) == expect)
+    }
+  }
+}
