@@ -306,9 +306,63 @@ object InventoryQueries2 {
        |  ORDER BY v.ts DESC, view_id DESC LIMIT 1) m ON true
        |ORDER BY p.event_id""".stripMargin
 
+  // ---- W8: gap-based sessionization (30-min inactivity closes a session) ---
+  def w8Sessionize(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapped = ev
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, 1L).otherwise(0L))
+      .withColumn("session_no",
+        sum(col("new_session")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    gapped.groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .orderBy(col("user_id"), col("session_no"))
+  }
+  val w8Sql: String =
+    s"""WITH ord AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+       |  FROM $EventsSql
+       |), flagged AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 30*60*1000000
+       |                 THEN 1 ELSE 0 END AS new_session
+       |  FROM ord
+       |), sessions AS (
+       |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+       |  FROM flagged
+       |)
+       |SELECT user_id, session_no, min(ts) AS session_start, max(ts) AS session_end,
+       |  count(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+       |FROM sessions GROUP BY user_id, session_no
+       |ORDER BY user_id, session_no""".stripMargin
+
+  // ---- text vocab top-k (heavy hitters over the corpus) --------------------
+  def textVocabTopk(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(50)
+  val textVocabTopkSql: String =
+    """SELECT token, count(*) AS n
+      |FROM (SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
+    "w8_sessionize" -> (w8Sessionize _),
+    "text_vocab_topk" -> (textVocabTopk _),
     "w7_asof_join" -> (w7AsofJoin _),
     "a2_max_watermark" -> (a2MaxWatermark _),
     "a13_invariants" -> (a13Invariants _),
@@ -327,6 +381,8 @@ object InventoryQueries2 {
     "t14_noop_suppression" -> (t14NoopSuppression _))
 
   val oracle: Map[String, String] = Map(
+    "w8_sessionize" -> w8Sql,
+    "text_vocab_topk" -> textVocabTopkSql,
     "w7_asof_join" -> w7Sql,
     "a2_max_watermark" -> a2Sql,
     "a13_invariants" -> a13Sql,
