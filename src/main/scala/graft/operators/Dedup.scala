@@ -129,8 +129,13 @@ object Dedup {
     val meta = df.select(col(idCol).as("id"),
       floor(col(lenCol) / width).cast("long").as("b0"))
     val ex = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
+    // size-ratio prune: jaccard ≤ min(n_a,n_b)/max(n_a,n_b), so any pair
+    // with n ratio below the threshold can never pass — reject it inside
+    // the codegen'd join instead of after the aggregation.
     val inter = ex.as("a").join(ex.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          col("a.n") * threshold <= col("b.n") &&
+          col("b.n") * threshold <= col("a.n"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"), first(col("a.n")).as("n_a"), first(col("b.n")).as("n_b"))
     val interD = col("inter").cast("double")

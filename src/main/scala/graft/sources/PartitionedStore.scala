@@ -31,7 +31,8 @@ object PartitionedStore {
       .repartition(col(DateCol))
       .sortWithinPartitions(col(keyCol), col(tsCol))
       .write.mode(SaveMode.Append)
-      .partitionBy(DateCol)
+      .option("compression", "zstd") // columnar-compression analog of the
+      .partitionBy(DateCol)          // reference's Timescale policies
       .parquet(path)
 
   /** Read back with partition pruning available on DateCol. */
