@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relational
+import graft.sources.{PartitionedStore, Wire}
+
+/** End-to-end: the full reference pipeline shape in one pass — wire JSON
+  * payloads → bronze → silver (sanitized) → date-partitioned store →
+  * the read-API queries (latest-1, range scan, invariants) — plus the T5
+  * stream-static live-reconfig join. A reference user's complete
+  * ingest-store-query loop on this engine. */
+class IntegrationSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("ingest → silver → partitioned store → API readers") {
+    val s = spark
+    import s.implicits._
+    // two polls of the same item on different days + one other item
+    val polls = Seq(
+      (1, """{"success":true,"lowest_price":"0,03€","median_price":"0,01€","volume":"435"}""",
+        "itemA", "2024-01-01 10:00:00"),
+      (2, """{"success":true,"lowest_price":"0,05€","median_price":"0,04€","volume":"500"}""",
+        "itemA", "2024-01-02 11:00:00"),
+      (3, """{"success":true,"lowest_price":"$5.00","median_price":"$4.75","volume":"1,234"}""",
+        "itemB", "2024-01-02 12:00:00"))
+      .toDF("id", "payload", "market_hash_name", "ts_str")
+    val silver = Wire.silverPriceOverview(Wire.bronze(polls, Wire.priceOverviewWire))
+      .join(polls.select(col("id"), col("market_hash_name"),
+        col("ts_str").cast("timestamp").as("timestamp")), "id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    PartitionedStore.append(silver, dir, "timestamp", "market_hash_name")
+    val stored = PartitionedStore.read(s, dir)
+    assert(stored.count() == 3)
+    // W1 latest-1 per item (the /overview read)
+    val latest = Relational.latestPerKey(stored, Seq("market_hash_name"),
+      Seq("timestamp" -> col("timestamp"), "lowest_price" -> col("lowest_price"),
+        "currency" -> col("currency")))
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getString(3))).toMap
+    assert(latest("itemA") == (0.05, "EUR"))
+    assert(latest("itemB") == (5.0, "USD"))
+    // O2 range scan with partition pruning (one day only)
+    val day2 = stored.filter(col(PartitionedStore.DateCol) === "2024-01-02")
+    assert(day2.count() == 2)
+    // A12/A13-style invariant: no non-positive parsed prices survived
+    assert(stored.filter(col("lowest_price") <= 0).count() == 0)
+    PartitionedStore.dropExpired(dir, 0, java.time.LocalDate.parse("2024-02-01"))
+    val partsLeft = Option(new java.io.File(dir).listFiles())
+      .map(_.count(_.getName.startsWith(s"${PartitionedStore.DateCol}=")))
+      .getOrElse(0)
+    assert(partsLeft == 0)
+  }
+
+  test("T5 stream-static join: control-table filter applies per micro-batch") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // control table: only itemA enabled
+    val control = Seq(("itemA", true), ("itemB", false)).toDF("name", "enabled")
+    case class Tick(name: String, price: Double)
+    val in = MemoryStream[(String, Double)]
+    val enriched = in.toDF().toDF("name", "price")
+      .join(control.filter(col("enabled")), Seq("name"), "left_semi")
+    val q = enriched.writeStream.format("memory").queryName("t5_out")
+      .outputMode("append").start()
+    in.addData(("itemA", 1.0), ("itemB", 2.0), ("itemA", 3.0))
+    q.processAllAvailable()
+    val out = s.table("t5_out").collect()
+    q.stop()
+    assert(out.length == 2 && out.forall(_.getString(0) == "itemA"))
+  }
+}
