@@ -85,15 +85,81 @@ object TextQueries {
        |    (acc, x) -> (acc*31 + x) % ${Dedup.HashMod}) AS fingerprint
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- composite curation pipeline: dedup + quality + langid → verdict -----
+  /** The realistic end-to-end curation job: per document, combine
+    * exact-dup status, quality stats, and predicted language into a
+    * keep/drop decision with a reason. One pass over documents plus the
+    * small profile/dup-rep aggregates — at 100 TB the joins are on doc_id
+    * (co-partitioned) and the profile table broadcasts. */
+  def curationPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dup = Dedup.exactDedup(docs, "doc_id", "text")
+      .select(col("doc_id"), col("is_dup"))
+    val stats = TextAnalysis.textStats(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("is_quality"))
+    val lang = TextAnalysis.langId(docs, "doc_id", "text",
+        TextAnalysis.langProfiles(docs, "lang", "text", 20))
+      .select(col("doc_id"), col("pred_lang"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(dup, "doc_id").join(stats, "doc_id").join(lang, "doc_id")
+      .withColumn("keep", !col("is_dup") && col("is_quality"))
+      .withColumn("reason",
+        when(col("is_dup"), lit("duplicate"))
+          .when(!col("is_quality"), lit("low_quality"))
+          .otherwise(lit("kept")))
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        col("n_tokens"), col("keep"), col("reason"))
+      .orderBy(col("doc_id"))
+  }
+  val curationPipelineSql: String =
+    s"""WITH dup AS (
+       |  SELECT doc_id, doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+       |  FROM documents
+       |), toks2 AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+       |stats AS (
+       |  SELECT doc_id, len(tk) AS n_tokens,
+       |    len(tk) >= 10 AND CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) >= 0.3 AS is_quality
+       |  FROM toks2
+       |), tok AS (
+       |  SELECT lang, unnest(string_split(trim(text), ' ')) AS token FROM documents
+       |), counts AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY lang, token),
+       |profiles AS (
+       |  SELECT lang, token FROM (
+       |    SELECT lang, token, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rn
+       |    FROM counts) t WHERE rn <= 20
+       |), doctok AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS token FROM documents
+       |), ovl AS (
+       |  SELECT d.doc_id, p.lang, count(*) AS overlap
+       |  FROM doctok d JOIN profiles p ON d.token = p.token GROUP BY d.doc_id, p.lang
+       |), best AS (
+       |  SELECT doc_id, lang AS pred_lang FROM (
+       |    SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, lang ASC) AS rn
+       |    FROM ovl) t WHERE rn = 1
+       |)
+       |SELECT doc.doc_id, doc.lang, best.pred_lang,
+       |  CAST(stats.n_tokens AS BIGINT) AS n_tokens,
+       |  NOT dup.is_dup AND stats.is_quality AS keep,
+       |  CASE WHEN dup.is_dup THEN 'duplicate'
+       |       WHEN NOT stats.is_quality THEN 'low_quality'
+       |       ELSE 'kept' END AS reason
+       |FROM documents doc
+       |JOIN dup ON dup.doc_id = doc.doc_id
+       |JOIN stats ON stats.doc_id = doc.doc_id
+       |JOIN best ON best.doc_id = doc.doc_id
+       |ORDER BY doc.doc_id""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
+    "curation_pipeline" -> (curationPipeline _),
     "text_stats" -> (textStats _),
     "text_langid" -> (textLangid _),
     "text_token_counts" -> (textTokenCounts _),
     "text_fingerprint" -> (textFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "curation_pipeline" -> curationPipelineSql,
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangidSql,
     "text_token_counts" -> textTokenCountsSql,
