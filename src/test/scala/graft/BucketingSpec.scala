@@ -11,21 +11,37 @@ import org.scalatest.funsuite.AnyFunSuite
   * distributed equivalent (co-located, co-sorted per key). */
 class BucketingSpec extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
-    SparkSession.builder()
-      .master("local[2]")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.warehouse.dir", wh)
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+  // NB: sbt's forked test JVM shares one SparkSession across specs —
+  // builder configs here would be ignored if another spec won the race,
+  // so the test sets what it needs per-query and scrubs stale table
+  // locations left by earlier JVMs (the in-memory catalog forgets them,
+  // the filesystem does not).
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def scrub(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dir = new java.io.File(wh, table)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
   }
 
   test("bucketed tables join and aggregate without a shuffle") {
     val s = spark
     import s.implicits._
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
+    try {
+    scrub(s, "facts_b"); scrub(s, "dims_b")
     val facts = (1 to 1000).map(i => (i % 50L, i.toLong, i * 1.5)).toDF("item_id", "seq", "price")
     val dims = (0 until 50).map(i => (i.toLong, s"item_$i")).toDF("item_id", "name")
     facts.write.mode("overwrite").bucketBy(8, "item_id").sortBy("item_id")
@@ -46,5 +62,9 @@ class BucketingSpec extends AnyFunSuite {
     // non-bucketed baseline DOES shuffle — the comparison that matters
     val plain = facts.join(dims, "item_id")
     assert(plain.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      scrub(s, "facts_b"); scrub(s, "dims_b")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
   }
 }
