@@ -59,6 +59,38 @@ class IntegrationSpec extends AnyFunSuite {
     assert(partsLeft == 0)
   }
 
+  test("streaming ingest: readStream dir → silver → foreachBatch → partitioned store") {
+    val s = spark
+    import s.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("graft_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    // the arriving raw-payload file (a poll batch landing in object storage)
+    Seq((1, """{"success":true,"lowest_price":"0,03€","median_price":"0,01€","volume":"435"}""",
+         "itemA", "2024-01-01 10:00:00"))
+      .toDF("id", "payload", "market_hash_name", "ts_str")
+      .write.mode("overwrite").parquet(inDir)
+    val raw = s.readStream
+      .schema("id INT, payload STRING, market_hash_name STRING, ts_str STRING")
+      .parquet(inDir)
+    val q = raw.writeStream
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val silver = Wire.silverPriceOverview(Wire.bronze(batch, Wire.priceOverviewWire))
+          .join(batch.select(col("id"), col("market_hash_name"),
+            col("ts_str").cast("timestamp").as("timestamp")), "id")
+        PartitionedStore.append(silver, outDir, "timestamp", "market_hash_name")
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val stored = PartitionedStore.read(s, outDir)
+    assert(stored.count() == 1)
+    val r = stored.collect()(0)
+    assert(r.getAs[Double]("lowest_price") == 0.03)
+    assert(r.getAs[String]("currency") == "EUR")
+  }
+
   test("T5 stream-static join: control-table filter applies per micro-batch") {
     val s = spark
     import s.implicits._
