@@ -35,6 +35,21 @@ object PartitionedStore {
       .partitionBy(DateCol)          // reference's Timescale policies
       .parquet(path)
 
+  /** Reprocess: replace ONLY the partitions present in `df` (dynamic
+    * partition overwrite), leaving all other days untouched — the
+    * idempotent backfill path (re-running a day's job converges instead
+    * of duplicating). */
+  def overwritePartitions(df: DataFrame, path: String, tsCol: String,
+                          keyCol: String): Unit =
+    df.withColumn(DateCol, to_date(col(tsCol)))
+      .repartition(col(DateCol))
+      .sortWithinPartitions(col(keyCol), col(tsCol))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "zstd")
+      .partitionBy(DateCol)
+      .parquet(path)
+
   /** Read back with partition pruning available on DateCol. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -79,4 +79,40 @@ class WireSpec extends AnyFunSuite {
     assert(PartitionedStore.read(s, dir).count() == 2)
   }
 
+
+  test("overwritePartitions: reprocessing a day replaces it without touching others") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dyn").toString
+    val day1 = Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0))
+      .toDF("name", "time", "price")
+    val day2 = Seq(("a", java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 2.0))
+      .toDF("name", "time", "price")
+    PartitionedStore.append(day1, dir, "time", "name")
+    PartitionedStore.append(day2, dir, "time", "name")
+    // reprocess day 2 with corrected data — day 1 must survive, day 2 replaced
+    val day2fix = Seq(("a", java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 2.5))
+      .toDF("name", "time", "price")
+    PartitionedStore.overwritePartitions(day2fix, dir, "time", "name")
+    val out = PartitionedStore.read(s, dir).orderBy("time").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Double]("price") == 1.0)
+    assert(out(1).getAs[Double]("price") == 2.5)
+  }
+
+  test("T1 deltaAppend: idempotent — replaying the same payload inserts nothing") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Relational
+    def pt(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val existing = Seq(("x", pt(1), 1.0), ("x", pt(2), 2.0), ("x", pt(3), 3.0))
+      .toDF("name", "time", "price")
+    val payload = (1 to 5).map(h => ("x", pt(h), h.toDouble)).toDF("name", "time", "price")
+    val delta = Relational.deltaAppend(existing, payload, Seq("name"), "time")
+    // exactly {h4, h5}: points <= stored max are DROPPED (late-data policy)
+    assert(delta.select("time").collect().map(_.getTimestamp(0)).toSet == Set(pt(4), pt(5)))
+    // replay after applying the delta -> empty (ON CONFLICT DO NOTHING)
+    val applied = existing.unionByName(delta)
+    assert(Relational.deltaAppend(applied, payload, Seq("name"), "time").count() == 0)
+  }
 }
