@@ -107,6 +107,45 @@ object HashOps {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Winnowing (MOSS-style): the distinct set of per-window minima over
+    * the ORDERED shingle-hash sequence (window size w). Guarantees any
+    * shared run of ≥ w+n-1 tokens yields a shared fingerprint, at ~1/w
+    * the density of the full shingle set. Ties keep the window minimum
+    * (value-based, engine-independent). */
+  def winnow(s: UTF8String, n: Int, w: Int): ArrayData = {
+    val th = tokenHashes(s)
+    if (th.length < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val m = th.length - n + 1
+    val sh = new Array[Long](m) // ordered (non-distinct) shingle sequence
+    var i = 0
+    while (i < m) {
+      var acc = th(i)
+      var j = 1
+      while (j < n) { acc = (acc * 131 + th(i + j)) % P; j += 1 }
+      sh(i) = acc
+      i += 1
+    }
+    if (m <= w) {
+      var mn = sh(0); i = 1
+      while (i < m) { if (sh(i) < mn) mn = sh(i); i += 1 }
+      return UnsafeArrayData.fromPrimitiveArray(Array(mn))
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i <= m - w) {
+      var mn = sh(i)
+      var j = 1
+      while (j < w) { if (sh(i + j) < mn) mn = sh(i + j); j += 1 }
+      seen.add(mn)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** SimHash over distinct tokens, packed little-endian. */
   def simhash(s: UTF8String, nBits: Int): Long = {
     val th = tokenHashes(s)
@@ -197,5 +236,18 @@ case class SimHashExpr(child: Expression, nBits: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.simhash($c, $nBits)")
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
+/** text → ARRAY<BIGINT> winnowed fingerprint set (n-gram, window w). */
+case class WinnowExpr(child: Expression, n: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.winnow(input.asInstanceOf[UTF8String], n, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.winnow($c, $n, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
     copy(child = newChild)
 }

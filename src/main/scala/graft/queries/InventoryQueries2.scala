@@ -358,9 +358,26 @@ object InventoryQueries2 {
       |FROM (SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents)
       |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin
 
+  // ---- A14: exact quantiles per group (interpolated percentiles) -----------
+  def a14Quantiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      .orderBy(col("event_type"))
+  val a14Sql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.9), 6) AS p90,
+      |  min(value) AS vmin, max(value) AS vmax
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
+    "a14_quantiles" -> (a14Quantiles _),
     "w8_sessionize" -> (w8Sessionize _),
     "text_vocab_topk" -> (textVocabTopk _),
     "w7_asof_join" -> (w7AsofJoin _),
@@ -381,6 +398,7 @@ object InventoryQueries2 {
     "t14_noop_suppression" -> (t14NoopSuppression _))
 
   val oracle: Map[String, String] = Map(
+    "a14_quantiles" -> a14Sql,
     "w8_sessionize" -> w8Sql,
     "text_vocab_topk" -> textVocabTopkSql,
     "w7_asof_join" -> w7Sql,

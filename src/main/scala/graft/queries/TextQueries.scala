@@ -85,6 +85,34 @@ object TextQueries {
        |    (acc, x) -> (acc*31 + x) % ${Dedup.HashMod}) AS fingerprint
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- winnowed fingerprints (MOSS): robust local fingerprint set ----------
+  def textWinnow(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graftExpr
+    val fp = graftExpr.column(graft.functions.WinnowExpr(
+      graftExpr.expression(col("text")), 3, 4))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(fp).as("fp"))
+      .orderBy(col("doc_id"), col("fp"))
+  }
+  val textWinnowSql: String = {
+    val P = graft.operators.Dedup.HashMod
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_transform(string_split(trim(text), ' '),
+       |    s -> list_reduce(list_transform(string_split(s,''), c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc*31 + x) % $P)) AS th
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, list_transform(range(0, len(th)-3+1),
+       |    i -> ((th[i+1]*131 + th[i+2]) % $P * 131 + th[i+3]) % $P) AS seq
+       |  FROM toks WHERE len(th) >= 3
+       |), wn AS (
+       |  SELECT doc_id, CASE WHEN len(seq) <= 4 THEN [list_min(seq)]
+       |    ELSE list_distinct(list_transform(range(0, len(seq)-4+1),
+       |      i -> list_min(seq[i+1:i+4]))) END AS fps
+       |  FROM sh
+       |)
+       |SELECT doc_id, unnest(fps) AS fp FROM wn ORDER BY doc_id, fp""".stripMargin
+  }
+
   // ---- composite curation pipeline: dedup + quality + langid → verdict -----
   /** The realistic end-to-end curation job: per document, combine
     * exact-dup status, quality stats, and predicted language into a
@@ -152,6 +180,7 @@ object TextQueries {
   // -------------------------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
+    "text_winnow" -> (textWinnow _),
     "curation_pipeline" -> (curationPipeline _),
     "text_stats" -> (textStats _),
     "text_langid" -> (textLangid _),
@@ -159,6 +188,7 @@ object TextQueries {
     "text_fingerprint" -> (textFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "text_winnow" -> textWinnowSql,
     "curation_pipeline" -> curationPipelineSql,
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangidSql,
