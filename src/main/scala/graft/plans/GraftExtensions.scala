@@ -42,6 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("graft_simhash", "(text, nBits) simhash fingerprint") {
       args => SimHashExpr(args.head, intArg(args(1), "nBits"))
     }
+    reg("graft_winnow", "(text, n, w) winnowed fingerprint set") {
+      args => WinnowExpr(args.head, intArg(args(1), "n"), intArg(args(2), "w"))
+    }
     reg("graft_cosine", "(vec, vec) cosine similarity") {
       args => CosineSimExpr(args.head, args(1))
     }

@@ -79,4 +79,28 @@ class HashOpsPropertySpec extends AnyFunSuite {
       assert(keys(b) == expect)
     }
   }
+
+  test("winnow: shared token run of >= w+n-1 guarantees a shared fingerprint") {
+    val w = 4; val n = 3
+    (0 until 100).foreach { _ =>
+      val shared = (0 until (w + n - 1)).map(_ => vocab(rnd.nextInt(vocab.size)))
+      val a = (randText().split(" ").toSeq ++ shared ++ randText().split(" ")).mkString(" ")
+      val b = (randText().split(" ").toSeq ++ shared ++ randText().split(" ")).mkString(" ")
+      val fa = HashOps.winnow(UTF8String.fromString(a), n, w).toLongArray.toSet
+      val fb = HashOps.winnow(UTF8String.fromString(b), n, w).toLongArray.toSet
+      assert(fa.intersect(fb).nonEmpty, s"no shared fingerprint:\n$a\n$b")
+    }
+  }
+
+  test("winnow: density ~1/w of the shingle sequence, subset of shingles") {
+    (0 until 100).foreach { _ =>
+      val t = randText()
+      val fps = HashOps.winnow(UTF8String.fromString(t), 3, 4).toLongArray.toSet
+      val sh = HashOps.shingleHashes(UTF8String.fromString(t), 3).toLongArray.toSet
+      if (sh.nonEmpty) {
+        assert(fps.subsetOf(sh))
+        assert(fps.nonEmpty)
+      }
+    }
+  }
 }
