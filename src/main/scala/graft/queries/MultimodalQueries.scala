@@ -66,14 +66,50 @@ object MultimodalQueries {
       |    CAST(len(list_filter(bs, b -> b % 16 = i)) AS BIGINT)) AS byte_hist
       |FROM bytes ORDER BY media_id""".stripMargin
 
+  // ---- modality-typed metadata (image / audio / video variants) ------------
+  /** Same payload, three modality schemas: media type derives
+    * deterministically from the source id; audio carries sample_rate +
+    * duration, video fps + n_frames, image width × height — the typed-
+    * metadata shape a mixed-modality lake needs (one binary column, one
+    * modality tag, modality-specific struct fields, nulls elsewhere). */
+  def mmModalityMeta(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val modality = element_at(
+      array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3).cast("int") + 1)
+    docs.select(
+        col("doc_id").as("media_id"), modality.as("modality"),
+        length(col("text")).cast("long").as("n_bytes"),
+        when(modality === "image", (lit(32) + col("n_chars") % 64).cast("int")).as("width"),
+        when(modality === "image", (lit(32) + col("doc_id") % 48).cast("int")).as("height"),
+        when(modality === "audio", lit(16000) + (col("doc_id") % 2).cast("int") * 28100).as("sample_rate"),
+        when(modality === "audio", (col("n_chars") * 10).cast("long")).as("duration_ms"),
+        when(modality === "video", lit(24) + (col("doc_id") % 2).cast("int") * 6).as("fps"),
+        when(modality === "video", (col("n_chars") % 300 + 1).cast("long")).as("n_frames"))
+      .orderBy(col("media_id"))
+  }
+  val mmModalityMetaSql: String =
+    """SELECT doc_id AS media_id,
+      |  (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
+      |  CAST(length(text) AS BIGINT) AS n_bytes,
+      |  CASE WHEN doc_id % 3 = 0 THEN CAST(32 + n_chars % 64 AS INTEGER) END AS width,
+      |  CASE WHEN doc_id % 3 = 0 THEN CAST(32 + doc_id % 48 AS INTEGER) END AS height,
+      |  CASE WHEN doc_id % 3 = 1 THEN 16000 + CAST(doc_id % 2 AS INTEGER) * 28100 END AS sample_rate,
+      |  CASE WHEN doc_id % 3 = 1 THEN CAST(n_chars * 10 AS BIGINT) END AS duration_ms,
+      |  CASE WHEN doc_id % 3 = 2 THEN 24 + CAST(doc_id % 2 AS INTEGER) * 6 END AS fps,
+      |  CASE WHEN doc_id % 3 = 2 THEN CAST(n_chars % 300 + 1 AS BIGINT) END AS n_frames
+      |FROM documents ORDER BY media_id""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
+    "mm_modality_meta" -> (mmModalityMeta _),
     "mm_ingest_stats" -> (mmIngestStats _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_decode_features" -> (mmDecodeFeatures _))
 
   val oracle: Map[String, String] = Map(
+    "mm_modality_meta" -> mmModalityMetaSql,
     "mm_ingest_stats" -> mmIngestStatsSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_decode_features" -> mmDecodeFeaturesSql)

@@ -115,4 +115,21 @@ class WireSpec extends AnyFunSuite {
     val applied = existing.unionByName(delta)
     assert(Relational.deltaAppend(applied, payload, Seq("name"), "time").count() == 0)
   }
+
+  test("corrupt payloads degrade to null fields, never crash the batch") {
+    val s = spark
+    import s.implicits._
+    val raw = Seq(
+      (1, """{"success":true,"lowest_price":"0,03€","median_price":"0,01€","volume":"435"}"""),
+      (2, """not json at all"""),
+      (3, """{"success":"maybe","lowest_price":42}"""),
+      (4, null.asInstanceOf[String])).toDF("id", "payload")
+    val out = Wire.silverPriceOverview(Wire.bronze(raw, Wire.priceOverviewWire))
+      .orderBy("id").collect()
+    assert(out.length == 4)
+    assert(out(0).getDouble(2) == 0.03)           // good row parses
+    assert(out(1).isNullAt(1) || !out(1).getBoolean(1)) // garbage -> nulls
+    assert(out(1).isNullAt(2) && out(3).isNullAt(2))
+    assert(out.forall(_.getString(5) != null))    // currency always defaults
+  }
 }
