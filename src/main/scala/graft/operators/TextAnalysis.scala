@@ -31,6 +31,8 @@ object TextAnalysis {
       size(array_distinct(toks)).cast("long").as("n_distinct"),
       (sumLen.cast("double") / nToks.cast("double")).as("avg_token_len"),
       (nStop.cast("double") / nToks.cast("double")).as("stopword_ratio"),
+      (regexp_count(col(textCol), lit("[^a-z0-9 ]")).cast("double") /
+        greatest(length(col(textCol)), lit(1)).cast("double")).as("punct_ratio"),
       (nToks >= 10 && size(array_distinct(toks)).cast("double") / nToks.cast("double") >= 0.3)
         .as("is_quality"))
   }

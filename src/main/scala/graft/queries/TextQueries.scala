@@ -19,12 +19,13 @@ object TextQueries {
     TextAnalysis.textStats(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
   val textStatsSql: String =
-    s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents)
+    s"""WITH toks AS (SELECT doc_id, text, string_split(trim(text), ' ') AS tk FROM documents)
        |SELECT doc_id,
        |  len(tk) AS n_tokens,
        |  len(list_distinct(tk)) AS n_distinct,
        |  CAST(list_sum(list_transform(tk, t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS avg_token_len,
        |  CAST(len(list_filter(tk, t -> list_contains($stopList, t))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS stopword_ratio,
+       |  CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
        |  len(tk) >= 10 AND CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) >= 0.3 AS is_quality
        |FROM toks ORDER BY doc_id""".stripMargin
 

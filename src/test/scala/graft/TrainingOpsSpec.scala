@@ -73,7 +73,8 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(r.getLong(2) == 4)                      // the data of engine
     assert(math.abs(r.getDouble(3) - 18.0 / 5) < 1e-12) // avg token len (22-4 spaces)/5
     assert(r.getDouble(4) == 4.0 / 5)              // the, data, of, the
-    assert(!r.getBoolean(5))                       // n_tokens < 10
+    assert(r.getDouble(5) == 0.0)                  // punct_ratio: no punctuation
+    assert(!r.getBoolean(6))                       // n_tokens < 10
   }
 
   test("langId: profile overlap classifies planted docs") {
