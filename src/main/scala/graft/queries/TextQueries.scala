@@ -114,6 +114,29 @@ object TextQueries {
        |SELECT doc_id, unnest(fps) AS fp FROM wn ORDER BY doc_id, fp""".stripMargin
   }
 
+  // ---- deterministic stratified sampling -----------------------------------
+  /** Reproducible sampling for training-data assembly: a row is kept iff
+    * its content hash lands under the stratum's rate threshold — no RNG,
+    * no seed plumbing, identical on any cluster size or engine, and
+    * stable under reruns/backfills (the property `rand()` sampling lacks).
+    * Rates: en 20%, others 50% (language rebalancing). */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val rate = when(col("lang") === "en", lit(20)).otherwise(lit(50))
+    Tables.documents(s, d)
+      .withColumn("h", Dedup.polyHash(col("text")) % 100)
+      .filter(col("h") < rate)
+      .select(col("doc_id"), col("lang"), col("h"))
+      .orderBy(col("doc_id"))
+  }
+  val sampleStratifiedSql: String =
+    s"""SELECT doc_id, lang, h FROM (
+       |  SELECT doc_id, lang,
+       |    list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+       |      (acc, x) -> (acc*31 + x) % ${Dedup.HashMod}) % 100 AS h
+       |  FROM documents) t
+       |WHERE h < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
+       |ORDER BY doc_id""".stripMargin
+
   // ---- composite curation pipeline: dedup + quality + langid → verdict -----
   /** The realistic end-to-end curation job: per document, combine
     * exact-dup status, quality stats, and predicted language into a
@@ -182,6 +205,7 @@ object TextQueries {
 
   val defs: Map[String, Q] = Map(
     "text_winnow" -> (textWinnow _),
+    "sample_stratified" -> (sampleStratified _),
     "curation_pipeline" -> (curationPipeline _),
     "text_stats" -> (textStats _),
     "text_langid" -> (textLangid _),
@@ -190,6 +214,7 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "text_winnow" -> textWinnowSql,
+    "sample_stratified" -> sampleStratifiedSql,
     "curation_pipeline" -> curationPipelineSql,
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangidSql,
