@@ -72,6 +72,42 @@ object Streams {
   case class PollerState(failures: Int, cooldownMultiplier: Int, lastTs: Long)
   case class PollerStatus(item: String, failures: Int, cooldownMultiplier: Int)
 
+  // ---- T10: urgency-driven poll-due decisions (flatMapGroupsWithState) ---
+
+  case class HeartbeatTick(item: String, ts: java.sql.Timestamp, intervalSec: Int)
+  case class LastPollState(lastPollMs: Long)
+  case class DueDecision(item: String, urgency: Double, due: Boolean)
+
+  /** Urgency policy (snoozerScheduler.py:129-190): urgency = elapsed /
+    * interval (∞ when never polled, encoded as urgency = -1 with
+    * due = true); a tick with urgency ≥ 1 emits due = true and counts as
+    * the poll (state advances). flatMapGroupsWithState: 0..n emissions
+    * per key per batch, state is one long per item — bounded. */
+  def urgencyDecisions(ticks: Dataset[HeartbeatTick]): Dataset[DueDecision] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.item)
+      .flatMapGroupsWithState[LastPollState, DueDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (item, evs, state: GroupState[LastPollState]) =>
+          val out = scala.collection.mutable.ArrayBuffer[DueDecision]()
+          var st = state.getOption
+          evs.toSeq.sortBy(_.ts.getTime).foreach { t =>
+            st match {
+              case None =>
+                out += DueDecision(item, -1.0, due = true) // never polled → run now
+                st = Some(LastPollState(t.ts.getTime))
+              case Some(prev) =>
+                val urgency = (t.ts.getTime - prev.lastPollMs) / 1000.0 / t.intervalSec
+                val due = urgency >= 1.0
+                out += DueDecision(item, urgency, due)
+                if (due) st = Some(LastPollState(t.ts.getTime))
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Exponential backoff bookkeeping (snoozerScheduler.py:192-222): per
     * item, consecutive failures double the cooldown multiplier (cap 8);
     * any success resets. Emits the post-batch state per key. */

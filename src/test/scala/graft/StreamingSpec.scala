@@ -110,4 +110,25 @@ class StreamingSpec extends AnyFunSuite {
     // y: failure then success → reset
     assert(out.contains(("y", 1, 1)) && out.contains(("y", 0, 1)))
   }
+
+  test("T10 urgencyDecisions: never-polled runs now; due only at urgency >= 1") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Streams.HeartbeatTick]
+    val q = Streams.urgencyDecisions(in.toDS())
+      .writeStream.format("memory").queryName("t10_out").outputMode("append").start()
+    in.addData(Streams.HeartbeatTick("x", ts("2024-01-01 00:00:00"), 60))
+    q.processAllAvailable()
+    in.addData(Streams.HeartbeatTick("x", ts("2024-01-01 00:00:30"), 60)) // 0.5 — not due
+    q.processAllAvailable()
+    in.addData(Streams.HeartbeatTick("x", ts("2024-01-01 00:01:30"), 60)) // 1.5 — due, state advances
+    q.processAllAvailable()
+    in.addData(Streams.HeartbeatTick("x", ts("2024-01-01 00:02:00"), 60)) // 0.5 after advance
+    q.processAllAvailable()
+    val out = s.table("t10_out").collect()
+      .map(r => (r.getDouble(1), r.getBoolean(2))).toList
+    q.stop()
+    assert(out == List((-1.0, true), (0.5, false), (1.5, true), (0.5, false)))
+  }
 }
