@@ -131,4 +131,28 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(out == List((-1.0, true), (0.5, false), (1.5, true), (0.5, false)))
   }
+
+  test("event-time session windows: 10-min gap splits sessions per key") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Point]
+    val sessions = in.toDF()
+      .withWatermark("time", "0 seconds")
+      .groupBy(col("name"), session_window(col("time"), "10 minutes"))
+      .agg(count(lit(1)).as("n"), sum("price").as("total"))
+    val q = sessions.writeStream.format("memory").queryName("sw_out")
+      .outputMode("append").start()
+    in.addData(
+      Point("a", ts("2024-01-01 00:00:00"), 1.0),
+      Point("a", ts("2024-01-01 00:05:00"), 2.0),  // same session (< 10 min gap)
+      Point("a", ts("2024-01-01 01:00:00"), 4.0))  // new session
+    q.processAllAvailable()
+    in.addData(Point("z", ts("2024-01-01 09:00:00"), 0.0)) // advance watermark
+    q.processAllAvailable()
+    val out = s.table("sw_out").filter(col("name") === "a")
+      .select("n", "total").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    q.stop()
+    assert(out == Set((2L, 3.0), (1L, 4.0)))
+  }
 }
