@@ -146,6 +146,42 @@ object HashOps {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Character n-gram hashes (polyHash of each length-n char window, in
+    * order; optionally distinct). The char-level analog of shingleHashes
+    * for language-ID profiles. */
+  def charNgramHashes(s: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val str = s.toString
+    if (str.length < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val m = str.length - n + 1
+    if (!distinct) {
+      val out = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        var acc = 0L
+        var j = 0
+        while (j < n) { acc = (acc * 31 + str.charAt(i + j)) % P; j += 1 }
+        out(i) = acc
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    } else {
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 0
+      while (i < m) {
+        var acc = 0L
+        var j = 0
+        while (j < n) { acc = (acc * 31 + str.charAt(i + j)) % P; j += 1 }
+        seen.add(acc)
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+  }
+
   /** SimHash over distinct tokens, packed little-endian. */
   def simhash(s: UTF8String, nBits: Int): Long = {
     val th = tokenHashes(s)
@@ -249,5 +285,18 @@ case class WinnowExpr(child: Expression, n: Int, w: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.winnow($c, $n, $w)")
   override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
+    copy(child = newChild)
+}
+
+/** text → ARRAY<BIGINT> char n-gram hashes (ordered; distinct optional). */
+case class CharNgramHashesExpr(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_char_ngrams"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.charNgramHashes(input.asInstanceOf[UTF8String], n, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.charNgramHashes($c, $n, $distinct)")
+  override protected def withNewChildInternal(newChild: Expression): CharNgramHashesExpr =
     copy(child = newChild)
 }

@@ -114,6 +114,54 @@ object TextQueries {
        |SELECT doc_id, unnest(fps) AS fp FROM wn ORDER BY doc_id, fp""".stripMargin
   }
 
+  // ---- char-trigram language-ID (the n-gram heuristic, char level) ---------
+  /** Same two-stage shape as textLangid but over character trigram hashes
+    * (the classic n-gram language-ID signal): per-lang profiles = top-30
+    * trigrams by frequency; classify by distinct-trigram overlap. Trigram
+    * hashing runs in a native kernel (CharNgramHashesExpr). */
+  def textLangidChargram(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graftExpr
+    def ngrams(distinct: Boolean) = graftExpr.column(
+      graft.functions.CharNgramHashesExpr(graftExpr.expression(col("text")), 3, distinct))
+    val docs = Tables.documents(s, d)
+    val counts = docs.select(col("lang"), explode(ngrams(distinct = false)).as("h"))
+      .groupBy("lang", "h").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("cnt").desc, col("h").asc)
+    val profiles = counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 30).select(col("lang"), col("h"))
+    val docTri = docs.select(col("doc_id"), explode(ngrams(distinct = true)).as("h"))
+    val ovl = docTri.join(broadcast(profiles), "h")
+      .groupBy(col("doc_id"), col("lang")).agg(count(lit(1)).as("overlap"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("overlap").desc, col("lang").asc)
+    ovl.withColumn("rn", row_number().over(w2)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"), col("overlap"))
+      .orderBy(col("doc_id"))
+  }
+  val textLangidChargramSql: String = {
+    val P = graft.operators.Dedup.HashMod
+    val tri = s"list_transform(range(1, greatest(length(text)-1, 1)), i -> list_reduce(list_transform(string_split(substr(text, i, 3), ''), c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc*31 + x) % $P))"
+    s"""WITH tric AS (
+       |  SELECT lang, unnest($tri) AS h FROM documents
+       |), counts AS (SELECT lang, h, count(*) AS cnt FROM tric GROUP BY lang, h),
+       |profiles AS (
+       |  SELECT lang, h FROM (
+       |    SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, h ASC) AS rn
+       |    FROM counts) t WHERE rn <= 30
+       |), doctri AS (
+       |  SELECT doc_id, unnest(list_distinct($tri)) AS h FROM documents
+       |), ovl AS (
+       |  SELECT d.doc_id, p.lang, count(*) AS overlap
+       |  FROM doctri d JOIN profiles p ON d.h = p.h GROUP BY d.doc_id, p.lang
+       |)
+       |SELECT doc_id, lang AS pred_lang, overlap FROM (
+       |  SELECT doc_id, lang, overlap,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, lang ASC) AS rn
+       |  FROM ovl) t WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- deterministic stratified sampling -----------------------------------
   /** Reproducible sampling for training-data assembly: a row is kept iff
     * its content hash lands under the stratum's rate threshold — no RNG,
@@ -206,6 +254,7 @@ object TextQueries {
   val defs: Map[String, Q] = Map(
     "text_winnow" -> (textWinnow _),
     "sample_stratified" -> (sampleStratified _),
+    "text_langid_chargram" -> (textLangidChargram _),
     "curation_pipeline" -> (curationPipeline _),
     "text_stats" -> (textStats _),
     "text_langid" -> (textLangid _),
@@ -215,6 +264,7 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "text_winnow" -> textWinnowSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "text_langid_chargram" -> textLangidChargramSql,
     "curation_pipeline" -> curationPipelineSql,
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangidSql,
