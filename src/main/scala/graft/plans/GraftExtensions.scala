@@ -45,6 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("graft_winnow", "(text, n, w) winnowed fingerprint set") {
       args => WinnowExpr(args.head, intArg(args(1), "n"), intArg(args(2), "w"))
     }
+    reg("graft_char_ngrams", "(text, n, distinct) char n-gram hashes") {
+      args => CharNgramHashesExpr(args.head, intArg(args(1), "n"),
+        args(2).eval().asInstanceOf[Boolean])
+    }
     reg("graft_cosine", "(vec, vec) cosine similarity") {
       args => CosineSimExpr(args.head, args(1))
     }
