@@ -374,9 +374,37 @@ object InventoryQueries2 {
       |  min(value) AS vmin, max(value) AS vmax
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- A15: ROLLUP hierarchy totals ----------------------------------------
+  def a15Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+  val a15Sql: String =
+    """SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY ROLLUP (lang, source)
+      |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin
+
+  // ---- A16: approximate distinct counts (HLL sketches; rows-only check) ----
+  /** approx_count_distinct (HyperLogLog++) — THE cardinality answer at
+    * 100 TB where exact countDistinct would shuffle every value. No SQL
+    * oracle: sketch estimates are engine-specific by nature, so the
+    * driver records a rows-only check (per contract). */
+  def a16ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .withColumn("rel_err",
+        abs(col("approx_users") - col("exact_users")).cast("double") / col("exact_users"))
+      .orderBy(col("event_type"))
+
   // -------------------------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
+    "a15_rollup" -> (a15Rollup _),
+    "a16_approx_distinct" -> (a16ApproxDistinct _),
     "a14_quantiles" -> (a14Quantiles _),
     "w8_sessionize" -> (w8Sessionize _),
     "text_vocab_topk" -> (textVocabTopk _),
@@ -398,6 +426,7 @@ object InventoryQueries2 {
     "t14_noop_suppression" -> (t14NoopSuppression _))
 
   val oracle: Map[String, String] = Map(
+    "a15_rollup" -> a15Sql,
     "a14_quantiles" -> a14Sql,
     "w8_sessionize" -> w8Sql,
     "text_vocab_topk" -> textVocabTopkSql,
