@@ -400,9 +400,52 @@ object InventoryQueries2 {
         abs(col("approx_users") - col("exact_users")).cast("double") / col("exact_users"))
       .orderBy(col("event_type"))
 
+  // ---- A17: pivot (wide per-user event-type counts) ------------------------
+  def a17Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+  val a17Sql: String =
+    """SELECT user_id,
+      |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+      |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+      |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+      |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+      |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---- J9: cross-modal join (documents ⋈ embeddings by id) -----------------
+  /** The multimodal-lake join: text row + its embedding row in one pass;
+    * adds the embedding norm and the doc's token count — the shape a
+    * text+vector feature store serves. Equi-join on the id: co-partitioned
+    * at scale, zero extra shuffle when both tables are bucketed by id. */
+  def j9CrossModal(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"), col("label"),
+        graft.operators.Similarity.cosine(col("embedding"), col("embedding")).as("self_cos"))
+    docs.join(emb, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("label"), col("self_cos"))
+      .orderBy(col("doc_id"))
+  }
+  val j9Sql: String =
+    """SELECT d.doc_id, d.lang,
+      |  CAST(len(string_split(trim(d.text), ' ')) AS BIGINT) AS n_tokens,
+      |  e.label,
+      |  list_reduce(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x,y) -> x+y) / NULLIF(sqrt(list_reduce(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x,y) -> x+y)) * sqrt(list_reduce(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x,y) -> x+y)), 0) AS self_cos
+      |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
+    "a17_pivot" -> (a17Pivot _),
+    "j9_cross_modal" -> (j9CrossModal _),
     "a15_rollup" -> (a15Rollup _),
     "a16_approx_distinct" -> (a16ApproxDistinct _),
     "a14_quantiles" -> (a14Quantiles _),
@@ -426,6 +469,8 @@ object InventoryQueries2 {
     "t14_noop_suppression" -> (t14NoopSuppression _))
 
   val oracle: Map[String, String] = Map(
+    "a17_pivot" -> a17Sql,
+    "j9_cross_modal" -> j9Sql,
     "a15_rollup" -> a15Sql,
     "a14_quantiles" -> a14Sql,
     "w8_sessionize" -> w8Sql,
