@@ -39,6 +39,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(7) - 1.0) < 1e-12)
   }
 
+  test("winnow and char-ngram SQL functions") {
+    val r = spark.sql(
+      """SELECT size(graft_winnow('a b c d e f g h', 3, 4)) AS nw,
+        |       size(graft_char_ngrams('abcdef', 3, false)) AS nc,
+        |       size(graft_char_ngrams('aaaa', 3, true)) AS nd
+        |""".stripMargin).collect()(0)
+    assert(r.getInt(0) >= 1)
+    assert(r.getInt(1) == 4) // 6 chars -> 4 trigrams
+    assert(r.getInt(2) == 1) // 'aaa','aaa' distinct -> 1
+  }
+
   test("activity html parse returns a struct in SQL") {
     val r = spark.sql(
       """SELECT graft_parse_activity_html(
