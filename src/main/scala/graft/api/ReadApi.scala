@@ -32,11 +32,18 @@ object ReadApi {
     latest1(ordersHistogram.filter(col("market_hash_name") === name))
 
   /** GET /activity/{name} — latest snapshot's last `ActivityTail` events
-    * (W1 + W3 tail slice). */
+    * (W1 + W3 tail slice). Python's `[-50:]` clamps when the list is
+    * shorter, but Spark's `slice(c, -50, 50)` returns EMPTY for arrays of
+    * fewer than 50 elements — so take the whole array in that (common)
+    * case and slice only genuinely long tails. */
   def activity(ordersActivity: DataFrame, name: String): DataFrame =
     latest1(ordersActivity.filter(col("market_hash_name") === name))
-      .withColumn("parsed_activities",
-        slice(col("parsed_activities"), -ActivityTail, ActivityTail))
+      .withColumn("parsed_activities", tailClamped(col("parsed_activities"), ActivityTail))
+
+  /** Python-list `[-k:]` semantics for an array column: last k elements,
+    * the whole array when it has fewer than k. */
+  def tailClamped(c: Column, k: Int): Column =
+    when(size(c) <= k, c).otherwise(slice(c, -k, k))
 
   /** GET /history/{name}?range=… — range-bounded ascending series (O2);
     * `range` ∈ week|month|year|all, whitelisted exactly like

@@ -70,11 +70,17 @@ object Relational {
   }
 
   /** T1 — watermarked delta append (reference src/SQLinserts.py:515-587).
-    * Late points (≤ stored per-key max) are DROPPED, not merged; duplicates
-    * within the incoming batch collapse to one row (ON CONFLICT DO NOTHING).
+    * Late points (≤ stored per-key max) are DROPPED, not merged.
     *
     * existing: the stored table; incoming: the fetched batch.
     * Returns the rows that WOULD be inserted (the delta).
+    *
+    * Within-batch (key, ts) duplicates are the CALLER's responsibility —
+    * `dropDuplicates` here would keep an arbitrary row, silently
+    * pre-empting any deterministic rule the caller applies afterwards
+    * (e.g. min-event-id via `latestPerKey`, as t1_delta_append does).
+    * ON CONFLICT DO NOTHING's pick is insert-order-dependent in the
+    * reference too; we make the caller pin it.
     *
     * Scale shape: one aggregation over existing restricted to incoming's
     * keys (semi-join pushes the key filter down), then a broadcast-or-shuffle
@@ -89,7 +95,6 @@ object Relational {
       .join(wm, keys, "left")
       .filter(col("_wm").isNull || col(tsCol) > col("_wm"))
       .drop("_wm")
-      .dropDuplicates(keys :+ tsCol)
   }
 
   /** T2 — staleness gate (reference collect_price_history.py:33-155): keep

@@ -265,16 +265,28 @@ object InventoryQueries {
 
   // ---- W3: tail-k slice of a per-key ordered series ----------------------
   /** Last-3 event values per user as a joined string (the reference's
-    * `[-50:]` activity tail). collect_list stays bounded per key. */
-  def w3TailSlice(s: SparkSession, d: String): DataFrame =
+    * `[-50:]` activity tail).
+    *
+    * Scale shape: descending `row_number() <= k` FIRST (spill-safe window
+    * sort, never buffers a whole group), THEN collect — so the per-key
+    * collect_list holds at most k=3 rows even for a hot key with 10^9
+    * events. A whole-group `collect_list → slice` would OOM the reducer on
+    * skew; and unlike `slice(arr, -3, 3)` (empty for short arrays) this
+    * form clamps like Python's `[-3:]` for users with fewer than 3 events. */
+  def w3TailSlice(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
     Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").cast("decimal(12,2)").as("v"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
       .groupBy(col("user_id"))
-      .agg(slice(sort_array(collect_list(struct(col("ts"), col("event_id"),
-        col("value").cast("decimal(12,2)").as("v")))), -3, 3).as("tail"))
-      .select(col("user_id"),
-        array_join(transform(col("tail"), x => x.getField("v").cast("string")), ",")
-          .as("tail_values"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("ts"), col("event_id"), col("v")))),
+        x => x.getField("v").cast("string")), ",").as("tail_values"))
       .orderBy(col("user_id"))
+  }
   val w3Sql =
     s"""SELECT user_id,
        |       array_to_string(list(CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) ORDER BY ts, event_id)[-3:], ',') AS tail_values

@@ -46,11 +46,16 @@ object MultimodalQueries {
       |FROM documents ORDER BY media_id""".stripMargin
 
   // ---- decode (stubbed codec): byte-statistics features --------------------
+  /** The histogram is emitted as a CSV string, not ARRAY<BIGINT>: the
+    * driver's pandas-based compare cannot hash numpy arrays, so an array
+    * output column would crash the oracle harness before any comparison
+    * (round-1 red row). Same information, hashable encoding. */
   def mmDecodeFeatures(s: SparkSession, d: String): DataFrame = {
     val media = Multimodal.asMedia(Multimodal.ingestFromText(Tables.documents(s, d)))
     Multimodal.decodeFeatures(media).toDF()
       .select(col("media_id"), col("format"), col("n_bytes"),
-        col("mean_byte"), col("byte_hist"))
+        col("mean_byte"),
+        array_join(col("byte_hist").cast("array<string>"), ",").as("byte_hist_csv"))
       .orderBy(col("media_id"))
   }
   val mmDecodeFeaturesSql: String =
@@ -62,8 +67,8 @@ object MultimodalQueries {
       |)
       |SELECT media_id, format, n_bytes,
       |  CAST(list_sum(bs) AS DOUBLE) / n_bytes AS mean_byte,
-      |  list_transform(range(0, 16), i ->
-      |    CAST(len(list_filter(bs, b -> b % 16 = i)) AS BIGINT)) AS byte_hist
+      |  array_to_string(list_transform(range(0, 16), i ->
+      |    CAST(len(list_filter(bs, b -> b % 16 = i)) AS BIGINT)), ',') AS byte_hist_csv
       |FROM bytes ORDER BY media_id""".stripMargin
 
   // ---- modality-typed metadata (image / audio / video variants) ------------

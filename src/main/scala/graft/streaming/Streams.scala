@@ -121,7 +121,9 @@ object Streams {
             st = if (e.ok) PollerState(0, 1, e.ts.getTime)
             else {
               val f = st.failures + 1
-              PollerState(f, math.min(1 << (f - 1), 8), e.ts.getTime)
+              // clamp the shift: Int << wraps at 32, which would send the
+              // multiplier negative after 32 straight failures
+              PollerState(f, if (f >= 4) 8 else 1 << (f - 1), e.ts.getTime)
             }
           }
           state.update(st)

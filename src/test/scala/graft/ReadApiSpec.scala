@@ -47,6 +47,27 @@ class ReadApiSpec extends AnyFunSuite {
     }
   }
 
+  test("activity: tail clamps like Python [-50:] when fewer than 50 events") {
+    val s = spark
+    import s.implicits._
+    // latest snapshot holds 3 events — far under ActivityTail; the endpoint
+    // must return all 3 (Spark's raw slice(c,-50,50) would return EMPTY)
+    val snap = Seq(
+      ("itemA", ts("2024-01-01 10:00:00"), Seq("e1", "e2", "e3")),
+      ("itemA", ts("2024-01-01 09:00:00"), Seq("old")))
+      .toDF("market_hash_name", "timestamp", "parsed_activities")
+    val out = ReadApi.activity(snap, "itemA").collect()
+    assert(out.length == 1)
+    assert(out(0).getSeq[String](out(0).fieldIndex("parsed_activities")).toList ==
+      List("e1", "e2", "e3"))
+    // and a genuinely long tail still slices to the last k
+    val long = Seq(("itemB", ts("2024-01-01 10:00:00"), (1 to 60).map(i => s"e$i")))
+      .toDF("market_hash_name", "timestamp", "parsed_activities")
+    val r = ReadApi.activity(long, "itemB").collect()(0)
+    val tail = r.getSeq[String](r.fieldIndex("parsed_activities")).toList
+    assert(tail.length == ReadApi.ActivityTail && tail.head == "e11" && tail.last == "e60")
+  }
+
   test("itemExists: the 200-empty vs 404 seam") {
     val s = spark
     import s.implicits._

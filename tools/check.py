@@ -51,12 +51,13 @@ def compare(exp, got):
     got_n = normalize(got)
     if exp_n.equals(got_n):
         return True, ""
-    # unordered match?
+    # The driver compares in order; an unordered-only match is a FAIL here
+    # too (it means an ORDER BY regression), but label it for triage.
     cols = list(exp_n.columns)
     e2 = exp_n.sort_values(cols, kind="mergesort").reset_index(drop=True)
     g2 = got_n.sort_values(cols, kind="mergesort").reset_index(drop=True)
     if e2.equals(g2):
-        return True, "[unordered only]"
+        return False, "rows match only after re-sorting (ORDER BY mismatch)"
     for c in cols:
         if not exp_n[c].equals(got_n[c]):
             for i in range(len(exp_n)):
