@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Vector kernels over ARRAY<FLOAT> embedding columns.
@@ -49,6 +49,39 @@ object VecOps {
     }
     bucket
   }
+
+  /** Banded sign-LSH: `nBands` independent keys, band t built from planes
+    * g = t*planesPerBand .. t*planesPerBand+planesPerBand-1 of the SAME
+    * global LCG plane family as [[signLshBucket]] (band 0 with p planes ==
+    * signLshBucket(v, p)). Two vectors are near-dup CANDIDATES iff they
+    * share ≥1 band key — the banding trick MinHash-LSH uses, applied to
+    * sign-LSH: per-band collision prob is (1-θ/π)^p, overall
+    * 1-(1-(1-θ/π)^p)^b, so p controls bucket size (2^p buckets/band must
+    * grow ~log₂ n) and b buys recall back independently. */
+  def signLshBandKeys(v: ArrayData, nBands: Int, planesPerBand: Int): ArrayData = {
+    val n = v.numElements()
+    val keys = new Array[Long](nBands)
+    var t = 0
+    while (t < nBands) {
+      var key = 0L
+      var j = 0
+      while (j < planesPerBand) {
+        val g = t.toLong * planesPerBand + j
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          val w = ((1103515245L * (g * 100003L + i + 1) + 12345L) % 1000003L - 500001L).toDouble
+          dot += w * v.getFloat(i).toDouble
+          i += 1
+        }
+        if (dot > 0) key |= 1L << j
+        j += 1
+      }
+      keys(t) = key
+      t += 1
+    }
+    new GenericArrayData(keys)
+  }
 }
 
 /** (ARRAY<FLOAT>, ARRAY<FLOAT>) → DOUBLE cosine similarity (NULL for a
@@ -68,6 +101,21 @@ case class CosineSimExpr(left: Expression, right: Expression)
     })
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** ARRAY<FLOAT> → ARRAY<BIGINT>: one sign-LSH key per band (see
+  * [[VecOps.signLshBandKeys]]). */
+case class SignLshBandKeysExpr(child: Expression, nBands: Int, planesPerBand: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_band_keys"
+  override protected def nullSafeEval(input: Any): Any =
+    VecOps.signLshBandKeys(input.asInstanceOf[ArrayData], nBands, planesPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VecOps.signLshBandKeys($c, $nBands, $planesPerBand)")
+  override protected def withNewChildInternal(newChild: Expression): SignLshBandKeysExpr =
+    copy(child = newChild)
 }
 
 /** ARRAY<FLOAT> → BIGINT sign-LSH bucket id over nPlanes hyperplanes. */

@@ -3,19 +3,25 @@ package graft.operators
 import org.apache.spark.sql.{graftExpr, Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{CosineSimExpr, SignLshBucketExpr}
+import graft.functions.{CosineSimExpr, SignLshBandKeysExpr, SignLshBucketExpr}
 
-/** Approximate-nearest-neighbor search over an embedding column.
+/** Approximate-nearest-neighbor search and embedding near-dup detection
+  * over an embedding column.
   *
   * Scale shapes:
   *  - brute-force: the query set is small by construction → broadcast it;
   *    the corpus streams through one codegen'd projection (cosine kernel)
   *    and a per-query top-k. No corpus shuffle beyond the final top-k agg,
   *    which is bounded by |queries| × k.
-  *  - LSH: bucket assignment is a pure projection; candidate generation is
-  *    an equi-join on the bucket id (broadcast again for a small query
-  *    set). At 100 TB this is the same plan with the corpus side bucketed /
-  *    bucket-pruned; recall is tuned by nPlanes and multi-probe.
+  *  - LSH: BANDED sign-LSH (b independent plane-sets of p planes each,
+  *    exactly the banding MinHash-LSH uses). Candidate generation is an
+  *    equi-join on (band, key): p fixes the bucket count per band at 2^p —
+  *    grow p ~log₂ n so expected bucket size n/2^p stays bounded — and b
+  *    buys recall back (overall hit prob 1-(1-(1-θ/π)^p)^b). A single
+  *    fat-bucket family (small 2^p, b=1) is a quadratic pocket at scale;
+  *    banding is what removes it. Near-dup self-join additionally caps
+  *    candidates per (band, key) bucket, bounding worst-case pair count at
+  *    b · 2^p · C(cap, 2) regardless of adversarial key skew.
   */
 object Similarity {
 
@@ -24,6 +30,11 @@ object Similarity {
 
   def lshBucket(v: Column, nPlanes: Int = 4): Column =
     graftExpr.column(SignLshBucketExpr(graftExpr.expression(v), nPlanes))
+
+  /** ARRAY<BIGINT> of per-band sign-LSH keys (band t = planes
+    * t·p .. t·p+p-1 of the shared LCG plane family). */
+  def lshBandKeys(v: Column, nBands: Int, planesPerBand: Int): Column =
+    graftExpr.column(SignLshBandKeysExpr(graftExpr.expression(v), nBands, planesPerBand))
 
   /** Exact top-k cosine neighbors for each query vector (self excluded).
     * Output: (query_id, vec_id, cos, rank), rank 1..k by (cos desc, id). */
@@ -41,16 +52,71 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** LSH-bucketed top-k: candidates share the query's sign-LSH bucket;
-    * exact cosine re-rank within the bucket. Same output shape as
-    * bruteForceTopK; recall < 1 by design. */
+  /** Banded-LSH top-k: candidates share ≥1 (band, key) with the query;
+    * exact cosine re-rank over the deduplicated candidate set. Same output
+    * shape as bruteForceTopK; recall < 1 by design, tuned by (b, p).
+    *
+    * The corpus explodes to b rows per vector but the join stays broadcast
+    * (query side is small), duplicate band-hits collapse in the
+    * (query_id, id) aggregation — cos is identical across bands, so
+    * first() is value-deterministic — and only (id, cos) pairs reach the
+    * shuffle, never the vectors. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nPlanes: Int = 4): DataFrame = {
+              vecCol: String, k: Int, nBands: Int = 8,
+              planesPerBand: Int = 6): DataFrame = {
     val c = corpus.select(col(idCol), col(vecCol),
-      lshBucket(col(vecCol), nPlanes).as("bucket"))
+      posexplode(lshBandKeys(col(vecCol), nBands, planesPerBand)).as(Seq("band", "key")))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      lshBucket(col(vecCol), nPlanes).as("bucket")))
-    val scored = c.join(q, "bucket")
+      posexplode(lshBandKeys(col(vecCol), nBands, planesPerBand)).as(Seq("band", "key"))))
+    val scored = c.join(q, Seq("band", "key"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        cosine(col("q_vec"), col(vecCol)).as("cos"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(first(col("cos")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-flat ANN: coarse-quantize the corpus into `nCentroids` cells
+    * (centroids = the `nCentroids` lowest-id corpus vectors — seeded,
+    * replayable; a k-means refinement would slot in here without changing
+    * the query shape), then each query probes its `nProbe` nearest cells
+    * and re-ranks exactly within them.
+    *
+    * Scale tuning, explicit because it changes with n: cell count must
+    * grow ~√n (classic IVF balance: probe cost ≈ nProbe·n/cells +
+    * cells), and nProbe > 1 is what buys recall once cells are small.
+    * Fixed constants here would leave each probe scanning n/cells vectors
+    * — a linear scan in disguise at 100× the data. At cluster scale the
+    * corpus is written bucketed by cell id, so a probe reads nProbe
+    * buckets and nothing else.
+    *
+    * Output: (query_id, vec_id, cos, rank), rank 1..k by (cos desc, id). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCentroids: Int,
+              nProbe: Int): DataFrame = {
+    val cents = broadcast(corpus
+      .orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec")))
+    def scoredCells(df: DataFrame, v: String): DataFrame = df
+      .crossJoin(cents)
+      .select(df.columns.map(col) :+ col("cent_id") :+
+        cosine(col(v), col("cent_vec")).as("ccos"): _*)
+    val wAssign = Window.partitionBy(col(idCol))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val cells = scoredCells(corpus.select(col(idCol), col(vecCol)), vecCol)
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("cent_id").as("cell"))
+    val probes = scoredCells(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("q_vec")), "q_vec")
+      .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("ccos").desc, col("cent_id").asc)))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("q_vec"), col("cent_id").as("cell"))
+    val scored = cells.join(broadcast(probes), "cell")
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol),
         cosine(col("q_vec"), col(vecCol)).as("cos"))
@@ -58,5 +124,32 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Embedding near-dup pairs: banded sign-LSH blocking + capped buckets +
+    * exact cosine verify. Output: (id_a, id_b, cos) with cos ≥ tau.
+    *
+    * Candidate pairs are deduplicated BEFORE vectors are re-joined, so
+    * embeddings cross a shuffle once per verified pair side, not once per
+    * band hit; the per-bucket cap (deterministic: lowest `cap` ids win)
+    * bounds the self-join even when a degenerate key captures a large
+    * fraction of the corpus. */
+  def bandedNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                         tau: Double, nBands: Int = 8, planesPerBand: Int = 6,
+                         bucketCap: Int = 64): DataFrame = {
+    val keys = emb.select(col(idCol).as("id"),
+      posexplode(lshBandKeys(col(vecCol), nBands, planesPerBand)).as(Seq("band", "key")))
+    val capped = keys.withColumn("rn", row_number().over(
+        Window.partitionBy(col("band"), col("key")).orderBy(col("id"))))
+      .filter(col("rn") <= bucketCap).drop("rn")
+    val cand = capped.as("a").join(capped.as("b"), Seq("band", "key"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(emb.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
+      .join(emb.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= tau)
   }
 }

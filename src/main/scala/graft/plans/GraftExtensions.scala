@@ -55,6 +55,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("graft_lsh_bucket", "(vec, nPlanes) sign-LSH bucket id") {
       args => SignLshBucketExpr(args.head, intArg(args(1), "nPlanes"))
     }
+    reg("graft_lsh_band_keys", "(vec, nBands, planesPerBand) banded sign-LSH keys") {
+      args => SignLshBandKeysExpr(args.head, intArg(args(1), "nBands"),
+        intArg(args(2), "planesPerBand"))
+    }
     reg("graft_steam_price", "locale-aware Steam price parse") {
       args => SteamPriceExpr(args.head)
     }

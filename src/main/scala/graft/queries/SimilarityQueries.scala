@@ -18,7 +18,15 @@ object SimilarityQueries {
   /** queries = vec_id < 10 (10 query vectors), k = 5. */
   private val K = 5
   private val NQ = 10
-  private val NPlanes = 4
+
+  /** Banded sign-LSH parameters. p fixes buckets/band at 2^p — at 100 TB
+    * grow p ~log₂ n so expected bucket size n/2^p stays bounded (these
+    * are ARGUMENTS of the operators; the constants here just fit sf0.01's
+    * 500 vectors at ~8/bucket) — and b buys recall back independently:
+    * overall hit probability 1-(1-(1-θ/π)^p)^b. */
+  private val NBands = 8
+  private val PlanesPerBand = 6
+  private val BucketCap = 64
 
   /** DuckDB sequential dot product of two list columns as doubles. */
   private def dotSql(a: String, b: String): String =
@@ -27,11 +35,13 @@ object SimilarityQueries {
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / NULLIF(sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}), 0)"
 
-  /** Sign-LSH bucket id of an embedding column (LCG plane weights). */
-  private def bucketSql(v: String): String =
-    s"""list_reduce(list_transform(range(0, $NPlanes), j ->
+  /** Sign-LSH key of band `band` for embedding column `v` (LCG plane
+    * weights; global plane index g = band·p + j, mirroring
+    * VecOps.signLshBandKeys exactly). */
+  private def bandKeySql(v: String, band: String): String =
+    s"""list_reduce(list_transform(range(0, $PlanesPerBand), j ->
        |    CASE WHEN list_reduce(list_transform(range(1, len($v)+1),
-       |      i -> CAST((1103515245*(j*100003 + i) + 12345) % 1000003 - 500001 AS DOUBLE) * CAST($v[i] AS DOUBLE)),
+       |      i -> CAST((1103515245*(($band*$PlanesPerBand + j)*100003 + i) + 12345) % 1000003 - 500001 AS DOUBLE) * CAST($v[i] AS DOUBLE)),
        |      (x,y) -> x + y) > 0
        |    THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END), (x,y) -> x + y)""".stripMargin
 
@@ -54,58 +64,49 @@ object SimilarityQueries {
        |  FROM pairs) t
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
-  // ---- LSH-bucketed ANN top-k ----------------------------------------------
+  // ---- banded-LSH ANN top-k ------------------------------------------------
   def simLshTopk(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < NQ),
-        "vec_id", "embedding", K, NPlanes)
+        "vec_id", "embedding", K, NBands, PlanesPerBand)
       .orderBy(col("query_id"), col("rank"))
   }
   val simLshTopkSql: String =
-    s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id < $NQ),
-       |pairs AS (
-       |  SELECT q.query_id, e.vec_id, ${cosSql("qe", "e.embedding")} AS cos
-       |  FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+    s"""WITH bands AS (
+       |  SELECT e.vec_id, t.band, ${bandKeySql("e.embedding", "t.band")} AS key
+       |  FROM embeddings e, range(0, $NBands) t(band)
+       |), q AS (
+       |  SELECT vec_id AS query_id, band, key FROM bands WHERE vec_id < $NQ
+       |), cand AS (
+       |  SELECT DISTINCT q.query_id, e.vec_id
+       |  FROM bands e JOIN q ON e.band = q.band AND e.key = q.key AND e.vec_id <> q.query_id
+       |), scored AS (
+       |  SELECT c.query_id, c.vec_id, ${cosSql("qv.embedding", "ev.embedding")} AS cos
+       |  FROM cand c
+       |  JOIN embeddings qv ON qv.vec_id = c.query_id
+       |  JOIN embeddings ev ON ev.vec_id = c.vec_id
        |)
        |SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
        |  SELECT query_id, vec_id, cos,
        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-       |  FROM pairs) t
+       |  FROM scored) t
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
-  // ---- IVF-flat ANN: deterministic seed centroids, nprobe=1 ----------------
-  // Coarse quantizer: the first NCent vectors act as centroids (seeded,
-  // replayable); every vector is assigned to its max-cosine centroid
-  // (tie → lower centroid id). A query probes only its own cell and
-  // re-ranks exactly. At 100 TB the corpus is bucketed by cell id, so a
-  // probe reads one bucket; recall grows with nprobe.
+  // ---- IVF-flat ANN: parameterized cells + multi-probe ---------------------
+  /** Cell count and nprobe are OPERATOR ARGUMENTS (Similarity.ivfTopK) —
+    * cells must grow ~√n, nprobe buys recall; these constants fit sf0.01
+    * (500 vectors → 8 cells ≈ 62/cell, probe 2). */
   private val NCent = 8
+  private val NProbe = 2
 
   def simIvfTopk(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val cents = broadcast(emb.filter(col("vec_id") < NCent)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec")))
-    val assign = emb.crossJoin(cents)
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        Similarity.cosine(col("embedding"), col("cent_vec")).as("ccos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
-    val cells = assign.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-    val q = cells.filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"), col("cell"))
-    val scored = cells.join(broadcast(q), "cell")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        Similarity.cosine(col("q_vec"), col("embedding")).as("cos"))
-    val w2 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w2)).filter(col("rank") <= K)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < NQ),
+        "vec_id", "embedding", K, NCent, NProbe)
       .orderBy(col("query_id"), col("rank"))
   }
   val simIvfTopkSql: String =
-    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings WHERE vec_id < $NCent),
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings ORDER BY vec_id LIMIT $NCent),
        |assign AS (
        |  SELECT e.vec_id, e.embedding, c.cent_id, ${cosSql("e.embedding", "cent_vec")} AS ccos
        |  FROM embeddings e CROSS JOIN cents c
@@ -114,11 +115,14 @@ object SimilarityQueries {
        |    SELECT vec_id, embedding, cent_id, ccos,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn
        |    FROM assign) t WHERE rn = 1
-       |), q AS (
-       |  SELECT vec_id AS query_id, embedding AS qe, cell FROM cells WHERE vec_id < $NQ
+       |), probes AS (
+       |  SELECT query_id, qe, cell FROM (
+       |    SELECT vec_id AS query_id, embedding AS qe, cent_id AS cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn
+       |    FROM assign WHERE vec_id < $NQ) t WHERE rn <= $NProbe
        |), pairs AS (
-       |  SELECT q.query_id, e.vec_id, ${cosSql("qe", "e.embedding")} AS cos
-       |  FROM cells e JOIN q ON e.cell = q.cell AND e.vec_id <> q.query_id
+       |  SELECT p.query_id, e.vec_id, ${cosSql("qe", "e.embedding")} AS cos
+       |  FROM cells e JOIN probes p ON e.cell = p.cell AND e.vec_id <> p.query_id
        |)
        |SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
        |  SELECT query_id, vec_id, cos,
@@ -126,27 +130,30 @@ object SimilarityQueries {
        |  FROM pairs) t
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
-  // ---- embedding-cosine near-dup pairs (LSH-blocked) -----------------------
+  // ---- embedding-cosine near-dup pairs (banded-LSH blocked, capped) --------
   private val DupTau = 0.42
 
-  def dedupEmbeddingPairs(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        Similarity.lshBucket(col("embedding"), NPlanes).as("bucket"))
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("bucket"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("bucket"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("va"), col("vb")).as("cos"))
-      .filter(col("cos") >= DupTau)
+  def dedupEmbeddingPairs(s: SparkSession, d: String): DataFrame =
+    Similarity.bandedNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        DupTau, NBands, PlanesPerBand, BucketCap)
       .orderBy(col("id_a"), col("id_b"))
-  }
   val dedupEmbeddingPairsSql: String =
-    s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)
-       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.embedding", "b.embedding")} AS cos
-       |FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |WHERE ${cosSql("a.embedding", "b.embedding")} >= $DupTau
+    s"""WITH bands AS (
+       |  SELECT e.vec_id, t.band, ${bandKeySql("e.embedding", "t.band")} AS key
+       |  FROM embeddings e, range(0, $NBands) t(band)
+       |), capped AS (
+       |  SELECT vec_id, band, key FROM bands
+       |  QUALIFY row_number() OVER (PARTITION BY band, key ORDER BY vec_id) <= $BucketCap
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+       |)
+       |SELECT c.id_a, c.id_b, ${cosSql("va.embedding", "vb.embedding")} AS cos
+       |FROM cand c
+       |JOIN embeddings va ON va.vec_id = c.id_a
+       |JOIN embeddings vb ON vb.vec_id = c.id_b
+       |WHERE ${cosSql("va.embedding", "vb.embedding")} >= $DupTau
        |ORDER BY id_a, id_b""".stripMargin
 
   // -------------------------------------------------------------------------

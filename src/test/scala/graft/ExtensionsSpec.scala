@@ -39,6 +39,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(7) - 1.0) < 1e-12)
   }
 
+  test("banded LSH keys SQL function: band 0 equals graft_lsh_bucket") {
+    val r = spark.sql(
+      """SELECT graft_lsh_band_keys(array(CAST(0.3 AS FLOAT), CAST(-0.7 AS FLOAT)), 8, 6) AS ks,
+        |       graft_lsh_bucket(array(CAST(0.3 AS FLOAT), CAST(-0.7 AS FLOAT)), 6) AS b0
+        |""".stripMargin).collect()(0)
+    val ks = r.getSeq[Long](0)
+    assert(ks.length == 8 && ks.forall(k => k >= 0 && k < 64))
+    assert(ks.head == r.getLong(1))
+  }
+
   test("winnow and char-ngram SQL functions") {
     val r = spark.sql(
       """SELECT size(graft_winnow('a b c d e f g h', 3, 4)) AS nw,

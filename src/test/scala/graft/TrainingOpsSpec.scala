@@ -56,6 +56,64 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(b(4L) == 0L)    // zero vector: no positive dot products
   }
 
+  test("lshBandKeys: band 0 == lshBucket over the same plane count; in-range; deterministic") {
+    val out = vecs.select(col("vec_id"),
+        Similarity.lshBandKeys(col("embedding"), 8, 6).as("keys"),
+        Similarity.lshBucket(col("embedding"), 6).as("b0"))
+      .collect()
+    out.foreach { r =>
+      val keys = r.getSeq[Long](1)
+      assert(keys.length == 8)
+      assert(keys.forall(k => k >= 0 && k < 64))
+      // band 0 uses planes 0..5 — the same family lshBucket(6) reads
+      assert(keys.head == r.getLong(2))
+    }
+  }
+
+  test("bandedNearDupPairs: planted near-dup found, nothing else; cap bounds bucket size") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.02f, 0.01f)),
+      (1L, Array(0.99f, 0.03f, 0.02f)),  // near-dup of 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.bandedNearDupPairs(emb, "vec_id", "embedding",
+        tau = 0.95, nBands = 8, planesPerBand = 6, bucketCap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+    // cap = 1 ⇒ every bucket keeps one doc ⇒ no pair can ever form
+    val capped = Similarity.bandedNearDupPairs(emb, "vec_id", "embedding",
+      tau = 0.0, nBands = 8, planesPerBand = 6, bucketCap = 1)
+    assert(capped.count() == 0)
+  }
+
+  test("ivfTopK: recall >= 0.8 vs bruteForceTopK on clustered vectors") {
+    val s = spark
+    import s.implicits._
+    // 4 planted clusters in 8-dim, ids interleaved (id % 4 = cluster) so
+    // the seed centroids (lowest 8 ids) cover every cluster twice
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { id =>
+      val c = id % 4
+      val v = Array.tabulate(8)(d =>
+        (if (d == c) 1.0f else 0.0f) + (rnd.nextFloat() - 0.5f) * 0.1f)
+      (id.toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 5)
+    val k = 5
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k))
+    val ivf = pairSet(Similarity.ivfTopK(emb, q, "vec_id", "embedding", k,
+      nCentroids = 8, nProbe = 2))
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall < 0.8")
+  }
+
   private def docs = {
     val s = spark
     import s.implicits._
