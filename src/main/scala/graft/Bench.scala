@@ -12,11 +12,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Full materialization, not count(): under count() Catalyst prunes
+    // every unevaluated projection, so projection-heavy queries (parser /
+    // hash kernels) would be benchmarked with their kernels optimized
+    // away. The noop sink evaluates all output columns and discards rows
+    // executor-side — no driver collect, no disk.
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // JVM/codegen warmup so the first measured query isn't charged for it
-    try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
+    try { materialize(SparkEntry.entry(spark)) } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -109,43 +109,58 @@ object Dedup {
   def simhash(text: Column, nBits: Int = 30): Column =
     graftExpr.column(SimHashExpr(graftExpr.expression(text), nBits))
 
-  /** Length-blocked exact n-gram Jaccard pairs. Semantics: all pairs whose
-    * length buckets (floor(len/width)) differ by ≤ 1 — i.e. any pair with
-    * length gap < width — with exact shingle Jaccard ≥ threshold.
+  /** Length-blocked exact n-gram Jaccard pairs. Semantics: pairs whose
+    * length buckets (floor(len/width)) differ by ≤ 1 AND that share at
+    * least one PREFIX shingle of document frequency ≤ dfCap, with exact
+    * shingle Jaccard ≥ threshold over the FULL sets.
     *
-    * Execution is an inverted index, not per-pair set intersection: explode
-    * shingle hashes, equi-join postings on the hash, count matches per
-    * (id_a, id_b) — that count IS |A∩B| because shingle sets are distinct.
-    * Pairs sharing zero shingles (jaccard 0) never materialize, and the
-    * whole pipeline is codegen'd join+agg instead of interpreted array
-    * intersects. The length-gap block is a cheap post-filter on the pair.
-    * At 100 TB the known hot-spot is high-frequency shingles (posting-list
-    * blowup); mitigation there is a document-frequency cap on postings,
-    * which changes recall only for stop-shingle-dominated pairs. */
+    * Two candidate-pruning devices, both aimed at the posting-join blowup
+    * that kills an inverted-index self-join at 100 TB:
+    *
+    *  1. PREFIX FILTER (exact; PPJoin-style): index only the first
+    *     n − ⌈t·n⌉ + 1 elements of each hash-sorted shingle set. If A and
+    *     B share nothing in A's prefix, |A∩B| ≤ ⌈t|A|⌉ − 1 < t|A| ≤
+    *     t|A∪B|, so jaccard < t — no qualifying pair is ever lost, while
+    *     posting volume halves (t = 0.5) and candidate pairs drop ~4×.
+    *  2. DOCUMENT-FREQUENCY CAP (recall knob): heavy-hitter shingles
+    *     (df > dfCap) are dropped from the index — their posting lists are
+    *     exactly the keys that square. |{h : df(h) > dfCap}| ≤
+    *     totalPostings/dfCap by pigeonhole, so the stop set broadcasts;
+    *     the df groupBy ships map-side partial counts, never postings.
+    *     A pair is missed only if every shared prefix shingle is
+    *     corpus-wide boilerplate.
+    *
+    * The posting self-join carries a size-ratio prune (jaccard ≤
+    * min(n)/max(n), so sub-ratio pairs can never pass) inside the codegen'd
+    * join condition; candidate pairs are deduplicated before the full
+    * shingle sets are re-joined for the exact verify, so wide arrays cross
+    * a shuffle once per doc, not once per shared shingle. */
   def blockedNgramPairs(df: DataFrame, idCol: String, textCol: String,
                         lenCol: String, threshold: Double,
-                        width: Int = 50): DataFrame = {
+                        width: Int = 50, dfCap: Int = 1000): DataFrame = {
     val sh = shingleTable(df, idCol, textCol)
     val meta = df.select(col(idCol).as("id"),
       floor(col(lenCol) / width).cast("long").as("b0"))
-    val ex = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
-    // size-ratio prune: jaccard ≤ min(n_a,n_b)/max(n_a,n_b), so any pair
-    // with n ratio below the threshold can never pass — reject it inside
-    // the codegen'd join instead of after the aggregation.
-    val inter = ex.as("a").join(ex.as("b"),
+    val ex = sh.select(col("id"), explode(col("sh")).as("h"))
+    val stop = ex.groupBy(col("h")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > dfCap).select(col("h"))
+    val prefixLen = (size(col("sh")) -
+      ceil(lit(threshold) * size(col("sh"))).cast("int") + 1)
+    val pre = sh.select(col("id"), size(col("sh")).as("n"),
+      explode(slice(sort_array(col("sh")), lit(1), greatest(prefixLen, lit(0))))
+        .as("h"))
+    val rare = pre.join(broadcast(stop), Seq("h"), "left_anti")
+    val cand = rare.as("a").join(rare.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           col("a.n") * threshold <= col("b.n") &&
           col("b.n") * threshold <= col("a.n"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"), first(col("a.n")).as("n_a"), first(col("b.n")).as("n_b"))
-    val interD = col("inter").cast("double")
-    val unionD = (col("n_a") + col("n_b")).cast("double") - interD
-    inter
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val blocked = cand
       .join(meta.select(col("id").as("id_a"), col("b0").as("b_a")), "id_a")
       .join(meta.select(col("id").as("id_b"), col("b0").as("b_b")), "id_b")
       .filter(abs(col("b_a") - col("b_b")) <= 1)
-      .withColumn("jaccard", interD / unionD)
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"))
+    jaccardVerify(blocked, sh, threshold)
   }
 }

@@ -19,12 +19,24 @@ object TextAnalysis {
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "data")
 
-  /** Per-doc token statistics + quality heuristics. */
+  /** Per-doc token statistics + quality heuristics.
+    *
+    * Deliberately no higher-order functions: `aggregate`/`filter` lambdas
+    * are CodegenFallback, and ONE of them drops this whole projection out
+    * of whole-stage codegen (~interpreted-speed for every expression in
+    * it). Instead:
+    *  - Σ token length ≡ length(trim) − (nToks − 1): splitting on a
+    *    single space always yields exactly nToks − 1 separator chars.
+    *  - stopword hits via a bounded-lookaround regex — (?<=^| )w(?=$| )
+    *    matches exactly the tokens t == w (token-equality, not substring),
+    *    and lookarounds don't consume, so adjacent stopwords all count. */
   def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = split(trim(col(textCol)), " ")
+    val trimmed = trim(col(textCol))
+    val toks = split(trimmed, " ")
     val nToks = size(toks)
-    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-    val nStop = size(filter(toks, t => t.isin(Stopwords.map(x => x: Any): _*)))
+    val sumLen = (length(trimmed) - (nToks - lit(1))).cast("long")
+    val stopAlt = Stopwords.sortBy(-_.length).mkString("|")
+    val nStop = regexp_count(trimmed, lit(s"(?<=^| )(?:$stopAlt)(?=$$| )"))
     df.select(
       col(idCol),
       nToks.cast("long").as("n_tokens"),

@@ -89,22 +89,40 @@ object TrainingQueries {
        |       THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS BIGINT) AS fingerprint
        |FROM hashes ORDER BY doc_id""".stripMargin
 
-  // ---- length-blocked exact n-gram Jaccard pairs ---------------------------
+  // ---- length-blocked exact n-gram Jaccard pairs (prefix-filtered, ---------
+  // ---- DF-capped postings) -------------------------------------------------
+  /** Candidates must share ≥1 hash-ordered PREFIX shingle (exact PPJoin
+    * prefix filter, first n-⌈t·n⌉+1 sorted elements) with document
+    * frequency ≤ DfCap; Jaccard is still exact over full sets. */
+  private val DfCap = 100
+
   def dedupNgramPairs(s: SparkSession, d: String): DataFrame =
     Dedup.blockedNgramPairs(Tables.documents(s, d), "doc_id", "text",
-        "n_chars", threshold = 0.5, width = 50)
+        "n_chars", threshold = 0.5, width = 50, dfCap = DfCap)
       .orderBy(col("id_a"), col("id_b"))
   val dedupNgramPairsSql: String =
-    s"""WITH $shingleCtes, buckets AS (
-       |  SELECT doc_id, unnest([n_chars // 50, n_chars // 50 + 1]) AS bucket FROM documents
+    s"""WITH $shingleCtes, ex AS (
+       |  SELECT doc_id, unnest(sh) AS h FROM sh
+       |), stop AS (
+       |  SELECT h FROM (SELECT h, COUNT(*) AS df FROM ex GROUP BY h) t WHERE df > $DfCap
+       |), pre AS (
+       |  SELECT doc_id, unnest((list_sort(sh))[1 : greatest(len(sh) - CAST(ceil(0.5*len(sh)) AS INTEGER) + 1, 0)]) AS h
+       |  FROM sh
+       |), rare AS (
+       |  SELECT doc_id, h FROM pre WHERE h NOT IN (SELECT h FROM stop)
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+       |), blocked AS (
+       |  SELECT c.id_a, c.id_b FROM cand c
+       |  JOIN documents da ON da.doc_id = c.id_a
+       |  JOIN documents db ON db.doc_id = c.id_b
+       |  WHERE abs(da.n_chars // 50 - db.n_chars // 50) <= 1
        |)
        |SELECT id_a, id_b,
        |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
        |    (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) AS jaccard
-       |FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+       |FROM blocked JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
        |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
        |    (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin

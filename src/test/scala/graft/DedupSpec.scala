@@ -73,4 +73,18 @@ class DedupSpec extends AnyFunSuite {
     val near = pairs.find(p => p._1 == 0L && p._2 == 2L)
     assert(near.isDefined && math.abs(near.get._3 - 0.6) < 1e-12)
   }
+
+  test("blockedNgramPairs: DF cap drops stop-shingle-only candidates, keeps jaccard exact") {
+    // The 6 shingles shared by docs 0/1/2 have DF 3; the two dog-shingles
+    // (docs 0,1) have DF 2. With dfCap = 2 only the dog-shingles post, so:
+    val pairs = Dedup.blockedNgramPairs(docs, "doc_id", "text", "n_chars",
+        threshold = 0.3, width = 50, dfCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 0-1 still pairs via the rare dog-shingles, and jaccard is computed
+    // over the FULL sets (1.0), not just the surviving postings
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
+    // 0-2 shares only DF-3 stop-shingles — capped out, no candidate (the
+    // documented recall tradeoff)
+    assert(!pairs.exists(p => p._1 == 0L && p._2 == 2L))
+  }
 }
