@@ -21,6 +21,20 @@ class IntegrationSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("A16 approx_count_distinct: estimate within 2·rsd of exact (rows-only query, test-pinned)") {
+    // the oracle records a rows-only check for a16 (sketches are
+    // engine-specific); this pins the ESTIMATE QUALITY the query claims:
+    // rsd = 0.02 ⇒ every group's rel_err must stay under 2·rsd
+    val out = graft.queries.InventoryQueries2.a16ApproxDistinct(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val relErr = r.getDouble(r.fieldIndex("rel_err"))
+      assert(relErr < 0.04,
+        s"${r.getString(0)}: rel_err $relErr >= 2*rsd (approx=${r.getLong(1)} exact=${r.getLong(2)})")
+    }
+  }
+
   test("ingest → silver → partitioned store → API readers") {
     val s = spark
     import s.implicits._
