@@ -1,5 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Plan-audit tool: prints the physical plan of the named queries (all
+  * headline plan-audited queries when no args given).
+  * Usage: runMain graft.Explain [queryName ...] */
 object Explain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -7,8 +11,10 @@ object Explain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
-    for (name <- Seq("o2_range_scan", "q1_pricing_summary", "j1_lookup_join",
-                     "w1_latest_event_per_user", "dedup_minhash_pairs", "sim_bruteforce_topk")) {
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("o2_range_scan", "q1_pricing_summary", "j1_lookup_join",
+        "w1_latest_event_per_user", "dedup_minhash_pairs", "sim_bruteforce_topk")
+    for (name <- names) {
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))

@@ -103,6 +103,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over near-dup pair edges — the step that turns
+    * pairwise dedup output into CLUSTERS with one canonical doc each
+    * (min id). Iterated min-label propagation to fixpoint: each round,
+    * every vertex takes the min label among itself and its neighbors.
+    * Converges in ≤ diameter rounds — near-dup clusters are shallow (a
+    * dup of a dup of X is ≈ X), so a handful of distributed rounds; each
+    * round is one join + one aggregation, labels are (long, long) pairs
+    * and are locally checkpointed so the plan doesn't grow with rounds.
+    * (For adversarially deep graphs swap in large-star/small-star — same
+    * interface, O(log n) rounds.)
+    *
+    * Output: (id, rep) for EVERY vertex, rep = min id of its component. */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+                          maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = vertices.select(col("id"), col("id").as("rep")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val prop = sym.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("rep"))
+      val next = labels.union(prop).groupBy(col("id"))
+        .agg(min(col("rep")).as("rep")).localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.rep") =!= col("o.rep")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** SimHash fingerprint over distinct whitespace tokens: per-bit majority
     * vote (+1/-1) over token hashes, packed little-endian. nBits ≤ 62
     * stays in long range; pure projection — no shuffle. */

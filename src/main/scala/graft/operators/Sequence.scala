@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence-preparation operators for LLM pretraining: fixed-window
+  * chunking of documents and concat-and-cut packing of documents into
+  * fixed-capacity context windows.
+  *
+  * Both are deterministic integer arithmetic over token counts, so the
+  * DuckDB oracle replays them exactly.
+  *
+  * Scale shapes:
+  *  - chunking is explode-over-sequence — a pure generator projection, no
+  *    shuffle; output rows carry only the chunk text, never the full doc.
+  *  - packing is ONE window cumsum per shard (hash-partition by shard id,
+  *    per-partition sort by doc id) — the exact plan of any windowed
+  *    aggregation; no driver-side loop, no global sort. Shards are
+  *    independent, so 1000 executors pack 1000 shards concurrently.
+  */
+object Sequence {
+
+  /** Fixed-size token windows with stride (stride < window ⇒ overlap).
+    * Output: (idCol, chunk_id, start_token [1-based], n_chunk_tokens,
+    * chunk_text). Documents shorter than one window yield one short chunk;
+    * the final window is clipped, and a trailing window fully contained in
+    * the previous one is not emitted (standard tokenizer-windowing rule).
+    *
+    * No lambda HOFs — sequence/slice/array_join are all codegen'd — so the
+    * whole operator stays inside WholeStageCodegen. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride,
+      "need 0 < stride <= window (stride > window would drop tokens)")
+    val toks = split(trim(col(textCol)), " ")
+    val n = size(toks)
+    // number of windows: 1 + ceil(max(n - window, 0) / stride)
+    val nChunks = (lit(1) +
+      ceil(greatest(n - window, lit(0)).cast("double") / stride).cast("int"))
+    df.select(col(idCol), toks.as("_toks"),
+        posexplode(sequence(lit(0), nChunks - 1)).as(Seq("chunk_id", "_k")))
+      .select(col(idCol), col("chunk_id"),
+        (col("_k") * stride + 1).as("start_token"),
+        size(slice(col("_toks"), col("_k") * stride + 1, lit(window)))
+          .cast("long").as("n_chunk_tokens"),
+        array_join(slice(col("_toks"), col("_k") * stride + 1, lit(window)), " ")
+          .as("chunk_text"))
+  }
+
+  /** Concat-and-cut packing (the GPT-style pretraining batch layout):
+    * within each shard, documents are concatenated in id order and the
+    * stream is cut every `capacity` tokens. Emits each document's
+    * placement: its token offset interval [start_offset, end_offset) in
+    * the shard stream and the first/last context windows it lands in
+    * (bin_first == bin_last ⟺ the doc fits one window).
+    *
+    * Sharding is `idCol % nShards` — deterministic, reshard-stable, and
+    * replayable in any engine (no engine-specific hash). */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    capacity: Int, nShards: Int): DataFrame = {
+    val n = size(split(trim(col(textCol)), " ")).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), pmod(col(idCol), lit(nShards)).cast("int").as("shard"),
+        n.as("n_tokens"))
+      .withColumn("end_offset", sum(col("n_tokens")).over(w))
+      .withColumn("start_offset", col("end_offset") - col("n_tokens"))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        col("start_offset"), col("end_offset"),
+        floor(col("start_offset") / capacity).as("bin_first"),
+        floor((col("end_offset") - 1) / capacity).as("bin_last"))
+  }
+
+  /** Per-shard packing summary: windows used vs the lower bound
+    * ⌈tokens/capacity⌉ — the packing-efficiency report a batch builder
+    * reads. */
+  def packingStats(packed: DataFrame, capacity: Int): DataFrame =
+    packed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (max(col("bin_last")) + 1).as("n_bins"))
+      .withColumn("fill_ratio",
+        col("n_tokens").cast("double") / (col("n_bins") * capacity))
+}

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Sequence}
+
+/** Training-data pipeline pack, part 5: sequence preparation (chunking,
+  * packing), repetition quality signals, and near-dup clustering — the
+  * steps between "deduped corpus" and "training batches".
+  *
+  * All deterministic integer math; the DuckDB oracles replay the same
+  * formulas (list slicing, window cumsum, recursive closure). */
+object SequenceQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- fixed-window token chunking -----------------------------------------
+  private val ChunkW = 32
+  private val ChunkS = 24 // stride < window: 8-token overlap
+
+  def chunkWindows(s: SparkSession, d: String): DataFrame =
+    Sequence.chunkTokens(Tables.documents(s, d), "doc_id", "text", ChunkW, ChunkS)
+      .orderBy(col("doc_id"), col("chunk_id"))
+  val chunkWindowsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents
+       |), n AS (
+       |  SELECT doc_id, tk, len(tk) AS n,
+       |         1 + CAST(ceil(greatest(len(tk) - $ChunkW, 0) / CAST($ChunkS AS DOUBLE)) AS INTEGER) AS n_chunks
+       |  FROM toks
+       |), ex AS (
+       |  SELECT doc_id, tk, n, unnest(range(0, n_chunks)) AS k FROM n
+       |)
+       |SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+       |       CAST(k * $ChunkS + 1 AS INTEGER) AS start_token,
+       |       CAST(len(tk[k*$ChunkS + 1 : least(k*$ChunkS + $ChunkW, n)]) AS BIGINT) AS n_chunk_tokens,
+       |       array_to_string(tk[k*$ChunkS + 1 : least(k*$ChunkS + $ChunkW, n)], ' ') AS chunk_text
+       |FROM ex ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---- concat-and-cut sequence packing -------------------------------------
+  private val Capacity = 256
+  private val NShards = 8
+
+  def packSequences(s: SparkSession, d: String): DataFrame =
+    Sequence.packSequences(Tables.documents(s, d), "doc_id", "text",
+        Capacity, NShards)
+      .orderBy(col("doc_id"))
+  val packSequencesSql: String =
+    s"""WITH n AS (
+       |  SELECT doc_id, CAST(doc_id % $NShards AS INTEGER) AS shard,
+       |         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_offset
+       |  FROM n
+       |)
+       |SELECT doc_id, shard, n_tokens,
+       |       CAST(end_offset - n_tokens AS BIGINT) AS start_offset,
+       |       CAST(end_offset AS BIGINT) AS end_offset,
+       |       CAST(floor((end_offset - n_tokens) / $Capacity) AS BIGINT) AS bin_first,
+       |       CAST(floor((end_offset - 1) / $Capacity) AS BIGINT) AS bin_last
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  def packStats(s: SparkSession, d: String): DataFrame =
+    Sequence.packingStats(
+        Sequence.packSequences(Tables.documents(s, d), "doc_id", "text",
+          Capacity, NShards), Capacity)
+      .orderBy(col("shard"))
+  val packStatsSql: String =
+    s"""WITH n AS (
+       |  SELECT doc_id, CAST(doc_id % $NShards AS INTEGER) AS shard,
+       |         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT shard, n_tokens,
+       |         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_offset
+       |  FROM n
+       |)
+       |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(MAX(floor((end_offset - 1) / $Capacity)) + 1 AS BIGINT) AS n_bins,
+       |       CAST(SUM(n_tokens) AS DOUBLE) /
+       |         ((MAX(floor((end_offset - 1) / $Capacity)) + 1) * $Capacity) AS fill_ratio
+       |FROM c GROUP BY shard ORDER BY shard""".stripMargin
+
+  // ---- repetition quality signals (Gopher-style) ---------------------------
+  /** Per doc: most-frequent-token share and the fraction of tokens whose
+    * token occurs ≥ 2× — the cheap repetition gates a quality filter
+    * applies before anything model-based. One explode + two-level agg:
+    * the (doc, token) groupBy is map-side-combinable, token strings never
+    * cross a second shuffle. */
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_token_cnt"),
+        sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).as("rep_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("top_token_cnt"),
+        (col("top_token_cnt").cast("double") / col("n_tokens")).as("top_token_frac"),
+        (col("rep_tokens").cast("double") / col("n_tokens")).as("rep_token_frac"))
+      .orderBy(col("doc_id"))
+  val textRepetitionSql: String =
+    """WITH cnt AS (
+      |  SELECT doc_id, t, COUNT(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents) x
+      |  GROUP BY doc_id, t
+      |)
+      |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |       COUNT(*) AS n_distinct,
+      |       CAST(MAX(cnt) AS BIGINT) AS top_token_cnt,
+      |       CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_token_frac,
+      |       CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS DOUBLE) / SUM(cnt) AS rep_token_frac
+      |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- near-dup clusters: pairs → components → canonical doc ---------------
+  /** Edges = exact-dup pairs (md5) ∪ MinHash-verified near-dup pairs
+    * (jaccard ≥ 0.5); components by min-label propagation; canonical =
+    * min doc_id. The step that turns pairwise dedup output into the
+    * actual keep/drop partition of the corpus. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val exactEdges = Dedup.exactDedup(docs, "doc_id", "text")
+      .filter(col("is_dup"))
+      .select(col("rep_id").as("id_a"), col("doc_id").as("id_b"))
+    val nearEdges = Dedup.minhashPairs(docs, "doc_id", "text",
+        threshold = 0.5, k = 16, bands = 4)
+      .select(col("id_a"), col("id_b"))
+    val comps = Dedup.connectedComponents(
+      docs.select(col("doc_id").as("id")), exactEdges.union(nearEdges))
+    comps.select(col("id").as("doc_id"), col("rep").as("cluster_rep"),
+        (col("id") === col("rep")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+  val dedupClustersSql: String = {
+    // same shingle/minhash CTEs as dedup_minhash_pairs (TrainingQueries),
+    // then a recursive min-label closure over the union edge set
+    val p = Dedup.HashMod
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, list_transform(string_split(trim(text), ' '),
+       |    s -> list_reduce(list_transform(string_split(s,''), c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc*31 + x) % $p)) AS th
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, CASE WHEN len(th) >= 3 THEN list_distinct(
+       |    list_transform(range(0, len(th)-3+1),
+       |      i -> ((th[i+1]*131 + th[i+2]) % $p * 131 + th[i+3]) % $p))
+       |    ELSE [] END AS sh FROM toks
+       |), sig AS (
+       |  SELECT doc_id, list_transform(range(0,16), j ->
+       |    list_min(list_transform(sh, h -> ((2*j+1)*h + 7919*j + 12345) % $p))) AS sig
+       |  FROM sh
+       |), mh AS (
+       |  SELECT doc_id, bk.band AS band, bk.key AS key FROM (
+       |    SELECT doc_id, unnest(list_transform(range(0,4), b ->
+       |      {'band': b, 'key': list_reduce(sig[b*4+1:b*4+4], (acc,x) -> (acc*1000003 + x) % $p)})) AS bk
+       |    FROM sig)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM mh a JOIN mh b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |), near AS (
+       |  SELECT id_a, id_b FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |    (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) >= 0.5
+       |), exact AS (
+       |  SELECT MIN(doc_id) OVER (PARTITION BY md5(text)) AS id_a, doc_id AS id_b
+       |  FROM documents QUALIFY doc_id <> id_a
+       |), sym AS (
+       |  SELECT id_a AS s, id_b AS d FROM near UNION SELECT id_b, id_a FROM near
+       |  UNION SELECT id_a, id_b FROM exact UNION SELECT id_b, id_a FROM exact
+       |), reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.d, r.lbl FROM reach r JOIN sym e ON e.s = r.id
+       |)
+       |SELECT id AS doc_id, MIN(lbl) AS cluster_rep, MIN(lbl) = id AS is_canonical
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------------
+
+  val defs: Map[String, Q] = Map(
+    "chunk_windows" -> (chunkWindows _),
+    "pack_sequences" -> (packSequences _),
+    "pack_stats" -> (packStats _),
+    "text_repetition" -> (textRepetition _),
+    "dedup_clusters" -> (dedupClusters _))
+
+  val oracle: Map[String, String] = Map(
+    "chunk_windows" -> chunkWindowsSql,
+    "pack_sequences" -> packSequencesSql,
+    "pack_stats" -> packStatsSql,
+    "text_repetition" -> textRepetitionSql,
+    "dedup_clusters" -> dedupClustersSql)
+}

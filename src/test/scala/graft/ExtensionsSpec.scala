@@ -8,14 +8,20 @@ import graft.plans.GraftExtensions
   * extension must be installed at build time. */
 class ExtensionsSpec extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .appName("graft-ext")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
+  private lazy val spark: SparkSession = {
+    // getOrCreate would silently return another suite's session, which has
+    // no extensions installed — force a session this suite owns
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
 
   test("registered SQL functions evaluate like the Column API") {
     val r = spark.sql(

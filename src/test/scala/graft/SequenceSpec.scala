@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Sequence}
+
+/** Sequence-prep (chunking, packing) and near-dup clustering semantics on
+  * planted fixtures. */
+class SequenceSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("chunkTokens: stride windows cover every token; short docs yield one clipped chunk") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (1L, "a b")).toDF("doc_id", "text")
+    val out = Sequence.chunkTokens(docs, "doc_id", "text", window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+    val d0 = out.filter(_.getLong(0) == 0L)
+    // 10 tokens, W=4, S=3 -> 3 chunks starting at tokens 1, 4, 7
+    assert(d0.map(r => (r.getInt(1), r.getInt(2), r.getLong(3))).toSeq ==
+      Seq((0, 1, 4L), (1, 4, 4L), (2, 7, 4L)))
+    assert(d0(1).getString(4) == "t4 t5 t6 t7") // overlap of 1 token
+    // every token appears in at least one chunk
+    val covered = d0.flatMap(_.getString(4).split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+    // 2-token doc: a single clipped chunk
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.length == 1 && d1(0).getLong(3) == 2L && d1(0).getString(4) == "a b")
+  }
+
+  test("packSequences: per-shard concat offsets and window spans") {
+    val s = spark
+    import s.implicits._
+    // one shard (nShards=1): docs of 6, 3, 5 tokens, capacity 8
+    val docs = Seq(
+      (0L, "a a a a a a"), (1L, "b b b"), (2L, "c c c c c"))
+      .toDF("doc_id", "text")
+    val out = Sequence.packSequences(docs, "doc_id", "text", capacity = 8, nShards = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out(0) == (0L, 0L, 6L, 0L, 0L))   // [0,6) fits window 0
+    assert(out(1) == (1L, 6L, 9L, 0L, 1L))   // [6,9) straddles the 8-token cut
+    assert(out(2) == (2L, 9L, 14L, 1L, 1L))  // [9,14) inside window 1
+    val stats = Sequence.packingStats(
+      Sequence.packSequences(docs, "doc_id", "text", 8, 1), 8).collect()(0)
+    assert(stats.getLong(1) == 3 && stats.getLong(2) == 14 && stats.getLong(3) == 2)
+    assert(stats.getDouble(4) == 14.0 / 16)
+  }
+
+  test("connectedComponents: chains collapse to min label, isolated stay self") {
+    val s = spark
+    import s.implicits._
+    val vertices = (0L to 6L).toDF("id")
+    // chain 0-1-2-3 (needs multiple propagation rounds) + pair 4-5 + isolated 6
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+}
