@@ -119,7 +119,12 @@ object Dedup {
                           maxIter: Int = 25): DataFrame = {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = vertices.select(col("id"), col("id").as("rep")).localCheckpoint()
+      .localCheckpoint()
+    // iterate ONLY over vertices that touch an edge — the dup subgraph is
+    // a vanishing fraction of the corpus, so the rounds run on it alone;
+    // isolated vertices are trivially their own rep and join back below
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("rep")).localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -132,7 +137,8 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels
+    vertices.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
   }
 
   /** SimHash fingerprint over distinct whitespace tokens: per-bit majority

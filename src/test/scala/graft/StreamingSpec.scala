@@ -42,6 +42,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.length == 3) // the re-sent 00:01 point was suppressed
   }
 
+  test("T6 source-side rate limit: maxFilesPerTrigger throttles ingestion to N files per batch") {
+    // the reference's RateLimiter (src/RateLimiter.py:5-49) gates HTTP
+    // calls; on the engine side the same role is the source admission
+    // throttle — each micro-batch ingests at most maxFilesPerTrigger
+    // files, so a backlog drains at a bounded rate instead of one giant
+    // batch
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_throttle").toString
+    (1 to 4).foreach { i =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/f$i.json"),
+        s"""{"id": $i, "payload": "payload_$i"}""".getBytes("UTF-8"))
+    }
+    val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = s.readStream
+      .schema("id INT, payload STRING")
+      .option("maxFilesPerTrigger", 1)
+      .json(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += batch.count() }; ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // 4 files, 1 per trigger -> 4 batches of exactly 1 row each
+    assert(batchSizes.count(_ > 0) == 4)
+    assert(batchSizes.filter(_ > 0).forall(_ == 1L))
+  }
+
   test("T3 cdcLatestPush: foreachBatch pushes latest-1 per key per batch") {
     val s = spark
     import s.implicits._
