@@ -155,40 +155,46 @@ object Dedup {
     * Two candidate-pruning devices, both aimed at the posting-join blowup
     * that kills an inverted-index self-join at 100 TB:
     *
-    *  1. PREFIX FILTER (exact; PPJoin-style): index only the first
-    *     n − ⌈t·n⌉ + 1 elements of each hash-sorted shingle set. If A and
+    *  1. PREFIX FILTER in INCREASING-DF ORDER (exact; canonical PPJoin):
+    *     index only the first n − ⌈t·n⌉ + 1 elements of each shingle set
+    *     under the global (document-frequency, hash) total order. If A and
     *     B share nothing in A's prefix, |A∩B| ≤ ⌈t|A|⌉ − 1 < t|A| ≤
-    *     t|A∪B|, so jaccard < t — no qualifying pair is ever lost, while
-    *     posting volume halves (t = 0.5) and candidate pairs drop ~4×.
-    *  2. DOCUMENT-FREQUENCY CAP (recall knob): heavy-hitter shingles
-    *     (df > dfCap) are dropped from the index — their posting lists are
-    *     exactly the keys that square. |{h : df(h) > dfCap}| ≤
-    *     totalPostings/dfCap by pigeonhole, so the stop set broadcasts;
-    *     the df groupBy ships map-side partial counts, never postings.
-    *     A pair is missed only if every shared prefix shingle is
-    *     corpus-wide boilerplate.
+    *     t|A∪B|, so jaccard < t — lossless for ANY shared total order;
+    *     rarest-first is the order that collides least: common shingles
+    *     sort last and fall out of every prefix, so candidate volume
+    *     tracks Σ C(df_rare, 2) ≈ the true pair count instead of squaring
+    *     on mid-frequency shingles.
+    *  2. DOCUMENT-FREQUENCY CAP (recall knob): prefix postings with
+    *     df > dfCap are dropped — their posting lists are exactly the
+    *     keys that square. Under rarest-first order they are already last
+    *     in line, so the cap only fires on documents made of boilerplate.
     *
-    * The posting self-join carries a size-ratio prune (jaccard ≤
-    * min(n)/max(n), so sub-ratio pairs can never pass) inside the codegen'd
-    * join condition; candidate pairs are deduplicated before the full
-    * shingle sets are re-joined for the exact verify, so wide arrays cross
-    * a shuffle once per doc, not once per shared shingle. */
+    * Cost shape: the df join + per-doc rank are LINEAR posting passes
+    * (hash shuffle on h, then a window sort on id — narrow
+    * (long, long, int) rows, no arrays); what they buy is a candidate
+    * join whose output no longer squares. The self-join carries a
+    * size-ratio prune (jaccard ≤ min(n)/max(n), so sub-ratio pairs can
+    * never pass) inside the codegen'd join condition; candidate pairs are
+    * deduplicated before the full shingle sets are re-joined for the
+    * exact verify, so wide arrays cross a shuffle once per doc, not once
+    * per shared shingle. */
   def blockedNgramPairs(df: DataFrame, idCol: String, textCol: String,
                         lenCol: String, threshold: Double,
                         width: Int = 50, dfCap: Int = 1000): DataFrame = {
     val sh = shingleTable(df, idCol, textCol)
     val meta = df.select(col(idCol).as("id"),
       floor(col(lenCol) / width).cast("long").as("b0"))
-    val ex = sh.select(col("id"), explode(col("sh")).as("h"))
-    val stop = ex.groupBy(col("h")).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") > dfCap).select(col("h"))
-    val prefixLen = (size(col("sh")) -
-      ceil(lit(threshold) * size(col("sh"))).cast("int") + 1)
-    val pre = sh.select(col("id"), size(col("sh")).as("n"),
-      explode(slice(sort_array(col("sh")), lit(1), greatest(prefixLen, lit(0))))
-        .as("h"))
-    val rare = pre.join(broadcast(stop), Seq("h"), "left_anti")
-    val cand = rare.as("a").join(rare.as("b"),
+    val ex = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
+    val dfc = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ranked = ex.join(dfc, "h")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("df"), col("h"))))
+    val prefixLen = col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1
+    val pre = ranked
+      .filter(col("rn") <= prefixLen && col("df") <= dfCap)
+      .select(col("id"), col("n"), col("h"))
+    val cand = pre.as("a").join(pre.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           col("a.n") * threshold <= col("b.n") &&
           col("b.n") * threshold <= col("a.n"))

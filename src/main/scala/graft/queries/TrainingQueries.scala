@@ -89,11 +89,12 @@ object TrainingQueries {
        |       THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS BIGINT) AS fingerprint
        |FROM hashes ORDER BY doc_id""".stripMargin
 
-  // ---- length-blocked exact n-gram Jaccard pairs (prefix-filtered, ---------
-  // ---- DF-capped postings) -------------------------------------------------
-  /** Candidates must share ≥1 hash-ordered PREFIX shingle (exact PPJoin
-    * prefix filter, first n-⌈t·n⌉+1 sorted elements) with document
-    * frequency ≤ DfCap; Jaccard is still exact over full sets. */
+  // ---- length-blocked exact n-gram Jaccard pairs (df-ordered prefix --------
+  // ---- filter, DF-capped postings) -----------------------------------------
+  /** Candidates must share ≥1 PREFIX shingle — first n-⌈t·n⌉+1 elements
+    * under the global (document frequency, hash) order, the canonical
+    * PPJoin ordering — with df ≤ DfCap; Jaccard is still exact over full
+    * sets. */
   private val DfCap = 100
 
   def dedupNgramPairs(s: SparkSession, d: String): DataFrame =
@@ -102,17 +103,18 @@ object TrainingQueries {
       .orderBy(col("id_a"), col("id_b"))
   val dedupNgramPairsSql: String =
     s"""WITH $shingleCtes, ex AS (
-       |  SELECT doc_id, unnest(sh) AS h FROM sh
-       |), stop AS (
-       |  SELECT h FROM (SELECT h, COUNT(*) AS df FROM ex GROUP BY h) t WHERE df > $DfCap
-       |), pre AS (
-       |  SELECT doc_id, unnest((list_sort(sh))[1 : greatest(len(sh) - CAST(ceil(0.5*len(sh)) AS INTEGER) + 1, 0)]) AS h
-       |  FROM sh
-       |), rare AS (
-       |  SELECT doc_id, h FROM pre WHERE h NOT IN (SELECT h FROM stop)
+       |  SELECT doc_id, len(sh) AS n, unnest(sh) AS h FROM sh
+       |), dfc AS (
+       |  SELECT h, COUNT(*) AS df FROM ex GROUP BY h
+       |), ranked AS (
+       |  SELECT e.doc_id, e.n, e.h, d.df,
+       |         row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.h) AS rn
+       |  FROM ex e JOIN dfc d USING (h)
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  FROM (SELECT doc_id, h FROM ranked WHERE rn <= n - CAST(ceil(0.5*n) AS INTEGER) + 1 AND df <= $DfCap) a
+       |  JOIN (SELECT doc_id, h FROM ranked WHERE rn <= n - CAST(ceil(0.5*n) AS INTEGER) + 1 AND df <= $DfCap) b
+       |    ON a.h = b.h AND a.doc_id < b.doc_id
        |), blocked AS (
        |  SELECT c.id_a, c.id_b FROM cand c
        |  JOIN documents da ON da.doc_id = c.id_a
