@@ -126,6 +126,43 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** One distributed Lloyd (k-means) refinement step for the IVF coarse
+    * quantizer: assign every vector to its max-cosine centroid, then
+    * recompute each centroid as the per-dimension mean of its cell.
+    * Output: (cent_id, dim, centroid) — long form, ready to re-assemble
+    * or feed the next iteration.
+    *
+    * The mean is computed over 1e-6-QUANTIZED coordinates: each value
+    * becomes floor(v·10⁶) — an exact long — so the per-cell sums are
+    * integer math, which makes the result independent of partitioning and
+    * summation order. A plain double sum varies with the shuffle layout
+    * (floating-point addition isn't associative), i.e. the same data on a
+    * different cluster would give different centroids; quantized sums are
+    * bit-stable everywhere, at a 10⁻⁶ precision cost no quantizer cares
+    * about. Shuffle shape: one groupBy on (cell, dim) with map-side
+    * partial sums — nCentroids·dim result rows. */
+  def kmeansRefine(corpus: DataFrame, idCol: String, vecCol: String,
+                   nCentroids: Int): DataFrame = {
+    val cents = broadcast(corpus
+      .orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val cells = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(cents)
+      .select(col(idCol), col(vecCol), col("cent_id"),
+        cosine(col(vecCol), col("cent_vec")).as("ccos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(vecCol), col("cent_id").as("cell"))
+    cells.select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(sum(floor(col("v").cast("double") * 1e6).cast("long")).as("qsum"),
+        count(lit(1)).as("n"))
+      .select(col("cell").as("cent_id"), col("dim"),
+        (col("qsum").cast("double") / (col("n").cast("double") * 1e6))
+          .as("centroid"))
+  }
+
   /** Embedding near-dup pairs: banded sign-LSH blocking + capped buckets +
     * exact cosine verify. Output: (id_a, id_b, cos) with cos ≥ tau.
     *

@@ -130,6 +130,33 @@ object SimilarityQueries {
        |  FROM pairs) t
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  // ---- k-means refinement step for the IVF coarse quantizer ----------------
+  /** One Lloyd iteration over 1e-6-quantized coordinates — integer-exact
+    * sums make the centroids independent of partitioning/summation order
+    * (a plain double sum would differ between cluster layouts AND between
+    * engines). 64-dim embeddings → 8×64 output rows. */
+  def simKmeansRefine(s: SparkSession, d: String): DataFrame =
+    Similarity.kmeansRefine(Tables.embeddings(s, d), "vec_id", "embedding", NCent)
+      .orderBy(col("cent_id"), col("dim"))
+  val simKmeansRefineSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings ORDER BY vec_id LIMIT $NCent),
+       |assign AS (
+       |  SELECT e.vec_id, e.embedding, c.cent_id, ${cosSql("e.embedding", "cent_vec")} AS ccos
+       |  FROM embeddings e CROSS JOIN cents c
+       |), cells AS (
+       |  SELECT embedding, cent_id AS cell FROM (
+       |    SELECT vec_id, embedding, cent_id, ccos,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn
+       |    FROM assign) t WHERE rn = 1
+       |), ex AS (
+       |  SELECT cell, CAST(i AS INTEGER) AS dim,
+       |         CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+       |  FROM cells, range(0, 64) r(i)
+       |)
+       |SELECT cell AS cent_id, dim,
+       |       CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000.0) AS centroid
+       |FROM ex GROUP BY cell, dim ORDER BY cent_id, dim""".stripMargin
+
   // ---- embedding-cosine near-dup pairs (banded-LSH blocked, capped) --------
   private val DupTau = 0.42
 
@@ -162,11 +189,13 @@ object SimilarityQueries {
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
     "sim_lsh_topk" -> (simLshTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
+    "sim_kmeans_refine" -> (simKmeansRefine _),
     "dedup_embedding_pairs" -> (dedupEmbeddingPairs _))
 
   val oracle: Map[String, String] = Map(
     "sim_bruteforce_topk" -> simBruteforceTopkSql,
     "sim_lsh_topk" -> simLshTopkSql,
     "sim_ivf_topk" -> simIvfTopkSql,
+    "sim_kmeans_refine" -> simKmeansRefineSql,
     "dedup_embedding_pairs" -> dedupEmbeddingPairsSql)
 }

@@ -55,6 +55,46 @@ class SequenceSpec extends AnyFunSuite {
     assert(stats.getDouble(4) == 14.0 / 16)
   }
 
+  test("chunk/pack invariants hold on a seeded random corpus") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 40L).map(i =>
+      (i, (0 until (1 + rnd.nextInt(90))).map(k => s"w${rnd.nextInt(50)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val nToks = docs.collect().map(r => r.getLong(0) -> r.getString(1).split(" ").length).toMap
+
+    val (w, st) = (16, 11)
+    val chunks = Sequence.chunkTokens(docs, "doc_id", "text", w, st)
+      .collect().groupBy(_.getLong(0))
+    chunks.foreach { case (id, cs) =>
+      val n = nToks(id)
+      // chunk count formula; starts form the stride grid; sizes clipped at doc end
+      assert(cs.length == 1 + math.ceil(math.max(n - w, 0) / st.toDouble).toInt)
+      cs.sortBy(_.getInt(1)).zipWithIndex.foreach { case (c, k) =>
+        assert(c.getInt(2) == k * st + 1)
+        assert(c.getLong(3) == math.min(w, n - k * st).toLong)
+      }
+      // stride < window: every token index covered by some chunk
+      val covered = cs.flatMap(c => c.getInt(2) until (c.getInt(2) + c.getLong(3).toInt)).toSet
+      assert(covered == (1 to n).toSet)
+    }
+
+    val cap = 64
+    val packed = Sequence.packSequences(docs, "doc_id", "text", cap, 4).collect()
+    packed.groupBy(_.getInt(1)).foreach { case (_, rows) =>
+      // per shard: offsets tile the concatenated stream contiguously in id order
+      val sorted = rows.sortBy(_.getLong(0))
+      sorted.foldLeft(0L) { (expect, r) =>
+        assert(r.getLong(3) == expect) // start_offset
+        assert(r.getLong(4) == expect + r.getLong(2)) // end = start + n_tokens
+        assert(r.getLong(5) == r.getLong(3) / cap) // bin_first
+        assert(r.getLong(6) == (r.getLong(4) - 1) / cap) // bin_last
+        r.getLong(4)
+      }
+    }
+  }
+
   test("connectedComponents: chains collapse to min label, isolated stay self") {
     val s = spark
     import s.implicits._
