@@ -108,6 +108,49 @@ object Streams {
       }
   }
 
+  // ---- T11: subscription registry + no-subscriber short-circuit ----------
+
+  /** Control/data event for the fan-out registry: kind ∈ sub | unsub |
+    * data. sub/unsub carry the subscriber id; data carries the payload. */
+  case class FanoutEvent(item: String, ts: java.sql.Timestamp, kind: String,
+                         subscriber: String, payload: Double)
+  case class SubscriberSet(subs: Set[String])
+  case class PushFrame(item: String, payload: Double, subscribers: Seq[String])
+
+  /** T11 — the reference's SubscriptionRegistry + per-write push
+    * (api/marketDataStream.py:34-124) as streaming state: per item, a
+    * subscriber set maintained by sub/unsub control events; each data
+    * event fans out ONE frame listing the current subscribers — and is
+    * SUPPRESSED when the set is empty ("the no-subscriber drop is the
+    * common path", :105-106), which is what keeps a firehose of table
+    * writes from reaching the socket layer at all.
+    *
+    * State is one Set[String] per item — bounded by live subscriptions,
+    * partitioned by the groupBy shuffle like every keyed state here. The
+    * actual socket send is the caller's foreachBatch seam, same as
+    * cdcLatestPush. */
+  def subscriptionFanout(events: Dataset[FanoutEvent]): Dataset[PushFrame] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.item)
+      .flatMapGroupsWithState[SubscriberSet, PushFrame](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (item, evs, state: GroupState[SubscriberSet]) =>
+          val out = scala.collection.mutable.ArrayBuffer[PushFrame]()
+          var subs = state.getOption.map(_.subs).getOrElse(Set.empty[String])
+          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            e.kind match {
+              case "sub" => subs += e.subscriber
+              case "unsub" => subs -= e.subscriber
+              case "data" if subs.nonEmpty =>
+                out += PushFrame(item, e.payload, subs.toSeq.sorted)
+              case _ => () // data with no subscribers: suppressed
+            }
+          }
+          state.update(SubscriberSet(subs))
+          out.iterator
+      }
+  }
+
   /** Exponential backoff bookkeeping (snoozerScheduler.py:192-222): per
     * item, consecutive failures double the cooldown multiplier (cap 8);
     * any success resets. Emits the post-batch state per key. */

@@ -116,6 +116,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(counts("00:01:00") == 1)  // 01:10
   }
 
+  test("T11 subscriptionFanout: data pushes only to current subscribers; no-sub data suppressed") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def ev(item: String, t: String, kind: String, sub: String = "", p: Double = 0.0) =
+      Streams.FanoutEvent(item, ts(t), kind, sub, p)
+    val in = MemoryStream[Streams.FanoutEvent]
+    val q = Streams.subscriptionFanout(in.toDS())
+      .writeStream.format("memory").queryName("t11_out").outputMode("append").start()
+    in.addData(
+      ev("itemA", "2024-01-01 00:00:00", "data", p = 1.0),   // nobody listening: dropped
+      ev("itemA", "2024-01-01 00:00:10", "sub", "ws1"),
+      ev("itemA", "2024-01-01 00:00:20", "sub", "ws2"),
+      ev("itemA", "2024-01-01 00:00:30", "data", p = 2.0),   // -> ws1, ws2
+      ev("itemA", "2024-01-01 00:00:40", "unsub", "ws1"),
+      ev("itemA", "2024-01-01 00:00:50", "data", p = 3.0),   // -> ws2
+      ev("itemB", "2024-01-01 00:00:30", "data", p = 9.0))   // other key, no subs
+    q.processAllAvailable()
+    in.addData(
+      ev("itemA", "2024-01-01 00:01:00", "unsub", "ws2"),
+      ev("itemA", "2024-01-01 00:01:10", "data", p = 4.0))   // set empty again: dropped
+    q.processAllAvailable()
+    val out = s.table("t11_out").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getSeq[String](2).toList))
+    q.stop()
+    assert(out.toSet == Set(
+      ("itemA", 2.0, List("ws1", "ws2")),
+      ("itemA", 3.0, List("ws2"))))
+  }
+
   test("T7 backoffState: failures double cooldown (cap 8), success resets") {
     val s = spark
     import s.implicits._
