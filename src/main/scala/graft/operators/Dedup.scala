@@ -134,9 +134,15 @@ object Dedup {
         .agg(min(col("rep")).as("rep")).localCheckpoint()
       changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.rep") =!= col("o.rep")).count()
+      labels.unpersist() // next is materialized; don't pin every round's copy
       labels = next
       iter += 1
     }
+    // a silent partial result would be WRONG labels (and diverge from the
+    // oracle's exact closure) — fail loudly instead
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing); raise maxIter for graphs of diameter > $maxIter")
     vertices.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
   }

@@ -95,27 +95,36 @@ object Similarity {
     * buckets and nothing else.
     *
     * Output: (query_id, vec_id, cos, rank), rank 1..k by (cos desc, id). */
+  /** Seed centroids (the nCentroids lowest-id vectors) — the single
+    * definition both the IVF index and its k-means refinement share, so
+    * seeding can never desynchronize between them. */
+  private def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                            nCentroids: Int): DataFrame =
+    broadcast(corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec")))
+
+  /** Rank each row's centroids by (cosine desc, cent_id asc) and keep the
+    * top `keep` — rn = 1 is the cell assignment, rn ≤ nProbe the probe
+    * set. Shared by ivfTopK and kmeansRefine (same tie-break, always). */
+  private def nearestCells(df: DataFrame, cents: DataFrame, keyCol: String,
+                           v: String, keep: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    df.crossJoin(cents)
+      .select(df.columns.map(col) :+ col("cent_id") :+
+        cosine(col(v), col("cent_vec")).as("ccos"): _*)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= keep)
+      .select(df.columns.map(col) :+ col("cent_id").as("cell"): _*)
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCentroids: Int,
               nProbe: Int): DataFrame = {
-    val cents = broadcast(corpus
-      .orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec")))
-    def scoredCells(df: DataFrame, v: String): DataFrame = df
-      .crossJoin(cents)
-      .select(df.columns.map(col) :+ col("cent_id") :+
-        cosine(col(v), col("cent_vec")).as("ccos"): _*)
-    val wAssign = Window.partitionBy(col(idCol))
-      .orderBy(col("ccos").desc, col("cent_id").asc)
-    val cells = scoredCells(corpus.select(col(idCol), col(vecCol)), vecCol)
-      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("cent_id").as("cell"))
-    val probes = scoredCells(queries.select(col(idCol).as("query_id"),
-        col(vecCol).as("q_vec")), "q_vec")
-      .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
-        .orderBy(col("ccos").desc, col("cent_id").asc)))
-      .filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("q_vec"), col("cent_id").as("cell"))
+    val cents = seedCentroids(corpus, idCol, vecCol, nCentroids)
+    val cells = nearestCells(corpus.select(col(idCol), col(vecCol)),
+      cents, idCol, vecCol, keep = 1)
+    val probes = nearestCells(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec")), cents, "query_id", "q_vec", keep = nProbe)
     val scored = cells.join(broadcast(probes), "cell")
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol),
@@ -143,17 +152,9 @@ object Similarity {
     * partial sums — nCentroids·dim result rows. */
   def kmeansRefine(corpus: DataFrame, idCol: String, vecCol: String,
                    nCentroids: Int): DataFrame = {
-    val cents = broadcast(corpus
-      .orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("ccos").desc, col("cent_id").asc)
-    val cells = corpus.select(col(idCol), col(vecCol))
-      .crossJoin(cents)
-      .select(col(idCol), col(vecCol), col("cent_id"),
-        cosine(col(vecCol), col("cent_vec")).as("ccos"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col(vecCol), col("cent_id").as("cell"))
+    val cents = seedCentroids(corpus, idCol, vecCol, nCentroids)
+    val cells = nearestCells(corpus.select(col(idCol), col(vecCol)),
+      cents, idCol, vecCol, keep = 1)
     cells.select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "v")))
       .groupBy(col("cell"), col("dim"))
       .agg(sum(floor(col("v").cast("double") * 1e6).cast("long")).as("qsum"),

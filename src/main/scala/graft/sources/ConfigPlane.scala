@@ -39,6 +39,18 @@ object ConfigPlane {
 
   case class GraftConfig(limits: Limits, trackingItems: Seq[TrackingItem])
 
+  /** YAML comment rule: '#' opens a comment only at line start or after
+    * whitespace — a '#' inside a value ("Sticker | Team #1") is content. */
+  private def stripComment(l: String): String = {
+    var i = 0
+    while (i < l.length) {
+      if (l(i) == '#' && (i == 0 || l(i - 1) == ' ' || l(i - 1) == '\t'))
+        return l.take(i)
+      i += 1
+    }
+    l
+  }
+
   /** config api_id ↔ tracked_items.stream
     * (configTableSync_utility.py:41-48). */
   val ApiIdToStream: Map[String, String] = Map(
@@ -54,8 +66,8 @@ object ConfigPlane {
     * missing LIMITS defaults to the reference's 15 req / 60 s. */
   def parse(yaml: String): GraftConfig = {
     val lines = yaml.linesIterator
-      .map(l => l.takeWhile(_ != '#'))          // strip comments
-      .filter(_.trim.nonEmpty)
+      .map(stripComment)
+      .filter(l => l.trim.nonEmpty && l.contains(':')) // key: value lines only
       .toVector
     var limits = Limits(15, 60)
     val items = Vector.newBuilder[TrackingItem]
@@ -85,13 +97,18 @@ object ConfigPlane {
           case "TRACKING_ITEMS" =>
             i += 1
             var fields = Map.empty[String, String]
+            // an entry missing a required field is DISCARDED, not fatal —
+            // the reference's load path drops invalid items and continues
+            // (loadConfig_utility.py:100-116); one typo must not take down
+            // the whole boot sync
             def flush(): Unit = if (fields.nonEmpty) {
-              items += TrackingItem(
+              scala.util.Try(TrackingItem(
                 fields("market_hash_name"), fields("appid").toInt,
                 fields("currency").toInt, fields("country"),
                 fields("language"),
                 fields("polling-interval-in-seconds").toInt,
-                fields("api_id"), fields.get("item_nameid").map(_.toLong))
+                fields("api_id"), fields.get("item_nameid").map(_.toLong)))
+                .foreach(items += _)
               fields = Map.empty
             }
             while (i < lines.length &&
@@ -157,9 +174,16 @@ object ConfigPlane {
     * unknown keys). Rows are TrackingItems so the caller decides how they
     * leave the table (control-plane-sized collect). */
   def render(existingYaml: String, enabledRows: Seq[TrackingItem]): String = {
-    val keep = existingYaml.linesIterator
-      .takeWhile(l => !l.trim.startsWith("TRACKING_ITEMS:"))
-      .mkString("\n")
+    val all = existingYaml.linesIterator.toVector
+    val start = all.indexWhere(_.trim.startsWith("TRACKING_ITEMS:"))
+    val keep = if (start < 0) all.mkString("\n")
+      else all.take(start).mkString("\n")
+    // anything AFTER the items block (another top-level key the human
+    // added below it) must survive the writeback too — the block ends at
+    // the first line that is neither a list item nor indented
+    val tail = if (start < 0) Vector.empty[String]
+      else all.drop(start + 1)
+        .dropWhile(l => l.trim.isEmpty || l.startsWith("-") || l.startsWith(" "))
     val items = enabledRows
       .sortBy(it => (it.marketHashName, ApiIdToStream.getOrElse(it.apiId, it.apiId)))
       .map { it =>
@@ -173,7 +197,8 @@ object ConfigPlane {
              |  api_id: ${it.apiId}""".stripMargin
         it.itemNameid.fold(base)(id => base + s"\n  item_nameid: $id")
       }
-    (keep.stripLineEnd + "\nTRACKING_ITEMS:\n" + items.mkString("\n") + "\n")
+    val tailStr = if (tail.isEmpty) "" else tail.mkString("", "\n", "\n")
+    (keep.stripLineEnd + "\nTRACKING_ITEMS:\n" + items.mkString("\n") + "\n" + tailStr)
   }
 
   /** Enabled table rows → TrackingItems (the collect boundary; table order

@@ -137,7 +137,9 @@ object Streams {
         (item, evs, state: GroupState[SubscriberSet]) =>
           val out = scala.collection.mutable.ArrayBuffer[PushFrame]()
           var subs = state.getOption.map(_.subs).getOrElse(Set.empty[String])
-          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          // total order: iterator order across shuffle partitions is not
+          // deterministic, so equal-ts events need a content tie-break
+          evs.toSeq.sortBy(e => (e.ts.getTime, e.kind, e.subscriber)).foreach { e =>
             e.kind match {
               case "sub" => subs += e.subscriber
               case "unsub" => subs -= e.subscriber
@@ -146,7 +148,10 @@ object Streams {
               case _ => () // data with no subscribers: suppressed
             }
           }
-          state.update(SubscriberSet(subs))
+          // drop state entirely for items nobody watches — otherwise every
+          // item that ever produced data pins an empty set in the state
+          // store forever (drop_socket leaves no key behind either)
+          if (subs.isEmpty) state.remove() else state.update(SubscriberSet(subs))
           out.iterator
       }
   }

@@ -126,6 +126,37 @@ class ConfigPlaneSpec extends AnyFunSuite {
     assert(items.head.itemNameid.contains(99L))
   }
 
+  test("parse: '#' inside a value is content, not a comment; malformed items discarded") {
+    val cfg = ConfigPlane.parse(
+      """TRACKING_ITEMS:
+        |- market_hash_name: Sticker | Team#1  # trailing comment goes
+        |  appid: 730
+        |  currency: 1
+        |  country: US
+        |  language: english
+        |  polling-interval-in-seconds: 30
+        |  api_id: priceoverview
+        |- market_hash_name: Broken Item
+        |  appid: 730
+        |  api_id: priceoverview
+        |""".stripMargin)
+    // one valid item survives (non-whitespace-preceded '#' is content,
+    // the " # trailing" comment is stripped), the field-less one is
+    // dropped instead of failing the whole load
+    assert(cfg.trackingItems.map(_.marketHashName) == Seq("Sticker | Team#1"))
+  }
+
+  test("render: top-level keys BELOW the items block survive writeback") {
+    val withTail = sample + "\nEXTRA_KEY: 42\n"
+    val items = Seq(TrackingItem("Item Beta", 730, 1, "US", "english", 30,
+      "priceoverview", None))
+    val out = ConfigPlane.render(withTail, items)
+    assert(out.contains("EXTRA_KEY: 42"))
+    assert(out.indexOf("EXTRA_KEY") > out.indexOf("TRACKING_ITEMS"))
+    // and the rewrite is still byte-stable
+    assert(ConfigPlane.render(out, items) == out)
+  }
+
   test("WritebackGuard: recognises its own echo, not foreign edits") {
     val g = new ConfigPlane.WritebackGuard
     assert(!g.isOwnEcho(sample))

@@ -105,5 +105,9 @@ class SequenceSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
       4L -> 4L, 5L -> 4L, 6L -> 6L))
+    // non-convergence must FAIL, not return partial labels silently
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(vertices, edges, maxIter = 1).collect()
+    }
   }
 }
