@@ -78,6 +78,29 @@ object TextAnalysis {
       .select(col(idCol), col("lang").as("pred_lang"), col("overlap"))
   }
 
+  /** Benchmark decontamination: training docs sharing ≥1 word n-gram with
+    * the eval set (the GPT-3-style 13-gram overlap check, n scaled to the
+    * corpus). Output: (idCol, n_hits) — n_hits = how many of the doc's
+    * distinct n-gram shingles appear anywhere in the eval set.
+    *
+    * Scale shape: the eval side is small by construction (benchmarks are
+    * KBs, corpora are TBs) — its distinct shingle-hash set BROADCASTS, so
+    * the 100 TB training side streams through one codegen'd
+    * shingle-explode + broadcast hash join + partial-agg count, with no
+    * shuffle of the corpus and no materialized n-gram strings (long
+    * hashes only, same fused kernel as the dedup family). */
+  def contamination(train: DataFrame, evalDf: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val evalSh = broadcast(evalDf
+      .select(explode(Dedup.shingleHashes(col(textCol), n)).as("h"))
+      .distinct())
+    train
+      .select(col(idCol), explode(Dedup.shingleHashes(col(textCol), n)).as("h"))
+      .join(evalSh, "h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Whitespace, regex-word, and BPE-estimate token counts. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String,
                   lenCol: String): DataFrame =

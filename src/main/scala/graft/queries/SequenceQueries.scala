@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Sequence}
+import graft.operators.{Dedup, Sequence, TextAnalysis}
 
 /** Training-data pipeline pack, part 5: sequence preparation (chunking,
   * packing), repetition quality signals, and near-dup clustering — the
@@ -13,6 +13,10 @@ import graft.operators.{Dedup, Sequence}
   * formulas (list slicing, window cumsum, recursive closure). */
 object SequenceQueries {
   type Q = (SparkSession, String) => DataFrame
+
+  private val P = Dedup.HashMod // 1e9+7
+  private val polyHashLambda =
+    s"s -> list_reduce(list_transform(string_split(s,''), c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc*31 + x) % $P)"
 
   // ---- fixed-window token chunking -----------------------------------------
   private val ChunkW = 32
@@ -118,6 +122,37 @@ object SequenceQueries {
       |       CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS DOUBLE) / SUM(cnt) AS rep_token_frac
       |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- benchmark decontamination -------------------------------------------
+  /** Train/eval split by doc_id % 10 (eval = 0 mod 10 — a stand-in for a
+    * benchmark table); a training doc is contaminated if it shares ≥1
+    * distinct 5-gram with ANY eval doc. */
+  private val ContamN = 5
+
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    TextAnalysis.contamination(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", ContamN)
+      .orderBy(col("doc_id"))
+  }
+  val decontaminateSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_transform(string_split(trim(text), ' '), $polyHashLambda) AS th
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, CASE WHEN len(th) >= $ContamN THEN list_distinct(
+       |    list_transform(range(0, len(th)-$ContamN+1),
+       |      i -> list_reduce(th[i+1:i+$ContamN], (a,b) -> (a*131 + b) % $P)))
+       |    ELSE [] END AS sh FROM toks
+       |), ev AS (
+       |  SELECT DISTINCT unnest(sh) AS h FROM sh WHERE doc_id % 10 = 0
+       |)
+       |SELECT t.doc_id, COUNT(*) AS n_hits
+       |FROM (SELECT doc_id, unnest(sh) AS h FROM sh WHERE doc_id % 10 <> 0) t
+       |JOIN ev USING (h)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   // ---- near-dup clusters: pairs → components → canonical doc ---------------
   /** Edges = exact-dup pairs (md5) ∪ MinHash-verified near-dup pairs
     * (jaccard ≥ 0.5); components by min-label propagation; canonical =
@@ -188,6 +223,7 @@ object SequenceQueries {
     "pack_sequences" -> (packSequences _),
     "pack_stats" -> (packStats _),
     "text_repetition" -> (textRepetition _),
+    "decontaminate" -> (decontaminate _),
     "dedup_clusters" -> (dedupClusters _))
 
   val oracle: Map[String, String] = Map(
@@ -195,5 +231,6 @@ object SequenceQueries {
     "pack_sequences" -> packSequencesSql,
     "pack_stats" -> packStatsSql,
     "text_repetition" -> textRepetitionSql,
+    "decontaminate" -> decontaminateSql,
     "dedup_clusters" -> dedupClustersSql)
 }

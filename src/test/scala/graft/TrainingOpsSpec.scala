@@ -143,6 +143,23 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out(0L) == "en" && out(2L) == "en")
   }
 
+  test("contamination: train docs sharing an n-gram with eval flagged, clean docs not") {
+    val s = spark
+    import s.implicits._
+    val train = Seq(
+      (0L, "alpha beta gamma delta shared eval phrase here today"), // contains eval 5-gram
+      (1L, "totally different content with no overlap at all")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "the shared eval phrase here today appears in benchmarks")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(train, eval_, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 0 shares the 5-grams covering "shared eval phrase here today"
+    assert(out.contains(0L) && out(0L) >= 1L)
+    assert(!out.contains(1L))
+  }
+
   test("tokenCounts: ws vs regex vs bpe estimate") {
     val r = TextAnalysis.tokenCounts(docs, "doc_id", "text", "n_chars")
       .filter(col("doc_id") === 0).collect()(0)
