@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Domain-mixing operators for training-data assembly: rebalance a corpus
+  * across sources with temperature sampling (p_s ∝ n_s^α, the multilingual
+  * / multi-domain rebalancing rule) using deterministic hash-threshold
+  * selection instead of RNG.
+  *
+  * Reproducibility contract: per-source weights are sqrt counts quantized
+  * to integers (×1e6, floored) so their SUM is exact long arithmetic —
+  * partition-order-independent on any cluster and bitwise-replayable by
+  * the oracle; the only double math left is a fixed-shape chain of
+  * IEEE-deterministic ops (one sqrt, two divides, two multiplies, floor).
+  *
+  * Scale shape: pass 1 is a tiny groupBy(source) count (map-side partial
+  * agg, result is #sources rows); the per-source keep thresholds BROADCAST
+  * back, so pass 2 is a scan + broadcast hash join + filter — the corpus
+  * is never shuffled.
+  */
+object Mix {
+
+  /** Multiplier for the scramble rounds: prime, large enough that a ±1
+    * hash delta wraps mod P ~1000× after two rounds, small enough that
+    * h·M never overflows a long (P·M < 2^50). */
+  val ScrambleM = 999983L
+
+  /** Threshold-sampling hash: polyHash avalanched by two multiplicative
+    * Lehmer rounds mod P. Raw polyHash values of near-identical texts
+    * (docs differing in a trailing digit) cluster within a few hundred of
+    * each other — fine for mod-100 rate gates, fatal for a full-range
+    * threshold compare. Two ×M mod P rounds spread a ±1 delta across the
+    * whole range while staying in exact long arithmetic (DuckDB BIGINT
+    * errors on 64-bit wraparound, so xor/shift mixers are not
+    * oracle-replayable; mod-P products are). */
+  def sampleHash(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val p = Dedup.HashMod
+    (Dedup.polyHash(text) * ScrambleM % p) * ScrambleM % p
+  }
+
+  /** Per-source keep thresholds for α=0.5 temperature sampling at a target
+    * corpus fraction. Output: (srcCol, n_s, thr) where a doc survives iff
+    * polyHash(text) < thr. keep_prob_s = min(1, target_n·(w_s/Σw)/n_s)
+    * with w_s = ⌊√n_s·1e6⌋ and target_n = ⌊N·targetFrac⌋. */
+  def temperatureThresholds(df: DataFrame, srcCol: String,
+                            targetFrac: Double): DataFrame = {
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n_s"))
+    val weighted = counts.withColumn("w_q",
+      floor(sqrt(col("n_s").cast("double")) * 1e6))
+    val totals = weighted.agg(sum(col("w_q")).as("total_q"),
+      sum(col("n_s")).as("n_total"))
+    weighted.crossJoin(broadcast(totals))
+      .withColumn("target_n", floor(col("n_total").cast("double") * targetFrac))
+      .withColumn("keep_prob", least(lit(1.0),
+        col("target_n").cast("double") *
+          (col("w_q").cast("double") / col("total_q").cast("double")) /
+          col("n_s").cast("double")))
+      .withColumn("thr", floor(col("keep_prob") * Dedup.HashMod))
+      .select(col(srcCol), col("n_s"), col("thr"))
+  }
+
+  /** α=0.5 temperature mix report: per source, input size, kept size, and
+    * realized keep fraction. Rare sources keep (up to) everything, dominant
+    * sources are downsampled toward the √-flattened target mix. */
+  def temperatureSample(df: DataFrame, idCol: String, srcCol: String,
+                        textCol: String, targetFrac: Double): DataFrame = {
+    val rates = temperatureThresholds(df, srcCol, targetFrac)
+    df.select(col(srcCol), sampleHash(col(textCol)).as("h"))
+      .join(broadcast(rates), srcCol)
+      .groupBy(col(srcCol), col("n_s"))
+      .agg(sum(when(col("h") < col("thr"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col(srcCol), col("n_s").as("n_in"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_s").cast("double")).as("keep_frac"))
+  }
+}

@@ -72,6 +72,29 @@ object Sequence {
         floor((col("end_offset") - 1) / capacity).as("bin_last"))
   }
 
+  /** Deterministic global shuffle for training-order assembly: every doc
+    * gets a shard (content hash mod nShards) and a position within its
+    * shard (ordered by hash, id tie-break). The "shuffle" is really a
+    * hash-sort — reproducible on any cluster size, stable under reruns
+    * and backfills, and with no RNG/seed plumbing (the property a
+    * `rand()`-keyed repartition lacks). Output: (idCol, h, shard, pos).
+    *
+    * Scale shape: one hash-partition exchange on shard + a per-partition
+    * sort — the minimal plan for any global ordering; shards are
+    * independent, so 1000 executors order 1000 shards concurrently and a
+    * trainer reads each shard sequentially. Input columns are carried
+    * through so downstream stages need no re-join. */
+  def shuffleShards(df: DataFrame, idCol: String, textCol: String,
+                    nShards: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col(idCol))
+    // scrambled hash (Mix.sampleHash): raw polyHash of near-identical texts
+    // clusters, which would place similar docs ADJACENT in shard order —
+    // the opposite of a shuffle
+    df.withColumn("h", Mix.sampleHash(col(textCol)))
+      .withColumn("shard", pmod(col("h"), lit(nShards)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** Per-shard packing summary: windows used vs the lower bound
     * ⌈tokens/capacity⌉ — the packing-efficiency report a batch builder
     * reads. */

@@ -101,6 +101,35 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** PII patterns in scrub order (type, regex, replacement token). Email
+    * runs first so its digit runs are masked before the phone pattern can
+    * see them; the phone pattern requires a leading '+' so it never fires
+    * inside an IP. Patterns stay in the RE2-compatible subset (no
+    * backreferences, bounded classes) so the Java-regex engine and the
+    * oracle's RE2 agree match-for-match. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\+\\d[\\d-]{6,}\\d", "<PHONE>"))
+
+  /** PII detection + redaction: per-doc counts of each PII type (on the
+    * original text) and the text with all occurrences replaced by type
+    * tokens, applied in [[PiiPatterns]] order. Output: (idCol, n_email,
+    * n_ip, n_phone, redacted).
+    *
+    * Pure projection — regexp_count/regexp_replace are codegen'd builtins,
+    * no shuffle, no UDF — so at 100 TB this runs at scan speed with
+    * predicate pushdown intact. */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      regexp_count(col(textCol), lit(pat)).cast("long").as(s"n_$name")
+    }
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    df.select(col(idCol) +: counts :+ redacted.as("redacted"): _*)
+  }
+
   /** Whitespace, regex-word, and BPE-estimate token counts. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String,
                   lenCol: String): DataFrame =

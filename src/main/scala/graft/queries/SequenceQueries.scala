@@ -153,6 +153,36 @@ object SequenceQueries {
        |JOIN ev USING (h)
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  // ---- deterministic global shuffle → shards -------------------------------
+  /** Per-shard summary of the hash-shuffled training order: doc count,
+    * char volume, and a position-weighted order fingerprint
+    * Σ(pos·h mod P) mod P — any reordering of any shard changes it, so
+    * the oracle pins the exact global order, not just membership. */
+  private val ShuffleShards = 16
+
+  def shuffleShards(s: SparkSession, d: String): DataFrame =
+    Sequence.shuffleShards(Tables.documents(s, d), "doc_id", "text", ShuffleShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"),
+        (sum(pmod(col("pos") * col("h"), lit(P))) % P).as("order_fp"))
+      .orderBy(col("shard"))
+  val shuffleShardsSql: String =
+    s"""WITH hashed AS (
+       |  SELECT doc_id, n_chars,
+       |    (list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+       |      (acc, x) -> (acc*31 + x) % $P)
+       |     * ${graft.operators.Mix.ScrambleM} % $P) * ${graft.operators.Mix.ScrambleM} % $P AS h
+       |  FROM documents
+       |), sharded AS (
+       |  SELECT doc_id, n_chars, h, CAST(h % $ShuffleShards AS INTEGER) AS shard,
+       |    row_number() OVER (PARTITION BY h % $ShuffleShards ORDER BY h, doc_id) AS pos
+       |  FROM hashed)
+       |SELECT shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+       |  CAST(SUM((pos * h) % $P) % $P AS BIGINT) AS order_fp
+       |FROM sharded GROUP BY shard ORDER BY shard""".stripMargin
+
   // ---- near-dup clusters: pairs → components → canonical doc ---------------
   /** Edges = exact-dup pairs (md5) ∪ MinHash-verified near-dup pairs
     * (jaccard ≥ 0.5); components by min-label propagation; canonical =
@@ -224,6 +254,7 @@ object SequenceQueries {
     "pack_stats" -> (packStats _),
     "text_repetition" -> (textRepetition _),
     "decontaminate" -> (decontaminate _),
+    "shuffle_shards" -> (shuffleShards _),
     "dedup_clusters" -> (dedupClusters _))
 
   val oracle: Map[String, String] = Map(
@@ -232,5 +263,6 @@ object SequenceQueries {
     "pack_stats" -> packStatsSql,
     "text_repetition" -> textRepetitionSql,
     "decontaminate" -> decontaminateSql,
+    "shuffle_shards" -> shuffleShardsSql,
     "dedup_clusters" -> dedupClustersSql)
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Mix, TextAnalysis}
 
 /** Training-data pipeline pack, part 3: text analysis over `documents` —
   * token/quality stats, corpus-learned language-ID, token counting, and
@@ -185,6 +185,68 @@ object TextQueries {
        |WHERE h < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
        |ORDER BY doc_id""".stripMargin
 
+  // ---- PII detection + redaction -------------------------------------------
+  /** The synthetic corpus carries no PII, so docs with doc_id ≡ 0 (mod 3)
+    * are deterministically augmented with an email, an IPv4, and a phone
+    * number derived from doc_id (both engines build the identical string);
+    * the scrub must count and mask exactly those, and leave the other
+    * docs byte-identical. */
+  def textPiiScrub(s: SparkSession, d: String): DataFrame = {
+    val aug = when(col("doc_id") % 3 === 0,
+      concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail.example ip 10."),
+        pmod(col("doc_id"), lit(256)), lit(".0."), pmod(col("doc_id") * 7, lit(256)),
+        lit(" tel +1-555-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .otherwise(col("text"))
+    TextAnalysis.piiScrub(
+        Tables.documents(s, d).withColumn("text", aug), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+  private val Seq(emailPat, ipPat, phonePat) = TextAnalysis.PiiPatterns.map(_._2)
+  val textPiiScrubSql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN
+       |    text || ' contact user' || doc_id || '@mail.example ip 10.' ||
+       |    (doc_id % 256) || '.0.' || ((doc_id * 7) % 256) ||
+       |    ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |  ELSE text END AS text FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$emailPat')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(text, '$ipPat')) AS BIGINT) AS n_ip,
+       |  CAST(len(regexp_extract_all(text, '$phonePat')) AS BIGINT) AS n_phone,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$emailPat', '<EMAIL>', 'g'), '$ipPat', '<IP>', 'g'),
+       |    '$phonePat', '<PHONE>', 'g') AS redacted
+       |FROM aug ORDER BY doc_id""".stripMargin
+
+  // ---- α=0.5 temperature domain mixing -------------------------------------
+  def mixTemperature(s: SparkSession, d: String): DataFrame =
+    Mix.temperatureSample(Tables.documents(s, d), "doc_id", "source", "text", 0.3)
+      .orderBy(col("source"))
+  val mixTemperatureSql: String =
+    s"""WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+       |w AS (SELECT source, n_s,
+       |        CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * 1e6) AS BIGINT) AS w_q FROM c),
+       |t AS (SELECT CAST(SUM(w_q) AS BIGINT) AS total_q,
+       |             CAST(SUM(n_s) AS BIGINT) AS n_total FROM w),
+       |r AS (SELECT source, n_s,
+       |        CAST(floor(least(1.0,
+       |          CAST(CAST(floor(CAST(n_total AS DOUBLE) * 0.3) AS BIGINT) AS DOUBLE)
+       |            * (CAST(w_q AS DOUBLE) / CAST(total_q AS DOUBLE))
+       |            / CAST(n_s AS DOUBLE)) * ${Dedup.HashMod}) AS BIGINT) AS thr
+       |      FROM w CROSS JOIN t),
+       |h AS (SELECT source,
+       |        (list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+       |          (acc, x) -> (acc*31 + x) % ${Dedup.HashMod})
+       |         * ${Mix.ScrambleM} % ${Dedup.HashMod}) * ${Mix.ScrambleM} % ${Dedup.HashMod} AS h
+       |      FROM documents)
+       |SELECT r.source, r.n_s AS n_in,
+       |       CAST(SUM(CASE WHEN h.h < r.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(SUM(CASE WHEN h.h < r.thr THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(r.n_s AS DOUBLE) AS keep_frac
+       |FROM h JOIN r USING (source)
+       |GROUP BY r.source, r.n_s ORDER BY r.source""".stripMargin
+
   // ---- composite curation pipeline: dedup + quality + langid → verdict -----
   /** The realistic end-to-end curation job: per document, combine
     * exact-dup status, quality stats, and predicted language into a
@@ -253,6 +315,8 @@ object TextQueries {
 
   val defs: Map[String, Q] = Map(
     "text_winnow" -> (textWinnow _),
+    "text_pii_scrub" -> (textPiiScrub _),
+    "mix_temperature" -> (mixTemperature _),
     "sample_stratified" -> (sampleStratified _),
     "text_langid_chargram" -> (textLangidChargram _),
     "curation_pipeline" -> (curationPipeline _),
@@ -263,6 +327,8 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "text_winnow" -> textWinnowSql,
+    "text_pii_scrub" -> textPiiScrubSql,
+    "mix_temperature" -> mixTemperatureSql,
     "sample_stratified" -> sampleStratifiedSql,
     "text_langid_chargram" -> textLangidChargramSql,
     "curation_pipeline" -> curationPipelineSql,

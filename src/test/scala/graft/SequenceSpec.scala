@@ -110,4 +110,22 @@ class SequenceSpec extends AnyFunSuite {
       Dedup.connectedComponents(vertices, edges, maxIter = 1).collect()
     }
   }
+
+  test("shuffleShards: every doc placed once, positions contiguous per shard, rerun-stable") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 200).map(i => (i.toLong, s"doc body number $i with words")).toDF("doc_id", "text")
+    val out = Sequence.shuffleShards(docs, "doc_id", "text", 8).collect()
+    assert(out.length == 200)
+    assert(out.forall(r => { val sh = r.getAs[Int]("shard"); sh >= 0 && sh < 8 }))
+    // positions are 1..n within each shard, no gaps or dups
+    out.groupBy(_.getAs[Int]("shard")).foreach { case (_, rows) =>
+      val pos = rows.map(_.getAs[Long]("pos")).sorted
+      assert(pos.toSeq == (1L to rows.length).toSeq)
+    }
+    // deterministic: a second run yields the identical placement
+    val again = Sequence.shuffleShards(docs, "doc_id", "text", 8).collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Long]("pos"))).toSet ==
+      again.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Long]("pos"))).toSet)
+  }
 }

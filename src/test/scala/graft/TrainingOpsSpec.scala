@@ -160,6 +160,36 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(!out.contains(1L))
   }
 
+  test("piiScrub: masks email/ip/phone, counts match, clean text untouched") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "reach me at jane.doe+spam@corp.example.org or +1-555-0142 from 192.168.0.7"),
+      (1L, "no personal data in this row at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(1) == 1L && out(0L).getLong(2) == 1L && out(0L).getLong(3) == 1L)
+    assert(out(0L).getString(4) == "reach me at <EMAIL> or <PHONE> from <IP>")
+    assert(out(1L).getLong(1) == 0L && out(1L).getString(4) == "no personal data in this row at all")
+  }
+
+  test("temperatureSample: rare source keeps a higher fraction than dominant source") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 900).map(i => (i.toLong, s"common doc number $i", "big")) ++
+      (900 until 1000).map(i => (i.toLong, s"rare doc number $i", "small"))
+    val out = graft.operators.Mix
+      .temperatureSample(docs.toDF("doc_id", "text", "source"), "doc_id", "source", "text", 0.3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("big")._1 == 900L && out("small")._1 == 100L)
+    // sqrt flattening: the rare source's keep fraction must exceed the dominant's
+    assert(out("small")._3 > out("big")._3)
+    // and total kept lands near the 30% target (hash-threshold noise allowed)
+    val kept = out.values.map(_._2).sum
+    assert(kept > 200 && kept < 400, s"kept $kept of 1000, expected ~300")
+  }
+
   test("tokenCounts: ws vs regex vs bpe estimate") {
     val r = TextAnalysis.tokenCounts(docs, "doc_id", "text", "n_chars")
       .filter(col("doc_id") === 0).collect()(0)
