@@ -130,6 +130,25 @@ object TextAnalysis {
     df.select(col(idCol) +: counts :+ redacted.as("redacted"): _*)
   }
 
+  /** Adjacent-symbol pair counts over all corpus words — the distributed
+    * kernel of BPE vocab induction. One merge round = take the top pair,
+    * rewrite, recount; the loop is driver-orchestrated (merge tables are
+    * KBs), but each round's count — the part that touches the corpus — is
+    * this: explode words → generate in-word adjacent pairs → one
+    * map-side-combinable groupBy. No arrays materialized per word; the
+    * generator emits (pos, 2-char substring) pairs straight into the
+    * partial aggregation. Output: (pair, cnt), the top `k` by
+    * (cnt desc, pair asc) — a total order, so the top-k SET is
+    * deterministic. */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(split(trim(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w").substr(col("i"), lit(2)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+
   /** Whitespace, regex-word, and BPE-estimate token counts. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String,
                   lenCol: String): DataFrame =

@@ -247,6 +247,20 @@ object TextQueries {
        |FROM h JOIN r USING (source)
        |GROUP BY r.source, r.n_s ORDER BY r.source""".stripMargin
 
+  // ---- BPE vocab induction: adjacent-pair counting kernel ------------------
+  def vocabBpePairs(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bpePairCounts(Tables.documents(s, d), "text", 50)
+      .orderBy(col("cnt").desc, col("pair").asc)
+  val vocabBpePairsSql: String =
+    """WITH w AS (
+      |  SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents
+      |), pairs AS (
+      |  SELECT substr(w, CAST(unnest(range(1, length(w))) AS INTEGER), 2) AS pair
+      |  FROM w WHERE length(w) >= 2
+      |)
+      |SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair
+      |ORDER BY cnt DESC, pair ASC LIMIT 50""".stripMargin
+
   // ---- composite curation pipeline: dedup + quality + langid → verdict -----
   /** The realistic end-to-end curation job: per document, combine
     * exact-dup status, quality stats, and predicted language into a
@@ -317,6 +331,7 @@ object TextQueries {
     "text_winnow" -> (textWinnow _),
     "text_pii_scrub" -> (textPiiScrub _),
     "mix_temperature" -> (mixTemperature _),
+    "vocab_bpe_pairs" -> (vocabBpePairs _),
     "sample_stratified" -> (sampleStratified _),
     "text_langid_chargram" -> (textLangidChargram _),
     "curation_pipeline" -> (curationPipeline _),
@@ -329,6 +344,7 @@ object TextQueries {
     "text_winnow" -> textWinnowSql,
     "text_pii_scrub" -> textPiiScrubSql,
     "mix_temperature" -> mixTemperatureSql,
+    "vocab_bpe_pairs" -> vocabBpePairsSql,
     "sample_stratified" -> sampleStratifiedSql,
     "text_langid_chargram" -> textLangidChargramSql,
     "curation_pipeline" -> curationPipelineSql,

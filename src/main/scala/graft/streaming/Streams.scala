@@ -55,6 +55,25 @@ object Streams {
       }
       .start()
 
+  /** Streaming corpus ingest with exact-dup suppression — the
+    * dedup-on-arrival step of a continuously-fed training corpus: only
+    * the FIRST document with a given content hash (within the watermark
+    * horizon) survives to the curated stream. Built on
+    * dropDuplicatesWithinWatermark keyed on md5(text), so the dedup state
+    * store holds one 32-char hash per distinct doc and is EVICTED as the
+    * watermark passes — bounded state, unlike a raw dropDuplicates whose
+    * state grows with the corpus forever. Docs that race inside one
+    * micro-batch dedup there too (same keyed state). For dedup beyond the
+    * horizon (resubmission weeks later), compose with the batch
+    * `Dedup.exactDedup` over the landed table — horizon dedup in-stream,
+    * full-history dedup in the nightly compaction, which is how a 100 TB
+    * ingest keeps its state store in memory. */
+  def corpusIngestDedup(stream: DataFrame, textCol: String, tsCol: String,
+                        lateness: String): DataFrame =
+    stream.withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** A5: sliding event-time request count (rate-limiter reconstruction:
     * 1 request = 1 row, summed per sliding window). */
   def slidingRequestCount(stream: DataFrame, tsCol: String,

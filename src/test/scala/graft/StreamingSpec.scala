@@ -42,6 +42,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.length == 3) // the re-sent 00:01 point was suppressed
   }
 
+  case class Doc(doc_id: Long, text: String, arrived: Timestamp)
+
+  test("corpusIngestDedup: same content suppressed across batches, distinct content passes") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Doc]
+    val q = Streams.corpusIngestDedup(in.toDF(), "text", "arrived", "10 minutes")
+      .writeStream.format("memory").queryName("ingest_out").outputMode("append").start()
+    in.addData(Doc(0L, "alpha doc body", ts("2024-01-01 00:00:00")),
+               Doc(1L, "beta doc body", ts("2024-01-01 00:00:30")),
+               Doc(2L, "alpha doc body", ts("2024-01-01 00:00:40"))) // in-batch dup of 0
+    q.processAllAvailable()
+    in.addData(Doc(3L, "alpha doc body", ts("2024-01-01 00:01:00")), // cross-batch dup of 0
+               Doc(4L, "gamma doc body", ts("2024-01-01 00:01:30")))
+    q.processAllAvailable()
+    val out = s.table("ingest_out").collect()
+    q.stop()
+    assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(0L, 1L, 4L))
+  }
+
   test("T6 source-side rate limit: maxFilesPerTrigger throttles ingestion to N files per batch") {
     // the reference's RateLimiter (src/RateLimiter.py:5-49) gates HTTP
     // calls; on the engine side the same role is the source admission

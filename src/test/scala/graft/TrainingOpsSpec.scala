@@ -190,6 +190,19 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(kept > 200 && kept < 400, s"kept $kept of 1000, expected ~300")
   }
 
+  test("bpePairCounts: most frequent adjacent pair wins; single chars excluded") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "aaab aaab ab x"), (1L, "aaab x y")).toDF("doc_id", "text")
+    // 'aa' appears 2x in each "aaab" (3 occurrences of the word) = 6;
+    // 'ab' appears once per "aaab" + the standalone "ab" = 4; 1-char words drop
+    val out = TextAnalysis.bpePairCounts(docs, "text", 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(out.head == ("aa" -> 6L))
+    assert(out.toMap.apply("ab") == 4L)
+    assert(!out.map(_._1).contains("x"))
+  }
+
   test("tokenCounts: ws vs regex vs bpe estimate") {
     val r = TextAnalysis.tokenCounts(docs, "doc_id", "text", "n_chars")
       .filter(col("doc_id") === 0).collect()(0)
