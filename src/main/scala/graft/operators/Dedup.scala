@@ -89,13 +89,45 @@ object Dedup {
     jaccardVerify(cand, sh, threshold)
   }
 
+  /** Incremental near-dup check: ONLY the incoming batch against the
+    * standing corpus (plus nothing within either side) — the production
+    * shape of corpus maintenance, where re-deduping 100 TB on every
+    * nightly delivery is the thing you must never do. Band keys are
+    * computed for both sides, but the incoming side is a vanishing
+    * fraction of the corpus, so its banded table is tiny and the join
+    * cost tracks the DELTA, not the corpus. At steady state the corpus
+    * band table is a materialized incremental view (append-only — new
+    * docs only add band rows), so the nightly cost is
+    * O(delta + matches). Output: (new_id, old_id, jaccard ≥ threshold).
+    */
+  def minhashPairsAgainst(newDf: DataFrame, oldDf: DataFrame, idCol: String,
+                          textCol: String, threshold: Double,
+                          k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    def banded(df: DataFrame) = shingleTable(df, idCol, textCol)
+      .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+      .select(col("id"), posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
+    val cand = banded(newDf).as("a").join(banded(oldDf).as("b"), Seq("band", "key"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    jaccardVerify2(cand, shingleTable(newDf, idCol, textCol),
+        shingleTable(oldDf, idCol, textCol), threshold)
+      .select(col("id_a").as("new_id"), col("id_b").as("old_id"), col("jaccard"))
+  }
+
   /** Join shingle sets onto candidate (id_a, id_b) pairs and keep those
     * with exact Jaccard ≥ threshold. Integer sizes → one double division:
     * bitwise-reproducible across engines. */
-  private def jaccardVerify(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+  private def jaccardVerify(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    jaccardVerify2(cand, sh, sh, threshold)
+
+  /** As jaccardVerify but with distinct shingle tables for the two pair
+    * sides (asymmetric joins, e.g. incremental new-vs-old dedup). */
+  private def jaccardVerify2(cand: DataFrame, shA: DataFrame, shB: DataFrame,
+                             threshold: Double): DataFrame = {
     val withSets = cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(shA.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shB.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
     withSets.withColumn("jaccard", inter / union)

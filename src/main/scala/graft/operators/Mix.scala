@@ -60,6 +60,25 @@ object Mix {
       .select(col(srcCol), col("n_s"), col("thr"))
   }
 
+  /** Greedy token-budget selection: per source, take documents in
+    * descending score order until the token budget is exhausted (the
+    * "best docs under N tokens per domain" assembly step). One window
+    * cumsum per source — hash-partition on source, per-partition sort —
+    * and the (scoreCol desc, idCol) order is total, so the selected SET
+    * is deterministic on any cluster. Output: input row + cum_tokens.
+    *
+    * Note the boundary rule: a doc is kept iff the budget still covers
+    * its ENTIRE token count (cum ≤ budget), so the budget is never
+    * exceeded. */
+  def budgetSelect(df: DataFrame, idCol: String, srcCol: String,
+                   scoreCol: String, tokensCol: String, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol)).orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** α=0.5 temperature mix report: per source, input size, kept size, and
     * realized keep fraction. Rare sources keep (up to) everything, dominant
     * sources are downsampled toward the √-flattened target mix. */

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Sequence, TextAnalysis}
+import graft.operators.{Dedup, Mix, Sequence, TextAnalysis}
 
 /** Training-data pipeline pack, part 5: sequence preparation (chunking,
   * packing), repetition quality signals, and near-dup clustering — the
@@ -183,6 +183,32 @@ object SequenceQueries {
        |  CAST(SUM((pos * h) % $P) % $P AS BIGINT) AS order_fp
        |FROM sharded GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ---- greedy token-budget selection per source ----------------------------
+  /** Best docs (by distinct-token count) under a 2000-token budget per
+    * source — the "assemble the best N tokens per domain" step. */
+  private val TokenBudget = 500L
+
+  def budgetSelect(s: SparkSession, d: String): DataFrame = {
+    val t = split(trim(col("text")), " ")
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      size(array_distinct(t)).cast("long").as("score"),
+      size(t).cast("long").as("n_tokens"))
+    Mix.budgetSelect(docs, "doc_id", "source", "score", "n_tokens", TokenBudget)
+      .orderBy(col("doc_id"))
+  }
+  val budgetSelectSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT) AS score,
+       |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, source, score, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM t)
+       |SELECT * FROM c WHERE cum_tokens <= $TokenBudget ORDER BY doc_id""".stripMargin
+
   // ---- near-dup clusters: pairs → components → canonical doc ---------------
   /** Edges = exact-dup pairs (md5) ∪ MinHash-verified near-dup pairs
     * (jaccard ≥ 0.5); components by min-label propagation; canonical =
@@ -255,6 +281,7 @@ object SequenceQueries {
     "text_repetition" -> (textRepetition _),
     "decontaminate" -> (decontaminate _),
     "shuffle_shards" -> (shuffleShards _),
+    "budget_select" -> (budgetSelect _),
     "dedup_clusters" -> (dedupClusters _))
 
   val oracle: Map[String, String] = Map(
@@ -264,5 +291,6 @@ object SequenceQueries {
     "text_repetition" -> textRepetitionSql,
     "decontaminate" -> decontaminateSql,
     "shuffle_shards" -> shuffleShardsSql,
+    "budget_select" -> budgetSelectSql,
     "dedup_clusters" -> dedupClustersSql)
 }

@@ -129,17 +129,54 @@ object TrainingQueries {
        |    (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- incremental near-dup: incoming batch vs standing corpus -------------
+  /** Incoming = doc_id ≡ 0 (mod 5) (a stand-in for the nightly delivery);
+    * corpus = the rest. Only new-vs-old pairs are produced — within-batch
+    * and within-corpus dups are other jobs' concern. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.minhashPairsAgainst(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", threshold = 0.5)
+      .orderBy(col("new_id"), col("old_id"))
+  }
+  val dedupIncrementalSql: String =
+    s"""WITH $shingleCtes, sig AS (
+       |  SELECT doc_id, list_transform(range(0,16), j ->
+       |    list_min(list_transform(sh, h -> ((2*j+1)*h + 7919*j + 12345) % $P))) AS sig
+       |  FROM sh
+       |), mh AS (
+       |  SELECT doc_id, bk.band AS band, bk.key AS key FROM (
+       |    SELECT doc_id, unnest(list_transform(range(0,4), b ->
+       |      {'band': b, 'key': list_reduce(sig[b*4+1:b*4+4], (acc,x) -> (acc*1000003 + x) % $P)})) AS bk
+       |    FROM sig)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+       |  FROM mh a JOIN mh b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+       |)
+       |SELECT new_id, old_id,
+       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |    (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) AS jaccard
+       |FROM cand JOIN sh sa ON sa.doc_id = new_id JOIN sh sb ON sb.doc_id = old_id
+       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |    (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) >= 0.5
+       |ORDER BY new_id, old_id""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_ngram_pairs" -> (dedupNgramPairs _))
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_pairs" -> dedupMinhashPairsSql,
     "dedup_simhash" -> dedupSimhashSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_ngram_pairs" -> dedupNgramPairsSql)
 }

@@ -87,4 +87,18 @@ class DedupSpec extends AnyFunSuite {
     // documented recall tradeoff)
     assert(!pairs.exists(p => p._1 == 0L && p._2 == 2L))
   }
+
+  test("minhashPairsAgainst: new-vs-old pairs only, no within-side pairs") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val oldDocs = Seq((0L, base),
+      (1L, "completely different text about spark plans and shuffles here")).toDF("doc_id", "text")
+    val newDocs = Seq((10L, base), // exact copy of old 0
+      (11L, base), // within-batch dup of 10 — must NOT pair with it
+      (12L, "unrelated fresh content with brand new words only")).toDF("doc_id", "text")
+    val out = Dedup.minhashPairsAgainst(newDocs, oldDocs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(out.toSeq == Seq((10L, 0L, 1.0), (11L, 0L, 1.0)))
+  }
 }

@@ -190,6 +190,21 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(kept > 200 && kept < 400, s"kept $kept of 1000, expected ~300")
   }
 
+  test("budgetSelect: best-scored docs kept until the budget would be exceeded") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // source A: scores 5,4,3 with 60,50,40 tokens under budget 100:
+      // keep score-5 (cum 60), skip score-4 (cum 110 > 100), score-3 also
+      // out (cum tracks skipped rows too: greedy-by-rank, not knapsack)
+      (0L, "a", 5L, 60L), (1L, "a", 4L, 50L), (2L, "a", 3L, 40L),
+      (3L, "b", 9L, 100L), (4L, "b", 8L, 1L)
+    ).toDF("doc_id", "source", "score", "n_tokens")
+    val kept = graft.operators.Mix.budgetSelect(docs, "doc_id", "source", "score", "n_tokens", 100L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(0L, 3L))
+  }
+
   test("bpePairCounts: most frequent adjacent pair wins; single chars excluded") {
     val s = spark
     import s.implicits._
