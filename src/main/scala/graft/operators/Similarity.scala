@@ -164,6 +164,40 @@ object Similarity {
           .as("centroid"))
   }
 
+  /** Product-quantization encoding — the compression half of IVF-PQ, the
+    * layout that makes billion-vector ANN fit in memory: each vector is
+    * cut into `m` contiguous subvectors and every subvector is replaced by
+    * the id of its nearest (max-cosine, the metric this whole family
+    * ranks by) sub-centroid. Sub-centroids here are the subvectors of the
+    * `ksub` lowest-id corpus vectors — the same seeding rule as the IVF
+    * coarse quantizer, so the two stay replayable together ([[kmeansRefine]]
+    * refines either without changing the query shape).
+    *
+    * Plan shape: centroids BROADCAST (ksub rows); the corpus streams
+    * through a generate (m subspaces) × ksub scoring projection, and the
+    * per-(vector, subspace) argmax is a single-shuffle max(struct)
+    * aggregation — partial agg before the exchange, no window sort, and
+    * only (id, subspace, code, score) rows ever shuffle, never vectors.
+    * Output: (idCol, subspace, code, scos); zero-norm subvectors score
+    * −2.0 (below any cosine) so they still code deterministically. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               m: Int, ksub: Int): DataFrame = {
+    val cents = seedCentroids(corpus, idCol, vecCol, ksub)
+    val subLen = (size(col(vecCol)) / m).cast("int")
+    val start = col("subspace") * subLen + 1
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(cents)
+      .select(col(idCol), col(vecCol), col("cent_id"), col("cent_vec"),
+        explode(sequence(lit(0), lit(m - 1))).as("subspace"))
+      .select(col(idCol), col("subspace"), col("cent_id"),
+        coalesce(cosine(slice(col(vecCol), start, subLen),
+          slice(col("cent_vec"), start, subLen)), lit(-2.0)).as("scos"))
+    scored.groupBy(col(idCol), col("subspace"))
+      .agg(max(struct(col("scos"), (-col("cent_id")).as("nc"))).as("b"))
+      .select(col(idCol), col("subspace"), (-col("b.nc")).as("code"),
+        col("b.scos").as("scos"))
+  }
+
   /** Embedding near-dup pairs: banded sign-LSH blocking + capped buckets +
     * exact cosine verify. Output: (id_a, id_b, cos) with cos ≥ tau.
     *

@@ -183,9 +183,39 @@ object SimilarityQueries {
        |WHERE ${cosSql("va.embedding", "vb.embedding")} >= $DupTau
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- product-quantization codes (the PQ half of IVF-PQ) ------------------
+  private val PqM = 4     // subspaces (64-dim → 16-dim subvectors)
+  private val PqKsub = 8  // sub-centroids per subspace (seeded, lowest ids)
+
+  def simPqCodes(s: SparkSession, d: String): DataFrame =
+    Similarity.pqEncode(Tables.embeddings(s, d), "vec_id", "embedding", PqM, PqKsub)
+      .orderBy(col("vec_id"), col("subspace"))
+  val simPqCodesSql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT $PqKsub
+       |), sub AS (
+       |  SELECT vec_id, CAST(j AS INTEGER) AS subspace,
+       |    embedding[j*(len(embedding)//$PqM)+1 : (j+1)*(len(embedding)//$PqM)] AS sv
+       |  FROM embeddings, range(0, $PqM) t(j)
+       |), csub AS (
+       |  SELECT cent_id, CAST(j AS INTEGER) AS subspace,
+       |    cv[j*(len(cv)//$PqM)+1 : (j+1)*(len(cv)//$PqM)] AS csv
+       |  FROM cents, range(0, $PqM) t(j)
+       |), scored AS (
+       |  SELECT s.vec_id, s.subspace, c.cent_id,
+       |    COALESCE(${cosSql("s.sv", "c.csv")}, -2.0) AS scos
+       |  FROM sub s JOIN csub c USING (subspace)
+       |)
+       |SELECT vec_id, subspace, cent_id AS code, scos FROM (
+       |  SELECT vec_id, subspace, cent_id, scos,
+       |    row_number() OVER (PARTITION BY vec_id, subspace ORDER BY scos DESC, cent_id) AS rn
+       |  FROM scored) t
+       |WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
+    "sim_pq_codes" -> (simPqCodes _),
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
     "sim_lsh_topk" -> (simLshTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
@@ -193,6 +223,7 @@ object SimilarityQueries {
     "dedup_embedding_pairs" -> (dedupEmbeddingPairs _))
 
   val oracle: Map[String, String] = Map(
+    "sim_pq_codes" -> simPqCodesSql,
     "sim_bruteforce_topk" -> simBruteforceTopkSql,
     "sim_lsh_topk" -> simLshTopkSql,
     "sim_ivf_topk" -> simIvfTopkSql,

@@ -124,6 +124,20 @@ class TrainingOpsSpec extends AnyFunSuite {
     ).toDF("doc_id", "text", "lang", "n_chars")
   }
 
+  test("pqEncode: subvectors code to their nearest sub-centroid, seeds code to themselves") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)), // seed centroid 0
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)), // seed centroid 1
+      (2L, Array(1.0f, 0.0f, 1.0f, 0.0f))  // sub0 ~ cent0, sub1 ~ cent1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pqEncode(emb, "vec_id", "embedding", m = 2, ksub = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out((0L, 0)) == (0L, 1.0) && out((0L, 1)) == (0L, 1.0)) // seed = itself
+    assert(out((2L, 0))._1 == 0L && out((2L, 1))._1 == 1L)         // mixed vector splits
+  }
+
   test("textStats: counts and ratios") {
     val r = TextAnalysis.textStats(docs, "doc_id", "text")
       .filter(col("doc_id") === 0).collect()(0)
