@@ -198,6 +198,46 @@ object Similarity {
         col("b.scos").as("scos"))
   }
 
+  /** ADC (asymmetric distance computation) top-k over PQ codes — the
+    * query path PQ exists for: the corpus is scanned as narrow
+    * (id, subspace, code) rows, never as vectors. Each query builds its
+    * m×ksub sub-centroid score table (tiny — BROADCAST), every coded
+    * subvector scores by table lookup (broadcast hash join on
+    * (subspace, code)), and a vector's approximate affinity is the sum of
+    * its m sub-scores.
+    *
+    * Sub-scores are 1e-6-quantized to longs before the per-vector sum, so
+    * the total is exact integer math — independent of partition/summation
+    * order (same device as [[kmeansRefine]]); a plain double sum would
+    * vary with shuffle layout. Output: (query_id, idCol, approx, rank),
+    * rank 1..k by (approx desc, id) — approximate by construction; recall
+    * is bought back by re-ranking the top-k' with exact vectors, which is
+    * [[bruteForceTopK]] over the surviving candidate set. */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, m: Int, ksub: Int): DataFrame = {
+    val codes = pqEncode(corpus, idCol, vecCol, m, ksub)
+    val cents = seedCentroids(corpus, idCol, vecCol, ksub)
+    val subLen = (size(col("q_vec")) / m).cast("int")
+    val start = col("subspace") * subLen + 1
+    val qtab = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .crossJoin(cents)
+      .select(col("query_id"), col("q_vec"), col("cent_id").as("code"), col("cent_vec"),
+        explode(sequence(lit(0), lit(m - 1))).as("subspace"))
+      .select(col("query_id"), col("subspace"), col("code"),
+        floor(coalesce(cosine(slice(col("q_vec"), start, subLen),
+          slice(col("cent_vec"), start, subLen)), lit(-2.0)) * 1e6)
+          .cast("long").as("q_sub")))
+    val scored = codes.join(qtab, Seq("subspace", "code"))
+      .filter(col(idCol) =!= col("query_id"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg((sum(col("q_sub")).cast("double") / 1e6).as("approx"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding near-dup pairs: banded sign-LSH blocking + capped buckets +
     * exact cosine verify. Output: (id_a, id_b, cos) with cos ≥ tau.
     *

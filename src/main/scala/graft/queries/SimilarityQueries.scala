@@ -212,10 +212,56 @@ object SimilarityQueries {
        |  FROM scored) t
        |WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin
 
+  // ---- ADC top-k over PQ codes ---------------------------------------------
+  def simAdcTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.adcTopK(emb, emb.filter(col("vec_id") < NQ),
+        "vec_id", "embedding", K, PqM, PqKsub)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  val simAdcTopkSql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT $PqKsub
+       |), sub AS (
+       |  SELECT vec_id, CAST(j AS INTEGER) AS subspace,
+       |    embedding[j*(len(embedding)//$PqM)+1 : (j+1)*(len(embedding)//$PqM)] AS sv
+       |  FROM embeddings, range(0, $PqM) t(j)
+       |), csub AS (
+       |  SELECT cent_id, CAST(j AS INTEGER) AS subspace,
+       |    cv[j*(len(cv)//$PqM)+1 : (j+1)*(len(cv)//$PqM)] AS csv
+       |  FROM cents, range(0, $PqM) t(j)
+       |), codes AS (
+       |  SELECT vec_id, subspace, cent_id AS code FROM (
+       |    SELECT s.vec_id, s.subspace, c.cent_id,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.subspace
+       |        ORDER BY COALESCE(${cosSql("s.sv", "c.csv")}, -2.0) DESC, c.cent_id) AS rn
+       |    FROM sub s JOIN csub c USING (subspace)) t
+       |  WHERE rn = 1
+       |), qsub AS (
+       |  SELECT vec_id AS query_id, CAST(j AS INTEGER) AS subspace,
+       |    embedding[j*(len(embedding)//$PqM)+1 : (j+1)*(len(embedding)//$PqM)] AS qsv
+       |  FROM embeddings, range(0, $PqM) t(j) WHERE vec_id < $NQ
+       |), qtab AS (
+       |  SELECT q.query_id, q.subspace, c.cent_id AS code,
+       |    CAST(floor(COALESCE(${cosSql("q.qsv", "c.csv")}, -2.0) * 1000000.0) AS BIGINT) AS q_sub
+       |  FROM qsub q JOIN csub c USING (subspace)
+       |), agg AS (
+       |  SELECT t.query_id, s.vec_id, CAST(SUM(t.q_sub) AS DOUBLE) / 1000000.0 AS approx
+       |  FROM codes s JOIN qtab t ON s.subspace = t.subspace AND s.code = t.code
+       |  WHERE s.vec_id <> t.query_id
+       |  GROUP BY t.query_id, s.vec_id
+       |)
+       |SELECT query_id, vec_id, approx, CAST(rn AS INTEGER) AS rank FROM (
+       |  SELECT query_id, vec_id, approx,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY approx DESC, vec_id) AS rn
+       |  FROM agg) x
+       |WHERE rn <= $K ORDER BY query_id, rank""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
     "sim_pq_codes" -> (simPqCodes _),
+    "sim_adc_topk" -> (simAdcTopk _),
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
     "sim_lsh_topk" -> (simLshTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
@@ -224,6 +270,7 @@ object SimilarityQueries {
 
   val oracle: Map[String, String] = Map(
     "sim_pq_codes" -> simPqCodesSql,
+    "sim_adc_topk" -> simAdcTopkSql,
     "sim_bruteforce_topk" -> simBruteforceTopkSql,
     "sim_lsh_topk" -> simLshTopkSql,
     "sim_ivf_topk" -> simIvfTopkSql,

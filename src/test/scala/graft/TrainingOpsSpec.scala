@@ -138,6 +138,22 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out((2L, 0))._1 == 0L && out((2L, 1))._1 == 1L)         // mixed vector splits
   }
 
+  test("adcTopK: code-overlapping vector outranks disjoint one; scores are table sums") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.adcTopK(emb, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 2, m = 2, ksub = 2)
+      .orderBy("rank").collect()
+    // v2 shares sub0-code with query 0 (approx 1.0); v1 shares nothing (0.0)
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 1L))
+    assert(out(0).getDouble(2) == 1.0 && out(1).getDouble(2) == 0.0)
+  }
+
   test("textStats: counts and ratios") {
     val r = TextAnalysis.textStats(docs, "doc_id", "text")
       .filter(col("doc_id") === 0).collect()(0)
