@@ -164,6 +164,44 @@ object Similarity {
           .as("centroid"))
   }
 
+  /** Lloyd iteration to a round budget: run [[kmeansRefine]]'s
+    * assign+recompute step `iters` times, feeding each round's centroids
+    * back as the next round's quantizer. The loop is driver-orchestrated
+    * (centroid tables are KBs — k·dim rows — and broadcast each round;
+    * the corpus is scanned once per round, never cached), with
+    * localCheckpoint cutting the lineage so the plan doesn't grow with
+    * rounds — same discipline as [[Dedup.connectedComponents]].
+    *
+    * Output: (cent_id, cent_vec ARRAY<FLOAT>, n) after the last round —
+    * cent_id keeps the seed's id, n = final cell population. Determinism:
+    * each round's means use the same 1e-6-quantized integer sums as
+    * kmeansRefine, so the trajectory is identical on any cluster layout. */
+  def kmeansIterate(corpus: DataFrame, idCol: String, vecCol: String,
+                    nCentroids: Int, iters: Int): DataFrame = {
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    var cents = seedCentroids(corpus, idCol, vecCol, nCentroids)
+    for (_ <- 1 to iters) {
+      val cells = nearestCells(vecs, cents, idCol, vecCol, keep = 1)
+      val refined = cells
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(floor(col("v").cast("double") * 1e6).cast("long")).as("qsum"),
+          count(lit(1)).as("n"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"),
+            (col("qsum").cast("double") / (col("n").cast("double") * 1e6)).as("m"))))
+          .as("dims"), first(col("n")).as("n"))
+        .select(col("cell").as("cent_id"),
+          col("dims.m").cast("array<float>").as("cent_vec"), col("n"))
+        .localCheckpoint()
+      cents = broadcast(refined.select(col("cent_id"), col("cent_vec")))
+    }
+    val cells = nearestCells(vecs, cents, idCol, vecCol, keep = 1)
+    cents.join(cells.groupBy(col("cell")).agg(count(lit(1)).as("n")),
+        cents("cent_id") === col("cell"), "left")
+      .select(col("cent_id"), col("cent_vec"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** Product-quantization encoding — the compression half of IVF-PQ, the
     * layout that makes billion-vector ANN fit in memory: each vector is
     * cut into `m` contiguous subvectors and every subvector is replaced by

@@ -124,6 +124,33 @@ class TrainingOpsSpec extends AnyFunSuite {
     ).toDF("doc_id", "text", "lang", "n_chars")
   }
 
+  test("kmeansIterate: Lloyd rounds improve mean assignment cosine over seed centroids") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // two tight direction-clusters; seeds (lowest ids) both fall in cluster A,
+    // so the seed quantizer is bad and refinement must help
+    def jitter(base: Array[Float]) = base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+    val a = Array(1.0f, 0.0f, 0.0f, 0.0f); val b = Array(0.0f, 0.0f, 0.0f, 1.0f)
+    val emb = ((0 until 20).map(i => (i.toLong, jitter(a))) ++
+      (20 until 40).map(i => (i.toLong, jitter(b)))).toDF("vec_id", "embedding")
+
+    def meanAssignCos(cents: org.apache.spark.sql.DataFrame): Double =
+      emb.crossJoin(cents.select(col("cent_vec")))
+        .select(col("vec_id"), Similarity.cosine(col("embedding"), col("cent_vec")).as("c"))
+        .groupBy("vec_id").agg(max(col("c")).as("best"))
+        .agg(avg(col("best"))).collect()(0).getDouble(0)
+
+    val seeds = emb.orderBy("vec_id").limit(2)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val refined = Similarity.kmeansIterate(emb, "vec_id", "embedding", 2, 3)
+    assert(refined.agg(sum(col("n"))).collect()(0).getLong(0) == 40L) // every vector assigned
+    val before = meanAssignCos(seeds)
+    val after = meanAssignCos(refined)
+    assert(after > before, s"expected improvement, got $before -> $after")
+    assert(after > 0.99, s"refined quantizer should be near-perfect on tight clusters, got $after")
+  }
+
   test("pqEncode: subvectors code to their nearest sub-centroid, seeds code to themselves") {
     val s = spark
     import s.implicits._
