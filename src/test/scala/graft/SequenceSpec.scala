@@ -111,6 +111,47 @@ class SequenceSpec extends AnyFunSuite {
     }
   }
 
+  test("blockedNgramPairs == brute-force exact Jaccard on seeded random corpora " +
+      "(prefix + positional filters are lossless)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(99)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "theta", "iota", "kappa", "lam")
+    for (trial <- 1 to 3) {
+      // clusters of mutated copies → plenty of pairs straddling the threshold
+      val bases = (0 until 6).map(_ =>
+        (0 until (8 + rnd.nextInt(20))).map(_ => vocab(rnd.nextInt(vocab.size))))
+      val docs = (0 until 40).map { i =>
+        val m = bases(rnd.nextInt(bases.size)).toArray
+        (0 until rnd.nextInt(4)).foreach(_ => m(rnd.nextInt(m.length)) = vocab(rnd.nextInt(vocab.size)))
+        (i.toLong, m.mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+        .withColumn("n_chars", length(col("text")))
+      // huge width + dfCap → only the prefix/positional machinery can lose pairs
+      val got = Dedup.blockedNgramPairs(df, "doc_id", "text", "n_chars",
+          threshold = 0.5, width = 100000, dfCap = 100000)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // brute force over all C(40,2) pairs
+      def sh(t: String): Set[Long] = {
+        val th = t.trim.split(" ", -1).map(w =>
+          w.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % Dedup.HashMod))
+        if (th.length < 3) Set.empty
+        else th.sliding(3).map(_.reduce((a, b) => (a * 131 + b) % Dedup.HashMod)).toSet
+      }
+      val sets = docs.map { case (id, t) => id -> sh(t) }.toMap
+      val want = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        sa = sets(a); sb = sets(b)
+        inter = (sa & sb).size.toDouble
+        uni = sa.size + sb.size - inter
+        if uni > 0 && inter / uni >= 0.5
+      } yield (a, b)).toSet
+      assert(got == want, s"trial $trial: missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("shuffleShards: every doc placed once, positions contiguous per shard, rerun-stable") {
     val s = spark
     import s.implicits._
