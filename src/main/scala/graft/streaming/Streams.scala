@@ -175,6 +175,62 @@ object Streams {
       }
   }
 
+  // ---- T6: per-key token-bucket rate limiter (transformWithState) --------
+
+  case class Request(item: String, ts: java.sql.Timestamp)
+  case class BucketState(tokens: Double, lastMs: Long)
+  case class RateDecision(item: String, ts: java.sql.Timestamp,
+                          allowed: Boolean, tokensAfter: Double)
+
+  /** Token-bucket processor: `rate` tokens/sec refill up to `burst`; a
+    * request is allowed iff a whole token is available, consuming it.
+    * Time comes from the EVENT timestamps (not wall clock), so replays
+    * and tests are deterministic; equal-ts requests tie-break by nothing
+    * further — the sort is total per (ts) within a key because the
+    * reference admits bursts in arrival order. Built on the
+    * transformWithState StatefulProcessor API (Spark 4) with a single
+    * ValueState per key — the engine-side twin of the reference's
+    * in-process RateLimiter (src/RateLimiter.py:5-49): same refill
+    * arithmetic, but state lives in the checkpointed store and scales
+    * with the key shuffle instead of one process's memory. */
+  class TokenBucketProcessor(rate: Double, burst: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Request, RateDecision] {
+    @transient private var bucket: org.apache.spark.sql.streaming.ValueState[BucketState] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      bucket = getHandle.getValueState[BucketState]("bucket",
+        org.apache.spark.sql.Encoders.product[BucketState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Request],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[RateDecision] = {
+      var st = if (bucket.exists()) bucket.get()
+        else BucketState(burst, Long.MinValue)
+      val out = rows.toSeq.sortBy(_.ts.getTime).map { r =>
+        val now = r.ts.getTime
+        val refilled =
+          if (st.lastMs == Long.MinValue) burst
+          else math.min(burst, st.tokens + (now - st.lastMs) / 1000.0 * rate)
+        val allowed = refilled >= 1.0
+        val after = if (allowed) refilled - 1.0 else refilled
+        st = BucketState(after, now)
+        RateDecision(key, r.ts, allowed, after)
+      }
+      bucket.update(st)
+      out.iterator
+    }
+  }
+
+  /** T6 as a streaming transform: per-item admission decisions under a
+    * token-bucket policy. */
+  def rateLimit(requests: Dataset[Request], rate: Double,
+                burst: Double): Dataset[RateDecision] = {
+    import requests.sparkSession.implicits._
+    requests.groupByKey(_.item)
+      .transformWithState(new TokenBucketProcessor(rate, burst),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Exponential backoff bookkeeping (snoozerScheduler.py:192-222): per
     * item, consecutive failures double the cooldown multiplier (cap 8);
     * any success resets. Emits the post-batch state per key. */

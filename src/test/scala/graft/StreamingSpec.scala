@@ -44,6 +44,46 @@ class StreamingSpec extends AnyFunSuite {
 
   case class Doc(doc_id: Long, text: String, arrived: Timestamp)
 
+  test("T6 rateLimit: token bucket admits the burst, rejects inside the refill window, recovers") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val prevProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Streams.Request]
+      // rate 1 token/s, burst 2
+      val q = Streams.rateLimit(in.toDS(), rate = 1.0, burst = 2.0)
+        .writeStream.format("memory").queryName("rl_out").outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_rl").toString)
+        .start()
+      in.addData(
+        Streams.Request("it", ts("2024-01-01 00:00:00")),  // burst token 1 → allow
+        Streams.Request("it", ts("2024-01-01 00:00:00")),  // burst token 2 → allow
+        Streams.Request("it", ts("2024-01-01 00:00:00")))  // empty bucket → reject
+      q.processAllAvailable()
+      in.addData(
+        Streams.Request("it", ts("2024-01-01 00:00:00")),  // still empty (same instant) → reject
+        Streams.Request("it", ts("2024-01-01 00:00:03")))  // 3 s refill (cap 2) → allow
+      q.processAllAvailable()
+      val out = s.table("rl_out").collect()
+      q.stop()
+      val atZero = out.filter(_.getAs[Timestamp]("ts") == ts("2024-01-01 00:00:00"))
+      val atThree = out.filter(_.getAs[Timestamp]("ts") == ts("2024-01-01 00:00:03"))
+      assert(atZero.count(_.getAs[Boolean]("allowed")) == 2 && atZero.length == 4)
+      assert(atThree.length == 1 && atThree(0).getAs[Boolean]("allowed"))
+      // refill capped at burst: 3 s elapsed but only 2 tokens, one consumed
+      assert(atThree(0).getAs[Double]("tokensAfter") == 1.0)
+    } finally {
+      if (prevProvider.isEmpty)
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      else s.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+    }
+  }
+
   test("corpusIngestDedup: same content suppressed across batches, distinct content passes") {
     val s = spark
     import s.implicits._
