@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.functions.{BandKeysExpr, MinHashSigExpr, PolyHashExpr, ShingleHashesExpr, SimHashExpr}
 
 /** Deduplication operators for large-scale text corpora: exact (hash),
-  * MinHash+LSH banding, SimHash, and blocked n-gram Jaccard.
+  * MinHash+LSH banding (Broder 1997), SimHash (Charikar, STOC 2002), and
+  * blocked n-gram Jaccard with PPJoin-style prefix filtering (Xiao, Wang,
+  * Lin, Yu — WWW 2008).
   *
   * Everything is built from built-in expressions (no UDFs) and
   * deterministic integer arithmetic, so results are reproducible across
@@ -143,8 +145,8 @@ object Dedup {
     * dup of a dup of X is ≈ X), so a handful of distributed rounds; each
     * round is one join + one aggregation, labels are (long, long) pairs
     * and are locally checkpointed so the plan doesn't grow with rounds.
-    * (For adversarially deep graphs swap in large-star/small-star — same
-    * interface, O(log n) rounds.)
+    * (For adversarially deep graphs swap in large-star/small-star
+    * (Kiveris et al., SoCC 2014) — same interface, O(log n) rounds.)
     *
     * Output: (id, rep) for EVERY vertex, rep = min id of its component. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Domain-mixing operators for training-data assembly: rebalance a corpus
   * across sources with temperature sampling (p_s ∝ n_s^α, the multilingual
-  * / multi-domain rebalancing rule) using deterministic hash-threshold
+  * / multi-domain rebalancing rule of XLM-style pretraining — Lample &
+  * Conneau 2019) using deterministic hash-threshold
   * selection instead of RNG.
   *
   * Reproducibility contract: per-source weights are sqrt counts quantized

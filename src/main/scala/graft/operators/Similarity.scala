@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 import graft.functions.{CosineSimExpr, SignLshBandKeysExpr, SignLshBucketExpr}
 
 /** Approximate-nearest-neighbor search and embedding near-dup detection
-  * over an embedding column.
+  * over an embedding column. Sign-LSH follows Charikar's random-hyperplane
+  * family (STOC 2002); IVF / PQ / ADC follow Jégou, Douze, Schmid —
+  * "Product Quantization for Nearest Neighbor Search" (TPAMI 2011).
   *
   * Scale shapes:
   *  - brute-force: the query set is small by construction → broadcast it;
