@@ -67,4 +67,26 @@ class BucketingSpec extends AnyFunSuite {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("exact dedup on a corpus bucketed by content hash runs with no exchange") {
+    val s = spark
+    import s.implicits._
+    try {
+      scrub(s, "docs_b")
+      val docs = (0 until 200).map { i =>
+        (i.toLong, if (i % 7 == 0) "a repeated body" else s"unique body $i")
+      }.toDF("doc_id", "text").withColumn("content_hash", md5(col("text")))
+      // the 100 TB layout: land the corpus bucketed by content hash once,
+      // and every dedup / dup-count / representative query after that is
+      // a per-bucket local aggregation — zero shuffles, forever
+      docs.write.mode("overwrite").bucketBy(8, "content_hash")
+        .sortBy("content_hash").saveAsTable("docs_b")
+      val reps = s.table("docs_b").groupBy("content_hash")
+        .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_copies"))
+      val plan = reps.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed dedup agg must not shuffle:\n$plan")
+      val dups = reps.filter(col("n_copies") > 1).collect()
+      assert(dups.length == 1 && dups(0).getAs[Long]("n_copies") == 29L)
+    } finally scrub(s, "docs_b")
+  }
 }
