@@ -122,6 +122,51 @@ object SequenceQueries {
       |       CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS DOUBLE) / SUM(cnt) AS rep_token_frac
       |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- Gopher-style quality gate -------------------------------------------
+  /** The published rule family (Rae et al. 2021, §A1.1) adapted to the
+    * synthetic corpus: token-count bounds, mean-word-length band,
+    * alpha-word fraction, top-token share, repeated-token share. One
+    * explode + two-level agg (map-side combinable); every ratio is a
+    * single division of exact integers. */
+  def qualityGopher(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
+    cnt.groupBy(col("doc_id")).agg(
+        sum(col("cnt")).as("n_tokens"),
+        (sum(length(col("t")) * col("cnt")).cast("double") / sum(col("cnt")))
+          .as("mean_word_len"),
+        (sum(when(col("t").rlike("[a-z]"), col("cnt")).otherwise(0L)).cast("double")
+          / sum(col("cnt"))).as("alpha_frac"),
+        (max(col("cnt")).cast("double") / sum(col("cnt"))).as("top_frac"),
+        (sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).cast("double")
+          / sum(col("cnt"))).as("rep_frac"))
+      .withColumn("keep_gopher",
+        col("n_tokens").between(10, 100000) &&
+          col("mean_word_len").between(2.0, 10.0) &&
+          col("alpha_frac") >= 0.8 && col("top_frac") <= 0.2 &&
+          col("rep_frac") <= 0.6)
+      .orderBy(col("doc_id"))
+  }
+  val qualityGopherSql: String =
+    """WITH cnt AS (
+      |  SELECT doc_id, t, COUNT(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents) x
+      |  GROUP BY doc_id, t
+      |)
+      |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(length(t)*cnt) AS DOUBLE) / SUM(cnt) AS mean_word_len,
+      |  CAST(SUM(CASE WHEN regexp_matches(t, '[a-z]') THEN cnt ELSE 0 END) AS DOUBLE) / SUM(cnt) AS alpha_frac,
+      |  CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_frac,
+      |  CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS DOUBLE) / SUM(cnt) AS rep_frac,
+      |  (SUM(cnt) BETWEEN 10 AND 100000)
+      |    AND (CAST(SUM(length(t)*cnt) AS DOUBLE) / SUM(cnt) BETWEEN 2.0 AND 10.0)
+      |    AND CAST(SUM(CASE WHEN regexp_matches(t, '[a-z]') THEN cnt ELSE 0 END) AS DOUBLE) / SUM(cnt) >= 0.8
+      |    AND CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) <= 0.2
+      |    AND CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS DOUBLE) / SUM(cnt) <= 0.6
+      |    AS keep_gopher
+      |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- benchmark decontamination -------------------------------------------
   /** Train/eval split by doc_id % 10 (eval = 0 mod 10 — a stand-in for a
     * benchmark table); a training doc is contaminated if it shares ≥1
@@ -279,6 +324,7 @@ object SequenceQueries {
     "pack_sequences" -> (packSequences _),
     "pack_stats" -> (packStats _),
     "text_repetition" -> (textRepetition _),
+    "quality_gopher" -> (qualityGopher _),
     "decontaminate" -> (decontaminate _),
     "shuffle_shards" -> (shuffleShards _),
     "budget_select" -> (budgetSelect _),
@@ -289,6 +335,7 @@ object SequenceQueries {
     "pack_sequences" -> packSequencesSql,
     "pack_stats" -> packStatsSql,
     "text_repetition" -> textRepetitionSql,
+    "quality_gopher" -> qualityGopherSql,
     "decontaminate" -> decontaminateSql,
     "shuffle_shards" -> shuffleShardsSql,
     "budget_select" -> budgetSelectSql,

@@ -231,6 +231,49 @@ object Streams {
         OutputMode.Append())
   }
 
+  // ---- bounded activity tail as ListState (transformWithState) -----------
+
+  case class Activity(item: String, ts: java.sql.Timestamp, payload: Double)
+  case class TailSnapshot(item: String, ts: java.sql.Timestamp,
+                          tailLen: Int, oldestPayload: Double, newestPayload: Double)
+
+  /** Bounded last-k tail per item, kept as streaming ListState — the
+    * reference's 50-event activity snapshot (api/main.py activity tail)
+    * maintained incrementally instead of recomputed per read. Each event
+    * appends and trims to `k`, emitting a snapshot row (tail length +
+    * oldest/newest payload) so downstream sees the bounded window advance.
+    * State per item is exactly k rows — the eviction the ListState API
+    * exists for; at cluster scale state partitions with the key shuffle
+    * and the store holds k·|items| small rows, not history. */
+  class TailKeeper(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Activity, TailSnapshot] {
+    @transient private var tail: org.apache.spark.sql.streaming.ListState[Double] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      tail = getHandle.getListState[Double]("tail",
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Activity],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TailSnapshot] = {
+      var cur = tail.get().toSeq
+      val out = rows.toSeq.sortBy(_.ts.getTime).map { a =>
+        cur = (cur :+ a.payload).takeRight(k)
+        TailSnapshot(key, a.ts, cur.length, cur.head, cur.last)
+      }
+      tail.put(cur.toArray)
+      out.iterator
+    }
+  }
+
+  /** Last-k activity tail per item as a streaming transform. */
+  def activityTail(events: Dataset[Activity], k: Int): Dataset[TailSnapshot] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.item)
+      .transformWithState(new TailKeeper(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Exponential backoff bookkeeping (snoozerScheduler.py:192-222): per
     * item, consecutive failures double the cooldown multiplier (cap 8);
     * any success resets. Emits the post-batch state per key. */

@@ -103,6 +103,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(0L, 1L, 4L))
   }
 
+  test("activityTail: ListState tail grows to k then slides, across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val prevProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Streams.Activity]
+      val q = Streams.activityTail(in.toDS(), k = 3)
+        .writeStream.format("memory").queryName("tail_out").outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_tail").toString)
+        .start()
+      in.addData(
+        Streams.Activity("it", ts("2024-01-01 00:00:01"), 1.0),
+        Streams.Activity("it", ts("2024-01-01 00:00:02"), 2.0))
+      q.processAllAvailable()
+      in.addData(
+        Streams.Activity("it", ts("2024-01-01 00:00:03"), 3.0),
+        Streams.Activity("it", ts("2024-01-01 00:00:04"), 4.0)) // tail slides: (2,3,4)
+      q.processAllAvailable()
+      val out = s.table("tail_out").orderBy("ts").collect()
+        .map(r => (r.getAs[Int]("tailLen"), r.getAs[Double]("oldestPayload"),
+          r.getAs[Double]("newestPayload")))
+      q.stop()
+      assert(out.toSeq == Seq((1, 1.0, 1.0), (2, 1.0, 2.0), (3, 1.0, 3.0), (3, 2.0, 4.0)))
+    } finally {
+      if (prevProvider.isEmpty)
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      else s.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+    }
+  }
+
   test("T6 source-side rate limit: maxFilesPerTrigger throttles ingestion to N files per batch") {
     // the reference's RateLimiter (src/RateLimiter.py:5-49) gates HTTP
     // calls; on the engine side the same role is the source admission
