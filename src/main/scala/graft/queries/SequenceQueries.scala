@@ -317,9 +317,168 @@ object SequenceQueries {
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
   }
 
+  // ---- end-to-end corpus build ---------------------------------------------
+  /** The whole training-corpus assembly as ONE declarative plan, per-doc
+    * stage flags: near-dup clustering (exact ∪ minhash edges → CC rep),
+    * Gopher quality gate, benchmark decontamination (eval = doc_id ≡ 0
+    * mod 10), α=0.5 temperature sampling, then greedy 500-token budget
+    * selection per source among the surviving candidates. A user of the
+    * reference-plus-training-pipeline runs this INSTEAD of six jobs —
+    * Catalyst shares the scans and the doc_id-keyed joins co-partition.
+    * Output: (doc_id, source, is_train, is_cluster_dup, keep_quality,
+    * contaminated, sampled, selected). */
+  def corpusBuild(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val isTrain = col("doc_id") % 10 =!= 0
+    val exactEdges = Dedup.exactDedup(docs, "doc_id", "text").filter(col("is_dup"))
+      .select(col("rep_id").as("id_a"), col("doc_id").as("id_b"))
+    val nearEdges = Dedup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.5, k = 16, bands = 4).select(col("id_a"), col("id_b"))
+    val comps = Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id")), exactEdges.union(nearEdges))
+      .select(col("id").as("doc_id"), (col("id") =!= col("rep")).as("is_cluster_dup"))
+    val qual = qualityGopher(s, d)
+      .select(col("doc_id"), col("keep_gopher").as("keep_quality"))
+    val contam = TextAnalysis.contamination(
+        docs.filter(isTrain), docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", ContamN)
+      .select(col("doc_id"), (col("n_hits") >= 1).as("contaminated"))
+    val rates = Mix.temperatureThresholds(docs, "source", 0.3)
+    val sampled = docs
+      .select(col("doc_id"), col("source"), Mix.sampleHash(col("text")).as("h"))
+      .join(broadcast(rates.select(col("source"), col("thr"))), "source")
+      .select(col("doc_id"), (col("h") < col("thr")).as("sampled"))
+    val t = split(trim(col("text")), " ")
+    val flags = docs.select(col("doc_id"), col("source"),
+        size(array_distinct(t)).cast("long").as("score"),
+        size(t).cast("long").as("n_tokens"), isTrain.as("is_train"))
+      .join(comps, "doc_id").join(qual, "doc_id")
+      .join(contam, Seq("doc_id"), "left")
+      .join(sampled, "doc_id")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+      .withColumn("candidate", col("is_train") && !col("is_cluster_dup") &&
+        col("keep_quality") && !col("contaminated") && col("sampled"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val sel = flags.filter(col("candidate"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") <= TokenBudget)
+      .select(col("doc_id"), lit(true).as("selected"))
+    flags.join(sel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("is_train"),
+        col("is_cluster_dup"), col("keep_quality"), col("contaminated"),
+        col("sampled"), coalesce(col("selected"), lit(false)).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+  val corpusBuildSql: String = {
+    val p = P
+    val m = graft.operators.Mix.ScrambleM
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, list_transform(string_split(trim(text), ' '), $polyHashLambda) AS th
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, CASE WHEN len(th) >= 3 THEN list_distinct(
+       |    list_transform(range(0, len(th)-3+1),
+       |      i -> ((th[i+1]*131 + th[i+2]) % $p * 131 + th[i+3]) % $p))
+       |    ELSE [] END AS sh FROM toks
+       |), sig AS (
+       |  SELECT doc_id, list_transform(range(0,16), j ->
+       |    list_min(list_transform(sh, h -> ((2*j+1)*h + 7919*j + 12345) % $p))) AS sig
+       |  FROM sh
+       |), mh AS (
+       |  SELECT doc_id, bk.band AS band, bk.key AS key FROM (
+       |    SELECT doc_id, unnest(list_transform(range(0,4), b ->
+       |      {'band': b, 'key': list_reduce(sig[b*4+1:b*4+4], (acc,x) -> (acc*1000003 + x) % $p)})) AS bk
+       |    FROM sig)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM mh a JOIN mh b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |), near AS (
+       |  SELECT id_a, id_b FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |    (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) >= 0.5
+       |), exact AS (
+       |  SELECT MIN(doc_id) OVER (PARTITION BY md5(text)) AS id_a, doc_id AS id_b
+       |  FROM documents QUALIFY doc_id <> id_a
+       |), sym AS (
+       |  SELECT id_a AS s, id_b AS d FROM near UNION SELECT id_b, id_a FROM near
+       |  UNION SELECT id_a, id_b FROM exact UNION SELECT id_b, id_a FROM exact
+       |), reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.d, r.lbl FROM reach r JOIN sym e ON e.s = r.id
+       |), comp AS (
+       |  SELECT id AS doc_id, MIN(lbl) <> id AS is_cluster_dup FROM reach GROUP BY id
+       |), wcnt AS (
+       |  SELECT doc_id, t, COUNT(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents) x
+       |  GROUP BY doc_id, t
+       |), qual AS (
+       |  SELECT doc_id,
+       |    (SUM(cnt) BETWEEN 10 AND 100000)
+       |      AND (CAST(SUM(length(t)*cnt) AS DOUBLE) / SUM(cnt) BETWEEN 2.0 AND 10.0)
+       |      AND CAST(SUM(CASE WHEN regexp_matches(t, '[a-z]') THEN cnt ELSE 0 END) AS DOUBLE) / SUM(cnt) >= 0.8
+       |      AND CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) <= 0.2
+       |      AND CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS DOUBLE) / SUM(cnt) <= 0.6
+       |      AS keep_quality
+       |  FROM wcnt GROUP BY doc_id
+       |), sh5 AS (
+       |  SELECT doc_id, CASE WHEN len(th) >= $ContamN THEN list_distinct(
+       |    list_transform(range(0, len(th)-$ContamN+1),
+       |      i -> list_reduce(th[i+1:i+$ContamN], (a,b) -> (a*131 + b) % $p)))
+       |    ELSE [] END AS sh FROM toks
+       |), ev AS (
+       |  SELECT DISTINCT unnest(sh) AS h FROM sh5 WHERE doc_id % 10 = 0
+       |), contam AS (
+       |  SELECT t.doc_id, COUNT(*) >= 1 AS contaminated
+       |  FROM (SELECT doc_id, unnest(sh) AS h FROM sh5 WHERE doc_id % 10 <> 0) t
+       |  JOIN ev USING (h) GROUP BY t.doc_id
+       |), srccnt AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+       |srcw AS (SELECT source, n_s,
+       |        CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * 1e6) AS BIGINT) AS w_q FROM srccnt),
+       |srct AS (SELECT CAST(SUM(w_q) AS BIGINT) AS total_q,
+       |             CAST(SUM(n_s) AS BIGINT) AS n_total FROM srcw),
+       |srcr AS (SELECT source,
+       |        CAST(floor(least(1.0,
+       |          CAST(CAST(floor(CAST(n_total AS DOUBLE) * 0.3) AS BIGINT) AS DOUBLE)
+       |            * (CAST(w_q AS DOUBLE) / CAST(total_q AS DOUBLE))
+       |            / CAST(n_s AS DOUBLE)) * $p) AS BIGINT) AS thr
+       |      FROM srcw CROSS JOIN srct),
+       |samp AS (
+       |  SELECT d.doc_id,
+       |    (list_reduce(list_transform(string_split(d.text, ''), c -> CAST(ascii(c) AS BIGINT)),
+       |       (acc, x) -> (acc*31 + x) % $p) * $m % $p) * $m % $p < r.thr AS sampled
+       |  FROM documents d JOIN srcr r USING (source)
+       |), flags AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(len(list_distinct(string_split(trim(d.text), ' '))) AS BIGINT) AS score,
+       |    CAST(len(string_split(trim(d.text), ' ')) AS BIGINT) AS n_tokens,
+       |    d.doc_id % 10 <> 0 AS is_train,
+       |    c.is_cluster_dup, q.keep_quality,
+       |    COALESCE(ct.contaminated, FALSE) AS contaminated, sa.sampled,
+       |    (d.doc_id % 10 <> 0) AND NOT c.is_cluster_dup AND q.keep_quality
+       |      AND NOT COALESCE(ct.contaminated, FALSE) AND sa.sampled AS candidate
+       |  FROM documents d
+       |  JOIN comp c USING (doc_id) JOIN qual q USING (doc_id)
+       |  LEFT JOIN contam ct USING (doc_id) JOIN samp sa USING (doc_id)
+       |), sel AS (
+       |  SELECT doc_id, TRUE AS selected FROM (
+       |    SELECT doc_id, SUM(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |    FROM flags WHERE candidate) t WHERE cum <= $TokenBudget
+       |)
+       |SELECT f.doc_id, f.source, f.is_train, f.is_cluster_dup, f.keep_quality,
+       |  f.contaminated, f.sampled, COALESCE(s.selected, FALSE) AS selected
+       |FROM flags f LEFT JOIN sel s USING (doc_id) ORDER BY f.doc_id""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
+    "corpus_build" -> (corpusBuild _),
     "chunk_windows" -> (chunkWindows _),
     "pack_sequences" -> (packSequences _),
     "pack_stats" -> (packStats _),
@@ -331,6 +490,7 @@ object SequenceQueries {
     "dedup_clusters" -> (dedupClusters _))
 
   val oracle: Map[String, String] = Map(
+    "corpus_build" -> corpusBuildSql,
     "chunk_windows" -> chunkWindowsSql,
     "pack_sequences" -> packSequencesSql,
     "pack_stats" -> packStatsSql,
