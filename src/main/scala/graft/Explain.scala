@@ -13,7 +13,8 @@ object Explain {
     val d = "/root/testdata/sf0.01"
     val names = if (args.nonEmpty) args.toSeq
       else Seq("o2_range_scan", "q1_pricing_summary", "j1_lookup_join",
-        "w1_latest_event_per_user", "dedup_minhash_pairs", "sim_bruteforce_topk")
+        "w1_latest_event_per_user", "dedup_minhash_pairs", "sim_bruteforce_topk",
+        "decontaminate", "mix_temperature", "sim_adc_topk", "corpus_build")
     for (name <- names) {
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, d).queryExecution.explainString(

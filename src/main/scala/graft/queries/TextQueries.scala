@@ -247,6 +247,35 @@ object TextQueries {
        |FROM h JOIN r USING (source)
        |GROUP BY r.source, r.n_s ORDER BY r.source""".stripMargin
 
+  // ---- commonness score: integer-only perplexity proxy ---------------------
+  /** Per-doc mean corpus document-frequency of its distinct tokens — the
+    * perplexity-style "how surprising is this doc" scorer WITHOUT
+    * logarithms (ln is not bitwise-identical across libm implementations,
+    * so an LM-style −Σlog p score cannot hash-match a second engine;
+    * integer df sums can). Low mean_token_df = rare vocabulary. Shape:
+    * explode distinct tokens, one groupBy for dfs, hash join back on the
+    * token, one groupBy per doc — all map-side combinable. */
+  def textCommonness(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d).select(col("doc_id"),
+      explode(array_distinct(split(trim(col("text")), " "))).as("t"))
+    val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    tok.join(dfreq, "t")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("df")).as("sum_df"))
+      .withColumn("mean_token_df",
+        col("sum_df").cast("double") / col("n_distinct").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+  val textCommonnessSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS t FROM documents
+      |), dfreq AS (
+      |  SELECT t, COUNT(*) AS df FROM tok GROUP BY t
+      |)
+      |SELECT doc_id, COUNT(*) AS n_distinct, CAST(SUM(df) AS BIGINT) AS sum_df,
+      |  CAST(SUM(df) AS DOUBLE) / COUNT(*) AS mean_token_df
+      |FROM tok JOIN dfreq USING (t) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- BPE vocab induction: adjacent-pair counting kernel ------------------
   def vocabBpePairs(s: SparkSession, d: String): DataFrame =
     TextAnalysis.bpePairCounts(Tables.documents(s, d), "text", 50)
@@ -332,6 +361,7 @@ object TextQueries {
     "text_pii_scrub" -> (textPiiScrub _),
     "mix_temperature" -> (mixTemperature _),
     "vocab_bpe_pairs" -> (vocabBpePairs _),
+    "text_commonness" -> (textCommonness _),
     "sample_stratified" -> (sampleStratified _),
     "text_langid_chargram" -> (textLangidChargram _),
     "curation_pipeline" -> (curationPipeline _),
@@ -345,6 +375,7 @@ object TextQueries {
     "text_pii_scrub" -> textPiiScrubSql,
     "mix_temperature" -> mixTemperatureSql,
     "vocab_bpe_pairs" -> vocabBpePairsSql,
+    "text_commonness" -> textCommonnessSql,
     "sample_stratified" -> sampleStratifiedSql,
     "text_langid_chargram" -> textLangidChargramSql,
     "curation_pipeline" -> curationPipelineSql,
