@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The plan audit as regression tests: the physical-plan properties the
+  * engine's scale story rests on — pushdown reaching the scan, dims
+  * broadcasting, single-exchange aggregations, projection-only pipelines
+  * staying exchange-free — asserted on the headline queries so a refactor
+  * that silently degrades a plan fails CI, not a cluster. Shapes are
+  * SF-independent; sf0.001 keeps planning instant. */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    // don't let the FileScan metadata line truncate away PushedFilters
+    .config("spark.sql.maxMetadataStringLength", "2000")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  private def countOf(p: String, needle: String): Int =
+    p.sliding(needle.length).count(_ == needle)
+
+  test("o2_range_scan: ts_ns range predicates reach the parquet scan as PushedFilters") {
+    val p = plan("o2_range_scan")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    // the DF renames the physical nanos column ts → ts_ns; the scan's
+    // PushedFilters speak the FILE's column name with nanos-scale bounds
+    assert(pushed.matches(""".*PushedFilters: \[[^\]]*GreaterThanOrEqual\(ts,\d{13,}.*"""),
+      s"nanos range predicate must appear in PushedFilters, got: $pushed")
+  }
+
+  test("j1_lookup_join: both dimension sides broadcast, fact side never shuffles") {
+    val p = plan("j1_lookup_join")
+    assert(countOf(p, "BroadcastExchange") >= 2, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 0,
+      s"lookup join must not hash-shuffle the fact side:\n$p")
+  }
+
+  test("w1_latest_event_per_user: single-shuffle max(struct) aggregation, no global sort of events") {
+    val p = plan("w1_latest_event_per_user")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"latest-per-key must be one hash exchange:\n$p")
+    assert(!p.contains("Window "), s"no window sort expected:\n$p")
+  }
+
+  test("text_pii_scrub: projection-only — zero hash exchanges") {
+    val p = plan("text_pii_scrub")
+    assert(countOf(p, "Exchange hashpartitioning") == 0, p)
+  }
+
+  test("decontaminate: eval shingle set broadcasts; corpus side joins without shuffling text") {
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // corpus-side agg + eval-side distinct only — text/doc rows shuffle once, post-join
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+  }
+
+  test("mix_temperature: per-source thresholds broadcast back; corpus scanned once, no corpus shuffle") {
+    val p = plan("mix_temperature")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only hash exchanges are the tiny source-count aggs + final group — none carry text
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text")), p)
+  }
+
+  test("sim_bruteforce_topk: query set broadcasts; corpus streams through one scoring projection") {
+    val p = plan("sim_bruteforce_topk")
+    assert(countOf(p, "BroadcastExchange") >= 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"only the per-query top-k agg may shuffle:\n$p")
+  }
+
+  test("shuffle_shards: exactly one hash exchange (the shard partitioning)") {
+    val p = plan("shuffle_shards")
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+  }
+}
