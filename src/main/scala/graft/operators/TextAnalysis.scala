@@ -149,6 +149,46 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(k)
 
+  /** Corpus-learned token→id vocabulary: the top `v` tokens by
+    * (count desc, token asc), id = dense rank 0..v−1. Output:
+    * (token, id). Small by construction — broadcasts. */
+  def vocabTable(df: DataFrame, textCol: String, v: Int): DataFrame = {
+    val w = Window.orderBy(col("cnt").desc, col("t").asc)
+    df.select(explode(split(trim(col(textCol)), " ")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .withColumn("id", row_number().over(w) - 1)
+      .filter(col("id") < v)
+      .select(col("t").as("token"), col("id").cast("long").as("id"))
+  }
+
+  /** Tokenize documents to id sequences against a vocab table:
+    * in-vocab tokens take their vocab id, OOV tokens hash into `oovBuckets`
+    * buckets above the vocab (id = v + polyHash(token) mod buckets) — the
+    * standard hash-bucket OOV scheme, so the id space is closed and
+    * deterministic. Output: (idCol, n_tokens, n_oov, ids_csv) with ids in
+    * ORIGINAL token order (the property tokenization must keep; emitted
+    * as CSV so a second engine can hash-compare the sequence).
+    *
+    * Shape: posexplode keeps the position, the vocab join BROADCASTS, and
+    * the per-doc reassembly is one groupBy with a sorted-struct collect —
+    * docs shuffle once as narrow (id, pos, tokid) rows, never as text. */
+  def tokenizeIds(df: DataFrame, idCol: String, textCol: String,
+                  vocab: DataFrame, v: Int, oovBuckets: Int): DataFrame = {
+    val tok = df.select(col(idCol),
+      posexplode(split(trim(col(textCol)), " ")).as(Seq("pos", "t")))
+    val joined = tok.join(broadcast(vocab), tok("t") === vocab("token"), "left")
+      .select(col(idCol), col("pos"),
+        coalesce(col("id"),
+          lit(v) + pmod(Dedup.polyHash(col("t")), lit(oovBuckets))).as("tokid"),
+        col("id").isNull.as("oov"))
+    joined.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("oov"), 1L).otherwise(0L)).as("n_oov"),
+        array_sort(collect_list(struct(col("pos"), col("tokid")))).as("seq"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        concat_ws(",", col("seq.tokid").cast("array<string>")).as("ids_csv"))
+  }
+
   /** Whitespace, regex-word, and BPE-estimate token counts. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String,
                   lenCol: String): DataFrame =

@@ -247,6 +247,40 @@ object TextQueries {
        |FROM h JOIN r USING (source)
        |GROUP BY r.source, r.n_s ORDER BY r.source""".stripMargin
 
+  // ---- tokenize to ids (corpus vocab + hash-bucket OOV) --------------------
+  private val VocabV = 30
+  private val OovB = 10
+
+  def tokenizeIds(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    TextAnalysis.tokenizeIds(docs, "doc_id", "text",
+        TextAnalysis.vocabTable(docs, "text", VocabV), VocabV, OovB)
+      .orderBy(col("doc_id"))
+  }
+  val tokenizeIdsSql: String =
+    s"""WITH cnt AS (
+       |  SELECT t, COUNT(*) AS cnt
+       |  FROM (SELECT unnest(string_split(trim(text), ' ')) AS t FROM documents) x GROUP BY t
+       |), voc AS (
+       |  SELECT t AS token, CAST(row_number() OVER (ORDER BY cnt DESC, t) - 1 AS BIGINT) AS id
+       |  FROM cnt QUALIFY id < $VocabV
+       |), tokx AS (
+       |  SELECT doc_id, tk, unnest(range(0, len(tk))) AS k
+       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents) y
+       |), tok AS (
+       |  SELECT doc_id, CAST(k AS INTEGER) AS pos, tk[CAST(k AS INTEGER)+1] AS t FROM tokx
+       |), joined AS (
+       |  SELECT tok.doc_id, tok.pos,
+       |    COALESCE(v.id, $VocabV + (list_reduce(list_transform(string_split(tok.t, ''),
+       |      c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc*31 + x) % ${Dedup.HashMod}) % $OovB)) AS tokid,
+       |    v.id IS NULL AS oov
+       |  FROM tok LEFT JOIN voc v ON tok.t = v.token
+       |)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  string_agg(CAST(tokid AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+       |FROM joined GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- commonness score: integer-only perplexity proxy ---------------------
   /** Per-doc mean corpus document-frequency of its distinct tokens — the
     * perplexity-style "how surprising is this doc" scorer WITHOUT
@@ -362,6 +396,7 @@ object TextQueries {
     "mix_temperature" -> (mixTemperature _),
     "vocab_bpe_pairs" -> (vocabBpePairs _),
     "text_commonness" -> (textCommonness _),
+    "tokenize_ids" -> (tokenizeIds _),
     "sample_stratified" -> (sampleStratified _),
     "text_langid_chargram" -> (textLangidChargram _),
     "curation_pipeline" -> (curationPipeline _),
@@ -376,6 +411,7 @@ object TextQueries {
     "mix_temperature" -> mixTemperatureSql,
     "vocab_bpe_pairs" -> vocabBpePairsSql,
     "text_commonness" -> textCommonnessSql,
+    "tokenize_ids" -> tokenizeIdsSql,
     "sample_stratified" -> sampleStratifiedSql,
     "text_langid_chargram" -> textLangidChargramSql,
     "curation_pipeline" -> curationPipelineSql,

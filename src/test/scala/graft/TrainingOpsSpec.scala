@@ -275,6 +275,25 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(!out.map(_._1).contains("x"))
   }
 
+  test("tokenizeIds: vocab ids in original order, OOV hashed above the vocab") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "b a b zzz b"),  // b most frequent → id 0; a → id 1; zzz OOV
+      (1L, "a b")
+    ).toDF("doc_id", "text")
+    val vocab = TextAnalysis.vocabTable(docs, "text", 2)
+    val vmap = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vmap == Map("b" -> 0L, "a" -> 1L))
+    val out = TextAnalysis.tokenizeIds(docs, "doc_id", "text", vocab, 2, 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val oovId = out(0L).getString(3).split(",")(3).toLong
+    assert(oovId >= 2L && oovId < 6L)                     // v + hash bucket
+    assert(out(0L).getString(3) == s"0,1,0,$oovId,0")     // original order kept
+    assert(out(0L).getLong(1) == 5L && out(0L).getLong(2) == 1L)
+    assert(out(1L).getString(3) == "1,0" && out(1L).getLong(2) == 0L)
+  }
+
   test("tokenCounts: ws vs regex vs bpe estimate") {
     val r = TextAnalysis.tokenCounts(docs, "doc_id", "text", "n_chars")
       .filter(col("doc_id") === 0).collect()(0)
