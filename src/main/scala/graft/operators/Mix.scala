@@ -42,7 +42,7 @@ object Mix {
 
   /** Per-source keep thresholds for α=0.5 temperature sampling at a target
     * corpus fraction. Output: (srcCol, n_s, thr) where a doc survives iff
-    * polyHash(text) < thr. keep_prob_s = min(1, target_n·(w_s/Σw)/n_s)
+    * [[sampleHash]](text) < thr. keep_prob_s = min(1, target_n·(w_s/Σw)/n_s)
     * with w_s = ⌊√n_s·1e6⌋ and target_n = ⌊N·targetFrac⌋. */
   def temperatureThresholds(df: DataFrame, srcCol: String,
                             targetFrac: Double): DataFrame = {

@@ -114,6 +114,32 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall < 0.8")
   }
 
+  test("adcTopK: the coded top-k finds the true clusters (recall vs brute force on cluster labels)") {
+    val s = spark
+    import s.implicits._
+    // same planted-cluster fixture as the IVF spec: ADC scores collapse to
+    // the cluster level (every member of a cluster codes identically), so
+    // the guarantee ADC can give is CLUSTER recall: each query's true
+    // nearest cluster must dominate its ADC top-k
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { id =>
+      val c = id % 4
+      val v = Array.tabulate(8)(d =>
+        (if (d == c) 1.0f else 0.0f) + (rnd.nextFloat() - 0.5f) * 0.1f)
+      (id.toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 5)
+    val adc = Similarity.adcTopK(emb, q, "vec_id", "embedding", k = 5,
+        m = 2, ksub = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every hit for query qid must come from qid's own cluster (id % 4)
+    val wrongCluster = adc.count { case (qid, vid) => qid % 4 != vid % 4 }
+    assert(wrongCluster == 0,
+      s"$wrongCluster/${adc.length} ADC hits landed outside the query's cluster")
+    assert(adc.length == 25) // 5 queries × k=5, none dropped
+  }
+
   private def docs = {
     val s = spark
     import s.implicits._
