@@ -140,6 +140,25 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(adc.length == 25) // 5 queries × k=5, none dropped
   }
 
+  test("degenerate inputs: empty / single-token / whitespace docs flow through without crashing") {
+    val s = spark
+    import s.implicits._
+    val weird = Seq((0L, ""), (1L, "solo"), (2L, "   "), (3L, "a b c d e f"))
+      .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    // projections: must return a row per doc, no exceptions
+    assert(TextAnalysis.textStats(weird, "doc_id", "text").count() == 4)
+    assert(TextAnalysis.piiScrub(weird, "doc_id", "text").count() == 4)
+    assert(weird.select(graft.operators.Dedup.simhash(col("text"), 30)).count() == 4)
+    // shingle-based ops: short docs simply have no shingles → drop out
+    val pairs = graft.operators.Dedup.blockedNgramPairs(weird, "doc_id", "text",
+      "n_chars", threshold = 0.5)
+    assert(pairs.count() == 0)
+    // tokenize: empty string still yields one (empty-ish) token row per split semantics
+    val tk = TextAnalysis.tokenizeIds(weird, "doc_id", "text",
+      TextAnalysis.vocabTable(weird, "text", 3), 3, 4)
+    assert(tk.count() == 4 && tk.filter(col("n_tokens") >= 1).count() == 4)
+  }
+
   private def docs = {
     val s = spark
     import s.implicits._
