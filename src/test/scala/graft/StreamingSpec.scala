@@ -174,6 +174,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(run2.sorted.toSeq == Seq(3L), s"state lost across restart: got $run2")
   }
 
+  test("streaming curation: ingest → dedup → quality projection compose on one stream") {
+    // the streaming twin of corpus_build's front half: arriving docs are
+    // content-dedup'd within the watermark and quality-scored in the same
+    // micro-batch — projections (textStats) compose on a streaming DF
+    // because they are stateless codegen, only the dedup holds state
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Doc]
+    val curated = graft.operators.TextAnalysis.textStats(
+      Streams.corpusIngestDedup(in.toDF(), "text", "arrived", "10 minutes"),
+      "doc_id", "text")
+    val q = curated.writeStream.format("memory").queryName("cur_out")
+      .outputMode("append").start()
+    in.addData(
+      Doc(0L, "a good document with plenty of distinct words in it today", ts("2024-01-01 00:00:00")),
+      Doc(1L, "a good document with plenty of distinct words in it today", ts("2024-01-01 00:00:05")), // dup
+      Doc(2L, "bad bad bad bad bad bad bad bad bad bad", ts("2024-01-01 00:00:10")))
+    q.processAllAvailable()
+    val out = s.table("cur_out").collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_quality")).toMap
+    q.stop()
+    assert(out.keySet == Set(0L, 2L))      // dup suppressed in-stream
+    assert(out(0L) && !out(2L))            // quality gate scored in the same pass
+  }
+
   test("T6 source-side rate limit: maxFilesPerTrigger throttles ingestion to N files per batch") {
     // the reference's RateLimiter (src/RateLimiter.py:5-49) gates HTTP
     // calls; on the engine side the same role is the source admission
