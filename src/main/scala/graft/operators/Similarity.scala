@@ -113,10 +113,10 @@ object Similarity {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("ccos").desc, col("cent_id").asc)
     df.crossJoin(cents)
-      .select(df.columns.map(col) :+ col("cent_id") :+
-        cosine(col(v), col("cent_vec")).as("ccos"): _*)
+      .select((df.columns.map(col) :+ col("cent_id") :+
+        cosine(col(v), col("cent_vec")).as("ccos")).toIndexedSeq: _*)
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= keep)
-      .select(df.columns.map(col) :+ col("cent_id").as("cell"): _*)
+      .select((df.columns.map(col) :+ col("cent_id").as("cell")).toIndexedSeq: _*)
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,

@@ -48,7 +48,7 @@ object Streams {
         if (!batch.isEmpty) {
           val latest = batch
             .groupBy(col(keyCol))
-            .agg(max_by(struct(batch.columns.map(col): _*), col(tsCol)).as("row"))
+            .agg(max_by(struct(batch.columns.toIndexedSeq.map(col): _*), col(tsCol)).as("row"))
             .select(col("row.*"))
           push(latest)
         }
