@@ -21,7 +21,12 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
     // JVM/codegen warmup so the first measured query isn't charged for it
     try { materialize(SparkEntry.entry(spark)) } catch { case _: Throwable => () }
+    // --steady: run each query twice, report the SECOND time — per-query
+    // codegen/JIT/shuffle-file warmup excluded. The driver's no-arg run is
+    // the cold single-pass contract and is unchanged.
+    val steady = args.contains("--steady")
     val results = SparkEntry.queries.map { case (name, fn) =>
+      if (steady) { try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () } }
       val t0 = System.nanoTime()
       try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
