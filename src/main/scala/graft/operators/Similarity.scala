@@ -175,7 +175,10 @@ object Similarity {
     * rounds — same discipline as [[Dedup.connectedComponents]].
     *
     * Output: (cent_id, cent_vec ARRAY<FLOAT>, n) after the last round —
-    * cent_id keeps the seed's id, n = final cell population. Determinism:
+    * cent_id keeps the seed's id, n = final cell population. A cluster
+    * that loses every member mid-run is DROPPED (standard empty-cluster
+    * handling), so the result can have fewer than nCentroids rows.
+    * Determinism:
     * each round's means use the same 1e-6-quantized integer sums as
     * kmeansRefine, so the trajectory is identical on any cluster layout. */
   def kmeansIterate(corpus: DataFrame, idCol: String, vecCol: String,
@@ -219,7 +222,9 @@ object Similarity {
     * aggregation — partial agg before the exchange, no window sort, and
     * only (id, subspace, code, score) rows ever shuffle, never vectors.
     * Output: (idCol, subspace, code, scos); zero-norm subvectors score
-    * −2.0 (below any cosine) so they still code deterministically. */
+    * −2.0 (below any cosine) so they still code deterministically.
+    * Subvector length is ⌊dim/m⌋ — when m ∤ dim the trailing dim mod m
+    * coordinates are not coded (pad the embedding or pick m | dim). */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                m: Int, ksub: Int): DataFrame = {
     val cents = seedCentroids(corpus, idCol, vecCol, ksub)

@@ -256,7 +256,9 @@ object Streams {
     override def handleInputRows(key: String, rows: Iterator[Activity],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TailSnapshot] = {
       var cur = tail.get().toSeq
-      val out = rows.toSeq.sortBy(_.ts.getTime).map { a =>
+      // payload tie-break: iterator order across shuffle/retry is not
+      // deterministic, so equal-ts events need a content total order
+      val out = rows.toSeq.sortBy(a => (a.ts.getTime, a.payload)).map { a =>
         cur = (cur :+ a.payload).takeRight(k)
         TailSnapshot(key, a.ts, cur.length, cur.head, cur.last)
       }
