@@ -318,15 +318,18 @@ object SequenceQueries {
   }
 
   // ---- end-to-end corpus build ---------------------------------------------
-  /** The whole training-corpus assembly as ONE declarative plan, per-doc
+  /** The whole training-corpus assembly composed as one job, per-doc
     * stage flags: near-dup clustering (exact ∪ minhash edges → CC rep),
     * Gopher quality gate, benchmark decontamination (eval = doc_id ≡ 0
     * mod 10), α=0.5 temperature sampling, then greedy 500-token budget
     * selection per source among the surviving candidates. A user of the
-    * reference-plus-training-pipeline runs this INSTEAD of six jobs —
-    * Catalyst shares the scans and the doc_id-keyed joins co-partition.
-    * Output: (doc_id, source, is_train, is_cluster_dup, keep_quality,
-    * contaminated, sampled, selected). */
+    * reference-plus-training-pipeline runs this INSTEAD of six jobs. The
+    * clustering stage iterates internally (checkpointed CC rounds); every
+    * other stage is one declarative subtree, the doc_id-keyed joins
+    * co-partition, and the documents scans are pruned re-reads — cheap by
+    * design (the shingle kernels recompute rather than cache, see
+    * [[graft.operators.Dedup]]). Output: (doc_id, source, is_train,
+    * is_cluster_dup, keep_quality, contaminated, sampled, selected). */
   def corpusBuild(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)

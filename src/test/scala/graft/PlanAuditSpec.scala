@@ -82,4 +82,14 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("shuffle_shards")
     assert(countOf(p, "Exchange hashpartitioning") == 1, p)
   }
+
+  test("global sweep: no query plans an unbroadcast cartesian product") {
+    // crossJoin against a broadcast side plans as BroadcastNestedLoopJoin
+    // (fine — one side is tiny by construction); a CartesianProduct node
+    // means two big sides met without keys, the plan that dies at scale
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      plan(name).contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
 }
