@@ -122,6 +122,57 @@ object SequenceQueries {
       |       CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS DOUBLE) / SUM(cnt) AS rep_token_frac
       |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- sequence-level dedup (Lee et al. 2022) ------------------------------
+  /** Dedup at training-CHUNK granularity: non-overlapping token windows
+    * (stride = window, so chunk instances don't overlap within a doc) are
+    * exact-hash-grouped across the corpus; a chunk is a dup if an earlier
+    * (doc_id, chunk_id) instance has identical text. Catches the
+    * cross-document boilerplate that whole-doc dedup misses — the
+    * "Deduplicating Training Data Makes Language Models Better" setting.
+    * Per doc: chunk count, duplicated-chunk count, dup fraction. One
+    * chunk-generate projection + one hash groupBy — map-side combinable,
+    * chunk text never shuffles (md5 only). */
+  private val SeqDedupW = 32
+
+  def dedupChunks(s: SparkSession, d: String): DataFrame = {
+    val chunks = Sequence.chunkTokens(Tables.documents(s, d), "doc_id", "text",
+        SeqDedupW, SeqDedupW)
+      .select(col("doc_id"), col("chunk_id"), md5(col("chunk_text")).as("h"),
+        // scalar instance key (chunk_id < 1e6 by construction) — a single
+        // MIN any engine computes identically, vs engine-specific struct MIN
+        (col("doc_id") * 1000000L + col("chunk_id")).as("inst"))
+    val firstOwner = chunks.groupBy(col("h")).agg(min(col("inst")).as("first_inst"))
+    chunks.join(firstOwner, "h")
+      .select(col("doc_id"), (col("first_inst") =!= col("inst")).as("is_dup"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+  val dedupChunksSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents
+       |), n AS (
+       |  SELECT doc_id, tk, len(tk) AS n,
+       |         1 + CAST(ceil(greatest(len(tk) - $SeqDedupW, 0) / CAST($SeqDedupW AS DOUBLE)) AS INTEGER) AS n_chunks
+       |  FROM toks
+       |), ch AS (
+       |  SELECT doc_id, doc_id * 1000000 + CAST(k AS INTEGER) AS inst,
+       |         md5(array_to_string(tk[k*$SeqDedupW + 1 : least((k+1)*$SeqDedupW, n)], ' ')) AS h
+       |  FROM (SELECT doc_id, tk, n, unnest(range(0, n_chunks)) AS k FROM n) e
+       |), fo AS (
+       |  SELECT h, MIN(inst) AS first_inst FROM ch GROUP BY h
+       |), flagged AS (
+       |  SELECT c.doc_id, f.first_inst <> c.inst AS is_dup
+       |  FROM ch c JOIN fo f USING (h)
+       |)
+       |SELECT doc_id, COUNT(*) AS n_chunks,
+       |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+       |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- Gopher-style quality gate -------------------------------------------
   /** The published rule family (Rae et al. 2021, §A1.1) adapted to the
     * synthetic corpus: token-count bounds, mean-word-length band,
@@ -487,6 +538,7 @@ object SequenceQueries {
     "pack_stats" -> (packStats _),
     "text_repetition" -> (textRepetition _),
     "quality_gopher" -> (qualityGopher _),
+    "dedup_chunks" -> (dedupChunks _),
     "decontaminate" -> (decontaminate _),
     "shuffle_shards" -> (shuffleShards _),
     "budget_select" -> (budgetSelect _),
@@ -499,6 +551,7 @@ object SequenceQueries {
     "pack_stats" -> packStatsSql,
     "text_repetition" -> textRepetitionSql,
     "quality_gopher" -> qualityGopherSql,
+    "dedup_chunks" -> dedupChunksSql,
     "decontaminate" -> decontaminateSql,
     "shuffle_shards" -> shuffleShardsSql,
     "budget_select" -> budgetSelectSql,
