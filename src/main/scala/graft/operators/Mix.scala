@@ -61,6 +61,36 @@ object Mix {
       .select(col(srcCol), col("n_s"), col("thr"))
   }
 
+  /** Annealed mixture schedule: per-epoch source weights moving from
+    * √-flattened toward proportional over three epochs — the "start
+    * balanced, finish natural" data schedule of multi-epoch pretraining.
+    * α_e ∈ {0.5, 0.75, 1.0}, built ONLY from sqrt compositions
+    * (n^0.75 = √(n·√n)) because IEEE sqrt is correctly rounded in every
+    * libm while pow is not — the same cross-engine determinism rule as
+    * the ln-free commonness score. Weights quantize to ×1e6 longs so the
+    * per-epoch totals are exact. Output per (epoch, source): quantized
+    * weight, realized fraction, and the epoch's expected doc count at
+    * `targetFrac` of the corpus. */
+  def annealSchedule(df: DataFrame, srcCol: String,
+                     targetFrac: Double): DataFrame = {
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n_s"))
+    val n = col("n_s").cast("double")
+    val wq = when(col("epoch") === 0, floor(sqrt(n) * 1e6))
+      .when(col("epoch") === 1, floor(sqrt(n * sqrt(n)) * 1e6))
+      .otherwise(floor(n * 1e6))
+    val perEpoch = org.apache.spark.sql.expressions.Window.partitionBy(col("epoch"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("n_s")).as("n_total"))))
+      .withColumn("epoch", explode(sequence(lit(0), lit(2))))
+      .withColumn("w_q", wq)
+      .withColumn("frac",
+        col("w_q").cast("double") / sum(col("w_q")).over(perEpoch).cast("double"))
+      .withColumn("expected_docs",
+        floor(col("frac") * floor(col("n_total").cast("double") * targetFrac).cast("double")))
+      .select(col("epoch"), col(srcCol), col("n_s"), col("w_q"),
+        col("frac"), col("expected_docs"))
+  }
+
   /** Greedy token-budget selection: per source, take documents in
     * descending score order until the token budget is exhausted (the
     * "best docs under N tokens per domain" assembly step). One window

@@ -310,6 +310,27 @@ object TextQueries {
       |  CAST(SUM(df) AS DOUBLE) / COUNT(*) AS mean_token_df
       |FROM tok JOIN dfreq USING (t) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- annealed mixture schedule -------------------------------------------
+  def mixSchedule(s: SparkSession, d: String): DataFrame =
+    Mix.annealSchedule(Tables.documents(s, d), "source", 0.3)
+      .orderBy(col("epoch"), col("source"))
+  val mixScheduleSql: String =
+    """WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+      |t AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_total FROM c),
+      |e AS (SELECT c.source, c.n_s, t.n_total, CAST(k AS INTEGER) AS epoch
+      |      FROM c CROSS JOIN t CROSS JOIN (SELECT unnest(range(0, 3)) AS k) ep),
+      |w AS (SELECT epoch, source, n_s, n_total,
+      |  CAST(CASE epoch
+      |    WHEN 0 THEN floor(sqrt(CAST(n_s AS DOUBLE)) * 1e6)
+      |    WHEN 1 THEN floor(sqrt(CAST(n_s AS DOUBLE) * sqrt(CAST(n_s AS DOUBLE))) * 1e6)
+      |    ELSE floor(CAST(n_s AS DOUBLE) * 1e6) END AS BIGINT) AS w_q
+      |  FROM e)
+      |SELECT epoch, source, n_s, w_q,
+      |  CAST(w_q AS DOUBLE) / CAST(SUM(w_q) OVER (PARTITION BY epoch) AS DOUBLE) AS frac,
+      |  CAST(floor((CAST(w_q AS DOUBLE) / CAST(SUM(w_q) OVER (PARTITION BY epoch) AS DOUBLE))
+      |    * CAST(floor(CAST(n_total AS DOUBLE) * 0.3) AS DOUBLE)) AS BIGINT) AS expected_docs
+      |FROM w ORDER BY epoch, source""".stripMargin
+
   // ---- BPE vocab induction: adjacent-pair counting kernel ------------------
   def vocabBpePairs(s: SparkSession, d: String): DataFrame =
     TextAnalysis.bpePairCounts(Tables.documents(s, d), "text", 50)
@@ -395,6 +416,7 @@ object TextQueries {
     "text_pii_scrub" -> (textPiiScrub _),
     "mix_temperature" -> (mixTemperature _),
     "vocab_bpe_pairs" -> (vocabBpePairs _),
+    "mix_schedule" -> (mixSchedule _),
     "text_commonness" -> (textCommonness _),
     "tokenize_ids" -> (tokenizeIds _),
     "sample_stratified" -> (sampleStratified _),
@@ -410,6 +432,7 @@ object TextQueries {
     "text_pii_scrub" -> textPiiScrubSql,
     "mix_temperature" -> mixTemperatureSql,
     "vocab_bpe_pairs" -> vocabBpePairsSql,
+    "mix_schedule" -> mixScheduleSql,
     "text_commonness" -> textCommonnessSql,
     "tokenize_ids" -> tokenizeIdsSql,
     "sample_stratified" -> sampleStratifiedSql,
