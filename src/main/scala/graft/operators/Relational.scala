@@ -144,6 +144,54 @@ object Relational {
       .drop("_side", "_pay")
   }
 
+  /** Nearest as-of join (pandas merge_asof direction='nearest'): for every
+    * left row, the temporally CLOSEST right row with the same key within
+    * `tolerance` of a numeric ts column — backward wins distance ties.
+    * Same union+window shape as [[asofJoin]] (one shuffle + sort per key,
+    * no range-explosion): a running `last` carries the latest right ≤ ts
+    * backward, a running `first` over the mirrored frame carries the
+    * earliest right > ts forward, and a projection picks the nearer valid
+    * candidate. Right rows at the exact left ts are backward candidates
+    * at distance 0, so they always win. tsCol must be numeric (use raw
+    * epoch nanos/micros — exact integer distances, engine-agnostic).
+    * Output: left rows + `_match` struct (_rts + payload + ord; null when
+    * nothing within tolerance). */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      tsCol: String, rightPayload: Seq[String],
+                      rightOrd: String, tolerance: Long): DataFrame = {
+    val payCols = col(tsCol).as("_rts") +: (rightPayload :+ rightOrd).map(col)
+    val payType = right.select(struct(payCols: _*)).schema.head.dataType
+    val lTagged = left
+      .withColumn("_side", lit(1))
+      .withColumn("_pay", lit(null).cast(payType))
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(col(tsCol), lit(0).as("_side"),
+        struct(payCols: _*).as("_pay")): _*)
+    val unioned = lTagged.select(
+      (keys.map(col) ++ Seq(col(tsCol), col("_side"), col("_pay")) ++
+        left.columns.filterNot(c => keys.contains(c) || c == tsCol).map(c => col(c))): _*)
+      .unionByName(rTagged, allowMissingColumns = true)
+    val base = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("_side").asc, col(s"_pay.$rightOrd").asc_nulls_first)
+    val back = last(col("_pay"), ignoreNulls = true)
+      .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val fwd = first(col("_pay"), ignoreNulls = true)
+      .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val withCands = unioned
+      .withColumn("_back", back).withColumn("_fwd", fwd)
+      .filter(col("_side") === 1)
+    val bd = col(tsCol) - col("_back._rts")
+    val fd = col("_fwd._rts") - col(tsCol)
+    val validB = col("_back").isNotNull && bd <= tolerance
+    val validF = col("_fwd").isNotNull && fd <= tolerance
+    withCands
+      .withColumn("_match",
+        when(validB && validF, when(fd < bd, col("_fwd")).otherwise(col("_back")))
+          .when(validB, col("_back"))
+          .when(validF, col("_fwd")))
+      .drop("_side", "_pay", "_back", "_fwd")
+  }
+
   /** Skew-safe aggregation: two-phase groupBy with a random-ish salt on the
     * first phase. For a decomposable aggregate (sum/count/min/max), phase 1
     * shuffles on (key, salt) — a hot key spreads over `saltBuckets`

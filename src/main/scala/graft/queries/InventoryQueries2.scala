@@ -306,6 +306,67 @@ object InventoryQueries2 {
        |  ORDER BY v.ts DESC, view_id DESC LIMIT 1) m ON true
        |ORDER BY p.event_id""".stripMargin
 
+  // ---- W9: nearest as-of join within tolerance -----------------------------
+  /** Each purchase matched to its temporally CLOSEST view within 2 h
+    * (either direction), backward winning ties — merge_asof
+    * direction='nearest'. Distances in epoch MICROS: exact integer math,
+    * and the truncation nanos→micros is identical on both engines
+    * (Spark `div 1000`, DuckDB TIMESTAMP_NS→µs coercion). */
+  private val NearTolUs = 7200L * 1000000L // 2 h
+
+  def w9AsofNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("view_id"),
+        col("value").as("view_value"))
+    graft.operators.Relational
+      .asofJoinNearest(purchases, views, Seq("user_id"), "ts_us",
+        rightPayload = Seq("view_value"), rightOrd = "view_id",
+        tolerance = NearTolUs)
+      .select(col("event_id"), col("user_id"), col("ts_us").as("ts_u"),
+        col("_match.view_id").as("view_id"),
+        col("_match.view_value").as("view_value"),
+        col("_match._rts").as("view_ts_u"))
+      .orderBy(col("event_id"))
+  }
+  val w9Sql: String =
+    s"""WITH p AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tsn, event_id
+       |           FROM events WHERE event_type = 'purchase'),
+       |v AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tsn,
+       |             event_id AS view_id, value AS view_value
+       |      FROM events WHERE event_type = 'view'),
+       |bf AS (
+       |  SELECT p.event_id, p.user_id, p.tsn,
+       |         b.view_id AS b_id, b.view_value AS b_val, b.tsn AS b_tsn,
+       |         f.view_id AS f_id, f.view_value AS f_val, f.tsn AS f_tsn
+       |  FROM p
+       |  LEFT JOIN LATERAL (
+       |    SELECT view_id, view_value, tsn FROM v
+       |    WHERE v.user_id = p.user_id AND v.tsn <= p.tsn
+       |    ORDER BY v.tsn DESC, view_id DESC LIMIT 1) b ON true
+       |  LEFT JOIN LATERAL (
+       |    SELECT view_id, view_value, tsn FROM v
+       |    WHERE v.user_id = p.user_id AND v.tsn > p.tsn
+       |    ORDER BY v.tsn ASC, view_id ASC LIMIT 1) f ON true
+       |), pick AS (
+       |  SELECT event_id, user_id, tsn AS ts_u,
+       |    (b_id IS NOT NULL AND tsn - b_tsn <= $NearTolUs) AS vb,
+       |    (f_id IS NOT NULL AND f_tsn - tsn <= $NearTolUs) AS vf,
+       |    (f_tsn - tsn < tsn - b_tsn) AS fwd_nearer,
+       |    b_id, b_val, b_tsn, f_id, f_val, f_tsn
+       |  FROM bf
+       |)
+       |SELECT event_id, user_id, ts_u,
+       |  CASE WHEN vb AND vf THEN CASE WHEN fwd_nearer THEN f_id ELSE b_id END
+       |       WHEN vb THEN b_id WHEN vf THEN f_id END AS view_id,
+       |  CASE WHEN vb AND vf THEN CASE WHEN fwd_nearer THEN f_val ELSE b_val END
+       |       WHEN vb THEN b_val WHEN vf THEN f_val END AS view_value,
+       |  CASE WHEN vb AND vf THEN CASE WHEN fwd_nearer THEN f_tsn ELSE b_tsn END
+       |       WHEN vb THEN b_tsn WHEN vf THEN f_tsn END AS view_ts_u
+       |FROM pick ORDER BY event_id""".stripMargin
+
   // ---- W8: gap-based sessionization (30-min inactivity closes a session) ---
   def w8Sessionize(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -452,6 +513,7 @@ object InventoryQueries2 {
     "w8_sessionize" -> (w8Sessionize _),
     "text_vocab_topk" -> (textVocabTopk _),
     "w7_asof_join" -> (w7AsofJoin _),
+    "w9_asof_nearest" -> (w9AsofNearest _),
     "a2_max_watermark" -> (a2MaxWatermark _),
     "a13_invariants" -> (a13Invariants _),
     "f10_currency_map" -> (f10CurrencyMap _),
@@ -476,6 +538,7 @@ object InventoryQueries2 {
     "w8_sessionize" -> w8Sql,
     "text_vocab_topk" -> textVocabTopkSql,
     "w7_asof_join" -> w7Sql,
+    "w9_asof_nearest" -> w9Sql,
     "a2_max_watermark" -> a2Sql,
     "a13_invariants" -> a13Sql,
     "f10_currency_map" -> f10Sql,

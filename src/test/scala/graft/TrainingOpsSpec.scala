@@ -339,6 +339,24 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out(1L).getString(3) == "1,0" && out(1L).getLong(2) == 0L)
   }
 
+  test("asofJoinNearest: picks the closer side, backward wins ties, tolerance excludes") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L, 100L), (1L, 5L, 101L), (1L, 100L, 102L), (2L, 10L, 103L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 4L, 900L, 0.4), (1L, 13L, 901L, 1.3),
+      (2L, 8L, 902L, 0.8), (2L, 12L, 903L, 1.2)).toDF("k", "t", "rid", "v")
+    val out = graft.operators.Relational
+      .asofJoinNearest(left, right, Seq("k"), "t",
+        rightPayload = Seq("v"), rightOrd = "rid", tolerance = 5L)
+      .select(col("lid"), col("_match.rid"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out(100L) == 901L) // 10: back 4 (d6 > tol), fwd 13 (d3) → fwd
+    assert(out(101L) == 900L) // 5: back 4 (d1) beats fwd 13 (d8 > tol)
+    assert(out(102L) == -1L)  // 100: nothing within 5
+    assert(out(103L) == 902L) // 10: back 8 (d2) ties fwd 12 (d2) → backward wins
+  }
+
   test("tokenCounts: ws vs regex vs bpe estimate") {
     val r = TextAnalysis.tokenCounts(docs, "doc_id", "text", "n_chars")
       .filter(col("doc_id") === 0).collect()(0)
