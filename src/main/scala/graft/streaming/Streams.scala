@@ -276,6 +276,49 @@ object Streams {
         OutputMode.Append())
   }
 
+  // ---- per-item multi-currency price book (MapState) ---------------------
+
+  case class Quote(item: String, ts: java.sql.Timestamp, currency: String, price: Double)
+  case class BookSnapshot(item: String, ts: java.sql.Timestamp,
+                          n_currencies: Int, book: String)
+
+  /** Per-item latest price per CURRENCY as streaming MapState — the
+    * reference tracks every item in several wallet currencies at once;
+    * here each quote upserts its currency's entry and emits the full
+    * book as a sorted `cur:price` string (deterministic serialization).
+    * MapState gives per-currency point upserts without rewriting a whole
+    * per-item struct: state size is |currencies| entries per item, and a
+    * single-currency update touches one key in the store. */
+  class PriceBookKeeper
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Quote, BookSnapshot] {
+    @transient private var book: org.apache.spark.sql.streaming.MapState[String, Double] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      book = getHandle.getMapState[String, Double]("book",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Quote],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[BookSnapshot] = {
+      // (ts, currency, price) total order: same-instant updates replay
+      // identically across shuffle retries
+      rows.toSeq.sortBy(q => (q.ts.getTime, q.currency, q.price)).map { q =>
+        book.updateValue(q.currency, q.price)
+        val entries = book.iterator().map(p => s"${p._1}:${p._2}").toSeq.sorted
+        BookSnapshot(key, q.ts, entries.size, entries.mkString(","))
+      }.iterator
+    }
+  }
+
+  /** Per-item multi-currency latest-price book as a streaming transform. */
+  def priceBook(quotes: Dataset[Quote]): Dataset[BookSnapshot] = {
+    import quotes.sparkSession.implicits._
+    quotes.groupByKey(_.item)
+      .transformWithState(new PriceBookKeeper,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Exponential backoff bookkeeping (snoozerScheduler.py:192-222): per
     * item, consecutive failures double the cooldown multiplier (cap 8);
     * any success resets. Emits the post-batch state per key. */

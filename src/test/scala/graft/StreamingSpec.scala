@@ -200,6 +200,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(0L) && !out(2L))            // quality gate scored in the same pass
   }
 
+  test("priceBook: MapState upserts per currency, full book emitted sorted, across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val prevProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Streams.Quote]
+      val q = Streams.priceBook(in.toDS())
+        .writeStream.format("memory").queryName("book_out").outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_book").toString)
+        .start()
+      in.addData(
+        Streams.Quote("it", ts("2024-01-01 00:00:01"), "USD", 1.50),
+        Streams.Quote("it", ts("2024-01-01 00:00:02"), "EUR", 1.40))
+      q.processAllAvailable()
+      in.addData(
+        Streams.Quote("it", ts("2024-01-01 00:00:03"), "USD", 1.60)) // upsert USD
+      q.processAllAvailable()
+      val out = s.table("book_out").orderBy("ts").collect()
+        .map(r => (r.getAs[Int]("n_currencies"), r.getAs[String]("book")))
+      q.stop()
+      assert(out.toSeq == Seq(
+        (1, "USD:1.5"),
+        (2, "EUR:1.4,USD:1.5"),
+        (2, "EUR:1.4,USD:1.6"))) // USD replaced, EUR retained across batches
+    } finally {
+      if (prevProvider.isEmpty)
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      else s.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+    }
+  }
+
   test("T6 source-side rate limit: maxFilesPerTrigger throttles ingestion to N files per batch") {
     // the reference's RateLimiter (src/RateLimiter.py:5-49) gates HTTP
     // calls; on the engine side the same role is the source admission
