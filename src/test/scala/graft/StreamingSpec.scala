@@ -235,6 +235,33 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming decontamination: arriving docs flagged against the static eval shingle set") {
+    // stream-static: the benchmark corpus is a broadcast-size static side,
+    // so contamination is checked ON ARRIVAL — no quarantine-then-rescan
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val evalDf = Seq((100L, "the secret eval phrase appears here now ok")).toDF("doc_id", "text")
+    val evalSh = broadcast(evalDf.select(
+      explode(graft.operators.Dedup.shingleHashes(col("text"), 5)).as("h")).distinct())
+    val in = MemoryStream[Doc]
+    val flagged = in.toDF()
+      .select(col("doc_id"), explode(graft.operators.Dedup.shingleHashes(col("text"), 5)).as("h"))
+      .join(evalSh, "h")
+      // production: dropDuplicatesWithinWatermark — docs arrive once, so
+      // the dedup horizon is the ingest lateness bound, not the corpus
+      .select(col("doc_id")).dropDuplicates("doc_id")
+    val q = flagged.writeStream.format("memory").queryName("contam_out")
+      .outputMode("append").start()
+    in.addData(
+      Doc(0L, "clean text with no overlap whatsoever at all", ts("2024-01-01 00:00:00")),
+      Doc(1L, "leak: the secret eval phrase appears here now ok thanks", ts("2024-01-01 00:00:01")))
+    q.processAllAvailable()
+    val out = s.table("contam_out").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(out == Set(1L))
+  }
+
   test("T6 source-side rate limit: maxFilesPerTrigger throttles ingestion to N files per batch") {
     // the reference's RateLimiter (src/RateLimiter.py:5-49) gates HTTP
     // calls; on the engine side the same role is the source admission
