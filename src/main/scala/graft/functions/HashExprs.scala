@@ -70,6 +70,27 @@ object HashOps {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** ORDERED (non-distinct) n-gram shingle hashes — one hash per k-gram
+    * START POSITION, array index = position. The positional variant of
+    * shingleHashes for span-level work (exact substring dedup), where
+    * WHERE a duplicated n-gram sits in the document matters, not just
+    * that it occurs. Same token/fold math as shingleHashes. */
+  def seqShingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val th = tokenHashes(s)
+    if (th.length < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val m = th.length - n + 1
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = th(i)
+      var j = 1
+      while (j < n) { acc = (acc * 131 + th(i + j)) % P; j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** k-min signature over the affine family; null on an empty set (mirrors
     * array_min(empty) = NULL in both engines). */
   def minhashSig(hashes: ArrayData, k: Int): ArrayData = {
@@ -228,6 +249,20 @@ case class ShingleHashesExpr(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.shingleHashes($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** text → ARRAY<BIGINT> of ORDERED positional n-gram shingle hashes
+  * (index = k-gram start position; non-distinct). */
+case class SeqShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_seq_shingle_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.seqShingleHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.seqShingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): SeqShingleHashesExpr =
     copy(child = newChild)
 }
 
