@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{graftExpr, Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.{BandKeysExpr, MinHashSigExpr, PolyHashExpr, ShingleHashesExpr, SimHashExpr}
+import graft.functions.{BandKeysExpr, MinHashSigExpr, PolyHashExpr, SeqShingleHashesExpr, ShingleHashesExpr, SimHashExpr}
 
 /** Deduplication operators for large-scale text corpora: exact (hash),
   * MinHash+LSH banding (Broder 1997), SimHash (Charikar, STOC 2002), and
@@ -44,6 +44,51 @@ object Dedup {
     * Native codegen'd kernel (HashOps.shingleHashes). */
   def shingleHashes(text: Column, n: Int = 3): Column =
     graftExpr.column(ShingleHashesExpr(graftExpr.expression(text), n))
+
+  /** ORDERED positional n-gram shingle hashes: one hash per n-gram START
+    * POSITION (array index = position, non-distinct) — the positional
+    * variant of [[shingleHashes]] for span-level work, where WHERE a
+    * duplicated n-gram sits matters, not just that it occurs. Native
+    * codegen'd kernel (HashOps.seqShingleHashes). */
+  def seqShingleHashes(text: Column, n: Int = 5): Column =
+    graftExpr.column(SeqShingleHashesExpr(graftExpr.expression(text), n))
+
+  /** Span-level exact-substring dedup (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" exact-substring setting):
+    * find WHERE duplicated ≥n-token runs sit in each document, not just
+    * which documents overlap. A position is duplicated iff its n-gram
+    * occurs in ≥2 distinct documents; maximal runs of consecutive
+    * duplicated positions merge into spans (gaps-and-islands: pos −
+    * row_number over pos is constant exactly on a consecutive run). A
+    * span of s consecutive duplicated n-gram positions covers s+n−1
+    * tokens — the removable substring.
+    *
+    * Scale shape: the positional explode is a projection (narrow
+    * (id, pos, h) rows — no n-gram strings ever materialize); the
+    * duplicated-hash set is one groupBy(h) with map-side partial
+    * distinct-count; the position semi-join shuffles on h; the run-length
+    * merge windows per DOCUMENT, so each window partition is bounded by
+    * document length regardless of corpus size — no global sort anywhere.
+    * Output: (idCol, span_start, span_tokens, n_shingles), span_start =
+    * 0-based token index. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 5): DataFrame = {
+    val seq = df.select(col(idCol).as("id"),
+      posexplode(seqShingleHashes(col(textCol), n)).as(Seq("pos", "h")))
+    val dup = seq.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val hits = seq.join(dup, "h").select(col("id"), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    hits.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + n).as("span_tokens"),
+        count(lit(1)).as("n_shingles"))
+      .select(col("id").as(idCol), col("span_start"),
+        col("span_tokens"), col("n_shingles"))
+  }
 
   /** k-element MinHash signature from hashed shingles, using the affine
     * family h_j(x) = ((2j+1)x + 7919j + 12345) mod p; NULL for an empty

@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("graft_shingle_hashes", "(text, n) distinct word n-gram shingle hashes") {
       args => ShingleHashesExpr(args.head, intArg(args(1), "n"))
     }
+    reg("graft_seq_shingle_hashes", "(text, n) ordered positional word n-gram shingle hashes") {
+      args => SeqShingleHashesExpr(args.head, intArg(args(1), "n"))
+    }
     reg("graft_minhash_sig", "(shingles, k) minhash signature") {
       args => MinHashSigExpr(args.head, intArg(args(1), "k"))
     }

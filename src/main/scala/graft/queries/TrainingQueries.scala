@@ -164,6 +164,37 @@ object TrainingQueries {
        |    (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) >= 0.5
        |ORDER BY new_id, old_id""".stripMargin
 
+  // ---- span-level exact-substring dedup (positional shingles) --------------
+  /** WHERE the duplicated runs sit: maximal consecutive runs of 5-gram
+    * start positions whose 5-gram occurs in ≥2 distinct documents — a run
+    * of s positions covers s+4 removable tokens. The oracle replays the
+    * positional (non-distinct) shingle sequence and the same
+    * gaps-and-islands merge. */
+  private val SpanN = 5
+
+  def dedupSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text", SpanN)
+      .orderBy(col("doc_id"), col("span_start"))
+  val dedupSpansSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_transform(string_split(trim(text), ' '), $polyHashLambda) AS th
+       |  FROM documents
+       |), seq AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+       |    list_reduce(th[i+1:i+$SpanN], (a,b) -> (a*131 + b) % $P) AS h
+       |  FROM (SELECT doc_id, th, unnest(range(0, greatest(len(th)-$SpanN+1, 0))) AS i FROM toks)
+       |), dup AS (
+       |  SELECT h FROM seq GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+       |), runs AS (
+       |  SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM seq JOIN dup USING (h)
+       |)
+       |SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
+       |  CAST(MAX(pos) - MIN(pos) + $SpanN AS INTEGER) AS span_tokens,
+       |  COUNT(*) AS n_shingles
+       |FROM runs GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
@@ -171,6 +202,7 @@ object TrainingQueries {
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_spans" -> (dedupSpans _),
     "dedup_ngram_pairs" -> (dedupNgramPairs _))
 
   val oracle: Map[String, String] = Map(
@@ -178,5 +210,6 @@ object TrainingQueries {
     "dedup_minhash_pairs" -> dedupMinhashPairsSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_spans" -> dedupSpansSql,
     "dedup_ngram_pairs" -> dedupNgramPairsSql)
 }

@@ -88,6 +88,32 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 0L && p._2 == 2L))
   }
 
+  test("duplicatedSpans: planted shared run found at the right position, merged") {
+    val s = spark
+    import s.implicits._
+    val shared = "one two three four five six seven" // 7 tokens → 3 shared 5-grams
+    val spanDocs = Seq(
+      (0L, s"aa bb $shared cc dd"),       // shared run starts at token 2
+      (1L, s"$shared xx yy zz"),          // shared run starts at token 0
+      (2L, "totally unrelated words that never repeat anywhere at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(spanDocs, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // one maximal span per doc: 3 consecutive 5-gram positions = 7 tokens
+    assert(out.toSeq == Seq((0L, 2, 7, 3L), (1L, 0, 7, 3L)))
+  }
+
+  test("duplicatedSpans: within-doc repetition alone is not a span (cross-doc only)") {
+    val s = spark
+    import s.implicits._
+    val spanDocs = Seq(
+      (0L, "p q r s t p q r s t"), // 5-gram 'p q r s t' occurs twice, same doc
+      (1L, "entirely different vocabulary in this document here now")
+    ).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(spanDocs, "doc_id", "text", n = 5).isEmpty)
+  }
+
   test("minhashPairsAgainst: new-vs-old pairs only, no within-side pairs") {
     val s = spark
     import s.implicits._

@@ -55,6 +55,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ks.head == r.getLong(1))
   }
 
+  test("seq shingle hashes SQL function: positional, non-distinct") {
+    val r = spark.sql(
+      """SELECT graft_seq_shingle_hashes('a b c b c d', 2) AS seq,
+        |       graft_shingle_hashes('a b c b c d', 2) AS dis
+        |""".stripMargin).collect()(0)
+    val seq = r.getSeq[Long](0)
+    val dis = r.getSeq[Long](1)
+    assert(seq.length == 5)            // one hash per 2-gram start position
+    assert(seq(1) == seq(3))           // 'b c' recurs at positions 1 and 3
+    assert(seq.distinct == dis)        // first-occurrence distinct = set kernel
+  }
+
   test("winnow and char-ngram SQL functions") {
     val r = spark.sql(
       """SELECT size(graft_winnow('a b c d e f g h', 3, 4)) AS nw,

@@ -44,6 +44,22 @@ class HashOpsPropertySpec extends AnyFunSuite {
     assert(HashOps.shingleHashes(UTF8String.fromString(""), 3).numElements() == 0)
   }
 
+  test("seqShingleHashes: ordered non-distinct variant of the set kernel") {
+    (0 until 300).foreach { _ =>
+      val t = randText()
+      val got = HashOps.seqShingleHashes(UTF8String.fromString(t), 3).toLongArray.toSeq
+      val th = t.trim.split(" ", -1).map(refPolyHash)
+      val ref =
+        if (th.length < 3) Seq.empty
+        else th.sliding(3).map(_.reduce((a, b) => (a * 131 + b) % P)).toSeq
+      assert(got == ref, t)            // index = n-gram start position
+      assert(got.distinct ==           // first-occurrence distinct = set kernel
+        HashOps.shingleHashes(UTF8String.fromString(t), 3).toLongArray.toSeq, t)
+    }
+    assert(HashOps.seqShingleHashes(UTF8String.fromString("a b"), 3).numElements() == 0)
+    assert(HashOps.seqShingleHashes(UTF8String.fromString(""), 3).numElements() == 0)
+  }
+
   test("minhashSig: each slot is the true min of the affine family") {
     (0 until 100).foreach { _ =>
       val t = randText()
