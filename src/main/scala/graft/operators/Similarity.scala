@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{graftExpr, Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{CosineSimExpr, SignLshBandKeysExpr, SignLshBucketExpr}
@@ -38,6 +39,30 @@ object Similarity {
   def lshBandKeys(v: Column, nBands: Int, planesPerBand: Int): Column =
     graftExpr.column(SignLshBandKeysExpr(graftExpr.expression(v), nBands, planesPerBand))
 
+  /** Per-query top-k final ranking WITHOUT a full-width window: a
+    * bounded-buffer top-k aggregation (CollectTopK, a
+    * TypedImperativeAggregate), so the map side reduces each partition to
+    * ≤ k candidates per query BEFORE the exchange — only
+    * |partitions|·|queries|·k narrow rows ever shuffle, and no reducer
+    * sorts more than |partitions|·k rows per query. The window-ranking
+    * alternative (row_number over partitionBy(query_id)) shuffles EVERY
+    * scored row into |queries| reducer partitions and sorts a
+    * corpus-sized run per query — a single-task sort at 100× the corpus.
+    * Total order (score desc, id asc) via the max-struct trick
+    * (score, −id); rank 1..k from the sorted-array position. Shared by
+    * all four ANN variants so their ranking semantics can't drift. */
+  private def topKPerQuery(scored: DataFrame, idCol: String, scoreCol: String,
+                           k: Int): DataFrame = {
+    val key = struct(col(scoreCol), (-col(idCol)).as("nid"))
+    val topk = graftExpr.column(
+      new CollectTopK(graftExpr.expression(key), k, false).toAggregateExpression())
+    scored.groupBy(col("query_id"))
+      .agg(topk.as("tops"))
+      .select(col("query_id"), posexplode(col("tops")).as(Seq("r0", "t")))
+      .select(col("query_id"), (-col("t.nid")).as(idCol),
+        col(s"t.$scoreCol").as(scoreCol), (col("r0") + 1).as("rank"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector (self excluded).
     * Output: (query_id, vec_id, cos, rank), rank 1..k by (cos desc, id). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -48,10 +73,7 @@ object Similarity {
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol),
         cosine(col("q_vec"), col(vecCol)).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, idCol, "cos", k)
   }
 
   /** Banded-LSH top-k: candidates share ≥1 (band, key) with the query;
@@ -76,10 +98,7 @@ object Similarity {
         cosine(col("q_vec"), col(vecCol)).as("cos"))
       .groupBy(col("query_id"), col(idCol))
       .agg(first(col("cos")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, idCol, "cos", k)
   }
 
   /** IVF-flat ANN: coarse-quantize the corpus into `nCentroids` cells
@@ -131,10 +150,7 @@ object Similarity {
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol),
         cosine(col("q_vec"), col(vecCol)).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, idCol, "cos", k)
   }
 
   /** One distributed Lloyd (k-means) refinement step for the IVF coarse
@@ -277,10 +293,7 @@ object Similarity {
       .filter(col(idCol) =!= col("query_id"))
       .groupBy(col("query_id"), col(idCol))
       .agg((sum(col("q_sub")).cast("double") / 1e6).as("approx"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, idCol, "approx", k)
   }
 
   /** Embedding near-dup pairs: banded sign-LSH blocking + capped buckets +

@@ -76,6 +76,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(countOf(p, "BroadcastExchange") >= 1, p)
     assert(countOf(p, "Exchange hashpartitioning") == 1,
       s"only the per-query top-k agg may shuffle:\n$p")
+    // final ranking must be the bounded partial top-k aggregation, not a
+    // full-width window: EVERY scored row shuffling into |queries| reducer
+    // partitions for a corpus-sized sort is the plan that dies at 100×
+    assert(!p.contains("Window "),
+      s"per-query ranking must not plan a window sort:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected bounded-buffer CollectTopK aggregation:\n$p")
+  }
+
+  test("sim_lsh/ivf/adc_topk: final ranking is partial top-k, never a window sort") {
+    Seq("sim_lsh_topk", "sim_ivf_topk", "sim_adc_topk").foreach { name =>
+      val p = plan(name)
+      // (ivf keeps windows for CELL assignment — bounded by nCentroids —
+      // but the per-query candidate ranking itself must be aggregation)
+      assert(p.contains("ObjectHashAggregate"),
+        s"$name: expected bounded-buffer CollectTopK aggregation:\n$p")
+    }
+    val lsh = plan("sim_lsh_topk")
+    assert(!lsh.contains("Window "),
+      s"sim_lsh_topk has no cell assignment; no window sort expected:\n$lsh")
   }
 
   test("shuffle_shards: exactly one hash exchange (the shard partitioning)") {
