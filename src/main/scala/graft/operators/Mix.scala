@@ -93,21 +93,46 @@ object Mix {
 
   /** Greedy token-budget selection: per source, take documents in
     * descending score order until the token budget is exhausted (the
-    * "best docs under N tokens per domain" assembly step). One window
-    * cumsum per source — hash-partition on source, per-partition sort —
-    * and the (scoreCol desc, idCol) order is total, so the selected SET
-    * is deterministic on any cluster. Output: input row + cum_tokens.
+    * "best docs under N tokens per domain" assembly step). The
+    * (scoreCol desc, idCol) order is total, so the selected SET is
+    * deterministic on any cluster. Output: input row + cum_tokens, a doc
+    * kept iff the budget covers its ENTIRE token count (cum ≤ budget).
     *
-    * Note the boundary rule: a doc is kept iff the budget still covers
-    * its ENTIRE token count (cum ≤ budget), so the budget is never
-    * exceeded. */
+    * TWO-PHASE shape — the naive single window
+    * (partitionBy(source).orderBy(score desc, id)) funnels every
+    * candidate row of a source into ONE task for a full sort; with a
+    * handful of sources at 100 TB that is a single-task sort of billions
+    * of rows. Instead:
+    *   1. aggregate (source, score) → token sum — map-side combinable,
+    *      result is |sources|·|distinct scores| NARROW rows; a per-source
+    *      cumsum over THAT table (tiny sort) yields each score-group's
+    *      base offset, and groups whose base already exceeds the budget
+    *      are discarded wholesale;
+    *   2. the surviving groups broadcast back; only rows of
+    *      at-or-before-the-cutoff groups — a set bounded by
+    *      budget/min_doc_tokens plus one boundary group, NOT by corpus
+    *      size — get the exact within-group cumsum (window per
+    *      (source, score), ordered by id, partitions bounded by group
+    *      size and parallel across groups).
+    * cum_tokens = group base + within-group cumsum is identical to the
+    * single-window value, bit for bit (long arithmetic, same total
+    * order). */
   def budgetSelect(df: DataFrame, idCol: String, srcCol: String,
                    scoreCol: String, tokensCol: String, budget: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(srcCol)).orderBy(col(scoreCol).desc, col(idCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+    import org.apache.spark.sql.expressions.Window
+    val gw = Window.partitionBy(col(srcCol)).orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val groups = df.groupBy(col(srcCol), col(scoreCol))
+      .agg(sum(col(tokensCol)).as("_gsum"))
+      .withColumn("_gbase", sum(col("_gsum")).over(gw) - col("_gsum"))
+      .filter(col("_gbase") <= budget)
+      .select(col(srcCol), col(scoreCol), col("_gbase"))
+    val ww = Window.partitionBy(col(srcCol), col(scoreCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.join(broadcast(groups), Seq(srcCol, scoreCol))
+      .withColumn("cum_tokens", col("_gbase") + sum(col(tokensCol)).over(ww))
       .filter(col("cum_tokens") <= budget)
+      .select(df.columns.map(col).toIndexedSeq :+ col("cum_tokens"): _*)
   }
 
   /** α=0.5 temperature mix report: per source, input size, kept size, and

@@ -382,7 +382,6 @@ object SequenceQueries {
     * [[graft.operators.Dedup]]). Output: (doc_id, source, is_train,
     * is_cluster_dup, keep_quality, contaminated, sampled, selected). */
   def corpusBuild(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
     val isTrain = col("doc_id") % 10 =!= 0
     val exactEdges = Dedup.exactDedup(docs, "doc_id", "text").filter(col("is_dup"))
@@ -413,12 +412,8 @@ object SequenceQueries {
       .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
       .withColumn("candidate", col("is_train") && !col("is_cluster_dup") &&
         col("keep_quality") && !col("contaminated") && col("sampled"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val sel = flags.filter(col("candidate"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
-      .filter(col("cum") <= TokenBudget)
+    val sel = Mix.budgetSelect(flags.filter(col("candidate")),
+        "doc_id", "source", "score", "n_tokens", TokenBudget)
       .select(col("doc_id"), lit(true).as("selected"))
     flags.join(sel, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("is_train"),

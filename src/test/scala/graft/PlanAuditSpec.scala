@@ -98,6 +98,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"sim_lsh_topk has no cell assignment; no window sort expected:\n$lsh")
   }
 
+  test("budget_select / corpus_build: no per-source full-corpus cumsum sort") {
+    // the scale-killer shape is a window partitioned by source alone and
+    // ordered (score desc, id) over the raw candidate rows — with few
+    // sources that is a single-task sort of the whole corpus. Two-phase
+    // selection replaces it: windows are either over the tiny
+    // (source, score) aggregate or partitioned by (source, score).
+    val bad = """windowspecdefinition\(source#\d+L?, score#\d+L? DESC NULLS LAST, doc_id#\d+L? ASC""".r
+    Seq("budget_select", "corpus_build").foreach { name =>
+      val p = plan(name)
+      assert(bad.findFirstIn(p).isEmpty,
+        s"$name plans a per-source full sort of candidate rows:\n$p")
+    }
+    // and the within-group cumsum is really keyed by BOTH source and score
+    val good = """windowspecdefinition\(source#\d+L?, score#\d+L?, doc_id#\d+L? ASC""".r
+    assert(good.findFirstIn(plan("budget_select")).isDefined,
+      plan("budget_select"))
+  }
+
   test("shuffle_shards: exactly one hash exchange (the shard partitioning)") {
     val p = plan("shuffle_shards")
     assert(countOf(p, "Exchange hashpartitioning") == 1, p)
