@@ -446,20 +446,30 @@ object InventoryQueries2 {
       |FROM documents GROUP BY ROLLUP (lang, source)
       |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin
 
-  // ---- A16: approximate distinct counts (HLL sketches; rows-only check) ----
+  // ---- A16: approximate distinct counts (HLL sketches, bounded-error) ------
   /** approx_count_distinct (HyperLogLog++) — THE cardinality answer at
-    * 100 TB where exact countDistinct would shuffle every value. No SQL
-    * oracle: sketch estimates are engine-specific by nature, so the
-    * driver records a rows-only check (per contract). */
+    * 100 TB where exact countDistinct would shuffle every value. Raw
+    * sketch estimates are engine-specific, so the ORACLE CONTRACT is the
+    * error bound, not the estimate: each engine computes its own sketch
+    * AND the exact count, and the query's output is the exact count plus
+    * a within_bound flag (relative error ≤ 5%). A sketch drifting out of
+    * bound flips the flag and fails the hash compare — a verifiable
+    * contract where value equality is impossible by construction. */
   def a16ApproxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
-      .withColumn("rel_err",
-        abs(col("approx_users") - col("exact_users")).cast("double") / col("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users").cast("double") <= 0.05).as("within_bound"))
       .orderBy(col("event_type"))
+  val a16Sql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+      |  abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+      |    / CAST(COUNT(DISTINCT user_id) AS DOUBLE) <= 0.05 AS within_bound
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---- A17: pivot (wide per-user event-type counts) ------------------------
   def a17Pivot(s: SparkSession, d: String): DataFrame =
@@ -534,6 +544,7 @@ object InventoryQueries2 {
     "a17_pivot" -> a17Sql,
     "j9_cross_modal" -> j9Sql,
     "a15_rollup" -> a15Sql,
+    "a16_approx_distinct" -> a16Sql,
     "a14_quantiles" -> a14Sql,
     "w8_sessionize" -> w8Sql,
     "text_vocab_topk" -> textVocabTopkSql,

@@ -14,14 +14,12 @@ class ContractSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  /** Sketch queries are engine-specific and stay rows-only BY DESIGN —
-    * additions to this set need the same documented justification. */
-  private val RowsOnlyByDesign = Set("a16_approx_distinct")
-
-  test("every query has an oracle twin unless documented rows-only") {
+  test("every query has an oracle twin — no rows-only downgrades") {
+    // even the HLL sketch query carries an oracle now: its contract is
+    // the error BOUND (each engine checks its own sketch vs its own
+    // exact count), not the engine-specific estimate
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing == RowsOnlyByDesign,
-      s"queries without oracle: ${missing -- RowsOnlyByDesign}")
+    assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 
   test("no oracle without a query; names are well-formed") {
