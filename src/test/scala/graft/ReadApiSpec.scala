@@ -91,6 +91,70 @@ class ReadApiSpec extends AnyFunSuite {
     assert(r.getAs[Long]("tracked_count") == 2)
   }
 
+  test("admitItem: validate → resolve → duplicate gate → feasibility → classify") {
+    import graft.api.ControlApi
+    import graft.api.ControlApi.{Admitted, AdmitRequest, Rejected}
+    val s = spark
+    import s.implicits._
+    val tracked = Seq(
+      ("knife", "histogram", true, 10),
+      ("glove", "priceoverview", false, 30))
+      .toDF("market_hash_name", "stream", "enabled", "poll_interval_sec")
+    val manifest = Seq(("knife", 176321160L), ("glove", 176000001L))
+      .toDF("market_hash_name", "item_nameid")
+    def admit(req: AdmitRequest) =
+      ControlApi.admitItem(tracked, manifest, req, rateBudget = 600L,
+        windowSeconds = 60L)
+
+    // validation rejects (untrusted body)
+    assert(admit(AdmitRequest("x", "nope")) == Rejected(400,
+      "Invalid stream 'nope'. Use one of: activity, histogram, pricehistory, priceoverview"))
+    assert(admit(AdmitRequest("  ", "activity", pollIntervalSec = Some(10)))
+      .isInstanceOf[Rejected])
+    assert(admit(AdmitRequest("x", "activity")).isInstanceOf[Rejected]) // interval required
+    assert(admit(AdmitRequest("x", "activity", pollIntervalSec = Some(1)))
+      .isInstanceOf[Rejected]) // out of bounds
+    // nameid unresolvable for a stream that requires it
+    assert(admit(AdmitRequest("ghost", "activity", pollIntervalSec = Some(10)))
+      .isInstanceOf[Rejected])
+    // enabled duplicate = suppressed no-op → 409
+    assert(admit(AdmitRequest("knife", "histogram", pollIntervalSec = Some(10)))
+      == Rejected(409, "'knife' (histogram) is already tracked"))
+    // feasibility: live set is knife@10s → 6 req/60s; adding 12s → +5;
+    // an interval making required exceed 600 must be rejected...
+    assert(admit(AdmitRequest("fresh", "priceoverview", pollIntervalSec = Some(5)))
+      .isInstanceOf[Admitted]) // 6 + 12 = 18 ≤ 600
+    val tight = ControlApi.admitItem(tracked, manifest,
+      AdmitRequest("fresh", "priceoverview", pollIntervalSec = Some(5)),
+      rateBudget = 17L, windowSeconds = 60L)
+    assert(tight == Rejected(409, "Would exceed rate limit: 18 req/60s " +
+      "vs budget 17. Increase poll_interval_sec or remove an item."))
+    // accepted insert: nameid resolved, capacity echoed
+    admit(AdmitRequest("glove", "activity", pollIntervalSec = Some(12))) match {
+      case Admitted(op, nameid, interval, required, budget, util) =>
+        assert(op == "insert" && nameid.contains(176000001L) && interval == 12)
+        assert(required == 11L && budget == 600L) // 6 (knife) + 5 (60/12)
+        assert(math.abs(util - 11.0 / 600.0 * 100.0) < 1e-12)
+      case other => fail(s"expected Admitted, got $other")
+    }
+    // disabled row re-admitted → reenable, not insert
+    admit(AdmitRequest("glove", "priceoverview", pollIntervalSec = Some(30))) match {
+      case Admitted(op, nameid, _, _, _, _) =>
+        assert(op == "reenable" && nameid.isEmpty)
+      case other => fail(s"expected Admitted, got $other")
+    }
+    // pricehistory: client cadence ignored, fixed hourly tick, no load
+    // added — cannot fail the gate even with a zero-headroom budget
+    ControlApi.admitItem(tracked, manifest,
+      AdmitRequest("fresh", "pricehistory", pollIntervalSec = Some(1)),
+      rateBudget = 6L, windowSeconds = 60L) match {
+      case Admitted(op, _, interval, required, _, _) =>
+        assert(op == "insert" && interval == ControlApi.PricehistoryPollSec)
+        assert(required == 6L) // knife only; the add contributes nothing
+      case other => fail(s"expected Admitted, got $other")
+    }
+  }
+
   test("replaceTrackedItems: insert/update/delete classified, noop suppressed") {
     val s = spark
     import s.implicits._
