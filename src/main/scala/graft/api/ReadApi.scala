@@ -47,7 +47,14 @@ object ReadApi {
 
   /** GET /history/{name}?range=… — range-bounded ascending series (O2);
     * `range` ∈ week|month|year|all, whitelisted exactly like
-    * api/main.py:87-92. */
+    * api/main.py:87-92.
+    *
+    * When the frame is a [[graft.sources.PartitionedStore]] table (it
+    * carries the date partition column), the range bound is ALSO phrased
+    * against that column: Spark cannot derive `p_date ≥ date(b)` from
+    * `time ≥ b` on its own, and without the redundant predicate the scan
+    * reads every date directory — at cluster scale the difference between
+    * touching 7 partitions and 3 years of them. */
   def history(priceHistory: DataFrame, name: String, range: String,
               asOf: Column): DataFrame = {
     val bound: Option[Column] = range match {
@@ -59,7 +66,14 @@ object ReadApi {
         s"range must be week|month|year|all, got '$other'")
     }
     val base = priceHistory.filter(col("market_hash_name") === name)
-    bound.fold(base)(b => base.filter(col("time") >= b))
+    bound.fold(base) { b =>
+      val timePred = col("time") >= b
+      val pred =
+        if (priceHistory.columns.contains(graft.sources.PartitionedStore.DateCol))
+          timePred && col(graft.sources.PartitionedStore.DateCol) >= to_date(b)
+        else timePred
+      base.filter(pred)
+    }
       .select(col("time"), col("price"), col("volume"))
       .orderBy(col("time").asc)
   }

@@ -204,25 +204,33 @@ object Dedup {
     // isolated vertices are trivially their own rep and join back below
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("rep")).localCheckpoint()
-    var changed = 1L
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val prop = sym.join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("rep"))
-      val next = labels.union(prop).groupBy(col("id"))
-        .agg(min(col("rep")).as("rep")).localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.rep") =!= col("o.rep")).count()
+    while (!converged && iter < maxIter) {
+      val prop = sym.join(labels.select(col("id").as("src"), col("rep")), "src")
+        .select(col("dst").as("id"), col("rep"), lit(false).as("own"))
+      // convergence folds INTO the label aggregation: the vertex's own
+      // row is tagged, so min(own rep) recovers the previous label in the
+      // same groupBy — no per-round join + count job against the old
+      // labels; the check is a limit-1 scan of the checkpointed result
+      val next = labels.select(col("id"), col("rep"), lit(true).as("own"))
+        .union(prop)
+        .groupBy(col("id"))
+        .agg(min(col("rep")).as("rep"),
+          min(when(col("own"), col("rep"))).as("old_rep"))
+        .select(col("id"), col("rep"), (col("rep") =!= col("old_rep")).as("changed"))
+        .localCheckpoint()
+      converged = next.filter(col("changed")).limit(1).isEmpty
       labels.unpersist() // next is materialized; don't pin every round's copy
       labels = next
       iter += 1
     }
     // a silent partial result would be WRONG labels (and diverge from the
     // oracle's exact closure) — fail loudly instead
-    if (changed > 0) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds " +
-        s"($changed labels still changing); raise maxIter for graphs of diameter > $maxIter")
-    vertices.join(labels, Seq("id"), "left")
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds; " +
+        s"raise maxIter for graphs of diameter > $maxIter")
+    vertices.join(labels.select(col("id"), col("rep")), Seq("id"), "left")
       .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
   }
 

@@ -121,6 +121,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(countOf(p, "Exchange hashpartitioning") == 1, p)
   }
 
+  test("history over a PartitionedStore table prunes date partitions") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hist_prune").toString
+    val rows = Seq(
+      ("itemA", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0, 1),
+      ("itemA", java.sql.Timestamp.valueOf("2024-02-20 10:00:00"), 2.0, 2))
+      .toDF("market_hash_name", "time", "price", "volume")
+    graft.sources.PartitionedStore.append(rows, tmp, "time", "market_hash_name")
+    val stored = graft.sources.PartitionedStore.read(s, tmp)
+    val q = graft.api.ReadApi.history(stored, "itemA", "week",
+      org.apache.spark.sql.functions.lit("2024-02-21 00:00:00").cast("timestamp"))
+    val pf = q.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("PartitionFilters")).mkString
+    // the range bound must reach the scan as a DATE-partition filter —
+    // an empty PartitionFilters means every date directory is read
+    assert(pf.contains("p_date") && !pf.contains("PartitionFilters: []"),
+      s"expected non-empty PartitionFilters on p_date, got: $pf")
+    assert(q.collect().map(_.getDouble(1)).toSeq == Seq(2.0))
+  }
+
   test("global sweep: no query plans an unbroadcast cartesian product") {
     // crossJoin against a broadcast side plans as BroadcastNestedLoopJoin
     // (fine — one side is tiny by construction); a CartesianProduct node
