@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{GraftClocks, SlidingWindowLog}
+
+/** The S1/T6 rate-limited MicroBatchStream: sliding-window-log semantics
+  * (RateLimiter.py:5-49 parity) and budget-bounded offset advancement
+  * under a manual clock — no sleeps, fully deterministic. */
+class RateLimitedSourceSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("SlidingWindowLog: burst grants, denies inside window, frees as grants expire") {
+    val log = new SlidingWindowLog(maxGrants = 3, windowMillis = 60000L)
+    assert(log.free(1000L) == 3)
+    log.grant(1000L, 2)
+    assert(log.free(1000L) == 1)
+    log.grant(5000L, 1)
+    assert(log.free(5000L) == 0)
+    // no capacity → next availability is when the OLDEST grant exits
+    assert(log.availableAt(5000L) == 1000L + 60000L)
+    // at 61s the two t=1000 grants have left the window
+    assert(log.free(61000L) == 2)
+    assert(log.availableAt(61000L) == 61000L)
+  }
+
+  test("rate-limited source: admits at most rowsPerWindow per window, resumes on clock advance") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rl_payload").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_rl_ck").toString
+    (0L until 12L).map(i => (i, s"payload_$i")).toDF("poll_id", "body")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val clock = GraftClocks.manual("rl-spec")
+    clock.set(0L)
+    val q = s.readStream.format("graft.sources.RateLimitedPayloadProvider")
+      .option("path", dir).option("idCol", "poll_id")
+      .option("rowsPerWindow", "5").option("windowSeconds", "60")
+      .option("clockKey", "rl-spec")
+      .load()
+      .writeStream.format("memory").queryName("rl_src_out")
+      .option("checkpointLocation", ck)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(s.table("rl_src_out").count() == 5) // budget spent, stream idles
+      q.processAllAvailable()
+      assert(s.table("rl_src_out").count() == 5) // still capped — clock frozen
+      clock.set(61000L) // window passed: 5 more tokens
+      q.processAllAvailable()
+      assert(s.table("rl_src_out").count() == 10)
+      clock.set(122000L) // remaining 2 rows drain; no over-admission past EOF
+      q.processAllAvailable()
+      val out = s.table("rl_src_out").orderBy("poll_id").collect()
+      assert(out.length == 12)
+      assert(out.map(_.getLong(0)).toSeq == (0L until 12L)) // in id order, no dup/loss
+      assert(out.last.getString(1) == "payload_11")
+    } finally q.stop()
+  }
+}
