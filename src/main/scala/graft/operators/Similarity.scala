@@ -309,9 +309,19 @@ object Similarity {
                          bucketCap: Int = 64): DataFrame = {
     val keys = emb.select(col(idCol).as("id"),
       posexplode(lshBandKeys(col(vecCol), nBands, planesPerBand)).as(Seq("band", "key")))
-    val capped = keys.withColumn("rn", row_number().over(
-        Window.partitionBy(col("band"), col("key")).orderBy(col("id"))))
-      .filter(col("rn") <= bucketCap).drop("rn")
+    // deterministic cap (lowest `cap` ids win) as a BOUNDED top-k
+    // aggregation, not a per-bucket window sort: under adversarial skew a
+    // degenerate key captures a large corpus fraction, and the window
+    // shape hands that whole bucket to one task for a full sort — exactly
+    // the case the cap exists to defuse. CollectTopK's buffer is capped,
+    // partial-aggregates map-side, and only ≤ cap ids per bucket per
+    // partition ever shuffle. reverse=true keeps the k SMALLEST ids.
+    val capIds = graftExpr.column(
+      new CollectTopK(graftExpr.expression(col("id")), bucketCap, true)
+        .toAggregateExpression())
+    val capped = keys.groupBy(col("band"), col("key"))
+      .agg(capIds.as("ids"))
+      .select(col("band"), col("key"), explode(col("ids")).as("id"))
     val cand = capped.as("a").join(capped.as("b"), Seq("band", "key"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
