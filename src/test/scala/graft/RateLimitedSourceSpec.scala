@@ -30,6 +30,42 @@ class RateLimitedSourceSpec extends AnyFunSuite {
     assert(log.availableAt(61000L) == 61000L)
   }
 
+  test("S1 end-to-end: rate-limited source → wire parse → silver (the §3.1 ingest shape)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rl_wire").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_rl_wire_ck").toString
+    val payloads = Seq(
+      (0L, """{"success":true,"lowest_price":"0,03€","median_price":"0,05€","volume":"1,234"}"""),
+      (1L, """{"success":true,"lowest_price":"$1.50","median_price":"$1.75","volume":"56"}"""),
+      (2L, """{"success":true,"lowest_price":"2,10€","median_price":"2,20€","volume":"7"}"""))
+    payloads.toDF("id", "payload").coalesce(1).write.mode("overwrite").parquet(dir)
+    val clock = graft.sources.GraftClocks.manual("rl-wire")
+    clock.set(0L)
+    val stream = s.readStream.format("graft.sources.RateLimitedPayloadProvider")
+      .option("path", dir)
+      .option("rowsPerWindow", "2").option("windowSeconds", "60")
+      .option("clockKey", "rl-wire")
+      .load()
+    val silver = graft.sources.Wire.silverPriceOverview(
+      graft.sources.Wire.bronze(stream, graft.sources.Wire.priceOverviewWire))
+    val q = silver.writeStream.format("memory").queryName("rl_silver")
+      .option("checkpointLocation", ck).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val first = s.table("rl_silver").orderBy("id").collect()
+      assert(first.length == 2) // the API budget gates the parse, not vice versa
+      assert(first(0).getDouble(first(0).fieldIndex("lowest_price")) == 0.03)
+      assert(first(0).getString(first(0).fieldIndex("currency")) == "EUR")
+      assert(first(1).getString(first(1).fieldIndex("currency")) == "USD")
+      clock.set(61000L)
+      q.processAllAvailable()
+      val all = s.table("rl_silver").orderBy("id").collect()
+      assert(all.length == 3)
+      assert(all(2).getInt(all(2).fieldIndex("volume")) == 7)
+    } finally q.stop()
+  }
+
   test("rate-limited source: admits at most rowsPerWindow per window, resumes on clock advance") {
     val s = spark
     import s.implicits._
