@@ -90,6 +90,49 @@ object Dedup {
         col("span_tokens"), col("n_shingles"))
   }
 
+  /** The remediation half of span-level dedup (Lee et al. 2022: remove
+    * every duplicated substring occurrence EXCEPT the first): rewrite
+    * each document with the tokens of non-owning duplicated n-gram
+    * instances dropped. Ownership is global and deterministic — for each
+    * n-gram hash the owner is the minimum (doc, position) instance key —
+    * so within-doc repeats and cross-doc boilerplate both collapse to one
+    * surviving copy, on any cluster layout.
+    *
+    * Scale shape: narrow (id, pos, h) posting rows; one groupBy(h) for
+    * owner + occurrence count (map-side combinable); removable positions
+    * expand to covered token indices with a generator (no shuffle); one
+    * left-anti equi-join drops covered tokens; reassembly is a per-doc
+    * collect_list bounded by document length. NO windows anywhere.
+    * Output: (idCol, n_tokens, n_removed, clean_text). */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 5): DataFrame = {
+    val seq = df.select(col(idCol).as("id"),
+      posexplode(seqShingleHashes(col(textCol), n)).as(Seq("pos", "h")))
+      // scalar instance key (pos < 1e6 by construction, as dedup_chunks)
+      .withColumn("inst", col("id") * 1000000L + col("pos"))
+    val own = seq.groupBy(col("h"))
+      .agg(min(col("inst")).as("first_inst"), count(lit(1)).as("cnt"))
+    val removable = seq.join(own, "h")
+      .filter(col("cnt") >= 2 && col("inst") =!= col("first_inst"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("tok"))
+      .distinct()
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(split(trim(col(textCol)), " ")).as(Seq("tok", "t")))
+    val rebuilt = toks.join(removable, Seq("id", "tok"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_sort(collect_list(struct(col("tok"), col("t")))).as("arr"))
+      .select(col("id"), col("n_kept"),
+        concat_ws(" ", col("arr.t")).as("clean_text"))
+    df.select(col(idCol).as("id"),
+        size(split(trim(col(textCol)), " ")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** k-element MinHash signature from hashed shingles, using the affine
     * family h_j(x) = ((2j+1)x + 7919j + 12345) mod p; NULL for an empty
     * shingle set (mirrors array_min(empty)). */

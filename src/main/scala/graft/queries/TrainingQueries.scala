@@ -195,6 +195,46 @@ object TrainingQueries {
        |  COUNT(*) AS n_shingles
        |FROM runs GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
 
+  // ---- span-level rewrite: remove all-but-first duplicated occurrences -----
+  /** The remediation step: tokens of non-owning duplicated 5-gram
+    * instances dropped, first occurrence (global min instance) kept. The
+    * oracle replays ownership, covered-index expansion, and the ordered
+    * re-join of surviving tokens. */
+  def dedupSpanRewrite(s: SparkSession, d: String): DataFrame =
+    Dedup.removeDuplicateSpans(Tables.documents(s, d), "doc_id", "text", SpanN)
+      .orderBy(col("doc_id"))
+  val dedupSpanRewriteSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_transform(string_split(trim(text), ' '), $polyHashLambda) AS th
+       |  FROM documents
+       |), seq AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS pos, doc_id * 1000000 + i AS inst,
+       |    list_reduce(th[i+1:i+$SpanN], (a,b) -> (a*131 + b) % $P) AS h
+       |  FROM (SELECT doc_id, th, unnest(range(0, greatest(len(th)-$SpanN+1, 0))) AS i FROM toks)
+       |), own AS (
+       |  SELECT h, MIN(inst) AS first_inst, COUNT(*) AS cnt FROM seq GROUP BY h
+       |), rem AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT s.doc_id, unnest(range(s.pos, s.pos + $SpanN)) AS tok
+       |    FROM seq s JOIN own o USING (h)
+       |    WHERE o.cnt >= 2 AND s.inst <> o.first_inst)
+       |), tk AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents
+       |), kept AS (
+       |  SELECT x.doc_id, x.i AS tok, x.tk[x.i+1] AS t
+       |  FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS i FROM tk) x
+       |  LEFT JOIN rem r ON r.doc_id = x.doc_id AND r.tok = x.i
+       |  WHERE r.tok IS NULL
+       |), rebuilt AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |    string_agg(t, ' ' ORDER BY tok) AS clean_text
+       |  FROM kept GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, CAST(len(d.tk) AS BIGINT) AS n_tokens,
+       |  CAST(len(d.tk) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       |  COALESCE(r.clean_text, '') AS clean_text
+       |FROM tk d LEFT JOIN rebuilt r USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
@@ -203,6 +243,7 @@ object TrainingQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_spans" -> (dedupSpans _),
+    "dedup_span_rewrite" -> (dedupSpanRewrite _),
     "dedup_ngram_pairs" -> (dedupNgramPairs _))
 
   val oracle: Map[String, String] = Map(
@@ -211,5 +252,6 @@ object TrainingQueries {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_spans" -> dedupSpansSql,
+    "dedup_span_rewrite" -> dedupSpanRewriteSql,
     "dedup_ngram_pairs" -> dedupNgramPairsSql)
 }

@@ -114,6 +114,35 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.duplicatedSpans(spanDocs, "doc_id", "text", n = 5).isEmpty)
   }
 
+  test("removeDuplicateSpans: first occurrence survives, later copies stripped") {
+    val s = spark
+    import s.implicits._
+    val shared = "one two three four five" // exactly one 5-gram
+    val spanDocs = Seq(
+      (0L, s"$shared tail words here"),   // owns the 5-gram (min instance)
+      (1L, s"lead in $shared and more"),  // loses its copy
+      (2L, "nothing shared with anybody else at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(spanDocs, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((0L, 8L, 0L, s"$shared tail words here"))) // owner untouched
+    assert(out(1) == ((1L, 9L, 5L, "lead in and more")))         // span excised
+    assert(out(2)._3 == 0L && out(2)._4 == "nothing shared with anybody else at all")
+  }
+
+  test("removeDuplicateSpans: within-doc repetition collapses to one copy") {
+    val s = spark
+    import s.implicits._
+    val spanDocs = Seq(
+      (7L, "p q r s t p q r s t"), // the 5-gram repeats inside one doc
+      (8L, "entirely different vocabulary in this document here now")
+    ).toDF("doc_id", "text")
+    val r = Dedup.removeDuplicateSpans(spanDocs, "doc_id", "text", n = 5)
+      .filter(col("doc_id") === 7L).collect()(0)
+    assert(r.getLong(2) == 5L && r.getString(3) == "p q r s t")
+  }
+
   test("minhashPairsAgainst: new-vs-old pairs only, no within-side pairs") {
     val s = spark
     import s.implicits._
