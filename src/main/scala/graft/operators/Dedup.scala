@@ -1,7 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{graftExpr, Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
 import graft.functions.{BandKeysExpr, MinHashSigExpr, PolyHashExpr, SeqShingleHashesExpr, ShingleHashesExpr, SimHashExpr}
 
 /** Deduplication operators for large-scale text corpora: exact (hash),
@@ -203,6 +206,54 @@ object Dedup {
     jaccardVerify2(cand, shingleTable(newDf, idCol, textCol),
         shingleTable(oldDf, idCol, textCol), threshold)
       .select(col("id_a").as("new_id"), col("id_b").as("old_id"), col("jaccard"))
+  }
+
+  /** Incremental EXACT dedup with Bloom semi-join reduction — the
+    * standing-corpus membership probe at its cheapest: a Bloom filter
+    * over the corpus content-hash set is aggregated once (bounded sketch
+    * buffers, map-side partial merge — the same machinery Spark's runtime
+    * row-group filtering uses), shipped to the delta scan as a literal,
+    * and every delta row is pre-filtered LOCALLY before anything joins.
+    * False positives are removed by the exact hash join that follows;
+    * false negatives are impossible, so the OUTPUT is exactly the plain
+    * join's — the Bloom stage is pure plan reduction, invisible to the
+    * oracle.
+    *
+    * Scale shape: without the filter, every delta row shuffles into the
+    * corpus join; with it, only the ~dup fraction (+fpp) does. The
+    * corpus side joins as pruned (key, id) rows. The key is ANY
+    * precomputed membership key — full-content hash, 32-token chunk
+    * hash, eval-set shingle — which makes this the one primitive behind
+    * incremental exact dedup, incremental sequence-level dedup, and
+    * streaming decontamination alike. `expectedItems` sizes the sketch
+    * (~1.2 bytes/item at the default 3% fpp): at 1e9 corpus keys that is
+    * a ~GB resident filter — amortized over every nightly delta probe,
+    * the trade the pattern exists for.
+    * Output: (new_id, keyCol, first_old_id). */
+  def bloomMembership(newKeyed: DataFrame, oldKeyed: DataFrame, idCol: String,
+                      keyCol: String, expectedItems: Long): DataFrame = {
+    def k: Column = xxhash64(col(keyCol))
+    val bloomAgg = graftExpr.column(
+      new BloomFilterAggregate(graftExpr.expression(k), expectedItems)
+        .toAggregateExpression())
+    val bloomBytes = oldKeyed.select(bloomAgg.as("bf")).collect()(0).getAs[Array[Byte]](0)
+    val candidates =
+      if (bloomBytes == null) newKeyed.filter(lit(false)) // empty corpus: no members
+      else newKeyed.filter(graftExpr.column(BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType), graftExpr.expression(k))))
+    candidates.select(col(idCol).as("new_id"), col(keyCol))
+      .join(oldKeyed.select(col(keyCol), col(idCol).as("old_id")), keyCol)
+      .groupBy(col("new_id"), col(keyCol))
+      .agg(min(col("old_id")).as("first_old_id"))
+  }
+
+  /** Full-document exact variant of [[bloomMembership]]: key = content
+    * hash. Output: (new_id, content_hash, first_old_id). */
+  def exactDupsAgainstBloom(newDf: DataFrame, oldDf: DataFrame, idCol: String,
+                            textCol: String, expectedItems: Long): DataFrame = {
+    def keyed(df: DataFrame) =
+      df.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    bloomMembership(keyed(newDf), keyed(oldDf), idCol, "content_hash", expectedItems)
   }
 
   /** Join shingle sets onto candidate (id_a, id_b) pairs and keep those

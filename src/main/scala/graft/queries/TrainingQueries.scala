@@ -195,6 +195,46 @@ object TrainingQueries {
        |  COUNT(*) AS n_shingles
        |FROM runs GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
 
+  // ---- incremental sequence-level dedup via Bloom semi-join reduction ------
+  /** Delta docs (doc_id ≡ 0 mod 5) probed for 32-token chunks already in
+    * the standing corpus — the incremental form of dedup_chunks. The
+    * Bloom stage is pure plan reduction — no false negatives, FPs removed
+    * by the exact join — so the oracle is the PLAIN chunk-hash join: the
+    * sketch must not change a single output row. */
+  private val BloomChunkW = 32
+
+  def dedupBloomIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    def chunks(df: DataFrame) =
+      graft.operators.Sequence.chunkTokens(df, "doc_id", "text", BloomChunkW, BloomChunkW)
+        .select(col("doc_id"), md5(col("chunk_text")).as("chunk_hash"))
+    Dedup.bloomMembership(
+        chunks(docs.filter(col("doc_id") % 5 === 0)),
+        chunks(docs.filter(col("doc_id") % 5 =!= 0)),
+        "doc_id", "chunk_hash", expectedItems = 100000L)
+      .groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_shared_chunks"), min(col("first_old_id")).as("first_old_id"))
+      .orderBy(col("new_id"))
+  }
+  val dedupBloomIncrementalSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents
+       |), n AS (
+       |  SELECT doc_id, tk, len(tk) AS n,
+       |         1 + CAST(ceil(greatest(len(tk) - $BloomChunkW, 0) / CAST($BloomChunkW AS DOUBLE)) AS INTEGER) AS n_chunks
+       |  FROM toks
+       |), ch AS (
+       |  SELECT doc_id, md5(array_to_string(tk[k*$BloomChunkW + 1 : least((k+1)*$BloomChunkW, n)], ' ')) AS h
+       |  FROM (SELECT doc_id, tk, n, unnest(range(0, n_chunks)) AS k FROM n) e
+       |), hits AS (
+       |  SELECT a.doc_id AS new_id, a.h, MIN(b.doc_id) AS first_old_id
+       |  FROM ch a JOIN ch b ON a.h = b.h AND b.doc_id % 5 <> 0
+       |  WHERE a.doc_id % 5 = 0
+       |  GROUP BY a.doc_id, a.h
+       |)
+       |SELECT new_id, COUNT(*) AS n_shared_chunks, MIN(first_old_id) AS first_old_id
+       |FROM hits GROUP BY new_id ORDER BY new_id""".stripMargin
+
   // ---- span-level rewrite: remove all-but-first duplicated occurrences -----
   /** The remediation step: tokens of non-owning duplicated 5-gram
     * instances dropped, first occurrence (global min instance) kept. The
@@ -244,6 +284,7 @@ object TrainingQueries {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_spans" -> (dedupSpans _),
     "dedup_span_rewrite" -> (dedupSpanRewrite _),
+    "dedup_bloom_incremental" -> (dedupBloomIncremental _),
     "dedup_ngram_pairs" -> (dedupNgramPairs _))
 
   val oracle: Map[String, String] = Map(
@@ -253,5 +294,6 @@ object TrainingQueries {
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_spans" -> dedupSpansSql,
     "dedup_span_rewrite" -> dedupSpanRewriteSql,
+    "dedup_bloom_incremental" -> dedupBloomIncrementalSql,
     "dedup_ngram_pairs" -> dedupNgramPairsSql)
 }

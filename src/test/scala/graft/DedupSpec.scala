@@ -143,6 +143,20 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getLong(2) == 5L && r.getString(3) == "p q r s t")
   }
 
+  test("exactDupsAgainstBloom: identical to the plain join — the sketch is invisible") {
+    val s = spark
+    import s.implicits._
+    val oldDocs = Seq((0L, "alpha beta gamma"), (1L, "delta eps zeta"),
+      (2L, "alpha beta gamma")).toDF("doc_id", "text")
+    val newDocs = Seq((10L, "alpha beta gamma"), // dup of old 0 (min) and 2
+      (11L, "brand new content"), (12L, "delta eps zeta")).toDF("doc_id", "text")
+    val out = Dedup.exactDupsAgainstBloom(newDocs, oldDocs, "doc_id", "text", 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted
+    assert(out.toSeq == Seq((10L, 0L), (12L, 1L)))
+    // empty corpus → no dups, not a crash
+    assert(Dedup.exactDupsAgainstBloom(newDocs, oldDocs.limit(0), "doc_id", "text", 100L).isEmpty)
+  }
+
   test("minhashPairsAgainst: new-vs-old pairs only, no within-side pairs") {
     val s = spark
     import s.implicits._
