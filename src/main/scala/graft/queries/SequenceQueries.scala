@@ -179,8 +179,13 @@ object SequenceQueries {
     * alpha-word fraction, top-token share, repeated-token share. One
     * explode + two-level agg (map-side combinable); every ratio is a
     * single division of exact integers. */
-  def qualityGopher(s: SparkSession, d: String): DataFrame = {
-    val cnt = Tables.documents(s, d)
+  def qualityGopher(s: SparkSession, d: String): DataFrame =
+    gopherTable(Tables.documents(s, d)).orderBy(col("doc_id"))
+
+  /** The gate over an arbitrary doc frame — so incremental ingest can run
+    * it on the DELTA alone instead of rescoring the corpus. */
+  def gopherTable(docs: DataFrame): DataFrame = {
+    val cnt = docs
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("t"))
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
     cnt.groupBy(col("doc_id")).agg(
@@ -197,7 +202,6 @@ object SequenceQueries {
           col("mean_word_len").between(2.0, 10.0) &&
           col("alpha_frac") >= 0.8 && col("top_frac") <= 0.2 &&
           col("rep_frac") <= 0.6)
-      .orderBy(col("doc_id"))
   }
   val qualityGopherSql: String =
     """WITH cnt AS (
@@ -524,9 +528,166 @@ object SequenceQueries {
        |FROM flags f LEFT JOIN sel s USING (doc_id) ORDER BY f.doc_id""".stripMargin
   }
 
+  // ---- incremental corpus ingest (the nightly-delta production shape) ------
+  /** [[corpusBuild]] is the batch rebuild; THIS is what actually runs
+    * every night at 100 TB: only the DELTA (doc_id ≡ 0 mod 5) is scored,
+    * and every probe against the standing corpus is shaped so its cost
+    * tracks the delta — chunk membership via a Bloom sketch of corpus
+    * chunk hashes (semi-join reduction, no false negatives), near-dup via
+    * the banded-minhash delta-vs-corpus join, quality on delta rows only,
+    * decontamination against the broadcast eval shingle set (eval =
+    * doc_id ≡ 3 mod 10, disjoint from the delta), and temperature
+    * sampling with thresholds computed from the CORPUS mix (a delta doc
+    * of an unseen source is maximally rare → kept). Output per delta
+    * doc: (doc_id, source, chunk_dup, near_dup, keep_quality,
+    * contaminated, sampled, admitted). */
+  def corpusIngest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    def chunks(df: DataFrame) =
+      Sequence.chunkTokens(df, "doc_id", "text", SeqDedupW, SeqDedupW)
+        .select(col("doc_id"), md5(col("chunk_text")).as("chunk_hash"))
+    val chunkDup = Dedup.bloomMembership(chunks(delta), chunks(corpus),
+        "doc_id", "chunk_hash", expectedItems = 100000L)
+      .select(col("new_id").as("doc_id")).distinct()
+      .withColumn("chunk_dup", lit(true))
+    val nearDup = Dedup.minhashPairsAgainst(delta, corpus, "doc_id", "text",
+        threshold = 0.5)
+      .select(col("new_id").as("doc_id")).distinct()
+      .withColumn("near_dup", lit(true))
+    val qual = gopherTable(delta)
+      .select(col("doc_id"), col("keep_gopher").as("keep_quality"))
+    val contam = TextAnalysis.contamination(delta,
+        docs.filter(col("doc_id") % 10 === 3), "doc_id", "text", ContamN)
+      .select(col("doc_id"), (col("n_hits") >= 1).as("contaminated"))
+    val rates = Mix.temperatureThresholds(corpus, "source", 0.3)
+    val sampled = delta
+      .select(col("doc_id"), col("source"), Mix.sampleHash(col("text")).as("h"))
+      .join(broadcast(rates.select(col("source"), col("thr"))), Seq("source"), "left")
+      .select(col("doc_id"),
+        (col("h") < coalesce(col("thr"), lit(Dedup.HashMod))).as("sampled"))
+    delta.select(col("doc_id"), col("source"))
+      .join(chunkDup, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
+      .join(qual, "doc_id")
+      .join(contam, Seq("doc_id"), "left")
+      .join(sampled, "doc_id")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("chunk_dup"), lit(false)).as("chunk_dup"),
+        coalesce(col("near_dup"), lit(false)).as("near_dup"),
+        col("keep_quality"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"),
+        col("sampled"))
+      .withColumn("admitted", !col("chunk_dup") && !col("near_dup") &&
+        col("keep_quality") && !col("contaminated") && col("sampled"))
+      .orderBy(col("doc_id"))
+  }
+  val corpusIngestSql: String = {
+    val p = P
+    val m = graft.operators.Mix.ScrambleM
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents
+       |), nck AS (
+       |  SELECT doc_id, tk, len(tk) AS n,
+       |         1 + CAST(ceil(greatest(len(tk) - $SeqDedupW, 0) / CAST($SeqDedupW AS DOUBLE)) AS INTEGER) AS n_chunks
+       |  FROM tk
+       |), ch AS (
+       |  SELECT doc_id, md5(array_to_string(tk[k*$SeqDedupW + 1 : least((k+1)*$SeqDedupW, n)], ' ')) AS h
+       |  FROM (SELECT doc_id, tk, n, unnest(range(0, n_chunks)) AS k FROM nck) e
+       |), cd AS (
+       |  SELECT DISTINCT a.doc_id FROM ch a JOIN ch b ON a.h = b.h AND b.doc_id % 5 <> 0
+       |  WHERE a.doc_id % 5 = 0
+       |), toks AS (
+       |  SELECT doc_id, list_transform(string_split(trim(text), ' '), $polyHashLambda) AS th
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, CASE WHEN len(th) >= 3 THEN list_distinct(
+       |    list_transform(range(0, len(th)-3+1),
+       |      i -> ((th[i+1]*131 + th[i+2]) % $p * 131 + th[i+3]) % $p))
+       |    ELSE [] END AS sh FROM toks
+       |), sig AS (
+       |  SELECT doc_id, list_transform(range(0,16), j ->
+       |    list_min(list_transform(sh, h -> ((2*j+1)*h + 7919*j + 12345) % $p))) AS sig
+       |  FROM sh
+       |), mh AS (
+       |  SELECT doc_id, bk.band AS band, bk.key AS key FROM (
+       |    SELECT doc_id, unnest(list_transform(range(0,4), b ->
+       |      {'band': b, 'key': list_reduce(sig[b*4+1:b*4+4], (acc,x) -> (acc*1000003 + x) % $p)})) AS bk
+       |    FROM sig)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+       |  FROM mh a JOIN mh b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+       |), nd AS (
+       |  SELECT DISTINCT new_id AS doc_id
+       |  FROM cand JOIN sh sa ON sa.doc_id = new_id JOIN sh sb ON sb.doc_id = old_id
+       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |    (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) >= 0.5
+       |), wcnt AS (
+       |  SELECT doc_id, t, COUNT(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
+       |        FROM documents WHERE doc_id % 5 = 0) x
+       |  GROUP BY doc_id, t
+       |), qual AS (
+       |  SELECT doc_id,
+       |    (SUM(cnt) BETWEEN 10 AND 100000)
+       |      AND (CAST(SUM(length(t)*cnt) AS DOUBLE) / SUM(cnt) BETWEEN 2.0 AND 10.0)
+       |      AND CAST(SUM(CASE WHEN regexp_matches(t, '[a-z]') THEN cnt ELSE 0 END) AS DOUBLE) / SUM(cnt) >= 0.8
+       |      AND CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) <= 0.2
+       |      AND CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS DOUBLE) / SUM(cnt) <= 0.6
+       |      AS keep_quality
+       |  FROM wcnt GROUP BY doc_id
+       |), sh5 AS (
+       |  SELECT doc_id, CASE WHEN len(th) >= $ContamN THEN list_distinct(
+       |    list_transform(range(0, len(th)-$ContamN+1),
+       |      i -> list_reduce(th[i+1:i+$ContamN], (a,b) -> (a*131 + b) % $p)))
+       |    ELSE [] END AS sh FROM toks
+       |), ev AS (
+       |  SELECT DISTINCT unnest(sh) AS h FROM sh5 WHERE doc_id % 10 = 3
+       |), ct AS (
+       |  SELECT t.doc_id, COUNT(*) >= 1 AS contaminated
+       |  FROM (SELECT doc_id, unnest(sh) AS h FROM sh5 WHERE doc_id % 5 = 0) t
+       |  JOIN ev USING (h) GROUP BY t.doc_id
+       |), srccnt AS (SELECT source, COUNT(*) AS n_s FROM documents WHERE doc_id % 5 <> 0 GROUP BY source),
+       |srcw AS (SELECT source, n_s,
+       |        CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * 1e6) AS BIGINT) AS w_q FROM srccnt),
+       |srct AS (SELECT CAST(SUM(w_q) AS BIGINT) AS total_q,
+       |             CAST(SUM(n_s) AS BIGINT) AS n_total FROM srcw),
+       |srcr AS (SELECT source,
+       |        CAST(floor(least(1.0,
+       |          CAST(CAST(floor(CAST(n_total AS DOUBLE) * 0.3) AS BIGINT) AS DOUBLE)
+       |            * (CAST(w_q AS DOUBLE) / CAST(total_q AS DOUBLE))
+       |            / CAST(n_s AS DOUBLE)) * $p) AS BIGINT) AS thr
+       |      FROM srcw CROSS JOIN srct),
+       |samp AS (
+       |  SELECT d.doc_id,
+       |    (list_reduce(list_transform(string_split(d.text, ''), c -> CAST(ascii(c) AS BIGINT)),
+       |       (acc, x) -> (acc*31 + x) % $p) * $m % $p) * $m % $p
+       |      < COALESCE(r.thr, $p) AS sampled
+       |  FROM documents d LEFT JOIN srcr r USING (source) WHERE d.doc_id % 5 = 0
+       |)
+       |SELECT d.doc_id, d.source,
+       |  cd.doc_id IS NOT NULL AS chunk_dup,
+       |  nd.doc_id IS NOT NULL AS near_dup,
+       |  q.keep_quality,
+       |  COALESCE(ct.contaminated, FALSE) AS contaminated,
+       |  sa.sampled,
+       |  cd.doc_id IS NULL AND nd.doc_id IS NULL AND q.keep_quality
+       |    AND NOT COALESCE(ct.contaminated, FALSE) AND sa.sampled AS admitted
+       |FROM documents d
+       |LEFT JOIN cd ON cd.doc_id = d.doc_id
+       |LEFT JOIN nd ON nd.doc_id = d.doc_id
+       |JOIN qual q ON q.doc_id = d.doc_id
+       |LEFT JOIN ct ON ct.doc_id = d.doc_id
+       |JOIN samp sa ON sa.doc_id = d.doc_id
+       |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
+    "corpus_ingest" -> (corpusIngest _),
     "corpus_build" -> (corpusBuild _),
     "chunk_windows" -> (chunkWindows _),
     "pack_sequences" -> (packSequences _),
@@ -540,6 +701,7 @@ object SequenceQueries {
     "dedup_clusters" -> (dedupClusters _))
 
   val oracle: Map[String, String] = Map(
+    "corpus_ingest" -> corpusIngestSql,
     "corpus_build" -> corpusBuildSql,
     "chunk_windows" -> chunkWindowsSql,
     "pack_sequences" -> packSequencesSql,
