@@ -296,6 +296,55 @@ object Similarity {
     topKPerQuery(scored, idCol, "approx", k)
   }
 
+  /** SemDeDup — semantic deduplication via cluster-then-compare (Abbas et
+    * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", arXiv:2303.09540): cluster the corpus with
+    * the seeded k-means quantizer, compare cosines only WITHIN a cluster,
+    * and mark every item that has a lower-id same-cell neighbor with
+    * cos ≥ tau as a semantic duplicate (min-id-wins, the same
+    * representative rule as exact dedup, so verdicts are replayable).
+    *
+    * Scale shape: the corpus never self-joins globally — pairing is
+    * per-cell, nCentroids grows ~√n so expected cell size stays bounded,
+    * and `cellCap` (deterministic: the lowest `cellCap` ids of a cell
+    * participate in pairing) bounds the worst case when a degenerate
+    * centroid captures a large corpus fraction: ≤ nCentroids·C(cap,2)
+    * candidate pairs regardless of skew. Ids pair up BEFORE vectors
+    * re-join (narrow candidate rows cross the shuffle, vectors once per
+    * verified side) — the same discipline as [[bandedNearDupPairs]].
+    * Output: one row per corpus item — (idCol, cell, is_dup,
+    * dup_of = lowest qualifying lower id | null, dup_cos = cosine to
+    * dup_of | null). */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    nCentroids: Int, tau: Double,
+                    cellCap: Int = 4096): DataFrame = {
+    val cents = seedCentroids(emb, idCol, vecCol, nCentroids)
+    val cells = nearestCells(emb.select(col(idCol), col(vecCol)),
+      cents, idCol, vecCol, keep = 1)
+    val capIds = graftExpr.column(
+      new CollectTopK(graftExpr.expression(col(idCol)), cellCap, true)
+        .toAggregateExpression())
+    val capped = cells.groupBy(col("cell"))
+      .agg(capIds.as("ids"))
+      .select(col("cell"), explode(col("ids")).as("id"))
+    val cand = capped.as("a").join(capped.as("b"), Seq("cell"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val dup = cand
+      .join(emb.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
+      .join(emb.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("id_b"))
+      .agg(min(struct(col("id_a"), col("cos"))).as("m"))
+      .select(col("id_b").as(idCol), col("m.id_a").as("dup_of"),
+        col("m.cos").as("dup_cos"))
+    cells.select(col(idCol), col("cell"))
+      .join(dup, Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("dup_cos"))
+  }
+
   /** Embedding near-dup pairs: banded sign-LSH blocking + capped buckets +
     * exact cosine verify. Output: (id_a, id_b, cos) with cos ≥ tau.
     *

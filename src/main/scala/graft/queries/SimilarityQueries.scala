@@ -257,9 +257,48 @@ object SimilarityQueries {
        |  FROM agg) x
        |WHERE rn <= $K ORDER BY query_id, rank""".stripMargin
 
+  // ---- SemDeDup: cluster-then-compare semantic dedup -----------------------
+  /** tau below the near-dup bar on purpose: SemDeDup prunes SEMANTIC
+    * redundancy, not just byte-near copies. Cap never binds at sf0.01
+    * (500/8 ≈ 62 per cell) but is part of the contract, so the oracle
+    * replays it. */
+  private val SemTau = 0.30
+  private val SemCap = 256
+
+  def dedupSemantic(s: SparkSession, d: String): DataFrame =
+    Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        NCent, SemTau, SemCap)
+      .orderBy(col("vec_id"))
+  val dedupSemanticSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings ORDER BY vec_id LIMIT $NCent),
+       |assign AS (
+       |  SELECT e.vec_id, e.embedding, c.cent_id, ${cosSql("e.embedding", "cent_vec")} AS ccos
+       |  FROM embeddings e CROSS JOIN cents c
+       |), cells AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id, ccos,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn
+       |    FROM assign) t WHERE rn = 1
+       |), capped AS (
+       |  SELECT vec_id, cell FROM cells
+       |  QUALIFY row_number() OVER (PARTITION BY cell ORDER BY vec_id) <= $SemCap
+       |), scored AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("va.embedding", "vb.embedding")} AS cos
+       |  FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN embeddings va ON va.vec_id = a.vec_id
+       |  JOIN embeddings vb ON vb.vec_id = b.vec_id
+       |  WHERE ${cosSql("va.embedding", "vb.embedding")} >= $SemTau
+       |), dup AS (
+       |  SELECT id_b AS vec_id, MIN(id_a) AS dup_of, arg_min(cos, id_a) AS dup_cos
+       |  FROM scored GROUP BY id_b
+       |)
+       |SELECT c.vec_id, c.cell, d.dup_of IS NOT NULL AS is_dup, d.dup_of, d.dup_cos
+       |FROM cells c LEFT JOIN dup d USING (vec_id) ORDER BY c.vec_id""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
+    "dedup_semantic" -> (dedupSemantic _),
     "sim_pq_codes" -> (simPqCodes _),
     "sim_adc_topk" -> (simAdcTopk _),
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
@@ -269,6 +308,7 @@ object SimilarityQueries {
     "dedup_embedding_pairs" -> (dedupEmbeddingPairs _))
 
   val oracle: Map[String, String] = Map(
+    "dedup_semantic" -> dedupSemanticSql,
     "sim_pq_codes" -> simPqCodesSql,
     "sim_adc_topk" -> simAdcTopkSql,
     "sim_bruteforce_topk" -> simBruteforceTopkSql,

@@ -89,6 +89,30 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(capped.count() == 0)
   }
 
+  test("semanticDedup: planted in-cell dup flagged min-id-wins; cap=1 disables pairing") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),    // seed centroid, cell 0
+      (1L, Array(0.0f, 1.0f, 0.0f)),    // seed centroid, cell 1
+      (2L, Array(0.99f, 0.02f, 0.0f)),  // near 0 → dup of 0
+      (3L, Array(0.0f, 0.98f, 0.05f)),  // near 1 → dup of 1
+      (4L, Array(0.6f, 0.8f, 0.0f))     // cell 1, below tau → kept
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        nCentroids = 2, tau = 0.9, cellCap = 256)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out(0L) == ((false, -1L)) && out(1L) == ((false, -1L)))
+    assert(out(2L) == ((true, 0L)))
+    assert(out(3L) == ((true, 1L)))
+    assert(out(4L) == ((false, -1L)))
+    // cellCap = 1 ⇒ one participant per cell ⇒ nothing can pair
+    val capped = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      nCentroids = 2, tau = 0.0, cellCap = 1)
+    assert(capped.filter(col("is_dup")).count() == 0)
+  }
+
   test("ivfTopK: recall >= 0.8 vs bruteForceTopK on clustered vectors") {
     val s = spark
     import s.implicits._
