@@ -197,4 +197,60 @@ object TextAnalysis {
       size(split(trim(col(textCol)), " ")).cast("long").as("n_ws"),
       regexp_count(col(textCol), lit("[a-z0-9]+")).cast("long").as("n_re"),
       expr(s"($lenCol + 3) div 4").as("n_bpe_est"))
+
+  /** Per-doc top-k characteristic terms by LOG-FREE tf-idf:
+    * score = tf · (N / df) — one correctly-rounded IEEE division followed
+    * by one multiplication, so a second engine replays it bitwise (ln is
+    * libm-dependent, so the classic tf·ln(N/df) cannot hash-match; the
+    * reciprocal-df weight ranks identically for fixed tf). Ties break on
+    * the term's binary string order — total, engine-independent.
+    *
+    * Shape: tf is one (doc, term) groupBy (map-side combinable), df is
+    * one groupBy over the tf rows, N is a broadcast 1-row aggregate, and
+    * the ranking window partitions by DOCUMENT — its partition size is
+    * bounded by the doc's distinct-term count (≤ doc length), NOT the
+    * corpus, so no reducer ever sorts more than one document's terms. */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(split(trim(col(textCol)), " ")).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = broadcast(df.select(countDistinct(col(idCol)).as("n_docs")))
+    val scored = tf.join(dfreq, "term").crossJoin(nDocs)
+      .withColumn("score", col("tf").cast("double") *
+        (col("n_docs").cast("double") / col("df").cast("double")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
+  /** Per-doc novelty: the fraction of its positional n-gram shingles that
+    * appear in NO other document (1 − shared/total) — the memorization /
+    * boilerplate exposure score span-level dedup acts on, as a per-doc
+    * signal. Two bounded shuffles: a shingle-hash groupBy for cross-doc
+    * counts (map-side combinable, narrow (hash, count) rows) and a per-doc
+    * re-aggregation; docs shorter than n get novelty NULL, not a silent
+    * 0-row drop. */
+  def noveltyScore(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 5): DataFrame = {
+    val seq = df.select(col(idCol).as("id"),
+      explode(Dedup.seqShingleHashes(col(textCol), n)).as("h"))
+    val dup = seq.groupBy(col("h")).agg(countDistinct(col("id")).as("nd"))
+    val perDoc = seq.join(dup, "h")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("nd") >= 2, lit(1L)).otherwise(lit(0L))).as("n_shared"))
+    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_shingles"), lit(0L)) === 0,
+          lit(null).cast("double"))
+          .otherwise(lit(1.0) - col("n_shared").cast("double") /
+            col("n_shingles").cast("double")).as("novelty"))
+  }
 }

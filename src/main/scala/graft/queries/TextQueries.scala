@@ -411,7 +411,65 @@ object TextQueries {
 
   // -------------------------------------------------------------------------
 
+  // ---- tf-idf keyword extraction (log-free, top-k per doc) -----------------
+  private val TfidfK = 5
+
+  def textTfidfTopk(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tfidfTopK(Tables.documents(s, d), "doc_id", "text", TfidfK)
+      .orderBy(col("doc_id"), col("rank"))
+  val textTfidfTopkSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+       |), dfreq AS (
+       |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+       |), n AS (
+       |  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+       |), scored AS (
+       |  SELECT doc_id, term, tf, df,
+       |    CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+       |)
+       |SELECT doc_id, term, tf, df, score, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT doc_id, term, tf, df, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $TfidfK ORDER BY doc_id, rank""".stripMargin
+
+  // ---- novelty / memorization-exposure score -------------------------------
+  private val NoveltyN = 5
+
+  def textNovelty(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.noveltyScore(Tables.documents(s, d), "doc_id", "text", NoveltyN)
+      .orderBy(col("doc_id"))
+  val textNoveltySql: String = {
+    val P = graft.operators.Dedup.HashMod
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_transform(string_split(trim(text), ' '),
+       |    s -> list_reduce(list_transform(string_split(s,''), c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc*31 + x) % $P)) AS th
+       |  FROM documents
+       |), seq AS (
+       |  SELECT doc_id, list_reduce(th[i+1:i+$NoveltyN], (a,b) -> (a*131 + b) % $P) AS h
+       |  FROM (SELECT doc_id, th, unnest(range(0, greatest(len(th)-$NoveltyN+1, 0))) AS i FROM toks)
+       |), dup AS (
+       |  SELECT h, COUNT(DISTINCT doc_id) AS nd FROM seq GROUP BY h
+       |), per AS (
+       |  SELECT doc_id, COUNT(*) AS n_shingles,
+       |    CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+       |  FROM seq JOIN dup USING (h) GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, COALESCE(p.n_shingles, 0) AS n_shingles,
+       |  COALESCE(p.n_shared, 0) AS n_shared,
+       |  CASE WHEN COALESCE(p.n_shingles, 0) = 0 THEN NULL
+       |       ELSE CAST(1 AS DOUBLE) - CAST(p.n_shared AS DOUBLE) / CAST(p.n_shingles AS DOUBLE)
+       |  END AS novelty
+       |FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "text_tfidf_topk" -> (textTfidfTopk _),
+    "text_novelty" -> (textNovelty _),
     "text_winnow" -> (textWinnow _),
     "text_pii_scrub" -> (textPiiScrub _),
     "mix_temperature" -> (mixTemperature _),
@@ -428,6 +486,8 @@ object TextQueries {
     "text_fingerprint" -> (textFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "text_tfidf_topk" -> textTfidfTopkSql,
+    "text_novelty" -> textNoveltySql,
     "text_winnow" -> textWinnowSql,
     "text_pii_scrub" -> textPiiScrubSql,
     "mix_temperature" -> mixTemperatureSql,

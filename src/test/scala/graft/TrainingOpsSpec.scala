@@ -89,6 +89,45 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(capped.count() == 0)
   }
 
+  test("tfidfTopK: doc-unique term outranks corpus-wide term; ties break on term order") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "shared shared rare0"),
+      (1L, "shared shared rare1"),
+      (2L, "shared alpha beta")   // alpha/beta tie on score → alpha first
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(docs, "doc_id", "text", 3)
+      .orderBy(col("doc_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(5)))
+    // doc 0: rare0 (tf=1, df=1 → score 3) beats shared (tf=2, df=3 → 2)
+    assert(out.filter(_._1 == 0L).map(t => t._2 -> t._3).toSeq ==
+      Seq("rare0" -> 1, "shared" -> 2))
+    // doc 2: alpha and beta tie at score 3; binary term order breaks it
+    assert(out.filter(_._1 == 2L).map(_._2).toSeq ==
+      Seq("alpha", "beta", "shared"))
+  }
+
+  test("noveltyScore: duplicated span lowers novelty; unique doc 1.0; short doc null") {
+    val s = spark
+    import s.implicits._
+    val span = (1 to 5).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$span tail0 a b c d"),
+      (1L, s"$span tail1 e f g h"),   // shares exactly one 5-gram with doc 0
+      (2L, "totally different words here to stand alone"),
+      (3L, "too short")               // < 5 tokens → no shingles
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScore(docs, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(out(0L)._1 == 6 && out(0L)._2 == 1)  // 6 shingles, 1 shared
+    assert(out(0L)._3 == 1.0 - 1.0 / 6.0)
+    assert(out(1L)._2 == 1)
+    assert(out(2L)._3 == 1.0)
+    assert(out(3L) == ((0L, 0L, null)))
+  }
+
   test("semanticDedup: planted in-cell dup flagged min-id-wins; cap=1 disables pairing") {
     val s = spark
     import s.implicits._
