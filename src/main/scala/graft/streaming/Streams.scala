@@ -74,6 +74,31 @@ object Streams {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-stream interval enrichment — the streaming counterpart of the
+    * batch as-of join (w7): each event row joins every quote row of the
+    * same key whose timestamp lies in (event_ts − maxAge, event_ts]. Both
+    * sides carry watermarks and the join condition carries the time-range
+    * bound, which is what lets Spark EVICT buffered state: a quote can
+    * only match events up to maxAge newer, so once the event watermark
+    * passes quote_ts + maxAge the quote's state is dropped — state stays
+    * O(key-cardinality × maxAge rate), not O(stream history). Strict
+    * latest-per-event (the as-of verdict) composes downstream per batch
+    * with max_by(quote_ts), the same device as [[cdcLatestPush]].
+    *
+    * Output columns: the event side's, plus the quote side's non-key
+    * columns (key deduplicated by the equi-join). */
+  def enrichJoin(events: DataFrame, quotes: DataFrame, keyCol: String,
+                 eventTs: String, quoteTs: String,
+                 lateness: String, maxAge: String): DataFrame = {
+    val e = events.withWatermark(eventTs, lateness).as("e")
+    val q = quotes.withWatermark(quoteTs, lateness).as("q")
+    e.join(q,
+      col(s"e.$keyCol") === col(s"q.$keyCol") &&
+        col(s"q.$quoteTs") > col(s"e.$eventTs") - expr(s"INTERVAL $maxAge") &&
+        col(s"q.$quoteTs") <= col(s"e.$eventTs"))
+      .drop(col(s"q.$keyCol"))
+  }
+
   /** A5: sliding event-time request count (rate-limiter reconstruction:
     * 1 request = 1 row, summed per sliding window). */
   def slidingRequestCount(stream: DataFrame, tsCol: String,

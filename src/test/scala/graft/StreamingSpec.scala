@@ -42,6 +42,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.length == 3) // the re-sent 00:01 point was suppressed
   }
 
+  case class Quote(name: String, qtime: Timestamp, quote: Double)
+
+  test("enrichJoin: event pairs with in-interval quotes of its key only") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ev = MemoryStream[Point]
+    val qu = MemoryStream[Quote]
+    val q = Streams.enrichJoin(ev.toDF(), qu.toDF(), "name",
+        "time", "qtime", lateness = "10 minutes", maxAge = "10 minutes")
+      .writeStream.format("memory").queryName("enrich_out").outputMode("append").start()
+    qu.addData(
+      Quote("a", ts("2024-01-01 00:00:00"), 10.0),  // in-window for the event
+      Quote("a", ts("2024-01-01 00:04:00"), 11.0),  // in-window
+      Quote("a", ts("2023-12-31 23:50:00"), 9.0),   // too old (> maxAge before)
+      Quote("b", ts("2024-01-01 00:04:00"), 99.0))  // wrong key
+    ev.addData(
+      Point("a", ts("2024-01-01 00:05:00"), 1.0),
+      Point("c", ts("2024-01-01 00:05:00"), 2.0))   // no quotes → inner-dropped
+    q.processAllAvailable()
+    val out = s.table("enrich_out")
+      .select("name", "quote").as[(String, Double)].collect().toSet
+    q.stop()
+    assert(out == Set(("a", 10.0), ("a", 11.0)))
+  }
+
   case class Doc(doc_id: Long, text: String, arrived: Timestamp)
 
   test("T6 rateLimit: token bucket admits the burst, rejects inside the refill window, recovers") {
