@@ -223,6 +223,32 @@ object Similarity {
       .select(col("cent_id"), col("cent_vec"), coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** IVF-flat ANN over a TRAINED coarse quantizer: run the Lloyd loop
+    * ([[kmeansIterate]]) for `iters` rounds, then index and probe against
+    * the refined centroids — the production IVF shape, where the
+    * quantizer is trained once and the index is built from it. Identical
+    * query path to [[ivfTopK]] (same [[nearestCells]] tie-break, same
+    * bounded [[topKPerQuery]] final ranking); only the centroid table
+    * differs, so recall improves with no change in plan shape. Clusters
+    * that lose every member during training drop out (standard
+    * empty-cluster handling) — cells just re-balance over the rest. */
+  def ivfTrainedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, nCentroids: Int, nProbe: Int,
+                     iters: Int): DataFrame = {
+    val cents = broadcast(
+      kmeansIterate(corpus, idCol, vecCol, nCentroids, iters)
+        .select(col("cent_id"), col("cent_vec")))
+    val cells = nearestCells(corpus.select(col(idCol), col(vecCol)),
+      cents, idCol, vecCol, keep = 1)
+    val probes = nearestCells(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec")), cents, "query_id", "q_vec", keep = nProbe)
+    val scored = cells.join(broadcast(probes), "cell")
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        cosine(col("q_vec"), col(vecCol)).as("cos"))
+    topKPerQuery(scored, idCol, "cos", k)
+  }
+
   /** Product-quantization encoding — the compression half of IVF-PQ, the
     * layout that makes billion-vector ANN fit in memory: each vector is
     * cut into `m` contiguous subvectors and every subvector is replaced by

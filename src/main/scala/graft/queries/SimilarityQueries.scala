@@ -257,6 +257,59 @@ object SimilarityQueries {
        |  FROM agg) x
        |WHERE rn <= $K ORDER BY query_id, rank""".stripMargin
 
+  // ---- IVF over the TRAINED quantizer (one Lloyd round feeds the index) ----
+  /** iters = 1 so the oracle replays one refine step (the same math
+    * sim_kmeans_refine pins) and re-derives the index + probes from the
+    * refined centroids. More rounds change only the centroid table, never
+    * the plan shape. */
+  def simIvfTrainedTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTrainedTopK(emb, emb.filter(col("vec_id") < NQ),
+        "vec_id", "embedding", K, NCent, NProbe, iters = 1)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  val simIvfTrainedTopkSql: String =
+    s"""WITH cents0 AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings ORDER BY vec_id LIMIT $NCent),
+       |assign0 AS (
+       |  SELECT e.vec_id, e.embedding, c.cent_id, ${cosSql("e.embedding", "cent_vec")} AS ccos
+       |  FROM embeddings e CROSS JOIN cents0 c
+       |), cells0 AS (
+       |  SELECT vec_id, embedding, cent_id AS cell FROM (
+       |    SELECT vec_id, embedding, cent_id, ccos,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn
+       |    FROM assign0) t WHERE rn = 1
+       |), ex AS (
+       |  SELECT cell, CAST(i AS INTEGER) AS dim,
+       |         CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+       |  FROM cells0, range(0, 64) r(i)
+       |), m AS (
+       |  SELECT cell AS cent_id, dim, CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000.0) AS c
+       |  FROM ex GROUP BY cell, dim
+       |), cents AS (
+       |  SELECT cent_id, list(CAST(c AS REAL) ORDER BY dim) AS cent_vec FROM m GROUP BY cent_id
+       |), assign AS (
+       |  SELECT e.vec_id, e.embedding, c.cent_id, ${cosSql("e.embedding", "c.cent_vec")} AS ccos
+       |  FROM embeddings e CROSS JOIN cents c
+       |), cells AS (
+       |  SELECT vec_id, embedding, cent_id AS cell FROM (
+       |    SELECT vec_id, embedding, cent_id, ccos,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn
+       |    FROM assign) t WHERE rn = 1
+       |), probes AS (
+       |  SELECT query_id, qe, cell FROM (
+       |    SELECT vec_id AS query_id, embedding AS qe, cent_id AS cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn
+       |    FROM assign WHERE vec_id < $NQ) t WHERE rn <= $NProbe
+       |), pairs AS (
+       |  SELECT p.query_id, e.vec_id, ${cosSql("qe", "e.embedding")} AS cos
+       |  FROM cells e JOIN probes p ON e.cell = p.cell AND e.vec_id <> p.query_id
+       |)
+       |SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT query_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM pairs) t
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
   // ---- SemDeDup: cluster-then-compare semantic dedup -----------------------
   /** tau below the near-dup bar on purpose: SemDeDup prunes SEMANTIC
     * redundancy, not just byte-near copies. Cap never binds at sf0.01
@@ -298,6 +351,7 @@ object SimilarityQueries {
   // -------------------------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
+    "sim_ivf_trained_topk" -> (simIvfTrainedTopk _),
     "dedup_semantic" -> (dedupSemantic _),
     "sim_pq_codes" -> (simPqCodes _),
     "sim_adc_topk" -> (simAdcTopk _),
@@ -308,6 +362,7 @@ object SimilarityQueries {
     "dedup_embedding_pairs" -> (dedupEmbeddingPairs _))
 
   val oracle: Map[String, String] = Map(
+    "sim_ivf_trained_topk" -> simIvfTrainedTopkSql,
     "dedup_semantic" -> dedupSemanticSql,
     "sim_pq_codes" -> simPqCodesSql,
     "sim_adc_topk" -> simAdcTopkSql,

@@ -175,6 +175,11 @@ class TrainingOpsSpec extends AnyFunSuite {
       nCentroids = 8, nProbe = 2))
     val recall = (exact intersect ivf).size.toDouble / exact.size
     assert(recall >= 0.8, s"IVF recall $recall < 0.8")
+    // trained quantizer (2 Lloyd rounds) must not lose recall vs seeds
+    val trained = pairSet(Similarity.ivfTrainedTopK(emb, q, "vec_id", "embedding",
+      k, nCentroids = 8, nProbe = 2, iters = 2))
+    val tRecall = (exact intersect trained).size.toDouble / exact.size
+    assert(tRecall >= recall, s"trained IVF recall $tRecall < seeded $recall")
   }
 
   test("adcTopK: the coded top-k finds the true clusters (recall vs brute force on cluster labels)") {
