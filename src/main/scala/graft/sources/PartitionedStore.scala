@@ -71,6 +71,49 @@ object PartitionedStore {
     dropped.map(_.getFileName.toString)
   }
 
+  /** Small-file compaction — the nightly companion of retention. Each
+    * streaming micro-batch (or per-poll append, the reference's 5-minute
+    * cadence) lands its own file per partition, so a day accumulates
+    * hundreds of tiny files: scan tasks, open() round-trips, and footer
+    * reads all grow with file count, not data size. Partitions whose file
+    * count exceeds `maxFiles` are rewritten into
+    * ⌈rows / targetRowsPerFile⌉ files with the (key, ts) clustering
+    * restored (small appends interleave keys; the rewrite re-sorts, so
+    * RLE/dict compression and min/max row-group skipping recover too).
+    *
+    * Quiet partitions are untouched — the loop runs over OFFENDING
+    * partitions only (nightly ≈ yesterday's), each rewritten to a hidden
+    * sibling then swapped in, so a crash mid-rewrite leaves the original
+    * intact. Returns the compacted partition names. */
+  def compact(spark: SparkSession, path: String, keyCol: String,
+              tsCol: String, maxFiles: Int = 8,
+              targetRowsPerFile: Long = 4000000L): Seq[String] = {
+    val root = Paths.get(path)
+    if (!Files.exists(root)) return Nil
+    val offending = Files.list(root).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith(s"$DateCol=") &&
+        Files.isDirectory(p))
+      .filter { p =>
+        Files.list(p).iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet")) > maxFiles
+      }
+      .toList
+    offending.foreach { dir =>
+      val part = spark.read.parquet(dir.toString)
+      val nFiles = math.max(1L,
+        (part.count() + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      val tmp = dir.resolveSibling("." + dir.getFileName.toString + ".compact")
+      part.repartition(nFiles)
+        .sortWithinPartitions(col(keyCol), col(tsCol))
+        .write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd")
+        .parquet(tmp.toString)
+      deleteRecursive(dir)
+      Files.move(tmp, dir)
+    }
+    offending.map(_.getFileName.toString)
+  }
+
   private def deleteRecursive(p: Path): Unit = {
     if (Files.isDirectory(p))
       Files.list(p).iterator().asScala.toList.foreach(deleteRecursive)

@@ -100,6 +100,37 @@ class WireSpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("price") == 2.5)
   }
 
+  test("compact: many-file partition rewritten to few files, quiet partition untouched, rows identical") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // 12 tiny appends land 12 files in day 1; day 2 gets one quiet append
+    (1 to 12).foreach { i =>
+      PartitionedStore.append(
+        Seq((s"k${i % 3}", java.sql.Timestamp.valueOf(f"2024-01-01 10:$i%02d:00"), i.toDouble))
+          .toDF("name", "time", "price"), dir, "time", "name")
+    }
+    PartitionedStore.append(
+      Seq(("a", java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 99.0))
+        .toDF("name", "time", "price"), dir, "time", "name")
+    def files(day: String) = new java.io.File(s"$dir/p_date=$day")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val day2Before = new java.io.File(s"$dir/p_date=2024-01-02")
+      .listFiles().map(_.getName).toSet
+    assert(files("2024-01-01") == 12)
+    val before = PartitionedStore.read(s, dir).collect().toSet
+    val done = PartitionedStore.compact(s, dir, "name", "time",
+      maxFiles = 8, targetRowsPerFile = 1000000L)
+    assert(done == Seq("p_date=2024-01-01"))
+    assert(files("2024-01-01") == 1) // 12 rows « target → one file
+    // quiet partition byte-untouched (same file names)
+    assert(new java.io.File(s"$dir/p_date=2024-01-02")
+      .listFiles().map(_.getName).toSet == day2Before)
+    assert(PartitionedStore.read(s, dir).collect().toSet == before)
+    // idempotent: a second pass finds nothing over the threshold
+    assert(PartitionedStore.compact(s, dir, "name", "time", 8).isEmpty)
+  }
+
   test("T1 deltaAppend: idempotent — replaying the same payload inserts nothing") {
     val s = spark
     import s.implicits._
