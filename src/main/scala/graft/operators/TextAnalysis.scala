@@ -228,6 +228,48 @@ object TextAnalysis {
         col("score"), col("rank"))
   }
 
+  /** One-pass hashed-feature linear text classifier — the fastText /
+    * DCLM-filter INFERENCE shape, with integer-only math so a second
+    * engine replays verdicts bitwise. TRAIN: tokens of labeled docs hash
+    * into `buckets` feature slots; a slot's weight is the CLASS-BALANCED
+    * count margin cnt_pos·N_neg − cnt_neg·N_pos (N_c = total train tokens
+    * of class c) — positive exactly when p̂(slot|pos) > p̂(slot|neg), i.e.
+    * the sign of the naive-Bayes log-odds with the prior divided out, as
+    * cross-multiplied integers instead of cross-libm ln. INFER: a doc's
+    * margin is the integer sum of its tokens' slot weights; predict
+    * positive iff margin > 0.
+    *
+    * Scale shape: training is ONE groupBy over hashed train tokens
+    * (map-side combinable, ≤ `buckets` result rows); the weight table is
+    * bounded by `buckets` — BROADCAST — so inference is a projection +
+    * broadcast join + per-doc sum. The corpus never shuffles wide rows
+    * and never self-joins; unseen buckets score 0. */
+  def hashedLinearClassifier(train: DataFrame, docs: DataFrame,
+                             idCol: String, textCol: String,
+                             labelCol: String, buckets: Int): DataFrame = {
+    def tok(df: DataFrame, extra: Column*) =
+      df.select((col(idCol) +: extra :+
+        explode(split(trim(col(textCol)), " ")).as("t")).toIndexedSeq: _*)
+        .withColumn("b", Dedup.polyHash(col("t")) % buckets)
+    val trainTok = tok(train, col(labelCol))
+    val counts = trainTok.groupBy(col("b"))
+      .agg(sum(when(col(labelCol), lit(1L)).otherwise(lit(0L))).as("cp"),
+        sum(when(col(labelCol), lit(0L)).otherwise(lit(1L))).as("cn"))
+    val totals = broadcast(trainTok.agg(
+      sum(when(col(labelCol), lit(1L)).otherwise(lit(0L))).as("np"),
+      sum(when(col(labelCol), lit(0L)).otherwise(lit(1L))).as("nn")))
+    val weights = broadcast(counts.crossJoin(totals)
+      .select(col("b"),
+        (col("cp") * col("nn") - col("cn") * col("np")).as("w")))
+    tok(docs)
+      .join(weights, Seq("b"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("w"), lit(0L))).as("margin"))
+      .select(col(idCol), col("n_tokens"), col("margin"),
+        (col("margin") > 0).as("pred"))
+  }
+
   /** Per-doc novelty: the fraction of its positional n-gram shingles that
     * appear in NO other document (1 − shared/total) — the memorization /
     * boilerplate exposure score span-level dedup acts on, as a per-doc

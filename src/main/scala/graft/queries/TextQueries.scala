@@ -467,7 +467,53 @@ object TextQueries {
        |FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- hashed-feature linear quality classifier ----------------------------
+  /** Even doc_ids train (label: lang = 'en'), every doc is scored — the
+    * in-corpus replay of a fastText-style quality filter. All integer
+    * math; the oracle re-derives weights and margins exactly. (The
+    * synthetic corpus draws every lang's text from the same 31-token
+    * vocabulary — text ⊥ lang — so accuracy here sits at the ~50% ceiling
+    * by construction; TrainingOpsSpec proves separation on a corpus where
+    * the classes actually differ.) */
+  private val ClsBuckets = 4096
+
+  def qualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    TextAnalysis.hashedLinearClassifier(
+        docs.filter(col("doc_id") % 2 === 0).withColumn("is_en", col("lang") === "en"),
+        docs, "doc_id", "text", "is_en", ClsBuckets)
+      .orderBy(col("doc_id"))
+  }
+  val qualityClassifierSql: String = {
+    val P = graft.operators.Dedup.HashMod
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS t FROM documents
+       |), hashed AS (
+       |  SELECT doc_id, lang,
+       |    list_reduce(list_transform(string_split(t,''), c -> CAST(ascii(c) AS BIGINT)),
+       |      (acc, x) -> (acc*31 + x) % $P) % $ClsBuckets AS b
+       |  FROM tok
+       |), cnt AS (
+       |  SELECT b, CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+       |         CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS cn
+       |  FROM hashed WHERE doc_id % 2 = 0 GROUP BY b
+       |), tot AS (
+       |  SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |         CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS nn
+       |  FROM hashed WHERE doc_id % 2 = 0
+       |), w AS (
+       |  SELECT b, cp * nn - cn * np AS w FROM cnt CROSS JOIN tot
+       |), inf AS (
+       |  SELECT h.doc_id, COUNT(*) AS n_tokens,
+       |    CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) AS margin
+       |  FROM hashed h LEFT JOIN w USING (b) GROUP BY h.doc_id
+       |)
+       |SELECT doc_id, n_tokens, margin, margin > 0 AS pred
+       |FROM inf ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "quality_classifier" -> (qualityClassifier _),
     "text_tfidf_topk" -> (textTfidfTopk _),
     "text_novelty" -> (textNovelty _),
     "text_winnow" -> (textWinnow _),
@@ -486,6 +532,7 @@ object TextQueries {
     "text_fingerprint" -> (textFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "quality_classifier" -> qualityClassifierSql,
     "text_tfidf_topk" -> textTfidfTopkSql,
     "text_novelty" -> textNoveltySql,
     "text_winnow" -> textWinnowSql,

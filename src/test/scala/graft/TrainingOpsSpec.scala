@@ -108,6 +108,29 @@ class TrainingOpsSpec extends AnyFunSuite {
       Seq("alpha", "beta", "shared"))
   }
 
+  test("hashedLinearClassifier: separable vocab classified correctly, balanced against skewed priors") {
+    val s = spark
+    import s.implicits._
+    // 3:1 class skew; 'common' appears everywhere, class words separate
+    val train = Seq(
+      (0L, "good clean common prose", true),
+      (1L, "spam junk common noise", false),
+      (2L, "spam junk common junk", false),
+      (3L, "junk noise spam common", false)
+    ).toDF("doc_id", "text", "label")
+    val docs = Seq(
+      (10L, "good prose common"),
+      (11L, "junk spam common"),
+      (12L, "clean good prose")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.hashedLinearClassifier(train, docs,
+        "doc_id", "text", "label", buckets = 4096)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // despite 3× more negative train tokens, balanced weights recover
+    // the positive docs; the shared token contributes ≈ 0
+    assert(out == Map(10L -> true, 11L -> false, 12L -> true))
+  }
+
   test("noveltyScore: duplicated span lowers novelty; unique doc 1.0; short doc null") {
     val s = spark
     import s.implicits._
