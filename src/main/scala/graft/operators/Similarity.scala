@@ -371,6 +371,50 @@ object Similarity {
         col("dup_of"), col("dup_cos"))
   }
 
+  /** Incremental SemDeDup — the nightly-delta shape of [[semanticDedup]]:
+    * an incoming batch is checked against the STANDING corpus only (never
+    * against itself — within-batch and within-corpus dups are other jobs'
+    * concern, mirroring [[graft.operators.Dedup.minhashPairsAgainst]]).
+    * Cells come from the corpus-seeded quantizer, both sides assign to
+    * them, and a new item is a duplicate iff some same-cell corpus item
+    * scores cos ≥ tau (verdict = lowest such corpus id). Cost tracks the
+    * DELTA: the corpus contributes one assignment projection plus its
+    * per-cell capped participant lists; no corpus self-join exists in the
+    * plan. Output: one row per NEW item — (idCol, cell, is_dup, dup_of,
+    * dup_cos). */
+  def semanticDedupAgainst(newEmb: DataFrame, corpus: DataFrame,
+                           idCol: String, vecCol: String, nCentroids: Int,
+                           tau: Double, cellCap: Int = 4096): DataFrame = {
+    val cents = seedCentroids(corpus, idCol, vecCol, nCentroids)
+    def capped(df: DataFrame) = {
+      val cells = nearestCells(df.select(col(idCol), col(vecCol)),
+        cents, idCol, vecCol, keep = 1)
+      val capIds = graftExpr.column(
+        new CollectTopK(graftExpr.expression(col(idCol)), cellCap, true)
+          .toAggregateExpression())
+      cells.groupBy(col("cell")).agg(capIds.as("ids"))
+        .select(col("cell"), explode(col("ids")).as("id"))
+    }
+    val newCells = nearestCells(newEmb.select(col(idCol), col(vecCol)),
+      cents, idCol, vecCol, keep = 1)
+    val dup = capped(newEmb).as("a")
+      .join(capped(corpus).as("b"), Seq("cell"))
+      .select(col("a.id").as("new_id"), col("b.id").as("old_id"))
+      .join(newEmb.select(col(idCol).as("new_id"), col(vecCol).as("va")), "new_id")
+      .join(corpus.select(col(idCol).as("old_id"), col(vecCol).as("vb")), "old_id")
+      .select(col("new_id"), col("old_id"),
+        cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("new_id"))
+      .agg(min(struct(col("old_id"), col("cos"))).as("m"))
+      .select(col("new_id").as(idCol), col("m.old_id").as("dup_of"),
+        col("m.cos").as("dup_cos"))
+    newCells.select(col(idCol), col("cell"))
+      .join(dup, Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("dup_cos"))
+  }
+
   /** Embedding near-dup pairs: banded sign-LSH blocking + capped buckets +
     * exact cosine verify. Output: (id_a, id_b, cos) with cos ≥ tau.
     *

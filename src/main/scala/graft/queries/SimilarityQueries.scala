@@ -348,9 +348,52 @@ object SimilarityQueries {
        |SELECT c.vec_id, c.cell, d.dup_of IS NOT NULL AS is_dup, d.dup_of, d.dup_cos
        |FROM cells c LEFT JOIN dup d USING (vec_id) ORDER BY c.vec_id""".stripMargin
 
+  // ---- incremental SemDeDup: incoming batch vs standing corpus -------------
+  /** Incoming = vec_id ≡ 0 (mod 5), corpus = the rest (the same split as
+    * dedup_incremental / dedup_bloom_incremental, so the three
+    * incremental paths compose on one delivery). */
+  def dedupSemanticIncremental(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.semanticDedupAgainst(
+        emb.filter(col("vec_id") % 5 === 0),
+        emb.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", NCent, SemTau, SemCap)
+      .orderBy(col("vec_id"))
+  }
+  val dedupSemanticIncrementalSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT $NCent),
+       |assign AS (
+       |  SELECT e.vec_id, e.embedding, c.cent_id, ${cosSql("e.embedding", "cent_vec")} AS ccos
+       |  FROM embeddings e CROSS JOIN cents c
+       |), cells AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id, ccos,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn
+       |    FROM assign) t WHERE rn = 1
+       |), an AS (
+       |  SELECT vec_id, cell FROM cells WHERE vec_id % 5 = 0
+       |  QUALIFY row_number() OVER (PARTITION BY cell ORDER BY vec_id) <= $SemCap
+       |), ac AS (
+       |  SELECT vec_id, cell FROM cells WHERE vec_id % 5 <> 0
+       |  QUALIFY row_number() OVER (PARTITION BY cell ORDER BY vec_id) <= $SemCap
+       |), scored AS (
+       |  SELECT a.vec_id AS new_id, b.vec_id AS old_id, ${cosSql("va.embedding", "vb.embedding")} AS cos
+       |  FROM an a JOIN ac b ON a.cell = b.cell
+       |  JOIN embeddings va ON va.vec_id = a.vec_id
+       |  JOIN embeddings vb ON vb.vec_id = b.vec_id
+       |  WHERE ${cosSql("va.embedding", "vb.embedding")} >= $SemTau
+       |), dup AS (
+       |  SELECT new_id AS vec_id, MIN(old_id) AS dup_of, arg_min(cos, old_id) AS dup_cos
+       |  FROM scored GROUP BY new_id
+       |)
+       |SELECT c.vec_id, c.cell, d.dup_of IS NOT NULL AS is_dup, d.dup_of, d.dup_cos
+       |FROM (SELECT vec_id, cell FROM cells WHERE vec_id % 5 = 0) c
+       |LEFT JOIN dup d USING (vec_id) ORDER BY c.vec_id""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
+    "dedup_semantic_incremental" -> (dedupSemanticIncremental _),
     "sim_ivf_trained_topk" -> (simIvfTrainedTopk _),
     "dedup_semantic" -> (dedupSemantic _),
     "sim_pq_codes" -> (simPqCodes _),
@@ -362,6 +405,7 @@ object SimilarityQueries {
     "dedup_embedding_pairs" -> (dedupEmbeddingPairs _))
 
   val oracle: Map[String, String] = Map(
+    "dedup_semantic_incremental" -> dedupSemanticIncrementalSql,
     "sim_ivf_trained_topk" -> simIvfTrainedTopkSql,
     "dedup_semantic" -> dedupSemanticSql,
     "sim_pq_codes" -> simPqCodesSql,

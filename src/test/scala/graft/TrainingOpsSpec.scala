@@ -175,6 +175,28 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(capped.filter(col("is_dup")).count() == 0)
   }
 
+  test("semanticDedupAgainst: new item dupes only against same-cell corpus, never within batch") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),   // seed centroid, cell 0
+      (1L, Array(0.0f, 1.0f, 0.0f))    // seed centroid, cell 1
+    ).toDF("vec_id", "embedding")
+    val fresh = Seq(
+      (10L, Array(0.99f, 0.02f, 0.0f)),  // dup of corpus 0
+      (11L, Array(0.98f, 0.03f, 0.0f)),  // ALSO near 10 — but only corpus counts
+      (12L, Array(0.0f, 0.6f, 0.8f))     // cell 1, below tau → kept
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedupAgainst(fresh, corpus,
+        "vec_id", "embedding", nCentroids = 2, tau = 0.9, cellCap = 256)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out(10L) == ((true, 0L)))
+    assert(out(11L) == ((true, 0L)))  // verdict vs corpus, not vs new 10
+    assert(out(12L) == ((false, -1L)))
+    assert(out.size == 3)             // corpus rows never appear in output
+  }
+
   test("ivfTopK: recall >= 0.8 vs bruteForceTopK on clustered vectors") {
     val s = spark
     import s.implicits._
