@@ -91,6 +91,30 @@ object HashOps {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Feature-hashing text embedding — the "hashing trick" (Weinberger et
+    * al., ICML 2009): vec[i] = Σ sign(t) over tokens t with
+    * polyHash(t) % d == i, sign(t) = +1 iff (polyHash(t) / d) is even.
+    * A model-free dense representation that makes the whole ANN /
+    * SemDeDup vector stack applicable to raw text. Counts are exact
+    * integers emitted as floats (exact below 2^24), so a second engine
+    * replays the embedding bitwise. One fused pass per row — zero
+    * shuffle, no token explode. */
+  def hashEmbed(s: UTF8String, d: Int): ArrayData = {
+    val th = tokenHashes(s)
+    val acc = new Array[Int](d)
+    var i = 0
+    while (i < th.length) {
+      val h = th(i)
+      val dim = (h % d).toInt
+      if (((h / d) % 2L) == 0L) acc(dim) += 1 else acc(dim) -= 1
+      i += 1
+    }
+    val out = new Array[Float](d)
+    var j = 0
+    while (j < d) { out(j) = acc(j).toFloat; j += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** k-min signature over the affine family; null on an empty set (mirrors
     * array_min(empty) = NULL in both engines). */
   def minhashSig(hashes: ArrayData, k: Int): ArrayData = {
@@ -263,6 +287,19 @@ case class SeqShingleHashesExpr(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.seqShingleHashes($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): SeqShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** text → ARRAY<FLOAT> feature-hashed embedding of dimension d. */
+case class HashEmbedExpr(child: Expression, d: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_hash_embed"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.hashEmbed(input.asInstanceOf[UTF8String], d)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.hashEmbed($c, $d)")
+  override protected def withNewChildInternal(newChild: Expression): HashEmbedExpr =
     copy(child = newChild)
 }
 

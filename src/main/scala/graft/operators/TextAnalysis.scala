@@ -228,6 +228,15 @@ object TextAnalysis {
         col("score"), col("rank"))
   }
 
+  /** Feature-hashed dense embedding of `text` (dimension d) — the bridge
+    * from raw text to the vector stack: its output column feeds
+    * [[Similarity.semanticDedup]], [[Similarity.bruteForceTopK]] and the
+    * rest unchanged. Fused codegen kernel, zero shuffle. */
+  def hashEmbed(text: Column, d: Int): Column =
+    org.apache.spark.sql.graftExpr.column(
+      graft.functions.HashEmbedExpr(
+        org.apache.spark.sql.graftExpr.expression(text), d))
+
   /** One-pass hashed-feature linear text classifier — the fastText /
     * DCLM-filter INFERENCE shape, with integer-only math so a second
     * engine replays verdicts bitwise. TRAIN: tokens of labeled docs hash

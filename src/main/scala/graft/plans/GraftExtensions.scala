@@ -52,6 +52,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => CharNgramHashesExpr(args.head, intArg(args(1), "n"),
         args(2).eval().asInstanceOf[Boolean])
     }
+    reg("graft_hash_embed", "(text, d) feature-hashed ARRAY<FLOAT> embedding") {
+      args => HashEmbedExpr(args.head, intArg(args(1), "d"))
+    }
     reg("graft_cosine", "(vec, vec) cosine similarity") {
       args => CosineSimExpr(args.head, args(1))
     }

@@ -467,6 +467,29 @@ object TextQueries {
        |FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- feature-hashed text embedding (the hashing trick) -------------------
+  private val EmbedD = 16
+
+  def textHashEmbed(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.hashEmbed(col("text"), EmbedD).as("embedding"))
+      .orderBy(col("doc_id"))
+  val textHashEmbedSql: String = {
+    val P = graft.operators.Dedup.HashMod
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_transform(string_split(trim(text), ' '),
+       |    s -> list_reduce(list_transform(string_split(s,''), c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc*31 + x) % $P)) AS th
+       |  FROM documents
+       |)
+       |SELECT doc_id, list_transform(range(0, $EmbedD), i ->
+       |  CAST(COALESCE(list_sum(list_transform(th, h ->
+       |    CASE WHEN h % $EmbedD = i
+       |         THEN (CASE WHEN (h // $EmbedD) % 2 = 0 THEN 1 ELSE -1 END)
+       |         ELSE 0 END)), 0) AS REAL)) AS embedding
+       |FROM toks ORDER BY doc_id""".stripMargin
+  }
+
   // ---- hashed-feature linear quality classifier ----------------------------
   /** Even doc_ids train (label: lang = 'en'), every doc is scored — the
     * in-corpus replay of a fastText-style quality filter. All integer
@@ -513,6 +536,7 @@ object TextQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "text_hash_embed" -> (textHashEmbed _),
     "quality_classifier" -> (qualityClassifier _),
     "text_tfidf_topk" -> (textTfidfTopk _),
     "text_novelty" -> (textNovelty _),
@@ -532,6 +556,7 @@ object TextQueries {
     "text_fingerprint" -> (textFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "text_hash_embed" -> textHashEmbedSql,
     "quality_classifier" -> qualityClassifierSql,
     "text_tfidf_topk" -> textTfidfTopkSql,
     "text_novelty" -> textNoveltySql,

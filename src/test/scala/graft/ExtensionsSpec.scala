@@ -45,6 +45,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(7) - 1.0) < 1e-12)
   }
 
+  test("graft_hash_embed: d floats, signed token counts, empty-ish text still d-dim") {
+    val r = spark.sql(
+      """SELECT graft_hash_embed('a b a', 16) AS e,
+        |       graft_hash_embed('', 16)      AS z""".stripMargin).collect()(0)
+    val e = r.getSeq[Float](0)
+    assert(e.length == 16)
+    // 3 tokens, each ±1 into one of 16 slots → L1 mass ≤ 3, parity exact
+    assert(e.map(math.abs).sum <= 3.0f && e.map(math.abs).sum % 1.0f == 0.0f)
+    assert(r.getSeq[Float](1).length == 16)
+  }
+
   test("banded LSH keys SQL function: band 0 equals graft_lsh_bucket") {
     val r = spark.sql(
       """SELECT graft_lsh_band_keys(array(CAST(0.3 AS FLOAT), CAST(-0.7 AS FLOAT)), 8, 6) AS ks,

@@ -108,6 +108,26 @@ class TrainingOpsSpec extends AnyFunSuite {
       Seq("alpha", "beta", "shared"))
   }
 
+  test("hashEmbed bridges text to the vector stack: semanticDedup flags planted near-dup text") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    // seeds (lowest 2 ids) span the two topics; the dup is a NON-seed
+    val docs = Seq(
+      (0L, base),
+      (1L, "completely unrelated words about spark shuffles and parquet files"),
+      (2L, base + " tail"),      // near-dup of 0, lands in 0's cell
+      (3L, "different prose on columnar storage formats and row groups")
+    ).toDF("doc_id", "text")
+    val emb = docs.select(col("doc_id"),
+      TextAnalysis.hashEmbed(col("text"), 32).as("embedding"))
+    val out = Similarity.semanticDedup(emb, "doc_id", "embedding",
+        nCentroids = 2, tau = 0.9, cellCap = 256)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(2L))              // near-dup text flagged via its embedding
+    assert(!out(0L) && !out(1L) && !out(3L)) // original + unrelated kept
+  }
+
   test("hashedLinearClassifier: separable vocab classified correctly, balanced against skewed priors") {
     val s = spark
     import s.implicits._
