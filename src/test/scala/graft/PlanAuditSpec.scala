@@ -142,6 +142,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(q.collect().map(_.getDouble(1)).toSeq == Seq(2.0))
   }
 
+  test("text_hash_embed: fused-kernel projection — zero hash exchanges") {
+    val p = plan("text_hash_embed")
+    assert(countOf(p, "Exchange hashpartitioning") == 0, p)
+    assert(p.contains("graft_hash_embed"), p)
+  }
+
+  test("quality_classifier: weight table broadcasts; corpus never sort-merge-joins") {
+    val p = plan("quality_classifier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"inference must join weights by broadcast, not SMJ:\n$p")
+  }
+
   test("global sweep: no query plans an unbroadcast cartesian product") {
     // crossJoin against a broadcast side plans as BroadcastNestedLoopJoin
     // (fine — one side is tiny by construction); a CartesianProduct node
