@@ -74,6 +74,35 @@ object Streams {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming semantic dedup-on-arrival: each arriving document is
+    * feature-hash embedded in-stream (fused kernel, no model, no state)
+    * and checked against the STATIC standing-corpus embedding table via a
+    * stream-static broadcast join on the sign-LSH bucket, with an exact
+    * cosine verify behind it. Emits one HIT row per (arriving doc,
+    * corpus near-dup) — append-safe, zero streaming state: the flagging
+    * job stays stateless while [[corpusIngestDedup]] handles exact dups
+    * and the nightly batch ([[graft.operators.Similarity.semanticDedupAgainst]])
+    * sweeps the full horizon. `corpusEmb` columns: (corpus_id, corpus_emb).
+    * Recall is the single-bucket sign-LSH probability — raise d/nPlanes
+    * coherently with the batch path's banding. */
+  def semanticIngestHits(stream: DataFrame, corpusEmb: DataFrame,
+                         idCol: String, textCol: String, d: Int,
+                         tau: Double, nPlanes: Int = 8): DataFrame = {
+    val e = stream.select(col(idCol),
+        graft.operators.TextAnalysis.hashEmbed(col(textCol), d).as("emb"))
+      .withColumn("bucket",
+        graft.operators.Similarity.lshBucket(col("emb"), nPlanes))
+    val c = broadcast(corpusEmb
+      .select(col("corpus_id"), col("corpus_emb"),
+        graft.operators.Similarity.lshBucket(col("corpus_emb"), nPlanes)
+          .as("bucket")))
+    e.join(c, Seq("bucket"))
+      .select(col(idCol), col("corpus_id"),
+        graft.operators.Similarity.cosine(col("emb"), col("corpus_emb"))
+          .as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
   /** Stream-stream interval enrichment — the streaming counterpart of the
     * batch as-of join (w7): each event row joins every quote row of the
     * same key whose timestamp lies in (event_ts − maxAge, event_ts]. Both

@@ -60,6 +60,29 @@ class HashOpsPropertySpec extends AnyFunSuite {
     assert(HashOps.seqShingleHashes(UTF8String.fromString(""), 3).numElements() == 0)
   }
 
+  test("hashEmbed: additive over concatenation, L1 = token count parity, slot = hash residue") {
+    (0 until 300).foreach { _ =>
+      val (a, b) = (randText(), randText())
+      val d = 16
+      def emb(t: String): Array[Float] = {
+        val arr = HashOps.hashEmbed(UTF8String.fromString(t), d)
+        Array.tabulate(d)(arr.getFloat)
+      }
+      val (ea, eb, eab) = (emb(a), emb(b), emb(a + " " + b))
+      // bag-of-words linearity: embedding of the concatenation is the sum
+      assert(eab.toSeq == ea.zip(eb).map { case (x, y) => x + y }.toSeq, s"$a | $b")
+      // every token moves exactly one slot by ±1
+      assert(ea.map(math.abs).sum <= a.trim.split(" ", -1).length)
+      // reference: signed count per residue class of the token hash
+      val ref = new Array[Int](d)
+      a.trim.split(" ", -1).foreach { t =>
+        val h = refPolyHash(t)
+        ref((h % d).toInt) += (if ((h / d) % 2 == 0) 1 else -1)
+      }
+      assert(ea.toSeq == ref.map(_.toFloat).toSeq, a)
+    }
+  }
+
   test("minhashSig: each slot is the true min of the affine family") {
     (0 until 100).foreach { _ =>
       val t = randText()

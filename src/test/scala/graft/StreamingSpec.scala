@@ -44,6 +44,30 @@ class StreamingSpec extends AnyFunSuite {
 
   case class Quote(name: String, qtime: Timestamp, quote: Double)
 
+  case class Arriving(doc_id: Long, text: String)
+
+  test("semanticIngestHits: arriving near-dup flags against static corpus, fresh doc passes silent") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq((100L, base)).toDF("doc_id", "text")
+      .select(col("doc_id").as("corpus_id"),
+        graft.operators.TextAnalysis.hashEmbed(col("text"), 32).as("corpus_emb"))
+    val in = MemoryStream[Arriving]
+    val q = Streams.semanticIngestHits(in.toDF(), corpus,
+        "doc_id", "text", d = 32, tau = 0.9)
+      .writeStream.format("memory").queryName("sem_hits").outputMode("append").start()
+    in.addData(
+      Arriving(1L, base + " tail"),  // near-dup of corpus 100
+      Arriving(2L, "fresh unrelated prose about columnar formats and shuffles"))
+    q.processAllAvailable()
+    val hits = s.table("sem_hits")
+      .select("doc_id", "corpus_id").as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(hits == Set((1L, 100L)))
+  }
+
   test("enrichJoin: event pairs with in-interval quotes of its key only") {
     val s = spark
     import s.implicits._
