@@ -153,6 +153,51 @@ object Similarity {
     topKPerQuery(scored, idCol, "cos", k)
   }
 
+  /** Materialize the IVF index as a CELL-PARTITIONED table: the corpus is
+    * written under cell=<id> directories (vectors clustered by id within
+    * each) with the centroid table alongside — the layout where a query's
+    * nProbe cells are nProbe directory reads and every other byte of the
+    * corpus is never opened. This is the persisted form the
+    * [[ivfTopK]] scaladoc promises at cluster scale; [[ivfIndexTopK]] is
+    * its query path. */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    nCentroids: Int, path: String): Unit = {
+    val cents = seedCentroids(corpus, idCol, vecCol, nCentroids)
+    cents.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/centroids")
+    nearestCells(corpus.select(col(idCol), col(vecCol)),
+        cents, idCol, vecCol, keep = 1)
+      .repartition(col("cell"))
+      .sortWithinPartitions(col(idCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(s"$path/cells")
+  }
+
+  /** ANN top-k against a materialized [[writeIvfIndex]] layout. Probe
+    * cells are resolved driver-side (|queries|·nProbe ids — KBs, the one
+    * place a collect is the right call: the list must exist at PLANNING
+    * time for the scan to prune partitions statically) and pushed into
+    * the read as a partition filter, so only the probed cell directories
+    * are listed, opened, or scanned. Same ranking semantics as
+    * [[ivfTopK]] — identical results, different I/O shape. */
+  def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                   queries: DataFrame, idCol: String, vecCol: String,
+                   k: Int, nProbe: Int): DataFrame = {
+    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val probes = nearestCells(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec")), cents, "query_id", "q_vec", keep = nProbe)
+    val probeCells = probes.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probeCells: _*))
+    val scored = cells.join(broadcast(probes), cells("cell") === probes("cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        cosine(col("q_vec"), col(vecCol)).as("cos"))
+    topKPerQuery(scored, idCol, "cos", k)
+  }
+
   /** One distributed Lloyd (k-means) refinement step for the IVF coarse
     * quantizer: assign every vector to its max-cosine centroid, then
     * recompute each centroid as the per-dimension mean of its cell.

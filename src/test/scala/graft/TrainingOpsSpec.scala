@@ -245,6 +245,15 @@ class TrainingOpsSpec extends AnyFunSuite {
       k, nCentroids = 8, nProbe = 2, iters = 2))
     val tRecall = (exact intersect trained).size.toDouble / exact.size
     assert(tRecall >= recall, s"trained IVF recall $tRecall < seeded $recall")
+    // materialized index: identical results, and the scan PRUNES to the
+    // probed cell directories (PartitionFilters carries the cell list)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", nCentroids = 8, path)
+    val idx = Similarity.ivfIndexTopK(s, path, q, "vec_id", "embedding", k, nProbe = 2)
+    assert(pairSet(idx) == ivf)
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"index read must prune cell partitions:\n$plan")
   }
 
   test("adcTopK: the coded top-k finds the true clusters (recall vs brute force on cluster labels)") {
