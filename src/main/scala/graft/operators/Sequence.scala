@@ -95,6 +95,33 @@ object Sequence {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** Globally DENSE deterministic ids 0..N−1 in scrambled-hash order,
+    * WITHOUT a global sort — the distributed id-assignment shape (sample
+    * indices, row ids, vocab ids): a single-task
+    * row_number() OVER (ORDER BY …) is the classic scale-killer, so the
+    * order is decomposed as (shard, h, id) and built two-phase: rank
+    * within shard (window bounded by the shard, 1/nShards of the data per
+    * task) plus an exclusive prefix sum of the nShards shard COUNTS —
+    * an aggregate of nShards rows whose tiny window never touches data —
+    * broadcast back as offsets. Deterministic on any cluster layout;
+    * ids are gapless by construction. Output: (idCol, shard, dense_id). */
+  def denseIds(df: DataFrame, idCol: String, textCol: String,
+               nShards: Int): DataFrame = {
+    val hashed = df.select(col(idCol), Mix.sampleHash(col(textCol)).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards)).cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col(idCol))
+    val ranked = hashed.withColumn("rk", row_number().over(w).cast("long"))
+    val wo = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = broadcast(hashed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(wo), lit(0L)))
+      .select(col("shard"), col("offset")))
+    ranked.join(offsets, "shard")
+      .select(col(idCol), col("shard"),
+        (col("offset") + col("rk") - 1).as("dense_id"))
+  }
+
   /** Per-shard packing summary: windows used vs the lower bound
     * ⌈tokens/capacity⌉ — the packing-efficiency report a batch builder
     * reads. */

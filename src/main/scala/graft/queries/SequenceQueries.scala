@@ -283,6 +283,25 @@ object SequenceQueries {
        |  CAST(SUM((pos * h) % $P) % $P AS BIGINT) AS order_fp
        |FROM sharded GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ---- dense global id assignment (no global sort) -------------------------
+  /** Ids 0..N−1 in scrambled-hash order via shard-rank + broadcast shard
+    * offsets; the oracle takes the single-sort shortcut the operator
+    * exists to avoid — same total order, different plan. */
+  def assignDenseIds(s: SparkSession, d: String): DataFrame =
+    Sequence.denseIds(Tables.documents(s, d), "doc_id", "text", ShuffleShards)
+      .orderBy(col("dense_id"))
+  val assignDenseIdsSql: String =
+    s"""WITH hashed AS (
+       |  SELECT doc_id,
+       |    (list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+       |      (acc, x) -> (acc*31 + x) % $P)
+       |     * ${graft.operators.Mix.ScrambleM} % $P) * ${graft.operators.Mix.ScrambleM} % $P AS h
+       |  FROM documents
+       |)
+       |SELECT doc_id, CAST(h % $ShuffleShards AS INTEGER) AS shard,
+       |  row_number() OVER (ORDER BY h % $ShuffleShards, h, doc_id) - 1 AS dense_id
+       |FROM hashed ORDER BY dense_id""".stripMargin
+
   // ---- greedy token-budget selection per source ----------------------------
   /** Best docs (by distinct-token count) under a 2000-token budget per
     * source — the "assemble the best N tokens per domain" step. */
@@ -687,6 +706,7 @@ object SequenceQueries {
   // -------------------------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
+    "assign_dense_ids" -> (assignDenseIds _),
     "corpus_ingest" -> (corpusIngest _),
     "corpus_build" -> (corpusBuild _),
     "chunk_windows" -> (chunkWindows _),
@@ -701,6 +721,7 @@ object SequenceQueries {
     "dedup_clusters" -> (dedupClusters _))
 
   val oracle: Map[String, String] = Map(
+    "assign_dense_ids" -> assignDenseIdsSql,
     "corpus_ingest" -> corpusIngestSql,
     "corpus_build" -> corpusBuildSql,
     "chunk_windows" -> chunkWindowsSql,

@@ -152,6 +152,30 @@ class SequenceSpec extends AnyFunSuite {
     }
   }
 
+  test("denseIds: gapless permutation 0..N-1, matches the single-sort reference order") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 97).map(i =>
+      (i.toLong, (0 until 5).map(_ => s"w${rnd.nextInt(30)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Sequence.denseIds(docs, "doc_id", "text", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // dense: every id 0..N-1 exactly once
+    assert(out.map(_._3).sorted.toSeq == (0L until 97L))
+    // equals the order a global row_number() OVER (ORDER BY shard, h, id)
+    // would assign — computed driver-side from the same hash
+    val ref = docs.select(col("doc_id"),
+        graft.operators.Mix.sampleHash(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (id, h) => (id, (h % 8).toInt, h) }
+      .sortBy { case (id, sh, h) => (sh, h, id) }
+      .zipWithIndex.map { case ((id, sh, _), i) => id -> ((sh, i.toLong)) }.toMap
+    out.foreach { case (id, sh, dense) =>
+      assert(ref(id) == ((sh, dense)), s"doc $id")
+    }
+  }
+
   test("shuffleShards: every doc placed once, positions contiguous per shard, rerun-stable") {
     val s = spark
     import s.implicits._
