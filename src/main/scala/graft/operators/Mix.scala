@@ -40,6 +40,80 @@ object Mix {
     (Dedup.polyHash(text) * ScrambleM % p) * ScrambleM % p
   }
 
+  /** Deterministic FIXED-SIZE per-group sample: exactly the k docs with
+    * the smallest scrambled content hashes in each group — "give me k per
+    * source" (eval slices, per-domain probes, human-review queues), with
+    * hash-threshold sampling's reproducibility but an exact count instead
+    * of a rate. Implemented as a bounded top-k aggregation (CollectTopK,
+    * reversed): each partition reduces a group to ≤ k candidates BEFORE
+    * the exchange, so only partitions×k narrow rows shuffle and no
+    * reducer sorts a group's full membership — the same scale shape as
+    * the ANN final ranking, vs the per-group window sort that hands a
+    * whole group to one task. Output: (grpCol, idCol, h, rank 1..k by
+    * (h, id)). */
+  def sampleFixedK(df: DataFrame, grpCol: String, idCol: String,
+                   textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftExpr
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
+    val hashed = df.select(col(grpCol), col(idCol),
+      sampleHash(col(textCol)).as("h"))
+    val key = struct(col("h"), col(idCol))
+    val topk = graftExpr.column(
+      new CollectTopK(graftExpr.expression(key), k, true).toAggregateExpression())
+    hashed.groupBy(col(grpCol))
+      .agg(topk.as("tops"))
+      .select(col(grpCol), posexplode(col("tops")).as(Seq("r0", "t")))
+      .select(col(grpCol), col(s"t.$idCol").as(idCol), col("t.h").as("h"),
+        (col("r0") + 1).cast("int").as("rank"))
+  }
+
+  /** EXACT top-fraction selection by an integer score — "keep the best
+    * 20% by quality" — without a global sort: the classic
+    * row_number() OVER (ORDER BY score) plan funnels the corpus into one
+    * task, so the rank is decomposed two-phase. Phase 1: a score-bucket
+    * histogram (one map-side-combinable groupBy; bucket count rows reach
+    * the driver — KBs, and the cutoff must exist at planning time, so
+    * this is the one justified collect, same as the budget-selection
+    * threshold). Phase 2: everything above the boundary bucket passes by
+    * FILTER alone; the exact remainder comes from the boundary bucket via
+    * a bounded top-k aggregation (partial-aggregated map-side to ≤ k per
+    * partition — only boundary-bucket candidates move, never the corpus).
+    * Deterministic total order (score desc, id asc); exactly
+    * ⌊N·frac⌋ rows. Output: (idCol, score). */
+  def topFraction(df: DataFrame, idCol: String, scoreCol: String,
+                  frac: Double, bucketWidth: Long = 64L): DataFrame = {
+    import org.apache.spark.sql.graftExpr
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
+    val scored = df.select(col(idCol), col(scoreCol).cast("long").as("score"))
+      .withColumn("bkt", floor(col("score") / bucketWidth).cast("long"))
+    val hist = scored.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    val n = hist.map(_._2).sum
+    val k = math.floor(n * frac).toLong
+    var above = 0L
+    var cut = Long.MaxValue
+    hist.foreach { case (b, c) =>
+      if (above < k && cut == Long.MaxValue) {
+        if (above + c >= k) cut = b else above += c
+      }
+    }
+    val pass = scored.filter(col("bkt") > cut)
+      .select(col(idCol), col("score"))
+    val needed = (k - above).toInt
+    if (cut == Long.MaxValue || needed <= 0) pass
+    else {
+      val key = struct(col("score"), (-col(idCol)).as("nid"))
+      val topk = graftExpr.column(
+        new CollectTopK(graftExpr.expression(key), needed, false)
+          .toAggregateExpression())
+      val boundary = scored.filter(col("bkt") === cut)
+        .groupBy().agg(topk.as("tops"))
+        .select(explode(col("tops")).as("t"))
+        .select((-col("t.nid")).as(idCol), col("t.score").as("score"))
+      pass.unionByName(boundary)
+    }
+  }
+
   /** Per-source keep thresholds for α=0.5 temperature sampling at a target
     * corpus fraction. Output: (srcCol, n_s, thr) where a doc survives iff
     * [[sampleHash]](text) < thr. keep_prob_s = min(1, target_n·(w_s/Σw)/n_s)

@@ -185,6 +185,41 @@ object TextQueries {
        |WHERE h < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
        |ORDER BY doc_id""".stripMargin
 
+  // ---- fixed-k deterministic per-source sample -----------------------------
+  private val FixedK = 5
+
+  def sampleFixedK(s: SparkSession, d: String): DataFrame =
+    Mix.sampleFixedK(Tables.documents(s, d), "source", "doc_id", "text", FixedK)
+      .orderBy(col("source"), col("rank"))
+  val sampleFixedKSql: String =
+    s"""WITH hashed AS (
+       |  SELECT source, doc_id,
+       |    (list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+       |      (acc, x) -> (acc*31 + x) % ${Dedup.HashMod})
+       |     * ${Mix.ScrambleM} % ${Dedup.HashMod}) * ${Mix.ScrambleM} % ${Dedup.HashMod} AS h
+       |  FROM documents
+       |)
+       |SELECT source, doc_id, h, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT source, doc_id, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rank
+       |  FROM hashed) t
+       |WHERE rank <= $FixedK ORDER BY source, rank""".stripMargin
+
+  // ---- exact top-fraction quality gate (two-phase, no global sort) ---------
+  private val TopFrac = 0.2
+
+  def qualityTopFraction(s: SparkSession, d: String): DataFrame =
+    Mix.topFraction(Tables.documents(s, d), "doc_id", "n_chars", TopFrac, 16L)
+      .orderBy(col("score").desc, col("doc_id"))
+  val qualityTopFractionSql: String =
+    s"""SELECT doc_id, score FROM (
+       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+       |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn,
+       |    COUNT(*) OVER () AS n
+       |  FROM documents) t
+       |WHERE rn <= CAST(floor(n * $TopFrac) AS BIGINT)
+       |ORDER BY score DESC, doc_id""".stripMargin
+
   // ---- PII detection + redaction -------------------------------------------
   /** The synthetic corpus carries no PII, so docs with doc_id ≡ 0 (mod 3)
     * are deterministically augmented with an email, an IPv4, and a phone
@@ -536,6 +571,8 @@ object TextQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "quality_top_fraction" -> (qualityTopFraction _),
+    "sample_fixed_k" -> (sampleFixedK _),
     "text_hash_embed" -> (textHashEmbed _),
     "quality_classifier" -> (qualityClassifier _),
     "text_tfidf_topk" -> (textTfidfTopk _),
@@ -556,6 +593,8 @@ object TextQueries {
     "text_fingerprint" -> (textFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "quality_top_fraction" -> qualityTopFractionSql,
+    "sample_fixed_k" -> sampleFixedKSql,
     "text_hash_embed" -> textHashEmbedSql,
     "quality_classifier" -> qualityClassifierSql,
     "text_tfidf_topk" -> textTfidfTopkSql,

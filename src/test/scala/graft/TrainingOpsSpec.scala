@@ -108,6 +108,36 @@ class TrainingOpsSpec extends AnyFunSuite {
       Seq("alpha", "beta", "shared"))
   }
 
+  test("sampleFixedK: exactly k per big group, whole group when smaller, rank by (h, id)") {
+    val s = spark
+    import s.implicits._
+    val docs = ((0 until 20).map(i => (i.toLong, s"doc number $i words", "big")) ++
+      Seq((100L, "only one here", "tiny"))).toDF("doc_id", "text", "source")
+    val out = graft.operators.Mix.sampleFixedK(docs, "source", "doc_id", "text", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.count(_._1 == "big") == 5)
+    assert(out.count(_._1 == "tiny") == 1)
+    // rank follows ascending (h, id) within the group
+    val big = out.filter(_._1 == "big").sortBy(_._4)
+    assert(big.map(_._3).toSeq == big.map(_._3).sorted.toSeq)
+  }
+
+  test("topFraction: exact ⌊N·frac⌋ rows equal the brute-force top list, ties broken by id") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // heavy ties (scores 0..9) force the boundary bucket to split
+    val rows = (0 until 200).map(i => (i.toLong, rnd.nextInt(10).toLong))
+    val df = rows.toDF("doc_id", "score")
+    val got = graft.operators.Mix.topFraction(df, "doc_id", "score",
+        frac = 0.25, bucketWidth = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = rows.sortBy { case (id, sc) => (-sc, id) }.take(50).toSet
+    assert(got == want)
+    assert(graft.operators.Mix.topFraction(df, "doc_id", "score", 0.0, 2L)
+      .count() == 0)
+  }
+
   test("hashEmbed bridges text to the vector stack: semanticDedup flags planted near-dup text") {
     val s = spark
     import s.implicits._
