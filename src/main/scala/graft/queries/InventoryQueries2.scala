@@ -471,6 +471,43 @@ object InventoryQueries2 {
       |    / CAST(COUNT(DISTINCT user_id) AS DOUBLE) <= 0.05 AS within_bound
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- A18: approximate quantiles (rank-error contract) --------------------
+  /** percentile_approx — the quantile answer at 100 TB, where exact
+    * percentile() must collect every group value into one buffer. Sketch
+    * outputs are engine-specific (Spark: Greenwald-Khanna; DuckDB:
+    * t-digest), so as with A16 the ORACLE CONTRACT is the guarantee, not
+    * the estimate: an ε-approximate p-quantile must land inside the
+    * EXACT [p−ε, p+ε] quantile envelope — each engine checks its own
+    * sketch against its own exact envelope, and the hash compare runs on
+    * the exact envelope values + the in-bound flags. */
+  def a18ApproxQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile_approx(value, 0.5, 1000)").as("a50"),
+        expr("percentile_approx(value, 0.95, 1000)").as("a95"),
+        expr("percentile(value, 0.45)").as("lo50"),
+        expr("percentile(value, 0.55)").as("hi50"),
+        expr("percentile(value, 0.90)").as("lo95"),
+        max(col("value")).as("hi95"))
+      .select(col("event_type"),
+        round(col("lo50"), 6).as("p45_exact"), round(col("hi50"), 6).as("p55_exact"),
+        round(col("lo95"), 6).as("p90_exact"), round(col("hi95"), 6).as("vmax"),
+        (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("p50_in_bound"),
+        (col("a95") >= col("lo95") && col("a95") <= col("hi95")).as("p95_in_bound"))
+      .orderBy(col("event_type"))
+  val a18Sql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.45), 6) AS p45_exact,
+      |  round(quantile_cont(value, 0.55), 6) AS p55_exact,
+      |  round(quantile_cont(value, 0.90), 6) AS p90_exact,
+      |  round(max(value), 6) AS vmax,
+      |  approx_quantile(value, 0.5) BETWEEN quantile_cont(value, 0.45)
+      |    AND quantile_cont(value, 0.55) AS p50_in_bound,
+      |  approx_quantile(value, 0.95) BETWEEN quantile_cont(value, 0.90)
+      |    AND max(value) AS p95_in_bound
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---- A17: pivot (wide per-user event-type counts) ------------------------
   def a17Pivot(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -519,6 +556,7 @@ object InventoryQueries2 {
     "j9_cross_modal" -> (j9CrossModal _),
     "a15_rollup" -> (a15Rollup _),
     "a16_approx_distinct" -> (a16ApproxDistinct _),
+    "a18_approx_quantiles" -> (a18ApproxQuantiles _),
     "a14_quantiles" -> (a14Quantiles _),
     "w8_sessionize" -> (w8Sessionize _),
     "text_vocab_topk" -> (textVocabTopk _),
@@ -545,6 +583,7 @@ object InventoryQueries2 {
     "j9_cross_modal" -> j9Sql,
     "a15_rollup" -> a15Sql,
     "a16_approx_distinct" -> a16Sql,
+    "a18_approx_quantiles" -> a18Sql,
     "a14_quantiles" -> a14Sql,
     "w8_sessionize" -> w8Sql,
     "text_vocab_topk" -> textVocabTopkSql,
