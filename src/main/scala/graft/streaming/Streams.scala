@@ -128,6 +128,34 @@ object Streams {
       .drop(col(s"q.$keyCol"))
   }
 
+  /** Trending top-k: the k most frequent items per sliding event-time
+    * window, pushed per micro-batch — the "what's moving right now"
+    * panel over the activity stream. The windowed count is the streaming
+    * aggregation (watermark-bounded state, update mode emits only windows
+    * a batch touched); ranking happens per batch in foreachBatch, where
+    * the window partition is bounded by the window's distinct-item count
+    * — never the stream's history. Late data beyond `lateness` is
+    * dropped with its window's state. */
+  def trendingTopK(stream: DataFrame, tsCol: String, itemCol: String,
+                   windowLen: String, slide: String, lateness: String,
+                   k: Int, push: DataFrame => Unit): StreamingQuery =
+    stream.withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen, slide), col(itemCol))
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("window")).orderBy(col("n").desc, col(itemCol))
+          push(batch.withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= k)
+            .select(col("window.start").as("w_start"), col(itemCol),
+              col("n"), col("rank")))
+        }
+      }
+      .start()
+
   /** A5: sliding event-time request count (rate-limiter reconstruction:
     * 1 request = 1 row, summed per sliding window). */
   def slidingRequestCount(stream: DataFrame, tsCol: String,

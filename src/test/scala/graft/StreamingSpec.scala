@@ -92,6 +92,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Set(("a", 10.0), ("a", 11.0)))
   }
 
+  test("trendingTopK: per-window item ranks by count, k bounds the push, ties by item") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Point]
+    val pushed = scala.collection.mutable.ArrayBuffer[(String, Long, Int)]()
+    val q = Streams.trendingTopK(in.toDF(), "time", "name",
+        windowLen = "10 minutes", slide = "10 minutes", lateness = "10 minutes",
+        k = 2, push = df => pushed.synchronized {
+          pushed ++= df.collect().map(r => (r.getString(1), r.getLong(2), r.getInt(3)))
+        })
+    in.addData(
+      Point("hot", ts("2024-01-01 00:01:00"), 1.0),
+      Point("hot", ts("2024-01-01 00:02:00"), 1.0),
+      Point("hot", ts("2024-01-01 00:03:00"), 1.0),
+      Point("warm", ts("2024-01-01 00:04:00"), 1.0),
+      Point("warm", ts("2024-01-01 00:05:00"), 1.0),
+      Point("cold", ts("2024-01-01 00:06:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val last = pushed.toList
+    assert(last.contains(("hot", 3L, 1)))
+    assert(last.contains(("warm", 2L, 2)))
+    assert(!last.exists(_._1 == "cold")) // k = 2 cuts the tail
+  }
+
   case class Doc(doc_id: Long, text: String, arrived: Timestamp)
 
   test("T6 rateLimit: token bucket admits the burst, rejects inside the refill window, recovers") {
