@@ -14,7 +14,9 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("o2_range_scan", "q1_pricing_summary", "j1_lookup_join",
         "w1_latest_event_per_user", "dedup_minhash_pairs", "sim_bruteforce_topk",
-        "decontaminate", "mix_temperature", "sim_adc_topk", "corpus_build")
+        "decontaminate", "mix_temperature", "sim_adc_topk", "corpus_build",
+        "dedup_semantic", "text_hash_embed", "quality_top_fraction",
+        "assign_dense_ids")
     for (name <- names) {
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, d).queryExecution.explainString(
