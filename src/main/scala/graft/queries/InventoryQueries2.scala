@@ -407,6 +407,73 @@ object InventoryQueries2 {
        |FROM sessions GROUP BY user_id, session_no
        |ORDER BY user_id, session_no""".stripMargin
 
+  // ---- W10: sessionized conversion funnel ----------------------------------
+  /** view → click → purchase with ORDER constraints inside a session:
+    * the first click must follow the session's first view, the first
+    * purchase must follow that click. Stage timestamps resolve with two
+    * session-bounded window mins (conditional candidates chained through
+    * the previous stage), so every window partitions by (user, session) —
+    * bounded by session length, never the corpus. Monotone counts by
+    * construction. */
+  def w10Funnel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapped = ev
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, 1L).otherwise(0L))
+      .withColumn("session_no",
+        sum(col("new_session")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wSess = Window.partitionBy(col("user_id"), col("session_no"))
+    val staged = gapped
+      .withColumn("v", min(when(col("event_type") === "view", col("ts"))).over(wSess))
+      .withColumn("c", min(when(col("event_type") === "click" && col("ts") >= col("v"),
+        col("ts"))).over(wSess))
+      .withColumn("p_cand", when(col("event_type") === "purchase" && col("ts") >= col("c"),
+        col("ts")))
+    staged.groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("v")).as("v"), min(col("c")).as("c"), min(col("p_cand")).as("p"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_reached_view"),
+        sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_reached_click"),
+        sum(when(col("p").isNotNull, 1L).otherwise(0L)).as("n_reached_purchase"))
+  }
+  val w10Sql: String =
+    s"""WITH ord AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+       |  FROM $EventsSql
+       |), flagged AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 30*60*1000000
+       |                 THEN 1 ELSE 0 END AS new_session
+       |  FROM ord
+       |), sessions AS (
+       |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+       |  FROM flagged
+       |), st1 AS (
+       |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+       |    OVER (PARTITION BY user_id, session_no) AS v
+       |  FROM sessions
+       |), st2 AS (
+       |  SELECT *, min(CASE WHEN event_type = 'click' AND ts >= v THEN ts END)
+       |    OVER (PARTITION BY user_id, session_no) AS c
+       |  FROM st1
+       |), per AS (
+       |  SELECT user_id, session_no, min(v) AS v, min(c) AS c,
+       |    min(CASE WHEN event_type = 'purchase' AND ts >= c THEN ts END) AS p
+       |  FROM st2 GROUP BY user_id, session_no
+       |)
+       |SELECT count(*) AS n_sessions,
+       |  CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reached_view,
+       |  CAST(SUM(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reached_click,
+       |  CAST(SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reached_purchase
+       |FROM per""".stripMargin
+
   // ---- text vocab top-k (heavy hitters over the corpus) --------------------
   def textVocabTopk(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -559,6 +626,7 @@ object InventoryQueries2 {
     "a18_approx_quantiles" -> (a18ApproxQuantiles _),
     "a14_quantiles" -> (a14Quantiles _),
     "w8_sessionize" -> (w8Sessionize _),
+    "w10_funnel" -> (w10Funnel _),
     "text_vocab_topk" -> (textVocabTopk _),
     "w7_asof_join" -> (w7AsofJoin _),
     "w9_asof_nearest" -> (w9AsofNearest _),
@@ -586,6 +654,7 @@ object InventoryQueries2 {
     "a18_approx_quantiles" -> a18Sql,
     "a14_quantiles" -> a14Sql,
     "w8_sessionize" -> w8Sql,
+    "w10_funnel" -> w10Sql,
     "text_vocab_topk" -> textVocabTopkSql,
     "w7_asof_join" -> w7Sql,
     "w9_asof_nearest" -> w9Sql,
