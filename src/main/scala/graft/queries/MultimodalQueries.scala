@@ -71,6 +71,30 @@ object MultimodalQueries {
       |    CAST(len(list_filter(bs, b -> b % 16 = i)) AS BIGINT)), ',') AS byte_hist_csv
       |FROM bytes ORDER BY media_id""".stripMargin
 
+  // ---- payload-level exact dedup (storage reclaim report) ------------------
+  /** Byte-identical payloads across media ids — the first dedup pass of
+    * any multimodal lake (hash the BINARY, never compare payloads), plus
+    * the reclaim accounting ops wants: bytes freed if all but the lowest
+    * id of each group were dropped. One shuffle on the content hash,
+    * payloads never move. */
+  def mmDedupPayload(s: SparkSession, d: String): DataFrame =
+    Multimodal.ingestFromText(Tables.documents(s, d))
+      .select(md5(col("payload")).as("payload_md5"), col("media_id"),
+        col("meta").getField("n_bytes").as("n_bytes"))
+      .groupBy(col("payload_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("rep_id"),
+        max(col("n_bytes")).as("n_bytes"))
+      .filter(col("n_copies") > 1)
+      .select(col("payload_md5"), col("n_copies"), col("rep_id"),
+        ((col("n_copies") - 1) * col("n_bytes")).as("reclaimable_bytes"))
+      .orderBy(col("payload_md5"))
+  val mmDedupPayloadSql: String =
+    """SELECT md5(text) AS payload_md5, COUNT(*) AS n_copies,
+      |  MIN(doc_id) AS rep_id,
+      |  (COUNT(*) - 1) * CAST(MAX(length(text)) AS BIGINT) AS reclaimable_bytes
+      |FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+      |ORDER BY payload_md5""".stripMargin
+
   // ---- modality-typed metadata (image / audio / video variants) ------------
   /** Same payload, three modality schemas: media type derives
     * deterministically from the source id; audio carries sample_rate +
@@ -108,12 +132,14 @@ object MultimodalQueries {
   // -------------------------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
+    "mm_dedup_payload" -> (mmDedupPayload _),
     "mm_modality_meta" -> (mmModalityMeta _),
     "mm_ingest_stats" -> (mmIngestStats _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_decode_features" -> (mmDecodeFeatures _))
 
   val oracle: Map[String, String] = Map(
+    "mm_dedup_payload" -> mmDedupPayloadSql,
     "mm_modality_meta" -> mmModalityMetaSql,
     "mm_ingest_stats" -> mmIngestStatsSql,
     "mm_frame_sample" -> mmFrameSampleSql,
