@@ -525,6 +525,51 @@ object TextQueries {
        |FROM toks ORDER BY doc_id""".stripMargin
   }
 
+  // ---- text similarity search over hash embeddings -------------------------
+  /** The text→vector bridge as one query: documents hash-embed in-plan
+    * (fused kernel, no model) and the standard ANN machinery runs on the
+    * result — query docs (doc_id < 5) find their nearest corpus docs by
+    * embedding cosine. Same bounded partial top-k final ranking as every
+    * sim_* query. */
+  private val TextTopK = 3
+  private val TextNQ = 5
+
+  def simTextTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.documents(s, d).select(col("doc_id"),
+      TextAnalysis.hashEmbed(col("text"), EmbedD).as("embedding"))
+    graft.operators.Similarity.bruteForceTopK(
+        emb, emb.filter(col("doc_id") < TextNQ), "doc_id", "embedding", TextTopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  val simTextTopkSql: String = {
+    val P = graft.operators.Dedup.HashMod
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x + y)"
+    def cos(a: String, b: String) =
+      s"${dot(a, b)} / NULLIF(sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}), 0)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_transform(string_split(trim(text), ' '),
+       |    s -> list_reduce(list_transform(string_split(s,''), c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc*31 + x) % $P)) AS th
+       |  FROM documents
+       |), emb AS (
+       |  SELECT doc_id, list_transform(range(0, $EmbedD), i ->
+       |    CAST(COALESCE(list_sum(list_transform(th, h ->
+       |      CASE WHEN h % $EmbedD = i
+       |           THEN (CASE WHEN (h // $EmbedD) % 2 = 0 THEN 1 ELSE -1 END)
+       |           ELSE 0 END)), 0) AS REAL)) AS e
+       |  FROM toks
+       |), q AS (SELECT doc_id AS query_id, e AS qe FROM emb WHERE doc_id < $TextNQ),
+       |pairs AS (
+       |  SELECT q.query_id, c.doc_id, ${cos("qe", "c.e")} AS cos
+       |  FROM emb c, q WHERE c.doc_id <> q.query_id
+       |)
+       |SELECT query_id, doc_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT query_id, doc_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank
+       |  FROM pairs) t
+       |WHERE rank <= $TextTopK ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- hashed-feature linear quality classifier ----------------------------
   /** Even doc_ids train (label: lang = 'en'), every doc is scored — the
     * in-corpus replay of a fastText-style quality filter. All integer
@@ -571,6 +616,7 @@ object TextQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "sim_text_topk" -> (simTextTopk _),
     "quality_top_fraction" -> (qualityTopFraction _),
     "sample_fixed_k" -> (sampleFixedK _),
     "text_hash_embed" -> (textHashEmbed _),
@@ -593,6 +639,7 @@ object TextQueries {
     "text_fingerprint" -> (textFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "sim_text_topk" -> simTextTopkSql,
     "quality_top_fraction" -> qualityTopFractionSql,
     "sample_fixed_k" -> sampleFixedKSql,
     "text_hash_embed" -> textHashEmbedSql,
