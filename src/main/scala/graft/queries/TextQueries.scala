@@ -509,7 +509,10 @@ object TextQueries {
     Tables.documents(s, d)
       .select(col("doc_id"),
         TextAnalysis.hashEmbed(col("text"), EmbedD).as("embedding"))
-      .orderBy(col("doc_id"))
+      // the driver's comparator sorts scalar columns; explode the vector to
+      // (doc_id, dim, value) rows so the oracle can hash-compare it
+      .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "value")))
+      .orderBy(col("doc_id"), col("dim"))
   val textHashEmbedSql: String = {
     val P = graft.operators.Dedup.HashMod
     s"""WITH toks AS (
@@ -517,12 +520,13 @@ object TextQueries {
        |    s -> list_reduce(list_transform(string_split(s,''), c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc*31 + x) % $P)) AS th
        |  FROM documents
        |)
-       |SELECT doc_id, list_transform(range(0, $EmbedD), i ->
+       |SELECT doc_id, CAST(i AS INTEGER) AS dim,
        |  CAST(COALESCE(list_sum(list_transform(th, h ->
        |    CASE WHEN h % $EmbedD = i
        |         THEN (CASE WHEN (h // $EmbedD) % 2 = 0 THEN 1 ELSE -1 END)
-       |         ELSE 0 END)), 0) AS REAL)) AS embedding
-       |FROM toks ORDER BY doc_id""".stripMargin
+       |         ELSE 0 END)), 0) AS REAL) AS value
+       |FROM toks CROSS JOIN (SELECT unnest(range(0, $EmbedD)) AS i) dims
+       |ORDER BY doc_id, dim""".stripMargin
   }
 
   // ---- text similarity search over hash embeddings -------------------------
