@@ -21,20 +21,26 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
     // JVM/codegen warmup so the first measured query isn't charged for it
     try { materialize(SparkEntry.entry(spark)) } catch { case _: Throwable => () }
-    // --steady: run each query twice, report the SECOND time — per-query
-    // codegen/JIT/shuffle-file warmup excluded. The driver's no-arg run is
-    // the cold single-pass contract and is unchanged.
-    val steady = args.contains("--steady")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      if (steady) { try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () } }
+    // Every query runs twice, both passes timed. Pass 1 ("queries") is the
+    // cold contract — same as every prior round. Pass 2 ("steady") excludes
+    // per-query codegen/JIT/shuffle-file warmup, so cold-run jitter on a
+    // shared sandbox can't masquerade as a plan regression: compare steady
+    // maps across rounds for regressions, cold maps for first-run latency.
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      name -> (timed(fn), timed(fn))
+    }
+    def jmap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val cold = jmap(results.map { case (k, (c, _)) => k -> c })
+    val steady = jmap(results.map { case (k, (_, s)) => k -> s })
+    val coldTotal = results.values.map(_._1).sum
+    val steadyTotal = results.values.map(_._2).sum
+    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","queries":$cold,"steady":$steady,"steady_total":$steadyTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
