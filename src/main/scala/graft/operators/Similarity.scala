@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{graftExpr, Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{CosineSimExpr, SignLshBandKeysExpr, SignLshBucketExpr}
 
@@ -53,6 +52,14 @@ object Similarity {
     * all four ANN variants so their ranking semantics can't drift. */
   private def topKPerQuery(scored: DataFrame, idCol: String, scoreCol: String,
                            k: Int): DataFrame = {
+    // the (score, −id) max-struct trick negates the id: under non-ANSI mode
+    // a non-numeric id would negate to null and silently null every output
+    // id, so fail loudly instead (the signature is generic but the
+    // implementation is not)
+    require(scored.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"topKPerQuery needs a numeric id column for its (score, -id) " +
+        s"tie-break; '$idCol' is ${scored.schema(idCol).dataType.simpleString}")
     val key = struct(col(scoreCol), (-col(idCol)).as("nid"))
     val topk = graftExpr.column(
       new CollectTopK(graftExpr.expression(key), k, false).toAggregateExpression())
@@ -125,17 +132,46 @@ object Similarity {
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec")))
 
   /** Rank each row's centroids by (cosine desc, cent_id asc) and keep the
-    * top `keep` — rn = 1 is the cell assignment, rn ≤ nProbe the probe
-    * set. Shared by ivfTopK and kmeansRefine (same tie-break, always). */
+    * top `keep` — keep = 1 is the cell assignment, keep = nProbe the probe
+    * set. Shared by ivfTopK and kmeansRefine (same tie-break, always).
+    *
+    * Ranking is a bounded aggregation, not a window: keep = 1 is a
+    * max_by(payload, (ccos, −cent_id)) and keep > 1 a CollectTopK — the
+    * same machinery as [[topKPerQuery]]. Both partial-aggregate map-side,
+    * so each map partition reduces its corpus×nCentroids candidate rows to
+    * ≤ keep per vector BEFORE the exchange with NO per-partition sort
+    * (the former row_number window compiled to WindowGroupLimit, which
+    * bounds the same shuffle but sorts every map partition first). */
   private def nearestCells(df: DataFrame, cents: DataFrame, keyCol: String,
                            v: String, keep: Int): DataFrame = {
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("ccos").desc, col("cent_id").asc)
-    df.crossJoin(cents)
+    val payload = df.columns.filter(_ != keyCol)
+    val scored = df.crossJoin(cents)
       .select((df.columns.map(col) :+ col("cent_id") :+
         cosine(col(v), col("cent_vec")).as("ccos")).toIndexedSeq: _*)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= keep)
-      .select((df.columns.map(col) :+ col("cent_id").as("cell")).toIndexedSeq: _*)
+    // (ccos, −cent_id): max = best cosine, lowest cent_id on ties —
+    // cent_id is a corpus id, numeric by seedCentroids' construction
+    val rank = struct(col("ccos"), (-col("cent_id")).as("nc"))
+    val out = (c: String => Column) =>
+      (df.columns.map(n => if (n == keyCol) col(keyCol) else c(n)) :+
+        c("cell")).toIndexedSeq
+    if (keep == 1)
+      scored.groupBy(col(keyCol))
+        .agg(max_by(struct((payload.map(col) :+ col("cent_id").as("cell"))
+          .toIndexedSeq: _*), rank).as("b"))
+        .select(out(n => col(s"b.$n")): _*)
+    else {
+      // ordered by the leading (ccos, nc) pair — unique per centroid, so
+      // the trailing payload fields never participate in the comparison
+      val item = struct(rank.as("r"),
+        struct(payload.map(col).toIndexedSeq: _*).as("p"),
+        col("cent_id").as("cell"))
+      val topk = graftExpr.column(
+        new CollectTopK(graftExpr.expression(item), keep, false)
+          .toAggregateExpression())
+      scored.groupBy(col(keyCol)).agg(topk.as("tops"))
+        .select(col(keyCol), explode(col("tops")).as("t"))
+        .select(out(n => if (n == "cell") col("t.cell") else col(s"t.p.$n")): _*)
+    }
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,

@@ -85,17 +85,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected bounded-buffer CollectTopK aggregation:\n$p")
   }
 
-  test("sim_lsh/ivf/adc_topk: final ranking is partial top-k, never a window sort") {
-    Seq("sim_lsh_topk", "sim_ivf_topk", "sim_adc_topk").foreach { name =>
+  test("sim_lsh/ivf/adc_topk: no window anywhere in the ANN stack") {
+    // cell assignment AND per-query ranking are both bounded aggregations
+    // (max_by / CollectTopK) since r5 — a Window node in any ANN plan
+    // means a per-partition sort crept back in
+    Seq("sim_lsh_topk", "sim_ivf_topk", "sim_ivf_trained_topk",
+        "sim_adc_topk").foreach { name =>
       val p = plan(name)
-      // (ivf keeps windows for CELL assignment — bounded by nCentroids —
-      // but the per-query candidate ranking itself must be aggregation)
       assert(p.contains("ObjectHashAggregate"),
         s"$name: expected bounded-buffer CollectTopK aggregation:\n$p")
+      assert(!p.contains("Window "),
+        s"$name: the ANN stack must not plan a window sort:\n$p")
+      assert(!p.contains("WindowGroupLimit"),
+        s"$name: cell assignment must be max_by/CollectTopK, not a " +
+          s"window group-limit sort:\n$p")
     }
-    val lsh = plan("sim_lsh_topk")
-    assert(!lsh.contains("Window "),
-      s"sim_lsh_topk has no cell assignment; no window sort expected:\n$lsh")
   }
 
   test("budget_select / corpus_build: no per-source full-corpus cumsum sort") {
