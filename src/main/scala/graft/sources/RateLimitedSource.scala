@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -101,7 +101,7 @@ private[sources] class RateLimitedPayloadTable(tableSchema: StructType, path: St
 
 private[sources] class RateLimitedMicroBatchStream(
     schema: StructType, path: String, options: CaseInsensitiveStringMap)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private val idCol = options.getOrDefault("idCol", "id")
   private val rowsPerWindow = options.getInt("rowsPerWindow", 15)
@@ -109,19 +109,39 @@ private[sources] class RateLimitedMicroBatchStream(
   private val clockKey = Option(options.get("clockKey"))
   private val log = new SlidingWindowLog(rowsPerWindow, windowSeconds * 1000L)
   private var planned = -1L // highest id already granted to an offset
+  private def advanceTo(v: Long): Unit = if (v > planned) planned = v
 
   private def now(): Long =
     clockKey.fold(System.currentTimeMillis())(GraftClocks.manual(_).get())
 
   override def initialOffset(): Offset = GraftLongOffset(-1L)
-  override def deserializeOffset(json: String): Offset = GraftLongOffset(json.toLong)
+  /** Restart seam: on recovery the execution engine deserializes the
+    * checkpointed offsets BEFORE planning anything, so seeding `planned`
+    * here (monotone max over start and end of every restored batch)
+    * guarantees latestOffset never returns an offset below the
+    * checkpoint — without it a clean restart (all batches committed,
+    * planInputPartitions never replayed) would restart `planned` at −1
+    * and re-emit already-processed ids. */
+  override def deserializeOffset(json: String): Offset = {
+    val v = json.toLong
+    advanceTo(v)
+    GraftLongOffset(v)
+  }
 
   /** Advance by at most the window's free capacity — the poll loop's
-    * token acquire, fused into offset planning. Restart-safe: `planned`
-    * re-seeds from the committed offset via `initialOffset`/`commit`
-    * replay, and the log starts empty (a restart can re-burst, exactly
-    * like the reference's process restart). */
-  override def latestOffset(): Offset = {
+    * token acquire, fused into offset planning. Restart-safe THROUGH THE
+    * ADMISSION-CONTROL API: the engine hands this overload the restored
+    * `start` offset (the checkpointed end of the last batch), so the very
+    * first post-restart planning call ratchets `planned` past everything
+    * already processed BEFORE spending any window budget — the no-arg
+    * `latestOffset()` can't do that (it runs before any deserialized
+    * offset reaches the source, so a clean restart would burn the window
+    * re-planning ids 0..checkpoint and stall, or re-emit). The log still
+    * starts empty on restart (a restart can re-burst, exactly like the
+    * reference's process restart). */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    advanceTo(start.asInstanceOf[GraftLongOffset].v)
     val t = now()
     val free = log.free(t)
     if (free <= 0) return GraftLongOffset(planned)
@@ -135,12 +155,15 @@ private[sources] class RateLimitedMicroBatchStream(
     }
     GraftLongOffset(planned)
   }
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: the engine must call latestOffset(start, limit)")
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[GraftLongOffset].v, end.asInstanceOf[GraftLongOffset].v)
     if (e <= s) return Array.empty
     // restart replay: a batch may be re-planned past `planned`'s reset
-    if (e > planned) planned = e
+    advanceTo(e)
     val rows = SparkSession.active.read.parquet(path)
       .filter(col(idCol) > s && col(idCol) <= e)
       .orderBy(col(idCol)).collect()
@@ -150,7 +173,8 @@ private[sources] class RateLimitedMicroBatchStream(
   override def createReaderFactory(): PartitionReaderFactory =
     new PayloadReaderFactory(schema)
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    advanceTo(end.asInstanceOf[GraftLongOffset].v)
   override def stop(): Unit = ()
 }
 

@@ -100,4 +100,43 @@ class RateLimitedSourceSpec extends AnyFunSuite {
       assert(out.last.getString(1) == "payload_11")
     } finally q.stop()
   }
+
+  test("restart safety: a clean restart resumes at the checkpointed offset — no re-emit, no budget burned on old ids") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rl_restart").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_rl_restart_ck").toString
+    (0L until 10L).map(i => (i, s"p_$i")).toDF("poll_id", "body")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val clock = GraftClocks.manual("rl-restart")
+    clock.set(0L)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def start() = s.readStream.format("graft.sources.RateLimitedPayloadProvider")
+      .option("path", dir).option("idCol", "poll_id")
+      .option("rowsPerWindow", "6").option("windowSeconds", "60")
+      .option("clockKey", "rl-restart")
+      .load()
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= batch.select("poll_id").collect().map(_.getLong(0)) }
+        ()
+      }
+      .start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(got.synchronized(got.sorted.toSeq) == (0L until 6L)) // first window's budget
+    } finally q1.stop() // all batches committed — the clean-restart case
+    clock.set(61000L)   // fresh window for the restarted stream
+    val q2 = start()    // new MicroBatchStream instance, planned must re-seed
+    try {
+      q2.processAllAvailable()
+      // a restart that forgot the checkpoint would spend this window's 6
+      // tokens re-planning ids 0..5 and emit nothing (or re-emit dups);
+      // the restored offset must make the very first post-restart window
+      // deliver exactly the unprocessed tail, once
+      assert(got.synchronized(got.sorted.toSeq) == (0L until 10L))
+      assert(got.synchronized(got.size) == 10) // no duplicates across restart
+    } finally q2.stop()
+  }
 }
