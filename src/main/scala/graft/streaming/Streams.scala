@@ -128,33 +128,71 @@ object Streams {
       .drop(col(s"q.$keyCol"))
   }
 
+  /** Millis of a positive day-time interval literal ("10 minutes");
+    * month-bearing intervals are rejected — they have no fixed length. */
+  private def intervalMillis(s: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    require(iv.months == 0, s"interval '$s' must not carry months")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
+
   /** Trending top-k: the k most frequent items per sliding event-time
     * window, pushed per micro-batch — the "what's moving right now"
     * panel over the activity stream. The windowed count is the streaming
-    * aggregation (watermark-bounded state, update mode emits only windows
-    * a batch touched); ranking happens per batch in foreachBatch, where
-    * the window partition is bounded by the window's distinct-item count
-    * — never the stream's history. Late data beyond `lateness` is
-    * dropped with its window's state. */
+    * aggregation (watermark-bounded state, update mode emits only the
+    * (window, item) groups a batch CHANGED — cheap, but a batch alone is
+    * NOT the window's full standings). Ranking therefore merges each
+    * batch into a panel state keyed by (window, item) and ranks the
+    * touched windows against that full state, so a late single event can
+    * never crown a cold item over untouched hotter ones.
+    *
+    * Scale shape: the panel state mirrors exactly the windows the
+    * upstream aggregation itself keeps live — entries whose window end
+    * has fallen `windowLen + lateness` behind the newest end are evicted
+    * in lockstep with the watermark dropping their groups — so its size
+    * is (retained windows) × (distinct items per window), the dashboard
+    * panel itself, not stream history. It lives driver-side here (the
+    * push target is a panel — KBs); a higher-cardinality deployment
+    * swaps the same merge-then-rank into an external keyed store. */
   def trendingTopK(stream: DataFrame, tsCol: String, itemCol: String,
                    windowLen: String, slide: String, lateness: String,
-                   k: Int, push: DataFrame => Unit): StreamingQuery =
+                   k: Int, push: DataFrame => Unit): StreamingQuery = {
+    val retainMs = intervalMillis(windowLen) + intervalMillis(lateness)
+    // (w_start, w_end, item) -> count; merged under its own lock (foreachBatch
+    // runs serially per query, but push targets may read concurrently)
+    val panel = scala.collection.mutable.Map.empty[(Long, Long, String), Long]
     stream.withWatermark(tsCol, lateness)
       .groupBy(window(col(tsCol), windowLen, slide), col(itemCol))
       .agg(count(lit(1)).as("n"))
       .writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("window")).orderBy(col("n").desc, col(itemCol))
-          push(batch.withColumn("rank", row_number().over(w))
-            .filter(col("rank") <= k)
-            .select(col("window.start").as("w_start"), col(itemCol),
-              col("n"), col("rank")))
+        val rows = batch.select(col("window.start").cast("long") * 1000,
+            col("window.end").cast("long") * 1000, col(itemCol), col("n"))
+          .collect()
+        if (rows.nonEmpty) {
+          val ranked = panel.synchronized {
+            rows.foreach(r => panel((r.getLong(0), r.getLong(1), r.getString(2))) = r.getLong(3))
+            val maxEnd = panel.keysIterator.map(_._2).max
+            panel.filterInPlace { case ((_, e, _), _) => e > maxEnd - retainMs }
+            val touched = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+            touched.toSeq.sorted.flatMap { case (ws, we) =>
+              panel.iterator
+                .collect { case ((s, e, item), n) if s == ws && e == we => (item, n) }
+                .toSeq.sortBy { case (item, n) => (-n, item) }
+                .take(k).zipWithIndex
+                .map { case ((item, n), i) =>
+                  (new java.sql.Timestamp(ws), item, n, i + 1) }
+            }
+          }
+          val s = batch.sparkSession
+          import s.implicits._
+          push(ranked.toDF("w_start", itemCol, "n", "rank"))
         }
       }
       .start()
+  }
 
   /** A5: sliding event-time request count (rate-limiter reconstruction:
     * 1 request = 1 row, summed per sliding window). */

@@ -118,6 +118,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(!last.exists(_._1 == "cold")) // k = 2 cuts the tail
   }
 
+  test("trendingTopK: a later batch ranks against FULL window state, not just its own updates") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Point]
+    val pushed = scala.collection.mutable.ArrayBuffer[(String, Long, Int)]()
+    val q = Streams.trendingTopK(in.toDF(), "time", "name",
+        windowLen = "10 minutes", slide = "10 minutes", lateness = "10 minutes",
+        k = 2, push = df => pushed.synchronized {
+          pushed ++= df.collect().map(r => (r.getString(1), r.getLong(2), r.getInt(3)))
+        })
+    in.addData(
+      Point("hot", ts("2024-01-01 00:01:00"), 1.0),
+      Point("hot", ts("2024-01-01 00:02:00"), 1.0),
+      Point("hot", ts("2024-01-01 00:03:00"), 1.0),
+      Point("warm", ts("2024-01-01 00:04:00"), 1.0),
+      Point("warm", ts("2024-01-01 00:05:00"), 1.0))
+    q.processAllAvailable()
+    pushed.synchronized(pushed.clear())
+    // an update-mode batch carries ONLY this changed group; the push must
+    // still be the window's true standings, where cold is rank 3 → cut
+    in.addData(Point("cold", ts("2024-01-01 00:06:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val second = pushed.toList
+    assert(second.contains(("hot", 3L, 1)), second)
+    assert(second.contains(("warm", 2L, 2)), second)
+    assert(!second.exists(_._1 == "cold"), second)
+  }
+
   case class Doc(doc_id: Long, text: String, arrived: Timestamp)
 
   test("T6 rateLimit: token bucket admits the burst, rejects inside the refill window, recovers") {
