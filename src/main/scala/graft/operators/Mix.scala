@@ -84,6 +84,12 @@ object Mix {
                   frac: Double, bucketWidth: Long = 64L): DataFrame = {
     import org.apache.spark.sql.graftExpr
     import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
+    // the boundary-bucket tie-break negates the id; a non-numeric id would
+    // negate to null under non-ANSI mode and silently null the output ids
+    require(df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"topFraction needs a numeric id column for its (score, -id) " +
+        s"tie-break; '$idCol' is ${df.schema(idCol).dataType.simpleString}")
     val scored = df.select(col(idCol), col(scoreCol).cast("long").as("score"))
       .withColumn("bkt", floor(col("score") / bucketWidth).cast("long"))
     val hist = scored.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))

@@ -83,13 +83,30 @@ object PartitionedStore {
     *
     * Quiet partitions are untouched — the loop runs over OFFENDING
     * partitions only (nightly ≈ yesterday's), each rewritten to a hidden
-    * sibling then swapped in, so a crash mid-rewrite leaves the original
-    * intact. Returns the compacted partition names. */
+    * sibling then swapped in via two renames (original → trash sibling,
+    * rewrite → original, delete trash): at every instant the partition
+    * path holds a complete copy, so a crash at any point loses no data —
+    * the worst case leaves a hidden `.trash`/`.compact` sibling for the
+    * next run to reclaim (stale ones are cleaned up front). Returns the
+    * compacted partition names. */
   def compact(spark: SparkSession, path: String, keyCol: String,
               tsCol: String, maxFiles: Int = 8,
               targetRowsPerFile: Long = 4000000L): Seq[String] = {
     val root = Paths.get(path)
     if (!Files.exists(root)) return Nil
+    // recover from any prior crash: a partition sitting in `.trash` with no
+    // original means the crash hit between the two swap renames — restore
+    // the original (always complete); orphaned trash/rewrite dirs whose
+    // original exists are just stale garbage
+    Files.list(root).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith(".") &&
+        p.getFileName.toString.endsWith(".trash")).toList
+      .foreach { trash =>
+        val orig = trash.resolveSibling(
+          trash.getFileName.toString.stripPrefix(".").stripSuffix(".trash"))
+        if (!Files.exists(orig)) Files.move(trash, orig)
+        else deleteRecursive(trash)
+      }
     val offending = Files.list(root).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith(s"$DateCol=") &&
         Files.isDirectory(p))
@@ -99,17 +116,21 @@ object PartitionedStore {
       }
       .toList
     offending.foreach { dir =>
+      val name = dir.getFileName.toString
+      val tmp = dir.resolveSibling(s".$name.compact")
+      val trash = dir.resolveSibling(s".$name.trash")
+      deleteRecursive(tmp) // a stale rewrite is never authoritative
       val part = spark.read.parquet(dir.toString)
       val nFiles = math.max(1L,
         (part.count() + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-      val tmp = dir.resolveSibling("." + dir.getFileName.toString + ".compact")
       part.repartition(nFiles)
         .sortWithinPartitions(col(keyCol), col(tsCol))
         .write.mode(SaveMode.Overwrite)
         .option("compression", "zstd")
         .parquet(tmp.toString)
-      deleteRecursive(dir)
+      Files.move(dir, trash) // original stays whole until the rewrite is live
       Files.move(tmp, dir)
+      deleteRecursive(trash)
     }
     offending.map(_.getFileName.toString)
   }

@@ -131,6 +131,35 @@ class WireSpec extends AnyFunSuite {
     assert(PartitionedStore.compact(s, dir, "name", "time", 8).isEmpty)
   }
 
+  test("compact: crash-recovery — stale .compact ignored, orphaned .trash restored") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_crash").toString
+    (1 to 10).foreach { i =>
+      PartitionedStore.append(
+        Seq((s"k${i % 3}", java.sql.Timestamp.valueOf(f"2024-03-01 10:$i%02d:00"), i.toDouble))
+          .toDF("name", "time", "price"), dir, "time", "name")
+    }
+    val before = PartitionedStore.read(s, dir).collect().toSet
+    val root = java.nio.file.Paths.get(dir)
+    val part = root.resolve("p_date=2024-03-01")
+    // crash A: rewrite finished but swap never started → stale .compact
+    val staleCompact = root.resolve(".p_date=2024-03-01.compact")
+    java.nio.file.Files.createDirectory(staleCompact)
+    java.nio.file.Files.writeString(staleCompact.resolve("junk.txt"), "stale")
+    // crash B: original moved to .trash, rewrite never moved in → dir gone
+    val trash = root.resolve(".p_date=2024-03-01.trash")
+    java.nio.file.Files.move(part, trash)
+    assert(!java.nio.file.Files.exists(part)) // the reader-visible gap
+    val done = PartitionedStore.compact(s, dir, "name", "time",
+      maxFiles = 8, targetRowsPerFile = 1000000L)
+    assert(done == Seq("p_date=2024-03-01")) // restored, then compacted
+    assert(PartitionedStore.read(s, dir).collect().toSet == before) // no rows lost
+    // hidden siblings all reclaimed
+    assert(!java.nio.file.Files.exists(staleCompact))
+    assert(!java.nio.file.Files.exists(trash))
+  }
+
   test("T1 deltaAppend: idempotent — replaying the same payload inserts nothing") {
     val s = spark
     import s.implicits._
