@@ -226,25 +226,52 @@ object Dedup {
     * hash, eval-set shingle — which makes this the one primitive behind
     * incremental exact dedup, incremental sequence-level dedup, and
     * streaming decontamination alike. `expectedItems` sizes the sketch
-    * (~1.2 bytes/item at the default 3% fpp): at 1e9 corpus keys that is
-    * a ~GB resident filter — amortized over every nightly delta probe,
-    * the trade the pattern exists for.
+    * (7.3 bits ≈ 0.9 bytes/item at the 3% fpp the aggregate targets): at
+    * 1e9 corpus keys that is a ~0.9 GB resident filter — amortized over
+    * every nightly delta probe, the trade the pattern exists for. Spark
+    * SILENTLY clamps the sketch to the runtime-bloom-filter conf caps
+    * (4M items / 8 MB bits by default), which at 1e9 keys would degrade
+    * the fpp toward 1 and quietly stop reducing anything (correctness
+    * survives — the exact join removes false positives — but the plan
+    * reduction dies), so the caps are raised here to fit `expectedItems`
+    * before the sketch is built.
     * Output: (new_id, keyCol, first_old_id). */
   def bloomMembership(newKeyed: DataFrame, oldKeyed: DataFrame, idCol: String,
                       keyCol: String, expectedItems: Long): DataFrame = {
+    require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
+    val conf = oldKeyed.sparkSession.conf
+    // optimal m for p = 0.03: −n·ln p / ln²2 ≈ 7.3 n (the aggregate's own
+    // sizing formula) — the caps must admit it or the clamp is silent
+    val neededBits = math.ceil(
+      -expectedItems * math.log(0.03) / (math.log(2) * math.log(2))).toLong
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    if (conf.get(itemsKey).toLong < expectedItems)
+      conf.set(itemsKey, expectedItems.toString)
+    if (conf.get(bitsKey).toLong < neededBits)
+      conf.set(bitsKey, neededBits.toString)
+    val candidates = bloomCandidates(newKeyed, oldKeyed, keyCol, expectedItems)
+    candidates.select(col(idCol).as("new_id"), col(keyCol))
+      .join(oldKeyed.select(col(keyCol), col(idCol).as("old_id")), keyCol)
+      .groupBy(col("new_id"), col(keyCol))
+      .agg(min(col("old_id")).as("first_old_id"))
+  }
+
+  /** The Bloom pre-filter stage of [[bloomMembership]] alone: the delta
+    * rows whose key MIGHT be a corpus member. False-positive rate = the
+    * sketch's fpp (what the calibration spec measures); false negatives
+    * are impossible. Callers must size the conf caps first — this is the
+    * internal stage, [[bloomMembership]] the guarded entry point. */
+  private[graft] def bloomCandidates(newKeyed: DataFrame, oldKeyed: DataFrame,
+                                     keyCol: String, expectedItems: Long): DataFrame = {
     def k: Column = xxhash64(col(keyCol))
     val bloomAgg = graftExpr.column(
       new BloomFilterAggregate(graftExpr.expression(k), expectedItems)
         .toAggregateExpression())
     val bloomBytes = oldKeyed.select(bloomAgg.as("bf")).collect()(0).getAs[Array[Byte]](0)
-    val candidates =
-      if (bloomBytes == null) newKeyed.filter(lit(false)) // empty corpus: no members
-      else newKeyed.filter(graftExpr.column(BloomFilterMightContain(
-        Literal(bloomBytes, BinaryType), graftExpr.expression(k))))
-    candidates.select(col(idCol).as("new_id"), col(keyCol))
-      .join(oldKeyed.select(col(keyCol), col(idCol).as("old_id")), keyCol)
-      .groupBy(col("new_id"), col(keyCol))
-      .agg(min(col("old_id")).as("first_old_id"))
+    if (bloomBytes == null) newKeyed.filter(lit(false)) // empty corpus: no members
+    else newKeyed.filter(graftExpr.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType), graftExpr.expression(k))))
   }
 
   /** Full-document exact variant of [[bloomMembership]]: key = content

@@ -157,6 +157,40 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.exactDupsAgainstBloom(newDocs, oldDocs.limit(0), "doc_id", "text", 100L).isEmpty)
   }
 
+  test("bloomMembership: conf caps raised to fit expectedItems (no silent clamp)") {
+    val s = spark
+    import s.implicits._
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (items0, bits0) = (s.conf.get(itemsKey), s.conf.get(bitsKey))
+    try {
+      s.conf.set(itemsKey, "4000000"); s.conf.set(bitsKey, "67108864")
+      val oldK = Seq((0L, "a"), (1L, "b")).toDF("doc_id", "key")
+      val newK = Seq((10L, "a"), (11L, "z")).toDF("doc_id", "key")
+      // 20M expected items needs ~146M optimal bits — over both default caps;
+      // without the raise the sketch silently clamps and fpp degrades
+      val out = Dedup.bloomMembership(newK, oldK, "doc_id", "key", 20000000L)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).sorted
+      assert(out.toSeq == Seq((10L, 0L))) // semantics unchanged
+      assert(s.conf.get(itemsKey).toLong >= 20000000L)
+      assert(s.conf.get(bitsKey).toLong >=
+        math.ceil(-20000000L * math.log(0.03) / (math.log(2) * math.log(2))).toLong)
+    } finally { s.conf.set(itemsKey, items0); s.conf.set(bitsKey, bits0) }
+  }
+
+  test("bloomCandidates: fpp stays <= 5% at the sized load") {
+    val s = spark
+    import s.implicits._
+    val n = 200000
+    val members = s.range(n).select(col("id").as("doc_id"),
+      concat(lit("member_"), col("id")).as("key"))
+    val probes = s.range(50000).select((col("id") + 1000000L).as("doc_id"),
+      concat(lit("absent_"), col("id")).as("key"))
+    val fp = Dedup.bloomCandidates(probes, members, "key", n.toLong).count()
+    // the aggregate targets 3% fpp at its sized load; 5% bounds the noise
+    assert(fp <= 2500, s"false-positive rate ${fp / 50000.0} exceeds 5%")
+  }
+
   test("minhashPairsAgainst: new-vs-old pairs only, no within-side pairs") {
     val s = spark
     import s.implicits._
