@@ -194,6 +194,57 @@ object Streams {
       .start()
   }
 
+  /** T5 — LIVE REPLAN between micro-batches, no stream restart
+    * (cerebro.py:334-414's handle_tracked_items_changed): each batch
+    * RE-READS the control table (the runtime master — tracked items with
+    * poll intervals; direct writes to it are the reference's NOTIFY
+    * signal), gates the candidate set through the same feasibility math
+    * as a6 ([[graft.operators.Relational.feasibility]] — an infeasible
+    * change is REJECTED WHOLE and the live set stays untouched,
+    * cerebro.py:362-376), and on accept classifies the change with the
+    * j2 reconcile ([[graft.operators.Relational.reconcile]] —
+    * added/removed/survivor, handed to `replanLog`). The batch's rows
+    * then filter against the CURRENT live set — so rows of an item
+    * enabled between batches flow from the very next batch on, and rows
+    * of a rejected set's items never do.
+    *
+    * Scale shape: the control table is the poller registry — KBs by
+    * construction (the reference holds it in one Postgres table) — so
+    * the per-batch re-read + collect is control-plane-sized, never
+    * data-plane; the data path stays a streaming filter against a
+    * broadcast-sized set. */
+  def livePollReplan(ticks: DataFrame, itemCol: String, controlDir: String,
+                     rateLimit: Long, windowSeconds: Long,
+                     push: DataFrame => Unit,
+                     replanLog: DataFrame => Unit = _ => ()): StreamingQuery = {
+    @volatile var live: Set[String] = Set.empty
+    ticks.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val ctl = s.read.parquet(controlDir).filter(col("enabled"))
+        val feasible = graft.operators.Relational
+          .feasibility(ctl, col("interval_sec"), windowSeconds, rateLimit)
+          .collect()(0).getAs[Boolean]("feasible")
+        if (feasible) {
+          val candidate = ctl.select(col(itemCol)).distinct()
+            .collect().map(_.getString(0)).toSet
+          if (candidate != live) {
+            import s.implicits._
+            replanLog(graft.operators.Relational.reconcile(
+              live.toSeq.toDF(itemCol), candidate.toSeq.toDF(itemCol),
+              Seq(itemCol)))
+            live = candidate
+          }
+        } // infeasible → keep current pollers unchanged (reject whole)
+        val snapshot = live
+        if (snapshot.nonEmpty)
+          push(batch.filter(col(itemCol).isin(snapshot.toSeq: _*)))
+        ()
+      }
+      .start()
+  }
+
   /** A5: sliding event-time request count (rate-limiter reconstruction:
     * 1 request = 1 row, summed per sliding window). */
   def slidingRequestCount(stream: DataFrame, tsCol: String,

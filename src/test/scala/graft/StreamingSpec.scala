@@ -148,6 +148,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(!second.exists(_._1 == "cold"), second)
   }
 
+  test("T5 livePollReplan: control edits between batches replan the live set; infeasible change rejected whole") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ctlDir = java.nio.file.Files.createTempDirectory("graft_t5_ctl").toString
+    def writeControl(items: (String, Long)*): Unit =
+      items.toSeq.toDF("name", "interval_sec").withColumn("enabled", lit(true))
+        .coalesce(1).write.mode("overwrite").parquet(ctlDir)
+    // budget 20 req / 60 s; interval 10 s → 6 req per item per window
+    writeControl("a" -> 10L, "b" -> 10L) // required 12 ≤ 20: feasible
+    val in = MemoryStream[Point]
+    val pushed = scala.collection.mutable.ArrayBuffer[String]()
+    val replans = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val q = Streams.livePollReplan(in.toDF(), "name", ctlDir,
+      rateLimit = 20L, windowSeconds = 60L,
+      push = df => pushed.synchronized {
+        pushed ++= df.select("name").collect().map(_.getString(0)) },
+      replanLog = df => replans.synchronized {
+        replans ++= df.collect().map(r => (r.getString(0), r.getString(1))) })
+    def tick(names: String*): Unit = {
+      in.addData(names.map(n => Point(n, ts("2024-01-01 00:00:00"), 1.0)))
+      q.processAllAvailable()
+    }
+    try {
+      tick("a", "b", "c")
+      assert(pushed.synchronized(pushed.sorted.toList) == List("a", "b")) // c not tracked
+      assert(replans.synchronized(replans.toSet) == Set("a" -> "added", "b" -> "added"))
+      // enable c between batches — required 18 ≤ 20, feasible: the NEXT
+      // batch must poll it with no stream restart
+      pushed.synchronized(pushed.clear()); replans.synchronized(replans.clear())
+      writeControl("a" -> 10L, "b" -> 10L, "c" -> 10L)
+      tick("a", "b", "c")
+      assert(pushed.synchronized(pushed.sorted.toList) == List("a", "b", "c"))
+      assert(replans.synchronized(replans.toSet) ==
+        Set("a" -> "survivor", "b" -> "survivor", "c" -> "added"))
+      // an INFEASIBLE control edit (required 36 > 20) is rejected WHOLE:
+      // current pollers keep running, the new item never polls
+      pushed.synchronized(pushed.clear()); replans.synchronized(replans.clear())
+      writeControl("a" -> 10L, "b" -> 10L, "c" -> 10L, "d" -> 2L) // d alone needs 30
+      tick("a", "b", "c", "d")
+      assert(pushed.synchronized(pushed.sorted.toList) == List("a", "b", "c"))
+      assert(replans.synchronized(replans.isEmpty)) // reject logs no churn
+    } finally q.stop()
+  }
+
   case class Doc(doc_id: Long, text: String, arrived: Timestamp)
 
   test("T6 rateLimit: token bucket admits the burst, rejects inside the refill window, recovers") {
