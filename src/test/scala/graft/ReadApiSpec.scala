@@ -155,6 +155,88 @@ class ReadApiSpec extends AnyFunSuite {
     }
   }
 
+  test("patchItem: target resolve → cadence/nameid re-resolve → load-delta feasibility gate") {
+    import graft.api.ControlApi
+    import graft.api.ControlApi.{PatchRequest, Rejected, Updated}
+    val s = spark
+    import s.implicits._
+    val tracked = Seq(
+      ("knife", "histogram", true, 10, Some(176321160L)),
+      ("knife", "priceoverview", true, 30, None),
+      ("glove", "priceoverview", false, 30, None))
+      .toDF("market_hash_name", "stream", "enabled", "poll_interval_sec", "item_nameid")
+    val manifest = Seq(("glove", 176000001L)).toDF("market_hash_name", "item_nameid")
+    def patch(req: PatchRequest, budget: Long = 600L) =
+      ControlApi.patchItem(tracked, manifest, req, budget, windowSeconds = 60L)
+
+    // 400: empty patch, invalid target stream
+    assert(patch(PatchRequest("knife")) == Rejected(400,
+      "Nothing to update: provide poll_interval_sec, new_stream, or enabled"))
+    assert(patch(PatchRequest("knife", newStream = Some("nope"))).isInstanceOf[Rejected])
+    // 404: unknown name; 409: ambiguous name without stream
+    assert(patch(PatchRequest("ghost", enabled = Some(false)))
+      == Rejected(404, "No tracked item 'ghost'"))
+    assert(patch(PatchRequest("knife", enabled = Some(false))) == Rejected(409,
+      "'knife' is tracked on multiple streams; specify stream to disambiguate"))
+    // interval bounds re-checked against the effective live stream
+    assert(patch(PatchRequest("knife", stream = Some("histogram"),
+      pollIntervalSec = Some(1))).isInstanceOf[Rejected])
+    // load-increasing change (interval decrease) re-gates with the NEW
+    // interval: live set is knife@10 (6) + knife@30 (2); 30→5 makes
+    // 6 + 12 = 18 — rejected at budget 17, accepted at 18
+    assert(patch(PatchRequest("knife", stream = Some("priceoverview"),
+      pollIntervalSec = Some(5)), budget = 17L)
+      == Rejected(409, "Would exceed rate limit: 18 req/60s vs budget 17. " +
+        "Pick a larger poll_interval_sec."))
+    assert(patch(PatchRequest("knife", stream = Some("priceoverview"),
+      pollIntervalSec = Some(5)), budget = 18L)
+      == Updated("priceoverview", 5, true, None, "reconciling live"))
+    // load-DECREASING change skips the gate even with a blown budget
+    assert(patch(PatchRequest("knife", stream = Some("histogram"),
+      pollIntervalSec = Some(60)), budget = 1L)
+      == Updated("histogram", 60, true, Some(176321160L), "reconciling live"))
+    assert(patch(PatchRequest("knife", stream = Some("histogram"),
+      enabled = Some(false)), budget = 1L)
+      == Updated("histogram", 10, false, Some(176321160L), "disabled"))
+    // enabling a disabled row IS a load increase — gated with its interval
+    assert(patch(PatchRequest("glove", enabled = Some(true)), budget = 9L)
+      == Rejected(409, "Would exceed rate limit: 10 req/60s vs budget 9. " +
+        "Pick a larger poll_interval_sec.")) // 6 + 2 + 60/30
+    // a move onto a nameid stream resolves it from the manifest
+    assert(patch(PatchRequest("glove", newStream = Some("activity"),
+      enabled = Some(true)))
+      == Updated("activity", 30, true, Some(176000001L), "reconciling live"))
+    // a move onto pricehistory stamps the hourly tick and FREES budget —
+    // never gated, supplied interval ignored
+    assert(patch(PatchRequest("knife", stream = Some("histogram"),
+      newStream = Some("pricehistory"), pollIntervalSec = Some(1)), budget = 1L)
+      == Updated("pricehistory", ControlApi.PricehistoryPollSec, true,
+        Some(176321160L), "reconciling live"))
+  }
+
+  test("removeItem: disable-not-drop with the shared target resolution") {
+    import graft.api.ControlApi
+    import graft.api.ControlApi.{Disabled, Rejected}
+    val s = spark
+    import s.implicits._
+    val tracked = Seq(
+      ("knife", "histogram", true, 10),
+      ("knife", "priceoverview", true, 30),
+      ("glove", "priceoverview", false, 30))
+      .toDF("market_hash_name", "stream", "enabled", "poll_interval_sec")
+    assert(ControlApi.removeItem(tracked, "ghost")
+      == Rejected(404, "No tracked item 'ghost'"))
+    assert(ControlApi.removeItem(tracked, "knife") == Rejected(409,
+      "'knife' is tracked on multiple streams; specify stream to disambiguate"))
+    assert(ControlApi.removeItem(tracked, "knife", Some("pricehistory"))
+      == Rejected(404, "No tracked item 'knife' on stream 'pricehistory'"))
+    assert(ControlApi.removeItem(tracked, "knife", Some("histogram"))
+      == Disabled("histogram", "poller stops on reconcile"))
+    // no feasibility involvement: disabling only frees budget
+    assert(ControlApi.removeItem(tracked, "glove")
+      == Disabled("priceoverview", "poller stops on reconcile"))
+  }
+
   test("replaceTrackedItems: insert/update/delete classified, noop suppressed") {
     val s = spark
     import s.implicits._
