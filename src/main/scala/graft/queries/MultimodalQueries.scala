@@ -71,6 +71,35 @@ object MultimodalQueries {
       |    CAST(len(list_filter(bs, b -> b % 16 = i)) AS BIGINT)), ',') AS byte_hist_csv
       |FROM bytes ORDER BY media_id""".stripMargin
 
+  // ---- REAL codec: PPM (P6) decode from actual bytes -----------------------
+  /** Payloads are REAL P6 images built in-plan (header + the doc's ASCII
+    * bytes tiled over w×h×3 samples, [[Multimodal.ppmFromText]]); the
+    * decoder ([[Multimodal.parsePpm]]) parses magic/dims/maxval from the
+    * bytes and averages each channel over the raw pixel array. The oracle
+    * recomputes the identical features from the identical bytes — the
+    * tiling rule in SQL — so a parser that misreads the header or
+    * misaligns channels hash-mismatches immediately. */
+  def mmDecodePpm(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodePpm(Multimodal.asPpm(
+        Multimodal.ppmFromText(Tables.documents(s, d))))
+      .toDF().orderBy(col("media_id"))
+  val mmDecodePpmSql: String =
+    """WITH src AS (
+      |  SELECT doc_id AS media_id, CAST(4 + doc_id % 4 AS INTEGER) AS w,
+      |         CAST(3 + doc_id % 3 AS INTEGER) AS h, text
+      |  FROM documents WHERE length(text) > 0
+      |), px AS (
+      |  SELECT media_id, w, h,
+      |    list_transform(range(0, w*h*3), i ->
+      |      ascii(substring(text, CAST(1 + i % length(text) AS INTEGER), 1))) AS bs
+      |  FROM src
+      |)
+      |SELECT media_id, w AS width, h AS height, 255 AS maxval,
+      |  CAST(list_sum(list_transform(range(0, w*h), j -> bs[CAST(3*j+1 AS INTEGER)])) AS DOUBLE) / (w*h) AS mean_r,
+      |  CAST(list_sum(list_transform(range(0, w*h), j -> bs[CAST(3*j+2 AS INTEGER)])) AS DOUBLE) / (w*h) AS mean_g,
+      |  CAST(list_sum(list_transform(range(0, w*h), j -> bs[CAST(3*j+3 AS INTEGER)])) AS DOUBLE) / (w*h) AS mean_b
+      |FROM px ORDER BY media_id""".stripMargin
+
   // ---- payload-level exact dedup (storage reclaim report) ------------------
   /** Byte-identical payloads across media ids — the first dedup pass of
     * any multimodal lake (hash the BINARY, never compare payloads), plus
@@ -136,12 +165,14 @@ object MultimodalQueries {
     "mm_modality_meta" -> (mmModalityMeta _),
     "mm_ingest_stats" -> (mmIngestStats _),
     "mm_frame_sample" -> (mmFrameSample _),
-    "mm_decode_features" -> (mmDecodeFeatures _))
+    "mm_decode_features" -> (mmDecodeFeatures _),
+    "mm_decode_ppm" -> (mmDecodePpm _))
 
   val oracle: Map[String, String] = Map(
     "mm_dedup_payload" -> mmDedupPayloadSql,
     "mm_modality_meta" -> mmModalityMetaSql,
     "mm_ingest_stats" -> mmIngestStatsSql,
     "mm_frame_sample" -> mmFrameSampleSql,
-    "mm_decode_features" -> mmDecodeFeaturesSql)
+    "mm_decode_features" -> mmDecodeFeaturesSql,
+    "mm_decode_ppm" -> mmDecodePpmSql)
 }
