@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over `documents` — the keyword half of a retrieval
+  * stack whose vector half is [[Similarity]]. BM25 follows Robertson &
+  * Zaragoza, "The Probabilistic Relevance Framework: BM25 and Beyond"
+  * (FnTIR 2009); reciprocal-rank fusion follows Cormack, Clarke &
+  * Büttcher, "Reciprocal Rank Fusion outperforms Condorcet and individual
+  * Rank Learning Methods" (SIGIR 2009).
+  *
+  * Scale shapes:
+  *  - BM25: the query set is small by construction → its term vocabulary
+  *    BROADCASTS, and the corpus-side (doc, term) tf rows are semi-joined
+  *    down to query-vocabulary postings BEFORE anything else happens — the
+  *    fraction of a 100 TB corpus that flows past the first join is the
+  *    fraction that mentions a query term. Corpus statistics (N, total
+  *    token count) are one map-side-combinable aggregate broadcast as a
+  *    1-row frame; per-term df is computed on the ALREADY-FILTERED
+  *    postings (df of a term only needs rows containing that term).
+  *    Final ranking is the same bounded CollectTopK aggregation as the
+  *    ANN stack — no corpus-sized window sort.
+  *  - RRF: fuses ALREADY-BOUNDED top-k lists (each |queries|·k rows), so
+  *    the fusion itself is negligible at any corpus size.
+  *
+  * Determinism: a BM25 score is a sum of per-term contributions, and
+  * float addition is order-dependent — a different partitioning would
+  * produce different last-bit scores, and a second engine could not
+  * hash-match. Each contribution is therefore one fixed-shape double
+  * expression tree (every IEEE op correctly rounded, so any engine
+  * replays it bitwise) QUANTIZED to floor(c·10⁶) integer micro-points;
+  * the per-doc sum is an integer sum — order-independent and bit-stable
+  * everywhere — and the final score divides back once. Same trick as
+  * [[Similarity.kmeansRefine]]'s quantized centroid sums. IDF uses the
+  * RSJ odds form (N − df + 0.5)/(df + 0.5) WITHOUT the ln wrapper: ln is
+  * libm-dependent (not cross-engine replayable) and strictly monotone, so
+  * dropping it reorders nothing for single-term matches and re-weights
+  * rare terms more sharply for multi-term sums — documented, deliberate,
+  * and bitwise-verifiable (the same trade [[TextAnalysis.tfidfTopK]]
+  * makes). */
+object Search {
+
+  /** Fixed-point scale for the order-independent contribution sums. */
+  val Quantum: Double = 1e6
+
+  /** BM25 top-k: for each query row, the k highest-scoring documents
+    * (self-matches excluded when a query IS a corpus doc, i.e. equal
+    * ids). Output: (query_id, idCol, score, rank), rank 1..k by
+    * (score desc, id asc).
+    *
+    * k1 / b are the classic defaults (1.2, 0.75). They enter the plan as
+    * pre-folded decimal literals so an oracle can splice the exact same
+    * constants into its expression tree. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String,
+               textCol: String, queryIdCol: String, queryTextCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(split(trim(col(textCol)), " ")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // per-doc length in tokens — from tf, not a second corpus pass
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val stats = broadcast(dl.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens")))
+    val qterms = broadcast(queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(split(trim(col(queryTextCol)), " ")).as("term"))
+      .distinct())
+    // corpus postings restricted to the query vocabulary FIRST; df is
+    // per-term, so counting it on the restricted postings is exact
+    val tfq = tf.join(broadcast(qterms.select(col("term")).distinct()), "term")
+    val dfreq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = tfq
+      .join(dfreq, "term")
+      .join(qterms, "term")
+      .filter(col(idCol) =!= col("query_id"))
+      .join(dl, idCol)
+      .crossJoin(stats)
+      .withColumn("avgdl",
+        col("total_tokens").cast("double") / col("n_docs").cast("double"))
+      .withColumn("c",
+        ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))) *
+          ((col("tf").cast("double") * lit(k1 + 1.0)) /
+            (col("tf").cast("double") +
+              lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))))
+      .withColumn("qc", floor(col("c") * lit(Quantum)).cast("long"))
+    val scored = contrib
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("qc")).as("qsum"))
+      .select(col("query_id"), col(idCol),
+        (col("qsum").cast("double") / lit(Quantum)).as("score"))
+    Similarity.topKPerQuery(scored, idCol, "score", k)
+  }
+
+  /** Reciprocal-rank fusion of ranked lists into one hybrid top-k.
+    * Each input is a (query_id, idCol, rank) frame (extra columns
+    * ignored); a document's fused score is Σ 1/(c + rank) over the lists
+    * that ranked it. Contributions are summed in LIST ORDER via chained
+    * coalesced additions (a fixed expression tree, not a float agg), so
+    * the fused score is bit-replayable. Output: (query_id, idCol,
+    * rrf_score, rank), rank 1..k by (rrf_score desc, id asc). */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int,
+              c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val sides = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col("query_id"), col(idCol), col("rank").as(s"rank_$i"))
+    }
+    val joined = sides.reduce(_.join(_, Seq("query_id", idCol), "full_outer"))
+    val fused = joined.select(col("query_id"), col(idCol),
+      rankings.indices
+        .map(i => coalesce(
+          lit(1.0) / (lit(c.toDouble) + col(s"rank_$i").cast("double")),
+          lit(0.0)))
+        .reduce(_ + _).as("rrf_score"))
+    Similarity.topKPerQuery(fused, idCol, "rrf_score", k)
+  }
+}

@@ -49,9 +49,11 @@ object Similarity {
     * corpus-sized run per query — a single-task sort at 100× the corpus.
     * Total order (score desc, id asc) via the max-struct trick
     * (score, −id); rank 1..k from the sorted-array position. Shared by
-    * all four ANN variants so their ranking semantics can't drift. */
-  private def topKPerQuery(scored: DataFrame, idCol: String, scoreCol: String,
-                           k: Int): DataFrame = {
+    * all four ANN variants so their ranking semantics can't drift.
+    * (Shared with [[Search]] — keyword retrieval ranks through the same
+    * bounded aggregation, so lexical and vector top-k can't drift either.) */
+  private[operators] def topKPerQuery(scored: DataFrame, idCol: String, scoreCol: String,
+                                      k: Int): DataFrame = {
     // the (score, −id) max-struct trick negates the id: under non-ANSI mode
     // a non-numeric id would negate to null and silently null every output
     // id, so fail loudly instead (the signature is generic but the

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Search, Similarity, TextAnalysis}
+
+/** Training-data pipeline pack, part 4: retrieval over `documents` —
+  * BM25 keyword search and BM25+ANN hybrid fusion, the lexical and fused
+  * halves of a RAG retrieval stack (the vector half lives in
+  * SimilarityQueries). Query set = the first [[NQ]] documents, searching
+  * with their own text; self-matches excluded. All scores are quantized
+  * integer sums or fixed-shape double trees → bitwise oracle parity. */
+object SearchQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 10       // results per query
+  private val NQ = 5       // query docs: doc_id < NQ
+  private val EmbedD = 16  // hash-embedding dimension (matches TextQueries)
+
+  // ---- BM25 keyword top-k ---------------------------------------------------
+  def searchBm25(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Search.bm25TopK(docs,
+        docs.filter(col("doc_id") < NQ)
+          .select(col("doc_id").as("query_id"), col("text").as("qtext")),
+        "doc_id", "text", "query_id", "qtext", K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  /** The exact expression tree of [[Search.bm25TopK]]: e-notation literals
+    * parse as DOUBLE (DuckDB decimal literals default to DECIMAL), and the
+    * folded constants are written as the same IEEE additions Scala folds
+    * (1.2e0 + 1.0e0, 1.0e0 - 0.75e0) so both engines hold identical bits. */
+  val searchBm25Sql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents)
+       |  GROUP BY doc_id, term
+       |), dl AS (
+       |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+       |), stats AS (
+       |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl
+       |), qterms AS (
+       |  SELECT DISTINCT query_id, term FROM (
+       |    SELECT doc_id AS query_id, unnest(string_split(trim(text), ' ')) AS term
+       |    FROM documents WHERE doc_id < $NQ)
+       |), dfreq AS (
+       |  SELECT term, COUNT(*) AS df FROM tf
+       |  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+       |), contrib AS (
+       |  SELECT q.query_id, t.doc_id,
+       |    CAST(floor(
+       |      (((CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5e0) / (CAST(f.df AS DOUBLE) + 0.5e0)) *
+       |       ((CAST(t.tf AS DOUBLE) * (1.2e0 + 1.0e0)) /
+       |        (CAST(t.tf AS DOUBLE) + 1.2e0 * ((1.0e0 - 0.75e0) + 0.75e0 *
+       |          (CAST(d.dl AS DOUBLE) / (CAST(s.total_tokens AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))) * 1.0e6) AS BIGINT) AS qc
+       |  FROM tf t JOIN dfreq f USING (term) JOIN qterms q USING (term)
+       |       JOIN dl d ON d.doc_id = t.doc_id CROSS JOIN stats s
+       |  WHERE t.doc_id <> q.query_id
+       |), scored AS (
+       |  SELECT query_id, doc_id, CAST(SUM(qc) AS DOUBLE) / 1.0e6 AS score
+       |  FROM contrib GROUP BY query_id, doc_id
+       |)
+       |SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  // ---- hybrid retrieval: BM25 ⊕ ANN via reciprocal-rank fusion --------------
+  def searchHybridRrf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bm25 = Search.bm25TopK(docs,
+      docs.filter(col("doc_id") < NQ)
+        .select(col("doc_id").as("query_id"), col("text").as("qtext")),
+      "doc_id", "text", "query_id", "qtext", K)
+    val emb = docs.select(col("doc_id"),
+      TextAnalysis.hashEmbed(col("text"), EmbedD).as("embedding"))
+    val ann = Similarity.bruteForceTopK(
+      emb, emb.filter(col("doc_id") < NQ), "doc_id", "embedding", K)
+    Search.rrfFuse(Seq(bm25, ann), "doc_id", K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  val searchHybridRrfSql: String = {
+    val P = graft.operators.Dedup.HashMod
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x + y)"
+    def cos(a: String, b: String) =
+      s"${dot(a, b)} / NULLIF(sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}), 0)"
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents)
+       |  GROUP BY doc_id, term
+       |), dl AS (
+       |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+       |), stats AS (
+       |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl
+       |), qterms AS (
+       |  SELECT DISTINCT query_id, term FROM (
+       |    SELECT doc_id AS query_id, unnest(string_split(trim(text), ' ')) AS term
+       |    FROM documents WHERE doc_id < $NQ)
+       |), dfreq AS (
+       |  SELECT term, COUNT(*) AS df FROM tf
+       |  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+       |), contrib AS (
+       |  SELECT q.query_id, t.doc_id,
+       |    CAST(floor(
+       |      (((CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5e0) / (CAST(f.df AS DOUBLE) + 0.5e0)) *
+       |       ((CAST(t.tf AS DOUBLE) * (1.2e0 + 1.0e0)) /
+       |        (CAST(t.tf AS DOUBLE) + 1.2e0 * ((1.0e0 - 0.75e0) + 0.75e0 *
+       |          (CAST(d.dl AS DOUBLE) / (CAST(s.total_tokens AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))) * 1.0e6) AS BIGINT) AS qc
+       |  FROM tf t JOIN dfreq f USING (term) JOIN qterms q USING (term)
+       |       JOIN dl d ON d.doc_id = t.doc_id CROSS JOIN stats s
+       |  WHERE t.doc_id <> q.query_id
+       |), bm25 AS (
+       |  SELECT query_id, doc_id, rank FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |    FROM (SELECT query_id, doc_id, CAST(SUM(qc) AS DOUBLE) / 1.0e6 AS score
+       |          FROM contrib GROUP BY query_id, doc_id)) t
+       |  WHERE rank <= $K
+       |), toks AS (
+       |  SELECT doc_id, list_transform(string_split(trim(text), ' '),
+       |    s -> list_reduce(list_transform(string_split(s,''), c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc*31 + x) % $P)) AS th
+       |  FROM documents
+       |), emb AS (
+       |  SELECT doc_id, list_transform(range(0, $EmbedD), i ->
+       |    CAST(COALESCE(list_sum(list_transform(th, h ->
+       |      CASE WHEN h % $EmbedD = i
+       |           THEN (CASE WHEN (h // $EmbedD) % 2 = 0 THEN 1 ELSE -1 END)
+       |           ELSE 0 END)), 0) AS REAL)) AS e
+       |  FROM toks
+       |), annq AS (SELECT doc_id AS query_id, e AS qe FROM emb WHERE doc_id < $NQ),
+       |ann AS (
+       |  SELECT query_id, doc_id, rank FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank
+       |    FROM (SELECT q.query_id, c.doc_id, ${cos("qe", "c.e")} AS cos
+       |          FROM emb c, annq q WHERE c.doc_id <> q.query_id)) t
+       |  WHERE rank <= $K
+       |), fused AS (
+       |  SELECT query_id, doc_id,
+       |    COALESCE(1.0e0 / (60.0e0 + CAST(b.rank AS DOUBLE)), 0.0e0) +
+       |    COALESCE(1.0e0 / (60.0e0 + CAST(a.rank AS DOUBLE)), 0.0e0) AS rrf_score
+       |  FROM bm25 b FULL OUTER JOIN ann a USING (query_id, doc_id)
+       |)
+       |SELECT query_id, doc_id, rrf_score, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT query_id, doc_id, rrf_score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+       |  FROM fused) t
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
+  val defs: Map[String, Q] = Map(
+    "search_bm25" -> (searchBm25 _),
+    "search_hybrid_rrf" -> (searchHybridRrf _))
+
+  val oracle: Map[String, String] = Map(
+    "search_bm25" -> searchBm25Sql,
+    "search_hybrid_rrf" -> searchHybridRrfSql)
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Search
+
+/** BM25 retrieval and reciprocal-rank-fusion semantics on planted
+  * fixtures. */
+class SearchSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Corpus planted so term rarity decides: "zebra" appears in exactly one
+    * non-query doc, "the" in every doc. A BM25 search for "zebra the" must
+    * rank the zebra doc first — a plain tf ranking would prefer doc 3's
+    * three "the"s. */
+  private def corpus = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "zebra the query doc"),
+      (1L, "zebra runs far"),
+      (2L, "the cat sat"),
+      (3L, "the the the dog"),
+      (4L, "fish swim deep")
+    ).toDF("doc_id", "text")
+  }
+
+  private def queries = {
+    val s = spark
+    import s.implicits._
+    Seq((0L, "zebra the")).toDF("query_id", "qtext")
+  }
+
+  private def bm25 = Search.bm25TopK(
+    corpus, queries, "doc_id", "text", "query_id", "qtext", 10)
+
+  test("bm25TopK: rare term dominates; self excluded; non-matching doc absent") {
+    val rows = bm25.orderBy("rank").collect()
+    val ranked = rows.map(_.getLong(1)).toSeq
+    assert(ranked.head == 1L, s"zebra doc must rank first, got $ranked")
+    assert(!ranked.contains(0L), "the query doc itself must be excluded")
+    assert(!ranked.contains(4L), "a doc sharing no query term must not appear")
+    assert(ranked.toSet == Set(1L, 2L, 3L))
+    // scores strictly ordered with rank, rank contiguous from 1
+    assert(rows.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
+    val scores = rows.map(_.getDouble(2)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("bm25TopK: longer documents are penalized at equal tf") {
+    val s = spark
+    import s.implicits._
+    // same single match of "needle", one doc padded with off-vocabulary filler
+    val c = Seq(
+      (1L, "needle a b"),
+      (2L, "needle a b c d e f g h i j k l m n o p")
+    ).toDF("doc_id", "text")
+    val q = Seq((99L, "needle")).toDF("query_id", "qtext")
+    val out = Search.bm25TopK(c, q, "doc_id", "text", "query_id", "qtext", 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L),
+      "the shorter doc must outrank the longer one at equal tf")
+    assert(out(0).getDouble(2) > out(1).getDouble(2))
+  }
+
+  test("bm25TopK: deterministic across reruns (quantized integer sums)") {
+    val a = bm25.collect().map(_.toSeq).toSeq
+    val b = bm25.collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("rrfFuse: doc ranked by both systems beats single-system rank-1 docs") {
+    val s = spark
+    import s.implicits._
+    val sys1 = Seq((0L, 10L, 1), (0L, 20L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val sys2 = Seq((0L, 30L, 1), (0L, 20L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Search.rrfFuse(Seq(sys1, sys2), "doc_id", 10)
+      .orderBy("rank").collect()
+    // doc 20: 1/62 + 1/62 ≈ 0.0323 beats doc 10/30: 1/61 ≈ 0.0164
+    assert(out.map(_.getLong(1)).toSeq == Seq(20L, 10L, 30L),
+      out.mkString(", "))
+    val expected20 = 1.0 / 62.0 + 1.0 / 62.0
+    assert(out(0).getDouble(2) == expected20)
+    // 10 and 30 tie at 1/61 — id ascending breaks it
+    assert(out(1).getDouble(2) == out(2).getDouble(2))
+  }
+
+  test("rrfFuse: missing-from-one-list contributes zero, not null") {
+    val s = spark
+    import s.implicits._
+    val sys1 = Seq((0L, 10L, 1)).toDF("query_id", "doc_id", "rank")
+    val sys2 = spark.emptyDataFrame
+      .sparkSession.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        sys1.schema)
+    val out = Search.rrfFuse(Seq(sys1, sys2), "doc_id", 10).collect()
+    assert(out.length == 1)
+    assert(out(0).getDouble(2) == 1.0 / 61.0)
+  }
+
+  test("bm25 plan: query vocabulary broadcasts; final ranking is CollectTopK, no Window") {
+    val p = bm25.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected bounded-buffer CollectTopK aggregation:\n$p")
+    assert(!p.contains("Window "), s"no window ranking expected:\n$p")
+  }
+}
