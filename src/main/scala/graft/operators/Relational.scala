@@ -239,4 +239,54 @@ object Relational {
       .withColumn("feasible", col("required") <= col("budget"))
       .withColumn("utilization_pct",
         round(col("required") / col("budget") * 100.0, 6))
+
+  /** SCD Type-2 interval build: collapse a change log into validity
+    * intervals per key — the warehouse-dimension shape of the reference's
+    * current-vs-previous history reads (api/main.py:369-407 compares the
+    * two latest rows; SCD2 is that comparison materialized for ALL of
+    * history). A row opens an interval when its state differs from the
+    * key's previous state; the interval closes at the NEXT change's
+    * timestamp (NULL = still current).
+    *
+    * Shape: one hash exchange on the keys; both window passes (the lag
+    * that marks changes, the lead that closes intervals) and the
+    * change-filter between them reuse that partitioning, and each
+    * partition sort is bounded by one key's history — never the table.
+    * `tieCol` makes the within-key order total (equal-timestamp changes
+    * are real in append logs). */
+  def scd2(df: DataFrame, keys: Seq[String], stateCol: String,
+           tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    df.withColumn("_prev", lag(col(stateCol), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col(stateCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(keys.map(col) :+ col(stateCol).as("state") :+
+        col(tsCol).as("valid_from") :+ col("valid_to") :+
+        col(tieCol).as("change_id") :+
+        col("valid_to").isNull.as("is_current"): _*)
+  }
+
+  /** Partial daily rollup — the mergeable half of incremental
+    * materialized-view maintenance. Counts and EXACT decimal sums (a
+    * double sum is addition-order-dependent, so merged partials could
+    * never hash-match a recompute); cast to double only when serving. */
+  def rollupPartial(ev: DataFrame, tsCol: String, typeCol: String,
+                    valCol: String): DataFrame =
+    ev.groupBy(to_date(col(tsCol)).as("day"), col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valCol).cast("decimal(12,2)")).as("sum_dec"))
+
+  /** Merge a standing rollup with a delta partial: re-aggregate the
+    * UNION of partials. Exact decimal internals make
+    * merge(partial(old), partial(delta)) ≡ partial(old ∪ delta) bitwise.
+    * Scale shape: the standing agg table is |days|·|types| rows and the
+    * delta partial is delta-sized — the merge shuffles agg-table-sized
+    * rows, never the fact history. This is how a 100 TB events table
+    * keeps a serving rollup fresh nightly without a full recompute. */
+  def rollupMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("day"), col(a.columns(1)))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("sum_dec")).as("sum_dec"))
 }

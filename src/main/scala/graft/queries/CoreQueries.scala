@@ -104,6 +104,47 @@ object CoreQueries {
       |  COUNT(*) AS n_events
       |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin
 
+  // ---- SCD Type-2: change log → validity intervals -------------------------
+  def scd2Intervals(s: SparkSession, d: String): DataFrame =
+    Relational.scd2(Tables.events(s, d), Seq("user_id"), "event_type",
+        "ts", "event_id")
+      .orderBy(col("user_id"), col("valid_from"), col("change_id"))
+  val scd2IntervalsSql: String =
+    """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+      |marked AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM ev),
+      |changes AS (SELECT * FROM marked WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type AS state, ts AS valid_from,
+      |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |       event_id AS change_id,
+      |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      |FROM changes ORDER BY user_id, valid_from, change_id""".stripMargin
+
+  // ---- incremental rollup maintenance: merged partials ≡ full recompute ----
+  /** The oracle RECOMPUTES from all of history; the engine merges a
+    * standing pre-cutoff rollup with a delta partial — hash-matching the
+    * recompute is the proof that nightly maintenance can stay delta-sized. */
+  val RollupCutoff = "2024-01-20 00:00:00"
+  def rollupMaintain(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cutoff = lit(RollupCutoff).cast("timestamp")
+    val standing = Relational.rollupPartial(
+      ev.filter(col("ts") < cutoff), "ts", "event_type", "value")
+    val delta = Relational.rollupPartial(
+      ev.filter(col("ts") >= cutoff), "ts", "event_type", "value")
+    Relational.rollupMerge(standing, delta)
+      .select(col("day"), col("event_type"), col("n_events"),
+        col("sum_dec").cast("double").as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+  val rollupMaintainSql: String =
+    """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+      |GROUP BY day, event_type ORDER BY day, event_type""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
@@ -111,12 +152,16 @@ object CoreQueries {
     "w1_latest_event_per_user" -> (w1LatestEventPerUser _),
     "o1_recent_user_events" -> (o1RecentUserEvents _),
     "o2_range_scan" -> (o2RangeScan _),
-    "a8_daily_rollup" -> (a8DailyRollup _))
+    "a8_daily_rollup" -> (a8DailyRollup _),
+    "scd2_intervals" -> (scd2Intervals _),
+    "rollup_maintain" -> (rollupMaintain _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1PricingSummarySql,
     "w1_latest_event_per_user" -> w1LatestEventPerUserSql,
     "o1_recent_user_events" -> o1RecentUserEventsSql,
     "o2_range_scan" -> o2RangeScanSql,
-    "a8_daily_rollup" -> a8DailyRollupSql)
+    "a8_daily_rollup" -> a8DailyRollupSql,
+    "scd2_intervals" -> scd2IntervalsSql,
+    "rollup_maintain" -> rollupMaintainSql)
 }

@@ -1,0 +1,95 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relational
+
+/** SCD Type-2 interval-build and incremental-rollup-maintenance semantics
+  * on planted fixtures. */
+class Scd2RollupSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("scd2: consecutive same-state rows collapse; intervals chain; last is current") {
+    val s = spark
+    import s.implicits._
+    val log = Seq(
+      (1L, "A", ts("2024-01-01 00:00:00"), 10L),
+      (1L, "A", ts("2024-01-02 00:00:00"), 11L), // no change — collapsed
+      (1L, "B", ts("2024-01-03 00:00:00"), 12L),
+      (1L, "B", ts("2024-01-04 00:00:00"), 13L), // no change
+      (1L, "A", ts("2024-01-05 00:00:00"), 14L),
+      (2L, "X", ts("2024-01-01 12:00:00"), 15L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = Relational.scd2(log, Seq("user_id"), "event_type", "ts", "event_id")
+      .orderBy("user_id", "valid_from").collect()
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getString(1)).toSeq == Seq("A", "B", "A"))
+    // each interval closes at the next change's open
+    assert(u1(0).getTimestamp(3) == u1(1).getTimestamp(2))
+    assert(u1(1).getTimestamp(3) == u1(2).getTimestamp(2))
+    assert(u1(2).isNullAt(3) && u1(2).getBoolean(5), "open interval is current")
+    assert(!u1(0).getBoolean(5) && !u1(1).getBoolean(5))
+    // the collapsed A-run keeps the FIRST row's open ts and change id
+    assert(u1(0).getTimestamp(2) == ts("2024-01-01 00:00:00") && u1(0).getLong(4) == 10L)
+    // single-state key: one current interval
+    val u2 = out.filter(_.getLong(0) == 2L)
+    assert(u2.length == 1 && u2(0).isNullAt(3) && u2(0).getBoolean(5))
+  }
+
+  test("scd2: equal-timestamp changes stay deterministic via the tie column") {
+    val s = spark
+    import s.implicits._
+    val t = ts("2024-01-01 00:00:00")
+    val log = Seq(
+      (1L, "A", t, 1L), (1L, "B", t, 2L), (1L, "A", t, 3L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = Relational.scd2(log, Seq("user_id"), "event_type", "ts", "event_id")
+      .orderBy("change_id").collect()
+    assert(out.map(r => (r.getString(1), r.getLong(4))).toSeq ==
+      Seq(("A", 1L), ("B", 2L), ("A", 3L)))
+    assert(out.count(_.getBoolean(5)) == 1, "exactly one current interval")
+  }
+
+  test("rollup maintenance: merge(partial(old), partial(delta)) ≡ partial(all) exactly") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (ts("2024-01-01 05:00:00"), "click", 1.11),
+      (ts("2024-01-01 06:00:00"), "view", 2.22),
+      (ts("2024-01-02 07:00:00"), "click", 3.33),
+      (ts("2024-01-02 08:00:00"), "click", 4.44),
+      (ts("2024-01-03 09:00:00"), "view", 5.55)
+    ).toDF("ts", "event_type", "value")
+    val cutoff = lit("2024-01-02 00:00:00").cast("timestamp")
+    val merged = Relational.rollupMerge(
+      Relational.rollupPartial(ev.filter(col("ts") < cutoff), "ts", "event_type", "value"),
+      Relational.rollupPartial(ev.filter(col("ts") >= cutoff), "ts", "event_type", "value"))
+    val full = Relational.rollupPartial(ev, "ts", "event_type", "value")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getDate(0).toString, r.getString(1), r.getLong(2),
+        r.getDecimal(3).toPlainString)
+    assert(merged.collect().map(key).toSet == full.collect().map(key).toSet)
+    // a day entirely on one side of the cutoff survives the merge untouched
+    assert(merged.filter(col("day") === "2024-01-03").count() == 1)
+  }
+
+  test("rollup maintenance: merging an empty delta is the identity") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq((ts("2024-01-01 05:00:00"), "click", 1.0))
+      .toDF("ts", "event_type", "value")
+    val standing = Relational.rollupPartial(ev, "ts", "event_type", "value")
+    val merged = Relational.rollupMerge(standing, standing.filter(lit(false)))
+    assert(merged.collect().toSeq == standing.collect().toSeq)
+  }
+}
