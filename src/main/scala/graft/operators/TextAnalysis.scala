@@ -279,6 +279,53 @@ object TextAnalysis {
         (col("margin") > 0).as("pred"))
   }
 
+  /** Smoothed bigram-LM fluency score — the CCNet / KenLM "perplexity
+    * filter" shape with the corpus as its own training set: a doc's score
+    * is the mean add-one-smoothed conditional probability of its token
+    * bigrams, p(cur|prev) = (c(prev,cur)+1)/(c(prev)+V). Predictable,
+    * well-formed text scores high; scrambled or boilerplate-free-noise
+    * text scores near the smoothing floor. log-free (ln is libm-dependent)
+    * and mean-of-p rather than geometric mean — ranking-equivalent inputs
+    * to a threshold gate, and bitwise-replayable: each probability is one
+    * fixed-shape division of exact integers, quantized to floor(p·10⁹)
+    * integer nano-points, and the per-doc mean divides the integer sum
+    * back ONCE.
+    *
+    * Shape: bigrams come from an explode(sequence)+element_at generator —
+    * no window, no per-doc shuffle, the doc never materializes pair
+    * arrays. Counting c2/c1 is two map-side-combinable groupBys bounded
+    * by (observed-bigram, vocab) cardinality; V is a broadcast 1-row
+    * aggregate; scoring joins narrow count tables back on (prev,cur) /
+    * prev keys. Docs with <2 tokens score NULL. */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), split(trim(col(textCol)), " ").as("t"))
+    val tok = toks.select(col(idCol), explode(col("t")).as("w"))
+    val big = toks.filter(size(col("t")) >= 2)
+      .select(col(idCol), col("t"),
+        explode(sequence(lit(2), size(col("t")))).as("i"))
+      .select(col(idCol),
+        element_at(col("t"), col("i") - 1).as("prev"),
+        element_at(col("t"), col("i")).as("cur"))
+    val c2 = big.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+    val unig = tok.groupBy(col("w").as("prev")).agg(count(lit(1)).as("c1"))
+    val vocab = broadcast(tok.agg(countDistinct(col("w")).as("v")))
+    val scored = big
+      .join(c2, Seq("prev", "cur"))
+      .join(unig, "prev")
+      .crossJoin(vocab)
+      .select(col(idCol),
+        floor((col("c2") + lit(1L)).cast("double") /
+          (col("c1") + col("v")).cast("double") * lit(1e9)).cast("long").as("qp"))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("qp")).as("qsum"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams").isNull, lit(null).cast("double"))
+          .otherwise(col("qsum").cast("double") /
+            (col("n_bigrams") * lit(1000000000L)).cast("double")).as("lm_score"))
+  }
+
   /** Per-doc novelty: the fraction of its positional n-gram shingles that
     * appear in NO other document (1 − shared/total) — the memorization /
     * boilerplate exposure score span-level dedup acts on, as a per-doc

@@ -502,6 +502,32 @@ object TextQueries {
        |FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- smoothed bigram-LM fluency score (perplexity-filter shape) ----------
+  def textBigramLm(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bigramLmScore(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  val textBigramLmSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+      |big AS (
+      |  SELECT doc_id, t[i-1] AS prev, t[i] AS cur
+      |  FROM (SELECT doc_id, t, unnest(range(2, len(t)+1)) AS i FROM toks WHERE len(t) >= 2)
+      |), c2 AS (SELECT prev, cur, COUNT(*) AS c2 FROM big GROUP BY prev, cur),
+      |unig AS (SELECT w AS prev, COUNT(*) AS c1 FROM tok GROUP BY w),
+      |v AS (SELECT COUNT(DISTINCT w) AS v FROM tok),
+      |scored AS (
+      |  SELECT b.doc_id,
+      |    CAST(floor((CAST(c.c2 + 1 AS DOUBLE) / CAST(u.c1 + v.v AS DOUBLE)) * 1.0e9) AS BIGINT) AS qp
+      |  FROM big b JOIN c2 c USING (prev, cur) JOIN unig u USING (prev) CROSS JOIN v
+      |), per AS (
+      |  SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(qp) AS BIGINT) AS qsum
+      |  FROM scored GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams,
+      |  CASE WHEN p.n_bigrams IS NULL THEN NULL
+      |       ELSE CAST(p.qsum AS DOUBLE) / CAST(p.n_bigrams * 1000000000 AS DOUBLE) END AS lm_score
+      |FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   // ---- feature-hashed text embedding (the hashing trick) -------------------
   private val EmbedD = 16
 
@@ -633,6 +659,7 @@ object TextQueries {
     "vocab_bpe_pairs" -> (vocabBpePairs _),
     "mix_schedule" -> (mixSchedule _),
     "text_commonness" -> (textCommonness _),
+    "text_bigram_lm" -> (textBigramLm _),
     "tokenize_ids" -> (tokenizeIds _),
     "sample_stratified" -> (sampleStratified _),
     "text_langid_chargram" -> (textLangidChargram _),
@@ -656,6 +683,7 @@ object TextQueries {
     "vocab_bpe_pairs" -> vocabBpePairsSql,
     "mix_schedule" -> mixScheduleSql,
     "text_commonness" -> textCommonnessSql,
+    "text_bigram_lm" -> textBigramLmSql,
     "tokenize_ids" -> tokenizeIdsSql,
     "sample_stratified" -> sampleStratifiedSql,
     "text_langid_chargram" -> textLangidChargramSql,

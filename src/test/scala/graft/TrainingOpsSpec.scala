@@ -201,6 +201,34 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 0L, null)))
   }
 
+  test("bigramLmScore: repeated phrasing scores above scrambled text; short doc null") {
+    val s = spark
+    import s.implicits._
+    // docs 0-2 repeat the same bigrams; doc 3 uses the same VOCABULARY in
+    // an order whose bigrams appear nowhere else — unigram-only scores
+    // (text_commonness) cannot separate them, the bigram LM must
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "mat the on cat the sat"),
+      (4L, "solo")                      // 1 token → no bigrams → null
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(out(0L)._1 == 5 && out(3L)._1 == 5)
+    assert(out(0L)._2.asInstanceOf[Double] > out(3L)._2.asInstanceOf[Double],
+      s"fluent doc must outscore scrambled doc: $out")
+    assert(out(0L)._2 == out(1L)._2 && out(1L)._2 == out(2L)._2)
+    assert(out(4L) == ((0L, null)))
+    // exact replay: p(cat|the) = (c2+1)/(c1+V); "the" appears 8 times
+    // ("the cat"×3, "the mat"×3 in docs 0-2; "the on","the sat" in doc 3),
+    // V = 7 distinct tokens
+    val pCatGivenThe = math.floor((3.0 + 1.0) / (8.0 + 7.0) * 1e9)
+    assert(pCatGivenThe == 266666666.0)
+  }
+
   test("semanticDedup: planted in-cell dup flagged min-id-wins; cap=1 disables pairing") {
     val s = spark
     import s.implicits._
