@@ -85,6 +85,25 @@ object Similarity {
     topKPerQuery(scored, idCol, "cos", k)
   }
 
+  /** Contrastive hard-negative mining (the DPR / in-batch-negatives
+    * augmentation shape): for each query vector, the k corpus vectors
+    * MOST similar to it that carry a DIFFERENT label — near the decision
+    * boundary by construction, which is exactly what makes a negative
+    * "hard". Same broadcast-queries / corpus-streams-once / bounded
+    * CollectTopK shape as [[bruteForceTopK]]; the label inequality also
+    * excludes self. Output: (query_id, idCol, cos, rank). */
+  def hardNegativesTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"), col(labelCol).as("q_label")))
+    val scored = corpus.select(col(idCol), col(vecCol), col(labelCol))
+      .crossJoin(q)
+      .filter(col(labelCol) =!= col("q_label"))
+      .select(col("query_id"), col(idCol),
+        cosine(col("q_vec"), col(vecCol)).as("cos"))
+    topKPerQuery(scored, idCol, "cos", k)
+  }
+
   /** Banded-LSH top-k: candidates share ≥1 (band, key) with the query;
     * exact cosine re-rank over the deduplicated candidate set. Same output
     * shape as bruteForceTopK; recall < 1 by design, tuned by (b, p).

@@ -64,6 +64,26 @@ object SimilarityQueries {
        |  FROM pairs) t
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  // ---- contrastive hard-negative mining ------------------------------------
+  def mineHardNegatives(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.hardNegativesTopK(emb, emb.filter(col("vec_id") < NQ),
+        "vec_id", "embedding", "label", K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  val mineHardNegativesSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+       |           FROM embeddings WHERE vec_id < $NQ),
+       |pairs AS (
+       |  SELECT q.query_id, e.vec_id, ${cosSql("qe", "e.embedding")} AS cos
+       |  FROM embeddings e, q WHERE e.label <> q.ql
+       |)
+       |SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT query_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM pairs) t
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
   // ---- banded-LSH ANN top-k ------------------------------------------------
   def simLshTopk(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -399,6 +419,7 @@ object SimilarityQueries {
     "sim_pq_codes" -> (simPqCodes _),
     "sim_adc_topk" -> (simAdcTopk _),
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
+    "mine_hard_negatives" -> (mineHardNegatives _),
     "sim_lsh_topk" -> (simLshTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_kmeans_refine" -> (simKmeansRefine _),
@@ -411,6 +432,7 @@ object SimilarityQueries {
     "sim_pq_codes" -> simPqCodesSql,
     "sim_adc_topk" -> simAdcTopkSql,
     "sim_bruteforce_topk" -> simBruteforceTopkSql,
+    "mine_hard_negatives" -> mineHardNegativesSql,
     "sim_lsh_topk" -> simLshTopkSql,
     "sim_ivf_topk" -> simIvfTopkSql,
     "sim_kmeans_refine" -> simKmeansRefineSql,

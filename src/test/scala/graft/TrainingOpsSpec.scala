@@ -201,6 +201,24 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 0L, null)))
   }
 
+  test("hardNegativesTopK: same-label vectors excluded, nearest other-label first") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),   // query, label 0
+      (1L, Array(0.99f, 0.1f, 0.0f), 0),  // nearest overall — but same label
+      (2L, Array(0.9f, 0.2f, 0.0f), 1),   // nearest hard negative
+      (3L, Array(0.0f, 1.0f, 0.0f), 1),   // far negative
+      (4L, Array(0.8f, 0.3f, 0.0f), 0)    // same label, excluded
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegativesTopK(
+        emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", "label", 10)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 3L),
+      s"only other-label vectors, nearest first: ${out.mkString(", ")}")
+    assert(out(0).getInt(3) == 1 && out(1).getInt(3) == 2)
+  }
+
   test("bigramLmScore: repeated phrasing scores above scrambled text; short doc null") {
     val s = spark
     import s.implicits._
