@@ -40,6 +40,33 @@ object Mix {
     (Dedup.polyHash(text) * ScrambleM % p) * ScrambleM % p
   }
 
+  /** Multi-epoch deterministic reshuffle: one (epoch, shard, pos) plan row
+    * per document per epoch, where each epoch's permutation is the
+    * scrambled order of an EPOCH-SALTED hash — h_e = scramble(h₀ + e) —
+    * so epochs reorder independently (the +e lands inside the avalanche,
+    * not after it) while every epoch still covers every doc exactly once.
+    * This is the "reshuffle between epochs" a multi-epoch training run
+    * needs, computed as a plan instead of a stateful shuffle service.
+    *
+    * Shape: the text hashes ONCE (h₀); the per-epoch explode generates
+    * E narrow (id, h₀, epoch) rows — text never replicates; ranking
+    * windows partition by (epoch, shard), bounded by a shard of one
+    * epoch. Exact long arithmetic end to end (oracle-replayable). */
+  def epochShuffle(df: DataFrame, idCol: String, textCol: String,
+                   epochs: Int, nShards: Int): DataFrame = {
+    val p = Dedup.HashMod
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("shard")).orderBy(col("h"), col(idCol))
+    df.select(col(idCol), Dedup.polyHash(col(textCol)).as("h0"))
+      .select(col(idCol), col("h0"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("h",
+        (col("h0") + col("epoch")) * lit(ScrambleM) % lit(p) * lit(ScrambleM) % lit(p))
+      .withColumn("shard", pmod(col("h"), lit(nShards)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("epoch"), col("shard"), col("h"), col("pos"))
+  }
+
   /** Deterministic FIXED-SIZE per-group sample: exactly the k docs with
     * the smallest scrambled content hashes in each group — "give me k per
     * source" (eval slices, per-domain probes, human-review queues), with

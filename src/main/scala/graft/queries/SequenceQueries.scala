@@ -283,6 +283,40 @@ object SequenceQueries {
        |  CAST(SUM((pos * h) % $P) % $P AS BIGINT) AS order_fp
        |FROM sharded GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ---- multi-epoch reshuffle plan -------------------------------------------
+  /** Per-(epoch, shard) summary of the epoch-salted training order: the
+    * same order fingerprint as shuffle_shards, pinned for EVERY epoch —
+    * matching fingerprints prove each epoch's full coverage AND its
+    * distinct permutation. */
+  private val Epochs = 3
+
+  def mixEpochs(s: SparkSession, d: String): DataFrame =
+    graft.operators.Mix.epochShuffle(
+        Tables.documents(s, d), "doc_id", "text", Epochs, ShuffleShards)
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(pmod(col("pos") * col("h"), lit(P))) % P).as("order_fp"))
+      .orderBy(col("epoch"), col("shard"))
+  val mixEpochsSql: String = {
+    val M = graft.operators.Mix.ScrambleM
+    s"""WITH hashed AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+       |      (acc, x) -> (acc*31 + x) % $P) AS h0
+       |  FROM documents
+       |), eh AS (
+       |  SELECT doc_id, CAST(epoch AS INTEGER) AS epoch,
+       |    (h0 + epoch) * $M % $P * $M % $P AS h
+       |  FROM hashed, range(0, $Epochs) t(epoch)
+       |), sharded AS (
+       |  SELECT epoch, CAST(h % $ShuffleShards AS INTEGER) AS shard, h,
+       |    row_number() OVER (PARTITION BY epoch, h % $ShuffleShards ORDER BY h, doc_id) AS pos
+       |  FROM eh)
+       |SELECT epoch, shard, COUNT(*) AS n_docs,
+       |  CAST(SUM((pos * h) % $P) % $P AS BIGINT) AS order_fp
+       |FROM sharded GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin
+  }
+
   // ---- dense global id assignment (no global sort) -------------------------
   /** Ids 0..N−1 in scrambled-hash order via shard-rank + broadcast shard
     * offsets; the oracle takes the single-sort shortcut the operator
@@ -717,6 +751,7 @@ object SequenceQueries {
     "dedup_chunks" -> (dedupChunks _),
     "decontaminate" -> (decontaminate _),
     "shuffle_shards" -> (shuffleShards _),
+    "mix_epochs" -> (mixEpochs _),
     "budget_select" -> (budgetSelect _),
     "dedup_clusters" -> (dedupClusters _))
 
@@ -732,6 +767,7 @@ object SequenceQueries {
     "dedup_chunks" -> dedupChunksSql,
     "decontaminate" -> decontaminateSql,
     "shuffle_shards" -> shuffleShardsSql,
+    "mix_epochs" -> mixEpochsSql,
     "budget_select" -> budgetSelectSql,
     "dedup_clusters" -> dedupClustersSql)
 }

@@ -193,4 +193,29 @@ class SequenceSpec extends AnyFunSuite {
     assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Long]("pos"))).toSet ==
       again.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Long]("pos"))).toSet)
   }
+
+  test("epochShuffle: every epoch covers every doc once; epochs permute differently; rerun-stable") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 200).map(i => (i.toLong, s"doc body number $i with words")).toDF("doc_id", "text")
+    val out = graft.operators.Mix.epochShuffle(docs, "doc_id", "text", 3, 8).collect()
+    assert(out.length == 600, "3 epochs × 200 docs")
+    // full coverage per epoch
+    out.groupBy(_.getAs[Int]("epoch")).foreach { case (e, rows) =>
+      assert(rows.map(_.getAs[Long]("doc_id")).toSet == (0L until 200L).toSet, s"epoch $e")
+      // positions contiguous within each (epoch, shard)
+      rows.groupBy(_.getAs[Int]("shard")).foreach { case (_, rr) =>
+        assert(rr.map(_.getAs[Long]("pos")).sorted.toSeq == (1L to rr.length).toSeq)
+      }
+    }
+    // epochs are DIFFERENT permutations: per-doc (shard, pos) differs somewhere
+    val byEpoch = out.groupBy(_.getAs[Int]("epoch")).map { case (e, rows) =>
+      e -> rows.map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("shard"), r.getAs[Long]("pos"))).toMap
+    }
+    assert(byEpoch(0) != byEpoch(1) && byEpoch(1) != byEpoch(2))
+    // deterministic across reruns
+    val again = graft.operators.Mix.epochShuffle(docs, "doc_id", "text", 3, 8).collect()
+    assert(out.map(r => r.toSeq).toSet == again.map(r => r.toSeq).toSet)
+  }
 }
