@@ -493,6 +493,24 @@ object Streams {
   /** Exponential backoff bookkeeping (snoozerScheduler.py:192-222): per
     * item, consecutive failures double the cooldown multiplier (cap 8);
     * any success resets. Emits the post-batch state per key. */
+  /** In-flight ingest observability: attach named data-quality metrics —
+    * row count, null-key count, late-event count vs `asOf − lateness`,
+    * value min/max — to a stream (or batch frame) via `Dataset.observe`.
+    * The metrics ride the EXISTING pass as accumulator-style aggregates:
+    * zero extra scans, zero extra shuffles, surfaced per micro-batch in
+    * `StreamingQueryProgress.observedMetrics("ingest_quality")` (batch:
+    * `QueryExecutionListener`). This is the monitoring half of the
+    * reference's per-poll logging (cerebro.py logs fetch counts/staleness
+    * per cycle) done inside the engine instead of around it. */
+  def observeQuality(df: DataFrame, keyCol: String, tsCol: String,
+                     valCol: String, lateCutoff: java.sql.Timestamp): DataFrame =
+    df.observe("ingest_quality",
+      count(lit(1)).as("n_rows"),
+      sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("n_null_key"),
+      sum(when(col(tsCol) < lit(lateCutoff), 1L).otherwise(0L)).as("n_late"),
+      min(col(valCol)).as("val_min"),
+      max(col(valCol)).as("val_max"))
+
   def backoffState(events: Dataset[PollEvent]): Dataset[PollerStatus] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.item)

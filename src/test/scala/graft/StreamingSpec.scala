@@ -42,6 +42,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.length == 3) // the re-sent 00:01 point was suppressed
   }
 
+  test("observeQuality: per-micro-batch ingest metrics ride the existing pass") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Point]
+    val observed = Streams.observeQuality(
+      in.toDF().select(
+        when(col("name") === "nullkey", lit(null).cast("string"))
+          .otherwise(col("name")).as("name"),
+        col("time"), col("price")),
+      "name", "time", "price", ts("2024-01-01 00:00:00"))
+    val q = observed.writeStream.format("memory")
+      .queryName("obs_out").outputMode("append").start()
+    in.addData(
+      Point("a", ts("2024-01-01 00:05:00"), 3.5),
+      Point("nullkey", ts("2024-01-01 00:06:00"), 9.0),
+      Point("b", ts("2023-12-31 23:00:00"), 1.25))   // late vs the cutoff
+    q.processAllAvailable()
+    val m = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("ingest_quality"))).last
+    q.stop()
+    assert(m.getAs[Long]("n_rows") == 3)
+    assert(m.getAs[Long]("n_null_key") == 1)
+    assert(m.getAs[Long]("n_late") == 1)
+    assert(m.getAs[Double]("val_min") == 1.25 && m.getAs[Double]("val_max") == 9.0)
+    // the observed frame itself is untouched — all rows flow through
+    assert(s.table("obs_out").count() == 3)
+  }
+
   case class Quote(name: String, qtime: Timestamp, quote: Double)
 
   case class Arriving(doc_id: Long, text: String)
