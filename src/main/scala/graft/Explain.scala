@@ -16,7 +16,8 @@ object Explain {
         "w1_latest_event_per_user", "dedup_minhash_pairs", "sim_bruteforce_topk",
         "decontaminate", "mix_temperature", "sim_adc_topk", "corpus_build",
         "dedup_semantic", "text_hash_embed", "quality_top_fraction",
-        "assign_dense_ids")
+        "assign_dense_ids", "search_bm25", "text_bigram_lm",
+        "mine_hard_negatives", "mix_epochs", "rollup_maintain")
     for (name <- names) {
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, d).queryExecution.explainString(

@@ -240,6 +240,26 @@ object Relational {
       .withColumn("utilization_pct",
         round(col("required") / col("budget") * 100.0, 6))
 
+  /** Skew-salted equi-join — the join-side companion of [[saltedAgg]] for
+    * when the probe side has hot keys AND the build side is too large to
+    * broadcast (AQE's skew-join split handles sort-merge joins after the
+    * fact; salting fixes the partitioning itself and also covers
+    * aggregations stacked on the join output). The probe side takes a
+    * deterministic content-hash salt in [0, buckets); the build side
+    * replicates each row `buckets` times via a sequence-explode generator
+    * (cost: |build| × buckets narrow rows — choose buckets ≈ the skew
+    * factor, not 100). The join key becomes (keys, _salt), so one hot
+    * key's rows spread over `buckets` reducers instead of one. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+                 saltCols: Seq[String], buckets: Int,
+                 joinType: String = "inner"): DataFrame = {
+    val salted = probe.withColumn("_salt",
+      pmod(hash(saltCols.map(col): _*), lit(buckets)))
+    val replicated = build.withColumn("_salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, keys :+ "_salt", joinType).drop("_salt")
+  }
+
   /** SCD Type-2 interval build: collapse a change log into validity
     * intervals per key — the warehouse-dimension shape of the reference's
     * current-vs-previous history reads (api/main.py:369-407 compares the

@@ -231,6 +231,27 @@ object Similarity {
       .parquet(s"$path/cells")
   }
 
+  /** Incremental maintenance of a [[writeIvfIndex]] layout: assign ONLY
+    * the delta vectors against the index's EXISTING centroid table (the
+    * coarse quantizer stays fixed — the standard IVF maintenance contract;
+    * re-training is a deliberate rebuild) and append them into their cell
+    * directories. Cost tracks the delta: |delta| assignment rows, appends
+    * touch only the delta's cells, and queries see old+new immediately
+    * through the same [[ivfIndexTopK]] path. Small appended files are
+    * [[graft.sources.PartitionedStore.compact]]'s job, not this one's. */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                     delta: DataFrame, idCol: String, vecCol: String,
+                     path: String): Unit = {
+    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    nearestCells(delta.select(col(idCol), col(vecCol)),
+        cents, idCol, vecCol, keep = 1)
+      .repartition(col("cell"))
+      .sortWithinPartitions(col(idCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cell")
+      .parquet(s"$path/cells")
+  }
+
   /** ANN top-k against a materialized [[writeIvfIndex]] layout. Probe
     * cells are resolved driver-side (|queries|·nProbe ids — KBs, the one
     * place a collect is the right call: the list must exist at PLANNING

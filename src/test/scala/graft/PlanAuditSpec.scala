@@ -159,6 +159,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"inference must join weights by broadcast, not SMJ:\n$p")
   }
 
+  test("scd2_intervals: one hash exchange — both window passes reuse the key partitioning") {
+    val p = plan("scd2_intervals")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"lag-mark, change-filter, and lead-close must share one shuffle:\n$p")
+  }
+
+  test("text_bigram_lm: generator-built bigrams — no window anywhere") {
+    val p = plan("text_bigram_lm")
+    assert(!p.contains("Window "),
+      s"bigram extraction must be explode(sequence)+element_at, not a window:\n$p")
+    assert(p.contains("Generate"), p)
+  }
+
+  test("mine_hard_negatives: queries broadcast; ranking is the bounded CollectTopK agg") {
+    val p = plan("mine_hard_negatives")
+    assert(countOf(p, "BroadcastExchange") >= 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"only the per-query top-k agg may shuffle:\n$p")
+    assert(!p.contains("Window "), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
   test("global sweep: no query plans an unbroadcast cartesian product") {
     // crossJoin against a broadcast side plans as BroadcastNestedLoopJoin
     // (fine — one side is tiny by construction); a CartesianProduct node

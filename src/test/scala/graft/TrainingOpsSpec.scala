@@ -332,6 +332,42 @@ class TrainingOpsSpec extends AnyFunSuite {
       s"index read must prune cell partitions:\n$plan")
   }
 
+  test("appendIvfIndex: delta vectors land in their cells and become findable; no loss, no dup") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { id =>
+      val c = id % 4
+      val v = Array.tabulate(8)(d =>
+        (if (d == c) 1.0f else 0.0f) + (rnd.nextFloat() - 0.5f) * 0.1f)
+      (id.toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val standing = emb.filter(col("vec_id") < 150)
+    val delta = emb.filter(col("vec_id") >= 150)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+    Similarity.writeIvfIndex(standing, "vec_id", "embedding", nCentroids = 8, path)
+    Similarity.appendIvfIndex(s, delta, "vec_id", "embedding", path)
+    // no loss, no dup: the cells table holds exactly the union
+    val ids = s.read.parquet(s"$path/cells").select("vec_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == (0L until 200L).toSeq)
+    // a probe NEAR A DELTA VECTOR must surface delta ids through the
+    // same query path (the index "sees" the append without a rebuild)
+    val probe = delta.filter(col("vec_id") === 150)
+      .select(col("vec_id"), col("embedding"))
+    val hits = Similarity.ivfIndexTopK(s, path, probe, "vec_id", "embedding",
+        k = 5, nProbe = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(hits.exists(_ >= 150L),
+      s"appended vectors must be findable, got $hits")
+    // the delta's assignment used the STANDING centroids: every cell dir
+    // present after the append already existed or belongs to [0, 8)
+    val cells = new java.io.File(s"$path/cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName)
+    assert(cells.forall(_.stripPrefix("cell=").toLong < 150L))
+  }
+
   test("adcTopK: the coded top-k finds the true clusters (recall vs brute force on cluster labels)") {
     val s = spark
     import s.implicits._
@@ -596,5 +632,28 @@ class TrainingOpsSpec extends AnyFunSuite {
       Seq(("v", "sum", "s"), ("v", "count", "c"), ("v", "min", "mn"), ("v", "max", "mx")))
       .orderBy("k").collect().map(_.toSeq).toSeq
     assert(direct == salted)
+  }
+
+  test("saltedJoin: equals the direct join on skewed keys; salt reaches the exchange") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.operators.Relational
+    // probe: key "hot" holds 90% of rows; build: several rows per key
+    val probe = ((1 to 900).map(i => ("hot", i.toLong)) ++
+      (1 to 100).map(i => (s"k${i % 10}", i.toLong))).toDF("k", "v")
+    val build = Seq("hot", "k0", "k1", "k2").flatMap(k =>
+      (0 until 3).map(j => (k, s"$k-payload-$j"))).toDF("k", "payload")
+    val direct = probe.join(build, Seq("k"))
+      .orderBy("k", "v", "payload").collect().map(_.toSeq).toSeq
+    val saltedDf = Relational.saltedJoin(probe, build, Seq("k"), Seq("k", "v"), 8)
+    val salted = saltedDf.orderBy("k", "v", "payload").collect().map(_.toSeq).toSeq
+    assert(direct == salted)
+    assert(direct.nonEmpty)
+    // the hot key's rows must spread: the exchange partitions on (k, _salt)
+    val p = saltedDf.queryExecution.executedPlan.toString
+    assert(p.contains("_salt"), s"salt must reach the join keys:\n$p")
+    // left join keeps probe rows with no build match
+    val lj = Relational.saltedJoin(probe, build, Seq("k"), Seq("k", "v"), 8, "left")
+    assert(lj.count() == direct.length + probe.filter(!col("k").isin("hot", "k0", "k1", "k2")).count())
   }
 }
