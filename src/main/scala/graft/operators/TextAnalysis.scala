@@ -149,6 +149,79 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(k)
 
+  /** Full BPE merge-rule training (Sennrich, Haddow & Birch, ACL 2016 —
+    * "Neural Machine Translation of Rare Words with Subword Units"),
+    * completing the tokenizer story [[bpePairCounts]] opens: `nMerges`
+    * rounds of (count adjacent symbol pairs → take the most frequent →
+    * merge it everywhere). The classic implementation detail — words as
+    * SPACE-JOINED symbol strings, merges applied by regex over them —
+    * turns each round's rewrite into one codegen regexp_replace
+    * projection; `(?<=^| )a b(?= |$)` anchors whole symbols, and Java's
+    * left-to-right non-overlapping replace IS BPE's greedy merge order.
+    *
+    * Scale shape: training runs on the DISTINCT-WORD table (vocab-sized —
+    * millions of rows at 100 TB, not the corpus) built by one
+    * map-side-combinable groupBy; each round is one generator + one
+    * groupBy over that small table plus a 1-row collect (the argmax —
+    * the same justified planning boundary as kmeansIterate's round loop),
+    * with localCheckpoint cutting the per-round lineage. Ties break on
+    * the pair's binary string order — total, engine-independent, so the
+    * learned merge table is deterministic.
+    *
+    * @return (rank, left, right, count) merge rules, rank 0.. in
+    *         application order (may stop early if no pair repeats). */
+  def bpeTrain(df: DataFrame, textCol: String,
+               nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var words = df.select(explode(split(trim(col(textCol)), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("sym"), col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      val top = words
+        .select(col("cnt"), split(col("sym"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("cnt"), col("t"),
+          explode(sequence(lit(2), size(col("t")))).as("i"))
+        .select(concat(element_at(col("t"), col("i") - 1), lit(" "),
+          element_at(col("t"), col("i"))).as("pair"), col("cnt"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("pcnt"))
+        .orderBy(col("pcnt").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(1) < 2) exhausted = true
+      else {
+        val Array(a, b) = top(0).getString(0).split(" ", 2)
+        merges += ((r, a, b, top(0).getLong(1)))
+        words = words
+          .withColumn("sym", regexp_replace(col("sym"),
+            lit(mergePattern(a, b)), lit(mergeReplacement(a, b))))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  private def mergePattern(a: String, b: String): String =
+    "(?<=^| )" + java.util.regex.Pattern.quote(a) + " " +
+      java.util.regex.Pattern.quote(b) + "(?= |$)"
+  private def mergeReplacement(a: String, b: String): String =
+    java.util.regex.Matcher.quoteReplacement(a + b)
+
+  /** Apply learned [[bpeTrain]] rules to a WORD column: space-join its
+    * chars, replay every merge in rank order (the fold builds one chain
+    * of codegen regexp_replace projections — inference is a pure
+    * projection, zero shuffles), yielding the word's space-joined subword
+    * segmentation. */
+  def bpeApply(word: Column,
+               merges: Seq[(Int, String, String, Long)]): Column =
+    merges.sortBy(_._1).foldLeft(trim(regexp_replace(word, "(.)", "$1 "))) {
+      case (c, (_, a, b, _)) =>
+        regexp_replace(c, lit(mergePattern(a, b)), lit(mergeReplacement(a, b)))
+    }
+
   /** Corpus-learned token→id vocabulary: the top `v` tokens by
     * (count desc, token asc), id = dense rank 0..v−1. Output:
     * (token, id). Small by construction — broadcasts. */

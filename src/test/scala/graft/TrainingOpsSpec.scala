@@ -634,6 +634,61 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(direct == salted)
   }
 
+  test("bpeTrain: distributed merge rules equal the in-memory reference; bpeApply segments unseen words") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.operators.TextAnalysis
+    // the classic Sennrich fixture: word frequencies drive the merges
+    val freqs = Seq("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3)
+    val corpus = freqs.flatMap { case (w, n) => Seq.fill(n)(w) }
+      .grouped(4).map(_.mkString(" ")).toSeq.toDF("text")
+
+    // in-memory reference BPE with the SAME tie-break (count desc, pair asc)
+    def refBpe(n: Int): Seq[(String, String)] = {
+      var words = freqs.map { case (w, c) => (w.map(_.toString).toVector, c.toLong) }
+      val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      var continue = true
+      while (out.length < n && continue) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        words.foreach { case (syms, c) =>
+          syms.sliding(2).filter(_.length == 2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + c }
+        }
+        if (counts.isEmpty || counts.values.max < 2) continue = false
+        else {
+          val (a, b) = counts.toSeq
+            .minBy { case ((x, y), c) => (-c, s"$x $y") }._1
+          out += ((a, b))
+          words = words.map { case (syms, c) =>
+            val merged = scala.collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                merged += (a + b); i += 2
+              } else { merged += syms(i); i += 1 }
+            }
+            (merged.toVector, c)
+          }
+        }
+      }
+      out.toSeq
+    }
+
+    val learned = TextAnalysis.bpeTrain(corpus, "text", 6)
+    assert(learned.map(m => (m._2, m._3)) == refBpe(6),
+      s"distributed merges ${learned} must equal the reference ${refBpe(6)}")
+    // the canonical first two merges of this fixture
+    assert(learned.take(2).map(m => m._2 + m._3) == Seq("es", "est"))
+
+    // inference: an UNSEEN word segments with the learned rules
+    val seg = Seq("lowest").toDF("w")
+      .select(TextAnalysis.bpeApply(col("w"), learned).as("seg"))
+      .collect()(0).getString(0)
+    assert(seg.split(" ").toSeq.contains("est"),
+      s"'lowest' must reuse the learned 'est' subword, got '$seg'")
+    assert(seg.replace(" ", "") == "lowest", "segmentation must preserve the word")
+  }
+
   test("saltedJoin: equals the direct join on skewed keys; salt reaches the exchange") {
     val s2 = spark
     import s2.implicits._
