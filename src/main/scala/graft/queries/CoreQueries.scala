@@ -145,6 +145,51 @@ object CoreQueries {
       |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
       |GROUP BY day, event_type ORDER BY day, event_type""".stripMargin
 
+  // ---- cohort retention matrix ----------------------------------------------
+  /** Users cohorted by first-seen week; each cohort's active-user count
+    * and retention rate at every week offset — the classic engagement
+    * read, all exact integer counts + one final division. Shapes: two
+    * aggregations over events (both map-side combinable) and joins on
+    * user/cohort keys; the matrix is |weeks|² rows. */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+    val activity = ev.select(col("user_id"),
+      to_date(date_trunc("week", col("ts"))).as("act_week")).distinct()
+    val sizes = firstSeen.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    activity.join(firstSeen, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("act_week"), col("cohort_week")) / 7).cast("int"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+  val cohortRetentionSql: String =
+    """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+      |first_seen AS (
+      |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      |  FROM ev GROUP BY user_id),
+      |activity AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week FROM ev),
+      |sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM first_seen GROUP BY cohort_week),
+      |m AS (
+      |  SELECT f.cohort_week,
+      |         CAST(date_diff('day', f.cohort_week, a.act_week) // 7 AS INTEGER) AS week_offset,
+      |         COUNT(DISTINCT a.user_id) AS n_active
+      |  FROM activity a JOIN first_seen f USING (user_id)
+      |  GROUP BY f.cohort_week, week_offset)
+      |SELECT m.cohort_week, m.week_offset, m.n_active, s.cohort_size,
+      |  CAST(m.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+      |FROM m JOIN sizes s USING (cohort_week)
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
@@ -154,7 +199,8 @@ object CoreQueries {
     "o2_range_scan" -> (o2RangeScan _),
     "a8_daily_rollup" -> (a8DailyRollup _),
     "scd2_intervals" -> (scd2Intervals _),
-    "rollup_maintain" -> (rollupMaintain _))
+    "rollup_maintain" -> (rollupMaintain _),
+    "cohort_retention" -> (cohortRetention _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1PricingSummarySql,
@@ -163,5 +209,6 @@ object CoreQueries {
     "o2_range_scan" -> o2RangeScanSql,
     "a8_daily_rollup" -> a8DailyRollupSql,
     "scd2_intervals" -> scd2IntervalsSql,
-    "rollup_maintain" -> rollupMaintainSql)
+    "rollup_maintain" -> rollupMaintainSql,
+    "cohort_retention" -> cohortRetentionSql)
 }

@@ -107,6 +107,51 @@ class SearchSpec extends AnyFunSuite {
     assert(out(0).getDouble(2) == 1.0 / 61.0)
   }
 
+  test("bm25TopK equals an in-memory reference BM25 on seeded random corpora") {
+    val s = spark
+    import s.implicits._
+    val vocabList = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 40).map { i =>
+        val n = 3 + rnd.nextInt(12)
+        (i.toLong, Seq.fill(n)(vocabList(rnd.nextInt(vocabList.length))).mkString(" "))
+      }
+      val corpus = docs.toDF("doc_id", "text")
+      val queries = docs.take(3)
+        .map { case (id, t) => (id, t.split(" ").take(4).mkString(" ")) }
+        .toDF("query_id", "qtext")
+
+      // in-memory reference: same odds-idf, same quantization, same tie-break
+      val tf = docs.flatMap { case (id, t) =>
+        t.split(" ").groupBy(identity).map { case (w, o) => (id, w, o.length.toLong) } }
+      val dl = docs.map { case (id, t) => id -> t.split(" ").length.toLong }.toMap
+      val nDocs = docs.length.toDouble
+      val avgdl = dl.values.sum.toDouble / nDocs
+      val dfreq = tf.groupBy(_._2).map { case (w, rs) => w -> rs.map(_._1).distinct.length.toDouble }
+      val expected = docs.take(3).flatMap { case (qid, qt) =>
+        val qterms = qt.split(" ").take(4).toSet
+        val scores = docs.filter(_._1 != qid).flatMap { case (did, _) =>
+          val qcs = tf.filter(r => r._1 == did && qterms(r._2)).map { case (_, w, f) =>
+            val idf = (nDocs - dfreq(w) + 0.5) / (dfreq(w) + 0.5)
+            val c = idf * ((f.toDouble * (1.2 + 1.0)) /
+              (f.toDouble + 1.2 * ((1.0 - 0.75) + 0.75 * (dl(did).toDouble / avgdl))))
+            math.floor(c * 1e6).toLong
+          }
+          if (qcs.isEmpty) None else Some((did, qcs.sum.toDouble / 1e6))
+        }
+        scores.sortBy { case (id, sc) => (-sc, id) }.take(5)
+          .zipWithIndex.map { case ((did, sc), r) => (qid, did, sc, r + 1) }
+      }.toSet
+
+      val got = Search.bm25TopK(corpus, queries, "doc_id", "text",
+          "query_id", "qtext", 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(got == expected, s"seed $seed: engine $got\nreference $expected")
+    }
+  }
+
   test("bm25 plan: query vocabulary broadcasts; final ranking is CollectTopK, no Window") {
     val p = bm25.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastExchange"), p)
