@@ -493,6 +493,41 @@ object Streams {
   /** Exponential backoff bookkeeping (snoozerScheduler.py:192-222): per
     * item, consecutive failures double the cooldown multiplier (cap 8);
     * any success resets. Emits the post-batch state per key. */
+  /** Execute `action` at most once per (ledger, batchId): a marker file
+    * commits the batch AFTER the action succeeds, so a crash mid-action
+    * re-runs it on replay (at-least-once action, exactly-once effect when
+    * the action itself lands atomically, e.g. a partition overwrite).
+    * Returns whether the action ran. The marker write is a CREATE_NEW —
+    * concurrent duplicate attempts lose the race and skip. */
+  def commitOnce(ledgerDir: String, batchId: Long)(action: => Unit): Boolean = {
+    val dir = java.nio.file.Paths.get(ledgerDir)
+    java.nio.file.Files.createDirectories(dir)
+    val marker = dir.resolve(s"batch-$batchId")
+    if (java.nio.file.Files.exists(marker)) false
+    else {
+      action
+      try { java.nio.file.Files.createFile(marker); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    }
+  }
+
+  /** Idempotent foreachBatch sink: Structured Streaming replays the LAST
+    * micro-batch after a restart whose write finished but whose offset
+    * commit didn't — a plain foreachBatch sink then writes it twice.
+    * Guarding the write with [[commitOnce]] on the sink's own batch-id
+    * ledger turns the at-least-once replay into exactly-once output —
+    * the reference's ON CONFLICT DO NOTHING insert idempotence
+    * (src/SQLinserts.py:515-587), lifted to whole-batch granularity. */
+  def idempotentSink(stream: DataFrame, ledgerDir: String,
+                     trigger: Trigger)(write: (DataFrame, Long) => Unit): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        commitOnce(ledgerDir, id)(write(batch, id)); ()
+      }
+      .start()
+
   /** In-flight ingest observability: attach named data-quality metrics —
     * row count, null-key count, late-event count vs `asOf − lateness`,
     * value min/max — to a stream (or batch frame) via `Dataset.observe`.

@@ -71,6 +71,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.table("obs_out").count() == 3)
   }
 
+  test("idempotentSink: a replayed batch id writes once; distinct ids write each") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ledger = java.nio.file.Files.createTempDirectory("ledger").toString
+    var writes = 0
+    // the commitOnce seam is what makes the replay safe — exercise it directly
+    assert(Streams.commitOnce(ledger, 7L) { writes += 1 })
+    assert(!Streams.commitOnce(ledger, 7L) { writes += 1 }, "replay of batch 7 must skip")
+    assert(Streams.commitOnce(ledger, 8L) { writes += 1 })
+    assert(writes == 2)
+    // a failed action leaves no marker — the retry runs it
+    intercept[RuntimeException] {
+      Streams.commitOnce(ledger, 9L) { throw new RuntimeException("boom") }
+    }
+    assert(Streams.commitOnce(ledger, 9L) { writes += 1 }, "retry after failure must run")
+    assert(writes == 3)
+    // and the streaming path drives it per micro-batch
+    val in = MemoryStream[Point]
+    val sunk = scala.collection.mutable.ArrayBuffer[Long]()
+    in.addData(Point("a", ts("2024-01-01 00:00:00"), 1.0))
+    val q = Streams.idempotentSink(in.toDF(), ledger,
+        Trigger.AvailableNow()) { (batch, id) => sunk.synchronized { sunk += id } }
+    q.processAllAvailable(); q.stop()
+    assert(sunk.nonEmpty && sunk.distinct.length == sunk.length)
+  }
+
   case class Quote(name: String, qtime: Timestamp, quote: Double)
 
   case class Arriving(doc_id: Long, text: String)
