@@ -226,6 +226,82 @@ object PartitionedStore {
       .drop(ZCol)
   }
 
+  // ---- versioned snapshots: atomic commits + time travel --------------------
+
+  /** Commit `df` as a new version of the table at `path`. Data lands
+    * fully under an anonymous `data/` directory FIRST; the version only
+    * exists once its manifest — the list of data directories it
+    * comprises — is published into `_manifests/` by an atomic rename, so
+    * readers never observe a partial commit and a crash before publish
+    * leaves only invisible orphan files (reclaimed by [[vacuum]]).
+    * `append = false` commits a full snapshot (the manifest lists only
+    * the new directory); `append = true` commits the parent's directory
+    * list PLUS the new one — an incremental commit whose write cost is
+    * the delta, exactly the Iceberg/Delta snapshot model reduced to a
+    * manifest of directories. Returns the new version number. */
+  def commitVersion(df: DataFrame, path: String,
+                    append: Boolean = false): Long = {
+    val root = Paths.get(path)
+    Files.createDirectories(root.resolve("_manifests"))
+    Files.createDirectories(root.resolve("data"))
+    val parent = versions(path).lastOption
+    val v = parent.getOrElse(0L) + 1
+    val dirName = s"v$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode(SaveMode.ErrorIfExists)
+      .option("compression", "zstd")
+      .parquet(root.resolve("data").resolve(dirName).toString)
+    val parentDirs = if (append) parent.toSeq.flatMap(pv => manifestDirs(path, pv)) else Nil
+    val tmp = root.resolve("_manifests").resolve(s".v$v.tmp")
+    Files.write(tmp, (parentDirs :+ dirName).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, root.resolve("_manifests").resolve(s"v$v.list"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** All committed versions, ascending. Unpublished data (a crash before
+    * the manifest rename) is invisible here by construction. */
+  def versions(path: String): Seq[Long] = {
+    val m = Paths.get(path, "_manifests")
+    if (!Files.exists(m)) return Nil
+    Files.list(m).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".list"))
+      .map(_.stripPrefix("v").stripSuffix(".list").toLong)
+      .toSeq.sorted
+  }
+
+  private def manifestDirs(path: String, v: Long): Seq[String] =
+    new String(Files.readAllBytes(
+      Paths.get(path, "_manifests", s"v$v.list")),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty)
+
+  /** Time-travel read: the table as of `version` (latest when None). */
+  def readVersion(spark: SparkSession, path: String,
+                  version: Option[Long] = None): DataFrame = {
+    val vs = versions(path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val dirs = manifestDirs(path, v)
+      .map(d => Paths.get(path, "data", d).toString)
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Reclaim data directories no LIVE manifest references (crash orphans,
+    * or history truncated by deleting old manifest files). Returns the
+    * removed directory names. */
+  def vacuum(path: String): Seq[String] = {
+    val live = versions(path).flatMap(manifestDirs(path, _)).toSet
+    val dataDir = Paths.get(path, "data")
+    if (!Files.exists(dataDir)) return Nil
+    val orphans = Files.list(dataDir).iterator().asScala
+      .filter(p => !live.contains(p.getFileName.toString)).toList
+    orphans.foreach(deleteRecursive)
+    orphans.map(_.getFileName.toString)
+  }
+
   private def deleteRecursive(p: Path): Unit = {
     if (Files.isDirectory(p))
       Files.list(p).iterator().asScala.toList.foreach(deleteRecursive)
