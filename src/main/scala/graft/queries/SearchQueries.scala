@@ -81,7 +81,10 @@ object SearchQueries {
     Search.rrfFuse(Seq(bm25, ann), "doc_id", K)
       .orderBy(col("query_id"), col("rank"))
   }
-  val searchHybridRrfSql: String = {
+  /** The hybrid-retrieval CTE block (BM25 arm + ANN arm + RRF fusion),
+    * shared by the hybrid and RAG oracles so their semantics can't
+    * drift. Ends with the `fused` relation. */
+  private val hybridCtes: String = {
     val P = graft.operators.Dedup.HashMod
     def dot(a: String, b: String) =
       s"list_reduce(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x + y)"
@@ -143,19 +146,74 @@ object SearchQueries {
        |    COALESCE(1.0e0 / (60.0e0 + CAST(b.rank AS DOUBLE)), 0.0e0) +
        |    COALESCE(1.0e0 / (60.0e0 + CAST(a.rank AS DOUBLE)), 0.0e0) AS rrf_score
        |  FROM bm25 b FULL OUTER JOIN ann a USING (query_id, doc_id)
-       |)
+       |)""".stripMargin
+  }
+
+  val searchHybridRrfSql: String =
+    s"""$hybridCtes
        |SELECT query_id, doc_id, rrf_score, CAST(rank AS INTEGER) AS rank FROM (
        |  SELECT query_id, doc_id, rrf_score,
        |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
        |  FROM fused) t
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  // ---- RAG context assembly: retrieve, rank, pack to a token budget ---------
+  /** The end-to-end context builder a RAG serving path runs, in ONE plan:
+    * hybrid-retrieve each query's candidates, rank by fused score, then
+    * greedily pack documents in rank order until the context token budget
+    * is spent (BPE-estimate tokens, the n_bpe_est heuristic). The packing
+    * window is bounded by k rows per query — never corpus-sized. */
+  private val RagBudget = 300
+
+  def ragRetrieve(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val bm25 = Search.bm25TopK(docs,
+      docs.filter(col("doc_id") < NQ)
+        .select(col("doc_id").as("query_id"), col("text").as("qtext")),
+      "doc_id", "text", "query_id", "qtext", K)
+    val emb = docs.select(col("doc_id"),
+      TextAnalysis.hashEmbed(col("text"), EmbedD).as("embedding"))
+    val ann = Similarity.bruteForceTopK(
+      emb, emb.filter(col("doc_id") < NQ), "doc_id", "embedding", K)
+    val fusedTop = Search.rrfFuse(Seq(bm25, ann), "doc_id", K)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    fusedTop
+      .join(docs.select(col("doc_id"),
+        expr("(n_chars + 3) div 4").as("est_tokens")), "doc_id")
+      .withColumn("cum_tokens", sum(col("est_tokens")).over(w))
+      .filter(col("cum_tokens") <= RagBudget)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rrf_score"), col("est_tokens"), col("cum_tokens"))
+      .orderBy(col("query_id"), col("rank"))
   }
+  val ragRetrieveSql: String =
+    s"""$hybridCtes,
+       |ranked AS (
+       |  SELECT query_id, doc_id, rrf_score, CAST(rank AS INTEGER) AS rank FROM (
+       |    SELECT query_id, doc_id, rrf_score,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+       |    FROM fused) t
+       |  WHERE rank <= $K
+       |), sized AS (
+       |  SELECT r.query_id, r.rank, r.doc_id, r.rrf_score,
+       |         (doc.n_chars + 3) // 4 AS est_tokens
+       |  FROM ranked r JOIN documents doc USING (doc_id)
+       |), packed AS (
+       |  SELECT query_id, rank, doc_id, rrf_score, est_tokens,
+       |         CAST(SUM(est_tokens) OVER (PARTITION BY query_id ORDER BY rank) AS BIGINT) AS cum_tokens
+       |  FROM sized)
+       |SELECT query_id, rank, doc_id, rrf_score, est_tokens, cum_tokens
+       |FROM packed WHERE cum_tokens <= $RagBudget
+       |ORDER BY query_id, rank""".stripMargin
 
   val defs: Map[String, Q] = Map(
     "search_bm25" -> (searchBm25 _),
-    "search_hybrid_rrf" -> (searchHybridRrf _))
+    "search_hybrid_rrf" -> (searchHybridRrf _),
+    "rag_retrieve" -> (ragRetrieve _))
 
   val oracle: Map[String, String] = Map(
     "search_bm25" -> searchBm25Sql,
-    "search_hybrid_rrf" -> searchHybridRrfSql)
+    "search_hybrid_rrf" -> searchHybridRrfSql,
+    "rag_retrieve" -> ragRetrieveSql)
 }

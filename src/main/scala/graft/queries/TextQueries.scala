@@ -502,6 +502,56 @@ object TextQueries {
        |FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- corpus data card: per-source report ----------------------------------
+  /** The datasheet row per source a corpus release ships with: volume,
+    * token mass, language share, exact-dup exposure — one pass over the
+    * corpus plus one narrow fingerprint groupBy, all ratios single
+    * divisions of exact counts. */
+  def corpusReport(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("lang"), col("n_chars"), col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"),
+        Dedup.polyHash(col("text")).as("h"))
+    val dupHashes = docs.groupBy(col("h"))
+      .agg(count(lit(1)).as("nh")).filter(col("nh") >= 2)
+    docs.join(dupHashes, Seq("h"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"),
+        sum(col("n_tokens")).as("n_tokens_total"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(when(col("nh").isNotNull, 1L).otherwise(0L)).as("n_dup_involved"))
+      .select(col("source"), col("n_docs"), col("n_chars_total"),
+        col("n_tokens_total"),
+        (col("n_en").cast("double") / col("n_docs").cast("double")).as("en_share"),
+        (col("n_dup_involved").cast("double") / col("n_docs").cast("double")).as("dup_rate"),
+        (col("n_tokens_total").cast("double") / col("n_docs").cast("double")).as("avg_tokens"))
+      .orderBy(col("source"))
+  }
+  val corpusReportSql: String = {
+    val P = graft.operators.Dedup.HashMod
+    s"""WITH d AS (
+       |  SELECT source, lang, n_chars, doc_id,
+       |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+       |    list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+       |      (acc, x) -> (acc*31 + x) % $P) AS h
+       |  FROM documents
+       |), duph AS (SELECT h FROM d GROUP BY h HAVING COUNT(*) >= 2),
+       |agg AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       |    CAST(SUM(CASE WHEN duph.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |  FROM d LEFT JOIN duph ON d.h = duph.h
+       |  GROUP BY source)
+       |SELECT source, n_docs, n_chars_total, n_tokens_total,
+       |  CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE) AS en_share,
+       |  CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate,
+       |  CAST(n_tokens_total AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_tokens
+       |FROM agg ORDER BY source""".stripMargin
+  }
+
   // ---- smoothed bigram-LM fluency score (perplexity-filter shape) ----------
   def textBigramLm(s: SparkSession, d: String): DataFrame =
     TextAnalysis.bigramLmScore(Tables.documents(s, d), "doc_id", "text")
@@ -660,6 +710,7 @@ object TextQueries {
     "mix_schedule" -> (mixSchedule _),
     "text_commonness" -> (textCommonness _),
     "text_bigram_lm" -> (textBigramLm _),
+    "corpus_report" -> (corpusReport _),
     "tokenize_ids" -> (tokenizeIds _),
     "sample_stratified" -> (sampleStratified _),
     "text_langid_chargram" -> (textLangidChargram _),
@@ -684,6 +735,7 @@ object TextQueries {
     "mix_schedule" -> mixScheduleSql,
     "text_commonness" -> textCommonnessSql,
     "text_bigram_lm" -> textBigramLmSql,
+    "corpus_report" -> corpusReportSql,
     "tokenize_ids" -> tokenizeIdsSql,
     "sample_stratified" -> sampleStratifiedSql,
     "text_langid_chargram" -> textLangidChargramSql,
