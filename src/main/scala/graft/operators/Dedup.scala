@@ -289,6 +289,26 @@ object Dedup {
   private def jaccardVerify(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
     jaccardVerify2(cand, sh, sh, threshold)
 
+  /** Incremental connected components — the nightly form of
+    * [[connectedComponents]]: instead of re-running over EVERY edge ever
+    * observed, the standing (id, rep) label table is COMPRESSED into its
+    * star edges (each vertex → its rep; connectivity-equivalent to the
+    * whole historical edge set, but exactly |vertices| narrow rows) and
+    * unioned with the delta's new edges. Reps stay the true component
+    * minimum: old reps carry the old minimum, and min-label propagation
+    * takes the min across merged components. Cost tracks |standing
+    * labels| + |delta edges|, never the historical edge count. */
+  def connectedComponentsDelta(standing: DataFrame, newVertices: DataFrame,
+                               newEdges: DataFrame,
+                               maxIter: Int = 25): DataFrame = {
+    val starEdges = standing.filter(col("id") =!= col("rep"))
+      .select(col("id").as("id_a"), col("rep").as("id_b"))
+    val verts = standing.select(col("id"))
+      .union(newVertices.select(col("id"))).distinct()
+    connectedComponents(verts,
+      starEdges.union(newEdges.select(col("id_a"), col("id_b"))), maxIter)
+  }
+
   /** As jaccardVerify but with distinct shingle tables for the two pair
     * sides (asymmetric joins, e.g. incremental new-vs-old dedup). */
   private def jaccardVerify2(cand: DataFrame, shA: DataFrame, shB: DataFrame,

@@ -381,6 +381,34 @@ object SequenceQueries {
         (col("id") === col("rep")).as("is_canonical"))
       .orderBy(col("doc_id"))
   }
+  /** The same clusters through the INCREMENTAL path: docs with
+    * doc_id % 10 == 0 arrive as the delta. Standing labels come from the
+    * old-only edges; the delta merges in via compressed star edges + the
+    * new-involving edges. The oracle is dedup_clusters' full recompute —
+    * hash-matching it IS the proof that nightly label maintenance agrees
+    * with a from-scratch clustering. */
+  def dedupClustersIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isNewId = (c: org.apache.spark.sql.Column) => c % 10 === 0
+    val exactEdges = Dedup.exactDedup(docs, "doc_id", "text")
+      .filter(col("is_dup"))
+      .select(col("rep_id").as("id_a"), col("doc_id").as("id_b"))
+    val nearEdges = Dedup.minhashPairs(docs, "doc_id", "text",
+        threshold = 0.5, k = 16, bands = 4)
+      .select(col("id_a"), col("id_b"))
+    val all = exactEdges.union(nearEdges)
+    val hasNew = isNewId(col("id_a")) || isNewId(col("id_b"))
+    val standing = Dedup.connectedComponents(
+      docs.filter(!isNewId(col("doc_id"))).select(col("doc_id").as("id")),
+      all.filter(!hasNew))
+    Dedup.connectedComponentsDelta(standing,
+        docs.filter(isNewId(col("doc_id"))).select(col("doc_id").as("id")),
+        all.filter(hasNew))
+      .select(col("id").as("doc_id"), col("rep").as("cluster_rep"),
+        (col("id") === col("rep")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   val dedupClustersSql: String = {
     // same shingle/minhash CTEs as dedup_minhash_pairs (TrainingQueries),
     // then a recursive min-label closure over the union edge set
@@ -753,7 +781,8 @@ object SequenceQueries {
     "shuffle_shards" -> (shuffleShards _),
     "mix_epochs" -> (mixEpochs _),
     "budget_select" -> (budgetSelect _),
-    "dedup_clusters" -> (dedupClusters _))
+    "dedup_clusters" -> (dedupClusters _),
+    "dedup_clusters_incremental" -> (dedupClustersIncremental _))
 
   val oracle: Map[String, String] = Map(
     "assign_dense_ids" -> assignDenseIdsSql,
@@ -769,5 +798,6 @@ object SequenceQueries {
     "shuffle_shards" -> shuffleShardsSql,
     "mix_epochs" -> mixEpochsSql,
     "budget_select" -> budgetSelectSql,
-    "dedup_clusters" -> dedupClustersSql)
+    "dedup_clusters" -> dedupClustersSql,
+    "dedup_clusters_incremental" -> dedupClustersSql)
 }

@@ -194,6 +194,21 @@ class SequenceSpec extends AnyFunSuite {
       again.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Long]("pos"))).toSet)
   }
 
+  test("connectedComponentsDelta: delta edges merge standing components; reps stay global minima") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Dedup
+    // standing: {1,2} labeled 1, {3} alone, {5} alone
+    val standing = Seq((1L, 1L), (2L, 1L), (3L, 3L), (5L, 5L)).toDF("id", "rep")
+    // delta: new doc 4 links 3 to 2 (merging components 1 and 3), 9 arrives isolated
+    val newVerts = Seq(4L, 9L).toDF("id")
+    val newEdges = Seq((3L, 4L), (4L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponentsDelta(standing, newVerts, newEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 9L -> 9L),
+      s"merged component must take the global min rep: $out")
+  }
+
   test("epochShuffle: every epoch covers every doc once; epochs permute differently; rerun-stable") {
     val s = spark
     import s.implicits._
