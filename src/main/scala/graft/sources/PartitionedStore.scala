@@ -91,7 +91,8 @@ object PartitionedStore {
     * compacted partition names. */
   def compact(spark: SparkSession, path: String, keyCol: String,
               tsCol: String, maxFiles: Int = 8,
-              targetRowsPerFile: Long = 4000000L): Seq[String] = {
+              targetRowsPerFile: Long = 4000000L,
+              partCol: String = DateCol): Seq[String] = {
     val root = Paths.get(path)
     if (!Files.exists(root)) return Nil
     // recover from any prior crash: a partition sitting in `.trash` with no
@@ -108,7 +109,7 @@ object PartitionedStore {
         else deleteRecursive(trash)
       }
     val offending = Files.list(root).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith(s"$DateCol=") &&
+      .filter(p => p.getFileName.toString.startsWith(s"$partCol=") &&
         Files.isDirectory(p))
       .filter { p =>
         Files.list(p).iterator().asScala

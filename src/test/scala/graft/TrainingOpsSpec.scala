@@ -366,6 +366,14 @@ class TrainingOpsSpec extends AnyFunSuite {
     val cells = new java.io.File(s"$path/cells").listFiles()
       .filter(_.getName.startsWith("cell=")).map(_.getName)
     assert(cells.forall(_.stripPrefix("cell=").toLong < 150L))
+    // appended small files compact per CELL partition; results unchanged
+    val compacted = graft.sources.PartitionedStore.compact(
+      s, s"$path/cells", "vec_id", "vec_id", maxFiles = 1,
+      targetRowsPerFile = 1000000L, partCol = "cell")
+    assert(compacted.nonEmpty, "append must have left a multi-file cell")
+    val after = s.read.parquet(s"$path/cells").select("vec_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(after == (0L until 200L).toSeq, "compaction must not lose or dup rows")
   }
 
   test("adcTopK: the coded top-k finds the true clusters (recall vs brute force on cluster labels)") {
