@@ -55,22 +55,37 @@ object Search {
   def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String,
                textCol: String, queryIdCol: String, queryTextCol: String,
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = docs
-      .select(col(idCol), explode(split(trim(col(textCol)), " ")).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    // per-doc length in tokens — from tf, not a second corpus pass
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
-    val stats = broadcast(dl.agg(
-      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens")))
+    val tf = termFrequencies(docs, idCol, textCol)
     val qterms = broadcast(queries
       .select(col(queryIdCol).as("query_id"),
         explode(split(trim(col(queryTextCol)), " ")).as("term"))
       .distinct())
+    Similarity.topKPerQuery(bm25Scores(tf, qterms, idCol, k1, b),
+      idCol, "score", k)
+  }
+
+  /** (id, term, tf) postings of the corpus — built once, shared by the
+    * plain and PRF search paths. */
+  private def termFrequencies(docs: DataFrame, idCol: String,
+                              textCol: String): DataFrame =
+    docs.select(col(idCol), explode(split(trim(col(textCol)), " ")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** Quantized BM25 scores of every (query, doc) pair sharing ≥1 term —
+    * the scoring core behind [[bm25TopK]] and [[bm25PrfTopK]]. `qterms`
+    * is a (query_id, term) frame, small by construction (broadcast by
+    * callers). */
+  private def bm25Scores(tf: DataFrame, qterms: DataFrame, idCol: String,
+                         k1: Double, b: Double): DataFrame = {
+    // per-doc length in tokens — from tf, not a second corpus pass
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val stats = broadcast(dl.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens")))
     // corpus postings restricted to the query vocabulary FIRST; df is
     // per-term, so counting it on the restricted postings is exact
     val tfq = tf.join(broadcast(qterms.select(col("term")).distinct()), "term")
     val dfreq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val contrib = tfq
+    tfq
       .join(dfreq, "term")
       .join(qterms, "term")
       .filter(col(idCol) =!= col("query_id"))
@@ -85,12 +100,56 @@ object Search {
             (col("tf").cast("double") +
               lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))))
       .withColumn("qc", floor(col("c") * lit(Quantum)).cast("long"))
-    val scored = contrib
       .groupBy(col("query_id"), col(idCol))
       .agg(sum(col("qc")).as("qsum"))
       .select(col("query_id"), col(idCol),
         (col("qsum").cast("double") / lit(Quantum)).as("score"))
-    Similarity.topKPerQuery(scored, idCol, "score", k)
+  }
+
+  /** BM25 with pseudo-relevance feedback (RM3-lite, Lavrenko & Croft's
+    * relevance-model idea reduced to its deterministic core): a first
+    * BM25 pass takes each query's top `fbDocs` documents, the `fbTerms`
+    * most frequent NEW terms of that feedback set (total tf desc, term
+    * asc — exact integer ordering, no interpolation weights to drift)
+    * join the query vocabulary, and a second BM25 pass ranks against the
+    * expanded term set. Recall instrument: documents sharing no literal
+    * query term but co-occurring with the feedback vocabulary become
+    * reachable.
+    *
+    * Scale shape: both passes are [[bm25Scores]] (query vocab broadcast,
+    * postings filtered first); the feedback-term selection works on
+    * |queries|·fbDocs posting rows — a bounded CollectTopK per query,
+    * never a corpus aggregation. */
+  def bm25PrfTopK(docs: DataFrame, queries: DataFrame, idCol: String,
+                  textCol: String, queryIdCol: String, queryTextCol: String,
+                  k: Int, fbDocs: Int = 3, fbTerms: Int = 3,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    val qterms0 = broadcast(queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(split(trim(col(queryTextCol)), " ")).as("term"))
+      .distinct())
+    val fb = Similarity.topKPerQuery(
+      bm25Scores(tf, qterms0, idCol, k1, b), idCol, "score", fbDocs)
+    // candidate expansion terms: total tf across the feedback docs, minus
+    // terms the query already has; top fbTerms by (tf desc, term asc)
+    val fbTf = fb.select(col("query_id"), col(idCol))
+      .join(tf, idCol)
+      .join(qterms0.select(col("query_id"), col("term").as("term"),
+        lit(true).as("in_q")), Seq("query_id", "term"), "left")
+      .filter(col("in_q").isNull)
+      .groupBy(col("query_id"), col("term"))
+      .agg(sum(col("tf")).as("fbtf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("fbtf").desc, col("term").asc)
+    val expansion = fbTf.withColumn("r", row_number().over(w))
+      .filter(col("r") <= fbTerms)
+      .select(col("query_id"), col("term"))
+    val qterms1 = broadcast(
+      qterms0.select(col("query_id"), col("term")).union(expansion).distinct())
+    Similarity.topKPerQuery(bm25Scores(tf, qterms1, idCol, k1, b),
+      idCol, "score", k)
   }
 
   /** Reciprocal-rank fusion of ranked lists into one hybrid top-k.

@@ -67,6 +67,77 @@ object SearchQueries {
        |  FROM scored) t
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  // ---- BM25 with pseudo-relevance feedback (RM3-lite) -----------------------
+  private val FbDocs = 3
+  private val FbTerms = 3
+
+  def searchBm25Prf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Search.bm25PrfTopK(docs,
+        docs.filter(col("doc_id") < NQ)
+          .select(col("doc_id").as("query_id"), col("text").as("qtext")),
+        "doc_id", "text", "query_id", "qtext", K, FbDocs, FbTerms)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  /** The BM25 scoring block against a given qterms relation — emitted
+    * twice (first pass + expanded pass) with distinct CTE names. */
+  private def bm25Pass(q: String, sfx: String): String =
+    s"""df$sfx AS (
+       |  SELECT term, COUNT(*) AS df FROM tf
+       |  WHERE term IN (SELECT term FROM $q) GROUP BY term
+       |), sc$sfx AS (
+       |  SELECT query_id, doc_id, CAST(SUM(qc) AS DOUBLE) / 1.0e6 AS score FROM (
+       |    SELECT q.query_id, t.doc_id,
+       |      CAST(floor(
+       |        (((CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5e0) / (CAST(f.df AS DOUBLE) + 0.5e0)) *
+       |         ((CAST(t.tf AS DOUBLE) * (1.2e0 + 1.0e0)) /
+       |          (CAST(t.tf AS DOUBLE) + 1.2e0 * ((1.0e0 - 0.75e0) + 0.75e0 *
+       |            (CAST(d.dl AS DOUBLE) / (CAST(s.total_tokens AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))) * 1.0e6) AS BIGINT) AS qc
+       |    FROM tf t JOIN df$sfx f USING (term) JOIN $q q USING (term)
+       |         JOIN dl d ON d.doc_id = t.doc_id CROSS JOIN stats s
+       |    WHERE t.doc_id <> q.query_id)
+       |  GROUP BY query_id, doc_id
+       |)""".stripMargin
+
+  val searchBm25PrfSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents)
+       |  GROUP BY doc_id, term
+       |), dl AS (
+       |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+       |), stats AS (
+       |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl
+       |), q0 AS (
+       |  SELECT DISTINCT query_id, term FROM (
+       |    SELECT doc_id AS query_id, unnest(string_split(trim(text), ' ')) AS term
+       |    FROM documents WHERE doc_id < $NQ)
+       |), ${bm25Pass("q0", "0")},
+       |fb AS (
+       |  SELECT query_id, doc_id FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |    FROM sc0) t WHERE rank <= $FbDocs
+       |), fbtf AS (
+       |  SELECT f.query_id, t.term, CAST(SUM(t.tf) AS BIGINT) AS fbtf
+       |  FROM fb f JOIN tf t ON t.doc_id = f.doc_id
+       |  LEFT JOIN q0 ON q0.query_id = f.query_id AND q0.term = t.term
+       |  WHERE q0.term IS NULL
+       |  GROUP BY f.query_id, t.term
+       |), expn AS (
+       |  SELECT query_id, term FROM (
+       |    SELECT query_id, term,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY fbtf DESC, term ASC) AS r
+       |    FROM fbtf) t WHERE r <= $FbTerms
+       |), q1 AS (
+       |  SELECT query_id, term FROM q0 UNION SELECT query_id, term FROM expn
+       |), ${bm25Pass("q1", "1")}
+       |SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |  FROM sc1) t
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
   // ---- hybrid retrieval: BM25 ⊕ ANN via reciprocal-rank fusion --------------
   def searchHybridRrf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -209,11 +280,13 @@ object SearchQueries {
 
   val defs: Map[String, Q] = Map(
     "search_bm25" -> (searchBm25 _),
+    "search_bm25_prf" -> (searchBm25Prf _),
     "search_hybrid_rrf" -> (searchHybridRrf _),
     "rag_retrieve" -> (ragRetrieve _))
 
   val oracle: Map[String, String] = Map(
     "search_bm25" -> searchBm25Sql,
+    "search_bm25_prf" -> searchBm25PrfSql,
     "search_hybrid_rrf" -> searchHybridRrfSql,
     "rag_retrieve" -> ragRetrieveSql)
 }

@@ -107,6 +107,28 @@ class SearchSpec extends AnyFunSuite {
     assert(out(0).getDouble(2) == 1.0 / 61.0)
   }
 
+  test("bm25PrfTopK: expansion reaches a doc sharing no literal query term") {
+    val s = spark
+    import s.implicits._
+    // query matches docs 1-2; both carry feedback term "signal", which is
+    // the ONLY route to doc 3 — plain BM25 can never return it
+    val c = Seq(
+      (1L, "zebra signal one"),
+      (2L, "zebra signal two"),
+      (3L, "signal signal alone"),
+      (4L, "unrelated words here")
+    ).toDF("doc_id", "text")
+    val q = Seq((0L, "zebra")).toDF("query_id", "qtext")
+    val plain = Search.bm25TopK(c, q, "doc_id", "text", "query_id", "qtext", 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(plain == Set(1L, 2L), s"plain BM25 cannot see doc 3: $plain")
+    val prf = Search.bm25PrfTopK(c, q, "doc_id", "text", "query_id", "qtext",
+        10, fbDocs = 2, fbTerms = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(prf.contains(3L), s"feedback term must surface doc 3: $prf")
+    assert(!prf.contains(4L), "expansion must not leak unrelated docs")
+  }
+
   test("bm25TopK equals an in-memory reference BM25 on seeded random corpora") {
     val s = spark
     import s.implicits._
