@@ -71,6 +71,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.table("obs_out").count() == 3)
   }
 
+  test("stateful dedup runs on the RocksDB state store (the production backend)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Point]
+    // the stream captures the provider conf at start
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = Streams.deltaAppendDedup(in.toDF(), "name", "time", "10 minutes")
+      .writeStream.format("memory").queryName("rocks_out").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("rocks_ckpt").toString)
+      .start()
+    try {
+      in.addData(Point("a", ts("2024-01-01 00:00:00"), 1.0),
+                 Point("a", ts("2024-01-01 00:00:00"), 1.0)) // in-batch dup
+      q.processAllAvailable()
+      in.addData(Point("a", ts("2024-01-01 00:00:00"), 1.0)) // cross-batch dup
+      q.processAllAvailable()
+      assert(s.table("rocks_out").count() == 1,
+        "dedup state must persist across micro-batches on RocksDB")
+    } finally {
+      q.stop()
+      s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("idempotentSink: a replayed batch id writes once; distinct ids write each") {
     val s = spark
     import s.implicits._
