@@ -60,6 +60,39 @@ class Scd2RollupSpec extends AnyFunSuite {
     assert(out.count(_.getBoolean(5)) == 1, "exactly one current interval")
   }
 
+  test("scd2 equals an in-memory reference on seeded random change logs") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(3, 11, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val states = Vector("A", "B", "C")
+      val log = (0 until 300).map { i =>
+        (rnd.nextInt(5).toLong,                      // key
+          states(rnd.nextInt(3)),                    // state
+          ts(f"2024-01-${1 + rnd.nextInt(28)}%02d 00:00:00"), // ts (ties likely)
+          i.toLong)                                  // unique tie column
+      }
+      val df = log.toDF("user_id", "event_type", "ts", "event_id")
+      val got = Relational.scd2(df, Seq("user_id"), "event_type", "ts", "event_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+          Option(r.getTimestamp(3)), r.getLong(4), r.getBoolean(5))).toSet
+      // reference: sort per key by (ts, event_id), collapse runs, chain intervals
+      val expected = log.groupBy(_._1).flatMap { case (k, rows) =>
+        val sorted = rows.sortBy(r => (r._3.getTime, r._4))
+        val changes = sorted.foldLeft(Vector.empty[(String, Timestamp, Long)]) {
+          case (acc, (_, st, t, id)) =>
+            if (acc.nonEmpty && acc.last._1 == st) acc else acc :+ ((st, t, id))
+        }
+        changes.zipWithIndex.map { case ((st, t, id), i) =>
+          val next = if (i + 1 < changes.length) Some(changes(i + 1)._2) else None
+          (k, st, t, next, id, next.isEmpty)
+        }
+      }.toSet
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("rollup maintenance: merge(partial(old), partial(delta)) ≡ partial(all) exactly") {
     val s = spark
     import s.implicits._

@@ -80,6 +80,25 @@ class WireSpec extends AnyFunSuite {
   }
 
 
+  test("clustering pays: a per-key scan row-group-skips most of a sorted file") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rg").toString + "/t"
+    // one 100k-row file, sorted by key, tiny row groups → many groups,
+    // each covering a narrow key range (the segmentby-compression analog)
+    val n = 100000
+    (0 until n).map(i => (f"k${i / 1000}%03d", i.toLong))
+      .toDF("name", "v")
+      .coalesce(1).sortWithinPartitions("name")
+      .write.option("parquet.block.size", 64 * 1024).parquet(dir)
+    val q = s.read.parquet(dir).filter(col("name") === "k042")
+    assert(q.count() == 1000)
+    val scan = q.queryExecution.executedPlan.collectLeaves().head
+    val emitted = scan.metrics("numOutputRows").value
+    assert(emitted < n / 5,
+      s"min/max row-group stats must skip most groups: scan emitted $emitted of $n")
+  }
+
   test("overwritePartitions: reprocessing a day replaces it without touching others") {
     val s = spark
     import s.implicits._
