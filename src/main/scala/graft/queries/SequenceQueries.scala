@@ -453,6 +453,42 @@ object SequenceQueries {
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
   }
 
+  // ---- leakage-safe train/val/test split ------------------------------------
+  /** Split assignment at near-dup-CLUSTER granularity: a cluster's rep
+    * hashes to a bucket (8/1/1 train/val/test) and every member inherits
+    * it, so no exact or near duplicate ever straddles splits — the
+    * eval-leakage guard a benchmark-honest corpus needs (splitting
+    * per-document leaks every near-dup pair across the boundary). Cost =
+    * dedup_clusters + a projection. */
+  def splitLeakageSafe(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val exactEdges = Dedup.exactDedup(docs, "doc_id", "text")
+      .filter(col("is_dup"))
+      .select(col("rep_id").as("id_a"), col("doc_id").as("id_b"))
+    val nearEdges = Dedup.minhashPairs(docs, "doc_id", "text",
+        threshold = 0.5, k = 16, bands = 4)
+      .select(col("id_a"), col("id_b"))
+    val comps = Dedup.connectedComponents(
+      docs.select(col("doc_id").as("id")), exactEdges.union(nearEdges))
+    val m = Mix.ScrambleM
+    val bucket = (col("rep") + 1) * m % P * m % P % 10
+    comps.select(col("id").as("doc_id"), col("rep").as("cluster_rep"),
+        when(bucket < 8, "train").when(bucket === 8, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+  val splitLeakageSafeSql: String = {
+    val m = Mix.ScrambleM
+    dedupClustersSql.replace(
+      """SELECT id AS doc_id, MIN(lbl) AS cluster_rep, MIN(lbl) = id AS is_canonical
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+      s"""SELECT id AS doc_id, MIN(lbl) AS cluster_rep,
+         |  CASE WHEN (MIN(lbl) + 1) * $m % $P * $m % $P % 10 < 8 THEN 'train'
+         |       WHEN (MIN(lbl) + 1) * $m % $P * $m % $P % 10 = 8 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
+  }
+
   // ---- end-to-end corpus build ---------------------------------------------
   /** The whole training-corpus assembly composed as one job, per-doc
     * stage flags: near-dup clustering (exact ∪ minhash edges → CC rep),
@@ -782,7 +818,8 @@ object SequenceQueries {
     "mix_epochs" -> (mixEpochs _),
     "budget_select" -> (budgetSelect _),
     "dedup_clusters" -> (dedupClusters _),
-    "dedup_clusters_incremental" -> (dedupClustersIncremental _))
+    "dedup_clusters_incremental" -> (dedupClustersIncremental _),
+    "split_leakage_safe" -> (splitLeakageSafe _))
 
   val oracle: Map[String, String] = Map(
     "assign_dense_ids" -> assignDenseIdsSql,
@@ -799,5 +836,6 @@ object SequenceQueries {
     "mix_epochs" -> mixEpochsSql,
     "budget_select" -> budgetSelectSql,
     "dedup_clusters" -> dedupClustersSql,
-    "dedup_clusters_incremental" -> dedupClustersSql)
+    "dedup_clusters_incremental" -> dedupClustersSql,
+    "split_leakage_safe" -> splitLeakageSafeSql)
 }

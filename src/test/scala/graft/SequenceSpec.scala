@@ -194,6 +194,33 @@ class SequenceSpec extends AnyFunSuite {
       again.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Long]("pos"))).toSet)
   }
 
+  test("leakage-safe split: near-dup cluster members always share a split") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.{Dedup, Mix}
+    // a planted cluster {1,2,3} (chained near-dups) and singles {4,5}
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base), (2L, base + " x"), (3L, base + " y"),
+      (4L, "completely different content one two three four five six seven"),
+      (5L, "another unrelated document with its own words entirely here now")
+    ).toDF("doc_id", "text")
+    val edges = Dedup.minhashPairs(docs, "doc_id", "text", 0.5, 16, 4)
+      .select(col("id_a"), col("id_b"))
+    val comps = Dedup.connectedComponents(docs.select(col("doc_id").as("id")), edges)
+    val p = Dedup.HashMod
+    val bucket = (col("rep") + 1) * Mix.ScrambleM % p * Mix.ScrambleM % p % 10
+    val split = comps.select(col("id"), col("rep"),
+      when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test").as("split"))
+    val byDoc = split.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(byDoc(1L)._1 == byDoc(2L)._1 && byDoc(2L)._1 == byDoc(3L)._1,
+      s"planted near-dups must cluster: $byDoc")
+    assert(byDoc(1L)._2 == byDoc(2L)._2 && byDoc(2L)._2 == byDoc(3L)._2,
+      "cluster members must share the split — the leakage invariant")
+    // split is a pure function of the rep: any two docs with equal reps agree
+    assert(byDoc.values.groupBy(_._1).forall(_._2.map(_._2).toSet.size == 1))
+  }
+
   test("connectedComponentsDelta: delta edges merge standing components; reps stay global minima") {
     val s = spark
     import s.implicits._
