@@ -601,6 +601,38 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out(1L).getString(3) == "1,0" && out(1L).getLong(2) == 0L)
   }
 
+  test("asofJoin equals an in-memory reference on seeded random series (ties included)") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.operators.Relational
+    for (seed <- Seq(5, 21, 77)) {
+      val rnd = new scala.util.Random(seed)
+      // coarse ts range ⇒ plenty of equal-timestamp collisions
+      val left = (0 until 150).map(i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(20).toLong, i.toLong))
+      val right = (0 until 150).map(i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(20).toLong, (1000 + i).toLong,
+          rnd.nextInt(100).toDouble))
+      val lDf = left.toDF("k", "t", "lid")
+      val rDf = right.toDF("k", "t", "rid", "v")
+      val got = Relational.asofJoin(lDf, rDf, Seq("k"), "t",
+          rightPayload = Seq("v"), rightOrd = "rid")
+        .select(col("lid"), col("_match.rid").as("rid"), col("_match.v").as("v"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2)))))
+        .toMap
+      // reference: latest right at-or-before; equal ts resolves to max rid
+      // (the window's last-wins over rightOrd-ascending equal-ts runs)
+      val expected = left.map { case (k, t, lid) =>
+        val m = right.filter(r => r._1 == k && r._2 <= t)
+        lid -> (if (m.isEmpty) None
+                else { val best = m.maxBy(r => (r._2, r._3)); Some((best._3, best._4)) })
+      }.toMap
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("asofJoinNearest: picks the closer side, backward wins ties, tolerance excludes") {
     val s = spark
     import s.implicits._
