@@ -479,7 +479,7 @@ object SequenceQueries {
   }
   val splitLeakageSafeSql: String = {
     val m = Mix.ScrambleM
-    dedupClustersSql.replace(
+    val sql = dedupClustersSql.replace(
       """SELECT id AS doc_id, MIN(lbl) AS cluster_rep, MIN(lbl) = id AS is_canonical
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
       s"""SELECT id AS doc_id, MIN(lbl) AS cluster_rep,
@@ -487,6 +487,11 @@ object SequenceQueries {
          |       WHEN (MIN(lbl) + 1) * $m % $P * $m % $P % 10 = 8 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
+    // a drifted dedupClustersSql tail would make the replace a no-op and
+    // this oracle silently wrong-shaped — fail at class init instead
+    require(sql != dedupClustersSql,
+      "split_leakage_safe oracle: final-SELECT replacement did not apply")
+    sql
   }
 
   // ---- end-to-end corpus build ---------------------------------------------
