@@ -228,51 +228,134 @@ object Dedup {
     * streaming decontamination alike. `expectedItems` sizes the sketch
     * (7.3 bits ≈ 0.9 bytes/item at the 3% fpp the aggregate targets): at
     * 1e9 corpus keys that is a ~0.9 GB resident filter — amortized over
-    * every nightly delta probe, the trade the pattern exists for. Spark
-    * SILENTLY clamps the sketch to the runtime-bloom-filter conf caps
-    * (4M items / 8 MB bits by default), which at 1e9 keys would degrade
-    * the fpp toward 1 and quietly stop reducing anything (correctness
-    * survives — the exact join removes false positives — but the plan
-    * reduction dies), so the caps are raised here to fit `expectedItems`
-    * before the sketch is built.
+    * every nightly delta probe, the trade the pattern exists for.
+    *
+    * This convenience form builds the sketch in-run (checkpointing the
+    * corpus frame so sketch build + verify join share ONE materialization);
+    * the steady-state pipeline instead builds the sketch once
+    * ([[bloomBuild]]), stores it ([[bloomWriteSketch]]), OR-merges nightly
+    * delta sketches into it ([[bloomMergeSketches]]) and probes via
+    * [[bloomMembershipWith]] — corpus touched once, ever.
     * Output: (new_id, keyCol, first_old_id). */
   def bloomMembership(newKeyed: DataFrame, oldKeyed: DataFrame, idCol: String,
                       keyCol: String, expectedItems: Long): DataFrame = {
     require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
-    val conf = oldKeyed.sparkSession.conf
+    // ONE materialization of the corpus-side frame: the sketch aggregation
+    // and the exact verify join both read the checkpointed rows — without
+    // this the (possibly expensive: chunking, hashing) corpus lineage is
+    // recomputed once per consumer, which at scale doubles the very corpus
+    // pass the sketch exists to avoid
+    val corpus = oldKeyed.localCheckpoint()
+    bloomMembershipWith(newKeyed, corpus, idCol, keyCol,
+      bloomBuild(corpus, keyCol, expectedItems))
+  }
+
+  /** Build the corpus-membership Bloom sketch ONCE as a portable artifact:
+    * serialized filter bytes (`spark.util.sketch.BloomFilter` wire format)
+    * that can be stored ([[bloomWriteSketch]]), OR-merged with a delta's
+    * sketch ([[bloomMergeSketches]]) and probed ([[bloomProbe]]) — so the
+    * nightly-delta pipeline builds the corpus sketch exactly once and
+    * thereafter pays only delta-sized builds + a driver-side merge,
+    * never a standing-corpus aggregation per run.
+    *
+    * The aggregation is the same bounded-buffer, map-side-merging
+    * machinery Spark's runtime row-group filtering uses. Spark SILENTLY
+    * clamps the sketch to the runtime-bloom-filter conf caps (4M items /
+    * 8 MB bits by default), which at 1e9 keys would degrade the fpp toward
+    * 1 and quietly stop reducing anything — so the caps are raised to fit
+    * `expectedItems` for the duration of the build and RESTORED after
+    * (try/finally): one build's sizing never leaks into the session.
+    * Returns null for an empty corpus (no rows → no sketch). */
+  def bloomBuild(keyed: DataFrame, keyCol: String, expectedItems: Long): Array[Byte] = {
+    require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
+    val conf = keyed.sparkSession.conf
     // optimal m for p = 0.03: −n·ln p / ln²2 ≈ 7.3 n (the aggregate's own
     // sizing formula) — the caps must admit it or the clamp is silent
     val neededBits = math.ceil(
       -expectedItems * math.log(0.03) / (math.log(2) * math.log(2))).toLong
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    if (conf.get(itemsKey).toLong < expectedItems)
-      conf.set(itemsKey, expectedItems.toString)
-    if (conf.get(bitsKey).toLong < neededBits)
-      conf.set(bitsKey, neededBits.toString)
-    val candidates = bloomCandidates(newKeyed, oldKeyed, keyCol, expectedItems)
-    candidates.select(col(idCol).as("new_id"), col(keyCol))
+    val (items0, bits0) = (conf.get(itemsKey), conf.get(bitsKey))
+    try {
+      if (items0.toLong < expectedItems) conf.set(itemsKey, expectedItems.toString)
+      if (bits0.toLong < neededBits) conf.set(bitsKey, neededBits.toString)
+      val bloomAgg = graftExpr.column(
+        new BloomFilterAggregate(
+          graftExpr.expression(xxhash64(col(keyCol))), expectedItems)
+          .toAggregateExpression())
+      keyed.select(bloomAgg.as("bf")).collect()(0).getAs[Array[Byte]](0)
+    } finally { conf.set(itemsKey, items0); conf.set(bitsKey, bits0) }
+  }
+
+  /** OR-merge two sketches into one whose member set is the union — the
+    * incremental-maintenance step: nightly sketch = merge(standing sketch,
+    * bloomBuild(delta)). Both sides must be [[bloomBuild]]s with the SAME
+    * `expectedItems` (identical bit-array size and hash count — merging is
+    * a bitwise OR, so incompatible layouts are rejected loudly by the
+    * sketch library). Because insertion only SETS bits, merge(build(A),
+    * build(B)) is byte-identical to build(A ∪ B) — rebuild and
+    * merge-delta are indistinguishable, which the spec pins. Null (empty
+    * corpus) merges as the identity. */
+  def bloomMergeSketches(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    if (a == null) b
+    else if (b == null) a
+    else {
+      val fa = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
+      fa.mergeInPlace(BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+      val bos = new java.io.ByteArrayOutputStream()
+      fa.writeTo(bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Persist a sketch as a 1-row parquet artifact next to the corpus it
+    * summarizes (the same store-don't-rederive contract as
+    * [[graft.operators.Similarity.writeIvfIndex]]). Null (empty corpus)
+    * round-trips. */
+  def bloomWriteSketch(spark: org.apache.spark.sql.SparkSession, path: String,
+                       sketch: Array[Byte]): Unit = {
+    import spark.implicits._
+    Seq(Tuple1(Option(sketch))).toDF("sketch")
+      .repartition(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Read a [[bloomWriteSketch]] artifact back. */
+  def bloomReadSketch(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Array[Byte] =
+    spark.read.parquet(path).collect()(0).getAs[Array[Byte]](0)
+
+  /** The Bloom pre-filter stage alone: the delta rows whose key MIGHT be
+    * in the sketch's member set, filtered LOCALLY at the scan (the sketch
+    * ships as a plan literal — no shuffle, no corpus access). False
+    * negatives are impossible; the false-positive rate is the sketch's fpp
+    * (what the calibration spec measures). A null sketch (empty corpus)
+    * admits nothing. */
+  def bloomProbe(newKeyed: DataFrame, keyCol: String,
+                 sketch: Array[Byte]): DataFrame =
+    if (sketch == null) newKeyed.filter(lit(false))
+    else newKeyed.filter(graftExpr.column(BloomFilterMightContain(
+      Literal(sketch, BinaryType), graftExpr.expression(xxhash64(col(keyCol))))))
+
+  /** [[bloomMembership]] against a PREBUILT sketch — the steady-state
+    * entry point once the sketch is a stored artifact: probe the delta
+    * against the sketch literal, then remove false positives with the
+    * exact key join. Output: (new_id, keyCol, first_old_id) — identical
+    * to the plain join's, the sketch is pure plan reduction. */
+  def bloomMembershipWith(newKeyed: DataFrame, oldKeyed: DataFrame,
+                          idCol: String, keyCol: String,
+                          sketch: Array[Byte]): DataFrame =
+    bloomProbe(newKeyed, keyCol, sketch)
+      .select(col(idCol).as("new_id"), col(keyCol))
       .join(oldKeyed.select(col(keyCol), col(idCol).as("old_id")), keyCol)
       .groupBy(col("new_id"), col(keyCol))
       .agg(min(col("old_id")).as("first_old_id"))
-  }
 
-  /** The Bloom pre-filter stage of [[bloomMembership]] alone: the delta
-    * rows whose key MIGHT be a corpus member. False-positive rate = the
-    * sketch's fpp (what the calibration spec measures); false negatives
-    * are impossible. Callers must size the conf caps first — this is the
-    * internal stage, [[bloomMembership]] the guarded entry point. */
+  /** Build-then-probe in one call — the calibration spec's entry point. */
   private[graft] def bloomCandidates(newKeyed: DataFrame, oldKeyed: DataFrame,
-                                     keyCol: String, expectedItems: Long): DataFrame = {
-    def k: Column = xxhash64(col(keyCol))
-    val bloomAgg = graftExpr.column(
-      new BloomFilterAggregate(graftExpr.expression(k), expectedItems)
-        .toAggregateExpression())
-    val bloomBytes = oldKeyed.select(bloomAgg.as("bf")).collect()(0).getAs[Array[Byte]](0)
-    if (bloomBytes == null) newKeyed.filter(lit(false)) // empty corpus: no members
-    else newKeyed.filter(graftExpr.column(BloomFilterMightContain(
-      Literal(bloomBytes, BinaryType), graftExpr.expression(k))))
-  }
+                                     keyCol: String, expectedItems: Long): DataFrame =
+    bloomProbe(newKeyed, keyCol, bloomBuild(oldKeyed, keyCol, expectedItems))
 
   /** Full-document exact variant of [[bloomMembership]]: key = content
     * hash. Output: (new_id, content_hash, first_old_id). */

@@ -55,7 +55,11 @@ object Search {
   def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String,
                textCol: String, queryIdCol: String, queryTextCol: String,
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = termFrequencies(docs, idCol, textCol)
+    // postings materialized ONCE (localCheckpoint): the per-doc-length agg
+    // and the query-vocabulary semi-join are two consumers of the same
+    // corpus tokenize+count — without the checkpoint each re-runs it.
+    // Narrow (id, term, tf) rows, memory-and-disk: the spill-safe shape.
+    val tf = termFrequencies(docs, idCol, textCol).localCheckpoint()
     val qterms = broadcast(queries
       .select(col(queryIdCol).as("query_id"),
         explode(split(trim(col(queryTextCol)), " ")).as("term"))
@@ -84,8 +88,21 @@ object Search {
     // corpus postings restricted to the query vocabulary FIRST; df is
     // per-term, so counting it on the restricted postings is exact
     val tfq = tf.join(broadcast(qterms.select(col("term")).distinct()), "term")
+    bm25ScoresFrom(tfq, dl, stats, qterms, idCol, k1, b)
+  }
+
+  /** The scoring core against PREBUILT parts: query-vocabulary postings
+    * `tfq` (idCol, term, tf — every row of every query term, nothing
+    * else), per-doc lengths `dl` and the 1-row corpus `stats` — shared by
+    * the derive-in-run path ([[bm25Scores]]) and the materialized-index
+    * path ([[bm25IndexTopK]]), so their score expressions cannot drift.
+    * df is counted on `tfq` itself: a term's df only needs rows
+    * containing that term, which `tfq` holds in full — exact either way. */
+  private def bm25ScoresFrom(tfq: DataFrame, dl: DataFrame, stats: DataFrame,
+                             qterms: DataFrame, idCol: String,
+                             k1: Double, b: Double): DataFrame = {
     val dfreq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tfq
+    tfq.select(col(idCol), col("term"), col("tf"))
       .join(dfreq, "term")
       .join(qterms, "term")
       .filter(col(idCol) =!= col("query_id"))
@@ -124,7 +141,10 @@ object Search {
                   textCol: String, queryIdCol: String, queryTextCol: String,
                   k: Int, fbDocs: Int = 3, fbTerms: Int = 3,
                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = termFrequencies(docs, idCol, textCol)
+    // the shared postings feed BOTH scoring passes plus the feedback-term
+    // join — at least three corpus tokenize+aggregate jobs if left as an
+    // unpersisted sub-plan. One checkpoint, one corpus pass, ever.
+    val tf = termFrequencies(docs, idCol, textCol).localCheckpoint()
     val qterms0 = broadcast(queries
       .select(col(queryIdCol).as("query_id"),
         explode(split(trim(col(queryTextCol)), " ")).as("term"))
@@ -173,5 +193,71 @@ object Search {
           lit(0.0)))
         .reduce(_ + _).as("rrf_score"))
     Similarity.topKPerQuery(fused, idCol, "rrf_score", k)
+  }
+
+  // ---- materialized inverted index -----------------------------------------
+
+  /** Materialize the BM25 serving state ONCE: postings written TERM-
+    * BUCKETED (bucket = pmod(xxhash64(term), nBuckets) — a partition
+    * column, so a query's vocabulary resolves to a handful of bucket
+    * directory reads and every other posting byte is never listed,
+    * opened, or scanned), per-doc lengths, and the 1-row corpus stats
+    * (which also records nBuckets, so readers can never hash into a
+    * mismatched layout). This is the store-don't-rederive shape a serving
+    * path needs at 100 TB — the analog of [[Similarity.writeIvfIndex]]
+    * for the lexical arm: [[bm25TopK]] re-derives postings from raw text
+    * per run; [[bm25IndexTopK]] reads them back and re-derives nothing. */
+  def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
+                     path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val spark = docs.sparkSession
+    // one corpus pass feeds postings, dl and stats alike
+    val tf = termFrequencies(docs, idCol, textCol).localCheckpoint()
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint()
+    dl.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/dl")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/stats")
+    tf.withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("term"), col(idCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(s"$path/postings")
+  }
+
+  /** BM25 top-k against a [[writeBm25Index]] layout — identical results
+    * to [[bm25TopK]] (same [[bm25ScoresFrom]] expression tree, bit for
+    * bit), different I/O shape: the query vocabulary's term buckets are
+    * resolved driver-side (|query vocab| hashes — the same justified
+    * planning-time collect as [[Similarity.ivfIndexTopK]]'s probe cells)
+    * and pushed into the postings read as a static partition filter. */
+  def bm25IndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, idCol: String, queryIdCol: String,
+                    queryTextCol: String, k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val stats = spark.read.parquet(s"$path/stats")
+    val statsRow = stats.select(col("n_docs"), col("total_tokens"),
+      col("n_buckets")).collect()(0)
+    val nBuckets = statsRow.getInt(2)
+    val qterms = broadcast(queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(split(trim(col(queryTextCol)), " ")).as("term"))
+      .distinct())
+    val qbuckets = qterms
+      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val tfq = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(qbuckets: _*))
+      .join(broadcast(qterms.select(col("term")).distinct()), "term")
+    val dl = spark.read.parquet(s"$path/dl")
+    Similarity.topKPerQuery(
+      bm25ScoresFrom(tfq, dl,
+        broadcast(stats.select(col("n_docs"), col("total_tokens"))),
+        qterms, idCol, k1, b),
+      idCol, "score", k)
   }
 }

@@ -157,7 +157,7 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.exactDupsAgainstBloom(newDocs, oldDocs.limit(0), "doc_id", "text", 100L).isEmpty)
   }
 
-  test("bloomMembership: conf caps raised to fit expectedItems (no silent clamp)") {
+  test("bloomMembership: conf caps restored after the build (no session leak)") {
     val s = spark
     import s.implicits._
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
@@ -167,15 +167,42 @@ class DedupSpec extends AnyFunSuite {
       s.conf.set(itemsKey, "4000000"); s.conf.set(bitsKey, "67108864")
       val oldK = Seq((0L, "a"), (1L, "b")).toDF("doc_id", "key")
       val newK = Seq((10L, "a"), (11L, "z")).toDF("doc_id", "key")
-      // 20M expected items needs ~146M optimal bits — over both default caps;
-      // without the raise the sketch silently clamps and fpp degrades
+      // 20M expected items needs ~146M optimal bits — over both caps as set;
+      // the build raises them for its own job, then MUST put them back
       val out = Dedup.bloomMembership(newK, oldK, "doc_id", "key", 20000000L)
         .collect().map(r => (r.getLong(0), r.getLong(2))).sorted
       assert(out.toSeq == Seq((10L, 0L))) // semantics unchanged
-      assert(s.conf.get(itemsKey).toLong >= 20000000L)
-      assert(s.conf.get(bitsKey).toLong >=
-        math.ceil(-20000000L * math.log(0.03) / (math.log(2) * math.log(2))).toLong)
+      assert(s.conf.get(itemsKey) == "4000000", "items cap leaked")
+      assert(s.conf.get(bitsKey) == "67108864", "bits cap leaked")
     } finally { s.conf.set(itemsKey, items0); s.conf.set(bitsKey, bits0) }
+  }
+
+  test("bloom sketch lifecycle: build-once + merge-delta == rebuild, byte-identical; store round-trips") {
+    val s = spark
+    import s.implicits._
+    val corpus = s.range(1000).select(col("id").as("doc_id"),
+      concat(lit("k_"), col("id")).as("key"))
+    val delta = s.range(1000, 1200).select(col("id").as("doc_id"),
+      concat(lit("k_"), col("id")).as("key"))
+    val n = 5000L // shared sizing — merge requires identical layout
+    val merged = Dedup.bloomMergeSketches(
+      Dedup.bloomBuild(corpus, "key", n), Dedup.bloomBuild(delta, "key", n))
+    val rebuilt = Dedup.bloomBuild(corpus.union(delta), "key", n)
+    // insertion only SETS bits → union of builds is bitwise the build of
+    // the union; nightly merge-delta loses nothing vs a full rebuild
+    assert(java.util.Arrays.equals(merged, rebuilt))
+    // the stored artifact probes identically to the in-run build
+    val dir = java.nio.file.Files.createTempDirectory("bloom_sketch").toString
+    Dedup.bloomWriteSketch(s, dir, merged)
+    val probes = s.range(1150, 1300).select(col("id").as("doc_id"),
+      concat(lit("k_"), col("id")).as("key")) // 50 members, 100 absents
+    val viaStore = Dedup.bloomMembershipWith(probes, corpus.union(delta),
+        "doc_id", "key", Dedup.bloomReadSketch(s, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(viaStore == (1150L until 1200L).map(i => (i, i)))
+    // null (empty-corpus) sketch: identity under merge, admits nothing
+    assert(Dedup.bloomMergeSketches(null, merged).sameElements(merged))
+    assert(Dedup.bloomMembershipWith(probes, corpus, "doc_id", "key", null).isEmpty)
   }
 
   test("bloomCandidates: fpp stays <= 5% at the sized load") {

@@ -181,6 +181,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), p)
   }
 
+  test("retrieval stack: corpus text tokenized/embedded ONCE — every parquet text scan is query-side pruned") {
+    // the shared sub-plans (BM25 postings, hash embeddings) are
+    // checkpointed, so the only documents(text) file scans left in any
+    // retrieval plan are the tiny query-side reads with doc_id < 5 pushed
+    // down; an unpruned text scan means a corpus pass leaked back in
+    Seq("search_bm25", "search_bm25_prf", "search_hybrid_rrf",
+        "rag_retrieve").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("ExistingRDD"),
+        s"$name: expected the checkpointed shared sub-plan:\n$p")
+      val unpruned = p.linesIterator.filter(l =>
+        l.contains("FileScan") && l.contains("text#") && !l.contains("< 5)"))
+      assert(unpruned.isEmpty,
+        s"$name re-scans corpus text from parquet:\n${unpruned.mkString("\n")}")
+    }
+  }
+
   test("global sweep: no query plans an unbroadcast cartesian product") {
     // crossJoin against a broadcast side plans as BroadcastNestedLoopJoin
     // (fine — one side is tiny by construction); a CartesianProduct node

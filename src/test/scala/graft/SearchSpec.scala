@@ -174,6 +174,37 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25IndexTopK: identical rows to bm25TopK; postings scan prunes to the query's term buckets") {
+    val s = spark
+    import s.implicits._
+    // a larger seeded corpus so bucket pruning has something to prune
+    val rnd = new scala.util.Random(11)
+    val vocab = Array.tabulate(80)(i => s"w$i")
+    val docs = (0L until 120L).map { id =>
+      (id, Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val qs = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    val path = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+    Search.writeBm25Index(docs, "doc_id", "text", path, nBuckets = 64)
+    val direct = Search.bm25TopK(docs, qs, "doc_id", "text", "query_id", "qtext", 10)
+    val indexed = Search.bm25IndexTopK(s, path, qs, "doc_id", "query_id", "qtext", 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(rows(indexed) == rows(direct)) // bit-identical scores included
+    // the scan must prune: bucket partition filter present, and fewer
+    // bucket directories read than the layout holds
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket"),
+      s"postings read must prune term buckets:\n$plan")
+    val allBuckets = new java.io.File(s"$path/postings").listFiles()
+      .count(_.getName.startsWith("bucket="))
+    val queryTerms = qs.select(explode(split(trim(col("qtext")), " "))).distinct().count()
+    assert(queryTerms < allBuckets,
+      s"fixture broken: $queryTerms query terms vs $allBuckets buckets leaves nothing to prune")
+  }
+
   test("bm25 plan: query vocabulary broadcasts; final ranking is CollectTopK, no Window") {
     val p = bm25.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastExchange"), p)
