@@ -64,9 +64,27 @@ object Search {
       .select(col(queryIdCol).as("query_id"),
         explode(split(trim(col(queryTextCol)), " ")).as("term"))
       .distinct())
-    Similarity.topKPerQuery(bm25Scores(tf, qterms, idCol, k1, b),
+    val (dl, stats) = docLengths(tf, idCol)
+    Similarity.topKPerQuery(
+      bm25ScoresFrom(queryPostings(tf, qterms), dl, stats, qterms, idCol, k1, b),
       idCol, "score", k)
   }
+
+  /** Per-doc lengths + the broadcast 1-row corpus stats, computed from
+    * postings in ONE aggregation and checkpointed — `dl` feeds the score
+    * join AND the stats reduction (and in the PRF path both passes), so
+    * an unpersisted version would re-aggregate the postings per consumer. */
+  private def docLengths(tf: DataFrame, idCol: String): (DataFrame, DataFrame) = {
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint()
+    (dl, broadcast(dl.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))))
+  }
+
+  /** Corpus postings restricted to the query vocabulary FIRST — the only
+    * corpus-sized input a scoring pass touches. */
+  private def queryPostings(tf: DataFrame, qterms: DataFrame): DataFrame =
+    tf.join(broadcast(qterms.select(col("term")).distinct()), "term")
 
   /** (id, term, tf) postings of the corpus — built once, shared by the
     * plain and PRF search paths. */
@@ -79,18 +97,6 @@ object Search {
     * the scoring core behind [[bm25TopK]] and [[bm25PrfTopK]]. `qterms`
     * is a (query_id, term) frame, small by construction (broadcast by
     * callers). */
-  private def bm25Scores(tf: DataFrame, qterms: DataFrame, idCol: String,
-                         k1: Double, b: Double): DataFrame = {
-    // per-doc length in tokens — from tf, not a second corpus pass
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
-    val stats = broadcast(dl.agg(
-      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens")))
-    // corpus postings restricted to the query vocabulary FIRST; df is
-    // per-term, so counting it on the restricted postings is exact
-    val tfq = tf.join(broadcast(qterms.select(col("term")).distinct()), "term")
-    bm25ScoresFrom(tfq, dl, stats, qterms, idCol, k1, b)
-  }
-
   /** The scoring core against PREBUILT parts: query-vocabulary postings
     * `tfq` (idCol, term, tf — every row of every query term, nothing
     * else), per-doc lengths `dl` and the 1-row corpus `stats` — shared by
@@ -143,14 +149,17 @@ object Search {
                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     // the shared postings feed BOTH scoring passes plus the feedback-term
     // join — at least three corpus tokenize+aggregate jobs if left as an
-    // unpersisted sub-plan. One checkpoint, one corpus pass, ever.
+    // unpersisted sub-plan. One checkpoint, one corpus pass, ever; dl and
+    // stats likewise computed once and shared by both passes.
     val tf = termFrequencies(docs, idCol, textCol).localCheckpoint()
+    val (dl, stats) = docLengths(tf, idCol)
+    def pass(q: DataFrame): DataFrame =
+      bm25ScoresFrom(queryPostings(tf, q), dl, stats, q, idCol, k1, b)
     val qterms0 = broadcast(queries
       .select(col(queryIdCol).as("query_id"),
         explode(split(trim(col(queryTextCol)), " ")).as("term"))
       .distinct())
-    val fb = Similarity.topKPerQuery(
-      bm25Scores(tf, qterms0, idCol, k1, b), idCol, "score", fbDocs)
+    val fb = Similarity.topKPerQuery(pass(qterms0), idCol, "score", fbDocs)
     // candidate expansion terms: total tf across the feedback docs, minus
     // terms the query already has; top fbTerms by (tf desc, term asc)
     val fbTf = fb.select(col("query_id"), col(idCol))
@@ -163,13 +172,17 @@ object Search {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("fbtf").desc, col("term").asc)
+    // |queries|·fbTerms rows — checkpointing this pins pass-1 to exactly
+    // ONE evaluation: without it the expanded-vocabulary frame (whose
+    // lineage embeds the whole first pass) is re-evaluated at every place
+    // pass-2 consumes it (postings semi-join + contributions join)
     val expansion = fbTf.withColumn("r", row_number().over(w))
       .filter(col("r") <= fbTerms)
       .select(col("query_id"), col("term"))
+      .localCheckpoint()
     val qterms1 = broadcast(
       qterms0.select(col("query_id"), col("term")).union(expansion).distinct())
-    Similarity.topKPerQuery(bm25Scores(tf, qterms1, idCol, k1, b),
-      idCol, "score", k)
+    Similarity.topKPerQuery(pass(qterms1), idCol, "score", k)
   }
 
   /** Reciprocal-rank fusion of ranked lists into one hybrid top-k.
