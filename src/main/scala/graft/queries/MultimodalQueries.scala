@@ -100,6 +100,37 @@ object MultimodalQueries {
       |  CAST(list_sum(list_transform(range(0, w*h), j -> bs[CAST(3*j+3 AS INTEGER)])) AS DOUBLE) / (w*h) AS mean_b
       |FROM px ORDER BY media_id""".stripMargin
 
+  // ---- REAL WAV decode: RIFF walk + per-channel PCM stats ------------------
+  /** Real RIFF/WAVE payloads built in-plan (44-byte PCM header + the
+    * doc's bytes tiled across interleaved stereo samples), decoded by the
+    * REAL chunk-walking parser in the mapPartitions codec seam. The
+    * oracle recomputes per-channel mean amplitude and peak from the same
+    * text bytes — header mis-parses, channel misalignment, or a wrong
+    * 128-bias all hash-mismatch immediately. */
+  def mmDecodeWav(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeWav(Multimodal.asWav(
+        Multimodal.wavFromText(Tables.documents(s, d))))
+      .toDF().orderBy(col("media_id"))
+  val mmDecodeWavSql: String =
+    """WITH src AS (
+      |  SELECT doc_id AS media_id,
+      |         CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sr,
+      |         CAST(20 + doc_id % 50 AS BIGINT) AS nf, text
+      |  FROM documents WHERE length(text) > 0
+      |), amp AS (
+      |  SELECT media_id, sr, nf,
+      |    list_transform(range(0, CAST(nf*2 AS INTEGER)), i ->
+      |      ascii(substring(text, CAST(1 + i % length(text) AS INTEGER), 1)) - 128) AS a
+      |  FROM src
+      |)
+      |SELECT media_id, sr AS sample_rate, CAST(2 AS INTEGER) AS n_channels,
+      |  nf AS n_frames,
+      |  CAST(list_sum(list_transform(range(0, nf), j -> a[CAST(2*j+1 AS INTEGER)])) AS DOUBLE) / nf AS mean_l,
+      |  CAST(list_sum(list_transform(range(0, nf), j -> a[CAST(2*j+2 AS INTEGER)])) AS DOUBLE) / nf AS mean_r,
+      |  CAST(list_max(list_transform(range(0, nf), j -> abs(a[CAST(2*j+1 AS INTEGER)]))) AS BIGINT) AS peak_l,
+      |  CAST(list_max(list_transform(range(0, nf), j -> abs(a[CAST(2*j+2 AS INTEGER)]))) AS BIGINT) AS peak_r
+      |FROM amp ORDER BY media_id""".stripMargin
+
   // ---- payload-level exact dedup (storage reclaim report) ------------------
   /** Byte-identical payloads across media ids — the first dedup pass of
     * any multimodal lake (hash the BINARY, never compare payloads), plus
@@ -166,7 +197,8 @@ object MultimodalQueries {
     "mm_ingest_stats" -> (mmIngestStats _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_decode_features" -> (mmDecodeFeatures _),
-    "mm_decode_ppm" -> (mmDecodePpm _))
+    "mm_decode_ppm" -> (mmDecodePpm _),
+    "mm_decode_wav" -> (mmDecodeWav _))
 
   val oracle: Map[String, String] = Map(
     "mm_dedup_payload" -> mmDedupPayloadSql,
@@ -174,5 +206,6 @@ object MultimodalQueries {
     "mm_ingest_stats" -> mmIngestStatsSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_decode_features" -> mmDecodeFeaturesSql,
-    "mm_decode_ppm" -> mmDecodePpmSql)
+    "mm_decode_ppm" -> mmDecodePpmSql,
+    "mm_decode_wav" -> mmDecodeWavSql)
 }

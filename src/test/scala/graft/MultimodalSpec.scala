@@ -63,4 +63,77 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.ppmFromText(
       Seq((1L, "")).toDF("doc_id", "text")).isEmpty)
   }
+
+  // ---- WAV (RIFF PCM) ------------------------------------------------------
+
+  private def le16b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+  private def le32b(v: Int) =
+    Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+  private def chunk(id: String, body: Array[Byte]): Array[Byte] =
+    id.getBytes("US-ASCII") ++ le32b(body.length) ++
+      body ++ (if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+
+  /** Hand-built stereo 8-bit PCM WAV with an odd-sized LIST chunk BEFORE
+    * fmt (forcing a real chunk walk + pad-byte handling). Frames (L,R):
+    * (128,130) (126,140) (131,98) → amp L: 0,−2,3; R: 2,12,−30. */
+  private def goldenWav: Array[Byte] = {
+    val fmt = le16b(1) ++ le16b(2) ++ le32b(11025) ++ le32b(22050) ++
+      le16b(2) ++ le16b(8)
+    val data = Array[Byte](128.toByte, 130.toByte, 126, 140.toByte, 131.toByte, 98)
+    val body = "WAVE".getBytes("US-ASCII") ++
+      chunk("LIST", Array[Byte](73, 78, 70, 79, 88)) ++ // 5 bytes: odd → padded
+      chunk("fmt ", fmt) ++ chunk("data", data)
+    "RIFF".getBytes("US-ASCII") ++ le32b(body.length) ++ body
+  }
+
+  test("parseWav: golden stream — chunk walk past LIST, pad byte, exact channel stats") {
+    val f = Multimodal.parseWav(9L, goldenWav)
+    assert(f == Multimodal.WavFeatures(9L, 11025, 2, 3,
+      (0 - 2 + 3) / 3.0, (2 + 12 - 30) / 3.0, 3L, 30L))
+  }
+
+  test("parseWav: mono duplicates its channel; malformed inputs fail loudly") {
+    val fmtMono = le16b(1) ++ le16b(1) ++ le32b(8000) ++ le32b(8000) ++
+      le16b(1) ++ le16b(8)
+    val mono = "RIFF".getBytes("US-ASCII") ++ le32b(0) ++
+      "WAVE".getBytes("US-ASCII") ++ chunk("fmt ", fmtMono) ++
+      chunk("data", Array[Byte](138.toByte, 118))
+    val f = Multimodal.parseWav(1L, mono)
+    assert(f.n_channels == 1 && f.mean_l == 0.0 && f.mean_r == 0.0 &&
+      f.peak_l == 10L && f.peak_r == 10L)
+    val notRiff = intercept[IllegalArgumentException] {
+      Multimodal.parseWav(2L, "JFIF____________".getBytes("US-ASCII"))
+    }
+    assert(notRiff.getMessage.contains("media 2"))
+    val noData = intercept[IllegalArgumentException] {
+      Multimodal.parseWav(3L, "RIFF".getBytes("US-ASCII") ++ le32b(4) ++
+        "WAVE".getBytes("US-ASCII") ++ chunk("fmt ", fmtMono))
+    }
+    assert(noData.getMessage.contains("missing data"))
+    val floatPcm = intercept[IllegalArgumentException] {
+      Multimodal.parseWav(4L, "RIFF".getBytes("US-ASCII") ++ le32b(4) ++
+        "WAVE".getBytes("US-ASCII") ++
+        chunk("fmt ", le16b(3) ++ fmtMono.drop(2)) ++
+        chunk("data", Array[Byte](1, 2)))
+    }
+    assert(floatPcm.getMessage.contains("non-PCM"))
+  }
+
+  test("wavFromText -> decodeWav: in-plan payloads are valid RIFF and decode distributed") {
+    val s = spark
+    import s.implicits._
+    // doc 0: sr=8000, nf=20, data = "ABCD" tiled over 40 bytes; L channel
+    // reads even offsets (A,C alternating), R the odd ones (B,D)
+    val docs = Seq((0L, "ABCD")).toDF("doc_id", "text")
+    val out = Multimodal.decodeWav(Multimodal.asWav(
+      Multimodal.wavFromText(docs))).collect()
+    assert(out.length == 1)
+    val f = out(0)
+    assert(f.sample_rate == 8000 && f.n_channels == 2 && f.n_frames == 20L)
+    assert(f.mean_l == ('A' - 128 + ('C' - 128)) / 2.0)
+    assert(f.mean_r == ('B' - 128 + ('D' - 128)) / 2.0)
+    assert(f.peak_l == 128 - 'A' && f.peak_r == 128 - 'B')
+    assert(Multimodal.wavFromText(
+      Seq((1L, "")).toDF("doc_id", "text")).isEmpty)
+  }
 }
