@@ -261,10 +261,12 @@ object Relational {
   }
 
   /** SCD Type-2 interval build: collapse a change log into validity
-    * intervals per key — the warehouse-dimension shape of the reference's
-    * current-vs-previous history reads (api/main.py:369-407 compares the
-    * two latest rows; SCD2 is that comparison materialized for ALL of
-    * history). A row opens an interval when its state differs from the
+    * intervals per key — the warehouse-dimension view of the reference's
+    * append-only history (its hypertables keep every observed row and
+    * serve latest-point reads, api/main.py:369-388; SCD2 materializes
+    * WHEN each state changed, for all of history, so "state as of t" is
+    * an interval lookup instead of a scan-back). A row opens an interval
+    * when its state differs from the
     * key's previous state; the interval closes at the NEXT change's
     * timestamp (NULL = still current).
     *
@@ -304,9 +306,21 @@ object Relational {
     * delta partial is delta-sized — the merge shuffles agg-table-sized
     * rows, never the fact history. This is how a 100 TB events table
     * keeps a serving rollup fresh nightly without a full recompute. */
-  def rollupMerge(a: DataFrame, b: DataFrame): DataFrame =
+  def rollupMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    // the grouping type column BY NAME — both partials carry exactly
+    // (day, <type>, n_events, sum_dec), but unionByName is column-order
+    // tolerant, so a positional columns(1) could silently group a
+    // reordered caller's partial by the wrong column
+    val typeCol = a.columns.filterNot(
+      Set("day", "n_events", "sum_dec")) match {
+      case Array(only) => only
+      case other => throw new IllegalArgumentException(
+        s"rollupMerge expects (day, <type>, n_events, sum_dec) partials; " +
+          s"ambiguous type column among ${other.mkString(", ")}")
+    }
     a.unionByName(b)
-      .groupBy(col("day"), col(a.columns(1)))
+      .groupBy(col("day"), col(typeCol))
       .agg(sum(col("n_events")).as("n_events"),
         sum(col("sum_dec")).as("sum_dec"))
+  }
 }

@@ -252,11 +252,23 @@ object PartitionedStore {
       .option("compression", "zstd")
       .parquet(root.resolve("data").resolve(dirName).toString)
     val parentDirs = if (append) parent.toSeq.flatMap(pv => manifestDirs(path, pv)) else Nil
-    val tmp = root.resolve("_manifests").resolve(s".v$v.tmp")
+    // publish = atomic CREATE-NEW of the final manifest (hard link from a
+    // fully-written temp file): readers still never see a partial
+    // manifest, and a concurrent committer that computed the same version
+    // number FAILS here instead of silently replacing the winner's
+    // manifest and orphaning its data (the Delta/Iceberg loser-errors
+    // contract; a POSIX rename would clobber). The loser's data dir is
+    // unreferenced by any manifest — invisible, reclaimed by [[vacuum]].
+    val tmp = root.resolve("_manifests")
+      .resolve(s".v$v-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     Files.write(tmp, (parentDirs :+ dirName).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    Files.move(tmp, root.resolve("_manifests").resolve(s"v$v.list"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(root.resolve("_manifests").resolve(s"v$v.list"), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"concurrent commit lost the race: version $v already published at $path")
+    } finally Files.deleteIfExists(tmp)
     v
   }
 

@@ -493,12 +493,17 @@ object Streams {
   /** Exponential backoff bookkeeping (snoozerScheduler.py:192-222): per
     * item, consecutive failures double the cooldown multiplier (cap 8);
     * any success resets. Emits the post-batch state per key. */
-  /** Execute `action` at most once per (ledger, batchId): a marker file
-    * commits the batch AFTER the action succeeds, so a crash mid-action
-    * re-runs it on replay (at-least-once action, exactly-once effect when
-    * the action itself lands atomically, e.g. a partition overwrite).
-    * Returns whether the action ran. The marker write is a CREATE_NEW —
-    * concurrent duplicate attempts lose the race and skip. */
+  /** Execute `action` at most once per (ledger, batchId) across
+    * SEQUENTIAL attempts — the Structured Streaming replay case: a marker
+    * file commits the batch AFTER the action succeeds, so a crash
+    * mid-action re-runs it on the next attempt (at-least-once action,
+    * exactly-once effect when the action itself lands atomically, e.g. a
+    * partition overwrite). NOT a concurrency guard: because the action
+    * runs before the marker's CREATE_NEW, two CONCURRENT attempts on the
+    * same batch can both execute it — one then loses the marker race and
+    * returns false. Streaming replays are sequential by construction,
+    * which is the case this exists for. Returns whether this call
+    * published the marker. */
   def commitOnce(ledgerDir: String, batchId: Long)(action: => Unit): Boolean = {
     val dir = java.nio.file.Paths.get(ledgerDir)
     java.nio.file.Files.createDirectories(dir)

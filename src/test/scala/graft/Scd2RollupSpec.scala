@@ -116,6 +116,24 @@ class Scd2RollupSpec extends AnyFunSuite {
     assert(merged.filter(col("day") === "2024-01-03").count() == 1)
   }
 
+  test("rollup maintenance: a column-reordered delta partial still groups by the type column") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (ts("2024-01-01 05:00:00"), "click", 1.0),
+      (ts("2024-01-01 06:00:00"), "view", 2.0)
+    ).toDF("ts", "event_type", "value")
+    val standing = Relational.rollupPartial(ev, "ts", "event_type", "value")
+    // same rows, scrambled column order — unionByName tolerates it, so the
+    // merge's grouping must resolve the type column by NAME, not position
+    val reordered = standing.select(col("sum_dec"), col("day"),
+      col("n_events"), col("event_type"))
+    val merged = Relational.rollupMerge(standing, reordered)
+      .orderBy(col("day"), col("event_type")).collect()
+    assert(merged.map(r => (r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("click", 2L), ("view", 2L)))
+  }
+
   test("rollup maintenance: merging an empty delta is the identity") {
     val s = spark
     import s.implicits._

@@ -62,6 +62,34 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(PartitionedStore.readVersion(spark, path).count() == 3, "live data untouched")
   }
 
+  test("a concurrent committer that computed the same version FAILS instead of clobbering") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = Files.createTempDirectory("vstore").toString
+    PartitionedStore.commitVersion(df(0 until 3), path)
+    // two writers race for v2: both read versions() before either
+    // publishes (the data write in between is the wide window), so both
+    // compute v=2 — exactly one may win; the loser must ERROR, not
+    // silently replace the winner's manifest
+    val attempts = Seq(df(0 until 400), df(400 until 800)).map(d =>
+      Future(scala.util.Try(PartitionedStore.commitVersion(d, path))))
+    val results = attempts.map(Await.result(_, 60.seconds))
+    val (won, lost) = results.partition(_.isSuccess)
+    if (lost.nonEmpty) { // the race materialized (overwhelmingly likely)
+      assert(won.size == 1 && won.head.get == 2L)
+      assert(lost.forall(_.failed.get.isInstanceOf[IllegalStateException]))
+      assert(PartitionedStore.versions(path) == Seq(1L, 2L))
+      // the winner's snapshot is intact — 400 rows, not the loser's
+      assert(PartitionedStore.readVersion(spark, path).count() == 400)
+      // the loser left only an invisible data dir; vacuum reclaims it
+      assert(PartitionedStore.vacuum(path).length == 1)
+      assert(PartitionedStore.readVersion(spark, path).count() == 400)
+    } else { // threads serialized: both landed, as distinct versions
+      assert(results.map(_.get).sorted == Seq(2L, 3L))
+    }
+  }
+
   test("truncating history then vacuuming reclaims unreferenced snapshot dirs") {
     val path = Files.createTempDirectory("vstore").toString
     PartitionedStore.commitVersion(df(0 until 3), path)
