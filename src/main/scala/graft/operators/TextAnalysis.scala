@@ -169,25 +169,29 @@ object TextAnalysis {
     * learned merge table is deterministic.
     *
     * @return (rank, left, right, count) merge rules, rank 0.. in
-    *         application order (may stop early if no pair repeats). */
+    *         application order (may stop early if no pair repeats).
+    *
+    * This is the BATCHED trainer ([[bpeTrainBatched]] with the default
+    * batch width): identical merge table to the one-merge-per-round loop,
+    * ~R× fewer distributed rounds. */
   def bpeTrain(df: DataFrame, textCol: String,
-               nMerges: Int): Seq[(Int, String, String, Long)] = {
-    var words = df.select(explode(split(trim(col(textCol)), " ")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("sym"), col("cnt"))
-      .localCheckpoint()
+               nMerges: Int): Seq[(Int, String, String, Long)] =
+    bpeTrainBatched(df, textCol, nMerges).merges
+
+  /** The sequential one-merge-per-round loop — the literal Sennrich
+    * procedure, kept as the parity reference for [[bpeTrainBatched]]
+    * (whose spec proves batch ≡ sequential on seeded corpora). At a real
+    * 30k-merge vocabulary this shape is 30k driver round-trips — use the
+    * batched trainer. */
+  private[graft] def bpeTrainSequential(df: DataFrame, textCol: String,
+                                        nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var words = symbolTable(df, textCol)
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var r = 0
     var exhausted = false
     while (r < nMerges && !exhausted) {
-      val top = words
-        .select(col("cnt"), split(col("sym"), " ").as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(col("cnt"), col("t"),
-          explode(sequence(lit(2), size(col("t")))).as("i"))
-        .select(concat(element_at(col("t"), col("i") - 1), lit(" "),
-          element_at(col("t"), col("i"))).as("pair"), col("cnt"))
-        .groupBy(col("pair")).agg(sum(col("cnt")).as("pcnt"))
+      val top = pairCounts(words)
+        .select(concat_ws(" ", col("l"), col("r")).as("pair"), col("pcnt"))
         .orderBy(col("pcnt").desc, col("pair").asc)
         .limit(1).collect()
       if (top.isEmpty || top(0).getLong(1) < 2) exhausted = true
@@ -202,6 +206,113 @@ object TextAnalysis {
       }
     }
     merges.toSeq
+  }
+
+  /** (merges, rounds) of a batched training run — rounds is the number of
+    * distributed count→rewrite cycles actually paid. */
+  case class BpeTraining(merges: Seq[(Int, String, String, Long)], rounds: Int)
+
+  /** distinct-word symbol table (sym = space-joined chars, cnt) */
+  private def symbolTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(trim(col(textCol)), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("sym"), col("cnt"))
+      .localCheckpoint()
+
+  /** (l, r, pcnt) adjacent-pair counts of a symbol table — one generator
+    * + one map-side-combinable groupBy, checkpointed because one round
+    * reads it three times (candidates + the two per-symbol maxes). */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("cnt"), split(col("sym"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("cnt"), col("t"),
+        explode(sequence(lit(2), size(col("t")))).as("i"))
+      .select(element_at(col("t"), col("i") - 1).as("l"),
+        element_at(col("t"), col("i")).as("r"), col("cnt"))
+      .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("pcnt"))
+      .localCheckpoint()
+
+  /** Batched BPE training: per distributed round, accept a PREFIX of the
+    * (count desc, pair asc)-ordered candidate list and apply every
+    * accepted merge in one rewrite — EXACTLY the sequential merge table,
+    * ~batch× fewer rounds. A candidate is accepted while three
+    * conditions guarantee the sequential trainer would have picked it
+    * next anyway:
+    *
+    *  1. SYMBOL-DISJOINT from every earlier accepted pair — an earlier
+    *     merge touching a shared symbol changes this pair's count; counts
+    *     of disjoint pairs are untouched (a merge only rewrites "a b"
+    *     adjacencies; it cannot create or destroy an (x,y) adjacency with
+    *     x,y ∉ {a,b}).
+    *  2. count STRICTLY ABOVE the new-pair bound: a merge (a,b) creates
+    *     only pairs containing the merged symbol ab, and every such
+    *     occurrence "x (ab)" / "(ab) y" requires a CURRENT "x a" / "b y"
+    *     adjacency — so new-pair counts are ≤ max(max pcnt of pairs
+    *     ending in a, max pcnt of pairs starting with b), both known from
+    *     the current table. While the next candidate's count exceeds the
+    *     running bound over all accepted merges, no created pair can
+    *     outrank it (strict: an equal-count new pair could win the
+    *     pair-string tie-break, which is unknowable before the rewrite).
+    *  3. Scanning STOPS at the first violation (never skips): the pairs
+    *     after a rejected candidate rank below it, so accepting any would
+    *     reorder the sequential table.
+    *
+    * The first candidate is always accepted — every round makes progress;
+    * batches self-size between 1 and `batchCand` per round (natural-text
+    * count decay makes wide batches the common case). */
+  def bpeTrainBatched(df: DataFrame, textCol: String, nMerges: Int,
+                      batchCand: Int = 64): BpeTraining = {
+    var words = symbolTable(df, textCol)
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var rounds = 0
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      val pairs = pairCounts(words)
+      val endMax = pairs.groupBy(col("r").as("s")).agg(max(col("pcnt")).as("end_max"))
+      val startMax = pairs.groupBy(col("l").as("s")).agg(max(col("pcnt")).as("start_max"))
+      val cands = pairs
+        .join(endMax, pairs("l") === endMax("s"), "left").drop("s")
+        .join(startMax, pairs("r") === startMax("s"), "left").drop("s")
+        .orderBy(col("pcnt").desc, concat_ws(" ", col("l"), col("r")).asc)
+        .limit(batchCand)
+        .select(col("l"), col("r"), col("pcnt"), col("end_max"), col("start_max"))
+        .collect()
+      if (cands.isEmpty || cands(0).getLong(2) < 2) exhausted = true
+      else {
+        val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        val used = scala.collection.mutable.Set.empty[String]
+        var bound = Long.MinValue
+        var scan = true
+        var i = 0
+        while (scan && i < cands.length && merges.size + accepted.size < nMerges) {
+          val c = cands(i)
+          val (a, b, cnt) = (c.getString(0), c.getString(1), c.getLong(2))
+          if (cnt < 2) scan = false
+          else if (accepted.nonEmpty && cnt <= bound) scan = false
+          else if (used.contains(a) || used.contains(b)) scan = false
+          else {
+            accepted += ((a, b, cnt))
+            used += a; used += b
+            bound = math.max(bound, math.max(
+              if (c.isNullAt(3)) Long.MinValue else c.getLong(3),
+              if (c.isNullAt(4)) Long.MinValue else c.getLong(4)))
+          }
+          i += 1
+        }
+        // one rewrite applies the whole batch (rank order; symbol-disjoint
+        // merges commute, so the chained replace IS the sequential result)
+        val rewritten = accepted.foldLeft(col("sym")) { case (cc, (a, b, _)) =>
+          regexp_replace(cc, lit(mergePattern(a, b)), lit(mergeReplacement(a, b)))
+        }
+        accepted.foreach { case (a, b, cnt) =>
+          merges += ((merges.size, a, b, cnt))
+        }
+        words = words.withColumn("sym", rewritten).localCheckpoint()
+        rounds += 1
+      }
+    }
+    BpeTraining(merges.toSeq, rounds)
   }
 
   private def mergePattern(a: String, b: String): String =

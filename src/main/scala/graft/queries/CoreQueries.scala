@@ -192,8 +192,60 @@ object CoreQueries {
 
   // -------------------------------------------------------------------------
 
+  // ---- Zipf-keyed shuffle join: plain vs salted -----------------------------
+  /** Deliberately skewed join fixture: 3/4 of all event rows collapse
+    * onto one 'hot' key, the rest spread over 50 cold keys — the Zipf
+    * head every real activity stream has. Both variants return identical
+    * rows (one shared oracle); the PAIR exists so the bench shows what
+    * salting buys on a skewed shuffle and the plan audit pins the salted
+    * exchange shape. The merge-join hint forces the shuffle path: at
+    * this SF Spark would broadcast the small build side away (the right
+    * call when a side IS small — salting is for the two-big-sides case
+    * this fixture simulates; [[graft.operators.Relational.saltedJoin]]'s
+    * scaladoc says the same). */
+  private def skewProbe(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      when(col("user_id") % 4 =!= 0, lit("hot"))
+        .otherwise(concat(lit("u"), (col("user_id") % 50).cast("string"))).as("k"),
+      floor(col("value") * lit(1.0e2)).cast("long").as("cents"))
+
+  private def skewBuild(s: SparkSession, d: String): DataFrame =
+    skewProbe(s, d).select(col("k")).distinct()
+      .crossJoin(broadcast(s.range(0, 200).select(col("id").as("slot"))))
+
+  private def skewAgg(joined: DataFrame): DataFrame =
+    joined.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("slot")).as("sum_slot"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("k"))
+
+  def skewJoinPlain(s: SparkSession, d: String): DataFrame =
+    skewAgg(skewProbe(s, d).join(skewBuild(s, d).hint("merge"), "k"))
+
+  def skewJoinSalted(s: SparkSession, d: String): DataFrame =
+    skewAgg(Relational.saltedJoin(skewProbe(s, d),
+      skewBuild(s, d).hint("merge"), Seq("k"), Seq("cents"), buckets = 16))
+
+  /** Shared by both variants — the salt must be invisible in the answer. */
+  val skewJoinSql: String =
+    """WITH probe AS (
+      |  SELECT CASE WHEN user_id % 4 <> 0 THEN 'hot'
+      |              ELSE 'u' || CAST(user_id % 50 AS VARCHAR) END AS k,
+      |         CAST(floor(value * 1.0e2) AS BIGINT) AS cents
+      |  FROM events
+      |), build AS (
+      |  SELECT k, slot
+      |  FROM (SELECT DISTINCT k FROM probe), (SELECT unnest(range(0, 200)) AS slot)
+      |)
+      |SELECT k, COUNT(*) AS n_pairs, CAST(SUM(slot) AS BIGINT) AS sum_slot,
+      |       CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM probe JOIN build USING (k)
+      |GROUP BY k ORDER BY k""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
+    "skew_join_plain" -> (skewJoinPlain _),
+    "skew_join_salted" -> (skewJoinSalted _),
     "w1_latest_event_per_user" -> (w1LatestEventPerUser _),
     "o1_recent_user_events" -> (o1RecentUserEvents _),
     "o2_range_scan" -> (o2RangeScan _),
@@ -204,6 +256,8 @@ object CoreQueries {
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1PricingSummarySql,
+    "skew_join_plain" -> skewJoinSql,
+    "skew_join_salted" -> skewJoinSql,
     "w1_latest_event_per_user" -> w1LatestEventPerUserSql,
     "o1_recent_user_events" -> o1RecentUserEventsSql,
     "o2_range_scan" -> o2RangeScanSql,

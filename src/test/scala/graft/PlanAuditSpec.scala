@@ -198,6 +198,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("skew_join_salted: the salt reaches the join exchange; the plain twin keeps the skewed shape") {
+    val p = plan("skew_join_salted")
+    // the merge hint must hold — a broadcast would optimize the salt away
+    assert(p.contains("SortMergeJoin"), s"expected a shuffle join:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("_salt")),
+      s"join exchange must partition by (k, _salt) so the hot key spreads:\n$p")
+    val pp = plan("skew_join_plain")
+    assert(pp.contains("SortMergeJoin") && !pp.contains("_salt"),
+      s"plain twin must keep the unsalted skewed exchange:\n$pp")
+  }
+
   test("global sweep: no query plans an unbroadcast cartesian product") {
     // crossJoin against a broadcast side plans as BroadcastNestedLoopJoin
     // (fine — one side is tiny by construction); a CartesianProduct node

@@ -729,6 +729,39 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(seg.replace(" ", "") == "lowest", "segmentation must preserve the word")
   }
 
+  test("bpeTrainBatched: identical merge table to the sequential loop on seeded corpora, fewer rounds") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.operators.TextAnalysis
+    // seeded random corpora over a small alphabet: heavy pair-count ties
+    // and overlapping candidates — the adversarial case for batching
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val alpha = "abcdef"
+      val corpus = (0 until 60).map { _ =>
+        Seq.fill(8)((0 until (2 + rnd.nextInt(6)))
+          .map(_ => alpha(rnd.nextInt(alpha.length))).mkString).mkString(" ")
+      }.toDF("text")
+      val nMerges = 12
+      val seq = TextAnalysis.bpeTrainSequential(corpus, "text", nMerges)
+      val bat = TextAnalysis.bpeTrainBatched(corpus, "text", nMerges)
+      assert(bat.merges == seq,
+        s"seed $seed: batched merge table diverged\nseq: $seq\nbat: ${bat.merges}")
+      assert(bat.rounds <= seq.length,
+        s"seed $seed: rounds ${bat.rounds} vs ${seq.length} merges")
+    }
+    // natural-text shape: count decay makes batches wide — rounds must
+    // actually collapse, not just match
+    val words = Seq("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3)
+      .flatMap { case (w, n) => Seq.fill(n)(w) }
+    val nat = words.grouped(4).map(_.mkString(" ")).toSeq.toDF("text")
+    val batNat = TextAnalysis.bpeTrainBatched(nat, "text", 6)
+    assert(batNat.merges == TextAnalysis.bpeTrainSequential(nat, "text", 6))
+    assert(batNat.rounds < batNat.merges.length,
+      s"expected batching on the Sennrich fixture, got ${batNat.rounds} rounds " +
+        s"for ${batNat.merges.length} merges")
+  }
+
   test("saltedJoin: equals the direct join on skewed keys; salt reaches the exchange") {
     val s2 = spark
     import s2.implicits._
