@@ -194,6 +194,72 @@ object Streams {
       .start()
   }
 
+  // ---- trending top-k, state-store-backed (transformWithState) -----------
+
+  case class WindowedHit(w_start: Long, item: String)
+  case class TrendRow(w_start: java.sql.Timestamp, item: String, n: Long, rank: Int)
+
+  /** Per-window item counter + ranker: MapState[item → count] merges each
+    * batch's increments, and the ranking for a touched window reads the
+    * FULL state — the same merge-then-rank contract as [[trendingTopK]]'s
+    * driver panel, so the two variants emit identical panels (pinned by
+    * the parity spec). */
+  class TrendKeeper(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, WindowedHit, TrendRow] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[WindowedHit],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TrendRow] = {
+      rows.toSeq.groupBy(_.item).foreach { case (item, hits) =>
+        val prev = if (counts.containsKey(item)) counts.getValue(item) else 0L
+        counts.updateValue(item, prev + hits.size)
+      }
+      counts.iterator().toSeq
+        .sortBy { case (item, n) => (-n, item) }
+        .take(k).zipWithIndex
+        .map { case ((item, n), i) => TrendRow(new java.sql.Timestamp(key), item, n, i + 1) }
+        .iterator
+    }
+  }
+
+  /** [[trendingTopK]] with the panel moved OFF the driver into the
+    * streaming state store — the higher-cardinality deployment that
+    * scaladoc promises: events are expanded to their sliding windows
+    * in-plan (a generator, pure projection — the same [ws, ws+W) with
+    * ws ≡ 0 mod S containment `window()` uses), keyed by window start,
+    * and [[TrendKeeper]] merges + ranks per key. The driver never holds
+    * data: state lives in the (RocksDB) store, partitioned by window
+    * across executors, and each batch emits the refreshed panel of every
+    * touched window. Retention is the state TTL's job where the driver
+    * variant evicts by watermark. */
+  def trendingTopKState(stream: DataFrame, tsCol: String, itemCol: String,
+                        windowLen: String, slide: String, lateness: String,
+                        k: Int): Dataset[TrendRow] = {
+    val s = stream.sparkSession
+    import s.implicits._
+    val wUs = intervalMillis(windowLen) * 1000L
+    val sUs = intervalMillis(slide) * 1000L
+    // windows containing t: starts in (t−W, t] on the S grid — in slide
+    // units m ∈ [floor((t−W)/S)+1, floor(t/S)]; integer micros end-to-end
+    // (a double division here would misround near window boundaries)
+    stream.withWatermark(tsCol, lateness)
+      .select(unix_micros(col(tsCol)).as("t_us"), col(itemCol).as("item"))
+      .select(explode(sequence(
+          expr(s"(t_us - ${wUs}L) div ${sUs}L") + lit(1L),
+          expr(s"t_us div ${sUs}L"))).as("m"), col("item"))
+      .select(expr(s"(m * ${sUs}L) div 1000L").as("w_start"), col("item"))
+      .as[WindowedHit]
+      .groupByKey(_.w_start)
+      .transformWithState(new TrendKeeper(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** T5 — LIVE REPLAN between micro-batches, no stream restart
     * (cerebro.py:334-414's handle_tracked_items_changed): each batch
     * RE-READS the control table (the runtime master — tracked items with

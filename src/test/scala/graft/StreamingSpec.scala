@@ -231,6 +231,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(!second.exists(_._1 == "cold"), second)
   }
 
+  test("trendingTopKState: state-store panels identical to the driver-panel variant, batch for batch") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val prevProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // two batches over SLIDING windows (events belong to two windows
+      // each); batch 2 re-ranks window state merged across batches
+      val batch1 = Seq(
+        Point("hot", ts("2024-01-01 00:02:00"), 1.0),
+        Point("hot", ts("2024-01-01 00:03:00"), 1.0),
+        Point("warm", ts("2024-01-01 00:04:00"), 1.0))
+      val batch2 = Seq(
+        Point("warm", ts("2024-01-01 00:06:00"), 1.0),
+        Point("warm", ts("2024-01-01 00:07:00"), 1.0),
+        Point("cold", ts("2024-01-01 00:08:00"), 1.0))
+      type Panel = Map[Long, Seq[(String, Long, Int)]]
+      def toPanel(rows: Seq[(Long, String, Long, Int)]): Panel =
+        rows.groupBy(_._1).map { case (w, rs) =>
+          w -> rs.map(r => (r._2, r._3, r._4)).sorted }
+      // driver-panel variant: capture each batch's push
+      val inA = MemoryStream[Point]
+      val pushes = scala.collection.mutable.ArrayBuffer[Panel]()
+      val qA = Streams.trendingTopK(inA.toDF(), "time", "name",
+        windowLen = "10 minutes", slide = "5 minutes", lateness = "10 minutes",
+        k = 2, push = df => pushes.synchronized {
+          pushes += toPanel(df.collect().map(r =>
+            (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getInt(3))).toSeq)
+        })
+      // state-store variant: diff the appended memory sink per batch
+      val inB = MemoryStream[Point]
+      val qB = Streams.trendingTopKState(inB.toDF(), "time", "name",
+          windowLen = "10 minutes", slide = "5 minutes", lateness = "10 minutes", k = 2)
+        .writeStream.format("memory").queryName("trend_state_out")
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_trend").toString)
+        .start()
+      def stateRows() = s.table("trend_state_out").collect().map(r =>
+        (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getInt(3))).toSeq
+      var seen = 0
+      val statePanels = scala.collection.mutable.ArrayBuffer[Panel]()
+      for (batch <- Seq(batch1, batch2)) {
+        inA.addData(batch: _*); qA.processAllAvailable()
+        inB.addData(batch: _*); qB.processAllAvailable()
+        val all = stateRows()
+        statePanels += toPanel(all.drop(seen))
+        seen = all.size
+      }
+      qA.stop(); qB.stop()
+      assert(pushes.size == 2 && statePanels.size == 2)
+      // batch 1: same windows, same ranked panels
+      assert(statePanels(0) == pushes(0), s"batch 1 diverged:\n${statePanels(0)}\nvs\n${pushes(0)}")
+      // batch 2: panels rank MERGED state (hot from batch 1 must still
+      // lead the 00:00 window) — and the variants agree exactly
+      assert(statePanels(1) == pushes(1), s"batch 2 diverged:\n${statePanels(1)}\nvs\n${pushes(1)}")
+      val w0 = ts("2024-01-01 00:00:00").getTime
+      // w00:00 after both batches: warm 3 (1 from batch 1 + 2), hot 2
+      assert(statePanels(1)(w0) == Seq(("hot", 2L, 2), ("warm", 3L, 1)).sorted,
+        s"merged-state ranking lost batch-1 counts: ${statePanels(1)(w0)}")
+    } finally {
+      if (prevProvider.isEmpty)
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      else s.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+    }
+  }
+
   test("T5 livePollReplan: control edits between batches replan the live set; infeasible change rejected whole") {
     val s = spark
     import s.implicits._
