@@ -104,6 +104,63 @@ object Similarity {
     topKPerQuery(scored, idCol, "cos", k)
   }
 
+  /** Margin-based aligned-pair mining (Artetxe & Schwenk, ACL 2019 —
+    * "Margin-based Parallel Corpus Mining", ratio margin):
+    * score(x,y) = cos(x,y) / ((avgF(x) + avgB(y)) / 2), where avgF(x) is
+    * the mean cosine of x's kAvg nearest corpus vectors and avgB(y) of
+    * y's kAvg nearest QUERY vectors — the normalization that suppresses
+    * hubs (vectors moderately close to EVERYTHING), which plain cosine
+    * thresholds mis-mine. The harvesting shape behind bitext / aligned-
+    * pair mining for embedding and translation training data.
+    *
+    * Scale shape: queries broadcast (a mining batch is bounded by
+    * construction); the corpus streams once through the scoring
+    * projection; the scored frame (|queries|·|corpus| narrow rows, no
+    * vectors) is checkpointed for its three consumers; both neighborhood
+    * averages are bounded CollectTopK aggregations (forward per query,
+    * backward per corpus id over |queries| values); the final ranking is
+    * [[topKPerQuery]]. No window anywhere.
+    *
+    * Determinism: the averages are sums of 1e-6-QUANTIZED cosines —
+    * integer sums, order-independent, and tie-choice-independent (a tie
+    * at the kAvg boundary is between EQUAL quantized values, so the sum
+    * is the same whichever survives). The margin clears denominators:
+    * 2·qc·nf·nb / (fsum·nb + bsum·nf) — ONE double division of exact
+    * integers, bit-replayable anywhere. Pairs whose combined neighborhood
+    * sum is ≤ 0 are dropped (a margin against a non-positive neighborhood
+    * is meaningless; the oracle mirrors the filter).
+    * Output: (query_id, idCol, margin, rank), rank 1..k by
+    * (margin desc, id asc). */
+  def marginTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, kAvg: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(q)
+      .select(col("query_id"), col(idCol),
+        floor(cosine(col("q_vec"), col(vecCol)) * lit(1.0e6)).cast("long").as("qc"))
+      .localCheckpoint()
+    def topQcSum(keyCol: String, sumName: String, nName: String): DataFrame = {
+      val topk = graftExpr.column(
+        new CollectTopK(graftExpr.expression(col("qc")), kAvg, false)
+          .toAggregateExpression())
+      scored.groupBy(col(keyCol)).agg(topk.as("tops"))
+        .select(col(keyCol), explode(col("tops")).as("v"))
+        .groupBy(col(keyCol))
+        .agg(sum(col("v")).as(sumName), count(lit(1)).as(nName))
+    }
+    val fwd = broadcast(topQcSum("query_id", "fsum", "fn"))
+    val bwd = topQcSum(idCol, "bsum", "bn")
+    val denom = col("fsum") * col("bn") + col("bsum") * col("fn")
+    val withMargin = scored
+      .join(fwd, "query_id")
+      .join(bwd, idCol)
+      .filter(denom > 0)
+      .select(col("query_id"), col(idCol),
+        ((col("qc") * 2 * col("fn") * col("bn")).cast("double") /
+          denom.cast("double")).as("margin"))
+    topKPerQuery(withMargin, idCol, "margin", k)
+  }
+
   /** Banded-LSH top-k: candidates share ≥1 (band, key) with the query;
     * exact cosine re-rank over the deduplicated candidate set. Same output
     * shape as bruteForceTopK; recall < 1 by design, tuned by (b, p).

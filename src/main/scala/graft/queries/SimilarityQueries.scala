@@ -84,6 +84,56 @@ object SimilarityQueries {
        |  FROM pairs) t
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  // ---- margin-based aligned-pair mining (bitext harvesting shape) ----------
+  /** Even-id vectors mine their best aligned partners among odd-id
+    * vectors — two disjoint "sides" standing in for the two languages of
+    * a bitext corpus. Ratio margin (Artetxe & Schwenk 2019) normalizes
+    * each pair's cosine by its forward/backward top-kAvg neighborhood
+    * means, computed as integer sums of 1e-6-quantized cosines with the
+    * denominators cleared — the margin is one double division of exact
+    * integers, so both engines hold identical bits. */
+  private val KAvg = 4
+
+  def mineAlignedPairs(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.marginTopK(
+        emb.filter(col("vec_id") % 2 === 1),
+        emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 2 * NQ),
+        "vec_id", "embedding", K, KAvg)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  val mineAlignedPairsSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |  WHERE vec_id % 2 = 0 AND vec_id < ${2 * NQ}
+       |), tgt AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1
+       |), pairs AS (
+       |  SELECT q.query_id, t.vec_id,
+       |         CAST(floor((${cosSql("qe", "t.embedding")}) * 1.0e6) AS BIGINT) AS qc
+       |  FROM tgt t, q
+       |), fwd AS (
+       |  SELECT query_id, CAST(SUM(qc) AS BIGINT) AS fsum, COUNT(*) AS fn FROM (
+       |    SELECT query_id, qc,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY qc DESC) AS rn
+       |    FROM pairs) t WHERE rn <= $KAvg GROUP BY query_id
+       |), bwd AS (
+       |  SELECT vec_id, CAST(SUM(qc) AS BIGINT) AS bsum, COUNT(*) AS bn FROM (
+       |    SELECT vec_id, qc,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY qc DESC) AS rn
+       |    FROM pairs) t WHERE rn <= $KAvg GROUP BY vec_id
+       |), m AS (
+       |  SELECT p.query_id, p.vec_id,
+       |    CAST(2*p.qc*f.fn*b.bn AS DOUBLE) / CAST(f.fsum*b.bn + b.bsum*f.fn AS DOUBLE) AS margin
+       |  FROM pairs p JOIN fwd f USING (query_id) JOIN bwd b USING (vec_id)
+       |  WHERE f.fsum*b.bn + b.bsum*f.fn > 0
+       |)
+       |SELECT query_id, vec_id, margin, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT query_id, vec_id, margin,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY margin DESC, vec_id) AS rank
+       |  FROM m) t
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
   // ---- banded-LSH ANN top-k ------------------------------------------------
   def simLshTopk(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -419,6 +469,7 @@ object SimilarityQueries {
     "sim_pq_codes" -> (simPqCodes _),
     "sim_adc_topk" -> (simAdcTopk _),
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
+    "mine_aligned_pairs" -> (mineAlignedPairs _),
     "mine_hard_negatives" -> (mineHardNegatives _),
     "sim_lsh_topk" -> (simLshTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
@@ -432,6 +483,7 @@ object SimilarityQueries {
     "sim_pq_codes" -> simPqCodesSql,
     "sim_adc_topk" -> simAdcTopkSql,
     "sim_bruteforce_topk" -> simBruteforceTopkSql,
+    "mine_aligned_pairs" -> mineAlignedPairsSql,
     "mine_hard_negatives" -> mineHardNegativesSql,
     "sim_lsh_topk" -> simLshTopkSql,
     "sim_ivf_topk" -> simIvfTopkSql,

@@ -90,7 +90,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // (max_by / CollectTopK) since r5 — a Window node in any ANN plan
     // means a per-partition sort crept back in
     Seq("sim_lsh_topk", "sim_ivf_topk", "sim_ivf_trained_topk",
-        "sim_adc_topk").foreach { name =>
+        "sim_adc_topk", "mine_aligned_pairs").foreach { name =>
       val p = plan(name)
       assert(p.contains("ObjectHashAggregate"),
         s"$name: expected bounded-buffer CollectTopK aggregation:\n$p")

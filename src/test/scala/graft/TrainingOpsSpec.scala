@@ -729,6 +729,34 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(seg.replace(" ", "") == "lowest", "segmentation must preserve the word")
   }
 
+  test("marginTopK: hub suppressed below a dedicated partner despite higher raw cosine") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.operators.Similarity
+    // queries q0=(1,0,0,0), q1=(0,1,0,0); the HUB sits between them
+    // (cos ≈ .707 with both); y1 is q0's dedicated partner at cos 0.6.
+    // Raw cosine ranks hub over y1 for q0 — the ratio margin must flip
+    // that, because the hub's backward neighborhood average is high.
+    val queries = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val h = (1.0 / math.sqrt(2)).toFloat
+    val corpus = Seq(
+      (1L, Array(h, h, 0f, 0f)),          // hub
+      (3L, Array(0.6f, 0f, 0.8f, 0f)),    // q0's dedicated partner
+      (5L, Array(0f, 0.6f, 0f, 0.8f)),    // q2's dedicated partner
+      (7L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.marginTopK(corpus, queries, "vec_id", "embedding",
+        k = 4, kAvg = 2)
+      .collect().map(r => ((r.getLong(0), r.getInt(3)), r.getLong(1))).toMap
+    assert(out((0L, 1)) == 3L, s"q0's rank-1 must be the dedicated partner, got $out")
+    assert(out((2L, 1)) == 5L, s"q2's rank-1 must be the dedicated partner, got $out")
+    // determinism: a rerun holds the same margins bit for bit
+    def all() = Similarity.marginTopK(corpus, queries, "vec_id", "embedding", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(all() == all())
+  }
+
   test("bpeTrainBatched: identical merge table to the sequential loop on seeded corpora, fewer rounds") {
     val s2 = spark
     import s2.implicits._
