@@ -76,8 +76,12 @@ object Dedup {
     * 0-based token index. */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 5): DataFrame = {
+    // the positional explode feeds BOTH the duplicated-hash aggregation
+    // and the position semi-join — one materialization of the narrow
+    // (id, pos, h) rows instead of hashing the corpus twice
     val seq = df.select(col(idCol).as("id"),
       posexplode(seqShingleHashes(col(textCol), n)).as(Seq("pos", "h")))
+      .localCheckpoint()
     val dup = seq.groupBy(col("h"))
       .agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd") >= 2).select(col("h"))
@@ -113,6 +117,9 @@ object Dedup {
       posexplode(seqShingleHashes(col(textCol), n)).as(Seq("pos", "h")))
       // scalar instance key (pos < 1e6 by construction, as dedup_chunks)
       .withColumn("inst", col("id") * 1000000L + col("pos"))
+      // ownership aggregation + removable-position join both read this —
+      // materialize the narrow posting rows once
+      .localCheckpoint()
     val own = seq.groupBy(col("h"))
       .agg(min(col("inst")).as("first_inst"), count(lit(1)).as("cnt"))
     val removable = seq.join(own, "h")

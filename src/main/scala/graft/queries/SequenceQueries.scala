@@ -396,7 +396,10 @@ object SequenceQueries {
     val nearEdges = Dedup.minhashPairs(docs, "doc_id", "text",
         threshold = 0.5, k = 16, bands = 4)
       .select(col("id_a"), col("id_b"))
-    val all = exactEdges.union(nearEdges)
+    // the LSH pair derivation is the expensive half; both the standing
+    // (old-only) and delta (new-involving) filters read it — materialize
+    // the narrow edge list once instead of mining pairs twice
+    val all = exactEdges.union(nearEdges).localCheckpoint()
     val hasNew = isNewId(col("id_a")) || isNewId(col("id_b"))
     val standing = Dedup.connectedComponents(
       docs.filter(!isNewId(col("doc_id"))).select(col("doc_id").as("id")),
@@ -538,6 +541,10 @@ object SequenceQueries {
       .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
       .withColumn("candidate", col("is_train") && !col("is_cluster_dup") &&
         col("keep_quality") && !col("contaminated") && col("sampled"))
+      // three consumers (budget histogram, boundary selection, final
+      // join) each re-derive the quality/contamination/sampling passes
+      // without this — one materialization, narrow flag rows only
+      .localCheckpoint()
     val sel = Mix.budgetSelect(flags.filter(col("candidate")),
         "doc_id", "source", "score", "n_tokens", TokenBudget)
       .select(col("doc_id"), lit(true).as("selected"))
