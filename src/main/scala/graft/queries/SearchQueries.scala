@@ -266,8 +266,25 @@ object SearchQueries {
     * window is bounded by k rows per query — never corpus-sized. */
   private val RagBudget = 300
 
-  def ragRetrieve(s: SparkSession, d: String): DataFrame = {
+  /** Fuse the two retrieval arms and greedily pack to the token budget —
+    * the tail both RAG variants share, so their assembly can't drift.
+    * The packing window is bounded by k rows per query. */
+  private def ragAssemble(bm25: DataFrame, ann: DataFrame,
+                          docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val fusedTop = Search.rrfFuse(Seq(bm25, ann), "doc_id", K)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    fusedTop
+      .join(docs.select(col("doc_id"),
+        expr("(n_chars + 3) div 4").as("est_tokens")), "doc_id")
+      .withColumn("cum_tokens", sum(col("est_tokens")).over(w))
+      .filter(col("cum_tokens") <= RagBudget)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rrf_score"), col("est_tokens"), col("cum_tokens"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def ragRetrieve(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val bm25 = Search.bm25TopK(docs,
       docs.filter(col("doc_id") < NQ)
@@ -280,16 +297,38 @@ object SearchQueries {
       .localCheckpoint()
     val ann = Similarity.bruteForceTopK(
       emb, emb.filter(col("doc_id") < NQ), "doc_id", "embedding", K)
-    val fusedTop = Search.rrfFuse(Seq(bm25, ann), "doc_id", K)
-    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
-    fusedTop
-      .join(docs.select(col("doc_id"),
-        expr("(n_chars + 3) div 4").as("est_tokens")), "doc_id")
-      .withColumn("cum_tokens", sum(col("est_tokens")).over(w))
-      .filter(col("cum_tokens") <= RagBudget)
-      .select(col("query_id"), col("rank"), col("doc_id"),
-        col("rrf_score"), col("est_tokens"), col("cum_tokens"))
-      .orderBy(col("query_id"), col("rank"))
+    ragAssemble(bm25, ann, docs)
+  }
+
+  /** The SERVING shape of [[ragRetrieve]]: every corpus-derived input is
+    * a stored artifact — the BM25 arm reads the term-bucketed inverted
+    * index (bucket-pruned), the ANN arm reads the persisted embedding
+    * table — so query time touches corpus text exactly zero times (the
+    * only text read is the queries' own, as in production). Results are
+    * identical to the derive-in-run variant, so they share one oracle;
+    * the artifact build is memoized per corpus like the index queries. */
+  private val ragIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  def ragRetrieveIndexed(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (bm25Path, embPath) = ragIndexCache.computeIfAbsent(d, _ => {
+      val bp = java.nio.file.Files.createTempDirectory("graft_rag_bm25").toString
+      Search.writeBm25Index(docs, "doc_id", "text", bp)
+      val ep = java.nio.file.Files.createTempDirectory("graft_rag_emb").toString
+      docs.select(col("doc_id"),
+          TextAnalysis.hashEmbed(col("text"), EmbedD).as("embedding"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(ep)
+      (bp, ep)
+    })
+    val queries = docs.filter(col("doc_id") < NQ)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    val bm25 = Search.bm25IndexTopK(s, bm25Path, queries,
+      "doc_id", "query_id", "qtext", K)
+    val emb = s.read.parquet(embPath)
+    val ann = Similarity.bruteForceTopK(
+      emb, emb.filter(col("doc_id") < NQ), "doc_id", "embedding", K)
+    ragAssemble(bm25, ann, docs)
   }
   val ragRetrieveSql: String =
     s"""$hybridCtes,
@@ -316,7 +355,8 @@ object SearchQueries {
     "search_bm25_indexed" -> (searchBm25Indexed _),
     "search_bm25_prf" -> (searchBm25Prf _),
     "search_hybrid_rrf" -> (searchHybridRrf _),
-    "rag_retrieve" -> (ragRetrieve _))
+    "rag_retrieve" -> (ragRetrieve _),
+    "rag_retrieve_indexed" -> (ragRetrieveIndexed _))
 
   val oracle: Map[String, String] = Map(
     "search_bm25" -> searchBm25Sql,
@@ -324,5 +364,7 @@ object SearchQueries {
     "search_bm25_indexed" -> searchBm25Sql,
     "search_bm25_prf" -> searchBm25PrfSql,
     "search_hybrid_rrf" -> searchHybridRrfSql,
-    "rag_retrieve" -> ragRetrieveSql)
+    "rag_retrieve" -> ragRetrieveSql,
+    // serving-path twin: stored artifacts, identical answers — one oracle
+    "rag_retrieve_indexed" -> ragRetrieveSql)
 }

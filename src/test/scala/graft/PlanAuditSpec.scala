@@ -196,6 +196,13 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(unpruned.isEmpty,
         s"$name re-scans corpus text from parquet:\n${unpruned.mkString("\n")}")
     }
+    // the serving twin goes further: corpus state comes from stored
+    // artifacts, so the ONLY text reads are the queries' own (pruned)
+    val ps = plan("rag_retrieve_indexed")
+    val unprunedServing = ps.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("text#") && !l.contains("< 5)"))
+    assert(unprunedServing.isEmpty,
+      s"rag_retrieve_indexed must not touch corpus text:\n${unprunedServing.mkString("\n")}")
   }
 
   test("skew_join_salted: the salt reaches the join exchange; the plain twin keeps the skewed shape") {
