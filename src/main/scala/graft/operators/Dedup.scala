@@ -421,8 +421,8 @@ object Dedup {
     * dup of a dup of X is ≈ X), so a handful of distributed rounds; each
     * round is one join + one aggregation, labels are (long, long) pairs
     * and are locally checkpointed so the plan doesn't grow with rounds.
-    * (For adversarially deep graphs swap in large-star/small-star
-    * (Kiveris et al., SoCC 2014) — same interface, O(log n) rounds.)
+    * For adversarially deep graphs use [[connectedComponentsStar]] —
+    * same interface, diameter-independent rounds.
     *
     * Output: (id, rep) for EVERY vertex, rep = min id of its component. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
@@ -462,6 +462,71 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter rounds; " +
         s"raise maxIter for graphs of diameter > $maxIter")
     vertices.join(labels.select(col("id"), col("rep")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+  }
+
+  /** Large-star/small-star connected components (Kiveris, Lattanzi,
+    * Mirrokni, Rastogi, Vassilvitskii — "Connected Components in
+    * MapReduce and Beyond", SoCC 2014): the diameter-INDEPENDENT
+    * alternative to [[connectedComponents]]' min-label propagation.
+    * Min-label needs one round per hop of component diameter — fine for
+    * shallow near-dup clusters, fatal for chain-shaped components (a
+    * 10⁶-doc boilerplate chain would need 10⁶ rounds). Alternating
+    * large-star (attach each node's LARGER neighbors to its neighborhood
+    * minimum) and small-star (attach its smaller-or-equal neighbors
+    * likewise) converges to min-rooted stars in O(log²n) rounds
+    * regardless of diameter — each round is two aggregate+join passes
+    * over narrow (long, long) edge rows, locally checkpointed.
+    *
+    * Same contract as [[connectedComponents]]: (id, rep) for every
+    * vertex, rep = component minimum; fails loudly if not converged
+    * (the parity spec pins label equality on random graphs, and
+    * convergence on chains where min-label's default round cap throws). */
+  def connectedComponentsStar(vertices: DataFrame, edges: DataFrame,
+                              maxIter: Int = 40): DataFrame = {
+    def canon(e: DataFrame) = e
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b")).distinct()
+    def sym(e: DataFrame) = e.union(
+      e.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    var e = canon(edges.filter(col("id_a") =!= col("id_b"))).localCheckpoint()
+    var converged = e.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR: per node u, every STRICTLY LARGER neighbor re-attaches
+      // to m(u) = min(N(u) ∪ {u}); relational (agg + join), never a
+      // collected neighborhood — hot nodes have unbounded degree
+      val s1 = sym(e).localCheckpoint()
+      val m1 = s1.groupBy(col("id_a").as("u"))
+        .agg(min(least(col("id_b"), col("id_a"))).as("m")) // min(N(u) ∪ {u})
+      val ls = s1.join(m1, s1("id_a") === m1("u"))
+        .filter(col("id_b") > col("u"))
+        .select(col("id_b").as("id_a"), col("m").as("id_b"))
+        .filter(col("id_a") =!= col("id_b")).distinct()
+        .localCheckpoint()
+      // SMALL-STAR: key each edge by its LARGER endpoint; its smaller
+      // neighbors (and itself) re-attach to the minimum
+      val dir = ls.select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      val m2 = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = dir.join(m2, "u")
+        .select(col("v").as("id_a"), col("m").as("id_b"))
+        .union(m2.select(col("u").as("id_a"), col("m").as("id_b")))
+        .filter(col("id_a") =!= col("id_b")).distinct()
+        .localCheckpoint()
+      val next = canon(ss).localCheckpoint()
+      converged = next.exceptAll(e).limit(1).isEmpty &&
+        e.exceptAll(next).limit(1).isEmpty
+      e.unpersist(); s1.unpersist(); ls.unpersist(); ss.unpersist()
+      e = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIter rounds")
+    // fixed point = stars centered at each component's minimum: every
+    // canonical edge is (root, child)
+    val labels = e.groupBy(col("id_b").as("id")).agg(min(col("id_a")).as("rep"))
+    vertices.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
   }
 

@@ -242,6 +242,43 @@ object Search {
       .parquet(s"$path/postings")
   }
 
+  /** Incremental maintenance of a [[writeBm25Index]] layout — the
+    * nightly-delivery form (the lexical twin of
+    * [[Similarity.appendIvfIndex]]): the delta's postings hash into the
+    * EXISTING bucket layout and append into those directories only, its
+    * doc lengths append, and the 1-row stats update by exact integer
+    * arithmetic from the old stats + the delta's own aggregate — cost
+    * tracks the DELTA; the standing corpus is never re-read. Correctness
+    * falls out of the layout: per-term df is counted on the pruned
+    * postings at query time (old + appended rows together), so a query
+    * after an append is bit-identical to one against a full rebuild
+    * (the spec's claim). Small appended files are
+    * [[graft.sources.PartitionedStore.compact]]'s job. */
+  def appendBm25Index(spark: org.apache.spark.sql.SparkSession,
+                      delta: DataFrame, idCol: String, textCol: String,
+                      path: String): Unit = {
+    val statsRow = spark.read.parquet(s"$path/stats")
+      .select(col("n_docs"), col("total_tokens"), col("n_buckets")).collect()(0)
+    val nBuckets = statsRow.getInt(2)
+    val tf = termFrequencies(delta, idCol, textCol).localCheckpoint()
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint()
+    dl.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$path/dl")
+    tf.withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("term"), col(idCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("bucket")
+      .parquet(s"$path/postings")
+    val d = dl.agg(count(lit(1)).as("dn"), sum(col("dl")).as("dt")).collect()(0)
+    val (dn, dt) = (d.getLong(0), if (d.isNullAt(1)) 0L else d.getLong(1))
+    spark.range(1).select(
+        lit(statsRow.getLong(0) + dn).as("n_docs"),
+        lit(statsRow.getLong(1) + dt).as("total_tokens"),
+        lit(nBuckets).as("n_buckets"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/stats")
+  }
+
   /** BM25 top-k against a [[writeBm25Index]] layout — identical results
     * to [[bm25TopK]] (same [[bm25ScoresFrom]] expression tree, bit for
     * bit), different I/O shape: the query vocabulary's term buckets are

@@ -218,6 +218,34 @@ class DedupSpec extends AnyFunSuite {
     assert(fp <= 2500, s"false-positive rate ${fp / 50000.0} exceeds 5%")
   }
 
+  test("connectedComponentsStar: labels match min-label CC on random graphs; deep chains converge") {
+    val s = spark
+    import s.implicits._
+    // seeded random graphs: star CC must agree with min-label exactly
+    for (seed <- Seq(3, 17)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 120
+      val edges = (0 until 150).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+      val verts = s.range(n).select(col("id"))
+      def labels(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(labels(Dedup.connectedComponentsStar(verts, edges)) ==
+        labels(Dedup.connectedComponents(verts, edges)),
+        s"seed $seed: star CC diverged from min-label CC")
+    }
+    // a 200-hop chain: min-label needs one round per hop and throws at
+    // its default cap; the star alternation converges in O(log² n)
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val verts = s.range(201).select(col("id"))
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(verts, chain) // diameter 200 > default 25
+    }
+    val star = Dedup.connectedComponentsStar(verts, chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(star.forall(_._2 == 0L), "whole chain must collapse to rep 0")
+  }
+
   test("minhashPairsAgainst: new-vs-old pairs only, no within-side pairs") {
     val s = spark
     import s.implicits._

@@ -205,6 +205,35 @@ class SearchSpec extends AnyFunSuite {
       s"fixture broken: $queryTerms query terms vs $allBuckets buckets leaves nothing to prune")
   }
 
+  test("appendBm25Index: index after a delta append answers bit-identically to a full rebuild") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Array.tabulate(60)(i => s"t$i")
+    def mkDocs(ids: Range) = ids.map { id =>
+      (id.toLong, Seq.fill(5 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val standing = mkDocs(0 until 80)
+    val delta = mkDocs(80 until 110)
+    val qs = standing.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    val path = java.nio.file.Files.createTempDirectory("graft_bm25_inc").toString
+    Search.writeBm25Index(standing, "doc_id", "text", path, nBuckets = 32)
+    Search.appendBm25Index(s, delta, "doc_id", "text", path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    // df, dl, and stats all reflect old+new: scores must match the
+    // derive-in-run path over the UNION exactly — including appended docs
+    // being findable
+    val direct = Search.bm25TopK(standing.union(delta), qs,
+      "doc_id", "text", "query_id", "qtext", 10)
+    val viaIndex = Search.bm25IndexTopK(s, path, qs, "doc_id", "query_id", "qtext", 10)
+    assert(rows(viaIndex) == rows(direct))
+    assert(rows(viaIndex).exists(_._2 >= 80L),
+      "appended docs must be reachable through the index")
+  }
+
   test("bm25 plan: query vocabulary broadcasts; final ranking is CollectTopK, no Window") {
     val p = bm25.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastExchange"), p)
