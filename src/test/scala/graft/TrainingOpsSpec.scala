@@ -729,6 +729,47 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(seg.replace(" ", "") == "lowest", "segmentation must preserve the word")
   }
 
+  test("marginTopK equals an in-memory reference bit-for-bit on seeded random vectors") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(31)
+    val dim = 8
+    val corpus = (1L to 59L by 2).map(id => (id, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val queries = (0L until 12L by 2).map(id => (id, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    // the engine's exact cosine contract: float widened to double,
+    // sequential index-order sums, one final division
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val k = 5; val kAvg = 3
+    val qc = (for ((qid, qv) <- queries; (cid, cv) <- corpus)
+      yield (qid, cid) -> math.floor(cos(qv, cv) * 1e6).toLong).toMap
+    def topSum(vals: Seq[Long]) = { val t = vals.sorted.reverse.take(kAvg); (t.sum, t.size.toLong) }
+    val fwd = queries.map { case (qid, _) => qid -> topSum(corpus.map(c => qc((qid, c._1)))) }.toMap
+    val bwd = corpus.map { case (cid, _) => cid -> topSum(queries.map(q => qc((q._1, cid)))) }.toMap
+    val expected = queries.map(_._1).flatMap { qid =>
+      corpus.map(_._1).flatMap { cid =>
+        val (fs, fn) = fwd(qid); val (bs, bn) = bwd(cid)
+        val den = fs * bn + bs * fn
+        if (den > 0) Some((cid, (2L * qc((qid, cid)) * fn * bn).toDouble / den.toDouble))
+        else None
+      }.sortBy { case (cid, m) => (-m, cid) }.take(k)
+        .zipWithIndex.map { case ((cid, m), i) => (qid, cid, m, i + 1) }
+    }.sortBy(t => (t._1, t._4))
+    val out = Similarity.marginTopK(
+        corpus.toDF("vec_id", "embedding"), queries.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k, kAvg)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sortBy(t => (t._1, t._4))
+    assert(out == expected) // margins bit-identical, ranks identical
+  }
+
   test("marginTopK: hub suppressed below a dedicated partner despite higher raw cosine") {
     val s2 = spark
     import s2.implicits._
