@@ -299,6 +299,27 @@ object Relational {
       .agg(count(lit(1)).as("n_events"),
         sum(col(valCol).cast("decimal(12,2)")).as("sum_dec"))
 
+  /** Per-day mergeable distinct-count sketches (DataSketches HLL) — the
+    * cardinality twin of the Bloom-sketch lifecycle and the third leg of
+    * incremental view maintenance: COUNT/SUM merge via [[rollupMerge]]'s
+    * exact decimals, set MEMBERSHIP via the Bloom artifact, and DISTINCT
+    * COUNTS via these. Each day's sketch is built once from that day's
+    * rows (map-side combinable aggregation), stored as bytes, and any
+    * span's distinct count is answered by UNIONING stored sketches —
+    * never by re-reading fact history. HLL register merge is a per-
+    * register max, so union(daily sketches) holds the SAME registers as
+    * one build over the whole span — the estimates are equal exactly,
+    * not approximately (the spec pins equality; only the estimate-vs-
+    * TRUTH gap is approximate). Output: (day, sketch BINARY). */
+  def hllDailySketches(ev: DataFrame, tsCol: String, keyCol: String): DataFrame =
+    ev.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(hll_sketch_agg(col(keyCol)).as("sketch"))
+
+  /** Union stored sketches into one span estimate: (n_days, distinct_est). */
+  def hllSpanEstimate(sketches: DataFrame): DataFrame =
+    sketches.agg(count(lit(1)).as("n_days"),
+      hll_sketch_estimate(hll_union_agg(col("sketch"))).as("distinct_est"))
+
   /** Merge a standing rollup with a delta partial: re-aggregate the
     * UNION of partials. Exact decimal internals make
     * merge(partial(old), partial(delta)) ≡ partial(old ∪ delta) bitwise.

@@ -134,6 +134,32 @@ class Scd2RollupSpec extends AnyFunSuite {
       Seq(("click", 2L), ("view", 2L)))
   }
 
+  test("HLL lifecycle: union of stored daily sketches estimates EXACTLY like one whole-span build") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val ev = (0 until 3000).map { i =>
+      (ts(f"2024-01-${1 + i % 7}%02d 0${i % 9}:00:00"), s"user_${rnd.nextInt(400)}")
+    }.toDF("ts", "uid")
+    val daily = Relational.hllDailySketches(ev, "ts", "uid")
+    assert(daily.count() == 7)
+    // store + read back: sketches are portable bytes
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    daily.write.mode("overwrite").parquet(dir)
+    val merged = Relational.hllSpanEstimate(s.read.parquet(dir)).collect()(0)
+    val whole = ev.select(lit(java.sql.Date.valueOf("2024-01-01")).as("day"), col("uid"))
+      .groupBy(col("day")).agg(hll_sketch_agg(col("uid")).as("sketch"))
+    val wholeEst = Relational.hllSpanEstimate(whole).collect()(0)
+    assert(merged.getLong(0) == 7L)
+    // register-max merge ⇒ identical registers ⇒ identical estimate
+    assert(merged.getLong(1) == wholeEst.getLong(1),
+      s"union-of-days ${merged.getLong(1)} != whole-span ${wholeEst.getLong(1)}")
+    // and the estimate is close to the truth (HLL's actual contract)
+    val exact = ev.select(col("uid")).distinct().count()
+    assert(math.abs(merged.getLong(1) - exact).toDouble / exact < 0.05,
+      s"estimate ${merged.getLong(1)} vs exact $exact drifted > 5%")
+  }
+
   test("rollup maintenance: merging an empty delta is the identity") {
     val s = spark
     import s.implicits._
