@@ -253,7 +253,18 @@ object Search {
     * postings at query time (old + appended rows together), so a query
     * after an append is bit-identical to one against a full rebuild
     * (the spec's claim). Small appended files are
-    * [[graft.sources.PartitionedStore.compact]]'s job. */
+    * [[graft.sources.PartitionedStore.compact]]'s job.
+    *
+    * Crash contract — SINGLE WRITER, NOT atomic: this is a three-file
+    * update (dl append, postings append, stats overwrite, in that
+    * order), and a crash between them leaves the index INCONSISTENT
+    * (appended postings/lengths with stale stats → silently skewed idf/
+    * avgdl). A failed append must be repaired before serving: restore
+    * the index from its previous copy or rebuild with
+    * [[writeBm25Index]]. A deployment that needs torn-append safety
+    * should version the whole index directory through
+    * [[graft.sources.PartitionedStore.commitVersion]]'s loser-errors
+    * manifest publish instead of appending in place. */
   def appendBm25Index(spark: org.apache.spark.sql.SparkSession,
                       delta: DataFrame, idCol: String, textCol: String,
                       path: String): Unit = {

@@ -198,10 +198,12 @@ object TextAnalysis {
       else {
         val Array(a, b) = top(0).getString(0).split(" ", 2)
         merges += ((r, a, b, top(0).getLong(1)))
-        words = words
+        val next = words
           .withColumn("sym", regexp_replace(col("sym"),
             lit(mergePattern(a, b)), lit(mergeReplacement(a, b))))
           .localCheckpoint()
+        words.unpersist() // next is materialized; don't pin every round
+        words = next
         r += 1
       }
     }
@@ -278,8 +280,9 @@ object TextAnalysis {
         .limit(batchCand)
         .select(col("l"), col("r"), col("pcnt"), col("end_max"), col("start_max"))
         .collect()
-      if (cands.isEmpty || cands(0).getLong(2) < 2) exhausted = true
-      else {
+      if (cands.isEmpty || cands(0).getLong(2) < 2) {
+        exhausted = true; pairs.unpersist()
+      } else {
         val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
         val used = scala.collection.mutable.Set.empty[String]
         var bound = Long.MinValue
@@ -308,7 +311,11 @@ object TextAnalysis {
         accepted.foreach { case (a, b, cnt) =>
           merges += ((merges.size, a, b, cnt))
         }
-        words = words.withColumn("sym", rewritten).localCheckpoint()
+        val next = words.withColumn("sym", rewritten).localCheckpoint()
+        // at a 30k-merge vocabulary there are hundreds of rounds — release
+        // the previous round's pinned blocks or storage grows with rounds
+        words.unpersist(); pairs.unpersist()
+        words = next
         rounds += 1
       }
     }

@@ -194,7 +194,8 @@ object CoreQueries {
 
   // ---- Zipf-keyed shuffle join: plain vs salted -----------------------------
   /** Deliberately skewed join fixture: 3/4 of all event rows collapse
-    * onto one 'hot' key, the rest spread over 50 cold keys — the Zipf
+    * onto one 'hot' key, the rest spread over 25 cold keys (user_id ≡ 0
+    * mod 4 reaches only the even residues mod 50) — the Zipf
     * head every real activity stream has. Both variants return identical
     * rows (one shared oracle); the PAIR exists so the bench shows what
     * salting buys on a skewed shuffle and the plan audit pins the salted
@@ -232,7 +233,7 @@ object CoreQueries {
       |  SELECT CASE WHEN user_id % 4 <> 0 THEN 'hot'
       |              ELSE 'u' || CAST(user_id % 50 AS VARCHAR) END AS k,
       |         CAST(floor(value * 1.0e2) AS BIGINT) AS cents
-      |  FROM events
+      |  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
       |), build AS (
       |  SELECT k, slot
       |  FROM (SELECT DISTINCT k FROM probe), (SELECT unnest(range(0, 200)) AS slot)

@@ -217,10 +217,17 @@ object TrainingQueries {
     def chunks(df: DataFrame) =
       graft.operators.Sequence.chunkTokens(df, "doc_id", "text", BloomChunkW, BloomChunkW)
         .select(col("doc_id"), md5(col("chunk_text")).as("chunk_hash"))
-    val (oldKeyed, sketch) = bloomStanding.computeIfAbsent(d, _ => {
-      val corpus = chunks(docs.filter(col("doc_id") % 5 =!= 0)).localCheckpoint()
-      (corpus, Dedup.bloomBuild(corpus, "chunk_hash", expectedItems = 100000L))
-    })
+    // unlike the path-only index caches, this one holds a live
+    // checkpointed DataFrame — bound to the SparkContext that built it.
+    // compute() (not computeIfAbsent) so a stale entry from a stopped
+    // context is rebuilt instead of crashing the verify join
+    val (oldKeyed, sketch) = bloomStanding.compute(d, (_, cached) =>
+      if (cached != null &&
+          !cached._1.sparkSession.sparkContext.isStopped) cached
+      else {
+        val corpus = chunks(docs.filter(col("doc_id") % 5 =!= 0)).localCheckpoint()
+        (corpus, Dedup.bloomBuild(corpus, "chunk_hash", expectedItems = 100000L))
+      })
     Dedup.bloomMembershipWith(
         chunks(docs.filter(col("doc_id") % 5 === 0)),
         oldKeyed, "doc_id", "chunk_hash", sketch)

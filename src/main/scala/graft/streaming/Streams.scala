@@ -203,18 +203,37 @@ object Streams {
     * batch's increments, and the ranking for a touched window reads the
     * FULL state — the same merge-then-rank contract as [[trendingTopK]]'s
     * driver panel, so the two variants emit identical panels (pinned by
-    * the parity spec). */
-  class TrendKeeper(k: Int)
+    * the parity spec).
+    *
+    * Event-time hygiene (what makes `lateness` LIVE here): rows whose
+    * window END has fallen behind the watermark are DROPPED — the same
+    * rule the watermarked window aggregation applies in the driver-panel
+    * variant, so the two variants agree on late data too (pinned) — and
+    * each window registers an event-time timer at its end, so its
+    * MapState is cleared the moment the watermark guarantees no further
+    * update can arrive. State size is live windows × items, not stream
+    * history. */
+  class TrendKeeper(k: Int, windowMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, WindowedHit, TrendRow] {
     @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    @transient private var timerSet: org.apache.spark.sql.streaming.ValueState[Boolean] = _
     override def init(outputMode: OutputMode,
-                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
       counts = getHandle.getMapState[String, Long]("counts",
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.streaming.TTLConfig.NONE)
+      timerSet = getHandle.getValueState[Boolean]("timer_set",
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
     override def handleInputRows(key: Long, rows: Iterator[WindowedHit],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TrendRow] = {
+      val wEnd = key + windowMs
+      // the watermarked aggregation's drop rule: a window whose end the
+      // watermark has passed accepts no more rows
+      if (wEnd <= timerValues.getCurrentWatermarkInMs()) return Iterator.empty
+      if (!timerSet.exists()) { getHandle.registerTimer(wEnd); timerSet.update(true) }
       rows.toSeq.groupBy(_.item).foreach { case (item, hits) =>
         val prev = if (counts.containsKey(item)) counts.getValue(item) else 0L
         counts.updateValue(item, prev + hits.size)
@@ -224,6 +243,12 @@ object Streams {
         .take(k).zipWithIndex
         .map { case ((item, n), i) => TrendRow(new java.sql.Timestamp(key), item, n, i + 1) }
         .iterator
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[TrendRow] = {
+      counts.clear(); timerSet.clear()
+      Iterator.empty
     }
   }
 
@@ -235,8 +260,9 @@ object Streams {
     * and [[TrendKeeper]] merges + ranks per key. The driver never holds
     * data: state lives in the (RocksDB) store, partitioned by window
     * across executors, and each batch emits the refreshed panel of every
-    * touched window. Retention is the state TTL's job where the driver
-    * variant evicts by watermark. */
+    * touched window. Late rows drop against the watermark exactly as the
+    * aggregation variant drops them, and each window's state is cleared
+    * by an event-time timer once the watermark passes its end. */
   def trendingTopKState(stream: DataFrame, tsCol: String, itemCol: String,
                         windowLen: String, slide: String, lateness: String,
                         k: Int): Dataset[TrendRow] = {
@@ -255,8 +281,8 @@ object Streams {
       .select(expr(s"(m * ${sUs}L) div 1000L").as("w_start"), col("item"))
       .as[WindowedHit]
       .groupByKey(_.w_start)
-      .transformWithState(new TrendKeeper(k),
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new TrendKeeper(k, wUs / 1000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Append())
   }
 

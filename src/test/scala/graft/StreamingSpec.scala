@@ -293,6 +293,14 @@ class StreamingSpec extends AnyFunSuite {
       // w00:00 after both batches: warm 3 (1 from batch 1 + 2), hot 2
       assert(statePanels(1)(w0) == Seq(("hot", 2L, 2), ("warm", 3L, 1)).sorted,
         s"merged-state ranking lost batch-1 counts: ${statePanels(1)(w0)}")
+      // batch 3: an event beyond the watermark (wm = 00:08 − 10 min =
+      // 23:58; its windows end 23:45/23:50) — BOTH variants must drop it
+      val late = Seq(Point("stale", ts("2023-12-31 23:40:00"), 1.0))
+      inA.addData(late: _*); qA.processAllAvailable()
+      inB.addData(late: _*); qB.processAllAvailable()
+      assert(pushes.size == 2, s"driver variant must not push for dropped late data: $pushes")
+      assert(stateRows().size == seen,
+        "state variant must not emit for dropped late data")
     } finally {
       if (prevProvider.isEmpty)
         s.conf.unset("spark.sql.streaming.stateStore.providerClass")
