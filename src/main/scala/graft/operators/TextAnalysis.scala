@@ -517,6 +517,68 @@ object TextAnalysis {
             (col("n_bigrams") * lit(1000000000L)).cast("double")).as("lm_score"))
   }
 
+  /** Train the add-one-smoothed bigram LM ONCE on a reference corpus and
+    * store its count tables — the CCNet shape proper: the fluency model
+    * is trained on a trusted REFERENCE corpus (their Wikipedia) and
+    * candidate corpora are scored against the STORED model run after
+    * run, never re-deriving it ([[bigramLmScore]] is the self-scored
+    * special case). Artifact layout: `c2/` bigram counts, `c1/` unigram
+    * counts, `vocab/` the 1-row vocabulary size. */
+  def writeBigramLm(ref: DataFrame, textCol: String, path: String): Unit = {
+    val toks = ref.select(split(trim(col(textCol)), " ").as("t"))
+    // one tokenize feeds bigrams, unigrams and the vocab count
+    val tok = toks.select(explode(col("t")).as("w")).localCheckpoint()
+    toks.filter(size(col("t")) >= 2)
+      .select(col("t"), explode(sequence(lit(2), size(col("t")))).as("i"))
+      .select(element_at(col("t"), col("i") - 1).as("prev"),
+        element_at(col("t"), col("i")).as("cur"))
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/c2")
+    tok.groupBy(col("w").as("prev")).agg(count(lit(1)).as("c1"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/c1")
+    tok.agg(countDistinct(col("w")).as("v"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/vocab")
+    tok.unpersist()
+  }
+
+  /** Score candidates against a STORED [[writeBigramLm]] model: the same
+    * quantized add-one-smoothed expression, counts joined from the model
+    * tables. Cross-corpus is where smoothing earns its keep — bigrams or
+    * contexts the model never saw take c2 = 0 / c1 = 0 through the LEFT
+    * joins (priced as 1/(0+V), not dropped), a case the self-scored
+    * variant never encounters. Output: (idCol, n_bigrams, lm_score) —
+    * identical contract to [[bigramLmScore]]. */
+  def bigramLmScoreIndexed(spark: org.apache.spark.sql.SparkSession,
+                           df: DataFrame, idCol: String, textCol: String,
+                           path: String): DataFrame = {
+    val c2 = spark.read.parquet(s"$path/c2")
+    val c1 = spark.read.parquet(s"$path/c1")
+    val vocab = broadcast(spark.read.parquet(s"$path/vocab"))
+    val toks = df.select(col(idCol), split(trim(col(textCol)), " ").as("t"))
+    val big = toks.filter(size(col("t")) >= 2)
+      .select(col(idCol), col("t"),
+        explode(sequence(lit(2), size(col("t")))).as("i"))
+      .select(col(idCol),
+        element_at(col("t"), col("i") - 1).as("prev"),
+        element_at(col("t"), col("i")).as("cur"))
+    val scored = big
+      .join(c2, Seq("prev", "cur"), "left")
+      .join(c1, Seq("prev"), "left")
+      .crossJoin(vocab)
+      .select(col(idCol),
+        floor((coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double") * lit(1e9))
+          .cast("long").as("qp"))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("qp")).as("qsum"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams").isNull, lit(null).cast("double"))
+          .otherwise(col("qsum").cast("double") /
+            (col("n_bigrams") * lit(1000000000L)).cast("double")).as("lm_score"))
+  }
+
   /** Per-doc novelty: the fraction of its positional n-gram shingles that
     * appear in NO other document (1 − shared/total) — the memorization /
     * boilerplate exposure score span-level dedup acts on, as a per-doc

