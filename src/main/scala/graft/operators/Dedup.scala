@@ -452,7 +452,7 @@ object Dedup {
         .select(col("id"), col("rep"), (col("rep") =!= col("old_rep")).as("changed"))
         .localCheckpoint()
       converged = next.filter(col("changed")).limit(1).isEmpty
-      labels.unpersist() // next is materialized; don't pin every round's copy
+      Checkpoints.release(labels) // next is materialized; don't pin every round's copy
       labels = next
       iter += 1
     }
@@ -517,7 +517,7 @@ object Dedup {
       val next = canon(ss).localCheckpoint()
       converged = next.exceptAll(e).limit(1).isEmpty &&
         e.exceptAll(next).limit(1).isEmpty
-      e.unpersist(); s1.unpersist(); ls.unpersist(); ss.unpersist()
+      Seq(e, s1, ls, ss).foreach(Checkpoints.release)
       e = next
       iter += 1
     }

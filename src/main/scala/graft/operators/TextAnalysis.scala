@@ -202,7 +202,7 @@ object TextAnalysis {
           .withColumn("sym", regexp_replace(col("sym"),
             lit(mergePattern(a, b)), lit(mergeReplacement(a, b))))
           .localCheckpoint()
-        words.unpersist() // next is materialized; don't pin every round
+        Checkpoints.release(words) // next is materialized; don't pin every round
         words = next
         r += 1
       }
@@ -281,7 +281,7 @@ object TextAnalysis {
         .select(col("l"), col("r"), col("pcnt"), col("end_max"), col("start_max"))
         .collect()
       if (cands.isEmpty || cands(0).getLong(2) < 2) {
-        exhausted = true; pairs.unpersist()
+        exhausted = true; Checkpoints.release(pairs)
       } else {
         val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
         val used = scala.collection.mutable.Set.empty[String]
@@ -314,7 +314,7 @@ object TextAnalysis {
         val next = words.withColumn("sym", rewritten).localCheckpoint()
         // at a 30k-merge vocabulary there are hundreds of rounds — release
         // the previous round's pinned blocks or storage grows with rounds
-        words.unpersist(); pairs.unpersist()
+        Checkpoints.release(words); Checkpoints.release(pairs)
         words = next
         rounds += 1
       }
@@ -525,9 +525,12 @@ object TextAnalysis {
     * special case). Artifact layout: `c2/` bigram counts, `c1/` unigram
     * counts, `vocab/` the 1-row vocabulary size. */
   def writeBigramLm(ref: DataFrame, textCol: String, path: String): Unit = {
+    // one tokenize (checkpointed token arrays) feeds the bigram counts,
+    // the unigram counts, and the vocab count — three consumers, one
+    // corpus scan
     val toks = ref.select(split(trim(col(textCol)), " ").as("t"))
-    // one tokenize feeds bigrams, unigrams and the vocab count
-    val tok = toks.select(explode(col("t")).as("w")).localCheckpoint()
+      .localCheckpoint()
+    val tok = toks.select(explode(col("t")).as("w"))
     toks.filter(size(col("t")) >= 2)
       .select(col("t"), explode(sequence(lit(2), size(col("t")))).as("i"))
       .select(element_at(col("t"), col("i") - 1).as("prev"),
@@ -538,7 +541,7 @@ object TextAnalysis {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/c1")
     tok.agg(countDistinct(col("w")).as("v"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/vocab")
-    tok.unpersist()
+    Checkpoints.release(toks)
   }
 
   /** Score candidates against a STORED [[writeBigramLm]] model: the same

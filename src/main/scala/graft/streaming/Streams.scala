@@ -206,13 +206,20 @@ object Streams {
     * the parity spec).
     *
     * Event-time hygiene (what makes `lateness` LIVE here): rows whose
-    * window END has fallen behind the watermark are DROPPED — the same
-    * rule the watermarked window aggregation applies in the driver-panel
-    * variant, so the two variants agree on late data too (pinned) — and
-    * each window registers an event-time timer at its end, so its
-    * MapState is cleared the moment the watermark guarantees no further
-    * update can arrive. State size is live windows × items, not stream
-    * history. */
+    * window END has fallen behind the watermark are DROPPED, and each
+    * window registers an event-time timer at its end, so its MapState is
+    * cleared the moment the watermark guarantees no further update can
+    * arrive. State size is live windows × items, not stream history.
+    * One deliberate asymmetry vs the aggregation variant: Spark filters
+    * an aggregation's late rows against the PREVIOUS micro-batch's
+    * watermark (its multi-operator propagation rule), while this
+    * processor sees only the current batch's eviction watermark — so for
+    * window ends inside that one-batch band this variant drops a row the
+    * aggregation still admits. Dropping there is REQUIRED here: the
+    * timer has already cleared the window's counts once the watermark
+    * passes its end, and admitting the row would resurrect a partial
+    * panel. The parity spec exercises agreement outside the band (the
+    * steady-state case) plus a both-variants-drop late batch. */
   class TrendKeeper(k: Int, windowMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, WindowedHit, TrendRow] {
     @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
@@ -260,9 +267,11 @@ object Streams {
     * and [[TrendKeeper]] merges + ranks per key. The driver never holds
     * data: state lives in the (RocksDB) store, partitioned by window
     * across executors, and each batch emits the refreshed panel of every
-    * touched window. Late rows drop against the watermark exactly as the
-    * aggregation variant drops them, and each window's state is cleared
-    * by an event-time timer once the watermark passes its end. */
+    * touched window. Late rows drop against the eviction watermark and
+    * each window's state is cleared by an event-time timer once the
+    * watermark passes its end (see [[TrendKeeper]] for the one-batch
+    * watermark-propagation band where this is stricter than the
+    * aggregation variant). */
   def trendingTopKState(stream: DataFrame, tsCol: String, itemCol: String,
                         windowLen: String, slide: String, lateness: String,
                         k: Int): Dataset[TrendRow] = {

@@ -218,6 +218,20 @@ class DedupSpec extends AnyFunSuite {
     assert(fp <= 2500, s"false-positive rate ${fp / 50000.0} exceeds 5%")
   }
 
+  test("Checkpoints.release frees checkpoint blocks that Dataset.unpersist cannot touch") {
+    val s = spark
+    import s.implicits._
+    val before = s.sparkContext.getPersistentRDDs.size
+    val df = s.range(1000).toDF("id").localCheckpoint()
+    assert(s.sparkContext.getPersistentRDDs.size == before + 1)
+    df.unpersist() // CacheManager no-op: checkpoint blocks are not cache entries
+    assert(s.sparkContext.getPersistentRDDs.size == before + 1,
+      "unpersist() must not (and does not) release checkpoint storage")
+    graft.operators.Checkpoints.release(df)
+    assert(s.sparkContext.getPersistentRDDs.size == before,
+      "release must drop the LogicalRDD's persisted blocks")
+  }
+
   test("connectedComponentsStar: labels match min-label CC on random graphs; deep chains converge") {
     val s = spark
     import s.implicits._
