@@ -243,8 +243,57 @@ object CoreQueries {
       |FROM probe JOIN build USING (k)
       |GROUP BY k ORDER BY k""".stripMargin
 
+  // ---- snapshot diff over the versioned store ------------------------------
+  /** Time-travel composition — the versioned store's first oracle-backed
+    * query: two snapshots are COMMITTED (v1 = docs with doc_id % 7 ≠ 0,
+    * v2 = every doc, with doc_id % 5 ≡ 0 texts edited), read back via
+    * [[graft.sources.PartitionedStore.readVersion]], and diffed
+    * CDC-style by content hash (added / removed / changed). The engine
+    * derives the classification from the actual store reads; the oracle
+    * replays the construction arithmetic straight from `documents` — a
+    * wrong manifest, a non-isolated commit, or a time-travel read that
+    * leaks rows across versions all hash-mismatch. Commits memoized per
+    * corpus (a snapshot is committed once by definition). */
+  private val snapDiffCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val path = snapDiffCache.computeIfAbsent(d, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_snapdiff").toString
+      graft.sources.PartitionedStore.commitVersion(
+        docs.filter(col("doc_id") % 7 =!= 0).select(col("doc_id"), col("text")), p)
+      graft.sources.PartitionedStore.commitVersion(
+        docs.select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text")), p)
+      p
+    })
+    val v1 = graft.sources.PartitionedStore.readVersion(s, path, Some(1L))
+    val v2 = graft.sources.PartitionedStore.readVersion(s, path, Some(2L))
+    v1.select(col("doc_id"), md5(col("text")).as("h1"))
+      .join(v2.select(col("doc_id"), md5(col("text")).as("h2")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h1").isNull, lit("added"))
+          .when(col("h2").isNull, lit("removed"))
+          .when(col("h1") =!= col("h2"), lit("changed"))
+          .otherwise(lit("same")).as("op"),
+        col("h2").as("v2_md5"))
+      .filter(col("op") =!= "same")
+      .orderBy(col("doc_id"))
+  }
+  val snapshotDiffSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 0 THEN 'added' ELSE 'changed' END AS op,
+      |  md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS v2_md5
+      |FROM documents
+      |WHERE doc_id % 7 = 0 OR (doc_id % 5 = 0 AND doc_id % 7 <> 0)
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
+    "snapshot_diff" -> (snapshotDiff _),
     "skew_join_plain" -> (skewJoinPlain _),
     "skew_join_salted" -> (skewJoinSalted _),
     "w1_latest_event_per_user" -> (w1LatestEventPerUser _),
@@ -257,6 +306,7 @@ object CoreQueries {
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1PricingSummarySql,
+    "snapshot_diff" -> snapshotDiffSql,
     "skew_join_plain" -> skewJoinSql,
     "skew_join_salted" -> skewJoinSql,
     "w1_latest_event_per_user" -> w1LatestEventPerUserSql,
