@@ -21,11 +21,20 @@ import org.apache.spark.sql.execution.LogicalRDD
   * already signs up for. */
 object Checkpoints {
 
-  /** Release the persisted blocks behind a localCheckpoint()ed frame
-    * (no-op for plans without a LogicalRDD). Non-blocking. */
+  /** Release the persisted blocks behind a localCheckpoint()ed frame.
+    * Matches ONLY a LogicalRDD at the plan ROOT — i.e. the frame handed
+    * in must itself be the checkpoint, not something derived from one. A
+    * whole-plan traversal here would silently release every checkpointed
+    * INPUT of a derived frame, including checkpoints other live frames
+    * still share; restricting to the root makes that misuse a loud no-op
+    * (assert below) instead of a shared-state corruption. No-op only for
+    * the analyzed-but-never-checkpointed empty case. Non-blocking. */
   def release(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
-      case _ => ()
+      case other => throw new IllegalArgumentException(
+        "Checkpoints.release expects a frame whose plan root is the " +
+          s"localCheckpoint LogicalRDD; got ${other.nodeName}. Release the " +
+          "checkpointed frame itself, not a frame derived from it.")
     }
 }

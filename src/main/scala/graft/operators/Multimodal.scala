@@ -90,6 +90,9 @@ object Multimodal {
     * Pure projection — the payload column is born and stays executor-side. */
   def ppmFromText(docs: DataFrame): DataFrame =
     docs.filter(length(col("text")) > 0)
+      // same byte == char contract as [[wavFromText]]: the pixel array is
+      // sized in chars, read in bytes — pin ASCII-only explicitly
+      .filter(octet_length(col("text")) === length(col("text")))
       .withColumn("w", (lit(4) + col("doc_id") % 4).cast("int"))
       .withColumn("h", (lit(3) + col("doc_id") % 3).cast("int"))
       .withColumn("need", (col("w") * col("h") * 3).cast("int"))
@@ -187,6 +190,14 @@ object Multimodal {
     * is born and stays executor-side. */
   def wavFromText(docs: DataFrame): DataFrame =
     docs.filter(length(col("text")) > 0)
+      // byte == char is load-bearing: the data chunk is sized in CHARS
+      // (`need`) but cast to binary as BYTES — one multi-byte UTF-8 char
+      // in the first `need` chars and the payload outruns the declared
+      // chunk size (parseWav then walks trailing bytes as a bogus chunk
+      // header), and the oracle's ascii() arithmetic diverges the same
+      // way. Make the assumption explicit: ASCII-only docs, same
+      // predicate in the oracle SQL (strlen = length).
+      .filter(octet_length(col("text")) === length(col("text")))
       .withColumn("sr", (lit(8000) + (col("doc_id") % 3) * 4000).cast("long"))
       .withColumn("nf", (lit(20) + col("doc_id") % 50).cast("long"))
       .withColumn("need", (col("nf") * 2).cast("int")) // stereo, 1 byte/sample

@@ -242,11 +242,14 @@ object TextAnalysis {
     * conditions guarantee the sequential trainer would have picked it
     * next anyway:
     *
-    *  1. SYMBOL-DISJOINT from every earlier accepted pair — an earlier
-    *     merge touching a shared symbol changes this pair's count; counts
-    *     of disjoint pairs are untouched (a merge only rewrites "a b"
-    *     adjacencies; it cannot create or destroy an (x,y) adjacency with
-    *     x,y ∉ {a,b}).
+    *  1. SYMBOL-DISJOINT from every earlier accepted pair INCLUDING its
+    *     created symbol a+b — an earlier merge touching a shared symbol
+    *     changes this pair's count; counts of disjoint pairs are untouched
+    *     (a merge only rewrites "a b" adjacencies; it cannot create or
+    *     destroy an (x,y) adjacency with x,y ∉ {a,b, ab}). The created
+    *     symbol matters because concatenation has no separator: "ab" can
+    *     equal a symbol already in the table, and merging (a,b) then
+    *     INCREASES counts of existing pairs containing it.
     *  2. count STRICTLY ABOVE the new-pair bound: a merge (a,b) creates
     *     only pairs containing the merged symbol ab, and every such
     *     occurrence "x (ab)" / "(ab) y" requires a CURRENT "x a" / "b y"
@@ -296,7 +299,12 @@ object TextAnalysis {
           else if (used.contains(a) || used.contains(b)) scan = false
           else {
             accepted += ((a, b, cnt))
-            used += a; used += b
+            // a+b too: the created symbol concatenates WITHOUT a separator,
+            // so its string can collide with a symbol already in the table
+            // (e.g. "ab" from an earlier round). A later candidate touching
+            // that symbol would be judged against a count the merge just
+            // changed — stop the scan there, like any other shared symbol.
+            used += a; used += b; used += (a + b)
             bound = math.max(bound, math.max(
               if (c.isNullAt(3)) Long.MinValue else c.getLong(3),
               if (c.isNullAt(4)) Long.MinValue else c.getLong(4)))

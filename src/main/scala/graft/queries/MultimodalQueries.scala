@@ -87,7 +87,7 @@ object MultimodalQueries {
     """WITH src AS (
       |  SELECT doc_id AS media_id, CAST(4 + doc_id % 4 AS INTEGER) AS w,
       |         CAST(3 + doc_id % 3 AS INTEGER) AS h, text
-      |  FROM documents WHERE length(text) > 0
+      |  FROM documents WHERE length(text) > 0 AND strlen(text) = length(text)
       |), px AS (
       |  SELECT media_id, w, h,
       |    list_transform(range(0, w*h*3), i ->
@@ -116,7 +116,7 @@ object MultimodalQueries {
       |  SELECT doc_id AS media_id,
       |         CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sr,
       |         CAST(20 + doc_id % 50 AS BIGINT) AS nf, text
-      |  FROM documents WHERE length(text) > 0
+      |  FROM documents WHERE length(text) > 0 AND strlen(text) = length(text)
       |), amp AS (
       |  SELECT media_id, sr, nf,
       |    list_transform(range(0, CAST(nf*2 AS INTEGER)), i ->

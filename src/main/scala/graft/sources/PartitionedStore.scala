@@ -263,11 +263,19 @@ object PartitionedStore {
       .resolve(s".v$v-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     Files.write(tmp, (parentDirs :+ dirName).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    try Files.createLink(root.resolve("_manifests").resolve(s"v$v.list"), tmp)
+    val dest = root.resolve("_manifests").resolve(s"v$v.list")
+    try Files.createLink(dest, tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new IllegalStateException(
           s"concurrent commit lost the race: version $v already published at $path")
+      // hard links aren't universal (object-store FUSE mounts, some
+      // network/FAT volumes). Fall back to an atomic rename: still an
+      // all-or-nothing publish, but POSIX rename CLOBBERS, so the
+      // loser-errors guarantee weakens to last-writer-wins on exactly
+      // these filesystems — documented trade, not silent.
+      case _: UnsupportedOperationException =>
+        Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } finally Files.deleteIfExists(tmp)
     v
   }
