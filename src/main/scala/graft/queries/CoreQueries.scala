@@ -245,42 +245,51 @@ object CoreQueries {
 
   // ---- snapshot diff over the versioned store ------------------------------
   /** Time-travel composition — the versioned store's first oracle-backed
-    * query: two snapshots are COMMITTED (v1 = docs with doc_id % 7 ≠ 0,
-    * v2 = every doc, with doc_id % 5 ≡ 0 texts edited), read back via
-    * [[graft.sources.PartitionedStore.readVersion]], and diffed
-    * CDC-style by content hash (added / removed / changed). The engine
-    * derives the classification from the actual store reads; the oracle
-    * replays the construction arithmetic straight from `documents` — a
-    * wrong manifest, a non-isolated commit, or a time-travel read that
-    * leaks rows across versions all hash-mismatch. Commits memoized per
-    * corpus (a snapshot is committed once by definition). */
+    * query, now MANIFEST-PRUNED: the corpus is committed so that the
+    * stable bulk (doc_id % 7 ≠ 0 ∧ % 5 ≠ 0, ~76% of rows, full text
+    * payload) lives in its own data directory shared by both diffed
+    * versions, the churn rows (% 5 ≡ 0, % 7 ≠ 0) in a second dir, and
+    * the new version is a copy-on-write rewrite commit that drops the
+    * churn dir and adds one dir holding the edited churn + the new
+    * % 7 ≡ 0 docs. [[graft.sources.PartitionedStore.diffVersions]] then
+    * intersects the two manifests and scans ONLY the two delta dirs —
+    * the bulk dir's files never appear in the plan (pinned by
+    * VersionedStoreSpec's inputFiles assertion), so diff cost tracks
+    * the churn, not the corpus. Semantics are unchanged: the old
+    * snapshot is all % 7 ≠ 0 docs, the new one every doc with % 5 ≡ 0
+    * texts edited, and the oracle replays the construction arithmetic
+    * straight from `documents` — a wrong manifest, a non-isolated
+    * rewrite commit, or a diff that misses a rewritten row all
+    * hash-mismatch. Commits memoized per corpus (a snapshot is
+    * committed once by definition). */
   private val snapDiffCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.PartitionedStore
     val docs = Tables.documents(s, d)
     val path = snapDiffCache.computeIfAbsent(d, _ => {
       val p = java.nio.file.Files.createTempDirectory("graft_snapdiff").toString
-      graft.sources.PartitionedStore.commitVersion(
-        docs.filter(col("doc_id") % 7 =!= 0).select(col("doc_id"), col("text")), p)
-      graft.sources.PartitionedStore.commitVersion(
-        docs.select(col("doc_id"),
-          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
-            .otherwise(col("text")).as("text")), p)
+      val churn = col("doc_id") % 5 === 0 && col("doc_id") % 7 =!= 0
+      // v1: the stable bulk alone; v2: + churn dir = the full old snapshot
+      PartitionedStore.commitVersion(
+        docs.filter(col("doc_id") % 7 =!= 0 && !churn)
+          .select(col("doc_id"), col("text")), p)
+      PartitionedStore.commitVersion(
+        docs.filter(churn).select(col("doc_id"), col("text")), p, append = true)
+      // v3: rewrite — drop the churn dir, add edited churn + new %7 docs
+      val churnDir = (PartitionedStore.versionDirs(p, 2L).toSet --
+        PartitionedStore.versionDirs(p, 1L).toSet).toSeq
+      PartitionedStore.commitVersion(
+        docs.filter(churn || col("doc_id") % 7 === 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text")),
+        p, append = true, dropDirs = churnDir)
       p
     })
-    val v1 = graft.sources.PartitionedStore.readVersion(s, path, Some(1L))
-    val v2 = graft.sources.PartitionedStore.readVersion(s, path, Some(2L))
-    v1.select(col("doc_id"), md5(col("text")).as("h1"))
-      .join(v2.select(col("doc_id"), md5(col("text")).as("h2")),
-        Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        when(col("h1").isNull, lit("added"))
-          .when(col("h2").isNull, lit("removed"))
-          .when(col("h1") =!= col("h2"), lit("changed"))
-          .otherwise(lit("same")).as("op"),
-        col("h2").as("v2_md5"))
-      .filter(col("op") =!= "same")
+    PartitionedStore.diffVersions(s, path, 2L, 3L, "doc_id", md5(col("text")))
+      .select(col("doc_id"), col("op"), col("new_hash").as("v2_md5"))
       .orderBy(col("doc_id"))
   }
   val snapshotDiffSql: String =

@@ -239,9 +239,16 @@ object PartitionedStore {
     * the new directory); `append = true` commits the parent's directory
     * list PLUS the new one — an incremental commit whose write cost is
     * the delta, exactly the Iceberg/Delta snapshot model reduced to a
-    * manifest of directories. Returns the new version number. */
+    * manifest of directories. `dropDirs` (append mode only) names parent
+    * directories the new version REPLACES — the copy-on-write rewrite
+    * commit (Delta/Iceberg "replace files"): the manifest keeps the
+    * parent's dirs minus `dropDirs` plus the new one; the dropped dirs'
+    * bytes stay on disk for older versions' time travel and are
+    * reclaimed by [[vacuum]] once no manifest references them. Returns
+    * the new version number. */
   def commitVersion(df: DataFrame, path: String,
-                    append: Boolean = false): Long = {
+                    append: Boolean = false,
+                    dropDirs: Seq[String] = Nil): Long = {
     val root = Paths.get(path)
     Files.createDirectories(root.resolve("_manifests"))
     Files.createDirectories(root.resolve("data"))
@@ -251,7 +258,13 @@ object PartitionedStore {
     df.write.mode(SaveMode.ErrorIfExists)
       .option("compression", "zstd")
       .parquet(root.resolve("data").resolve(dirName).toString)
-    val parentDirs = if (append) parent.toSeq.flatMap(pv => manifestDirs(path, pv)) else Nil
+    require(dropDirs.isEmpty || append,
+      "dropDirs is a rewrite of the parent manifest — meaningless on a full-snapshot commit")
+    val parentAll = if (append) parent.toSeq.flatMap(pv => manifestDirs(path, pv)) else Nil
+    val unknown = dropDirs.filterNot(parentAll.contains)
+    require(unknown.isEmpty,
+      s"dropDirs not in parent manifest: ${unknown.mkString(", ")}")
+    val parentDirs = parentAll.filterNot(dropDirs.contains)
     // publish = atomic CREATE-NEW of the final manifest (hard link from a
     // fully-written temp file): readers still never see a partial
     // manifest, and a concurrent committer that computed the same version
@@ -308,6 +321,69 @@ object PartitionedStore {
     val dirs = manifestDirs(path, v)
       .map(d => Paths.get(path, "data", d).toString)
     spark.read.parquet(dirs: _*)
+  }
+
+  /** The data directories a committed version comprises — the manifest
+    * contents, public so callers can diff versions at the METADATA level
+    * before touching any data (see [[diffVersions]]). */
+  def versionDirs(path: String, v: Long): Seq[String] = {
+    require(versions(path).contains(v), s"version $v not committed at $path")
+    manifestDirs(path, v)
+  }
+
+  /** Manifest-pruned snapshot diff: classify every row that differs
+    * between two committed versions as added / removed / changed WITHOUT
+    * scanning either version in full. Commits are copy-on-write — a data
+    * directory shared by both manifests is byte-identical in both
+    * versions — so the diff first intersects the two manifests and then
+    * reads ONLY directories in the symmetric difference: rows living in
+    * shared dirs cannot have been added, removed, or changed (the store
+    * layout keeps each id in exactly one dir per version), so at 100 TB
+    * a diff of adjacent versions costs the delta, not two full scans.
+    * The reference's CDC chain pushes the same thin deltas by design
+    * (utility/marketDataNotify_utility.py:27-88).
+    *
+    * Output: (idCol, op ∈ added|removed|changed, old_hash, new_hash)
+    * where hash = `hashOf` evaluated on each side's rows; rows rewritten
+    * byte-identically (compaction) come back op = same and are kept out
+    * of the result. Contract: each id appears in at most one dir per
+    * version — true for every commit this store can produce (full
+    * snapshots, pure appends of new ids, dropDirs rewrites). */
+  def diffVersions(spark: SparkSession, path: String, vOld: Long,
+                   vNew: Long, idCol: String,
+                   hashOf: org.apache.spark.sql.Column): DataFrame = {
+    val oldDirs = versionDirs(path, vOld)
+    val newDirs = versionDirs(path, vNew)
+    val shared = oldDirs.toSet.intersect(newDirs.toSet)
+    def readOnly(dirs: Seq[String], hcol: String): Option[DataFrame] = {
+      val d = dirs.filterNot(shared)
+      if (d.isEmpty) None
+      else Some(spark.read
+        .parquet(d.map(x => Paths.get(path, "data", x).toString): _*)
+        .select(col(idCol), hashOf.as(hcol)))
+    }
+    (readOnly(oldDirs, "old_hash"), readOnly(newDirs, "new_hash")) match {
+      case (None, None) => // identical manifests: zero rows, zero files read
+        spark.emptyDataFrame
+          .select(lit(null).cast("long").as(idCol), lit("").as("op"),
+            lit("").as("old_hash"), lit("").as("new_hash"))
+          .limit(0)
+      case (Some(o), None) =>
+        o.select(col(idCol), lit("removed").as("op"),
+          col("old_hash"), lit(null).cast("string").as("new_hash"))
+      case (None, Some(n)) =>
+        n.select(col(idCol), lit("added").as("op"),
+          lit(null).cast("string").as("old_hash"), col("new_hash"))
+      case (Some(o), Some(n)) =>
+        o.join(n, Seq(idCol), "full_outer")
+          .select(col(idCol),
+            when(col("old_hash").isNull, lit("added"))
+              .when(col("new_hash").isNull, lit("removed"))
+              .when(col("old_hash") =!= col("new_hash"), lit("changed"))
+              .otherwise(lit("same")).as("op"),
+            col("old_hash"), col("new_hash"))
+          .filter(col("op") =!= "same")
+    }
   }
 
   /** Reclaim data directories no LIVE manifest references (crash orphans,

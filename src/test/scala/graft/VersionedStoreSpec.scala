@@ -90,6 +90,73 @@ class VersionedStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("rewrite commit (dropDirs) supersedes a parent dir; time travel still sees it") {
+    val path = Files.createTempDirectory("vstore").toString
+    PartitionedStore.commitVersion(df(0 until 10), path)            // v1: bulk
+    PartitionedStore.commitVersion(df(10 until 13), path, append = true) // v2: + churn
+    val churnDir = (PartitionedStore.versionDirs(path, 2L).toSet --
+      PartitionedStore.versionDirs(path, 1L).toSet).toSeq
+    assert(churnDir.size == 1)
+    val s = spark; import s.implicits._
+    val rewritten = (10 until 13).map(i => (i.toLong, s"row-$i-edited")).toDF("id", "payload")
+    val v3 = PartitionedStore.commitVersion(rewritten, path, append = true, dropDirs = churnDir)
+    assert(v3 == 3L)
+    val got = PartitionedStore.readVersion(spark, path, Some(3L))
+    assert(got.count() == 13, "bulk + rewritten churn, no duplicates")
+    assert(got.filter($"payload".endsWith("-edited")).count() == 3)
+    assert(PartitionedStore.readVersion(spark, path, Some(2L))
+      .filter($"payload".endsWith("-edited")).count() == 0,
+      "the pre-rewrite version still reads the original churn dir")
+    // dropping a dir the parent doesn't have fails loudly
+    intercept[IllegalArgumentException] {
+      PartitionedStore.commitVersion(df(0 until 1), path, append = true,
+        dropDirs = Seq("no-such-dir"))
+    }
+    intercept[IllegalArgumentException] { // and so does dropDirs on a full snapshot
+      PartitionedStore.commitVersion(df(0 until 1), path, dropDirs = churnDir)
+    }
+  }
+
+  test("diffVersions reads ONLY manifest-delta dirs and classifies added/removed/changed") {
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("vstore").toString
+    PartitionedStore.commitVersion(df(0 until 100), path)            // v1: bulk (shared)
+    PartitionedStore.commitVersion(df(100 until 110), path, append = true) // v2: + churn
+    val churnDir = (PartitionedStore.versionDirs(path, 2L).toSet --
+      PartitionedStore.versionDirs(path, 1L).toSet).toSeq
+    val s = spark; import s.implicits._
+    // rewrite: ids 100-104 edited, 105-109 dropped, 200-201 added
+    val delta = ((100 until 105).map(i => (i.toLong, s"row-$i-edited")) ++
+      (200 until 202).map(i => (i.toLong, s"row-$i"))).toDF("id", "payload")
+    PartitionedStore.commitVersion(delta, path, append = true, dropDirs = churnDir)
+    val diff = PartitionedStore.diffVersions(spark, path, 2L, 3L, "id",
+      org.apache.spark.sql.functions.md5(col("payload")))
+    // THE scale pin: the diff's scans touch only the churn dir and the
+    // delta dir — not one file of the 100-row bulk dir
+    val bulkDir = PartitionedStore.versionDirs(path, 1L).head
+    val scanned = diff.inputFiles.toSeq
+    assert(scanned.nonEmpty && !scanned.exists(_.contains(bulkDir)),
+      s"diff must never scan the shared bulk dir; scanned: $scanned")
+    val expectedFiles = (churnDir ++ (PartitionedStore.versionDirs(path, 3L).toSet --
+      PartitionedStore.versionDirs(path, 2L).toSet)).toSet
+    assert(scanned.forall(f => expectedFiles.exists(f.contains)),
+      "every scanned file lives in a manifest-delta dir")
+    val got = diff.select($"id", $"op").as[(Long, String)].collect().toMap
+    assert((100L until 105L).forall(got.get(_).contains("changed")))
+    assert((105L until 110L).forall(got.get(_).contains("removed")))
+    assert((200L until 202L).forall(got.get(_).contains("added")))
+    assert(got.size == 12, "rows in the shared dir never surface")
+    // degenerate cases: identical manifests → empty without reading data;
+    // pure append → all added
+    assert(PartitionedStore.diffVersions(spark, path, 3L, 3L, "id",
+      org.apache.spark.sql.functions.md5(col("payload"))).count() == 0)
+    PartitionedStore.commitVersion(df(300 until 303), path, append = true)
+    val appendDiff = PartitionedStore.diffVersions(spark, path, 3L, 4L, "id",
+      org.apache.spark.sql.functions.md5(col("payload")))
+    assert(appendDiff.select($"op").distinct().as[String].collect().toSeq == Seq("added"))
+    assert(appendDiff.count() == 3)
+  }
+
   test("truncating history then vacuuming reclaims unreferenced snapshot dirs") {
     val path = Files.createTempDirectory("vstore").toString
     PartitionedStore.commitVersion(df(0 until 3), path)
