@@ -223,23 +223,22 @@ object Search {
   def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
                      path: String, nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
-    val spark = docs.sparkSession
+    import graft.sources.PartitionedStore
     // one corpus pass feeds postings, dl and stats alike
     val tf = termFrequencies(docs, idCol, textCol).localCheckpoint()
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
       .localCheckpoint()
-    dl.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/dl")
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
-      .withColumn("n_buckets", lit(nBuckets))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/stats")
-    tf.withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
-      .repartition(col("bucket"))
-      .sortWithinPartitions(col("term"), col(idCol))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("bucket")
-      .parquet(s"$path/postings")
+    val dv = PartitionedStore.commitVersion(dl, s"$path/dl")
+    val sv = PartitionedStore.commitVersion(
+      dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+        .withColumn("n_buckets", lit(nBuckets)), s"$path/stats")
+    val pv = PartitionedStore.commitVersion(
+      tf.withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("term"), col(idCol)),
+      s"$path/postings", partitionCols = Seq("bucket"))
+    PartitionedStore.publishComposite(path,
+      Map("postings" -> pv, "dl" -> dv, "stats" -> sv))
   }
 
   /** Incremental maintenance of a [[writeBm25Index]] layout — the
@@ -252,42 +251,55 @@ object Search {
     * falls out of the layout: per-term df is counted on the pruned
     * postings at query time (old + appended rows together), so a query
     * after an append is bit-identical to one against a full rebuild
-    * (the spec's claim). Small appended files are
-    * [[graft.sources.PartitionedStore.compact]]'s job.
+    * (the spec's claim). Small appended files are a compaction rewrite
+    * commit's job (commitVersion dropDirs), not this one's.
     *
-    * Crash contract — SINGLE WRITER, NOT atomic: this is a three-file
-    * update (dl append, postings append, stats overwrite, in that
-    * order), and a crash between them leaves the index INCONSISTENT
-    * (appended postings/lengths with stale stats → silently skewed idf/
-    * avgdl). A failed append must be repaired before serving: restore
-    * the index from its previous copy or rebuild with
-    * [[writeBm25Index]]. A deployment that needs torn-append safety
-    * should version the whole index directory through
-    * [[graft.sources.PartitionedStore.commitVersion]]'s loser-errors
-    * manifest publish instead of appending in place. */
+    * Crash contract — ATOMIC via the composite pointer: component
+    * commits (dl, postings, stats) land first as new UNREFERENCED
+    * versions of their stores — each append pinned to the parent the
+    * SERVED composite references, never the raw latest, so a retry
+    * after a crash cannot stack on an orphan — and the index flips to
+    * the new generation only at [[graft.sources.PartitionedStore
+    * .publishComposite]]. A crash anywhere before that leaves readers
+    * on the old generation with consistent idf/avgdl; racing appenders
+    * error at a component commit or the publish (loser-errors), never
+    * corrupt. Re-delivered doc ids are dropped by an anti-join against
+    * the served dl (idempotent delivery — without it a duplicate id
+    * would double-count n_docs and fan out the score join). */
   def appendBm25Index(spark: org.apache.spark.sql.SparkSession,
                       delta: DataFrame, idCol: String, textCol: String,
                       path: String): Unit = {
-    val statsRow = spark.read.parquet(s"$path/stats")
+    import graft.sources.PartitionedStore
+    val served = PartitionedStore.readComposite(path)
+    val statsRow = PartitionedStore
+      .readVersion(spark, s"$path/stats", Some(served("stats")))
       .select(col("n_docs"), col("total_tokens"), col("n_buckets")).collect()(0)
     val nBuckets = statsRow.getInt(2)
-    val tf = termFrequencies(delta, idCol, textCol).localCheckpoint()
+    val existing = PartitionedStore
+      .readVersion(spark, s"$path/dl", Some(served("dl"))).select(col(idCol))
+    val fresh = delta.join(existing, Seq(idCol), "left_anti")
+    val tf = termFrequencies(fresh, idCol, textCol).localCheckpoint()
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
       .localCheckpoint()
-    dl.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$path/dl")
-    tf.withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
-      .repartition(col("bucket"))
-      .sortWithinPartitions(col("term"), col(idCol))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("bucket")
-      .parquet(s"$path/postings")
+    if (dl.isEmpty) return // fully re-delivered delta: the append is a no-op
+    val dv = PartitionedStore.commitVersion(dl, s"$path/dl",
+      append = true, parent = Some(served("dl")))
+    val pv = PartitionedStore.commitVersion(
+      tf.withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("term"), col(idCol)),
+      s"$path/postings", append = true, parent = Some(served("postings")),
+      partitionCols = Seq("bucket"))
     val d = dl.agg(count(lit(1)).as("dn"), sum(col("dl")).as("dt")).collect()(0)
     val (dn, dt) = (d.getLong(0), if (d.isNullAt(1)) 0L else d.getLong(1))
-    spark.range(1).select(
+    val sv = PartitionedStore.commitVersion(
+      spark.range(1).select(
         lit(statsRow.getLong(0) + dn).as("n_docs"),
         lit(statsRow.getLong(1) + dt).as("total_tokens"),
-        lit(nBuckets).as("n_buckets"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/stats")
+        lit(nBuckets).as("n_buckets")),
+      s"$path/stats")
+    PartitionedStore.publishComposite(path,
+      Map("postings" -> pv, "dl" -> dv, "stats" -> sv))
   }
 
   /** BM25 top-k against a [[writeBm25Index]] layout — identical results
@@ -300,7 +312,13 @@ object Search {
                     queries: DataFrame, idCol: String, queryIdCol: String,
                     queryTextCol: String, k: Int,
                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val stats = spark.read.parquet(s"$path/stats")
+    import graft.sources.PartitionedStore
+    // ONE composite resolution pins every component to the same
+    // generation — a concurrent append can publish mid-query without
+    // this read ever mixing its postings with our stats
+    val served = PartitionedStore.readComposite(path)
+    val stats = PartitionedStore.readVersion(spark, s"$path/stats",
+      Some(served("stats")))
     val statsRow = stats.select(col("n_docs"), col("total_tokens"),
       col("n_buckets")).collect()(0)
     val nBuckets = statsRow.getInt(2)
@@ -311,10 +329,11 @@ object Search {
     val qbuckets = qterms
       .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val tfq = spark.read.parquet(s"$path/postings")
+    val tfq = PartitionedStore.readVersion(spark, s"$path/postings",
+        Some(served("postings")))
       .filter(col("bucket").isin(qbuckets: _*))
       .join(broadcast(qterms.select(col("term")).distinct()), "term")
-    val dl = spark.read.parquet(s"$path/dl")
+    val dl = PartitionedStore.readVersion(spark, s"$path/dl", Some(served("dl")))
     Similarity.topKPerQuery(
       bm25ScoresFrom(tfq, dl,
         broadcast(stats.select(col("n_docs"), col("total_tokens"))),

@@ -275,39 +275,129 @@ object Similarity {
     * [[ivfTopK]] scaladoc promises at cluster scale; [[ivfIndexTopK]] is
     * its query path. */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                    nCentroids: Int, path: String): Unit = {
-    val cents = seedCentroids(corpus, idCol, vecCol, nCentroids)
-    cents.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/centroids")
-    nearestCells(corpus.select(col(idCol), col(vecCol)),
-        cents, idCol, vecCol, keep = 1)
-      .repartition(col("cell"))
-      .sortWithinPartitions(col(idCol))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("cell")
-      .parquet(s"$path/cells")
+                    nCentroids: Int, path: String): Unit =
+    writeIvfIndexFrom(corpus,
+      seedCentroids(corpus, idCol, vecCol, nCentroids), idCol, vecCol, path)
+
+  /** Build + atomically publish an IVF generation from an EXPLICIT
+    * centroid table — the shared tail of [[writeIvfIndex]] (seeded
+    * quantizer) and [[retrainIvfIndex]] (Lloyd-refreshed quantizer).
+    * Components (centroids, cells) commit as unreferenced versions of
+    * their stores first; readers flip at the composite publish, so a
+    * crashed build/retrain never serves cells assigned under one
+    * quantizer with another generation's centroid table. */
+  def writeIvfIndexFrom(corpus: DataFrame, cents: DataFrame, idCol: String,
+                        vecCol: String, path: String): Unit = {
+    import graft.sources.PartitionedStore
+    val assigned = nearestCells(corpus.select(col(idCol), col(vecCol)),
+        broadcast(cents), idCol, vecCol, keep = 1)
+      .localCheckpoint() // feeds the cells commit AND the quality aggregate
+    val cv = PartitionedStore.commitVersion(cents, s"$path/centroids")
+    val lv = PartitionedStore.commitVersion(
+      assigned.repartition(col("cell")).sortWithinPartitions(col(idCol)),
+      s"$path/cells", partitionCols = Seq("cell"))
+    val (n, qsum) = assignQuality(assigned, cents, vecCol)
+    // train-time quality doubles as the drift BASELINE (base_*): the
+    // running pair advances with every append, the baseline only at a
+    // (re)train — their gap is the drift metric, maintained by integer
+    // arithmetic alone (never a standing-index scan; see [[ivfDrift]])
+    val sv = PartitionedStore.commitVersion(
+      corpus.sparkSession.range(1).select(
+        lit(n).as("n_vecs"), lit(qsum).as("qcos_sum"),
+        lit(n).as("base_n"), lit(qsum).as("base_qcos_sum")),
+      s"$path/stats")
+    PartitionedStore.publishComposite(path,
+      Map("centroids" -> cv, "cells" -> lv, "stats" -> sv))
+  }
+
+  /** (count, Σ floor(cos(vec, its centroid)·10⁶)) of an assigned frame —
+    * integer-exact, order-independent; the building block of the drift
+    * account. */
+  private def assignQuality(assigned: DataFrame, cents: DataFrame,
+                            vecCol: String): (Long, Long) = {
+    val r = assigned.join(broadcast(cents), assigned("cell") === cents("cent_id"))
+      .select(floor(cosine(col(vecCol), col("cent_vec")) * lit(1.0e6))
+        .cast("long").as("q"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("qsum")).collect()(0)
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
   /** Incremental maintenance of a [[writeIvfIndex]] layout: assign ONLY
     * the delta vectors against the index's EXISTING centroid table (the
     * coarse quantizer stays fixed — the standard IVF maintenance contract;
-    * re-training is a deliberate rebuild) and append them into their cell
-    * directories. Cost tracks the delta: |delta| assignment rows, appends
-    * touch only the delta's cells, and queries see old+new immediately
-    * through the same [[ivfIndexTopK]] path. Small appended files are
-    * [[graft.sources.PartitionedStore.compact]]'s job, not this one's. */
+    * re-training is a deliberate rebuild — [[retrainIvfIndex]]) and
+    * append them into their cell directories. Cost tracks the delta:
+    * |delta| assignment rows, appends touch only the delta's cells, and
+    * queries see old+new at the atomic composite publish (a crashed
+    * append leaves readers on the old generation; re-delivered ids are
+    * anti-joined away against the served cells, so delivery is
+    * idempotent). Small appended files are a compaction rewrite commit's
+    * job, not this one's. */
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession,
                      delta: DataFrame, idCol: String, vecCol: String,
                      path: String): Unit = {
-    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
-    nearestCells(delta.select(col(idCol), col(vecCol)),
+    import graft.sources.PartitionedStore
+    val served = PartitionedStore.readComposite(path)
+    val cents = broadcast(PartitionedStore.readVersion(
+      spark, s"$path/centroids", Some(served("centroids"))))
+    val existing = PartitionedStore.readVersion(
+      spark, s"$path/cells", Some(served("cells"))).select(col(idCol))
+    val assigned = nearestCells(delta.join(existing, Seq(idCol), "left_anti")
+        .select(col(idCol), col(vecCol)),
         cents, idCol, vecCol, keep = 1)
-      .repartition(col("cell"))
-      .sortWithinPartitions(col(idCol))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("cell")
-      .parquet(s"$path/cells")
+      .localCheckpoint()
+    if (assigned.isEmpty) return // fully re-delivered delta: no-op
+    val lv = PartitionedStore.commitVersion(
+      assigned.repartition(col("cell")).sortWithinPartitions(col(idCol)),
+      s"$path/cells", append = true, parent = Some(served("cells")),
+      partitionCols = Seq("cell"))
+    // the drift account advances by the DELTA's own quality — exact
+    // integer folds, the standing index is never re-scanned
+    val (dn, dq) = assignQuality(assigned, cents, vecCol)
+    val s0 = PartitionedStore.readVersion(spark, s"$path/stats",
+      Some(served("stats"))).collect()(0)
+    val sv = PartitionedStore.commitVersion(
+      spark.range(1).select(
+        lit(s0.getAs[Long]("n_vecs") + dn).as("n_vecs"),
+        lit(s0.getAs[Long]("qcos_sum") + dq).as("qcos_sum"),
+        lit(s0.getAs[Long]("base_n")).as("base_n"),
+        lit(s0.getAs[Long]("base_qcos_sum")).as("base_qcos_sum")),
+      s"$path/stats")
+    PartitionedStore.publishComposite(path,
+      Map("centroids" -> served("centroids"), "cells" -> lv, "stats" -> sv))
   }
+
+  /** The frozen-quantizer drift account, 1 row: mean assignment cosine
+    * at train time (`base_mean_micro`, micro-cos units) vs the running
+    * mean over everything indexed since (`mean_micro`), and their gap
+    * (`drift_micro` ≥ 0 means the corpus has moved away from the
+    * centroids). Pure arithmetic on the stats component — reading it
+    * costs one row at any index size, because both sums are maintained
+    * incrementally at write/append time. A maintenance job thresholds
+    * `drift_micro` and calls [[retrainIvfIndex]]. */
+  def ivfDrift(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import graft.sources.PartitionedStore
+    val served = PartitionedStore.readComposite(path)
+    PartitionedStore.readVersion(spark, s"$path/stats", Some(served("stats")))
+      .select(col("n_vecs"),
+        (col("base_qcos_sum") / col("base_n")).as("base_mean_micro"),
+        (col("qcos_sum") / col("n_vecs")).as("mean_micro"),
+        (col("base_qcos_sum") / col("base_n") -
+          col("qcos_sum") / col("n_vecs")).as("drift_micro"))
+  }
+
+  /** Deliberate rebuild for a drifted index: re-train the coarse
+    * quantizer with the Lloyd loop ([[kmeansIterate]]) over the CURRENT
+    * corpus, re-assign every vector, and publish as a new generation of
+    * the same composite — queries flip atomically, the drift baseline
+    * resets to the fresh quantizer's quality, and old generations stay
+    * time-travelable until vacuumed. */
+  def retrainIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      nCentroids: Int, iters: Int, path: String): Unit =
+    writeIvfIndexFrom(corpus,
+      kmeansIterate(corpus, idCol, vecCol, nCentroids, iters)
+        .select(col("cent_id"), col("cent_vec")),
+      idCol, vecCol, path)
 
   /** ANN top-k against a materialized [[writeIvfIndex]] layout. Probe
     * cells are resolved driver-side (|queries|·nProbe ids — KBs, the one
@@ -319,12 +409,18 @@ object Similarity {
   def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
                    queries: DataFrame, idCol: String, vecCol: String,
                    k: Int, nProbe: Int): DataFrame = {
-    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    import graft.sources.PartitionedStore
+    // one composite resolution: probes against THIS generation's
+    // centroids only ever read THIS generation's cells
+    val served = PartitionedStore.readComposite(path)
+    val cents = broadcast(PartitionedStore.readVersion(
+      spark, s"$path/centroids", Some(served("centroids"))))
     val probes = nearestCells(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("q_vec")), cents, "query_id", "q_vec", keep = nProbe)
     val probeCells = probes.select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = PartitionedStore.readVersion(
+        spark, s"$path/cells", Some(served("cells")))
       .filter(col("cell").isin(probeCells: _*))
     val scored = cells.join(broadcast(probes), cells("cell") === probes("cell"))
       .filter(col(idCol) =!= col("query_id"))

@@ -244,44 +244,60 @@ object PartitionedStore {
     * commit (Delta/Iceberg "replace files"): the manifest keeps the
     * parent's dirs minus `dropDirs` plus the new one; the dropped dirs'
     * bytes stay on disk for older versions' time travel and are
-    * reclaimed by [[vacuum]] once no manifest references them. Returns
-    * the new version number. */
+    * reclaimed by [[vacuum]] once no manifest references them.
+    * `partitionCols` writes the data dir `partitionBy` those columns, so
+    * a versioned table keeps directory-level partition pruning (the
+    * bucketed-postings / cell-partitioned index layouts). `parent` pins
+    * WHICH committed version an append builds on (default: latest) — an
+    * index appender must pass the version its readers serve, never the
+    * raw latest, or a retry after a crashed-but-committed append would
+    * silently stack on the orphan. Returns the new version number. */
   def commitVersion(df: DataFrame, path: String,
                     append: Boolean = false,
-                    dropDirs: Seq[String] = Nil): Long = {
+                    dropDirs: Seq[String] = Nil,
+                    partitionCols: Seq[String] = Nil,
+                    parent: Option[Long] = None): Long = {
     val root = Paths.get(path)
     Files.createDirectories(root.resolve("_manifests"))
     Files.createDirectories(root.resolve("data"))
-    val parent = versions(path).lastOption
-    val v = parent.getOrElse(0L) + 1
+    val vs = versions(path)
+    parent.foreach(p => require(vs.contains(p), s"parent version $p not in $vs"))
+    val base = if (append) parent.orElse(vs.lastOption) else None
+    val v = vs.lastOption.getOrElse(0L) + 1
     val dirName = s"v$v-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.mode(SaveMode.ErrorIfExists)
-      .option("compression", "zstd")
+    val w = df.write.mode(SaveMode.ErrorIfExists).option("compression", "zstd")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(root.resolve("data").resolve(dirName).toString)
     require(dropDirs.isEmpty || append,
       "dropDirs is a rewrite of the parent manifest — meaningless on a full-snapshot commit")
-    val parentAll = if (append) parent.toSeq.flatMap(pv => manifestDirs(path, pv)) else Nil
+    val parentAll = base.toSeq.flatMap(pv => manifestDirs(path, pv))
     val unknown = dropDirs.filterNot(parentAll.contains)
     require(unknown.isEmpty,
       s"dropDirs not in parent manifest: ${unknown.mkString(", ")}")
     val parentDirs = parentAll.filterNot(dropDirs.contains)
-    // publish = atomic CREATE-NEW of the final manifest (hard link from a
-    // fully-written temp file): readers still never see a partial
-    // manifest, and a concurrent committer that computed the same version
-    // number FAILS here instead of silently replacing the winner's
-    // manifest and orphaning its data (the Delta/Iceberg loser-errors
-    // contract; a POSIX rename would clobber). The loser's data dir is
-    // unreferenced by any manifest — invisible, reclaimed by [[vacuum]].
+    publishManifest(root, s"v$v.list", (parentDirs :+ dirName).mkString("\n"),
+      s"concurrent commit lost the race: version $v already published at $path")
+    v
+  }
+
+  /** Atomic CREATE-NEW publish of a manifest file (hard link from a
+    * fully-written temp file): readers never see a partial manifest, and
+    * a concurrent publisher of the same name FAILS instead of silently
+    * replacing the winner's manifest and orphaning its data (the
+    * Delta/Iceberg loser-errors contract; a POSIX rename would clobber).
+    * The loser's data dirs stay unreferenced — invisible, reclaimed by
+    * [[vacuum]]. */
+  private def publishManifest(root: Path, name: String, content: String,
+                              loserMsg: String): Unit = {
+    Files.createDirectories(root.resolve("_manifests"))
     val tmp = root.resolve("_manifests")
-      .resolve(s".v$v-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    Files.write(tmp, (parentDirs :+ dirName).mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val dest = root.resolve("_manifests").resolve(s"v$v.list")
+      .resolve(s".$name-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    Files.write(tmp, content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val dest = root.resolve("_manifests").resolve(name)
     try Files.createLink(dest, tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalStateException(
-          s"concurrent commit lost the race: version $v already published at $path")
+        throw new IllegalStateException(loserMsg)
       // hard links aren't universal (object-store FUSE mounts, some
       // network/FAT volumes). Fall back to an atomic rename: still an
       // all-or-nothing publish, but POSIX rename CLOBBERS, so the
@@ -290,7 +306,6 @@ object PartitionedStore {
       case _: UnsupportedOperationException =>
         Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } finally Files.deleteIfExists(tmp)
-    v
   }
 
   /** All committed versions, ascending. Unpublished data (a crash before
@@ -311,16 +326,22 @@ object PartitionedStore {
       java.nio.charset.StandardCharsets.UTF_8)
       .split("\n").toSeq.filter(_.nonEmpty)
 
-  /** Time-travel read: the table as of `version` (latest when None). */
+  /** Time-travel read: the table as of `version` (latest when None).
+    * Each manifest dir is scanned as its own root and unioned — a
+    * multi-root read would make Spark's partition discovery reject the
+    * vN-prefixed dir names as conflicting structures; per-root scans
+    * keep `partitionBy` column discovery (and thus directory-level
+    * pruning: a partition filter pushes through the Union into every
+    * child scan). */
   def readVersion(spark: SparkSession, path: String,
                   version: Option[Long] = None): DataFrame = {
     val vs = versions(path)
     require(vs.nonEmpty, s"no committed versions at $path")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
-    val dirs = manifestDirs(path, v)
-      .map(d => Paths.get(path, "data", d).toString)
-    spark.read.parquet(dirs: _*)
+    manifestDirs(path, v)
+      .map(d => spark.read.parquet(Paths.get(path, "data", d).toString))
+      .reduce(_.unionByName(_))
   }
 
   /** The data directories a committed version comprises — the manifest
@@ -358,8 +379,9 @@ object PartitionedStore {
     def readOnly(dirs: Seq[String], hcol: String): Option[DataFrame] = {
       val d = dirs.filterNot(shared)
       if (d.isEmpty) None
-      else Some(spark.read
-        .parquet(d.map(x => Paths.get(path, "data", x).toString): _*)
+      else Some(d
+        .map(x => spark.read.parquet(Paths.get(path, "data", x).toString))
+        .reduce(_.unionByName(_))
         .select(col(idCol), hashOf.as(hcol)))
     }
     (readOnly(oldDirs, "old_hash"), readOnly(newDirs, "new_hash")) match {
@@ -384,6 +406,80 @@ object PartitionedStore {
             col("old_hash"), col("new_hash"))
           .filter(col("op") =!= "same")
     }
+  }
+
+  /** Major compaction of a versioned table: rewrite the latest version's
+    * rows as ONE fresh data directory (re-clustered by `partitionCols` /
+    * `sortCols`) and commit it as a rewrite dropping every parent dir —
+    * the accumulated small append files collapse, content is unchanged,
+    * and older versions still time-travel to the original dirs until
+    * vacuumed. Returns the new version number. */
+  def compactVersion(spark: SparkSession, path: String,
+                     partitionCols: Seq[String] = Nil,
+                     sortCols: Seq[String] = Nil): Long = {
+    val v = versions(path).last
+    val df0 = readVersion(spark, path, Some(v))
+    val df1 = if (partitionCols.nonEmpty)
+      df0.repartition(partitionCols.map(col): _*) else df0.coalesce(1)
+    val df = if (sortCols.nonEmpty)
+      df1.sortWithinPartitions(sortCols.map(col): _*) else df1
+    commitVersion(df, path, append = true, dropDirs = manifestDirs(path, v),
+      partitionCols = partitionCols, parent = Some(v))
+  }
+
+  // ---- composite indexes: one atomic pointer over several versioned tables --
+
+  /** Atomically publish a new version of a COMPOSITE index: a manifest
+    * pinning each component table (itself a versioned store under
+    * `$path/<component>`) to one of ITS committed versions. The pointer
+    * is the unit of atomicity for multi-table serving state (BM25's
+    * postings + dl + stats, IVF's centroids + cells): component commits
+    * land first — invisible until referenced — and readers resolve the
+    * composite manifest once, then time-travel every component to the
+    * pinned version, so no reader can ever observe postings from one
+    * generation with stats from another. A crash after some component
+    * commits but before this publish leaves the served index EXACTLY as
+    * it was (orphan component versions reclaimed via each component's
+    * [[vacuum]]); racing publishers hit the same loser-errors CREATE_NEW
+    * as [[commitVersion]]. Returns the composite version. */
+  def publishComposite(path: String, components: Map[String, Long]): Long = {
+    require(components.nonEmpty, "a composite index needs at least one component")
+    components.foreach { case (n, cv) =>
+      require(versions(s"$path/$n").contains(cv),
+        s"component '$n' has no committed version $cv at $path/$n")
+    }
+    val v = compositeVersions(path).lastOption.getOrElse(0L) + 1
+    publishManifest(Paths.get(path), s"c$v.index",
+      components.toSeq.sortBy(_._1).map { case (n, cv) => s"$n=$cv" }.mkString("\n"),
+      s"concurrent index publish lost the race: composite version $v already published at $path")
+    v
+  }
+
+  /** All published composite versions at `path`, ascending. */
+  def compositeVersions(path: String): Seq[Long] = {
+    val m = Paths.get(path, "_manifests")
+    if (!Files.exists(m)) return Nil
+    Files.list(m).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("c") && n.endsWith(".index"))
+      .map(_.stripPrefix("c").stripSuffix(".index").toLong)
+      .toSeq.sorted
+  }
+
+  /** Resolve a composite version (latest when None) to its pinned
+    * component→version map. */
+  def readComposite(path: String, version: Option[Long] = None): Map[String, Long] = {
+    val vs = compositeVersions(path)
+    require(vs.nonEmpty, s"no published composite versions at $path")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"composite version $v not in $vs")
+    new String(Files.readAllBytes(Paths.get(path, "_manifests", s"c$v.index")),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty)
+      .map { line =>
+        val Array(n, cv) = line.split("=", 2)
+        n -> cv.toLong
+      }.toMap
   }
 
   /** Reclaim data directories no LIVE manifest references (crash orphans,

@@ -198,7 +198,10 @@ class SearchSpec extends AnyFunSuite {
     val plan = indexed.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [bucket"),
       s"postings read must prune term buckets:\n$plan")
-    val allBuckets = new java.io.File(s"$path/postings").listFiles()
+    val comp = graft.sources.PartitionedStore.readComposite(path)
+    val allBuckets = graft.sources.PartitionedStore
+      .versionDirs(s"$path/postings", comp("postings"))
+      .flatMap(d => new java.io.File(s"$path/postings/data/$d").listFiles().toSeq)
       .count(_.getName.startsWith("bucket="))
     val queryTerms = qs.select(explode(split(trim(col("qtext")), " "))).distinct().count()
     assert(queryTerms < allBuckets,
@@ -232,6 +235,52 @@ class SearchSpec extends AnyFunSuite {
     assert(rows(viaIndex) == rows(direct))
     assert(rows(viaIndex).exists(_._2 >= 80L),
       "appended docs must be reachable through the index")
+  }
+
+  test("bm25 index: a torn append never serves; re-delivered ids are idempotent") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.PartitionedStore
+    val rnd = new scala.util.Random(31)
+    val vocab = Array.tabulate(40)(i => s"t$i")
+    def mkDocs(ids: Range) = ids.map { id =>
+      (id.toLong, Seq.fill(5 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val standing = mkDocs(0 until 60)
+    val qs = standing.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    val path = java.nio.file.Files.createTempDirectory("graft_bm25_torn").toString
+    Search.writeBm25Index(standing, "doc_id", "text", path, nBuckets = 32)
+    def rows() = Search.bm25IndexTopK(s, path, qs, "doc_id", "query_id", "qtext", 10)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val before = rows()
+    // simulate a crash MID-APPEND: dl and stats component commits landed,
+    // postings and the composite publish never did — the served index
+    // must be bit-identical to before (stale idf/avgdl can never leak)
+    val served = PartitionedStore.readComposite(path)
+    PartitionedStore.commitVersion(
+      s.range(7).select(($"id" + 1000L).as("doc_id"), lit(99L).as("dl")),
+      s"$path/dl", append = true, parent = Some(served("dl")))
+    PartitionedStore.commitVersion(
+      s.range(1).select(lit(9999L).as("n_docs"), lit(9999L).as("total_tokens"),
+        lit(32).as("n_buckets")), s"$path/stats")
+    assert(rows() == before,
+      "unpublished component commits must be invisible to readers")
+    // idempotent re-delivery: the same delta appended twice changes
+    // nothing the second time (anti-join drops the duplicate ids)
+    val delta = mkDocs(60 until 80)
+    Search.appendBm25Index(s, delta, "doc_id", "text", path)
+    val once = rows()
+    Search.appendBm25Index(s, delta, "doc_id", "text", path)
+    assert(rows() == once, "re-delivered doc ids must not double-count")
+    // and the doubly-appended index still matches a clean rebuild
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_bm25_rb").toString
+    Search.writeBm25Index(standing.union(delta), "doc_id", "text", rebuilt, nBuckets = 32)
+    val viaRebuild = Search.bm25IndexTopK(s, rebuilt, qs, "doc_id", "query_id", "qtext", 10)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(rows() == viaRebuild)
   }
 
   test("bm25 plan: query vocabulary broadcasts; final ranking is CollectTopK, no Window") {

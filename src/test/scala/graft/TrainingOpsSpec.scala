@@ -348,8 +348,11 @@ class TrainingOpsSpec extends AnyFunSuite {
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
     Similarity.writeIvfIndex(standing, "vec_id", "embedding", nCentroids = 8, path)
     Similarity.appendIvfIndex(s, delta, "vec_id", "embedding", path)
-    // no loss, no dup: the cells table holds exactly the union
-    val ids = s.read.parquet(s"$path/cells").select("vec_id")
+    import graft.sources.PartitionedStore
+    // no loss, no dup: the SERVED cells table holds exactly the union
+    def servedCells() = PartitionedStore.readVersion(s, s"$path/cells",
+      Some(PartitionedStore.readComposite(path)("cells")))
+    val ids = servedCells().select("vec_id")
       .collect().map(_.getLong(0)).toSeq.sorted
     assert(ids == (0L until 200L).toSeq)
     // a probe NEAR A DELTA VECTOR must surface delta ids through the
@@ -363,17 +366,71 @@ class TrainingOpsSpec extends AnyFunSuite {
       s"appended vectors must be findable, got $hits")
     // the delta's assignment used the STANDING centroids: every cell dir
     // present after the append already existed or belongs to [0, 8)
-    val cells = new java.io.File(s"$path/cells").listFiles()
-      .filter(_.getName.startsWith("cell=")).map(_.getName)
+    val comp = PartitionedStore.readComposite(path)
+    val cells = PartitionedStore.versionDirs(s"$path/cells", comp("cells"))
+      .flatMap(d => new java.io.File(s"$path/cells/data/$d").listFiles().toSeq)
+      .map(_.getName).filter(_.startsWith("cell="))
     assert(cells.forall(_.stripPrefix("cell=").toLong < 150L))
-    // appended small files compact per CELL partition; results unchanged
-    val compacted = graft.sources.PartitionedStore.compact(
-      s, s"$path/cells", "vec_id", "vec_id", maxFiles = 1,
-      targetRowsPerFile = 1000000L, partCol = "cell")
-    assert(compacted.nonEmpty, "append must have left a multi-file cell")
-    val after = s.read.parquet(s"$path/cells").select("vec_id")
+    // the append left the cells table spread over two data dirs; a major
+    // compaction (rewrite commit) collapses them, results unchanged
+    assert(PartitionedStore.versionDirs(s"$path/cells", comp("cells")).size == 2)
+    val newCells = PartitionedStore.compactVersion(s, s"$path/cells",
+      partitionCols = Seq("cell"), sortCols = Seq("vec_id"))
+    PartitionedStore.publishComposite(path, comp + ("cells" -> newCells))
+    assert(PartitionedStore.versionDirs(s"$path/cells", newCells).size == 1)
+    val after = servedCells().select("vec_id")
       .collect().map(_.getLong(0)).toSeq.sorted
     assert(after == (0L until 200L).toSeq, "compaction must not lose or dup rows")
+    val hits2 = Similarity.ivfIndexTopK(s, path, probe, "vec_id", "embedding",
+        k = 5, nProbe = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(hits2 == hits, "compaction must not change query results")
+  }
+
+  test("ivfDrift: drifted appends degrade the account and recall; retrain restores both") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.PartitionedStore
+    // 8 planted clusters keyed by id % 8; the standing corpus holds only
+    // clusters 0-3, the delta stream only clusters 4-7 — a genuine
+    // distribution shift the frozen seed quantizer has never seen
+    val rnd = new scala.util.Random(13)
+    def vec(id: Long) = Array.tabulate(8)(d =>
+      (if (d == (id % 8).toInt) 1.0f else 0.0f) + (rnd.nextFloat() - 0.5f) * 0.1f)
+    val all = (0L until 400L).map(id => (id, vec(id)))
+    val emb = all.toDF("vec_id", "embedding")
+    val standing = emb.filter(col("vec_id") % 8 < 4)
+    val delta = emb.filter(col("vec_id") % 8 >= 4)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_drift").toString
+    Similarity.writeIvfIndex(standing, "vec_id", "embedding", nCentroids = 8, path)
+    def drift() = Similarity.ivfDrift(s, path).collect()(0)
+      .getAs[Double]("drift_micro")
+    assert(math.abs(drift()) < 1.0, "at train time the baseline IS the running mean")
+    Similarity.appendIvfIndex(s, delta, "vec_id", "embedding", path)
+    val drifted = drift()
+    assert(drifted > 100000.0, // > 0.1 mean-cosine drop — the shift is visible
+      s"orthogonal-cluster appends must show in the drift account, got $drifted")
+    // recall for delta-cluster queries: the shifted clusters scatter over
+    // cells shaped for the OLD distribution, so probing loses most of them
+    val qs = delta.filter(col("vec_id") < 16)
+    def recall() = {
+      val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Similarity.ivfIndexTopK(s, path, qs, "vec_id", "embedding",
+          k = 5, nProbe = 2)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val before = recall()
+    Similarity.retrainIvfIndex(emb, "vec_id", "embedding",
+      nCentroids = 8, iters = 3, path)
+    val after = recall()
+    assert(after > before,
+      s"retrain must restore recall: before=$before after=$after")
+    assert(after >= 0.8, s"post-retrain recall $after < 0.8")
+    assert(math.abs(drift()) < 1.0, "retrain resets the drift baseline")
   }
 
   test("adcTopK: the coded top-k finds the true clusters (recall vs brute force on cluster labels)") {
