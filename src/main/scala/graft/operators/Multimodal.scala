@@ -7,18 +7,19 @@ import org.apache.spark.sql.functions._
   * with typed metadata, plus decode / feature-extract / frame-sample
   * stages.
   *
-  * The heavy codecs (JPEG decode, audio resample, video frame grab) are
-  * NOT available in this environment — `stubDecode` below is a
-  * deterministic fake standing in for the real library call, clearly
-  * marked. Two formats need no library and get REAL decoders in the same
-  * mapPartitions seam: PPM (P6) images ([[parsePpm]]) and RIFF/WAVE PCM
-  * audio ([[parseWav]], a full container chunk walk) — two existence
-  * proofs that the stub's replace-the-body contract holds across
-  * modalities. Everything around it is real and load-bearing: the schema
-  * (payload BINARY + meta STRUCT), the typed Dataset boundary, the
-  * mapPartitions batch shape (one decoder init per partition, streaming
-  * iterator — the Scala analog of mapInPandas), and the expression-level
-  * frame sampling, which all survive unchanged when the stub is replaced.
+  * Three formats get REAL decoders — they need no external library, the
+  * containers are just offsets: PPM (P6) images ([[parsePpm]]), RIFF/WAVE
+  * PCM audio ([[parseWav]], a full chunk walk), and YUV4MPEG2 video
+  * ([[parseY4m]], stream header + per-FRAME planar samples) — one per
+  * modality, all through the same mapPartitions seam. Compressed codecs
+  * (JPEG, MP3, H.264) aren't linkable in this environment; a deployment
+  * adds them by dropping the library call into the same seam —
+  * [[byteStatsDecode]] is the format-AGNOSTIC fallback pass (honest byte
+  * statistics, not pixels) for payloads no linked codec claims. The
+  * surrounding plumbing is identical either way: the schema (payload
+  * BINARY + meta STRUCT), the typed Dataset boundary, the mapPartitions
+  * batch shape (one decoder init per partition, streaming iterator — the
+  * Scala analog of mapInPandas), and the expression-level frame sampling.
   *
   * Scale shapes: ingest and frame-sample are pure projections; decode is
   * mapPartitions (no shuffle, decoder state amortized per partition). At
@@ -45,12 +46,13 @@ object Multimodal {
         (lit(32) + col("doc_id") % 48).cast("int").as("height"),
         length(col("text")).cast("long").as("n_bytes")).as("meta"))
 
-  /** STUB DECODER — deterministic fake for the missing codec libraries.
-    * Real implementation would decode `payload` (e.g. javax.imageio /
-    * ffmpeg) and emit pixel-level features; the fake derives the same
-    * OUTPUT SHAPE from byte statistics so the pipeline is fully testable.
-    * Replace the body, keep the signature. */
-  private def stubDecode(r: MediaRecord): MediaFeatures = {
+  /** Format-agnostic byte-statistics pass: mean byte + 16-bin histogram
+    * over the raw payload. This is the catch-all arm of the decode seam —
+    * content-level decoders ([[parsePpm]], [[parseWav]], [[parseY4m]], or
+    * a linked library codec dropped into the same seam) handle the
+    * formats they claim; everything else still yields deterministic,
+    * oracle-replayable features for dedup/quality triage. */
+  private def byteStatsDecode(r: MediaRecord): MediaFeatures = {
     val hist = new Array[Long](16)
     var sum = 0L
     var i = 0
@@ -69,8 +71,8 @@ object Multimodal {
   def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { iter =>
-      // real codec init would happen HERE, once per partition
-      iter.map(stubDecode)
+      // a linked-library codec would init HERE, once per partition
+      iter.map(byteStatsDecode)
     }
   }
 
@@ -289,6 +291,129 @@ object Multimodal {
   def decodeWav(media: Dataset[WavRecord]): Dataset[WavFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(r => parseWav(r.media_id, r.payload)))
+  }
+
+  // ---- REAL codec: Y4M (YUV4MPEG2) video -----------------------------------
+  // The third real decoder, and the one with FRAME structure: a plain-text
+  // stream header ("YUV4MPEG2 W.. H.. F..:.. C444\n"), then per frame a
+  // "FRAME...\n" marker followed by raw planar Y/Cb/Cr samples (C444 ⇒
+  // 3·w·h bytes per frame). No library — the container is just offsets,
+  // like RIFF. This retires the codec-seam stub vocabulary: image (PPM),
+  // audio (WAV), and video (Y4M) all decode real bytes through the same
+  // mapPartitions shape.
+
+  case class Y4mRecord(media_id: Long, payload: Array[Byte])
+  case class Y4mFeatures(media_id: Long, width: Int, height: Int,
+                         n_frames: Int, mean_y: Double, mean_cb: Double,
+                         mean_cr: Double, f_first: String, f_mid: String,
+                         f_last: String)
+
+  /** Build REAL YUV4MPEG2 payloads in-plan from a text corpus: stream
+    * header, then `nf` frames (varying per doc) each "FRAME\n" + 3·w·h
+    * planar samples taken from the doc's bytes tiled CONTINUOUSLY across
+    * frames — frame f holds tiled offsets [f·3wh, (f+1)·3wh), so an
+    * oracle can recompute every plane mean and frame fingerprint from the
+    * text alone. Same ASCII byte == char contract as [[wavFromText]].
+    * Pure projection; the payload never leaves the executor. */
+  def y4mFromText(docs: DataFrame): DataFrame = {
+    val maxFrames = 4
+    val d = docs.filter(length(col("text")) > 0)
+      .filter(octet_length(col("text")) === length(col("text")))
+      .withColumn("w", (lit(4) + col("doc_id") % 3).cast("int"))
+      .withColumn("h", (lit(2) + col("doc_id") % 2).cast("int"))
+      .withColumn("nf", (lit(2) + col("doc_id") % 3).cast("int"))
+      .withColumn("fs", col("w") * col("h") * 3)
+      .withColumn("rep", expr(
+        "repeat(text, CAST((nf * fs + length(text) - 1) / length(text) AS INT))"))
+    val header = concat(lit("YUV4MPEG2 W").cast("binary"),
+      col("w").cast("string").cast("binary"), lit(" H").cast("binary"),
+      col("h").cast("string").cast("binary"),
+      lit(" F25:1 Ip A1:1 C444\n").cast("binary"))
+    val frames = (0 until maxFrames).map { f =>
+      when(lit(f) < col("nf"),
+        concat(lit("FRAME\n").cast("binary"),
+          expr(s"cast(substring(rep, 1 + $f * fs, fs) as binary)")))
+        .otherwise(lit("").cast("binary"))
+    }
+    d.select(col("doc_id").as("media_id"),
+      concat(header +: frames: _*).as("payload"))
+  }
+
+  /** Typed view of a (media_id, payload) Y4M table. */
+  def asY4m(df: DataFrame): Dataset[Y4mRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col("media_id"), col("payload")).as[Y4mRecord]
+  }
+
+  /** Parse one YUV4MPEG2 stream: stream-header tag walk (W/H/C honored,
+    * F/I/A legal and skipped), then the frame loop — each "FRAME" marker
+    * may carry its own parameters up to '\n', followed by exactly 3·w·h
+    * C444 samples. Per-plane means are integer sums with one final
+    * division (engine-replayable); three sampled frames — first, middle
+    * ⌊(nf−1)/2⌋, last — are fingerprinted (md5 hex) from their raw plane
+    * bytes, the real-frame feed for frame-sampling pipelines. Malformed
+    * input fails loudly with the media id. */
+  private[graft] def parseY4m(id: Long, b: Array[Byte]): Y4mFeatures = {
+    val magic = "YUV4MPEG2"
+    require(b.length > magic.length &&
+      new String(b, 0, magic.length, java.nio.charset.StandardCharsets.US_ASCII) == magic,
+      s"media $id: not a YUV4MPEG2 stream")
+    var eol = magic.length
+    while (eol < b.length && b(eol) != '\n') eol += 1
+    require(eol < b.length, s"media $id: unterminated stream header")
+    val tags = new String(b, magic.length, eol - magic.length,
+      java.nio.charset.StandardCharsets.US_ASCII).trim.split("\\s+").filter(_.nonEmpty)
+    var (w, h) = (0, 0)
+    var cs = "420jpeg" // the spec's default when no C tag is present
+    tags.foreach { t =>
+      t.charAt(0) match {
+        case 'W' => w = t.drop(1).toInt
+        case 'H' => h = t.drop(1).toInt
+        case 'C' => cs = t.drop(1)
+        case _ => () // F (rate), I (interlace), A (aspect), X (extension)
+      }
+    }
+    require(w > 0 && h > 0, s"media $id: missing W/H in stream header")
+    require(cs == "444", s"media $id: only C444 supported, got C$cs")
+    val planeLen = w * h
+    val frameLen = 3 * planeLen
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fingerprint(pos: Int): String =
+      md.digest(java.util.Arrays.copyOfRange(b, pos, pos + frameLen))
+        .map("%02x".format(_)).mkString
+    var pos = eol + 1
+    var nf = 0
+    var (sy, scb, scr) = (0L, 0L, 0L)
+    val starts = scala.collection.mutable.ArrayBuffer[Int]()
+    while (pos < b.length) {
+      require(pos + 5 <= b.length &&
+        new String(b, pos, 5, java.nio.charset.StandardCharsets.US_ASCII) == "FRAME",
+        s"media $id: expected FRAME marker at byte $pos")
+      var fe = pos + 5
+      while (fe < b.length && b(fe) != '\n') fe += 1 // frame params: legal, skipped
+      require(fe < b.length, s"media $id: unterminated FRAME header")
+      val body = fe + 1
+      require(body + frameLen <= b.length,
+        s"media $id: frame $nf truncated (${b.length - body} of $frameLen bytes)")
+      starts += body
+      var i = 0
+      while (i < planeLen) { sy += b(body + i) & 0xff; i += 1 }
+      while (i < 2 * planeLen) { scb += b(body + i) & 0xff; i += 1 }
+      while (i < 3 * planeLen) { scr += b(body + i) & 0xff; i += 1 }
+      nf += 1
+      pos = body + frameLen
+    }
+    require(nf > 0, s"media $id: no frames")
+    val n = (nf.toLong * planeLen).toDouble
+    Y4mFeatures(id, w, h, nf, sy / n, scb / n, scr / n,
+      fingerprint(starts(0)), fingerprint(starts((nf - 1) / 2)),
+      fingerprint(starts(nf - 1)))
+  }
+
+  /** Batched REAL decode, same shape as [[decodePpm]]/[[decodeWav]]. */
+  def decodeY4m(media: Dataset[Y4mRecord]): Dataset[Y4mFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => parseY4m(r.media_id, r.payload)))
   }
 
   /** Typed view of an ingested media DataFrame. */

@@ -131,6 +131,43 @@ object MultimodalQueries {
       |  CAST(list_max(list_transform(range(0, nf), j -> abs(a[CAST(2*j+2 AS INTEGER)]))) AS BIGINT) AS peak_r
       |FROM amp ORDER BY media_id""".stripMargin
 
+  // ---- REAL Y4M video decode: frame walk + per-plane stats + fingerprints --
+  /** Real YUV4MPEG2 payloads built in-plan (stream header + per-FRAME
+    * C444 planes tiled continuously from the doc's bytes), decoded by the
+    * REAL frame-walking parser. Per-plane means are integer-exact; the
+    * first/middle/last frames are fingerprinted from their raw plane
+    * bytes — frame sampling fed by REAL frame boundaries, not byte
+    * windows. The oracle replays the tiling arithmetic: a parser that
+    * misreads the header, miscounts a FRAME marker, or misaligns a plane
+    * hash-mismatches immediately. */
+  def mmDecodeVideo(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeY4m(Multimodal.asY4m(
+        Multimodal.y4mFromText(Tables.documents(s, d))))
+      .toDF().orderBy(col("media_id"))
+  val mmDecodeVideoSql: String =
+    """WITH src AS (
+      |  SELECT doc_id AS media_id,
+      |         CAST(4 + doc_id % 3 AS INTEGER) AS w,
+      |         CAST(2 + doc_id % 2 AS INTEGER) AS h,
+      |         CAST(2 + doc_id % 3 AS INTEGER) AS nf, text
+      |  FROM documents WHERE length(text) > 0 AND strlen(text) = length(text)
+      |), geom AS (
+      |  SELECT media_id, w, h, nf, w*h AS pl, 3*w*h AS fs,
+      |    repeat(text, CAST((nf*3*w*h + length(text) - 1) / length(text) AS INTEGER)) AS rep
+      |  FROM src
+      |)
+      |SELECT media_id, w AS width, h AS height, nf AS n_frames,
+      |  CAST(list_sum(list_transform(list_filter(range(0, nf*fs), o -> o % fs < pl),
+      |    o -> ascii(substring(rep, CAST(1 + o AS INTEGER), 1)))) AS DOUBLE) / (nf*pl) AS mean_y,
+      |  CAST(list_sum(list_transform(list_filter(range(0, nf*fs), o -> o % fs >= pl AND o % fs < 2*pl),
+      |    o -> ascii(substring(rep, CAST(1 + o AS INTEGER), 1)))) AS DOUBLE) / (nf*pl) AS mean_cb,
+      |  CAST(list_sum(list_transform(list_filter(range(0, nf*fs), o -> o % fs >= 2*pl),
+      |    o -> ascii(substring(rep, CAST(1 + o AS INTEGER), 1)))) AS DOUBLE) / (nf*pl) AS mean_cr,
+      |  md5(substring(rep, 1, fs)) AS f_first,
+      |  md5(substring(rep, CAST(1 + ((nf-1)//2)*fs AS INTEGER), fs)) AS f_mid,
+      |  md5(substring(rep, CAST(1 + (nf-1)*fs AS INTEGER), fs)) AS f_last
+      |FROM geom ORDER BY media_id""".stripMargin
+
   // ---- payload-level exact dedup (storage reclaim report) ------------------
   /** Byte-identical payloads across media ids — the first dedup pass of
     * any multimodal lake (hash the BINARY, never compare payloads), plus
@@ -198,7 +235,8 @@ object MultimodalQueries {
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_decode_features" -> (mmDecodeFeatures _),
     "mm_decode_ppm" -> (mmDecodePpm _),
-    "mm_decode_wav" -> (mmDecodeWav _))
+    "mm_decode_wav" -> (mmDecodeWav _),
+    "mm_decode_video" -> (mmDecodeVideo _))
 
   val oracle: Map[String, String] = Map(
     "mm_dedup_payload" -> mmDedupPayloadSql,
@@ -207,5 +245,6 @@ object MultimodalQueries {
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_decode_features" -> mmDecodeFeaturesSql,
     "mm_decode_ppm" -> mmDecodePpmSql,
-    "mm_decode_wav" -> mmDecodeWavSql)
+    "mm_decode_wav" -> mmDecodeWavSql,
+    "mm_decode_video" -> mmDecodeVideoSql)
 }

@@ -136,4 +136,63 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.wavFromText(
       Seq((1L, "")).toDF("doc_id", "text")).isEmpty)
   }
+
+  // ---- Y4M (YUV4MPEG2) -----------------------------------------------------
+
+  test("parseY4m: golden stream — tag walk, FRAME params skipped, exact plane means, fingerprints") {
+    // 2×1 C444, 3 frames; frame 1 carries its own (legal) parameter.
+    // Planes per frame: Y = 2 bytes, Cb = 2, Cr = 2.
+    val frames = Seq(
+      "FRAME\n" + "AB" + "CD" + "EF",
+      "FRAME Xsc\n" + "GH" + "IJ" + "KL",
+      "FRAME\n" + "MN" + "OP" + "QR")
+    val b = ("YUV4MPEG2 W2 H1 F25:1 Ip A1:1 C444\n" + frames.mkString)
+      .getBytes("US-ASCII")
+    val f = Multimodal.parseY4m(5L, b)
+    assert(f.width == 2 && f.height == 1 && f.n_frames == 3)
+    def m(s: String) = s.map(_.toInt).sum / 6.0
+    assert(f.mean_y == m("ABGHMN") && f.mean_cb == m("CDIJOP") &&
+      f.mean_cr == m("EFKLQR"))
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("US-ASCII")).map("%02x".format(_)).mkString
+    assert(f.f_first == md5("ABCDEF") && f.f_mid == md5("GHIJKL") &&
+      f.f_last == md5("MNOPQR"))
+  }
+
+  test("parseY4m: malformed inputs fail loudly with the media id") {
+    def bad(id: Long, s: String) = intercept[IllegalArgumentException] {
+      Multimodal.parseY4m(id, s.getBytes("US-ASCII"))
+    }
+    assert(bad(2L, "MPEG4 W2 H1\nFRAME\nabcdef").getMessage.contains("media 2"))
+    assert(bad(3L, "YUV4MPEG2 W2 H1 C444\nFRAME\nABCD") // frame truncated
+      .getMessage.contains("truncated"))
+    assert(bad(4L, "YUV4MPEG2 W2 H1 C444\nGARBAGE\nABCDEF")
+      .getMessage.contains("FRAME marker"))
+    assert(bad(5L, "YUV4MPEG2 W2 H1\nFRAME\nABC") // default 420jpeg unsupported
+      .getMessage.contains("only C444"))
+    assert(bad(6L, "YUV4MPEG2 C444\nFRAME\n").getMessage.contains("missing W/H"))
+  }
+
+  test("y4mFromText -> decodeY4m: in-plan payloads are valid Y4M and decode distributed") {
+    val s = spark
+    import s.implicits._
+    // doc 0: w=4, h=2, nf=2, fs=24 — tiled "ABCD" repeats every 4, so all
+    // three planes (8 bytes each, offsets ≡ 0..7 mod 8 within each frame)
+    // see the same per-plane multiset; means are exact integer ratios
+    val docs = Seq((0L, "ABCD")).toDF("doc_id", "text")
+    val out = Multimodal.decodeY4m(Multimodal.asY4m(
+      Multimodal.y4mFromText(docs))).collect()
+    assert(out.length == 1)
+    val f = out(0)
+    assert(f.width == 4 && f.height == 2 && f.n_frames == 2)
+    val abcd = "ABCD".map(_.toInt).sum / 4.0 // every plane tiles ABCD exactly
+    assert(f.mean_y == abcd && f.mean_cb == abcd && f.mean_cr == abcd)
+    // nf=2 → mid = frame 0; all frames identical bytes → equal fingerprints
+    assert(f.f_first == f.f_mid && f.f_first == f.f_last)
+    assert(Multimodal.y4mFromText(
+      Seq((1L, "")).toDF("doc_id", "text")).isEmpty)
+    // a multi-byte char breaks byte==char — filtered, never a bad payload
+    assert(Multimodal.y4mFromText(
+      Seq((2L, "café")).toDF("doc_id", "text")).isEmpty)
+  }
 }
