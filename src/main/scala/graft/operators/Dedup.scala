@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{graftExpr, Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.expressions.aggregate.{BloomFilterAggregate, CollectTopK}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.BinaryType
 import graft.functions.{BandKeysExpr, MinHashSigExpr, PolyHashExpr, SeqShingleHashesExpr, ShingleHashesExpr, SimHashExpr}
@@ -174,15 +174,42 @@ object Dedup {
 
   /** LSH candidate pairs verified by exact shingle Jaccard ≥ threshold.
     * Output: (id_a, id_b, jaccard). Only candidates sharing ≥1 band key
-    * are ever compared; pairs are dedup'd before shingles are re-joined. */
+    * are ever compared; pairs are dedup'd before shingles are re-joined.
+    *
+    * `bucketCap` bounds the band-key self-join's worst case: inside one
+    * bucket the candidate product is quadratic, and a boilerplate-heavy
+    * corpus (thousands of near-identical docs all sharing band keys)
+    * degenerates a hot bucket into a task-killing cross product. Each
+    * bucket keeps its `bucketCap` LOWEST ids via a bounded CollectTopK
+    * aggregation (map-side partial, ≤ cap ids per bucket per partition
+    * ever shuffle — never a per-bucket window sort, which would hand the
+    * whole hot bucket to one task), so per-bucket candidates are ≤
+    * cap²/2 regardless of skew — the same defuse as
+    * [[Similarity.bandedNearDupPairs]] and [[blockedNgramPairs]]' dfCap.
+    * Recall trade, explicit: an id outside the cap contributes no pairs
+    * from that bucket — a pair is missed only if in EVERY band the two
+    * docs share, at least one of them is capped out. Min-id determinism
+    * means the kept set is stable (the cluster's lowest ids — exactly
+    * the representatives downstream clustering elects), not sampled. At
+    * the default cap a bucket must exceed 1024 near-identical docs
+    * before anything is dropped, and the min-id core that survives
+    * still witnesses the cluster — the same contract as the banded
+    * embedding variant. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
+                   threshold: Double, k: Int = 16, bands: Int = 4,
+                   bucketCap: Int = 1024): DataFrame = {
     val rows = k / bands
     val sh = shingleTable(df, idCol, textCol)
     val mh = sh
       .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
       .select(col("id"), posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
-    val cand = mh.as("a").join(mh.as("b"), Seq("band", "key"))
+    val capIds = graftExpr.column(
+      new CollectTopK(graftExpr.expression(col("id")), bucketCap, true)
+        .toAggregateExpression())
+    val capped = mh.groupBy(col("band"), col("key"))
+      .agg(capIds.as("ids"))
+      .select(col("band"), col("key"), explode(col("ids")).as("id"))
+    val cand = capped.as("a").join(capped.as("b"), Seq("band", "key"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")

@@ -56,6 +56,36 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(p => p._2 != 3L && p._1 != 3L))
   }
 
+  test("minhashPairs: hot-bucket cap bounds a boilerplate corpus; no-skew results unchanged") {
+    val s = spark
+    import s.implicits._
+    // 200 byte-identical boilerplate docs + the planted near-dup trio:
+    // uncapped, the boilerplate bucket alone yields C(200,2) = 19 900
+    // candidate pairs per band — the quadratic blow-up the cap defuses
+    val boiler = (100L until 300L).map(i =>
+      (i, "terms of service apply to all users of this site always", 56))
+    val all = docs.union(boiler.toDF("doc_id", "text", "n_chars"))
+    val capped = Dedup.minhashPairs(all, "doc_id", "text", threshold = 0.5,
+        bucketCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the boilerplate cluster survives as its min-id core: exactly the 8
+    // lowest ids pair (28 pairs), nothing above the cap contributes
+    val boilerPairs = capped.filter(_._1 >= 100L)
+    assert(boilerPairs == (for {
+      a <- 100L until 108L; b <- (a + 1) until 108L } yield (a, b)).toSet,
+      s"expected the capped min-id core, got ${boilerPairs.size} pairs")
+    // the planted dup elsewhere in the corpus is untouched by the hot
+    // bucket's cap (its bucket is small)
+    assert(capped.contains((0L, 1L)))
+    // no skew ⇒ the cap is invisible: default-cap results == huge-cap results
+    val def_ = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val huge = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5,
+        bucketCap = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(def_ == huge)
+  }
+
   test("simhash: identical text → identical fingerprint; disjoint text differs") {
     val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
