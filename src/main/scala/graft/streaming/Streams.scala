@@ -210,16 +210,17 @@ object Streams {
     * window registers an event-time timer at its end, so its MapState is
     * cleared the moment the watermark guarantees no further update can
     * arrive. State size is live windows × items, not stream history.
-    * One deliberate asymmetry vs the aggregation variant: Spark filters
-    * an aggregation's late rows against the PREVIOUS micro-batch's
-    * watermark (its multi-operator propagation rule), while this
-    * processor sees only the current batch's eviction watermark — so for
-    * window ends inside that one-batch band this variant drops a row the
-    * aggregation still admits. Dropping there is REQUIRED here: the
-    * timer has already cleared the window's counts once the watermark
-    * passes its end, and admitting the row would resurrect a partial
-    * panel. The parity spec exercises agreement outside the band (the
-    * steady-state case) plus a both-variants-drop late batch. */
+    * The `wEnd <= watermark` drop guard is REQUIRED independent of what
+    * the aggregation variant does: the timer has already cleared the
+    * window's counts once the watermark passes its end, and admitting a
+    * row there would resurrect a partial panel. MEASURED (and spec-
+    * pinned, not assumed): the guard introduces no divergence — Spark's
+    * aggregation filters late rows at the same boundary with the same
+    * strictness (drop end <= wm, admit end > wm), so the two variants
+    * agree on every late row; the boundary spec brackets the watermark
+    * with window ends <, ==, and > it and asserts identical admission,
+    * and would catch a Spark upgrade moving either side's filter
+    * watermark or strictness. */
   class TrendKeeper(k: Int, windowMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, WindowedHit, TrendRow] {
     @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
@@ -269,9 +270,8 @@ object Streams {
     * across executors, and each batch emits the refreshed panel of every
     * touched window. Late rows drop against the eviction watermark and
     * each window's state is cleared by an event-time timer once the
-    * watermark passes its end (see [[TrendKeeper]] for the one-batch
-    * watermark-propagation band where this is stricter than the
-    * aggregation variant). */
+    * watermark passes its end (see [[TrendKeeper]]: the drop boundary is
+    * spec-pinned to agree with the aggregation variant's exactly). */
   def trendingTopKState(stream: DataFrame, tsCol: String, itemCol: String,
                         windowLen: String, slide: String, lateness: String,
                         k: Int): Dataset[TrendRow] = {

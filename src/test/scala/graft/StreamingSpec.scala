@@ -308,6 +308,68 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("trendingTopKState: late-row admission matches the aggregation variant at EVERY watermark boundary") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // Measured contract (replacing the previously HYPOTHESIZED one-batch
+    // band — this spec exists to keep it enforced, not assumed): batch 1
+    // (event 00:30, lateness 10m) sets the batch-2 watermark to 00:20,
+    // and three batch-2 probes bracket it with tumbling windows ending
+    // 00:10 (< wm), 00:20 (== wm) and 00:30 (> wm). BOTH variants use
+    // the same boundary with the same strictness — drop end <= wm,
+    // admit end > wm — so TrendKeeper's `wEnd <= watermark` guard (which
+    // its timer discipline requires: the timer clears a window's counts
+    // the moment the watermark passes its end) introduces NO band where
+    // it drops a row the aggregation still admits. If a Spark upgrade
+    // ever changes either side's filter watermark or strictness, this
+    // is the spec that catches it.
+    val prevProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch1 = Seq(Point("seed", ts("2024-01-01 00:30:00"), 1.0))
+      val batch2 = Seq(
+        Point("end10", ts("2024-01-01 00:02:00"), 1.0), // end 00:10 < wm
+        Point("end20", ts("2024-01-01 00:12:00"), 1.0), // end 00:20 == wm
+        Point("end30", ts("2024-01-01 00:22:00"), 1.0)) // end 00:30 > wm
+      val inA = MemoryStream[Point]
+      val pushed = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      val qA = Streams.trendingTopK(inA.toDF(), "time", "name",
+        windowLen = "10 minutes", slide = "10 minutes", lateness = "10 minutes",
+        k = 5, push = df => pushed.synchronized {
+          pushed ++= df.collect().map(r => (r.getTimestamp(0).getTime, r.getString(1)))
+        })
+      val inB = MemoryStream[Point]
+      val qB = Streams.trendingTopKState(inB.toDF(), "time", "name",
+          windowLen = "10 minutes", slide = "10 minutes", lateness = "10 minutes", k = 5)
+        .writeStream.format("memory").queryName("trend_band_out")
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_band").toString)
+        .start()
+      for (batch <- Seq(batch1, batch2)) {
+        inA.addData(batch: _*); qA.processAllAvailable()
+        inB.addData(batch: _*); qB.processAllAvailable()
+      }
+      qA.stop(); qB.stop()
+      val stateRows = s.table("trend_band_out").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1))).toSeq
+      def admitted(rows: Seq[(Long, String)]) =
+        rows.map(_._2).toSet.intersect(Set("end10", "end20", "end30"))
+      assert(admitted(pushed.toSeq) == Set("end30"),
+        s"aggregation variant: expected only end-after-watermark admitted, got $pushed")
+      assert(admitted(stateRows) == Set("end30"),
+        s"state variant: expected only end-after-watermark admitted, got $stateRows")
+      // and both saw the watermark-advancing seed normally
+      assert(pushed.exists(_._2 == "seed") && stateRows.exists(_._2 == "seed"))
+    } finally {
+      if (prevProvider.isEmpty)
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      else s.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+    }
+  }
+
   test("T5 livePollReplan: control edits between batches replan the live set; infeasible change rejected whole") {
     val s = spark
     import s.implicits._
