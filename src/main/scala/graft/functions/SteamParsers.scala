@@ -46,8 +46,10 @@ object SteamParsers {
 
   // ---- F1 -----------------------------------------------------------------
 
-  /** Ordered strip list — order matters (see scaladoc). */
-  private val stripSymbols: Seq[String] = Seq(
+  /** Ordered strip list — order matters (see scaladoc). Exposed to
+    * graft.queries so the oracle-SQL generator derives from THIS table —
+    * one source of truth, the two sides cannot drift. */
+  private[graft] val stripSymbols: Seq[String] = Seq(
     "$", "€", "£", "¥", "₹", "₽", "pуб.", "R$", "CDN$", "A$", "HK$", "S$",
     "₩", "₴", "CHF", "kr", "zł", "R", "฿")
 
@@ -89,8 +91,9 @@ object SteamParsers {
 
   // ---- F4 -----------------------------------------------------------------
 
-  /** Ordered symbol → ISO-4217 scan; FIRST substring match wins. */
-  private val currencyMap: Seq[(String, String)] = Seq(
+  /** Ordered symbol → ISO-4217 scan; FIRST substring match wins. Exposed
+    * like [[stripSymbols]] so the oracle-SQL side generates from it. */
+  private[graft] val currencyMap: Seq[(String, String)] = Seq(
     "$" -> "USD", "€" -> "EUR", "£" -> "GBP", "¥" -> "JPY", "₹" -> "INR",
     "₽" -> "RUB", "pуб." -> "RUB", "R$" -> "BRL", "CDN$" -> "CAD",
     "A$" -> "AUD", "HK$" -> "HKD", "S$" -> "SGD", "₩" -> "KRW",

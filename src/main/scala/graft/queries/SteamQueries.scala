@@ -16,17 +16,11 @@ import graft.functions.SteamParsers
 object SteamQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  // Mirror of SteamParsers.stripSymbols / currencyMap (kept here to
-  // generate the SQL side; the Scala side lives in SteamParsers).
-  private[queries] val stripSymbols = Seq(
-    "$", "€", "£", "¥", "₹", "₽", "pуб.", "R$", "CDN$", "A$", "HK$", "S$",
-    "₩", "₴", "CHF", "kr", "zł", "R", "฿")
-  private[queries] val currencyMap = Seq(
-    "$" -> "USD", "€" -> "EUR", "£" -> "GBP", "¥" -> "JPY", "₹" -> "INR",
-    "₽" -> "RUB", "pуб." -> "RUB", "R$" -> "BRL", "CDN$" -> "CAD",
-    "A$" -> "AUD", "HK$" -> "HKD", "S$" -> "SGD", "₩" -> "KRW",
-    "₴" -> "UAH", "CHF" -> "CHF", "kr" -> "SEK", "zł" -> "PLN",
-    "R" -> "ZAR", "฿" -> "THB")
+  // The SQL side generates from SteamParsers' OWN ordered tables — one
+  // source of truth for the order-sensitive 19-symbol strip and the
+  // first-match currency scan; the two implementations cannot drift.
+  private[queries] val stripSymbols = SteamParsers.stripSymbols
+  private[queries] val currencyMap = SteamParsers.currencyMap
 
   private[queries] val pyFloatRe = """^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"""
   private[queries] val pyIntRe = """^[+-]?[0-9]+$"""
