@@ -147,6 +147,71 @@ object Mix {
     }
   }
 
+  /** Per-GROUP exact top-fraction — "keep the best 20% of every domain" —
+    * the per-domain form of [[topFraction]], same two-phase shape with the
+    * cutoff search moved INTO the plan: phase 1 builds a (group, bucket)
+    * score histogram (map-side combinable; groups×buckets narrow rows),
+    * and each group's boundary bucket falls out of a prefix-sum window
+    * over THAT tiny table — above < k ≤ above + cnt picks exactly one
+    * bucket per group, so no per-group driver loop. Phase 2: rows in
+    * buckets above the group's boundary pass by broadcast-join + FILTER
+    * alone; the exact remainder comes from the boundary bucket via a
+    * bounded per-group top-k aggregation (CollectTopK — map-side partial,
+    * never a per-group window sort over data rows; only boundary-bucket
+    * candidates move). The single driver touch is max(needed) — one row,
+    * needed at plan time because CollectTopK's k is a literal (the same
+    * justified planning boundary as [[topFraction]]'s histogram).
+    * Deterministic per-group total order (score desc, id asc); exactly
+    * ⌊n_g·frac⌋ rows per group. Output: (grpCol, idCol, score). */
+  def topFractionByGroup(df: DataFrame, grpCol: String, idCol: String,
+                         scoreCol: String, frac: Double,
+                         bucketWidth: Long = 64L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftExpr
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
+    require(df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"topFractionByGroup needs a numeric id column for its (score, -id) " +
+        s"tie-break; '$idCol' is ${df.schema(idCol).dataType.simpleString}")
+    val scored = df.select(col(grpCol), col(idCol),
+        col(scoreCol).cast("long").as("score"))
+      .withColumn("bkt", floor(col("score") / bucketWidth).cast("long"))
+    val hist = scored.groupBy(col(grpCol), col("bkt")).agg(count(lit(1)).as("cnt"))
+    val wAll = Window.partitionBy(col(grpCol))
+    val wAbove = Window.partitionBy(col(grpCol)).orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cuts = hist
+      .withColumn("k",
+        floor(sum(col("cnt")).over(wAll).cast("double") * frac).cast("long"))
+      .withColumn("above", coalesce(sum(col("cnt")).over(wAbove), lit(0L)))
+      .filter(col("above") < col("k") && col("above") + col("cnt") >= col("k"))
+      .select(col(grpCol), col("bkt").as("cut"),
+        (col("k") - col("above")).as("needed"))
+    val passed = scored.join(broadcast(cuts), grpCol)
+      .filter(col("bkt") > col("cut"))
+      .select(col(grpCol), col(idCol), col("score"))
+    val kMaxRow = cuts.agg(max(col("needed"))).collect()
+    val kMax =
+      if (kMaxRow.isEmpty || kMaxRow(0).isNullAt(0)) 0
+      else kMaxRow(0).getLong(0).toInt
+    if (kMax <= 0) passed
+    else {
+      val key = struct(col("score"), (-col(idCol)).as("nid"))
+      val topk = graftExpr.column(
+        new CollectTopK(graftExpr.expression(key), kMax, false)
+          .toAggregateExpression())
+      val boundary = scored.join(broadcast(cuts), grpCol)
+        .filter(col("bkt") === col("cut"))
+        .groupBy(col(grpCol), col("needed"))
+        .agg(topk.as("tops"))
+        .select(col(grpCol), col("needed"),
+          posexplode(col("tops")).as(Seq("r0", "t")))
+        .filter(col("r0") < col("needed"))
+        .select(col(grpCol), (-col("t.nid")).as(idCol), col("t.score").as("score"))
+      passed.unionByName(boundary)
+    }
+  }
+
   /** Per-source keep thresholds for α=0.5 temperature sampling at a target
     * corpus fraction. Output: (srcCol, n_s, thr) where a doc survives iff
     * [[sampleHash]](text) < thr. keep_prob_s = min(1, target_n·(w_s/Σw)/n_s)

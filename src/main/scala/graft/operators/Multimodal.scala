@@ -314,14 +314,19 @@ object Multimodal {
     * frames — frame f holds tiled offsets [f·3wh, (f+1)·3wh), so an
     * oracle can recompute every plane mean and frame fingerprint from the
     * text alone. Same ASCII byte == char contract as [[wavFromText]].
-    * Pure projection; the payload never leaves the executor. */
-  def y4mFromText(docs: DataFrame): DataFrame = {
+    * Pure projection; the payload never leaves the executor.
+    *
+    * `geomCol` keys the stream GEOMETRY (w/h/frame count); it defaults to
+    * the media id, but a re-encode corpus points it at a shared footage
+    * id so members of a footage group produce byte-identical streams
+    * (the duplicate-frame-detection fixture shape). */
+  def y4mFromText(docs: DataFrame, geomCol: String = "doc_id"): DataFrame = {
     val maxFrames = 4
     val d = docs.filter(length(col("text")) > 0)
       .filter(octet_length(col("text")) === length(col("text")))
-      .withColumn("w", (lit(4) + col("doc_id") % 3).cast("int"))
-      .withColumn("h", (lit(2) + col("doc_id") % 2).cast("int"))
-      .withColumn("nf", (lit(2) + col("doc_id") % 3).cast("int"))
+      .withColumn("w", (lit(4) + col(geomCol) % 3).cast("int"))
+      .withColumn("h", (lit(2) + col(geomCol) % 2).cast("int"))
+      .withColumn("nf", (lit(2) + col(geomCol) % 3).cast("int"))
       .withColumn("fs", col("w") * col("h") * 3)
       .withColumn("rep", expr(
         "repeat(text, CAST((nf * fs + length(text) - 1) / length(text) AS INT))"))

@@ -615,4 +615,94 @@ object TextAnalysis {
           .otherwise(lit(1.0) - col("n_shared").cast("double") /
             col("n_shingles").cast("double")).as("novelty"))
   }
+
+  /** DSIR-shape importance scoring (Xie et al., NeurIPS 2023 — "Data
+    * Selection for Language Models via Importance Resampling"): documents
+    * are featurized as HASHED N-GRAMS (their §3.1 — here word bigrams,
+    * [[Dedup.seqShingleHashes]] mod `buckets`), a target corpus and the
+    * raw corpus each induce a bucket distribution, and a raw doc's
+    * importance is how much its features look drawn from the target
+    * rather than the raw distribution. DSIR's per-feature log ratio
+    * log(p_t(b)/p_r(b)) is libm-bound, so the stored per-bucket weight is
+    * the cross-multiplied integer form w_b = ct_b·Nr − cr_b·Nt — exactly
+    * sign(log ratio) with the magnitude in exact long arithmetic
+    * (|w_b| < 2^62 for corpora under 2^31 features) — and a doc's score
+    * is the integer SUM of its features' weights: addition-order-
+    * independent, bitwise-replayable by a second engine. Buckets absent
+    * from the target score negative (ct = 0 ⇒ w_b = −cr_b·Nt), absent
+    * from both contribute 0 through the LEFT join.
+    *
+    * Scale shape: both count passes are map-side-combinable groupBys
+    * bounded by `buckets` result rows; the weight table (≤ buckets rows)
+    * BROADCASTS, so scoring is explode + broadcast join + per-doc sum —
+    * the raw corpus never self-joins and never shuffles text. Output:
+    * (idCol, n_feats, weight, keep = weight > 0) for every raw doc; docs
+    * shorter than a bigram get n_feats 0, weight 0. */
+  def dsirScore(target: DataFrame, raw: DataFrame, idCol: String,
+                textCol: String, buckets: Int): DataFrame = {
+    def feats(df: DataFrame): DataFrame =
+      df.select(col(idCol),
+          explode(Dedup.seqShingleHashes(col(textCol), 2)).as("h"))
+        .withColumn("b", pmod(col("h"), lit(buckets.toLong)))
+    val tF = feats(target)
+    val rF = feats(raw)
+    val tCnt = tF.groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val rCnt = rF.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val totals = broadcast(
+      tF.agg(count(lit(1)).as("nt")).crossJoin(rF.agg(count(lit(1)).as("nr"))))
+    val weights = broadcast(
+      rCnt.join(tCnt, Seq("b"), "full_outer").crossJoin(totals)
+        .select(col("b"),
+          (coalesce(col("ct"), lit(0L)) * col("nr") -
+            coalesce(col("cr"), lit(0L)) * col("nt")).as("w")))
+    val perDoc = rF.join(weights, Seq("b"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("w"), lit(0L))).as("weight"))
+    raw.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("weight"), lit(0L)).as("weight"),
+        (coalesce(col("weight"), lit(0L)) > 0).as("keep"))
+  }
+
+  /** Domain×domain n-gram overlap matrix — the decontamination /
+    * near-dup DIAGNOSTIC view: for every unordered pair of groups, how
+    * many distinct word n-gram shingles they share and the Jaccard of
+    * their shingle sets. This is the corpus-level companion to
+    * [[contamination]] (which gates documents): run it first to see WHICH
+    * domain pairs leak into each other, then point the document-level
+    * gates at the hot pairs.
+    *
+    * Scale shape: the base table is DISTINCT (group, shingle-hash) —
+    * narrow long rows, one map-side-combinable distinct. The self-join
+    * keys on the HASH, and a hash appears in at most |groups| rows, so
+    * per-hash fan-out is bounded by |groups|² (domains are tens-to-
+    * hundreds, never corpus-sized) — no doc×doc or shingle×shingle blowup
+    * at any corpus size. Per-group totals are |groups| rows (broadcast);
+    * the full matrix comes from their broadcast cross, so zero-overlap
+    * pairs are reported as 0, not silently dropped. Output: (src_a,
+    * src_b, n_grams_a, n_grams_b, n_shared, jaccard), src_a < src_b. */
+  def ngramOverlapMatrix(df: DataFrame, grpCol: String, textCol: String,
+                         n: Int = 3): DataFrame = {
+    val sh = df.select(col(grpCol).as("g"),
+        explode(Dedup.shingleHashes(col(textCol), n)).as("h"))
+      .distinct()
+    val counts = sh.groupBy(col("g")).agg(count(lit(1)).as("n_grams"))
+    val shared = sh.select(col("g").as("ga"), col("h"))
+      .join(sh.select(col("g").as("gb"), col("h")), "h")
+      .filter(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("n_shared"))
+    counts.select(col("g").as("ga"), col("n_grams").as("n_grams_a"))
+      .crossJoin(broadcast(
+        counts.select(col("g").as("gb"), col("n_grams").as("n_grams_b"))))
+      .filter(col("ga") < col("gb"))
+      .join(shared, Seq("ga", "gb"), "left")
+      .select(col("ga").as("src_a"), col("gb").as("src_b"),
+        col("n_grams_a"), col("n_grams_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") /
+          (col("n_grams_a") + col("n_grams_b") -
+            coalesce(col("n_shared"), lit(0L))).cast("double")).as("jaccard"))
+  }
 }

@@ -168,6 +168,70 @@ object MultimodalQueries {
       |  md5(substring(rep, CAST(1 + (nf-1)*fs AS INTEGER), fs)) AS f_last
       |FROM geom ORDER BY media_id""".stripMargin
 
+  // ---- cross-media duplicate-frame detection (re-encode / copy dedup) ------
+  /** The frame-level dedup pass a video lake runs after ingest: the same
+    * footage uploaded under many media ids is found from DECODED FRAME
+    * fingerprints alone, never by comparing payloads. Fixture: media ids
+    * group by ⌊doc_id/5⌋ and every member renders its group BASE doc's
+    * text with the base's geometry ([[Multimodal.y4mFromText]] geomCol) —
+    * five byte-identical "re-uploads" per footage group. The pipeline is
+    * the real one end to end: Y4M payloads decode through the
+    * mapPartitions codec seam, each media contributes its first/middle/
+    * last REAL frame fingerprints, and a groupBy on the 32-char md5 finds
+    * fingerprints spanning >1 media. Payloads never shuffle — only
+    * (media_id, frame_idx, md5) rows do. The oracle replays the tiling
+    * arithmetic, so a decoder that misreads one frame boundary breaks the
+    * collision structure and hash-mismatches. */
+  def mmFrameDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val members = docs.select(col("doc_id"),
+      (col("doc_id") - pmod(col("doc_id"), lit(5))).as("gid"))
+    val rows = members.join(
+      docs.select(col("doc_id").as("gid"), col("text")), "gid")
+    val feats = Multimodal.decodeY4m(Multimodal.asY4m(
+      Multimodal.y4mFromText(rows, geomCol = "gid"))).toDF()
+    feats
+      .select(col("media_id"), explode(array_distinct(array(
+        struct(lit(0).as("frame_idx"), col("f_first").as("fp")),
+        struct(floor((col("n_frames") - 1) / 2).cast("int").as("frame_idx"),
+          col("f_mid").as("fp")),
+        struct((col("n_frames") - 1).cast("int").as("frame_idx"),
+          col("f_last").as("fp"))))).as("fr"))
+      .select(col("media_id"), col("fr.fp").as("fp"))
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("media_id")).as("n_media"),
+        count(lit(1)).as("n_slots"), min(col("media_id")).as("rep_media"))
+      .filter(col("n_media") > 1)
+      .select(col("fp").as("frame_md5"), col("n_media"), col("n_slots"),
+        col("rep_media"))
+      .orderBy(col("frame_md5"))
+  }
+  val mmFrameDedupSql: String =
+    """WITH m AS (
+      |  SELECT d.doc_id AS media_id,
+      |         CAST(4 + b.doc_id % 3 AS INTEGER) AS w,
+      |         CAST(2 + b.doc_id % 2 AS INTEGER) AS h,
+      |         CAST(2 + b.doc_id % 3 AS INTEGER) AS nf, b.text
+      |  FROM documents d JOIN documents b ON b.doc_id = d.doc_id - d.doc_id % 5
+      |  WHERE length(b.text) > 0 AND strlen(b.text) = length(b.text)
+      |), geom AS (
+      |  SELECT media_id, nf, 3*w*h AS fs,
+      |    repeat(text, CAST((nf*3*w*h + length(text) - 1) / length(text) AS INTEGER)) AS rep
+      |  FROM m
+      |), fr AS (
+      |  SELECT media_id, fs, rep,
+      |    unnest(list_distinct([0, (nf-1)//2, nf-1])) AS f
+      |  FROM geom
+      |), fps AS (
+      |  SELECT media_id,
+      |    md5(substring(rep, CAST(1 + f*fs AS INTEGER), fs)) AS fp
+      |  FROM fr
+      |)
+      |SELECT fp AS frame_md5, COUNT(DISTINCT media_id) AS n_media,
+      |  COUNT(*) AS n_slots, MIN(media_id) AS rep_media
+      |FROM fps GROUP BY fp HAVING COUNT(DISTINCT media_id) > 1
+      |ORDER BY frame_md5""".stripMargin
+
   // ---- payload-level exact dedup (storage reclaim report) ------------------
   /** Byte-identical payloads across media ids — the first dedup pass of
     * any multimodal lake (hash the BINARY, never compare payloads), plus
@@ -236,7 +300,8 @@ object MultimodalQueries {
     "mm_decode_features" -> (mmDecodeFeatures _),
     "mm_decode_ppm" -> (mmDecodePpm _),
     "mm_decode_wav" -> (mmDecodeWav _),
-    "mm_decode_video" -> (mmDecodeVideo _))
+    "mm_decode_video" -> (mmDecodeVideo _),
+    "mm_frame_dedup" -> (mmFrameDedup _))
 
   val oracle: Map[String, String] = Map(
     "mm_dedup_payload" -> mmDedupPayloadSql,
@@ -246,5 +311,6 @@ object MultimodalQueries {
     "mm_decode_features" -> mmDecodeFeaturesSql,
     "mm_decode_ppm" -> mmDecodePpmSql,
     "mm_decode_wav" -> mmDecodeWavSql,
-    "mm_decode_video" -> mmDecodeVideoSql)
+    "mm_decode_video" -> mmDecodeVideoSql,
+    "mm_frame_dedup" -> mmFrameDedupSql)
 }

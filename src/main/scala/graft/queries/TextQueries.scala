@@ -220,6 +220,111 @@ object TextQueries {
        |WHERE rn <= CAST(floor(n * $TopFrac) AS BIGINT)
        |ORDER BY score DESC, doc_id""".stripMargin
 
+  // ---- per-domain exact top-fraction gate (plan-level cutoff search) -------
+  /** "Best 20% of EVERY domain", not of the pooled corpus — the quality
+    * gate that keeps rare domains from being crowded out by a dominant
+    * one. Oracle is the per-group window-rank definition; the Spark plan
+    * is the two-phase histogram shape with the cutoff search expressed as
+    * a prefix-sum window over the tiny (group, bucket) table. */
+  def qualityTopFractionByDomain(s: SparkSession, d: String): DataFrame =
+    Mix.topFractionByGroup(Tables.documents(s, d), "source", "doc_id",
+        "n_chars", TopFrac, 16L)
+      .orderBy(col("source"), col("score").desc, col("doc_id"))
+  val qualityTopFractionByDomainSql: String =
+    // 2e-1 not 0.2: a bare decimal literal parses as DECIMAL in DuckDB;
+    // e-notation forces the same IEEE double multiply Spark performs
+    s"""SELECT source, doc_id, score FROM (
+       |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS score,
+       |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY source) AS n
+       |  FROM documents) t
+       |WHERE rn <= CAST(floor(n * 2e-1) AS BIGINT)
+       |ORDER BY source, score DESC, doc_id""".stripMargin
+
+  // ---- DSIR-shape hashed-bigram importance scoring -------------------------
+  /** Target = the corpus's English slice (the "trusted reference" stand-
+    * in), raw = everything; importance = cross-multiplied integer form of
+    * the DSIR hashed-n-gram log ratio (see TextAnalysis.dsirScore). */
+  private val DsirBuckets = 4096
+
+  def qualityDsir(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    TextAnalysis.dsirScore(docs.filter(col("lang") === "en"), docs,
+        "doc_id", "text", DsirBuckets)
+      .orderBy(col("doc_id"))
+  }
+  val qualityDsirSql: String = {
+    val P = graft.operators.Dedup.HashMod
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, list_transform(string_split(trim(text), ' '),
+       |    s -> list_reduce(list_transform(string_split(s,''), c -> CAST(ascii(c) AS BIGINT)),
+       |      (acc, x) -> (acc*31 + x) % $P)) AS th
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id, lang,
+       |    unnest(CASE WHEN len(th) >= 2 THEN list_transform(range(0, len(th)-1),
+       |      i -> list_reduce(th[i+1:i+2], (a,b) -> (a*131 + b) % $P) % $DsirBuckets)
+       |      ELSE [] END) AS b
+       |  FROM toks
+       |), tc AS (
+       |  SELECT b, COUNT(*) AS ct FROM f WHERE lang = 'en' GROUP BY b
+       |), rc AS (
+       |  SELECT b, COUNT(*) AS cr FROM f GROUP BY b
+       |), tot AS (
+       |  SELECT (SELECT COUNT(*) FROM f WHERE lang = 'en') AS nt,
+       |         (SELECT COUNT(*) FROM f) AS nr
+       |), w AS (
+       |  SELECT rc.b, COALESCE(tc.ct, 0) * nr - rc.cr * nt AS w
+       |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot
+       |), per AS (
+       |  SELECT f.doc_id, COUNT(*) AS n_feats,
+       |    CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) AS weight
+       |  FROM f LEFT JOIN w USING (b) GROUP BY f.doc_id
+       |)
+       |SELECT d.doc_id, COALESCE(per.n_feats, 0) AS n_feats,
+       |  COALESCE(per.weight, 0) AS weight,
+       |  COALESCE(per.weight, 0) > 0 AS keep
+       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---- domain×domain n-gram overlap matrix ---------------------------------
+  private val OverlapN = 3
+
+  def overlapNgramMatrix(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.ngramOverlapMatrix(Tables.documents(s, d), "source", "text",
+        OverlapN)
+      .orderBy(col("src_a"), col("src_b"))
+  val overlapNgramMatrixSql: String = {
+    val P = graft.operators.Dedup.HashMod
+    s"""WITH toks AS (
+       |  SELECT source, list_transform(string_split(trim(text), ' '),
+       |    s -> list_reduce(list_transform(string_split(s,''), c -> CAST(ascii(c) AS BIGINT)),
+       |      (acc, x) -> (acc*31 + x) % $P)) AS th
+       |  FROM documents
+       |), sh0 AS (
+       |  SELECT source, CASE WHEN len(th) >= $OverlapN THEN list_distinct(
+       |    list_transform(range(0, len(th)-$OverlapN+1),
+       |      i -> list_reduce(th[i+1:i+$OverlapN], (a,b) -> (a*131 + b) % $P)))
+       |    ELSE [] END AS sh FROM toks
+       |), sh AS (
+       |  SELECT DISTINCT source AS g, unnest(sh) AS h FROM sh0
+       |), cnt AS (
+       |  SELECT g, COUNT(*) AS n_grams FROM sh GROUP BY g
+       |), pair AS (
+       |  SELECT a.g AS src_a, b.g AS src_b, COUNT(*) AS n_shared
+       |  FROM sh a JOIN sh b USING (h) WHERE a.g < b.g GROUP BY 1, 2
+       |)
+       |SELECT c1.g AS src_a, c2.g AS src_b,
+       |  c1.n_grams AS n_grams_a, c2.n_grams AS n_grams_b,
+       |  COALESCE(p.n_shared, 0) AS n_shared,
+       |  CAST(COALESCE(p.n_shared, 0) AS DOUBLE) /
+       |    CAST(c1.n_grams + c2.n_grams - COALESCE(p.n_shared, 0) AS DOUBLE) AS jaccard
+       |FROM cnt c1 JOIN cnt c2 ON c1.g < c2.g
+       |LEFT JOIN pair p ON p.src_a = c1.g AND p.src_b = c2.g
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
   // ---- PII detection + redaction -------------------------------------------
   /** The synthetic corpus carries no PII, so docs with doc_id ≡ 0 (mod 3)
     * are deterministically augmented with an email, an IPv4, and a phone
@@ -751,6 +856,9 @@ object TextQueries {
   val defs: Map[String, Q] = Map(
     "sim_text_topk" -> (simTextTopk _),
     "quality_top_fraction" -> (qualityTopFraction _),
+    "quality_top_fraction_by_domain" -> (qualityTopFractionByDomain _),
+    "quality_dsir" -> (qualityDsir _),
+    "overlap_ngram_matrix" -> (overlapNgramMatrix _),
     "sample_fixed_k" -> (sampleFixedK _),
     "text_hash_embed" -> (textHashEmbed _),
     "quality_classifier" -> (qualityClassifier _),
@@ -777,6 +885,9 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "sim_text_topk" -> simTextTopkSql,
     "quality_top_fraction" -> qualityTopFractionSql,
+    "quality_top_fraction_by_domain" -> qualityTopFractionByDomainSql,
+    "quality_dsir" -> qualityDsirSql,
+    "overlap_ngram_matrix" -> overlapNgramMatrixSql,
     "sample_fixed_k" -> sampleFixedKSql,
     "text_hash_embed" -> textHashEmbedSql,
     "quality_classifier" -> qualityClassifierSql,

@@ -195,4 +195,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.y4mFromText(
       Seq((2L, "café")).toDF("doc_id", "text")).isEmpty)
   }
+
+  test("y4mFromText(geomCol): shared-footage media render byte-identical frames, distinct footage does not") {
+    val s = spark
+    import s.implicits._
+    // media 0 and 1 are "re-uploads" of footage group 0 (same base text,
+    // geometry keyed on gid); media 2 is its own footage
+    val rows = Seq(
+      (0L, 0L, "the quick brown fox jumps over it"),
+      (1L, 0L, "the quick brown fox jumps over it"),
+      (2L, 2L, "a completely different footage text")
+    ).toDF("doc_id", "gid", "text")
+    val byId = Multimodal.decodeY4m(Multimodal.asY4m(
+        Multimodal.y4mFromText(rows, geomCol = "gid")))
+      .collect().map(f => f.media_id -> f).toMap
+    // group members: identical geometry AND identical frame fingerprints
+    assert(byId(0L).width == byId(1L).width &&
+      byId(0L).n_frames == byId(1L).n_frames)
+    assert(byId(0L).f_first == byId(1L).f_first &&
+      byId(0L).f_mid == byId(1L).f_mid &&
+      byId(0L).f_last == byId(1L).f_last)
+    // distinct footage never collides
+    assert(byId(0L).f_first != byId(2L).f_first)
+    // gid-keyed geometry equals the default-keyed stream of the base id
+    assert(byId(0L).width == 4 && byId(0L).height == 2 && byId(0L).n_frames == 2)
+  }
 }

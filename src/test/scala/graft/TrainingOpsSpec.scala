@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Similarity, TextAnalysis}
+import graft.operators.{Mix, Similarity, TextAnalysis}
 
 /** Similarity-search and text-analysis operator semantics on planted
   * fixtures. */
@@ -931,5 +931,59 @@ class TrainingOpsSpec extends AnyFunSuite {
     // left join keeps probe rows with no build match
     val lj = Relational.saltedJoin(probe, build, Seq("k"), Seq("k", "v"), 8, "left")
     assert(lj.count() == direct.length + probe.filter(!col("k").isin("hot", "k0", "k1", "k2")).count())
+  }
+
+  test("topFractionByGroup: exactly floor(n_g*frac) per group, identical to the window-rank reference") {
+    val s = spark
+    import s.implicits._
+    // two 20-row groups (k=5 each) with repeated scores so boundary
+    // buckets carry ties, plus a 3-row group whose k = floor(0.75) = 0
+    val rows = (0L until 40L).map(i => ("g" + (i % 2), i, (i * 7 % 30) + 10)) ++
+      Seq(("g2", 100L, 50L), ("g2", 101L, 51L), ("g2", 102L, 52L))
+    val got = Mix.topFractionByGroup(rows.toDF("src", "id", "score"),
+        "src", "id", "score", 0.25, 8L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val ref = rows.groupBy(_._1).flatMap { case (_, rs) =>
+      rs.sortBy(t => (-t._3, t._2)).take(math.floor(rs.size * 0.25).toInt)
+    }.map(t => (t._1, t._2, t._3)).toSet
+    assert(got == ref)
+    assert(!got.exists(_._1 == "g2")) // k=0 group contributes nothing
+    assert(got.count(_._1 == "g0") == 5 && got.count(_._1 == "g1") == 5)
+  }
+
+  test("dsirScore: target-like docs weigh positive, off-target negative, short docs zero") {
+    val s = spark
+    import s.implicits._
+    val target = Seq(
+      (100L, "alpha beta gamma alpha beta"),
+      (101L, "beta gamma alpha beta gamma")).toDF("id", "text")
+    val raw = Seq(
+      (0L, "alpha beta gamma alpha beta"), // bigrams all in the target LM
+      (1L, "zig zag zog zig zag zog"),     // bigrams the target never saw
+      (2L, "alpha")                        // no bigram at all
+    ).toDF("id", "text")
+    val out = TextAnalysis.dsirScore(target, raw, "id", "text", 4096)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(0L)._1 == 4 && out(0L)._2 > 0 && out(0L)._3)
+    assert(out(1L)._1 == 5 && out(1L)._2 < 0 && !out(1L)._3)
+    assert(out(2L) == ((0L, 0L, false)))
+  }
+
+  test("ngramOverlapMatrix: identical groups jaccard 1, disjoint pairs reported as 0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", "one two three four five"),
+      ("b", "one two three four five"), // identical shingle set to a
+      ("c", "six seven eight nine ten") // disjoint from both
+    ).toDF("src", "text")
+    val out = TextAnalysis.ngramOverlapMatrix(df, "src", "text", 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out.keySet == Set(("a", "b"), ("a", "c"), ("b", "c"))) // full matrix
+    assert(out(("a", "b")) == ((3L, 3L, 3L, 1.0))) // 5 tokens -> 3 trigrams
+    assert(out(("a", "c"))._3 == 0L && out(("a", "c"))._4 == 0.0)
+    assert(out(("b", "c"))._3 == 0L)
   }
 }
