@@ -320,6 +320,57 @@ object Relational {
     sketches.agg(count(lit(1)).as("n_days"),
       hll_sketch_estimate(hll_union_agg(col("sketch"))).as("distinct_est"))
 
+  /** Mergeable count-min sketch (Cormode & Muthukrishnan 2005) in
+    * RELATIONAL form — the frequency twin of the HLL cardinality sketch:
+    * a depth×width counter matrix stored as (r, c, cnt) ROWS rather than
+    * opaque bytes, so merging partials is plain re-aggregation (integer
+    * sums are associative — merge-of-partials ≡ whole-corpus build
+    * EXACTLY, the property the spec pins) and a second engine can replay
+    * every counter bitwise. Row-r hash is the epoch-salted scramble
+    * already used by [[Mix.epochShuffle]] — (polyHash(k)+r)·M mod P ·M
+    * mod P mod width — exact long arithmetic, no libm, r-indexed rows
+    * decorrelated by the avalanche.
+    *
+    * Scale shape: the build is ONE map-side-combinable groupBy bounded by
+    * depth·width result rows regardless of corpus size; the sketch table
+    * (KBs) BROADCASTS for estimation, so querying frequencies never
+    * touches the fact history — the point of keeping per-day/per-source
+    * partials. Output: (r, c, cnt). */
+  def cmsBuild(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    val p = graft.operators.Dedup.HashMod
+    val m = graft.operators.Mix.ScrambleM
+    df.select(col(keyCol).as("k"))
+      .select(col("k"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("c", pmod(
+        (graft.operators.Dedup.polyHash(col("k")) + col("r")) * m % p * m % p,
+        lit(width.toLong)))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge CMS partials: per-cell integer sum — exactly the whole-corpus
+    * build over the union of their inputs (spec-pinned). */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("r"), col("c")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-query the sketch: a key's estimate is the MIN over its depth
+    * cells (absent cell = 0). Never under-counts; collisions only inflate
+    * — est ≥ true always, the CMS guarantee the spec asserts. The sketch
+    * side broadcasts; the key side never shuffles. Output: (keyCol,
+    * est_cnt). */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+                  depth: Int, width: Int): DataFrame = {
+    val p = graft.operators.Dedup.HashMod
+    val m = graft.operators.Mix.ScrambleM
+    keys.select(col(keyCol))
+      .select(col(keyCol), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("c", pmod(
+        (graft.operators.Dedup.polyHash(col(keyCol)) + col("r")) * m % p * m % p,
+        lit(width.toLong)))
+      .join(broadcast(sketch), Seq("r", "c"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
+
   /** Merge a standing rollup with a delta partial: re-aggregate the
     * UNION of partials. Exact decimal internals make
     * merge(partial(old), partial(delta)) ≡ partial(old ∪ delta) bitwise.

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Mix, TextAnalysis}
+import graft.operators.{Dedup, Mix, Relational, TextAnalysis}
 
 /** Training-data pipeline pack, part 3: text analysis over `documents` —
   * token/quality stats, corpus-learned language-ID, token counting, and
@@ -286,6 +286,59 @@ object TextQueries {
        |  COALESCE(per.weight, 0) > 0 AS keep
        |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---- count-min sketch heavy hitters --------------------------------------
+  /** The relational CMS end to end: build the depth×width counter table
+    * over all corpus tokens, point-query it for the true top-20 tokens,
+    * and report estimate vs truth. The oracle replays every counter from
+    * the same salted-scramble hashes, so est_cnt carries the REAL
+    * collision inflation of this corpus at width 64 — and the CMS
+    * guarantee est ≥ true shows up as overcount ≥ 0 on every row. */
+  private val CmsD = 3
+  private val CmsW = 64
+  private val CmsTopK = 20
+
+  def sketchCmsTopk(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), " ")).as("token"))
+    val truth = tok.groupBy(col("token")).agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("token").asc).limit(CmsTopK)
+    val sketch = Relational.cmsBuild(tok, "token", CmsD, CmsW)
+    Relational.cmsEstimate(sketch, truth.select("token"), "token", CmsD, CmsW)
+      .join(truth, "token")
+      .select(col("token"), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("true_cnt")).as("overcount"))
+      .orderBy(col("true_cnt").desc, col("token").asc)
+  }
+  val sketchCmsTopkSql: String = {
+    val P = graft.operators.Dedup.HashMod
+    val M = graft.operators.Mix.ScrambleM
+    val cell = (src: String) =>
+      s"""(list_reduce(list_transform(string_split($src, ''), ch -> CAST(ascii(ch) AS BIGINT)),
+         |      (acc, x) -> (acc*31 + x) % $P) + t.r) * $M % $P * $M % $P % $CmsW""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents
+       |), tc AS (
+       |  SELECT token, COUNT(*) AS true_cnt FROM tok GROUP BY token
+       |), top AS (
+       |  SELECT token, true_cnt FROM tc ORDER BY true_cnt DESC, token LIMIT $CmsTopK
+       |), cells AS (
+       |  SELECT t.r AS r, ${cell("token")} AS c
+       |  FROM tok CROSS JOIN range(0, $CmsD) AS t(r)
+       |), cms AS (
+       |  SELECT r, c, COUNT(*) AS cnt FROM cells GROUP BY r, c
+       |), qcells AS (
+       |  SELECT token, t.r AS r, ${cell("token")} AS c
+       |  FROM top CROSS JOIN range(0, $CmsD) AS t(r)
+       |), est AS (
+       |  SELECT q.token, MIN(COALESCE(cms.cnt, 0)) AS est_cnt
+       |  FROM qcells q LEFT JOIN cms USING (r, c) GROUP BY q.token
+       |)
+       |SELECT top.token, top.true_cnt, est.est_cnt,
+       |  est.est_cnt - top.true_cnt AS overcount
+       |FROM top JOIN est USING (token)
+       |ORDER BY true_cnt DESC, token""".stripMargin
   }
 
   // ---- domain×domain n-gram overlap matrix ---------------------------------
@@ -859,6 +912,7 @@ object TextQueries {
     "quality_top_fraction_by_domain" -> (qualityTopFractionByDomain _),
     "quality_dsir" -> (qualityDsir _),
     "overlap_ngram_matrix" -> (overlapNgramMatrix _),
+    "sketch_cms_topk" -> (sketchCmsTopk _),
     "sample_fixed_k" -> (sampleFixedK _),
     "text_hash_embed" -> (textHashEmbed _),
     "quality_classifier" -> (qualityClassifier _),
@@ -888,6 +942,7 @@ object TextQueries {
     "quality_top_fraction_by_domain" -> qualityTopFractionByDomainSql,
     "quality_dsir" -> qualityDsirSql,
     "overlap_ngram_matrix" -> overlapNgramMatrixSql,
+    "sketch_cms_topk" -> sketchCmsTopkSql,
     "sample_fixed_k" -> sampleFixedKSql,
     "text_hash_embed" -> textHashEmbedSql,
     "quality_classifier" -> qualityClassifierSql,

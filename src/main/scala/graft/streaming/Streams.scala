@@ -346,6 +346,38 @@ object Streams {
       .start()
   }
 
+  /** Streaming gap sessionization — the incremental twin of the batch
+    * W8 sessionizer (`InventoryQueries2.w8Sessionize`): per-key sessions
+    * close after `gap` of event-time inactivity, built on Spark's
+    * session_window aggregation so state merges/expires in the state
+    * store and finalized sessions emit in append mode once the watermark
+    * passes their end. Same output shape as batch W8 (session_start /
+    * session_end / n_events / exact-decimal sum_value served as double).
+    *
+    * Boundary contract, measured and pinned by the spec: session_window
+    * merges an event whose [ts, ts+gap) span TOUCHES the open session
+    * (start == previous end merges, not just true overlap), so an event
+    * arriving exactly `gap` after its predecessor stays in the session —
+    * the SAME admission as the batch rule's `ts − prev > gap`, at every
+    * boundary (<, ==, > are all bracketed by the spec). The parity spec
+    * additionally proves stream ≡ batch row-for-row on real fixture
+    * events.
+    *
+    * Scale shape: state is per (key, open session) and watermark-bounded;
+    * the aggregation shuffles once on the key like any streaming agg —
+    * no per-key driver state, no window-function sort anywhere. */
+  def sessionizeStream(stream: DataFrame, keyCol: String, tsCol: String,
+                       valueCol: String, gap: String,
+                       lateness: String): DataFrame =
+    stream.withWatermark(tsCol, lateness)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(col(keyCol), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** A5: sliding event-time request count (rate-limiter reconstruction:
     * 1 request = 1 row, summed per sliding window). */
   def slidingRequestCount(stream: DataFrame, tsCol: String,

@@ -217,6 +217,38 @@ class PlanAuditSpec extends AnyFunSuite {
       s"plain twin must keep the unsalted skewed exchange:\n$pp")
   }
 
+  test("quality_top_fraction_by_domain: cutoffs broadcast; no per-domain sort of data rows") {
+    val p = plan("quality_top_fraction_by_domain")
+    // the scale-killer twin is row_number() partitioned by source over the
+    // raw rows — a single-task sort per domain; the two-phase plan's only
+    // windows run over the tiny (source, bucket) histogram and never
+    // order by (score, id)
+    val bad = """windowspecdefinition\(source#\d+, score#\d+L? DESC""".r
+    assert(bad.findFirstIn(p).isEmpty,
+      s"per-domain window sort of data rows crept back in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-group cutoffs must broadcast back to the scan:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"boundary remainder must be the bounded CollectTopK agg:\n$p")
+  }
+
+  test("quality_dsir: weight table broadcasts; corpus text never hash-shuffles") {
+    val p = plan("quality_dsir")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text")),
+      s"doc text must not cross an exchange — only narrow (id, bucket) rows:\n$p")
+  }
+
+  test("mm_frame_dedup: payload bytes never cross an exchange") {
+    val p = plan("mm_frame_dedup")
+    // the decode seam's whole point: only (media_id, fingerprint) rows
+    // shuffle; a payload column in any exchange means video bytes move
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("payload")),
+      s"payload column found in an exchange:\n$p")
+  }
+
   test("global sweep: no query plans an unbroadcast cartesian product") {
     // crossJoin against a broadcast side plans as BroadcastNestedLoopJoin
     // (fine — one side is tiny by construction); a CartesianProduct node

@@ -169,4 +169,38 @@ class Scd2RollupSpec extends AnyFunSuite {
     val merged = Relational.rollupMerge(standing, standing.filter(lit(false)))
     assert(merged.collect().toSeq == standing.collect().toSeq)
   }
+
+  test("CMS lifecycle: merge of partials ≡ whole build bitwise; est ≥ true; collisions only inflate") {
+    val s = spark
+    import s.implicits._
+    // zipf-ish corpus: key k_i appears 50/i times — a real frequency skew
+    val rows = (1 to 20).flatMap(i => Seq.fill(50 / i)(s"k$i"))
+    val df = rows.toDF("k")
+    val (d, w) = (3, 8) // width 8 << 20 keys: collisions guaranteed
+    val whole = Relational.cmsBuild(df, "k", d, w)
+    // split the corpus arbitrarily (alternating rows — both halves carry
+    // duplicates of the same keys), build partials, merge: cell-for-cell
+    // identical to the whole build (integer sums are associative)
+    val (evens, odds) = rows.zipWithIndex.partition(_._2 % 2 == 0)
+    val parts = Relational.cmsMerge(
+      Relational.cmsBuild(evens.map(_._1).toDF("k"), "k", d, w),
+      Relational.cmsBuild(odds.map(_._1).toDF("k"), "k", d, w))
+    val cells = (x: org.apache.spark.sql.DataFrame) =>
+      x.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val truth = df.groupBy(col("k")).agg(count(lit(1)).as("true_cnt"))
+    val est = Relational.cmsEstimate(whole, truth.select("k"), "k", d, w)
+      .join(truth, "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.nonEmpty && est.forall { case (_, e, t) => e >= t },
+      s"CMS must never under-count: $est")
+    assert(est.exists { case (_, e, t) => e > t },
+      "width 8 over 20 keys must collide somewhere — no overcount seen")
+    // never-seen keys estimate 0 only if all their cells are empty; at
+    // width 8 they collide into occupied cells — still ≥ 0 and bounded
+    val ghost = Relational.cmsEstimate(whole, Seq("zzz").toDF("k"), "k", d, w)
+      .collect()(0).getLong(1)
+    assert(ghost >= 0L && ghost <= rows.length)
+    // the merge identity, bitwise on cells
+    assert(cells(whole) == cells(parts))
+  }
 }

@@ -809,4 +809,74 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(out == Set((2L, 3.0), (1L, 4.0)))
   }
+
+  test("sessionizeStream ≡ batch W8 sessionizer on real fixture events") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ev = graft.Tables.events(s, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 3)
+      .select(col("user_id"), col("ts").as("time"), col("event_id"), col("value"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("time"), col("event_id"))
+    val rows = ev.collect().toSeq.map(r =>
+      Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    val in = MemoryStream[Ev]
+    val q = Streams.sessionizeStream(in.toDF(), "user_id", "time", "value",
+        "30 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("sess_par").outputMode("append").start()
+    in.addData(rows: _*)
+    q.processAllAvailable()
+    in.addData(Ev(999L, ts("2030-01-01 00:00:00"), 0L, 0.0)) // flush watermark
+    q.processAllAvailable()
+    val streamed = s.table("sess_par").filter(col("user_id") < 3)
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    q.stop()
+    // batch reference: the W8 lag-gap rule on the same rows
+    val gapped = ev
+      .withColumn("prev_us", lag(unix_micros(col("time")), 1).over(wOrd))
+      .withColumn("new_session", when(col("prev_us").isNull ||
+        unix_micros(col("time")) - col("prev_us") > 30L * 60 * 1000000, 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("new_session")).over(
+        wOrd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val batch = gapped.groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("time")).as("session_start"), max(col("time")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.size > rows.map(_.user_id).distinct.size) // real multi-session data
+  }
+
+  test("sessionizeStream boundary pin: gap-exact events MERGE (touching spans), gap+1 splits — the batch rule") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Point]
+    val q = Streams.sessionizeStream(in.toDF(), "name", "time", "price",
+        "30 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("sess_bnd").outputMode("append").start()
+    in.addData(
+      Point("a", ts("2024-01-01 00:00:00"), 1.0),
+      Point("a", ts("2024-01-01 00:29:59"), 2.0), // < gap: merges
+      Point("a", ts("2024-01-01 00:59:59"), 4.0), // EXACTLY gap later: merges
+      Point("a", ts("2024-01-01 01:30:00"), 8.0)) // gap + 1 s later: splits
+    q.processAllAvailable()
+    in.addData(Point("z", ts("2030-01-01 00:00:00"), 0.0))
+    q.processAllAvailable()
+    val streamed = s.table("sess_bnd").filter(col("name") === "a")
+      .select("n_events", "sum_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    q.stop()
+    // session_window merges a TOUCHING span (next start == open session
+    // end), so the exactly-gap-later event stays — identical admission to
+    // the batch rule `ts − prev > gap` at every boundary (<, ==, >)
+    assert(streamed == Set((3L, 7.0), (1L, 8.0)))
+  }
 }
+
+/** Top-level (not inner) so Spark can construct instances without an
+  * outer-class scope when the MemoryStream round-trips it. */
+case class Ev(user_id: Long, time: Timestamp, event_id: Long, value: Double)
