@@ -166,6 +166,29 @@ object Dedup {
         (col(idCol) =!= col("rep_id")).as("is_dup"), col("n_copies"))
   }
 
+  /** Normalize-then-exact dedup — the "fuzzy-exact" first pass of
+    * production curation stacks (Dolma/CCNet run it before any LSH):
+    * lowercase, punctuation → space, whitespace runs collapsed, THEN the
+    * same content-hash grouping as [[exactDedup]]. Catches the dominant
+    * real-world near-dup class (same text re-crawled with different
+    * casing/punctuation/spacing) at exact-dedup cost — one codegen'd
+    * normalization projection and one hash groupBy; no pair generation,
+    * no shingles. Output: [[exactDedup]]'s contract keyed on the
+    * NORMALIZED hash, plus `changed` (doc differed from its normal form —
+    * the knob distinguishing "caught only because of normalization"). */
+  def normalizedDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +", " "))
+    val hashed = df.select(col(idCol), md5(norm).as("norm_hash"),
+      (norm =!= col(textCol)).as("changed"))
+    val reps = hashed.groupBy(col("norm_hash"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
+    hashed.join(reps, "norm_hash")
+      .select(col(idCol), col("norm_hash"), col("rep_id"),
+        (col(idCol) =!= col("rep_id")).as("is_dup"), col("n_copies"),
+        col("changed"))
+  }
+
   /** Per-doc shingle-hash-set table (id, sh ARRAY<BIGINT>). Cheap enough
     * (fused native kernel) to recompute per use — no cache barrier, which
     * keeps the whole pipeline inside one codegen'd stage per branch. */

@@ -46,6 +46,47 @@ object TrainingQueries {
       |  COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- normalize-then-exact dedup ("fuzzy-exact" first pass) ---------------
+  /** The fixture corpus is clean (every text IS its own normal form, and
+    * no two docs share a text), so the re-crawl scenario is constructed:
+    * every 5th doc gains a NOISY COPY under id+10000 — first char upcased,
+    * trailing " !!", all inter-word spaces doubled. Normalization must
+    * collapse each copy back onto its clean original (n_copies = 2, copy
+    * flagged is_dup) while exact hashing would see 600 distinct texts —
+    * exactly the near-dup class this pass exists to catch. Both engines
+    * build the identical dirty corpus. */
+  def dedupNormalized(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val noisyCopies = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        regexp_replace(
+          concat(upper(col("text").substr(lit(1), lit(1))),
+            col("text").substr(lit(2), length(col("text")) - 1), lit(" !!")),
+          " ", "  ").as("text"))
+    Dedup.normalizedDedup(docs.unionByName(noisyCopies), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+  val dedupNormalizedSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id,
+      |    regexp_replace(upper(substring(text, 1, 1)) || substring(text, 2) || ' !!',
+      |      ' ', '  ', 'g') AS text
+      |  FROM documents WHERE doc_id % 5 = 0
+      |), norm AS (
+      |  SELECT doc_id, text,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |      ' +', ' ', 'g')) AS n
+      |  FROM corpus
+      |)
+      |SELECT doc_id, md5(n) AS norm_hash,
+      |  MIN(doc_id) OVER (PARTITION BY md5(n)) AS rep_id,
+      |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(n)) AS is_dup,
+      |  COUNT(*) OVER (PARTITION BY md5(n)) AS n_copies,
+      |  n <> text AS changed
+      |FROM norm ORDER BY doc_id""".stripMargin
+
   // ---- MinHash + banded LSH near-dup pairs ---------------------------------
   def dedupMinhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
@@ -298,6 +339,7 @@ object TrainingQueries {
 
   val defs: Map[String, Q] = Map(
     "dedup_exact" -> (dedupExact _),
+    "dedup_normalized" -> (dedupNormalized _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -308,6 +350,7 @@ object TrainingQueries {
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "dedup_normalized" -> dedupNormalizedSql,
     "dedup_minhash_pairs" -> dedupMinhashPairsSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_incremental" -> dedupIncrementalSql,

@@ -303,4 +303,22 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
     assert(out.toSeq == Seq((10L, 0L, 1.0), (11L, 0L, 1.0)))
   }
+
+  test("normalizedDedup: casing/punctuation/whitespace variants collapse; distinct texts stay apart") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, "hello world example"),
+      (1L, "Hello,  world —  EXAMPLE!!"), // re-crawl noise of 0
+      (2L, "hello world example."),       // trailing punct only
+      (3L, "a different document")
+    ).toDF("doc_id", "text")
+    val out = Dedup.normalizedDedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getBoolean(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(0L) == ((0L, false, 3L, false))) // rep, unchanged by normalization
+    assert(out(1L) == ((0L, true, 3L, true)))   // caught ONLY via normalization
+    assert(out(2L) == ((0L, true, 3L, true)))
+    assert(out(3L) == ((3L, false, 1L, false)))
+  }
 }
