@@ -265,6 +265,144 @@ object Dedup {
       .select(col("id_a").as("new_id"), col("id_b").as("old_id"), col("jaccard"))
   }
 
+  // ---- materialized near-dup LSH index -------------------------------------
+  // The third leg of the stored-index trilogy: BM25 (lexical,
+  // Search.writeBm25Index), IVF (vector, Similarity.writeIvfIndex), and
+  // this (near-dup) all share the same atomic composite-version lifecycle
+  // — write / probe-pruned read / delta append / loser-errors publish.
+
+  /** Materialize the near-dup LSH index: per-doc minhash SIGNATURES and
+    * their banded KEYS as stored tables, so nightly deltas probe the
+    * artifact instead of re-shingling the standing corpus
+    * ([[minhashPairsAgainst]] is the derive-per-run form — it re-reads
+    * old text every night; this is the serving form). Band rows are
+    * bucketed by key hash so a probe's candidate lookup reads only the
+    * buckets its own keys land in (static partition pruning — the same
+    * I/O discipline as the BM25 term buckets and IVF cells). Docs with no
+    * shingles (shorter than the shingle width) are excluded: they can
+    * never band-collide, and excluding them keeps stored signatures
+    * well-formed. Components pinned by one composite manifest: `sig/`,
+    * `bands/`, `stats/` — a torn write can never serve mixed generations. */
+  def writeLshIndex(docs: DataFrame, idCol: String, textCol: String,
+                    path: String, k: Int = 16, bands: Int = 4,
+                    nBuckets: Int = 32): Unit = {
+    import graft.sources.PartitionedStore
+    val rows = k / bands
+    val sig = shingleTable(docs, idCol, textCol)
+      .filter(size(col("sh")) > 0)
+      .select(col("id").as(idCol), minhashSignature(col("sh"), k).as("sig"))
+      .localCheckpoint()
+    val sv = PartitionedStore.commitVersion(sig, s"$path/sig")
+    val bv = PartitionedStore.commitVersion(
+      sig.select(col(idCol),
+          posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
+        .withColumn("bucket", pmod(col("key"), lit(nBuckets.toLong)))
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("band"), col("key"), col(idCol)),
+      s"$path/bands", partitionCols = Seq("bucket"))
+    val stv = PartitionedStore.commitVersion(
+      sig.agg(count(lit(1)).as("n_docs"))
+        .select(col("n_docs"), lit(k).as("k"), lit(bands).as("bands"),
+          lit(nBuckets).as("n_buckets")),
+      s"$path/stats")
+    PartitionedStore.publishComposite(path,
+      Map("sig" -> sv, "bands" -> bv, "stats" -> stv))
+    Checkpoints.release(sig)
+  }
+
+  /** Probe a [[writeLshIndex]] artifact with a delta: candidates from the
+    * stored band table (bucket-pruned by the delta's own key set — the
+    * justified planning-time collect, |delta bands| hashes), similarity
+    * from stored SIGNATURES — est_jaccard = agreeing positions / k, the
+    * unbiased minhash estimate. The standing corpus TEXT is never
+    * touched: this is what "index" buys over [[minhashPairsAgainst]],
+    * whose exact-Jaccard verify must re-shingle old docs. The signature
+    * zip runs only on candidate pairs (post-LSH, a vanishing fraction),
+    * so its lambda never touches the corpus path. Output:
+    * (new_id, old_id, est_jaccard ≥ threshold). */
+  def probeLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    delta: DataFrame, idCol: String, textCol: String,
+                    threshold: Double): DataFrame = {
+    import graft.sources.PartitionedStore
+    val served = PartitionedStore.readComposite(path)
+    val statsRow = PartitionedStore
+      .readVersion(spark, s"$path/stats", Some(served("stats")))
+      .select(col("k"), col("bands"), col("n_buckets")).collect()(0)
+    val (k, bands, nBuckets) = (statsRow.getInt(0), statsRow.getInt(1), statsRow.getInt(2))
+    val rows = k / bands
+    val dsig = shingleTable(delta, idCol, textCol)
+      .filter(size(col("sh")) > 0)
+      .select(col("id").as("new_id"), minhashSignature(col("sh"), k).as("nsig"))
+      .localCheckpoint()
+    val dbands = dsig.select(col("new_id"), col("nsig"),
+      posexplode(bandKeys(col("nsig"), bands, rows)).as(Seq("band", "key")))
+    val buckets = dbands
+      .select(pmod(col("key"), lit(nBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val stored = PartitionedStore
+      .readVersion(spark, s"$path/bands", Some(served("bands")))
+      .filter(col("bucket").isin(buckets: _*))
+    val cand = dbands.join(stored,
+        dbands("band") === stored("band") && dbands("key") === stored("key"))
+      .select(col("new_id"), col("nsig"), stored(idCol).as("old_id"))
+      .dropDuplicates("new_id", "old_id")
+    val osig = PartitionedStore.readVersion(spark, s"$path/sig", Some(served("sig")))
+      .select(col(idCol).as("old_id"), col("sig").as("osig"))
+    val out = cand.join(osig, "old_id")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("nsig"), col("osig"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / lit(k.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("new_id"), col("old_id"), col("est_jaccard"))
+    out
+  }
+
+  /** Delta append into a [[writeLshIndex]] layout — nightly cost tracks
+    * the DELTA (shingle/sign only new docs, append their band rows into
+    * the existing buckets); the crash/idempotency contract is the BM25/
+    * IVF one verbatim: components pin the SERVED parent, re-delivered ids
+    * anti-join away, fully-duplicate deltas no-op, and readers only ever
+    * see a published generation. */
+  def appendLshIndex(spark: org.apache.spark.sql.SparkSession,
+                     delta: DataFrame, idCol: String, textCol: String,
+                     path: String): Unit = {
+    import graft.sources.PartitionedStore
+    val served = PartitionedStore.readComposite(path)
+    val statsRow = PartitionedStore
+      .readVersion(spark, s"$path/stats", Some(served("stats")))
+      .select(col("n_docs"), col("k"), col("bands"), col("n_buckets")).collect()(0)
+    val (k, bands, nBuckets) = (statsRow.getInt(1), statsRow.getInt(2), statsRow.getInt(3))
+    val rows = k / bands
+    val existing = PartitionedStore
+      .readVersion(spark, s"$path/sig", Some(served("sig"))).select(col(idCol))
+    val fresh = delta.join(existing, Seq(idCol), "left_anti")
+    val sig = shingleTable(fresh, idCol, textCol)
+      .filter(size(col("sh")) > 0)
+      .select(col("id").as(idCol), minhashSignature(col("sh"), k).as("sig"))
+      .localCheckpoint()
+    if (sig.isEmpty) { Checkpoints.release(sig); return }
+    val sv = PartitionedStore.commitVersion(sig, s"$path/sig",
+      append = true, parent = Some(served("sig")))
+    val bv = PartitionedStore.commitVersion(
+      sig.select(col(idCol),
+          posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
+        .withColumn("bucket", pmod(col("key"), lit(nBuckets.toLong)))
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("band"), col("key"), col(idCol)),
+      s"$path/bands", append = true, parent = Some(served("bands")),
+      partitionCols = Seq("bucket"))
+    val dn = sig.count()
+    val stv = PartitionedStore.commitVersion(
+      spark.range(1).select(
+        lit(statsRow.getLong(0) + dn).as("n_docs"), lit(k).as("k"),
+        lit(bands).as("bands"), lit(nBuckets).as("n_buckets")),
+      s"$path/stats")
+    PartitionedStore.publishComposite(path,
+      Map("sig" -> sv, "bands" -> bv, "stats" -> stv))
+    Checkpoints.release(sig)
+  }
+
   /** Incremental EXACT dedup with Bloom semi-join reduction — the
     * standing-corpus membership probe at its cheapest: a Bloom filter
     * over the corpus content-hash set is aggregated once (bounded sketch

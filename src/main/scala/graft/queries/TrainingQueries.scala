@@ -114,6 +114,56 @@ object TrainingQueries {
        |    (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- near-dup probe against the STORED LSH index -------------------------
+  /** The serving form of incremental near-dup: standing docs (ids ≢ 0
+    * mod 10) are indexed ONCE — minhash signatures + bucketed band keys
+    * under an atomic composite version — and the delta (ids ≡ 0 mod 10)
+    * probes the ARTIFACT: candidates from stored band rows (bucket-
+    * pruned), similarity from stored signatures (est_jaccard = agreeing
+    * positions / k). Standing text is never re-read at probe time — what
+    * the index buys over `dedup_incremental`'s derive-per-run shape. The
+    * oracle rebuilds signatures from raw text and replays the same
+    * banding + agreement arithmetic, so a stale or torn index read would
+    * hash-mismatch. Index build memoized per corpus like the BM25/IVF
+    * queries: repeat calls measure the probe, which is the serving cost. */
+  private val lshIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def dedupLshIndexed(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val path = lshIndexCache.computeIfAbsent(d, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+      Dedup.writeLshIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", p)
+      p
+    })
+    Dedup.probeLshIndex(s, path, docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", threshold = 0.5)
+      .orderBy(col("new_id"), col("old_id"))
+  }
+  val dedupLshIndexedSql: String =
+    s"""WITH $shingleCtes, sig AS (
+       |  SELECT doc_id, list_transform(range(0,16), j ->
+       |    list_min(list_transform(sh, h -> ((2*j+1)*h + 7919*j + 12345) % $P))) AS sig
+       |  FROM sh WHERE len(sh) > 0
+       |), mh AS (
+       |  SELECT doc_id, bk.band AS band, bk.key AS key FROM (
+       |    SELECT doc_id, unnest(list_transform(range(0,4), b ->
+       |      {'band': b, 'key': list_reduce(sig[b*4+1:b*4+4], (acc,x) -> (acc*1000003 + x) % $P)})) AS bk
+       |    FROM sig)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+       |  FROM mh a JOIN mh b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+       |), est AS (
+       |  SELECT c.new_id, c.old_id,
+       |    CAST(len(list_filter(range(0,16), j -> sa.sig[j+1] = sb.sig[j+1])) AS DOUBLE) / 16e0 AS est_jaccard
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.new_id
+       |  JOIN sig sb ON sb.doc_id = c.old_id
+       |)
+       |SELECT new_id, old_id, est_jaccard FROM est WHERE est_jaccard >= 5e-1
+       |ORDER BY new_id, old_id""".stripMargin
+
   // ---- SimHash fingerprint (pure projection) -------------------------------
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -340,6 +390,7 @@ object TrainingQueries {
   val defs: Map[String, Q] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_normalized" -> (dedupNormalized _),
+    "dedup_lsh_indexed" -> (dedupLshIndexed _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -351,6 +402,7 @@ object TrainingQueries {
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_normalized" -> dedupNormalizedSql,
+    "dedup_lsh_indexed" -> dedupLshIndexedSql,
     "dedup_minhash_pairs" -> dedupMinhashPairsSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_incremental" -> dedupIncrementalSql,

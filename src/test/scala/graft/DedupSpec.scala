@@ -304,6 +304,44 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((10L, 0L, 1.0), (11L, 0L, 1.0)))
   }
 
+  test("LSH index lifecycle: planted probe hits, append ≡ rebuild bit-identically, re-delivery no-ops") {
+    val s = spark
+    import s.implicits._
+    def tmp() = java.nio.file.Files.createTempDirectory("graft_lsh_spec").toString
+    val standing = docs.filter(col("doc_id").isin(0L, 3L))
+    val delta1 = docs.filter(col("doc_id") === 2L)     // near dup of 0
+    val delta2 = docs.filter(col("doc_id") === 1L)     // exact dup of 0
+    // planted probe: the exact dup of doc 0 must hit it with est 1.0
+    val pathA = tmp()
+    Dedup.writeLshIndex(standing, "doc_id", "text", pathA)
+    val hit = Dedup.probeLshIndex(s, pathA, delta2, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hit.contains((1L, 0L, 1.0)), s"exact dup must probe at est 1.0: ${hit.toSeq}")
+    assert(!hit.exists(_._2 == 3L), "unrelated standing doc must not pair")
+    // append ≡ rebuild: probing after an append matches probing a fresh
+    // index over the unioned corpus, bit for bit. The probe doc is an
+    // exact COPY of the appended doc under a new id — its bands collide
+    // with doc 2 by construction, so it can only be found if the append
+    // really landed
+    Dedup.appendLshIndex(s, delta1, "doc_id", "text", pathA)
+    val probeDoc = delta1.select((col("doc_id") + 100).as("doc_id"),
+      col("text"), col("n_chars"))
+    val probeAppended = Dedup.probeLshIndex(s, pathA, probeDoc, "doc_id", "text", 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pathB = tmp()
+    Dedup.writeLshIndex(standing.unionByName(delta1), "doc_id", "text", pathB)
+    val probeRebuilt = Dedup.probeLshIndex(s, pathB, probeDoc, "doc_id", "text", 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probeAppended == probeRebuilt)
+    assert(probeAppended.contains((102L, 2L, 1.0)), "appended doc must be probeable")
+    // re-delivered delta: anti-joined away, stats untouched, publish skipped
+    val statsBefore = graft.sources.PartitionedStore
+      .readComposite(pathA)
+    Dedup.appendLshIndex(s, delta1, "doc_id", "text", pathA)
+    assert(graft.sources.PartitionedStore.readComposite(pathA) == statsBefore,
+      "a fully re-delivered delta must not publish a new generation")
+  }
+
   test("normalizedDedup: casing/punctuation/whitespace variants collapse; distinct texts stay apart") {
     val s = spark
     import s.implicits._
