@@ -83,8 +83,16 @@ object Bench {
         eStand, "vec_id", "embedding", 32, ivfStandPath)
       val ivfAppend = timedOp(graft.operators.Similarity.appendIvfIndex(
         spark, eDelta, "vec_id", "embedding", ivfStandPath))
+      // third leg of the stored-index trilogy: near-dup LSH
+      val lshRebuild = timedOp(graft.operators.Dedup.writeLshIndex(
+        docs, "doc_id", "text", tmp("bench_lsh_rb")))
+      val lshStandPath = tmp("bench_lsh_inc")
+      graft.operators.Dedup.writeLshIndex(dStand, "doc_id", "text", lshStandPath)
+      val lshAppend = timedOp(graft.operators.Dedup.appendLshIndex(
+        spark, dDelta, "doc_id", "text", lshStandPath))
       Seq("bm25_rebuild" -> bmRebuild, "bm25_append_1pct" -> bmAppend,
-        "ivf_rebuild" -> ivfRebuild, "ivf_append_1pct" -> ivfAppend)
+        "ivf_rebuild" -> ivfRebuild, "ivf_append_1pct" -> ivfAppend,
+        "lsh_rebuild" -> lshRebuild, "lsh_append_1pct" -> lshAppend)
     }
     println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","queries":$cold,"steady":$steady,"steady_total":$steadyTotal,"incremental":${jmap(incremental)},"sf":"$sfDir"}""")
     spark.stop()

@@ -330,10 +330,13 @@ object Dedup {
       .select(col("k"), col("bands"), col("n_buckets")).collect()(0)
     val (k, bands, nBuckets) = (statsRow.getInt(0), statsRow.getInt(1), statsRow.getInt(2))
     val rows = k / bands
+    // NOT localCheckpoint'd: the returned frame would pin the blocks with
+    // no release point (a steady serving loop would accumulate storage —
+    // the Checkpoints.release lesson). The delta re-signs once for the
+    // bucket collect below — delta-sized, deterministic, cheap.
     val dsig = shingleTable(delta, idCol, textCol)
       .filter(size(col("sh")) > 0)
       .select(col("id").as("new_id"), minhashSignature(col("sh"), k).as("nsig"))
-      .localCheckpoint()
     val dbands = dsig.select(col("new_id"), col("nsig"),
       posexplode(bandKeys(col("nsig"), bands, rows)).as(Seq("band", "key")))
     val buckets = dbands
@@ -401,6 +404,31 @@ object Dedup {
     PartitionedStore.publishComposite(path,
       Map("sig" -> sv, "bands" -> bv, "stats" -> stv))
     Checkpoints.release(sig)
+  }
+
+  /** Compact a [[writeLshIndex]] layout after a run of nightly appends —
+    * the near-dup sibling of [[Search.compactBm25Index]]: bands collapse
+    * back to one bucket-clustered rewrite, signatures coalesce, the
+    * composite republishes. Probe results are bit-identical; the old
+    * generation time-travels until vacuumed. */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit = {
+    import graft.sources.PartitionedStore
+    val served = PartitionedStore.readComposite(path)
+    val idCol = PartitionedStore
+      .readVersion(spark, s"$path/bands", Some(served("bands")))
+      .columns.filterNot(Set("band", "key", "bucket")) match {
+      case Array(only) => only
+      case other => throw new IllegalArgumentException(
+        s"ambiguous band id column among ${other.mkString(", ")}")
+    }
+    val bv = PartitionedStore.compactVersion(spark, s"$path/bands",
+      partitionCols = Seq("bucket"), sortCols = Seq("band", "key", idCol),
+      version = Some(served("bands")))
+    val sv = PartitionedStore.compactVersion(spark, s"$path/sig",
+      version = Some(served("sig")))
+    PartitionedStore.publishComposite(path,
+      served ++ Map("bands" -> bv, "sig" -> sv))
   }
 
   /** Incremental EXACT dedup with Bloom semi-join reduction — the

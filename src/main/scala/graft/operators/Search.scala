@@ -302,6 +302,37 @@ object Search {
       Map("postings" -> pv, "dl" -> dv, "stats" -> sv))
   }
 
+  /** Compact a [[writeBm25Index]] layout after a run of nightly appends:
+    * every append adds a small data dir to postings and dl, and read cost
+    * creeps with file count — this collapses each back to one clustered
+    * rewrite (postings re-bucketed + term-sorted, dl coalesced) and
+    * republishes the composite. Query results are bit-identical by
+    * construction (a rewrite commit of the same rows); the PREVIOUS
+    * generation still time-travels to the uncompacted dirs until
+    * vacuumed. Compacts the SERVED generation's components — never
+    * raw-latest, which could resurrect a crashed append's orphan. */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Unit = {
+    import graft.sources.PartitionedStore
+    val served = PartitionedStore.readComposite(path)
+    // the id column is whatever the writer used: the postings column that
+    // is none of the fixed ones (same by-name resolution as rollupMerge)
+    val idCol = PartitionedStore
+      .readVersion(spark, s"$path/postings", Some(served("postings")))
+      .columns.filterNot(Set("term", "tf", "bucket")) match {
+      case Array(only) => only
+      case other => throw new IllegalArgumentException(
+        s"ambiguous postings id column among ${other.mkString(", ")}")
+    }
+    val pv = PartitionedStore.compactVersion(spark, s"$path/postings",
+      partitionCols = Seq("bucket"), sortCols = Seq("term", idCol),
+      version = Some(served("postings")))
+    val dv = PartitionedStore.compactVersion(spark, s"$path/dl",
+      version = Some(served("dl")))
+    PartitionedStore.publishComposite(path,
+      served ++ Map("postings" -> pv, "dl" -> dv))
+  }
+
   /** BM25 top-k against a [[writeBm25Index]] layout — identical results
     * to [[bm25TopK]] (same [[bm25ScoresFrom]] expression tree, bit for
     * bit), different I/O shape: the query vocabulary's term buckets are

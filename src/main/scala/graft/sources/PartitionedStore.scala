@@ -408,16 +408,20 @@ object PartitionedStore {
     }
   }
 
-  /** Major compaction of a versioned table: rewrite the latest version's
-    * rows as ONE fresh data directory (re-clustered by `partitionCols` /
+  /** Major compaction of a versioned table: rewrite a version's rows as
+    * ONE fresh data directory (re-clustered by `partitionCols` /
     * `sortCols`) and commit it as a rewrite dropping every parent dir —
     * the accumulated small append files collapse, content is unchanged,
     * and older versions still time-travel to the original dirs until
-    * vacuumed. Returns the new version number. */
+    * vacuumed. `version` defaults to latest; a composite-index caller
+    * passes its SERVED component version instead — compacting raw-latest
+    * there could resurrect a crashed append's orphan commit. Returns the
+    * new version number. */
   def compactVersion(spark: SparkSession, path: String,
                      partitionCols: Seq[String] = Nil,
-                     sortCols: Seq[String] = Nil): Long = {
-    val v = versions(path).last
+                     sortCols: Seq[String] = Nil,
+                     version: Option[Long] = None): Long = {
+    val v = version.getOrElse(versions(path).last)
     val df0 = readVersion(spark, path, Some(v))
     val df1 = if (partitionCols.nonEmpty)
       df0.repartition(partitionCols.map(col): _*) else df0.coalesce(1)

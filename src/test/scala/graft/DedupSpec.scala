@@ -340,6 +340,19 @@ class DedupSpec extends AnyFunSuite {
     Dedup.appendLshIndex(s, delta1, "doc_id", "text", pathA)
     assert(graft.sources.PartitionedStore.readComposite(pathA) == statsBefore,
       "a fully re-delivered delta must not publish a new generation")
+    // compaction: append dirs collapse, probes answer identically
+    import graft.sources.PartitionedStore
+    val filesBefore = PartitionedStore.readVersion(
+      s, s"$pathA/bands", Some(statsBefore("bands"))).inputFiles.length
+    Dedup.compactLshIndex(s, pathA)
+    val servedAfter = PartitionedStore.readComposite(pathA)
+    assert(PartitionedStore.readVersion(
+        s, s"$pathA/bands", Some(servedAfter("bands"))).inputFiles.length
+      < filesBefore, "compaction must shrink the band file count")
+    val probeCompacted = Dedup.probeLshIndex(s, pathA, probeDoc, "doc_id", "text", 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probeCompacted == probeAppended,
+      "compaction must not change any probe answer")
   }
 
   test("normalizedDedup: casing/punctuation/whitespace variants collapse; distinct texts stay apart") {

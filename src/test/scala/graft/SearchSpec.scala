@@ -235,6 +235,26 @@ class SearchSpec extends AnyFunSuite {
     assert(rows(viaIndex) == rows(direct))
     assert(rows(viaIndex).exists(_._2 >= 80L),
       "appended docs must be reachable through the index")
+    // compaction: the accumulated append dirs collapse to one rewrite,
+    // answers stay bit-identical, and the pre-compaction generation still
+    // time-travels to the original dirs
+    import graft.sources.PartitionedStore
+    val servedBefore = PartitionedStore.readComposite(path)
+    val filesBefore = PartitionedStore.readVersion(
+      s, s"$path/postings", Some(servedBefore("postings"))).inputFiles.length
+    Search.compactBm25Index(s, path)
+    val servedAfter = PartitionedStore.readComposite(path)
+    val filesAfter = PartitionedStore.readVersion(
+      s, s"$path/postings", Some(servedAfter("postings"))).inputFiles.length
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink postings file count: $filesBefore -> $filesAfter")
+    assert(rows(Search.bm25IndexTopK(s, path, qs, "doc_id", "query_id", "qtext", 10))
+      == rows(direct), "compaction must not change any answer")
+    // old generation unharmed: its postings rows are all still readable
+    assert(PartitionedStore.readVersion(
+      s, s"$path/postings", Some(servedBefore("postings"))).count() ==
+      PartitionedStore.readVersion(
+        s, s"$path/postings", Some(servedAfter("postings"))).count())
   }
 
   test("bm25 index: a torn append never serves; re-delivered ids are idempotent") {
