@@ -26,9 +26,11 @@ object Checkpoints {
     * in must itself be the checkpoint, not something derived from one. A
     * whole-plan traversal here would silently release every checkpointed
     * INPUT of a derived frame, including checkpoints other live frames
-    * still share; restricting to the root makes that misuse a loud no-op
-    * (assert below) instead of a shared-state corruption. No-op only for
-    * the analyzed-but-never-checkpointed empty case. Non-blocking. */
+    * still share; restricting to the root turns that misuse into a LOUD
+    * IllegalArgumentException (there is no silent branch — any non-
+    * LogicalRDD root throws, never-checkpointed frames included), so the
+    * contract callers must meet is: pass exactly the frame
+    * localCheckpoint() returned. Non-blocking. */
   def release(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)

@@ -217,20 +217,37 @@ object Dedup {
     * the default cap a bucket must exceed 1024 near-identical docs
     * before anything is dropped, and the min-id core that survives
     * still witnesses the cluster — the same contract as the banded
-    * embedding variant. */
+    * embedding variant.
+    *
+    * `failOnCap` is the oracle-parity guard: the DuckDB twins of the
+    * graded queries model NO cap, so a bucket that actually overflows
+    * would silently hash-mismatch. With failOnCap the aggregation
+    * collects cap+1 ids (one sentinel slot — free for every bucket under
+    * the cap) and a bucket that fills it raises in-plan, turning a
+    * silent divergence into a loud failure at the exact corpus that
+    * needs the cap raised or the capped (ungraded) production call. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, k: Int = 16, bands: Int = 4,
-                   bucketCap: Int = 1024): DataFrame = {
+                   bucketCap: Int = 1024, failOnCap: Boolean = false): DataFrame = {
     val rows = k / bands
     val sh = shingleTable(df, idCol, textCol)
     val mh = sh
       .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
       .select(col("id"), posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
+    val collectN = if (failOnCap) bucketCap + 1 else bucketCap
     val capIds = graftExpr.column(
-      new CollectTopK(graftExpr.expression(col("id")), bucketCap, true)
+      new CollectTopK(graftExpr.expression(col("id")), collectN, true)
         .toAggregateExpression())
-    val capped = mh.groupBy(col("band"), col("key"))
-      .agg(capIds.as("ids"))
+    val agged = mh.groupBy(col("band"), col("key")).agg(capIds.as("ids"))
+    val guarded =
+      if (failOnCap) agged.withColumn("ids",
+        when(size(col("ids")) > lit(bucketCap), raise_error(concat(
+          lit(s"minhashPairs: band bucket exceeded bucketCap=$bucketCap (band="),
+          col("band"), lit(", key="), col("key"),
+          lit(") — oracle parity would silently break; raise the cap or use the capped call"))))
+          .otherwise(col("ids")))
+      else agged
+    val capped = guarded
       .select(col("band"), col("key"), explode(col("ids")).as("id"))
     val cand = capped.as("a").join(capped.as("b"), Seq("band", "key"))
       .filter(col("a.id") < col("b.id"))
@@ -303,7 +320,10 @@ object Dedup {
     val stv = PartitionedStore.commitVersion(
       sig.agg(count(lit(1)).as("n_docs"))
         .select(col("n_docs"), lit(k).as("k"), lit(bands).as("bands"),
-          lit(nBuckets).as("n_buckets")),
+          lit(nBuckets).as("n_buckets"),
+          // recorded so compaction resolves the id column from stats
+          // instead of inferring it by eliminating known names
+          lit(idCol).as("id_col")),
       s"$path/stats")
     PartitionedStore.publishComposite(path,
       Map("sig" -> sv, "bands" -> bv, "stats" -> stv))
@@ -399,7 +419,8 @@ object Dedup {
     val stv = PartitionedStore.commitVersion(
       spark.range(1).select(
         lit(statsRow.getLong(0) + dn).as("n_docs"), lit(k).as("k"),
-        lit(bands).as("bands"), lit(nBuckets).as("n_buckets")),
+        lit(bands).as("bands"), lit(nBuckets).as("n_buckets"),
+        lit(idCol).as("id_col")),
       s"$path/stats")
     PartitionedStore.publishComposite(path,
       Map("sig" -> sv, "bands" -> bv, "stats" -> stv))
@@ -415,13 +436,20 @@ object Dedup {
                       path: String): Unit = {
     import graft.sources.PartitionedStore
     val served = PartitionedStore.readComposite(path)
-    val idCol = PartitionedStore
-      .readVersion(spark, s"$path/bands", Some(served("bands")))
-      .columns.filterNot(Set("band", "key", "bucket")) match {
-      case Array(only) => only
-      case other => throw new IllegalArgumentException(
-        s"ambiguous band id column among ${other.mkString(", ")}")
-    }
+    // the writer records its id column in stats (r8+); inference by
+    // eliminating known band columns remains only for pre-r8 artifacts
+    val stats = PartitionedStore.readVersion(spark, s"$path/stats",
+      Some(served("stats")))
+    val idCol =
+      if (stats.columns.contains("id_col"))
+        stats.select(col("id_col")).collect()(0).getString(0)
+      else PartitionedStore
+        .readVersion(spark, s"$path/bands", Some(served("bands")))
+        .columns.filterNot(Set("band", "key", "bucket")) match {
+        case Array(only) => only
+        case other => throw new IllegalArgumentException(
+          s"ambiguous band id column among ${other.mkString(", ")}")
+      }
     val bv = PartitionedStore.compactVersion(spark, s"$path/bands",
       partitionCols = Seq("bucket"), sortCols = Seq("band", "key", idCol),
       version = Some(served("bands")))

@@ -307,6 +307,8 @@ object Multimodal {
                          n_frames: Int, mean_y: Double, mean_cb: Double,
                          mean_cr: Double, f_first: String, f_mid: String,
                          f_last: String)
+  case class Y4mFrame(media_id: Long, frame_idx: Int, n_frames: Int,
+                      frame_md5: String)
 
   /** Build REAL YUV4MPEG2 payloads in-plan from a text corpus: stream
     * header, then `nf` frames (varying per doc) each "FRAME\n" + 3·w·h
@@ -358,7 +360,12 @@ object Multimodal {
     * ⌊(nf−1)/2⌋, last — are fingerprinted (md5 hex) from their raw plane
     * bytes, the real-frame feed for frame-sampling pipelines. Malformed
     * input fails loudly with the media id. */
-  private[graft] def parseY4m(id: Long, b: Array[Byte]): Y4mFeatures = {
+  /** Header parse + FRAME-marker walk shared by every Y4M consumer:
+    * returns (width, height, body-start offset of each frame). The walk
+    * is the byte-level ground truth for "where does frame f start" —
+    * [[parseY4m]] aggregates over it, [[parseY4mFrames]] fingerprints
+    * every entry. */
+  private def y4mWalk(id: Long, b: Array[Byte]): (Int, Int, Array[Int]) = {
     val magic = "YUV4MPEG2"
     require(b.length > magic.length &&
       new String(b, 0, magic.length, java.nio.charset.StandardCharsets.US_ASCII) == magic,
@@ -380,15 +387,9 @@ object Multimodal {
     }
     require(w > 0 && h > 0, s"media $id: missing W/H in stream header")
     require(cs == "444", s"media $id: only C444 supported, got C$cs")
-    val planeLen = w * h
-    val frameLen = 3 * planeLen
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def fingerprint(pos: Int): String =
-      md.digest(java.util.Arrays.copyOfRange(b, pos, pos + frameLen))
-        .map("%02x".format(_)).mkString
+    val frameLen = 3 * w * h
     var pos = eol + 1
     var nf = 0
-    var (sy, scb, scr) = (0L, 0L, 0L)
     val starts = scala.collection.mutable.ArrayBuffer[Int]()
     while (pos < b.length) {
       require(pos + 5 <= b.length &&
@@ -401,24 +402,64 @@ object Multimodal {
       require(body + frameLen <= b.length,
         s"media $id: frame $nf truncated (${b.length - body} of $frameLen bytes)")
       starts += body
-      var i = 0
-      while (i < planeLen) { sy += b(body + i) & 0xff; i += 1 }
-      while (i < 2 * planeLen) { scb += b(body + i) & 0xff; i += 1 }
-      while (i < 3 * planeLen) { scr += b(body + i) & 0xff; i += 1 }
       nf += 1
       pos = body + frameLen
     }
     require(nf > 0, s"media $id: no frames")
+    (w, h, starts.toArray)
+  }
+
+  private def md5Hex(b: Array[Byte], pos: Int, len: Int): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(java.util.Arrays.copyOfRange(b, pos, pos + len))
+      .map("%02x".format(_)).mkString
+
+  private[graft] def parseY4m(id: Long, b: Array[Byte]): Y4mFeatures = {
+    val (w, h, starts) = y4mWalk(id, b)
+    val planeLen = w * h
+    val frameLen = 3 * planeLen
+    val nf = starts.length
+    var (sy, scb, scr) = (0L, 0L, 0L)
+    starts.foreach { body =>
+      var i = 0
+      while (i < planeLen) { sy += b(body + i) & 0xff; i += 1 }
+      while (i < 2 * planeLen) { scb += b(body + i) & 0xff; i += 1 }
+      while (i < 3 * planeLen) { scr += b(body + i) & 0xff; i += 1 }
+    }
     val n = (nf.toLong * planeLen).toDouble
     Y4mFeatures(id, w, h, nf, sy / n, scb / n, scr / n,
-      fingerprint(starts(0)), fingerprint(starts((nf - 1) / 2)),
-      fingerprint(starts(nf - 1)))
+      md5Hex(b, starts(0), frameLen), md5Hex(b, starts((nf - 1) / 2), frameLen),
+      md5Hex(b, starts(nf - 1), frameLen))
+  }
+
+  /** One row per REAL frame: (media_id, frame_idx, n_frames, frame_md5),
+    * fingerprints taken at the decoder's exact frame-body offsets. The
+    * relational feed for frame-level sampling/dedup — never an array
+    * column, so rows stay driver-comparable and frame tables join/filter
+    * like any other. */
+  private[graft] def parseY4mFrames(id: Long, b: Array[Byte]): Seq[Y4mFrame] = {
+    val (w, h, starts) = y4mWalk(id, b)
+    val frameLen = 3 * w * h
+    val nf = starts.length
+    starts.toSeq.zipWithIndex.map { case (body, i) =>
+      Y4mFrame(id, i, nf, md5Hex(b, body, frameLen))
+    }
   }
 
   /** Batched REAL decode, same shape as [[decodePpm]]/[[decodeWav]]. */
   def decodeY4m(media: Dataset[Y4mRecord]): Dataset[Y4mFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(r => parseY4m(r.media_id, r.payload)))
+  }
+
+  /** Batched per-frame decode: the frame TABLE of a Y4M corpus — one
+    * (media_id, frame_idx, n_frames, frame_md5) row per real frame, from
+    * [[parseY4mFrames]]' byte-exact boundaries. Row count is Σ n_frames,
+    * payloads stay executor-side; downstream sampling/dedup is plain
+    * relational work on 4-column rows. */
+  def decodeY4mFrames(media: Dataset[Y4mRecord]): Dataset[Y4mFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(r => parseY4mFrames(r.media_id, r.payload)))
   }
 
   /** Typed view of an ingested media DataFrame. */

@@ -281,25 +281,32 @@ object Search {
     val tf = termFrequencies(fresh, idCol, textCol).localCheckpoint()
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
       .localCheckpoint()
-    if (dl.isEmpty) return // fully re-delivered delta: the append is a no-op
-    val dv = PartitionedStore.commitVersion(dl, s"$path/dl",
-      append = true, parent = Some(served("dl")))
-    val pv = PartitionedStore.commitVersion(
-      tf.withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
-        .repartition(col("bucket"))
-        .sortWithinPartitions(col("term"), col(idCol)),
-      s"$path/postings", append = true, parent = Some(served("postings")),
-      partitionCols = Seq("bucket"))
-    val d = dl.agg(count(lit(1)).as("dn"), sum(col("dl")).as("dt")).collect()(0)
-    val (dn, dt) = (d.getLong(0), if (d.isNullAt(1)) 0L else d.getLong(1))
-    val sv = PartitionedStore.commitVersion(
-      spark.range(1).select(
-        lit(statsRow.getLong(0) + dn).as("n_docs"),
-        lit(statsRow.getLong(1) + dt).as("total_tokens"),
-        lit(nBuckets).as("n_buckets")),
-      s"$path/stats")
-    PartitionedStore.publishComposite(path,
-      Map("postings" -> pv, "dl" -> dv, "stats" -> sv))
+    // release on EVERY exit (success, no-op return, commit failure): a
+    // nightly append loop that leaks two checkpoints per run pins
+    // executor storage until the session dies
+    try {
+      if (dl.isEmpty) return // fully re-delivered delta: the append is a no-op
+      val dv = PartitionedStore.commitVersion(dl, s"$path/dl",
+        append = true, parent = Some(served("dl")))
+      val pv = PartitionedStore.commitVersion(
+        tf.withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+          .repartition(col("bucket"))
+          .sortWithinPartitions(col("term"), col(idCol)),
+        s"$path/postings", append = true, parent = Some(served("postings")),
+        partitionCols = Seq("bucket"))
+      val d = dl.agg(count(lit(1)).as("dn"), sum(col("dl")).as("dt")).collect()(0)
+      val (dn, dt) = (d.getLong(0), if (d.isNullAt(1)) 0L else d.getLong(1))
+      val sv = PartitionedStore.commitVersion(
+        spark.range(1).select(
+          lit(statsRow.getLong(0) + dn).as("n_docs"),
+          lit(statsRow.getLong(1) + dt).as("total_tokens"),
+          lit(nBuckets).as("n_buckets")),
+        s"$path/stats")
+      PartitionedStore.publishComposite(path,
+        Map("postings" -> pv, "dl" -> dv, "stats" -> sv))
+    } finally {
+      Checkpoints.release(tf); Checkpoints.release(dl)
+    }
   }
 
   /** Compact a [[writeBm25Index]] layout after a run of nightly appends:

@@ -292,22 +292,24 @@ object Similarity {
     val assigned = nearestCells(corpus.select(col(idCol), col(vecCol)),
         broadcast(cents), idCol, vecCol, keep = 1)
       .localCheckpoint() // feeds the cells commit AND the quality aggregate
-    val cv = PartitionedStore.commitVersion(cents, s"$path/centroids")
-    val lv = PartitionedStore.commitVersion(
-      assigned.repartition(col("cell")).sortWithinPartitions(col(idCol)),
-      s"$path/cells", partitionCols = Seq("cell"))
-    val (n, qsum) = assignQuality(assigned, cents, vecCol)
-    // train-time quality doubles as the drift BASELINE (base_*): the
-    // running pair advances with every append, the baseline only at a
-    // (re)train — their gap is the drift metric, maintained by integer
-    // arithmetic alone (never a standing-index scan; see [[ivfDrift]])
-    val sv = PartitionedStore.commitVersion(
-      corpus.sparkSession.range(1).select(
-        lit(n).as("n_vecs"), lit(qsum).as("qcos_sum"),
-        lit(n).as("base_n"), lit(qsum).as("base_qcos_sum")),
-      s"$path/stats")
-    PartitionedStore.publishComposite(path,
-      Map("centroids" -> cv, "cells" -> lv, "stats" -> sv))
+    try {
+      val cv = PartitionedStore.commitVersion(cents, s"$path/centroids")
+      val lv = PartitionedStore.commitVersion(
+        assigned.repartition(col("cell")).sortWithinPartitions(col(idCol)),
+        s"$path/cells", partitionCols = Seq("cell"))
+      val (n, qsum) = assignQuality(assigned, cents, vecCol)
+      // train-time quality doubles as the drift BASELINE (base_*): the
+      // running pair advances with every append, the baseline only at a
+      // (re)train — their gap is the drift metric, maintained by integer
+      // arithmetic alone (never a standing-index scan; see [[ivfDrift]])
+      val sv = PartitionedStore.commitVersion(
+        corpus.sparkSession.range(1).select(
+          lit(n).as("n_vecs"), lit(qsum).as("qcos_sum"),
+          lit(n).as("base_n"), lit(qsum).as("base_qcos_sum")),
+        s"$path/stats")
+      PartitionedStore.publishComposite(path,
+        Map("centroids" -> cv, "cells" -> lv, "stats" -> sv))
+    } finally Checkpoints.release(assigned) // build-loop hygiene: no leak per (re)train
   }
 
   /** (count, Σ floor(cos(vec, its centroid)·10⁶)) of an assigned frame —
@@ -346,25 +348,28 @@ object Similarity {
         .select(col(idCol), col(vecCol)),
         cents, idCol, vecCol, keep = 1)
       .localCheckpoint()
-    if (assigned.isEmpty) return // fully re-delivered delta: no-op
-    val lv = PartitionedStore.commitVersion(
-      assigned.repartition(col("cell")).sortWithinPartitions(col(idCol)),
-      s"$path/cells", append = true, parent = Some(served("cells")),
-      partitionCols = Seq("cell"))
-    // the drift account advances by the DELTA's own quality — exact
-    // integer folds, the standing index is never re-scanned
-    val (dn, dq) = assignQuality(assigned, cents, vecCol)
-    val s0 = PartitionedStore.readVersion(spark, s"$path/stats",
-      Some(served("stats"))).collect()(0)
-    val sv = PartitionedStore.commitVersion(
-      spark.range(1).select(
-        lit(s0.getAs[Long]("n_vecs") + dn).as("n_vecs"),
-        lit(s0.getAs[Long]("qcos_sum") + dq).as("qcos_sum"),
-        lit(s0.getAs[Long]("base_n")).as("base_n"),
-        lit(s0.getAs[Long]("base_qcos_sum")).as("base_qcos_sum")),
-      s"$path/stats")
-    PartitionedStore.publishComposite(path,
-      Map("centroids" -> served("centroids"), "cells" -> lv, "stats" -> sv))
+    // release on every exit — nightly-append hygiene, same as the BM25 twin
+    try {
+      if (assigned.isEmpty) return // fully re-delivered delta: no-op
+      val lv = PartitionedStore.commitVersion(
+        assigned.repartition(col("cell")).sortWithinPartitions(col(idCol)),
+        s"$path/cells", append = true, parent = Some(served("cells")),
+        partitionCols = Seq("cell"))
+      // the drift account advances by the DELTA's own quality — exact
+      // integer folds, the standing index is never re-scanned
+      val (dn, dq) = assignQuality(assigned, cents, vecCol)
+      val s0 = PartitionedStore.readVersion(spark, s"$path/stats",
+        Some(served("stats"))).collect()(0)
+      val sv = PartitionedStore.commitVersion(
+        spark.range(1).select(
+          lit(s0.getAs[Long]("n_vecs") + dn).as("n_vecs"),
+          lit(s0.getAs[Long]("qcos_sum") + dq).as("qcos_sum"),
+          lit(s0.getAs[Long]("base_n")).as("base_n"),
+          lit(s0.getAs[Long]("base_qcos_sum")).as("base_qcos_sum")),
+        s"$path/stats")
+      PartitionedStore.publishComposite(path,
+        Map("centroids" -> served("centroids"), "cells" -> lv, "stats" -> sv))
+    } finally Checkpoints.release(assigned)
   }
 
   /** The frozen-quantizer drift account, 1 row: mean assignment cosine

@@ -685,6 +685,13 @@ object TextAnalysis {
     * src_b, n_grams_a, n_grams_b, n_shared, jaccard), src_a < src_b. */
   def ngramOverlapMatrix(df: DataFrame, grpCol: String, textCol: String,
                          n: Int = 3): DataFrame = {
+    // referenced THREE times below (per-group counts + both sides of the
+    // self-join). Deliberately NOT checkpointed: the distinct is one
+    // exchange whose shuffle files all three consumers reuse (Spark
+    // ReusedExchange — recompute cost is a shuffle-file read, not a
+    // rescan), while a localCheckpoint here would pin corpus-scale
+    // shingle rows in executor storage with no release point on the
+    // returned frame. At any realistic |groups| the exchange reuse wins.
     val sh = df.select(col(grpCol).as("g"),
         explode(Dedup.shingleHashes(col(textCol), n)).as("h"))
       .distinct()

@@ -32,18 +32,46 @@ object MultimodalQueries {
       |  md5(text) AS payload_md5
       |FROM documents ORDER BY media_id""".stripMargin
 
-  // ---- frame sampling: k evenly-spaced byte windows, fingerprinted ---------
-  def mmFrameSample(s: SparkSession, d: String): DataFrame =
-    Multimodal.frameSample(
-        Multimodal.ingestFromText(Tables.documents(s, d)), k = 4, frameBytes = 16)
-      .orderBy(col("media_id"))
+  // ---- frame sampling: k evenly-spaced REAL frames, fingerprinted ----------
+  /** Frame-ACCURATE sampling for decodable media: Y4M payloads built
+    * in-plan decode through the codec seam into the per-frame table
+    * ([[Multimodal.decodeY4mFrames]] — fingerprints at the decoder's
+    * exact frame-body offsets, never byte windows), then slot j of 4
+    * picks frame ⌊j·(nf−1)/3⌋ — first/last always sampled, interior
+    * evenly spaced, all integer arithmetic. The oracle replays the
+    * tiling arithmetic from the text (the [[mmFrameDedup]] pattern), so
+    * a decoder off by one byte on any frame boundary hash-mismatches.
+    * [[Multimodal.frameSample]] (evenly-spaced byte windows) remains the
+    * OPAQUE-format arm — spec-covered — for media without a codec. */
+  def mmFrameSample(s: SparkSession, d: String): DataFrame = {
+    val frames = Multimodal.decodeY4mFrames(Multimodal.asY4m(
+      Multimodal.y4mFromText(Tables.documents(s, d)))).toDF()
+    frames
+      .withColumn("slot", explode(sequence(lit(0), lit(3))))
+      .filter(col("frame_idx") ===
+        expr("CAST((slot * (n_frames - 1)) DIV 3 AS INT)"))
+      .select(col("media_id"), col("slot"), col("frame_idx"), col("frame_md5"))
+      .orderBy(col("media_id"), col("slot"))
+  }
   val mmFrameSampleSql: String =
-    """SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
-      |  md5(substring(text, 1, 16)) AS frame_0,
-      |  md5(substring(text, CAST(1 + (length(text) // 4) AS INTEGER), 16)) AS frame_1,
-      |  md5(substring(text, CAST(1 + 2 * (length(text) // 4) AS INTEGER), 16)) AS frame_2,
-      |  md5(substring(text, CAST(1 + 3 * (length(text) // 4) AS INTEGER), 16)) AS frame_3
-      |FROM documents ORDER BY media_id""".stripMargin
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |         CAST(4 + doc_id % 3 AS INTEGER) AS w,
+      |         CAST(2 + doc_id % 2 AS INTEGER) AS h,
+      |         CAST(2 + doc_id % 3 AS INTEGER) AS nf, text
+      |  FROM documents
+      |  WHERE length(text) > 0 AND strlen(text) = length(text)
+      |), geom AS (
+      |  SELECT media_id, nf, 3*w*h AS fs,
+      |    repeat(text, CAST((nf*3*w*h + length(text) - 1) / length(text) AS INTEGER)) AS rep
+      |  FROM m
+      |), sl AS (
+      |  SELECT media_id, nf, fs, rep, unnest(range(0, 4)) AS slot FROM geom
+      |)
+      |SELECT media_id, CAST(slot AS INTEGER) AS slot,
+      |  CAST((slot * (nf - 1)) // 3 AS INTEGER) AS frame_idx,
+      |  md5(substring(rep, CAST(1 + ((slot * (nf - 1)) // 3) * fs AS INTEGER), fs)) AS frame_md5
+      |FROM sl ORDER BY media_id, slot""".stripMargin
 
   // ---- decode (stubbed codec): byte-statistics features --------------------
   /** The histogram is emitted as a CSV string, not ARRAY<BIGINT>: the

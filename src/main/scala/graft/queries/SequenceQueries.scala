@@ -373,7 +373,7 @@ object SequenceQueries {
       .filter(col("is_dup"))
       .select(col("rep_id").as("id_a"), col("doc_id").as("id_b"))
     val nearEdges = Dedup.minhashPairs(docs, "doc_id", "text",
-        threshold = 0.5, k = 16, bands = 4)
+        threshold = 0.5, k = 16, bands = 4, failOnCap = true)
       .select(col("id_a"), col("id_b"))
     val comps = Dedup.connectedComponents(
       docs.select(col("doc_id").as("id")), exactEdges.union(nearEdges))
@@ -394,7 +394,7 @@ object SequenceQueries {
       .filter(col("is_dup"))
       .select(col("rep_id").as("id_a"), col("doc_id").as("id_b"))
     val nearEdges = Dedup.minhashPairs(docs, "doc_id", "text",
-        threshold = 0.5, k = 16, bands = 4)
+        threshold = 0.5, k = 16, bands = 4, failOnCap = true)
       .select(col("id_a"), col("id_b"))
     // the LSH pair derivation is the expensive half; both the standing
     // (old-only) and delta (new-involving) filters read it — materialize
@@ -469,7 +469,7 @@ object SequenceQueries {
       .filter(col("is_dup"))
       .select(col("rep_id").as("id_a"), col("doc_id").as("id_b"))
     val nearEdges = Dedup.minhashPairs(docs, "doc_id", "text",
-        threshold = 0.5, k = 16, bands = 4)
+        threshold = 0.5, k = 16, bands = 4, failOnCap = true)
       .select(col("id_a"), col("id_b"))
     val comps = Dedup.connectedComponents(
       docs.select(col("doc_id").as("id")), exactEdges.union(nearEdges))
@@ -516,7 +516,7 @@ object SequenceQueries {
     val exactEdges = Dedup.exactDedup(docs, "doc_id", "text").filter(col("is_dup"))
       .select(col("rep_id").as("id_a"), col("doc_id").as("id_b"))
     val nearEdges = Dedup.minhashPairs(docs, "doc_id", "text",
-      threshold = 0.5, k = 16, bands = 4).select(col("id_a"), col("id_b"))
+      threshold = 0.5, k = 16, bands = 4, failOnCap = true).select(col("id_a"), col("id_b"))
     val comps = Dedup.connectedComponents(
         docs.select(col("doc_id").as("id")), exactEdges.union(nearEdges))
       .select(col("id").as("doc_id"), (col("id") =!= col("rep")).as("is_cluster_dup"))

@@ -90,7 +90,7 @@ object TrainingQueries {
   // ---- MinHash + banded LSH near-dup pairs ---------------------------------
   def dedupMinhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
-        threshold = 0.5, k = 16, bands = 4)
+        threshold = 0.5, k = 16, bands = 4, failOnCap = true)
       .orderBy(col("id_a"), col("id_b"))
   val dedupMinhashPairsSql: String =
     s"""WITH $shingleCtes, sig AS (

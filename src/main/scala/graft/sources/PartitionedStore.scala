@@ -385,11 +385,23 @@ object PartitionedStore {
         .select(col(idCol), hashOf.as(hcol)))
     }
     (readOnly(oldDirs, "old_hash"), readOnly(newDirs, "new_hash")) match {
-      case (None, None) => // identical manifests: zero rows, zero files read
-        spark.emptyDataFrame
-          .select(lit(null).cast("long").as(idCol), lit("").as("op"),
-            lit("").as("old_hash"), lit("").as("new_hash"))
-          .limit(0)
+      case (None, None) => // identical manifests: zero rows, zero DATA read
+        // borrow idCol's real type from one manifest dir's parquet footer
+        // (metadata-only) so the empty frame unions with every other
+        // branch — a hardcoded long would break tables with string ids
+        oldDirs.headOption match {
+          case Some(d0) => spark.read
+            .parquet(Paths.get(path, "data", d0).toString).limit(0)
+            .select(col(idCol), lit("").as("op"),
+              lit(null).cast("string").as("old_hash"),
+              lit(null).cast("string").as("new_hash"))
+          case None => // both versions genuinely empty: no schema to borrow
+            spark.emptyDataFrame
+              .select(lit(null).cast("long").as(idCol), lit("").as("op"),
+                lit(null).cast("string").as("old_hash"),
+                lit(null).cast("string").as("new_hash"))
+              .limit(0)
+        }
       case (Some(o), None) =>
         o.select(col(idCol), lit("removed").as("op"),
           col("old_hash"), lit(null).cast("string").as("new_hash"))
@@ -416,15 +428,31 @@ object PartitionedStore {
     * vacuumed. `version` defaults to latest; a composite-index caller
     * passes its SERVED component version instead — compacting raw-latest
     * there could resurrect a crashed append's orphan commit. Returns the
-    * new version number. */
+    * new version number.
+    *
+    * Unpartitioned tables are rewritten as `numFiles` partitions —
+    * defaulting to ceil(version bytes / 128 MB), sized from the manifest
+    * dirs' on-disk footprint (metadata walk, no data read). Never a
+    * coalesce(1): funneling a corpus-sized table (BM25 dl, LSH sig)
+    * through one task is the single-task-over-data-rows shape this repo
+    * bans — compaction must collapse FILE COUNT, not parallelism. */
   def compactVersion(spark: SparkSession, path: String,
                      partitionCols: Seq[String] = Nil,
                      sortCols: Seq[String] = Nil,
-                     version: Option[Long] = None): Long = {
+                     version: Option[Long] = None,
+                     numFiles: Option[Int] = None): Long = {
     val v = version.getOrElse(versions(path).last)
     val df0 = readVersion(spark, path, Some(v))
+    def sizedFiles: Int = {
+      val bytes = manifestDirs(path, v).map { d =>
+        Files.walk(Paths.get(path, "data", d)).iterator().asScala
+          .filter(Files.isRegularFile(_)).map(Files.size(_)).sum
+      }.sum
+      math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
+    }
     val df1 = if (partitionCols.nonEmpty)
-      df0.repartition(partitionCols.map(col): _*) else df0.coalesce(1)
+      df0.repartition(partitionCols.map(col): _*)
+    else df0.repartition(numFiles.getOrElse(sizedFiles))
     val df = if (sortCols.nonEmpty)
       df1.sortWithinPartitions(sortCols.map(col): _*) else df1
     commitVersion(df, path, append = true, dropDirs = manifestDirs(path, v),

@@ -86,6 +86,29 @@ class DedupSpec extends AnyFunSuite {
     assert(def_ == huge)
   }
 
+  test("minhashPairs: failOnCap raises on an overflowing bucket, silent under the cap") {
+    val s = spark
+    import s.implicits._
+    val boiler = (100L until 300L).map(i =>
+      (i, "terms of service apply to all users of this site always", 56))
+    val all = docs.union(boiler.toDF("doc_id", "text", "n_chars"))
+    // oracle-parity guard: the graded queries' DuckDB twins model no cap,
+    // so an overflowing bucket must FAIL the query, never silently drop
+    val e = intercept[Exception] {
+      Dedup.minhashPairs(all, "doc_id", "text", threshold = 0.5,
+        bucketCap = 8, failOnCap = true).collect()
+    }
+    assert(e.getMessage.contains("bucketCap") ||
+      Option(e.getCause).exists(_.getMessage.contains("bucketCap")))
+    // under the cap the guard is invisible: same pairs as the unguarded call
+    val guarded = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5,
+        failOnCap = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == plain)
+  }
+
   test("simhash: identical text → identical fingerprint; disjoint text differs") {
     val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -196,6 +196,55 @@ class MultimodalSpec extends AnyFunSuite {
       Seq((2L, "café")).toDF("doc_id", "text")).isEmpty)
   }
 
+  test("decodeY4mFrames: one row per frame, fingerprints agree with parseY4m's first/mid/last") {
+    val s = spark
+    import s.implicits._
+    // three docs with nf = 2, 3, 4 (doc_id % 3 geometry) exercise every
+    // frame count the builder produces
+    val docs = Seq((0L, "ABCD"), (1L, "WXYZQ"), (2L, "hello there world"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.asY4m(Multimodal.y4mFromText(docs))
+    val frames = Multimodal.decodeY4mFrames(media).collect()
+      .groupBy(_.media_id).map { case (id, fs) =>
+        id -> fs.sortBy(_.frame_idx) }.toMap
+    val feats = Multimodal.decodeY4m(media).collect()
+      .map(f => f.media_id -> f).toMap
+    feats.foreach { case (id, f) =>
+      val fr = frames(id)
+      // exactly n_frames rows, indices 0..nf-1, every row carries nf
+      assert(fr.length == f.n_frames)
+      assert(fr.map(_.frame_idx).toSeq == (0 until f.n_frames))
+      assert(fr.forall(_.n_frames == f.n_frames))
+      // the frame TABLE and the aggregate decode agree at the three
+      // positions both compute — same walk, same boundaries, same bytes
+      assert(fr(0).frame_md5 == f.f_first)
+      assert(fr((f.n_frames - 1) / 2).frame_md5 == f.f_mid)
+      assert(fr(f.n_frames - 1).frame_md5 == f.f_last)
+    }
+    assert(frames(1L).length == 3 && frames(2L).length == 4)
+  }
+
+  test("frameSample: opaque-format byte-window arm — k windows at exact strides, payload never shuffled") {
+    val s = spark
+    import s.implicits._
+    // the byte-window arm survives as the fallback for media with no
+    // codec: fingerprints are md5 of k evenly-spaced fixed-width windows
+    val docs = Seq((7L, "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGH", "web", 44))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = Multimodal.frameSample(
+      Multimodal.ingestFromText(docs), k = 4, frameBytes = 8).collect()(0)
+    val text = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGH"
+    val stride = text.length / 4
+    def md5hex(sub: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(sub.getBytes("US-ASCII")).map("%02x".format(_)).mkString
+    assert(out.getAs[Long]("n_bytes") == text.length.toLong)
+    (0 until 4).foreach { i =>
+      val w = text.substring(i * stride, i * stride + 8)
+      assert(out.getAs[String](s"frame_$i") == md5hex(w), s"window $i")
+    }
+  }
+
   test("y4mFromText(geomCol): shared-footage media render byte-identical frames, distinct footage does not") {
     val s = spark
     import s.implicits._
