@@ -336,21 +336,48 @@ object Relational {
     * (KBs) BROADCASTS for estimation, so querying frequencies never
     * touches the fact history — the point of keeping per-day/per-source
     * partials. Output: (r, c, cnt). */
-  def cmsBuild(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+  /** The (r, c) cell of every input key — shared by the whole-corpus
+    * build, the daily partials, and the estimate probe, so all three
+    * address the same counters by construction. */
+  private def cmsCells(df: DataFrame, keyCol: String, depth: Int,
+                       width: Int): DataFrame = {
     val p = graft.operators.Dedup.HashMod
     val m = graft.operators.Mix.ScrambleM
-    df.select(col(keyCol).as("k"))
-      .select(col("k"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+    df.withColumn("r", explode(sequence(lit(0), lit(depth - 1))))
       .withColumn("c", pmod(
-        (graft.operators.Dedup.polyHash(col("k")) + col("r")) * m % p * m % p,
+        (graft.operators.Dedup.polyHash(col(keyCol)) + col("r")) * m % p * m % p,
         lit(width.toLong)))
-      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
   }
+
+  def cmsBuild(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame =
+    cmsCells(df.select(col(keyCol)), keyCol, depth, width)
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
 
   /** Merge CMS partials: per-cell integer sum — exactly the whole-corpus
     * build over the union of their inputs (spec-pinned). */
   def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy(col("r"), col("c")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Per-day CMS partials — the frequency leg of the stored-sketch
+    * lifecycle, completing the trio: COUNT/SUM partials ([[rollupPartial]]),
+    * distinct counts ([[hllDailySketches]]), and now frequencies. Each
+    * day's (day, r, c, cnt) rows are built once from that day's facts
+    * (map-side combinable, ≤ depth·width rows per day) and stored via
+    * `PartitionedStore.commitVersion` — nightly appends add only the new
+    * day's rows. Because the counters are associative integer sums,
+    * [[cmsSpan]] over ANY stored day range is bitwise the whole-corpus
+    * build over those days' facts — span frequency queries never re-read
+    * fact history. */
+  def cmsDailySketches(ev: DataFrame, tsCol: String, keyCol: String,
+                       depth: Int, width: Int): DataFrame =
+    cmsCells(ev.select(to_date(col(tsCol)).as("day"), col(keyCol)),
+        keyCol, depth, width)
+      .groupBy(col("day"), col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+
+  /** Collapse stored daily partials (any day span) into one serving
+    * sketch: per-cell integer sum, ≡ the whole-span build exactly. */
+  def cmsSpan(daily: DataFrame): DataFrame =
+    daily.groupBy(col("r"), col("c")).agg(sum(col("cnt")).as("cnt"))
 
   /** Point-query the sketch: a key's estimate is the MIN over its depth
     * cells (absent cell = 0). Never under-counts; collisions only inflate

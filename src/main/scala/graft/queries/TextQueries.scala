@@ -341,6 +341,81 @@ object TextQueries {
        |ORDER BY true_cnt DESC, token""".stripMargin
   }
 
+  // ---- stored daily CMS sketches: span frequencies without fact re-reads ---
+  private val cmsStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The STORED-sketch serving path of [[sketchCmsTopk]] and the
+    * frequency leg of the persisted-sketch lifecycle (Bloom membership,
+    * HLL distinct counts, CMS frequencies): per-day (day, r, c, cnt)
+    * partials land in a versioned store — 29 standing days committed
+    * once, the last day APPENDED as the nightly delta — and the serving
+    * sketch is a re-aggregation of stored rows ([[Relational.cmsSpan]]),
+    * never a fact-history re-read. Because the counters are associative
+    * integer sums, merged-daily ≡ whole-corpus build BITWISE, so the
+    * oracle replays the whole-corpus sketch directly — same twin
+    * discipline as `rag_retrieve_indexed`. Estimates for the top-20
+    * users carry the CMS guarantee est ≥ true (overcount ≥ 0). */
+  def sketchCmsIncremental(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.PartitionedStore
+    val ev = Tables.events(s, d)
+      .select(col("ts"), col("user_id").cast("string").as("uid"))
+    val path = cmsStoreCache.computeIfAbsent(d, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_cms_store").toString
+      val daily = Relational.cmsDailySketches(ev, "ts", "uid", CmsD, CmsW)
+        .localCheckpoint() // feeds both commits; released below
+      try {
+        // the newest day is the "tonight" delta: standing build once,
+        // then one append — the cost shape a nightly job has. The max()
+        // is a 1-row planning-boundary collect.
+        val maxDay = daily.agg(max(col("day"))).collect()(0).getDate(0)
+        val v1 = PartitionedStore.commitVersion(
+          daily.filter(col("day") < lit(maxDay)), p)
+        PartitionedStore.commitVersion(
+          daily.filter(col("day") === lit(maxDay)), p,
+          append = true, parent = Some(v1))
+      } finally graft.operators.Checkpoints.release(daily)
+      p
+    })
+    val sketch = Relational.cmsSpan(PartitionedStore.readVersion(s, path))
+    val truth = ev.groupBy(col("uid")).agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("uid").asc).limit(CmsTopK)
+    Relational.cmsEstimate(sketch, truth.select("uid"), "uid", CmsD, CmsW)
+      .join(truth, "uid")
+      .select(col("uid"), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("true_cnt")).as("overcount"))
+      .orderBy(col("true_cnt").desc, col("uid").asc)
+  }
+  val sketchCmsIncrementalSql: String = {
+    val P = graft.operators.Dedup.HashMod
+    val M = graft.operators.Mix.ScrambleM
+    val cell = (src: String) =>
+      s"""(list_reduce(list_transform(string_split($src, ''), ch -> CAST(ascii(ch) AS BIGINT)),
+         |      (acc, x) -> (acc*31 + x) % $P) + t.r) * $M % $P * $M % $P % $CmsW""".stripMargin
+    s"""WITH ks AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS uid FROM events
+       |), tc AS (
+       |  SELECT uid, COUNT(*) AS true_cnt FROM ks GROUP BY uid
+       |), top AS (
+       |  SELECT uid, true_cnt FROM tc ORDER BY true_cnt DESC, uid LIMIT $CmsTopK
+       |), cells AS (
+       |  SELECT t.r AS r, ${cell("uid")} AS c
+       |  FROM ks CROSS JOIN range(0, $CmsD) AS t(r)
+       |), cms AS (
+       |  SELECT r, c, COUNT(*) AS cnt FROM cells GROUP BY r, c
+       |), qcells AS (
+       |  SELECT uid, t.r AS r, ${cell("uid")} AS c
+       |  FROM top CROSS JOIN range(0, $CmsD) AS t(r)
+       |), est AS (
+       |  SELECT q.uid, MIN(COALESCE(cms.cnt, 0)) AS est_cnt
+       |  FROM qcells q LEFT JOIN cms USING (r, c) GROUP BY q.uid
+       |)
+       |SELECT top.uid, top.true_cnt, est.est_cnt,
+       |  est.est_cnt - top.true_cnt AS overcount
+       |FROM top JOIN est USING (uid)
+       |ORDER BY true_cnt DESC, uid""".stripMargin
+  }
+
   // ---- domain×domain n-gram overlap matrix ---------------------------------
   private val OverlapN = 3
 
@@ -913,6 +988,7 @@ object TextQueries {
     "quality_dsir" -> (qualityDsir _),
     "overlap_ngram_matrix" -> (overlapNgramMatrix _),
     "sketch_cms_topk" -> (sketchCmsTopk _),
+    "sketch_cms_incremental" -> (sketchCmsIncremental _),
     "sample_fixed_k" -> (sampleFixedK _),
     "text_hash_embed" -> (textHashEmbed _),
     "quality_classifier" -> (qualityClassifier _),
@@ -943,6 +1019,7 @@ object TextQueries {
     "quality_dsir" -> qualityDsirSql,
     "overlap_ngram_matrix" -> overlapNgramMatrixSql,
     "sketch_cms_topk" -> sketchCmsTopkSql,
+    "sketch_cms_incremental" -> sketchCmsIncrementalSql,
     "sample_fixed_k" -> sampleFixedKSql,
     "text_hash_embed" -> textHashEmbedSql,
     "quality_classifier" -> qualityClassifierSql,

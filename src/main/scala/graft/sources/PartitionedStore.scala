@@ -514,6 +514,49 @@ object PartitionedStore {
       }.toMap
   }
 
+  /** Composite-aware retention — the reader-safety contract for a
+    * maintenance job running behind compaction: a reader's pin is its
+    * composite GENERATION number, and this is the only sanctioned way to
+    * reclaim a composite's history. Truncates every generation OLDER
+    * than `keepFrom`, then per component drops exactly the component
+    * versions pinned ONLY by truncated generations and vacuums the dirs
+    * nothing live references. The guard is structural and double-checked:
+    * a component version pinned by ANY retained generation (>= keepFrom)
+    * is never dropped — copy-on-write dir sharing then keeps every dir a
+    * retained generation can reach — so a reader holding a composite
+    * pointer >= the cutoff stays fully readable across compact + vacuum,
+    * and a pre-cutoff generation disappears only at this EXPLICIT
+    * truncation, never as a side effect of compaction itself.
+    *
+    * Component versions referenced by NO generation are left alone: they
+    * are either crash orphans or an in-flight append's commits racing
+    * toward publishComposite — reclaiming those safely needs quiescence,
+    * not a cutoff (see [[vacuum]]'s component-level contract).
+    * Returns per-component removed data directories. */
+  def vacuumComposite(path: String, keepFrom: Long): Map[String, Seq[String]] = {
+    val gens = compositeVersions(path)
+    require(gens.contains(keepFrom),
+      s"retention cutoff $keepFrom is not a published generation in $gens")
+    val (dropGens, keepGens) = gens.partition(_ < keepFrom)
+    def pins(gs: Seq[Long]): Map[String, Set[Long]] = gs
+      .flatMap(g => readComposite(path, Some(g)).toSeq)
+      .groupBy(_._1).map { case (c, vs) => c -> vs.map(_._2).toSet }
+    val kept = pins(keepGens)
+    val dropped = pins(dropGens)
+    val removed = dropped.map { case (comp, vs) =>
+      // the refuse-guard: a version pinned by BOTH a dropped and a kept
+      // generation is filtered out here and keeps its manifest — vacuum
+      // below can then never touch a dir any retained generation reaches
+      val dropVs = vs -- kept.getOrElse(comp, Set.empty)
+      dropVs.foreach(v =>
+        Files.deleteIfExists(Paths.get(s"$path/$comp", "_manifests", s"v$v.list")))
+      comp -> vacuum(s"$path/$comp")
+    }
+    dropGens.foreach(g =>
+      Files.deleteIfExists(Paths.get(path, "_manifests", s"c$g.index")))
+    removed
+  }
+
   /** Reclaim data directories no LIVE manifest references (crash orphans,
     * or history truncated by deleting old manifest files). Returns the
     * removed directory names. */

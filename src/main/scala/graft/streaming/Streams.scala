@@ -103,6 +103,76 @@ object Streams {
       .filter(col("cos") >= tau)
   }
 
+  /** Streaming NEAR-dup ingest gate against the MATERIALIZED LSH index
+    * ([[graft.operators.Dedup.writeLshIndex]]) — the production loop the
+    * stored-index trilogy exists for, completing the in-stream dedup
+    * ladder: [[corpusIngestDedup]] (exact, watermark state),
+    * [[semanticIngestHits]] (embedding, stateless flagging), and this
+    * (near-dup, standing-index gate + append-back). Per micro-batch:
+    *
+    *  1. PROBE — arriving docs are checked against the standing index
+    *     ([[graft.operators.Dedup.probeLshIndex]]: bucket-pruned reads,
+    *     similarity from stored signatures; the corpus text is never
+    *     re-read — nightly cost tracks the batch, not the corpus).
+    *  2. INTRA-BATCH — docs that near-dup a LOWER-id doc of the SAME
+    *     batch are also flagged (delta×delta minhash, batch-sized): two
+    *     copies arriving together must not both pass just because
+    *     neither is indexed yet. Rejection is conservative: a doc is
+    *     rejected if it hits the index OR a lower-id batchmate, even one
+    *     itself rejected.
+    *  3. SINK — hit rows (new_id, old_id, est_jaccard) append to
+    *     `hitsDir`, surviving docs to `acceptedDir`, both guarded by one
+    *     [[commitOnce]] marker so a replayed batch never double-writes.
+    *  4. APPEND-BACK — accepted docs enter the index via
+    *     [[graft.operators.Dedup.appendLshIndex]] (atomic composite
+    *     publish; re-delivered ids anti-join away), so batch N+1 is
+    *     gated against everything batch N accepted.
+    *
+    * Crash contract, step by step: a replay after a crash mid-batch
+    * skips the sink writes (marker exists) and re-runs the append, which
+    * no-ops for ids already indexed and lands the remainder — net effect
+    * exactly-once everywhere. State across restarts lives in the INDEX
+    * and the ledger, not the state store: the gate itself is stateless,
+    * which is what keeps it at memory-safe size over an unbounded
+    * corpus. */
+  def lshIngestGate(stream: DataFrame, indexPath: String, idCol: String,
+                    textCol: String, threshold: Double, hitsDir: String,
+                    acceptedDir: String, ledgerDir: String,
+                    checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        // the batch feeds the probe, the intra-batch pairing, and the
+        // accept anti-join — one materialization, released per batch
+        val b = batch.localCheckpoint()
+        try {
+          val idxHits = graft.operators.Dedup
+            .probeLshIndex(sp, indexPath, b, idCol, textCol, threshold)
+          val intra = graft.operators.Dedup
+            .minhashPairs(b, idCol, textCol, threshold)
+            .select(col("id_b").as("new_id"), col("id_a").as("old_id"),
+              col("jaccard").as("est_jaccard"))
+          // hits feed the sink AND the reject set — checkpoint, release
+          val hits = idxHits
+            .select(col("new_id"), col("old_id"), col("est_jaccard"))
+            .union(intra).localCheckpoint()
+          try {
+            val rejects = hits.select(col("new_id").as(idCol)).distinct()
+            val accepted = b.join(rejects, Seq(idCol), "left_anti")
+            commitOnce(ledgerDir, batchId) {
+              hits.write.mode("append").parquet(hitsDir)
+              accepted.write.mode("append").parquet(acceptedDir)
+            }
+            graft.operators.Dedup.appendLshIndex(
+              sp, accepted, idCol, textCol, indexPath)
+          } finally graft.operators.Checkpoints.release(hits)
+        } finally graft.operators.Checkpoints.release(b)
+        ()
+      }
+      .start()
+
   /** Stream-stream interval enrichment — the streaming counterpart of the
     * batch as-of join (w7): each event row joins every quote row of the
     * same key whose timestamp lies in (event_ts − maxAge, event_ts]. Both

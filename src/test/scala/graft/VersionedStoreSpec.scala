@@ -166,4 +166,42 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(removed.length == 1 && removed.head.startsWith("v1-"))
     assert(PartitionedStore.readVersion(spark, path).count() == 5)
   }
+
+  test("vacuumComposite: a reader pinned pre-compaction survives vacuum; only explicit truncation drops it") {
+    val base = Files.createTempDirectory("vstore_comp").toString
+    val comp = s"$base/t"
+    // generation 1: v1 snapshot; generation 2: v2 = v1 + append (shares
+    // v1's dir); generation 3: v3 = compaction of v2 (fresh dir only)
+    val v1 = PartitionedStore.commitVersion(df(0 until 3), comp)
+    val c1 = PartitionedStore.publishComposite(base, Map("t" -> v1))
+    val v2 = PartitionedStore.commitVersion(df(3 until 5), comp,
+      append = true, parent = Some(v1))
+    val c2 = PartitionedStore.publishComposite(base, Map("t" -> v2))
+    val v3 = PartitionedStore.compactVersion(spark, comp, version = Some(v2))
+    val c3 = PartitionedStore.publishComposite(base, Map("t" -> v3))
+    // the reader's pin is its generation: resolve c2 BEFORE any retention
+    val pinned = PartitionedStore.readComposite(base, Some(c2))
+    // retention up to the pinned generation: c1 truncates, c2/c3 stay.
+    // v1 is pinned ONLY by dropped c1 — its manifest goes — but its DIR
+    // must survive: kept v2's manifest still references it (copy-on-write)
+    PartitionedStore.vacuumComposite(base, keepFrom = c2)
+    assert(PartitionedStore.compositeVersions(base) == Seq(c2, c3))
+    assert(!PartitionedStore.versions(comp).contains(v1)) // manifest truncated
+    assert(PartitionedStore
+      .readVersion(spark, comp, Some(pinned("t"))).count() == 5) // reader intact
+    // compact + vacuum NEVER broke the pre-compaction reader; only the
+    // explicit cutoff at c3 truncates it — and reclaims v2's two dirs
+    val removed = PartitionedStore.vacuumComposite(base, keepFrom = c3)
+    assert(removed("t").length == 2) // v1's shared dir + v2's append dir
+    assert(intercept[IllegalArgumentException] {
+      PartitionedStore.readVersion(spark, comp, Some(pinned("t")))
+    }.getMessage.contains("version"))
+    assert(PartitionedStore.readVersion(spark, comp, Some(v3)).count() == 5)
+    // refuse-guard: a version pinned by both a dropped AND a kept
+    // generation keeps its manifest and dirs
+    val c4 = PartitionedStore.publishComposite(base, Map("t" -> v3)) // re-pins v3
+    PartitionedStore.vacuumComposite(base, keepFrom = c4)            // drops c3
+    assert(PartitionedStore.versions(comp).contains(v3))
+    assert(PartitionedStore.readVersion(spark, comp, Some(v3)).count() == 5)
+  }
 }
