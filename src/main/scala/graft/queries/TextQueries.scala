@@ -356,13 +356,16 @@ object TextQueries {
     * oracle replays the whole-corpus sketch directly — same twin
     * discipline as `rag_retrieve_indexed`. Estimates for the top-20
     * users carry the CMS guarantee est ≥ true (overcount ≥ 0). */
-  def sketchCmsIncremental(s: SparkSession, d: String): DataFrame = {
-    import graft.sources.PartitionedStore
-    val ev = Tables.events(s, d)
+  private def cmsKeyedEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
       .select(col("ts"), col("user_id").cast("string").as("uid"))
-    val path = cmsStoreCache.computeIfAbsent(d, _ => {
+
+  private def cmsStore(s: SparkSession, d: String): String =
+    cmsStoreCache.computeIfAbsent(d, _ => {
+      import graft.sources.PartitionedStore
       val p = java.nio.file.Files.createTempDirectory("graft_cms_store").toString
-      val daily = Relational.cmsDailySketches(ev, "ts", "uid", CmsD, CmsW)
+      val daily = Relational.cmsDailySketches(
+          cmsKeyedEvents(s, d), "ts", "uid", CmsD, CmsW)
         .localCheckpoint() // feeds both commits; released below
       try {
         // the newest day is the "tonight" delta: standing build once,
@@ -377,7 +380,8 @@ object TextQueries {
       } finally graft.operators.Checkpoints.release(daily)
       p
     })
-    val sketch = Relational.cmsSpan(PartitionedStore.readVersion(s, path))
+
+  private def cmsServe(ev: DataFrame, sketch: DataFrame): DataFrame = {
     val truth = ev.groupBy(col("uid")).agg(count(lit(1)).as("true_cnt"))
       .orderBy(col("true_cnt").desc, col("uid").asc).limit(CmsTopK)
     Relational.cmsEstimate(sketch, truth.select("uid"), "uid", CmsD, CmsW)
@@ -385,6 +389,12 @@ object TextQueries {
       .select(col("uid"), col("true_cnt"), col("est_cnt"),
         (col("est_cnt") - col("true_cnt")).as("overcount"))
       .orderBy(col("true_cnt").desc, col("uid").asc)
+  }
+
+  def sketchCmsIncremental(s: SparkSession, d: String): DataFrame = {
+    val path = cmsStore(s, d)
+    cmsServe(cmsKeyedEvents(s, d), Relational.cmsSpan(
+      graft.sources.PartitionedStore.readVersion(s, path)))
   }
   val sketchCmsIncrementalSql: String = {
     val P = graft.operators.Dedup.HashMod
@@ -394,6 +404,56 @@ object TextQueries {
          |      (acc, x) -> (acc*31 + x) % $P) + t.r) * $M % $P * $M % $P % $CmsW""".stripMargin
     s"""WITH ks AS (
        |  SELECT CAST(user_id AS VARCHAR) AS uid FROM events
+       |), tc AS (
+       |  SELECT uid, COUNT(*) AS true_cnt FROM ks GROUP BY uid
+       |), top AS (
+       |  SELECT uid, true_cnt FROM tc ORDER BY true_cnt DESC, uid LIMIT $CmsTopK
+       |), cells AS (
+       |  SELECT t.r AS r, ${cell("uid")} AS c
+       |  FROM ks CROSS JOIN range(0, $CmsD) AS t(r)
+       |), cms AS (
+       |  SELECT r, c, COUNT(*) AS cnt FROM cells GROUP BY r, c
+       |), qcells AS (
+       |  SELECT uid, t.r AS r, ${cell("uid")} AS c
+       |  FROM top CROSS JOIN range(0, $CmsD) AS t(r)
+       |), est AS (
+       |  SELECT q.uid, MIN(COALESCE(cms.cnt, 0)) AS est_cnt
+       |  FROM qcells q LEFT JOIN cms USING (r, c) GROUP BY q.uid
+       |)
+       |SELECT top.uid, top.true_cnt, est.est_cnt,
+       |  est.est_cnt - top.true_cnt AS overcount
+       |FROM top JOIN est USING (uid)
+       |ORDER BY true_cnt DESC, uid""".stripMargin
+  }
+
+  /** Day-SPAN frequency serving from the same stored daily partials: the
+    * sketch for "every day before the newest" is a re-aggregation of the
+    * stored rows in that range — the fact history for those days is
+    * never re-read, which is the entire point of keeping per-day
+    * partials. The span cutoff (max stored day) is one row of sketch
+    * METADATA, a planning boundary; the oracle recomputes the same span
+    * from raw events because span-of-dailies ≡ span build bitwise. */
+  def sketchCmsSpan(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.PartitionedStore
+    val stored = PartitionedStore.readVersion(s, cmsStore(s, d))
+    val maxDay = stored.agg(max(col("day"))).collect()(0).getDate(0)
+    val sketch = Relational.cmsSpan(stored.filter(col("day") < lit(maxDay)))
+    cmsServe(cmsKeyedEvents(s, d).filter(to_date(col("ts")) < lit(maxDay)),
+      sketch)
+  }
+  val sketchCmsSpanSql: String = {
+    val P = graft.operators.Dedup.HashMod
+    val M = graft.operators.Mix.ScrambleM
+    val cell = (src: String) =>
+      s"""(list_reduce(list_transform(string_split($src, ''), ch -> CAST(ascii(ch) AS BIGINT)),
+         |      (acc, x) -> (acc*31 + x) % $P) + t.r) * $M % $P * $M % $P % $CmsW""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS uid, CAST(ts AS DATE) AS day
+       |  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+       |), mx AS (
+       |  SELECT MAX(day) AS max_day FROM ev
+       |), ks AS (
+       |  SELECT uid FROM ev, mx WHERE day < max_day
        |), tc AS (
        |  SELECT uid, COUNT(*) AS true_cnt FROM ks GROUP BY uid
        |), top AS (
@@ -989,6 +1049,7 @@ object TextQueries {
     "overlap_ngram_matrix" -> (overlapNgramMatrix _),
     "sketch_cms_topk" -> (sketchCmsTopk _),
     "sketch_cms_incremental" -> (sketchCmsIncremental _),
+    "sketch_cms_span" -> (sketchCmsSpan _),
     "sample_fixed_k" -> (sampleFixedK _),
     "text_hash_embed" -> (textHashEmbed _),
     "quality_classifier" -> (qualityClassifier _),
@@ -1020,6 +1081,7 @@ object TextQueries {
     "overlap_ngram_matrix" -> overlapNgramMatrixSql,
     "sketch_cms_topk" -> sketchCmsTopkSql,
     "sketch_cms_incremental" -> sketchCmsIncrementalSql,
+    "sketch_cms_span" -> sketchCmsSpanSql,
     "sample_fixed_k" -> sampleFixedKSql,
     "text_hash_embed" -> textHashEmbedSql,
     "quality_classifier" -> qualityClassifierSql,

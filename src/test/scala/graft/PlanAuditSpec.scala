@@ -249,6 +249,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"payload column found in an exchange:\n$p")
   }
 
+  test("mm_frame_sample: frame table is the only relational input — payload never crosses an exchange") {
+    val p = plan("mm_frame_sample")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("payload")),
+      s"payload column found in an exchange:\n$p")
+  }
+
+  test("sketch_cms_incremental: the served sketch broadcasts; the key side never shuffles wide rows") {
+    val p = plan("sketch_cms_incremental")
+    // cmsEstimate joins the (r, c, cnt) sketch — KBs at any corpus size —
+    // as the broadcast side; a sort-merge join here would shuffle the
+    // sketch pointlessly and, worse, re-partition the probe side
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("global sweep: no query plans an unbroadcast cartesian product") {
     // crossJoin against a broadcast side plans as BroadcastNestedLoopJoin
     // (fine — one side is tiny by construction); a CartesianProduct node
