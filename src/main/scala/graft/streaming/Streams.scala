@@ -173,6 +173,30 @@ object Streams {
       }
       .start()
 
+  /** Continuous index maintenance for ANY stored-index leg: each
+    * micro-batch flows into the index through its `append*Index`
+    * function ([[graft.operators.Search.appendBm25Index]],
+    * [[graft.operators.Similarity.appendIvfIndex]],
+    * [[graft.operators.Dedup.appendLshIndex]]) — the nightly append
+    * promoted to a streaming loop. No ledger is needed HERE, unlike
+    * [[lshIngestGate]]'s sinks: the appends themselves are idempotent by
+    * construction (re-delivered ids anti-join against the served
+    * component, fully-duplicate batches no-op, publish is atomic), so a
+    * replayed batch converges instead of double-counting, and the gate
+    * stays stateless — index + checkpoint ARE the state. Use
+    * [[lshIngestGate]] when arrivals must also be FLAGGED and filtered;
+    * use this when the stream is pre-curated and the job is purely to
+    * keep a serving index fresh. */
+  def indexAppendStream(stream: DataFrame, checkpointDir: String)(
+      append: (org.apache.spark.sql.SparkSession, DataFrame) => Unit): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        append(batch.sparkSession, batch); ()
+      }
+      .start()
+
   /** Stream-stream interval enrichment — the streaming counterpart of the
     * batch as-of join (w7): each event row joins every quote row of the
     * same key whose timestamp lies in (event_ts − maxAge, event_ts]. Both

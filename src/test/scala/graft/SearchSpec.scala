@@ -255,6 +255,18 @@ class SearchSpec extends AnyFunSuite {
       s, s"$path/postings", Some(servedBefore("postings"))).count() ==
       PartitionedStore.readVersion(
         s, s"$path/postings", Some(servedAfter("postings"))).count())
+    // retention closes the lifecycle on a REAL index: explicit cutoff at
+    // the post-compaction generation truncates the pre-compaction one
+    // (its uncompacted dirs reclaimed), and the serving path answers
+    // bit-identically through it all
+    val latestGen = PartitionedStore.compositeVersions(path).last
+    val reclaimed = PartitionedStore.vacuumComposite(path, keepFrom = latestGen)
+    assert(reclaimed.values.flatten.nonEmpty,
+      "vacuum after compaction must reclaim the superseded append dirs")
+    assert(!PartitionedStore.versions(s"$path/postings")
+      .contains(servedBefore("postings")))
+    assert(rows(Search.bm25IndexTopK(s, path, qs, "doc_id", "query_id", "qtext", 10))
+      == rows(direct), "retention must not change any answer")
   }
 
   test("bm25 index: a torn append never serves; re-delivered ids are idempotent") {

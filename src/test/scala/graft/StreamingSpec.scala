@@ -877,6 +877,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == Set((3L, 7.0), (1L, 8.0)))
   }
 
+  test("indexAppendStream: BM25 and IVF legs stay query-fresh across micro-batches; results equal a batch rebuild") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    import graft.operators.{Search, Similarity}
+    // BM25 leg: standing index, then two streamed batches of new docs
+    val standing = Seq(
+      (0L, "spark shuffles data between stages always"),
+      (1L, "weather report says rain and wind tomorrow")).toDF("doc_id", "text")
+    val bmPath = tmp("bm25_stream_idx")
+    Search.writeBm25Index(standing, "doc_id", "text", bmPath)
+    val inB = MemoryStream[LshDoc]
+    val qb = Streams.indexAppendStream(inB.toDF(), tmp("bm25_stream_ckpt")) {
+      (sp, b) => Search.appendBm25Index(sp, b, "doc_id", "text", bmPath)
+    }
+    inB.addData(LshDoc(10L, "cricket scores improve with practice daily"))
+    qb.processAllAvailable()
+    inB.addData(LshDoc(11L, "fresh cricket coverage arrives this evening"),
+      LshDoc(10L, "cricket scores improve with practice daily")) // re-delivery no-ops
+    qb.processAllAvailable()
+    qb.stop()
+    val qs = Seq((100L, "cricket coverage")).toDF("query_id", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val streamed = rows(Search.bm25IndexTopK(s, bmPath, qs,
+      "doc_id", "query_id", "qtext", 5))
+    val rebuilt = tmp("bm25_rebuild_idx")
+    Search.writeBm25Index(standing.union(Seq(
+      (10L, "cricket scores improve with practice daily"),
+      (11L, "fresh cricket coverage arrives this evening")).toDF("doc_id", "text")),
+      "doc_id", "text", rebuilt)
+    assert(streamed == rows(Search.bm25IndexTopK(s, rebuilt, qs,
+      "doc_id", "query_id", "qtext", 5)))
+    assert(streamed.map(_._2).contains(11L))
+    // IVF leg: appended vectors are probe-reachable through the SAME loop
+    def vec(id: Long) = Array.tabulate(4)(d => if (d == (id % 4).toInt) 1.0f else 0.0f)
+    val emb = (0L until 40L).map(id => (id, vec(id))).toDF("vec_id", "embedding")
+    val ivfPath = tmp("ivf_stream_idx")
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", 4, ivfPath)
+    val inV = MemoryStream[IvfVec]
+    val qv = Streams.indexAppendStream(inV.toDF(), tmp("ivf_stream_ckpt")) {
+      (sp, b) => Similarity.appendIvfIndex(sp, b, "vec_id", "embedding", ivfPath)
+    }
+    // a direction no corpus vector has (dim-0 cell, but tilted into dim 1)
+    // so the appended vector is the unique cosine-1 answer for its probe
+    val novel = Array(0.9f, 0.4f, 0.0f, 0.0f)
+    inV.addData(IvfVec(100L, novel))
+    qv.processAllAvailable()
+    qv.stop()
+    val probe = Seq((200L, novel)).toDF("vec_id", "embedding")
+    val hits = Similarity.ivfIndexTopK(s, ivfPath, probe, "vec_id", "embedding",
+        k = 3, nProbe = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(hits.contains(100L), s"streamed vector must be probe-reachable, got $hits")
+  }
+
   test("lshIngestGate: standing-index flag, intra-batch flag, append-back gates the next batch, index survives restart") {
     val s = spark
     import s.implicits._
@@ -935,3 +993,4 @@ class StreamingSpec extends AnyFunSuite {
   * outer-class scope when the MemoryStream round-trips it. */
 case class Ev(user_id: Long, time: Timestamp, event_id: Long, value: Double)
 case class LshDoc(doc_id: Long, text: String)
+case class IvfVec(vec_id: Long, embedding: Array[Float])
