@@ -18,7 +18,8 @@ object Explain {
         "dedup_semantic", "text_hash_embed", "quality_top_fraction",
         "assign_dense_ids", "search_bm25", "text_bigram_lm",
         "mine_hard_negatives", "mix_epochs", "rollup_maintain",
-        "mm_frame_sample", "sketch_cms_incremental", "dedup_lsh_indexed")
+        "mm_frame_sample", "sketch_cms_incremental", "dedup_lsh_indexed",
+        "graph_pagerank", "dedup_canonical")
     for (name <- names) {
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, d).queryExecution.explainString(

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over candidate-pair edge lists.
+  *
+  * PageRank (Brin & Page, "The anatomy of a large-scale hypertextual web
+  * search engine", WWW 1998) specialised to this engine's determinism
+  * contract: every arithmetic step is LONG integer (quantized mass, floor
+  * division), so ranks are bit-identical across engines and partitionings
+  * — a second engine unrolling the same iterations hash-matches exactly
+  * (the [[Search]] quantized-BM25 trick applied to an iterative op). The
+  * damped share a node passes each neighbour is
+  * `(rank·dampNum DIV dampDen) DIV degree`; the per-round teleport is
+  * `(quantum·(dampDen−dampNum)) DIV (dampDen·N)`. Floor losses shave a
+  * few units of mass per round — deterministic, identical in any engine,
+  * and irrelevant to the ORDER the ranks induce.
+  *
+  * Curation role: the canonical-copy selector. Within a near-dup cluster
+  * the highest-centrality member is the best-connected version of the
+  * content — the hub its copies degrade from — a better keep rule than
+  * min-id when copies differ in quality (see `dedup_canonical`). The
+  * reference has no graph surface; this is a SURVEY §8 scale extension.
+  *
+  * Scale shape: one symmetrized edge checkpoint reused every round; per
+  * round one edges⋈ranks join (both sides shuffled by node id — a
+  * partitioning Catalyst reuses round to round) + one map-side-combinable
+  * integer sum; the new rank frame is localCheckpoint()ed and the
+  * previous round's blocks released — the [[Dedup.connectedComponents]]
+  * loop discipline. Round count is FIXED (`iterations`), not
+  * data-dependent, so the job graph is known at submit time. The node
+  * set is the edge-incident subgraph only: at corpus scale the candidate
+  * graph is a vanishing fraction of the corpus (the same observation
+  * that keeps connectedComponents' rounds small), and isolated docs have
+  * no meaningful centrality — callers left-join ranks back and default
+  * the miss (`dedup_canonical` uses 0). */
+object Graph {
+
+  /** Fixed-point mass scale: total graph mass starts at ~Quantum, so
+    * with damping 85/100 a share times dampNum stays far under 2⁶³. */
+  val Quantum: Long = 1000000000000L
+
+  /** PageRank over an UNDIRECTED edge list `(id_a, id_b)` (long ids;
+    * self-loops dropped, duplicate/reversed pairs collapse). Output one
+    * row per edge-incident node: `(id, rank_score, degree)` — rank_score
+    * is the quantized long mass (comparable, hashable; divide by
+    * `quantum` for the conventional probability), degree the undirected
+    * degree. Symmetrization means NO dangling nodes: every node has
+    * outdeg ≥ 1, so no leaked-mass redistribution term is needed. */
+  def pagerank(edges: DataFrame, iterations: Int = 5,
+               dampNum: Long = 85, dampDen: Long = 100,
+               quantum: Long = Quantum): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0: $iterations")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"damping must satisfy 0 < dampNum < dampDen: $dampNum/$dampDen")
+    val undirected = edges.filter(col("id_a") =!= col("id_b"))
+    // one (src, dst) row per direction per distinct undirected edge —
+    // the per-round join input, checkpointed once, released at the end
+    val sym = undirected
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(undirected.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    try {
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        .select(col("src").as("id"), col("outdeg"))
+      // N enters the plan as a broadcast 1-row aggregate, not a driver
+      // collect — teleport and the uniform start divide by it in-plan
+      val n = broadcast(deg.agg(count(lit(1)).as("n")))
+      // (id, outdeg, n) — the per-round skeleton every rank frame joins
+      // back to; checkpointed so deg's groupBy runs once, not per round
+      val base = deg.crossJoin(n).localCheckpoint()
+      var ranks = base
+        .select(col("id"), expr(s"$quantum DIV n").as("rank"))
+        .localCheckpoint()
+      var iter = 0
+      while (iter < iterations) {
+        val shares = ranks.join(base, "id")
+          .select(col("id").as("src"),
+            expr(s"(rank * $dampNum DIV $dampDen) DIV outdeg").as("share"))
+        val inbound = sym.join(shares, "src")
+          .groupBy(col("dst")).agg(sum(col("share")).as("acc"))
+          .select(col("dst").as("id"), col("acc"))
+        val next = base.join(inbound, Seq("id"), "left")
+          .select(col("id"),
+            (expr(s"($quantum * ${dampDen - dampNum}) DIV ($dampDen * n)") +
+              coalesce(col("acc"), lit(0L))).as("rank"))
+          .localCheckpoint()
+        Checkpoints.release(ranks) // next is materialized; drop the old blocks
+        ranks = next
+        iter += 1
+      }
+      ranks.join(base, "id")
+        .select(col("id"), col("rank").as("rank_score"),
+          col("outdeg").as("degree"))
+    } finally {
+      Checkpoints.release(sym)
+    }
+  }
+}

@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Checkpoints, Dedup, Graph}
+
+/** Graph-centrality pack over the duplicate-candidate graph of
+  * `documents` — the [[graft.operators.Graph]] operator exercised on the
+  * SAME edge set (exact-dup pairs ∪ MinHash-verified near-dup pairs,
+  * `SequenceQueries.dupGraphCtes`) that dedup_clusters partitions, so
+  * the two views can never disagree about what the graph IS.
+  *
+  * Both oracles replay the quantized integer recurrence with unrolled
+  * iteration CTEs — every step is BIGINT floor division (`DIV` / `//`),
+  * so the two engines agree bit for bit with no float tolerance. */
+object GraphQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Iters = 5
+  private val Quantum = Graph.Quantum
+
+  /** The mined Spark-side edge list — identical derivation to
+    * dedup_clusters (exact reps + capped-LSH near pairs). */
+  private def dupEdges(docs: DataFrame): DataFrame = {
+    val exactEdges = Dedup.exactDedup(docs, "doc_id", "text")
+      .filter(col("is_dup"))
+      .select(col("rep_id").as("id_a"), col("doc_id").as("id_b"))
+    val nearEdges = Dedup.minhashPairs(docs, "doc_id", "text",
+        threshold = 0.5, k = 16, bands = 4, failOnCap = true)
+      .select(col("id_a"), col("id_b"))
+    exactEdges.union(nearEdges)
+  }
+
+  /** Unrolled oracle iteration k: inbound damped shares, then teleport +
+    * accumulate. SUMs cast back to BIGINT (DuckDB widens to HUGEINT). */
+  private def prIterSql(k: Int): String =
+    s"""s$k AS (
+       |  SELECT e.d AS id, CAST(SUM(((r.rank * 85) // 100) // dg.outdeg) AS BIGINT) AS acc
+       |  FROM r${k - 1} r JOIN sym e ON e.s = r.id JOIN deg dg ON dg.id = r.id
+       |  GROUP BY e.d
+       |), r$k AS (
+       |  SELECT nd.id, (($Quantum * 15) // (100 * nn.n)) + COALESCE(s$k.acc, 0) AS rank
+       |  FROM nodes nd CROSS JOIN nn LEFT JOIN s$k ON s$k.id = nd.id
+       |)""".stripMargin
+
+  /** nodes/degrees/uniform start + all unrolled rounds, shared by both
+    * oracles (appended after [[SequenceQueries.dupGraphCtes]]). */
+  private val prCtes: String =
+    s"""nodes AS (SELECT DISTINCT s AS id FROM sym),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |deg AS (SELECT s AS id, COUNT(*) AS outdeg FROM sym GROUP BY s),
+       |r0 AS (SELECT id, $Quantum // nn.n AS rank FROM nodes CROSS JOIN nn),
+       |${(1 to Iters).map(prIterSql).mkString(",\n")}""".stripMargin
+
+  // ---- PageRank centrality of the duplicate-candidate graph ----------------
+  /** One row per edge-incident doc: quantized PageRank mass + degree.
+    * The well-connected hubs of duplication (boilerplate centers, widely
+    * copied texts) surface at the top — the signal `dedup_canonical`
+    * turns into a keep rule. */
+  def graphPagerank(s: SparkSession, d: String): DataFrame =
+    Graph.pagerank(dupEdges(Tables.documents(s, d)), iterations = Iters)
+      .select(col("id").as("doc_id"), col("rank_score"), col("degree"))
+      .orderBy(col("rank_score").desc, col("doc_id"))
+
+  val graphPagerankSql: String =
+    s"""WITH ${SequenceQueries.dupGraphCtes},
+       |$prCtes
+       |SELECT r$Iters.id AS doc_id, r$Iters.rank AS rank_score, dg.outdeg AS degree
+       |FROM r$Iters JOIN deg dg ON dg.id = r$Iters.id
+       |ORDER BY rank_score DESC, doc_id""".stripMargin
+
+  // ---- canonical-copy selection: clusters × centrality ---------------------
+  /** dedup_clusters' partition with the keep rule upgraded from min-id
+    * to max-centrality: each cluster keeps its highest-PageRank member
+    * (ties → min id; singleton clusters keep themselves — their rank
+    * misses the edge-incident subgraph and defaults to 0). Output:
+    * (doc_id, cluster_rep, canonical_id, keep). */
+  def dedupCanonical(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // components AND centrality both consume the mined edge list — one
+    // materialization (the dedupClustersIncremental lesson); both ops
+    // anchor their results in their own checkpoints, so the edges drop
+    // as soon as the calls return
+    val edges = dupEdges(docs).localCheckpoint()
+    val (comps, pr) =
+      try {
+        (Dedup.connectedComponents(docs.select(col("doc_id").as("id")), edges),
+          Graph.pagerank(edges, iterations = Iters))
+      } finally Checkpoints.release(edges)
+    val wr = comps
+      .join(pr.select(col("id"), col("rank_score")), Seq("id"), "left")
+      .select(col("id"), col("rep"),
+        coalesce(col("rank_score"), lit(0L)).as("r"))
+    // per-cluster argmax by (rank, −id): the single-shuffle max(struct)
+    // top-1, never a full-width window
+    val canon = wr.groupBy(col("rep"))
+      .agg(max(struct(col("r"), (-col("id")).as("nid"))).as("m"))
+      .select(col("rep"), (-col("m.nid")).as("canonical_id"))
+    wr.join(canon, "rep")
+      .select(col("id").as("doc_id"), col("rep").as("cluster_rep"),
+        col("canonical_id"), (col("id") === col("canonical_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupCanonicalSql: String =
+    s"""WITH RECURSIVE ${SequenceQueries.dupGraphCtes}, ${SequenceQueries.reachCte},
+       |$prCtes,
+       |lbl AS (SELECT id, MIN(lbl) AS rep FROM reach GROUP BY id),
+       |wr AS (
+       |  SELECT l.id, l.rep, COALESCE(p.rank, 0) AS r
+       |  FROM lbl l LEFT JOIN r$Iters p ON p.id = l.id
+       |), canon AS (
+       |  SELECT rep, id AS canonical_id FROM (
+       |    SELECT rep, id, row_number() OVER (PARTITION BY rep ORDER BY r DESC, id) AS rn
+       |    FROM wr) t WHERE rn = 1
+       |)
+       |SELECT w.id AS doc_id, w.rep AS cluster_rep, c.canonical_id,
+       |  w.id = c.canonical_id AS keep
+       |FROM wr w JOIN canon c ON c.rep = w.rep ORDER BY doc_id""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "graph_pagerank" -> (graphPagerank _),
+    "dedup_canonical" -> (dedupCanonical _))
+
+  val oracle: Map[String, String] = Map(
+    "graph_pagerank" -> graphPagerankSql,
+    "dedup_canonical" -> dedupCanonicalSql)
+}

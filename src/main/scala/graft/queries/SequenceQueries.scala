@@ -412,11 +412,14 @@ object SequenceQueries {
       .orderBy(col("doc_id"))
   }
 
-  val dedupClustersSql: String = {
-    // same shingle/minhash CTEs as dedup_minhash_pairs (TrainingQueries),
-    // then a recursive min-label closure over the union edge set
+  /** Shared oracle CTEs `toks → sym`: the symmetrized exact ∪ near-dup
+    * edge list every duplicate-graph oracle starts from (same shingle/
+    * minhash CTEs as dedup_minhash_pairs in TrainingQueries). Reused by
+    * dedup_clusters, split_leakage_safe, and GraphQueries' centrality
+    * oracles so the edge derivation can never drift between them. */
+  private[queries] val dupGraphCtes: String = {
     val p = Dedup.HashMod
-    s"""WITH RECURSIVE toks AS (
+    s"""toks AS (
        |  SELECT doc_id, list_transform(string_split(trim(text), ' '),
        |    s -> list_reduce(list_transform(string_split(s,''), c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc*31 + x) % $p)) AS th
        |  FROM documents
@@ -447,14 +450,22 @@ object SequenceQueries {
        |), sym AS (
        |  SELECT id_a AS s, id_b AS d FROM near UNION SELECT id_b, id_a FROM near
        |  UNION SELECT id_a, id_b FROM exact UNION SELECT id_b, id_a FROM exact
-       |), reach(id, lbl) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT e.d, r.lbl FROM reach r JOIN sym e ON e.s = r.id
-       |)
+       |)""".stripMargin
+  }
+
+  /** The min-label closure over [[dupGraphCtes]]' edge set (recursive —
+    * callers must open with WITH RECURSIVE). */
+  private[queries] val reachCte: String =
+    """reach(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.d, r.lbl FROM reach r JOIN sym e ON e.s = r.id
+      |)""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $dupGraphCtes, $reachCte
        |SELECT id AS doc_id, MIN(lbl) AS cluster_rep, MIN(lbl) = id AS is_canonical
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
-  }
 
   // ---- leakage-safe train/val/test split ------------------------------------
   /** Split assignment at near-dup-CLUSTER granularity: a cluster's rep

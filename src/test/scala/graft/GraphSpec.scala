@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Graph
+
+/** PageRank semantics against a hand-replayed integer-arithmetic model:
+  * the Spark result must match a driver-side Scala replay of the same
+  * quantized iteration BIT FOR BIT (the determinism contract the DuckDB
+  * oracle relies on), and the induced order must behave like centrality
+  * (hubs above leaves; uniform at zero iterations). */
+class GraphSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // star: 0 is the hub of 1,2,3; 4-5 an isolated pair; 6 never appears
+  private def edges = {
+    val s = spark
+    import s.implicits._
+    Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+  }
+
+  /** Driver-side replay of the exact integer recurrence. */
+  private def replay(adj: Map[Long, Seq[Long]], iters: Int,
+                     q: Long = Graph.Quantum): Map[Long, Long] = {
+    val n = adj.size
+    var r = adj.keys.map(_ -> q / n).toMap
+    for (_ <- 0 until iters) {
+      val tp = (q * 15) / (100L * n)
+      val acc = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((u, nbrs) <- adj; v <- nbrs)
+        acc(v) += (r(u) * 85 / 100) / nbrs.size
+      r = adj.keys.map(k => k -> (tp + acc(k))).toMap
+    }
+    r
+  }
+
+  private val adj = Map(
+    0L -> Seq(1L, 2L, 3L), 1L -> Seq(0L), 2L -> Seq(0L), 3L -> Seq(0L),
+    4L -> Seq(5L), 5L -> Seq(4L))
+
+  test("pagerank matches the driver-side integer replay bit for bit") {
+    val got = Graph.pagerank(edges, iterations = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val want = replay(adj, 5)
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L, 5L)) // edge-incident only
+    got.foreach { case (id, rank, _) => assert(rank == want(id), s"node $id") }
+    // degrees are undirected degrees
+    assert(got.map(t => t._1 -> t._3).toMap ==
+      Map(0L -> 3L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("hub outranks leaves; isolated pair sits between") {
+    val r = Graph.pagerank(edges, iterations = 5).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(0L) > r(4L) && r(4L) > r(1L))
+    assert(r(1L) == r(2L) && r(2L) == r(3L)) // symmetric leaves tie exactly
+    assert(r(4L) == r(5L))
+  }
+
+  test("zero iterations = exact uniform start; duplicate/reversed/self edges collapse") {
+    val s = spark
+    import s.implicits._
+    val messy = Seq((0L, 1L), (1L, 0L), (0L, 1L), (2L, 2L), (1L, 2L))
+      .toDF("id_a", "id_b")
+    val r0 = Graph.pagerank(messy, iterations = 0).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r0.map(_._2).distinct.toSeq == Seq(Graph.Quantum / 3))
+    assert(r0.map(t => t._1 -> t._3).toMap == Map(0L -> 1L, 1L -> 2L, 2L -> 1L))
+  }
+
+  test("two runs agree exactly (order-independent integer sums)") {
+    val a = Graph.pagerank(edges, iterations = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.pagerank(edges.repartition(7), iterations = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+}

@@ -165,6 +165,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"lag-mark, change-filter, and lead-close must share one shuffle:\n$p")
   }
 
+  test("graph centrality: windowless plans — canonical pick is max(struct), ranks carry no sort") {
+    // the iterative rounds run eagerly behind localCheckpoints; the plans
+    // audited here are the serving tails, which must stay bounded-agg
+    // shaped (a Window in either means a per-cluster or global sort of
+    // data rows crept in)
+    Seq("graph_pagerank", "dedup_canonical").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Window "), s"$name: no window sort expected:\n$p")
+    }
+  }
+
   test("text_bigram_lm: generator-built bigrams — no window anywhere") {
     val p = plan("text_bigram_lm")
     assert(!p.contains("Window "),
