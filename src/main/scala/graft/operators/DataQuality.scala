@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality verification — the Deequ idea (Schelter et al.,
+  * "Automating large-scale data quality verification", VLDB 2018)
+  * re-expressed as plain Spark aggregation, under this engine's
+  * integer-determinism contract.
+  *
+  * A suite is a list of [[Check]]s against ONE table. Every check
+  * contributes one aggregate expression, and the whole suite evaluates in a
+  * SINGLE pass over the table: one `agg(...)` producing one row of metrics,
+  * unpivoted to per-check rows with `stack`. At 100 TB the table scan IS
+  * the cost — N checks must not mean N scans, and here they never do.
+  * Uniqueness checks add `count(DISTINCT col)` aggregates (Catalyst plans
+  * the multi-distinct via one Expand — still a single scan, one extra
+  * shuffle). Cross-table referential checks are separate left-anti-join
+  * counts (the dimension side broadcasts when small) unioned into the same
+  * report schema.
+  *
+  * All observed metrics are LONG (fractions as parts-per-million via
+  * integer floor division, bounds on quantized `floor(x·100)` values), so a
+  * second engine computing the same report hash-matches bit for bit.
+  *
+  * Report schema: `(table_name, check_name, col_name, observed, threshold,
+  * cmp, passed)` — `passed = observed >= threshold` when `cmp = ">="`,
+  * `observed <= threshold` when `cmp = "<="`.
+  *
+  * The reference has no verification surface (its ingest trusts the wire
+  * JSON — src/priceUpdater.py:61-118 parses and inserts unchecked); this is
+  * a SURVEY §8 pipeline extension: the admission gate a 100 TB corpus
+  * build runs before a snapshot is published.
+  */
+object DataQuality {
+
+  /** Fractional metrics are parts-per-million longs. */
+  val Ppm = 1000000L
+
+  /** One declarative constraint: `metricSql` is an AGGREGATE SQL expression
+    * over the table yielding a LONG; the check passes iff
+    * `observed cmp threshold`. */
+  sealed trait Check {
+    def name: String
+    def column: String
+    def metricSql: String
+    def threshold: Long
+    def cmp: String // ">=" | "<="
+  }
+
+  /** Fraction of rows with `column` non-null, in ppm (floor). */
+  final case class Completeness(column: String, minPpm: Long = Ppm) extends Check {
+    val name = "completeness"
+    def metricSql = s"count($column) * $Ppm DIV count(1)"
+    def threshold = minPpm
+    def cmp = ">="
+  }
+
+  /** Distinct values per non-null value, in ppm (floor) — `Ppm` means the
+    * column is a key. NULLs are excluded from both sides. */
+  final case class Uniqueness(column: String, minPpm: Long = Ppm) extends Check {
+    val name = "uniqueness"
+    def metricSql = s"count(DISTINCT $column) * $Ppm DIV count($column)"
+    def threshold = minPpm
+    def cmp = ">="
+  }
+
+  /** Fraction of rows whose `column` is one of `allowed`, in ppm. */
+  final case class InSet(column: String, allowed: Seq[String],
+                         minPpm: Long = Ppm) extends Check {
+    val name = "in_set"
+    private def lits = allowed.map(v => s"'${v.replace("'", "''")}'").mkString(", ")
+    def metricSql = s"count(CASE WHEN $column IN ($lits) THEN 1 END) * $Ppm DIV count(1)"
+    def threshold = minPpm
+    def cmp = ">="
+  }
+
+  /** Lower bound on `min(floor(column·100))` (cents-quantized doubles;
+    * pass the threshold in the same ×100 units). */
+  final case class MinBound(column: String, lo: Long) extends Check {
+    val name = "min_bound"
+    def metricSql = s"min(CAST(FLOOR($column * 1e2) AS BIGINT))"
+    def threshold = lo
+    def cmp = ">="
+  }
+
+  /** Upper bound on `max(floor(column·100))`. */
+  final case class MaxBound(column: String, hi: Long) extends Check {
+    val name = "max_bound"
+    def metricSql = s"max(CAST(FLOOR($column * 1e2) AS BIGINT))"
+    def threshold = hi
+    def cmp = "<="
+  }
+
+  /** Evaluate all `checks` against `df` in one aggregation pass.
+    * One row per check, report schema as documented on the object. */
+  def suite(tableName: String, df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "empty check suite")
+    val metrics = checks.zipWithIndex.map { case (c, i) => expr(c.metricSql).as(s"m$i") }
+    val oneRow = df.agg(metrics.head, metrics.tail: _*)
+    val stackArgs = checks.zipWithIndex.map { case (c, i) =>
+      s"'${c.name}', '${c.column}', m$i, CAST(${c.threshold} AS BIGINT), '${c.cmp}'"
+    }.mkString(", ")
+    oneRow
+      .selectExpr(s"stack(${checks.size}, $stackArgs) AS " +
+        "(check_name, col_name, observed, threshold, cmp)")
+      .select(lit(tableName).as("table_name"), col("check_name"), col("col_name"),
+        col("observed"), col("threshold"), col("cmp"))
+      .withColumn("passed",
+        when(col("cmp") === ">=", col("observed") >= col("threshold"))
+          .otherwise(col("observed") <= col("threshold")))
+  }
+
+  /** Referential-integrity check: count of `child` rows whose `childKey`
+    * has no match in `parent.parentKey` (orphans; a NULL child key counts
+    * as an orphan — it references nothing). One left-anti join: the parent
+    * side broadcasts when small, otherwise a shuffled semi-join — never a
+    * cartesian. Passes iff the orphan count is 0. */
+  def referential(tableName: String, child: DataFrame, childKey: String,
+                  parent: DataFrame, parentKey: String): DataFrame =
+    child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("observed"))
+      .select(lit(tableName).as("table_name"),
+        lit("referential").as("check_name"), lit(childKey).as("col_name"),
+        col("observed"), lit(0L).as("threshold"), lit("<=").as("cmp"),
+        (col("observed") <= 0L).as("passed"))
+
+  /** Union per-table suites + referential checks into one ordered report
+    * (total order: (table_name, check_name, col_name) is unique by
+    * construction — one check instance per (table, kind, column)). */
+  def report(parts: Seq[DataFrame]): DataFrame =
+    parts.reduce(_.unionAll(_))
+      .orderBy(col("table_name"), col("check_name"), col("col_name"))
+}

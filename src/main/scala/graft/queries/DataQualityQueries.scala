@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import graft.operators.DataQuality
+import graft.operators.DataQuality._
+
+/** Data-quality verification pack — the admission gate a corpus build runs
+  * before publishing a snapshot (reference ingest trusts the wire JSON
+  * unchecked: src/priceUpdater.py:61-118; this is the check layer it lacks).
+  *
+  * One query, thirteen constraints over four tables: per-table single-pass
+  * metric suites + cross-table referential integrity, all integer metrics
+  * (ppm fractions, cents-quantized bounds) so the DuckDB oracle
+  * hash-matches exactly. Two constraints FAIL by design on the synthetic
+  * data (events.user_id is not unique; events.value exceeds the 400.00 cap)
+  * — a report that can only say "passed" tests nothing. */
+object DataQualityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Allowed event vocabulary (sorted; mirrors the generator's five kinds). */
+  private val EventKinds = Seq("click", "error", "purchase", "signup", "view")
+
+  def dqExpectations(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    val cust = Tables.customer(s, d)
+    val evSuite = DataQuality.suite("events", ev, Seq(
+      Completeness("user_id"), Completeness("props"),
+      Uniqueness("event_id"), Uniqueness("user_id"),
+      InSet("event_type", EventKinds),
+      MinBound("value", 0L), MaxBound("value", 40000L)))
+    val liSuite = DataQuality.suite("lineitem", li, Seq(
+      Completeness("l_shipdate"),
+      MinBound("l_quantity", 100L), MaxBound("l_discount", 10L)))
+    DataQuality.report(Seq(
+      evSuite, liSuite,
+      DataQuality.referential("orders", ord, "o_custkey", cust, "c_custkey"),
+      DataQuality.referential("lineitem", li, "l_orderkey", ord, "o_orderkey"),
+      DataQuality.referential("events", ev, "user_id", cust, "c_custkey")))
+  }
+
+  private val inSetLits = EventKinds.map(v => s"'$v'").mkString(", ")
+
+  val dqSql: String =
+    s"""WITH ev AS (
+       |  SELECT count(user_id) * 1000000 // count(1) AS m0,
+       |         count(props) * 1000000 // count(1) AS m1,
+       |         count(DISTINCT event_id) * 1000000 // count(event_id) AS m2,
+       |         count(DISTINCT user_id) * 1000000 // count(user_id) AS m3,
+       |         count(CASE WHEN event_type IN ($inSetLits) THEN 1 END) * 1000000 // count(1) AS m4,
+       |         min(CAST(FLOOR(value * 1e2) AS BIGINT)) AS m5,
+       |         max(CAST(FLOOR(value * 1e2) AS BIGINT)) AS m6
+       |  FROM events),
+       |li AS (
+       |  SELECT count(l_shipdate) * 1000000 // count(1) AS m0,
+       |         min(CAST(FLOOR(l_quantity * 1e2) AS BIGINT)) AS m1,
+       |         max(CAST(FLOOR(l_discount * 1e2) AS BIGINT)) AS m2
+       |  FROM lineitem),
+       |rf1 AS (SELECT count(1) AS c FROM orders o
+       |        LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) p ON p.c_custkey = o.o_custkey
+       |        WHERE p.c_custkey IS NULL),
+       |rf2 AS (SELECT count(1) AS c FROM lineitem l
+       |        LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) p ON p.o_orderkey = l.l_orderkey
+       |        WHERE p.o_orderkey IS NULL),
+       |rf3 AS (SELECT count(1) AS c FROM events e
+       |        LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) p ON p.c_custkey = e.user_id
+       |        WHERE p.c_custkey IS NULL)
+       |SELECT 'events' AS table_name, 'completeness' AS check_name, 'user_id' AS col_name,
+       |       m0 AS observed, CAST(1000000 AS BIGINT) AS threshold, '>=' AS cmp, m0 >= 1000000 AS passed FROM ev
+       |UNION ALL SELECT 'events', 'completeness', 'props', m1, CAST(1000000 AS BIGINT), '>=', m1 >= 1000000 FROM ev
+       |UNION ALL SELECT 'events', 'uniqueness', 'event_id', m2, CAST(1000000 AS BIGINT), '>=', m2 >= 1000000 FROM ev
+       |UNION ALL SELECT 'events', 'uniqueness', 'user_id', m3, CAST(1000000 AS BIGINT), '>=', m3 >= 1000000 FROM ev
+       |UNION ALL SELECT 'events', 'in_set', 'event_type', m4, CAST(1000000 AS BIGINT), '>=', m4 >= 1000000 FROM ev
+       |UNION ALL SELECT 'events', 'min_bound', 'value', m5, CAST(0 AS BIGINT), '>=', m5 >= 0 FROM ev
+       |UNION ALL SELECT 'events', 'max_bound', 'value', m6, CAST(40000 AS BIGINT), '<=', m6 <= 40000 FROM ev
+       |UNION ALL SELECT 'lineitem', 'completeness', 'l_shipdate', m0, CAST(1000000 AS BIGINT), '>=', m0 >= 1000000 FROM li
+       |UNION ALL SELECT 'lineitem', 'min_bound', 'l_quantity', m1, CAST(100 AS BIGINT), '>=', m1 >= 100 FROM li
+       |UNION ALL SELECT 'lineitem', 'max_bound', 'l_discount', m2, CAST(10 AS BIGINT), '<=', m2 <= 10 FROM li
+       |UNION ALL SELECT 'orders', 'referential', 'o_custkey', c, CAST(0 AS BIGINT), '<=', c <= 0 FROM rf1
+       |UNION ALL SELECT 'lineitem', 'referential', 'l_orderkey', c, CAST(0 AS BIGINT), '<=', c <= 0 FROM rf2
+       |UNION ALL SELECT 'events', 'referential', 'user_id', c, CAST(0 AS BIGINT), '<=', c <= 0 FROM rf3
+       |ORDER BY table_name, check_name, col_name""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "dq_expectations" -> (dqExpectations _))
+
+  val oracle: Map[String, String] = Map(
+    "dq_expectations" -> dqSql)
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.DataQuality
+import graft.operators.DataQuality._
+
+/** DataQuality semantics: metric values on a hand-computed frame, pass/fail
+  * classification including NULL and orphan handling, and the single-pass
+  * plan contract (N checks ≠ N scans — one table scan per suite). */
+class DataQualitySpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // 4 rows: one NULL name, duplicate kind, price 7.5 .. 99.99
+  private def frame = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, Some("a"), "x", 7.5),
+      (2L, Some("b"), "x", 20.0),
+      (3L, None, "y", 99.99),
+      (4L, Some("d"), "zz", 12.25)
+    ).toDF("id", "name", "kind", "price")
+  }
+
+  test("suite computes ppm/quantized metrics and classifies pass/fail") {
+    val out = DataQuality.suite("t", frame, Seq(
+      Completeness("name"),                        // 3/4 = 750000 ppm -> fail
+      Uniqueness("id"),                            // 4/4 -> pass
+      Uniqueness("kind"),                          // 3 distinct / 4 -> fail
+      InSet("kind", Seq("x", "y")),                // 3/4 -> fail
+      MinBound("price", 500L),                     // min 750 >= 500 -> pass
+      MaxBound("price", 5000L)                     // max 9998 (floor 99.99*100) > 5000 -> fail
+    )).collect().map(r => (r.getString(1), r.getString(2)) ->
+      (r.getLong(3), r.getBoolean(6))).toMap
+
+    assert(out(("completeness", "name")) == (750000L, false))
+    assert(out(("uniqueness", "id")) == (1000000L, true))
+    assert(out(("uniqueness", "kind")) == (750000L, false))
+    assert(out(("in_set", "kind")) == (750000L, false))
+    assert(out(("min_bound", "price")) == (750L, true))
+    // IEEE: 99.99*100 rounds up to 9999.000000000002, floor -> 9999
+    assert(out(("max_bound", "price")) == (9999L, false))
+  }
+
+  test("referential counts orphans (NULL child key is an orphan)") {
+    val s = spark
+    import s.implicits._
+    val child = Seq((Some(1L), "a"), (Some(9L), "b"), (None, "c"))
+      .toDF("fk", "payload")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val r = DataQuality.referential("child", child, "fk", parent, "pk")
+      .collect().head
+    assert(r.getLong(3) == 2L) // fk=9 and fk=NULL
+    assert(!r.getBoolean(6))
+    val clean = DataQuality.referential("child",
+      Seq(1L, 2L, 1L).toDF("fk"), "fk", parent, "pk").collect().head
+    assert(clean.getLong(3) == 0L && clean.getBoolean(6))
+  }
+
+  test("a suite without uniqueness checks is ONE scan, ONE aggregate pass") {
+    val plan = DataQuality.suite("t", frame, Seq(
+      Completeness("name"), InSet("kind", Seq("x")),
+      MinBound("price", 0L), MaxBound("price", 10000L)))
+      .queryExecution.executedPlan.toString()
+    assert("(?i)scan".r.findAllIn(plan).size == 1, plan)
+    // no Expand (the multi-distinct shape) in the distinct-free suite
+    assert(!plan.contains("Expand"), plan)
+  }
+
+  test("uniqueness adds the Expand multi-distinct shape but still one scan") {
+    val plan = DataQuality.suite("t", frame, Seq(
+      Completeness("name"), Uniqueness("id"), Uniqueness("kind")))
+      .queryExecution.executedPlan.toString()
+    assert("(?i)scan".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("report is ordered and total on (table, check, column)") {
+    val rep = DataQuality.report(Seq(
+      DataQuality.suite("t", frame, Seq(Completeness("name"), Uniqueness("id"))),
+      DataQuality.referential("t", frame, "id", frame.select("id"), "id")))
+      .collect()
+    val keys = rep.map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(keys.toSeq == keys.toSeq.sorted)
+    assert(keys.distinct.length == keys.length)
+  }
+}
