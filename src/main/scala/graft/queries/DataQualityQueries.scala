@@ -1,8 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.DataQuality
+import graft.operators.{DataQuality, Relational}
 import graft.operators.DataQuality._
 
 /** Data-quality verification pack — the admission gate a corpus build runs
@@ -83,9 +84,39 @@ object DataQualityQueries {
        |UNION ALL SELECT 'events', 'referential', 'user_id', c, CAST(0 AS BIGINT), '<=', c <= 0 FROM rf3
        |ORDER BY table_name, check_name, col_name""".stripMargin
 
+  // ---- J10: blocked fuzzy record linkage -----------------------------------
+  /** Candidate duplicate customer records: same market segment, names
+    * within edit distance 1. Block key = (segment, 17-char name prefix) —
+    * a true near-duplicate master record shares both (the prefix block's
+    * false-negative story: an edit inside the first 17 chars escapes; the
+    * production recall knob is a second pass with a complementary key,
+    * e.g. a suffix block — same trick as multi-band LSH).
+    * `failOnCap` because the oracle models no cap. */
+  def j10FuzzyLink(s: SparkSession, d: String): DataFrame =
+    Relational.fuzzyLink(
+      Tables.customer(s, d).withColumnRenamed("c_custkey", "cid"),
+      "cid", "c_name",
+      concat_ws("|", col("c_mktsegment"), substring(col("c_name"), 1, 17)),
+      maxDist = 1, failOnCap = true)
+      .withColumn("dist", col("dist").cast("long")) // DuckDB levenshtein is BIGINT
+      .orderBy(col("id_a"), col("id_b"))
+
+  val j10Sql: String =
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |       a.c_name AS name_a, b.c_name AS name_b,
+      |       levenshtein(a.c_name, b.c_name) AS dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_mktsegment = b.c_mktsegment
+      | AND substring(a.c_name, 1, 17) = substring(b.c_name, 1, 17)
+      | AND a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY id_a, id_b""".stripMargin
+
   val defs: Map[String, Q] = Map(
-    "dq_expectations" -> (dqExpectations _))
+    "dq_expectations" -> (dqExpectations _),
+    "j10_fuzzy_link" -> (j10FuzzyLink _))
 
   val oracle: Map[String, String] = Map(
-    "dq_expectations" -> dqSql)
+    "dq_expectations" -> dqSql,
+    "j10_fuzzy_link" -> j10Sql)
 }

@@ -81,6 +81,39 @@ class DataQualitySpec extends AnyFunSuite {
     assert("(?i)scan".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("fuzzyLink pairs within blocks only, by edit distance") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions.{col, substring}
+    val recs = Seq(
+      (1L, "smith"), (2L, "smyth"),   // dist 1, same block 's'
+      (3L, "smithe"),                 // dist 1 from smith, same block
+      (4L, "adams"), (5L, "adamz"),   // dist 1, block 'a'
+      (6L, "aquinn")                  // block 'a', far from both
+    ).toDF("id", "nm")
+    val out = Relational.fuzzyLink(recs, "id", "nm",
+      substring(col("nm"), 1, 1), maxDist = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // smyth-smithe is dist 2: excluded; cross-block never compared
+    assert(out == Set((1L, 2L), (1L, 3L), (4L, 5L)))
+  }
+
+  test("fuzzyLink failOnCap raises on a hot block; plan has no cartesian") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions.{col, lit}
+    val hot = (1L to 10L).map(i => (i, s"n$i")).toDF("id", "nm")
+    val guarded = Relational.fuzzyLink(hot, "id", "nm", lit("b"),
+      maxDist = 99, blockCap = 4, failOnCap = true)
+    val e = intercept[Exception] { guarded.collect() }
+    assert(e.getMessage.contains("blockCap"), e.getMessage)
+    val plan = Relational.fuzzyLink(hot, "id", "nm", col("nm"), maxDist = 1)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("report is ordered and total on (table, check, column)") {
     val rep = DataQuality.report(Seq(
       DataQuality.suite("t", frame, Seq(Completeness("name"), Uniqueness("id"))),
