@@ -19,7 +19,8 @@ object Explain {
         "assign_dense_ids", "search_bm25", "text_bigram_lm",
         "mine_hard_negatives", "mix_epochs", "rollup_maintain",
         "mm_frame_sample", "sketch_cms_incremental", "dedup_lsh_indexed",
-        "graph_pagerank", "dedup_canonical")
+        "graph_pagerank", "dedup_canonical", "graph_triangles",
+        "dq_expectations", "j10_fuzzy_link")
     for (name <- names) {
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, d).queryExecution.explainString(

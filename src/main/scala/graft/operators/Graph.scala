@@ -98,4 +98,75 @@ object Graph {
       Checkpoints.release(sym)
     }
   }
+
+  /** Triangle count + local clustering coefficient over an UNDIRECTED edge
+    * list, by degree orientation (Schank & Wagner, WEA 2005; distributed
+    * formulation Suri & Vassilvitskii, "Counting triangles and the curse
+    * of the last reducer", WWW 2011). Each edge is oriented from its
+    * lower-(degree, id) endpoint to the higher; every triangle then
+    * materializes EXACTLY once — as the wedge at its lowest-rank vertex,
+    * closed by an oriented edge between the two higher-rank ones. After
+    * orientation out-degree is O(√m) on ANY graph, so the wedge join is
+    * bounded by Σ outdeg² ≤ O(m^1.5) — a boilerplate hub of degree 100k
+    * cannot go quadratic (the LCC denominator still reports its true
+    * degree). Two self-joins on a checkpointed oriented-edge table — no
+    * iteration, no windows, all integer arithmetic.
+    *
+    * Output per edge-incident node: (id, degree, triangles, lcc_ppm) with
+    * lcc_ppm = 2·T·10⁶ DIV (deg·(deg−1)) (floor ppm; 0 when deg < 2).
+    * Curation role: LCC separates boilerplate hubs (star centers, LCC→0)
+    * from mutually-near-duplicate cliques (LCC→10⁶) — the two need
+    * different keep rules (`dedup_canonical` keeps hubs; a clique wants
+    * one survivor). */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = edges.filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .distinct()
+      .localCheckpoint() // degree agg + orientation both read this
+    try {
+      val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val withDeg = e
+        .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      val fwd = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val oriented = withDeg.select(
+        when(fwd, col("a")).otherwise(col("b")).as("u"),
+        when(fwd, col("b")).otherwise(col("a")).as("v"),
+        when(fwd, col("db")).otherwise(col("da")).as("dv"))
+        .localCheckpoint() // read twice: wedge generation + closure probe
+      try {
+        val rankLt = col("e1.dv") < col("e2.dv") ||
+          (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))
+        val wedges = oriented.as("e1").join(oriented.as("e2"),
+            col("e1.u") === col("e2.u") && rankLt)
+          .select(col("e1.u").as("u"), col("e1.v").as("x"),
+            col("e2.v").as("y"))
+        val tri = wedges.as("w").join(oriented.as("e3"),
+          col("e3.u") === col("w.x") && col("e3.v") === col("w.y"))
+          .select(col("w.u").as("u"), col("w.x").as("x"), col("w.y").as("y"))
+        val tcnt = tri
+          .select(explode(array(col("u"), col("x"), col("y"))).as("id"))
+          .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+        // materialize the small per-node result EAGERLY so the wide
+        // intermediates (e, oriented) can be released in the finally
+        // blocks below — same discipline as the pagerank loop; only the
+        // per-node output's blocks outlive the call
+        deg.join(tcnt, Seq("id"), "left")
+          .select(col("id"), col("deg").as("degree"),
+            coalesce(col("triangles"), lit(0L)).as("triangles"))
+          .withColumn("lcc_ppm",
+            when(col("degree") >= 2,
+              expr("(triangles * 2 * 1000000) DIV (degree * (degree - 1))"))
+              .otherwise(lit(0L)))
+          .localCheckpoint()
+      } finally {
+        Checkpoints.release(oriented)
+      }
+    } finally {
+      Checkpoints.release(e)
+    }
+  }
 }

@@ -119,11 +119,49 @@ object GraphQueries {
        |  w.id = c.canonical_id AS keep
        |FROM wr w JOIN canon c ON c.rep = w.rep ORDER BY doc_id""".stripMargin
 
+  // ---- triangle census: hub/clique structure of the dup graph -------------
+  /** Per-node triangle count + local clustering coefficient (integer
+    * ppm) of the duplicate-candidate graph. LCC separates boilerplate
+    * HUBS (star centers — high degree, LCC→0) from mutual near-dup
+    * CLIQUES (LCC→10⁶); the oracle enumerates ordered triangles x<y<z
+    * directly — orientation-free, so a Spark-side orientation bug
+    * cannot self-confirm. */
+  def graphTriangles(s: SparkSession, d: String): DataFrame =
+    Graph.triangles(dupEdges(Tables.documents(s, d)))
+      .select(col("id").as("doc_id"), col("degree"), col("triangles"),
+        col("lcc_ppm"))
+      .orderBy(col("doc_id"))
+
+  val graphTrianglesSql: String =
+    s"""WITH ${SequenceQueries.dupGraphCtes},
+       |und AS (SELECT s AS a, d AS b FROM sym WHERE s < d),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+       |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+       |), tn AS (
+       |  SELECT id, count(*) AS t FROM (
+       |    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+       |    UNION ALL SELECT z FROM tri) GROUP BY id
+       |), dg AS (
+       |  SELECT id, count(*) AS degree FROM (
+       |    SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id
+       |)
+       |SELECT dg.id AS doc_id, dg.degree,
+       |  COALESCE(tn.t, CAST(0 AS BIGINT)) AS triangles,
+       |  CASE WHEN dg.degree >= 2
+       |    THEN (COALESCE(tn.t, CAST(0 AS BIGINT)) * 2 * 1000000) // (dg.degree * (dg.degree - 1))
+       |    ELSE CAST(0 AS BIGINT) END AS lcc_ppm
+       |FROM dg LEFT JOIN tn ON tn.id = dg.id
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "graph_pagerank" -> (graphPagerank _),
-    "dedup_canonical" -> (dedupCanonical _))
+    "dedup_canonical" -> (dedupCanonical _),
+    "graph_triangles" -> (graphTriangles _))
 
   val oracle: Map[String, String] = Map(
     "graph_pagerank" -> graphPagerankSql,
-    "dedup_canonical" -> dedupCanonicalSql)
+    "dedup_canonical" -> dedupCanonicalSql,
+    "graph_triangles" -> graphTrianglesSql)
 }

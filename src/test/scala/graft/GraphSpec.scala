@@ -81,4 +81,48 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  // ---- triangles ----------------------------------------------------------
+
+  test("triangles: K4 minus an edge, counts and LCC by hand") {
+    val s = spark
+    import s.implicits._
+    // edges (1,2),(1,3),(2,3),(2,4),(3,4): triangles (1,2,3) and (2,3,4)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val got = Graph.triangles(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 1000000L)),      // deg 2, 1 tri, 2·1·1e6/(2·1)
+      2L -> ((3L, 2L, 666666L)),       // deg 3, 2 tri, 4e6/6 floored
+      3L -> ((3L, 2L, 666666L)),
+      4L -> ((2L, 1L, 1000000L))))
+  }
+
+  test("triangles: star has none; messy input (dups/reversed/self) collapses") {
+    val s = spark
+    import s.implicits._
+    val star = Seq((0L, 1L), (1L, 0L), (0L, 2L), (0L, 3L), (3L, 3L))
+      .toDF("id_a", "id_b")
+    val got = Graph.triangles(star).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      0L -> ((3L, 0L, 0L)), 1L -> ((1L, 0L, 0L)),
+      2L -> ((1L, 0L, 0L)), 3L -> ((1L, 0L, 0L))))
+  }
+
+  test("triangles: a clique is all-1e6 LCC; partition-order invariant") {
+    val s = spark
+    import s.implicits._
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))
+      .toDF("id_a", "id_b")
+    val a = Graph.triangles(k4).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(a.values.toSet == Set(1000000L))
+    val b = Graph.triangles(k4.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(a == b)
+  }
 }
