@@ -192,6 +192,40 @@ object Relational {
       .drop("_side", "_pay", "_back", "_fwd")
   }
 
+  /** J11 — binned interval join: points-in-intervals with NO equi key.
+    * The naive plan ("t BETWEEN lo AND hi" with nothing to hash on) is a
+    * nested-loop cartesian — dead at scale. The standard fix (bucketed
+    * range join; what Databricks' range-join hint and postgres GiST do
+    * under the hood) maps every interval to the fixed-width BINS it
+    * overlaps and every point to the ONE bin that contains it, equi-joins
+    * on the bin, then applies the exact `lo <= t < hi` filter. A point
+    * lives in exactly one bin, so a (point, interval) pair can match at
+    * most once — no dedup step needed.
+    *
+    * `binWidth` is the scale knob: candidate volume per bin is
+    * |points∩bin| × |intervals∩bin|. Pick it near the typical interval
+    * length — each interval then lands in ≤ 2 bins and the bin join is
+    * linear in both inputs. A hot bin (burst of intervals AND points in
+    * the same window) is AQE-skew-join territory, same as any hot key.
+    *
+    * `points` carries `tCol`, `intervals` carries `loCol`/`hiCol` (longs,
+    * half-open [lo, hi)); output = all point columns + all interval
+    * columns (caller avoids name collisions). Empty intervals (hi <= lo)
+    * drop out. */
+  def intervalJoin(points: DataFrame, tCol: String,
+                   intervals: DataFrame, loCol: String, hiCol: String,
+                   binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    val ibins = intervals.filter(col(hiCol) > col(loCol))
+      .withColumn("_bin", explode(sequence(
+        expr(s"$loCol DIV $binWidth"),
+        expr(s"($hiCol - 1) DIV $binWidth"))))
+    val pbins = points.withColumn("_bin", expr(s"$tCol DIV $binWidth"))
+    pbins.join(ibins, Seq("_bin"))
+      .filter(col(tCol) >= col(loCol) && col(tCol) < col(hiCol))
+      .drop("_bin")
+  }
+
   /** J10 — blocked fuzzy record linkage: candidate duplicate records by
     * edit distance, made join-shaped. The naive formulation ("all pairs
     * with levenshtein ≤ d") is a cartesian product — dead at any scale.

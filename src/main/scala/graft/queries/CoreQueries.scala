@@ -300,7 +300,39 @@ object CoreQueries {
       |WHERE doc_id % 7 = 0 OR (doc_id % 5 = 0 AND doc_id % 7 <> 0)
       |ORDER BY doc_id""".stripMargin
 
+  // ---- J11: binned interval join (no equi key) ----------------------------
+  /** Purchases inside any error-incident window [error.ts, +5 min) —
+    * point-in-interval with NO join key, made hash-joinable by binning
+    * ([[Relational.intervalJoin]]; bin width = the window length, so each
+    * interval spans ≤ 2 bins). The oracle states the naive range
+    * predicate directly; lag arithmetic is integer micros on both sides
+    * (DuckDB `date_diff('second', …)` counts boundary crossings, NOT
+    * elapsed seconds — epoch_us subtraction is the parity-safe form). */
+  def j11IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val winUs = 5L * 60 * 1000000
+    val pts = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("t_us"))
+    val win = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("wid"), unix_micros(col("ts")).as("lo"),
+        (unix_micros(col("ts")) + winUs).as("hi"))
+    Relational.intervalJoin(pts, "t_us", win, "lo", "hi", binWidth = winUs)
+      .select(col("event_id"), col("wid"),
+        expr("(t_us - lo) DIV 1000000").as("lag_s"))
+      .orderBy(col("event_id"), col("wid"))
+  }
+
+  val j11IntervalJoinSql: String =
+    """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+      |SELECT e.event_id, w.event_id AS wid,
+      |       (epoch_us(e.ts) - epoch_us(w.ts)) // 1000000 AS lag_s
+      |FROM ev e JOIN ev w
+      |  ON e.ts >= w.ts AND e.ts < w.ts + INTERVAL 5 MINUTE
+      |WHERE e.event_type = 'purchase' AND w.event_type = 'error'
+      |ORDER BY 1, 2""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "j11_interval_join" -> (j11IntervalJoin _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "snapshot_diff" -> (snapshotDiff _),
     "skew_join_plain" -> (skewJoinPlain _),
@@ -314,6 +346,7 @@ object CoreQueries {
     "cohort_retention" -> (cohortRetention _))
 
   val oracle: Map[String, String] = Map(
+    "j11_interval_join" -> j11IntervalJoinSql,
     "q1_pricing_summary" -> q1PricingSummarySql,
     "snapshot_diff" -> snapshotDiffSql,
     "skew_join_plain" -> skewJoinSql,
