@@ -20,7 +20,8 @@ object Explain {
         "mine_hard_negatives", "mix_epochs", "rollup_maintain",
         "mm_frame_sample", "sketch_cms_incremental", "dedup_lsh_indexed",
         "graph_pagerank", "dedup_canonical", "graph_triangles",
-        "dq_expectations", "j10_fuzzy_link", "j11_interval_join")
+        "dq_expectations", "j10_fuzzy_link", "j11_interval_join",
+        "a19_mad_outliers")
     for (name <- names) {
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, d).queryExecution.explainString(

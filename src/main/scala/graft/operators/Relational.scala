@@ -192,6 +192,54 @@ object Relational {
       .drop("_side", "_pay", "_back", "_fwd")
   }
 
+  /** A19 — robust per-group outlier detection by median absolute
+    * deviation (the MAD rule: flag x with |x − median| > k·MAD; Hampel's
+    * robust alternative to z-scores — mean/stddev are themselves dragged
+    * by the outliers they're meant to find).
+    *
+    * EXACT medians at scale without a per-row sort: the input is already
+    * quantized to integer cents, so the value histogram is SMALL (≤
+    * distinct cents values). One map-side-combinable groupBy builds the
+    * per-group histogram, a prefix-sum window runs over THAT tiny table
+    * (never over data rows — same trick as quality_top_fraction_by_domain),
+    * and the median is the bucket where the cumulative count first
+    * reaches ⌈n/2⌉ (lower median). MAD repeats the same crossing on the
+    * |x − median| histogram. The two selected one-row-per-group frames
+    * broadcast back; the final outlier filter is one scan + broadcast
+    * joins. All arithmetic integer — oracle-hash-exact.
+    *
+    * When more than half a group shares one value, MAD = 0 and every
+    * deviating row is flagged — the documented textbook behavior (a
+    * near-constant metric should alarm on ANY deviation).
+    *
+    * Output: (id, g, qc, med_c, mad_c, dev_c) for rows with
+    * dev_c > k·mad_c. */
+  def madOutliers(df: DataFrame, grpCol: String, idCol: String,
+                  quantCol: Column, k: Long = 5L): DataFrame = {
+    val q = df.select(col(grpCol).as("g"), col(idCol).as("id"),
+      quantCol.as("qc"))
+    // lower median of a grouped integer column via histogram crossing:
+    // first bucket whose cumulative count reaches ⌈n/2⌉ = (n+1) DIV 2
+    def crossing(vals: DataFrame, valCol: String, outCol: String): DataFrame = {
+      val hist = vals.groupBy(col("g"), col(valCol)).agg(count(lit(1)).as("cnt"))
+      val n = hist.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+      val w = Window.partitionBy(col("g")).orderBy(col(valCol))
+      hist.withColumn("cum", sum(col("cnt")).over(w))
+        .join(n, "g")
+        .filter(col("cum") >= expr("(n + 1) DIV 2") &&
+          col("cum") - col("cnt") < expr("(n + 1) DIV 2"))
+        .select(col("g"), col(valCol).as(outCol))
+    }
+    val med = crossing(q.select(col("g"), col("qc")), "qc", "med_c")
+    val ad = q.join(broadcast(med), "g")
+      .withColumn("dev_c", abs(col("qc") - col("med_c")))
+    val mad = crossing(ad.select(col("g"), col("dev_c")), "dev_c", "mad_c")
+    ad.join(broadcast(mad), "g")
+      .filter(col("dev_c") > lit(k) * col("mad_c"))
+      .select(col("id"), col("g"), col("qc"), col("med_c"), col("mad_c"),
+        col("dev_c"))
+  }
+
   /** J11 — binned interval join: points-in-intervals with NO equi key.
     * The naive plan ("t BETWEEN lo AND hi" with nothing to hash on) is a
     * nested-loop cartesian — dead at scale. The standard fix (bucketed

@@ -331,7 +331,39 @@ object CoreQueries {
       |WHERE e.event_type = 'purchase' AND w.event_type = 'error'
       |ORDER BY 1, 2""".stripMargin
 
+  // ---- A19: MAD robust outliers -------------------------------------------
+  /** Per-event-type anomalies by the k=5 MAD rule over cents-quantized
+    * values. Engine side selects medians by histogram crossing (no
+    * per-row window); the oracle states the same lower-median selection
+    * via row_number — rank r falls inside the bucket where the
+    * cumulative count crosses r, so the two formulations agree exactly. */
+  def a19MadOutliers(s: SparkSession, d: String): DataFrame =
+    Relational.madOutliers(Tables.events(s, d), "event_type", "event_id",
+      expr("CAST(FLOOR(value * 1e2) AS BIGINT)"), k = 5L)
+      .select(col("id").as("event_id"), col("g").as("event_type"),
+        col("qc").as("value_c"), col("med_c"), col("mad_c"), col("dev_c"))
+      .orderBy(col("event_id"))
+
+  val a19MadOutliersSql: String =
+    """WITH q AS (
+      |  SELECT event_id, event_type, CAST(FLOOR(value * 1e2) AS BIGINT) AS qc
+      |  FROM events),
+      |rn AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY qc, event_id) AS rn,
+      |              count(*) OVER (PARTITION BY event_type) AS n FROM q),
+      |med AS (SELECT event_type, qc AS med_c FROM rn WHERE rn = (n + 1) // 2),
+      |ad AS (SELECT q.event_id, q.event_type, q.qc, m.med_c,
+      |              abs(q.qc - m.med_c) AS dev_c
+      |       FROM q JOIN med m USING (event_type)),
+      |rn2 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev_c, event_id) AS rn,
+      |               count(*) OVER (PARTITION BY event_type) AS n FROM ad),
+      |mad AS (SELECT event_type, dev_c AS mad_c FROM rn2 WHERE rn = (n + 1) // 2)
+      |SELECT a.event_id, a.event_type, a.qc AS value_c, a.med_c, d.mad_c, a.dev_c
+      |FROM ad a JOIN mad d USING (event_type)
+      |WHERE a.dev_c > 5 * d.mad_c
+      |ORDER BY event_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "a19_mad_outliers" -> (a19MadOutliers _),
     "j11_interval_join" -> (j11IntervalJoin _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "snapshot_diff" -> (snapshotDiff _),
@@ -346,6 +378,7 @@ object CoreQueries {
     "cohort_retention" -> (cohortRetention _))
 
   val oracle: Map[String, String] = Map(
+    "a19_mad_outliers" -> a19MadOutliersSql,
     "j11_interval_join" -> j11IntervalJoinSql,
     "q1_pricing_summary" -> q1PricingSummarySql,
     "snapshot_diff" -> snapshotDiffSql,

@@ -58,6 +58,47 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("madOutliers: hand-computed medians, MAD, and k-rule flags") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.lit
+    // A: values 1,2,3,4,100 -> med 3 (rank 3), devs {2,1,0,1,97} -> mad 1
+    //    outliers: dev > 5 -> only 100 (dev 97)
+    val a = Seq((1L, "A", 1L), (2L, "A", 2L), (3L, "A", 3L),
+      (4L, "A", 4L), (5L, "A", 100L))
+    // B: 10,10,10,50 even n -> lower median rank (4+1) DIV 2 = 2 -> med 10
+    //    devs {0,0,0,40} -> mad 0 -> ANY deviation flags -> only 50
+    val b = Seq((6L, "B", 10L), (7L, "B", 10L), (8L, "B", 10L),
+      (9L, "B", 50L))
+    val df = (a ++ b).toDF("id", "g", "v")
+    val out = Relational.madOutliers(df, "g", "id", col("v") * lit(1L))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (5L, "A", 100L, 3L, 1L, 97L),
+      (9L, "B", 50L, 10L, 0L, 40L)))
+  }
+
+  test("madOutliers: prefix-sum window runs over the histogram, not data rows") {
+    val s = spark
+    import s.implicits._
+    // 1000 rows but only 3 distinct values: the Window input is the
+    // 3-bucket histogram — pin that by checking the plan windows AFTER
+    // an aggregate (the histogram groupBy), never directly over the scan
+    val df = (1L to 1000L).map(i => (i, "g", i % 3)).toDF("id", "g", "v")
+    val plan = Relational.madOutliers(df, "g", "id", col("v"))
+      .queryExecution.optimizedPlan.toString()
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0, plan)
+    // every Window node's subtree must contain an Aggregate (histogram)
+    plan.linesIterator.zipWithIndex.filter(_._1.contains("Window")).foreach {
+      case (_, i) =>
+        val below = plan.linesIterator.drop(i + 1).mkString("\n")
+        assert(below.contains("Aggregate"), s"window without histogram:\n$plan")
+    }
+  }
+
   test("negative timestamps: truncating DIV is monotone, coverage holds") {
     val out = Relational.intervalJoin(
       pts(-15L, -10L, -6L, -5L, 0L), "t",
