@@ -197,6 +197,54 @@ object Streams {
       }
       .start()
 
+  /** Streaming data-quality admission gate — the batch
+    * [[graft.operators.DataQuality]] suite promoted to the ingest path.
+    * Each micro-batch is scored against the declared checks IN ONE pass
+    * (the suite's single-aggregation contract), the per-batch report
+    * (stamped with batch_id) appends to `reportDir`, and the batch routes
+    * WHOLE to `acceptedDir` or `quarantineDir` on the all-checks verdict:
+    * partial admission would make replay non-deterministic, and a batch
+    * with poisoned rows usually signals an upstream fault whose clean
+    * rows you want held together for reprocessing (the classic
+    * quarantine-table pattern).
+    *
+    * The verdict is a one-row driver read — a planning/control boundary
+    * (it picks which SINK the batch goes to; it never touches row data).
+    * Sinks are [[commitOnce]]-guarded so a replayed batch never
+    * double-appends; empty batches are skipped (a ppm metric over zero
+    * rows is undefined). Referential checks against standing dimensions
+    * belong in the suite via a broadcast-side check column, not here —
+    * this gate is deliberately stateless (report + ledger + checkpoint
+    * ARE the state, the [[lshIngestGate]] discipline). */
+  def dqGateStream(stream: DataFrame, tableName: String,
+                   checks: Seq[graft.operators.DataQuality.Check],
+                   reportDir: String, acceptedDir: String,
+                   quarantineDir: String, ledgerDir: String,
+                   checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint()
+        try {
+          if (!b.isEmpty) {
+            val rep = graft.operators.DataQuality.suite(tableName, b, checks)
+              .withColumn("batch_id", lit(batchId))
+              .localCheckpoint()
+            try {
+              val ok = rep.agg(min(col("passed")).as("ok")).head.getBoolean(0)
+              commitOnce(ledgerDir, batchId) {
+                rep.write.mode("append").parquet(reportDir)
+                b.write.mode("append")
+                  .parquet(if (ok) acceptedDir else quarantineDir)
+              }
+            } finally graft.operators.Checkpoints.release(rep)
+          }
+        } finally graft.operators.Checkpoints.release(b)
+        ()
+      }
+      .start()
+
   /** Stream-stream interval enrichment — the streaming counterpart of the
     * batch as-of join (w7): each event row joins every quote row of the
     * same key whose timestamp lies in (event_ts − maxAge, event_ts]. Both

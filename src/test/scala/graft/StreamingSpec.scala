@@ -987,6 +987,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(probe.select("old_id").collect().map(_.getLong(0)).toSet ==
       Set(10L, 21L, 22L, 31L))
   }
+
+  test("dqGateStream: clean batch accepted, dirty batch quarantined whole, per-batch reports append") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import graft.operators.DataQuality.{Completeness, MinBound}
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val (rep, acc, quar, ledger, ckpt) =
+      (tmp("dq_rep"), tmp("dq_acc"), tmp("dq_quar"), tmp("dq_ledger"), tmp("dq_ckpt"))
+    val in = MemoryStream[LshDoc]
+    // null-able projection: doc_id <= 0 maps text to NULL (the poison)
+    val shaped = in.toDF().select(col("doc_id"),
+      when(col("doc_id") <= 0L, lit(null).cast("string"))
+        .otherwise(col("text")).as("text"))
+    val q = Streams.dqGateStream(shaped, "docs",
+      Seq(Completeness("text"), MinBound("doc_id", 1L)),
+      rep, acc, quar, ledger, ckpt)
+    in.addData(LshDoc(1L, "clean one"), LshDoc(2L, "clean two"))
+    q.processAllAvailable()
+    in.addData(LshDoc(3L, "fine"), LshDoc(0L, "becomes null"))
+    q.processAllAvailable()
+    q.stop()
+    val accepted = s.read.parquet(acc).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val quarantined = s.read.parquet(quar).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(accepted == Set(1L, 2L))
+    assert(quarantined == Set(3L, 0L)) // WHOLE batch held together
+    val report = s.read.parquet(rep)
+      .select("batch_id", "check_name", "passed").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    // 2 checks per batch; batch 2 fails completeness AND min_bound
+    assert(report.length == 4)
+    assert(report.filter(_._1 == 0L).forall(_._3))
+    assert(report.filter(_._1 == 1L).forall(!_._3))
+  }
 }
 
 /** Top-level (not inner) so Spark can construct instances without an
