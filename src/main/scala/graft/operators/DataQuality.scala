@@ -127,6 +127,45 @@ object DataQuality {
         col("observed"), lit(0L).as("threshold"), lit("<=").as("cmp"),
         (col("observed") <= 0L).as("passed"))
 
+  /** Sequence-continuity check: the missing runs ("gaps") of an integer
+    * id column — the completeness diagnostic a dense-id ingest runs to
+    * prove nothing was dropped. The textbook gaps-and-islands query is a
+    * `lead() OVER (ORDER BY id)` — a single-partition global sort, dead
+    * at scale. Two-phase instead:
+    *
+    *  1. ids hash into fixed `blockSize` blocks; a `lead` window runs
+    *     WITHIN each block (narrow (block, id) rows, partitioned
+    *     shuffle) → intra-block gaps;
+    *  2. per-block (min, max) summary — |ids|/blockSize rows — takes ONE
+    *     tiny global window for the bridge gaps between consecutive
+    *     non-empty blocks (entirely-missing blocks are spanned by their
+    *     neighbors' bridge). The only global sort in the plan runs over
+    *     the block summary, never over data rows — the
+    *     [[Relational.madOutliers]] histogram discipline.
+    *
+    * Every consecutive-present pair is either intra-block or a bridge,
+    * so the union equals the naive formulation row for row. Duplicate
+    * ids collapse first. Output: (gap_start, gap_end, n_missing),
+    * gaps strictly inside [min(id), max(id)]. */
+  def idGaps(df: DataFrame, idCol: String, blockSize: Long = 4096L): DataFrame = {
+    require(blockSize > 0, s"blockSize must be positive: $blockSize")
+    import org.apache.spark.sql.expressions.Window
+    val ids = df.select(col(idCol).cast("long").as("id")).distinct()
+      .withColumn("b", expr(s"id DIV $blockSize"))
+    val wIn = Window.partitionBy(col("b")).orderBy(col("id"))
+    val intra = ids.withColumn("nxt", lead(col("id"), 1).over(wIn))
+      .filter(col("nxt") > col("id") + 1L)
+    val summary = ids.groupBy(col("b"))
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+    val wB = Window.orderBy(col("b")) // tiny: one row per non-empty block
+    val bridge = summary.withColumn("nxt_mn", lead(col("mn"), 1).over(wB))
+      .filter(col("nxt_mn") > col("mx") + 1L)
+      .select(col("mx").as("id"), col("nxt_mn").as("nxt"))
+    intra.select(col("id"), col("nxt")).unionAll(bridge)
+      .select((col("id") + 1L).as("gap_start"), (col("nxt") - 1L).as("gap_end"),
+        (col("nxt") - col("id") - 1L).as("n_missing"))
+  }
+
   /** Union per-table suites + referential checks into one ordered report
     * (total order: (table_name, check_name, col_name) is unique by
     * construction — one check instance per (table, kind, column)). */

@@ -112,11 +112,34 @@ object DataQualityQueries {
       |WHERE levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- sequence continuity: missing-id runs --------------------------------
+  /** Gaps in the event_id sequence of the non-error event stream (error
+    * ids are the planted holes — the generator's ids are dense, so the
+    * filtered view is a realistic dropped-rows fixture). Engine side is
+    * the two-phase block scan ([[DataQuality.idGaps]] — no global sort
+    * over data rows); the oracle states the naive lead-over-everything
+    * form, which the two-phase union must equal row for row. */
+  def dqIdGaps(s: SparkSession, d: String): DataFrame =
+    DataQuality.idGaps(
+      Tables.events(s, d).filter(col("event_type") =!= "error"),
+      "event_id", blockSize = 512L)
+      .orderBy(col("gap_start"))
+
+  val dqIdGapsSql: String =
+    """WITH ids AS (
+      |  SELECT DISTINCT event_id AS id FROM events WHERE event_type <> 'error'),
+      |g AS (SELECT id, lead(id) OVER (ORDER BY id) AS nxt FROM ids)
+      |SELECT id + 1 AS gap_start, nxt - 1 AS gap_end, nxt - id - 1 AS n_missing
+      |FROM g WHERE nxt > id + 1
+      |ORDER BY gap_start""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "dq_expectations" -> (dqExpectations _),
+    "dq_id_gaps" -> (dqIdGaps _),
     "j10_fuzzy_link" -> (j10FuzzyLink _))
 
   val oracle: Map[String, String] = Map(
     "dq_expectations" -> dqSql,
+    "dq_id_gaps" -> dqIdGapsSql,
     "j10_fuzzy_link" -> j10Sql)
 }

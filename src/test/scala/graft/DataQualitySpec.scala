@@ -114,6 +114,41 @@ class DataQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("idGaps: intra-block, bridge, and empty-block-spanning gaps; dups collapse") {
+    val s = spark
+    import s.implicits._
+    // blockSize 10: blocks [0..9], [10..19], [20..29], [30..39]
+    // present: 1,2,5 | 9,12 | (block 2 EMPTY) | 31, dup 31
+    val ids = Seq(1L, 2L, 5L, 9L, 12L, 31L, 31L, 2L).toDF("x")
+    val got = graft.operators.DataQuality.idGaps(ids, "x", blockSize = 10L)
+      .orderBy("gap_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // naive lead-over-all on {1,2,5,9,12,31}:
+    assert(got == Seq(
+      (3L, 4L, 2L),     // 2 -> 5 intra-block
+      (6L, 8L, 3L),     // 5 -> 9 intra-block
+      (10L, 11L, 2L),   // 9 -> 12 bridge
+      (13L, 30L, 18L))) // 12 -> 31 bridge spanning the empty block 2
+  }
+
+  test("idGaps: dense sequence yields no rows; the only global window is over blocks") {
+    val s = spark
+    import s.implicits._
+    val dense = (0L to 99L).toDF("x")
+    assert(graft.operators.DataQuality.idGaps(dense, "x", 16L).count() == 0)
+    // the bridge window (global, unpartitioned) must consume the block
+    // summary aggregate — never raw id rows
+    val plan = graft.operators.DataQuality.idGaps(dense, "x", 16L)
+      .queryExecution.optimizedPlan.toString()
+    plan.linesIterator.zipWithIndex
+      .filter(t => t._1.contains("Window") && !t._1.contains("partitionBy"))
+      .foreach { case (line, i) =>
+        if (!line.contains(" b#") && line.contains("ORDER BY b"))
+          assert(plan.linesIterator.drop(i + 1).mkString("\n").contains("Aggregate"),
+            s"global window without block summary below it:\n$plan")
+      }
+  }
+
   test("report is ordered and total on (table, check, column)") {
     val rep = DataQuality.report(Seq(
       DataQuality.suite("t", frame, Seq(Completeness("name"), Uniqueness("id"))),
