@@ -21,20 +21,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark cannot read as a
-    * timestamp; read nanos as long and floor-convert to microseconds (the
-    * same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP).
-    * The raw nanos survive as `ts_ns` so range predicates can be phrased
-    * against the PHYSICAL column and reach the parquet scan as
-    * PushedFilters (a filter on the derived `ts` cannot be pushed through
-    * the conversion expression — at cluster scale that is the difference
-    * between pruning row groups and reading the full table). */
+  /** events.parquet has shipped with two physical encodings of `ts`
+    * across driver testdata generations — TIMESTAMP(NANOS) (readable only
+    * as a raw long) and TIMESTAMP(MICROS, NTZ) — so this loader detects
+    * the file's encoding and normalizes to ONE public contract either
+    * way: `ts` is a session-tz TimestampType at microsecond precision
+    * (the same truncation DuckDB applies casting TIMESTAMP_NS →
+    * TIMESTAMP; sessions pin UTC so NTZ→TZ is value-preserving), and
+    * `ts_ns` is the epoch-nanos long the range queries bound against.
+    * The UNCONVERTED physical column additionally survives (as `ts_ns`
+    * in the nanos encoding, `ts_raw` in the micros one) so range
+    * predicates can be phrased against it and reach the parquet scan as
+    * PushedFilters — a filter on a derived column cannot be pushed
+    * through the conversion expression, and at cluster scale that is the
+    * difference between pruning row groups and reading the full table. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros, unix_micros}
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) via nanosAsLong
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => // TIMESTAMP(MICROS), NTZ or TZ
+        raw.withColumnRenamed("ts", "ts_raw")
+          .withColumn("ts", col("ts_raw").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -72,15 +72,23 @@ object CoreQueries {
       |ORDER BY ts DESC, event_id DESC LIMIT 200""".stripMargin
 
   // ---- O2: range-bounded history scan (as-of parameterized) --------------
-  def o2RangeScan(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      // range predicate on the PHYSICAL nanos column → PushedFilters
-      // (ts_ns >= µs*1000 ⟺ floor(ts_ns/1000) >= µs for integer bounds)
-      .filter(col("ts_ns") >=
-        unix_micros(lit(AsOf).cast("timestamp") - expr("INTERVAL 7 DAYS")) * 1000)
+  def o2RangeScan(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    // range predicate on the PHYSICAL column → PushedFilters. Under the
+    // micros encoding that column is `ts_raw` (a timestamp, bounded by a
+    // same-type literal); under the nanos one it is `ts_ns` (a long,
+    // bounded in nanos: ts_ns >= µs*1000 ⟺ floor(ts_ns/1000) >= µs for
+    // integer bounds). Both are the untransformed file column, so the
+    // scan prunes row groups instead of reading the full table.
+    val bound = lit(AsOf).cast("timestamp") - expr("INTERVAL 7 DAYS")
+    ev.filter(
+        if (ev.columns.contains("ts_raw"))
+          col("ts_raw") >= bound.cast(ev.schema("ts_raw").dataType)
+        else col("ts_ns") >= unix_micros(bound) * 1000)
       .filter(col("user_id") === 3)
       .select(col("ts"), col("event_id"), col("event_type"), col("value"))
       .orderBy(col("ts").asc, col("event_id").asc)
+  }
   val o2RangeScanSql: String =
     s"""SELECT ts, event_id, event_type, value FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
        |WHERE ts >= TIMESTAMP '$AsOf' - INTERVAL 7 DAY AND user_id = 3

@@ -31,10 +31,11 @@ class PlanAuditSpec extends AnyFunSuite {
   test("o2_range_scan: ts_ns range predicates reach the parquet scan as PushedFilters") {
     val p = plan("o2_range_scan")
     val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
-    // the DF renames the physical nanos column ts → ts_ns; the scan's
-    // PushedFilters speak the FILE's column name with nanos-scale bounds
-    assert(pushed.matches(""".*PushedFilters: \[[^\]]*GreaterThanOrEqual\(ts,\d{13,}.*"""),
-      s"nanos range predicate must appear in PushedFilters, got: $pushed")
+    // the DF renames the physical column ts → ts_raw (micros encoding) or
+    // ts → ts_ns (nanos); either way the scan's PushedFilters speak the
+    // FILE's column name — a timestamp bound or a ≥13-digit nanos bound
+    assert(pushed.matches(""".*PushedFilters: \[[^\]]*GreaterThanOrEqual\(ts,(\d{13,}|\d{4}-\d{2}-\d{2}[T ]).*"""),
+      s"range predicate on the file's ts column must appear in PushedFilters, got: $pushed")
   }
 
   test("j1_lookup_join: both dimension sides broadcast, fact side never shuffles") {
