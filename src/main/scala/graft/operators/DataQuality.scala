@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality verification — the Deequ idea (Schelter et al.,
@@ -172,4 +172,30 @@ object DataQuality {
   def report(parts: Seq[DataFrame]): DataFrame =
     parts.reduce(_.unionAll(_))
       .orderBy(col("table_name"), col("check_name"), col("col_name"))
+
+  /** Categorical distribution drift between two cohorts of one table,
+    * kept integer-exact: per key value, the total-variation-distance
+    * contribution scaled by 2·N₁·N₂ — `contrib = |c₁·N₂ − c₂·N₁|`, so
+    * TVD = Σcontrib / (2·N₁·N₂) without this operator ever dividing.
+    * (PSI/KL need logs, which the determinism contract bans; TVD is
+    * the rational-arithmetic drift measure, and ½Σ|p−q| bounds it.)
+    *
+    * One scan: a single `groupBy(key)` with conditional counts for
+    * both cohorts (map-side combinable — a key appearing only in one
+    * cohort simply counts 0 in the other, which is the full-outer-join
+    * semantics without a join). Totals come from a one-row agg over
+    * the tiny per-key table, cross-joined back via broadcast. At
+    * 100 TB the cost is the one scan; everything after is |keys| rows.
+    * Output: (key, c1, c2, contrib). */
+  def distributionDrift(df: DataFrame, keyCol: String,
+                        inCohort1: Column): DataFrame = {
+    val perKey = df.groupBy(col(keyCol).as("key"))
+      .agg(count(when(inCohort1, lit(1))).as("c1"),
+        count(when(!inCohort1, lit(1))).as("c2"))
+    val totals = perKey.agg(sum(col("c1")).cast("long").as("n1"),
+      sum(col("c2")).cast("long").as("n2"))
+    perKey.crossJoin(broadcast(totals))
+      .select(col("key"), col("c1"), col("c2"),
+        abs(col("c1") * col("n2") - col("c2") * col("n1")).as("contrib"))
+  }
 }

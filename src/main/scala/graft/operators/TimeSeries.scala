@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Market-history time-series operators — the rollups a price tracker
+  * serves from its observation stream (the reference charts per-item
+  * history and daily movement from raw observations,
+  * api/main.py:248-320, DOCUMENTATION.md:171-318), generalized to the
+  * shapes any metric store needs: OHLC bars, regular-grid resampling
+  * with forward fill, and per-key linear trend.
+  *
+  * Scale/determinism contract shared by all three:
+  *  - The ONLY pass over raw data rows is a map-side-combinable
+  *    `groupBy(key, bucket)` aggregation. Windows appear exclusively
+  *    over the post-aggregation (key × bucket) table, whose size is
+  *    bounded by cardinality × grid length, not by data volume — at
+  *    100 TB the raw scan dominates and nothing downstream grows with
+  *    it.
+  *  - First/last-in-bucket is `min/max(struct(orderCols…, payload))`
+  *    — the single-shuffle latest-per-key idiom, never a full-width
+  *    `row_number` window over data rows.
+  *  - Float values are quantized to `floor(x·1e6)` longs BEFORE any
+  *    sum (addition-order independence), so a second engine summing
+  *    the same rows hash-matches bit for bit; min/max/first/last stay
+  *    raw doubles (order-insensitive picks, no arithmetic).
+  */
+object TimeSeries {
+
+  /** value quantum for order-independent sums: floor(x·1e6). */
+  private def qval(c: Column): Column =
+    floor(c * lit(1e6)).cast("long")
+
+  /** OHLC bars: one row per (key, bucket) with open/high/low/close,
+    * observation count, and the quantized value sum (callers derive an
+    * exact mean as `qsum DIV n`). Open/close tie-break is the unique
+    * (tsCol, idCol) pair, so bar edges are deterministic under any row
+    * order. One shuffle; partial aggregation does the heavy lifting
+    * map-side. Output: (key, bucket, open, high, low, close, n, qsum).
+    */
+  def ohlcBars(df: DataFrame, keyCol: String, tsCol: String,
+               idCol: String, valCol: String,
+               bucket: Column): DataFrame =
+    df.groupBy(col(keyCol).as("key"), bucket.as("bucket"))
+      .agg(
+        min(struct(col(tsCol), col(idCol), col(valCol))).as("_o"),
+        max(struct(col(tsCol), col(idCol), col(valCol))).as("_c"),
+        max(col(valCol)).as("high"),
+        min(col(valCol)).as("low"),
+        count(lit(1)).as("n"),
+        sum(qval(col(valCol))).as("qsum"))
+      .select(col("key"), col("bucket"),
+        col(s"_o.$valCol").as("open"), col("high"), col("low"),
+        col(s"_c.$valCol").as("close"), col("n"), col("qsum"))
+
+  /** Regular-grid resample with forward fill: every key gets a row at
+    * every grid step between the GLOBAL bounds, carrying the last
+    * observed value at-or-before that step (null before a key's first
+    * observation, flagged by `observed` at steps with a real reading).
+    *
+    * Two-phase shape: (1) last-observation-per-(key, step) — the one
+    * aggregation over raw rows; (2) the dense grid is built from a
+    * one-row bounds agg via `sequence()`, cross-joined against the
+    * broadcast key dimension (tiny × tiny — never a data-row
+    * cartesian), left-joined to the hourly lasts, and forward-filled.
+    * The fill avoids engine-specific IGNORE NULLS: a running
+    * `count(observed)` window assigns each gap run the index of the
+    * observation that opened it, and `max(value)` over (key, run)
+    * broadcasts that single observation across its run. Both windows
+    * run over the (key × grid) table only.
+    *
+    * `step` e.g. `expr("INTERVAL 1 HOUR")`, with `trunc` the matching
+    * bucket unit for `date_trunc` ("hour"). Output:
+    * (key, grid_ts, value_ffill, observed). */
+  def resampleFfill(df: DataFrame, keyCol: String, tsCol: String,
+                    idCol: String, valCol: String,
+                    trunc: String, step: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs = df.groupBy(col(keyCol).as("key"),
+        date_trunc(trunc, col(tsCol)).as("grid_ts"))
+      .agg(max(struct(col(tsCol), col(idCol), col(valCol))).as("_l"))
+      .select(col("key"), col("grid_ts"), col(s"_l.$valCol").as("v_obs"))
+    val bounds = df.agg(
+      date_trunc(trunc, min(col(tsCol))).as("t0"),
+      date_trunc(trunc, max(col(tsCol))).as("t1"))
+    val grid = bounds.select(
+      explode(sequence(col("t0"), col("t1"), step)).as("grid_ts"))
+    val keys = df.select(col(keyCol).as("key")).distinct()
+    val dense = grid.crossJoin(broadcast(keys))
+      .join(obs, Seq("key", "grid_ts"), "left")
+    val run = Window.partitionBy(col("key")).orderBy(col("grid_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = dense
+      .withColumn("_run", count(col("v_obs")).over(run))
+    filled
+      .withColumn("value_ffill",
+        max(col("v_obs")).over(
+          Window.partitionBy(col("key"), col("_run"))))
+      .select(col("key"), col("grid_ts"), col("value_ffill"),
+        col("v_obs").isNotNull.as("observed"))
+  }
+
+  /** Per-key least-squares trend over per-bucket totals, kept exact:
+    * regress the quantized per-day value total Y on the day index x
+    * (days since `epoch`), and emit the OLS slope as an integer
+    * numerator/denominator pair — slope = num/den, where
+    * num = n·Σxy − Σx·Σy and den = n·Σx² − (Σx)² over the key's daily
+    * rows. All arithmetic is long-integer on (day-index, quantized
+    * daily total): x is bounded by the calendar span and n by span
+    * days, so the products stay far inside long range at any SF this
+    * engine benches (a deployment regressing decades of 100 TB days
+    * would widen the sums to DECIMAL(38,0) — one cast, same plan).
+    * Raw rows are touched once (the daily groupBy); the regression
+    * itself runs over the tiny (key × day) table.
+    * Output: (key, n_days, slope_num, slope_den). */
+  def trendSlope(df: DataFrame, keyCol: String, tsCol: String,
+                 valCol: String, epoch: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol).as("key"),
+        to_date(col(tsCol)).as("day"))
+      .agg(sum(qval(col(valCol))).as("yv"))
+      .withColumn("x", datediff(col("day"), lit(epoch).cast("date"))
+        .cast("long"))
+    daily.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x") * col("yv")).as("sxy"),
+        sum(col("x")).as("sx"),
+        sum(col("yv")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("key"), col("n_days"),
+        (col("n_days") * col("sxy") - col("sx") * col("sy"))
+          .as("slope_num"),
+        (col("n_days") * col("sxx") - col("sx") * col("sx"))
+          .as("slope_den"))
+  }
+}

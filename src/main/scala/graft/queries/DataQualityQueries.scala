@@ -133,13 +133,38 @@ object DataQualityQueries {
       |FROM g WHERE nxt > id + 1
       |ORDER BY gap_start""".stripMargin
 
+  // ---- distribution drift between corpus cohorts ---------------------------
+  /** Source-mix drift between the even- and odd-id halves of
+    * `documents` (a deterministic stand-in for two corpus versions):
+    * per source, both cohort counts and the total-variation-distance
+    * contribution scaled by 2·N₁·N₂ — integer-exact, no logs, no
+    * division ([[DataQuality.distributionDrift]]). One scan; the
+    * cohort split is a conditional count, not a self-join. */
+  def dqDriftTvd(s: SparkSession, d: String): DataFrame =
+    DataQuality.distributionDrift(
+      Tables.documents(s, d), "source", col("doc_id") % 2 === 0)
+      .orderBy(col("key"))
+
+  val dqDriftTvdSql: String =
+    """WITH v AS (
+      |  SELECT source AS key,
+      |         count(*) FILTER (WHERE doc_id % 2 = 0) AS c1,
+      |         count(*) FILTER (WHERE doc_id % 2 = 1) AS c2
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+      |             CAST(sum(c2) AS BIGINT) AS n2 FROM v)
+      |SELECT key, c1, c2, abs(c1 * n2 - c2 * n1) AS contrib
+      |FROM v CROSS JOIN t ORDER BY key""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "dq_expectations" -> (dqExpectations _),
     "dq_id_gaps" -> (dqIdGaps _),
+    "dq_drift_tvd" -> (dqDriftTvd _),
     "j10_fuzzy_link" -> (j10FuzzyLink _))
 
   val oracle: Map[String, String] = Map(
     "dq_expectations" -> dqSql,
     "dq_id_gaps" -> dqIdGapsSql,
+    "dq_drift_tvd" -> dqDriftTvdSql,
     "j10_fuzzy_link" -> j10Sql)
 }

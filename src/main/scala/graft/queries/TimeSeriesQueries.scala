@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.TimeSeries
+
+/** Time-series rollups over the event stream — the chart-serving reads
+  * of a market tracker (per-item history, daily movement:
+  * api/main.py:248-320) generalized to OHLC bars, gap-free resampled
+  * series, and per-key trend, all under the integer-determinism
+  * contract ([[graft.operators.TimeSeries]] scaladoc).
+  *
+  * Oracle notes: DuckDB's ordered aggregates (`first/last(x ORDER BY
+  * …)`) state the open/close picks the Spark side implements as
+  * `min/max(struct(ts, id, value))`; DuckDB widens BIGINT sums to
+  * HUGEINT, so every summed output casts back to BIGINT; the forward
+  * fill uses the run-index formulation (running `count(v)` window +
+  * per-run `max`) on BOTH sides instead of engine-specific
+  * `IGNORE NULLS`. */
+object TimeSeriesQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val evWrap =
+    "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events"
+
+  // ---- OHLC daily bars per event type --------------------------------------
+  /** One bar per (event_type, day): open/high/low/close with the unique
+    * (ts, event_id) tie-break, plus n and the quantized value sum (the
+    * exact-mean numerator). Single map-combinable shuffle. */
+  def tsOhlc(s: SparkSession, d: String): DataFrame =
+    TimeSeries.ohlcBars(Tables.events(s, d), "event_type", "ts",
+        "event_id", "value", to_date(col("ts")))
+      .select(col("key").as("event_type"), col("bucket").as("day"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n"), col("qsum"))
+      .orderBy(col("event_type"), col("day"))
+
+  val tsOhlcSql: String =
+    s"""SELECT event_type, CAST(ts AS DATE) AS day,
+       |       first(value ORDER BY ts, event_id) AS open,
+       |       max(value) AS high, min(value) AS low,
+       |       last(value ORDER BY ts, event_id) AS close,
+       |       count(*) AS n,
+       |       CAST(sum(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS qsum
+       |FROM $evWrap
+       |GROUP BY 1, 2
+       |ORDER BY event_type, day""".stripMargin
+
+  // ---- hourly resample with forward fill -----------------------------------
+  /** Gap-free hourly series per event type between the global bounds,
+    * carrying the last observation forward (null before a type's first
+    * reading). Raw rows are aggregated once; the grid join and both
+    * fill windows run over the (type × hour) table only. */
+  def tsResampleFfill(s: SparkSession, d: String): DataFrame =
+    TimeSeries.resampleFfill(Tables.events(s, d), "event_type", "ts",
+        "event_id", "value", "hour", expr("INTERVAL 1 HOUR"))
+      .orderBy(col("key"), col("grid_ts"))
+
+  val tsResampleFfillSql: String =
+    s"""WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+       |b AS (SELECT date_trunc('hour', min(ts)) AS t0,
+       |             date_trunc('hour', max(ts)) AS t1 FROM ev),
+       |grid AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS grid_ts FROM b),
+       |keys AS (SELECT DISTINCT event_type AS key FROM ev),
+       |hourly AS (SELECT event_type AS key, date_trunc('hour', ts) AS grid_ts,
+       |                  last(value ORDER BY ts, event_id) AS v_obs
+       |           FROM ev GROUP BY 1, 2),
+       |dense AS (SELECT k.key, g.grid_ts, h.v_obs
+       |          FROM grid g CROSS JOIN keys k
+       |          LEFT JOIN hourly h ON h.key = k.key AND h.grid_ts = g.grid_ts),
+       |runs AS (SELECT key, grid_ts, v_obs,
+       |                count(v_obs) OVER (PARTITION BY key ORDER BY grid_ts
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+       |         FROM dense)
+       |SELECT key, grid_ts,
+       |       max(v_obs) OVER (PARTITION BY key, run) AS value_ffill,
+       |       v_obs IS NOT NULL AS observed
+       |FROM runs ORDER BY key, grid_ts""".stripMargin
+
+  // ---- per-type linear trend (exact rational slope) ------------------------
+  /** OLS slope of the quantized daily value total vs day index, emitted
+    * as the exact integer (numerator, denominator) pair — no division,
+    * no floats, hash-identical across engines. */
+  def tsTrend(s: SparkSession, d: String): DataFrame =
+    TimeSeries.trendSlope(Tables.events(s, d), "event_type", "ts",
+        "value", "2024-01-01")
+      .orderBy(col("key"))
+
+  val tsTrendSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+       |         CAST(sum(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS yv
+       |  FROM $evWrap GROUP BY 1, 2),
+       |dx AS (SELECT key, date_diff('day', DATE '2024-01-01', day) AS x, yv
+       |       FROM daily)
+       |SELECT key, count(*) AS n_days,
+       |       count(*) * CAST(sum(x * yv) AS BIGINT)
+       |         - CAST(sum(x) AS BIGINT) * CAST(sum(yv) AS BIGINT) AS slope_num,
+       |       count(*) * CAST(sum(x * x) AS BIGINT)
+       |         - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT) AS slope_den
+       |FROM dx GROUP BY key ORDER BY key""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "ts_ohlc" -> (tsOhlc _),
+    "ts_resample_ffill" -> (tsResampleFfill _),
+    "ts_trend" -> (tsTrend _))
+
+  val oracle: Map[String, String] = Map(
+    "ts_ohlc" -> tsOhlcSql,
+    "ts_resample_ffill" -> tsResampleFfillSql,
+    "ts_trend" -> tsTrendSql)
+}

@@ -276,6 +276,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("ts_ohlc: one aggregation shuffle, no window over data rows") {
+    val p = plan("ts_ohlc")
+    // bar edges come from min/max(struct(ts,id,value)) inside the groupBy
+    // — a row_number window here would sort every (key, day) partition.
+    // struct min/max buffers force SortAggregate (not HashAggregate);
+    // the scale property is the map-side partial pass, so pin THAT
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min(struct"), p)
+  }
+
+  test("ts_resample_ffill: raw rows aggregate once; windows and the grid join stay post-agg") {
+    val p = plan("ts_resample_ffill")
+    // the dense grid is sequence() × broadcast keys (tiny × tiny); the
+    // fill windows run over that (key × hour) table only — raw events
+    // must meet exactly one aggregation exchange on the data path
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(countOf(p, "Window") == 2, p)
+  }
+
   test("global sweep: no query plans an unbroadcast cartesian product") {
     // crossJoin against a broadcast side plans as BroadcastNestedLoopJoin
     // (fine — one side is tiny by construction); a CartesianProduct node

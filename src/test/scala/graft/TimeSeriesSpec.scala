@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{DataQuality, TimeSeries}
+
+/** TimeSeries operator semantics on hand-computed frames: OHLC bar edges
+  * with tie-breaks, forward-fill run logic (leading nulls, gap spans,
+  * same-bucket last-wins), exact trend slope, and TVD drift counts. */
+class TimeSeriesSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** One key, two days; day 1 has an intra-hour pair to pin last-wins. */
+  private def series = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, ts("2024-01-01 00:10:00"), "a", 10.0),
+      (2L, ts("2024-01-01 00:40:00"), "a", 12.0), // same hour: later wins
+      (3L, ts("2024-01-01 03:00:00"), "a", 8.0),
+      (4L, ts("2024-01-02 05:00:00"), "a", 20.0),
+      (5L, ts("2024-01-01 02:00:00"), "b", 5.0)
+    ).toDF("event_id", "ts", "key", "value")
+  }
+
+  test("ohlcBars: open/close by (ts, id), high/low, exact qsum") {
+    val out = TimeSeries.ohlcBars(series, "key", "ts", "event_id",
+        "value", to_date(col("ts")))
+      .orderBy("key", "bucket").collect()
+    val a1 = out(0) // a, 2024-01-01
+    assert(a1.getAs[Double]("open") == 10.0)
+    assert(a1.getAs[Double]("close") == 8.0)
+    assert(a1.getAs[Double]("high") == 12.0)
+    assert(a1.getAs[Double]("low") == 8.0)
+    assert(a1.getAs[Long]("n") == 3L)
+    assert(a1.getAs[Long]("qsum") == 30000000L)
+    val a2 = out(1) // a, 2024-01-02: single obs, open == close
+    assert(a2.getAs[Double]("open") == 20.0 &&
+      a2.getAs[Double]("close") == 20.0)
+    val b = out(2)
+    assert(b.getAs[String]("key") == "b" && b.getAs[Long]("n") == 1L)
+  }
+
+  test("resampleFfill: dense grid, leading nulls, gap fill, last-wins") {
+    val out = TimeSeries.resampleFfill(series, "key", "ts", "event_id",
+        "value", "hour", expr("INTERVAL 1 HOUR"))
+      .orderBy("key", "grid_ts").collect()
+    // global bounds: 00:00 Jan 1 .. 05:00 Jan 2 = 30 hours, 2 keys
+    assert(out.length == 60)
+    val a = out.take(30).map(r =>
+      (Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3)))
+    assert(a(0) == (Some(12.0), true))  // hour 0: last of the 00:xx pair
+    assert(a(1) == (Some(12.0), false)) // hour 1: carried forward
+    assert(a(3) == (Some(8.0), true))   // hour 3: new observation
+    assert(a(10) == (Some(8.0), false)) // long gap still carries 8.0
+    assert(a(29) == (Some(20.0), true)) // Jan 2 05:00
+    val b = out.drop(30).map(r =>
+      (Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3)))
+    assert(b(0) == (None, false) && b(1) == (None, false)) // before first obs
+    assert(b(2) == (Some(5.0), true))
+    assert(b(29) == (Some(5.0), false)) // b never observed again: carried
+  }
+
+  test("trendSlope: exact integer num/den on a hand-computed series") {
+    val s = spark
+    import s.implicits._
+    // key k: daily totals y = [2.0, 4.0, 6.0] on days x = [0, 1, 2]
+    val df = Seq(
+      (1L, ts("2024-01-01 01:00:00"), "k", 1.0),
+      (2L, ts("2024-01-01 02:00:00"), "k", 1.0),
+      (3L, ts("2024-01-02 01:00:00"), "k", 4.0),
+      (4L, ts("2024-01-03 01:00:00"), "k", 6.0)
+    ).toDF("event_id", "ts", "key", "value")
+    val r = TimeSeries.trendSlope(df, "key", "ts", "value", "2024-01-01")
+      .collect().head
+    // quantized y = [2e6, 4e6, 6e6]; n=3, Sxy=16e6, Sx=3, Sy=12e6, Sxx=5
+    // num = 3*16e6 - 3*12e6 = 12e6 ; den = 3*5 - 9 = 6  (slope = 2e6/day)
+    assert(r.getAs[Long]("n_days") == 3L)
+    assert(r.getAs[Long]("slope_num") == 12000000L)
+    assert(r.getAs[Long]("slope_den") == 6L)
+  }
+
+  test("distributionDrift: cohort counts and scaled TVD contribution") {
+    val s = spark
+    import s.implicits._
+    // cohort1 = even ids: {x:2, y:0}, N1=2 ; cohort2 = odd: {x:1, y:1}, N2=2
+    val df = Seq((2L, "x"), (4L, "x"), (1L, "x"), (3L, "y"))
+      .toDF("id", "k")
+    val out = DataQuality.distributionDrift(df, "k", col("id") % 2 === 0)
+      .orderBy("key").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq ==
+      Seq(("x", 2L, 1L, 2L), ("y", 0L, 1L, 2L)))
+    // TVD = sum(contrib) / (2*N1*N2) = 4/8 = 0.5: distributions (1,0) vs (.5,.5)
+  }
+}
