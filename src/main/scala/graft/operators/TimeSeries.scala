@@ -100,6 +100,35 @@ object TimeSeries {
         col("v_obs").isNotNull.as("observed"))
   }
 
+  /** Trailing moving aggregate over daily totals, kept exact: per
+    * (key, day), the quantized value sum and count over the trailing
+    * `windowDays`-day range — a RANGE frame on the integer day index
+    * (days since `epoch`), so missing days correctly shrink the window
+    * instead of stretching it (7 trailing DAYS, not 7 trailing rows).
+    * The exact windowed mean is `win_qsum DIV win_n` — long floor
+    * division, deterministic across engines. Raw rows are touched once
+    * (the daily groupBy); the range-frame window runs over the tiny
+    * (key × day) table only.
+    * Output: (key, day, n_d, qsum_d, win_n, win_qsum, avg_q). */
+  def movingDailyAgg(df: DataFrame, keyCol: String, tsCol: String,
+                     valCol: String, epoch: String,
+                     windowDays: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(col(keyCol).as("key"),
+        to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_d"), sum(qval(col(valCol))).as("qsum_d"))
+      .withColumn("x", datediff(col("day"), lit(epoch).cast("date"))
+        .cast("long"))
+    val w = Window.partitionBy(col("key")).orderBy(col("x"))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    daily
+      .withColumn("win_n", sum(col("n_d")).over(w))
+      .withColumn("win_qsum", sum(col("qsum_d")).over(w))
+      .select(col("key"), col("day"), col("n_d"), col("qsum_d"),
+        col("win_n"), col("win_qsum"),
+        expr("win_qsum DIV win_n").as("avg_q"))
+  }
+
   /** Per-key least-squares trend over per-bucket totals, kept exact:
     * regress the quantized per-day value total Y on the day index x
     * (days since `epoch`), and emit the OLS slope as an integer

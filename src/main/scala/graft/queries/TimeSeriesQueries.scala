@@ -78,6 +78,35 @@ object TimeSeriesQueries {
        |       v_obs IS NOT NULL AS observed
        |FROM runs ORDER BY key, grid_ts""".stripMargin
 
+  // ---- trailing 7-day moving aggregate -------------------------------------
+  /** Per (event_type, day): daily count/quantized-sum plus the trailing
+    * 7-DAY windowed totals and exact floor-division mean — a RANGE
+    * frame on the integer day index, so calendar gaps shrink the
+    * window rather than stretching it. Window runs over the tiny
+    * (type × day) table; raw rows aggregate once. */
+  def tsMovingAvg(s: SparkSession, d: String): DataFrame =
+    TimeSeries.movingDailyAgg(Tables.events(s, d), "event_type", "ts",
+        "value", "2024-01-01", 7)
+      .orderBy(col("key"), col("day"))
+
+  val tsMovingAvgSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+       |         count(*) AS n_d,
+       |         CAST(sum(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS qsum_d
+       |  FROM $evWrap GROUP BY 1, 2),
+       |dx AS (SELECT key, day, n_d, qsum_d,
+       |              date_diff('day', DATE '2024-01-01', day) AS x FROM daily),
+       |win AS (SELECT key, day, n_d, qsum_d,
+       |               CAST(sum(n_d) OVER w AS BIGINT) AS win_n,
+       |               CAST(sum(qsum_d) OVER w AS BIGINT) AS win_qsum
+       |        FROM dx
+       |        WINDOW w AS (PARTITION BY key ORDER BY x
+       |          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+       |SELECT key, day, n_d, qsum_d, win_n, win_qsum,
+       |       win_qsum // win_n AS avg_q
+       |FROM win ORDER BY key, day""".stripMargin
+
   // ---- per-type linear trend (exact rational slope) ------------------------
   /** OLS slope of the quantized daily value total vs day index, emitted
     * as the exact integer (numerator, denominator) pair — no division,
@@ -104,10 +133,12 @@ object TimeSeriesQueries {
   val defs: Map[String, Q] = Map(
     "ts_ohlc" -> (tsOhlc _),
     "ts_resample_ffill" -> (tsResampleFfill _),
+    "ts_moving_avg" -> (tsMovingAvg _),
     "ts_trend" -> (tsTrend _))
 
   val oracle: Map[String, String] = Map(
     "ts_ohlc" -> tsOhlcSql,
     "ts_resample_ffill" -> tsResampleFfillSql,
+    "ts_moving_avg" -> tsMovingAvgSql,
     "ts_trend" -> tsTrendSql)
 }

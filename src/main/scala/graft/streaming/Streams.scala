@@ -520,6 +520,30 @@ object Streams {
       .select(col(keyCol), col("session_start"), col("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming OHLC bars: the batch
+    * [[graft.operators.TimeSeries.ohlcBars]] rollup as a watermarked
+    * tumbling-window aggregation — one finalized bar per (key, window)
+    * emits in append mode once the watermark passes the window end.
+    * Bar edges are the same min/max(struct(ts, id, value)) picks as the
+    * batch operator and the value sum is quantized the same way, so
+    * stream ≡ batch bit for bit on the same rows (parity spec-pinned).
+    * State is one struct-pair buffer per open (key, window), watermark-
+    * bounded; the aggregation shuffles once on the grouping key —
+    * exactly the batch plan's shape, plus the state store. */
+  def ohlcBarsStream(stream: DataFrame, keyCol: String, tsCol: String,
+                     idCol: String, valCol: String, windowDur: String,
+                     lateness: String): DataFrame =
+    stream.withWatermark(tsCol, lateness)
+      .groupBy(col(keyCol).as("key"), window(col(tsCol), windowDur))
+      .agg(min(struct(col(tsCol), col(idCol), col(valCol))).as("_o"),
+        max(struct(col(tsCol), col(idCol), col(valCol))).as("_c"),
+        max(col(valCol)).as("high"), min(col(valCol)).as("low"),
+        count(lit(1)).as("n"),
+        sum(floor(col(valCol) * lit(1e6)).cast("long")).as("qsum"))
+      .select(col("key"), col("window.start").as("bucket"),
+        col(s"_o.$valCol").as("open"), col("high"), col("low"),
+        col(s"_c.$valCol").as("close"), col("n"), col("qsum"))
+
   /** A5: sliding event-time request count (rate-limiter reconstruction:
     * 1 request = 1 row, summed per sliding window). */
   def slidingRequestCount(stream: DataFrame, tsCol: String,

@@ -811,6 +811,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Set((2L, 3.0), (1L, 4.0)))
   }
 
+  test("ohlcBarsStream ≡ batch ohlcBars on real fixture events") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ev = graft.Tables.events(s, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 3)
+      .select(col("user_id"), col("ts").as("time"), col("event_id"), col("value"))
+    val rows = ev.collect().toSeq.map(r =>
+      Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    val in = MemoryStream[Ev]
+    val q = Streams.ohlcBarsStream(in.toDF(), "user_id", "time",
+        "event_id", "value", "1 day", "0 seconds")
+      .writeStream.format("memory").queryName("ohlc_par")
+      .outputMode("append").start()
+    in.addData(rows: _*)
+    q.processAllAvailable()
+    in.addData(Ev(999L, ts("2030-01-01 00:00:00"), 0L, 0.0)) // flush watermark
+    q.processAllAvailable()
+    val streamed = s.table("ohlc_par").filter(col("key") < 3)
+      .collect().map(_.toSeq).toSet
+    q.stop()
+    val batch = graft.operators.TimeSeries.ohlcBars(ev, "user_id", "time",
+        "event_id", "value", date_trunc("day", col("time")))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.size >= 3) // multi-day, multi-key fixture really exercised
+  }
+
   test("sessionizeStream ≡ batch W8 sessionizer on real fixture events") {
     val s = spark
     import s.implicits._

@@ -90,6 +90,26 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(r.getAs[Long]("slope_den") == 6L)
   }
 
+  test("movingDailyAgg: RANGE frame shrinks over calendar gaps") {
+    val s = spark
+    import s.implicits._
+    // key k, days 0, 1, 8: day 8's 7-day window covers days 2..8 → itself only
+    val df = Seq(
+      (1L, ts("2024-01-01 01:00:00"), "k", 2.0),
+      (2L, ts("2024-01-02 01:00:00"), "k", 4.0),
+      (3L, ts("2024-01-02 02:00:00"), "k", 6.0),
+      (4L, ts("2024-01-09 01:00:00"), "k", 10.0)
+    ).toDF("event_id", "ts", "key", "value")
+    val out = TimeSeries.movingDailyAgg(df, "key", "ts", "value",
+        "2024-01-01", 7)
+      .orderBy("day").collect()
+      .map(r => (r.getAs[Long]("win_n"), r.getAs[Long]("win_qsum"),
+        r.getAs[Long]("avg_q")))
+    assert(out(0) == (1L, 2000000L, 2000000L))
+    assert(out(1) == (3L, 12000000L, 4000000L))  // days 1+2 in range
+    assert(out(2) == (1L, 10000000L, 10000000L)) // gap: day 9 alone
+  }
+
   test("distributionDrift: cohort counts and scaled TVD contribution") {
     val s = spark
     import s.implicits._
