@@ -94,6 +94,44 @@ object Mix {
         (col("r0") + 1).cast("int").as("rank"))
   }
 
+  /** Weighted SYSTEMATIC sample, deterministic and exact: lay the
+    * corpus's integer weights (token counts) end to end in id order and
+    * pick every document whose span crosses a multiple of `stride` —
+    * selection probability proportional to weight, expected sample size
+    * Σw/stride, zero randomness, and `picks` counts multi-crossings so
+    * oversized documents are weighted faithfully (Madow's systematic
+    * PPS sampling, with the random start pinned to 0 for determinism).
+    *
+    * The cumulative weight is the textbook
+    * `sum(w) OVER (ORDER BY id)` — a single-partition global window at
+    * corpus scale — so it is decomposed two-phase like
+    * [[DataQuality.idGaps]]: per-block (id DIV blockSize) windows over
+    * narrow (block, id, w) rows, block offsets from one global window
+    * over the TINY per-block sum table, exclusive-prefix join back.
+    * No global sort ever sees data rows.
+    * Output: (idCol, w, cum, picks), picks ≥ 1 rows only. */
+  def sampleSystematicW(df: DataFrame, idCol: String, wCol: String,
+                        stride: Long, blockSize: Long = 4096L): DataFrame = {
+    require(stride > 0 && blockSize > 0)
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(idCol), col(wCol).cast("long").as("w"))
+      .withColumn("b", expr(s"$idCol DIV $blockSize"))
+    val wIn = Window.partitionBy(col("b")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blockOff = Window.orderBy(col("b")) // tiny: one row per block
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = rows.groupBy(col("b")).agg(sum(col("w")).as("bw"))
+      .withColumn("off", coalesce(sum(col("bw")).over(blockOff), lit(0L)))
+      .select(col("b"), col("off"))
+    rows.withColumn("cum_in", sum(col("w")).over(wIn))
+      .join(offsets, "b")
+      .withColumn("cum", col("off") + col("cum_in"))
+      .withColumn("picks",
+        expr(s"cum DIV $stride") - expr(s"(cum - w) DIV $stride"))
+      .filter(col("picks") >= 1L)
+      .select(col(idCol), col("w"), col("cum"), col("picks"))
+  }
+
   /** EXACT top-fraction selection by an integer score — "keep the best
     * 20% by quality" — without a global sort: the classic
     * row_number() OVER (ORDER BY score) plan funnels the corpus into one

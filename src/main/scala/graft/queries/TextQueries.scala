@@ -185,6 +185,37 @@ object TextQueries {
        |WHERE h < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
        |ORDER BY doc_id""".stripMargin
 
+  // ---- weighted systematic sample (PPS, deterministic) ---------------------
+  private val SysStride = 1000L
+
+  /** Every document whose token span crosses a multiple of the stride in
+    * the id-ordered token layout — selection ∝ token weight, expected
+    * size Σw/stride, zero randomness. The corpus-wide running token sum
+    * uses the two-phase block decomposition
+    * ([[graft.operators.Mix.sampleSystematicW]]); the oracle states the
+    * naive single window the decomposition must equal. */
+  def sampleSystematicW(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("w_tokens"))
+    Mix.sampleSystematicW(docs, "doc_id", "w_tokens", SysStride)
+      .orderBy(col("doc_id"))
+  }
+  val sampleSystematicWSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS w_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, w_tokens,
+       |             CAST(sum(w_tokens) OVER (ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |      FROM w)
+       |SELECT doc_id, w_tokens AS w, cum,
+       |       cum // $SysStride - (cum - w_tokens) // $SysStride AS picks
+       |FROM c
+       |WHERE cum // $SysStride - (cum - w_tokens) // $SysStride >= 1
+       |ORDER BY doc_id""".stripMargin
+
   // ---- fixed-k deterministic per-source sample -----------------------------
   private val FixedK = 5
 
@@ -1051,6 +1082,7 @@ object TextQueries {
     "sketch_cms_incremental" -> (sketchCmsIncremental _),
     "sketch_cms_span" -> (sketchCmsSpan _),
     "sample_fixed_k" -> (sampleFixedK _),
+    "sample_systematic_w" -> (sampleSystematicW _),
     "text_hash_embed" -> (textHashEmbed _),
     "quality_classifier" -> (qualityClassifier _),
     "text_tfidf_topk" -> (textTfidfTopk _),
@@ -1083,6 +1115,7 @@ object TextQueries {
     "sketch_cms_incremental" -> sketchCmsIncrementalSql,
     "sketch_cms_span" -> sketchCmsSpanSql,
     "sample_fixed_k" -> sampleFixedKSql,
+    "sample_systematic_w" -> sampleSystematicWSql,
     "text_hash_embed" -> textHashEmbedSql,
     "quality_classifier" -> qualityClassifierSql,
     "text_tfidf_topk" -> textTfidfTopkSql,

@@ -122,6 +122,31 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(big.map(_._3).toSeq == big.map(_._3).sorted.toSeq)
   }
 
+  test("sampleSystematicW: picks ∝ weight, block decomposition ≡ naive cumsum") {
+    val s = spark
+    import s.implicits._
+    // irregular ids across many 8-wide blocks, weights 1..40; stride 25
+    val rows = (0 until 60).map(i => (i.toLong * 3 + (i % 2), (i % 40 + 1).toLong))
+    val df = rows.toDF("doc_id", "w_tokens")
+    val got = graft.operators.Mix.sampleSystematicW(df, "doc_id", "w_tokens",
+        stride = 25L, blockSize = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // naive reference: running sum in id order, pick on stride crossings
+    var cum = 0L
+    val want = rows.sortBy(_._1).flatMap { case (id, w) =>
+      cum += w
+      val picks = cum / 25 - (cum - w) / 25
+      if (picks >= 1) Some((id, w, cum, picks)) else None
+    }
+    assert(got.toSeq == want)
+    // a 40-token doc can cross twice at stride 25
+    assert(want.exists(_._4 >= 2L))
+    // expected-size property: total picks == floor(totalW / stride) ± 1
+    val totalW = rows.map(_._2).sum
+    assert(math.abs(want.map(_._4).sum - totalW / 25) <= 1)
+  }
+
   test("topFraction: exact ⌊N·frac⌋ rows equal the brute-force top list, ties broken by id") {
     val s = spark
     import s.implicits._
