@@ -129,6 +129,38 @@ object TimeSeries {
         expr("win_qsum DIV win_n").as("avg_q"))
   }
 
+  /** Per-key exponential smoothing of daily totals, kept exact: the
+    * EWMA recurrence with α = 1/4 in pure long arithmetic —
+    * s ← (3·s + x) DIV 4 — where every operand is non-negative, so
+    * floor division and truncating division agree and the fold is
+    * bit-identical across engines (a general `s + (x−s)/4` form would
+    * diverge: Spark's DIV truncates toward zero, DuckDB's `//` floors,
+    * and x−s goes negative). Seeded with the first day's value, folded
+    * in ascending day order — the same index-order contract as the
+    * dot-product kernels, so DuckDB's `list_reduce` replays it exactly.
+    *
+    * Scale shape: raw rows meet ONE map-combinable daily groupBy; the
+    * fold then runs per key over its daily-total array, bounded by the
+    * calendar span (thousands of entries at most), never by data
+    * volume. The sort_array + aggregate HOF is CodegenFallback, but it
+    * touches |keys|·|days| rows — a post-aggregation table.
+    * Output: (key, n_days, last_day, ewma_q). */
+  def ewmaDaily(df: DataFrame, keyCol: String, tsCol: String,
+                valCol: String): DataFrame =
+    df.groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .agg(sum(qval(col(valCol))).as("yv"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_days"), max(col("day")).as("last_day"),
+        sort_array(collect_list(struct(col("day"), col("yv"))))
+          .as("series"))
+      .select(col("key"), col("n_days"), col("last_day"),
+        aggregate(
+          expr("slice(series, 2, greatest(size(series) - 1, 0))"),
+          col("series").getItem(0).getField("yv"),
+          // (3s + x) DIV 4 as a right shift — operands non-negative
+          (acc, e) => shiftright(acc * 3 + e.getField("yv"), 2))
+          .as("ewma_q"))
+
   /** Per-key least-squares trend over per-bucket totals, kept exact:
     * regress the quantized per-day value total Y on the day index x
     * (days since `epoch`), and emit the OLS slope as an integer

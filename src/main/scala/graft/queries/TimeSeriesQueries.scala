@@ -107,6 +107,27 @@ object TimeSeriesQueries {
        |       win_qsum // win_n AS avg_q
        |FROM win ORDER BY key, day""".stripMargin
 
+  // ---- per-type integer EWMA of daily totals -------------------------------
+  /** Exponentially smoothed daily value total per type, α = 1/4, in
+    * pure long arithmetic (s ← (3s+x) DIV 4, operands non-negative so
+    * floor ≡ truncate): seeded with the first day, folded in ascending
+    * day order — DuckDB's `list_reduce` replays the identical fold. */
+  def tsEwma(s: SparkSession, d: String): DataFrame =
+    TimeSeries.ewmaDaily(Tables.events(s, d), "event_type", "ts", "value")
+      .orderBy(col("key"))
+
+  val tsEwmaSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+       |         CAST(sum(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS yv
+       |  FROM $evWrap GROUP BY 1, 2),
+       |agg AS (SELECT key, count(*) AS n_days, max(day) AS last_day,
+       |               list(yv ORDER BY day) AS series
+       |        FROM daily GROUP BY key)
+       |SELECT key, n_days, last_day,
+       |       list_reduce(series, (acc, x) -> (acc * 3 + x) // 4) AS ewma_q
+       |FROM agg ORDER BY key""".stripMargin
+
   // ---- per-type linear trend (exact rational slope) ------------------------
   /** OLS slope of the quantized daily value total vs day index, emitted
     * as the exact integer (numerator, denominator) pair — no division,
@@ -134,11 +155,13 @@ object TimeSeriesQueries {
     "ts_ohlc" -> (tsOhlc _),
     "ts_resample_ffill" -> (tsResampleFfill _),
     "ts_moving_avg" -> (tsMovingAvg _),
+    "ts_ewma" -> (tsEwma _),
     "ts_trend" -> (tsTrend _))
 
   val oracle: Map[String, String] = Map(
     "ts_ohlc" -> tsOhlcSql,
     "ts_resample_ffill" -> tsResampleFfillSql,
     "ts_moving_avg" -> tsMovingAvgSql,
+    "ts_ewma" -> tsEwmaSql,
     "ts_trend" -> tsTrendSql)
 }

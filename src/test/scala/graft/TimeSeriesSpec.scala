@@ -110,6 +110,23 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out(2) == (1L, 10000000L, 10000000L)) // gap: day 9 alone
   }
 
+  test("ewmaDaily: (3s+x) DIV 4 fold in day order, seeded with day one") {
+    val s = spark
+    import s.implicits._
+    // daily totals: [8.0, 4.0, 16.0] → q [8e6, 4e6, 16e6]
+    // s1 = 8e6; s2 = (24e6 + 4e6)>>2 = 7e6; s3 = (21e6 + 16e6)>>2 = 9250000
+    val df = Seq(
+      (1L, ts("2024-01-01 01:00:00"), "k", 3.0),
+      (2L, ts("2024-01-01 02:00:00"), "k", 5.0),
+      (3L, ts("2024-01-02 01:00:00"), "k", 4.0),
+      (4L, ts("2024-01-03 01:00:00"), "k", 16.0)
+    ).toDF("event_id", "ts", "key", "value")
+    val r = TimeSeries.ewmaDaily(df, "key", "ts", "value").collect().head
+    assert(r.getAs[Long]("n_days") == 3L)
+    assert(r.getAs[java.sql.Date]("last_day").toString == "2024-01-03")
+    assert(r.getAs[Long]("ewma_q") == 9250000L)
+  }
+
   test("distributionDrift: cohort counts and scaled TVD contribution") {
     val s = spark
     import s.implicits._
