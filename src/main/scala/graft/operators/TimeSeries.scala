@@ -129,6 +129,68 @@ object TimeSeries {
         expr("win_qsum DIV win_n").as("avg_q"))
   }
 
+  /** Regular-grid resample with LINEAR INTERPOLATION between the
+    * bracketing observations, kept integer-exact for non-negative
+    * values: at grid index x between observations (x₀,v₀) and (x₁,v₁)
+    * (quantized longs, epoch-step indices),
+    * `interp = (v₀·(x₁−x) + v₁·(x−x₀)) DIV (x₁−x₀)` — the weighted-
+    * average form keeps every operand non-negative, where the naive
+    * `v₀ + (v₁−v₀)·…` would hit the Spark-truncates/DuckDB-floors
+    * divergence whenever the series falls.
+    *
+    * Same two-phase shape as [[resampleFfill]]: one aggregation over
+    * raw rows, dense grid from the bounds agg × broadcast keys, then
+    * TWO run-index windows (forward for the previous observation,
+    * backward for the next — each run's single non-null row broadcasts
+    * its value and grid index via per-run max), all over the
+    * (key × grid) table. Rows before the first / after the last
+    * observation hold the nearest endpoint; observed rows return their
+    * own value exactly. Output: (key, grid_ts, vq, kind) with
+    * kind ∈ obs | interp | hold. */
+  def resampleInterp(df: DataFrame, keyCol: String, tsCol: String,
+                     idCol: String, valCol: String,
+                     trunc: String, step: Column,
+                     stepMicros: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs = df.groupBy(col(keyCol).as("key"),
+        date_trunc(trunc, col(tsCol)).as("grid_ts"))
+      .agg(max(struct(col(tsCol), col(idCol), col(valCol))).as("_l"))
+      .select(col("key"), col("grid_ts"),
+        qval(col(s"_l.$valCol")).as("vq_obs"))
+    val bounds = df.agg(
+      date_trunc(trunc, min(col(tsCol))).as("t0"),
+      date_trunc(trunc, max(col(tsCol))).as("t1"))
+    val grid = bounds.select(
+      explode(sequence(col("t0"), col("t1"), step)).as("grid_ts"))
+    val keys = df.select(col(keyCol).as("key")).distinct()
+    val dense = grid.crossJoin(broadcast(keys))
+      .join(obs, Seq("key", "grid_ts"), "left")
+      .withColumn("x", expr(s"unix_micros(grid_ts) DIV $stepMicros"))
+    val fwd = Window.partitionBy(col("key")).orderBy(col("grid_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bwd = Window.partitionBy(col("key")).orderBy(col("grid_ts").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ox = when(col("vq_obs").isNotNull, col("x"))
+    val runs = dense
+      .withColumn("_rf", count(col("vq_obs")).over(fwd))
+      .withColumn("_rb", count(col("vq_obs")).over(bwd))
+    val wf = Window.partitionBy(col("key"), col("_rf"))
+    val wb = Window.partitionBy(col("key"), col("_rb"))
+    runs
+      .withColumn("pv", max(col("vq_obs")).over(wf))
+      .withColumn("px", max(ox).over(wf))
+      .withColumn("nv", max(col("vq_obs")).over(wb))
+      .withColumn("nx", max(ox).over(wb))
+      .select(col("key"), col("grid_ts"),
+        when(col("vq_obs").isNotNull, col("vq_obs"))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            expr("(pv * (nx - x) + nv * (x - px)) DIV (nx - px)"))
+          .otherwise(coalesce(col("pv"), col("nv"))).as("vq"),
+        when(col("vq_obs").isNotNull, lit("obs"))
+          .when(col("pv").isNotNull && col("nv").isNotNull, lit("interp"))
+          .otherwise(lit("hold")).as("kind"))
+  }
+
   /** Per-key exponential smoothing of daily totals, kept exact: the
     * EWMA recurrence with α = 1/4 in pure long arithmetic —
     * s ← (3·s + x) DIV 4 — where every operand is non-negative, so

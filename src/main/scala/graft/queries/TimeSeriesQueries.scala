@@ -78,6 +78,54 @@ object TimeSeriesQueries {
        |       v_obs IS NOT NULL AS observed
        |FROM runs ORDER BY key, grid_ts""".stripMargin
 
+  // ---- hourly resample with linear interpolation ---------------------------
+  /** Hourly grid per type with LINEAR interpolation between bracketing
+    * observations, integer-exact: the weighted-average form
+    * (v₀·(x₁−x) + v₁·(x−x₀)) DIV (x₁−x₀) keeps operands non-negative
+    * (the naive v₀+(Δv)·… form trips Spark-truncate vs DuckDB-floor on
+    * falling series). Endpoints hold; observed rows exact. */
+  def tsInterp(s: SparkSession, d: String): DataFrame =
+    TimeSeries.resampleInterp(Tables.events(s, d), "event_type", "ts",
+        "event_id", "value", "hour", expr("INTERVAL 1 HOUR"), 3600000000L)
+      .orderBy(col("key"), col("grid_ts"))
+
+  val tsInterpSql: String =
+    s"""WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+       |b AS (SELECT date_trunc('hour', min(ts)) AS t0,
+       |             date_trunc('hour', max(ts)) AS t1 FROM ev),
+       |grid AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS grid_ts FROM b),
+       |keys AS (SELECT DISTINCT event_type AS key FROM ev),
+       |hourly AS (SELECT event_type AS key, date_trunc('hour', ts) AS grid_ts,
+       |                  CAST(FLOOR(last(value ORDER BY ts, event_id) * 1e6) AS BIGINT) AS vq_obs
+       |           FROM ev GROUP BY 1, 2),
+       |dense AS (SELECT k.key, g.grid_ts, h.vq_obs,
+       |                 epoch_us(g.grid_ts) // 3600000000 AS x
+       |          FROM grid g CROSS JOIN keys k
+       |          LEFT JOIN hourly h ON h.key = k.key AND h.grid_ts = g.grid_ts),
+       |runs AS (SELECT key, grid_ts, vq_obs, x,
+       |         count(vq_obs) OVER (PARTITION BY key ORDER BY grid_ts
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rf,
+       |         count(vq_obs) OVER (PARTITION BY key ORDER BY grid_ts DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rb
+       |         FROM dense),
+       |br AS (SELECT key, grid_ts, vq_obs, x,
+       |       max(vq_obs) OVER (PARTITION BY key, rf) AS pv,
+       |       max(CASE WHEN vq_obs IS NOT NULL THEN x END)
+       |         OVER (PARTITION BY key, rf) AS px,
+       |       max(vq_obs) OVER (PARTITION BY key, rb) AS nv,
+       |       max(CASE WHEN vq_obs IS NOT NULL THEN x END)
+       |         OVER (PARTITION BY key, rb) AS nx
+       |       FROM runs)
+       |SELECT key, grid_ts,
+       |       CASE WHEN vq_obs IS NOT NULL THEN vq_obs
+       |            WHEN pv IS NOT NULL AND nv IS NOT NULL
+       |              THEN (pv * (nx - x) + nv * (x - px)) // (nx - px)
+       |            ELSE coalesce(pv, nv) END AS vq,
+       |       CASE WHEN vq_obs IS NOT NULL THEN 'obs'
+       |            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+       |            ELSE 'hold' END AS kind
+       |FROM br ORDER BY key, grid_ts""".stripMargin
+
   // ---- trailing 7-day moving aggregate -------------------------------------
   /** Per (event_type, day): daily count/quantized-sum plus the trailing
     * 7-DAY windowed totals and exact floor-division mean — a RANGE
@@ -154,6 +202,7 @@ object TimeSeriesQueries {
   val defs: Map[String, Q] = Map(
     "ts_ohlc" -> (tsOhlc _),
     "ts_resample_ffill" -> (tsResampleFfill _),
+    "ts_interp" -> (tsInterp _),
     "ts_moving_avg" -> (tsMovingAvg _),
     "ts_ewma" -> (tsEwma _),
     "ts_trend" -> (tsTrend _))
@@ -161,6 +210,7 @@ object TimeSeriesQueries {
   val oracle: Map[String, String] = Map(
     "ts_ohlc" -> tsOhlcSql,
     "ts_resample_ffill" -> tsResampleFfillSql,
+    "ts_interp" -> tsInterpSql,
     "ts_moving_avg" -> tsMovingAvgSql,
     "ts_ewma" -> tsEwmaSql,
     "ts_trend" -> tsTrendSql)

@@ -90,6 +90,35 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(r.getAs[Long]("slope_den") == 6L)
   }
 
+  test("resampleInterp: exact weighted-average interpolation, holds at edges") {
+    val s = spark
+    import s.implicits._
+    // key a: obs at hours 1 (v=10) and 4 (v=4): falling series exercises
+    // the would-be-negative-delta branch; hours 2,3 interpolate, hour 0
+    // back-holds, hour 5 (from key b's span) forward-holds
+    val df = Seq(
+      (1L, ts("2024-01-01 01:30:00"), "a", 10.0),
+      (2L, ts("2024-01-01 04:10:00"), "a", 4.0),
+      (3L, ts("2024-01-01 00:20:00"), "b", 7.0),
+      (4L, ts("2024-01-01 05:40:00"), "b", 9.0)
+    ).toDF("event_id", "ts", "key", "value")
+    val out = TimeSeries.resampleInterp(df, "key", "ts", "event_id",
+        "value", "hour", expr("INTERVAL 1 HOUR"), 3600000000L)
+      .orderBy("key", "grid_ts").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getString(3)))
+    val a = out.take(6)
+    assert(a(0) == ("a", 10000000L, "hold"))   // hour 0: back-hold
+    assert(a(1) == ("a", 10000000L, "obs"))
+    // interp: (10e6*(4-2) + 4e6*(2-1)) DIV 3 = 24e6/3 = 8e6
+    assert(a(2) == ("a", 8000000L, "interp"))
+    assert(a(3) == ("a", 6000000L, "interp"))
+    assert(a(4) == ("a", 4000000L, "obs"))
+    assert(a(5) == ("a", 4000000L, "hold"))    // hour 5: forward-hold
+    val bRows = out.drop(6)
+    assert(bRows(0)._3 == "obs" && bRows(5)._3 == "obs")
+    assert(bRows(2) == ("b", (7000000L * 3 + 9000000L * 2) / 5, "interp"))
+  }
+
   test("movingDailyAgg: RANGE frame shrinks over calendar gaps") {
     val s = spark
     import s.implicits._
