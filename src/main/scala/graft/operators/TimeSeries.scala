@@ -223,6 +223,38 @@ object TimeSeries {
           (acc, e) => shiftright(acc * 3 + e.getField("yv"), 2))
           .as("ewma_q"))
 
+  /** EWMA-baseline anomaly flags over daily totals, kept exact: each
+    * day's quantized total is compared against the integer EWMA
+    * ([[ewmaDaily]]'s (3s+x) DIV 4 recurrence) of all PRIOR days, and
+    * flagged when the deviation exceeds `thrNum/thrDen` of that
+    * baseline — `thrDen·|x − s| > thrNum·s`, a pure integer
+    * comparison, no division. The prefix EWMAs are per-row folds over
+    * the per-key daily array (quadratic in days — the array is bounded
+    * by the calendar span, thousands at most, and only ever built
+    * post-aggregation; DuckDB replays the same slice-folds with
+    * `list_slice` + `list_reduce`). Day one has no baseline and is
+    * never flagged. Output: (key, day, yv, prev_ewma, anom). */
+  def ewmaAnomalies(df: DataFrame, keyCol: String, tsCol: String,
+                    valCol: String, thrNum: Long, thrDen: Long): DataFrame = {
+    val fold = (acc: Column, e: Column) =>
+      shiftright(acc * 3 + e.getField("yv"), 2)
+    df.groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .agg(sum(qval(col(valCol))).as("yv"))
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("day"), col("yv"))))
+        .as("series"))
+      .select(col("key"),
+        posexplode(col("series")).as(Seq("i", "e")), col("series"))
+      .withColumn("prev_ewma", when(col("i") >= 1,
+        aggregate(expr("slice(series, 2, i - 1)"),
+          col("series").getItem(0).getField("yv"), fold)))
+      .select(col("key"), col("e.day").as("day"), col("e.yv").as("yv"),
+        col("prev_ewma"),
+        (col("prev_ewma").isNotNull &&
+          abs(col("e.yv") - col("prev_ewma")) * lit(thrDen) >
+            col("prev_ewma") * lit(thrNum)).as("anom"))
+  }
+
   /** Per-key least-squares trend over per-bucket totals, kept exact:
     * regress the quantized per-day value total Y on the day index x
     * (days since `epoch`), and emit the OLS slope as an integer

@@ -176,6 +176,39 @@ object TimeSeriesQueries {
        |       list_reduce(series, (acc, x) -> (acc * 3 + x) // 4) AS ewma_q
        |FROM agg ORDER BY key""".stripMargin
 
+  // ---- EWMA-baseline anomaly days ------------------------------------------
+  /** Days whose quantized total deviates from the prior-days integer
+    * EWMA baseline by more than 75% — 4·|x−s| > 3·s, pure integer
+    * comparison. The oracle folds the same (3s+x)//4 recurrence over
+    * yv-prefix slices with `list_slice`+`list_reduce` (homogeneous
+    * long folds seeded by the first element, matching Spark's
+    * init+slice form). */
+  def tsAnomaly(s: SparkSession, d: String): DataFrame =
+    TimeSeries.ewmaAnomalies(Tables.events(s, d), "event_type", "ts",
+        "value", thrNum = 3L, thrDen = 4L)
+      .orderBy(col("key"), col("day"))
+
+  val tsAnomalySql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+       |         CAST(sum(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS yv
+       |  FROM $evWrap GROUP BY 1, 2),
+       |agg AS (SELECT key,
+       |               list(day ORDER BY day) AS days,
+       |               list(yv ORDER BY day) AS yvs
+       |        FROM daily GROUP BY key),
+       |ex AS (SELECT key,
+       |              unnest(list_transform(range(1, len(days) + 1), i -> struct_pack(
+       |                day := days[i], yv := yvs[i],
+       |                prev_ewma := CASE WHEN i = 1 THEN NULL
+       |                  ELSE list_reduce(list_slice(yvs, 1, i - 1),
+       |                         (acc, x) -> (acc * 3 + x) // 4) END))) AS u
+       |       FROM agg)
+       |SELECT key, u.day AS day, u.yv AS yv, u.prev_ewma AS prev_ewma,
+       |       u.prev_ewma IS NOT NULL
+       |         AND abs(u.yv - u.prev_ewma) * 4 > u.prev_ewma * 3 AS anom
+       |FROM ex ORDER BY key, day""".stripMargin
+
   // ---- per-type linear trend (exact rational slope) ------------------------
   /** OLS slope of the quantized daily value total vs day index, emitted
     * as the exact integer (numerator, denominator) pair — no division,
@@ -205,6 +238,7 @@ object TimeSeriesQueries {
     "ts_interp" -> (tsInterp _),
     "ts_moving_avg" -> (tsMovingAvg _),
     "ts_ewma" -> (tsEwma _),
+    "ts_anomaly" -> (tsAnomaly _),
     "ts_trend" -> (tsTrend _))
 
   val oracle: Map[String, String] = Map(
@@ -213,5 +247,6 @@ object TimeSeriesQueries {
     "ts_interp" -> tsInterpSql,
     "ts_moving_avg" -> tsMovingAvgSql,
     "ts_ewma" -> tsEwmaSql,
+    "ts_anomaly" -> tsAnomalySql,
     "ts_trend" -> tsTrendSql)
 }

@@ -156,6 +156,24 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(r.getAs[Long]("ewma_q") == 9250000L)
   }
 
+  test("ewmaAnomalies: prefix-EWMA baseline, day one unflagged, spike flagged") {
+    val s = spark
+    import s.implicits._
+    // daily q-totals: [8e6, 4e6, 40e6]; baselines: day2 ← 8e6, day3 ← 7e6
+    // day2: |4-8|*4 = 16 ≤ 3*8 = 24 → calm; day3: |40-7|*4 = 132 > 21 → anom
+    val df = Seq(
+      (1L, ts("2024-01-01 01:00:00"), "k", 8.0),
+      (2L, ts("2024-01-02 01:00:00"), "k", 4.0),
+      (3L, ts("2024-01-03 01:00:00"), "k", 40.0)
+    ).toDF("event_id", "ts", "key", "value")
+    val out = TimeSeries.ewmaAnomalies(df, "key", "ts", "value", 3L, 4L)
+      .orderBy("day").collect()
+      .map(r => (Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+    assert(out(0) == (None, false))
+    assert(out(1) == (Some(8000000L), false))
+    assert(out(2) == (Some(7000000L), true))
+  }
+
   test("distributionDrift: cohort counts and scaled TVD contribution") {
     val s = spark
     import s.implicits._
