@@ -420,6 +420,47 @@ object PartitionedStore {
     }
   }
 
+  /** Schema drift between two committed versions, metadata-only: the
+    * union-of-footers schema each version's read would produce (every
+    * manifest dir contributes its parquet footer — no data rows ever
+    * read, so the diff costs KBs at any table size), compared
+    * field-by-field. A column can drift by appearing (`added`),
+    * vanishing (`removed`), changing type (`retyped`), or changing
+    * nullability (`relaxed`/`tightened`). This is the admission check a
+    * reader runs BEFORE `readVersion` on an evolved table — unionByName
+    * inside readVersion throws on incompatible dirs, but only this diff
+    * says what changed between published generations.
+    * Output: (col_name, change, type_old, type_new), stable col order. */
+  def schemaDiff(spark: SparkSession, path: String,
+                 vOld: Long, vNew: Long): Seq[(String, String, String, String)] = {
+    def schemaOf(v: Long): Map[String, org.apache.spark.sql.types.StructField] =
+      versionDirs(path, v)
+        .map(d => spark.read.parquet(Paths.get(path, "data", d).toString).schema)
+        .flatMap(_.fields)
+        .groupBy(_.name)
+        // a field nullable in ANY contributing dir is nullable in the
+        // union read — mirror unionByName's widening
+        .map { case (n, fs) =>
+          n -> fs.head.copy(nullable = fs.exists(_.nullable)) }
+    val o = schemaOf(vOld); val n = schemaOf(vNew)
+    val names = (o.keySet ++ n.keySet).toSeq.sorted
+    names.flatMap { c =>
+      (o.get(c), n.get(c)) match {
+        case (None, Some(f)) =>
+          Some((c, "added", "", f.dataType.simpleString))
+        case (Some(f), None) =>
+          Some((c, "removed", f.dataType.simpleString, ""))
+        case (Some(a), Some(b)) if a.dataType != b.dataType =>
+          Some((c, "retyped", a.dataType.simpleString, b.dataType.simpleString))
+        case (Some(a), Some(b)) if !a.nullable && b.nullable =>
+          Some((c, "relaxed", a.dataType.simpleString, b.dataType.simpleString))
+        case (Some(a), Some(b)) if a.nullable && !b.nullable =>
+          Some((c, "tightened", a.dataType.simpleString, b.dataType.simpleString))
+        case _ => None
+      }
+    }
+  }
+
   /** Major compaction of a versioned table: rewrite a version's rows as
     * ONE fresh data directory (re-clustered by `partitionCols` /
     * `sortCols`) and commit it as a rewrite dropping every parent dir —

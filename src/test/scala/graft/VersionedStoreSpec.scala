@@ -157,6 +157,31 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(appendDiff.count() == 3)
   }
 
+  test("schemaDiff: added/removed/retyped/nullability columns between versions, metadata-only") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val path = java.nio.file.Files.createTempDirectory("vstore_sdiff").toString
+    val v1 = PartitionedStore.commitVersion(
+      Seq((1L, "a", 10)).toDF("id", "payload", "score"), path)
+    val v2 = PartitionedStore.commitVersion(
+      Seq((2L, "b", 1.5, true)).toDF("id", "payload", "score", "flag")
+        .select(col("id"), col("payload"), col("score"), col("flag")), path)
+    val diff = PartitionedStore.schemaDiff(spark, path, v1, v2)
+    assert(diff.contains(("flag", "added", "", "boolean")))
+    assert(diff.exists { case (c, ch, o, n) =>
+      c == "score" && ch == "retyped" && o == "int" && n == "double" })
+    assert(!diff.exists(_._1 == "payload")) // unchanged column not reported
+    // dropping a column reports removed
+    val v3 = PartitionedStore.commitVersion(
+      Seq((3L, "c")).toDF("id", "payload"), path)
+    val d23 = PartitionedStore.schemaDiff(spark, path, v2, v3)
+    assert(d23.map(r => (r._1, r._2)).toSet ==
+      Set(("flag", "removed"), ("score", "removed")))
+    // identical versions: empty diff
+    assert(PartitionedStore.schemaDiff(spark, path, v3, v3).isEmpty)
+  }
+
   test("truncating history then vacuuming reclaims unreferenced snapshot dirs") {
     val path = Files.createTempDirectory("vstore").toString
     PartitionedStore.commitVersion(df(0 until 3), path)
