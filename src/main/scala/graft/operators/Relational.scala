@@ -240,6 +240,41 @@ object Relational {
         col("dev_c"))
   }
 
+  /** Per-group winsorization at EXACT integer percentiles — clip each
+    * value into [p, 1−p] of its group's distribution — with the same
+    * histogram-crossing selection as [[madOutliers]]: the cutoff at
+    * rank r is the smallest quantized value whose cumulative histogram
+    * count reaches r, found by a prefix-sum window over the tiny
+    * per-group value histogram, never a per-row sort. Ranks are pure
+    * integers: lo_rank = ⌈n·pNum/pDen⌉, hi_rank = n − lo_rank + 1
+    * (require 0 < pNum/pDen < 1/2). Cutoffs broadcast back; the final
+    * pass is one scan. Output: (id, g, qc, lo_c, hi_c, clipped,
+    * was_clipped) — every input row, clipped into [lo_c, hi_c]. */
+  def winsorize(df: DataFrame, grpCol: String, idCol: String,
+                quantCol: Column, pNum: Long, pDen: Long): DataFrame = {
+    require(pNum > 0 && pNum * 2 < pDen,
+      s"p must be in (0, 1/2): $pNum/$pDen")
+    val q = df.select(col(grpCol).as("g"), col(idCol).as("id"),
+      quantCol.as("qc"))
+    val hist = q.groupBy(col("g"), col("qc")).agg(count(lit(1)).as("cnt"))
+    val n = hist.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+    val w = Window.partitionBy(col("g")).orderBy(col("qc"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+      .join(n, "g")
+      .withColumn("lo_rank", expr(s"(n * $pNum + $pDen - 1) DIV $pDen"))
+      .withColumn("hi_rank", col("n") - col("lo_rank") + 1L)
+    def cutoff(rank: Column, out: String): DataFrame = cum
+      .filter(col("cum") >= rank && col("cum") - col("cnt") < rank)
+      .select(col("g"), col("qc").as(out))
+    val lo = cutoff(col("lo_rank"), "lo_c")
+    val hi = cutoff(col("hi_rank"), "hi_c")
+    q.join(broadcast(lo), "g").join(broadcast(hi), "g")
+      .select(col("id"), col("g"), col("qc"), col("lo_c"), col("hi_c"),
+        least(greatest(col("qc"), col("lo_c")), col("hi_c")).as("clipped"),
+        (col("qc") < col("lo_c") || col("qc") > col("hi_c"))
+          .as("was_clipped"))
+  }
+
   /** J11 — binned interval join: points-in-intervals with NO equi key.
     * The naive plan ("t BETWEEN lo AND hi" with nothing to hash on) is a
     * nested-loop cartesian — dead at scale. The standard fix (bucketed

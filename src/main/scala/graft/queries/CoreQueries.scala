@@ -370,8 +370,38 @@ object CoreQueries {
       |WHERE a.dev_c > 5 * d.mad_c
       |ORDER BY event_id""".stripMargin
 
+  // ---- A20: per-group winsorization at exact 5% / 95% ----------------------
+  /** Every event row with its cents value clipped into the exact
+    * [p05, p95] of its type's distribution — cutoffs by histogram
+    * crossing ([[Relational.winsorize]]), the oracle by the naive
+    * row_number rank selection the crossing must equal. */
+  def a20Winsorize(s: SparkSession, d: String): DataFrame =
+    Relational.winsorize(Tables.events(s, d), "event_type", "event_id",
+      expr("CAST(FLOOR(value * 1e2) AS BIGINT)"), pNum = 1L, pDen = 20L)
+      .select(col("id").as("event_id"), col("g").as("event_type"),
+        col("qc").as("value_c"), col("lo_c"), col("hi_c"),
+        col("clipped"), col("was_clipped"))
+      .orderBy(col("event_id"))
+
+  val a20WinsorizeSql: String =
+    """WITH q AS (
+      |  SELECT event_id, event_type, CAST(FLOOR(value * 1e2) AS BIGINT) AS qc
+      |  FROM events),
+      |rn AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY qc, event_id) AS rn,
+      |              count(*) OVER (PARTITION BY event_type) AS n FROM q),
+      |lo AS (SELECT event_type, qc AS lo_c FROM rn
+      |       WHERE rn = (n * 1 + 20 - 1) // 20),
+      |hi AS (SELECT event_type, qc AS hi_c FROM rn
+      |       WHERE rn = n - (n * 1 + 20 - 1) // 20 + 1)
+      |SELECT q.event_id, q.event_type, q.qc AS value_c, lo.lo_c, hi.hi_c,
+      |       least(greatest(q.qc, lo.lo_c), hi.hi_c) AS clipped,
+      |       q.qc < lo.lo_c OR q.qc > hi.hi_c AS was_clipped
+      |FROM q JOIN lo USING (event_type) JOIN hi USING (event_type)
+      |ORDER BY event_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "a19_mad_outliers" -> (a19MadOutliers _),
+    "a20_winsorize" -> (a20Winsorize _),
     "j11_interval_join" -> (j11IntervalJoin _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "snapshot_diff" -> (snapshotDiff _),
@@ -387,6 +417,7 @@ object CoreQueries {
 
   val oracle: Map[String, String] = Map(
     "a19_mad_outliers" -> a19MadOutliersSql,
+    "a20_winsorize" -> a20WinsorizeSql,
     "j11_interval_join" -> j11IntervalJoinSql,
     "q1_pricing_summary" -> q1PricingSummarySql,
     "snapshot_diff" -> snapshotDiffSql,

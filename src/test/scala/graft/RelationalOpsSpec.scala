@@ -80,6 +80,24 @@ class RelationalOpsSpec extends AnyFunSuite {
       (9L, "B", 50L, 10L, 0L, 40L)))
   }
 
+  test("winsorize: exact rank cutoffs clip both tails, interior untouched") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.lit
+    // 10 values 1..10, p = 1/5: lo_rank = ⌈10/5⌉ = 2 → lo_c = 2,
+    // hi_rank = 10 − 2 + 1 = 9 → hi_c = 9; clipped: 1→2 and 10→9
+    val df = (1L to 10L).map(i => (i, "A", i)).toDF("id", "g", "v")
+    val out = Relational.winsorize(df, "g", "id", col("v") * lit(1L), 1L, 5L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getBoolean(6))).sortBy(_._1)
+    assert(out.forall { case (_, _, lo, hi, _, _) => lo == 2L && hi == 9L })
+    assert(out.head == (1L, 1L, 2L, 9L, 2L, true))
+    assert(out.last == (10L, 10L, 2L, 9L, 9L, true))
+    assert(out(4) == (5L, 5L, 2L, 9L, 5L, false))
+    assert(out.count(_._6) == 2)
+  }
+
   test("madOutliers: prefix-sum window runs over the histogram, not data rows") {
     val s = spark
     import s.implicits._
