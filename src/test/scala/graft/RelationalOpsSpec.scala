@@ -98,6 +98,20 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(out.count(_._6) == 2)
   }
 
+  test("winsorize: prefix-sum window runs over the histogram, not data rows") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 1000L).map(i => (i, "g", i % 5)).toDF("id", "g", "v")
+    val plan = Relational.winsorize(df, "g", "id", col("v"), 1L, 20L)
+      .queryExecution.optimizedPlan.toString()
+    assert(plan.contains("Window"), plan)
+    plan.linesIterator.zipWithIndex.filter(_._1.contains("Window")).foreach {
+      case (_, i) =>
+        val below = plan.linesIterator.drop(i + 1).mkString("\n")
+        assert(below.contains("Aggregate"), s"window without histogram:\n$plan")
+    }
+  }
+
   test("madOutliers: prefix-sum window runs over the histogram, not data rows") {
     val s = spark
     import s.implicits._
