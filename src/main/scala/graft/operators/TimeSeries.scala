@@ -191,6 +191,33 @@ object TimeSeries {
           .otherwise(lit("hold")).as("kind"))
   }
 
+  /** Day-of-week seasonality profile, kept exact: per (key, dow) the
+    * observation count, quantized value sum, and exact floor-division
+    * means — per-slot and all-week — so callers read the weekly shape
+    * (weekend dip, Monday spike) as integer mean pairs without any
+    * cross-engine division hazard. `dow` is 0=Monday computed as
+    * (days since `epoch`) mod 7 with `epoch` pinned to a Monday —
+    * Spark's dayofweek (Sun=1) and DuckDB's dayofweek (Sun=0) /
+    * isodow (Mon=1) conventions never enter. One map-combinable
+    * groupBy over raw rows; the all-week totals come from a window
+    * over the tiny (key × 7) profile table.
+    * Output: (key, dow, n, qsum, mean_q, all_mean_q). */
+  def dowProfile(df: DataFrame, keyCol: String, tsCol: String,
+                 valCol: String, mondayEpoch: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDow = df.groupBy(col(keyCol).as("key"),
+        pmod(datediff(to_date(col(tsCol)), lit(mondayEpoch).cast("date"))
+          .cast("long"), lit(7L)).as("dow"))
+      .agg(count(lit(1)).as("n"), sum(qval(col(valCol))).as("qsum"))
+    val wk = Window.partitionBy(col("key")) // 7 rows per key
+    byDow
+      .withColumn("tot_n", sum(col("n")).over(wk))
+      .withColumn("tot_q", sum(col("qsum")).over(wk))
+      .select(col("key"), col("dow"), col("n"), col("qsum"),
+        expr("qsum DIV n").as("mean_q"),
+        expr("tot_q DIV tot_n").as("all_mean_q"))
+  }
+
   /** Per-key exponential smoothing of daily totals, kept exact: the
     * EWMA recurrence with α = 1/4 in pure long arithmetic —
     * s ← (3·s + x) DIV 4 — where every operand is non-negative, so

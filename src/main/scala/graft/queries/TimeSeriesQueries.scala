@@ -155,6 +155,34 @@ object TimeSeriesQueries {
        |       win_qsum // win_n AS avg_q
        |FROM win ORDER BY key, day""".stripMargin
 
+  // ---- day-of-week seasonality profile -------------------------------------
+  /** Weekly shape per type: per (key, dow 0=Mon) count, quantized sum,
+    * and exact per-slot vs all-week means. dow is (days since
+    * 2024-01-01, a Monday) mod 7 on BOTH sides — no engine dayofweek
+    * convention involved. */
+  def tsDowProfile(s: SparkSession, d: String): DataFrame =
+    TimeSeries.dowProfile(Tables.events(s, d), "event_type", "ts",
+        "value", "2024-01-01")
+      .orderBy(col("key"), col("dow"))
+
+  val tsDowProfileSql: String =
+    s"""WITH base AS (
+       |  SELECT event_type AS key,
+       |         ((date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7) + 7) % 7 AS dow,
+       |         CAST(FLOOR(value * 1e6) AS BIGINT) AS qv
+       |  FROM $evWrap),
+       |prof AS (
+       |  SELECT key, dow, count(*) AS n, CAST(sum(qv) AS BIGINT) AS qsum
+       |  FROM base GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT key, dow, n, qsum,
+       |         CAST(sum(n) OVER (PARTITION BY key) AS BIGINT) AS tot_n,
+       |         CAST(sum(qsum) OVER (PARTITION BY key) AS BIGINT) AS tot_q
+       |  FROM prof)
+       |SELECT key, dow, n, qsum, qsum // n AS mean_q,
+       |       tot_q // tot_n AS all_mean_q
+       |FROM tot ORDER BY key, dow""".stripMargin
+
   // ---- per-type integer EWMA of daily totals -------------------------------
   /** Exponentially smoothed daily value total per type, α = 1/4, in
     * pure long arithmetic (s ← (3s+x) DIV 4, operands non-negative so
@@ -238,6 +266,7 @@ object TimeSeriesQueries {
     "ts_interp" -> (tsInterp _),
     "ts_moving_avg" -> (tsMovingAvg _),
     "ts_ewma" -> (tsEwma _),
+    "ts_dow_profile" -> (tsDowProfile _),
     "ts_anomaly" -> (tsAnomaly _),
     "ts_trend" -> (tsTrend _))
 
@@ -247,6 +276,7 @@ object TimeSeriesQueries {
     "ts_interp" -> tsInterpSql,
     "ts_moving_avg" -> tsMovingAvgSql,
     "ts_ewma" -> tsEwmaSql,
+    "ts_dow_profile" -> tsDowProfileSql,
     "ts_anomaly" -> tsAnomalySql,
     "ts_trend" -> tsTrendSql)
 }

@@ -174,6 +174,25 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out(2) == (Some(7000000L), true))
   }
 
+  test("dowProfile: Monday-anchored dow slots, exact slot and week means") {
+    val s = spark
+    import s.implicits._
+    // 2024-01-01 is a Monday (dow 0); Jan 7 is Sunday (dow 6); Jan 8 Monday
+    val df = Seq(
+      (1L, ts("2024-01-01 01:00:00"), "k", 2.0),
+      (2L, ts("2024-01-08 01:00:00"), "k", 4.0), // same slot, next week
+      (3L, ts("2024-01-07 01:00:00"), "k", 9.0)
+    ).toDF("event_id", "ts", "key", "value")
+    val out = TimeSeries.dowProfile(df, "key", "ts", "value", "2024-01-01")
+      .orderBy("dow").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    // Monday slot: n=2, qsum=6e6, mean 3e6; Sunday: 9e6; week mean 5e6
+    assert(out.toSeq == Seq(
+      (0L, 2L, 6000000L, 3000000L, 5000000L),
+      (6L, 1L, 9000000L, 9000000L, 5000000L)))
+  }
+
   test("distributionDrift: cohort counts and scaled TVD contribution") {
     val s = spark
     import s.implicits._
