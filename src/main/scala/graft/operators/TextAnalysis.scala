@@ -350,13 +350,22 @@ object TextAnalysis {
 
   /** Corpus-learned token→id vocabulary: the top `v` tokens by
     * (count desc, token asc), id = dense rank 0..v−1. Output:
-    * (token, id). Small by construction — broadcasts. */
+    * (token, id). Small by construction — broadcasts.
+    *
+    * Shape: the top-v selection is a bounded `orderBy().limit(v)` —
+    * Catalyst plans it as TakeOrderedAndProject (per-partition top-v
+    * heaps, driver merge of ≤ v rows per partition), so the FULL
+    * distinct-token table (10⁸-10⁹ rows at corpus scale) never funnels
+    * through one task. Only the v-row result is then ranked by a
+    * window, which is bounded by construction. */
   def vocabTable(df: DataFrame, textCol: String, v: Int): DataFrame = {
-    val w = Window.orderBy(col("cnt").desc, col("t").asc)
-    df.select(explode(split(trim(col(textCol)), " ")).as("t"))
+    val topV = df
+      .select(explode(split(trim(col(textCol)), " ")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
-      .withColumn("id", row_number().over(w) - 1)
-      .filter(col("id") < v)
+      .orderBy(col("cnt").desc, col("t").asc)
+      .limit(v)
+    val w = Window.orderBy(col("cnt").desc, col("t").asc)
+    topV.withColumn("id", row_number().over(w) - 1)
       .select(col("t").as("token"), col("id").cast("long").as("id"))
   }
 

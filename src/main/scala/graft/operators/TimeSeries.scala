@@ -28,8 +28,23 @@ import org.apache.spark.sql.functions._
 object TimeSeries {
 
   /** value quantum for order-independent sums: floor(x·1e6). */
+  /** Quantize to integer micro-units, with the cross-engine DIV
+    * precondition enforced IN-PLAN: every downstream exact mean /
+    * interpolation in this pack divides quantized sums with long DIV,
+    * which is engine-identical only while operands are non-negative
+    * (Spark DIV truncates toward zero, DuckDB `//` floors — they
+    * diverge on any negative numerator). Today's `events.value` is
+    * positive by construction, but a future testdata generation with
+    * negative values would otherwise hash-mismatch SILENTLY; this guard
+    * turns that into a loud in-plan raise at the first offending row
+    * (one codegen'd conditional per row — free next to the multiply).
+    * [[ewmaDaily]] needs no guard: its shiftright recurrence is
+    * floor-consistent by construction. */
   private def qval(c: Column): Column =
-    floor(c * lit(1e6)).cast("long")
+    when(c < 0, raise_error(concat(
+      lit("TimeSeries: negative value breaks cross-engine DIV parity "),
+      lit("(Spark truncates, DuckDB floors) — got "), c.cast("string"))))
+      .otherwise(floor(c * lit(1e6)).cast("long"))
 
   /** OHLC bars: one row per (key, bucket) with open/high/low/close,
     * observation count, and the quantized value sum (callers derive an

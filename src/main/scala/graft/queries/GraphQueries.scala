@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Checkpoints, Dedup, Graph}
+import graft.operators.{Dedup, Graph}
 
 /** Graph-centrality pack over the duplicate-candidate graph of
   * `documents` — the [[graft.operators.Graph]] operator exercised on the
@@ -21,16 +21,11 @@ object GraphQueries {
   private val Quantum = Graph.Quantum
 
   /** The mined Spark-side edge list — identical derivation to
-    * dedup_clusters (exact reps + capped-LSH near pairs). */
-  private def dupEdges(docs: DataFrame): DataFrame = {
-    val exactEdges = Dedup.exactDedup(docs, "doc_id", "text")
-      .filter(col("is_dup"))
-      .select(col("rep_id").as("id_a"), col("doc_id").as("id_b"))
-    val nearEdges = Dedup.minhashPairs(docs, "doc_id", "text",
-        threshold = 0.5, k = 16, bands = 4, failOnCap = true)
-      .select(col("id_a"), col("id_b"))
-    exactEdges.union(nearEdges)
-  }
+    * dedup_clusters (exact reps + capped-LSH near pairs), served from
+    * the per-session [[DupEdges]] memo so the whole graph pack pays ONE
+    * mining pass per suite run. */
+  private def dupEdges(s: SparkSession, d: String): DataFrame =
+    DupEdges.of(s, d)
 
   /** Unrolled oracle iteration k: inbound damped shares, then teleport +
     * accumulate. SUMs cast back to BIGINT (DuckDB widens to HUGEINT). */
@@ -59,7 +54,7 @@ object GraphQueries {
     * copied texts) surface at the top — the signal `dedup_canonical`
     * turns into a keep rule. */
   def graphPagerank(s: SparkSession, d: String): DataFrame =
-    Graph.pagerank(dupEdges(Tables.documents(s, d)), iterations = Iters)
+    Graph.pagerank(dupEdges(s, d), iterations = Iters)
       .select(col("id").as("doc_id"), col("rank_score"), col("degree"))
       .orderBy(col("rank_score").desc, col("doc_id"))
 
@@ -78,16 +73,13 @@ object GraphQueries {
     * (doc_id, cluster_rep, canonical_id, keep). */
   def dedupCanonical(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    // components AND centrality both consume the mined edge list — one
-    // materialization (the dedupClustersIncremental lesson); both ops
-    // anchor their results in their own checkpoints, so the edges drop
-    // as soon as the calls return
-    val edges = dupEdges(docs).localCheckpoint()
+    // components AND centrality both consume the mined edge list — the
+    // [[DupEdges]] memo is already a checkpoint (held for the session,
+    // NOT released here: four sibling queries serve from the same blocks)
+    val edges = dupEdges(s, d)
     val (comps, pr) =
-      try {
-        (Dedup.connectedComponents(docs.select(col("doc_id").as("id")), edges),
-          Graph.pagerank(edges, iterations = Iters))
-      } finally Checkpoints.release(edges)
+      (Dedup.connectedComponents(docs.select(col("doc_id").as("id")), edges),
+        Graph.pagerank(edges, iterations = Iters))
     val wr = comps
       .join(pr.select(col("id"), col("rank_score")), Seq("id"), "left")
       .select(col("id"), col("rep"),
@@ -127,7 +119,7 @@ object GraphQueries {
     * directly — orientation-free, so a Spark-side orientation bug
     * cannot self-confirm. */
   def graphTriangles(s: SparkSession, d: String): DataFrame =
-    Graph.triangles(dupEdges(Tables.documents(s, d)))
+    Graph.triangles(dupEdges(s, d))
       .select(col("id").as("doc_id"), col("degree"), col("triangles"),
         col("lcc_ppm"))
       .orderBy(col("doc_id"))

@@ -369,14 +369,8 @@ object SequenceQueries {
     * actual keep/drop partition of the corpus. */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val exactEdges = Dedup.exactDedup(docs, "doc_id", "text")
-      .filter(col("is_dup"))
-      .select(col("rep_id").as("id_a"), col("doc_id").as("id_b"))
-    val nearEdges = Dedup.minhashPairs(docs, "doc_id", "text",
-        threshold = 0.5, k = 16, bands = 4, failOnCap = true)
-      .select(col("id_a"), col("id_b"))
     val comps = Dedup.connectedComponents(
-      docs.select(col("doc_id").as("id")), exactEdges.union(nearEdges))
+      docs.select(col("doc_id").as("id")), DupEdges.of(s, d))
     comps.select(col("id").as("doc_id"), col("rep").as("cluster_rep"),
         (col("id") === col("rep")).as("is_canonical"))
       .orderBy(col("doc_id"))
@@ -390,16 +384,10 @@ object SequenceQueries {
   def dedupClustersIncremental(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val isNewId = (c: org.apache.spark.sql.Column) => c % 10 === 0
-    val exactEdges = Dedup.exactDedup(docs, "doc_id", "text")
-      .filter(col("is_dup"))
-      .select(col("rep_id").as("id_a"), col("doc_id").as("id_b"))
-    val nearEdges = Dedup.minhashPairs(docs, "doc_id", "text",
-        threshold = 0.5, k = 16, bands = 4, failOnCap = true)
-      .select(col("id_a"), col("id_b"))
     // the LSH pair derivation is the expensive half; both the standing
-    // (old-only) and delta (new-involving) filters read it — materialize
-    // the narrow edge list once instead of mining pairs twice
-    val all = exactEdges.union(nearEdges).localCheckpoint()
+    // (old-only) and delta (new-involving) filters read the per-session
+    // [[DupEdges]] checkpoint — one mining pass for the whole suite
+    val all = DupEdges.of(s, d)
     val hasNew = isNewId(col("id_a")) || isNewId(col("id_b"))
     val standing = Dedup.connectedComponents(
       docs.filter(!isNewId(col("doc_id"))).select(col("doc_id").as("id")),
@@ -476,14 +464,8 @@ object SequenceQueries {
     * dedup_clusters + a projection. */
   def splitLeakageSafe(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val exactEdges = Dedup.exactDedup(docs, "doc_id", "text")
-      .filter(col("is_dup"))
-      .select(col("rep_id").as("id_a"), col("doc_id").as("id_b"))
-    val nearEdges = Dedup.minhashPairs(docs, "doc_id", "text",
-        threshold = 0.5, k = 16, bands = 4, failOnCap = true)
-      .select(col("id_a"), col("id_b"))
     val comps = Dedup.connectedComponents(
-      docs.select(col("doc_id").as("id")), exactEdges.union(nearEdges))
+      docs.select(col("doc_id").as("id")), DupEdges.of(s, d))
     val m = Mix.ScrambleM
     val bucket = (col("rep") + 1) * m % P * m % P % 10
     comps.select(col("id").as("doc_id"), col("rep").as("cluster_rep"),

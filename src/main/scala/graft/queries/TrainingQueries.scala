@@ -126,10 +126,13 @@ object TrainingQueries {
     * Candidates by the LOSSLESS containment prefix filter
     * ([[Dedup.containmentPairs]] — minhash bands can't seed this, band
     * collisions track the Jaccard these pairs lack), so the oracle can
-    * state the naive ALL-PAIRS form the filter must equal exactly. */
+    * state the naive ALL-PAIRS form the filter must equal exactly.
+    * `failOnCap` keeps that equality HONEST: if any shingle's df ever
+    * exceeds the cap (a boilerplate-heavy testdata generation), the
+    * query raises in-plan instead of silently hash-mismatching. */
   def dedupContainment(s: SparkSession, d: String): DataFrame =
     Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
-        thresholdPpm = 600000L)
+        thresholdPpm = 600000L, failOnCap = true)
       .orderBy(col("id_a"), col("id_b"))
 
   val dedupContainmentSql: String =

@@ -429,7 +429,12 @@ object PartitionedStore {
     * nullability (`relaxed`/`tightened`). This is the admission check a
     * reader runs BEFORE `readVersion` on an evolved table — unionByName
     * inside readVersion throws on incompatible dirs, but only this diff
-    * says what changed between published generations.
+    * says what changed between published generations. A column whose
+    * dataType DISAGREES between dirs of one version throws here too
+    * (loudly, naming the version, column and types) rather than picking
+    * an arbitrary dir's type — a silently-arbitrary pick could report no
+    * retype, or the wrong old/new pair, for exactly the version whose
+    * readVersion would fail.
     * Output: (col_name, change, type_old, type_new), stable col order. */
   def schemaDiff(spark: SparkSession, path: String,
                  vOld: Long, vNew: Long): Seq[(String, String, String, String)] = {
@@ -439,8 +444,15 @@ object PartitionedStore {
         .flatMap(_.fields)
         .groupBy(_.name)
         // a field nullable in ANY contributing dir is nullable in the
-        // union read — mirror unionByName's widening
+        // union read — mirror unionByName's widening. dataType conflicts
+        // WITHIN the version cannot be mirrored (the union read throws),
+        // so surface them instead of letting dir order pick a winner
         .map { case (n, fs) =>
+          val types = fs.map(_.dataType).distinct
+          require(types.length == 1,
+            s"schemaDiff: column '$n' has conflicting types within version $v " +
+              s"of $path: ${types.map(_.simpleString).mkString(", ")} — " +
+              "this version cannot be read as one table; repair it before diffing")
           n -> fs.head.copy(nullable = fs.exists(_.nullable)) }
     val o = schemaOf(vOld); val n = schemaOf(vNew)
     val names = (o.keySet ++ n.keySet).toSeq.sorted

@@ -135,6 +135,32 @@ class DedupSpec extends AnyFunSuite {
     assert(guarded == plain)
   }
 
+  test("containmentPairs: failOnCap raises when a shingle's df exceeds the cap, silent under it") {
+    val s = spark
+    import s.implicits._
+    // 20 docs all sharing one boilerplate sentence → its shingles' df = 20;
+    // dfCap = 8 actually filters shingles, which silently breaks the
+    // prefix filter's losslessness — the guard must turn that loud
+    val boiler = (100L until 120L).map(i =>
+      (i, s"terms of service apply to all users here unique$i tail$i extra$i",
+        60))
+    val df = boiler.toDF("doc_id", "text", "n_chars")
+    val e = intercept[Exception] {
+      Dedup.containmentPairs(df, "doc_id", "text", thresholdPpm = 600000L,
+        dfCap = 8, failOnCap = true).collect()
+    }
+    assert(e.getMessage.contains("dfCap") ||
+      Option(e.getCause).exists(_.getMessage.contains("dfCap")), e.getMessage)
+    // under the cap the guard is invisible: same pairs as the unguarded call
+    val guarded = Dedup.containmentPairs(docs, "doc_id", "text",
+        thresholdPpm = 600000L, failOnCap = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = Dedup.containmentPairs(docs, "doc_id", "text",
+        thresholdPpm = 600000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == plain)
+  }
+
   test("simhash: identical text → identical fingerprint; disjoint text differs") {
     val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -402,6 +428,21 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(probeCompacted == probeAppended,
       "compaction must not change any probe answer")
+    // the Bloom re-delivery gate: every generation (write, append,
+    // compact) serves a `bloom/` component, and the append-maintained
+    // sketch is BYTE-identical to a from-scratch build over the unioned
+    // id set (the merge==rebuild contract on which the O(delta) claim
+    // rests — a drifted sketch would silently re-admit standing ids)
+    assert(servedAfter.contains("bloom"),
+      s"composite must carry the id-membership sketch: $servedAfter")
+    val bloomRowA = PartitionedStore.readVersion(
+      s, s"$pathA/bloom", Some(servedAfter("bloom"))).collect()(0)
+    val servedB = PartitionedStore.readComposite(pathB)
+    val bloomRowB = PartitionedStore.readVersion(
+      s, s"$pathB/bloom", Some(servedB("bloom"))).collect()(0)
+    assert(java.util.Arrays.equals(bloomRowA.getAs[Array[Byte]]("sketch"),
+        bloomRowB.getAs[Array[Byte]]("sketch")),
+      "append-merged sketch must be byte-identical to the rebuild's")
   }
 
   test("normalizedDedup: casing/punctuation/whitespace variants collapse; distinct texts stay apart") {

@@ -295,6 +295,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(countOf(p, "Window") == 2, p)
   }
 
+  test("tokenize_ids: vocab build is bounded top-v — no window over the full token table") {
+    val p = plan("tokenize_ids")
+    // the top-v selection must plan as TakeOrderedAndProject (per-partition
+    // bounded heaps, driver merge of ≤ v rows) — a row_number window fed by
+    // the FULL distinct-token table is the single-task sort that dies at
+    // 10⁸ distinct tokens. The ranking Window may only consume the v-row
+    // TakeOrdered result (the consumer prints ABOVE its input subtree).
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab top-v must be a bounded TakeOrderedAndProject:\n$p")
+    val win = p.indexOf("Window")
+    if (win >= 0)
+      assert(win < p.indexOf("TakeOrderedAndProject"),
+        s"the only Window must rank the bounded top-v result, not the full token table:\n$p")
+  }
+
   test("global sweep: no query plans an unbroadcast cartesian product") {
     // crossJoin against a broadcast side plans as BroadcastNestedLoopJoin
     // (fine — one side is tiny by construction); a CartesianProduct node

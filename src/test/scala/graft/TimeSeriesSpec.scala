@@ -139,6 +139,26 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out(2) == (1L, 10000000L, 10000000L)) // gap: day 9 alone
   }
 
+  test("qval guard: a negative value raises in-plan instead of silently breaking DIV parity") {
+    val s = spark
+    import s.implicits._
+    // Spark DIV truncates, DuckDB // floors: a negative quantized sum
+    // would hash-mismatch the oracle SILENTLY — the guard must turn the
+    // precondition violation into a loud failure at the offending row
+    val df = Seq(
+      (1L, ts("2024-01-01 01:00:00"), "k", 2.0),
+      (2L, ts("2024-01-02 01:00:00"), "k", -4.0)
+    ).toDF("event_id", "ts", "key", "value")
+    val e = intercept[Exception] {
+      TimeSeries.movingDailyAgg(df, "key", "ts", "value", "2024-01-01", 7)
+        .collect()
+    }
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(c => Option(c.getMessage).getOrElse("")).getOrElse("")
+    assert(msg(e).contains("DIV parity"), msg(e))
+  }
+
   test("ewmaDaily: (3s+x) DIV 4 fold in day order, seeded with day one") {
     val s = spark
     import s.implicits._

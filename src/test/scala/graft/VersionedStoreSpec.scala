@@ -180,6 +180,19 @@ class VersionedStoreSpec extends AnyFunSuite {
       Set(("flag", "removed"), ("score", "removed")))
     // identical versions: empty diff
     assert(PartitionedStore.schemaDiff(spark, path, v3, v3).isEmpty)
+    // a version whose dirs DISAGREE on a column's type must throw loudly
+    // (naming the column) — readVersion's unionByName would fail on that
+    // same version, so an arbitrary fs.head pick would mask or misreport
+    // the very retype the diff exists to catch
+    val v4 = PartitionedStore.commitVersion(
+      Seq((4L, 7)).toDF("id", "score"), path, append = true)
+    PartitionedStore.commitVersion(
+      Seq((5L, 2.5)).toDF("id", "score"), path, append = true, parent = Some(v4))
+    val e = intercept[IllegalArgumentException] {
+      PartitionedStore.schemaDiff(spark, path, v3, v4 + 1)
+    }
+    assert(e.getMessage.contains("score") &&
+      e.getMessage.contains("conflicting types"), e.getMessage)
   }
 
   test("truncating history then vacuuming reclaims unreferenced snapshot dirs") {
