@@ -460,9 +460,15 @@ object Dedup {
     val buckets = dbands
       .select(pmod(col("key"), lit(nBuckets.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val stored = PartitionedStore
+    val stored0 = PartitionedStore
       .readVersion(spark, s"$path/bands", Some(served("bands")))
       .filter(col("bucket").isin(buckets: _*))
+    // tombstoned docs never become candidates — a probe after a delete
+    // is bit-identical to one against an index rebuilt without them
+    val stored = served.get("tombstones").fold(stored0) { tv =>
+      stored0.join(broadcast(PartitionedStore.readVersion(
+        spark, s"$path/tombstones", Some(tv))), Seq(idCol), "left_anti")
+    }
     val cand = dbands.join(stored,
         dbands("band") === stored("band") && dbands("key") === stored("key"))
       .select(col("new_id"), col("nsig"), stored(idCol).as("old_id"))
@@ -510,6 +516,17 @@ object Dedup {
       .select(col("n_docs"), col("k"), col("bands"), col("n_buckets")).collect()(0)
     val (k, bands, nBuckets) = (statsRow.getInt(1), statsRow.getInt(2), statsRow.getInt(3))
     val rows = k / bands
+    // resurrection guard (see [[deleteFromLshIndex]]): a tombstoned id in
+    // the delta fails loudly — it is deleted content, not a re-delivery
+    served.get("tombstones").foreach { tv =>
+      val tomb = PartitionedStore.readVersion(
+        spark, s"$path/tombstones", Some(tv))
+      val clash = delta.join(broadcast(tomb), Seq(idCol), "left_semi")
+        .select(col(idCol)).limit(3).collect()
+      if (clash.nonEmpty) throw new IllegalStateException(
+        s"append would resurrect tombstoned ids (e.g. ${clash.mkString(", ")})" +
+          s" at $path; compact the index to reclaim them first")
+    }
     // pre-bloom layouts (no `bloom/` component) keep the exact anti-join
     val bloomRow = served.get("bloom").map { blv =>
       PartitionedStore.readVersion(spark, s"$path/bloom", Some(blv)).collect()(0)
@@ -578,6 +595,53 @@ object Dedup {
     Checkpoints.release(sig)
   }
 
+  /** Tombstone DELETE from a [[writeLshIndex]] layout — the near-dup
+    * sibling of [[Search.deleteFromBm25Index]], same contract: O(delete
+    * set) cost (ids append into a `tombstones` component, n_docs shrinks
+    * by the count actually present, atomic republish), serving probes
+    * ([[probeLshIndex]]) anti-join the tombstones out of the stored band
+    * rows, appends raise on resurrection attempts, and
+    * [[compactLshIndex]] physically reclaims. The id-membership Bloom
+    * sketch deliberately keeps the deleted ids until compaction — a
+    * Bloom cannot unlearn — which errs on the side of flagging them at
+    * append time (exact fallback → the loud resurrection raise), never
+    * on silently re-serving deleted content. */
+  def deleteFromLshIndex(spark: org.apache.spark.sql.SparkSession,
+                         ids: DataFrame, path: String): Unit = {
+    import graft.sources.PartitionedStore
+    val served = PartitionedStore.readComposite(path)
+    val statsRow = PartitionedStore
+      .readVersion(spark, s"$path/stats", Some(served("stats"))).collect()(0)
+    val idCol = statsRow.getAs[String]("id_col")
+    val prior = served.get("tombstones").map(tv =>
+      PartitionedStore.readVersion(spark, s"$path/tombstones", Some(tv)))
+    val requested = ids.select(col(ids.columns.head).as(idCol)).distinct()
+    val fresh = prior.fold(requested)(p =>
+      requested.join(broadcast(p), Seq(idCol), "left_anti"))
+    val gone = PartitionedStore
+      .readVersion(spark, s"$path/sig", Some(served("sig")))
+      .select(col(idCol))
+      .join(broadcast(fresh), Seq(idCol), "left_semi")
+      .localCheckpoint()
+    try {
+      if (gone.isEmpty) return // nothing indexed-and-undeleted: no-op
+      val dn = gone.count()
+      val tv = PartitionedStore.commitVersion(gone,
+        s"$path/tombstones", append = served.contains("tombstones"),
+        parent = served.get("tombstones"))
+      val stv = PartitionedStore.commitVersion(
+        spark.range(1).select(
+          lit(statsRow.getAs[Long]("n_docs") - dn).as("n_docs"),
+          lit(statsRow.getAs[Int]("k")).as("k"),
+          lit(statsRow.getAs[Int]("bands")).as("bands"),
+          lit(statsRow.getAs[Int]("n_buckets")).as("n_buckets"),
+          lit(idCol).as("id_col")),
+        s"$path/stats")
+      PartitionedStore.publishComposite(path,
+        served ++ Map("tombstones" -> tv, "stats" -> stv))
+    } finally Checkpoints.release(gone)
+  }
+
   /** Compact a [[writeLshIndex]] layout after a run of nightly appends —
     * the near-dup sibling of [[Search.compactBm25Index]]: bands collapse
     * back to one bucket-clustered rewrite, signatures coalesce, the
@@ -601,13 +665,32 @@ object Dedup {
         case other => throw new IllegalArgumentException(
           s"ambiguous band id column among ${other.mkString(", ")}")
       }
+    // tombstone reclaim rides the rewrite (see [[Search.compactBm25Index]])
+    val minus = served.get("tombstones").map { tv =>
+      (PartitionedStore.readVersion(spark, s"$path/tombstones", Some(tv)),
+        Seq(idCol))
+    }
     val bv = PartitionedStore.compactVersion(spark, s"$path/bands",
       partitionCols = Seq("bucket"), sortCols = Seq("band", "key", idCol),
-      version = Some(served("bands")))
+      version = Some(served("bands")), minus = minus)
     val sv = PartitionedStore.compactVersion(spark, s"$path/sig",
-      version = Some(served("sig")))
+      version = Some(served("sig")), minus = minus)
+    // a Bloom cannot unlearn, so reclaim is the one moment the membership
+    // sketch must REBUILD — from the compacted signature ids, at the same
+    // capacity — or the re-add embargo would outlive the tombstones
+    val blMap = (minus, served.get("bloom")) match {
+      case (Some(_), Some(blv)) =>
+        val cap = PartitionedStore
+          .readVersion(spark, s"$path/bloom", Some(blv))
+          .collect()(0).getAs[Long]("cap")
+        val sigNew = PartitionedStore.readVersion(spark, s"$path/sig", Some(sv))
+        Map("bloom" -> PartitionedStore.commitVersion(
+          lshBloomFrame(spark, bloomBuild(sigNew, idCol, cap), cap),
+          s"$path/bloom"))
+      case _ => Map.empty[String, Long]
+    }
     PartitionedStore.publishComposite(path,
-      served ++ Map("bands" -> bv, "sig" -> sv))
+      served - "tombstones" ++ Map("bands" -> bv, "sig" -> sv) ++ blMap)
   }
 
   /** Incremental EXACT dedup with Bloom semi-join reduction — the

@@ -275,6 +275,19 @@ object Search {
       .readVersion(spark, s"$path/stats", Some(served("stats")))
       .select(col("n_docs"), col("total_tokens"), col("n_buckets")).collect()(0)
     val nBuckets = statsRow.getInt(2)
+    // a tombstoned id arriving in a delta is NOT a re-delivery — it is a
+    // resurrection of deleted content, and a takedown pipeline must fail
+    // loudly on it, never silently re-serve. Legitimate re-use of the id
+    // becomes possible after compaction physically reclaims it.
+    served.get("tombstones").foreach { tv =>
+      val tomb = PartitionedStore.readVersion(
+        spark, s"$path/tombstones", Some(tv))
+      val clash = delta.join(broadcast(tomb), Seq(idCol), "left_semi")
+        .select(col(idCol)).limit(3).collect()
+      if (clash.nonEmpty) throw new IllegalStateException(
+        s"append would resurrect tombstoned ids (e.g. ${clash.mkString(", ")})" +
+          s" at $path; compact the index to reclaim them first")
+    }
     val existing = PartitionedStore
       .readVersion(spark, s"$path/dl", Some(served("dl"))).select(col(idCol))
     val fresh = delta.join(existing, Seq(idCol), "left_anti")
@@ -309,6 +322,64 @@ object Search {
     }
   }
 
+  /** Tombstone DELETE from a [[writeBm25Index]] layout — the takedown /
+    * right-to-be-forgotten verb that completes the stored-index CRUD
+    * story (write / append / delete / compact). Cost tracks the DELETE
+    * SET, not the corpus: the doc ids append into a `tombstones`
+    * component, corpus stats shrink by exact integer arithmetic from the
+    * deleted docs' own `dl` rows (one narrow per-doc-metadata read —
+    * postings are never touched), and the composite republishes
+    * atomically. Serving reads ([[bm25IndexTopK]]) anti-join the
+    * tombstone set (small, broadcast) out of the pruned postings BEFORE
+    * df is counted, so a query after a delete is bit-identical to one
+    * against an index rebuilt without the deleted docs — the oracle's
+    * claim (`search_bm25_deleted`). Physical rows survive, invisible,
+    * until [[compactBm25Index]] reclaims them (the Delta/Iceberg
+    * deletion-vector model); until then a tombstoned id cannot be
+    * re-appended ([[appendBm25Index]] raises — silently resurrecting
+    * deleted content is the one failure a takedown pipeline must not
+    * have). Never-indexed and already-deleted ids no-op without
+    * publishing a generation. */
+  def deleteFromBm25Index(spark: org.apache.spark.sql.SparkSession,
+                          ids: DataFrame, path: String): Unit = {
+    import graft.sources.PartitionedStore
+    val served = PartitionedStore.readComposite(path)
+    val statsRow = PartitionedStore
+      .readVersion(spark, s"$path/stats", Some(served("stats")))
+      .select(col("n_docs"), col("total_tokens"), col("n_buckets")).collect()(0)
+    val dl = PartitionedStore.readVersion(spark, s"$path/dl", Some(served("dl")))
+    val idCol = dl.columns.filterNot(_ == "dl") match {
+      case Array(only) => only
+      case other => throw new IllegalArgumentException(
+        s"ambiguous dl id column among ${other.mkString(", ")}")
+    }
+    val prior = served.get("tombstones").map(tv =>
+      PartitionedStore.readVersion(spark, s"$path/tombstones", Some(tv)))
+    val requested = ids.select(col(ids.columns.head).as(idCol)).distinct()
+    val fresh = prior.fold(requested)(p =>
+      requested.join(broadcast(p), Seq(idCol), "left_anti"))
+    // checkpointed: consumed by the no-op gate, the stats aggregate and
+    // the tombstone commit — one evaluation of the dl semi-join
+    val gone = dl.join(broadcast(fresh), Seq(idCol), "left_semi")
+      .localCheckpoint()
+    try {
+      if (gone.isEmpty) return // nothing indexed-and-undeleted: no-op
+      val d = gone.agg(count(lit(1)).as("dn"), sum(col("dl")).as("dt"))
+        .collect()(0)
+      val tv = PartitionedStore.commitVersion(gone.select(col(idCol)),
+        s"$path/tombstones", append = served.contains("tombstones"),
+        parent = served.get("tombstones"))
+      val sv = PartitionedStore.commitVersion(
+        spark.range(1).select(
+          lit(statsRow.getLong(0) - d.getLong(0)).as("n_docs"),
+          lit(statsRow.getLong(1) - d.getLong(1)).as("total_tokens"),
+          lit(statsRow.getInt(2)).as("n_buckets")),
+        s"$path/stats")
+      PartitionedStore.publishComposite(path,
+        served ++ Map("tombstones" -> tv, "stats" -> sv))
+    } finally Checkpoints.release(gone)
+  }
+
   /** Compact a [[writeBm25Index]] layout after a run of nightly appends:
     * every append adds a small data dir to postings and dl, and read cost
     * creeps with file count — this collapses each back to one clustered
@@ -331,13 +402,21 @@ object Search {
       case other => throw new IllegalArgumentException(
         s"ambiguous postings id column among ${other.mkString(", ")}")
     }
+    // tombstone reclaim rides the rewrite for free: deleted rows are
+    // anti-joined out of both components and the tombstone set leaves
+    // the composite — serving results are unchanged (reads were already
+    // filtering those rows), the bytes and the re-add embargo are gone
+    val minus = served.get("tombstones").map { tv =>
+      (PartitionedStore.readVersion(spark, s"$path/tombstones", Some(tv)),
+        Seq(idCol))
+    }
     val pv = PartitionedStore.compactVersion(spark, s"$path/postings",
       partitionCols = Seq("bucket"), sortCols = Seq("term", idCol),
-      version = Some(served("postings")))
+      version = Some(served("postings")), minus = minus)
     val dv = PartitionedStore.compactVersion(spark, s"$path/dl",
-      version = Some(served("dl")))
+      version = Some(served("dl")), minus = minus)
     PartitionedStore.publishComposite(path,
-      served ++ Map("postings" -> pv, "dl" -> dv))
+      served - "tombstones" ++ Map("postings" -> pv, "dl" -> dv))
   }
 
   /** BM25 top-k against a [[writeBm25Index]] layout — identical results
@@ -367,10 +446,17 @@ object Search {
     val qbuckets = qterms
       .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val tfq = PartitionedStore.readVersion(spark, s"$path/postings",
+    val tfq0 = PartitionedStore.readVersion(spark, s"$path/postings",
         Some(served("postings")))
       .filter(col("bucket").isin(qbuckets: _*))
       .join(broadcast(qterms.select(col("term")).distinct()), "term")
+    // tombstoned docs leave the postings BEFORE df is counted, so idf,
+    // scores and ranks all see the post-delete corpus exactly as a
+    // rebuild-without would (stats were adjusted at delete time)
+    val tfq = served.get("tombstones").fold(tfq0) { tv =>
+      tfq0.join(broadcast(PartitionedStore.readVersion(
+        spark, s"$path/tombstones", Some(tv))), Seq(idCol), "left_anti")
+    }
     val dl = PartitionedStore.readVersion(spark, s"$path/dl", Some(served("dl")))
     Similarity.topKPerQuery(
       bm25ScoresFrom(tfq, dl,

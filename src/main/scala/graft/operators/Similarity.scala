@@ -340,6 +340,17 @@ object Similarity {
                      path: String): Unit = {
     import graft.sources.PartitionedStore
     val served = PartitionedStore.readComposite(path)
+    // resurrection guard (see [[deleteFromIvfIndex]]): a tombstoned id in
+    // the delta fails loudly — it is deleted content, not a re-delivery
+    served.get("tombstones").foreach { tv =>
+      val tomb = PartitionedStore.readVersion(
+        spark, s"$path/tombstones", Some(tv))
+      val clash = delta.join(broadcast(tomb), Seq(idCol), "left_semi")
+        .select(col(idCol)).limit(3).collect()
+      if (clash.nonEmpty) throw new IllegalStateException(
+        s"append would resurrect tombstoned ids (e.g. ${clash.mkString(", ")})" +
+          s" at $path; compact the index to reclaim them first")
+    }
     val cents = broadcast(PartitionedStore.readVersion(
       spark, s"$path/centroids", Some(served("centroids"))))
     val existing = PartitionedStore.readVersion(
@@ -370,6 +381,94 @@ object Similarity {
       PartitionedStore.publishComposite(path,
         Map("centroids" -> served("centroids"), "cells" -> lv, "stats" -> sv))
     } finally Checkpoints.release(assigned)
+  }
+
+  /** Tombstone DELETE from a [[writeIvfIndex]] layout — the vector
+    * sibling of [[Search.deleteFromBm25Index]], same contract: the ids
+    * append into a `tombstones` component and the composite republishes
+    * atomically; [[ivfIndexTopK]] anti-joins them out of the probed
+    * cells, [[appendIvfIndex]] raises on resurrection attempts, and
+    * [[compactIvfIndex]] physically reclaims. The drift account stays
+    * exact: the deleted vectors' own assignment quality (one narrow
+    * cells read, semi-joined to the delete set) is SUBTRACTED from the
+    * running (n_vecs, qcos_sum) by integer arithmetic — the train-time
+    * baseline is untouched, so post-delete drift still measures corpus
+    * movement against the same frozen quantizer. */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                         ids: DataFrame, path: String): Unit = {
+    import graft.sources.PartitionedStore
+    val served = PartitionedStore.readComposite(path)
+    val cells = PartitionedStore.readVersion(
+      spark, s"$path/cells", Some(served("cells")))
+    val vecCol = cells.schema.fields.collectFirst {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+        f.name
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no vector column among ${cells.columns.mkString(", ")}"))
+    val idCol = cells.columns.filterNot(Set(vecCol, "cell")) match {
+      case Array(only) => only
+      case other => throw new IllegalArgumentException(
+        s"ambiguous cells id column among ${other.mkString(", ")}")
+    }
+    val prior = served.get("tombstones").map(tv =>
+      PartitionedStore.readVersion(spark, s"$path/tombstones", Some(tv)))
+    val requested = ids.select(col(ids.columns.head).as(idCol)).distinct()
+    val fresh = prior.fold(requested)(p =>
+      requested.join(broadcast(p), Seq(idCol), "left_anti"))
+    // the deleted rows themselves (with vectors): feeds the no-op gate,
+    // the quality subtraction and the tombstone commit — one evaluation
+    val gone = cells.join(broadcast(fresh), Seq(idCol), "left_semi")
+      .localCheckpoint()
+    try {
+      if (gone.isEmpty) return // nothing indexed-and-undeleted: no-op
+      val cents = broadcast(PartitionedStore.readVersion(
+        spark, s"$path/centroids", Some(served("centroids"))))
+      val (dn, dq) = assignQuality(gone, cents, vecCol)
+      val s0 = PartitionedStore.readVersion(spark, s"$path/stats",
+        Some(served("stats"))).collect()(0)
+      val tv = PartitionedStore.commitVersion(gone.select(col(idCol)),
+        s"$path/tombstones", append = served.contains("tombstones"),
+        parent = served.get("tombstones"))
+      val sv = PartitionedStore.commitVersion(
+        spark.range(1).select(
+          lit(s0.getAs[Long]("n_vecs") - dn).as("n_vecs"),
+          lit(s0.getAs[Long]("qcos_sum") - dq).as("qcos_sum"),
+          lit(s0.getAs[Long]("base_n")).as("base_n"),
+          lit(s0.getAs[Long]("base_qcos_sum")).as("base_qcos_sum")),
+        s"$path/stats")
+      PartitionedStore.publishComposite(path,
+        served ++ Map("tombstones" -> tv, "stats" -> sv))
+    } finally Checkpoints.release(gone)
+  }
+
+  /** Physically reclaim tombstoned vectors from a [[writeIvfIndex]]
+    * layout: one cell-clustered rewrite of the cells component minus the
+    * tombstone set (which also collapses nightly-append small files),
+    * then a republish WITHOUT the tombstones — results unchanged,
+    * bytes and the re-add embargo gone. Centroids and stats are already
+    * exact (adjusted at delete time) and pass through untouched. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit = {
+    import graft.sources.PartitionedStore
+    val served = PartitionedStore.readComposite(path)
+    val cells = PartitionedStore.readVersion(
+      spark, s"$path/cells", Some(served("cells")))
+    val idCol = cells.columns.filterNot(c =>
+      c == "cell" || cells.schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.ArrayType]) match {
+      case Array(only) => only
+      case other => throw new IllegalArgumentException(
+        s"ambiguous cells id column among ${other.mkString(", ")}")
+    }
+    val minus = served.get("tombstones").map { tv =>
+      (PartitionedStore.readVersion(spark, s"$path/tombstones", Some(tv)),
+        Seq(idCol))
+    }
+    val lv = PartitionedStore.compactVersion(spark, s"$path/cells",
+      partitionCols = Seq("cell"), sortCols = Seq(idCol),
+      version = Some(served("cells")), minus = minus)
+    PartitionedStore.publishComposite(path,
+      served - "tombstones" ++ Map("cells" -> lv))
   }
 
   /** The frozen-quantizer drift account, 1 row: mean assignment cosine
@@ -424,9 +523,15 @@ object Similarity {
       col(vecCol).as("q_vec")), cents, "query_id", "q_vec", keep = nProbe)
     val probeCells = probes.select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val cells = PartitionedStore.readVersion(
+    val cells0 = PartitionedStore.readVersion(
         spark, s"$path/cells", Some(served("cells")))
       .filter(col("cell").isin(probeCells: _*))
+    // tombstoned vectors never reach scoring — a query after a delete is
+    // bit-identical to one against an index rebuilt without them
+    val cells = served.get("tombstones").fold(cells0) { tv =>
+      cells0.join(broadcast(PartitionedStore.readVersion(
+        spark, s"$path/tombstones", Some(tv))), Seq(idCol), "left_anti")
+    }
     val scored = cells.join(broadcast(probes), cells("cell") === probes("cell"))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol),

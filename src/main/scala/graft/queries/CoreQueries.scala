@@ -277,7 +277,7 @@ object CoreQueries {
     import graft.sources.PartitionedStore
     val docs = Tables.documents(s, d)
     val path = snapDiffCache.computeIfAbsent(d, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft_snapdiff").toString
+      val p = graft.Scratch.dir("graft_snapdiff")
       val churn = col("doc_id") % 5 === 0 && col("doc_id") % 7 =!= 0
       // v1: the stable bulk alone; v2: + churn dir = the full old snapshot
       PartitionedStore.commitVersion(

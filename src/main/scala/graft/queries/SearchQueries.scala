@@ -84,7 +84,7 @@ object SearchQueries {
     // first call per data dir pays the build, repeat calls (bench steady
     // runs) measure what production measures: the pruned serving read
     val path = bm25IndexCache.computeIfAbsent(d, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+      val p = graft.Scratch.dir("graft_bm25_idx")
       Search.writeBm25Index(docs, "doc_id", "text", p)
       p
     })
@@ -313,9 +313,9 @@ object SearchQueries {
   def ragRetrieveIndexed(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val (bm25Path, embPath) = ragIndexCache.computeIfAbsent(d, _ => {
-      val bp = java.nio.file.Files.createTempDirectory("graft_rag_bm25").toString
+      val bp = graft.Scratch.dir("graft_rag_bm25")
       Search.writeBm25Index(docs, "doc_id", "text", bp)
-      val ep = java.nio.file.Files.createTempDirectory("graft_rag_emb").toString
+      val ep = graft.Scratch.dir("graft_rag_emb")
       docs.select(col("doc_id"),
           TextAnalysis.hashEmbed(col("text"), EmbedD).as("embedding"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(ep)
@@ -350,7 +350,47 @@ object SearchQueries {
        |FROM packed WHERE cum_tokens <= $RagBudget
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---- BM25 serving after a takedown (tombstone delete) --------------------
+  /** The delete leg of the stored-BM25 lifecycle, end-to-end: the index
+    * is built over the FULL corpus, doc_id ≡ 13 (mod 20) is
+    * tombstone-deleted ([[Search.deleteFromBm25Index]] — O(delete set),
+    * stats shrink by exact integer arithmetic, atomic republish), and
+    * queries serve against the published generation. The oracle is BM25
+    * over the corpus WITHOUT the deleted docs — n_docs, avgdl and every
+    * per-term df all shift, so a delete that left stale stats, stale df,
+    * or a deleted doc in the candidates hash-mismatches. The residue
+    * class avoids doc_id < NQ so the query set is the standard one.
+    * Build+delete memoized per corpus: repeat calls measure serving. */
+  private val bm25DelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val DelMod = 20
+  private val DelRes = 13
+
+  def searchBm25Deleted(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val path = bm25DelCache.computeIfAbsent(d, _ => {
+      val p = graft.Scratch.dir("graft_bm25_del")
+      Search.writeBm25Index(docs, "doc_id", "text", p)
+      Search.deleteFromBm25Index(s,
+        docs.filter(col("doc_id") % DelMod === DelRes).select(col("doc_id")), p)
+      p
+    })
+    Search.bm25IndexTopK(s, path,
+        docs.filter(col("doc_id") < NQ)
+          .select(col("doc_id").as("query_id"), col("text").as("qtext")),
+        "doc_id", "query_id", "qtext", K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  /** [[searchBm25Sql]] over the corpus minus the deleted residue class —
+    * derived from the base oracle so the two can never drift. Both
+    * `FROM documents` occurrences (tf and qterms) rewrite; the query-doc
+    * side is unaffected because the residue class excludes doc_id < NQ. */
+  val searchBm25DeletedSql: String = searchBm25Sql.replace(
+    "FROM documents",
+    s"FROM (SELECT * FROM documents WHERE doc_id % $DelMod <> $DelRes) documents")
+
   val defs: Map[String, Q] = Map(
+    "search_bm25_deleted" -> (searchBm25Deleted _),
     "search_bm25" -> (searchBm25 _),
     "search_bm25_indexed" -> (searchBm25Indexed _),
     "search_bm25_prf" -> (searchBm25Prf _),
@@ -359,6 +399,7 @@ object SearchQueries {
     "rag_retrieve_indexed" -> (ragRetrieveIndexed _))
 
   val oracle: Map[String, String] = Map(
+    "search_bm25_deleted" -> searchBm25DeletedSql,
     "search_bm25" -> searchBm25Sql,
     // the index is pure I/O layout — semantics ARE search_bm25's
     "search_bm25_indexed" -> searchBm25Sql,

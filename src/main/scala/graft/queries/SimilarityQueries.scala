@@ -460,9 +460,46 @@ object SimilarityQueries {
        |FROM (SELECT vec_id, cell FROM cells WHERE vec_id % 5 = 0) c
        |LEFT JOIN dup d USING (vec_id) ORDER BY c.vec_id""".stripMargin
 
+  // ---- ANN serving after a takedown (tombstone delete) ---------------------
+  /** The delete leg of the stored-IVF lifecycle, end-to-end: the index is
+    * built over the FULL corpus, vec_id ≡ 3 (mod 20) is tombstone-deleted
+    * ([[Similarity.deleteFromIvfIndex]] — O(delete set), atomic), and the
+    * probe serves against the published generation. The oracle assigns
+    * EVERY vector to its cell (assignments were fixed at build time —
+    * deleting a vector must not re-home its neighbours) and drops the
+    * deleted ids only at scoring, exactly the serving read's anti-join —
+    * so a delete that leaked into candidates, or a stats/cell tear,
+    * hash-mismatches. Build+delete memoized per corpus like the other
+    * index queries: repeat calls measure the serving probe. */
+  private val ivfDelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val DelMod = 20
+  private val DelRes = 3
+
+  def simIvfDeleted(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val path = ivfDelCache.computeIfAbsent(d, _ => {
+      val p = graft.Scratch.dir("graft_ivf_del")
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", NCent, p)
+      Similarity.deleteFromIvfIndex(s,
+        emb.filter(col("vec_id") % DelMod === DelRes).select(col("vec_id")), p)
+      p
+    })
+    Similarity.ivfIndexTopK(s, path, emb.filter(col("vec_id") < NQ),
+        "vec_id", "embedding", K, NProbe)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  /** [[simIvfTopkSql]] with the deleted ids dropped at the candidate
+    * join — derived from the base oracle so the two can never drift. */
+  val simIvfDeletedSql: String = simIvfTopkSql.replace(
+    "FROM cells e JOIN probes p ON e.cell = p.cell AND e.vec_id <> p.query_id",
+    "FROM cells e JOIN probes p ON e.cell = p.cell AND e.vec_id <> p.query_id" +
+      s" AND e.vec_id % $DelMod <> $DelRes")
+
   // -------------------------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
+    "sim_ivf_deleted" -> (simIvfDeleted _),
     "dedup_semantic_incremental" -> (dedupSemanticIncremental _),
     "sim_ivf_trained_topk" -> (simIvfTrainedTopk _),
     "dedup_semantic" -> (dedupSemantic _),
@@ -477,6 +514,7 @@ object SimilarityQueries {
     "dedup_embedding_pairs" -> (dedupEmbeddingPairs _))
 
   val oracle: Map[String, String] = Map(
+    "sim_ivf_deleted" -> simIvfDeletedSql,
     "dedup_semantic_incremental" -> dedupSemanticIncrementalSql,
     "sim_ivf_trained_topk" -> simIvfTrainedTopkSql,
     "dedup_semantic" -> dedupSemanticSql,

@@ -394,7 +394,7 @@ object TextQueries {
   private def cmsStore(s: SparkSession, d: String): String =
     cmsStoreCache.computeIfAbsent(d, _ => {
       import graft.sources.PartitionedStore
-      val p = java.nio.file.Files.createTempDirectory("graft_cms_store").toString
+      val p = graft.Scratch.dir("graft_cms_store")
       val daily = Relational.cmsDailySketches(
           cmsKeyedEvents(s, d), "ts", "uid", CmsD, CmsW)
         .localCheckpoint() // feeds both commits; released below
@@ -916,7 +916,7 @@ object TextQueries {
   def textLmCross(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val path = lmModelCache.computeIfAbsent(d, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft_lm").toString
+      val p = graft.Scratch.dir("graft_lm")
       TextAnalysis.writeBigramLm(docs.filter(col("doc_id") % 2 === 0), "text", p)
       p
     })

@@ -169,7 +169,7 @@ object TrainingQueries {
   def dedupLshIndexed(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val path = lshIndexCache.computeIfAbsent(d, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+      val p = graft.Scratch.dir("graft_lsh_idx")
       Dedup.writeLshIndex(docs.filter(col("doc_id") % 10 =!= 0),
         "doc_id", "text", p)
       p
@@ -425,7 +425,45 @@ object TrainingQueries {
 
   // -------------------------------------------------------------------------
 
+  // ---- near-dup probe after a takedown (tombstone delete) ------------------
+  /** The delete leg of the stored-LSH lifecycle, end-to-end: standing
+    * docs (ids ≢ 0 mod 10) are indexed, doc_id ≡ 7 (mod 30) is
+    * tombstone-deleted ([[Dedup.deleteFromLshIndex]] — O(delete set),
+    * atomic), and the delta probes the published generation. The oracle
+    * drops the deleted ids at the candidate join — exactly the probe's
+    * anti-join — so a delete that leaked a tombstoned doc back into the
+    * candidates hash-mismatches. Every id in the residue class is
+    * standing (7 mod 30 is never 0 mod 10). Build+delete memoized per
+    * corpus: repeat calls measure the probe. */
+  private val lshDelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val LshDelMod = 30
+  private val LshDelRes = 7
+
+  def dedupLshDeleted(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val path = lshDelCache.computeIfAbsent(d, _ => {
+      val p = graft.Scratch.dir("graft_lsh_del")
+      Dedup.writeLshIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", p)
+      Dedup.deleteFromLshIndex(s,
+        docs.filter(col("doc_id") % LshDelMod === LshDelRes)
+          .select(col("doc_id")), p)
+      p
+    })
+    Dedup.probeLshIndex(s, path, docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", threshold = 0.5)
+      .orderBy(col("new_id"), col("old_id"))
+  }
+  /** [[dedupLshIndexedSql]] with the deleted residue class dropped on the
+    * standing side — derived from the base oracle so they can't drift. */
+  val dedupLshDeletedSql: String = dedupLshIndexedSql.replace(
+    "WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0",
+    "WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0" +
+      s" AND b.doc_id % $LshDelMod <> $LshDelRes")
+
   val defs: Map[String, Q] = Map(
+    "dedup_lsh_deleted" -> (dedupLshDeleted _),
     "dedup_exact" -> (dedupExact _),
     "dedup_normalized" -> (dedupNormalized _),
     "dedup_lsh_indexed" -> (dedupLshIndexed _),
@@ -439,6 +477,7 @@ object TrainingQueries {
     "dedup_ngram_pairs" -> (dedupNgramPairs _))
 
   val oracle: Map[String, String] = Map(
+    "dedup_lsh_deleted" -> dedupLshDeletedSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_normalized" -> dedupNormalizedSql,
     "dedup_lsh_indexed" -> dedupLshIndexedSql,

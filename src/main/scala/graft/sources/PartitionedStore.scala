@@ -488,14 +488,28 @@ object PartitionedStore {
     * dirs' on-disk footprint (metadata walk, no data read). Never a
     * coalesce(1): funneling a corpus-sized table (BM25 dl, LSH sig)
     * through one task is the single-task-over-data-rows shape this repo
-    * bans — compaction must collapse FILE COUNT, not parallelism. */
+    * bans — compaction must collapse FILE COUNT, not parallelism.
+    *
+    * `minus` is the physical-reclaim half of a tombstone delete
+    * lifecycle (the deletion-vector model): rows matching the given
+    * frame on the given key columns are DROPPED from the rewrite — a
+    * broadcast anti-join, so reclaim costs one corpus rewrite plus
+    * nothing. Content changes deliberately; the caller's serving reads
+    * were already filtering those rows, so query results are identical
+    * before and after. */
   def compactVersion(spark: SparkSession, path: String,
                      partitionCols: Seq[String] = Nil,
                      sortCols: Seq[String] = Nil,
                      version: Option[Long] = None,
-                     numFiles: Option[Int] = None): Long = {
+                     numFiles: Option[Int] = None,
+                     minus: Option[(DataFrame, Seq[String])] = None): Long = {
     val v = version.getOrElse(versions(path).last)
-    val df0 = readVersion(spark, path, Some(v))
+    val df0 = minus match {
+      case Some((tomb, keys)) =>
+        readVersion(spark, path, Some(v)).join(
+          org.apache.spark.sql.functions.broadcast(tomb), keys, "left_anti")
+      case None => readVersion(spark, path, Some(v))
+    }
     def sizedFiles: Int = {
       val bytes = manifestDirs(path, v).map { d =>
         Files.walk(Paths.get(path, "data", d)).iterator().asScala

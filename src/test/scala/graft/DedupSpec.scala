@@ -462,4 +462,61 @@ class DedupSpec extends AnyFunSuite {
     assert(out(2L) == ((0L, true, 3L, true)))
     assert(out(3L) == ((3L, false, 1L, false)))
   }
+
+  test("deleteFromLshIndex: tombstoned docs stop pairing; appends refuse " +
+    "resurrection; compaction reclaims and unlearns the Bloom") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.PartitionedStore
+    def tmp() = java.nio.file.Files.createTempDirectory("graft_lsh_del").toString
+    val standing = docs.filter(col("doc_id").isin(0L, 2L, 3L)) // 0≈2 near dups
+    val probe = docs.filter(col("doc_id") === 1L)              // exact dup of 0
+    def hits(path: String) =
+      Dedup.probeLshIndex(s, path, probe, "doc_id", "text", 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val path = tmp()
+    Dedup.writeLshIndex(standing, "doc_id", "text", path)
+    assert(hits(path).exists(_._2 == 0L), "fixture: probe must hit doc 0 pre-delete")
+    Dedup.deleteFromLshIndex(s, Seq(0L).toDF("doc_id"), path)
+    // identical to a probe against an index rebuilt without the doc
+    val rebuilt = tmp()
+    Dedup.writeLshIndex(standing.filter(col("doc_id") =!= 0L),
+      "doc_id", "text", rebuilt)
+    assert(hits(path) == hits(rebuilt),
+      "post-delete probe must equal rebuild-without, bit for bit")
+    assert(!hits(path).exists(_._2 == 0L), "tombstoned doc must stop pairing")
+    // re-deleting and deleting a never-indexed id publish no generation
+    val nv = PartitionedStore.compositeVersions(path).size
+    Dedup.deleteFromLshIndex(s, Seq(0L, 9999L).toDF("doc_id"), path)
+    assert(PartitionedStore.compositeVersions(path).size == nv)
+    // resurrection attempt raises (the Bloom still remembers the id,
+    // but the tombstone guard fires first and loudly)
+    val ex = intercept[IllegalStateException] {
+      Dedup.appendLshIndex(s, docs.filter(col("doc_id") === 0L),
+        "doc_id", "text", path)
+    }
+    assert(ex.getMessage.contains("resurrect"), ex.getMessage)
+    // compaction reclaims rows AND rebuilds the membership sketch from
+    // the survivors — the deleted id must probe Bloom-negative after
+    val before = PartitionedStore.readComposite(path)
+    val sigBefore = PartitionedStore.readVersion(
+      s, s"$path/sig", Some(before("sig"))).count()
+    Dedup.compactLshIndex(s, path)
+    val after = PartitionedStore.readComposite(path)
+    assert(!after.contains("tombstones"))
+    assert(PartitionedStore.readVersion(
+      s, s"$path/sig", Some(after("sig"))).count() < sigBefore,
+      "compaction must physically drop tombstoned signatures")
+    assert(hits(path) == hits(rebuilt), "reclaim must not change any answer")
+    val bloomRow = PartitionedStore.readVersion(
+      s, s"$path/bloom", Some(after("bloom"))).collect()(0)
+    assert(Dedup.bloomProbe(Seq(0L).toDF("doc_id"), "doc_id",
+        bloomRow.getAs[Array[Byte]]("sketch")).isEmpty,
+      "compaction must rebuild the Bloom without the reclaimed id")
+    // the id is free again: the append lands and the doc pairs once more
+    Dedup.appendLshIndex(s, docs.filter(col("doc_id") === 0L),
+      "doc_id", "text", path)
+    assert(hits(path).exists(_._2 == 0L),
+      "post-compaction append of a reclaimed id must be probeable")
+  }
 }

@@ -322,4 +322,63 @@ class SearchSpec extends AnyFunSuite {
       s"expected bounded-buffer CollectTopK aggregation:\n$p")
     assert(!p.contains("Window "), s"no window ranking expected:\n$p")
   }
+
+  test("deleteFromBm25Index: tombstone delete serves rebuild-without answers; " +
+    "appends refuse resurrection; compaction reclaims") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.PartitionedStore
+    val rnd = new scala.util.Random(31)
+    val vocab = Array.tabulate(60)(i => s"d$i")
+    val docs = (0L until 100L).map { id =>
+      (id, Seq.fill(5 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val delIds = Seq(7L, 23L, 55L)
+    val qs = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft_bm25_del").toString
+    Search.writeBm25Index(docs, "doc_id", "text", path, nBuckets = 32)
+    Search.deleteFromBm25Index(s, delIds.toDF("doc_id"), path)
+    // bit-identical to BM25 over the corpus WITHOUT the deleted docs —
+    // n_docs, avgdl and per-term df must all reflect the delete
+    val direct = Search.bm25TopK(docs.filter(!col("doc_id").isin(delIds: _*)),
+      qs, "doc_id", "text", "query_id", "qtext", 10)
+    val served = rows(Search.bm25IndexTopK(s, path, qs, "doc_id", "query_id", "qtext", 10))
+    assert(served == rows(direct))
+    assert(!served.exists(r => delIds.contains(r._2)),
+      "tombstoned docs must be unreachable")
+    // re-deleting + deleting a never-indexed id publishes NO generation
+    val nv = PartitionedStore.compositeVersions(path).size
+    Search.deleteFromBm25Index(s, Seq(7L, 9999L).toDF("doc_id"), path)
+    assert(PartitionedStore.compositeVersions(path).size == nv,
+      "already-deleted and never-indexed ids must no-op")
+    // a delta carrying a tombstoned id is a resurrection attempt: raise
+    val ex = intercept[IllegalStateException] {
+      Search.appendBm25Index(s, Seq((7L, "x y z")).toDF("doc_id", "text"), "doc_id", "text", path)
+    }
+    assert(ex.getMessage.contains("resurrect"), ex.getMessage)
+    // compaction physically reclaims: fewer postings rows, tombstone
+    // component gone, answers unchanged
+    val before = PartitionedStore.readComposite(path)
+    assert(before.contains("tombstones"))
+    val rowsBefore = PartitionedStore.readVersion(
+      s, s"$path/postings", Some(before("postings"))).count()
+    Search.compactBm25Index(s, path)
+    val after = PartitionedStore.readComposite(path)
+    assert(!after.contains("tombstones"), "compaction must clear the tombstone set")
+    assert(PartitionedStore.readVersion(
+      s, s"$path/postings", Some(after("postings"))).count() < rowsBefore,
+      "compaction must physically drop tombstoned postings")
+    assert(rows(Search.bm25IndexTopK(s, path, qs, "doc_id", "query_id", "qtext", 10))
+      == rows(direct), "reclaim must not change any answer")
+    // after reclaim the id is free again: the same id appends cleanly
+    Search.appendBm25Index(s, Seq((7L, "x y z")).toDF("doc_id", "text"), "doc_id", "text", path)
+    val comp2 = PartitionedStore.readComposite(path)
+    val dlIds = PartitionedStore.readVersion(s, s"$path/dl", Some(comp2("dl")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dlIds.contains(7L), "post-compaction append of a reclaimed id must land")
+  }
 }

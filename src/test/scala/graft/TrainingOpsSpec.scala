@@ -1052,4 +1052,74 @@ class TrainingOpsSpec extends AnyFunSuite {
     // the pins are floors on real approximations, not tautologies
     assert(lshRecall <= 1.0 && adcRecall < 1.0)
   }
+
+  test("deleteFromIvfIndex: tombstone delete serves rebuild-without answers; " +
+    "drift account stays exact; compaction reclaims") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.PartitionedStore
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 200).map { id =>
+      val c = id % 4
+      val v = Array.tabulate(8)(d =>
+        (if (d == c) 1.0f else 0.0f) + (rnd.nextFloat() - 0.5f) * 0.1f)
+      (id.toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    // delete ids all above the seed range so rebuild-without picks the
+    // SAME centroids — the equality below is then exact, not accidental
+    val delIds = Seq(40L, 44L, 48L, 120L)
+    val qs = emb.filter(col("vec_id") < 3)
+    def top(path: String) =
+      Similarity.ivfIndexTopK(s, path, qs, "vec_id", "embedding", k = 5, nProbe = 2)
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    def tmp() = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString
+    val path = tmp()
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", nCentroids = 8, path)
+    val preDelete = top(path)
+    assert(preDelete.exists(r => delIds.contains(r._2)),
+      "fixture: a doomed vector must rank pre-delete or the test proves nothing")
+    Similarity.deleteFromIvfIndex(s, delIds.toDF("vec_id"), path)
+    val rebuilt = tmp()
+    Similarity.writeIvfIndex(emb.filter(!col("vec_id").isin(delIds: _*)),
+      "vec_id", "embedding", nCentroids = 8, rebuilt)
+    assert(top(path) == top(rebuilt),
+      "post-delete serving must equal rebuild-without, bit for bit")
+    assert(!top(path).exists(r => delIds.contains(r._2)))
+    // the drift account subtracted the deleted vectors' own quality:
+    // n_vecs matches the rebuild and the mean stays a real mean
+    val drift = Similarity.ivfDrift(s, path).collect()(0)
+    assert(drift.getAs[Long]("n_vecs") == 196L)
+    val driftRebuilt = Similarity.ivfDrift(s, rebuilt).collect()(0)
+    assert(math.abs(drift.getAs[Double]("mean_micro") -
+      driftRebuilt.getAs[Double]("mean_micro")) < 1.0,
+      "post-delete running mean must match the rebuilt corpus's (same vectors, same centroids)")
+    // no-op delete publishes nothing; resurrection raises
+    val nv = PartitionedStore.compositeVersions(path).size
+    Similarity.deleteFromIvfIndex(s, Seq(40L, 9999L).toDF("vec_id"), path)
+    assert(PartitionedStore.compositeVersions(path).size == nv)
+    val ex = intercept[IllegalStateException] {
+      Similarity.appendIvfIndex(s, emb.filter(col("vec_id") === 40L),
+        "vec_id", "embedding", path)
+    }
+    assert(ex.getMessage.contains("resurrect"), ex.getMessage)
+    // compaction reclaims: rows physically gone, tombstones cleared,
+    // answers unchanged, and the reclaimed id can append again
+    val before = PartitionedStore.readComposite(path)
+    val cellsBefore = PartitionedStore.readVersion(
+      s, s"$path/cells", Some(before("cells"))).count()
+    Similarity.compactIvfIndex(s, path)
+    val after = PartitionedStore.readComposite(path)
+    assert(!after.contains("tombstones"))
+    assert(PartitionedStore.readVersion(
+      s, s"$path/cells", Some(after("cells"))).count() == cellsBefore - 4)
+    assert(top(path) == top(rebuilt), "reclaim must not change any answer")
+    Similarity.appendIvfIndex(s, emb.filter(col("vec_id") === 40L),
+      "vec_id", "embedding", path)
+    val ids = PartitionedStore.readVersion(s, s"$path/cells",
+        Some(PartitionedStore.readComposite(path)("cells")))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(40L), "post-compaction append of a reclaimed id must land")
+  }
 }
