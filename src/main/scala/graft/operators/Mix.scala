@@ -345,6 +345,67 @@ object Mix {
       .select(df.columns.map(col).toIndexedSeq :+ col("cum_tokens"): _*)
   }
 
+  /** Quality-curriculum banding: partition the corpus into `nBands`
+    * difficulty bands by score (band 1 = highest-scoring / "easiest"
+    * slice) using VALUE cutoffs at the integer ranks ⌈n·b/B⌉ of the
+    * (score desc) order — the curriculum-learning admission rule
+    * (Bengio et al. 2009) phrased so no per-row rank ever exists:
+    * cutoff scores come from a prefix-sum window over the tiny
+    * per-VALUE score histogram (the winsorize/topFraction machinery —
+    * distinct-score rows, never data rows), broadcast back, and each
+    * row's band is a pure value compare. Score ties are closed under
+    * banding (every row with the cutoff score joins the band whose rank
+    * interval its value crosses), so the output is deterministic under
+    * any partitioning — and the oracle can state the same cutoffs with
+    * a naive cumulative histogram. Output: (idCol, score, band ∈ 1..B).
+    */
+  def curriculumBands(df: DataFrame, idCol: String, scoreCol: String,
+                      nBands: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBands >= 2, s"need at least 2 bands: $nBands")
+    val scored = df.select(col(idCol), col(scoreCol).cast("long").as("score"))
+    val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
+    // window over the distinct-score histogram only (plan-pinned class)
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+    // cutoff b = the score at rank ceil(n*b/B) descending = the LARGEST
+    // score whose cumulative count reaches that rank
+    val cuts = cum
+      .crossJoin(broadcast(
+        spark(df).range(1, nBands.toLong).select(col("id").as("b"))))
+      .withColumn("rank_b", expr(s"(n * b + $nBands - 1) DIV $nBands"))
+      .filter(col("cum") >= col("rank_b"))
+      .groupBy(col("b")).agg(max(col("score")).as("cut"))
+    scored.crossJoin(broadcast(
+        cuts.groupBy().agg(
+          sort_array(collect_list(struct(col("b"), col("cut"))))
+            .as("cuts"))))
+      .withColumn("band",
+        coalesce(
+          get(filter(col("cuts"), c => col("score") >= c.getField("cut")),
+            lit(0)).getField("b"),
+          lit(nBands.toLong)))
+      .select(col(idCol), col("score"), col("band"))
+  }
+
+  private def spark(df: DataFrame) = df.sparkSession
+
+  /** Curriculum schedule: epoch e (1..B) admits bands 1..e — easy slices
+    * first, the full corpus by the final epoch. The admission matrix is
+    * an epochs × per-band-summary cross of two tiny broadcast frames;
+    * the corpus itself is touched once (the banding scan) and never
+    * re-scanned per epoch. Output: (epoch, band, n_docs, sum_score). */
+  def curriculumSchedule(bands: DataFrame, nBands: Int): DataFrame = {
+    val perBand = bands.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_score"))
+    perBand.crossJoin(broadcast(
+        spark(bands).range(1, nBands.toLong + 1).select(col("id").as("epoch"))))
+      .filter(col("band") <= col("epoch"))
+      .select(col("epoch"), col("band"), col("n_docs"), col("sum_score"))
+  }
+
   /** α=0.5 temperature mix report: per source, input size, kept size, and
     * realized keep fraction. Rare sources keep (up to) everything, dominant
     * sources are downsampled toward the √-flattened target mix. */

@@ -563,6 +563,68 @@ object Relational {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
 
+  /** K-minimum-values distinct sketch (Bar-Yossef et al. 2002) — the
+    * ORACLE-EXACT cardinality leg of the stored-sketch trio. The HLL
+    * sketches ([[hllDailySketches]]) answer the same question with
+    * tighter memory, but their register bytes are engine-specific, so
+    * their oracle contract is only an error BOUND; a KMV sketch is k
+    * plain integers — the k smallest distinct avalanched hashes — and
+    * every one of them, the merge of any partials, and the final
+    * estimate are exact long arithmetic a second engine replays bit for
+    * bit. Estimator: with U₍ₖ₎ = kth-min / P the fraction of hash space
+    * below the kth value, distinct ≈ (k−1)/U₍ₖ₎ = (k−1)·P DIV kth-min —
+    * integer division on non-negative longs (truncate ≡ floor). Under k
+    * distinct values the sketch IS the exact distinct set.
+    *
+    * Scale shape: the build is distinct-then-TakeOrdered — map-side
+    * partial distinct, then a bounded k-row top-k that never sorts
+    * globally (TakeOrderedAndProject); per-day partials bound state at
+    * k rows/day, and merging any day span re-aggregates k·days rows,
+    * never fact history. Merge-of-partials ≡ whole-span build EXACTLY:
+    * each of the span's k global minima is among its own day's k
+    * minima, so the union of daily sketches always contains the global
+    * answer (the spec pins this). */
+  def kmvBuild(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    df.select(Mix.sampleHash(col(keyCol)).as("hv")).distinct()
+      .orderBy(col("hv")).limit(k)
+
+  /** Per-day KMV partials: (day, hv) — each day's k smallest distinct
+    * key hashes, via the bounded CollectTopK aggregation on the negated
+    * hash (top-k largest of −hv = k smallest of hv; never a per-group
+    * sort or window over data rows). */
+  def kmvDailySketches(ev: DataFrame, tsCol: String, keyCol: String,
+                       k: Int): DataFrame = {
+    import org.apache.spark.sql.graftExpr
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
+    val topk = graftExpr.column(
+      new CollectTopK(graftExpr.expression(-col("hv")), k, false)
+        .toAggregateExpression())
+    ev.select(to_date(col(tsCol)).as("day"),
+        Mix.sampleHash(col(keyCol)).as("hv"))
+      .distinct()
+      .groupBy(col("day")).agg(topk.as("negs"))
+      .select(col("day"), explode(col("negs")).as("neg"))
+      .select(col("day"), (-col("neg")).as("hv"))
+  }
+
+  /** Collapse stored daily partials (any day span) into one serving
+    * sketch: distinct-then-TakeOrdered over k·days rows ≡ the
+    * whole-span build exactly. */
+  def kmvSpan(daily: DataFrame, k: Int): DataFrame =
+    daily.select(col("hv")).distinct().orderBy(col("hv")).limit(k)
+
+  /** Estimate from a serving sketch: one row (k_used, kth_min,
+    * est_distinct). k_used < k ⇒ the sketch saw every distinct value
+    * and the estimate is exact; otherwise (k−1)·P DIV kth-min. */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame = {
+    val p = graft.operators.Dedup.HashMod
+    sketch.agg(count(lit(1)).as("k_used"), max(col("hv")).as("kth_min"))
+      .select(col("k_used"), col("kth_min"),
+        when(col("k_used") < k, col("k_used"))
+          .otherwise(expr(s"(${k - 1} * ${p}L) div kth_min"))
+          .as("est_distinct"))
+  }
+
   /** Merge a standing rollup with a delta partial: re-aggregate the
     * UNION of partials. Exact decimal internals make
     * merge(partial(old), partial(delta)) ≡ partial(old ∪ delta) bitwise.

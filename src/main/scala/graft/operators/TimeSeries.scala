@@ -297,6 +297,51 @@ object TimeSeries {
             col("prev_ewma") * lit(thrNum)).as("anom"))
   }
 
+  /** Two-sided integer CUSUM changepoint flags over daily totals (Page
+    * 1954) — the level-shift detector the EWMA anomaly rule cannot
+    * express: a single spike day resets, but a SUSTAINED drift
+    * accumulates until the cumulative-sum statistic crosses the decision
+    * interval. Offline form: reference μ = the key's whole-span integer
+    * mean of quantized daily totals (sum DIV n — non-negative operands,
+    * so Spark truncate ≡ DuckDB floor), slack κ = μ DIV `slackDen`,
+    * decision interval h = μ·`hMul`. Per day i:
+    *   s⁺ᵢ = max(0, s⁺ᵢ₋₁ + (yvᵢ − μ − κ))   (upward shifts)
+    *   s⁻ᵢ = max(0, s⁻ᵢ₋₁ + (μ − κ − yvᵢ))   (downward shifts)
+    * flagged when either side exceeds h. Pure integer add/compare — no
+    * division inside the recurrence, nothing engine-specific; DuckDB
+    * replays each prefix with a 0-seeded `list_reduce` (seed prepended —
+    * its fold has no init parameter) and the spec replays it on the
+    * driver. Per-row prefix folds are quadratic in the key's DAY COUNT
+    * — bounded by calendar span, never by data volume, and only ever
+    * run post-aggregation over the (key × day) table, the same cost
+    * shape as [[ewmaAnomalies]]. Raw rows are scanned once.
+    * Output: (key, day, yv, mu, s_pos, s_neg, chg). */
+  def cusumChangepoints(df: DataFrame, keyCol: String, tsCol: String,
+                        valCol: String, slackDen: Long = 4L,
+                        hMul: Long = 2L): DataFrame = {
+    df.groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .agg(sum(qval(col(valCol))).as("yv"))
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("day"), col("yv"))))
+        .as("series"), sum(col("yv")).as("sy"), count(lit(1)).as("n"))
+      .withColumn("mu", expr("sy div n"))
+      .withColumn("kap", expr(s"mu div $slackDen"))
+      .select(col("key"), col("mu"), col("kap"),
+        posexplode(col("series")).as(Seq("i", "e")), col("series"))
+      .withColumn("s_pos",
+        aggregate(expr("slice(series, 1, i + 1)"), lit(0L), (acc, e) =>
+          greatest(lit(0L),
+            acc + (e.getField("yv") - col("mu") - col("kap")))))
+      .withColumn("s_neg",
+        aggregate(expr("slice(series, 1, i + 1)"), lit(0L), (acc, e) =>
+          greatest(lit(0L),
+            acc + (col("mu") - col("kap") - e.getField("yv")))))
+      .select(col("key"), col("e.day").as("day"), col("e.yv").as("yv"),
+        col("mu"), col("s_pos"), col("s_neg"),
+        (col("s_pos") > col("mu") * lit(hMul) ||
+          col("s_neg") > col("mu") * lit(hMul)).as("chg"))
+  }
+
   /** Per-key least-squares trend over per-bucket totals, kept exact:
     * regress the quantized per-day value total Y on the day index x
     * (days since `epoch`), and emit the OLS slope as an integer

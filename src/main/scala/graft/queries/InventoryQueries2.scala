@@ -513,6 +513,30 @@ object InventoryQueries2 {
       |FROM documents GROUP BY ROLLUP (lang, source)
       |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin
 
+  // ---- A21: CUBE cross-dimension totals ------------------------------------
+  /** Full CUBE over (status, priority): every slice of the 2-D revenue
+    * matrix — both marginals, the grand total, and each cell — in ONE
+    * pass. Spark plans CUBE as a single Expand + hash aggregate (rows
+    * duplicated 4× map-side, partial-aggregated before the shuffle), so
+    * at 100 TB it costs one scan regardless of how many slices the
+    * report reads — the point of CUBE vs four separate groupBys. Revenue
+    * is floor-quantized cents (same IEEE multiply in both engines;
+    * doubles are never summed raw). Both grouping columns are NOT NULL
+    * in the data, so the CUBE's null labels are unambiguous subtotal
+    * markers and (status, priority) NULLS FIRST is a total order. */
+  def a21Cube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 1e2).cast("long")).as("sum_cents"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  val a21Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(floor(o_totalprice * 1e2) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   // ---- A16: approximate distinct counts (HLL sketches, bounded-error) ------
   /** approx_count_distinct (HyperLogLog++) — THE cardinality answer at
     * 100 TB where exact countDistinct would shuffle every value. Raw
@@ -622,6 +646,7 @@ object InventoryQueries2 {
     "a17_pivot" -> (a17Pivot _),
     "j9_cross_modal" -> (j9CrossModal _),
     "a15_rollup" -> (a15Rollup _),
+    "a21_cube" -> (a21Cube _),
     "a16_approx_distinct" -> (a16ApproxDistinct _),
     "a18_approx_quantiles" -> (a18ApproxQuantiles _),
     "a14_quantiles" -> (a14Quantiles _),
@@ -650,6 +675,7 @@ object InventoryQueries2 {
     "a17_pivot" -> a17Sql,
     "j9_cross_modal" -> j9Sql,
     "a15_rollup" -> a15Sql,
+    "a21_cube" -> a21Sql,
     "a16_approx_distinct" -> a16Sql,
     "a18_approx_quantiles" -> a18Sql,
     "a14_quantiles" -> a14Sql,

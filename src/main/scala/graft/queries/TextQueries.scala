@@ -507,6 +507,144 @@ object TextQueries {
        |ORDER BY true_cnt DESC, uid""".stripMargin
   }
 
+  // ---- KMV distinct sketches: oracle-exact mergeable cardinality -----------
+  private val KmvK = 64
+
+  /** Whole-corpus KMV distinct-token estimate vs exact truth — the
+    * oracle-EXACT cardinality sketch (k plain integers, every one
+    * replayed bitwise by DuckDB), completing the stored-sketch family:
+    * Bloom membership, CMS frequencies, HLL (bound-contract) and now
+    * KMV (value-contract) cardinalities. Estimator (k−1)·P DIV kth-min;
+    * build is distinct + TakeOrdered — never a global sort. */
+  def sketchKmvDistinct(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), " ")).as("token"))
+    val est = Relational.kmvEstimate(
+      Relational.kmvBuild(tok, "token", KmvK), KmvK)
+    val truth = tok.agg(countDistinct(col("token")).as("true_distinct"))
+    est.crossJoin(broadcast(truth))
+      .select(col("k_used"), col("kth_min"), col("est_distinct"),
+        col("true_distinct"),
+        abs(col("est_distinct") - col("true_distinct")).as("abs_err"))
+  }
+  val sketchKmvDistinctSql: String = {
+    val P = graft.operators.Dedup.HashMod
+    val M = graft.operators.Mix.ScrambleM
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents
+       |), h AS (
+       |  SELECT DISTINCT
+       |    list_reduce(list_transform(string_split(token, ''), ch -> CAST(ascii(ch) AS BIGINT)),
+       |      (acc, x) -> (acc*31 + x) % $P) * $M % $P * $M % $P AS hv
+       |  FROM tok
+       |), mins AS (SELECT hv FROM h ORDER BY hv LIMIT $KmvK
+       |), agg AS (SELECT COUNT(*) AS k_used, MAX(hv) AS kth_min FROM mins
+       |), est AS (
+       |  SELECT k_used, kth_min,
+       |    CASE WHEN k_used < $KmvK THEN k_used
+       |         ELSE (${KmvK - 1} * CAST($P AS BIGINT)) // kth_min END AS est_distinct
+       |  FROM agg
+       |), tr AS (SELECT COUNT(DISTINCT token) AS true_distinct FROM tok)
+       |SELECT e.k_used, e.kth_min, e.est_distinct, t.true_distinct,
+       |  abs(e.est_distinct - t.true_distinct) AS abs_err
+       |FROM est e, tr t""".stripMargin
+  }
+
+  // ---- stored daily KMV sketches: span cardinality without fact re-reads ---
+  private val kmvStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Distinct active (user, event_type) combos served from STORED daily
+    * KMV partials — the cardinality twin of [[sketchCmsIncremental]]:
+    * 29 standing days committed once, the newest day APPENDED as the
+    * nightly delta, and the serving sketch is a k·days-row
+    * re-aggregation ([[Relational.kmvSpan]]), never a fact re-read.
+    * Union-of-daily-k-mins contains the global k-min set by
+    * construction, so merged-daily ≡ whole-corpus build EXACTLY and the
+    * oracle replays the whole-corpus sketch directly. */
+  private def kmvKeyedEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("ts"), concat(col("user_id").cast("string"), lit(":"),
+        col("event_type")).as("uk"))
+
+  private def kmvStore(s: SparkSession, d: String): String =
+    kmvStoreCache.computeIfAbsent(d, _ => {
+      import graft.sources.PartitionedStore
+      val p = graft.Scratch.dir("graft_kmv_store")
+      val daily = Relational.kmvDailySketches(
+          kmvKeyedEvents(s, d), "ts", "uk", KmvK)
+        .localCheckpoint() // feeds both commits; released below
+      try {
+        val maxDay = daily.agg(max(col("day"))).collect()(0).getDate(0)
+        val v1 = PartitionedStore.commitVersion(
+          daily.filter(col("day") < lit(maxDay)), p)
+        PartitionedStore.commitVersion(
+          daily.filter(col("day") === lit(maxDay)), p,
+          append = true, parent = Some(v1))
+      } finally graft.operators.Checkpoints.release(daily)
+      p
+    })
+
+  private def kmvServe(keyed: DataFrame, sketch: DataFrame): DataFrame = {
+    val est = Relational.kmvEstimate(sketch, KmvK)
+    val truth = keyed.agg(countDistinct(col("uk")).as("true_distinct"))
+    est.crossJoin(broadcast(truth))
+      .select(col("k_used"), col("kth_min"), col("est_distinct"),
+        col("true_distinct"),
+        abs(col("est_distinct") - col("true_distinct")).as("abs_err"))
+  }
+
+  private def kmvSqlBody(evFilter: String): String = {
+    val P = graft.operators.Dedup.HashMod
+    val M = graft.operators.Mix.ScrambleM
+    s"""WITH ev AS (
+       |  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS uk,
+       |         CAST(ts AS DATE) AS day
+       |  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+       |), mx AS (SELECT MAX(day) AS max_day FROM ev
+       |), ks AS (SELECT uk FROM ev, mx WHERE $evFilter
+       |), h AS (
+       |  SELECT DISTINCT
+       |    list_reduce(list_transform(string_split(uk, ''), ch -> CAST(ascii(ch) AS BIGINT)),
+       |      (acc, x) -> (acc*31 + x) % $P) * $M % $P * $M % $P AS hv
+       |  FROM ks
+       |), mins AS (SELECT hv FROM h ORDER BY hv LIMIT $KmvK
+       |), agg AS (SELECT COUNT(*) AS k_used, MAX(hv) AS kth_min FROM mins
+       |), est AS (
+       |  SELECT k_used, kth_min,
+       |    CASE WHEN k_used < $KmvK THEN k_used
+       |         ELSE (${KmvK - 1} * CAST($P AS BIGINT)) // kth_min END AS est_distinct
+       |  FROM agg
+       |), tr AS (SELECT COUNT(DISTINCT uk) AS true_distinct FROM ks)
+       |SELECT e.k_used, e.kth_min, e.est_distinct, t.true_distinct,
+       |  abs(e.est_distinct - t.true_distinct) AS abs_err
+       |FROM est e, tr t""".stripMargin
+  }
+
+  def sketchKmvIncremental(s: SparkSession, d: String): DataFrame = {
+    val path = kmvStore(s, d)
+    kmvServe(kmvKeyedEvents(s, d), Relational.kmvSpan(
+      graft.sources.PartitionedStore.readVersion(s, path), KmvK))
+  }
+  val sketchKmvIncrementalSql: String = kmvSqlBody("TRUE")
+
+  /** Day-SPAN cardinality from the same stored partials: the sketch for
+    * "every day before the newest" is a re-aggregation of stored rows
+    * in that range — fact history for those days is never re-read. The
+    * span cutoff (max stored day) is one row of sketch metadata, a
+    * planning boundary; the oracle recomputes the same span from raw
+    * events because span-of-dailies ≡ span build exactly. */
+  def sketchKmvSpan(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.PartitionedStore
+    val stored = PartitionedStore.readVersion(s, kmvStore(s, d))
+    val maxDay = stored.agg(max(col("day"))).collect()(0).getDate(0)
+    val sketch = Relational.kmvSpan(
+      stored.filter(col("day") < lit(maxDay)), KmvK)
+    kmvServe(kmvKeyedEvents(s, d).filter(to_date(col("ts")) < lit(maxDay)),
+      sketch)
+  }
+  val sketchKmvSpanSql: String = kmvSqlBody("day < max_day")
+
   // ---- domain×domain n-gram overlap matrix ---------------------------------
   private val OverlapN = 3
 
@@ -689,6 +827,39 @@ object TextQueries {
       |  CAST(floor((CAST(w_q AS DOUBLE) / CAST(SUM(w_q) OVER (PARTITION BY epoch) AS DOUBLE))
       |    * CAST(floor(CAST(n_total AS DOUBLE) * 0.3) AS DOUBLE)) AS BIGINT) AS expected_docs
       |FROM w ORDER BY epoch, source""".stripMargin
+
+  // ---- quality-curriculum banding + epoch schedule -------------------------
+  /** Easy-first curriculum: 3 difficulty bands by score-value cutoffs at
+    * the integer ranks ⌈n·b/3⌉ of the descending score order (cutoffs
+    * from a prefix-sum window over the DISTINCT-SCORE histogram, never a
+    * per-row rank — ties are closed under banding), then epoch e admits
+    * bands 1..e. The corpus is scanned once; the admission matrix is a
+    * cross of two broadcast-tiny frames. Oracle states the same
+    * cumulative-histogram cutoffs naively. */
+  def mixCurriculum(s: SparkSession, d: String): DataFrame =
+    Mix.curriculumSchedule(
+        Mix.curriculumBands(Tables.documents(s, d), "doc_id", "n_chars", 3), 3)
+      .orderBy(col("epoch"), col("band"))
+  val mixCurriculumSql: String =
+    """WITH r AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS score FROM documents),
+      |hist AS (SELECT score, COUNT(*) AS cnt FROM r GROUP BY score),
+      |cum AS (SELECT score, SUM(cnt) OVER (ORDER BY score DESC) AS cum,
+      |               SUM(cnt) OVER () AS n FROM hist),
+      |cuts AS (SELECT b.b AS b, max(score) AS cut
+      |         FROM cum CROSS JOIN range(1, 3) AS b(b)
+      |         WHERE cum >= (n * b.b + 2) // 3
+      |         GROUP BY b.b),
+      |banded AS (SELECT doc_id, score,
+      |             CAST(COALESCE((SELECT min(b) FROM cuts WHERE score >= cut), 3)
+      |               AS BIGINT) AS band
+      |           FROM r),
+      |per AS (SELECT band, COUNT(*) AS n_docs,
+      |               CAST(SUM(score) AS BIGINT) AS sum_score
+      |        FROM banded GROUP BY band)
+      |SELECT e.e AS epoch, band, n_docs, sum_score
+      |FROM per CROSS JOIN range(1, 4) AS e(e)
+      |WHERE band <= e.e
+      |ORDER BY epoch, band""".stripMargin
 
   // ---- BPE vocab induction: adjacent-pair counting kernel ------------------
   def vocabBpePairs(s: SparkSession, d: String): DataFrame =
@@ -1081,6 +1252,9 @@ object TextQueries {
     "sketch_cms_topk" -> (sketchCmsTopk _),
     "sketch_cms_incremental" -> (sketchCmsIncremental _),
     "sketch_cms_span" -> (sketchCmsSpan _),
+    "sketch_kmv_distinct" -> (sketchKmvDistinct _),
+    "sketch_kmv_incremental" -> (sketchKmvIncremental _),
+    "sketch_kmv_span" -> (sketchKmvSpan _),
     "sample_fixed_k" -> (sampleFixedK _),
     "sample_systematic_w" -> (sampleSystematicW _),
     "text_hash_embed" -> (textHashEmbed _),
@@ -1092,6 +1266,7 @@ object TextQueries {
     "mix_temperature" -> (mixTemperature _),
     "vocab_bpe_pairs" -> (vocabBpePairs _),
     "mix_schedule" -> (mixSchedule _),
+    "mix_curriculum" -> (mixCurriculum _),
     "text_commonness" -> (textCommonness _),
     "text_bigram_lm" -> (textBigramLm _),
     "text_lm_cross" -> (textLmCross _),
@@ -1114,6 +1289,9 @@ object TextQueries {
     "sketch_cms_topk" -> sketchCmsTopkSql,
     "sketch_cms_incremental" -> sketchCmsIncrementalSql,
     "sketch_cms_span" -> sketchCmsSpanSql,
+    "sketch_kmv_distinct" -> sketchKmvDistinctSql,
+    "sketch_kmv_incremental" -> sketchKmvIncrementalSql,
+    "sketch_kmv_span" -> sketchKmvSpanSql,
     "sample_fixed_k" -> sampleFixedKSql,
     "sample_systematic_w" -> sampleSystematicWSql,
     "text_hash_embed" -> textHashEmbedSql,
@@ -1125,6 +1303,7 @@ object TextQueries {
     "mix_temperature" -> mixTemperatureSql,
     "vocab_bpe_pairs" -> vocabBpePairsSql,
     "mix_schedule" -> mixScheduleSql,
+    "mix_curriculum" -> mixCurriculumSql,
     "text_commonness" -> textCommonnessSql,
     "text_bigram_lm" -> textBigramLmSql,
     "text_lm_cross" -> textLmCrossSql,

@@ -237,6 +237,45 @@ object TimeSeriesQueries {
        |         AND abs(u.yv - u.prev_ewma) * 4 > u.prev_ewma * 3 AS anom
        |FROM ex ORDER BY key, day""".stripMargin
 
+  // ---- CUSUM level-shift changepoints --------------------------------------
+  /** Two-sided integer CUSUM vs the whole-span mean: sustained drifts
+    * accumulate in s⁺/s⁻ until the μ·2 decision interval trips — the
+    * level-shift detector the per-day EWMA rule can't express. The
+    * oracle replays each prefix with a 0-seeded `list_reduce`
+    * (seed prepended — DuckDB's fold has no init parameter) over the
+    * same per-key day-ordered array; every step is integer add /
+    * greatest, so the statistic hash-matches bit for bit. */
+  def tsCusum(s: SparkSession, d: String): DataFrame =
+    TimeSeries.cusumChangepoints(Tables.events(s, d), "event_type", "ts",
+        "value", slackDen = 4L, hMul = 2L)
+      .orderBy(col("key"), col("day"))
+
+  val tsCusumSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+       |         CAST(sum(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS yv
+       |  FROM $evWrap GROUP BY 1, 2),
+       |agg AS (SELECT key,
+       |               list(day ORDER BY day) AS days,
+       |               list(yv ORDER BY day) AS yvs,
+       |               CAST(sum(yv) AS BIGINT) // count(*) AS mu
+       |        FROM daily GROUP BY key),
+       |p AS (SELECT key, mu, mu // 4 AS kap, days, yvs FROM agg),
+       |ex AS (SELECT key, mu, kap,
+       |              unnest(list_transform(range(1, len(days) + 1), i -> struct_pack(
+       |                day := days[i], yv := yvs[i],
+       |                s_pos := list_reduce(
+       |                  list_prepend(CAST(0 AS BIGINT), list_slice(yvs, 1, i)),
+       |                  (acc, x) -> greatest(CAST(0 AS BIGINT), acc + (x - mu - kap))),
+       |                s_neg := list_reduce(
+       |                  list_prepend(CAST(0 AS BIGINT), list_slice(yvs, 1, i)),
+       |                  (acc, x) -> greatest(CAST(0 AS BIGINT), acc + (mu - kap - x)))))) AS u
+       |       FROM p)
+       |SELECT key, u.day AS day, u.yv AS yv, mu,
+       |       u.s_pos AS s_pos, u.s_neg AS s_neg,
+       |       u.s_pos > mu * 2 OR u.s_neg > mu * 2 AS chg
+       |FROM ex ORDER BY key, day""".stripMargin
+
   // ---- per-type linear trend (exact rational slope) ------------------------
   /** OLS slope of the quantized daily value total vs day index, emitted
     * as the exact integer (numerator, denominator) pair — no division,
@@ -268,6 +307,7 @@ object TimeSeriesQueries {
     "ts_ewma" -> (tsEwma _),
     "ts_dow_profile" -> (tsDowProfile _),
     "ts_anomaly" -> (tsAnomaly _),
+    "ts_cusum" -> (tsCusum _),
     "ts_trend" -> (tsTrend _))
 
   val oracle: Map[String, String] = Map(
@@ -278,5 +318,6 @@ object TimeSeriesQueries {
     "ts_ewma" -> tsEwmaSql,
     "ts_dow_profile" -> tsDowProfileSql,
     "ts_anomaly" -> tsAnomalySql,
+    "ts_cusum" -> tsCusumSql,
     "ts_trend" -> tsTrendSql)
 }

@@ -138,4 +138,37 @@ class RelationalOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).toSet
     assert(out == Set(-10L, -6L))
   }
+
+  test("kmv: exact under k; merge-of-dailies ≡ whole build; estimate " +
+    "lands near truth over k") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.to_date
+    // exact regime: 10 distinct < k=64 → the sketch IS the distinct set
+    val few = (1 to 10).map(i => s"key$i").toDF("k")
+    val est = Relational.kmvEstimate(Relational.kmvBuild(few, "k", 64), 64)
+      .collect()(0)
+    assert(est.getLong(0) == 10L && est.getLong(2) == 10L)
+    // two days with overlapping key sets: span-of-dailies ≡ whole build
+    val ev = (1 to 500)
+      .map(i => (if (i % 2 == 0) "2024-01-01" else "2024-01-02",
+        s"u${i % 300}"))
+      .toDF("ds", "k")
+      .select(to_date(col("ds")).as("ts"), col("k"))
+    val daily = Relational.kmvDailySketches(ev, "ts", "k", 64)
+    val merged = Relational.kmvSpan(daily, 64)
+      .orderBy("hv").collect().map(_.getLong(0)).toSeq
+    val whole = Relational.kmvBuild(ev, "k", 64)
+      .orderBy("hv").collect().map(_.getLong(0)).toSeq
+    assert(merged == whole)
+    assert(merged.length == 64 && merged == merged.sorted &&
+      merged.distinct == merged)
+    // estimate regime: 300 distinct keys, k=64 → (k−1)·P DIV kth-min
+    // should land within a loose 2× band of truth (deterministic hash)
+    val e2 = Relational.kmvEstimate(Relational.kmvSpan(daily, 64), 64)
+      .collect()(0)
+    assert(e2.getLong(0) == 64L)
+    assert(e2.getLong(2) > 150L && e2.getLong(2) < 600L,
+      s"est ${e2.getLong(2)} for truth 300")
+  }
 }

@@ -213,6 +213,41 @@ class TimeSeriesSpec extends AnyFunSuite {
       (6L, 1L, 9000000L, 9000000L, 5000000L)))
   }
 
+  test("cusumChangepoints: calm key never flags; sustained shift trips " +
+    "both sides; driver replay exact") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 20).flatMap { d =>
+      val v = if (d <= 10) 10.0 else 60.0
+      Seq((d.toLong * 2 - 1, ts(f"2024-01-$d%02d 01:00:00"), "shift", v),
+        (d.toLong * 2, ts(f"2024-01-$d%02d 02:00:00"), "calm", 10.0))
+    }.toDF("event_id", "ts", "key", "value")
+    val out = TimeSeries.cusumChangepoints(rows, "key", "ts", "value")
+      .orderBy("key", "day").collect()
+    val calm = out.filter(_.getString(0) == "calm")
+    assert(calm.length == 20 && calm.forall(r =>
+      r.getLong(4) == 0L && r.getLong(5) == 0L && !r.getBoolean(6)))
+    // driver replay of the integer recurrence for the shifted key
+    val yvs = (1 to 20).map(d => if (d <= 10) 10000000L else 60000000L)
+    val mu = yvs.sum / 20; val kap = mu / 4; val h = mu * 2
+    var sp = 0L; var sn = 0L
+    val exp = yvs.map { y =>
+      sp = math.max(0L, sp + (y - mu - kap))
+      sn = math.max(0L, sn + (mu - kap - y))
+      (sp, sn, sp > h || sn > h)
+    }
+    val shift = out.filter(_.getString(0) == "shift")
+    assert(shift.length == 20)
+    shift.zip(exp).foreach { case (r, (esp, esn, ec)) =>
+      assert(r.getLong(3) == mu)
+      assert(r.getLong(4) == esp && r.getLong(5) == esn &&
+        r.getBoolean(6) == ec, s"day ${r.getDate(1)}")
+    }
+    // the DOWN shift flags in the first half, the UP shift in the second
+    assert(exp.take(10).exists(_._3) && exp.drop(10).exists(_._3))
+    assert(exp.exists(!_._3)) // and it is not all-flagged
+  }
+
   test("distributionDrift: cohort counts and scaled TVD contribution") {
     val s = spark
     import s.implicits._

@@ -1122,4 +1122,27 @@ class TrainingOpsSpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(ids.contains(40L), "post-compaction append of a reclaimed id must land")
   }
+
+  test("curriculumBands: value cutoffs at ceil(n·b/B), ties closed " +
+    "under banding; schedule admits cumulatively") {
+    val s = spark
+    import s.implicits._
+    // n=9, B=3 → ranks 3 and 6; the tie run of four 9s CROSSES rank 3,
+    // so band 1 takes all four (bands close under score ties)
+    val df = Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L), (5L, 6L),
+      (6L, 5L), (7L, 4L), (8L, 3L), (9L, 3L)).toDF("doc_id", "score")
+    val bands = Mix.curriculumBands(df, "doc_id", "score", 3)
+    val m = bands.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((1L to 4L).forall(m(_) == 1L), s"tie run split: $m")
+    assert(m(5L) == 2L && m(6L) == 2L) // cut2 = score at rank 6 = 5
+    assert(Seq(7L, 8L, 9L).forall(m(_) == 3L))
+    val sched = Mix.curriculumSchedule(bands, 3)
+      .orderBy("epoch", "band").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(sched == Seq(
+      (1L, 1L, 4L, 36L),
+      (2L, 1L, 4L, 36L), (2L, 2L, 2L, 11L),
+      (3L, 1L, 4L, 36L), (3L, 2L, 2L, 11L), (3L, 3L, 3L, 10L)))
+  }
 }
