@@ -563,6 +563,42 @@ object Relational {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
 
+  /** A/B experiment lift report with DETERMINISTIC variant assignment
+    * and division-free comparison — the online-experimentation read
+    * over an event stream: each user lands in arm A or B by the parity
+    * of their avalanched id hash (the stable bucketing every
+    * experimentation platform uses — assignment is a pure function of
+    * the id, reproducible across engines and re-runs, no RNG), the
+    * conversion metric is the quantized value sum over `conv` rows, and
+    * the verdict "B beats A on per-user value" is the cross-multiplied
+    * integer comparison qsum_b·n_users_a > qsum_a·n_users_b — exact
+    * long arithmetic, no mean ever divided.
+    *
+    * Scale shape: ONE scan with conditional aggregation (the per-arm
+    * sums and distinct-user counts partial-aggregate map-side); output
+    * is a single row. Output: (n_users_a, n_users_b, conv_a, conv_b,
+    * qsum_a, qsum_b, cross_a, cross_b, b_beats_a). */
+  def abLift(df: DataFrame, userCol: String, conv: Column,
+             valCol: String): DataFrame = {
+    val variant = pmod(
+      Mix.sampleHash(col(userCol).cast("string")), lit(2L))
+    val qv = floor(col(valCol) * lit(1e6)).cast("long")
+    df.withColumn("_v", variant)
+      .agg(
+        countDistinct(when(col("_v") === 0L, col(userCol))).as("n_users_a"),
+        countDistinct(when(col("_v") === 1L, col(userCol))).as("n_users_b"),
+        sum(when(col("_v") === 0L && conv, 1L).otherwise(0L)).as("conv_a"),
+        sum(when(col("_v") === 1L && conv, 1L).otherwise(0L)).as("conv_b"),
+        sum(when(col("_v") === 0L && conv, qv).otherwise(0L)).as("qsum_a"),
+        sum(when(col("_v") === 1L && conv, qv).otherwise(0L)).as("qsum_b"))
+      .select(col("n_users_a"), col("n_users_b"), col("conv_a"),
+        col("conv_b"), col("qsum_a"), col("qsum_b"),
+        (col("qsum_a") * col("n_users_b")).as("cross_a"),
+        (col("qsum_b") * col("n_users_a")).as("cross_b"),
+        (col("qsum_b") * col("n_users_a") >
+          col("qsum_a") * col("n_users_b")).as("b_beats_a"))
+  }
+
   /** K-minimum-values distinct sketch (Bar-Yossef et al. 2002) — the
     * ORACLE-EXACT cardinality leg of the stored-sketch trio. The HLL
     * sketches ([[hllDailySketches]]) answer the same question with
@@ -623,6 +659,33 @@ object Relational {
         when(col("k_used") < k, col("k_used"))
           .otherwise(expr(s"(${k - 1} * ${p}L) div kth_min"))
           .as("est_distinct"))
+  }
+
+  /** KMV set-INTERSECTION estimate from two sketches (the theta-sketch
+    * set-algebra read: audience overlap between two 100 TB cohorts
+    * without ever materializing either set): take the union's k-min set
+    * K with threshold θ = max(K), count the members of K present in
+    * BOTH input sketches, and scale — inter ≈ (n_common/k)·union_est,
+    * emitted as the integer n_common·union_est DIV k_used. Every value
+    * is exact long arithmetic from the two k-row sketches (broadcast
+    * joins against K; no raw data touched), so a second engine replays
+    * the estimate bitwise. Under-k unions are exact. Output: (k_used,
+    * theta, n_common, union_est, inter_est). */
+  def kmvJaccard(sa: DataFrame, sb: DataFrame, k: Int): DataFrame = {
+    val p = graft.operators.Dedup.HashMod
+    val u = kmvSpan(sa.unionByName(sb), k)
+    u.join(broadcast(sa.withColumn("in_a", lit(1L))), Seq("hv"), "left")
+      .join(broadcast(sb.withColumn("in_b", lit(1L))), Seq("hv"), "left")
+      .agg(count(lit(1)).as("k_used"), max(col("hv")).as("theta"),
+        sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L)
+          .otherwise(0L)).as("n_common"))
+      .select(col("k_used"), col("theta"), col("n_common"),
+        when(col("k_used") < k, col("k_used"))
+          .otherwise(expr(s"(${k - 1} * ${p}L) div theta"))
+          .as("union_est"))
+      .withColumn("inter_est",
+        when(col("k_used") > 0L,
+          expr("(n_common * union_est) div k_used")).otherwise(lit(0L)))
   }
 
   /** Merge a standing rollup with a delta partial: re-aggregate the

@@ -342,6 +342,53 @@ object TimeSeries {
           col("s_neg") > col("mu") * lit(hMul)).as("chg"))
   }
 
+  /** Holt double-exponential smoothing (level + trend) of daily totals,
+    * kept integer-exact — the one-step forecaster [[ewmaDaily]] cannot
+    * be: EWMA's single state lags a trending series by construction;
+    * Holt carries a trend term that closes the lag. α = β = 1/4 as
+    * floor-shift recurrences over quantized totals:
+    *   level′ = (3·(level + trend) + y) >> 2
+    *   trend′ = (3·trend + (level′ − level)) >> 2
+    * TREND (and the level′−level delta) go NEGATIVE on falling series,
+    * where INTEGER DIVISION SIGN SEMANTICS are not portable (DuckDB's
+    * `//` truncates in v1.0.0 but has floored in other releases) — so
+    * every division here is an ARITHMETIC RIGHT SHIFT, floor by
+    * construction on both engines (Spark `shiftright`, DuckDB `>>` —
+    * both sign-preserving on signed 64-bit); no qval-style
+    * non-negativity precondition needed. The fold state is a (level,
+    * trend) STRUCT: Spark's `aggregate` takes any accumulator type, and
+    * the oracle replays the same fold with `list_reduce` over
+    * same-typed structs (its accumulator must match the element type —
+    * day values ride in as {level: y, trend: 0} structs). Seeded
+    * level₁ = y₁, trend₁ = 0, folded ascending; one pass over raw rows,
+    * the fold over the bounded per-key daily array. Output: (key,
+    * n_days, last_day, level_q, trend_q, forecast_q = level + trend).
+    */
+  def holtDaily(df: DataFrame, keyCol: String, tsCol: String,
+                valCol: String): DataFrame =
+    df.groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .agg(sum(qval(col(valCol))).as("yv"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_days"), max(col("day")).as("last_day"),
+        sort_array(collect_list(struct(col("day"), col("yv"))))
+          .as("series"))
+      .withColumn("st",
+        aggregate(
+          expr("slice(series, 2, greatest(size(series) - 1, 0))"),
+          struct(col("series").getItem(0).getField("yv").as("level"),
+            lit(0L).as("trend")),
+          (acc, e) => {
+            val lvl2 = shiftright(
+              (acc.getField("level") + acc.getField("trend")) * 3 +
+                e.getField("yv"), 2)
+            struct(lvl2.as("level"),
+              shiftright(acc.getField("trend") * 3 +
+                (lvl2 - acc.getField("level")), 2).as("trend"))
+          }))
+      .select(col("key"), col("n_days"), col("last_day"),
+        col("st.level").as("level_q"), col("st.trend").as("trend_q"),
+        (col("st.level") + col("st.trend")).as("forecast_q"))
+
   /** Per-key least-squares trend over per-bucket totals, kept exact:
     * regress the quantized per-day value total Y on the day index x
     * (days since `epoch`), and emit the OLS slope as an integer

@@ -537,6 +537,42 @@ object InventoryQueries2 {
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  // ---- A/B experiment lift (deterministic arms, division-free verdict) -----
+  /** Purchase-value lift between two hash-assigned experiment arms: each
+    * user's arm is the parity of their avalanched id hash (stable,
+    * engine-replayable bucketing — no RNG), and "B beats A on per-user
+    * purchase value" is the cross-multiplied integer comparison
+    * qsum_b·n_users_a > qsum_a·n_users_b. One conditional-aggregation
+    * scan, single-row output, every column exact long arithmetic. */
+  def abLift(s: SparkSession, d: String): DataFrame =
+    graft.operators.Relational.abLift(Tables.events(s, d), "user_id",
+      col("event_type") === "purchase", "value")
+  val abLiftSql: String = {
+    val P = graft.operators.Dedup.HashMod
+    val M = graft.operators.Mix.ScrambleM
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, value,
+       |    (list_reduce(list_transform(string_split(CAST(user_id AS VARCHAR), ''),
+       |         ch -> CAST(ascii(ch) AS BIGINT)),
+       |       (acc, x) -> (acc*31 + x) % $P) * $M % $P * $M % $P) % 2 AS v
+       |  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+       |), agg AS (
+       |  SELECT
+       |    COUNT(DISTINCT CASE WHEN v = 0 THEN user_id END) AS n_users_a,
+       |    COUNT(DISTINCT CASE WHEN v = 1 THEN user_id END) AS n_users_b,
+       |    CAST(SUM(CASE WHEN v = 0 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+       |    CAST(SUM(CASE WHEN v = 1 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv_b,
+       |    CAST(SUM(CASE WHEN v = 0 AND event_type = 'purchase'
+       |      THEN CAST(FLOOR(value * 1e6) AS BIGINT) ELSE 0 END) AS BIGINT) AS qsum_a,
+       |    CAST(SUM(CASE WHEN v = 1 AND event_type = 'purchase'
+       |      THEN CAST(FLOOR(value * 1e6) AS BIGINT) ELSE 0 END) AS BIGINT) AS qsum_b
+       |  FROM ev)
+       |SELECT n_users_a, n_users_b, conv_a, conv_b, qsum_a, qsum_b,
+       |  qsum_a * n_users_b AS cross_a, qsum_b * n_users_a AS cross_b,
+       |  qsum_b * n_users_a > qsum_a * n_users_b AS b_beats_a
+       |FROM agg""".stripMargin
+  }
+
   // ---- A16: approximate distinct counts (HLL sketches, bounded-error) ------
   /** approx_count_distinct (HyperLogLog++) — THE cardinality answer at
     * 100 TB where exact countDistinct would shuffle every value. Raw
@@ -647,6 +683,7 @@ object InventoryQueries2 {
     "j9_cross_modal" -> (j9CrossModal _),
     "a15_rollup" -> (a15Rollup _),
     "a21_cube" -> (a21Cube _),
+    "ab_lift" -> (abLift _),
     "a16_approx_distinct" -> (a16ApproxDistinct _),
     "a18_approx_quantiles" -> (a18ApproxQuantiles _),
     "a14_quantiles" -> (a14Quantiles _),
@@ -676,6 +713,7 @@ object InventoryQueries2 {
     "j9_cross_modal" -> j9Sql,
     "a15_rollup" -> a15Sql,
     "a21_cube" -> a21Sql,
+    "ab_lift" -> abLiftSql,
     "a16_approx_distinct" -> a16Sql,
     "a18_approx_quantiles" -> a18Sql,
     "a14_quantiles" -> a14Sql,

@@ -550,6 +550,79 @@ object TextQueries {
        |FROM est e, tr t""".stripMargin
   }
 
+  // ---- KMV sketch set algebra: cohort-overlap estimate ---------------------
+  /** Audience overlap between the click and purchase user-day cohorts,
+    * estimated ENTIRELY from two KMV sketches (theta-sketch set
+    * algebra): union k-min set K, θ = max(K), n_common = |K ∩ A ∩ B|,
+    * inter ≈ n_common·union_est DIV k — exact integers end to end, with
+    * the exact truth columns alongside. At 100 TB neither cohort is
+    * ever materialized for the estimate — two k-row sketches answer. */
+  def sketchKmvJaccard(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def cohort(t: String) = ev.filter(col("event_type") === t)
+      .select(concat(col("user_id").cast("string"), lit("@"),
+        to_date(col("ts")).cast("string")).as("uk"))
+    val a = cohort("click").distinct()
+    val b = cohort("purchase").distinct()
+    val est = Relational.kmvJaccard(
+      Relational.kmvBuild(a, "uk", KmvK),
+      Relational.kmvBuild(b, "uk", KmvK), KmvK)
+    val tu = a.unionByName(b).distinct().agg(count(lit(1)).as("true_union"))
+    val ti = a.join(b, Seq("uk"), "left_semi")
+      .agg(count(lit(1)).as("true_inter"))
+    est.crossJoin(broadcast(tu)).crossJoin(broadcast(ti))
+  }
+  val sketchKmvJaccardSql: String = {
+    val P = graft.operators.Dedup.HashMod
+    val M = graft.operators.Mix.ScrambleM
+    val hash = (src: String) =>
+      s"""list_reduce(list_transform(string_split($src, ''), ch -> CAST(ascii(ch) AS BIGINT)),
+         |      (acc, x) -> (acc*31 + x) % $P) * $M % $P * $M % $P""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, CAST(ts AS DATE) AS day
+       |  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+       |), a AS (
+       |  SELECT DISTINCT CAST(user_id AS VARCHAR) || '@' || CAST(day AS VARCHAR) AS uk
+       |  FROM ev WHERE event_type = 'click'
+       |), b AS (
+       |  SELECT DISTINCT CAST(user_id AS VARCHAR) || '@' || CAST(day AS VARCHAR) AS uk
+       |  FROM ev WHERE event_type = 'purchase'
+       |), ma AS (
+       |  SELECT hv FROM (SELECT DISTINCT ${hash("uk")} AS hv FROM a)
+       |  ORDER BY hv LIMIT $KmvK
+       |), mb AS (
+       |  SELECT hv FROM (SELECT DISTINCT ${hash("uk")} AS hv FROM b)
+       |  ORDER BY hv LIMIT $KmvK
+       |), mu AS (
+       |  SELECT hv FROM (SELECT DISTINCT hv FROM
+       |    (SELECT hv FROM ma UNION ALL SELECT hv FROM mb))
+       |  ORDER BY hv LIMIT $KmvK
+       |), fl AS (
+       |  SELECT hv, hv IN (SELECT hv FROM ma) AS in_a,
+       |         hv IN (SELECT hv FROM mb) AS in_b FROM mu
+       |), agg AS (
+       |  SELECT COUNT(*) AS k_used, MAX(hv) AS theta,
+       |         CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+       |  FROM fl
+       |), est AS (
+       |  SELECT k_used, theta, n_common,
+       |    CASE WHEN k_used < $KmvK THEN k_used
+       |         ELSE (${KmvK - 1} * CAST($P AS BIGINT)) // theta END AS union_est
+       |  FROM agg
+       |), fin AS (
+       |  SELECT k_used, theta, n_common, union_est,
+       |    CASE WHEN k_used > 0 THEN (n_common * union_est) // k_used
+       |         ELSE 0 END AS inter_est
+       |  FROM est
+       |), tu AS (
+       |  SELECT COUNT(*) AS true_union FROM
+       |    (SELECT uk FROM a UNION SELECT uk FROM b)
+       |), ti AS (SELECT COUNT(*) AS true_inter FROM a JOIN b USING (uk))
+       |SELECT f.k_used, f.theta, f.n_common, f.union_est, f.inter_est,
+       |       tu.true_union, ti.true_inter
+       |FROM fin f, tu, ti""".stripMargin
+  }
+
   // ---- stored daily KMV sketches: span cardinality without fact re-reads ---
   private val kmvStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1253,6 +1326,7 @@ object TextQueries {
     "sketch_cms_incremental" -> (sketchCmsIncremental _),
     "sketch_cms_span" -> (sketchCmsSpan _),
     "sketch_kmv_distinct" -> (sketchKmvDistinct _),
+    "sketch_kmv_jaccard" -> (sketchKmvJaccard _),
     "sketch_kmv_incremental" -> (sketchKmvIncremental _),
     "sketch_kmv_span" -> (sketchKmvSpan _),
     "sample_fixed_k" -> (sampleFixedK _),
@@ -1290,6 +1364,7 @@ object TextQueries {
     "sketch_cms_incremental" -> sketchCmsIncrementalSql,
     "sketch_cms_span" -> sketchCmsSpanSql,
     "sketch_kmv_distinct" -> sketchKmvDistinctSql,
+    "sketch_kmv_jaccard" -> sketchKmvJaccardSql,
     "sketch_kmv_incremental" -> sketchKmvIncrementalSql,
     "sketch_kmv_span" -> sketchKmvSpanSql,
     "sample_fixed_k" -> sampleFixedKSql,

@@ -237,6 +237,46 @@ object TimeSeriesQueries {
        |         AND abs(u.yv - u.prev_ewma) * 4 > u.prev_ewma * 3 AS anom
        |FROM ex ORDER BY key, day""".stripMargin
 
+  // ---- Holt double-exponential level+trend forecast ------------------------
+  /** Holt smoothing (α=β=1/4) of daily totals with the one-step
+    * forecast level+trend — trend goes NEGATIVE on falling series,
+    * where `//` sign semantics vary across DuckDB releases, so every
+    * divide on BOTH sides is an arithmetic right shift (Spark
+    * `shiftright` ≡ DuckDB `>>`, floor by construction); the oracle
+    * unrolls the two-field recurrence as a recursive CTE (see NOTE). */
+  def tsHolt(s: SparkSession, d: String): DataFrame =
+    TimeSeries.holtDaily(Tables.events(s, d), "event_type", "ts", "value")
+      .orderBy(col("key"))
+
+  // NOTE: the fold is stated as a RECURSIVE CTE, not list_reduce — DuckDB
+  // v1.0.0 evaluates multi-field struct lambdas sequentially against a
+  // partially-updated accumulator (a two-field (level, trend) state reads
+  // the NEW level where the recurrence needs the old one); a recursive
+  // CTE evaluates both next-state columns against the same prior row.
+  val tsHoltSql: String =
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+       |         CAST(sum(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS yv
+       |  FROM $evWrap GROUP BY 1, 2),
+       |dd AS (SELECT key, row_number() OVER (PARTITION BY key ORDER BY day) AS i,
+       |              day, yv FROM daily),
+       |meta AS (SELECT key, max(i) AS n_days, max(day) AS last_day
+       |         FROM dd GROUP BY key),
+       |st AS (
+       |  SELECT key, i, yv AS level, CAST(0 AS BIGINT) AS trend
+       |  FROM dd WHERE i = 1
+       |  UNION ALL
+       |  SELECT st.key, dd.i,
+       |    ((st.level + st.trend) * 3 + dd.yv) >> 2,
+       |    (st.trend * 3 +
+       |      ((((st.level + st.trend) * 3 + dd.yv) >> 2) - st.level)) >> 2
+       |  FROM st JOIN dd ON dd.key = st.key AND dd.i = st.i + 1)
+       |SELECT m.key AS key, m.n_days, m.last_day,
+       |       st.level AS level_q, st.trend AS trend_q,
+       |       st.level + st.trend AS forecast_q
+       |FROM meta m JOIN st ON st.key = m.key AND st.i = m.n_days
+       |ORDER BY key""".stripMargin
+
   // ---- CUSUM level-shift changepoints --------------------------------------
   /** Two-sided integer CUSUM vs the whole-span mean: sustained drifts
     * accumulate in s⁺/s⁻ until the μ·2 decision interval trips — the
@@ -308,6 +348,7 @@ object TimeSeriesQueries {
     "ts_dow_profile" -> (tsDowProfile _),
     "ts_anomaly" -> (tsAnomaly _),
     "ts_cusum" -> (tsCusum _),
+    "ts_holt" -> (tsHolt _),
     "ts_trend" -> (tsTrend _))
 
   val oracle: Map[String, String] = Map(
@@ -319,5 +360,6 @@ object TimeSeriesQueries {
     "ts_dow_profile" -> tsDowProfileSql,
     "ts_anomaly" -> tsAnomalySql,
     "ts_cusum" -> tsCusumSql,
+    "ts_holt" -> tsHoltSql,
     "ts_trend" -> tsTrendSql)
 }

@@ -310,6 +310,47 @@ class PlanAuditSpec extends AnyFunSuite {
         s"the only Window must rank the bounded top-v result, not the full token table:\n$p")
   }
 
+  test("sketch_kmv_distinct: k-min selection is a bounded TakeOrdered — " +
+    "no global sort, no windows") {
+    val p = plan("sketch_kmv_distinct")
+    // the k smallest hashes must come from per-partition bounded heaps
+    // (TakeOrderedAndProject), never a full Sort of the distinct-hash
+    // table — at 10⁹ distinct keys that sort is the scale-killer
+    assert(p.contains("TakeOrderedAndProject"),
+      s"kmv build must plan as TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Window"), s"kmv plan must be window-free:\n$p")
+  }
+
+  test("mix_curriculum: windows rank the distinct-score histogram only; " +
+    "cutoffs broadcast back") {
+    val p = plan("mix_curriculum")
+    // every Window must consume the histogram Aggregate below it — a
+    // window directly over document rows is the per-row rank the
+    // operator exists to avoid
+    p.linesIterator.zipWithIndex.filter(_._1.contains("Window")).foreach {
+      case (_, i) =>
+        val below = p.linesIterator.drop(i + 1).mkString("\n")
+        assert(below.contains("Aggregate"),
+          s"window without a histogram aggregate beneath it:\n$p")
+    }
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"band cutoffs must broadcast to the corpus scan:\n$p")
+  }
+
+  test("ts_cusum: fold-over-series plan — window-free, at most two " +
+    "hash shuffles (daily agg + per-key series)") {
+    val p = plan("ts_cusum")
+    assert(!p.contains("Window"), s"cusum must fold arrays, not window:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") <= 2, p)
+  }
+
+  test("a21_cube: every slice from ONE Expand + single-shuffle aggregate") {
+    val p = plan("a21_cube")
+    assert(p.contains("Expand"), s"CUBE must plan as Expand:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"cube lattice must aggregate in one shuffle:\n$p")
+  }
+
   test("global sweep: no query plans an unbroadcast cartesian product") {
     // crossJoin against a broadcast side plans as BroadcastNestedLoopJoin
     // (fine — one side is tiny by construction); a CartesianProduct node

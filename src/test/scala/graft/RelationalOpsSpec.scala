@@ -139,6 +139,60 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(out == Set(-10L, -6L))
   }
 
+  test("kmvJaccard: exact under k; banded estimate over k") {
+    val s = spark
+    import s.implicits._
+    // exact regime: |A∪B| = 15 < k → every column exact
+    val a1 = (1 to 10).map(i => s"m$i").toDF("k")
+    val b1 = (6 to 15).map(i => s"m$i").toDF("k")
+    val e1 = Relational.kmvJaccard(
+      Relational.kmvBuild(a1, "k", 64),
+      Relational.kmvBuild(b1, "k", 64), 64).collect()(0)
+    assert(e1.getLong(0) == 15L)       // k_used = exact union size
+    assert(e1.getLong(2) == 5L)        // n_common = exact intersection
+    assert(e1.getLong(3) == 15L && e1.getLong(4) == 5L)
+    // estimate regime: |A∪B| = 150, |A∩B| = 50 (jaccard 1/3), k = 64
+    val a2 = (1 to 100).map(i => s"m$i").toDF("k")
+    val b2 = (51 to 150).map(i => s"m$i").toDF("k")
+    val e2 = Relational.kmvJaccard(
+      Relational.kmvBuild(a2, "k", 64),
+      Relational.kmvBuild(b2, "k", 64), 64).collect()(0)
+    assert(e2.getLong(0) == 64L)
+    assert(e2.getLong(3) > 75L && e2.getLong(3) < 300L,
+      s"union est ${e2.getLong(3)} for truth 150")
+    assert(e2.getLong(4) > 12L && e2.getLong(4) < 150L,
+      s"inter est ${e2.getLong(4)} for truth 50")
+  }
+
+  test("abLift: hash-parity arms, exact conditional sums, " +
+    "cross-multiplied verdict — driver replay") {
+    val s = spark
+    import s.implicits._
+    val P = 1000000007L; val M = 999983L
+    def variant(u: Long): Long = {
+      val h = u.toString.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+      (h * M % P) * M % P % 2
+    }
+    val rows = (1L to 12L).flatMap(u =>
+      Seq((u, "purchase", 5.0 + u), (u, "view", 1.0)))
+    val df = rows.toDF("user_id", "event_type", "value")
+    val out = Relational.abLift(df, "user_id",
+      col("event_type") === "purchase", "value").collect()(0)
+    val byArm = (1L to 12L).groupBy(variant)
+    val nA = byArm.getOrElse(0L, Nil).size.toLong
+    val nB = byArm.getOrElse(1L, Nil).size.toLong
+    assert(nA > 0 && nB > 0, s"fixture must populate both arms: $byArm")
+    val qA = byArm.getOrElse(0L, Nil)
+      .map(u => math.floor((5.0 + u) * 1e6).toLong).sum
+    val qB = byArm.getOrElse(1L, Nil)
+      .map(u => math.floor((5.0 + u) * 1e6).toLong).sum
+    assert(out.getLong(0) == nA && out.getLong(1) == nB)
+    assert(out.getLong(2) == nA && out.getLong(3) == nB) // 1 purchase/user
+    assert(out.getLong(4) == qA && out.getLong(5) == qB)
+    assert(out.getLong(6) == qA * nB && out.getLong(7) == qB * nA)
+    assert(out.getBoolean(8) == (qB * nA > qA * nB))
+  }
+
   test("kmv: exact under k; merge-of-dailies ≡ whole build; estimate " +
     "lands near truth over k") {
     val s = spark

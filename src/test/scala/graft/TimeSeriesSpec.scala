@@ -248,6 +248,33 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(exp.exists(!_._3)) // and it is not all-flagged
   }
 
+  test("holtDaily: level+trend fold replayed on the driver; falling " +
+    "series drives trend negative with floor-shift parity") {
+    val s = spark
+    import s.implicits._
+    // rising then falling — the fall sends trend (and level'−level)
+    // negative, the regime where truncating DIV would diverge
+    val vals = Seq(10.0, 12.0, 14.0, 16.0, 8.0, 4.0, 2.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, ts(f"2024-01-${i + 1}%02d 01:00:00"), "k", v)
+    }
+    val out = TimeSeries.holtDaily(rows.toDF("event_id", "ts", "key", "value"),
+      "key", "ts", "value").collect()(0)
+    // driver replay with explicit floor shifts
+    var level = 10000000L; var trend = 0L
+    vals.tail.foreach { v =>
+      val y = math.floor(v * 1e6).toLong
+      val l2 = ((level + trend) * 3 + y) >> 2
+      trend = (trend * 3 + (l2 - level)) >> 2
+      level = l2
+    }
+    assert(out.getLong(1) == 7L)
+    assert(out.getAs[Long]("level_q") == level)
+    assert(out.getAs[Long]("trend_q") == trend)
+    assert(trend < 0L, s"fixture must exercise the negative-trend regime: $trend")
+    assert(out.getAs[Long]("forecast_q") == level + trend)
+  }
+
   test("distributionDrift: cohort counts and scaled TVD contribution") {
     val s = spark
     import s.implicits._
