@@ -187,6 +187,45 @@ object DataQuality {
     * the tiny per-key table, cross-joined back via broadcast. At
     * 100 TB the cost is the one scan; everything after is |keys| rows.
     * Output: (key, c1, c2, contrib). */
+  /** First-significant-digit Benford conformance report — the classic
+    * fabricated-numbers screen (Benford 1938; Nigrini's forensic
+    * accounting standard): naturally-occurring multiplicative amounts
+    * lead with digit d at frequency log₁₀(1+1/d); uniform or hand-typed
+    * values don't. The nine expected frequencies are FIXED INTEGER ppm
+    * CONSTANTS (⌊log₁₀(1+1/d)·10⁶⌋ — literals on both engines, so the
+    * banned runtime log never executes), the observed share is the
+    * non-negative `n_d·10⁶ DIV N`, and the flag is a pure integer
+    * threshold on |deviation|. The digit comes from the QUANTIZED
+    * integer amount's decimal string (first char of cents — identical
+    * string rendering of a BIGINT in any engine; never a double
+    * format). One scan groups by digit (≤9 result rows, map-side
+    * combinable); a broadcast 9-row frame restores absent digits with
+    * n=0. Output: (digit, n, obs_ppm, benford_ppm, dev_ppm, flag). */
+  val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+
+  def benfordReport(df: DataFrame, centsCol: Column,
+                    flagPpm: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = BenfordPpm.toDF("digit", "benford_ppm")
+      .select(col("digit").cast("long").as("digit"), col("benford_ppm"))
+    val obs = df
+      .select(substring(centsCol.cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = obs.agg(sum(col("n")).as("total"))
+    broadcast(expected)
+      .join(obs, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 DIV total").as("obs_ppm"), col("benford_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("benford_ppm"))
+      .withColumn("flag", abs(col("dev_ppm")) > flagPpm)
+  }
+
   def distributionDrift(df: DataFrame, keyCol: String,
                         inCohort1: Column): DataFrame = {
     val perKey = df.groupBy(col(keyCol).as("key"))

@@ -233,6 +233,33 @@ object TimeSeries {
         expr("tot_q DIV tot_n").as("all_mean_q"))
   }
 
+  /** Seasonal adjustment: each (key, day) total minus its day-of-week
+    * mean — the residual series trend/anomaly detectors should consume
+    * when weekly seasonality would otherwise dominate (a Sunday spike
+    * is only a spike relative to SUNDAYS). The dow means are computed
+    * over DAILY TOTALS (sum DIV count of that slot's days — non-negative
+    * long DIV, engine-portable), broadcast back from the tiny key×7
+    * profile; the residual is a pure integer subtraction (it goes
+    * negative — no division ever touches it). Same engine-agnostic dow
+    * arithmetic as [[dowProfile]] (days since a pinned Monday, mod 7).
+    * Raw rows aggregate once. Output: (key, day, dow, yv, dow_mean_q,
+    * resid_q). */
+  def deseasonalize(df: DataFrame, keyCol: String, tsCol: String,
+                    valCol: String, mondayEpoch: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol).as("key"),
+        to_date(col(tsCol)).as("day"))
+      .agg(sum(qval(col(valCol))).as("yv"))
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit(mondayEpoch).cast("date"))
+          .cast("long"), lit(7L)))
+    val prof = daily.groupBy(col("key"), col("dow"))
+      .agg(count(lit(1)).as("nd"), sum(col("yv")).as("qs"))
+      .select(col("key"), col("dow"), expr("qs DIV nd").as("dow_mean_q"))
+    daily.join(broadcast(prof), Seq("key", "dow"))
+      .select(col("key"), col("day"), col("dow"), col("yv"),
+        col("dow_mean_q"), (col("yv") - col("dow_mean_q")).as("resid_q"))
+  }
+
   /** Per-key exponential smoothing of daily totals, kept exact: the
     * EWMA recurrence with α = 1/4 in pure long arithmetic —
     * s ← (3·s + x) DIV 4 — where every operand is non-negative, so

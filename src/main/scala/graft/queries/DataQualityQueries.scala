@@ -156,13 +156,50 @@ object DataQualityQueries {
       |SELECT key, c1, c2, abs(c1 * n2 - c2 * n1) AS contrib
       |FROM v CROSS JOIN t ORDER BY key""".stripMargin
 
+  // ---- Benford first-digit conformance (fabricated-amounts screen) --------
+  /** First-significant-digit frequencies of the cents-quantized event
+    * values vs Benford's law, with the nine expected shares as FIXED
+    * integer ppm literals on both engines (no runtime log) and a pure
+    * integer deviation flag ([[DataQuality.benfordReport]]). The
+    * synthetic uniform-ish values deviate wildly from Benford — which
+    * is the point: a screen that never flags tests nothing. */
+  def dqBenford(s: SparkSession, d: String): DataFrame =
+    DataQuality.benfordReport(Tables.events(s, d),
+        floor(col("value") * 1e2).cast("long"), 30000L)
+      .orderBy(col("digit"))
+
+  val dqBenfordSql: String = {
+    val rows = DataQuality.BenfordPpm
+      .map { case (d0, p) => s"($d0, $p)" }.mkString(", ")
+    s"""WITH cents AS (
+       |  SELECT CAST(FLOOR(value * 1e2) AS BIGINT) AS c
+       |  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events),
+       |obs AS (
+       |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |         COUNT(*) AS n
+       |  FROM cents GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs),
+       |ex AS (SELECT * FROM (VALUES $rows) AS t(digit, benford_ppm)),
+       |j AS (
+       |  SELECT CAST(e.digit AS BIGINT) AS digit,
+       |         CAST(COALESCE(o.n, 0) AS BIGINT) AS n,
+       |         CAST(e.benford_ppm AS BIGINT) AS benford_ppm
+       |  FROM ex e LEFT JOIN obs o ON o.digit = e.digit)
+       |SELECT digit, n, (n * 1000000) // total AS obs_ppm, benford_ppm,
+       |       (n * 1000000) // total - benford_ppm AS dev_ppm,
+       |       abs((n * 1000000) // total - benford_ppm) > 30000 AS flag
+       |FROM j, tot ORDER BY digit""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "dq_benford" -> (dqBenford _),
     "dq_expectations" -> (dqExpectations _),
     "dq_id_gaps" -> (dqIdGaps _),
     "dq_drift_tvd" -> (dqDriftTvd _),
     "j10_fuzzy_link" -> (j10FuzzyLink _))
 
   val oracle: Map[String, String] = Map(
+    "dq_benford" -> dqBenfordSql,
     "dq_expectations" -> dqSql,
     "dq_id_gaps" -> dqIdGapsSql,
     "dq_drift_tvd" -> dqDriftTvdSql,

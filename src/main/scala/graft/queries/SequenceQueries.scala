@@ -490,6 +490,49 @@ object SequenceQueries {
     sql
   }
 
+  // ---- leakage-safe k-fold cross-validation assignment ---------------------
+  /** 5-fold CV folds that respect near-dup cluster boundaries — the
+    * k-fold generalization of [[splitLeakageSafe]]: a cluster's
+    * REPRESENTATIVE hash picks the fold, so no near-dup pair ever
+    * straddles a fold boundary (evaluating on fold f while training on
+    * the rest can never see a training document's near-copy). Output is
+    * the per-fold balance summary (doc count, cluster count, and the
+    * complementary training-set size) — 5 rows proving the assignment
+    * is usable; the structural no-leakage guarantee is by construction,
+    * the same rep-hash bucketing the train/val/test split pins. */
+  def splitCvFolds(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val comps = Dedup.connectedComponents(
+      docs.select(col("doc_id").as("id")), DupEdges.of(s, d))
+    val m = Mix.ScrambleM
+    val fold = (col("rep") + 1) * m % P * m % P % 5
+    val perFold = comps.select(col("id"), col("rep"), fold.as("fold"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_clusters"))
+    perFold
+      .crossJoin(broadcast(perFold.agg(sum(col("n_docs")).as("n_total"))))
+      .select(col("fold"), col("n_docs"), col("n_clusters"),
+        (col("n_total") - col("n_docs")).as("n_train_docs"))
+      .orderBy(col("fold"))
+  }
+  val splitCvFoldsSql: String = {
+    val m = Mix.ScrambleM
+    val sql = dedupClustersSql.replace(
+      """SELECT id AS doc_id, MIN(lbl) AS cluster_rep, MIN(lbl) = id AS is_canonical
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+      s"""SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(COUNT(*)) OVER () - COUNT(*) AS BIGINT) AS n_train_docs
+         |FROM (SELECT id, MIN(lbl) AS rep,
+         |             (MIN(lbl) + 1) * $m % $P * $m % $P % 5 AS fold
+         |      FROM reach GROUP BY id)
+         |GROUP BY fold ORDER BY fold""".stripMargin)
+    require(sql != dedupClustersSql,
+      "split_cv_folds oracle: final-SELECT replacement did not apply")
+    sql
+  }
+
   // ---- end-to-end corpus build ---------------------------------------------
   /** The whole training-corpus assembly composed as one job, per-doc
     * stage flags: near-dup clustering (exact ∪ minhash edges → CC rep),
@@ -824,7 +867,8 @@ object SequenceQueries {
     "budget_select" -> (budgetSelect _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_incremental" -> (dedupClustersIncremental _),
-    "split_leakage_safe" -> (splitLeakageSafe _))
+    "split_leakage_safe" -> (splitLeakageSafe _),
+    "split_cv_folds" -> (splitCvFolds _))
 
   val oracle: Map[String, String] = Map(
     "assign_dense_ids" -> assignDenseIdsSql,
@@ -842,5 +886,6 @@ object SequenceQueries {
     "budget_select" -> budgetSelectSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_clusters_incremental" -> dedupClustersSql,
-    "split_leakage_safe" -> splitLeakageSafeSql)
+    "split_leakage_safe" -> splitLeakageSafeSql,
+    "split_cv_folds" -> splitCvFoldsSql)
 }

@@ -183,6 +183,34 @@ object TimeSeriesQueries {
        |       tot_q // tot_n AS all_mean_q
        |FROM tot ORDER BY key, dow""".stripMargin
 
+  // ---- seasonal adjustment: residuals vs the dow mean of daily totals ------
+  /** Each day's total minus its day-of-week mean (means over DAILY
+    * TOTALS, non-negative DIV; residual a pure subtraction) — the
+    * deseasonalized series anomaly detection should consume when weekly
+    * rhythm would otherwise dominate. */
+  def tsDeseasonalize(s: SparkSession, d: String): DataFrame =
+    TimeSeries.deseasonalize(Tables.events(s, d), "event_type", "ts",
+        "value", "2024-01-01")
+      .orderBy(col("key"), col("day"))
+
+  val tsDeseasonalizeSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+       |         CAST(sum(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS yv
+       |  FROM $evWrap GROUP BY 1, 2),
+       |dd AS (
+       |  SELECT key, day, yv,
+       |         ((date_diff('day', DATE '2024-01-01', day) % 7) + 7) % 7 AS dow
+       |  FROM daily),
+       |prof AS (
+       |  SELECT key, dow,
+       |         CAST(sum(yv) AS BIGINT) // count(*) AS dow_mean_q
+       |  FROM dd GROUP BY 1, 2)
+       |SELECT dd.key AS key, dd.day AS day, dd.dow AS dow, dd.yv AS yv,
+       |       prof.dow_mean_q, dd.yv - prof.dow_mean_q AS resid_q
+       |FROM dd JOIN prof ON prof.key = dd.key AND prof.dow = dd.dow
+       |ORDER BY key, day""".stripMargin
+
   // ---- per-type integer EWMA of daily totals -------------------------------
   /** Exponentially smoothed daily value total per type, α = 1/4, in
     * pure long arithmetic (s ← (3s+x) DIV 4, operands non-negative so
@@ -346,6 +374,7 @@ object TimeSeriesQueries {
     "ts_moving_avg" -> (tsMovingAvg _),
     "ts_ewma" -> (tsEwma _),
     "ts_dow_profile" -> (tsDowProfile _),
+    "ts_deseasonalize" -> (tsDeseasonalize _),
     "ts_anomaly" -> (tsAnomaly _),
     "ts_cusum" -> (tsCusum _),
     "ts_holt" -> (tsHolt _),
@@ -358,6 +387,7 @@ object TimeSeriesQueries {
     "ts_moving_avg" -> tsMovingAvgSql,
     "ts_ewma" -> tsEwmaSql,
     "ts_dow_profile" -> tsDowProfileSql,
+    "ts_deseasonalize" -> tsDeseasonalizeSql,
     "ts_anomaly" -> tsAnomalySql,
     "ts_cusum" -> tsCusumSql,
     "ts_holt" -> tsHoltSql,

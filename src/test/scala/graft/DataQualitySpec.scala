@@ -158,4 +158,24 @@ class DataQualitySpec extends AnyFunSuite {
     assert(keys.toSeq == keys.toSeq.sorted)
     assert(keys.distinct.length == keys.length)
   }
+
+  test("benfordReport: digit shares from the integer string, absent " +
+    "digits zero-filled, pure-integer deviation flags") {
+    val s = spark
+    import s.implicits._
+    // cents: digits [1, 1, 2, 3, 9] over N=5 — digit 1 at 400000 ppm
+    // (dev +98971, flagged), digit 2 at 200000 (dev +23909, calm),
+    // absent digit 4 at 0 (dev −96910, flagged)
+    val df = Seq(1L, 19L, 23L, 345L, 9000L).toDF("c")
+    val out = graft.operators.DataQuality
+      .benfordReport(df, org.apache.spark.sql.functions.col("c"), 30000L)
+      .orderBy("digit").collect()
+    assert(out.length == 9)
+    val byDigit = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(4), r.getBoolean(5))).toMap
+    assert(byDigit(1L) == ((2L, 400000L, 400000L - 301029L, true)))
+    assert(byDigit(2L) == ((1L, 200000L, 200000L - 176091L, false)))
+    assert(byDigit(4L) == ((0L, 0L, -96910L, true)))
+    assert(byDigit(9L)._1 == 1L)
+  }
 }

@@ -221,6 +221,36 @@ class SequenceSpec extends AnyFunSuite {
     assert(byDoc.values.groupBy(_._1).forall(_._2.map(_._2).toSet.size == 1))
   }
 
+  test("k-fold CV assignment: fold is a pure function of the cluster " +
+    "rep — no near-dup pair straddles a fold") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.{Dedup, Mix}
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base), (2L, base + " x"), (3L, base + " y"),
+      (4L, "completely different content one two three four five six seven"),
+      (5L, "another unrelated document with its own words entirely here now")
+    ).toDF("doc_id", "text")
+    val edges = Dedup.minhashPairs(docs, "doc_id", "text", 0.5, 16, 4)
+      .select(col("id_a"), col("id_b"))
+    val comps = Dedup.connectedComponents(
+      docs.select(col("doc_id").as("id")), edges)
+    val p = Dedup.HashMod
+    val fold = (col("rep") + 1) * Mix.ScrambleM % p * Mix.ScrambleM % p % 5
+    val byDoc = comps.select(col("id"), col("rep"), fold.as("fold"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byDoc(1L)._2 == byDoc(2L)._2 && byDoc(2L)._2 == byDoc(3L)._2,
+      "cluster members must share the fold — the CV leakage invariant")
+    assert(byDoc.values.groupBy(_._1).forall(_._2.map(_._2).toSet.size == 1))
+    // and the per-fold summary partitions the corpus: n_docs sums to N,
+    // each row's train complement is N − n_docs
+    val perFold = comps.select(col("id"), col("rep"), fold.as("fold"))
+      .groupBy(col("fold")).agg(count(lit(1)).as("n_docs"))
+      .collect().map(r => r.getLong(1))
+    assert(perFold.sum == 5L)
+  }
+
   test("connectedComponentsDelta: delta edges merge standing components; reps stay global minima") {
     val s = spark
     import s.implicits._
