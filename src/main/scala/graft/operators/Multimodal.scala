@@ -115,7 +115,11 @@ object Multimodal {
     * whitespace handling per the netpbm spec, then per-channel means over
     * the raw samples (integer sums, one division — engine-replayable).
     * Malformed input fails loudly with the media id. */
-  private[graft] def parsePpm(id: Long, b: Array[Byte]): PpmFeatures = {
+  /** Shared P6 header scan: magic / width / height / maxval with comment
+    * and whitespace handling per the netpbm spec; returns the dims plus
+    * the offset of the first sample byte. Malformed input fails loudly
+    * with the media id. */
+  private def ppmHeader(id: Long, b: Array[Byte]): (Int, Int, Int, Int) = {
     var pos = 0
     def isWs(c: Int) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
     def token(): String = {
@@ -141,6 +145,11 @@ object Multimodal {
     pos += 1 // exactly one whitespace byte separates header from samples
     require(b.length - pos >= w * h * 3, s"media $id: truncated pixel data " +
       s"(${b.length - pos} of ${w * h * 3} bytes)")
+    (w, h, maxval, pos)
+  }
+
+  private[graft] def parsePpm(id: Long, b: Array[Byte]): PpmFeatures = {
+    val (w, h, maxval, pos) = ppmHeader(id, b)
     var (sr, sg, sb) = (0L, 0L, 0L)
     var j = 0
     while (j < w * h) {
@@ -151,6 +160,44 @@ object Multimodal {
     }
     val n = (w * h).toDouble
     PpmFeatures(id, w, h, maxval, sr / n, sg / n, sb / n)
+  }
+
+  case class PpmHash(media_id: Long, width: Int, height: Int, phash: Long)
+
+  /** Perceptual average-hash from the REAL decoded pixels: bit j is set
+    * iff pixel j is brighter than the image mean — stated integer-only
+    * as gray_j·n > Σgray (cross-multiplied, no mean ever divided), with
+    * gray = r+g+b per pixel and the first min(n, 64) pixels packed
+    * little-endian into one long. Tiny crops/brightness-uniform shifts
+    * of an image preserve most bits, so equal hashes group perceptual
+    * near-dups the byte-level payload hash misses. Lives in the same
+    * codec seam as [[parsePpm]]; only (id, w, h, hash) rows flow out. */
+  private[graft] def parsePpmHash(id: Long, b: Array[Byte]): PpmHash = {
+    val (w, h, _, pos) = ppmHeader(id, b)
+    val n = w * h
+    val gray = new Array[Long](n)
+    var tot = 0L
+    var j = 0
+    while (j < n) {
+      val g = (b(pos + 3 * j) & 0xff) + (b(pos + 3 * j + 1) & 0xff) +
+        (b(pos + 3 * j + 2) & 0xff)
+      gray(j) = g; tot += g; j += 1
+    }
+    var hash = 0L
+    val bits = math.min(n, 64)
+    j = 0
+    while (j < bits) {
+      if (gray(j) * n > tot) hash |= (1L << j)
+      j += 1
+    }
+    PpmHash(id, w, h, hash)
+  }
+
+  /** Batched perceptual-hash decode in the codec seam — payloads never
+    * shuffle; the fixed-width hash rows feed the dedup grouping. */
+  def decodePpmHash(media: Dataset[PpmRecord]): Dataset[PpmHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => parsePpmHash(r.media_id, r.payload)))
   }
 
   /** Batched REAL decode, same shape as [[decodeFeatures]]: one decoder

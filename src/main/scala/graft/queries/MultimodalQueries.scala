@@ -128,6 +128,53 @@ object MultimodalQueries {
       |  CAST(list_sum(list_transform(range(0, w*h), j -> bs[CAST(3*j+3 AS INTEGER)])) AS DOUBLE) / (w*h) AS mean_b
       |FROM px ORDER BY media_id""".stripMargin
 
+  // ---- perceptual-hash (aHash) image dedup over real decoded pixels -------
+  /** Average-hash near-dup grouping from the REAL PPM decode: bit j set
+    * iff pixel j outshines the image mean (integer cross-multiply —
+    * gray_j·n > Σgray, no mean divided), hashes grouped by (dims, hash)
+    * with each image annotated by its group size — the perceptual
+    * sibling of the byte-exact `mm_dedup_payload`. The oracle re-derives
+    * every bit from the tiling rule in SQL, so a decoder misalignment
+    * or a wrong bit order hash-mismatches immediately. */
+  def mmPhashDedup(s: SparkSession, d: String): DataFrame = {
+    val hashes = Multimodal.decodePpmHash(Multimodal.asPpm(
+      Multimodal.ppmFromText(Tables.documents(s, d)))).toDF()
+    val groups = hashes.groupBy(col("width"), col("height"), col("phash"))
+      .agg(count(lit(1)).as("n_same"))
+    hashes.join(groups, Seq("width", "height", "phash"))
+      .select(col("media_id"), col("width"), col("height"), col("phash"),
+        col("n_same"))
+      .orderBy(col("media_id"))
+  }
+  val mmPhashDedupSql: String =
+    """WITH src AS (
+      |  SELECT doc_id AS media_id, CAST(4 + doc_id % 4 AS INTEGER) AS w,
+      |         CAST(3 + doc_id % 3 AS INTEGER) AS h, text
+      |  FROM documents WHERE length(text) > 0 AND strlen(text) = length(text)
+      |), px AS (
+      |  SELECT media_id, w, h,
+      |    list_transform(range(0, w*h*3), i ->
+      |      ascii(substring(text, CAST(1 + i % length(text) AS INTEGER), 1))) AS bs
+      |  FROM src
+      |), g AS (
+      |  SELECT media_id, w, h,
+      |    list_transform(range(0, w*h), j ->
+      |      CAST(bs[CAST(3*j+1 AS INTEGER)] + bs[CAST(3*j+2 AS INTEGER)]
+      |           + bs[CAST(3*j+3 AS INTEGER)] AS BIGINT)) AS gray
+      |  FROM px
+      |), hsh AS (
+      |  SELECT media_id, w AS width, h AS height,
+      |    CAST(list_sum(list_transform(range(0, least(w*h, 64)), j ->
+      |      CASE WHEN gray[CAST(j+1 AS INTEGER)] * (w*h) > list_sum(gray)
+      |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS phash
+      |  FROM g
+      |), grp AS (
+      |  SELECT width, height, phash, COUNT(*) AS n_same
+      |  FROM hsh GROUP BY 1, 2, 3)
+      |SELECT h.media_id, h.width, h.height, h.phash, grp.n_same
+      |FROM hsh h JOIN grp USING (width, height, phash)
+      |ORDER BY media_id""".stripMargin
+
   // ---- REAL WAV decode: RIFF walk + per-channel PCM stats ------------------
   /** Real RIFF/WAVE payloads built in-plan (44-byte PCM header + the
     * doc's bytes tiled across interleaved stereo samples), decoded by the
@@ -327,6 +374,7 @@ object MultimodalQueries {
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_decode_features" -> (mmDecodeFeatures _),
     "mm_decode_ppm" -> (mmDecodePpm _),
+    "mm_phash_dedup" -> (mmPhashDedup _),
     "mm_decode_wav" -> (mmDecodeWav _),
     "mm_decode_video" -> (mmDecodeVideo _),
     "mm_frame_dedup" -> (mmFrameDedup _))
@@ -338,6 +386,7 @@ object MultimodalQueries {
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_decode_features" -> mmDecodeFeaturesSql,
     "mm_decode_ppm" -> mmDecodePpmSql,
+    "mm_phash_dedup" -> mmPhashDedupSql,
     "mm_decode_wav" -> mmDecodeWavSql,
     "mm_decode_video" -> mmDecodeVideoSql,
     "mm_frame_dedup" -> mmFrameDedupSql)

@@ -28,6 +28,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f == Multimodal.PpmFeatures(7L, 2, 2, 255, 55.0, 65.0, 75.0))
   }
 
+  test("parsePpmHash: bright-pixel bits, uniform image hashes to zero, " +
+    "brightness-shift invariance") {
+    // 2×1: grays (30, 120), tot 150, n 2 — bit0: 60 > 150 no;
+    // bit1: 240 > 150 yes → hash = 2
+    val hdr = "P6\n2 1\n255\n".getBytes("US-ASCII")
+    def img(px: Int*) = hdr ++ px.map(_.toByte).toArray
+    val h = Multimodal.parsePpmHash(1L, img(10, 10, 10, 40, 40, 40))
+    assert(h == Multimodal.PpmHash(1L, 2, 1, 2L))
+    // uniform image: every gray·n == tot, strict > never fires → 0
+    val u = Multimodal.parsePpmHash(2L, img(40, 40, 40, 40, 40, 40))
+    assert(u.phash == 0L)
+    // adding a constant to every channel preserves the hash (the
+    // perceptual property: brightness shifts keep the bit pattern)
+    val shifted = Multimodal.parsePpmHash(3L, img(60, 60, 60, 90, 90, 90))
+    assert(shifted.phash == h.phash)
+  }
+
   test("parsePpm: malformed inputs fail loudly with the media id") {
     val wrongMagic = intercept[IllegalArgumentException] {
       Multimodal.parsePpm(3L, "P5\n2 2\n255\n____________".getBytes("US-ASCII"))
