@@ -905,6 +905,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == Set((3L, 7.0), (1L, 8.0)))
   }
 
+  test("indexAppendStream + KMV set algebra: replayed sketch batches " +
+    "converge by algebra alone (no ledger); serve ≡ whole-corpus build") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import graft.operators.Relational
+    import graft.sources.PartitionedStore
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val k = 8
+    // 12 distinct keys on day 1 (standing), 15 new ones on day 2 (stream)
+    val day1 = (1 to 20).map(i => KmvEvt(ts("2024-01-01 05:00:00"), s"u${i % 12}"))
+    val day2 = (1 to 20).map(i => KmvEvt(ts("2024-01-02 05:00:00"), s"v${i % 15}"))
+    val path = tmp("kmv_stream_store")
+    PartitionedStore.commitVersion(
+      Relational.kmvDailySketches(day1.toDF(), "ts", "uk", k), path)
+    // nightly-delta loop: each micro-batch's daily partials append as a
+    // new version — NO ledger, no anti-join: k-min-of-union is
+    // idempotent, so a verbatim re-delivered batch is absorbed by the
+    // serving distinct+TakeOrdered itself
+    val in = MemoryStream[KmvEvt]
+    val q = Streams.indexAppendStream(in.toDF(), tmp("kmv_stream_ckpt")) {
+      (_, b) =>
+        PartitionedStore.commitVersion(
+          Relational.kmvDailySketches(b, "ts", "uk", k), path, append = true)
+        ()
+    }
+    in.addData(day2: _*)
+    q.processAllAvailable()
+    in.addData(day2: _*) // verbatim re-delivery of the whole batch
+    q.processAllAvailable()
+    q.stop()
+    val served = Relational.kmvEstimate(
+      Relational.kmvSpan(PartitionedStore.readVersion(s, path), k), k)
+      .collect()(0)
+    val whole = Relational.kmvEstimate(
+      Relational.kmvBuild((day1 ++ day2).toDF(), "uk", k), k)
+      .collect()(0)
+    assert(served.toSeq == whole.toSeq,
+      "served estimate must equal the whole-corpus build bit for bit")
+    val stored = PartitionedStore.readVersion(s, path)
+    assert(stored.count() > stored.distinct().count(),
+      "fixture must actually contain replayed duplicate rows")
+  }
+
   test("indexAppendStream: BM25 and IVF legs stay query-fresh across micro-batches; results equal a batch rebuild") {
     val s = spark
     import s.implicits._
@@ -1058,3 +1102,4 @@ class StreamingSpec extends AnyFunSuite {
 case class Ev(user_id: Long, time: Timestamp, event_id: Long, value: Double)
 case class LshDoc(doc_id: Long, text: String)
 case class IvfVec(vec_id: Long, embedding: Array[Float])
+case class KmvEvt(ts: Timestamp, uk: String)
