@@ -215,11 +215,14 @@ object DataQuality {
       .select(substring(centsCol.cast("string"), 1, 1)
         .cast("long").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
-    val total = obs.agg(sum(col("n")).as("total"))
+    // the corpus total is a window over the ≤9-row digit histogram —
+    // never a second scan of the fact table (a positive integer's
+    // leading digit is always 1-9, so the joined frame holds every row)
+    import org.apache.spark.sql.expressions.Window
     broadcast(expected)
       .join(obs, Seq("digit"), "left")
       .na.fill(0L, Seq("n"))
-      .crossJoin(broadcast(total))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
       .select(col("digit"), col("n"),
         expr("n * 1000000 DIV total").as("obs_ppm"), col("benford_ppm"))
       .withColumn("dev_ppm", col("obs_ppm") - col("benford_ppm"))

@@ -351,6 +351,45 @@ class PlanAuditSpec extends AnyFunSuite {
       s"cube lattice must aggregate in one shuffle:\n$p")
   }
 
+  test("ab_lift: one conditional-aggregation scan — no join, no window") {
+    val p = plan("ab_lift")
+    assert(!p.contains("Join"), s"ab_lift must not join:\n$p")
+    assert(!p.contains("Window"), p)
+    assert(countOf(p, "FileScan") == 1,
+      s"both arms must come from ONE events scan:\n$p")
+  }
+
+  test("mm_phash_dedup: payload bytes never shuffle — only narrow hash " +
+    "rows cross an exchange") {
+    val p = plan("mm_phash_dedup")
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("payload"),
+        s"payload column crossing an exchange:\n$l\n$p")
+    }
+  }
+
+  test("ts_holt / ts_deseasonalize: fold/profile plans stay window-free " +
+    "over data rows") {
+    val ph = plan("ts_holt")
+    assert(!ph.contains("Window"), s"holt must fold arrays, not window:\n$ph")
+    val pd = plan("ts_deseasonalize")
+    assert(!pd.contains("Window"), pd)
+    assert(pd.contains("BroadcastHashJoin"),
+      s"dow means must broadcast back to the daily table:\n$pd")
+  }
+
+  test("dq_benford: ONE digit-groupBy scan of events; the only window " +
+    "runs over the ≤9-row digit histogram") {
+    val p = plan("dq_benford")
+    assert(countOf(p, "FileScan") == 1, s"one scan of events:\n$p")
+    p.linesIterator.zipWithIndex.filter(_._1.contains("Window")).foreach {
+      case (_, i) =>
+        val below = p.linesIterator.drop(i + 1).mkString("\n")
+        assert(below.contains("Aggregate"),
+          s"window must consume the digit histogram, not data rows:\n$p")
+    }
+  }
+
   test("global sweep: no query plans an unbroadcast cartesian product") {
     // crossJoin against a broadcast side plans as BroadcastNestedLoopJoin
     // (fine — one side is tiny by construction); a CartesianProduct node
