@@ -99,6 +99,61 @@ object Graph {
     }
   }
 
+  /** Deterministic label-propagation communities (Raghavan et al. 2007,
+    * made RNG-free): each round every node adopts the most frequent
+    * label among its neighbors PLUS ITSELF, ties broken by the smallest
+    * label — the self-vote is what makes the synchronous sweep
+    * deterministic AND convergent (pure neighbor voting oscillates on
+    * any symmetric pair; random update orders are banned by the
+    * determinism contract). Unlike connected components, a bridge edge
+    * does NOT merge two dense groups: the bridge's one vote loses to
+    * each side's internal majority (the barbell fixture in `GraphSpec`
+    * pins exactly this — LPA splits what CC necessarily unions), which
+    * is the community question near-dup curation actually asks when
+    * boilerplate links otherwise-unrelated clusters.
+    *
+    * Per round: one join of the symmetric edge list against the label
+    * frame, a (node, label) count, and the single-shuffle max(struct)
+    * argmax by (cnt, −label) — never a per-node window over data rows;
+    * labels checkpoint per round and release the previous round's
+    * blocks ([[pagerank]]'s lifecycle). Fixed `rounds` keeps the oracle
+    * expressible as unrolled CTEs. Output: (id, community) over
+    * edge-incident nodes. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val undirected = edges.filter(col("id_a") =!= col("id_b"))
+    val sym = undirected
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(undirected.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    try {
+      val nodes = sym.select(col("src").as("id")).distinct()
+      // self-vote rides as a loop edge so each round is ONE join
+      val votes = sym
+        .unionByName(nodes.select(col("id").as("src"), col("id").as("dst")))
+        .localCheckpoint()
+      try {
+        var labels = nodes.select(col("id"), col("id").as("lbl"))
+          .localCheckpoint()
+        var k = 0
+        while (k < rounds) {
+          val next = votes
+            .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+            .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
+            .groupBy(col("src"))
+            .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+            .select(col("src").as("id"), (-col("m.nl")).as("lbl"))
+            .localCheckpoint()
+          Checkpoints.release(labels)
+          labels = next
+          k += 1
+        }
+        labels.select(col("id"), col("lbl").as("community"))
+      } finally Checkpoints.release(votes)
+    } finally Checkpoints.release(sym)
+  }
+
   /** Triangle count + local clustering coefficient over an UNDIRECTED edge
     * list, by degree orientation (Schank & Wagner, WEA 2005; distributed
     * formulation Suri & Vassilvitskii, "Counting triangles and the curse

@@ -369,6 +369,56 @@ object TimeSeries {
           col("s_neg") > col("mu") * lit(hMul)).as("chg"))
   }
 
+  /** Autocorrelation of daily totals at lags 1..`maxLag`, exact — THE
+    * seasonality detector (a weekly rhythm shows as an ACF peak at lag
+    * 7) emitted as integer (numerator, denominator) pairs so no float
+    * division ever runs: acf_k = Σx̃ₜ·x̃ₜ₊ₖ / Σx̃², with x̃ the daily
+    * total CENTERED by the per-key integer mean (sum DIV n —
+    * non-negative operands, portable). Centering is what keeps the
+    * products in long range — and unlike the rest of the pack this op
+    * quantizes to CENTS, not micro-units: the ACF consumes PRODUCTS of
+    * residuals, so the quantum appears SQUARED — micro-unit residuals
+    * (~10¹⁰ at sf0.01) already overflow 2⁶³ when squared, while cents
+    * residuals square to ~10¹² and their sums stay far inside long up
+    * to ~10⁴× this volume (beyond that, widen to DECIMAL(38,0) — one
+    * cast). The ACF RATIO is quantum-invariant, so the coarser quantum
+    * costs only sub-cent rounding. Lag pairing is a self-join of the (key, dayIndex) table on
+    * dayIndex+k — the tiny post-aggregation table, never data rows; a
+    * calendar GAP yields no pair at that lag (stated semantics — pairs
+    * are day-distance k apart, not row-distance). Output: (key, lag,
+    * n_pairs, cov_num, var_den). */
+  def acfDaily(df: DataFrame, keyCol: String, tsCol: String,
+               valCol: String, maxLag: Int, epoch: String): DataFrame = {
+    val qcents = when(col(valCol) < 0, raise_error(concat(
+      lit("TimeSeries: negative value breaks cross-engine DIV parity "),
+      lit("(Spark truncates, DuckDB floors) — got "),
+      col(valCol).cast("string"))))
+      .otherwise(floor(col(valCol) * lit(1e2)).cast("long"))
+    val daily = df.groupBy(col(keyCol).as("key"),
+        to_date(col(tsCol)).as("day"))
+      .agg(sum(qcents).as("yv"))
+      .withColumn("x", datediff(col("day"), lit(epoch).cast("date"))
+        .cast("long"))
+    val centered = daily
+      .join(broadcast(daily.groupBy(col("key"))
+        .agg(expr("sum(yv) DIV count(1)").as("mu"))), Seq("key"))
+      .select(col("key"), col("x"), (col("yv") - col("mu")).as("r"))
+    val varDen = centered.groupBy(col("key"))
+      .agg(sum(col("r") * col("r")).as("var_den"))
+    val lags = df.sparkSession.range(1, maxLag.toLong + 1)
+      .select(col("id").as("lag"))
+    val b = centered.select(col("key").as("k2"), col("x").as("x2"),
+      col("r").as("r2"))
+    centered.crossJoin(broadcast(lags))
+      .join(b, col("k2") === col("key") && col("x2") === col("x") + col("lag"))
+      .groupBy(col("key"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("r") * col("r2")).as("cov_num"))
+      .join(broadcast(varDen), Seq("key"))
+      .select(col("key"), col("lag"), col("n_pairs"), col("cov_num"),
+        col("var_den"))
+  }
+
   /** Holt double-exponential smoothing (level + trend) of daily totals,
     * kept integer-exact — the one-step forecaster [[ewmaDaily]] cannot
     * be: EWMA's single state lags a trending series by construction;

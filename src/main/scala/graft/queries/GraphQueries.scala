@@ -48,6 +48,52 @@ object GraphQueries {
        |r0 AS (SELECT id, $Quantum // nn.n AS rank FROM nodes CROSS JOIN nn),
        |${(1 to Iters).map(prIterSql).mkString(",\n")}""".stripMargin
 
+  private val LpaRounds = 3
+
+  /** Unrolled LPA round k: (node, label) vote counts over neighbors +
+    * self, then the naive argmax (max count, min label on ties) the
+    * Spark side expresses as the single-shuffle max(struct). */
+  private def lpIterSql(k: Int): String =
+    s"""c$k AS (
+       |  SELECT v.s AS s, l.lbl AS lbl, COUNT(*) AS cnt
+       |  FROM votes v JOIN l${k - 1} l ON l.id = v.d GROUP BY v.s, l.lbl
+       |), l$k AS (
+       |  SELECT s AS id, MIN(lbl) AS lbl FROM (
+       |    SELECT s, lbl, cnt, MAX(cnt) OVER (PARTITION BY s) AS mx FROM c$k)
+       |  WHERE cnt = mx GROUP BY s
+       |)""".stripMargin
+
+  private val lpCtes: String =
+    s"""lnodes AS (SELECT DISTINCT s AS id FROM sym),
+       |votes AS (SELECT s, d FROM sym UNION SELECT id, id FROM lnodes),
+       |l0 AS (SELECT id, id AS lbl FROM lnodes),
+       |${(1 to LpaRounds).map(lpIterSql).mkString(",\n")}""".stripMargin
+
+  // ---- label-propagation communities ---------------------------------------
+  /** Community per edge-incident doc + its community size — the
+    * question connected components CANNOT answer: a bridge edge (one
+    * boilerplate link between two dense near-dup groups) does not merge
+    * the groups, because its single vote loses to each side's internal
+    * majority. Deterministic by the self-vote + min-label tie rule
+    * ([[Graph.labelPropagation]]); 3 synchronous rounds, oracle
+    * unrolled. */
+  def graphLpa(s: SparkSession, d: String): DataFrame = {
+    val comm = Graph.labelPropagation(dupEdges(s, d), rounds = LpaRounds)
+    val sizes = comm.groupBy(col("community"))
+      .agg(count(lit(1)).as("comm_size"))
+    comm.join(sizes, "community")
+      .select(col("id").as("doc_id"), col("community"), col("comm_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val graphLpaSql: String =
+    s"""WITH ${SequenceQueries.dupGraphCtes},
+       |$lpCtes,
+       |sizes AS (SELECT lbl, COUNT(*) AS comm_size FROM l$LpaRounds GROUP BY lbl)
+       |SELECT l.id AS doc_id, l.lbl AS community, sizes.comm_size
+       |FROM l$LpaRounds l JOIN sizes ON sizes.lbl = l.lbl
+       |ORDER BY doc_id""".stripMargin
+
   // ---- PageRank centrality of the duplicate-candidate graph ----------------
   /** One row per edge-incident doc: quantized PageRank mass + degree.
     * The well-connected hubs of duplication (boilerplate centers, widely
@@ -149,11 +195,13 @@ object GraphQueries {
 
   val defs: Map[String, Q] = Map(
     "graph_pagerank" -> (graphPagerank _),
+    "graph_lpa" -> (graphLpa _),
     "dedup_canonical" -> (dedupCanonical _),
     "graph_triangles" -> (graphTriangles _))
 
   val oracle: Map[String, String] = Map(
     "graph_pagerank" -> graphPagerankSql,
+    "graph_lpa" -> graphLpaSql,
     "dedup_canonical" -> dedupCanonicalSql,
     "graph_triangles" -> graphTrianglesSql)
 }

@@ -265,6 +265,39 @@ object TimeSeriesQueries {
        |         AND abs(u.yv - u.prev_ewma) * 4 > u.prev_ewma * 3 AS anom
        |FROM ex ORDER BY key, day""".stripMargin
 
+  // ---- autocorrelation of daily totals (exact rational ACF) ----------------
+  /** ACF at lags 1..7 of per-type daily totals as exact integer
+    * (cov_num, var_den) pairs — the weekly rhythm shows as the lag-7
+    * peak, and centering by the integer mean keeps every product in
+    * long range (raw Σx·Σy would overflow). Lag pairs are day-distance
+    * based; calendar gaps simply yield no pair. */
+  def tsAcf(s: SparkSession, d: String): DataFrame =
+    TimeSeries.acfDaily(Tables.events(s, d), "event_type", "ts", "value",
+        7, "2024-01-01")
+      .orderBy(col("key"), col("lag"))
+
+  val tsAcfSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+       |         CAST(sum(CAST(FLOOR(value * 1e2) AS BIGINT)) AS BIGINT) AS yv
+       |  FROM $evWrap GROUP BY 1, 2),
+       |dd AS (SELECT key, date_diff('day', DATE '2024-01-01', day) AS x, yv
+       |       FROM daily),
+       |mu AS (SELECT key, CAST(sum(yv) AS BIGINT) // count(*) AS mu
+       |       FROM dd GROUP BY key),
+       |c AS (SELECT dd.key AS key, x, yv - mu AS r
+       |      FROM dd JOIN mu ON mu.key = dd.key),
+       |vd AS (SELECT key, CAST(sum(r * r) AS BIGINT) AS var_den
+       |       FROM c GROUP BY key),
+       |p AS (SELECT a.key AS key, l.lag AS lag, COUNT(*) AS n_pairs,
+       |             CAST(SUM(a.r * b.r) AS BIGINT) AS cov_num
+       |      FROM c a CROSS JOIN range(1, 8) AS l(lag)
+       |      JOIN c b ON b.key = a.key AND b.x = a.x + l.lag
+       |      GROUP BY 1, 2)
+       |SELECT p.key AS key, p.lag AS lag, p.n_pairs, p.cov_num, vd.var_den
+       |FROM p JOIN vd ON vd.key = p.key
+       |ORDER BY key, lag""".stripMargin
+
   // ---- Holt double-exponential level+trend forecast ------------------------
   /** Holt smoothing (α=β=1/4) of daily totals with the one-step
     * forecast level+trend — trend goes NEGATIVE on falling series,
@@ -378,6 +411,7 @@ object TimeSeriesQueries {
     "ts_anomaly" -> (tsAnomaly _),
     "ts_cusum" -> (tsCusum _),
     "ts_holt" -> (tsHolt _),
+    "ts_acf" -> (tsAcf _),
     "ts_trend" -> (tsTrend _))
 
   val oracle: Map[String, String] = Map(
@@ -391,5 +425,6 @@ object TimeSeriesQueries {
     "ts_anomaly" -> tsAnomalySql,
     "ts_cusum" -> tsCusumSql,
     "ts_holt" -> tsHoltSql,
+    "ts_acf" -> tsAcfSql,
     "ts_trend" -> tsTrendSql)
 }

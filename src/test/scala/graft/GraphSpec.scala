@@ -125,4 +125,31 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(a == b)
   }
+
+  test("labelPropagation: a bridge does NOT merge two dense groups " +
+    "(the split CC cannot make); symmetric pair converges, no " +
+    "oscillation; partition invariance") {
+    val s = spark
+    import s.implicits._
+    // barbell: K4 {1,2,3,4} — bridge 4-10 — K3 {10,11,12}, plus an
+    // isolated pair {20,21} (pure-neighbor LPA oscillates on it forever)
+    val barbell = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 10L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val comm = Graph.labelPropagation(barbell, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-traced fixpoint: the K4 keeps label 1, the K3 keeps label 10
+    // (the bridge's single cross-vote loses to each side's majority)
+    assert(Seq(1L, 2L, 3L, 4L).forall(comm(_) == 1L), comm.toString)
+    assert(Seq(10L, 11L, 12L).forall(comm(_) == 10L), comm.toString)
+    // CC on the same edges would merge all seven — LPA must not
+    assert(comm(4L) != comm(10L))
+    // the symmetric pair settles on the min label by the self-vote tie
+    assert(comm(20L) == 20L && comm(21L) == 20L)
+    val comm2 = Graph.labelPropagation(barbell.repartition(7), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comm == comm2)
+  }
 }

@@ -275,6 +275,39 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out.getAs[Long]("forecast_q") == level + trend)
   }
 
+  test("acfDaily: planted period-2 series peaks at even lags; driver " +
+    "replay exact; calendar gap drops the pair") {
+    val s = spark
+    import s.implicits._
+    // alternating 10/30 over 9 days, with day 5 MISSING — lag-1 pairs
+    // across the gap (4→5, 5→6) must vanish, not misalign
+    val days = Seq(1, 2, 3, 4, 6, 7, 8, 9, 10)
+    val vals = days.map(d => if (d % 2 == 1) 10.0 else 30.0)
+    val rows = days.zip(vals).map { case (d, v) =>
+      (d.toLong, ts(f"2024-01-$d%02d 01:00:00"), "k", v)
+    }
+    val out = TimeSeries.acfDaily(rows.toDF("event_id", "ts", "key", "value"),
+        "key", "ts", "value", 3, "2024-01-01")
+      .orderBy("lag").collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // driver replay (ACF quantizes to CENTS — products of residuals)
+    val yv = vals.map(v => math.floor(v * 1e2).toLong)
+    val mu = yv.sum / yv.length
+    val r = days.map(_.toLong).zip(yv.map(_ - mu)).toMap
+    val varDen = r.values.map(x => x * x).sum
+    for (lag <- 1L to 3L) {
+      val pairs = days.map(_.toLong)
+        .flatMap(x => r.get(x + lag).map(b => r(x) * b))
+      assert(out(lag) == ((pairs.length.toLong, pairs.sum, varDen)),
+        s"lag $lag: ${out(lag)} vs (${pairs.length}, ${pairs.sum}, $varDen)")
+    }
+    // period-2 signature: negative at odd lags, positive at even
+    assert(out(1L)._2 < 0L && out(2L)._2 > 0L && out(3L)._2 < 0L)
+    // the gap really dropped a pair: lag 1 has 7 pairs, not 8
+    assert(out(1L)._1 == 7L)
+  }
+
   test("distributionDrift: cohort counts and scaled TVD contribution") {
     val s = spark
     import s.implicits._
