@@ -273,6 +273,42 @@ object CoreQueries {
   private val snapDiffCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** RESTORE served through the read path: v1 = the stable doc bulk,
+    * v2 = an appended delta, v3 = `restoreVersion(v1)` — a metadata-only
+    * rollback (no data moved at any table size). The HEAD read after the
+    * restore must be exactly v1's content, which the oracle recomputes
+    * straight from `documents`; a restore that leaked the appended dir,
+    * dropped bulk rows, or rewrote data instead of manifests
+    * hash-mismatches. Rolled-over history stays readable
+    * (VersionedStoreSpec pins that plus vacuum safety). */
+  private val snapRestoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def snapshotRestore(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.PartitionedStore
+    val docs = Tables.documents(s, d)
+    val path = snapRestoreCache.computeIfAbsent(d, _ => {
+      val p = graft.Scratch.dir("graft_snaprestore")
+      val v1 = PartitionedStore.commitVersion(
+        docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("n_chars")), p)
+      PartitionedStore.commitVersion(
+        docs.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), col("n_chars")), p, append = true)
+      PartitionedStore.restoreVersion(p, v1)
+      p
+    })
+    PartitionedStore.readVersion(s, path) // head = the restored v1
+      .groupBy((col("doc_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("bucket"))
+  }
+  val snapshotRestoreSql: String =
+    """SELECT doc_id % 10 AS bucket, count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id % 7 <> 0
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   def snapshotDiff(s: SparkSession, d: String): DataFrame = {
     import graft.sources.PartitionedStore
     val docs = Tables.documents(s, d)
@@ -405,6 +441,7 @@ object CoreQueries {
     "j11_interval_join" -> (j11IntervalJoin _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "snapshot_diff" -> (snapshotDiff _),
+    "snapshot_restore" -> (snapshotRestore _),
     "skew_join_plain" -> (skewJoinPlain _),
     "skew_join_salted" -> (skewJoinSalted _),
     "w1_latest_event_per_user" -> (w1LatestEventPerUser _),
@@ -421,6 +458,7 @@ object CoreQueries {
     "j11_interval_join" -> j11IntervalJoinSql,
     "q1_pricing_summary" -> q1PricingSummarySql,
     "snapshot_diff" -> snapshotDiffSql,
+    "snapshot_restore" -> snapshotRestoreSql,
     "skew_join_plain" -> skewJoinSql,
     "skew_join_salted" -> skewJoinSql,
     "w1_latest_event_per_user" -> w1LatestEventPerUserSql,

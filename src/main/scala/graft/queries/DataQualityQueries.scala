@@ -112,6 +112,58 @@ object DataQualityQueries {
       |WHERE levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- entity resolution: fuzzy links → transitive entities → golden rec ---
+  /** Master-data entity resolution over the customer registry: the
+    * blocked fuzzy pairs ([[j10FuzzyLink]]'s edge set) close
+    * transitively into entities (typo chains A~B~C resolve to ONE
+    * entity even when A and C differ by 2 edits — the thing a pairwise
+    * report cannot say), every customer gets its entity representative
+    * (min member id), the entity's member count, and the golden name
+    * (the representative's record — deterministic survivorship). The
+    * closure is the checkpointed min-label CC fixpoint; singletons are
+    * their own entity. Oracle = the same pairs + a recursive closure. */
+  def j12EntityResolve(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("cid"), col("c_name"))
+    val pairs = Relational.fuzzyLink(
+      Tables.customer(s, d).withColumnRenamed("c_custkey", "cid"),
+      "cid", "c_name",
+      concat_ws("|", col("c_mktsegment"), substring(col("c_name"), 1, 17)),
+      maxDist = 1, failOnCap = true)
+      .select(col("id_a"), col("id_b"))
+    val comps = graft.operators.Dedup.connectedComponents(
+      cust.select(col("cid").as("id")), pairs)
+    val sizes = comps.groupBy(col("rep")).agg(count(lit(1)).as("n_members"))
+    comps.join(sizes, "rep")
+      .join(cust.select(col("cid").as("rep"), col("c_name").as("golden_name")),
+        "rep")
+      .select(col("id").as("cid"), col("rep").as("entity_rep"),
+        col("n_members"), col("golden_name"))
+      .orderBy(col("cid"))
+  }
+
+  val j12Sql: String =
+    """WITH RECURSIVE cust AS (SELECT c_custkey AS cid, c_name FROM customer),
+      |e AS (
+      |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      |  FROM customer a JOIN customer b
+      |    ON a.c_mktsegment = b.c_mktsegment
+      |   AND substring(a.c_name, 1, 17) = substring(b.c_name, 1, 17)
+      |   AND a.c_custkey < b.c_custkey
+      |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+      |sym AS (SELECT id_a AS s, id_b AS d FROM e
+      |        UNION SELECT id_b, id_a FROM e),
+      |reach AS (
+      |  SELECT cid AS id, cid AS lbl FROM cust
+      |  UNION
+      |  SELECT sym.d AS id, reach.lbl FROM reach JOIN sym ON sym.s = reach.id),
+      |lbl AS (SELECT id, MIN(lbl) AS rep FROM reach GROUP BY id),
+      |sizes AS (SELECT rep, COUNT(*) AS n_members FROM lbl GROUP BY rep)
+      |SELECT l.id AS cid, l.rep AS entity_rep, sizes.n_members,
+      |       c2.c_name AS golden_name
+      |FROM lbl l JOIN sizes ON sizes.rep = l.rep JOIN cust c2 ON c2.cid = l.rep
+      |ORDER BY cid""".stripMargin
+
   // ---- sequence continuity: missing-id runs --------------------------------
   /** Gaps in the event_id sequence of the non-error event stream (error
     * ids are the planted holes — the generator's ids are dense, so the
@@ -196,12 +248,14 @@ object DataQualityQueries {
     "dq_expectations" -> (dqExpectations _),
     "dq_id_gaps" -> (dqIdGaps _),
     "dq_drift_tvd" -> (dqDriftTvd _),
-    "j10_fuzzy_link" -> (j10FuzzyLink _))
+    "j10_fuzzy_link" -> (j10FuzzyLink _),
+    "j12_entity_resolve" -> (j12EntityResolve _))
 
   val oracle: Map[String, String] = Map(
     "dq_benford" -> dqBenfordSql,
     "dq_expectations" -> dqSql,
     "dq_id_gaps" -> dqIdGapsSql,
     "dq_drift_tvd" -> dqDriftTvdSql,
-    "j10_fuzzy_link" -> j10Sql)
+    "j10_fuzzy_link" -> j10Sql,
+    "j12_entity_resolve" -> j12Sql)
 }

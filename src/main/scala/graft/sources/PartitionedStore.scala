@@ -627,6 +627,26 @@ object PartitionedStore {
   /** Reclaim data directories no LIVE manifest references (crash orphans,
     * or history truncated by deleting old manifest files). Returns the
     * removed directory names. */
+  /** RESTORE: publish a NEW version whose manifest is a byte-copy of an
+    * older version's — the Delta-Lake `RESTORE TABLE ... TO VERSION`
+    * semantics, completing the snapshot verb set (commit / append /
+    * time-travel / compact / vacuum / restore). Metadata-only: no data
+    * file moves or rewrites at ANY table size, the rolled-back-over
+    * versions stay readable (history is append-only — a restore is an
+    * ordinary commit whose content happens to be old), and because the
+    * restored manifest re-references its dirs, [[vacuum]]'s
+    * live-from-any-manifest rule keeps them safe. Returns the new
+    * version id. */
+  def restoreVersion(path: String, version: Long): Long = {
+    val vs = versions(path)
+    require(vs.contains(version), s"version $version not in $vs")
+    val v = vs.last + 1
+    publishManifest(Paths.get(path), s"v$v.list",
+      manifestDirs(path, version).mkString("\n"),
+      s"concurrent commit lost the race: version $v already published at $path")
+    v
+  }
+
   def vacuum(path: String): Seq[String] = {
     val live = versions(path).flatMap(manifestDirs(path, _)).toSet
     val dataDir = Paths.get(path, "data")

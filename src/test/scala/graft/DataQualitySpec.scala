@@ -159,6 +159,28 @@ class DataQualitySpec extends AnyFunSuite {
     assert(keys.distinct.length == keys.length)
   }
 
+  test("entity resolution: typo chains close transitively — A~B~C one " +
+    "entity though dist(A,C) exceeds the link threshold") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, lit, count}
+    import graft.operators.{Dedup, Relational}
+    // A~B dist 1, B~C dist 1, but A~C dist 2 — no direct link
+    val cust = Seq((1L, "abcdef"), (2L, "abcdXf"), (3L, "abYdXf"),
+      (4L, "zzzzzz")).toDF("cid", "c_name")
+    val pairs = Relational.fuzzyLink(cust, "cid", "c_name", lit("blk"),
+        maxDist = 1)
+      .select(col("id_a"), col("id_b"))
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (2L, 3L)), s"pairwise links: $got")
+    val comps = Dedup.connectedComponents(
+      cust.select(col("cid").as("id")), pairs)
+    val m = comps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == 1L && m(2L) == 1L && m(3L) == 1L,
+      s"chain must resolve to ONE entity: $m")
+    assert(m(4L) == 4L, "singleton keeps its own entity")
+  }
+
   test("benfordReport: digit shares from the integer string, absent " +
     "digits zero-filled, pure-integer deviation flags") {
     val s = spark

@@ -47,6 +47,29 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(n == 2, "append adds one directory, not a rewrite")
   }
 
+  test("restoreVersion: metadata-only rollback — restored head reads as " +
+    "the old version, history stays readable, vacuum keeps restored dirs") {
+    val path = Files.createTempDirectory("vstore").toString
+    val v1 = PartitionedStore.commitVersion(df(0 until 3), path)
+    val v2 = PartitionedStore.commitVersion(df(100 until 110), path,
+      append = true)
+    val v3 = PartitionedStore.restoreVersion(path, v1)
+    assert(v3 == 3L)
+    // head now reads as v1 did
+    val head = PartitionedStore.readVersion(spark, path)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(head == (0L until 3L))
+    // the rolled-back-over version is still time-travelable
+    assert(PartitionedStore.readVersion(spark, path, Some(v2)).count() == 13)
+    // v2's dirs are still referenced by its own manifest → vacuum keeps all
+    assert(PartitionedStore.vacuum(path).isEmpty)
+    // restore is an ordinary commit: appends continue on the restored head
+    val v4 = PartitionedStore.commitVersion(df(200 until 201), path,
+      append = true)
+    assert(PartitionedStore.readVersion(spark, path, Some(v4))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L, 200L))
+  }
+
   test("a crash before manifest publish leaves the data invisible; vacuum reclaims it") {
     val path = Files.createTempDirectory("vstore").toString
     PartitionedStore.commitVersion(df(0 until 3), path)
