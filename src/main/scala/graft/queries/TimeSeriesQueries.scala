@@ -211,6 +211,61 @@ object TimeSeriesQueries {
        |FROM dd JOIN prof ON prof.key = dd.key AND prof.dow = dd.dow
        |ORDER BY key, day""".stripMargin
 
+  // ---- robust seasonal anomalies: MAD over deseasonalized residuals --------
+  /** The two detectors composed: days whose DESEASONALIZED residual
+    * (daily total minus its dow mean — [[TimeSeries.deseasonalize]])
+    * deviates from the per-key residual median by more than 3×MAD
+    * ([[graft.operators.Relational.madOutliers]]' histogram-crossing
+    * integer medians). A Sunday that is merely Sunday-big no longer
+    * flags; a Tuesday behaving like a Sunday does. All integer — the
+    * MAD rule is abs/compare only, so the micro-unit residuals never
+    * overflow. Oracle states the naive rank-selection medians over the
+    * same residual construction. */
+  def tsAnomalyRobust(s: SparkSession, d: String): DataFrame = {
+    val resid = TimeSeries.deseasonalize(Tables.events(s, d), "event_type",
+        "ts", "value", "2024-01-01")
+      .select(col("key"),
+        datediff(col("day"), lit("2024-01-01").cast("date"))
+          .cast("long").as("x"),
+        col("resid_q"))
+    graft.operators.Relational.madOutliers(resid, "key", "x",
+        col("resid_q"), k = 3L)
+      .select(col("g").as("key"), col("id").as("x"),
+        col("qc").as("resid_q"), col("med_c"), col("mad_c"), col("dev_c"))
+      .orderBy(col("key"), col("x"))
+  }
+
+  val tsAnomalyRobustSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+       |         CAST(sum(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS yv
+       |  FROM $evWrap GROUP BY 1, 2),
+       |dd AS (
+       |  SELECT key, day, yv,
+       |         ((date_diff('day', DATE '2024-01-01', day) % 7) + 7) % 7 AS dow
+       |  FROM daily),
+       |prof AS (
+       |  SELECT key, dow,
+       |         CAST(sum(yv) AS BIGINT) // count(*) AS dow_mean_q
+       |  FROM dd GROUP BY 1, 2),
+       |r AS (
+       |  SELECT dd.key AS key,
+       |         date_diff('day', DATE '2024-01-01', dd.day) AS x,
+       |         dd.yv - prof.dow_mean_q AS rq
+       |  FROM dd JOIN prof ON prof.key = dd.key AND prof.dow = dd.dow),
+       |rn AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY rq, x) AS rn,
+       |              count(*) OVER (PARTITION BY key) AS n FROM r),
+       |med AS (SELECT key, rq AS med_c FROM rn WHERE rn = (n + 1) // 2),
+       |ad AS (SELECT r.key, r.x, r.rq, m.med_c, abs(r.rq - m.med_c) AS dev_c
+       |       FROM r JOIN med m USING (key)),
+       |rn2 AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY dev_c, x) AS rn,
+       |               count(*) OVER (PARTITION BY key) AS n FROM ad),
+       |mad AS (SELECT key, dev_c AS mad_c FROM rn2 WHERE rn = (n + 1) // 2)
+       |SELECT a.key AS key, a.x AS x, a.rq AS resid_q, a.med_c, d.mad_c, a.dev_c
+       |FROM ad a JOIN mad d USING (key)
+       |WHERE a.dev_c > 3 * d.mad_c
+       |ORDER BY key, x""".stripMargin
+
   // ---- per-type integer EWMA of daily totals -------------------------------
   /** Exponentially smoothed daily value total per type, α = 1/4, in
     * pure long arithmetic (s ← (3s+x) DIV 4, operands non-negative so
@@ -408,6 +463,7 @@ object TimeSeriesQueries {
     "ts_ewma" -> (tsEwma _),
     "ts_dow_profile" -> (tsDowProfile _),
     "ts_deseasonalize" -> (tsDeseasonalize _),
+    "ts_anomaly_robust" -> (tsAnomalyRobust _),
     "ts_anomaly" -> (tsAnomaly _),
     "ts_cusum" -> (tsCusum _),
     "ts_holt" -> (tsHolt _),
@@ -422,6 +478,7 @@ object TimeSeriesQueries {
     "ts_ewma" -> tsEwmaSql,
     "ts_dow_profile" -> tsDowProfileSql,
     "ts_deseasonalize" -> tsDeseasonalizeSql,
+    "ts_anomaly_robust" -> tsAnomalyRobustSql,
     "ts_anomaly" -> tsAnomalySql,
     "ts_cusum" -> tsCusumSql,
     "ts_holt" -> tsHoltSql,

@@ -308,6 +308,34 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out(1L)._1 == 7L)
   }
 
+  test("deseasonalize + MAD: a Sunday-big Sunday never flags; a Tuesday " +
+    "behaving like a Sunday does") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, datediff, lit}
+    // 4 weeks from Mon 2024-01-01: Sundays 70.0, weekdays 10.0, except
+    // Tue Jan 23 = 70.0 (the planted off-pattern day)
+    val rows = (1 to 28).map { d =>
+      val date = java.time.LocalDate.of(2024, 1, d)
+      val sunday = date.getDayOfWeek == java.time.DayOfWeek.SUNDAY
+      val v = if (sunday || d == 23) 70.0 else 10.0
+      (d.toLong, ts(f"2024-01-$d%02d 01:00:00"), "k", v)
+    }
+    val df = rows.toDF("event_id", "ts", "key", "value")
+    val resid = graft.operators.TimeSeries.deseasonalize(df, "key", "ts",
+        "value", "2024-01-01")
+      .select(col("key"),
+        datediff(col("day"), lit("2024-01-01").cast("date"))
+          .cast("long").as("x"), col("resid_q"))
+    val flagged = graft.operators.Relational.madOutliers(resid, "key", "x",
+        col("resid_q"), k = 3L)
+      .collect().map(_.getAs[Long]("id")).toSet
+    // day index of Jan 23 = 22; Sundays are x ∈ {6, 13, 20, 27}
+    assert(flagged.contains(22L), s"the off-pattern Tuesday must flag: $flagged")
+    assert(Set(6L, 13L, 20L, 27L).intersect(flagged).isEmpty,
+      s"seasonally-big Sundays must NOT flag: $flagged")
+  }
+
   test("distributionDrift: cohort counts and scaled TVD contribution") {
     val s = spark
     import s.implicits._
