@@ -390,6 +390,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_acf: lag expansion is a broadcast nested-loop against the " +
+    "7-row lag frame; window-free") {
+    val p = plan("ts_acf")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"lags must broadcast over the daily table:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("graph_lpa: vote rounds are join + max(struct) aggregations — " +
+    "never a per-node window") {
+    val p = plan("graph_lpa")
+    assert(!p.contains("Window"), s"lpa must argmax by max(struct):\n$p")
+  }
+
   test("global sweep: no query plans an unbroadcast cartesian product") {
     // crossJoin against a broadcast side plans as BroadcastNestedLoopJoin
     // (fine — one side is tiny by construction); a CartesianProduct node
