@@ -537,6 +537,36 @@ object InventoryQueries2 {
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  // ---- A22: GROUPING SETS over a NULLABLE key (grouping() disambiguates) ---
+  /** The semantic edge A15/A21 dodge by grouping NOT-NULL columns: when
+    * the grouping key itself holds data NULLs, a subtotal row's NULL
+    * label is AMBIGUOUS — indistinguishable from the genuine-NULL
+    * group — unless `grouping()` rides along. Here the key is
+    * NULLIF(event_type, 'error') (real NULLs in the data), the sets are
+    * ((etype), ()), and `is_total` separates the NULL-group row (2014
+    * error events at sf0.01) from the grand total. One Expand + agg
+    * scan; (is_total, etype NULLS FIRST) is a total order only BECAUSE
+    * the flag disambiguates — which is the point. */
+  def a22GroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("events_a22")
+    s.sql(
+      """SELECT nullif(event_type, 'error') AS etype,
+        |  CAST(grouping(nullif(event_type, 'error')) AS BIGINT) AS is_total,
+        |  count(*) AS n,
+        |  sum(CAST(floor(value * 1e2) AS BIGINT)) AS sum_cents
+        |FROM events_a22
+        |GROUP BY GROUPING SETS ((nullif(event_type, 'error')), ())
+        |ORDER BY is_total, etype NULLS FIRST""".stripMargin)
+  }
+  val a22Sql: String =
+    """SELECT nullif(event_type, 'error') AS etype,
+      |  CAST(grouping(nullif(event_type, 'error')) AS BIGINT) AS is_total,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events
+      |GROUP BY GROUPING SETS ((nullif(event_type, 'error')), ())
+      |ORDER BY is_total, etype NULLS FIRST""".stripMargin
+
   // ---- A/B experiment lift (deterministic arms, division-free verdict) -----
   /** Purchase-value lift between two hash-assigned experiment arms: each
     * user's arm is the parity of their avalanched id hash (stable,
@@ -684,6 +714,7 @@ object InventoryQueries2 {
     "a15_rollup" -> (a15Rollup _),
     "a21_cube" -> (a21Cube _),
     "ab_lift" -> (abLift _),
+    "a22_grouping_sets" -> (a22GroupingSets _),
     "a16_approx_distinct" -> (a16ApproxDistinct _),
     "a18_approx_quantiles" -> (a18ApproxQuantiles _),
     "a14_quantiles" -> (a14Quantiles _),
@@ -714,6 +745,7 @@ object InventoryQueries2 {
     "a15_rollup" -> a15Sql,
     "a21_cube" -> a21Sql,
     "ab_lift" -> abLiftSql,
+    "a22_grouping_sets" -> a22Sql,
     "a16_approx_distinct" -> a16Sql,
     "a18_approx_quantiles" -> a18Sql,
     "a14_quantiles" -> a14Sql,

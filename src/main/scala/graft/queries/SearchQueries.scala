@@ -389,7 +389,35 @@ object SearchQueries {
     "FROM documents",
     s"FROM (SELECT * FROM documents WHERE doc_id % $DelMod <> $DelRes) documents")
 
+  // ---- exact phrase search via the positional-shingle kernel ---------------
+  private val Phrase = "stream table hash"
+
+  /** Exact token-sequence (phrase) search — the lexical operation BM25's
+    * bag-of-words scoring cannot express: a doc matches only if the
+    * three query tokens appear CONSECUTIVELY in order. The engine side
+    * reuses the codegen shingle kernel ([[graft.operators.Dedup
+    * .shingleHashes]]): the phrase IS one 3-gram, so its hash appearing
+    * in a doc's shingle set ⇔ the phrase occurs — `arrays_overlap`
+    * against a 1-hash broadcast literal, no tokenize-explode-join. The
+    * ORACLE is a genuinely independent formulation — space-delimited
+    * substring containment over the raw text — so a shingle-tokenization
+    * or hash-fold bug cannot self-confirm. */
+  def searchPhrase(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Dedup
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        Dedup.shingleHashes(col("text"), 3).as("sh"))
+      .filter(arrays_overlap(col("sh"), Dedup.shingleHashes(lit(Phrase), 3)))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+  val searchPhraseSql: String =
+    s"""SELECT doc_id, source FROM documents
+       |WHERE contains(' ' || trim(text) || ' ', ' $Phrase ')
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "search_phrase" -> (searchPhrase _),
     "search_bm25_deleted" -> (searchBm25Deleted _),
     "search_bm25" -> (searchBm25 _),
     "search_bm25_indexed" -> (searchBm25Indexed _),
@@ -399,6 +427,7 @@ object SearchQueries {
     "rag_retrieve_indexed" -> (ragRetrieveIndexed _))
 
   val oracle: Map[String, String] = Map(
+    "search_phrase" -> searchPhraseSql,
     "search_bm25_deleted" -> searchBm25DeletedSql,
     "search_bm25" -> searchBm25Sql,
     // the index is pure I/O layout — semantics ARE search_bm25's

@@ -381,4 +381,24 @@ class SearchSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(dlIds.contains(7L), "post-compaction append of a reclaimed id must land")
   }
+
+  test("phrase search: shingle-hash containment matches exactly the " +
+    "consecutive-run docs — scattered or reordered tokens never match") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "alpha stream table hash beta"),   // consecutive → match
+      (2L, "stream beta table gamma hash"),   // scattered → no
+      (3L, "hash table stream alpha beta"),   // reordered → no
+      (4L, "stream table hash"),              // exact doc → match
+      (5L, "x stream table hashx y")          // token-boundary trap → no
+    ).toDF("doc_id", "text")
+    val hit = docs
+      .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("sh"))
+      .filter(arrays_overlap(col("sh"),
+        Dedup.shingleHashes(lit("stream table hash"), 3)))
+      .collect().map(_.getLong(0)).toSet
+    assert(hit == Set(1L, 4L), s"got $hit")
+  }
 }
