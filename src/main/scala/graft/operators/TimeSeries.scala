@@ -466,6 +466,40 @@ object TimeSeries {
         col("st.level").as("level_q"), col("st.trend").as("trend_q"),
         (col("st.level") + col("st.trend")).as("forecast_q"))
 
+  /** Mann-Kendall trend statistic over daily totals — the
+    * NON-PARAMETRIC significance twin of [[trendSlope]]'s OLS line:
+    * S = Σ_{i<j} sign(yvⱼ − yvᵢ) counts concordant minus discordant day
+    * pairs, so a monotone drift pushes S toward ±n(n−1)/2 while noise
+    * cancels — and because only SIGNS enter, S is outlier-immune and
+    * trivially integer-exact (no products, no division, no variance
+    * normalization — the z-score needs sqrt, which the determinism
+    * contract bans; |S| against n(n−1)/2 is the scale-free strength
+    * read, emitted as the pair). Pairing is a self-join on day order
+    * over the post-aggregation (key × day) table — O(days²) pairs per
+    * key, bounded by calendar span squared, never by data volume. Raw
+    * rows are scanned once. Output: (key, n_days, s_stat, max_s,
+    * trend ∈ up|down|flat). */
+  def mkTrend(df: DataFrame, keyCol: String, tsCol: String,
+              valCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol).as("key"),
+        to_date(col(tsCol)).as("day"))
+      .agg(sum(qval(col(valCol))).as("yv"))
+    val b = daily.select(col("key").as("k2"), col("day").as("day2"),
+      col("yv").as("yv2"))
+    val pairs = daily.join(b,
+        col("k2") === col("key") && col("day2") > col("day"))
+      .select(col("key"),
+        when(col("yv2") > col("yv"), 1L)
+          .when(col("yv2") < col("yv"), -1L).otherwise(0L).as("sgn"))
+    val nd = daily.groupBy(col("key")).agg(count(lit(1)).as("n_days"))
+    pairs.groupBy(col("key")).agg(sum(col("sgn")).as("s_stat"))
+      .join(nd, "key")
+      .select(col("key"), col("n_days"), col("s_stat"),
+        expr("n_days * (n_days - 1) DIV 2").as("max_s"),
+        when(col("s_stat") > 0L, "up").when(col("s_stat") < 0L, "down")
+          .otherwise("flat").as("trend"))
+  }
+
   /** Per-key least-squares trend over per-bucket totals, kept exact:
     * regress the quantized per-day value total Y on the day index x
     * (days since `epoch`), and emit the OLS slope as an integer

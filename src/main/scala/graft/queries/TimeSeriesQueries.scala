@@ -432,6 +432,33 @@ object TimeSeriesQueries {
        |       u.s_pos > mu * 2 OR u.s_neg > mu * 2 AS chg
        |FROM ex ORDER BY key, day""".stripMargin
 
+  // ---- Mann-Kendall non-parametric trend -----------------------------------
+  /** Concordant-minus-discordant day pairs per type: the outlier-immune
+    * trend significance read (signs only — integer-exact by
+    * construction), with |s_stat| against max_s = n(n−1)/2 as the
+    * scale-free strength. Self-join over the tiny (key × day) table. */
+  def tsMkTrend(s: SparkSession, d: String): DataFrame =
+    TimeSeries.mkTrend(Tables.events(s, d), "event_type", "ts", "value")
+      .orderBy(col("key"))
+
+  val tsMkTrendSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+       |         CAST(sum(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS yv
+       |  FROM $evWrap GROUP BY 1, 2),
+       |nd AS (SELECT key, count(*) AS n_days FROM daily GROUP BY key),
+       |p AS (SELECT a.key AS key,
+       |             CAST(SUM(CASE WHEN b.yv > a.yv THEN 1
+       |                           WHEN b.yv < a.yv THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+       |      FROM daily a JOIN daily b ON b.key = a.key AND b.day > a.day
+       |      GROUP BY a.key)
+       |SELECT p.key AS key, nd.n_days, p.s_stat,
+       |       nd.n_days * (nd.n_days - 1) // 2 AS max_s,
+       |       CASE WHEN p.s_stat > 0 THEN 'up'
+       |            WHEN p.s_stat < 0 THEN 'down' ELSE 'flat' END AS trend
+       |FROM p JOIN nd ON nd.key = p.key
+       |ORDER BY key""".stripMargin
+
   // ---- per-type linear trend (exact rational slope) ------------------------
   /** OLS slope of the quantized daily value total vs day index, emitted
     * as the exact integer (numerator, denominator) pair — no division,
@@ -468,7 +495,8 @@ object TimeSeriesQueries {
     "ts_cusum" -> (tsCusum _),
     "ts_holt" -> (tsHolt _),
     "ts_acf" -> (tsAcf _),
-    "ts_trend" -> (tsTrend _))
+    "ts_trend" -> (tsTrend _),
+    "ts_mk_trend" -> (tsMkTrend _))
 
   val oracle: Map[String, String] = Map(
     "ts_ohlc" -> tsOhlcSql,
@@ -483,5 +511,6 @@ object TimeSeriesQueries {
     "ts_cusum" -> tsCusumSql,
     "ts_holt" -> tsHoltSql,
     "ts_acf" -> tsAcfSql,
-    "ts_trend" -> tsTrendSql)
+    "ts_trend" -> tsTrendSql,
+    "ts_mk_trend" -> tsMkTrendSql)
 }

@@ -336,6 +336,40 @@ class TimeSeriesSpec extends AnyFunSuite {
       s"seasonally-big Sundays must NOT flag: $flagged")
   }
 
+  test("mkTrend: hand-computed S on monotone, outlier-resistant, and " +
+    "tied series") {
+    val s = spark
+    import s.implicits._
+    // "up": strictly rising 5 days → S = C(5,2) = 10 = max_s
+    // "rob": rising except one huge day-2 outlier — OLS would flip on
+    //   magnitude; signs don't: pairs with the outlier contribute
+    //   (1↑900, then 900↓ to 12,13,14 = −3) → S = 1−3 + C(3,2)=3 ↑ from
+    //   10<12<13<14 rising tail + (10,12),(10,13),(10,14)=+3 → compute
+    //   exactly in the assertion below
+    // "tie": all equal → S = 0, flat
+    val series = Map(
+      "up" -> Seq(1.0, 2.0, 3.0, 4.0, 5.0),
+      "rob" -> Seq(10.0, 900.0, 12.0, 13.0, 14.0),
+      "tie" -> Seq(7.0, 7.0, 7.0, 7.0, 7.0))
+    val rows = series.toSeq.flatMap { case (k, vs) =>
+      vs.zipWithIndex.map { case (v, i) =>
+        (i.toLong, ts(f"2024-01-${i + 1}%02d 01:00:00"), k, v)
+      }
+    }
+    val out = TimeSeries.mkTrend(rows.toDF("event_id", "ts", "key", "value"),
+        "key", "ts", "value")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    def sOf(vs: Seq[Double]): Long =
+      (for (i <- vs.indices; j <- i + 1 until vs.size)
+        yield math.signum(vs(j) - vs(i)).toLong).sum
+    assert(out("up") == ((5L, 10L, 10L, "up")))
+    assert(out("rob") == ((5L, sOf(series("rob")), 10L, "up")),
+      "one outlier must not flip the sign-based trend")
+    assert(sOf(series("rob")) > 0L)
+    assert(out("tie") == ((5L, 0L, 10L, "flat")))
+  }
+
   test("distributionDrift: cohort counts and scaled TVD contribution") {
     val s = spark
     import s.implicits._
