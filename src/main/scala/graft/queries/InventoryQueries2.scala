@@ -537,6 +537,43 @@ object InventoryQueries2 {
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  // ---- W11: rolling 7-day active users (DAU / WAU) -------------------------
+  /** Per day: distinct active users that day (DAU) and over the trailing
+    * 7 days (WAU) — the engagement read every product dashboard serves.
+    * Sliding DISTINCT cannot partial-aggregate like a sum, so the
+    * trailing count comes from re-counting the deduplicated
+    * (day, user) pair table against a BROADCAST day spine (a
+    * calendar-sized nested-loop against |days| rows — the fact table is
+    * touched once for the distinct-pair projection, and everything
+    * after is |days|·|users-per-week| narrow rows, never raw events).
+    * Gap days (no events) get no row — stated semantics, day spine =
+    * observed days. */
+  def w11RollingWau(s: SparkSession, d: String): DataFrame = {
+    val du = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = du.select(col("day")).distinct()
+    val dau = du.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+    val wau = broadcast(days.select(col("day").as("d0")))
+      .join(du, col("day").between(date_sub(col("d0"), 6), col("d0")))
+      .groupBy(col("d0"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .select(col("d0").as("day"), col("wau"))
+    dau.join(wau, "day").orderBy(col("day"))
+  }
+  val w11Sql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+      |  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events),
+      |days AS (SELECT DISTINCT day AS d0 FROM du),
+      |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day),
+      |wau AS (
+      |  SELECT d0 AS day, COUNT(DISTINCT du.user_id) AS wau
+      |  FROM days JOIN du ON du.day BETWEEN d0 - INTERVAL 6 DAY AND d0
+      |  GROUP BY d0)
+      |SELECT dau.day AS day, dau.dau, wau.wau
+      |FROM dau JOIN wau ON wau.day = dau.day
+      |ORDER BY day""".stripMargin
+
   // ---- A22: GROUPING SETS over a NULLABLE key (grouping() disambiguates) ---
   /** The semantic edge A15/A21 dodge by grouping NOT-NULL columns: when
     * the grouping key itself holds data NULLs, a subtotal row's NULL
@@ -715,6 +752,7 @@ object InventoryQueries2 {
     "a21_cube" -> (a21Cube _),
     "ab_lift" -> (abLift _),
     "a22_grouping_sets" -> (a22GroupingSets _),
+    "w11_rolling_wau" -> (w11RollingWau _),
     "a16_approx_distinct" -> (a16ApproxDistinct _),
     "a18_approx_quantiles" -> (a18ApproxQuantiles _),
     "a14_quantiles" -> (a14Quantiles _),
@@ -746,6 +784,7 @@ object InventoryQueries2 {
     "a21_cube" -> a21Sql,
     "ab_lift" -> abLiftSql,
     "a22_grouping_sets" -> a22Sql,
+    "w11_rolling_wau" -> w11Sql,
     "a16_approx_distinct" -> a16Sql,
     "a18_approx_quantiles" -> a18Sql,
     "a14_quantiles" -> a14Sql,
