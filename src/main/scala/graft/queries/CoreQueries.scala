@@ -200,6 +200,51 @@ object CoreQueries {
 
   // -------------------------------------------------------------------------
 
+  // ---- cohort LTV: cumulative quantized value per cohort × week offset -----
+  /** The value half of [[cohortRetention]]'s activity matrix: per
+    * (cohort week, week offset), the quantized purchase value that
+    * cohort generated that week PLUS the running cumulative — the LTV
+    * curve whose flattening point tells a product team when a cohort
+    * stops paying back. Raw events aggregate once into the tiny
+    * cohort×offset table; the cumulative is a window over THAT table
+    * (bounded by weeks², never data rows), and all sums are
+    * micro-quantized longs — the oracle replays the same prefix sums
+    * exactly. */
+  def cohortLtv(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+    val w = Window.partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.filter(col("event_type") === "purchase")
+      .join(firstSeen, "user_id")
+      .withColumn("week_offset",
+        (datediff(to_date(date_trunc("week", col("ts"))),
+          col("cohort_week")) / 7).cast("int"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("qvalue"))
+      .withColumn("cum_qvalue", sum(col("qvalue")).over(w))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+  val cohortLtvSql: String =
+    """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+      |first_seen AS (
+      |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      |  FROM ev GROUP BY user_id),
+      |m AS (
+      |  SELECT f.cohort_week,
+      |         CAST(date_diff('day', f.cohort_week,
+      |           CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INTEGER) AS week_offset,
+      |         CAST(SUM(CAST(FLOOR(e.value * 1e6) AS BIGINT)) AS BIGINT) AS qvalue
+      |  FROM ev e JOIN first_seen f USING (user_id)
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY f.cohort_week, week_offset)
+      |SELECT cohort_week, week_offset, qvalue,
+      |  CAST(SUM(qvalue) OVER (PARTITION BY cohort_week ORDER BY week_offset
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_qvalue
+      |FROM m ORDER BY cohort_week, week_offset""".stripMargin
+
   // ---- Zipf-keyed shuffle join: plain vs salted -----------------------------
   /** Deliberately skewed join fixture: 3/4 of all event rows collapse
     * onto one 'hot' key, the rest spread over 25 cold keys (user_id ≡ 0
@@ -450,7 +495,8 @@ object CoreQueries {
     "a8_daily_rollup" -> (a8DailyRollup _),
     "scd2_intervals" -> (scd2Intervals _),
     "rollup_maintain" -> (rollupMaintain _),
-    "cohort_retention" -> (cohortRetention _))
+    "cohort_retention" -> (cohortRetention _),
+    "cohort_ltv" -> (cohortLtv _))
 
   val oracle: Map[String, String] = Map(
     "a19_mad_outliers" -> a19MadOutliersSql,
@@ -467,5 +513,6 @@ object CoreQueries {
     "a8_daily_rollup" -> a8DailyRollupSql,
     "scd2_intervals" -> scd2IntervalsSql,
     "rollup_maintain" -> rollupMaintainSql,
-    "cohort_retention" -> cohortRetentionSql)
+    "cohort_retention" -> cohortRetentionSql,
+    "cohort_ltv" -> cohortLtvSql)
 }
