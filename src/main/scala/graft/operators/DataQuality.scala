@@ -211,8 +211,19 @@ object DataQuality {
     import spark.implicits._
     val expected = BenfordPpm.toDF("digit", "benford_ppm")
       .select(col("digit").cast("long").as("digit"), col("benford_ppm"))
+    // Precondition cents >= 1, enforced IN-PLAN on both engines (the
+    // oracle carries the matching error() guard): a zero amount has no
+    // 1-9 leading digit (its row would silently vanish from the digit
+    // join while the oracle's total kept it — denominator drift), and a
+    // negative amount's leading char is '-', which DuckDB refuses to
+    // CAST while Spark nulls. Either way the screen's answer would be
+    // wrong or divergent, so the first offending row raises loudly.
+    val guarded = when(centsCol < 1L, raise_error(concat(
+        lit("benfordReport: cents < 1 breaks the first-digit screen "),
+        lit("(no 1-9 leading digit) — got "), centsCol.cast("string"))))
+      .otherwise(centsCol)
     val obs = df
-      .select(substring(centsCol.cast("string"), 1, 1)
+      .select(substring(guarded.cast("string"), 1, 1)
         .cast("long").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
     // the corpus total is a window over the ≤9-row digit histogram —

@@ -620,9 +620,21 @@ object Relational {
     * each of the span's k global minima is among its own day's k
     * minima, so the union of daily sketches always contains the global
     * answer (the spec pins this). */
-  def kmvBuild(df: DataFrame, keyCol: String, k: Int): DataFrame =
+  def kmvBuild(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    requireKmvK(k)
     df.select(Mix.sampleHash(col(keyCol)).as("hv")).distinct()
       .orderBy(col("hv")).limit(k)
+  }
+
+  /** The estimator divides by kth-min, which can be 0 only when hash 0
+    * (e.g. the empty-string key) IS the kth value — possible only at
+    * k=1. Spark's integer `div 0` yields null SILENTLY, so a k=1 misuse
+    * would corrupt est_distinct instead of failing; refuse it loudly at
+    * build/serve time (k≥2 makes kth_min ≥ 1 structurally). */
+  private def requireKmvK(k: Int): Unit =
+    require(k >= 2, s"KMV sketches need k >= 2 (got $k): at k=1 a " +
+      "kth_min of 0 (hash of an empty key) makes the (k-1)*P DIV " +
+      "kth_min estimator divide by zero, which Spark nulls silently")
 
   /** Per-day KMV partials: (day, hv) — each day's k smallest distinct
     * key hashes, via the bounded CollectTopK aggregation on the negated
@@ -653,6 +665,7 @@ object Relational {
     * est_distinct). k_used < k ⇒ the sketch saw every distinct value
     * and the estimate is exact; otherwise (k−1)·P DIV kth-min. */
   def kmvEstimate(sketch: DataFrame, k: Int): DataFrame = {
+    requireKmvK(k)
     val p = graft.operators.Dedup.HashMod
     sketch.agg(count(lit(1)).as("k_used"), max(col("hv")).as("kth_min"))
       .select(col("k_used"), col("kth_min"),
@@ -672,6 +685,7 @@ object Relational {
     * the estimate bitwise. Under-k unions are exact. Output: (k_used,
     * theta, n_common, union_est, inter_est). */
   def kmvJaccard(sa: DataFrame, sb: DataFrame, k: Int): DataFrame = {
+    requireKmvK(k)
     val p = graft.operators.Dedup.HashMod
     val u = kmvSpan(sa.unionByName(sb), k)
     u.join(broadcast(sa.withColumn("in_a", lit(1L))), Seq("hv"), "left")

@@ -40,6 +40,28 @@ object TimeSeries {
     * (one codegen'd conditional per row — free next to the multiply).
     * [[ewmaDaily]] needs no guard: its shiftright recurrence is
     * floor-consistent by construction. */
+  /** Default day-count bound for the per-row prefix-fold ops (~27
+    * years of daily rows): the quadratic cost of [[ewmaAnomalies]] /
+    * [[cusumChangepoints]] is bounded by the CALENDAR, not by data
+    * volume, and this guard turns that documented contract into an
+    * enforced one — a multi-decade key would otherwise silently pay
+    * ~10⁷ fold steps per row. */
+  val MaxFoldDays: Int = 10000
+
+  /** In-plan day-count envelope: raises on the first key whose daily
+    * series exceeds `maxDays` (one size() compare per KEY — free next
+    * to the collect_list it guards), otherwise passes the series
+    * through unchanged. A raise, not a truncation: dropping days would
+    * silently change every downstream prefix fold. */
+  private def boundedSeries(series: Column, maxDays: Int,
+                            op: String): Column =
+    when(size(series) > maxDays, raise_error(concat(
+      lit(s"TimeSeries.$op: key has "), size(series).cast("string"),
+      lit(s" days > maxDays=$maxDays — the per-row prefix folds are " +
+        "quadratic in day count; raise maxDays explicitly if the " +
+        "calendar span is intended"))))
+      .otherwise(series)
+
   private def qval(c: Column): Column =
     when(c < 0, raise_error(concat(
       lit("TimeSeries: negative value breaks cross-engine DIV parity "),
@@ -302,16 +324,20 @@ object TimeSeries {
     * by the calendar span, thousands at most, and only ever built
     * post-aggregation; DuckDB replays the same slice-folds with
     * `list_slice` + `list_reduce`). Day one has no baseline and is
-    * never flagged. Output: (key, day, yv, prev_ewma, anom). */
+    * never flagged. The quadratic envelope is ENFORCED, not assumed:
+    * a key whose day count exceeds `maxDays` raises in-plan (see
+    * [[boundedSeries]]). Output: (key, day, yv, prev_ewma, anom). */
   def ewmaAnomalies(df: DataFrame, keyCol: String, tsCol: String,
-                    valCol: String, thrNum: Long, thrDen: Long): DataFrame = {
+                    valCol: String, thrNum: Long, thrDen: Long,
+                    maxDays: Int = MaxFoldDays): DataFrame = {
     val fold = (acc: Column, e: Column) =>
       shiftright(acc * 3 + e.getField("yv"), 2)
     df.groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
       .agg(sum(qval(col(valCol))).as("yv"))
       .groupBy(col("key"))
-      .agg(sort_array(collect_list(struct(col("day"), col("yv"))))
-        .as("series"))
+      .agg(boundedSeries(
+        sort_array(collect_list(struct(col("day"), col("yv")))),
+        maxDays, "ewmaAnomalies").as("series"))
       .select(col("key"),
         posexplode(col("series")).as(Seq("i", "e")), col("series"))
       .withColumn("prev_ewma", when(col("i") >= 1,
@@ -341,16 +367,20 @@ object TimeSeries {
     * driver. Per-row prefix folds are quadratic in the key's DAY COUNT
     * — bounded by calendar span, never by data volume, and only ever
     * run post-aggregation over the (key × day) table, the same cost
-    * shape as [[ewmaAnomalies]]. Raw rows are scanned once.
+    * shape as [[ewmaAnomalies]] — and like it, the envelope is
+    * ENFORCED via [[boundedSeries]] rather than assumed.
     * Output: (key, day, yv, mu, s_pos, s_neg, chg). */
   def cusumChangepoints(df: DataFrame, keyCol: String, tsCol: String,
                         valCol: String, slackDen: Long = 4L,
-                        hMul: Long = 2L): DataFrame = {
+                        hMul: Long = 2L,
+                        maxDays: Int = MaxFoldDays): DataFrame = {
     df.groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
       .agg(sum(qval(col(valCol))).as("yv"))
       .groupBy(col("key"))
-      .agg(sort_array(collect_list(struct(col("day"), col("yv"))))
-        .as("series"), sum(col("yv")).as("sy"), count(lit(1)).as("n"))
+      .agg(boundedSeries(
+        sort_array(collect_list(struct(col("day"), col("yv")))),
+        maxDays, "cusumChangepoints").as("series"),
+        sum(col("yv")).as("sy"), count(lit(1)).as("n"))
       .withColumn("mu", expr("sy div n"))
       .withColumn("kap", expr(s"mu div $slackDen"))
       .select(col("key"), col("mu"), col("kap"),

@@ -121,7 +121,22 @@ object DataQualityQueries {
     * (min member id), the entity's member count, and the golden name
     * (the representative's record — deterministic survivorship). The
     * closure is the checkpointed min-label CC fixpoint; singletons are
-    * their own entity. Oracle = the same pairs + a recursive closure. */
+    * their own entity. Oracle = the same pairs + a recursive closure.
+    *
+    * RECALL CONTRACT (the blocking key's stated miss class, mirroring
+    * [[graft.operators.Relational.fuzzyLink]]'s cap contract): the
+    * block is `(c_mktsegment, substring(c_name, 1, 17))`, so a true
+    * duplicate is NOT linked when (a) its single-edit typo falls in the
+    * FIRST 17 CHARS of the name (the block keys differ, the pair is
+    * never compared — TPC-H names are "Customer#000000NNN", so any
+    * corruption of the prefix or the first trailing digit lands here),
+    * or (b) the two records carry different mktsegments. This is
+    * stated semantics — the oracle blocks identically, so parity holds
+    * — and the standard linkage-recall trade: exhaustive pairing is
+    * O(n²) at 100 TB; recovering class (a) takes a second pass keyed
+    * on a DIFFERENT blocking key (e.g. name suffix), not a wider
+    * block. `DataQualitySpec` pins one intentionally-missed pair per
+    * class. */
   def j12EntityResolve(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d)
       .select(col("c_custkey").as("cid"), col("c_name"))
@@ -223,9 +238,14 @@ object DataQualityQueries {
   val dqBenfordSql: String = {
     val rows = DataQuality.BenfordPpm
       .map { case (d0, p) => s"($d0, $p)" }.mkString(", ")
-    s"""WITH cents AS (
+    s"""WITH cents0 AS (
        |  SELECT CAST(FLOOR(value * 1e2) AS BIGINT) AS c
        |  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events),
+       |cents AS (
+       |  SELECT CASE WHEN c < 1
+       |              THEN CAST(error('benford: cents < 1') AS BIGINT)
+       |              ELSE c END AS c
+       |  FROM cents0),
        |obs AS (
        |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
        |         COUNT(*) AS n

@@ -401,13 +401,21 @@ object SearchQueries {
     * against a 1-hash broadcast literal, no tokenize-explode-join. The
     * ORACLE is a genuinely independent formulation — space-delimited
     * substring containment over the raw text — so a shingle-tokenization
-    * or hash-fold bug cannot self-confirm. */
+    * or hash-fold bug cannot self-confirm. The hash overlap is only the
+    * CANDIDATE pass: a doc shingle colliding with the phrase hash mod
+    * 1e9+7 would otherwise surface a Spark-only false positive (small
+    * per-corpus probability, but it GROWS with corpus size), so the
+    * survivors re-check the exact space-delimited containment the
+    * oracle states — collisions cost one string scan over the handful
+    * of candidates, never a wrong row. */
   def searchPhrase(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Dedup
     Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col("source"), col("text"),
         Dedup.shingleHashes(col("text"), 3).as("sh"))
       .filter(arrays_overlap(col("sh"), Dedup.shingleHashes(lit(Phrase), 3)))
+      .filter(contains(concat(lit(" "), trim(col("text")), lit(" ")),
+        lit(s" $Phrase ")))
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
   }

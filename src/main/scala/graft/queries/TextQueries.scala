@@ -534,7 +534,8 @@ object TextQueries {
        |  SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents
        |), h AS (
        |  SELECT DISTINCT
-       |    list_reduce(list_transform(string_split(token, ''), ch -> CAST(ascii(ch) AS BIGINT)),
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(token, ''), ch -> CAST(ascii(ch) AS BIGINT))),
        |      (acc, x) -> (acc*31 + x) % $P) * $M % $P * $M % $P AS hv
        |  FROM tok
        |), mins AS (SELECT hv FROM h ORDER BY hv LIMIT $KmvK
@@ -576,7 +577,8 @@ object TextQueries {
     val P = graft.operators.Dedup.HashMod
     val M = graft.operators.Mix.ScrambleM
     val hash = (src: String) =>
-      s"""list_reduce(list_transform(string_split($src, ''), ch -> CAST(ascii(ch) AS BIGINT)),
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split($src, ''), ch -> CAST(ascii(ch) AS BIGINT))),
          |      (acc, x) -> (acc*31 + x) % $P) * $M % $P * $M % $P""".stripMargin
     s"""WITH ev AS (
        |  SELECT user_id, event_type, CAST(ts AS DATE) AS day
@@ -678,7 +680,8 @@ object TextQueries {
        |), ks AS (SELECT uk FROM ev, mx WHERE $evFilter
        |), h AS (
        |  SELECT DISTINCT
-       |    list_reduce(list_transform(string_split(uk, ''), ch -> CAST(ascii(ch) AS BIGINT)),
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(uk, ''), ch -> CAST(ascii(ch) AS BIGINT))),
        |      (acc, x) -> (acc*31 + x) % $P) * $M % $P * $M % $P AS hv
        |  FROM ks
        |), mins AS (SELECT hv FROM h ORDER BY hv LIMIT $KmvK

@@ -181,6 +181,32 @@ class DataQualitySpec extends AnyFunSuite {
     assert(m(4L) == 4L, "singleton keeps its own entity")
   }
 
+  test("entity-resolution blocking RECALL contract: a first-17-chars typo " +
+    "or a segment mismatch is intentionally NOT linked; suffix typos are") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, concat_ws, substring}
+    import graft.operators.Relational
+    // the j12 blocking key: (mktsegment, first 17 chars of the name).
+    // TPC-H names are 18 chars ("Customer#000000NNN"), so char 18 is
+    // inside the block and chars 1-17 are the block key itself.
+    val cust = Seq(
+      (1L, "Customer#000000001", "SEG1"), // linked pair: typo at char 18
+      (2L, "Customer#000000009", "SEG1"), //   (block keys equal, dist 1)
+      (3L, "Customer#000000102", "SEG1"), // miss class (a): typo INSIDE
+      (4L, "Custxmer#000000102", "SEG1"), //   the 17-char prefix, dist 1
+      (5L, "Customer#000000203", "SEG1"), // miss class (b): identical
+      (6L, "Customer#000000203", "SEG2")  //   name, different segment
+    ).toDF("cid", "c_name", "seg")
+    val pairs = Relational.fuzzyLink(cust, "cid", "c_name",
+        concat_ws("|", col("seg"), substring(col("c_name"), 1, 17)),
+        maxDist = 1, failOnCap = true)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"recall contract: only the in-block suffix typo links — got $pairs")
+  }
+
   test("benfordReport: digit shares from the integer string, absent " +
     "digits zero-filled, pure-integer deviation flags") {
     val s = spark

@@ -194,6 +194,33 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out(2) == (Some(7000000L), true))
   }
 
+  test("maxDays envelope guard: the quadratic prefix-fold ops raise on a " +
+    "key exceeding the day bound; within-bound keys are untouched") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 01:00:00"), "k", 8.0),
+      (2L, ts("2024-01-02 01:00:00"), "k", 4.0),
+      (3L, ts("2024-01-03 01:00:00"), "k", 40.0)
+    ).toDF("event_id", "ts", "key", "value")
+    // 3 days > maxDays=2 → in-plan raise for both ops
+    val e1 = intercept[Exception] {
+      TimeSeries.ewmaAnomalies(df, "key", "ts", "value", 3L, 4L,
+        maxDays = 2).collect()
+    }
+    assert(e1.getMessage.contains("maxDays"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      TimeSeries.cusumChangepoints(df, "key", "ts", "value",
+        maxDays = 2).collect()
+    }
+    assert(e2.getMessage.contains("maxDays"), e2.getMessage)
+    // exactly at the bound: passes, answers unchanged
+    assert(TimeSeries.ewmaAnomalies(df, "key", "ts", "value", 3L, 4L,
+      maxDays = 3).count() == 3L)
+    assert(TimeSeries.cusumChangepoints(df, "key", "ts", "value",
+      maxDays = 3).count() == 3L)
+  }
+
   test("dowProfile: Monday-anchored dow slots, exact slot and week means") {
     val s = spark
     import s.implicits._
