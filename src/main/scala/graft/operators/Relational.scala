@@ -702,6 +702,76 @@ object Relational {
           expr("(n_common * union_est) div k_used")).otherwise(lit(0L)))
   }
 
+  /** Quantize a value column to integer CENTS with the cross-engine
+    * precondition enforced in-plan: the quantile selections below
+    * compare `cum·den ≥ n·num` — pure integer products — but the
+    * BUCKET itself comes from FLOOR(value·100), which DuckDB and Spark
+    * agree on only for non-negative inputs once downstream integer
+    * ratios get involved; more importantly a negative bucket would
+    * break the non-negative-operands contract every stored-sketch
+    * consumer in this file assumes. First offending row raises. */
+  private def qcents(c: Column): Column =
+    when(c < 0, raise_error(concat(
+      lit("quantile sketch: negative value breaks the non-negative "),
+      lit("bucket contract — got "), c.cast("string"))))
+      .otherwise(floor(c * lit(1e2)).cast("long"))
+
+  /** Per-day quantized-value HISTOGRAMS — the quantile leg that
+    * completes the persisted-sketch family (Bloom membership, HLL+KMV
+    * cardinality, CMS frequency, and now rank selection). Unlike
+    * KLL/t-digest — whose compaction state is engine-specific — an
+    * exact histogram over integer cents IS a quantile sketch whenever
+    * the value domain is bounded (prices, latencies, scores): per (key,
+    * day) at most `distinct cents` rows, merge = integer cnt sum, and
+    * every quantile read is the histogram-crossing selection
+    * ([[madOutliers]]' machinery) — exact long arithmetic end to end,
+    * so a second engine replays span p50/p95/p99 BITWISE (the oracle
+    * does), which neither the ±ε `a18_approx_quantiles` contract nor a
+    * float t-digest could promise.
+    *
+    * Scale shape: one shuffle on (day, key, qc), map-side combinable;
+    * daily partials are bounded by |keys|·|distinct cents| rows/day —
+    * independent of fact-row volume. Nightly appends add only the new
+    * day's rows; [[quantileSpan]] over ANY stored day range re-reads
+    * sketch rows, never fact history. Output: (day, key, qc, cnt). */
+  def quantileDailySketches(ev: DataFrame, tsCol: String, keyCol: String,
+                            valCol: String): DataFrame =
+    ev.select(to_date(col(tsCol)).as("day"), col(keyCol).as("key"),
+        qcents(col(valCol)).as("qc"))
+      .groupBy(col("day"), col("key"), col("qc"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Collapse stored daily histograms (any day span) into one serving
+    * histogram: per-(key, bucket) integer sum ≡ the whole-span build
+    * exactly (spec-pinned, same merge identity as [[cmsSpan]]). */
+  def quantileSpan(daily: DataFrame): DataFrame =
+    daily.groupBy(col("key"), col("qc")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Serve exact percentiles from a (key, qc, cnt) histogram: for each
+    * requested (name, num, den) the answer is the smallest bucket whose
+    * cumulative count reaches rank ⌈n·num/den⌉ — stated division-free
+    * as `cum·den ≥ n·num` (all operands non-negative longs, engine-
+    * identical). The prefix-sum window runs over the HISTOGRAM (bounded
+    * by |keys|·|distinct cents| — never data rows), then ONE aggregate
+    * picks every percentile in the same pass: min(qc | cum·den ≥
+    * n·num). Output: (key, n, <name per percentile>), one row per key.
+    */
+  def quantileServe(hist: DataFrame,
+                    ps: Seq[(String, Long, Long)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, num, den) =>
+      num > 0 && num <= den }, s"percentiles must be in (0, 1]: $ps")
+    val cum = hist
+      .withColumn("cum", sum(col("cnt"))
+        .over(Window.partitionBy(col("key")).orderBy(col("qc"))))
+      .withColumn("n", sum(col("cnt"))
+        .over(Window.partitionBy(col("key"))))
+    val aggs = ps.map { case (nm, num, den) =>
+      min(when(col("cum") * lit(den) >= col("n") * lit(num), col("qc")))
+        .as(nm) }
+    cum.groupBy(col("key"))
+      .agg(max(col("n")).as("n"), aggs: _*)
+  }
+
   /** Merge a standing rollup with a delta partial: re-aggregate the
     * UNION of partials. Exact decimal internals make
     * merge(partial(old), partial(delta)) ≡ partial(old ∪ delta) bitwise.

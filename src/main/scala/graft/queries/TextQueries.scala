@@ -721,6 +721,96 @@ object TextQueries {
   }
   val sketchKmvSpanSql: String = kmvSqlBody("day < max_day")
 
+  // ---- stored daily quantile histograms: span percentiles, oracle-exact ----
+  private val qhStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The QUANTILE leg of the persisted-sketch family — the read an
+    * A9-style volatility dashboard actually serves ("p95 value per
+    * event type over the last month") without re-reading fact history.
+    * Per-day (day, key, qc, cnt) cents histograms land in the versioned
+    * store (standing days committed once, the newest day a nightly
+    * APPEND — the cost shape of a nightly job), and any span's
+    * p50/p95/p99 is answered by re-aggregating stored bucket rows and
+    * running the histogram-crossing selection ([[graft.operators
+    * .Relational.quantileServe]]). Exact integer end to end, so the
+    * oracle REPLAYS the answer bitwise from raw events (span-of-dailies
+    * ≡ whole-span build) — a stronger contract than the ±ε envelope
+    * `a18_approx_quantiles` can state for percentile_approx. */
+  private val QhPs: Seq[(String, Long, Long)] =
+    Seq(("p50_c", 50L, 100L), ("p95_c", 95L, 100L), ("p99_c", 99L, 100L))
+
+  private def qhKeyedEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("ts"), col("event_type").as("key"), col("value"))
+
+  private def qhStore(s: SparkSession, d: String): String =
+    qhStoreCache.computeIfAbsent(d, _ => {
+      import graft.sources.PartitionedStore
+      val p = graft.Scratch.dir("graft_qh_store")
+      val daily = Relational.quantileDailySketches(
+          qhKeyedEvents(s, d), "ts", "key", "value")
+        .localCheckpoint() // feeds both commits; released below
+      try {
+        val maxDay = daily.agg(max(col("day"))).collect()(0).getDate(0)
+        val v1 = PartitionedStore.commitVersion(
+          daily.filter(col("day") < lit(maxDay)), p)
+        PartitionedStore.commitVersion(
+          daily.filter(col("day") === lit(maxDay)), p,
+          append = true, parent = Some(v1))
+      } finally graft.operators.Checkpoints.release(daily)
+      p
+    })
+
+  /** Day-SPAN percentiles from stored daily histograms: re-aggregate
+    * the stored rows for every day before the newest, then the
+    * crossing selection — fact history for those days is never re-read.
+    * The span cutoff (max stored day) is one row of sketch metadata, a
+    * planning boundary. */
+  def sketchQuantileSpan(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.PartitionedStore
+    val stored = PartitionedStore.readVersion(s, qhStore(s, d))
+    val maxDay = stored.agg(max(col("day"))).collect()(0).getDate(0)
+    Relational.quantileServe(
+        Relational.quantileSpan(stored.filter(col("day") < lit(maxDay))),
+        QhPs)
+      .orderBy(col("key"))
+  }
+
+  /** Whole-store serving (standing days + the appended night): the
+    * nightly read after the delta lands — merged-daily ≡ whole-corpus
+    * build, so the oracle states the corpus directly. */
+  def sketchQuantileIncremental(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.PartitionedStore
+    Relational.quantileServe(
+        Relational.quantileSpan(
+          PartitionedStore.readVersion(s, qhStore(s, d))),
+        QhPs)
+      .orderBy(col("key"))
+  }
+
+  private def qhSqlBody(evFilter: String): String =
+    s"""WITH ev AS (
+       |  SELECT event_type AS key, CAST(FLOOR(value * 1e2) AS BIGINT) AS qc,
+       |         CAST(ts AS DATE) AS day
+       |  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+       |), mx AS (SELECT MAX(day) AS max_day FROM ev
+       |), f AS (SELECT key, qc FROM ev, mx WHERE $evFilter
+       |), h AS (SELECT key, qc, COUNT(*) AS cnt FROM f GROUP BY key, qc
+       |), c AS (
+       |  SELECT key, qc,
+       |    CAST(SUM(cnt) OVER (PARTITION BY key ORDER BY qc) AS BIGINT) AS cum,
+       |    CAST(SUM(cnt) OVER (PARTITION BY key) AS BIGINT) AS n
+       |  FROM h)
+       |SELECT key, MAX(n) AS n,
+       |  MIN(CASE WHEN cum * 100 >= n * 50 THEN qc END) AS p50_c,
+       |  MIN(CASE WHEN cum * 100 >= n * 95 THEN qc END) AS p95_c,
+       |  MIN(CASE WHEN cum * 100 >= n * 99 THEN qc END) AS p99_c
+       |FROM c GROUP BY key ORDER BY key""".stripMargin
+
+  val sketchQuantileSpanSql: String = qhSqlBody("day < max_day")
+  val sketchQuantileIncrementalSql: String = qhSqlBody("TRUE")
+
   // ---- domain×domain n-gram overlap matrix ---------------------------------
   private val OverlapN = 3
 
@@ -1332,6 +1422,8 @@ object TextQueries {
     "sketch_kmv_jaccard" -> (sketchKmvJaccard _),
     "sketch_kmv_incremental" -> (sketchKmvIncremental _),
     "sketch_kmv_span" -> (sketchKmvSpan _),
+    "sketch_quantile_span" -> (sketchQuantileSpan _),
+    "sketch_quantile_incremental" -> (sketchQuantileIncremental _),
     "sample_fixed_k" -> (sampleFixedK _),
     "sample_systematic_w" -> (sampleSystematicW _),
     "text_hash_embed" -> (textHashEmbed _),
@@ -1370,6 +1462,8 @@ object TextQueries {
     "sketch_kmv_jaccard" -> sketchKmvJaccardSql,
     "sketch_kmv_incremental" -> sketchKmvIncrementalSql,
     "sketch_kmv_span" -> sketchKmvSpanSql,
+    "sketch_quantile_span" -> sketchQuantileSpanSql,
+    "sketch_quantile_incremental" -> sketchQuantileIncrementalSql,
     "sample_fixed_k" -> sampleFixedKSql,
     "sample_systematic_w" -> sampleSystematicWSql,
     "text_hash_embed" -> textHashEmbedSql,

@@ -238,4 +238,77 @@ class Scd2RollupSpec extends AnyFunSuite {
     assert(cells(Relational.cmsSpan(
       PartitionedStore.readVersion(s, path, Some(v1)))) == cells(span12))
   }
+
+  test("quantile histogram sketch: crossing selection exact on a " +
+    "hand-computed frame; negative values raise") {
+    val s = spark
+    import s.implicits._
+    // key a: cents [100,200,300,400] — n=4; p50 rank 2 → 200,
+    // p95 rank ceil(3.8)=4 → 400, p99 rank 4 → 400.
+    // key b: cents [500]×3 — all percentiles 500.
+    val hist = Seq(
+      ("a", 100L, 1L), ("a", 200L, 1L), ("a", 300L, 1L), ("a", 400L, 1L),
+      ("b", 500L, 3L)
+    ).toDF("key", "qc", "cnt")
+    val got = Relational.quantileServe(hist,
+        Seq(("p50_c", 50L, 100L), ("p95_c", 95L, 100L),
+          ("p99_c", 99L, 100L)))
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("a", 4L, 200L, 400L, 400L),
+      ("b", 3L, 500L, 500L, 500L)))
+    val ev = Seq((ts("2024-01-01 01:00:00"), "k", -1.0))
+      .toDF("ts", "key", "value")
+    val e = intercept[Exception] {
+      Relational.quantileDailySketches(ev, "ts", "key", "value").collect()
+    }
+    assert(e.getMessage.contains("negative value"), e.getMessage)
+  }
+
+  test("quantile sketch stored lifecycle: daily histograms committed + " +
+    "appended re-aggregate to the whole build; spans answer from stored " +
+    "rows; time travel") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.PartitionedStore
+    val ev = Seq(
+      (ts("2024-01-01 01:00:00"), "a", 1.00), (ts("2024-01-01 02:00:00"), "a", 2.00),
+      (ts("2024-01-01 03:00:00"), "b", 9.00), (ts("2024-01-02 01:00:00"), "a", 3.00),
+      (ts("2024-01-02 02:00:00"), "a", 2.00), (ts("2024-01-03 01:00:00"), "a", 50.0),
+      (ts("2024-01-03 02:00:00"), "b", 9.00), (ts("2024-01-03 03:00:00"), "b", 1.00)
+    ).toDF("ts", "key", "value")
+    val daily = Relational.quantileDailySketches(ev, "ts", "key", "value")
+    val path = java.nio.file.Files.createTempDirectory("qh_store").toString
+    val day3 = java.sql.Date.valueOf("2024-01-03")
+    val v1 = PartitionedStore.commitVersion(
+      daily.filter(col("day") < lit(day3)), path)
+    PartitionedStore.commitVersion(daily.filter(col("day") === lit(day3)),
+      path, append = true, parent = Some(v1))
+    val ps = Seq(("p50_c", 50L, 100L), ("p95_c", 95L, 100L))
+    val rows = (x: org.apache.spark.sql.DataFrame) =>
+      x.orderBy("key").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    // stored + re-aggregated ≡ one build over the whole corpus
+    val whole = Relational.quantileServe(Relational.quantileSpan(
+      PartitionedStore.readVersion(s, path)), ps)
+    val direct = Relational.quantileServe(Relational.quantileSpan(
+      Relational.quantileDailySketches(ev, "ts", "key", "value")), ps)
+    assert(rows(whole) == rows(direct))
+    // hand-check the merged answer: a = [100,200,200,300,5000],
+    // p50 rank 3 → 200, p95 rank 5 → 5000; b = [100,900,900] → 900, 900
+    assert(rows(whole) == Seq(("a", 5L, 200L, 5000L), ("b", 3L, 900L, 900L)))
+    // a day-span query re-aggregates ONLY stored rows ≡ a build over
+    // just those days' facts
+    val span12 = Relational.quantileServe(Relational.quantileSpan(
+      PartitionedStore.readVersion(s, path).filter(col("day") < lit(day3))), ps)
+    val facts12 = Relational.quantileServe(Relational.quantileSpan(
+      Relational.quantileDailySketches(
+        ev.filter(to_date(col("ts")) < lit(day3)), "ts", "key", "value")), ps)
+    assert(rows(span12) == rows(facts12))
+    // time travel: version 1 serves the pre-append standing histogram
+    assert(rows(Relational.quantileServe(Relational.quantileSpan(
+      PartitionedStore.readVersion(s, path, Some(v1))), ps)) == rows(span12))
+  }
 }
