@@ -354,6 +354,58 @@ object CoreQueries {
       |FROM documents WHERE doc_id % 7 <> 0
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Row-level DELETE on the versioned FACT store, served through the
+    * read path: v1 = the stable doc bulk (% 7 ≠ 0), v2 = an appended
+    * churn dir (% 7 ≡ 0), then `deleteRows(doc_id % 14 = 0)` — a
+    * predicate whose matches live ONLY in the churn dir, so the
+    * copy-on-write rewrite touches exactly that dir while the stable
+    * bulk's files never enter the rewrite plan (the construction
+    * ASSERTS it: rewritten dirs ≡ the churn dir, and the bulk dir must
+    * survive into the head manifest BY REFERENCE — a delete that
+    * rewrote the bulk fails the query before any row is served;
+    * VersionedStoreSpec pins the same plus time travel and no-op
+    * semantics). The HEAD read after the delete must be exactly
+    * "all docs minus the predicate", which the oracle recomputes
+    * straight from `documents`; a delete that dropped survivors from
+    * the dirty dir, kept a matching row, or leaked the pre-delete dir
+    * hash-mismatches. */
+  private val snapDeleteCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def snapshotDeleteRows(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.PartitionedStore
+    val docs = Tables.documents(s, d)
+    val path = snapDeleteCache.computeIfAbsent(d, _ => {
+      val p = graft.Scratch.dir("graft_snapdelete")
+      PartitionedStore.commitVersion(
+        docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("n_chars")), p)
+      PartitionedStore.commitVersion(
+        docs.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), col("n_chars")), p, append = true)
+      val bulkDir = PartitionedStore.versionDirs(p, 1L)
+      val churnDir = (PartitionedStore.versionDirs(p, 2L).toSet --
+        bulkDir.toSet).toSeq
+      val (nv, rewritten) = PartitionedStore.deleteRows(
+        s, p, col("doc_id") % 14 === 0)
+      require(rewritten == churnDir,
+        s"delete must rewrite exactly the churn dir, got $rewritten")
+      require(bulkDir.forall(
+        PartitionedStore.versionDirs(p, nv).contains),
+        "stable bulk dir must survive the delete by reference")
+      p
+    })
+    PartitionedStore.readVersion(s, path) // head = facts minus predicate
+      .groupBy((col("doc_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("bucket"))
+  }
+  val snapshotDeleteRowsSql: String =
+    """SELECT doc_id % 10 AS bucket, count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id % 14 <> 0
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   def snapshotDiff(s: SparkSession, d: String): DataFrame = {
     import graft.sources.PartitionedStore
     val docs = Tables.documents(s, d)
@@ -487,6 +539,7 @@ object CoreQueries {
     "q1_pricing_summary" -> (q1PricingSummary _),
     "snapshot_diff" -> (snapshotDiff _),
     "snapshot_restore" -> (snapshotRestore _),
+    "snapshot_delete_rows" -> (snapshotDeleteRows _),
     "skew_join_plain" -> (skewJoinPlain _),
     "skew_join_salted" -> (skewJoinSalted _),
     "w1_latest_event_per_user" -> (w1LatestEventPerUser _),
@@ -505,6 +558,7 @@ object CoreQueries {
     "q1_pricing_summary" -> q1PricingSummarySql,
     "snapshot_diff" -> snapshotDiffSql,
     "snapshot_restore" -> snapshotRestoreSql,
+    "snapshot_delete_rows" -> snapshotDeleteRowsSql,
     "skew_join_plain" -> skewJoinSql,
     "skew_join_salted" -> skewJoinSql,
     "w1_latest_event_per_user" -> w1LatestEventPerUserSql,

@@ -647,6 +647,55 @@ object PartitionedStore {
     v
   }
 
+  /** Row-level DELETE on a versioned FACT table — the takedown verb the
+    * stored-index legs already have (`deleteFromBm25Index` et al.),
+    * now for the facts themselves, and the granularity the reference's
+    * retention cannot express (it drops whole chunks,
+    * src/SQLinserts.py:279-297; partition-drop lives in
+    * [[dropExpired]]). Semantics are Delta's `DELETE WHERE`: rows where
+    * `predicate` is TRUE are removed; rows where it is NULL are KEPT
+    * (a three-valued-logic footgun made explicit — both the match probe
+    * and the survivor filter coalesce NULL to false).
+    *
+    * Copy-on-write at data-directory granularity: a dir-level match
+    * probe (predicate pushed into each dir's parquet scan, so footer
+    * min/max stats skip row groups; the driver loop is bounded by the
+    * MANIFEST length — planning work, not data work) finds the dirty
+    * dirs, and the rewrite reads ONLY those — the stable bulk's files
+    * never enter the rewrite plan (spec-pinned via the returned dir
+    * list + manifest sharing). The new version's manifest keeps every
+    * clean dir by reference, drops the dirty ones, and adds one
+    * survivors dir (`commitVersion(dropDirs)`); older versions still
+    * time-travel to the pre-delete rows until [[vacuum]] reclaims them
+    * after history truncation. A predicate matching nothing is a
+    * NO-OP: no commit is published and the served version is returned
+    * unchanged (same contract as the index tombstone legs).
+    *
+    * At 100 TB: cost is proportional to the dirty dirs' bytes, not the
+    * table — a targeted delete (one user, one day) touches the few
+    * dirs whose stats admit the predicate. Returns (new version —
+    * or the probed version when no-op — and the rewritten dirs). */
+  def deleteRows(spark: SparkSession, path: String,
+                 predicate: org.apache.spark.sql.Column,
+                 partitionCols: Seq[String] = Nil,
+                 version: Option[Long] = None): (Long, Seq[String]) = {
+    val v = version.getOrElse(versions(path).last)
+    val dirs = manifestDirs(path, v)
+    val matches = coalesce(predicate, lit(false))
+    val dirty = dirs.filter { d =>
+      !spark.read.parquet(Paths.get(path, "data", d).toString)
+        .filter(matches).isEmpty
+    }
+    if (dirty.isEmpty) return (v, Nil)
+    val survivors = dirty
+      .map(d => spark.read.parquet(Paths.get(path, "data", d).toString))
+      .reduce(_.unionByName(_))
+      .filter(!matches)
+    val nv = commitVersion(survivors, path, append = true,
+      dropDirs = dirty, partitionCols = partitionCols, parent = Some(v))
+    (nv, dirty)
+  }
+
   def vacuum(path: String): Seq[String] = {
     val live = versions(path).flatMap(manifestDirs(path, _)).toSet
     val dataDir = Paths.get(path, "data")

@@ -70,6 +70,58 @@ class VersionedStoreSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L, 200L))
   }
 
+  test("deleteRows: copy-on-write rewrite of ONLY the dirty dirs; clean " +
+    "dirs survive by reference; time travel keeps pre-delete rows; " +
+    "no-match is a no-op; NULL predicate rows are kept") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val path = Files.createTempDirectory("vstore").toString
+    // v1 = stable bulk (ids 0-99), v2 appends churn (ids 100-109)
+    PartitionedStore.commitVersion(df(0 until 100), path)
+    PartitionedStore.commitVersion(df(100 until 110), path, append = true)
+    val bulkDir = PartitionedStore.versionDirs(path, 1L)
+    val churnDir = (PartitionedStore.versionDirs(path, 2L).toSet --
+      bulkDir.toSet).toSeq
+    // predicate matches only churn rows → only the churn dir rewrites
+    val (v3, rewritten) = PartitionedStore.deleteRows(
+      spark, path, col("id") >= 100L && col("id") % 2 === 0)
+    assert(v3 == 3L && rewritten == churnDir,
+      s"rewrite scope must be exactly the churn dir: $rewritten")
+    val head = PartitionedStore.readVersion(spark, path)
+    assert(head.count() == 105)
+    assert(head.filter(col("id") >= 100L && col("id") % 2 === 0).isEmpty)
+    // the stable bulk survives BY REFERENCE: same dir name in the new
+    // manifest → its files were never rewritten, and the survivors dir
+    // is the only new one
+    val v3dirs = PartitionedStore.versionDirs(path, 3L)
+    assert(bulkDir.forall(v3dirs.contains))
+    assert((v3dirs.toSet -- bulkDir.toSet -- churnDir.toSet).size == 1)
+    assert(!v3dirs.exists(churnDir.contains), "dirty dir left the manifest")
+    // the rewrite plan read only the dirty dir: the head read's files
+    // under the new dir hold exactly the churn survivors
+    val newDir = (v3dirs.toSet -- bulkDir.toSet).head
+    val newRows = spark.read.parquet(
+      Paths.get(path, "data", newDir).toString)
+    assert(newRows.count() == 5 &&
+      newRows.filter(col("id") < 100L).isEmpty,
+      "survivors dir must hold only the dirty dir's remaining rows")
+    // pre-delete history still time-travels
+    assert(PartitionedStore.readVersion(spark, path, Some(2L)).count() == 110)
+    // no-match delete: no commit published, served version unchanged
+    val (v4, none) = PartitionedStore.deleteRows(spark, path, col("id") > 9999L)
+    assert(v4 == 3L && none.isEmpty &&
+      PartitionedStore.versions(path) == Seq(1L, 2L, 3L))
+    // NULL predicate rows are KEPT (DELETE WHERE three-valued logic):
+    // a predicate that is NULL for even ids must delete only the odd matches
+    val (v5, _) = PartitionedStore.deleteRows(spark, path,
+      when(col("id") % 2 === 0, lit(null).cast("boolean"))
+        .otherwise(col("id") === 101L))
+    assert(v5 == 4L)
+    val afterNull = PartitionedStore.readVersion(spark, path)
+    assert(afterNull.count() == 104 &&
+      afterNull.filter(col("id") === 101L).isEmpty &&
+      !afterNull.filter(col("id") === 42L).isEmpty)
+  }
+
   test("a crash before manifest publish leaves the data invisible; vacuum reclaims it") {
     val path = Files.createTempDirectory("vstore").toString
     PartitionedStore.commitVersion(df(0 until 3), path)
