@@ -50,15 +50,25 @@ object Bench {
       val v = firstPass.map(_._4).sorted
       if (v.isEmpty) 0.0 else v(v.size / 2)
     }
-    val results: Seq[(String, (Double, Double))] = firstPass.map {
+    // Each re-timed query keeps its full observation list so a residual
+    // steady>cold row in the artifact reads as "retried N times under
+    // load, best shown" instead of silently odd (r9 verdict): the
+    // `retimed` map records {attempts, obs} for exactly the queries the
+    // self-defense fired on; tools/perf_row.py folds it into the README
+    // residual note.
+    val results: Seq[(String, (Double, Double, Seq[Double]))] = firstPass.map {
       case (name, fn, c, s0) =>
+        var obs = List(s0)
         var s = s0
         var attempts = 0
         while (s > math.max(c, 1.5 * medSteady) && attempts < 2) {
-          s = math.min(s, timed(fn)); attempts += 1
+          val t = timed(fn); obs = obs :+ t; s = math.min(s, t)
+          attempts += 1
         }
-        if (s > c && attempts == 0) s = math.min(s, timed(fn))
-        name -> (c, s)
+        if (s > c && attempts == 0) {
+          val t = timed(fn); obs = obs :+ t; s = math.min(s, t)
+        }
+        name -> (c, s, obs)
     }
     // 3-decimal times: ms resolution is below sandbox jitter, and the
     // driver's artifact keeps only the last 2,000 chars of this line —
@@ -66,10 +76,15 @@ object Bench {
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val cold = jmap(results.map { case (k, (c, _)) => k -> c })
-    val steady = jmap(results.map { case (k, (_, s)) => k -> s })
+    val cold = jmap(results.map { case (k, (c, _, _)) => k -> c })
+    val steady = jmap(results.map { case (k, (_, s, _)) => k -> s })
     val coldTotal = results.map(_._2._1).sum
     val steadyTotal = results.map(_._2._2).sum
+    val retimed = results.collect {
+      case (k, (_, _, obs)) if obs.size > 1 =>
+        "\"" + k + "\":{\"attempts\":" + (obs.size - 1) +
+          ",\"obs\":[" + obs.map(r3).mkString(",") + "]}"
+    }.mkString("{", ",", "}")
     import org.apache.spark.sql.functions.{col, concat, explode, lit, regexp_replace, sequence}
     // Scratch-rooted: a shutdown hook deletes everything (incl. the
     // 20×-amplified scaling corpora) so repeated benches don't fill /tmp.
@@ -152,6 +167,34 @@ object Bench {
           .write.parquet(s"$dir/embeddings.parquet")
         n -> dir
       }
+      // Iterative graph ops (r9 verdict: fixpoint rounds over the edge
+      // set are the likeliest 100× risk and had no scale measurement).
+      // The one-time duplicate-edge mining runs FIRST and is priced as
+      // its OWN row (timedOp — a mining failure fails the bench
+      // loudly), so every DupEdges consumer below — the graph rows AND
+      // dedup_clusters_incremental, whose r9 points bundled mining —
+      // measures fixpoint + serve cost over the session-memoized edge
+      // set, the shape a suite run actually has. cc_rounds logs the
+      // converged round count per scale factor: the salted
+      // amplification replicates cluster structure n× at the same
+      // diameter, so rounds should stay FLAT while per-round work grows
+      // — the claim that separates "more rounds at scale" (a scale
+      // killer) from "bigger rounds at scale" (parallelizable).
+      // PageRank and LPA run fixed 5 / 3 rounds by construction.
+      val mining = "dup_edge_mining" -> dirs.map { case (n, dir) =>
+        s"x$n" -> timedOp { graft.queries.DupEdges.of(spark, dir); () }
+      }
+      val ccRounds = scala.collection.mutable.ListBuffer[(String, Double)]()
+      val graphRows = Seq("dedup_clusters", "graph_pagerank", "graph_lpa")
+        .map { qn =>
+          val fn = SparkEntry.queries(qn)
+          qn -> dirs.map { case (n, dir) =>
+            val t = timedIn(dir)(fn)
+            if (qn == "dedup_clusters")
+              ccRounds += (s"x$n" -> graft.operators.Dedup.lastCcRounds.toDouble)
+            s"x$n" -> t
+          }
+        }
       val queriesUnderTest = Seq("dedup_minhash_pairs",
         "dedup_clusters_incremental", "sim_ivf_topk", "corpus_build")
       val perQuery = queriesUnderTest.map { qn =>
@@ -189,7 +232,8 @@ object Bench {
           spark, docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", standPath))
         (n, rb, ap)
       }
-      perQuery ++ Seq(bmBuild, bmServe,
+      perQuery ++ Seq(mining) ++ graphRows ++
+        Seq("cc_rounds" -> ccRounds.toSeq) ++ Seq(bmBuild, bmServe,
         "lsh_rebuild" -> lshCurve.map { case (n, rb, _) => s"x$n" -> rb },
         "lsh_append_1pct" -> lshCurve.map { case (n, _, ap) => s"x$n" -> ap })
     }
@@ -200,8 +244,18 @@ object Bench {
     // (steady tail, steady_total, incremental, scaling) print last and
     // survive the tail capture; the cold map prints first and is
     // recoverable from bench_full.json, which holds the identical line.
-    val line = s"""{"metric":"total","value":${r3(coldTotal)},"unit":"sec","sf":"$sfDir","queries":$cold,"steady":$steady,"steady_total":${r3(steadyTotal)},"incremental":${jmap(incremental)},"scaling":$scalingJson}"""
+    val line = s"""{"metric":"total","value":${r3(coldTotal)},"unit":"sec","sf":"$sfDir","queries":$cold,"steady":$steady,"retimed":$retimed,"steady_total":${r3(steadyTotal)},"incremental":${jmap(incremental)},"scaling":$scalingJson}"""
     println(line)
+    // Final COMPACT line (r9 verdict): the driver's BENCH_r{N}.json keeps
+    // only the last 2,000 chars of stdout, which truncates the 198-entry
+    // per-query steady map above — this tail line prints LAST, fits the
+    // capture whole, and alone supports cross-round per-query regression
+    // checks (slowest-20 steady + count + total). bench_full.json stays
+    // a single JSON object (the main line) for tools/perf_row.py.
+    val slowest = results.sortBy(-_._2._2).take(20)
+      .map { case (k, (_, s, _)) => k -> s }
+    val tailLine = s"""{"n_queries":${results.size},"steady_total":${r3(steadyTotal)},"slowest":${jmap(slowest)}}"""
+    println(tailLine)
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }

@@ -939,9 +939,20 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds; " +
         s"raise maxIter for graphs of diameter > $maxIter")
+    lastCcRounds = iter
     vertices.join(labels.select(col("id"), col("rep")), Seq("id"), "left")
       .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
   }
+
+  /** Round-count TELEMETRY for the bench scaling rows: how many
+    * propagation rounds the most recent [[connectedComponents]] fixpoint
+    * on this JVM took to converge (including the final no-change round).
+    * The scaling claim for iterative ops is that round count tracks
+    * component DIAMETER, not corpus size — the bench logs this per scale
+    * factor to demonstrate it. Read immediately after a single-threaded
+    * timed run; concurrent CC runs racing the write is benign for that
+    * use and tolerated (telemetry, never a correctness input). */
+  @volatile var lastCcRounds: Int = 0
 
   /** Large-star/small-star connected components (Kiveris, Lattanzi,
     * Mirrokni, Rastogi, Vassilvitskii — "Connected Components in
