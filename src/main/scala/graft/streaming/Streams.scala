@@ -437,6 +437,96 @@ object Streams {
         OutputMode.Append())
   }
 
+  // ---- rolling 7-day active users, state-store-backed --------------------
+
+  case class DayUser(d0_ms: Long, user_id: Long, same_day: Boolean)
+  case class WauRow(day_start: java.sql.Timestamp, dau: Long, wau: Long)
+
+  /** Per-target-day distinct-user state for [[rollingWauStream]]: two
+    * MapStates (the distinct sets sliding DISTINCT cannot partial-
+    * aggregate — the exact reason the batch read re-counts the
+    * deduplicated pair table), an event-time timer at the day's END
+    * (the last instant an event can still contribute to this day's
+    * trailing window), and the same late-row drop rule the watermarked
+    * aggregations apply. On expiry the FINAL (day, dau, wau) row emits
+    * once — append semantics, so stream output ≡ batch row-for-row —
+    * and the state clears: live state is bounded by 7 days × daily
+    * actives per key range, never stream history. Days with no
+    * same-day activity emit nothing (the batch read only reports
+    * observed days). */
+  class WauKeeper(dayMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, DayUser, WauRow] {
+    @transient private var dauSet: org.apache.spark.sql.streaming.MapState[Long, Boolean] = _
+    @transient private var wauSet: org.apache.spark.sql.streaming.MapState[Long, Boolean] = _
+    @transient private var timerSet: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      dauSet = getHandle.getMapState[Long, Boolean]("dau_set",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      wauSet = getHandle.getMapState[Long, Boolean]("wau_set",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      timerSet = getHandle.getValueState[Boolean]("timer_set",
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[DayUser],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[WauRow] = {
+      val dayEnd = key + dayMs
+      if (dayEnd <= timerValues.getCurrentWatermarkInMs()) return Iterator.empty
+      if (!timerSet.exists()) { getHandle.registerTimer(dayEnd); timerSet.update(true) }
+      rows.foreach { r =>
+        wauSet.updateValue(r.user_id, true)
+        if (r.same_day) dauSet.updateValue(r.user_id, true)
+      }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[WauRow] = {
+      val dau = dauSet.iterator().size.toLong
+      val wau = wauSet.iterator().size.toLong
+      dauSet.clear(); wauSet.clear(); timerSet.clear()
+      if (dau > 0L)
+        Iterator.single(WauRow(new java.sql.Timestamp(key), dau, wau))
+      else Iterator.empty
+    }
+  }
+
+  /** The streaming twin of the batch DAU/WAU read (`w11_rolling_wau`),
+    * the way [[ohlcBarsStream]] twins `ts_ohlc`: each event expands
+    * in-plan to the 7 trailing-window target days it contributes to
+    * (a generator projection — day d feeds WAU(d..d+6), with the
+    * same-day flag carrying DAU membership), keyed by target day, and
+    * [[WauKeeper]] maintains the two distinct-user sets per live day
+    * with watermark-driven eviction. Nothing re-counts history: a day's
+    * answer accumulates incrementally and emits exactly once when the
+    * watermark passes its end — the incremental form the batch read
+    * (one full re-count of the pair table per serve) cannot be. Parity
+    * is spec-pinned row-for-row against the batch rule on fixture
+    * events. */
+  def rollingWauStream(stream: DataFrame, tsCol: String, userCol: String,
+                       lateness: String): Dataset[WauRow] = {
+    val s = stream.sparkSession
+    import s.implicits._
+    val dayMs = 86400000L
+    stream.withWatermark(tsCol, lateness)
+      .select(unix_millis(date_trunc("DAY", col(tsCol))).as("d_ms"),
+        col(userCol).cast("long").as("user_id"))
+      .select(col("d_ms"), col("user_id"),
+        explode(sequence(lit(0L), lit(6L))).as("k"))
+      .select((col("d_ms") + col("k") * lit(dayMs)).as("d0_ms"),
+        col("user_id"), (col("k") === 0L).as("same_day"))
+      .as[DayUser]
+      .groupByKey(_.d0_ms)
+      .transformWithState(new WauKeeper(dayMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** T5 — LIVE REPLAN between micro-batches, no stream restart
     * (cerebro.py:334-414's handle_tracked_items_changed): each batch
     * RE-READS the control table (the runtime master — tracked items with

@@ -839,6 +839,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.size >= 3) // multi-day, multi-key fixture really exercised
   }
 
+  test("rollingWauStream ≡ batch W11 DAU/WAU on real fixture events") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ev = graft.Tables.events(s, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 6)
+      .select(col("user_id"), col("ts").as("time"), col("event_id"), col("value"))
+    val rows = ev.collect().toSeq.map(r =>
+      Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    val prevProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val streamed = try {
+      val in = MemoryStream[Ev]
+      val q = Streams.rollingWauStream(in.toDF(), "time", "user_id",
+          "0 seconds")
+        .writeStream.format("memory").queryName("wau_par")
+        .outputMode("append").start()
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      in.addData(Ev(999L, ts("2030-01-01 00:00:00"), 0L, 0.0)) // flush watermark
+      q.processAllAvailable()
+      // the flush row's own 2030 target days never emit (their timers sit
+      // beyond the final watermark), but filter defensively anyway
+      val out = s.table("wau_par")
+        .filter(col("day_start") < ts("2029-01-01 00:00:00"))
+        .select(to_date(col("day_start")).as("day"), col("dau"), col("wau"))
+        .collect().map(_.toSeq).toSet
+      q.stop()
+      out
+    } finally {
+      if (prevProvider.nonEmpty)
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+      else s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    // batch reference: the W11 rule on the same rows
+    val du = ev.select(to_date(col("time")).as("day"), col("user_id")).distinct()
+    val days = du.select(col("day")).distinct()
+    val dau = du.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = broadcast(days.select(col("day").as("d0")))
+      .join(du, col("day").between(date_sub(col("d0"), 6), col("d0")))
+      .groupBy(col("d0")).agg(countDistinct(col("user_id")).as("wau"))
+      .select(col("d0").as("day"), col("wau"))
+    val batch = dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.size >= 5, "multi-day fixture really exercised")
+    assert(batch.exists(r => r(2).asInstanceOf[Long] >
+      r(1).asInstanceOf[Long]), "some trailing window exceeds its DAU")
+  }
+
   test("sessionizeStream ≡ batch W8 sessionizer on real fixture events") {
     val s = spark
     import s.implicits._
