@@ -245,6 +245,56 @@ object CoreQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_qvalue
       |FROM m ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** Recency-DISCOUNTED cohort value — the "what is this cohort worth
+    * NOW" read the raw LTV curve overstates (old revenue counts the
+    * same as last week's): each week-offset bucket's quantized value is
+    * exponentially decayed with a one-week half-life, stated as an
+    * ARITHMETIC RIGHT SHIFT (qvalue >> offset) so the decay is
+    * division-free integer arithmetic both engines replay bitwise —
+    * the same shift-not-divide discipline as the EWMA/Holt recurrences
+    * (a float 0.5^k would be the banned pow). The shift clamps at 62:
+    * beyond that the contribution is integer zero anyway, and >= 63/64
+    * shift semantics are engine-specific (Java masks the shift amount
+    * mod 64) — the clamp pins the portable regime. One scan builds the
+    * tiny cohort×offset table; the decay folds it to one row per
+    * cohort. Output: (cohort_week, n_weeks, raw_qvalue,
+    * decayed_qvalue). */
+  def cohortLtvDecayed(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+    ev.filter(col("event_type") === "purchase")
+      .join(firstSeen, "user_id")
+      .withColumn("week_offset",
+        (datediff(to_date(date_trunc("week", col("ts"))),
+          col("cohort_week")) / 7).cast("int"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("qvalue"))
+      .groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_weeks"),
+        sum(col("qvalue")).as("raw_qvalue"),
+        sum(expr("shiftright(qvalue, cast(least(week_offset, 62) as int))"))
+          .as("decayed_qvalue"))
+      .orderBy(col("cohort_week"))
+  }
+  val cohortLtvDecayedSql: String =
+    """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+      |first_seen AS (
+      |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      |  FROM ev GROUP BY user_id),
+      |m AS (
+      |  SELECT f.cohort_week,
+      |         CAST(date_diff('day', f.cohort_week,
+      |           CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INTEGER) AS week_offset,
+      |         CAST(SUM(CAST(FLOOR(e.value * 1e6) AS BIGINT)) AS BIGINT) AS qvalue
+      |  FROM ev e JOIN first_seen f USING (user_id)
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY f.cohort_week, week_offset)
+      |SELECT cohort_week, COUNT(*) AS n_weeks,
+      |  CAST(SUM(qvalue) AS BIGINT) AS raw_qvalue,
+      |  CAST(SUM(qvalue >> LEAST(week_offset, 62)) AS BIGINT) AS decayed_qvalue
+      |FROM m GROUP BY cohort_week ORDER BY cohort_week""".stripMargin
+
   // ---- Zipf-keyed shuffle join: plain vs salted -----------------------------
   /** Deliberately skewed join fixture: 3/4 of all event rows collapse
     * onto one 'hot' key, the rest spread over 25 cold keys (user_id ≡ 0
@@ -372,10 +422,10 @@ object CoreQueries {
   private val snapDeleteCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def snapshotDeleteRows(s: SparkSession, d: String): DataFrame = {
-    import graft.sources.PartitionedStore
-    val docs = Tables.documents(s, d)
-    val path = snapDeleteCache.computeIfAbsent(d, _ => {
+  private def snapDeleteStore(s: SparkSession, d: String): String =
+    snapDeleteCache.computeIfAbsent(d, _ => {
+      import graft.sources.PartitionedStore
+      val docs = Tables.documents(s, d)
       val p = graft.Scratch.dir("graft_snapdelete")
       PartitionedStore.commitVersion(
         docs.filter(col("doc_id") % 7 =!= 0)
@@ -395,11 +445,38 @@ object CoreQueries {
         "stable bulk dir must survive the delete by reference")
       p
     })
-    PartitionedStore.readVersion(s, path) // head = facts minus predicate
+
+  def snapshotDeleteRows(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.PartitionedStore
+    PartitionedStore.readVersion(s, snapDeleteStore(s, d)) // head = facts minus predicate
       .groupBy((col("doc_id") % 10).as("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("bucket"))
   }
+
+  /** The takedown AUDIT trail: [[snapshotDeleteRows]]' delete commit
+    * read back through the manifest-pruned snapshot diff — who exactly
+    * left the table, without scanning either version in full. The diff
+    * intersects the pre/post manifests, so it reads ONLY the two dirs
+    * the delete touched (the churn dir and its survivors rewrite); the
+    * stable bulk — shared by both manifests — contributes zero bytes.
+    * Survivors rewritten byte-identically classify `same` and drop
+    * out, leaving exactly the deleted rows with their last-seen
+    * content hash: the right-to-be-forgotten receipt a compliance job
+    * files. Oracle = the predicate's matches straight from source. */
+  def snapshotDeleteAudit(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.PartitionedStore
+    val path = snapDeleteStore(s, d)
+    PartitionedStore.diffVersions(s, path, 2L, 3L, "doc_id",
+        md5(col("n_chars").cast("string")))
+      .select(col("doc_id"), col("op"), col("old_hash"))
+      .orderBy(col("doc_id"))
+  }
+  val snapshotDeleteAuditSql: String =
+    """SELECT doc_id, 'removed' AS op,
+      |  md5(CAST(n_chars AS VARCHAR)) AS old_hash
+      |FROM documents WHERE doc_id % 14 = 0
+      |ORDER BY doc_id""".stripMargin
   val snapshotDeleteRowsSql: String =
     """SELECT doc_id % 10 AS bucket, count(*) AS n,
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
@@ -540,6 +617,7 @@ object CoreQueries {
     "snapshot_diff" -> (snapshotDiff _),
     "snapshot_restore" -> (snapshotRestore _),
     "snapshot_delete_rows" -> (snapshotDeleteRows _),
+    "snapshot_delete_audit" -> (snapshotDeleteAudit _),
     "skew_join_plain" -> (skewJoinPlain _),
     "skew_join_salted" -> (skewJoinSalted _),
     "w1_latest_event_per_user" -> (w1LatestEventPerUser _),
@@ -549,7 +627,8 @@ object CoreQueries {
     "scd2_intervals" -> (scd2Intervals _),
     "rollup_maintain" -> (rollupMaintain _),
     "cohort_retention" -> (cohortRetention _),
-    "cohort_ltv" -> (cohortLtv _))
+    "cohort_ltv" -> (cohortLtv _),
+    "cohort_ltv_decayed" -> (cohortLtvDecayed _))
 
   val oracle: Map[String, String] = Map(
     "a19_mad_outliers" -> a19MadOutliersSql,
@@ -559,6 +638,7 @@ object CoreQueries {
     "snapshot_diff" -> snapshotDiffSql,
     "snapshot_restore" -> snapshotRestoreSql,
     "snapshot_delete_rows" -> snapshotDeleteRowsSql,
+    "snapshot_delete_audit" -> snapshotDeleteAuditSql,
     "skew_join_plain" -> skewJoinSql,
     "skew_join_salted" -> skewJoinSql,
     "w1_latest_event_per_user" -> w1LatestEventPerUserSql,
@@ -568,5 +648,6 @@ object CoreQueries {
     "scd2_intervals" -> scd2IntervalsSql,
     "rollup_maintain" -> rollupMaintainSql,
     "cohort_retention" -> cohortRetentionSql,
-    "cohort_ltv" -> cohortLtvSql)
+    "cohort_ltv" -> cohortLtvSql,
+    "cohort_ltv_decayed" -> cohortLtvDecayedSql)
 }

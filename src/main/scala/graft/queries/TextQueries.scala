@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Dedup, Mix, Relational, TextAnalysis}
@@ -811,6 +811,66 @@ object TextQueries {
   val sketchQuantileSpanSql: String = qhSqlBody("day < max_day")
   val sketchQuantileIncrementalSql: String = qhSqlBody("TRUE")
 
+  /** Tail-latency DRIFT between two day spans, served ENTIRELY from the
+    * stored daily histograms — the monitoring read the sketch store
+    * exists for ("did p95 value shift this fortnight vs last?"): both
+    * spans re-aggregate stored bucket rows (fact history read zero
+    * times), each runs the same crossing selection, and the drift is a
+    * pure integer subtraction — positive = the tail got heavier. The
+    * span cutoff (min stored day + 15) is one row of sketch metadata, a
+    * planning boundary; the oracle recomputes both spans from raw
+    * events because span-of-dailies ≡ span build exactly. A key absent
+    * from either span is dropped (inner join — drift needs both
+    * sides). */
+  def sketchQuantileDrift(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.PartitionedStore
+    val stored = PartitionedStore.readVersion(s, qhStore(s, d))
+    val minDay = stored.agg(min(col("day"))).collect()(0).getDate(0)
+    val cutoff = java.sql.Date.valueOf(minDay.toLocalDate.plusDays(15))
+    def leg(f: Column, n: String, p: String) =
+      Relational.quantileServe(
+          Relational.quantileSpan(stored.filter(f)),
+          Seq((p, 95L, 100L)))
+        .select(col("key"), col("n").as(n), col(p))
+    leg(col("day") < lit(cutoff), "n_a", "p95_a")
+      .join(leg(col("day") >= lit(cutoff), "n_b", "p95_b"), "key")
+      .withColumn("dp95", col("p95_b") - col("p95_a"))
+      .orderBy(col("key"))
+  }
+  val sketchQuantileDriftSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type AS key, CAST(FLOOR(value * 1e2) AS BIGINT) AS qc,
+       |         CAST(ts AS DATE) AS day
+       |  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+       |), mn AS (SELECT MIN(day) + INTERVAL 15 DAY AS cutoff FROM ev
+       |), ha AS (
+       |  SELECT key, qc, COUNT(*) AS cnt FROM ev, mn
+       |  WHERE day < cutoff GROUP BY key, qc
+       |), hb AS (
+       |  SELECT key, qc, COUNT(*) AS cnt FROM ev, mn
+       |  WHERE day >= cutoff GROUP BY key, qc
+       |), ca AS (
+       |  SELECT key, qc,
+       |    CAST(SUM(cnt) OVER (PARTITION BY key ORDER BY qc) AS BIGINT) AS cum,
+       |    CAST(SUM(cnt) OVER (PARTITION BY key) AS BIGINT) AS n
+       |  FROM ha
+       |), cb AS (
+       |  SELECT key, qc,
+       |    CAST(SUM(cnt) OVER (PARTITION BY key ORDER BY qc) AS BIGINT) AS cum,
+       |    CAST(SUM(cnt) OVER (PARTITION BY key) AS BIGINT) AS n
+       |  FROM hb
+       |), sa AS (
+       |  SELECT key, MAX(n) AS n_a,
+       |    MIN(CASE WHEN cum * 100 >= n * 95 THEN qc END) AS p95_a
+       |  FROM ca GROUP BY key
+       |), sb AS (
+       |  SELECT key, MAX(n) AS n_b,
+       |    MIN(CASE WHEN cum * 100 >= n * 95 THEN qc END) AS p95_b
+       |  FROM cb GROUP BY key)
+       |SELECT sa.key AS key, sa.n_a, sa.p95_a, sb.n_b, sb.p95_b,
+       |  sb.p95_b - sa.p95_a AS dp95
+       |FROM sa JOIN sb ON sa.key = sb.key ORDER BY key""".stripMargin
+
   // ---- domain×domain n-gram overlap matrix ---------------------------------
   private val OverlapN = 3
 
@@ -1424,6 +1484,7 @@ object TextQueries {
     "sketch_kmv_span" -> (sketchKmvSpan _),
     "sketch_quantile_span" -> (sketchQuantileSpan _),
     "sketch_quantile_incremental" -> (sketchQuantileIncremental _),
+    "sketch_quantile_drift" -> (sketchQuantileDrift _),
     "sample_fixed_k" -> (sampleFixedK _),
     "sample_systematic_w" -> (sampleSystematicW _),
     "text_hash_embed" -> (textHashEmbed _),
@@ -1464,6 +1525,7 @@ object TextQueries {
     "sketch_kmv_span" -> sketchKmvSpanSql,
     "sketch_quantile_span" -> sketchQuantileSpanSql,
     "sketch_quantile_incremental" -> sketchQuantileIncrementalSql,
+    "sketch_quantile_drift" -> sketchQuantileDriftSql,
     "sample_fixed_k" -> sampleFixedKSql,
     "sample_systematic_w" -> sampleSystematicWSql,
     "text_hash_embed" -> textHashEmbedSql,

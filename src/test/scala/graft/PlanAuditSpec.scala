@@ -404,6 +404,44 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"lpa must argmax by max(struct):\n$p")
   }
 
+  test("sketch_quantile_span/drift: serve reads ONLY stored histogram " +
+    "rows — the fact table never re-enters the plan; crossing windows " +
+    "are key-partitioned") {
+    for (q <- Seq("sketch_quantile_span", "sketch_quantile_drift")) {
+      val df = SparkEntry.queries(q)(spark, d)
+      val p = df.queryExecution.executedPlan.toString
+      // the whole point of the stored sketch: span percentiles answer
+      // from (day, key, qc, cnt) bucket rows; an events.parquet scan
+      // here would mean the serve path re-reads fact history
+      assert(df.inputFiles.nonEmpty &&
+        df.inputFiles.forall(_.contains("graft_qh_store")),
+        s"$q must read only the quantile store: ${df.inputFiles.take(3).toSeq}")
+      assert(!p.contains("events.parquet"), s"$q re-reads facts")
+      // prefix-sum windows run over the bounded histogram, keyed —
+      // an empty partition spec would funnel everything to one task
+      assert(p.contains("Window"), p)
+      assert(!p.contains("Window [") ||
+        !p.contains(", [], ["), s"$q has an unpartitioned window")
+    }
+  }
+
+  test("snapshot_delete_audit: manifest-pruned diff — only the two dirs " +
+    "the delete touched are scanned, the stable bulk contributes zero " +
+    "bytes") {
+    val df = SparkEntry.queries("snapshot_delete_audit")(spark, d)
+    val dirs = df.inputFiles.toSeq
+      .map(f => f.substring(0, f.lastIndexOf('/')))
+      .distinct
+    assert(dirs.size == 2 && dirs.forall(_.contains("graft_snapdelete")),
+      s"audit must read exactly churn + survivors dirs: $dirs")
+  }
+
+  test("cohort_ltv_decayed: shift-decay folds in the aggregate — " +
+    "window-free, the cohort table never sorts") {
+    val p = plan("cohort_ltv_decayed")
+    assert(!p.contains("Window"), p)
+  }
+
   test("global sweep: no query plans an unbroadcast cartesian product") {
     // crossJoin against a broadcast side plans as BroadcastNestedLoopJoin
     // (fine — one side is tiny by construction); a CartesianProduct node
