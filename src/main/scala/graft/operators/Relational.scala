@@ -599,6 +599,35 @@ object Relational {
           col("qsum_a") * col("n_users_b")).as("b_beats_a"))
   }
 
+  /** Equi-join CARDINALITY estimate from two CMS sketches (the
+    * AMS/CMS inner-product estimator, Alon-Matias-Szegedy via
+    * Cormode-Muthukrishnan): |A ⋈ B| on key k is exactly
+    * Σₖ f_A(k)·f_B(k), and each sketch row's cell-wise dot product
+    * Σ_c a[r,c]·b[r,c] equals that sum PLUS non-negative collision
+    * cross-terms — so min over the depth rows never under-estimates
+    * (est ≥ true, the join-size twin of the CMS point guarantee,
+    * spec-pinned). This is the PLANNER read at 100 TB: choose
+    * broadcast vs shuffle vs salt for a join from two KB-sized stored
+    * sketches without scanning either input — and because the sketches
+    * are the same mergeable (r, c, cnt) rows [[cmsDailySketches]]
+    * stores, any day span's join size is answerable from the store.
+    * Pure integer products of longs (counts up to ~3·10⁹ per cell stay
+    * inside 2⁶³ when squared and summed over a 64-wide row; beyond
+    * that widen cnt to DECIMAL(38,0) — one cast). A depth row whose
+    * two sketches share NO cell has dot 0 — the explicit row spine
+    * keeps that zero in the min instead of letting the inner join
+    * silently drop the row (est would otherwise overstate an empty
+    * join). Output: one row (est_join_size). */
+  def cmsJoinSize(sa: DataFrame, sb: DataFrame, depth: Int): DataFrame = {
+    val dots = sa.join(sb.withColumnRenamed("cnt", "cnt_b"), Seq("r", "c"))
+      .groupBy(col("r"))
+      .agg(sum(col("cnt") * col("cnt_b")).as("dot"))
+    sa.sparkSession.range(depth).select(col("id").cast("int").as("r"))
+      .join(dots, Seq("r"), "left")
+      .na.fill(0L, Seq("dot"))
+      .agg(min(col("dot")).as("est_join_size"))
+  }
+
   /** K-minimum-values distinct sketch (Bar-Yossef et al. 2002) — the
     * ORACLE-EXACT cardinality leg of the stored-sketch trio. The HLL
     * sketches ([[hllDailySketches]]) answer the same question with

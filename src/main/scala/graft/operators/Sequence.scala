@@ -95,6 +95,37 @@ object Sequence {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** Rendezvous (highest-random-weight) placement of shards onto
+    * `nWorkers` workers (Thaler & Ravishankar 1998 — the consistent-
+    * placement primitive behind sticky routing, cache affinity, and
+    * shard→executor pinning on a 1000-node cluster): every (shard,
+    * worker) pair scores with an integer scramble that does NOT depend
+    * on the worker-SET size, and the shard goes to its argmax. The
+    * property that makes it rendezvous and not `mod nWorkers`: removing
+    * a worker reassigns ONLY the shards it owned — every other score is
+    * unchanged, so every other argmax is too (spec-pinned) — where a
+    * mod-placement reshuffles nearly everything. The argmax is the
+    * engine-portable combined-integer form max(score·W + worker) % W
+    * (worker < W makes it lexicographic on (score, worker) with a
+    * deterministic tie rule both engines state identically — no
+    * arg_max() tie ambiguity). Cost: |shards|·W scored rows, one
+    * aggregation — shards are control-plane-sized, never data rows.
+    * Output: (shardCol, worker). */
+  def rendezvousAssign(shards: DataFrame, shardCol: String,
+                       nWorkers: Int): DataFrame = {
+    require(nWorkers >= 1, s"need at least one worker: $nWorkers")
+    val p = graft.operators.Dedup.HashMod
+    val m = Mix.ScrambleM
+    val w = nWorkers.toLong
+    val workers = broadcast(shards.sparkSession.range(nWorkers)
+      .select(col("id").as("worker")))
+    shards.crossJoin(workers)
+      .withColumn("score",
+        ((col(shardCol) + 1L) * m % p + col("worker") + 1L) * m % p * m % p)
+      .groupBy(col(shardCol))
+      .agg((max(col("score") * w + col("worker")) % w).as("worker"))
+  }
+
   /** Globally DENSE deterministic ids 0..N−1 in scrambled-hash order,
     * WITHOUT a global sort — the distributed id-assignment shape (sample
     * indices, row ids, vocab ids): a single-task

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.operators.Relational
 
 /** SURVEY §2 inventory completion: the remaining SQL-expressible line
   * items — A2/A7/A13 aggregates + invariants, F8/F10-F16 scalar surface,
@@ -574,6 +575,58 @@ object InventoryQueries2 {
       |FROM dau JOIN wau ON wau.day = dau.day
       |ORDER BY day""".stripMargin
 
+  // ---- funnel time-to-convert: click → purchase latency percentiles --------
+  /** How LONG conversion takes, not just whether it happens (the
+    * question `w10_funnel`'s reach counts can't answer): per user, the
+    * gap from FIRST click to the first purchase strictly after it,
+    * quantized to whole minutes, then p50/p90 of that distribution via
+    * the histogram-crossing selection ([[graft.operators.Relational
+    * .quantileServe]]) — never a sort of user rows. Minutes, not
+    * seconds, is the scale decision: the delta histogram's size is
+    * bounded by the DELTA DOMAIN (minutes in the retention span,
+    * ~43k/month) rather than by users, so the single-key crossing
+    * window stays calendar-bounded at any corpus size. All integer:
+    * micros difference, integer div, crossing ranks. Output: one row
+    * (n_converted, p50_m, p90_m). */
+  def funnelTtc(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val c0 = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c0"))
+    val p0 = ev.filter(col("event_type") === "purchase")
+      .join(c0, "user_id")
+      .filter(col("ts") > col("c0"))
+      .groupBy(col("user_id"), col("c0")).agg(min(col("ts")).as("p0"))
+    val hist = p0
+      .select(expr("(unix_micros(p0) - unix_micros(c0)) div 60000000")
+        .as("qc"))
+      .groupBy(lit("all").as("key"), col("qc"))
+      .agg(count(lit(1)).as("cnt"))
+    Relational.quantileServe(hist,
+        Seq(("p50_m", 50L, 100L), ("p90_m", 90L, 100L)))
+      .select(col("n").as("n_converted"), col("p50_m"), col("p90_m"))
+  }
+  val funnelTtcSql: String =
+    s"""WITH c0 AS (
+       |  SELECT user_id, MIN(ts) AS c0 FROM $EventsSql
+       |  WHERE event_type = 'click' GROUP BY user_id
+       |), p0 AS (
+       |  SELECT events.user_id, MIN(events.ts) AS p0
+       |  FROM $EventsSql JOIN c0 ON c0.user_id = events.user_id
+       |  WHERE events.event_type = 'purchase' AND events.ts > c0.c0
+       |  GROUP BY events.user_id
+       |), dl AS (
+       |  SELECT (epoch_us(p0.p0) - epoch_us(c.c0)) // 60000000 AS qc
+       |  FROM p0 JOIN c0 c ON c.user_id = p0.user_id
+       |), h AS (SELECT qc, COUNT(*) AS cnt FROM dl GROUP BY qc
+       |), cum AS (
+       |  SELECT qc, CAST(SUM(cnt) OVER (ORDER BY qc) AS BIGINT) AS cum,
+       |         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+       |  FROM h)
+       |SELECT MAX(n) AS n_converted,
+       |  MIN(CASE WHEN cum * 100 >= n * 50 THEN qc END) AS p50_m,
+       |  MIN(CASE WHEN cum * 100 >= n * 90 THEN qc END) AS p90_m
+       |FROM cum""".stripMargin
+
   // ---- A22: GROUPING SETS over a NULLABLE key (grouping() disambiguates) ---
   /** The semantic edge A15/A21 dodge by grouping NOT-NULL columns: when
     * the grouping key itself holds data NULLs, a subtotal row's NULL
@@ -758,6 +811,7 @@ object InventoryQueries2 {
     "a14_quantiles" -> (a14Quantiles _),
     "w8_sessionize" -> (w8Sessionize _),
     "w10_funnel" -> (w10Funnel _),
+    "funnel_ttc" -> (funnelTtc _),
     "text_vocab_topk" -> (textVocabTopk _),
     "w7_asof_join" -> (w7AsofJoin _),
     "w9_asof_nearest" -> (w9AsofNearest _),
@@ -790,6 +844,7 @@ object InventoryQueries2 {
     "a14_quantiles" -> a14Sql,
     "w8_sessionize" -> w8Sql,
     "w10_funnel" -> w10Sql,
+    "funnel_ttc" -> funnelTtcSql,
     "text_vocab_topk" -> textVocabTopkSql,
     "w7_asof_join" -> w7Sql,
     "w9_asof_nearest" -> w9Sql,

@@ -851,7 +851,52 @@ object SequenceQueries {
 
   // -------------------------------------------------------------------------
 
+  // ---- rendezvous shard→worker placement -----------------------------------
+  private val RvShards = 16
+  private val RvWorkers = 5
+
+  /** Shard→worker placement by rendezvous hashing
+    * ([[graft.operators.Sequence.rendezvousAssign]]) with the balance
+    * report an operator actually reads: docs bucket into 16 shards
+    * (doc_id mod — the stable unit of placement), each shard goes to
+    * its highest-random-weight worker among 5, and the output is the
+    * per-worker (n_shards, n_docs) load. The assignment is a pure
+    * integer function of (shard, worker) — engine-replayed bitwise —
+    * and worker-set-size-independent, which is the whole point:
+    * draining one worker moves ONLY its shards (spec-pinned in
+    * `SequenceSpec`), where a mod-placement would reshuffle the
+    * cluster. The 16-row assignment broadcasts back onto the doc
+    * table; docs are scanned once. */
+  def assignRendezvous(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % RvShards).as("shard"))
+    val asg = Sequence.rendezvousAssign(
+      docs.select(col("shard")).distinct(), "shard", RvWorkers)
+    docs.join(broadcast(asg), "shard")
+      .groupBy(col("worker"))
+      .agg(countDistinct(col("shard")).as("n_shards"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("worker"))
+  }
+  val assignRendezvousSql: String = {
+    val p = Dedup.HashMod
+    val m = Mix.ScrambleM
+    s"""WITH sh AS (SELECT DISTINCT doc_id % $RvShards AS shard FROM documents),
+       |sc AS (
+       |  SELECT shard, w.worker AS worker,
+       |    ((shard + 1) * $m % $p + w.worker + 1) * $m % $p * $m % $p AS score
+       |  FROM sh CROSS JOIN (SELECT unnest(range(0, $RvWorkers)) AS worker) w
+       |), asg AS (
+       |  SELECT shard, MAX(score * $RvWorkers + worker) % $RvWorkers AS worker
+       |  FROM sc GROUP BY shard)
+       |SELECT a.worker AS worker, COUNT(DISTINCT d.doc_id % $RvShards) AS n_shards,
+       |  COUNT(*) AS n_docs
+       |FROM documents d JOIN asg a ON a.shard = d.doc_id % $RvShards
+       |GROUP BY a.worker ORDER BY worker""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "assign_rendezvous" -> (assignRendezvous _),
     "assign_dense_ids" -> (assignDenseIds _),
     "corpus_ingest" -> (corpusIngest _),
     "corpus_build" -> (corpusBuild _),
@@ -871,6 +916,7 @@ object SequenceQueries {
     "split_cv_folds" -> (splitCvFolds _))
 
   val oracle: Map[String, String] = Map(
+    "assign_rendezvous" -> assignRendezvousSql,
     "assign_dense_ids" -> assignDenseIdsSql,
     "corpus_ingest" -> corpusIngestSql,
     "corpus_build" -> corpusBuildSql,

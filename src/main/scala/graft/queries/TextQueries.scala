@@ -457,6 +457,63 @@ object TextQueries {
        |ORDER BY true_cnt DESC, uid""".stripMargin
   }
 
+  /** Join-size estimation from two CMS sketches ([[graft.operators
+    * .Relational.cmsJoinSize]]) — the PLANNER read: how big is
+    * clicks ⋈ purchases on user_id, answered from two KB-sized
+    * sketches without scanning either stream (at 100 TB this is what
+    * picks broadcast vs shuffle vs salt before any data moves, and the
+    * sketches are the same mergeable rows the store already holds, so
+    * any day span's join size is a stored-rows read). True value
+    * alongside: Σᵤ clicks(u)·purchases(u); the estimator's guarantee
+    * est ≥ true shows as overcount ≥ 0. */
+  def sketchCmsJoinSize(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def side(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id").cast("string").as("uid"))
+    val est = Relational.cmsJoinSize(
+      Relational.cmsBuild(side("click"), "uid", CmsD, CmsW),
+      Relational.cmsBuild(side("purchase"), "uid", CmsD, CmsW), CmsD)
+    val truth = side("click").groupBy(col("uid")).agg(count(lit(1)).as("ca"))
+      .join(side("purchase").groupBy(col("uid")).agg(count(lit(1)).as("cb")),
+        "uid")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))
+        .as("true_join_size"))
+    est.crossJoin(broadcast(truth))
+      .withColumn("overcount",
+        col("est_join_size") - col("true_join_size"))
+  }
+  val sketchCmsJoinSizeSql: String = {
+    val P = graft.operators.Dedup.HashMod
+    val M = graft.operators.Mix.ScrambleM
+    val cell = (src: String) =>
+      s"""(list_reduce(list_transform(string_split($src, ''), ch -> CAST(ascii(ch) AS BIGINT)),
+         |      (acc, x) -> (acc*31 + x) % $P) + t.r) * $M % $P * $M % $P % $CmsW""".stripMargin
+    s"""WITH ks AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS uid, event_type FROM events
+       |), a AS (SELECT uid FROM ks WHERE event_type = 'click'
+       |), b AS (SELECT uid FROM ks WHERE event_type = 'purchase'
+       |), ca AS (
+       |  SELECT t.r AS r, ${cell("uid")} AS c FROM a CROSS JOIN range(0, $CmsD) AS t(r)
+       |), cmsa AS (SELECT r, c, COUNT(*) AS cnt FROM ca GROUP BY r, c
+       |), cb AS (
+       |  SELECT t.r AS r, ${cell("uid")} AS c FROM b CROSS JOIN range(0, $CmsD) AS t(r)
+       |), cmsb AS (SELECT r, c, COUNT(*) AS cnt FROM cb GROUP BY r, c
+       |), dots AS (
+       |  SELECT ra.r AS r, CAST(SUM(ra.cnt * rb.cnt) AS BIGINT) AS dot
+       |  FROM cmsa ra JOIN cmsb rb ON ra.r = rb.r AND ra.c = rb.c GROUP BY ra.r
+       |), spine AS (SELECT t.r AS r FROM range(0, $CmsD) AS t(r)
+       |), est AS (
+       |  SELECT MIN(COALESCE(dots.dot, 0)) AS est_join_size
+       |  FROM spine LEFT JOIN dots ON dots.r = spine.r
+       |), tr AS (
+       |  SELECT CAST(COALESCE(SUM(x.ca * y.cb), 0) AS BIGINT) AS true_join_size
+       |  FROM (SELECT uid, COUNT(*) AS ca FROM a GROUP BY uid) x
+       |  JOIN (SELECT uid, COUNT(*) AS cb FROM b GROUP BY uid) y ON x.uid = y.uid)
+       |SELECT est.est_join_size, tr.true_join_size,
+       |  est.est_join_size - tr.true_join_size AS overcount
+       |FROM est, tr""".stripMargin
+  }
+
   /** Day-SPAN frequency serving from the same stored daily partials: the
     * sketch for "every day before the newest" is a re-aggregation of the
     * stored rows in that range — the fact history for those days is
@@ -1485,6 +1542,7 @@ object TextQueries {
     "sketch_quantile_span" -> (sketchQuantileSpan _),
     "sketch_quantile_incremental" -> (sketchQuantileIncremental _),
     "sketch_quantile_drift" -> (sketchQuantileDrift _),
+    "sketch_cms_join_size" -> (sketchCmsJoinSize _),
     "sample_fixed_k" -> (sampleFixedK _),
     "sample_systematic_w" -> (sampleSystematicW _),
     "text_hash_embed" -> (textHashEmbed _),
@@ -1526,6 +1584,7 @@ object TextQueries {
     "sketch_quantile_span" -> sketchQuantileSpanSql,
     "sketch_quantile_incremental" -> sketchQuantileIncrementalSql,
     "sketch_quantile_drift" -> sketchQuantileDriftSql,
+    "sketch_cms_join_size" -> sketchCmsJoinSizeSql,
     "sample_fixed_k" -> sampleFixedKSql,
     "sample_systematic_w" -> sampleSystematicWSql,
     "text_hash_embed" -> textHashEmbedSql,

@@ -290,4 +290,27 @@ class SequenceSpec extends AnyFunSuite {
     val again = graft.operators.Mix.epochShuffle(docs, "doc_id", "text", 3, 8).collect()
     assert(out.map(r => r.toSeq).toSet == again.map(r => r.toSeq).toSet)
   }
+
+  test("rendezvousAssign: draining a worker moves ONLY its shards — " +
+    "every other assignment is unchanged (the property mod-placement lacks)") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Sequence
+    val shards = (0L until 32L).toDF("shard")
+    def asg(w: Int): Map[Long, Long] =
+      Sequence.rendezvousAssign(shards, "shard", w)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a5 = asg(5)
+    val a4 = asg(4) // worker 4 drained from the candidate set
+    assert(a5.values.toSet.subsetOf((0L until 5L).toSet))
+    assert(a5.values.exists(_ == 4L),
+      "fixture must actually exercise the drained worker")
+    a5.foreach { case (sh, w) =>
+      if (w < 4L) assert(a4(sh) == w,
+        s"shard $sh moved $w -> ${a4(sh)} though its worker survived")
+      else assert(a4(sh) < 4L, s"orphaned shard $sh must land on a survivor")
+    }
+    // deterministic across reruns
+    assert(asg(5) == a5)
+  }
 }
