@@ -85,7 +85,7 @@ object Bench {
         "\"" + k + "\":{\"attempts\":" + (obs.size - 1) +
           ",\"obs\":[" + obs.map(r3).mkString(",") + "]}"
     }.mkString("{", ",", "}")
-    import org.apache.spark.sql.functions.{col, concat, explode, lit, regexp_replace, sequence}
+    import org.apache.spark.sql.functions.{col, concat, explode, lit, regexp_replace, sequence, to_date}
     // Scratch-rooted: a shutdown hook deletes everything (incl. the
     // 20×-amplified scaling corpora) so repeated benches don't fill /tmp.
     def tmp(p: String) = Scratch.dir(p)
@@ -136,9 +136,38 @@ object Bench {
       graft.operators.Dedup.writeLshIndex(dStand, "doc_id", "text", lshStandPath)
       val lshAppend = timedOp(graft.operators.Dedup.appendLshIndex(
         spark, dDelta, "doc_id", "text", lshStandPath))
+      // Fourth leg: the stored quantile-histogram sketch. Rebuild =
+      // daily partials over EVERY day committed fresh; append = only
+      // the newest day's partial committed onto a prebuilt standing
+      // store (standing build untimed) — the nightly shape. The events
+      // stream is amplified 20× like the doc legs (distinct event ids;
+      // same day structure, so the day count — what the append is
+      // O(1) of — stays fixed while per-day volume grows).
+      val ev20 = amplify(Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value")),
+        "event_id", 20)
+      val qhDaily = () => graft.operators.Relational.quantileDailySketches(
+        ev20, "ts", "event_type", "value")
+      val qhRebuild = timedOp {
+        graft.sources.PartitionedStore.commitVersion(
+          qhDaily(), tmp("bench_qh_rb")); ()
+      }
+      val qhStandPath = tmp("bench_qh_inc")
+      val qhMaxDay = ev20.agg(
+        org.apache.spark.sql.functions.max(to_date(col("ts")))).collect()(0).getDate(0)
+      graft.sources.PartitionedStore.commitVersion(
+        qhDaily().filter(col("day") < lit(qhMaxDay)), qhStandPath)
+      val qhAppend = timedOp {
+        graft.sources.PartitionedStore.commitVersion(
+          graft.operators.Relational.quantileDailySketches(
+            ev20.filter(to_date(col("ts")) === lit(qhMaxDay)),
+            "ts", "event_type", "value"),
+          qhStandPath, append = true); ()
+      }
       Seq("bm25_rebuild" -> bmRebuild, "bm25_append_1pct" -> bmAppend,
         "ivf_rebuild" -> ivfRebuild, "ivf_append_1pct" -> ivfAppend,
-        "lsh_rebuild" -> lshRebuild, "lsh_append_1pct" -> lshAppend)
+        "lsh_rebuild" -> lshRebuild, "lsh_append_1pct" -> lshAppend,
+        "qh_rebuild" -> qhRebuild, "qh_append_night" -> qhAppend)
     }
     // Scaling curve: the "survives 100×" claim with numbers. The five
     // hottest steady operators re-timed on 1×/4×/20× corpora written as
@@ -189,6 +218,11 @@ object Bench {
         .map { qn =>
           val fn = SparkEntry.queries(qn)
           qn -> dirs.map { case (n, dir) =>
+            // steady-state point: one untimed pass first (the bmServe
+            // discipline) — otherwise the x1 point alone carries the
+            // plan's codegen/JIT warmup and reads as a bogus 5× cliff
+            // against x4 (observed: pagerank 4.4 s at x1 vs 0.9 at x4)
+            materialize(fn(spark, dir))
             val t = timedIn(dir)(fn)
             if (qn == "dedup_clusters")
               ccRounds += (s"x$n" -> graft.operators.Dedup.lastCcRounds.toDouble)

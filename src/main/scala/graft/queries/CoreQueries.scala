@@ -295,6 +295,48 @@ object CoreQueries {
       |  CAST(SUM(qvalue >> LEAST(week_offset, 62)) AS BIGINT) AS decayed_qvalue
       |FROM m GROUP BY cohort_week ORDER BY cohort_week""".stripMargin
 
+  /** 2-D rectangle scan over a Z-ORDER layout served through the graded
+    * gate (previously spec-only): events land once in a Morton-bucketed
+    * store — partition dirs keyed on the interleave of (user_id, value)
+    * buckets — and the rectangle read enumerates only the intersecting
+    * cells as a partition IN-filter (static pruning; the cell loop is
+    * 4^prefixBits planning-side ids) plus the exact residual
+    * predicates. Domain bounds are fixed control-plane constants;
+    * out-of-domain rows clamp into edge cells and the residual
+    * predicate keeps the answer exact at any SF — which is what lets
+    * ONE oracle statement (the naive WHERE) grade the layout at every
+    * scale. The construction asserts the pruning is real: the
+    * rectangle scan must touch strictly fewer files than the store
+    * holds. At 100 TB this is reading a rectangle instead of a
+    * stripe. */
+  private val zorderCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def o9ZorderScan(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.PartitionedStore
+    val path = zorderCache.computeIfAbsent(d, _ => {
+      val p = graft.Scratch.dir("graft_zorder") + "/store"
+      PartitionedStore.zorderWrite(
+        Tables.events(s, d).select(col("event_id"),
+          col("user_id").cast("double").as("u"), col("value")),
+        p, "u", "value", 0.0, 2000.0, 0.0, 100.0)
+      p
+    })
+    // static pruning (the zb IN-list landing in PartitionFilters, cells
+    // 2×3 of 64) is pinned by PlanAuditSpec — plan assertions live in
+    // the audit, not on the per-call hot path
+    PartitionedStore.zorderScan(s, path, "u", "value",
+        0.0, 2000.0, 0.0, 100.0, 100.0, 300.0, 10.0, 30.0)
+      .select(col("event_id"), col("u").cast("long").as("user_id"),
+        col("value"))
+      .orderBy(col("event_id"))
+  }
+  // no ts column read → the NANOS/MICROS REPLACE wrapper is unnecessary
+  val o9ZorderScanSql: String =
+    """SELECT event_id, user_id, value FROM events
+      |WHERE user_id BETWEEN 100 AND 300 AND value BETWEEN 10 AND 30
+      |ORDER BY event_id""".stripMargin
+
   // ---- Zipf-keyed shuffle join: plain vs salted -----------------------------
   /** Deliberately skewed join fixture: 3/4 of all event rows collapse
     * onto one 'hot' key, the rest spread over 25 cold keys (user_id ≡ 0
@@ -618,6 +660,7 @@ object CoreQueries {
     "snapshot_restore" -> (snapshotRestore _),
     "snapshot_delete_rows" -> (snapshotDeleteRows _),
     "snapshot_delete_audit" -> (snapshotDeleteAudit _),
+    "o9_zorder_scan" -> (o9ZorderScan _),
     "skew_join_plain" -> (skewJoinPlain _),
     "skew_join_salted" -> (skewJoinSalted _),
     "w1_latest_event_per_user" -> (w1LatestEventPerUser _),
@@ -639,6 +682,7 @@ object CoreQueries {
     "snapshot_restore" -> snapshotRestoreSql,
     "snapshot_delete_rows" -> snapshotDeleteRowsSql,
     "snapshot_delete_audit" -> snapshotDeleteAuditSql,
+    "o9_zorder_scan" -> o9ZorderScanSql,
     "skew_join_plain" -> skewJoinSql,
     "skew_join_salted" -> skewJoinSql,
     "w1_latest_event_per_user" -> w1LatestEventPerUserSql,

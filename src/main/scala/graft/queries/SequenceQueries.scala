@@ -455,6 +455,37 @@ object SequenceQueries {
        |SELECT id AS doc_id, MIN(lbl) AS cluster_rep, MIN(lbl) = id AS is_canonical
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** SOFT dedup — downweight duplicates instead of dropping them (the
+    * alternative every large-scale corpus debate lands on: exact/near
+    * copies carry frequency signal, so instead of keeping one canonical
+    * doc per cluster, keep ALL members at weight 1/cluster_size — the
+    * cluster contributes one document's worth of probability mass in
+    * expectation, stated as the integer `10⁶ DIV cluster_size` ppm so a
+    * sampler can consume it without float weights). Same edge set and
+    * CC closure as `dedup_clusters` (the [[DupEdges]] memo — no second
+    * mining pass); the weight is one broadcast-size join on the cluster
+    * size table. Singletons weigh exactly 10⁶ ppm. */
+  def dedupSoftWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val comps = Dedup.connectedComponents(
+      docs.select(col("doc_id").as("id")), DupEdges.of(s, d))
+    val sizes = comps.groupBy(col("rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comps.join(sizes, "rep")
+      .select(col("id").as("doc_id"), col("rep").as("cluster_rep"),
+        col("cluster_size"),
+        expr("1000000 div cluster_size").as("weight_ppm"))
+      .orderBy(col("doc_id"))
+  }
+  val dedupSoftWeightsSql: String =
+    s"""WITH RECURSIVE $dupGraphCtes, $reachCte,
+       |lbl AS (SELECT id, MIN(lbl) AS rep FROM reach GROUP BY id),
+       |sz AS (SELECT rep, COUNT(*) AS cluster_size FROM lbl GROUP BY rep)
+       |SELECT l.id AS doc_id, l.rep AS cluster_rep, sz.cluster_size,
+       |  CAST(1000000 // sz.cluster_size AS BIGINT) AS weight_ppm
+       |FROM lbl l JOIN sz ON sz.rep = l.rep
+       |ORDER BY doc_id""".stripMargin
+
   // ---- leakage-safe train/val/test split ------------------------------------
   /** Split assignment at near-dup-CLUSTER granularity: a cluster's rep
     * hashes to a bucket (8/1/1 train/val/test) and every member inherits
@@ -911,6 +942,7 @@ object SequenceQueries {
     "mix_epochs" -> (mixEpochs _),
     "budget_select" -> (budgetSelect _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_soft_weights" -> (dedupSoftWeights _),
     "dedup_clusters_incremental" -> (dedupClustersIncremental _),
     "split_leakage_safe" -> (splitLeakageSafe _),
     "split_cv_folds" -> (splitCvFolds _))
@@ -931,6 +963,7 @@ object SequenceQueries {
     "mix_epochs" -> mixEpochsSql,
     "budget_select" -> budgetSelectSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_soft_weights" -> dedupSoftWeightsSql,
     "dedup_clusters_incremental" -> dedupClustersSql,
     "split_leakage_safe" -> splitLeakageSafeSql,
     "split_cv_folds" -> splitCvFoldsSql)

@@ -905,6 +905,46 @@ object Streams {
     }
   }
 
+  /** Streaming maintenance of the stored quantile-histogram sketch
+    * ([[graft.operators.Relational.quantileDailySketches]]): each
+    * micro-batch's (day, key, qc, cnt) partials append as a new store
+    * version, and any serve re-aggregates stored rows
+    * (`quantileSpan`) — merged partials ≡ the whole-corpus build
+    * because the counters are associative integer sums. UNLIKE the KMV
+    * leg, count histograms have no idempotent algebra (k-min-of-union
+    * absorbs a re-delivered batch; a re-summed count DOUBLES), so this
+    * leg runs behind the [[commitOnce]] batch-id ledger: Structured
+    * Streaming's restart replay of the last uncommitted micro-batch
+    * publishes nothing the second time — the exactly-once discipline
+    * the deltaAppend sink uses, applied to sketch maintenance. Two
+    * batches landing partials for the SAME day is fine by construction
+    * (serve sums per (key, qc) across dirs). */
+  def quantileAppendStream(stream: DataFrame, tsCol: String, keyCol: String,
+                           valCol: String, storePath: String,
+                           ledgerDir: String,
+                           checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        commitOnce(ledgerDir, id) {
+          val b = batch.localCheckpoint()
+          try {
+            if (!b.isEmpty) {
+              import graft.sources.PartitionedStore
+              val daily = graft.operators.Relational
+                .quantileDailySketches(b, tsCol, keyCol, valCol)
+              if (PartitionedStore.versions(storePath).isEmpty)
+                PartitionedStore.commitVersion(daily, storePath)
+              else
+                PartitionedStore.commitVersion(daily, storePath, append = true)
+            }
+          } finally graft.operators.Checkpoints.release(b)
+        }
+        ()
+      }
+      .start()
+
   /** Idempotent foreachBatch sink: Structured Streaming replays the LAST
     * micro-batch after a restart whose write finished but whose offset
     * commit didn't — a plain foreachBatch sink then writes it twice.

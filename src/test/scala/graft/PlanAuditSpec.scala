@@ -442,6 +442,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("o9_zorder_scan: the Morton cell IN-list is a static PARTITION " +
+    "filter — the rectangle reads its cells, never the stripe") {
+    val df = SparkEntry.queries("o9_zorder_scan")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("zb"), s"zb IN-list must prune partitions:\n$pf")
+    // and the residual range predicates still reach the scan
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString)
+  }
+
   test("global sweep: no query plans an unbroadcast cartesian product") {
     // crossJoin against a broadcast side plans as BroadcastNestedLoopJoin
     // (fine — one side is tiny by construction); a CartesianProduct node

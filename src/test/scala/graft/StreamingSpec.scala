@@ -1,6 +1,7 @@
 package graft
 
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -837,6 +838,54 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(streamed == batch)
     assert(batch.size >= 3) // multi-day, multi-key fixture really exercised
+  }
+
+  test("quantileAppendStream: micro-batch partials append exactly once — " +
+    "serve ≡ whole-corpus build; the ledger blocks a replayed batch id") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import graft.sources.PartitionedStore
+    import graft.operators.Relational
+    val store = java.nio.file.Files.createTempDirectory("qh_stream").toString
+    val ledger = java.nio.file.Files.createTempDirectory("qh_ledger").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("qh_ckpt").toString
+    val b1 = Seq(
+      Ev(1L, ts("2024-01-01 01:00:00"), 1L, 1.00),
+      Ev(1L, ts("2024-01-01 02:00:00"), 2L, 2.00),
+      Ev(2L, ts("2024-01-01 03:00:00"), 3L, 9.00))
+    val b2 = Seq(
+      Ev(1L, ts("2024-01-01 04:00:00"), 4L, 2.00), // same day, later batch
+      Ev(1L, ts("2024-01-02 01:00:00"), 5L, 50.0),
+      Ev(2L, ts("2024-01-02 02:00:00"), 6L, 9.00))
+    val in = MemoryStream[Ev]
+    val q = Streams.quantileAppendStream(in.toDF(), "time", "user_id",
+      "value", store, ledger, ckpt)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val ps = Seq(("p50_c", 50L, 100L), ("p95_c", 95L, 100L))
+    val rows = (x: org.apache.spark.sql.DataFrame) =>
+      x.orderBy("key").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val served = Relational.quantileServe(Relational.quantileSpan(
+      PartitionedStore.readVersion(s, store)), ps)
+    val direct = Relational.quantileServe(Relational.quantileSpan(
+      Relational.quantileDailySketches(
+        (b1 ++ b2).toDF(), "time", "user_id", "value")), ps)
+    assert(rows(served) == rows(direct),
+      "merged streamed partials must equal the whole-corpus build")
+    // restart replay: the same batch id publishes NOTHING the second time
+    val maxId = java.nio.file.Files.list(java.nio.file.Paths.get(ledger))
+      .iterator().asScala.map(_.getFileName.toString.stripPrefix("batch-").toLong)
+      .max
+    val vBefore = PartitionedStore.versions(store)
+    var executed = false
+    val ran = Streams.commitOnce(ledger, maxId) { executed = true }
+    assert(!ran && !executed &&
+      PartitionedStore.versions(store) == vBefore,
+      "a replayed batch id must not re-append sketch rows")
   }
 
   test("rollingWauStream ≡ batch W11 DAU/WAU on real fixture events") {
