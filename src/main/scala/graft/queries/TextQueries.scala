@@ -846,6 +846,42 @@ object TextQueries {
       .orderBy(col("key"))
   }
 
+  /** Equi-depth histogram STATISTICS from the stored sketch — what
+    * `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` persists for a
+    * cost-based optimizer (Spark CBO's equi-height histograms,
+    * selectivity estimation's workhorse): the ten decile boundaries of
+    * the value distribution per key, each the exact crossing rank
+    * ⌈n·k/10⌉ over the SAME stored daily bucket rows the quantile
+    * reads serve from — statistics collection that never scans the
+    * fact table (plan-pinned store-only inputFiles, like the drift
+    * read). d10 is the exact maximum. One stored-rows scan, one
+    * crossing window, ten selections in the same aggregate. */
+  def statsEquidepth(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.PartitionedStore
+    Relational.quantileServe(
+        Relational.quantileSpan(
+          PartitionedStore.readVersion(s, qhStore(s, d))),
+        (1 to 10).map(k => (f"d$k%02d_c", k.toLong, 10L)))
+      .orderBy(col("key"))
+  }
+  val statsEquidepthSql: String = {
+    val sel = (1 to 10).map(k =>
+      f"  MIN(CASE WHEN cum * 10 >= n * $k THEN qc END) AS d$k%02d_c")
+      .mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT event_type AS key, CAST(FLOOR(value * 1e2) AS BIGINT) AS qc
+       |  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+       |), h AS (SELECT key, qc, COUNT(*) AS cnt FROM ev GROUP BY key, qc
+       |), c AS (
+       |  SELECT key, qc,
+       |    CAST(SUM(cnt) OVER (PARTITION BY key ORDER BY qc) AS BIGINT) AS cum,
+       |    CAST(SUM(cnt) OVER (PARTITION BY key) AS BIGINT) AS n
+       |  FROM h)
+       |SELECT key, MAX(n) AS n,
+       |$sel
+       |FROM c GROUP BY key ORDER BY key""".stripMargin
+  }
+
   private def qhSqlBody(evFilter: String): String =
     s"""WITH ev AS (
        |  SELECT event_type AS key, CAST(FLOOR(value * 1e2) AS BIGINT) AS qc,
@@ -1543,6 +1579,7 @@ object TextQueries {
     "sketch_quantile_incremental" -> (sketchQuantileIncremental _),
     "sketch_quantile_drift" -> (sketchQuantileDrift _),
     "sketch_cms_join_size" -> (sketchCmsJoinSize _),
+    "stats_equidepth" -> (statsEquidepth _),
     "sample_fixed_k" -> (sampleFixedK _),
     "sample_systematic_w" -> (sampleSystematicW _),
     "text_hash_embed" -> (textHashEmbed _),
@@ -1585,6 +1622,7 @@ object TextQueries {
     "sketch_quantile_incremental" -> sketchQuantileIncrementalSql,
     "sketch_quantile_drift" -> sketchQuantileDriftSql,
     "sketch_cms_join_size" -> sketchCmsJoinSizeSql,
+    "stats_equidepth" -> statsEquidepthSql,
     "sample_fixed_k" -> sampleFixedKSql,
     "sample_systematic_w" -> sampleSystematicWSql,
     "text_hash_embed" -> textHashEmbedSql,

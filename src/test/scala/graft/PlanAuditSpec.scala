@@ -407,7 +407,8 @@ class PlanAuditSpec extends AnyFunSuite {
   test("sketch_quantile_span/drift: serve reads ONLY stored histogram " +
     "rows — the fact table never re-enters the plan; crossing windows " +
     "are key-partitioned") {
-    for (q <- Seq("sketch_quantile_span", "sketch_quantile_drift")) {
+    for (q <- Seq("sketch_quantile_span", "sketch_quantile_drift",
+                  "stats_equidepth")) {
       val df = SparkEntry.queries(q)(spark, d)
       val p = df.queryExecution.executedPlan.toString
       // the whole point of the stored sketch: span percentiles answer

@@ -266,6 +266,37 @@ class Scd2RollupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("negative value"), e.getMessage)
   }
 
+  test("quantileServe: crossing selection == naive expanded-rank " +
+    "reference on seeded random histograms (incl. ties and p100)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val ps = Seq(("p25", 25L, 100L), ("p50", 50L, 100L),
+      ("p75", 75L, 100L), ("p100", 100L, 100L))
+    (0 until 10).foreach { _ =>
+      val rows = (0 until (1 + rnd.nextInt(4))).flatMap { k =>
+        (0 until (1 + rnd.nextInt(8))).map(_ =>
+          (s"k$k", rnd.nextInt(20).toLong, 1L + rnd.nextInt(5)))
+      }
+      val hist = rows.toDF("key", "qc", "cnt")
+        .groupBy("key", "qc").agg(sum("cnt").as("cnt"))
+      val got = Relational.quantileServe(hist, ps).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      rows.groupBy(_._1).foreach { case (k, rs) =>
+        val expanded = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+          .toSeq.flatMap { case (qc, c) => Seq.fill(c.toInt)(qc) }.sorted
+        val n = expanded.size.toLong
+        def q(num: Long, den: Long): Long =
+          expanded(((n * num + den - 1) / den - 1).toInt)
+        val (gn, p25, p50, p75, p100) = got(k)
+        assert(gn == n && p25 == q(25, 100) && p50 == q(50, 100) &&
+          p75 == q(75, 100) && p100 == expanded.last,
+          s"key $k: got ${got(k)} vs naive ranks over $expanded")
+      }
+    }
+  }
+
   test("quantile sketch stored lifecycle: daily histograms committed + " +
     "appended re-aggregate to the whole build; spans answer from stored " +
     "rows; time travel") {
