@@ -449,6 +449,47 @@ object TimeSeries {
         col("var_den"))
   }
 
+  /** Cross-metric covariance of two DAILY series per key, exact — the
+    * elasticity read ("does revenue move with activity?") emitted as
+    * integer rationals so no sqrt or float division ever runs: per
+    * (key, day) the cents value total `a` and the event count `b`
+    * aggregate from raw rows ONCE, both center by their per-key integer
+    * means (sum DIV n — non-negative operands, engine-portable), and
+    * the output is (n_days, cov_num = Σãb̃, var_a = Σã², var_b = Σb̃²)
+    * — the consumer forms r = cov/√(var_a·var_b) if it wants the
+    * normalized value; the SIGN and any cross-key comparison read
+    * directly off the rationals. Same cents-not-micros quantum choice
+    * as [[acfDaily]] (residual PRODUCTS square the quantum; cents keep
+    * ~10¹² per-term magnitudes — far inside long at 10⁴× this volume,
+    * beyond that widen to DECIMAL(38,0)). Residual products see
+    * negative operands — multiplication only, never DIV (the
+    * cross-engine hazard). Two aggregations over the tiny (key × day)
+    * table after the one raw scan. Output: (key, n_days, cov_num,
+    * var_a, var_b). */
+  def xcorrDaily(df: DataFrame, keyCol: String, tsCol: String,
+                 valCol: String): DataFrame = {
+    val qcents = when(col(valCol) < 0, raise_error(concat(
+      lit("TimeSeries: negative value breaks cross-engine DIV parity "),
+      lit("(Spark truncates, DuckDB floors) — got "),
+      col(valCol).cast("string"))))
+      .otherwise(floor(col(valCol) * lit(1e2)).cast("long"))
+    val daily = df.groupBy(col(keyCol).as("key"),
+        to_date(col(tsCol)).as("day"))
+      .agg(sum(qcents).as("a"), count(lit(1)).as("b"))
+    val means = daily.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("sum(a) DIV count(1)").as("ma"),
+        expr("sum(b) DIV count(1)").as("mb"))
+    daily.join(broadcast(means), Seq("key"))
+      .groupBy(col("key"), col("n_days"))
+      .agg(sum((col("a") - col("ma")) * (col("b") - col("mb")))
+          .as("cov_num"),
+        sum((col("a") - col("ma")) * (col("a") - col("ma"))).as("var_a"),
+        sum((col("b") - col("mb")) * (col("b") - col("mb"))).as("var_b"))
+      .select(col("key"), col("n_days"), col("cov_num"), col("var_a"),
+        col("var_b"))
+  }
+
   /** Holt double-exponential smoothing (level + trend) of daily totals,
     * kept integer-exact — the one-step forecaster [[ewmaDaily]] cannot
     * be: EWMA's single state lags a trending series by construction;

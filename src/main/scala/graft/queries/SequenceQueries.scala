@@ -362,6 +362,57 @@ object SequenceQueries {
        |  FROM t)
        |SELECT * FROM c WHERE cum_tokens <= $TokenBudget ORDER BY doc_id""".stripMargin
 
+  /** Token-budget selection under SOFT dedup — the two operators
+    * composed into the read a curator actually runs: a document's
+    * budget cost is its weighted tokens n_tokens·weight_ppm (a member
+    * of a 4-doc cluster costs a quarter of its length — the cluster as
+    * a whole costs one copy), so against the same quality order the
+    * admitted set stretches exactly where the corpus repeats itself,
+    * without dropping any doc outright. Same two-phase group-cumsum
+    * plan as `budget_select` ([[graft.operators.Mix.budgetSelect]] —
+    * no full-corpus sort); the weight join is the broadcast-size
+    * cluster table. Budget stated in ppm-tokens (budget·10⁶) so the
+    * arithmetic stays integer end to end. */
+  def budgetSelectWeighted(s: SparkSession, d: String): DataFrame = {
+    val t = split(trim(col("text")), " ")
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      size(array_distinct(t)).cast("long").as("score"),
+      size(t).cast("long").as("n_tokens"))
+    val weights = dedupSoftWeights(s, d)
+      .select(col("doc_id"), col("weight_ppm"))
+    val wd = docs.join(weights, "doc_id")
+      .withColumn("w_tokens", col("n_tokens") * col("weight_ppm"))
+    Mix.budgetSelect(wd, "doc_id", "source", "score", "w_tokens",
+        TokenBudget * 1000000L)
+      .select(col("doc_id"), col("source"), col("score"), col("n_tokens"),
+        col("weight_ppm"), col("cum_tokens").as("cum_w_tokens"))
+      .orderBy(col("doc_id"))
+  }
+  // lazy: dupGraphCtes/reachCte are declared further down the object —
+  // an eager val here would interpolate their still-null references
+  lazy val budgetSelectWeightedSql: String =
+    s"""WITH RECURSIVE $dupGraphCtes, $reachCte,
+       |lbl AS (SELECT id, MIN(lbl) AS rep FROM reach GROUP BY id),
+       |sz AS (SELECT rep, COUNT(*) AS cluster_size FROM lbl GROUP BY rep),
+       |wt AS (
+       |  SELECT l.id AS doc_id,
+       |    CAST(1000000 // sz.cluster_size AS BIGINT) AS weight_ppm
+       |  FROM lbl l JOIN sz ON sz.rep = l.rep),
+       |t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT) AS score,
+       |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT t.doc_id, source, score, n_tokens, wt.weight_ppm,
+       |    CAST(SUM(n_tokens * wt.weight_ppm) OVER (
+       |      PARTITION BY source ORDER BY score DESC, t.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_w_tokens
+       |  FROM t JOIN wt ON wt.doc_id = t.doc_id)
+       |SELECT * FROM c WHERE cum_w_tokens <= ${TokenBudget * 1000000L}
+       |ORDER BY doc_id""".stripMargin
+
   // ---- near-dup clusters: pairs → components → canonical doc ---------------
   /** Edges = exact-dup pairs (md5) ∪ MinHash-verified near-dup pairs
     * (jaccard ≥ 0.5); components by min-label propagation; canonical =
@@ -941,6 +992,7 @@ object SequenceQueries {
     "shuffle_shards" -> (shuffleShards _),
     "mix_epochs" -> (mixEpochs _),
     "budget_select" -> (budgetSelect _),
+    "budget_select_weighted" -> (budgetSelectWeighted _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_soft_weights" -> (dedupSoftWeights _),
     "dedup_clusters_incremental" -> (dedupClustersIncremental _),
@@ -962,6 +1014,7 @@ object SequenceQueries {
     "shuffle_shards" -> shuffleShardsSql,
     "mix_epochs" -> mixEpochsSql,
     "budget_select" -> budgetSelectSql,
+    "budget_select_weighted" -> budgetSelectWeightedSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_soft_weights" -> dedupSoftWeightsSql,
     "dedup_clusters_incremental" -> dedupClustersSql,

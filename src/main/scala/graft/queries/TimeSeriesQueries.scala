@@ -326,6 +326,33 @@ object TimeSeriesQueries {
     * peak, and centering by the integer mean keeps every product in
     * long range (raw Σx·Σy would overflow). Lag pairs are day-distance
     * based; calendar gaps simply yield no pair. */
+  /** Cross-metric covariance rationals per key: does daily revenue
+    * move with daily activity ([[TimeSeries.xcorrDaily]])? Integer
+    * (cov_num, var_a, var_b) — normalization left to the reader, sign
+    * and comparisons exact. */
+  def tsXcorr(s: SparkSession, d: String): DataFrame =
+    TimeSeries.xcorrDaily(Tables.events(s, d), "event_type", "ts", "value")
+      .orderBy(col("key"))
+
+  val tsXcorrSql: String =
+    """WITH d AS (
+      |  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+      |         CAST(SUM(CAST(FLOOR(value * 1e2) AS BIGINT)) AS BIGINT) AS a,
+      |         COUNT(*) AS b
+      |  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+      |  GROUP BY key, day
+      |), m AS (
+      |  SELECT key, COUNT(*) AS n_days,
+      |         CAST(SUM(a) AS BIGINT) // COUNT(*) AS ma,
+      |         CAST(SUM(b) AS BIGINT) // COUNT(*) AS mb
+      |  FROM d GROUP BY key)
+      |SELECT d.key AS key, m.n_days,
+      |  CAST(SUM((a - ma) * (b - mb)) AS BIGINT) AS cov_num,
+      |  CAST(SUM((a - ma) * (a - ma)) AS BIGINT) AS var_a,
+      |  CAST(SUM((b - mb) * (b - mb)) AS BIGINT) AS var_b
+      |FROM d JOIN m ON m.key = d.key
+      |GROUP BY d.key, m.n_days ORDER BY key""".stripMargin
+
   def tsAcf(s: SparkSession, d: String): DataFrame =
     TimeSeries.acfDaily(Tables.events(s, d), "event_type", "ts", "value",
         7, "2024-01-01")
@@ -495,6 +522,7 @@ object TimeSeriesQueries {
     "ts_cusum" -> (tsCusum _),
     "ts_holt" -> (tsHolt _),
     "ts_acf" -> (tsAcf _),
+    "ts_xcorr" -> (tsXcorr _),
     "ts_trend" -> (tsTrend _),
     "ts_mk_trend" -> (tsMkTrend _))
 
@@ -511,6 +539,7 @@ object TimeSeriesQueries {
     "ts_cusum" -> tsCusumSql,
     "ts_holt" -> tsHoltSql,
     "ts_acf" -> tsAcfSql,
+    "ts_xcorr" -> tsXcorrSql,
     "ts_trend" -> tsTrendSql,
     "ts_mk_trend" -> tsMkTrendSql)
 }

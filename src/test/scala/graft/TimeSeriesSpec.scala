@@ -194,6 +194,31 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out(2) == (Some(7000000L), true))
   }
 
+  test("xcorrDaily: exact rationals — a perfectly tracking pair attains " +
+    "cov² = var_a·var_b; an inverse pair flips the sign; driver replay") {
+    val s = spark
+    import s.implicits._
+    // pos: value total and event count rise together (a=100,200,300;
+    // b=1,2,3) — perfect correlation. neg: value falls as count rises
+    // (a=400,300,200; b=1,2,4).
+    val rows =
+      (1 to 1).map(i => (i.toLong, ts("2024-01-01 01:00:00"), "pos", 1.0)) ++
+      (1 to 2).map(i => (10 + i.toLong, ts("2024-01-02 01:00:00"), "pos", 1.0)) ++
+      (1 to 3).map(i => (20 + i.toLong, ts("2024-01-03 01:00:00"), "pos", 1.0)) ++
+      Seq((31L, ts("2024-01-01 02:00:00"), "neg", 4.0)) ++
+      (1 to 2).map(i => (40 + i.toLong, ts("2024-01-02 02:00:00"), "neg", 1.5)) ++
+      (1 to 4).map(i => (50 + i.toLong, ts("2024-01-03 02:00:00"), "neg", 0.5))
+    val out = TimeSeries.xcorrDaily(
+        rows.toDF("event_id", "ts", "key", "value"), "key", "ts", "value")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // pos: ma=200, mb=2 → residuals a (-100,0,100), b (-1,0,1)
+    assert(out("pos") == (3L, 200L, 20000L, 2L))
+    assert(200L * 200L == 20000L * 2L, "perfect tracking: cov^2 = va*vb")
+    // neg: ma=300, mb=7/3 DIV = 2 → a (100,0,-100), b (-1,0,2)
+    assert(out("neg") == (3L, -300L, 20000L, 5L))
+  }
+
   test("maxDays envelope guard: the quadratic prefix-fold ops raise on a " +
     "key exceeding the day bound; within-bound keys are untouched") {
     val s = spark
