@@ -79,12 +79,24 @@ object Mix {
     * whole group to one task. Output: (grpCol, idCol, h, rank 1..k by
     * (h, id)). */
   def sampleFixedK(df: DataFrame, grpCol: String, idCol: String,
-                   textCol: String, k: Int): DataFrame = {
+                   textCol: String, k: Int): DataFrame =
+    bottomKByHash(df.select(col(grpCol), col(idCol),
+      sampleHash(col(textCol)).as("h")), grpCol, idCol, "h", k)
+
+  /** The bottom-k core of [[sampleFixedK]] over PRE-hashed rows — the
+    * serving half of the streaming sample leg, where candidates arrive
+    * from a store instead of being hashed in-plan. Because bottom-k is
+    * MIN-OF-UNION algebra (k smallest of a union = k smallest of the
+    * per-part k-smallest), re-ranking stored per-batch candidates is
+    * exactly the whole-corpus sample — and a verbatim re-delivered
+    * candidate set is absorbed by the distinct the caller applies.
+    * Same bounded CollectTopK plan: ≤ partitions×k rows shuffle,
+    * no per-group sort. */
+  def bottomKByHash(hashed: DataFrame, grpCol: String, idCol: String,
+                    hCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.graftExpr
     import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
-    val hashed = df.select(col(grpCol), col(idCol),
-      sampleHash(col(textCol)).as("h"))
-    val key = struct(col("h"), col(idCol))
+    val key = struct(col(hCol).as("h"), col(idCol))
     val topk = graftExpr.column(
       new CollectTopK(graftExpr.expression(key), k, true).toAggregateExpression())
     hashed.groupBy(col(grpCol))

@@ -1097,6 +1097,44 @@ object TextQueries {
        |  string_agg(CAST(tokid AS VARCHAR), ',' ORDER BY pos) AS ids_csv
        |FROM joined GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Tokenizer-health read per domain: what fraction of each source's
+    * token stream falls OUTSIDE the trained top-v vocabulary — the
+    * OOV-rate dashboard that tells you a domain's text is drifting away
+    * from the tokenizer (rising oov_ppm on one source = retrain or
+    * re-mix signal). Same bounded top-v vocab selection as
+    * `tokenize_ids` (no window over the full token table; the v-row
+    * vocab BROADCASTS into the token join), one exploded scan, pure
+    * integer ppm. Output: (source, n_tokens, n_oov, oov_ppm). */
+  def vocabOovByDomain(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val vocab = TextAnalysis.vocabTable(docs, "text", VocabV)
+      .select(col("token"))
+    val tok = docs.select(col("source"),
+      explode(split(trim(col("text")), " ")).as("t"))
+    tok.join(broadcast(vocab), tok("t") === vocab("token"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("token").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+      .orderBy(col("source"))
+  }
+  val vocabOovByDomainSql: String =
+    s"""WITH cnt AS (
+       |  SELECT t, COUNT(*) AS cnt
+       |  FROM (SELECT unnest(string_split(trim(text), ' ')) AS t FROM documents) x GROUP BY t
+       |), voc AS (
+       |  SELECT t AS token, CAST(row_number() OVER (ORDER BY cnt DESC, t) - 1 AS BIGINT) AS id
+       |  FROM cnt QUALIFY id < $VocabV
+       |), tok AS (
+       |  SELECT source, unnest(string_split(trim(text), ' ')) AS t FROM documents
+       |), j AS (
+       |  SELECT source, CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM tok LEFT JOIN voc v ON tok.t = v.token)
+       |SELECT source, COUNT(*) AS n_tokens,
+       |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+       |  CAST(SUM(oov) * 1000000 AS BIGINT) // COUNT(*) AS oov_ppm
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   // ---- commonness score: integer-only perplexity proxy ---------------------
   /** Per-doc mean corpus document-frequency of its distinct tokens — the
     * perplexity-style "how surprising is this doc" scorer WITHOUT
@@ -1580,6 +1618,7 @@ object TextQueries {
     "sketch_quantile_drift" -> (sketchQuantileDrift _),
     "sketch_cms_join_size" -> (sketchCmsJoinSize _),
     "stats_equidepth" -> (statsEquidepth _),
+    "vocab_oov_by_domain" -> (vocabOovByDomain _),
     "sample_fixed_k" -> (sampleFixedK _),
     "sample_systematic_w" -> (sampleSystematicW _),
     "text_hash_embed" -> (textHashEmbed _),
@@ -1623,6 +1662,7 @@ object TextQueries {
     "sketch_quantile_drift" -> sketchQuantileDriftSql,
     "sketch_cms_join_size" -> sketchCmsJoinSizeSql,
     "stats_equidepth" -> statsEquidepthSql,
+    "vocab_oov_by_domain" -> vocabOovByDomainSql,
     "sample_fixed_k" -> sampleFixedKSql,
     "sample_systematic_w" -> sampleSystematicWSql,
     "text_hash_embed" -> textHashEmbedSql,

@@ -905,6 +905,42 @@ object Streams {
     }
   }
 
+  /** Streaming maintenance of the deterministic fixed-k sample
+    * (`sample_fixed_k`'s nightly-delta loop) through the SAME
+    * idempotent-algebra discipline as the KMV leg — no ledger needed:
+    * each micro-batch reduces to its per-group bottom-k CANDIDATE rows
+    * ([[graft.operators.Mix.sampleFixedK]] on the batch alone — ≤
+    * groups×k narrow rows per batch, never batch payloads) and appends
+    * them as a store version; serving re-ranks the DISTINCT stored
+    * candidates ([[graft.operators.Mix.bottomKByHash]]). k-smallest is
+    * min-of-union algebra: the union's k smallest hashes are always
+    * among the per-batch k smallest, so serve ≡ the whole-corpus
+    * sample bit for bit, and a verbatim re-delivered batch adds only
+    * rows the distinct absorbs — replay-safe at SERVING time, the KMV
+    * convergence argument applied to sampled ROWS instead of hashes. */
+  def sampleAppendStream(stream: DataFrame, grpCol: String, idCol: String,
+                         textCol: String, k: Int, storePath: String,
+                         checkpointDir: String): StreamingQuery =
+    indexAppendStream(stream, checkpointDir) { (_, batch) =>
+      val cand = graft.operators.Mix
+        .sampleFixedK(batch, grpCol, idCol, textCol, k)
+        .select(col(grpCol), col(idCol), col("h"))
+      import graft.sources.PartitionedStore
+      if (PartitionedStore.versions(storePath).isEmpty)
+        PartitionedStore.commitVersion(cand, storePath)
+      else PartitionedStore.commitVersion(cand, storePath, append = true)
+      ()
+    }
+
+  /** Serving read for [[sampleAppendStream]]'s store: distinct stored
+    * candidates re-ranked to the global per-group bottom-k. */
+  def sampleServe(spark: org.apache.spark.sql.SparkSession,
+                  storePath: String, grpCol: String, idCol: String,
+                  k: Int): DataFrame =
+    graft.operators.Mix.bottomKByHash(
+      graft.sources.PartitionedStore.readVersion(spark, storePath).distinct(),
+      grpCol, idCol, "h", k)
+
   /** Streaming maintenance of the stored quantile-histogram sketch
     * ([[graft.operators.Relational.quantileDailySketches]]): each
     * micro-batch's (day, key, qc, cnt) partials append as a new store

@@ -1007,6 +1007,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == Set((3L, 7.0), (1L, 8.0)))
   }
 
+  test("sampleAppendStream: per-batch bottom-k candidates re-rank to the " +
+    "whole-corpus sample; a verbatim re-delivered batch is absorbed") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import graft.operators.Mix
+    val store = java.nio.file.Files.createTempDirectory("smp_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("smp_ckpt").toString
+    def doc(i: Long) = SampleDoc(i, if (i % 2 == 0) "a" else "b", s"text body $i")
+    val b1 = (1L to 10L).map(doc)
+    val b2 = (11L to 20L).map(doc)
+    val in = MemoryStream[SampleDoc]
+    val q = Streams.sampleAppendStream(in.toDF(), "source", "doc_id",
+      "text", 3, store, ckpt)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    in.addData(b1: _*); q.processAllAvailable() // verbatim re-delivery
+    q.stop()
+    val rows = (x: org.apache.spark.sql.DataFrame) =>
+      x.orderBy("source", "rank").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSeq
+    val served = Streams.sampleServe(s, store, "source", "doc_id", 3)
+    val batch = Mix.sampleFixedK((b1 ++ b2).toDF(), "source", "doc_id",
+      "text", 3)
+    assert(rows(served) == rows(batch),
+      "served sample must equal the whole-corpus bottom-k despite replay")
+    // the store demonstrably HOLDS the duplicate candidate rows — it is
+    // the serving algebra, not dedup-on-write, that absorbs them
+    val stored = graft.sources.PartitionedStore.readVersion(s, store)
+    assert(stored.count() > stored.distinct().count(),
+      "replayed candidates should be physically present pre-distinct")
+  }
+
   test("indexAppendStream + KMV set algebra: replayed sketch batches " +
     "converge by algebra alone (no ledger); serve ≡ whole-corpus build") {
     val s = spark
@@ -1202,6 +1236,7 @@ class StreamingSpec extends AnyFunSuite {
 /** Top-level (not inner) so Spark can construct instances without an
   * outer-class scope when the MemoryStream round-trips it. */
 case class Ev(user_id: Long, time: Timestamp, event_id: Long, value: Double)
+case class SampleDoc(doc_id: Long, source: String, text: String)
 case class LshDoc(doc_id: Long, text: String)
 case class IvfVec(vec_id: Long, embedding: Array[Float])
 case class KmvEvt(ts: Timestamp, uk: String)
