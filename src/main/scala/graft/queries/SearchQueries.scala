@@ -67,6 +67,34 @@ object SearchQueries {
        |  FROM scored) t
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  /** METADATA-FILTERED retrieval — the ubiquitous production read base
+    * BM25 cannot express ("search only the wiki sources" / per-tenant
+    * search): the corpus restricts to a source predicate and ALL
+    * collection statistics (n_docs, avgdl, every df) shift to the
+    * filtered corpus — post-filter scoring, exactly what a per-tenant
+    * index serves; scoring the full corpus and filtering afterwards
+    * would rank by the wrong idf. Query docs stay pinned in-corpus so
+    * the self-exclusion semantics match the base query. The oracle is
+    * DERIVED from [[searchBm25Sql]] by rewriting both corpus
+    * occurrences (the same can-never-drift discipline as
+    * [[searchBm25DeletedSql]]). At 100 TB the filter composes with the
+    * term-bucketed stored index: bucket pruning on terms × partition
+    * pruning on the metadata column. */
+  private val FilterPred = s"source <= 'm' OR doc_id < $NQ"
+
+  def searchBm25Filtered(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(col("source") <= "m" || col("doc_id") < NQ)
+    Search.bm25TopK(docs,
+        docs.filter(col("doc_id") < NQ)
+          .select(col("doc_id").as("query_id"), col("text").as("qtext")),
+        "doc_id", "text", "query_id", "qtext", K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  val searchBm25FilteredSql: String = searchBm25Sql.replace(
+    "FROM documents",
+    s"FROM (SELECT * FROM documents WHERE $FilterPred) documents")
+
   // ---- BM25 against the materialized inverted index -------------------------
   /** Identical results to search_bm25 through the SERVING path: the
     * inverted index (term-bucketed postings + per-doc lengths + corpus
@@ -427,6 +455,7 @@ object SearchQueries {
   val defs: Map[String, Q] = Map(
     "search_phrase" -> (searchPhrase _),
     "search_bm25_deleted" -> (searchBm25Deleted _),
+    "search_bm25_filtered" -> (searchBm25Filtered _),
     "search_bm25" -> (searchBm25 _),
     "search_bm25_indexed" -> (searchBm25Indexed _),
     "search_bm25_prf" -> (searchBm25Prf _),
@@ -437,6 +466,7 @@ object SearchQueries {
   val oracle: Map[String, String] = Map(
     "search_phrase" -> searchPhraseSql,
     "search_bm25_deleted" -> searchBm25DeletedSql,
+    "search_bm25_filtered" -> searchBm25FilteredSql,
     "search_bm25" -> searchBm25Sql,
     // the index is pure I/O layout — semantics ARE search_bm25's
     "search_bm25_indexed" -> searchBm25Sql,
