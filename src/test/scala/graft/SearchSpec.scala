@@ -269,6 +269,47 @@ class SearchSpec extends AnyFunSuite {
       == rows(direct), "retention must not change any answer")
   }
 
+  test("bm25IndexTopKFiltered: one index serves a metadata filter with " +
+    "post-filter statistics — bit-identical to BM25 over the filtered " +
+    "corpus, and provably NOT score-then-filter") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(77)
+    val vocab = Array.tabulate(30)(i => s"t$i")
+    val docs = (0L until 80L).map { id =>
+      (id, Seq.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "), if (id % 3 == 0) "keep" else "drop")
+    }.toDF("doc_id", "text", "src")
+    val qs = docs.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    val allowed = docs.filter(col("src") === "keep" || col("doc_id") < 2)
+      .select(col("doc_id"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bm25_filt").toString
+    Search.writeBm25Index(docs, "doc_id", "text", path, nBuckets = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq
+    val served = rows(Search.bm25IndexTopKFiltered(s, path, qs, allowed,
+      "doc_id", "query_id", "qtext", 5))
+    val reference = rows(Search.bm25TopK(
+      docs.join(allowed, Seq("doc_id"), "left_semi"), qs,
+      "doc_id", "text", "query_id", "qtext", 5))
+    assert(served == reference,
+      "filtered serve must equal BM25 over the pre-filtered corpus")
+    // and the idf hazard is REAL on this fixture: scoring the full
+    // corpus then filtering yields a different panel (different scores
+    // at minimum — stats saw 80 docs instead of the filtered subset)
+    val wrongWay = rows(Search.bm25IndexTopK(s, path, qs,
+        "doc_id", "query_id", "qtext", 80)
+      .join(allowed, Seq("doc_id"), "left_semi")
+      .filter(col("rank") <= 5))
+    assert(wrongWay.map(t => (t._1, t._2, t._3)) !=
+      served.map(t => (t._1, t._2, t._3)),
+      "score-then-filter must be observably different (wrong idf)")
+  }
+
   test("bm25 index: a torn append never serves; re-delivered ids are idempotent") {
     val s = spark
     import s.implicits._
