@@ -254,10 +254,32 @@ object Similarity {
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCentroids: Int,
-              nProbe: Int): DataFrame = {
+              nProbe: Int): DataFrame =
+    ivfServe(corpus, queries, idCol, vecCol, k, nCentroids, nProbe, None)
+
+  /** [[ivfTopK]] under a METADATA filter — filtered vector search, the
+    * ANN twin of `Search.bm25IndexTopKFiltered`: the INDEX (seeded
+    * centroids + cell assignments) is built from the FULL corpus —
+    * filtering before indexing would move the centroids and give every
+    * tenant a different, unshareable quantizer — and the allowed-id
+    * frame semi-joins the CELL table, so candidates restrict after cell
+    * pruning and before scoring (post-filter ANN, the one-index-serves-
+    * every-filter deployment). Probe cost is unchanged; candidate cost
+    * shrinks with the filter's selectivity. */
+  def ivfTopKFiltered(corpus: DataFrame, queries: DataFrame,
+                      allowed: DataFrame, idCol: String, vecCol: String,
+                      k: Int, nCentroids: Int, nProbe: Int): DataFrame =
+    ivfServe(corpus, queries, idCol, vecCol, k, nCentroids, nProbe,
+      Some(allowed))
+
+  private def ivfServe(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int, nCentroids: Int, nProbe: Int,
+                       allowed: Option[DataFrame]): DataFrame = {
     val cents = seedCentroids(corpus, idCol, vecCol, nCentroids)
-    val cells = nearestCells(corpus.select(col(idCol), col(vecCol)),
+    val cells0 = nearestCells(corpus.select(col(idCol), col(vecCol)),
       cents, idCol, vecCol, keep = 1)
+    val cells = allowed.fold(cells0)(a =>
+      cells0.join(a.select(col(idCol)), Seq(idCol), "left_semi"))
     val probes = nearestCells(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("q_vec")), cents, "query_id", "q_vec", keep = nProbe)
     val scored = cells.join(broadcast(probes), "cell")

@@ -200,6 +200,25 @@ object SimilarityQueries {
        |  FROM pairs) t
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  /** FILTERED vector search ([[Similarity.ivfTopKFiltered]]): the same
+    * seeded quantizer and cell assignments as `sim_ivf_topk` — the
+    * index is built from the full corpus, because filtering first would
+    * move the centroids and give every tenant a different quantizer —
+    * with candidates restricted to the allowed residue class after
+    * cell pruning (post-filter ANN). Oracle DERIVED from the base IVF
+    * SQL by adding the filter to the candidate join alone, so index
+    * construction can never drift between the two. */
+  def simIvfFiltered(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopKFiltered(emb, emb.filter(col("vec_id") < NQ),
+        emb.filter(col("vec_id") % 3 =!= 1).select(col("vec_id")),
+        "vec_id", "embedding", K, NCent, NProbe)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  val simIvfFilteredSql: String = simIvfTopkSql.replace(
+    "FROM cells e JOIN probes p ON e.cell = p.cell AND e.vec_id <> p.query_id",
+    "FROM cells e JOIN probes p ON e.cell = p.cell AND e.vec_id <> p.query_id AND e.vec_id % 3 <> 1")
+
   // ---- k-means refinement step for the IVF coarse quantizer ----------------
   /** One Lloyd iteration over 1e-6-quantized coordinates — integer-exact
     * sums make the centroids independent of partitioning/summation order
@@ -510,6 +529,7 @@ object SimilarityQueries {
     "mine_hard_negatives" -> (mineHardNegatives _),
     "sim_lsh_topk" -> (simLshTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
+    "sim_ivf_filtered" -> (simIvfFiltered _),
     "sim_kmeans_refine" -> (simKmeansRefine _),
     "dedup_embedding_pairs" -> (dedupEmbeddingPairs _))
 
@@ -525,6 +545,7 @@ object SimilarityQueries {
     "mine_hard_negatives" -> mineHardNegativesSql,
     "sim_lsh_topk" -> simLshTopkSql,
     "sim_ivf_topk" -> simIvfTopkSql,
+    "sim_ivf_filtered" -> simIvfFilteredSql,
     "sim_kmeans_refine" -> simKmeansRefineSql,
     "dedup_embedding_pairs" -> dedupEmbeddingPairsSql)
 }
