@@ -587,7 +587,10 @@ object InventoryQueries2 {
     * ~43k/month) rather than by users, so the single-key crossing
     * window stays calendar-bounded at any corpus size. All integer:
     * micros difference, integer div, crossing ranks. Output: one row
-    * (n_converted, p50_m, p90_m). */
+    * (n_converted, p50_m, p90_m) — or ZERO rows on a corpus with no
+    * conversions (the Spark groupBy vanishes on empty input while a
+    * bare SQL aggregate would emit one NULL row; the oracle's outer
+    * IS NOT NULL filter pins both engines to the zero-row form). */
   def funnelTtc(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val c0 = ev.filter(col("event_type") === "click")
@@ -622,10 +625,12 @@ object InventoryQueries2 {
        |  SELECT qc, CAST(SUM(cnt) OVER (ORDER BY qc) AS BIGINT) AS cum,
        |         CAST(SUM(cnt) OVER () AS BIGINT) AS n
        |  FROM h)
-       |SELECT MAX(n) AS n_converted,
-       |  MIN(CASE WHEN cum * 100 >= n * 50 THEN qc END) AS p50_m,
-       |  MIN(CASE WHEN cum * 100 >= n * 90 THEN qc END) AS p90_m
-       |FROM cum""".stripMargin
+       |SELECT * FROM (
+       |  SELECT MAX(n) AS n_converted,
+       |    MIN(CASE WHEN cum * 100 >= n * 50 THEN qc END) AS p50_m,
+       |    MIN(CASE WHEN cum * 100 >= n * 90 THEN qc END) AS p90_m
+       |  FROM cum)
+       |WHERE n_converted IS NOT NULL""".stripMargin
 
   // ---- A22: GROUPING SETS over a NULLABLE key (grouping() disambiguates) ---
   /** The semantic edge A15/A21 dodge by grouping NOT-NULL columns: when

@@ -882,11 +882,19 @@ object TextQueries {
        |FROM c GROUP BY key ORDER BY key""".stripMargin
   }
 
+  // the Spark side raises in-plan on a negative value (the non-negative
+  // bucket contract); the oracle must fail the SAME way, not silently
+  // compute a negative bucket — error() mirrors the raise_error
   private def qhSqlBody(evFilter: String): String =
-    s"""WITH ev AS (
+    s"""WITH ev0 AS (
        |  SELECT event_type AS key, CAST(FLOOR(value * 1e2) AS BIGINT) AS qc,
        |         CAST(ts AS DATE) AS day
        |  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+       |), ev AS (
+       |  SELECT key, CASE WHEN qc < 0
+       |                   THEN CAST(error('quantile: negative value') AS BIGINT)
+       |                   ELSE qc END AS qc, day
+       |  FROM ev0
        |), mx AS (SELECT MAX(day) AS max_day FROM ev
        |), f AS (SELECT key, qc FROM ev, mx WHERE $evFilter
        |), h AS (SELECT key, qc, COUNT(*) AS cnt FROM f GROUP BY key, qc

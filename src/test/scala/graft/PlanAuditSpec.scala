@@ -454,6 +454,16 @@ class PlanAuditSpec extends AnyFunSuite {
       p.linesIterator.filter(_.contains("PushedFilters")).mkString)
   }
 
+  test("search_bm25_filtered_indexed: the metadata filter composes with " +
+    "bucket pruning — postings partitions still prune to the query's " +
+    "term buckets") {
+    val df = SparkEntry.queries("search_bm25_filtered_indexed")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("bucket"),
+      s"term-bucket IN-list must survive the filter as a partition filter:\n$pf")
+  }
+
   test("global sweep: no query plans an unbroadcast cartesian product") {
     // crossJoin against a broadcast side plans as BroadcastNestedLoopJoin
     // (fine — one side is tiny by construction); a CartesianProduct node
