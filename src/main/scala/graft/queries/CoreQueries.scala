@@ -295,6 +295,57 @@ object CoreQueries {
       |  CAST(SUM(qvalue >> LEAST(week_offset, 62)) AS BIGINT) AS decayed_qvalue
       |FROM m GROUP BY cohort_week ORDER BY cohort_week""".stripMargin
 
+  /** Major COMPACTION served through the graded gate — the last store
+    * verb that was spec-only (commit/append/restore/delete-rows already
+    * grade): a month of small nightly append commits collapses into ONE
+    * re-clustered data dir via the copy-on-write rewrite commit, and
+    * the head read afterwards must be byte-for-byte the same CONTENT
+    * (the oracle recomputes it from source — a compaction that drops,
+    * duplicates, or mutates rows hash-mismatches). The construction
+    * asserts the physical claim the oracle can't see: the pre-compact
+    * manifest really held the four append dirs, the post-compact
+    * manifest exactly one, and pre-compact history still time-travels.
+    * At 100 TB compaction is what keeps file count — scan tasks, open()
+    * round-trips, footer reads — from growing with APPEND COUNT while
+    * content stays fixed. */
+  private val snapCompactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def snapshotCompact(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.PartitionedStore
+    val docs = Tables.documents(s, d)
+    val path = snapCompactCache.computeIfAbsent(d, _ => {
+      val p = graft.Scratch.dir("graft_snapcompact")
+      PartitionedStore.commitVersion(
+        docs.filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id"), col("n_chars")), p)
+      (1 to 3).foreach { r =>
+        PartitionedStore.commitVersion(
+          docs.filter(col("doc_id") % 4 === r)
+            .select(col("doc_id"), col("n_chars")), p, append = true)
+      }
+      val pre = PartitionedStore.versions(p).last
+      require(PartitionedStore.versionDirs(p, pre).size == 4,
+        "fixture must accumulate four append dirs before compaction")
+      val cv = PartitionedStore.compactVersion(s, p)
+      require(PartitionedStore.versionDirs(p, cv).size == 1,
+        "compaction must collapse the manifest to one data dir")
+      require(PartitionedStore.readVersion(s, p, Some(pre)).count() ==
+        PartitionedStore.readVersion(s, p, Some(cv)).count(),
+        "pre-compact history must still time-travel")
+      p
+    })
+    PartitionedStore.readVersion(s, path) // head = the compacted rewrite
+      .groupBy((col("doc_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("bucket"))
+  }
+  val snapshotCompactSql: String =
+    """SELECT doc_id % 10 AS bucket, count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** 2-D rectangle scan over a Z-ORDER layout served through the graded
     * gate (previously spec-only): events land once in a Morton-bucketed
     * store — partition dirs keyed on the interleave of (user_id, value)
@@ -661,6 +712,7 @@ object CoreQueries {
     "snapshot_delete_rows" -> (snapshotDeleteRows _),
     "snapshot_delete_audit" -> (snapshotDeleteAudit _),
     "o9_zorder_scan" -> (o9ZorderScan _),
+    "snapshot_compact" -> (snapshotCompact _),
     "skew_join_plain" -> (skewJoinPlain _),
     "skew_join_salted" -> (skewJoinSalted _),
     "w1_latest_event_per_user" -> (w1LatestEventPerUser _),
@@ -683,6 +735,7 @@ object CoreQueries {
     "snapshot_delete_rows" -> snapshotDeleteRowsSql,
     "snapshot_delete_audit" -> snapshotDeleteAuditSql,
     "o9_zorder_scan" -> o9ZorderScanSql,
+    "snapshot_compact" -> snapshotCompactSql,
     "skew_join_plain" -> skewJoinSql,
     "skew_join_salted" -> skewJoinSql,
     "w1_latest_event_per_user" -> w1LatestEventPerUserSql,
