@@ -575,6 +575,48 @@ object InventoryQueries2 {
       |FROM dau JOIN wau ON wau.day = dau.day
       |ORDER BY day""".stripMargin
 
+  // ---- W13: day-over-day movers ---------------------------------------------
+  /** The "top movers" dashboard read: each key's newest-day quantized
+    * value total against the previous day's, with the relative move in
+    * ppm. The DIV-parity discipline bites here: (q_new − q_old) is
+    * SIGNED, and a signed numerator under integer division diverges
+    * across engines (Spark truncates toward zero, DuckDB floors) — so
+    * the move is emitted as |Δ|·10⁶ DIV q_old (non-negative operands
+    * only) beside an explicit direction column, never a signed ratio.
+    * A key absent on either day drops (inner join — a move needs both
+    * sides). Raw rows aggregate once; everything after runs on the
+    * (key × day) table. */
+  def w13TopMovers(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type").as("key"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e2).cast("long")).as("qsum"))
+    val mx = broadcast(daily.agg(max(col("day")).as("d1")))
+    val neu = daily.crossJoin(mx).filter(col("day") === col("d1"))
+      .select(col("key"), col("qsum").as("q_new"))
+    val old = daily.crossJoin(mx)
+      .filter(col("day") === date_sub(col("d1"), 1))
+      .select(col("key"), col("qsum").as("q_old"))
+    neu.join(old, "key")
+      .select(col("key"), col("q_new"), col("q_old"),
+        signum(col("q_new") - col("q_old")).cast("long").as("direction"),
+        expr("abs(q_new - q_old) * 1000000 div q_old").as("move_ppm"))
+      .orderBy(col("key"))
+  }
+  val w13Sql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+       |    CAST(SUM(CAST(FLOOR(value * 1e2) AS BIGINT)) AS BIGINT) AS qsum
+       |  FROM $EventsSql GROUP BY key, day
+       |), mx AS (SELECT MAX(day) AS d1 FROM daily),
+       |neu AS (SELECT key, qsum AS q_new FROM daily, mx WHERE day = d1),
+       |old AS (SELECT key, qsum AS q_old FROM daily, mx
+       |        WHERE day = d1 - INTERVAL 1 DAY)
+       |SELECT neu.key AS key, q_new, q_old,
+       |  CAST(sign(q_new - q_old) AS BIGINT) AS direction,
+       |  abs(q_new - q_old) * 1000000 // q_old AS move_ppm
+       |FROM neu JOIN old ON old.key = neu.key
+       |ORDER BY key""".stripMargin
+
   // ---- funnel time-to-convert: click → purchase latency percentiles --------
   /** How LONG conversion takes, not just whether it happens (the
     * question `w10_funnel`'s reach counts can't answer): per user, the
@@ -817,6 +859,7 @@ object InventoryQueries2 {
     "w8_sessionize" -> (w8Sessionize _),
     "w10_funnel" -> (w10Funnel _),
     "funnel_ttc" -> (funnelTtc _),
+    "w13_top_movers" -> (w13TopMovers _),
     "text_vocab_topk" -> (textVocabTopk _),
     "w7_asof_join" -> (w7AsofJoin _),
     "w9_asof_nearest" -> (w9AsofNearest _),
@@ -850,6 +893,7 @@ object InventoryQueries2 {
     "w8_sessionize" -> w8Sql,
     "w10_funnel" -> w10Sql,
     "funnel_ttc" -> funnelTtcSql,
+    "w13_top_movers" -> w13Sql,
     "text_vocab_topk" -> textVocabTopkSql,
     "w7_asof_join" -> w7Sql,
     "w9_asof_nearest" -> w9Sql,
