@@ -420,6 +420,93 @@ object TimeSeriesQueries {
        |FROM meta m JOIN st ON st.key = m.key AND st.i = m.n_days
        |ORDER BY key""".stripMargin
 
+  /** Holt BACKTEST — is the forecaster any good, answered the only
+    * honest way: hold out the newest day, run the identical recurrence
+    * over the prefix, and compare its one-step forecast with what
+    * actually happened — per key, exact integer error. Two Holt runs'
+    * worth of work (the fold over n−1 days + one actual-day aggregate),
+    * NOT the quadratic all-prefixes form; the holdout cutoff rides
+    * in-plan via a broadcast 1-row max-day frame (no driver collect).
+    * Output: (key, n_days, forecast_q, actual_q, abs_err_q). */
+  def tsHoltEval(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val qmicro = floor(col("value") * lit(1e6)).cast("long")
+    val daily = ev.groupBy(col("event_type").as("key"),
+        to_date(col("ts")).as("day"))
+      .agg(sum(qmicro).as("yv"))
+    val mx = broadcast(daily.agg(max(col("day")).as("d1")))
+    val prefixEv = ev.crossJoin(mx)
+      .filter(to_date(col("ts")) < col("d1")).drop("d1")
+    val actual = daily.crossJoin(mx).filter(col("day") === col("d1"))
+      .select(col("key"), col("yv").as("actual_q"))
+    TimeSeries.holtDaily(prefixEv, "event_type", "ts", "value")
+      .join(actual, "key")
+      .select(col("key"), col("n_days"), col("forecast_q"),
+        col("actual_q"),
+        abs(col("forecast_q") - col("actual_q")).as("abs_err_q"))
+      .orderBy(col("key"))
+  }
+  val tsHoltEvalSql: String =
+    s"""WITH RECURSIVE daily0 AS (
+       |  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+       |         CAST(sum(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS yv
+       |  FROM $evWrap GROUP BY 1, 2),
+       |mx AS (SELECT MAX(day) AS d1 FROM daily0),
+       |daily AS (SELECT key, day, yv FROM daily0, mx WHERE day < d1),
+       |dd AS (SELECT key, row_number() OVER (PARTITION BY key ORDER BY day) AS i,
+       |              day, yv FROM daily),
+       |meta AS (SELECT key, max(i) AS n_days FROM dd GROUP BY key),
+       |st AS (
+       |  SELECT key, i, yv AS level, CAST(0 AS BIGINT) AS trend
+       |  FROM dd WHERE i = 1
+       |  UNION ALL
+       |  SELECT st.key, dd.i,
+       |    ((st.level + st.trend) * 3 + dd.yv) >> 2,
+       |    (st.trend * 3 +
+       |      ((((st.level + st.trend) * 3 + dd.yv) >> 2) - st.level)) >> 2
+       |  FROM st JOIN dd ON dd.key = st.key AND dd.i = st.i + 1),
+       |actual AS (SELECT key, yv AS actual_q FROM daily0, mx WHERE day = d1)
+       |SELECT m.key AS key, m.n_days,
+       |       st.level + st.trend AS forecast_q, a.actual_q,
+       |       abs(st.level + st.trend - a.actual_q) AS abs_err_q
+       |FROM meta m JOIN st ON st.key = m.key AND st.i = m.n_days
+       |JOIN actual a ON a.key = m.key
+       |ORDER BY key""".stripMargin
+
+  /** Today-vs-history PERCENTILE RANK: where the newest day's total
+    * sits in the key's own daily history — the unitless "is today
+    * unusual" read (pr_ppm near 10⁶ = a record day, near 0 = a trough),
+    * as the pure integer n_{≤latest}·10⁶ DIV n_days. One daily
+    * aggregation, one broadcast max-day frame, one compare-count. */
+  def a23PercentileRank(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type").as("key"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * lit(1e6)).cast("long")).as("yv"))
+    val mx = broadcast(daily.agg(max(col("day")).as("d1")))
+    val latest = daily.crossJoin(mx).filter(col("day") === col("d1"))
+      .select(col("key"), col("yv").as("latest_q"))
+    daily.join(broadcast(latest), "key")
+      .groupBy(col("key"), col("latest_q"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("yv") <= col("latest_q"), 1L).otherwise(0L))
+          .as("n_le"))
+      .withColumn("pr_ppm", expr("n_le * 1000000 div n_days"))
+      .orderBy(col("key"))
+  }
+  val a23Sql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+       |         CAST(sum(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS yv
+       |  FROM $evWrap GROUP BY 1, 2),
+       |mx AS (SELECT MAX(day) AS d1 FROM daily),
+       |latest AS (SELECT key, yv AS latest_q FROM daily, mx WHERE day = d1)
+       |SELECT d.key AS key, l.latest_q, COUNT(*) AS n_days,
+       |  CAST(SUM(CASE WHEN d.yv <= l.latest_q THEN 1 ELSE 0 END) AS BIGINT) AS n_le,
+       |  CAST(SUM(CASE WHEN d.yv <= l.latest_q THEN 1 ELSE 0 END) * 1000000 AS BIGINT)
+       |    // COUNT(*) AS pr_ppm
+       |FROM daily d JOIN latest l ON l.key = d.key
+       |GROUP BY d.key, l.latest_q ORDER BY key""".stripMargin
+
   // ---- CUSUM level-shift changepoints --------------------------------------
   /** Two-sided integer CUSUM vs the whole-span mean: sustained drifts
     * accumulate in s⁺/s⁻ until the μ·2 decision interval trips — the
@@ -523,6 +610,8 @@ object TimeSeriesQueries {
     "ts_holt" -> (tsHolt _),
     "ts_acf" -> (tsAcf _),
     "ts_xcorr" -> (tsXcorr _),
+    "ts_holt_eval" -> (tsHoltEval _),
+    "a23_percentile_rank" -> (a23PercentileRank _),
     "ts_trend" -> (tsTrend _),
     "ts_mk_trend" -> (tsMkTrend _))
 
@@ -540,6 +629,8 @@ object TimeSeriesQueries {
     "ts_holt" -> tsHoltSql,
     "ts_acf" -> tsAcfSql,
     "ts_xcorr" -> tsXcorrSql,
+    "ts_holt_eval" -> tsHoltEvalSql,
+    "a23_percentile_rank" -> a23Sql,
     "ts_trend" -> tsTrendSql,
     "ts_mk_trend" -> tsMkTrendSql)
 }
