@@ -12,11 +12,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.defs ++ InventoryQueries.defs ++ InventoryQueries2.defs ++ SteamQueries.defs ++ WireQueries.defs ++
       TrainingQueries.defs ++ SimilarityQueries.defs ++ TextQueries.defs ++ MultimodalQueries.defs ++ SequenceQueries.defs ++
-      SearchQueries.defs ++ GraphQueries.defs ++ DataQualityQueries.defs ++ TimeSeriesQueries.defs
+      SearchQueries.defs ++ GraphQueries.defs ++ DataQualityQueries.defs ++ TimeSeriesQueries.defs ++ JourneyQueries.defs
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ InventoryQueries.oracle ++ InventoryQueries2.oracle ++ SteamQueries.oracle ++ WireQueries.oracle ++
       TrainingQueries.oracle ++ SimilarityQueries.oracle ++ TextQueries.oracle ++ MultimodalQueries.oracle ++ SequenceQueries.oracle ++
-      SearchQueries.oracle ++ GraphQueries.oracle ++ DataQualityQueries.oracle ++ TimeSeriesQueries.oracle
+      SearchQueries.oracle ++ GraphQueries.oracle ++ DataQualityQueries.oracle ++ TimeSeriesQueries.oracle ++ JourneyQueries.oracle
 }

@@ -603,4 +603,67 @@ object TimeSeries {
         (col("n_days") * col("sxx") - col("sx") * col("sx"))
           .as("slope_den"))
   }
+
+  /** Theil–Sen robust trend: the median of all pairwise daily slopes
+    * per key, kept exactly replayable across engines. Each pair
+    * (i < j) of the key's daily rows yields the rational slope
+    * num/den = (yv_j − yv_i)/(x_j − x_i) with den > 0; the median is
+    * selected under the TOTAL ORDER
+    * (floor(num·2²⁰ / den), num, den) — the first component is the
+    * slope floor-scaled to 2⁻²⁰ micro-units/day, exact long integer on
+    * both engines (floor division emulated as
+    * `(a − pmod(a, den)) DIV den`, which is exact because the
+    * numerator is made divisible first — sidestepping the
+    * truncate-vs-floor divergence on negative numerators), so two
+    * rationals can tie on it only when they differ by < 2⁻²⁰, in which
+    * case the (num, den) lexicographic tail makes the pick
+    * deterministic. The lower median (rank ⌈P/2⌉ of P pairs) is taken.
+    *
+    * Scale: raw rows are touched once (the daily groupBy); the pair
+    * self-join and the per-key ranking window run over the
+    * calendar-bounded (key × day) table — P = O(days²) pairs per key,
+    * never data-volume-bound. An in-plan guard raises when
+    * |num| ≥ 2⁴², the point where the 2²⁰ shift could overflow long
+    * (daily quantized totals would need to exceed ~4·10¹² micro-units,
+    * ~250× this engine's sf0.1 reality).
+    * Output: (key, n_days, n_pairs, slope_num, slope_den,
+    * slope_scaled) with slope = slope_num/slope_den and
+    * slope_scaled = floor(slope_num·2²⁰/slope_den). */
+  def theilSen(df: DataFrame, keyCol: String, tsCol: String,
+               valCol: String, epoch: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(col(keyCol).as("key"),
+        to_date(col(tsCol)).as("day"))
+      .agg(sum(qval(col(valCol))).as("yv"))
+      .withColumn("x", datediff(col("day"), lit(epoch).cast("date"))
+        .cast("long"))
+    val b = daily.select(col("key").as("k2"), col("x").as("x2"),
+      col("yv").as("yv2"))
+    val guarded = when(abs(col("yv2") - col("yv")) >= lit(1L << 42),
+      raise_error(lit("TimeSeries.theilSen: |slope numerator| >= 2^42 " +
+        "— the 2^20 median-order shift would overflow long; rescale " +
+        "the value quantum"))).otherwise(col("yv2") - col("yv"))
+    val pairs = daily.join(b,
+        col("k2") === col("key") && col("x2") > col("x"))
+      .select(col("key"), guarded.as("num"),
+        (col("x2") - col("x")).as("den"))
+      .withColumn("sh", col("num") * lit(1L << 20))
+      // exact floor division: subtract the non-negative remainder
+      // first, so truncating DIV equals mathematical floor on both
+      // engines regardless of num's sign
+      .withColumn("skey",
+        expr("(sh - pmod(sh, den)) DIV den"))
+    val nd = daily.groupBy(col("key")).agg(count(lit(1)).as("n_days"))
+    val wRank = Window.partitionBy(col("key"))
+      .orderBy(col("skey"), col("num"), col("den"))
+    val ranked = pairs
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("n_pairs",
+        count(lit(1)).over(Window.partitionBy(col("key"))))
+    ranked.filter(col("rk") === expr("(n_pairs + 1) DIV 2"))
+      .join(nd, "key")
+      .select(col("key"), col("n_days"), col("n_pairs"),
+        col("num").as("slope_num"), col("den").as("slope_den"),
+        col("skey").as("slope_scaled"))
+  }
 }

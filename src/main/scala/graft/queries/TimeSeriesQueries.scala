@@ -596,8 +596,47 @@ object TimeSeriesQueries {
        |         - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT) AS slope_den
        |FROM dx GROUP BY key ORDER BY key""".stripMargin
 
+  // ---- Theil–Sen robust slope ----------------------------------------------
+  /** Median pairwise daily slope per event type — the outlier-robust
+    * companion to [[tsTrend]]'s OLS and [[tsMkTrend]]'s direction test.
+    * The median is taken under the total order (floor(num·2²⁰/den),
+    * num, den) — exact integer on both engines; see
+    * [[graft.operators.TimeSeries.theilSen]] for the floor-division
+    * construction and overflow guard. */
+  def tsTheilSen(s: SparkSession, d: String): DataFrame =
+    TimeSeries.theilSen(Tables.events(s, d), "event_type", "ts",
+        "value", "2024-01-01")
+      .orderBy(col("key"))
+
+  val tsTheilSenSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+       |         CAST(sum(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS yv
+       |  FROM $evWrap GROUP BY 1, 2),
+       |dx AS (SELECT key, yv,
+       |              CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT) AS x
+       |       FROM daily),
+       |nd AS (SELECT key, count(*) AS n_days FROM daily GROUP BY key),
+       |p AS (SELECT a.key AS key, b.yv - a.yv AS num, b.x - a.x AS den,
+       |             (b.yv - a.yv) * 1048576 AS sh
+       |      FROM dx a JOIN dx b ON b.key = a.key AND b.x > a.x),
+       |sk AS (SELECT key, num, den,
+       |              CAST((sh - ((sh % den + den) % den)) // den AS BIGINT) AS skey
+       |       FROM p),
+       |r AS (SELECT key, num, den, skey,
+       |             row_number() OVER (PARTITION BY key
+       |                                ORDER BY skey, num, den) AS rk,
+       |             count(*) OVER (PARTITION BY key) AS n_pairs
+       |      FROM sk)
+       |SELECT r.key AS key, nd.n_days, CAST(r.n_pairs AS BIGINT) AS n_pairs,
+       |       r.num AS slope_num, r.den AS slope_den, r.skey AS slope_scaled
+       |FROM r JOIN nd ON nd.key = r.key
+       |WHERE r.rk = (r.n_pairs + 1) // 2
+       |ORDER BY key""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "ts_ohlc" -> (tsOhlc _),
+    "ts_theil_sen" -> (tsTheilSen _),
     "ts_resample_ffill" -> (tsResampleFfill _),
     "ts_interp" -> (tsInterp _),
     "ts_moving_avg" -> (tsMovingAvg _),
@@ -617,6 +656,7 @@ object TimeSeriesQueries {
 
   val oracle: Map[String, String] = Map(
     "ts_ohlc" -> tsOhlcSql,
+    "ts_theil_sen" -> tsTheilSenSql,
     "ts_resample_ffill" -> tsResampleFfillSql,
     "ts_interp" -> tsInterpSql,
     "ts_moving_avg" -> tsMovingAvgSql,

@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.JourneyQueries
+
+/** Journey-read semantics on hand-built streams: last-touch attribution
+  * (latest-preceding pick, 7-day lookback expiry, none-channel) and the
+  * first-order transition matrix (per-user chronology, exact permille).
+  * Oracle parity of the graded queries is the driver's job; these pin
+  * the operator-level edge cases the sf tables can't isolate. */
+class JourneySpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** user 1: view → click → purchase (click wins: latest preceding);
+    * then a second purchase 8 days later (lookback expired → none).
+    * user 2: purchase with no prior touch → none.
+    * user 3: click then SAME-timestamp purchase ordered by event_id —
+    * the click row precedes the purchase row, so it still gets credit. */
+  private def fixture = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "click", 0.0),
+      (3L, ts("2024-01-01 12:00:00"), 1L, "purchase", 25.0),
+      (4L, ts("2024-01-09 13:00:00"), 1L, "purchase", 10.0),
+      (5L, ts("2024-01-02 09:00:00"), 2L, "purchase", 7.0),
+      (6L, ts("2024-01-03 09:00:00"), 3L, "click", 0.0),
+      (7L, ts("2024-01-03 09:00:00"), 3L, "purchase", 3.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  test("lastTouchAttribution: latest-preceding touch, lookback expiry, " +
+    "none-channel, same-ts event_id tie-break") {
+    val out = JourneyQueries.lastTouchAttribution(fixture,
+        Seq("view", "click"), "purchase", 7L * 86400L * 1000000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      ("click", 2L, 28.0),   // user1 p1 (click beats view), user3 same-ts
+      ("none", 2L, 17.0)))   // user1 p2 (expired), user2 (no touch)
+  }
+
+  test("transitionMatrix: per-user chronology, counts and floored permille") {
+    val rows = JourneyQueries.transitionMatrix(fixture).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // user 1: view→click→purchase→purchase; user 3: click→purchase
+    assert(rows == Seq(
+      ("click", "purchase", 2L, 2L, 1000L),
+      ("purchase", "purchase", 1L, 1L, 1000L),
+      ("view", "click", 1L, 1L, 1000L)))
+    // permille floors: 1-of-3 reads 333, 2-of-3 reads 666
+    val skew = {
+      val s = spark
+      import s.implicits._
+      Seq(
+        (1L, ts("2024-01-01 10:00:00"), 9L, "view", 0.0),
+        (2L, ts("2024-01-01 11:00:00"), 9L, "click", 0.0),
+        (3L, ts("2024-01-02 10:00:00"), 8L, "view", 0.0),
+        (4L, ts("2024-01-02 11:00:00"), 8L, "error", 0.0),
+        (5L, ts("2024-01-03 10:00:00"), 7L, "view", 0.0),
+        (6L, ts("2024-01-03 11:00:00"), 7L, "error", 0.0)
+      ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    }
+    val sk = JourneyQueries.transitionMatrix(skew).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(4))).toSeq
+    assert(sk == Seq(("view", "click", 333L), ("view", "error", 666L)))
+  }
+}

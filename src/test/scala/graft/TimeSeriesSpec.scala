@@ -422,6 +422,40 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out("tie") == ((5L, 0L, 10L, "flat")))
   }
 
+  test("theilSen: median pairwise slope resists the outlier OLS chases; " +
+    "floor-division ordering key is exact on negative slopes") {
+    val s = spark
+    import s.implicits._
+    // key a: values 10,12,14,100 on consecutive days — pairwise slopes
+    // (µ-units/day): {2e6 ×3, 30e6, 44e6, 86e6}; P=6, lower median rank 3
+    // = the (num=4e6, den=2) pair. OLS would be dragged to ~28e6.
+    // key b: values 10,9,9 on days 0,1,3 — slopes {-1e6/1, -1e6/3, 0/2};
+    // rank 2 is the (num=-1e6, den=3) pair whose scaled key
+    // floor(-1e6·2²⁰/3) = -349525333334 differs from truncation by 1,
+    // pinning the pmod floor construction.
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "a", 10.0),
+      (2L, ts("2024-01-02 00:00:00"), "a", 12.0),
+      (3L, ts("2024-01-03 00:00:00"), "a", 14.0),
+      (4L, ts("2024-01-04 00:00:00"), "a", 100.0),
+      (5L, ts("2024-01-01 00:00:00"), "b", 10.0),
+      (6L, ts("2024-01-02 00:00:00"), "b", 9.0),
+      (7L, ts("2024-01-04 00:00:00"), "b", 9.0)
+    ).toDF("event_id", "ts", "key", "value")
+    val out = TimeSeries.theilSen(df, "key", "ts", "value", "2024-01-01")
+      .orderBy("key").collect()
+    val a = out(0)
+    assert(a.getAs[Long]("n_days") == 4L && a.getAs[Long]("n_pairs") == 6L)
+    assert(a.getAs[Long]("slope_num") == 4000000L &&
+      a.getAs[Long]("slope_den") == 2L)
+    assert(a.getAs[Long]("slope_scaled") == 2000000L * (1L << 20))
+    val b = out(1)
+    assert(b.getAs[Long]("slope_num") == -1000000L &&
+      b.getAs[Long]("slope_den") == 3L)
+    assert(b.getAs[Long]("slope_scaled") == -349525333334L,
+      "scaled key must FLOOR (truncation would give …333)")
+  }
+
   test("distributionDrift: cohort counts and scaled TVD contribution") {
     val s = spark
     import s.implicits._
