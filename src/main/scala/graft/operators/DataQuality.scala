@@ -251,4 +251,36 @@ object DataQuality {
       .select(col("key"), col("c1"), col("c2"),
         abs(col("c1") * col("n2") - col("c2") * col("n1")).as("contrib"))
   }
+
+  /** Golden-record survivorship: merge each resolved entity cluster into
+    * one record under stated, deterministic rules. Input is the members
+    * frame (rep, cid, c_name, c_nationkey, c_acctbal, c_mktsegment)
+    * where `rep` is the cluster representative (min member id from the
+    * CC closure — stable under any merge order). Rules: name and nation
+    * survive from the representative row; balance is the cluster max (a
+    * pick, no arithmetic); segment is the cluster MODE with the
+    * (count desc, segment desc) tie-break — `max(struct(cnt, seg))`,
+    * the same total order an oracle states as `row_number() OVER
+    * (ORDER BY cnt DESC, seg DESC) = 1`. Two groupBys over the members
+    * table and one join back to the representative rows — no window
+    * over data rows, shuffle keyed on `rep` throughout.
+    * Output: (entity_rep, n_members, golden_name, rep_nation,
+    * max_acctbal, mode_segment). */
+  def survivorship(members: DataFrame): DataFrame = {
+    val segMode = members.groupBy(col("rep"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("rep"))
+      .agg(max(struct(col("cnt"), col("c_mktsegment"))).as("mx"))
+      .select(col("rep"), col("mx.c_mktsegment").as("mode_segment"))
+    members.groupBy(col("rep"))
+      .agg(count(lit(1)).as("n_members"),
+        max(col("c_acctbal")).as("max_acctbal"))
+      .join(segMode, "rep")
+      .join(members.filter(col("cid") === col("rep"))
+        .select(col("rep"), col("c_name").as("golden_name"),
+          col("c_nationkey").as("rep_nation")), "rep")
+      .select(col("rep").as("entity_rep"), col("n_members"),
+        col("golden_name"), col("rep_nation"), col("max_acctbal"),
+        col("mode_segment"))
+  }
 }

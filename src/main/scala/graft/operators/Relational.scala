@@ -801,6 +801,35 @@ object Relational {
       .agg(max(col("n")).as("n"), aggs: _*)
   }
 
+  /** 2-D Pareto frontier (skyline), both dimensions maximized: keep the
+    * rows no other row weakly dominates in (x, y) with at least one
+    * strict improvement; ties on BOTH coordinates all survive.
+    *
+    * Shape: the textbook NOT-EXISTS statement is O(n²); this is the
+    * sort-free two-window form over the DISTINCT-X HISTOGRAM —
+    * aggregate ymax per x (one map-combinable shuffle over data rows),
+    * take the running max of ymax over strictly-greater x (a window
+    * over the distinct-x table, bounded by value cardinality, never by
+    * row count), keep x-groups whose ymax strictly beats it, then one
+    * broadcast semi-join back to data rows with y = ymax(x). At 100 TB
+    * the only data-volume cost is the per-x aggregate + the broadcast
+    * probe; the frontier itself (and the window) live on the histogram.
+    * Output: the surviving rows of `df` (original columns). */
+  def paretoFrontier2D(df: DataFrame, xCol: String,
+                       yCol: String): DataFrame = {
+    val perX = df.groupBy(col(xCol).as("px")).agg(max(col(yCol)).as("ymax"))
+    // strictly-larger-x running max: window over the distinct-x histogram
+    val wGt = Window.orderBy(col("px").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perX
+      .withColumn("runmax", max(col("ymax")).over(wGt))
+      .filter(col("runmax").isNull || col("ymax") > col("runmax"))
+      .select(col("px"), col("ymax"))
+    df.join(broadcast(frontier),
+      col(xCol) === col("px") && col(yCol) === col("ymax"))
+      .drop("px", "ymax")
+  }
+
   /** Merge a standing rollup with a delta partial: re-aggregate the
     * UNION of partials. Exact decimal internals make
     * merge(partial(old), partial(delta)) ≡ partial(old ∪ delta) bitwise.

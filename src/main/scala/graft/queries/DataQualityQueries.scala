@@ -263,7 +263,70 @@ object DataQualityQueries {
        |FROM j, tot ORDER BY digit""".stripMargin
   }
 
+  // ---- J13: golden-record survivorship over resolved entities --------------
+  /** The MDM step AFTER [[j12EntityResolve]] answers "which rows are the
+    * same entity": merge each cluster into ONE golden record under
+    * stated survivorship rules — name and nation from the
+    * representative (min custkey — stable under any merge order),
+    * balance as the cluster max (a pick, no arithmetic), segment as the
+    * cluster MODE with the deterministic (count desc, segment desc)
+    * tie-break stated identically on both engines (Spark
+    * `max(struct(cnt, seg))` ≡ SQL `row_number` over the same order).
+    * Same blocked-pair + checkpointed-CC machinery as j12 (same recall
+    * contract: an edit inside the first 17 chars or across segments is
+    * out of block scope by construction); all survivorship aggregates
+    * run on the members table — one groupBy per rule, no window over
+    * data rows. */
+  def j13GoldenRecord(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("cid"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    val pairs = Relational.fuzzyLink(
+      Tables.customer(s, d).withColumnRenamed("c_custkey", "cid"),
+      "cid", "c_name",
+      concat_ws("|", col("c_mktsegment"), substring(col("c_name"), 1, 17)),
+      maxDist = 1, failOnCap = true)
+      .select(col("id_a"), col("id_b"))
+    val comps = graft.operators.Dedup.connectedComponents(
+      cust.select(col("cid").as("id")), pairs)
+    DataQuality.survivorship(comps.join(cust, col("id") === col("cid")))
+      .orderBy(col("entity_rep"))
+  }
+
+  val j13Sql: String =
+    """WITH RECURSIVE cust AS (SELECT c_custkey AS cid, c_name FROM customer),
+      |e AS (
+      |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      |  FROM customer a JOIN customer b
+      |    ON a.c_mktsegment = b.c_mktsegment
+      |   AND substring(a.c_name, 1, 17) = substring(b.c_name, 1, 17)
+      |   AND a.c_custkey < b.c_custkey
+      |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+      |sym AS (SELECT id_a AS s, id_b AS d FROM e
+      |        UNION SELECT id_b, id_a FROM e),
+      |reach AS (
+      |  SELECT cid AS id, cid AS lbl FROM cust
+      |  UNION
+      |  SELECT sym.d AS id, reach.lbl FROM reach JOIN sym ON sym.s = reach.id),
+      |lbl AS (SELECT id, MIN(lbl) AS rep FROM reach GROUP BY id),
+      |m AS (SELECT l.id, l.rep, c.c_name, c.c_nationkey, c.c_acctbal,
+      |             c.c_mktsegment
+      |      FROM lbl l JOIN customer c ON c.c_custkey = l.id),
+      |segc AS (SELECT rep, c_mktsegment, COUNT(*) AS cnt FROM m GROUP BY 1, 2),
+      |segm AS (SELECT rep, c_mktsegment AS mode_segment FROM (
+      |  SELECT rep, c_mktsegment,
+      |         row_number() OVER (PARTITION BY rep
+      |                            ORDER BY cnt DESC, c_mktsegment DESC) AS rn
+      |  FROM segc) t WHERE rn = 1),
+      |agg AS (SELECT rep, COUNT(*) AS n_members, max(c_acctbal) AS max_acctbal
+      |        FROM m GROUP BY rep)
+      |SELECT agg.rep AS entity_rep, agg.n_members, c2.c_name AS golden_name,
+      |       c2.c_nationkey AS rep_nation, agg.max_acctbal, segm.mode_segment
+      |FROM agg JOIN segm USING (rep) JOIN customer c2 ON c2.c_custkey = agg.rep
+      |ORDER BY entity_rep""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "j13_golden_record" -> (j13GoldenRecord _),
     "dq_benford" -> (dqBenford _),
     "dq_expectations" -> (dqExpectations _),
     "dq_id_gaps" -> (dqIdGaps _),
@@ -272,6 +335,7 @@ object DataQualityQueries {
     "j12_entity_resolve" -> (j12EntityResolve _))
 
   val oracle: Map[String, String] = Map(
+    "j13_golden_record" -> j13Sql,
     "dq_benford" -> dqBenfordSql,
     "dq_expectations" -> dqSql,
     "dq_id_gaps" -> dqIdGapsSql,

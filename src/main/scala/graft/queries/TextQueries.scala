@@ -1608,7 +1608,120 @@ object TextQueries {
        |FROM inf ORDER BY doc_id""".stripMargin
   }
 
+  // ---- Pareto-frontier document selection ----------------------------------
+  /** Skyline selection for curation: the documents no other document
+    * weakly dominates in (length, lexical richness) with one strict
+    * improvement — the non-redundant "keep set" when both axes matter
+    * and no scalarization is agreed. Spark side is the histogram-window
+    * form ([[graft.operators.Relational.paretoFrontier2D]]): per-length
+    * ymax aggregate + a running max over the distinct-length table +
+    * one broadcast probe — no pairwise comparison anywhere. The oracle
+    * states the textbook NOT EXISTS dominance predicate — a genuinely
+    * independent O(n²) restatement. */
+  def selectPareto(s: SparkSession, d: String): DataFrame = {
+    val m = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+      size(array_distinct(split(trim(col("text")), " "))).cast("long")
+        .as("n_distinct_tokens"))
+    graft.operators.Relational.paretoFrontier2D(m, "n_chars",
+        "n_distinct_tokens")
+      .orderBy(col("doc_id"))
+  }
+
+  val selectParetoSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, n_chars,
+      |         CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT)
+      |           AS n_distinct_tokens
+      |  FROM documents)
+      |SELECT a.doc_id, a.n_chars, a.n_distinct_tokens
+      |FROM m a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM m b
+      |  WHERE b.n_chars >= a.n_chars
+      |    AND b.n_distinct_tokens >= a.n_distinct_tokens
+      |    AND (b.n_chars > a.n_chars
+      |         OR b.n_distinct_tokens > a.n_distinct_tokens))
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- classifier calibration (margin deciles vs held-out labels) ----------
+  /** "Can the quality filter's score be trusted as a probability?" —
+    * the train-side answer: margin deciles over the HELD-OUT half (odd
+    * doc_ids; the classifier trains on even), each with its observed
+    * positive rate as an exact integer permille. A well-calibrated
+    * score shows pos_permille rising with the decile; this corpus's
+    * text ⊥ lang construction keeps it flat — which is itself the
+    * honest reading. Decile cutoffs come from the distinct-margin
+    * histogram ([[graft.operators.Mix.curriculumBands]] — the windows
+    * run over the histogram, never data rows); band 1 = highest
+    * margins. */
+  def qualityCalibration(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val scored = TextAnalysis.hashedLinearClassifier(
+      docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("is_en", col("lang") === "en"),
+      docs, "doc_id", "text", "is_en", ClsBuckets)
+    val holdout = scored.filter(col("doc_id") % 2 === 1)
+      .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+        "doc_id")
+    val bands = Mix.curriculumBands(holdout, "doc_id", "margin", 10)
+    bands.join(holdout.select(col("doc_id"), col("is_en")), "doc_id")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_en"), 1L).otherwise(0L)).as("n_pos"),
+        min(col("score")).as("min_margin"),
+        max(col("score")).as("max_margin"))
+      .withColumn("pos_permille", expr("n_pos * 1000 DIV n"))
+      .orderBy(col("band"))
+  }
+
+  val qualityCalibrationSql: String = {
+    val P = graft.operators.Dedup.HashMod
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS t FROM documents
+       |), hashed AS (
+       |  SELECT doc_id, lang,
+       |    list_reduce(list_transform(string_split(t,''), c -> CAST(ascii(c) AS BIGINT)),
+       |      (acc, x) -> (acc*31 + x) % $P) % $ClsBuckets AS b
+       |  FROM tok
+       |), cnt AS (
+       |  SELECT b, CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+       |         CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS cn
+       |  FROM hashed WHERE doc_id % 2 = 0 GROUP BY b
+       |), tot AS (
+       |  SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |         CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS nn
+       |  FROM hashed WHERE doc_id % 2 = 0
+       |), w AS (
+       |  SELECT b, cp * nn - cn * np AS w FROM cnt CROSS JOIN tot
+       |), inf AS (
+       |  SELECT h.doc_id, CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) AS margin
+       |  FROM hashed h LEFT JOIN w USING (b) GROUP BY h.doc_id
+       |), r AS (
+       |  SELECT i.doc_id, i.margin AS score, (d.lang = 'en') AS is_en
+       |  FROM inf i JOIN documents d USING (doc_id) WHERE i.doc_id % 2 = 1
+       |), hist AS (SELECT score, COUNT(*) AS cnt FROM r GROUP BY score
+       |), cum AS (SELECT score, SUM(cnt) OVER (ORDER BY score DESC) AS cum,
+       |                  SUM(cnt) OVER () AS n FROM hist
+       |), cuts AS (SELECT b.b AS b, max(score) AS cut
+       |            FROM cum CROSS JOIN range(1, 10) AS b(b)
+       |            WHERE cum >= (n * b.b + 9) // 10
+       |            GROUP BY b.b
+       |), banded AS (
+       |  SELECT doc_id, score, is_en,
+       |    CAST(COALESCE((SELECT min(b) FROM cuts WHERE score >= cut), 10)
+       |      AS BIGINT) AS band
+       |  FROM r)
+       |SELECT band, COUNT(*) AS n,
+       |       CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |       min(score) AS min_margin, max(score) AS max_margin,
+       |       CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) * 1000
+       |         // COUNT(*) AS pos_permille
+       |FROM banded GROUP BY band ORDER BY band""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "quality_calibration" -> (qualityCalibration _),
+    "select_pareto" -> (selectPareto _),
     "sim_text_topk" -> (simTextTopk _),
     "quality_top_fraction" -> (qualityTopFraction _),
     "quality_top_fraction_by_domain" -> (qualityTopFractionByDomain _),
@@ -1653,6 +1766,8 @@ object TextQueries {
     "text_fingerprint" -> (textFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "quality_calibration" -> qualityCalibrationSql,
+    "select_pareto" -> selectParetoSql,
     "sim_text_topk" -> simTextTopkSql,
     "quality_top_fraction" -> qualityTopFractionSql,
     "quality_top_fraction_by_domain" -> qualityTopFractionByDomainSql,

@@ -207,6 +207,33 @@ class DataQualitySpec extends AnyFunSuite {
       s"recall contract: only the in-block suffix typo links — got $pairs")
   }
 
+  test("survivorship: rep supplies name+nation, balance is cluster max, " +
+    "segment mode breaks count ties by larger segment; singletons pass through") {
+    val s = spark
+    import s.implicits._
+    // cluster rep=1: members 1,2,3 — segments A,B,B → mode B;
+    //   balance max on a non-rep row; name/nation from rep row 1.
+    // cluster rep=5: members 5,6 — segments A,C (1-1 tie) → C (larger).
+    // cluster rep=9: singleton.
+    val m = Seq(
+      (1L, 1L, "alice", 10, 5.0, "A"),
+      (1L, 2L, "alicia", 20, 9.5, "B"),
+      (1L, 3L, "alyce", 30, 1.0, "B"),
+      (5L, 5L, "bob", 40, 2.0, "A"),
+      (5L, 6L, "rob", 50, 2.0, "C"),
+      (9L, 9L, "carol", 60, 7.0, "A")
+    ).toDF("rep", "cid", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment")
+    val out = DataQuality.survivorship(m)
+      .orderBy("entity_rep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3),
+        r.getDouble(4), r.getString(5))).toSeq
+    assert(out == Seq(
+      (1L, 3L, "alice", 10, 9.5, "B"),
+      (5L, 2L, "bob", 40, 2.0, "C"),
+      (9L, 1L, "carol", 60, 7.0, "A")))
+  }
+
   test("benfordReport: digit shares from the integer string, absent " +
     "digits zero-filled, pure-integer deviation flags") {
     val s = spark

@@ -193,6 +193,22 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(out.getBoolean(8) == (qB * nA > qA * nB))
   }
 
+  test("paretoFrontier2D: dominance edges — same-x lower-y dominated, " +
+    "equal-y larger-x dominates, exact (x,y) ties all survive") {
+    val s = spark
+    import s.implicits._
+    // frontier: (5,1), (3,4)×2 [exact tie], (1,6)
+    // dominated: (3,2) by (3,4); (2,4) by (3,4) [same y, larger x];
+    //            (1,1) by everything; (5,1) survives (max x)
+    val df = Seq(
+      (1L, 5L, 1L), (2L, 3L, 4L), (3L, 3L, 4L), (4L, 3L, 2L),
+      (5L, 2L, 4L), (6L, 1L, 6L), (7L, 1L, 1L)
+    ).toDF("id", "x", "y")
+    val out = Relational.paretoFrontier2D(df, "x", "y")
+      .orderBy(col("id")).collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 2L, 3L, 6L))
+  }
+
   test("kmv: exact under k; merge-of-dailies ≡ whole build; estimate " +
     "lands near truth over k") {
     val s = spark
