@@ -146,11 +146,152 @@ object JourneyQueries {
        |         AS permille
        |FROM t ORDER BY prev_type, next_type""".stripMargin
 
+  // ---- association lift ("users who did A also did B") ---------------------
+  /** Market-basket association over per-user event-type sets: for every
+    * unordered type pair (a < b), the co-occurrence count beside each
+    * side's user count, the user universe, and exact integer support /
+    * confidence permille. Lift is left to the consumer as the raw
+    * quartet (n_ab, n_a, n_b, n_users) — n_ab·N·10³ DIV (n_a·n_b)
+    * would overflow long at ~10⁹ users, and a two-step division loses
+    * exactness; the quartet is the lossless form at any scale.
+    *
+    * Shape: ONE distinct over (user, type) — the only data-volume
+    * shuffle — then a self-join that fans out ≤ C(|types|, 2) rows per
+    * user (types is a small closed set), a groupBy over the ≤|types|²
+    * pair table, and broadcast joins against the |types|-row side
+    * counts. */
+  def assocLift(s: SparkSession, d: String): DataFrame =
+    assocFromEvents(Tables.events(s, d))
+
+  /** Frame-level shape, shared with `JourneySpec`. */
+  def assocFromEvents(events: DataFrame): DataFrame = {
+    val ut = events
+      .select(col("user_id"), col("event_type")).distinct()
+    val nUsers = ut.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val perType = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val pairs = ut.join(
+        ut.select(col("user_id"), col("event_type").as("type_b")),
+        "user_id")
+      .filter(col("event_type") < col("type_b"))
+      .groupBy(col("event_type").as("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(perType.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a"))), "type_a")
+      .join(broadcast(perType.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b"))), "type_b")
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_users"),
+        expr("n_ab * 1000 DIV n_users").as("support_permille"),
+        expr("n_ab * 1000 DIV n_a").as("confidence_permille"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val assocLiftSql: String =
+    s"""WITH ut AS (
+       |  SELECT DISTINCT user_id, event_type FROM $EventsSql
+       |), nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+       |pt AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY 1),
+       |p AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |         count(*) AS n_ab
+       |  FROM ut a JOIN ut b ON b.user_id = a.user_id
+       |   AND a.event_type < b.event_type
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p.type_a, p.type_b, p.n_ab, pa.n_t AS n_a, pb.n_t AS n_b,
+       |       nu.n_users,
+       |       p.n_ab * 1000 // nu.n_users AS support_permille,
+       |       p.n_ab * 1000 // pa.n_t AS confidence_permille
+       |FROM p JOIN pt pa ON pa.event_type = p.type_a
+       |       JOIN pt pb ON pb.event_type = p.type_b
+       |       CROSS JOIN nu
+       |ORDER BY type_a, type_b""".stripMargin
+
+  // ---- top session paths ---------------------------------------------------
+  /** The "top paths" product-analytics read: sessionize (30-min gap, the
+    * [[InventoryQueries2.w8Sessionize]] rule), take each session's first
+    * three event types in (ts, event_id) order, render them as an
+    * "a>b>c" path (shorter sessions yield shorter paths), and count
+    * sessions per path — top 20 by (count desc, path). All windows
+    * partition by user (+ session); the path table is ≤|types|³ rows;
+    * the global top-20 is the TakeOrdered pattern, not a sort. */
+  def seqTopPaths(s: SparkSession, d: String): DataFrame =
+    topPathsFromEvents(Tables.events(s, d), 20)
+
+  /** Frame-level shape, shared with `JourneySpec`. */
+  def topPathsFromEvents(events: DataFrame, k: Int): DataFrame = {
+    val ev = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapped = ev
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") >
+            30L * 60 * 1000000, 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("new_session")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wSess = Window.partitionBy(col("user_id"), col("session_no"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val paths = gapped
+      .withColumn("rn", row_number().over(wSess))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(max(when(col("rn") === 1, col("event_type"))).as("s1"),
+        max(when(col("rn") === 2, col("event_type"))).as("s2"),
+        max(when(col("rn") === 3, col("event_type"))).as("s3"))
+      .select(concat_ws(">", col("s1"), col("s2"), col("s3")).as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
+  val seqTopPathsSql: String =
+    s"""WITH ord AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS prev_us
+       |  FROM $EventsSql
+       |), flagged AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL
+       |                   OR epoch_us(ts) - prev_us > 30*60*1000000
+       |                 THEN 1 ELSE 0 END AS new_session
+       |  FROM ord
+       |), sessions AS (
+       |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |      AS session_no
+       |  FROM flagged
+       |), rn AS (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id, session_no
+       |                               ORDER BY ts, event_id) AS rn
+       |  FROM sessions
+       |), p AS (
+       |  SELECT user_id, session_no,
+       |    concat_ws('>',
+       |      max(CASE WHEN rn = 1 THEN event_type END),
+       |      max(CASE WHEN rn = 2 THEN event_type END),
+       |      max(CASE WHEN rn = 3 THEN event_type END)) AS path
+       |  FROM rn WHERE rn <= 3 GROUP BY user_id, session_no
+       |)
+       |SELECT path, count(*) AS n_sessions
+       |FROM p GROUP BY path
+       |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "w14_attribution" -> (w14Attribution _),
-    "seq_transitions" -> (seqTransitions _))
+    "seq_transitions" -> (seqTransitions _),
+    "assoc_lift" -> (assocLift _),
+    "seq_top_paths" -> (seqTopPaths _))
 
   val oracle: Map[String, String] = Map(
     "w14_attribution" -> w14Sql,
-    "seq_transitions" -> seqTransitionsSql)
+    "seq_transitions" -> seqTransitionsSql,
+    "assoc_lift" -> assocLiftSql,
+    "seq_top_paths" -> seqTopPathsSql)
 }

@@ -50,6 +50,52 @@ class JourneySpec extends AnyFunSuite {
       ("none", 2L, 17.0)))   // user1 p2 (expired), user2 (no touch)
   }
 
+  test("assocFromEvents: per-user DISTINCT type sets, unordered pairs, " +
+    "exact support/confidence permille; absent pairs absent") {
+    val s = spark
+    import s.implicits._
+    // u1 {A,B} (B twice — distinct collapses), u2 {A,B}, u3 {A}, u4 {B,C}
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "A", 0.0),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "B", 0.0),
+      (3L, ts("2024-01-01 12:00:00"), 1L, "B", 0.0),
+      (4L, ts("2024-01-02 10:00:00"), 2L, "A", 0.0),
+      (5L, ts("2024-01-02 11:00:00"), 2L, "B", 0.0),
+      (6L, ts("2024-01-03 10:00:00"), 3L, "A", 0.0),
+      (7L, ts("2024-01-04 10:00:00"), 4L, "B", 0.0),
+      (8L, ts("2024-01-04 11:00:00"), 4L, "C", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = JourneyQueries.assocFromEvents(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSeq
+    assert(out == Seq(
+      ("A", "B", 2L, 3L, 3L, 4L, 500L, 666L),
+      ("B", "C", 1L, 3L, 1L, 4L, 250L, 333L)),
+      s"got $out")
+  }
+
+  test("topPathsFromEvents: 30-min gap splits sessions, paths truncate " +
+    "at 3 steps, short sessions keep short paths, count ties break by path") {
+    val s = spark
+    import s.implicits._
+    // u1: one session of 4 events — path is the FIRST THREE only.
+    // u2: view, then a 31-min gap → two singleton sessions.
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "click", 0.0),
+      (3L, ts("2024-01-01 10:10:00"), 1L, "purchase", 0.0),
+      (4L, ts("2024-01-01 10:15:00"), 1L, "error", 0.0),
+      (5L, ts("2024-01-02 09:00:00"), 2L, "view", 0.0),
+      (6L, ts("2024-01-02 09:31:00"), 2L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = JourneyQueries.topPathsFromEvents(ev, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(
+      ("click", 1L), ("view", 1L), ("view>click>purchase", 1L)),
+      s"got $out")
+  }
+
   test("transitionMatrix: per-user chronology, counts and floored permille") {
     val rows = JourneyQueries.transitionMatrix(fixture).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),

@@ -426,6 +426,33 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("w14_attribution: one window pass, ZERO joins — the last-touch " +
+    "pick is a running conditional argmax, not a touch-table join") {
+    val p = plan("w14_attribution")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), s"attribution must not join:\n$p")
+    assert(!p.contains(", [], ["), "window must be keyed by user")
+  }
+
+  test("ts_theil_sen: pair ranking windows are key-partitioned (the " +
+    "pair table is calendar-bounded), no cartesian anywhere") {
+    val p = plan("ts_theil_sen")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains(", [], ["),
+      s"theil-sen windows must partition by key:\n$p")
+  }
+
+  test("select_pareto: frontier join back to data rows is BROADCAST; " +
+    "the only window runs over the per-length aggregate, not data rows") {
+    val p = plan("select_pareto")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"pareto probe must broadcast the tiny frontier:\n$p")
+    // exactly one window (the strictly-larger-x running max), fed by
+    // the HashAggregate over distinct lengths
+    assert(countOf(p, "Window [") == 1, p)
+  }
+
   test("snapshot_delete_audit: manifest-pruned diff — only the two dirs " +
     "the delete touched are scanned, the stable bulk contributes zero " +
     "bytes") {
