@@ -283,13 +283,78 @@ object JourneyQueries {
        |FROM p GROUP BY path
        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
 
+  // ---- W15: time-anchored window funnel ------------------------------------
+  /** windowFunnel(24h) semantics (the time-anchored funnel next to the
+    * session-bounded `w10_funnel`): per user, the earliest view anchors
+    * the window; the first click AFTER it and the first purchase after
+    * THAT both count only if they land within 24h OF THE ANCHOR.
+    * Level = longest prefix completed. Three conditional mins per user
+    * partition — window frames only, no self-joins — then one global
+    * rollup. Monotone by construction (level k requires level k−1). */
+  def w15WindowFunnel(s: SparkSession, d: String): DataFrame =
+    windowFunnel(Tables.events(s, d), 24L * 3600L * 1000000L)
+
+  /** Frame-level shape, shared with `JourneySpec`. */
+  def windowFunnel(events: DataFrame, winUs: Long): DataFrame = {
+    val ev = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("us", unix_micros(col("ts")))
+    val wU = Window.partitionBy(col("user_id"))
+    val staged = ev
+      .withColumn("v", min(when(col("event_type") === "view",
+        col("us"))).over(wU))
+      .withColumn("c", min(when(col("event_type") === "click" &&
+        col("us") >= col("v") && col("us") <= col("v") + winUs,
+        col("us"))).over(wU))
+      .withColumn("p", min(when(col("event_type") === "purchase" &&
+        col("us") >= col("c") && col("us") <= col("v") + winUs,
+        col("us"))).over(wU))
+    staged.groupBy(col("user_id"))
+      .agg(min(col("v")).as("v"), min(col("c")).as("c"),
+        min(col("p")).as("p"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_level1"),
+        sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_level2"),
+        sum(when(col("p").isNotNull, 1L).otherwise(0L)).as("n_level3"))
+  }
+
+  val w15Sql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+       |  FROM $EventsSql
+       |), st1 AS (
+       |  SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+       |    OVER (PARTITION BY user_id) AS v
+       |  FROM ev
+       |), st2 AS (
+       |  SELECT *, min(CASE WHEN event_type = 'click' AND us >= v
+       |                      AND us <= v + ${24L * 3600L * 1000000L}
+       |                     THEN us END)
+       |    OVER (PARTITION BY user_id) AS c
+       |  FROM st1
+       |), st3 AS (
+       |  SELECT user_id, min(v) AS v, min(c) AS c,
+       |    min(CASE WHEN event_type = 'purchase' AND us >= c
+       |              AND us <= v + ${24L * 3600L * 1000000L}
+       |             THEN us END) AS p
+       |  FROM st2 GROUP BY user_id
+       |)
+       |SELECT count(*) AS n_users,
+       |       CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_level1,
+       |       CAST(SUM(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_level2,
+       |       CAST(SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_level3
+       |FROM st3""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "w15_window_funnel" -> (w15WindowFunnel _),
     "w14_attribution" -> (w14Attribution _),
     "seq_transitions" -> (seqTransitions _),
     "assoc_lift" -> (assocLift _),
     "seq_top_paths" -> (seqTopPaths _))
 
   val oracle: Map[String, String] = Map(
+    "w15_window_funnel" -> w15Sql,
     "w14_attribution" -> w14Sql,
     "seq_transitions" -> seqTransitionsSql,
     "assoc_lift" -> assocLiftSql,

@@ -96,6 +96,36 @@ class JourneySpec extends AnyFunSuite {
       s"got $out")
   }
 
+  test("windowFunnel: anchor = earliest view; click before the view or " +
+    "outside the window doesn't count; purchase needs the click first " +
+    "and must land inside the ANCHOR's window") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      // u1: full level 3 inside 24h of the anchor view
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "click", 0.0),
+      (3L, ts("2024-01-01 12:00:00"), 1L, "purchase", 0.0),
+      // u2: click precedes the first view — level stops at 1
+      (4L, ts("2024-01-02 09:00:00"), 2L, "click", 0.0),
+      (5L, ts("2024-01-02 10:00:00"), 2L, "view", 0.0),
+      // u3: click lands 25h after the anchor — outside, level 1
+      (6L, ts("2024-01-03 00:00:00"), 3L, "view", 0.0),
+      (7L, ts("2024-01-04 01:00:00"), 3L, "click", 0.0),
+      // u4: view+click in window, purchase at anchor+25h — level 2
+      (8L, ts("2024-01-05 00:00:00"), 4L, "view", 0.0),
+      (9L, ts("2024-01-05 01:00:00"), 4L, "click", 0.0),
+      (10L, ts("2024-01-06 01:00:00"), 4L, "purchase", 0.0),
+      // u5: purchase BEFORE any click — level 1 only
+      (11L, ts("2024-01-07 00:00:00"), 5L, "view", 0.0),
+      (12L, ts("2024-01-07 01:00:00"), 5L, "purchase", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = JourneyQueries.windowFunnel(ev, 24L * 3600L * 1000000L)
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((5L, 5L, 2L, 1L)))
+  }
+
   test("transitionMatrix: per-user chronology, counts and floored permille") {
     val rows = JourneyQueries.transitionMatrix(fixture).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
