@@ -576,6 +576,39 @@ object Similarity {
     * bit-stable everywhere, at a 10⁻⁶ precision cost no quantizer cares
     * about. Shuffle shape: one groupBy on (cell, dim) with map-side
     * partial sums — nCentroids·dim result rows. */
+  /** Cluster-quality report over the seed assignment: per cell, the
+    * member count and exact cohesion statistics of the member→centroid
+    * cosine — the evaluation read beside [[kmeansRefine]]'s training
+    * step ("are these cells tight, and which is the loosest member?").
+    *
+    * Determinism: each ccos is a sequential-fold double, identical on
+    * both engines; cross-member arithmetic happens ONLY on the
+    * per-member quantized floor(ccos·10⁶) longs (order-independent
+    * integer sums; min is a pick). The mean is mathematical-FLOOR
+    * division via the pmod construction — qcos_sum can be negative
+    * (anti-aligned vectors), where raw DIV truncates but `//` floors.
+    * One broadcast fan-out (corpus × nCentroids) + two aggregations;
+    * nothing downstream grows with corpus size beyond the cell table.
+    * Output: (cent_id, n, qcos_sum, qcos_min, mean_cos_ppm). */
+  def clusterStats(corpus: DataFrame, idCol: String, vecCol: String,
+                   nCentroids: Int): DataFrame = {
+    val cents = seedCentroids(corpus, idCol, vecCol, nCentroids)
+    val scored = corpus.select(col(idCol), col(vecCol)).crossJoin(cents)
+      .select(col(idCol), col("cent_id"),
+        cosine(col(vecCol), col("cent_vec")).as("ccos"))
+    val best = scored.groupBy(col(idCol))
+      .agg(max(struct(col("ccos"), (-col("cent_id")).as("nc"))).as("b"))
+      .select((-col("b.nc")).as("cell"),
+        floor(col("b.ccos") * lit(1e6)).cast("long").as("qc"))
+    best.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qc")).as("qcos_sum"),
+        min(col("qc")).as("qcos_min"))
+      .select(col("cell").as("cent_id"), col("n"), col("qcos_sum"),
+        col("qcos_min"),
+        expr("(qcos_sum - pmod(qcos_sum, n)) DIV n").as("mean_cos_ppm"))
+  }
+
   def kmeansRefine(corpus: DataFrame, idCol: String, vecCol: String,
                    nCentroids: Int): DataFrame = {
     val cents = seedCentroids(corpus, idCol, vecCol, nCentroids)

@@ -224,6 +224,36 @@ object SimilarityQueries {
     * sums make the centroids independent of partitioning/summation order
     * (a plain double sum would differ between cluster layouts AND between
     * engines). 64-dim embeddings → 8×64 output rows. */
+  /** Cluster-quality report: per seed cell, member count and exact
+    * quantized cosine-cohesion stats (sum / min / floored mean ppm) —
+    * see [[graft.operators.Similarity.clusterStats]] for the
+    * negative-sum floor-division contract. */
+  def simClusterStats(s: SparkSession, d: String): DataFrame =
+    Similarity.clusterStats(Tables.embeddings(s, d), "vec_id",
+        "embedding", NCent)
+      .orderBy(col("cent_id"))
+
+  val simClusterStatsSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings ORDER BY vec_id LIMIT $NCent),
+       |assign AS (
+       |  SELECT e.vec_id, c.cent_id, ${cosSql("e.embedding", "cent_vec")} AS ccos
+       |  FROM embeddings e CROSS JOIN cents c
+       |), best AS (
+       |  SELECT vec_id, cent_id AS cell, ccos FROM (
+       |    SELECT vec_id, cent_id, ccos,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn
+       |    FROM assign) t WHERE rn = 1
+       |), q AS (
+       |  SELECT cell, CAST(floor(ccos * 1000000.0) AS BIGINT) AS qc FROM best
+       |), g AS (
+       |  SELECT cell, COUNT(*) AS n, CAST(SUM(qc) AS BIGINT) AS qcos_sum,
+       |         min(qc) AS qcos_min
+       |  FROM q GROUP BY cell
+       |)
+       |SELECT cell AS cent_id, n, qcos_sum, qcos_min,
+       |       (qcos_sum - ((qcos_sum % n + n) % n)) // n AS mean_cos_ppm
+       |FROM g ORDER BY cent_id""".stripMargin
+
   def simKmeansRefine(s: SparkSession, d: String): DataFrame =
     Similarity.kmeansRefine(Tables.embeddings(s, d), "vec_id", "embedding", NCent)
       .orderBy(col("cent_id"), col("dim"))
@@ -531,6 +561,7 @@ object SimilarityQueries {
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_ivf_filtered" -> (simIvfFiltered _),
     "sim_kmeans_refine" -> (simKmeansRefine _),
+    "sim_cluster_stats" -> (simClusterStats _),
     "dedup_embedding_pairs" -> (dedupEmbeddingPairs _))
 
   val oracle: Map[String, String] = Map(
@@ -547,5 +578,6 @@ object SimilarityQueries {
     "sim_ivf_topk" -> simIvfTopkSql,
     "sim_ivf_filtered" -> simIvfFilteredSql,
     "sim_kmeans_refine" -> simKmeansRefineSql,
+    "sim_cluster_stats" -> simClusterStatsSql,
     "dedup_embedding_pairs" -> dedupEmbeddingPairsSql)
 }

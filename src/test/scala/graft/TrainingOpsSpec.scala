@@ -39,6 +39,30 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out(4L) == null)
   }
 
+  test("clusterStats: quantized cohesion, cosine tie → lower cell, " +
+    "negative-sum mean FLOORS (truncation would differ)") {
+    val s = spark
+    import s.implicits._
+    // centroids = first 2 ids: c0=(1,0,0), c1=(0,1,0).
+    // id2 (-1,-1,0): cos −1/√2 to BOTH → tie → cell 0, qc −707107
+    // id3 (-1,-2,0): cos −1/√5 to c0 beats −2/√5 to c1 → cell 0, −447214
+    // cell 0 sum = 1000000 − 707107 − 447214 = −154321; n = 3;
+    // floor(−154321/3) = −51441 (truncating DIV would say −51440)
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(-1.0f, -1.0f, 0.0f)),
+      (3L, Array(-1.0f, -2.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.clusterStats(df, "vec_id", "embedding", 2)
+      .orderBy("cent_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq(
+      (0L, 3L, -154321L, -707107L, -51441L),
+      (1L, 1L, 1000000L, 1000000L, 1000000L)), s"got $out")
+  }
+
   test("bruteForceTopK: nearest neighbor ranked first, self excluded") {
     val q = vecs.filter(col("vec_id") === 0)
     val out = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 2)
