@@ -576,6 +576,75 @@ object CoreQueries {
       |FROM documents WHERE doc_id % 14 <> 0
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Row-level MERGE on the versioned FACT store, served through the
+    * read path: the same bulk/churn construction as
+    * [[snapshotDeleteRows]] (v1 = % 7 ≠ 0 bulk, v2 = % 7 ≡ 0 churn
+    * dir), then ONE `upsertRows` whose delta mixes both merge arms —
+    * updates (`% 14 ≡ 0` keys get n_chars + 1000, keys that live only
+    * in the churn dir) and inserts (fresh `doc_id + 10⁶` keys derived
+    * from the `% 14 ≡ 7` rows, present in no dir). The construction
+    * asserts the physical half the oracle can't see: rewritten dirs ≡
+    * the churn dir alone (an upsert that rewrote the stable bulk
+    * fails before serving), bulk survives by reference. The HEAD read
+    * must equal bulk ∪ churn-with-updates-applied ∪ inserts, which
+    * the oracle recomputes straight from `documents`; a merge that
+    * dropped a survivor, kept a stale matched row, or lost an insert
+    * hash-mismatches. VersionedStoreSpec pins time travel, the
+    * insert-only-rewrites-nothing contract, and empty-delta no-op. */
+  private val snapUpsertCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def snapUpsertStore(s: SparkSession, d: String): String =
+    snapUpsertCache.computeIfAbsent(d, _ => {
+      import graft.sources.PartitionedStore
+      val docs = Tables.documents(s, d)
+      val p = graft.Scratch.dir("graft_snapupsert")
+      PartitionedStore.commitVersion(
+        docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("n_chars")), p)
+      PartitionedStore.commitVersion(
+        docs.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), col("n_chars")), p, append = true)
+      val bulkDir = PartitionedStore.versionDirs(p, 1L)
+      val churnDir = (PartitionedStore.versionDirs(p, 2L).toSet --
+        bulkDir.toSet).toSeq
+      val delta = docs.filter(col("doc_id") % 14 === 0)
+        .select(col("doc_id"), (col("n_chars") + 1000L).as("n_chars"))
+        .unionByName(docs.filter(col("doc_id") % 14 === 7)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            col("n_chars")))
+      val (nv, rewritten) = PartitionedStore.upsertRows(s, p, delta,
+        "doc_id")
+      require(rewritten == churnDir,
+        s"upsert must rewrite exactly the churn dir, got $rewritten")
+      require(bulkDir.forall(
+        PartitionedStore.versionDirs(p, nv).contains),
+        "stable bulk dir must survive the upsert by reference")
+      p
+    })
+
+  def snapshotUpsert(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.PartitionedStore
+    PartitionedStore.readVersion(s, snapUpsertStore(s, d))
+      .groupBy((col("doc_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("bucket"))
+  }
+
+  val snapshotUpsertSql: String =
+    """WITH head AS (
+      |  SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id,
+      |         n_chars + CASE WHEN doc_id % 14 = 0 THEN 1000 ELSE 0 END
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, n_chars FROM documents WHERE doc_id % 14 = 7
+      |)
+      |SELECT doc_id % 10 AS bucket, count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM head GROUP BY 1 ORDER BY bucket""".stripMargin
+
   def snapshotDiff(s: SparkSession, d: String): DataFrame = {
     import graft.sources.PartitionedStore
     val docs = Tables.documents(s, d)
@@ -710,6 +779,7 @@ object CoreQueries {
     "snapshot_diff" -> (snapshotDiff _),
     "snapshot_restore" -> (snapshotRestore _),
     "snapshot_delete_rows" -> (snapshotDeleteRows _),
+    "snapshot_upsert" -> (snapshotUpsert _),
     "snapshot_delete_audit" -> (snapshotDeleteAudit _),
     "o9_zorder_scan" -> (o9ZorderScan _),
     "snapshot_compact" -> (snapshotCompact _),
@@ -733,6 +803,7 @@ object CoreQueries {
     "snapshot_diff" -> snapshotDiffSql,
     "snapshot_restore" -> snapshotRestoreSql,
     "snapshot_delete_rows" -> snapshotDeleteRowsSql,
+    "snapshot_upsert" -> snapshotUpsertSql,
     "snapshot_delete_audit" -> snapshotDeleteAuditSql,
     "o9_zorder_scan" -> o9ZorderScanSql,
     "snapshot_compact" -> snapshotCompactSql,

@@ -696,6 +696,48 @@ object PartitionedStore {
     (nv, dirty)
   }
 
+  /** Row-level MERGE (upsert) on the versioned store — the update verb
+    * completing the CRUD set beside append (C), time-travel reads (R)
+    * and [[deleteRows]] (D). `updates` rows REPLACE same-key rows
+    * wholesale; keys present in no dir are inserted.
+    *
+    * Same copy-on-write discipline as [[deleteRows]]: a dir-level
+    * key probe (broadcast semi-join of the delta-sized key set into
+    * each dir's scan; the driver loop is manifest-length planning
+    * work) finds the dirty dirs; the rewrite reads ONLY those, strips
+    * the matched keys (broadcast anti-join), and commits survivors +
+    * ALL update rows as one new dir while clean dirs carry by
+    * reference. Older versions still serve the pre-upsert rows. An
+    * insert-only upsert (no key matches anywhere) rewrites NOTHING —
+    * it is exactly a delta append; an empty `updates` frame is a
+    * no-op (no commit, served version returned).
+    *
+    * At 100 TB: cost ∝ dirty-dir bytes + delta bytes, never the
+    * table. Returns (new version — or the probed version when no-op —
+    * and the rewritten dirs). */
+  def upsertRows(spark: SparkSession, path: String, updates: DataFrame,
+                 keyCol: String, partitionCols: Seq[String] = Nil,
+                 version: Option[Long] = None): (Long, Seq[String]) = {
+    import org.apache.spark.sql.functions.broadcast
+    val v = version.getOrElse(versions(path).last)
+    if (updates.isEmpty) return (v, Nil)
+    val keys = broadcast(updates.select(col(keyCol)).distinct())
+    val dirs = manifestDirs(path, v)
+    val dirty = dirs.filter { dd =>
+      !spark.read.parquet(Paths.get(path, "data", dd).toString)
+        .join(keys, Seq(keyCol), "left_semi").isEmpty
+    }
+    val survivors = dirty
+      .map(dd => spark.read.parquet(Paths.get(path, "data", dd).toString))
+      .reduceOption(_.unionByName(_))
+      .map(_.join(keys, Seq(keyCol), "left_anti"))
+    val merged = survivors
+      .map(_.unionByName(updates)).getOrElse(updates)
+    val nv = commitVersion(merged, path, append = true,
+      dropDirs = dirty, partitionCols = partitionCols, parent = Some(v))
+    (nv, dirty)
+  }
+
   def vacuum(path: String): Seq[String] = {
     val live = versions(path).flatMap(manifestDirs(path, _)).toSet
     val dataDir = Paths.get(path, "data")

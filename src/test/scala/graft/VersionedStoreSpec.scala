@@ -122,6 +122,52 @@ class VersionedStoreSpec extends AnyFunSuite {
       !afterNull.filter(col("id") === 42L).isEmpty)
   }
 
+  test("upsertRows: matched keys replaced wholesale, new keys inserted, " +
+    "only dirty dirs rewrite; insert-only rewrites NOTHING; empty delta " +
+    "is a no-op; time travel keeps pre-merge rows") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("vstore").toString
+    PartitionedStore.commitVersion(df(0 until 100), path)
+    PartitionedStore.commitVersion(df(100 until 110), path, append = true)
+    val bulkDir = PartitionedStore.versionDirs(path, 1L)
+    val churnDir = (PartitionedStore.versionDirs(path, 2L).toSet --
+      bulkDir.toSet).toSeq
+    // delta: update two churn keys, insert two fresh keys — dirty = churn only
+    val delta = Seq((100L, "UPD-100"), (102L, "UPD-102"),
+      (500L, "NEW-500"), (501L, "NEW-501")).toDF("id", "payload")
+    val (v3, rewritten) = PartitionedStore.upsertRows(s, path, delta, "id")
+    assert(v3 == 3L && rewritten == churnDir,
+      s"merge scope must be exactly the churn dir: $rewritten")
+    val head = PartitionedStore.readVersion(s, path)
+    assert(head.count() == 112)
+    assert(head.filter(col("id") === 100L).collect()(0)
+      .getString(1) == "UPD-100", "matched key must serve the update row")
+    assert(head.filter(col("id") === 500L).count() == 1)
+    assert(head.filter(col("id") === 101L).collect()(0)
+      .getString(1) == "row-101", "unmatched dirty-dir row must survive")
+    val v3dirs = PartitionedStore.versionDirs(path, 3L)
+    assert(bulkDir.forall(v3dirs.contains) &&
+      !v3dirs.exists(churnDir.contains))
+    // insert-only delta: no key matches → zero rewrites, pure delta append
+    val (v4, noneRewritten) = PartitionedStore.upsertRows(s, path,
+      Seq((600L, "NEW-600")).toDF("id", "payload"), "id")
+    assert(v4 == 4L && noneRewritten.isEmpty)
+    assert(v3dirs.forall(
+      PartitionedStore.versionDirs(path, 4L).contains),
+      "insert-only upsert must keep every standing dir by reference")
+    // empty delta: no commit at all
+    val (v5, n2) = PartitionedStore.upsertRows(s, path,
+      df(0 until 0), "id")
+    assert(v5 == 4L && n2.isEmpty &&
+      PartitionedStore.versions(path) == Seq(1L, 2L, 3L, 4L))
+    // pre-merge history still serves the original churn rows
+    val old = PartitionedStore.readVersion(s, path, Some(2L))
+    assert(old.count() == 110 && old.filter(col("id") === 100L)
+      .collect()(0).getString(1) == "row-100")
+  }
+
   test("a crash before manifest publish leaves the data invisible; vacuum reclaims it") {
     val path = Files.createTempDirectory("vstore").toString
     PartitionedStore.commitVersion(df(0 until 3), path)
