@@ -454,6 +454,54 @@ object Search {
     bm25IndexServe(spark, path, queries, idCol, queryIdCol, queryTextCol,
       k, k1, b, None)
 
+  /** Boolean-AND retrieval through the stored index: every doc
+    * containing ALL of a query's (distinct) terms — the filter verb of
+    * an inverted index beside the ranked BM25 verbs, and the exact
+    * candidate generator a phrase/proximity stage would consume.
+    *
+    * Serving shape is identical to [[bm25IndexTopK]]'s: one composite
+    * resolution pins all components to a generation, the postings read
+    * prunes to the query vocabulary's bucket dirs, tombstoned docs
+    * leave before counting. The AND itself is one groupBy on the
+    * pruned postings — count of DISTINCT matched terms per (query,
+    * doc) equals the query's term count — so cost is postings-rows ∝
+    * query vocabulary, never corpus size. Output: (query_id, doc_id),
+    * one row per qualifying doc. */
+  def bm25IndexBooleanAnd(spark: org.apache.spark.sql.SparkSession,
+                          path: String, queries: DataFrame, idCol: String,
+                          queryIdCol: String,
+                          queryTextCol: String): DataFrame = {
+    import graft.sources.PartitionedStore
+    val served = PartitionedStore.readComposite(path)
+    val stats = PartitionedStore.readVersion(spark, s"$path/stats",
+      Some(served("stats")))
+    val nBuckets = stats.select(col("n_buckets")).collect()(0).getInt(0)
+    val qterms = broadcast(queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(split(trim(col(queryTextCol)), " ")).as("term"))
+      .distinct())
+    val nTerms = broadcast(qterms.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_terms")))
+    val qbuckets = qterms
+      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val tfq0 = PartitionedStore.readVersion(spark, s"$path/postings",
+        Some(served("postings")))
+      .filter(col("bucket").isin(qbuckets: _*))
+      .join(qterms, "term")
+    val tfq = served.get("tombstones").fold(tfq0) { tv =>
+      tfq0.join(broadcast(PartitionedStore.readVersion(
+        spark, s"$path/tombstones", Some(tv))), Seq(idCol), "left_anti")
+    }
+    // postings hold one row per (term, doc) already — plain count IS the
+    // distinct matched-term count
+    tfq.groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("n_hit"))
+      .join(nTerms, "query_id")
+      .filter(col("n_hit") === col("n_terms"))
+      .select(col("query_id"), col(idCol))
+  }
+
   private def bm25IndexServe(spark: org.apache.spark.sql.SparkSession,
                              path: String, queries: DataFrame, idCol: String,
                              queryIdCol: String, queryTextCol: String,

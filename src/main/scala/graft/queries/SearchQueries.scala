@@ -147,6 +147,48 @@ object SearchQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---- boolean AND through the stored index ---------------------------------
+  /** Every doc containing ALL of the query doc's tokens — the inverted
+    * index's filter verb, served through the SAME stored index (bucket
+    * pruning, tombstone discipline) the ranked reads use; one groupBy
+    * over query-vocabulary postings rows. The oracle restates it over
+    * per-doc DISTINCT token sets: match count per (query, doc) equals
+    * the query's distinct-term count. A query doc always matches
+    * itself; beyond that only token-superset docs qualify. */
+  def searchBoolean(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val path = bm25IndexCache.computeIfAbsent(d, _ => {
+      val p = graft.Scratch.dir("graft_bm25_idx")
+      Search.writeBm25Index(docs, "doc_id", "text", p)
+      p
+    })
+    Search.bm25IndexBooleanAnd(s, path,
+        docs.filter(col("doc_id") < NQ)
+          .select(col("doc_id").as("query_id"), col("text").as("qtext")),
+        "doc_id", "query_id", "qtext")
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
+  val searchBooleanSql: String =
+    """WITH qt AS (
+      |  SELECT doc_id AS query_id,
+      |         unnest(list_distinct(string_split(trim(text), ' '))) AS term
+      |  FROM documents WHERE doc_id < 5
+      |), nq AS (
+      |  SELECT query_id, count(*) AS n_terms FROM qt GROUP BY query_id
+      |), dt AS (
+      |  SELECT doc_id,
+      |         unnest(list_distinct(string_split(trim(text), ' '))) AS term
+      |  FROM documents
+      |), hit AS (
+      |  SELECT q.query_id, d.doc_id, count(*) AS n_hit
+      |  FROM qt q JOIN dt d USING (term) GROUP BY 1, 2
+      |)
+      |SELECT hit.query_id AS query_id, hit.doc_id AS doc_id
+      |FROM hit JOIN nq ON nq.query_id = hit.query_id
+      |WHERE hit.n_hit = nq.n_terms
+      |ORDER BY hit.query_id, hit.doc_id""".stripMargin
+
   // ---- BM25 with pseudo-relevance feedback (RM3-lite) -----------------------
   private val FbDocs = 3
   private val FbTerms = 3
@@ -483,6 +525,7 @@ object SearchQueries {
     "search_bm25_filtered_indexed" -> (searchBm25FilteredIndexed _),
     "search_bm25" -> (searchBm25 _),
     "search_bm25_indexed" -> (searchBm25Indexed _),
+    "search_boolean" -> (searchBoolean _),
     "search_bm25_prf" -> (searchBm25Prf _),
     "search_hybrid_rrf" -> (searchHybridRrf _),
     "rag_retrieve" -> (ragRetrieve _),
@@ -497,6 +540,7 @@ object SearchQueries {
     "search_bm25" -> searchBm25Sql,
     // the index is pure I/O layout — semantics ARE search_bm25's
     "search_bm25_indexed" -> searchBm25Sql,
+    "search_boolean" -> searchBooleanSql,
     "search_bm25_prf" -> searchBm25PrfSql,
     "search_hybrid_rrf" -> searchHybridRrfSql,
     "rag_retrieve" -> ragRetrieveSql,

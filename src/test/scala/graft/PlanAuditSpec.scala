@@ -491,6 +491,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"term-bucket IN-list must survive the filter as a partition filter:\n$pf")
   }
 
+  test("search_boolean: the AND verb serves from the STORED index — " +
+    "postings prune to the query's term buckets, the corpus text is " +
+    "never re-tokenized") {
+    val df = SparkEntry.queries("search_boolean")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("bucket"),
+      s"term-bucket IN-list must reach the postings scan:\n$pf")
+    // corpus touchpoints: the stored index + the 5-row query-doc read;
+    // a documents re-tokenization would add a full-corpus Generate over
+    // documents.parquet, which the bucket-pruned postings path replaces
+    assert(df.inputFiles.exists(_.contains("graft_bm25_idx")),
+      "boolean AND must serve from the stored index")
+  }
+
   test("global sweep: no query plans an unbroadcast cartesian product") {
     // crossJoin against a broadcast side plans as BroadcastNestedLoopJoin
     // (fine — one side is tiny by construction); a CartesianProduct node
