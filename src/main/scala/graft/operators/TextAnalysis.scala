@@ -358,6 +358,52 @@ object TextAnalysis {
     * distinct-token table (10⁸-10⁹ rows at corpus scale) never funnels
     * through one task. Only the v-row result is then ranked by a
     * window, which is bounded by construction. */
+  /** Vocabulary coverage curve — "how many types does a tokenizer need
+    * to cover p% of corpus tokens": for each requested percentage, the
+    * minimal rank r such that the r most frequent types (ties broken
+    * arbitrarily WITHIN a frequency class — the answer is tie-order
+    * invariant because equal-frequency types contribute equally) cover
+    * ⌈total·p/100⌉ token occurrences.
+    *
+    * Scale shape: the token scan aggregates to the vocab once, the
+    * vocab aggregates to the DISTINCT-FREQUENCY histogram (O(√corpus)
+    * rows by Heaps/Zipf, bounded regardless of vocab size), and the
+    * running sums + crossing solve run over that histogram — never
+    * over the vocab, never over tokens. Inside the crossing class the
+    * exact rank is types_before + ⌈(target − cum_before)/f⌉, all
+    * non-negative integer arithmetic. Output: (pct, target_tokens,
+    * rank_needed). */
+  def vocabCoverage(df: DataFrame, textCol: String,
+                    pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percentages must be in [1,100]: $pcts")
+    val vocab = df
+      .select(explode(split(trim(col(textCol)), " ")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("f"))
+    val hist = vocab.groupBy(col("f"))
+      .agg(count(lit(1)).as("n_types"))
+    val wDesc = Window.orderBy(col("f").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("cum_before",
+        coalesce(sum(col("f") * col("n_types")).over(wDesc), lit(0L)))
+      .withColumn("types_before",
+        coalesce(sum(col("n_types")).over(wDesc), lit(0L)))
+      .withColumn("total",
+        sum(col("f") * col("n_types")).over(Window.partitionBy()))
+    val targets = pcts.map(p =>
+      s"SELECT $p AS pct").mkString(" UNION ALL ")
+    val pctDf = broadcast(df.sparkSession.sql(targets))
+    cum.crossJoin(pctDf)
+      .withColumn("target", expr("(total * pct + 99) DIV 100"))
+      .filter(col("cum_before") < col("target") &&
+        col("target") <= col("cum_before") + col("f") * col("n_types"))
+      .select(col("pct").cast("long").as("pct"),
+        col("target").as("target_tokens"),
+        (col("types_before") +
+          expr("(target - cum_before + f - 1) DIV f")).as("rank_needed"))
+  }
+
   def vocabTable(df: DataFrame, textCol: String, v: Int): DataFrame = {
     val topV = df
       .select(explode(split(trim(col(textCol)), " ")).as("t"))

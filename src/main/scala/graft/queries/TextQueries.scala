@@ -1719,7 +1719,42 @@ object TextQueries {
        |FROM banded GROUP BY band ORDER BY band""".stripMargin
   }
 
+  // ---- vocabulary coverage curve -------------------------------------------
+  /** Types needed to cover 50/90/95/99% of corpus tokens — the
+    * tokenizer-sizing read. Spark side solves the crossing on the
+    * DISTINCT-FREQUENCY histogram (windows never touch the vocab, let
+    * alone tokens — the same bounded-table discipline as `vocabTable`'s
+    * top-v fix); the oracle is the independent vocab-level statement:
+    * min row_number over (freq desc, token) whose running token sum
+    * reaches the target. Equal because equal-frequency types contribute
+    * equally — the intra-class tie order cannot move the crossing. */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.vocabCoverage(Tables.documents(s, d), "text",
+        Seq(50, 90, 95, 99))
+      .orderBy(col("pct"))
+
+  val vocabCoverageSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents
+      |), vocab AS (SELECT w, count(*) AS f FROM tok GROUP BY w
+      |), r AS (
+      |  SELECT f, row_number() OVER (ORDER BY f DESC, w) AS rn,
+      |         SUM(f) OVER (ORDER BY f DESC, w ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM vocab
+      |), tot AS (SELECT CAST(SUM(f) AS BIGINT) AS total FROM vocab
+      |), t AS (
+      |  SELECT CAST(p.pct AS BIGINT) AS pct,
+      |         (tot.total * p.pct + 99) // 100 AS target_tokens
+      |  FROM (VALUES (50), (90), (95), (99)) p(pct) CROSS JOIN tot
+      |)
+      |SELECT t.pct, t.target_tokens,
+      |       CAST(min(r.rn) AS BIGINT) AS rank_needed
+      |FROM t JOIN r ON r.cum >= t.target_tokens
+      |GROUP BY t.pct, t.target_tokens
+      |ORDER BY pct""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "vocab_coverage" -> (vocabCoverage _),
     "quality_calibration" -> (qualityCalibration _),
     "select_pareto" -> (selectPareto _),
     "sim_text_topk" -> (simTextTopk _),
@@ -1767,6 +1802,7 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "quality_calibration" -> qualityCalibrationSql,
+    "vocab_coverage" -> vocabCoverageSql,
     "select_pareto" -> selectParetoSql,
     "sim_text_topk" -> simTextTopkSql,
     "quality_top_fraction" -> qualityTopFractionSql,

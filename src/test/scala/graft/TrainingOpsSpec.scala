@@ -39,6 +39,22 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out(4L) == null)
   }
 
+  test("vocabCoverage: exact crossing ranks on a hand-built Zipf tail, " +
+    "including a mid-class crossing") {
+    val s = spark
+    import s.implicits._
+    // freqs: a=4, b=2, c=1, d=1; total=8; histogram {4:1, 2:1, 1:2}
+    val docs = Seq((1L, "a a a a b"), (2L, "b c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(docs, "text",
+        Seq(50, 75, 87, 100))
+      .orderBy("pct").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // 50% → target 4 → 1 type; 75% → 6 → 2; 87% → ceil(6.96)=7 → 3
+    // (mid-class: second type of the f=1 class NOT needed); 100% → 8 → 4
+    assert(out == Seq((50L, 4L, 1L), (75L, 6L, 2L), (87L, 7L, 3L),
+      (100L, 8L, 4L)), s"got $out")
+  }
+
   test("clusterStats: quantized cohesion, cosine tie → lower cell, " +
     "negative-sum mean FLOORS (truncation would differ)") {
     val s = spark
