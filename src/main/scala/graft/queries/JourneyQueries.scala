@@ -346,7 +346,95 @@ object JourneyQueries {
        |       CAST(SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_level3
        |FROM st3""".stripMargin
 
+  // ---- W16: inter-session return-time distribution -------------------------
+  /** "How long until users come back": the gap between a session's END
+    * and the next session's START per user, bucketed on the standard
+    * retention boundaries (<1d / 1–3d / 3–7d / ≥7d). Reuses the w8
+    * session rule (30-min inactivity); the gap lag runs over the
+    * (user × session) table — session counts, not event counts — and
+    * the rollup is 4 rows. Bucket ids are numeric so the output order
+    * is total without string tricks. */
+  def returnTimes(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("ts"), col("event_id"))
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapped = ev
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") >
+            30L * 60 * 1000000, 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("new_session")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessions = gapped.groupBy(col("user_id"), col("session_no"))
+      .agg(min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+    val wSess = Window.partitionBy(col("user_id"))
+      .orderBy(col("session_no").asc)
+    val dayUs = 86400L * 1000000L
+    val gaps = sessions
+      .withColumn("prev_end", lag(col("end_us"), 1).over(wSess))
+      .filter(col("prev_end").isNotNull)
+      .withColumn("gap_us", col("start_us") - col("prev_end"))
+      .withColumn("bucket",
+        when(col("gap_us") < lit(dayUs), 1L)
+          .when(col("gap_us") < lit(3L * dayUs), 2L)
+          .when(col("gap_us") < lit(7L * dayUs), 3L)
+          .otherwise(4L))
+    gaps.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"))
+      .withColumn("label",
+        when(col("bucket") === 1L, "lt_1d")
+          .when(col("bucket") === 2L, "1_3d")
+          .when(col("bucket") === 3L, "3_7d").otherwise("ge_7d"))
+      .select(col("bucket"), col("label"), col("n_gaps"))
+      .orderBy(col("bucket"))
+  }
+
+  def w16ReturnTimes(s: SparkSession, d: String): DataFrame =
+    returnTimes(Tables.events(s, d))
+
+  val w16Sql: String = {
+    val dayUs = 86400L * 1000000L
+    s"""WITH ord AS (
+       |  SELECT user_id, ts, event_id,
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS prev_us
+       |  FROM $EventsSql
+       |), flagged AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL
+       |                   OR epoch_us(ts) - prev_us > 30*60*1000000
+       |                 THEN 1 ELSE 0 END AS new_session
+       |  FROM ord
+       |), sessions AS (
+       |  SELECT user_id,
+       |    CAST(SUM(new_session) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |      AS session_no,
+       |    epoch_us(ts) AS us
+       |  FROM flagged
+       |), per AS (
+       |  SELECT user_id, session_no, min(us) AS start_us, max(us) AS end_us
+       |  FROM sessions GROUP BY user_id, session_no
+       |), gaps AS (
+       |  SELECT start_us - lag(end_us) OVER (PARTITION BY user_id
+       |    ORDER BY session_no) AS gap_us
+       |  FROM per
+       |), b AS (
+       |  SELECT CASE WHEN gap_us < ${dayUs} THEN 1
+       |              WHEN gap_us < ${3 * dayUs} THEN 2
+       |              WHEN gap_us < ${7 * dayUs} THEN 3 ELSE 4 END AS bucket
+       |  FROM gaps WHERE gap_us IS NOT NULL
+       |)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |       CASE bucket WHEN 1 THEN 'lt_1d' WHEN 2 THEN '1_3d'
+       |                   WHEN 3 THEN '3_7d' ELSE 'ge_7d' END AS label,
+       |       count(*) AS n_gaps
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "w16_return_times" -> (w16ReturnTimes _),
     "w15_window_funnel" -> (w15WindowFunnel _),
     "w14_attribution" -> (w14Attribution _),
     "seq_transitions" -> (seqTransitions _),
@@ -354,6 +442,7 @@ object JourneyQueries {
     "seq_top_paths" -> (seqTopPaths _))
 
   val oracle: Map[String, String] = Map(
+    "w16_return_times" -> w16Sql,
     "w15_window_funnel" -> w15Sql,
     "w14_attribution" -> w14Sql,
     "seq_transitions" -> seqTransitionsSql,

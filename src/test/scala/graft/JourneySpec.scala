@@ -126,6 +126,25 @@ class JourneySpec extends AnyFunSuite {
       ((5L, 5L, 2L, 1L)))
   }
 
+  test("returnTimes: bucket boundaries are half-open at exactly 1d/3d/7d " +
+    "(a gap of exactly one day lands in the 1-3d bucket)") {
+    val s = spark
+    import s.implicits._
+    // consecutive single-event sessions with gaps 1h / exactly 1d /
+    // exactly 3d / exactly 7d → one gap in each bucket
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0),
+      (2L, ts("2024-01-01 01:00:00"), 1L, "view", 0.0),
+      (3L, ts("2024-01-02 01:00:00"), 1L, "view", 0.0),
+      (4L, ts("2024-01-05 01:00:00"), 1L, "view", 0.0),
+      (5L, ts("2024-01-12 01:00:00"), 1L, "view", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = JourneyQueries.returnTimes(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, "lt_1d", 1L), (2L, "1_3d", 1L),
+      (3L, "3_7d", 1L), (4L, "ge_7d", 1L)), s"got $out")
+  }
+
   test("transitionMatrix: per-user chronology, counts and floored permille") {
     val rows = JourneyQueries.transitionMatrix(fixture).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
