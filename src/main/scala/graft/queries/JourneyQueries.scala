@@ -9,10 +9,12 @@ import graft.Tables
   * questions a tracker's activity feed answers (the reference keeps a
   * typed per-user activity stream, `data/dataExamples.txt` activity
   * rows; its dashboards read it chronologically): last-touch
-  * conversion attribution and the first-order event-transition matrix.
+  * conversion attribution, the first-order event-transition matrix,
+  * market-basket association lift, top session paths, the
+  * time-anchored window funnel, and the return-time distribution.
   *
   * Scale/determinism contract:
-  *  - Both reads make ONE pass over raw events; every window partitions
+  *  - Every read makes ONE pass over raw events; every window partitions
   *    by `user_id` (bounded by per-user history, never corpus-wide) and
   *    orders by the unique (ts, event_id) pair, so results are
   *    deterministic under any row order.
