@@ -154,6 +154,135 @@ object Graph {
     } finally Checkpoints.release(sym)
   }
 
+  /** Multi-source BFS hop distances over an UNDIRECTED edge list — the
+    * reachability read the centrality ops cannot answer: given a SEED set
+    * (a quarantined source, a takedown list, a benchmark-contaminated
+    * cohort), which nodes sit within `maxHops` near-dup hops, and how
+    * close? Curation role: the blast radius of contamination — transitive
+    * near-duplication carries leaked benchmark text outward hop by hop,
+    * and "drop everything within 2 hops of the flagged set" is the
+    * conservative decontamination rule (Lee et al. 2022 observe exact-dup
+    * chains propagate memorized spans).
+    *
+    * Frontier iteration, not Floyd/closure: round k joins the CURRENT
+    * frontier (nodes first reached at k−1) against the symmetric edge
+    * list, anti-joins the visited set, and tags survivors with hop k —
+    * each round is one equi-join + one distinct + one anti-join, all
+    * shuffled by node id (a partitioning Catalyst reuses round to
+    * round). The frontier frame — not the visited set — drives the join,
+    * so per-round cost tracks the EXPANDING RIM, not the accumulated
+    * interior. Fixed `maxHops` keeps the job graph static and the oracle
+    * expressible as unrolled CTEs; an exhausted frontier short-circuits
+    * (pure optimization — later rounds would add nothing). Frames
+    * checkpoint per round with the [[pagerank]] release discipline.
+    *
+    * Output: `(id, hops)` — seeds at 0 (including seeds with no edges:
+    * the quarantine itself is part of the radius), every node first
+    * reached at hop k ≤ maxHops at k. Unreached nodes are absent. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val undirected = edges.filter(col("id_a") =!= col("id_b"))
+    val sym = undirected
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(undirected.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    try {
+      var dist = seeds.select(col("id"), lit(0L).as("hops"))
+        .distinct().localCheckpoint()
+      // the frontier starts as the dist checkpoint itself (hop-0 rows);
+      // from round 2 on it is the previous round's `fresh` checkpoint —
+      // tracked separately from dist so each can be released exactly once
+      var frontier = dist
+      var k = 1
+      var exhausted = false
+      while (k <= maxHops && !exhausted) {
+        val reached = sym
+          .join(frontier.select(col("id").as("src")), "src")
+          .select(col("dst").as("id")).distinct()
+        val fresh = reached.join(dist, Seq("id"), "left_anti")
+          .select(col("id"), lit(k.toLong).as("hops"))
+          .localCheckpoint()
+        if (fresh.isEmpty) {
+          exhausted = true // fixpoint: every later frontier is empty too
+          Checkpoints.release(fresh)
+        } else {
+          val next = dist.union(fresh).localCheckpoint()
+          // next is materialized: the old visited set and the old
+          // frontier (distinct frames from round 2 on) are both consumed
+          if (!(frontier eq dist)) Checkpoints.release(frontier)
+          Checkpoints.release(dist)
+          dist = next
+          frontier = fresh
+        }
+        k += 1
+      }
+      if (!(frontier eq dist)) Checkpoints.release(frontier)
+      dist
+    } finally {
+      Checkpoints.release(sym)
+    }
+  }
+
+  /** Bounded k-core peeling over an UNDIRECTED edge list (Seidman 1983;
+    * distributed peeling round shape per Montresor et al. 2013): `rounds`
+    * synchronous sweeps, each deleting every node whose degree in the
+    * CURRENT surviving subgraph is < k. The k-core separates DENSE mutual
+    * near-duplication (template farms, mirror rings — every member ≥ k
+    * dup partners even after its weakest neighbours leave) from incidental
+    * pairwise overlap, a strictly stronger signal than degree (a star hub
+    * has high degree but peels the moment its leaves do) and than
+    * triangles (a 4-cycle has zero triangles but survives 2-core).
+    * Curation role: the surviving subgraph is where one-survivor-per-
+    * cluster policies pay; the peeled fringe needs no aggressive rule.
+    *
+    * Round shape: restrict the symmetric edge list to surviving endpoints
+    * (two semi-joins on node id), one map-side-combinable degree count,
+    * one filter — no windows, no cartesians. The edge restriction
+    * SHRINKS monotonically, so per-round cost tracks the surviving
+    * subgraph. Fixed `rounds` (not run-to-fixpoint) keeps the job graph
+    * static and the oracle expressible as unrolled CTEs — stated
+    * semantics: the result is the round-`rounds` survivor set, which
+    * equals the true k-core whenever peeling has converged by then (each
+    * round removes at least one node until fixpoint, and real dup graphs
+    * converge in a handful of rounds; a chain of length L needs ⌈L/2⌉).
+    *
+    * Output: `(id, core_deg)` — survivors with their degree as of the
+    * final peel (their degree among round-(rounds−1) survivors). */
+  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val undirected = edges.filter(col("id_a") =!= col("id_b"))
+    val sym = undirected
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(undirected.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    try {
+      // each round's checkpoint doubles as the survivor set (its `id`
+      // column) and the candidate output (its `core_deg` column); the
+      // previous round's blocks release once the new one is materialized
+      var surv = sym.select(col("src").as("id"), lit(0L).as("core_deg"))
+        .distinct().localCheckpoint()
+      var r = 0
+      while (r < rounds) {
+        val deg = sym
+          .join(surv.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(surv.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+          .filter(col("core_deg") >= k)
+          .select(col("src").as("id"), col("core_deg"))
+          .localCheckpoint()
+        Checkpoints.release(surv)
+        surv = deg
+        r += 1
+      }
+      surv
+    } finally {
+      Checkpoints.release(sym)
+    }
+  }
+
   /** Triangle count + local clustering coefficient over an UNDIRECTED edge
     * list, by degree orientation (Schank & Wagner, WEA 2005; distributed
     * formulation Suri & Vassilvitskii, "Counting triangles and the curse

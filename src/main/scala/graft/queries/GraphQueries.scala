@@ -193,15 +193,91 @@ object GraphQueries {
        |FROM dg LEFT JOIN tn ON tn.id = dg.id
        |ORDER BY doc_id""".stripMargin
 
+  // ---- contamination blast radius: multi-source BFS ------------------------
+  private val BfsHops = 3
+  private val SeedSource = "src0"
+
+  /** Min hop distance from a quarantined SOURCE cohort through the
+    * near-dup graph — the transitive-contamination read: seeds (every
+    * `src0` doc, the flagged provenance) at hop 0, everything within
+    * [[BfsHops]] near-dup hops tagged with its first-reach distance.
+    * "Drop hops ≤ 2" is the conservative decontamination rule; the hop
+    * histogram is the evidence for how far leakage actually travels.
+    * Frontier-driven rounds ([[Graph.bfsHops]]): per-round cost tracks
+    * the expanding rim, never the visited interior. */
+  def graphBfsHops(s: SparkSession, d: String): DataFrame = {
+    val seeds = Tables.documents(s, d)
+      .filter(col("source") === SeedSource)
+      .select(col("doc_id").as("id"))
+    Graph.bfsHops(dupEdges(s, d), seeds, maxHops = BfsHops)
+      .select(col("id").as("doc_id"), col("hops"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Unrolled BFS round k: frontier = fresh neighbours of the previous
+    * frontier, visited = previous visited ∪ frontier at hop k. */
+  private def bfsIterSql(k: Int): String =
+    s"""f$k AS (
+       |  SELECT DISTINCT e.d AS id
+       |  FROM f${k - 1} JOIN sym e ON e.s = f${k - 1}.id
+       |  WHERE e.d NOT IN (SELECT id FROM d${k - 1})
+       |), d$k AS (
+       |  SELECT id, hops FROM d${k - 1}
+       |  UNION ALL SELECT id, CAST($k AS BIGINT) AS hops FROM f$k
+       |)""".stripMargin
+
+  val graphBfsHopsSql: String =
+    s"""WITH ${SequenceQueries.dupGraphCtes},
+       |d0 AS (
+       |  SELECT doc_id AS id, CAST(0 AS BIGINT) AS hops FROM documents
+       |  WHERE source = '$SeedSource'
+       |), f0 AS (SELECT id FROM d0),
+       |${(1 to BfsHops).map(bfsIterSql).mkString(",\n")}
+       |SELECT id AS doc_id, hops FROM d$BfsHops ORDER BY doc_id""".stripMargin
+
+  // ---- k-core of the duplicate-candidate graph -----------------------------
+  private val CoreK = 2
+  private val CoreRounds = 4
+
+  /** Survivors of [[CoreRounds]] synchronous 2-core peels + their final
+    * in-core degree — dense mutual-duplication structure (template
+    * farms, mirror rings) with the pendant fringe peeled away; the
+    * population where one-survivor-per-cluster policies pay
+    * ([[Graph.kcore]]). A star hub peels with its leaves (unlike raw
+    * degree); a 4-cycle survives (unlike triangle count). */
+  def graphKcore(s: SparkSession, d: String): DataFrame =
+    Graph.kcore(dupEdges(s, d), k = CoreK, rounds = CoreRounds)
+      .select(col("id").as("doc_id"), col("core_deg"))
+      .orderBy(col("doc_id"))
+
+  /** Unrolled peel round r: degree within the previous survivor set,
+    * keep nodes at degree ≥ k. */
+  private def kcoreIterSql(r: Int): String =
+    s"""kc$r AS (
+       |  SELECT e.s AS id, COUNT(*) AS core_deg FROM sym e
+       |  JOIN kn${r - 1} a ON a.id = e.s JOIN kn${r - 1} b ON b.id = e.d
+       |  GROUP BY e.s HAVING COUNT(*) >= $CoreK
+       |), kn$r AS (SELECT id FROM kc$r)""".stripMargin
+
+  val graphKcoreSql: String =
+    s"""WITH ${SequenceQueries.dupGraphCtes},
+       |kn0 AS (SELECT DISTINCT s AS id FROM sym),
+       |${(1 to CoreRounds).map(kcoreIterSql).mkString(",\n")}
+       |SELECT id AS doc_id, core_deg FROM kc$CoreRounds ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "graph_pagerank" -> (graphPagerank _),
     "graph_lpa" -> (graphLpa _),
     "dedup_canonical" -> (dedupCanonical _),
-    "graph_triangles" -> (graphTriangles _))
+    "graph_triangles" -> (graphTriangles _),
+    "graph_bfs_hops" -> (graphBfsHops _),
+    "graph_kcore" -> (graphKcore _))
 
   val oracle: Map[String, String] = Map(
     "graph_pagerank" -> graphPagerankSql,
     "graph_lpa" -> graphLpaSql,
     "dedup_canonical" -> dedupCanonicalSql,
-    "graph_triangles" -> graphTrianglesSql)
+    "graph_triangles" -> graphTrianglesSql,
+    "graph_bfs_hops" -> graphBfsHopsSql,
+    "graph_kcore" -> graphKcoreSql)
 }

@@ -152,4 +152,60 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comm == comm2)
   }
+
+  test("bfsHops: min-hop distances from a seed set; hop bound respected; " +
+    "isolated seed kept at 0; early-exit fixpoint matches; partition " +
+    "invariance") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4-5, branch 2-6, isolated pair 8-9, seed 7 with no edges
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L),
+      (8L, 9L)).toDF("id_a", "id_b")
+    def seeds(ids: Long*) = ids.toDF("id")
+    val got = Graph.bfsHops(es, seeds(1L, 7L), maxHops = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 5 is 4 hops out (beyond the bound), 8/9 unreachable — both absent
+    assert(got == Map(1L -> 0L, 7L -> 0L, 2L -> 1L, 3L -> 2L, 6L -> 2L))
+    // a generous bound stops at the true eccentricity (frontier exhausts)
+    val full = Graph.bfsHops(es, seeds(1L), maxHops = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 6L -> 2L, 4L -> 3L,
+      5L -> 4L))
+    // two seeds: each node takes the MIN distance over seeds
+    val multi = Graph.bfsHops(es, seeds(1L, 5L), maxHops = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi(3L) == 2L && multi(4L) == 1L && multi(2L) == 1L)
+    val rep = Graph.bfsHops(es.repartition(7), seeds(1L, 7L), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == rep)
+  }
+
+  test("kcore: pendant chain peels round by round, triangle survives, " +
+    "star hub peels WITH its leaves, 4-cycle survives 2-core; partition " +
+    "invariance") {
+    val s = spark
+    import s.implicits._
+    // triangle {1,2,3} with chain 3-4-5 hung off it; star 10→{11,12,13};
+    // square 20-21-22-23-20
+    val es = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 20L)).toDF("id_a", "id_b")
+    // one round: only degree-1 nodes (5, 11, 12, 13) peel; 4 and the
+    // star hub still look safe
+    val r1 = Graph.kcore(es, k = 2, rounds = 1).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(r1 == Set(1L, 2L, 3L, 4L, 10L, 20L, 21L, 22L, 23L))
+    // converged: chain gone, star gone entirely (hub's degree collapsed
+    // to 0 when its leaves left), triangle and square intact at degree 2
+    val r3 = Graph.kcore(es, k = 2, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r3.keySet == Set(1L, 2L, 3L, 20L, 21L, 22L, 23L))
+    assert(r3.values.toSet == Set(2L))
+    // k=3: nothing in this graph is a 3-core
+    assert(Graph.kcore(es, k = 3, rounds = 3).count() == 0L)
+    val rep = Graph.kcore(es.repartition(7), k = 2, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r3 == rep)
+  }
 }
