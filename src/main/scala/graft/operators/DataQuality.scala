@@ -252,6 +252,79 @@ object DataQuality {
         abs(col("c1") * col("n2") - col("c2") * col("n1")).as("contrib"))
   }
 
+  /** Hash-partition skew diagnosis — the "would this partitioning hold at
+    * 1000×" read, measured instead of guessed: bucket every row by
+    * `polyHash(key) pmod nBuckets` (the engine's portable hash, so a
+    * second engine replays the assignment bit for bit) and report, per
+    * bucket, the row count, the distinct-key count, the integer-ppm share
+    * of all rows, and a `hot` verdict — bucket exceeds `hotNum/hotDen`
+    * times its fair share `total/nBuckets`, decided by the
+    * cross-multiplied comparison `n_rows·nBuckets·hotDen > hotNum·total`
+    * (no division ever happens).
+    * The pair (n_rows, n_keys) separates the two skew diseases: many rows
+    * over ONE key (salting territory — no partitioner fixes a single hot
+    * key) vs many keys colliding (more partitions fix it). ONE scan: a
+    * map-side-combinable (bucket, key) pre-aggregation then a bucket
+    * rollup — output is nBuckets rows however large the table. Empty
+    * buckets are absent (stated; the fair-share compare uses nBuckets,
+    * not the observed bucket count). */
+  def partitionSkew(df: DataFrame, keyCol: Column, nBuckets: Int,
+                    hotNum: Long = 2L, hotDen: Long = 1L): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    require(hotNum > 0 && hotDen > 0, "hot threshold must be positive")
+    val perKey = df
+      .select(pmod(Dedup.polyHash(keyCol.cast("string")),
+        lit(nBuckets.toLong)).as("bucket"), keyCol.cast("string").as("k"))
+      .groupBy(col("bucket"), col("k")).agg(count(lit(1)).as("n"))
+    val perBucket = perKey.groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_keys"))
+    val total = perBucket.agg(sum(col("n_rows")).as("total"))
+    perBucket.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_rows"), col("n_keys"),
+        expr(s"n_rows * $Ppm DIV total").as("share_ppm"),
+        (col("n_rows") * lit(nBuckets.toLong) * lit(hotDen) >
+          lit(hotNum) * col("total")).as("hot"))
+  }
+
+  /** Categorical-independence deviation report — the chi-square question
+    * ("does dim2's distribution depend on dim1?") with the statistic
+    * decomposed into per-cell integer evidence instead of one
+    * libm-burdened number: for every (dim1, dim2) cell, the observed
+    * count, both marginal totals, dim2's share WITHIN the dim1 row
+    * (`obs·10⁶ DIV row_total`), dim2's GLOBAL share
+    * (`col_total·10⁶ DIV total`), their difference, and a flag when the
+    * absolute deviation exceeds `thresholdPpm`. Under independence every
+    * dev_ppm is ~0; a flagged cell names exactly which combination
+    * misbehaves (the actionable form — a scalar chi² says only "
+    * something does"). Shares never multiply counts by counts, so the
+    * arithmetic stays in long range to ~9·10¹² rows. ONE data scan: the
+    * cell aggregation; marginals re-aggregate the |dim1|·|dim2| cell
+    * frame (tiny by construction — categorical dims), joined back
+    * broadcast. */
+  def independenceReport(df: DataFrame, dim1: Column, dim2: Column,
+                         thresholdPpm: Long): DataFrame = {
+    require(thresholdPpm >= 0, s"thresholdPpm must be >= 0: $thresholdPpm")
+    val cells = df.select(dim1.as("d1"), dim2.as("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("obs"))
+      .localCheckpoint() // tiny; read three more times for the marginals
+    try {
+      val rt = cells.groupBy(col("d1")).agg(sum(col("obs")).as("row_total"))
+      val ct = cells.groupBy(col("d2")).agg(sum(col("obs")).as("col_total"))
+      val t = cells.agg(sum(col("obs")).as("total"))
+      cells.join(broadcast(rt), "d1").join(broadcast(ct), "d2")
+        .crossJoin(broadcast(t))
+        .select(col("d1"), col("d2"), col("obs"), col("row_total"),
+          col("col_total"),
+          expr(s"obs * $Ppm DIV row_total").as("within_ppm"),
+          expr(s"col_total * $Ppm DIV total").as("global_ppm"))
+        .withColumn("dev_ppm", col("within_ppm") - col("global_ppm"))
+        .withColumn("flagged", abs(col("dev_ppm")) > lit(thresholdPpm))
+        .localCheckpoint() // materialize so the cell blocks can release
+    } finally {
+      Checkpoints.release(cells)
+    }
+  }
+
   /** Golden-record survivorship: merge each resolved entity cluster into
     * one record under stated, deterministic rules. Input is the members
     * frame (rep, cid, c_name, c_nationkey, c_acctbal, c_mktsegment)

@@ -223,6 +223,84 @@ object DataQualityQueries {
       |SELECT key, c1, c2, abs(c1 * n2 - c2 * n1) AS contrib
       |FROM v CROSS JOIN t ORDER BY key""".stripMargin
 
+  // ---- hash-partition skew diagnosis --------------------------------------
+  private val SkewBuckets = 32
+
+  /** Would hash-partitioning `events` by user into 32 buckets balance?
+    * Measured, not guessed ([[DataQuality.partitionSkew]]): per bucket
+    * the row count, distinct-user count, integer-ppm share, and a
+    * cross-multiplied 2×-fair-share `hot` verdict. (n_rows, n_keys)
+    * separates a single hot KEY (salting territory) from hash
+    * collisions (more partitions fix it). Bucket assignment is the
+    * portable polyHash, so the oracle replays it exactly. */
+  def dqPartitionSkew(s: SparkSession, d: String): DataFrame =
+    DataQuality.partitionSkew(Tables.events(s, d), col("user_id"),
+        nBuckets = SkewBuckets)
+      .orderBy(col("bucket"))
+
+  val dqPartitionSkewSql: String =
+    s"""WITH ph AS (
+       |  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(CAST(user_id AS VARCHAR), ''),
+       |        ch -> CAST(ascii(ch) AS BIGINT))),
+       |      (acc, x) -> (acc*31 + x) % ${graft.operators.Dedup.HashMod}) % $SkewBuckets AS bucket,
+       |    CAST(user_id AS VARCHAR) AS k
+       |  FROM events
+       |), pk AS (
+       |  SELECT bucket, k, COUNT(*) AS n FROM ph GROUP BY bucket, k
+       |), pb AS (
+       |  SELECT bucket, CAST(SUM(n) AS BIGINT) AS n_rows, COUNT(*) AS n_keys
+       |  FROM pk GROUP BY bucket
+       |), t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM pb)
+       |SELECT bucket, n_rows, n_keys,
+       |  (n_rows * 1000000) // total AS share_ppm,
+       |  n_rows * $SkewBuckets * 1 > 2 * total AS hot
+       |FROM pb CROSS JOIN t ORDER BY bucket""".stripMargin
+
+  // ---- categorical independence deviation ---------------------------------
+  private val IndepThresholdPpm = 20000L
+
+  /** Does the event-type mix depend on the day of week? The chi-square
+    * question decomposed into per-cell integer evidence
+    * ([[DataQuality.independenceReport]]): each (type, dow) cell
+    * reports its within-row share vs the global dow share in ppm and a
+    * ±2% deviation flag — the ACTIONABLE form (a flagged cell names the
+    * misbehaving combination; a scalar chi² only says something does).
+    * dow is the engine-agnostic pinned-Monday mod-7 arithmetic the
+    * ts_dow_profile read established. */
+  def dqIndependence(s: SparkSession, d: String): DataFrame =
+    DataQuality.independenceReport(Tables.events(s, d),
+        col("event_type"),
+        pmod(datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long"), lit(7L)),
+        thresholdPpm = IndepThresholdPpm)
+      .select(col("d1").as("event_type"), col("d2").as("dow"), col("obs"),
+        col("row_total"), col("col_total"), col("within_ppm"),
+        col("global_ppm"), col("dev_ppm"), col("flagged"))
+      .orderBy(col("event_type"), col("dow"))
+
+  val dqIndependenceSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type,
+       |    ((date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7) + 7) % 7 AS dow
+       |  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+       |), cells AS (
+       |  SELECT event_type, dow, COUNT(*) AS obs FROM ev GROUP BY event_type, dow
+       |), rt AS (
+       |  SELECT event_type, CAST(SUM(obs) AS BIGINT) AS row_total
+       |  FROM cells GROUP BY event_type
+       |), ct AS (
+       |  SELECT dow, CAST(SUM(obs) AS BIGINT) AS col_total FROM cells GROUP BY dow
+       |), t AS (SELECT CAST(SUM(obs) AS BIGINT) AS total FROM cells)
+       |SELECT cells.event_type, cells.dow, obs, row_total, col_total,
+       |  (obs * 1000000) // row_total AS within_ppm,
+       |  (col_total * 1000000) // total AS global_ppm,
+       |  (obs * 1000000) // row_total - (col_total * 1000000) // total AS dev_ppm,
+       |  abs((obs * 1000000) // row_total - (col_total * 1000000) // total)
+       |    > $IndepThresholdPpm AS flagged
+       |FROM cells JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN t
+       |ORDER BY event_type, dow""".stripMargin
+
   // ---- Benford first-digit conformance (fabricated-amounts screen) --------
   /** First-significant-digit frequencies of the cents-quantized event
     * values vs Benford's law, with the nine expected shares as FIXED
@@ -331,6 +409,8 @@ object DataQualityQueries {
     "dq_expectations" -> (dqExpectations _),
     "dq_id_gaps" -> (dqIdGaps _),
     "dq_drift_tvd" -> (dqDriftTvd _),
+    "dq_partition_skew" -> (dqPartitionSkew _),
+    "dq_independence" -> (dqIndependence _),
     "j10_fuzzy_link" -> (j10FuzzyLink _),
     "j12_entity_resolve" -> (j12EntityResolve _))
 
@@ -340,6 +420,8 @@ object DataQualityQueries {
     "dq_expectations" -> dqSql,
     "dq_id_gaps" -> dqIdGapsSql,
     "dq_drift_tvd" -> dqDriftTvdSql,
+    "dq_partition_skew" -> dqPartitionSkewSql,
+    "dq_independence" -> dqIndependenceSql,
     "j10_fuzzy_link" -> j10Sql,
     "j12_entity_resolve" -> j12Sql)
 }

@@ -253,4 +253,64 @@ class DataQualitySpec extends AnyFunSuite {
     assert(byDigit(4L) == ((0L, 0L, -96910L, true)))
     assert(byDigit(9L)._1 == 1L)
   }
+
+  test("partitionSkew: buckets replay polyHash, hot verdict is the " +
+    "cross-multiplied 2x fair share, n_keys separates hot-key from " +
+    "collision skew") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.HashOps
+    import org.apache.spark.unsafe.types.UTF8String
+    // one hot key (60 rows of key 7) + 40 singleton keys
+    val rows = Seq.fill(60)(7L) ++ (100L until 140L)
+    val out = graft.operators.DataQuality
+      .partitionSkew(rows.toDF("k"), col("k"), nBuckets = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    def bucketOf(k: Long): Long =
+      ((HashOps.polyHash(UTF8String.fromString(k.toString)) % 8) + 8) % 8
+    val hotBucket = bucketOf(7L)
+    // the hot key's bucket carries its 60 rows (plus whatever singletons
+    // land there) and must flag: 60·8 > 2·100
+    assert(out(hotBucket)._1 >= 60L && out(hotBucket)._4)
+    // every OTHER bucket holds only singleton keys: n_rows == n_keys, calm
+    out.collect { case (b, (n, k, _, hot)) if b != hotBucket =>
+      assert(n == k && !hot, s"bucket $b") }
+    // shares sum to <= 1e6 (floor division) and rows total 100
+    assert(out.values.map(_._1).sum == 100L)
+    assert(out.values.map(_._3).sum <= 1000000L)
+    // driver replay: every singleton key sits exactly where polyHash says
+    (100L until 140L).foreach { k =>
+      assert(out.contains(bucketOf(k)))
+    }
+  }
+
+  test("independenceReport: dependent and independent dims, ppm " +
+    "arithmetic exact, flag polarity") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // dim2 == dim1 (perfect dependence) on skewed counts: A×3, B×1
+    val dep = Seq(("A", "A"), ("A", "A"), ("A", "A"), ("B", "B"))
+      .toDF("x", "y")
+    val rep = graft.operators.DataQuality
+      .independenceReport(dep, col("x"), col("y"), thresholdPpm = 100000L)
+      .collect().map(r => (r.getString(1), r.getString(0)) ->
+        (r.getLong(2), r.getLong(5), r.getLong(6), r.getLong(7),
+          r.getBoolean(8))).toMap
+    // cell (A,A): within 3/3 = 1e6, global 3/4 = 750000, dev +250000
+    assert(rep(("A", "A")) == ((3L, 1000000L, 750000L, 250000L, true)))
+    // cell (B,B): within 1e6, global 250000, dev +750000
+    assert(rep(("B", "B")) == ((1L, 1000000L, 250000L, 750000L, true)))
+    // independent dims: every within share equals its global share
+    val ind = Seq(("A", "u"), ("A", "v"), ("B", "u"), ("B", "v"))
+      .toDF("x", "y")
+    val calm = graft.operators.DataQuality
+      .independenceReport(ind, col("x"), col("y"), thresholdPpm = 0L)
+      .collect()
+    assert(calm.length == 4)
+    calm.foreach { r =>
+      assert(r.getLong(7) == 0L && !r.getBoolean(8), r.toString) }
+  }
 }
