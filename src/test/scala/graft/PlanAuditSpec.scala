@@ -506,6 +506,21 @@ class PlanAuditSpec extends AnyFunSuite {
       "boolean AND must serve from the stored index")
   }
 
+  test("search_phrase_indexed: the phrase serves from the STORED " +
+    "positional index — postings prune to the phrase terms' buckets, " +
+    "raw text is never re-scanned") {
+    val df = SparkEntry.queries("search_phrase_indexed")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("bucket"),
+      s"phrase-term bucket IN-list must reach the postings scan:\n$pf")
+    // store-scope pin: every input file is an index component — the
+    // documents.parquet substring scan of search_phrase never appears
+    assert(df.inputFiles.nonEmpty &&
+      df.inputFiles.forall(_.contains("graft_phrase_idx")),
+      s"must read only the phrase index: ${df.inputFiles.take(3).toSeq}")
+  }
+
   test("global sweep: no query plans an unbroadcast cartesian product") {
     // crossJoin against a broadcast side plans as BroadcastNestedLoopJoin
     // (fine — one side is tiny by construction); a CartesianProduct node

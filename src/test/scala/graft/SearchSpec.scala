@@ -442,4 +442,43 @@ class SearchSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(hit == Set(1L, 4L), s"got $hit")
   }
+
+  test("phrase index: anchor join reproduces substring semantics — " +
+    "consecutive runs match, scattered/reordered/boundary traps don't, " +
+    "repeated-word phrases and 1-term phrases work, double spaces break " +
+    "adjacency on BOTH formulations") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha stream table hash beta", "a"),  // consecutive → match
+      (2L, "stream beta table gamma hash", "b"),  // scattered → no
+      (3L, "hash table stream alpha beta", "c"),  // reordered → no
+      (4L, "stream table hash", "d"),             // exact doc → match
+      (5L, "x stream table hashx y", "e"),        // boundary trap → no
+      (6L, "stream  table hash", "f"),            // double space → no
+      (7L, "go stop go end", "g"),                // repeated-word target
+      (8L, "go go stop go", "h")                  // prefix repeat
+    ).toDF("doc_id", "text", "source")
+    val p = graft.Scratch.dir("graft_phrase_spec")
+    Search.writePhraseIndex(docs, "doc_id", "text", Seq("source"), p,
+      nBuckets = 8)
+    def ids(phrase: String): Set[Long] =
+      Search.phraseIndexMatch(s, p, phrase, "doc_id")
+        .collect().map(_.getLong(0)).toSet
+    // the independent substring formulation, replayed in-memory
+    def oracle(phrase: String): Set[Long] = docs.collect()
+      .filter(r => s" ${r.getString(1).trim} ".contains(s" $phrase "))
+      .map(_.getLong(0)).toSet
+    for (ph <- Seq("stream table hash", "go stop go", "go go", "stream",
+        "table hash", "absent words here"))
+      assert(ids(ph) == oracle(ph), s"phrase '$ph'")
+    assert(ids("stream table hash") == Set(1L, 4L))
+    assert(ids("go stop go") == Set(7L, 8L)) // 8 matches at positions 1-3
+    assert(ids("go go") == Set(8L))
+    // meta columns ride from the store, not from raw text
+    val row = Search.phraseIndexMatch(s, p, "stream table hash", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(row.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (4L, "d")))
+  }
 }
