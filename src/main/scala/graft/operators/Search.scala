@@ -542,6 +542,119 @@ object Search {
       Map("postings" -> pv, "meta" -> mv, "stats" -> sv))
   }
 
+  /** Incremental maintenance of a [[writePhraseIndex]] layout — the
+    * nightly-delivery form, mirroring [[appendBm25Index]]: the delta's
+    * positional postings hash into the EXISTING bucket layout and append
+    * into those directories only, its meta rows append, and the
+    * composite republishes atomically — cost tracks the DELTA, the
+    * standing corpus is never re-read. There are no corpus-level
+    * statistics to adjust (phrase matching is exact, not scored), so
+    * append-equals-rebuild needs no arithmetic at all: it falls out of
+    * the layout. Re-delivered ids drop via an anti-join against the
+    * served meta (idempotent delivery); a tombstoned id RAISES — an
+    * append resurrecting taken-down content must fail loudly. */
+  def appendPhraseIndex(spark: org.apache.spark.sql.SparkSession,
+                        delta: DataFrame, idCol: String, textCol: String,
+                        metaCols: Seq[String], path: String): Unit = {
+    import graft.sources.PartitionedStore
+    val served = PartitionedStore.readComposite(path)
+    val nBuckets = PartitionedStore
+      .readVersion(spark, s"$path/stats", Some(served("stats")))
+      .select(col("n_buckets")).collect()(0).getInt(0)
+    served.get("tombstones").foreach { tv =>
+      val tomb = PartitionedStore.readVersion(
+        spark, s"$path/tombstones", Some(tv))
+      val clash = delta.join(broadcast(tomb), Seq(idCol), "left_semi")
+        .select(col(idCol)).limit(3).collect()
+      if (clash.nonEmpty) throw new IllegalStateException(
+        s"append would resurrect tombstoned ids (e.g. ${clash.mkString(", ")})" +
+          s" at $path; compact the index to reclaim them first")
+    }
+    val existing = PartitionedStore
+      .readVersion(spark, s"$path/meta", Some(served("meta")))
+      .select(col(idCol))
+    val fresh = delta.join(existing, Seq(idCol), "left_anti")
+      .localCheckpoint() // read twice: meta append + postings explode
+    try {
+      if (fresh.isEmpty) return // fully re-delivered delta: no-op
+      val mv = PartitionedStore.commitVersion(
+        fresh.select((col(idCol) +: metaCols.map(col)): _*), s"$path/meta",
+        append = true, parent = Some(served("meta")))
+      val pv = PartitionedStore.commitVersion(
+        fresh.select(col(idCol), posexplode(split(trim(col(textCol)), " ")))
+          .withColumnRenamed("col", "term")
+          .withColumn("bucket",
+            pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+          .repartition(col("bucket"))
+          .sortWithinPartitions(col("term"), col(idCol), col("pos")),
+        s"$path/postings", append = true, parent = Some(served("postings")),
+        partitionCols = Seq("bucket"))
+      PartitionedStore.publishComposite(path,
+        served ++ Map("postings" -> pv, "meta" -> mv))
+    } finally Checkpoints.release(fresh)
+  }
+
+  /** Tombstone DELETE from a [[writePhraseIndex]] layout — the takedown
+    * verb in the same deletion-vector model as the other three stored
+    * index families: cost is O(delete set) (ids append into a
+    * `tombstones` component, atomic republish; the positional postings
+    * are never touched), [[phraseIndexMatch]] anti-joins the set before
+    * returning hits, so a post-delete phrase query is bit-identical to
+    * one against an index rebuilt without the deleted docs. No stats
+    * shrink — the phrase verb carries none. Physical rows survive,
+    * invisible, until [[compactPhraseIndex]] reclaims them; meanwhile
+    * [[appendPhraseIndex]] refuses the ids. Never-indexed or already-
+    * deleted ids no-op without publishing. */
+  def deleteFromPhraseIndex(spark: org.apache.spark.sql.SparkSession,
+                            ids: DataFrame, path: String): Unit = {
+    import graft.sources.PartitionedStore
+    val served = PartitionedStore.readComposite(path)
+    val meta = PartitionedStore.readVersion(spark, s"$path/meta",
+      Some(served("meta")))
+    val idCol = meta.columns.head // writer contract: id leads the meta row
+    val prior = served.get("tombstones").map(tv =>
+      PartitionedStore.readVersion(spark, s"$path/tombstones", Some(tv)))
+    val requested = ids.select(col(ids.columns.head).as(idCol)).distinct()
+    val fresh = prior.fold(requested)(p =>
+      requested.join(broadcast(p), Seq(idCol), "left_anti"))
+    val gone = meta.select(col(idCol))
+      .join(broadcast(fresh), Seq(idCol), "left_semi")
+      .localCheckpoint()
+    try {
+      if (gone.isEmpty) return // nothing indexed-and-undeleted: no-op
+      val tv = PartitionedStore.commitVersion(gone,
+        s"$path/tombstones", append = served.contains("tombstones"),
+        parent = served.get("tombstones"))
+      PartitionedStore.publishComposite(path, served + ("tombstones" -> tv))
+    } finally Checkpoints.release(gone)
+  }
+
+  /** Compact a [[writePhraseIndex]] layout after appends/deletes:
+    * postings collapse back to one clustered rewrite per bucket dir,
+    * meta coalesces, tombstoned rows are physically reclaimed from both
+    * components and the tombstone set leaves the composite (answers
+    * unchanged — serving already filtered them; the bytes and the
+    * re-append embargo are gone). Compacts the SERVED generation, never
+    * raw-latest. */
+  def compactPhraseIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Unit = {
+    import graft.sources.PartitionedStore
+    val served = PartitionedStore.readComposite(path)
+    val idCol = PartitionedStore
+      .readVersion(spark, s"$path/meta", Some(served("meta"))).columns.head
+    val minus = served.get("tombstones").map { tv =>
+      (PartitionedStore.readVersion(spark, s"$path/tombstones", Some(tv)),
+        Seq(idCol))
+    }
+    val pv = PartitionedStore.compactVersion(spark, s"$path/postings",
+      partitionCols = Seq("bucket"), sortCols = Seq("term", idCol),
+      version = Some(served("postings")), minus = minus)
+    val mv = PartitionedStore.compactVersion(spark, s"$path/meta",
+      version = Some(served("meta")), minus = minus)
+    PartitionedStore.publishComposite(path,
+      served - "tombstones" ++ Map("postings" -> pv, "meta" -> mv))
+  }
+
   /** Exact phrase matching through a [[writePhraseIndex]] layout — the
     * anchor-join formulation: query token i at document position p
     * witnesses a phrase start at anchor p−i, so a document matches iff
@@ -572,7 +685,7 @@ object Search {
     val qbuckets = qdf
       .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val hits = PartitionedStore.readVersion(spark, s"$path/postings",
+    val hits0 = PartitionedStore.readVersion(spark, s"$path/postings",
         Some(served("postings")))
       .filter(col("bucket").isin(qbuckets: _*))
       .join(broadcast(qdf), "term")
@@ -581,6 +694,12 @@ object Search {
       .agg(count(lit(1)).as("n_hit"))
       .filter(col("n_hit") === terms.length)
       .select(col(idCol)).distinct()
+    // tombstoned docs leave before meta resolution — a post-delete query
+    // is bit-identical to one against an index rebuilt without them
+    val hits = served.get("tombstones").fold(hits0) { tv =>
+      hits0.join(broadcast(PartitionedStore.readVersion(
+        spark, s"$path/tombstones", Some(tv))), Seq(idCol), "left_anti")
+    }
     PartitionedStore.readVersion(spark, s"$path/meta", Some(served("meta")))
       .join(hits, Seq(idCol), "left_semi")
   }

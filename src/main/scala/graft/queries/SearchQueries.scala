@@ -545,9 +545,45 @@ object SearchQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- phrase search after a tombstone DELETE ------------------------------
+  private val PhraseDelMod = 20
+  private val PhraseDelRes = 11
+  private val phraseDelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The takedown verb on the POSITIONAL index: build, tombstone the
+    * `doc_id ≡ 11 (mod 20)` residue class (which removes a doc the base
+    * phrase query returns — the delete visibly changes the answer), then
+    * serve the same phrase. The oracle restates the independent
+    * substring formulation over the corpus MINUS the residue class —
+    * i.e. the answer an index rebuilt without the deleted docs gives —
+    * which is exactly the deletion-vector contract
+    * ([[Search.deleteFromPhraseIndex]]). */
+  def searchPhraseDeleted(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val path = phraseDelCache.computeIfAbsent(d, _ => {
+      val p = graft.Scratch.dir("graft_phrase_del")
+      Search.writePhraseIndex(docs, "doc_id", "text", Seq("source"), p)
+      Search.deleteFromPhraseIndex(s,
+        docs.filter(col("doc_id") % PhraseDelMod === PhraseDelRes)
+          .select(col("doc_id")), p)
+      p
+    })
+    Search.phraseIndexMatch(s, path, Phrase, "doc_id")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[searchPhraseSql]] over the corpus minus the deleted residue class
+    * — derived from the base oracle so the two can never drift. */
+  val searchPhraseDeletedSql: String = searchPhraseSql.replace(
+    "FROM documents",
+    s"FROM (SELECT * FROM documents WHERE doc_id % $PhraseDelMod <> $PhraseDelRes) documents")
+
   val defs: Map[String, Q] = Map(
     "search_phrase" -> (searchPhrase _),
     "search_phrase_indexed" -> (searchPhraseIndexed _),
+    "search_phrase_deleted" -> (searchPhraseDeleted _),
     "search_bm25_deleted" -> (searchBm25Deleted _),
     "search_bm25_filtered" -> (searchBm25Filtered _),
     "search_bm25_filtered_indexed" -> (searchBm25FilteredIndexed _),
@@ -564,6 +600,7 @@ object SearchQueries {
     // serving-path twin: stored positional index, identical answers —
     // the same independent substring-containment oracle
     "search_phrase_indexed" -> searchPhraseSql,
+    "search_phrase_deleted" -> searchPhraseDeletedSql,
     "search_bm25_deleted" -> searchBm25DeletedSql,
     "search_bm25_filtered" -> searchBm25FilteredSql,
     // serving-path twin: same filtered semantics, one shared oracle

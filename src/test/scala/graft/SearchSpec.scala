@@ -481,4 +481,58 @@ class SearchSpec extends AnyFunSuite {
     assert(row.map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "a"), (4L, "d")))
   }
+
+  test("phrase index lifecycle: append equals rebuild bitwise; tombstone " +
+    "delete serves rebuild-without; appends refuse resurrection; " +
+    "compaction reclaims and re-opens the id") {
+    val s = spark
+    import s.implicits._
+    def docs(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "text", "source")
+    val all = docs(
+      (1L, "alpha stream table hash beta", "a"),
+      (2L, "stream table hash gamma", "b"),
+      (3L, "unrelated words entirely", "c"),
+      (4L, "delta stream table hash", "d"))
+    def serve(p: String): Seq[(Long, String)] =
+      Search.phraseIndexMatch(s, p, "stream table hash", "doc_id")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // --- append == rebuild
+    val inc = graft.Scratch.dir("graft_phrase_inc")
+    Search.writePhraseIndex(all.filter($"doc_id" <= 2), "doc_id", "text",
+      Seq("source"), inc, nBuckets = 8)
+    Search.appendPhraseIndex(s, all.filter($"doc_id" > 2), "doc_id",
+      "text", Seq("source"), inc)
+    val full = graft.Scratch.dir("graft_phrase_full")
+    Search.writePhraseIndex(all, "doc_id", "text", Seq("source"), full,
+      nBuckets = 8)
+    assert(serve(inc) == serve(full))
+    assert(serve(inc) == Seq((1L, "a"), (2L, "b"), (4L, "d")))
+    // re-delivered delta is a no-op (idempotent delivery)
+    Search.appendPhraseIndex(s, all.filter($"doc_id" > 2), "doc_id",
+      "text", Seq("source"), inc)
+    assert(serve(inc) == serve(full))
+    // --- tombstone delete == rebuild-without
+    Search.deleteFromPhraseIndex(s, Seq(2L).toDF("doc_id"), inc)
+    val without = graft.Scratch.dir("graft_phrase_wo")
+    Search.writePhraseIndex(all.filter($"doc_id" =!= 2), "doc_id", "text",
+      Seq("source"), without, nBuckets = 8)
+    assert(serve(inc) == serve(without))
+    assert(serve(inc) == Seq((1L, "a"), (4L, "d")))
+    // resurrection refused while the tombstone stands
+    val boom = intercept[IllegalStateException] {
+      Search.appendPhraseIndex(s,
+        docs((2L, "stream table hash again", "b2")), "doc_id", "text",
+        Seq("source"), inc)
+    }
+    assert(boom.getMessage.contains("resurrect"))
+    // --- compaction physically reclaims; answers unchanged; id re-opens
+    Search.compactPhraseIndex(s, inc)
+    assert(serve(inc) == Seq((1L, "a"), (4L, "d")))
+    Search.appendPhraseIndex(s,
+      docs((2L, "stream table hash again", "b2")), "doc_id", "text",
+      Seq("source"), inc)
+    assert(serve(inc) == Seq((1L, "a"), (2L, "b2"), (4L, "d")))
+  }
 }
