@@ -704,6 +704,92 @@ object Search {
       .join(hits, Seq(idCol), "left_semi")
   }
 
+  // ---- symmetric-delete (SymSpell) fuzzy vocabulary index ------------------
+
+  /** Materialize a SYMMETRIC-DELETE vocabulary index (Garbe's SymSpell
+    * shape): for every distinct corpus term, one row per VARIANT — the
+    * term itself plus each single-character deletion — carrying the
+    * term and its document frequency, bucketed by pmod(xxhash64(variant),
+    * nBuckets) as a partition column. Edit-distance-1 lookup then never
+    * scans the vocabulary: q matches t within distance 1 iff their
+    * variant sets intersect (identity covers t=q; q's deletion covers an
+    * insertion typo; t's deletion covers a deletion typo; same-position
+    * deletions coincide exactly for a substitution), so a query reads
+    * only the bucket dirs its ≤ len+1 variants hash into — the candidate
+    * superset is verified by exact levenshtein afterwards, so a variant
+    * coincidence costs a check, never a wrong row. ~V·(L+1) rows for a
+    * V-term, length-L vocabulary — far smaller than the postings the
+    * corpus already stores. Build is one distinct + one position
+    * explode; deletion strings are plain substring arithmetic (codegen),
+    * not HOF lambdas. */
+  def writeSymDelIndex(docs: DataFrame, idCol: String, textCol: String,
+                       path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    import graft.sources.PartitionedStore
+    val vocab = docs
+      .select(col(idCol), explode(split(trim(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(countDistinct(col(idCol)).as("df"))
+      .localCheckpoint() // read twice: identity rows + deletion explode
+    try {
+      val identity = vocab.select(col("term").as("variant"), col("term"),
+        col("df"))
+      val deletions = vocab
+        .select(col("term"), col("df"),
+          explode(sequence(lit(1), length(col("term")))).as("i"))
+        .select(
+          expr("concat(substring(term, 1, i - 1), substring(term, i + 1, length(term)))")
+            .as("variant"),
+          col("term"), col("df"))
+      val sv = PartitionedStore.commitVersion(
+        docs.sparkSession.range(1).select(lit(nBuckets).as("n_buckets")),
+        s"$path/stats")
+      val vv = PartitionedStore.commitVersion(
+        identity.unionByName(deletions)
+          .withColumn("bucket",
+            pmod(xxhash64(col("variant")), lit(nBuckets.toLong)))
+          .repartition(col("bucket"))
+          .sortWithinPartitions(col("variant"), col("term")),
+        s"$path/variants", partitionCols = Seq("bucket"))
+      PartitionedStore.publishComposite(path,
+        Map("variants" -> vv, "stats" -> sv))
+    } finally Checkpoints.release(vocab)
+  }
+
+  /** Edit-distance-≤1 vocabulary lookup through a [[writeSymDelIndex]]
+    * layout — the spell-correction read ("most frequent near term wins"):
+    * the query's variants generate DRIVER-SIDE (≤ len+1 strings — the
+    * same justified planning collect as the bucket resolutions), the
+    * variants read prunes to their bucket dirs, candidates dedupe to
+    * (term, df) and the exact `levenshtein` check keeps true neighbours
+    * only. Output: (term, df, dist), the correction candidates with the
+    * evidence a ranker needs. */
+  def symDelLookup(spark: org.apache.spark.sql.SparkSession, path: String,
+                   query: String): DataFrame = {
+    import graft.sources.PartitionedStore
+    require(query.nonEmpty && !query.contains(" "),
+      s"query must be one non-empty term: '$query'")
+    val served = PartitionedStore.readComposite(path)
+    val nBuckets = PartitionedStore
+      .readVersion(spark, s"$path/stats", Some(served("stats")))
+      .select(col("n_buckets")).collect()(0).getInt(0)
+    val qVariants = (query +:
+      (0 until query.length).map(i =>
+        query.substring(0, i) + query.substring(i + 1))).distinct
+    import spark.implicits._
+    val qdf = qVariants.toDF("variant")
+    val qbuckets = qdf
+      .select(pmod(xxhash64(col("variant")), lit(nBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    PartitionedStore.readVersion(spark, s"$path/variants",
+        Some(served("variants")))
+      .filter(col("bucket").isin(qbuckets: _*))
+      .join(broadcast(qdf), "variant")
+      .select(col("term"), col("df")).distinct()
+      .withColumn("dist", levenshtein(col("term"), lit(query)))
+      .filter(col("dist") <= 1)
+  }
+
   private def bm25IndexServe(spark: org.apache.spark.sql.SparkSession,
                              path: String, queries: DataFrame, idCol: String,
                              queryIdCol: String, queryTextCol: String,

@@ -580,7 +580,47 @@ object SearchQueries {
     "FROM documents",
     s"FROM (SELECT * FROM documents WHERE doc_id % $PhraseDelMod <> $PhraseDelRes) documents")
 
+  // ---- typo-tolerant term lookup via the symmetric-delete index ------------
+  private val FuzzyTerm = "streem"
+  private val symDelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Spell-correction candidates for a misspelled query term ("streem"),
+    * served from the stored symmetric-delete vocabulary index
+    * ([[Search.writeSymDelIndex]]): the query's ≤ len+1 deletion
+    * variants prune to their bucket dirs, candidate terms dedupe, and
+    * exact `levenshtein ≤ 1` keeps true neighbours — at 100 TB the
+    * vocabulary is never scanned at query time (a naive edit-distance
+    * pass is a full-vocab cross-compare). Ranked df-desc: the classic
+    * "most frequent correction wins" evidence. The ORACLE is the naive
+    * formulation — the full vocabulary filtered by levenshtein directly
+    * — so a variant-generation gap (a distance-1 neighbour the deletion
+    * algebra misses) cannot self-confirm. */
+  def searchFuzzyTerm(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val path = symDelCache.computeIfAbsent(d, _ => {
+      val p = graft.Scratch.dir("graft_symdel_idx")
+      Search.writeSymDelIndex(docs, "doc_id", "text", p)
+      p
+    })
+    Search.symDelLookup(s, path, FuzzyTerm)
+      .orderBy(col("df").desc, col("term"))
+  }
+
+  val searchFuzzyTermSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+       |  FROM documents
+       |), vocab AS (
+       |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+       |  WHERE term <> '' GROUP BY term
+       |)
+       |SELECT term, df, CAST(levenshtein(term, '$FuzzyTerm') AS INTEGER) AS dist
+       |FROM vocab WHERE levenshtein(term, '$FuzzyTerm') <= 1
+       |ORDER BY df DESC, term""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "search_fuzzy_term" -> (searchFuzzyTerm _),
     "search_phrase" -> (searchPhrase _),
     "search_phrase_indexed" -> (searchPhraseIndexed _),
     "search_phrase_deleted" -> (searchPhraseDeleted _),
@@ -596,6 +636,7 @@ object SearchQueries {
     "rag_retrieve_indexed" -> (ragRetrieveIndexed _))
 
   val oracle: Map[String, String] = Map(
+    "search_fuzzy_term" -> searchFuzzyTermSql,
     "search_phrase" -> searchPhraseSql,
     // serving-path twin: stored positional index, identical answers —
     // the same independent substring-containment oracle

@@ -521,6 +521,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"must read only the phrase index: ${df.inputFiles.take(3).toSeq}")
   }
 
+  test("search_fuzzy_term: the correction serves from the STORED " +
+    "symmetric-delete index — variants prune to the query's buckets, " +
+    "the vocabulary is never scanned") {
+    val df = SparkEntry.queries("search_fuzzy_term")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("bucket"),
+      s"variant bucket IN-list must reach the variants scan:\n$pf")
+    assert(df.inputFiles.nonEmpty &&
+      df.inputFiles.forall(_.contains("graft_symdel_idx")),
+      s"must read only the symdel index: ${df.inputFiles.take(3).toSeq}")
+  }
+
   test("global sweep: no query plans an unbroadcast cartesian product") {
     // crossJoin against a broadcast side plans as BroadcastNestedLoopJoin
     // (fine — one side is tiny by construction); a CartesianProduct node

@@ -482,6 +482,34 @@ class SearchSpec extends AnyFunSuite {
       Seq((1L, "a"), (4L, "d")))
   }
 
+  test("symDel fuzzy lookup: every edit-distance-1 class found " +
+    "(deletion, insertion, substitution), identity included, " +
+    "transposition candidates are surfaced-then-killed by the exact " +
+    "check, df counts documents") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "stream strem streams steam scream"), // all 4 neighbor classes
+      (2L, "stream stream setram"),              // df(doc)=1 despite tf=2
+      (3L, "wholly unrelated words")
+    ).toDF("doc_id", "text")
+    val p = graft.Scratch.dir("graft_symdel_spec")
+    Search.writeSymDelIndex(docs, "doc_id", "text", p, nBuckets = 8)
+    val got = Search.symDelLookup(s, p, "stream")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2)))
+      .toMap
+    // identity (dist 0, df counts DOCS: 2 not 3), deletion "strem",
+    // insertion "streams", substitution "scream"; "steam" is deletion too
+    assert(got == Map(
+      "stream" -> (2L, 0), "strem" -> (1L, 1), "streams" -> (1L, 1),
+      "steam" -> (1L, 1), "scream" -> (1L, 1)), got.toString)
+    // "setram" (transposition, lev 2) shares deletion variants with
+    // "stream" — the candidate pass surfaces it, the exact check kills it
+    assert(!got.contains("setram"))
+    // a term sharing nothing is never a candidate
+    assert(!got.contains("wholly"))
+  }
+
   test("phrase index lifecycle: append equals rebuild bitwise; tombstone " +
     "delete serves rebuild-without; appends refuse resurrection; " +
     "compaction reclaims and re-opens the id") {
