@@ -164,10 +164,21 @@ object Bench {
             "ts", "event_type", "value"),
           qhStandPath, append = true); ()
       }
+      // Fifth leg: the positional phrase index (r10) — same 1%-delta
+      // nightly shape as the doc legs; no stats arithmetic on append, so
+      // the ratio isolates pure bucketed-postings delta cost.
+      val phRebuild = timedOp(graft.operators.Search.writePhraseIndex(
+        docs, "doc_id", "text", Seq.empty, tmp("bench_ph_rb")))
+      val phStandPath = tmp("bench_ph_inc")
+      graft.operators.Search.writePhraseIndex(
+        dStand, "doc_id", "text", Seq.empty, phStandPath)
+      val phAppend = timedOp(graft.operators.Search.appendPhraseIndex(
+        spark, dDelta, "doc_id", "text", Seq.empty, phStandPath))
       Seq("bm25_rebuild" -> bmRebuild, "bm25_append_1pct" -> bmAppend,
         "ivf_rebuild" -> ivfRebuild, "ivf_append_1pct" -> ivfAppend,
         "lsh_rebuild" -> lshRebuild, "lsh_append_1pct" -> lshAppend,
-        "qh_rebuild" -> qhRebuild, "qh_append_night" -> qhAppend)
+        "qh_rebuild" -> qhRebuild, "qh_append_night" -> qhAppend,
+        "phrase_rebuild" -> phRebuild, "phrase_append_1pct" -> phAppend)
     }
     // Scaling curve: the "survives 100×" claim with numbers. The five
     // hottest steady operators re-timed on 1×/4×/20× corpora written as

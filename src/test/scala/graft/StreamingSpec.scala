@@ -1143,6 +1143,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(hits.contains(100L), s"streamed vector must be probe-reachable, got $hits")
   }
 
+  test("indexAppendStream: phrase leg — a streamed doc becomes phrase-" +
+    "searchable, replays no-op, streamed equals a batch rebuild") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    import graft.operators.Search
+    val standing = Seq(
+      (0L, "spark shuffles data between stages always"),
+      (1L, "weather report says rain and wind tomorrow")).toDF("doc_id", "text")
+    val path = tmp("phrase_stream_idx")
+    Search.writePhraseIndex(standing, "doc_id", "text", Seq.empty, path)
+    val in = MemoryStream[LshDoc]
+    val q = Streams.indexAppendStream(in.toDF(), tmp("phrase_stream_ckpt")) {
+      (sp, b) => Search.appendPhraseIndex(sp, b, "doc_id", "text",
+        Seq.empty, path)
+    }
+    in.addData(LshDoc(10L, "cricket scores improve with practice daily"))
+    q.processAllAvailable()
+    in.addData(LshDoc(11L, "fresh cricket scores arrive this evening"),
+      LshDoc(10L, "cricket scores improve with practice daily")) // replay no-ops
+    q.processAllAvailable()
+    q.stop()
+    def ids(p: String) = Search.phraseIndexMatch(s, p, "cricket scores",
+      "doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(path) == Set(10L, 11L))
+    val rebuilt = tmp("phrase_rebuild_idx")
+    Search.writePhraseIndex(standing.union(Seq(
+      (10L, "cricket scores improve with practice daily"),
+      (11L, "fresh cricket scores arrive this evening")).toDF("doc_id", "text")),
+      "doc_id", "text", Seq.empty, rebuilt)
+    assert(ids(path) == ids(rebuilt))
+  }
+
   test("lshIngestGate: standing-index flag, intra-batch flag, append-back gates the next batch, index survives restart") {
     val s = spark
     import s.implicits._
