@@ -225,7 +225,8 @@ object Bench {
         s"x$n" -> timedOp { graft.queries.DupEdges.of(spark, dir); () }
       }
       val ccRounds = scala.collection.mutable.ListBuffer[(String, Double)]()
-      val graphRows = Seq("dedup_clusters", "graph_pagerank", "graph_lpa")
+      val graphRows = Seq("dedup_clusters", "graph_pagerank", "graph_lpa",
+        "graph_bfs_hops", "graph_kcore")
         .map { qn =>
           val fn = SparkEntry.queries(qn)
           qn -> dirs.map { case (n, dir) =>

@@ -830,6 +830,30 @@ object Relational {
       .drop("px", "ymax")
   }
 
+  /** Incremental maintenance of a materialized INNER-JOIN view under
+    * insert-only deltas — the join sibling of [[rollupMerge]]'s
+    * aggregate IVM (Blakeley et al., "Efficiently updating materialized
+    * views", SIGMOD 1986): with standing sides A, B and inserted deltas
+    * dA, dB,
+    * `(A∪dA) ⋈ (B∪dB) = (A⋈B) ∪ (dA⋈B) ∪ (A⋈dB) ∪ (dA⋈dB)`
+    * — so the stored view (A⋈B) stays untouched and the nightly
+    * increment is the three delta terms this returns. Scale shape: each
+    * term joins a DELTA against a standing side (or the other delta),
+    * and the delta side is broadcast — the standing tables are only ever
+    * PROBED, never shuffled against each other; at 100 TB the increment
+    * costs three broadcast probes of delta size, while a view rebuild
+    * would re-shuffle both full tables. Exactness needs no arithmetic:
+    * the identity is set algebra, and duplicate-free inputs (keys
+    * inserted once) keep the union duplicate-free. Output columns follow
+    * unionByName, so all three terms project identically. */
+  def joinViewIncrement(aOld: DataFrame, dA: DataFrame, bOld: DataFrame,
+                        dB: DataFrame, keys: Seq[String]): DataFrame = {
+    val t1 = bOld.join(broadcast(dA), keys)
+    val t2 = aOld.join(broadcast(dB), keys)
+    val t3 = dA.join(broadcast(dB), keys)
+    t1.unionByName(t2).unionByName(t3)
+  }
+
   /** Merge a standing rollup with a delta partial: re-aggregate the
     * UNION of partials. Exact decimal internals make
     * merge(partial(old), partial(delta)) ≡ partial(old ∪ delta) bitwise.

@@ -153,6 +153,38 @@ object CoreQueries {
       |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
       |GROUP BY day, event_type ORDER BY day, event_type""".stripMargin
 
+  // ---- incremental JOIN-view maintenance (insert-only deltas) --------------
+  /** The join sibling of rollup_maintain: a materialized orders⋈customer
+    * view kept fresh under insert-only deltas by the Blakeley 3-term
+    * increment ([[Relational.joinViewIncrement]] — standing sides only
+    * PROBED by broadcast deltas, never re-shuffled), with the residue
+    * classes `o_orderkey ≡ 0 (mod 10)` / custkey `≡ 0 (mod 7)` playing
+    * tonight's arrivals on BOTH sides at once (incl. a delta order whose
+    * customer is also a delta — the dA⋈dB term a naive two-term
+    * maintenance silently drops). The oracle RECOMPUTES the full join;
+    * hash-matching it is the proof the maintained view never drifts. */
+  def viewJoinMaintain(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("o_custkey"), col("c_name"),
+        col("c_nationkey"))
+    val (aOld, dA) = (orders.filter(col("o_orderkey") % 10 =!= 0),
+      orders.filter(col("o_orderkey") % 10 === 0))
+    val (bOld, dB) = (cust.filter(col("o_custkey") % 7 =!= 0),
+      cust.filter(col("o_custkey") % 7 === 0))
+    val standing = aOld.join(bOld, Seq("o_custkey")) // the stored view's stand-in
+    standing.unionByName(
+        Relational.joinViewIncrement(aOld, dA, bOld, dB, Seq("o_custkey")))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+        col("c_nationkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+  val viewJoinMaintainSql: String =
+    """SELECT o_orderkey, o_custkey, c_name, c_nationkey, o_totalprice
+      |FROM orders JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---- cohort retention matrix ----------------------------------------------
   /** Users cohorted by first-seen week; each cohort's active-user count
     * and retention rate at every week offset — the classic engagement
@@ -791,6 +823,7 @@ object CoreQueries {
     "a8_daily_rollup" -> (a8DailyRollup _),
     "scd2_intervals" -> (scd2Intervals _),
     "rollup_maintain" -> (rollupMaintain _),
+    "view_join_maintain" -> (viewJoinMaintain _),
     "cohort_retention" -> (cohortRetention _),
     "cohort_ltv" -> (cohortLtv _),
     "cohort_ltv_decayed" -> (cohortLtvDecayed _))
@@ -815,6 +848,7 @@ object CoreQueries {
     "a8_daily_rollup" -> a8DailyRollupSql,
     "scd2_intervals" -> scd2IntervalsSql,
     "rollup_maintain" -> rollupMaintainSql,
+    "view_join_maintain" -> viewJoinMaintainSql,
     "cohort_retention" -> cohortRetentionSql,
     "cohort_ltv" -> cohortLtvSql,
     "cohort_ltv_decayed" -> cohortLtvDecayedSql)

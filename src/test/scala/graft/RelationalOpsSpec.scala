@@ -241,4 +241,40 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(e2.getLong(2) > 150L && e2.getLong(2) < 600L,
       s"est ${e2.getLong(2)} for truth 300")
   }
+
+  test("joinViewIncrement: the 3-term increment plus the standing view " +
+    "equals a full rejoin — cross terms covered, dangling rows dropped, " +
+    "delta sides broadcast") {
+    val s = spark
+    import s.implicits._
+    // facts (fid, k, v): standing 1-3, delta 10-12 (12 references a
+    // delta dim, 11 references a MISSING dim — must drop)
+    val aOld = Seq((1L, 100L, "a1"), (2L, 100L, "a2"), (3L, 200L, "a3"))
+      .toDF("fid", "k", "av")
+    val dA = Seq((10L, 200L, "a10"), (11L, 999L, "a11"),
+      (12L, 300L, "a12")).toDF("fid", "k", "av")
+    // dims (k, bv): standing 100/200, delta 300 plus 400 (no facts —
+    // contributes nothing) — and standing fact 3 must NOT re-match
+    // anything in the increment (no duplicates)
+    val bOld = Seq((100L, "b100"), (200L, "b200")).toDF("k", "bv")
+    val dB = Seq((300L, "b300"), (400L, "b400")).toDF("k", "bv")
+    val standing = aOld.join(bOld, Seq("k"))
+    val maintained = standing.unionByName(
+      Relational.joinViewIncrement(aOld, dA, bOld, dB, Seq("k")))
+    val full = aOld.union(dA).join(bOld.union(dB), Seq("k"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("fid", "k", "av", "bv").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getString(3))).sortBy(_._1).toSeq
+    assert(rows(maintained) == rows(full))
+    // the dA⋈dB cross term (fact 12 → dim 300) is present — the row a
+    // naive two-term maintenance drops
+    assert(rows(maintained).exists(r => r._1 == 12L && r._4 == "b300"))
+    assert(!rows(maintained).exists(_._1 == 11L)) // dangling fact dropped
+    // scale contract: every increment term broadcasts its delta side
+    val p = Relational.joinViewIncrement(aOld, dA, bOld, dB, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"increment must broadcast the deltas:\n$p")
+  }
 }
