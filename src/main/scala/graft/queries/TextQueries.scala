@@ -767,6 +767,88 @@ object TextQueries {
     * span cutoff (max stored day) is one row of sketch metadata, a
     * planning boundary; the oracle recomputes the same span from raw
     * events because span-of-dailies ≡ span build exactly. */
+  // ---- rolling-window distinct from stored daily KMV sketches --------------
+  private val kmvUserStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stored per-day KMV user sketches — the rolling read's serving
+    * state. Built once per corpus ([[Relational.kmvDailySketches]] on
+    * `user_id`), k rows per day. */
+  private def kmvUserStore(s: SparkSession, d: String): String =
+    kmvUserStoreCache.computeIfAbsent(d, _ => {
+      val p = graft.Scratch.dir("graft_kmv_user_store")
+      graft.sources.PartitionedStore.commitVersion(
+        Relational.kmvDailySketches(
+          Tables.events(s, d)
+            .select(col("ts"), col("user_id").cast("string").as("uk")),
+          "ts", "uk", KmvK), p)
+      p
+    })
+
+  /** Rolling 7-day distinct active users served ENTIRELY from the
+    * stored daily KMV sketches — the approximate sibling of the exact
+    * `w11_rolling_wau`, and the one that survives 100 TB: the trailing
+    * window's k-min set is contained in the union of its days' stored
+    * k-min sets (any of the window's k smallest hashes is among the k
+    * smallest of its own day — the same algebra that makes merged-daily
+    * ≡ whole-span), so each day's estimate re-aggregates ≤ 7k stored
+    * sketch rows and the fact table is NEVER re-read at serve (the plan
+    * pin: every input file is the sketch store). Day spine × sketch
+    * rows is a broadcast range join over the tiny spine; the per-day
+    * k-min selection is a window over sketch rows only (calendar × k,
+    * never data rows). The ORACLE replays the whole computation from
+    * raw events per window — an independent formulation, so the
+    * daily-decomposition algebra cannot self-confirm. */
+  def sketchKmvRolling(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = graft.operators.Dedup.HashMod
+    val daily = graft.sources.PartitionedStore
+      .readVersion(s, kmvUserStore(s, d))
+    val spine = broadcast(daily.select(col("day").as("d")).distinct())
+    val wnd = daily
+      .join(spine, datediff(col("d"), col("day")).between(0, 6))
+      .select(col("d"), col("hv")).distinct()
+    val w = Window.partitionBy(col("d")).orderBy(col("hv"))
+    wnd.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KmvK)
+      .groupBy(col("d").as("day"))
+      .agg(count(lit(1)).as("k_used"), max(col("hv")).as("kth_min"))
+      .select(col("day"), col("k_used"), col("kth_min"),
+        when(col("k_used") < KmvK, col("k_used"))
+          .otherwise(expr(s"(${KmvK - 1} * ${p}L) div kth_min"))
+          .as("est_active"))
+      .orderBy(col("day"))
+  }
+
+  val sketchKmvRollingSql: String = {
+    val P = graft.operators.Dedup.HashMod
+    val M = graft.operators.Mix.ScrambleM
+    s"""WITH ev AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS uk, CAST(ts AS DATE) AS day
+       |  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+       |), h AS (
+       |  SELECT DISTINCT day,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(uk, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+       |      (acc, x) -> (acc*31 + x) % $P) * $M % $P * $M % $P AS hv
+       |  FROM ev
+       |), days AS (SELECT DISTINCT day AS d FROM h
+       |), wnd AS (
+       |  SELECT DISTINCT days.d, h.hv FROM days JOIN h
+       |  ON h.day <= days.d AND h.day >= days.d - 6
+       |), rk AS (
+       |  SELECT d, hv, row_number() OVER (PARTITION BY d ORDER BY hv) AS rn
+       |  FROM wnd
+       |), agg AS (
+       |  SELECT d AS day, COUNT(*) AS k_used, MAX(hv) AS kth_min
+       |  FROM rk WHERE rn <= $KmvK GROUP BY d
+       |)
+       |SELECT day, k_used, kth_min,
+       |  CASE WHEN k_used < $KmvK THEN k_used
+       |       ELSE (${KmvK - 1} * CAST($P AS BIGINT)) // kth_min END AS est_active
+       |FROM agg ORDER BY day""".stripMargin
+  }
+
   def sketchKmvSpan(s: SparkSession, d: String): DataFrame = {
     import graft.sources.PartitionedStore
     val stored = PartitionedStore.readVersion(s, kmvStore(s, d))
@@ -1769,6 +1851,7 @@ object TextQueries {
     "sketch_kmv_jaccard" -> (sketchKmvJaccard _),
     "sketch_kmv_incremental" -> (sketchKmvIncremental _),
     "sketch_kmv_span" -> (sketchKmvSpan _),
+    "sketch_kmv_rolling" -> (sketchKmvRolling _),
     "sketch_quantile_span" -> (sketchQuantileSpan _),
     "sketch_quantile_incremental" -> (sketchQuantileIncremental _),
     "sketch_quantile_drift" -> (sketchQuantileDrift _),
@@ -1816,6 +1899,7 @@ object TextQueries {
     "sketch_kmv_jaccard" -> sketchKmvJaccardSql,
     "sketch_kmv_incremental" -> sketchKmvIncrementalSql,
     "sketch_kmv_span" -> sketchKmvSpanSql,
+    "sketch_kmv_rolling" -> sketchKmvRollingSql,
     "sketch_quantile_span" -> sketchQuantileSpanSql,
     "sketch_quantile_incremental" -> sketchQuantileIncrementalSql,
     "sketch_quantile_drift" -> sketchQuantileDriftSql,

@@ -534,6 +534,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"must read only the symdel index: ${df.inputFiles.take(3).toSeq}")
   }
 
+  test("sketch_kmv_rolling: every rolling estimate serves from the " +
+    "STORED daily sketches — the fact table is never re-read") {
+    val df = SparkEntry.queries("sketch_kmv_rolling")(spark, d)
+    assert(df.inputFiles.nonEmpty &&
+      df.inputFiles.forall(_.contains("graft_kmv_user_store")),
+      s"must read only the KMV store: ${df.inputFiles.take(3).toSeq}")
+    // the per-day k-min window runs over sketch rows (calendar × k),
+    // never data rows: the only scans in the plan are the store's
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("events.parquet"),
+      "rolling serve must not scan the fact table")
+  }
+
   test("global sweep: no query plans an unbroadcast cartesian product") {
     // crossJoin against a broadcast side plans as BroadcastNestedLoopJoin
     // (fine — one side is tiny by construction); a CartesianProduct node
