@@ -994,6 +994,64 @@ object TextQueries {
   val sketchQuantileSpanSql: String = qhSqlBody("day < max_day")
   val sketchQuantileIncrementalSql: String = qhSqlBody("TRUE")
 
+  /** Rolling trailing-7-day p50/p95 per event type, served ENTIRELY
+    * from the stored daily histograms — the tail-latency dashboard's
+    * sliding read ("p95 over the last week, every day"), the quantile
+    * sibling of [[sketchKmvRolling]]: per (day, key) the window's
+    * histogram is the integer SUM of its days' stored bucket rows
+    * (exact — the same merge identity as the span reads), the crossing
+    * selection runs over calendar × key × distinct-cents rows only,
+    * and fact history is read ZERO times at serve (plan-pinned). The
+    * oracle replays every window from raw events — span-of-dailies ≡
+    * window build exactly, stated independently. */
+  def sketchQuantileRolling(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.PartitionedStore
+    import org.apache.spark.sql.expressions.Window
+    val stored = PartitionedStore.readVersion(s, qhStore(s, d))
+    val spine = broadcast(stored.select(col("day").as("d")).distinct())
+    val wnd = stored
+      .join(spine, datediff(col("d"), col("day")).between(0, 6))
+      .groupBy(col("d"), col("key"), col("qc"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val byQc = Window.partitionBy(col("d"), col("key")).orderBy(col("qc"))
+    val whole = Window.partitionBy(col("d"), col("key"))
+    wnd
+      .withColumn("cum", sum(col("cnt")).over(byQc))
+      .withColumn("n", sum(col("cnt")).over(whole))
+      .groupBy(col("d").as("day"), col("key"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") * lit(100L) >= col("n") * lit(50L),
+          col("qc"))).as("p50_c"),
+        min(when(col("cum") * lit(100L) >= col("n") * lit(95L),
+          col("qc"))).as("p95_c"))
+      .orderBy(col("day"), col("key"))
+  }
+
+  val sketchQuantileRollingSql: String =
+    s"""WITH ev0 AS (
+       |  SELECT event_type AS key, CAST(FLOOR(value * 1e2) AS BIGINT) AS qc,
+       |         CAST(ts AS DATE) AS day
+       |  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+       |), ev AS (
+       |  SELECT key, CASE WHEN qc < 0
+       |                   THEN CAST(error('quantile: negative value') AS BIGINT)
+       |                   ELSE qc END AS qc, day
+       |  FROM ev0
+       |), days AS (SELECT DISTINCT day AS d FROM ev
+       |), wnd AS (
+       |  SELECT days.d, ev.key, ev.qc FROM days JOIN ev
+       |  ON ev.day <= days.d AND ev.day >= days.d - 6
+       |), h AS (SELECT d, key, qc, COUNT(*) AS cnt FROM wnd GROUP BY d, key, qc
+       |), c AS (
+       |  SELECT d, key, qc,
+       |    CAST(SUM(cnt) OVER (PARTITION BY d, key ORDER BY qc) AS BIGINT) AS cum,
+       |    CAST(SUM(cnt) OVER (PARTITION BY d, key) AS BIGINT) AS n
+       |  FROM h)
+       |SELECT d AS day, key, MAX(n) AS n,
+       |  MIN(CASE WHEN cum * 100 >= n * 50 THEN qc END) AS p50_c,
+       |  MIN(CASE WHEN cum * 100 >= n * 95 THEN qc END) AS p95_c
+       |FROM c GROUP BY d, key ORDER BY day, key""".stripMargin
+
   /** Tail-latency DRIFT between two day spans, served ENTIRELY from the
     * stored daily histograms — the monitoring read the sketch store
     * exists for ("did p95 value shift this fortnight vs last?"): both
@@ -1853,6 +1911,7 @@ object TextQueries {
     "sketch_kmv_span" -> (sketchKmvSpan _),
     "sketch_kmv_rolling" -> (sketchKmvRolling _),
     "sketch_quantile_span" -> (sketchQuantileSpan _),
+    "sketch_quantile_rolling" -> (sketchQuantileRolling _),
     "sketch_quantile_incremental" -> (sketchQuantileIncremental _),
     "sketch_quantile_drift" -> (sketchQuantileDrift _),
     "sketch_cms_join_size" -> (sketchCmsJoinSize _),
@@ -1901,6 +1960,7 @@ object TextQueries {
     "sketch_kmv_span" -> sketchKmvSpanSql,
     "sketch_kmv_rolling" -> sketchKmvRollingSql,
     "sketch_quantile_span" -> sketchQuantileSpanSql,
+    "sketch_quantile_rolling" -> sketchQuantileRollingSql,
     "sketch_quantile_incremental" -> sketchQuantileIncrementalSql,
     "sketch_quantile_drift" -> sketchQuantileDriftSql,
     "sketch_cms_join_size" -> sketchCmsJoinSizeSql,

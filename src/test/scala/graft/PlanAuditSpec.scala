@@ -547,6 +547,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "rolling serve must not scan the fact table")
   }
 
+  test("sketch_quantile_rolling: every window percentile serves from " +
+    "the STORED daily histograms — fact history read zero times") {
+    val df = SparkEntry.queries("sketch_quantile_rolling")(spark, d)
+    assert(df.inputFiles.nonEmpty &&
+      df.inputFiles.forall(_.contains("graft_qh_store")),
+      s"must read only the quantile store: ${df.inputFiles.take(3).toSeq}")
+    assert(!df.queryExecution.executedPlan.toString.contains("events.parquet"),
+      "rolling serve must not scan the fact table")
+  }
+
   test("global sweep: no query plans an unbroadcast cartesian product") {
     // crossJoin against a broadcast side plans as BroadcastNestedLoopJoin
     // (fine — one side is tiny by construction); a CartesianProduct node
