@@ -9,9 +9,10 @@ import graft.Tables
   * questions a tracker's activity feed answers (the reference keeps a
   * typed per-user activity stream, `data/dataExamples.txt` activity
   * rows; its dashboards read it chronologically): last-touch
-  * conversion attribution, the first-order event-transition matrix,
-  * market-basket association lift, top session paths, the
-  * time-anchored window funnel, and the return-time distribution.
+  * conversion attribution and its U-shaped multi-touch sibling, the
+  * first-order event-transition matrix, market-basket association
+  * lift, top session paths, the time-anchored window funnel, and the
+  * return-time distribution.
   *
   * Scale/determinism contract:
   *  - Every read makes ONE pass over raw events; every window partitions
@@ -72,6 +73,121 @@ object JourneyQueries {
           .as("revenue"))
       .orderBy(col("channel"))
   }
+
+  // ---- W17: position-based (U-shaped) multi-touch attribution --------------
+  /** Every purchase splits 1000 permille of credit across ALL its
+    * qualifying touches (view/click within the 7-day lookback,
+    * (ts, event_id)-before the purchase) by the U-shaped rule: sole
+    * touch 1000; a pair 500/500; otherwise first 400, last 400, middles
+    * share 200 by integer division with the remainder distributed to
+    * the EARLIEST middles (largest-remainder rule — deterministic,
+    * division-free beyond one DIV, and the credits per purchase always
+    * sum to exactly 1000, spec-pinned). Revenue stays integer: each
+    * touch accrues cents·credit (cents-permille units — never a
+    * fraction of a cent rounded). Purchases with no qualifying touch
+    * land on channel 'none' with full credit, only when any exist.
+    *
+    * The one shape last-touch's running argmax cannot express: the
+    * FULL touch set per purchase. Cost is the honest multi-touch join —
+    * purchases⋈touches per user (shuffled by user_id, fan-out bounded
+    * by per-user touches×purchases inside the lookback), then windows
+    * partitioned per purchase — never corpus-wide. */
+  def multitouchAttribution(ev: DataFrame, touchTypes: Seq[String],
+                            convType: String,
+                            lookbackUs: Long): DataFrame = {
+    val purchases = ev.filter(col("event_type") === convType)
+      .select(col("user_id"), col("event_id").as("p_eid"),
+        unix_micros(col("ts")).as("p_us"),
+        floor(col("value") * 1e2).cast("long").as("cents"))
+    val touches = ev.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("event_id").as("t_eid"),
+        unix_micros(col("ts")).as("t_us"), col("event_type").as("channel"))
+    val pairs = purchases.join(touches, Seq("user_id"))
+      .filter((col("t_us") < col("p_us") ||
+        (col("t_us") === col("p_us") && col("t_eid") < col("p_eid"))) &&
+        col("p_us") - col("t_us") <= lookbackUs)
+    val wOrd = Window.partitionBy(col("user_id"), col("p_eid"))
+      .orderBy(col("t_us"), col("t_eid"))
+    val wAll = Window.partitionBy(col("user_id"), col("p_eid"))
+    val credited = pairs
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("credit",
+        when(col("k") === 1, lit(1000L))
+          .when(col("k") === 2, lit(500L))
+          .when(col("rn") === 1 || col("rn") === col("k"), lit(400L))
+          .otherwise(expr(
+            "200 DIV (k - 2) + CASE WHEN rn - 2 < 200 % (k - 2) THEN 1 ELSE 0 END")))
+    val att = credited.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit")).as("credit_permille"),
+        sum(col("cents") * col("credit")).as("weighted_cents_permille"))
+    val orphan = purchases
+      .join(credited.select(col("user_id"), col("p_eid")).distinct(),
+        Seq("user_id", "p_eid"), "left_anti")
+      .agg(count(lit(1)).as("n_touches"),
+        (count(lit(1)) * lit(1000L)).as("credit_permille"),
+        (coalesce(sum(col("cents")), lit(0L)) * lit(1000L))
+          .as("weighted_cents_permille"))
+      .select(lit("none").as("channel"), col("n_touches"),
+        col("credit_permille"), col("weighted_cents_permille"))
+      .filter(col("n_touches") > 0)
+    att.unionByName(orphan).orderBy(col("channel"))
+  }
+
+  def w17Multitouch(s: SparkSession, d: String): DataFrame =
+    multitouchAttribution(
+      Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"), col("event_type"), col("value")),
+      Seq("view", "click"), "purchase", LookbackUs)
+
+  val w17Sql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value
+       |  FROM $EventsSql
+       |), p AS (
+       |  SELECT user_id, event_id AS p_eid, us AS p_us,
+       |         CAST(FLOOR(value * 1e2) AS BIGINT) AS cents
+       |  FROM ev WHERE event_type = 'purchase'
+       |), t AS (
+       |  SELECT user_id, event_id AS t_eid, us AS t_us,
+       |         event_type AS channel
+       |  FROM ev WHERE event_type IN ('view', 'click')
+       |), pairs AS (
+       |  SELECT p.user_id, p.p_eid, p.cents, t.t_eid, t.t_us, t.channel
+       |  FROM p JOIN t ON p.user_id = t.user_id
+       |  WHERE (t.t_us < p.p_us OR (t.t_us = p.p_us AND t.t_eid < p.p_eid))
+       |    AND p.p_us - t.t_us <= $LookbackUs
+       |), rk AS (
+       |  SELECT channel, cents,
+       |    row_number() OVER (PARTITION BY user_id, p_eid ORDER BY t_us, t_eid) AS rn,
+       |    COUNT(*) OVER (PARTITION BY user_id, p_eid) AS k
+       |  FROM pairs
+       |), cr AS (
+       |  SELECT channel, cents,
+       |    CASE WHEN k = 1 THEN 1000
+       |         WHEN k = 2 THEN 500
+       |         WHEN rn = 1 OR rn = k THEN 400
+       |         ELSE 200 // (k - 2) +
+       |              CASE WHEN rn - 2 < 200 % (k - 2) THEN 1 ELSE 0 END
+       |    END AS credit
+       |  FROM rk
+       |), att AS (
+       |  SELECT channel, COUNT(*) AS n_touches,
+       |         CAST(SUM(credit) AS BIGINT) AS credit_permille,
+       |         CAST(SUM(cents * credit) AS BIGINT) AS weighted_cents_permille
+       |  FROM cr GROUP BY channel
+       |), orph AS (
+       |  SELECT 'none' AS channel, COUNT(*) AS n_touches,
+       |         COUNT(*) * 1000 AS credit_permille,
+       |         CAST(COALESCE(SUM(cents), 0) * 1000 AS BIGINT) AS weighted_cents_permille
+       |  FROM p WHERE NOT EXISTS (
+       |    SELECT 1 FROM pairs
+       |    WHERE pairs.user_id = p.user_id AND pairs.p_eid = p.p_eid)
+       |)
+       |SELECT * FROM att
+       |UNION ALL SELECT * FROM orph WHERE n_touches > 0
+       |ORDER BY channel""".stripMargin
 
   def w14Attribution(s: SparkSession, d: String): DataFrame =
     lastTouchAttribution(
@@ -439,6 +555,7 @@ object JourneyQueries {
     "w16_return_times" -> (w16ReturnTimes _),
     "w15_window_funnel" -> (w15WindowFunnel _),
     "w14_attribution" -> (w14Attribution _),
+    "w17_multitouch" -> (w17Multitouch _),
     "seq_transitions" -> (seqTransitions _),
     "assoc_lift" -> (assocLift _),
     "seq_top_paths" -> (seqTopPaths _))
@@ -447,6 +564,7 @@ object JourneyQueries {
     "w16_return_times" -> w16Sql,
     "w15_window_funnel" -> w15Sql,
     "w14_attribution" -> w14Sql,
+    "w17_multitouch" -> w17Sql,
     "seq_transitions" -> seqTransitionsSql,
     "assoc_lift" -> assocLiftSql,
     "seq_top_paths" -> seqTopPathsSql)

@@ -171,4 +171,48 @@ class JourneySpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(4))).toSeq
     assert(sk == Seq(("view", "click", 333L), ("view", "error", 666L)))
   }
+
+  test("multitouchAttribution: U-shaped credits conserve exactly 1000 " +
+    "per purchase — sole 1000, pair 500/500, k=5 middles split 200 by " +
+    "largest-remainder-to-earliest, orphan lands on none, lookback " +
+    "expires") {
+    val s = spark
+    import s.implicits._
+    // user 1: five touches v,c,v,c,v then purchase — credits must be
+    // 400, 67, 67, 66, 400 in (ts, event_id) order (200 DIV 3 = 66,
+    // rem 2 → the two EARLIEST middles get +1)
+    // user 2: one view then purchase → 1000
+    // user 3: view+click then purchase → 500/500
+    // user 4: orphan purchase (touch expired: 8 days before)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "click", 0.0),
+      (3L, ts("2024-01-01 12:00:00"), 1L, "view", 0.0),
+      (4L, ts("2024-01-01 13:00:00"), 1L, "click", 0.0),
+      (5L, ts("2024-01-01 14:00:00"), 1L, "view", 0.0),
+      (6L, ts("2024-01-01 15:00:00"), 1L, "purchase", 10.0),
+      (7L, ts("2024-01-02 10:00:00"), 2L, "view", 0.0),
+      (8L, ts("2024-01-02 11:00:00"), 2L, "purchase", 5.0),
+      (9L, ts("2024-01-03 10:00:00"), 3L, "view", 0.0),
+      (10L, ts("2024-01-03 11:00:00"), 3L, "click", 0.0),
+      (11L, ts("2024-01-03 12:00:00"), 3L, "purchase", 2.0),
+      (12L, ts("2024-01-01 09:00:00"), 4L, "view", 0.0),
+      (13L, ts("2024-01-09 10:00:00"), 4L, "purchase", 7.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = JourneyQueries.multitouchAttribution(
+        ev, Seq("view", "click"), "purchase", 7L * 86400L * 1000000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // user 1 by position: view 400, click 67, view 67, click 66,
+    // view 400 → view 867, click 133. user 2: view 1000. user 3:
+    // view 500, click 500. user 4: none 1000.
+    assert(out("view") == ((5L, 867L + 1000L + 500L,
+      10L * 100L * 867L + 5L * 100L * 1000L + 2L * 100L * 500L)),
+      out.toString)
+    assert(out("click") == ((3L, 133L + 500L,
+      10L * 100L * 133L + 2L * 100L * 500L)), out.toString)
+    assert(out("none") == ((1L, 1000L, 7L * 100L * 1000L)), out.toString)
+    // conservation: total permille = 1000 × purchases
+    assert(out.values.map(_._2).sum == 4000L)
+  }
 }
