@@ -704,6 +704,56 @@ object Search {
       .join(hits, Seq(idCol), "left_semi")
   }
 
+  /** Unordered proximity (NEAR/k) through the SAME [[writePhraseIndex]]
+    * layout phrase search serves from — the second verb the positional
+    * storage price buys: a document matches iff some occurrence of
+    * `termA` and some occurrence of `termB` sit within `k` token
+    * positions of each other (either order). The postings read prunes
+    * to the TWO terms' bucket dirs (driver-side hash, the same
+    * justified planning-time collect as [[phraseIndexMatch]]); the
+    * position check is then an equi-join on the doc id between the two
+    * terms' pruned occurrence sets with an |posA − posB| ≤ k filter —
+    * per-doc cost ∝ occA·occB, both bounded by the doc's token count,
+    * and total cost ∝ the terms' corpus frequency, never corpus size.
+    * Tombstoned docs leave before meta resolution, so a post-delete
+    * proximity query is bit-identical to one against an index rebuilt
+    * without them. Output: meta rows of matching docs. `termA ≠ termB`
+    * is required — self-proximity would need distinct-position
+    * semantics this verb deliberately doesn't carry. */
+  def proximityMatch(spark: org.apache.spark.sql.SparkSession,
+                     path: String, termA: String, termB: String, k: Int,
+                     idCol: String): DataFrame = {
+    require(termA.nonEmpty && termB.nonEmpty && termA != termB,
+      s"proximity needs two distinct non-empty terms: '$termA', '$termB'")
+    require(k >= 1, s"proximity window must be >= 1 token: $k")
+    import graft.sources.PartitionedStore
+    val served = PartitionedStore.readComposite(path)
+    val nBuckets = PartitionedStore
+      .readVersion(spark, s"$path/stats", Some(served("stats")))
+      .select(col("n_buckets")).collect()(0).getInt(0)
+    import spark.implicits._
+    val qbuckets = Seq(termA, termB).toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val occ = PartitionedStore.readVersion(spark, s"$path/postings",
+        Some(served("postings")))
+      .filter(col("bucket").isin(qbuckets: _*))
+      .filter(col("term").isin(termA, termB))
+      .select(col(idCol), col("term"), col("pos"))
+    val hits0 = occ.filter(col("term") === termA)
+      .select(col(idCol), col("pos").as("pa"))
+      .join(occ.filter(col("term") === termB)
+        .select(col(idCol), col("pos").as("pb")), Seq(idCol))
+      .filter(abs(col("pa") - col("pb")) <= k)
+      .select(col(idCol)).distinct()
+    val hits = served.get("tombstones").fold(hits0) { tv =>
+      hits0.join(broadcast(PartitionedStore.readVersion(
+        spark, s"$path/tombstones", Some(tv))), Seq(idCol), "left_anti")
+    }
+    PartitionedStore.readVersion(spark, s"$path/meta", Some(served("meta")))
+      .join(hits, Seq(idCol), "left_semi")
+  }
+
   // ---- symmetric-delete (SymSpell) fuzzy vocabulary index ------------------
 
   /** Materialize a SYMMETRIC-DELETE vocabulary index (Garbe's SymSpell

@@ -580,6 +580,57 @@ object SearchQueries {
     "FROM documents",
     s"FROM (SELECT * FROM documents WHERE doc_id % $PhraseDelMod <> $PhraseDelRes) documents")
 
+  // ---- proximity (NEAR/k) search through the same positional index ---------
+  private val ProxA = "stream"
+  private val ProxB = "window"
+  private val ProxK = 2
+
+  /** Unordered proximity — `stream` within 2 tokens of `window` — served
+    * from the SAME stored positional layout the phrase verb reads
+    * ([[Search.proximityMatch]]): one (id, pos, term) materialization
+    * buys both verbs, and the query touches only its two terms' bucket
+    * dirs plus the meta component — at 100 TB the read is ∝ the terms'
+    * corpus frequency, never corpus size, where a raw-text formulation
+    * re-scans every document per query. Proximity is strictly sharper
+    * than boolean AND (co-occurrence anywhere): on this corpus ~⅓ of
+    * the AND hits survive the ±2-position check, which is the evidence
+    * the position arithmetic actually bites. The ORACLE is a genuinely
+    * independent raw-text formulation — per-document position lists via
+    * DuckDB list lambdas, cross-checked |pa−pb| ≤ k — so a postings
+    * layout or anchor bug cannot self-confirm. */
+  def searchProximityIndexed(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val path = phraseIndexCache.computeIfAbsent(d, _ => {
+      val p = graft.Scratch.dir("graft_phrase_idx")
+      Search.writePhraseIndex(docs, "doc_id", "text", Seq("source"), p)
+      p
+    })
+    Search.proximityMatch(s, path, ProxA, ProxB, ProxK, "doc_id")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Independent raw-text restatement: 1-based token-position lists per
+    * document (list_filter over range — DuckDB's lambda algebra), a doc
+    * matches iff some pa, pb with |pa−pb| ≤ k exist. Position BASE
+    * differs from the engine's 0-based posexplode on purpose: only
+    * position DIFFERENCES carry semantics, so a base-dependence bug on
+    * either side breaks parity. */
+  val searchProximitySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, string_split(trim(text), ' ') AS toks
+       |  FROM documents
+       |), p AS (
+       |  SELECT doc_id, source,
+       |    list_filter(range(1, len(toks) + 1), i -> toks[i] = '$ProxA') AS pa,
+       |    list_filter(range(1, len(toks) + 1), i -> toks[i] = '$ProxB') AS pb
+       |  FROM t
+       |)
+       |SELECT doc_id, source FROM p
+       |WHERE len(list_filter(pa,
+       |        x -> len(list_filter(pb, y -> abs(x - y) <= $ProxK)) > 0)) > 0
+       |ORDER BY doc_id""".stripMargin
+
   // ---- typo-tolerant term lookup via the symmetric-delete index ------------
   private val FuzzyTerm = "streem"
   private val symDelCache =
@@ -623,6 +674,7 @@ object SearchQueries {
     "search_fuzzy_term" -> (searchFuzzyTerm _),
     "search_phrase" -> (searchPhrase _),
     "search_phrase_indexed" -> (searchPhraseIndexed _),
+    "search_proximity_indexed" -> (searchProximityIndexed _),
     "search_phrase_deleted" -> (searchPhraseDeleted _),
     "search_bm25_deleted" -> (searchBm25Deleted _),
     "search_bm25_filtered" -> (searchBm25Filtered _),
@@ -641,6 +693,7 @@ object SearchQueries {
     // serving-path twin: stored positional index, identical answers —
     // the same independent substring-containment oracle
     "search_phrase_indexed" -> searchPhraseSql,
+    "search_proximity_indexed" -> searchProximitySql,
     "search_phrase_deleted" -> searchPhraseDeletedSql,
     "search_bm25_deleted" -> searchBm25DeletedSql,
     "search_bm25_filtered" -> searchBm25FilteredSql,

@@ -521,6 +521,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"must read only the phrase index: ${df.inputFiles.take(3).toSeq}")
   }
 
+  test("search_proximity_indexed: NEAR/k serves from the SAME stored " +
+    "positional index as the phrase verb — postings prune to the two " +
+    "terms' buckets, raw text is never re-scanned") {
+    val df = SparkEntry.queries("search_proximity_indexed")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("bucket"),
+      s"proximity-term bucket IN-list must reach the postings scan:\n$pf")
+    assert(df.inputFiles.nonEmpty &&
+      df.inputFiles.forall(_.contains("graft_phrase_idx")),
+      s"must read only the shared phrase index: ${df.inputFiles.take(3).toSeq}")
+  }
+
   test("search_fuzzy_term: the correction serves from the STORED " +
     "symmetric-delete index — variants prune to the query's buckets, " +
     "the vocabulary is never scanned") {

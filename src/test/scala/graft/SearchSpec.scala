@@ -482,6 +482,48 @@ class SearchSpec extends AnyFunSuite {
       Seq((1L, "a"), (4L, "d")))
   }
 
+  test("proximity NEAR/k through the positional index: window edges " +
+    "inclusive, either order, multi-occurrence rescue, tombstones honored, " +
+    "and the verb is strictly sharper than boolean AND") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "a"),   // alpha..gamma dist 2 → k=2 hit
+      (2L, "alpha x y gamma", "b"),          // dist 3 → k=2 miss, k=3 hit
+      (3L, "gamma z alpha", "c"),            // reverse order, dist 2 → hit
+      (4L, "alpha only here", "d"),          // one term → never
+      (5L, "alpha q q q q gamma q alpha", "e"), // far pair misses, the
+                                          // trailing alpha (dist 2) rescues
+      (6L, "gamma alpha", "f")               // adjacent, dist 1 → hit
+    ).toDF("doc_id", "text", "source")
+    val p = graft.Scratch.dir("graft_prox_spec")
+    Search.writePhraseIndex(docs, "doc_id", "text", Seq("source"), p,
+      nBuckets = 8)
+    def ids(k: Int): Set[Long] =
+      Search.proximityMatch(s, p, "alpha", "gamma", k, "doc_id")
+        .collect().map(_.getLong(0)).toSet
+    // the independent formulation, replayed in-memory over raw text
+    def oracle(k: Int): Set[Long] = docs.collect().filter { r =>
+      val toks = r.getString(1).trim.split(" ")
+      val pa = toks.indices.filter(toks(_) == "alpha")
+      val pb = toks.indices.filter(toks(_) == "gamma")
+      pa.exists(x => pb.exists(y => math.abs(x - y) <= k))
+    }.map(_.getLong(0)).toSet
+    for (k <- 1 to 4) assert(ids(k) == oracle(k), s"k=$k")
+    assert(ids(2) == Set(1L, 3L, 5L, 6L)) // doc 5 rescued by 2nd alpha
+    assert(ids(3) == Set(1L, 2L, 3L, 5L, 6L))
+    // sharper than AND: docs containing both = {1,2,3,5,6}, k=1 keeps 6
+    // and 5 is out only at k=1 (its closest pair sits at distance 2)
+    assert(ids(1) == Set(6L))
+    // tombstone: post-delete serve ≡ rebuild-without (doc 3 leaves)
+    Search.deleteFromPhraseIndex(s, Seq(3L).toDF("doc_id"), p)
+    assert(ids(2) == Set(1L, 5L, 6L))
+    // distinct terms required — self-proximity carries no semantics here
+    intercept[IllegalArgumentException] {
+      Search.proximityMatch(s, p, "alpha", "alpha", 2, "doc_id")
+    }
+  }
+
   test("symDel fuzzy lookup: every edit-distance-1 class found " +
     "(deletion, insertion, substitution), identity included, " +
     "transposition candidates are surfaced-then-killed by the exact " +
