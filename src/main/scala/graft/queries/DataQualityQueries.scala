@@ -135,8 +135,9 @@ object DataQualityQueries {
     * — and the standard linkage-recall trade: exhaustive pairing is
     * O(n²) at 100 TB; recovering class (a) takes a second pass keyed
     * on a DIFFERENT blocking key (e.g. name suffix), not a wider
-    * block. `DataQualitySpec` pins one intentionally-missed pair per
-    * class. */
+    * block — [[j14EntityDual]] IS that second pass, with a proven
+    * completeness bound. `DataQualitySpec` pins one intentionally-
+    * missed pair per class. */
   def j12EntityResolve(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d)
       .select(col("c_custkey").as("cid"), col("c_name"))
@@ -164,6 +165,65 @@ object DataQualityQueries {
       |  FROM customer a JOIN customer b
       |    ON a.c_mktsegment = b.c_mktsegment
       |   AND substring(a.c_name, 1, 17) = substring(b.c_name, 1, 17)
+      |   AND a.c_custkey < b.c_custkey
+      |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+      |sym AS (SELECT id_a AS s, id_b AS d FROM e
+      |        UNION SELECT id_b, id_a FROM e),
+      |reach AS (
+      |  SELECT cid AS id, cid AS lbl FROM cust
+      |  UNION
+      |  SELECT sym.d AS id, reach.lbl FROM reach JOIN sym ON sym.s = reach.id),
+      |lbl AS (SELECT id, MIN(lbl) AS rep FROM reach GROUP BY id),
+      |sizes AS (SELECT rep, COUNT(*) AS n_members FROM lbl GROUP BY rep)
+      |SELECT l.id AS cid, l.rep AS entity_rep, sizes.n_members,
+      |       c2.c_name AS golden_name
+      |FROM lbl l JOIN sizes ON sizes.rep = l.rep JOIN cust c2 ON c2.cid = l.rep
+      |ORDER BY cid""".stripMargin
+
+  // ---- entity resolution, COMPLETE recall via dual blocking ----------------
+  /** [[j12EntityResolve]]'s stated miss class CLOSED — the "second pass
+    * keyed on a DIFFERENT blocking key" its recall contract names, run
+    * as [[graft.operators.Relational.fuzzyLinkDual]]: same-segment pairs
+    * block on (segment, first 14 chars) ∪ (segment, LAST 4 chars), and
+    * since every c_name is 18 chars (in-plan guarded), prefix+suffix ≥
+    * length makes the dual block provably complete for edit distance 1
+    * — any single edit leaves one of the two keys intact. That theorem
+    * is what lets the ORACLE state the NAIVE UNBLOCKED form (every
+    * same-segment pair, levenshtein directly — no block restated), so a
+    * blocking gap cannot self-confirm: blocked recall must equal
+    * exhaustive recall row for row. The prefix key carries TPC-H's
+    * constant "Customer#" plus the payload's first 5 digits, the suffix
+    * key its last 4 — both discriminate, so neither pass degenerates to
+    * the O(n²) within-segment cross product the naive form pays.
+    * Downstream identical to j12: checkpointed min-label closure,
+    * member counts, representative's record as the golden name. */
+  def j14EntityDual(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("cid"), col("c_name"))
+    val pairs = Relational.fuzzyLinkDual(
+      Tables.customer(s, d).withColumnRenamed("c_custkey", "cid"),
+      "cid", "c_name", col("c_mktsegment"),
+      prefixLen = 14, suffixLen = 4, failOnCap = true)
+      .select(col("id_a"), col("id_b"))
+    val comps = graft.operators.Dedup.connectedComponents(
+      cust.select(col("cid").as("id")), pairs)
+    val sizes = comps.groupBy(col("rep")).agg(count(lit(1)).as("n_members"))
+    comps.join(sizes, "rep")
+      .join(cust.select(col("cid").as("rep"), col("c_name").as("golden_name")),
+        "rep")
+      .select(col("id").as("cid"), col("rep").as("entity_rep"),
+        col("n_members"), col("golden_name"))
+      .orderBy(col("cid"))
+  }
+
+  /** The naive exhaustive formulation — deliberately UNblocked, unlike
+    * [[j12Sql]]: completeness of the dual block is the claim under test. */
+  val j14Sql: String =
+    """WITH RECURSIVE cust AS (SELECT c_custkey AS cid, c_name FROM customer),
+      |e AS (
+      |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      |  FROM customer a JOIN customer b
+      |    ON a.c_mktsegment = b.c_mktsegment
       |   AND a.c_custkey < b.c_custkey
       |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
       |sym AS (SELECT id_a AS s, id_b AS d FROM e
@@ -412,7 +472,8 @@ object DataQualityQueries {
     "dq_partition_skew" -> (dqPartitionSkew _),
     "dq_independence" -> (dqIndependence _),
     "j10_fuzzy_link" -> (j10FuzzyLink _),
-    "j12_entity_resolve" -> (j12EntityResolve _))
+    "j12_entity_resolve" -> (j12EntityResolve _),
+    "j14_entity_dual" -> (j14EntityDual _))
 
   val oracle: Map[String, String] = Map(
     "j13_golden_record" -> j13Sql,
@@ -423,5 +484,6 @@ object DataQualityQueries {
     "dq_partition_skew" -> dqPartitionSkewSql,
     "dq_independence" -> dqIndependenceSql,
     "j10_fuzzy_link" -> j10Sql,
-    "j12_entity_resolve" -> j12Sql)
+    "j12_entity_resolve" -> j12Sql,
+    "j14_entity_dual" -> j14Sql)
 }

@@ -207,6 +207,58 @@ class DataQualitySpec extends AnyFunSuite {
       s"recall contract: only the in-block suffix typo links — got $pairs")
   }
 
+  test("dual-block linkage is COMPLETE at distance 1: every single-edit " +
+    "class in every position region links, blocked == naive exhaustive, " +
+    "and a name violating prefix+suffix >= length raises") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, levenshtein, lit}
+    import graft.operators.Relational
+    // 18-char names, dual block = first 14 ∪ last 4: edits planted in
+    // the prefix region (j12's documented miss class), the suffix
+    // region, ON the 14/15 boundary, and as insert/delete (length 17 —
+    // right-anchored suffix must still match); distractors differ by 2+.
+    val cust = Seq(
+      (1L, "Customer#000000001", "SEG1"), // base
+      (2L, "Customer#000000009", "SEG1"), // sub at char 18 (suffix region)
+      (3L, "Custxmer#000000001", "SEG1"), // sub at char 5 (prefix region)
+      (4L, "Customer#000100001", "SEG1"), // sub at char 13 (prefix region)
+      (5L, "Customer#000010001", "SEG1"), // sub at char 14 (last prefix ch)
+      (6L, "Customer#000001001", "SEG1"), // sub at char 15 (first suffix ch)
+      (7L, "Customer#00000001",  "SEG1"), // deletion (len 17)
+      (8L, "ustomer#000000001",  "SEG1"), // deletion at char 1 (len 17)
+      (9L, "Customer#000000001", "SEG2"), // same name, other segment: no
+      (10L, "Cxstxmxr#000000001", "SEG1") // dist >= 2 from every row: the
+                                          // shared "0001" suffix makes it a
+                                          // CANDIDATE the exact check kills
+    ).toDF("cid", "c_name", "seg")
+    val got = Relational.fuzzyLinkDual(cust, "cid", "c_name", col("seg"),
+        prefixLen = 14, suffixLen = 4, failOnCap = true)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the naive exhaustive pair set, replayed through Spark's own
+    // levenshtein so the comparison shares edit-distance semantics
+    val naive = cust.as("a").join(cust.as("b"),
+        col("a.seg") === col("b.seg") && col("a.cid") < col("b.cid") &&
+          levenshtein(col("a.c_name"), col("b.c_name")) <= 1)
+      .select(col("a.cid"), col("b.cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive, s"blocked must equal exhaustive:\n got  $got\n want $naive")
+    // the j12 miss classes now link; cross-segment and dist-2 still don't
+    assert(got.contains((1L, 3L)) && got.contains((1L, 4L)) &&
+      got.contains((1L, 7L)) && got.contains((1L, 8L)))
+    assert(!got.exists(p => p._1 == 9L || p._2 == 9L))
+    assert(!got.exists(p => p._1 == 10L || p._2 == 10L))
+    // completeness precondition enforced in-plan: a 19-char name raises
+    val long = Seq((1L, "Customer#0000000001", "SEG1")) // 19 chars
+      .toDF("cid", "c_name", "seg")
+    val ex = intercept[Exception] {
+      Relational.fuzzyLinkDual(long.union(cust), "cid", "c_name",
+        col("seg"), prefixLen = 14, suffixLen = 4).count()
+    }
+    assert(ex.getMessage.contains("completeness"), ex.getMessage)
+  }
+
   test("survivorship: rep supplies name+nation, balance is cluster max, " +
     "segment mode breaks count ties by larger segment; singletons pass through") {
     val s = spark
