@@ -645,6 +645,59 @@ object TextAnalysis {
             (col("n_bigrams") * lit(1000000000L)).cast("double")).as("lm_score"))
   }
 
+  /** Global top-k COLLOCATIONS by exact integer lift — Manning &
+    * Schütze's collocation extraction (Ch. 5), the vocabulary-curation
+    * read that decides which adjacent pairs deserve to become single
+    * tokens (multi-word entities, idioms) before BPE/vocab training:
+    * rank observed bigrams by how much more often they co-occur than
+    * independence predicts, lift = P(prev,cur)/(P(prev)·P(cur)) =
+    * c(prev,cur)·N / (c(prev)·c(cur)), kept as ONE integer DIV in
+    * parts-per-million — no doubles, no logs, bitwise-replayable (a
+    * PMI log would add libm divergence for zero ranking benefit: log is
+    * monotone). `minCount` gates the classic rare-pair pathology (a
+    * hapax pair of two hapax words scores lift ≈ N). Shape: the bigram
+    * generator is [[bigramLmScore]]'s explode(sequence)+element_at (no
+    * window, no per-doc shuffle); both count tables are map-side
+    * combinable groupBys bounded by vocabulary, the scored frame is
+    * c2-sized (vocab², data-independent), N joins as a broadcast 1-row
+    * aggregate, and the global top-k is orderBy+limit = TakeOrdered
+    * over the tiny scored frame — never a full sort of data rows.
+    * Envelope: pair_n·N·10⁶ must fit a signed 64-bit long (holds to
+    * ~3·10⁶ occurrences of the hottest pair at N = 10⁹ bigrams, or any
+    * pair at N ≤ 3·10⁶); breached it raises IN-PLAN rather than
+    * overflowing silently. Output: (prev, cur, pair_n, lift_ppm),
+    * lift-desc with (prev, cur) tie-break. */
+  def collocations(df: DataFrame, textCol: String,
+                   minCount: Long = 5L, topK: Int = 20): DataFrame = {
+    require(minCount >= 1 && topK >= 1, s"bad bounds: $minCount, $topK")
+    val toks = df.select(split(trim(col(textCol)), " ").as("t"))
+    val tok = toks.select(explode(col("t")).as("w"))
+    val big = toks.filter(size(col("t")) >= 2)
+      .select(col("t"), explode(sequence(lit(2), size(col("t")))).as("i"))
+      .select(element_at(col("t"), col("i") - 1).as("prev"),
+        element_at(col("t"), col("i")).as("cur"))
+    val c2 = big.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minCount)
+    val unig = tok.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val n = broadcast(big.agg(count(lit(1)).as("n_pairs")))
+    c2.join(unig.select(col("w").as("prev"), col("c1").as("c_prev")), "prev")
+      .join(unig.select(col("w").as("cur"), col("c1").as("c_cur")), "cur")
+      .crossJoin(n)
+      .withColumn("pair_n",
+        when(col("pair_n") > lit(Long.MaxValue) / lit(1000000L) / col("n_pairs"),
+          raise_error(concat(
+            lit("collocations: pair_n*N*1e6 overflows 64 bits (pair_n="),
+            col("pair_n").cast("string"), lit(", N="),
+            col("n_pairs").cast("string"), lit(")"))))
+          .otherwise(col("pair_n")))
+      .select(col("prev"), col("cur"), col("pair_n"),
+        expr("pair_n * n_pairs * 1000000L div (c_prev * c_cur)")
+          .as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("prev"), col("cur"))
+      .limit(topK)
+  }
+
   /** Per-doc novelty: the fraction of its positional n-gram shingles that
     * appear in NO other document (1 − shared/total) — the memorization /
     * boilerplate exposure score span-level dedup acts on, as a per-doc

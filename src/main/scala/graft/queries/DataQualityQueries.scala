@@ -184,17 +184,23 @@ object DataQualityQueries {
   /** [[j12EntityResolve]]'s stated miss class CLOSED — the "second pass
     * keyed on a DIFFERENT blocking key" its recall contract names, run
     * as [[graft.operators.Relational.fuzzyLinkDual]]: same-segment pairs
-    * block on (segment, first 14 chars) ∪ (segment, LAST 4 chars), and
+    * block on (segment, first 16 chars) ∪ (segment, LAST 2 chars), and
     * since every c_name is 18 chars (in-plan guarded), prefix+suffix ≥
     * length makes the dual block provably complete for edit distance 1
     * — any single edit leaves one of the two keys intact. That theorem
     * is what lets the ORACLE state the NAIVE UNBLOCKED form (every
     * same-segment pair, levenshtein directly — no block restated), so a
     * blocking gap cannot self-confirm: blocked recall must equal
-    * exhaustive recall row for row. The prefix key carries TPC-H's
-    * constant "Customer#" plus the payload's first 5 digits, the suffix
-    * key its last 4 — both discriminate, so neither pass degenerates to
-    * the O(n²) within-segment cross product the naive form pays.
+    * exhaustive recall row for row. The SPLIT is a tuning knob the
+    * theorem doesn't constrain (any prefix+suffix ≥ 18 works): against
+    * DENSE sequential decimal ids a prefix block pins the payload's
+    * leading digits, so its block size is ~min(n, 10^(trailing digits
+    * left free)) — at this table's n the 16/2 split keeps both passes'
+    * blocks tiny (prefix frees 2 digits → ≤ 100 ids; suffix-2 → n/100
+    * per segment), where a 14/4 split measured 36 s at sf0.1 (its
+    * prefix freed 4 digits → the whole table in 2 blocks, ~11M
+    * levenshtein evals). blockCap raises loudly if a chosen split
+    * stops discriminating at some larger n — retune, don't wait.
     * Downstream identical to j12: checkpointed min-label closure,
     * member counts, representative's record as the golden name. */
   def j14EntityDual(s: SparkSession, d: String): DataFrame = {
@@ -203,7 +209,7 @@ object DataQualityQueries {
     val pairs = Relational.fuzzyLinkDual(
       Tables.customer(s, d).withColumnRenamed("c_custkey", "cid"),
       "cid", "c_name", col("c_mktsegment"),
-      prefixLen = 14, suffixLen = 4, failOnCap = true)
+      prefixLen = 16, suffixLen = 2, failOnCap = true)
       .select(col("id_a"), col("id_b"))
     val comps = graft.operators.Dedup.connectedComponents(
       cust.select(col("cid").as("id")), pairs)

@@ -1556,6 +1556,35 @@ object TextQueries {
   def textBigramLm(s: SparkSession, d: String): DataFrame =
     TextAnalysis.bigramLmScore(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
+
+  /** Top-20 collocations by exact integer lift
+    * ([[TextAnalysis.collocations]]) — which adjacent token pairs
+    * co-occur far beyond independence, the read that nominates
+    * multi-word tokens before vocab/BPE training. minCount = 5 gates
+    * the hapax-pair pathology; ranking is ONE integer DIV in ppm (no
+    * doubles, no libm), so the oracle replays it bit for bit; ties
+    * break on (prev, cur). The result frame is vocab²-bounded and the
+    * top-k is a TakeOrdered over it, never a data-row sort. */
+  def textCollocations(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.collocations(Tables.documents(s, d), "text",
+      minCount = 5L, topK = 20)
+
+  val textCollocationsSql: String =
+    """WITH toks AS (SELECT string_split(trim(text), ' ') AS t FROM documents),
+      |tok AS (SELECT unnest(t) AS w FROM toks),
+      |big AS (
+      |  SELECT t[i-1] AS prev, t[i] AS cur
+      |  FROM (SELECT t, unnest(range(2, len(t)+1)) AS i FROM toks WHERE len(t) >= 2)
+      |), c2 AS (
+      |  SELECT prev, cur, COUNT(*) AS pair_n FROM big GROUP BY prev, cur
+      |  HAVING COUNT(*) >= 5
+      |), unig AS (SELECT w, COUNT(*) AS c1 FROM tok GROUP BY w),
+      |n AS (SELECT COUNT(*) AS n_pairs FROM big)
+      |SELECT c.prev, c.cur, c.pair_n,
+      |  (c.pair_n * n.n_pairs * 1000000) // (up.c1 * uc.c1) AS lift_ppm
+      |FROM c2 c JOIN unig up ON up.w = c.prev JOIN unig uc ON uc.w = c.cur
+      |CROSS JOIN n
+      |ORDER BY lift_ppm DESC, prev, cur LIMIT 20""".stripMargin
   val textBigramLmSql: String =
     """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
       |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
@@ -1931,6 +1960,7 @@ object TextQueries {
     "mix_curriculum" -> (mixCurriculum _),
     "text_commonness" -> (textCommonness _),
     "text_bigram_lm" -> (textBigramLm _),
+    "text_collocations" -> (textCollocations _),
     "text_lm_cross" -> (textLmCross _),
     "corpus_report" -> (corpusReport _),
     "tokenize_ids" -> (tokenizeIds _),
@@ -1980,6 +2010,7 @@ object TextQueries {
     "mix_curriculum" -> mixCurriculumSql,
     "text_commonness" -> textCommonnessSql,
     "text_bigram_lm" -> textBigramLmSql,
+    "text_collocations" -> textCollocationsSql,
     "text_lm_cross" -> textLmCrossSql,
     "corpus_report" -> corpusReportSql,
     "tokenize_ids" -> tokenizeIdsSql,

@@ -312,6 +312,36 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(pCatGivenThe == 266666666.0)
   }
 
+  test("collocations: integer-ppm lift by hand, lift ties break on prev, " +
+    "minCount gates, topK cuts, and direction matters") {
+    val s = spark
+    import s.implicits._
+    // N = 21 bigrams; every unigram count is 6, so lift_ppm =
+    // pair_n·21·10⁶ / 36 and ranking is pure pair_n — EXCEPT direction:
+    // (new,york)=6 vs (york,new)=4 separates an ordered collocation
+    // from its reversal, which a co-occurrence (bag) count cannot.
+    val docs = Seq(
+      (1L, "new york new york new york"),
+      (2L, "new york new york new york"),
+      (3L, "the cat the cat the cat the cat the cat the cat")
+    ).toDF("doc_id", "text")
+    def run(minCount: Long, topK: Int) =
+      TextAnalysis.collocations(docs, "text", minCount, topK)
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSeq
+    val all = run(4L, 10)
+    assert(all == Seq(
+      ("new", "york", 6L, 3500000L),   // 6·21·1e6/36
+      ("the", "cat", 6L, 3500000L),    // tie with the row above: prev asc
+      ("cat", "the", 5L, 2916666L),    // floor(5·21·1e6/36)
+      ("york", "new", 4L, 2333333L)), all.toString)
+    assert(run(5L, 10).map(t => (t._1, t._2)) ==
+      Seq(("new", "york"), ("the", "cat"), ("cat", "the")),
+      "minCount=5 must drop the pair_n=4 reversal")
+    assert(run(4L, 1) == Seq(("new", "york", 6L, 3500000L)),
+      "topK must cut after the tie-broken head row")
+  }
+
   test("semanticDedup: planted in-cell dup flagged min-id-wins; cap=1 disables pairing") {
     val s = spark
     import s.implicits._
