@@ -373,9 +373,18 @@ object DataQualityQueries {
     * integer ppm literals on both engines (no runtime log) and a pure
     * integer deviation flag ([[DataQuality.benfordReport]]). The
     * synthetic uniform-ish values deviate wildly from Benford — which
-    * is the point: a screen that never flags tests nothing. */
+    * is the point: a screen that never flags tests nothing. POPULATION
+    * RULE, stated identically on both sides (Nigrini's practice: screen
+    * positive amounts above a floor): `value >= 0.01`, i.e. at least
+    * one cent — a zero or negative amount has no 1-9 leading digit, so
+    * it belongs outside the screen, not inside it crashing the read
+    * (sf0.1 carries 6 zero-value events; without the stated population
+    * both engines raise their cents<1 guard — loud and symmetric, but a
+    * graded query should grade). The in-plan guard stays as the drift
+    * backstop behind the filter. */
   def dqBenford(s: SparkSession, d: String): DataFrame =
-    DataQuality.benfordReport(Tables.events(s, d),
+    DataQuality.benfordReport(
+        Tables.events(s, d).filter(col("value") >= 0.01),
         floor(col("value") * 1e2).cast("long"), 30000L)
       .orderBy(col("digit"))
 
@@ -384,7 +393,8 @@ object DataQualityQueries {
       .map { case (d0, p) => s"($d0, $p)" }.mkString(", ")
     s"""WITH cents0 AS (
        |  SELECT CAST(FLOOR(value * 1e2) AS BIGINT) AS c
-       |  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events),
+       |  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+       |  WHERE value >= 1.0e-2),
        |cents AS (
        |  SELECT CASE WHEN c < 1
        |              THEN CAST(error('benford: cents < 1') AS BIGINT)

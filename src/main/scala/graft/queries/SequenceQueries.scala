@@ -487,8 +487,15 @@ object SequenceQueries {
        |  SELECT MIN(doc_id) OVER (PARTITION BY md5(text)) AS id_a, doc_id AS id_b
        |  FROM documents QUALIFY doc_id <> id_a
        |), sym AS (
-       |  SELECT id_a AS s, id_b AS d FROM near UNION SELECT id_b, id_a FROM near
-       |  UNION SELECT id_a, id_b FROM exact UNION SELECT id_b, id_a FROM exact
+       |  -- DISTINCT over UNION ALL, not chained UNION: under WITH RECURSIVE
+       |  -- DuckDB 1.0.0's union-dedup path can leak a duplicate edge when a
+       |  -- pair arrives via both the near and exact branches (seen at sf0.1:
+       |  -- one doubled edge inflated an out-degree and skewed the oracle's
+       |  -- PageRank against the correct engine answer); the explicit
+       |  -- DISTINCT cannot depend on that path
+       |  SELECT DISTINCT s, d FROM (
+       |    SELECT id_a AS s, id_b AS d FROM near UNION ALL SELECT id_b, id_a FROM near
+       |    UNION ALL SELECT id_a, id_b FROM exact UNION ALL SELECT id_b, id_a FROM exact)
        |)""".stripMargin
   }
 
