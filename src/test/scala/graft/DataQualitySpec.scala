@@ -99,16 +99,21 @@ class DataQualitySpec extends AnyFunSuite {
     assert(out == Set((1L, 2L), (1L, 3L), (4L, 5L)))
   }
 
-  test("fuzzyLink failOnCap raises on a hot block; plan has no cartesian") {
+  test("fuzzyLink failOnCap raises at the PAIR budget — a 10-row block " +
+    "passes the historic 4096-row bound but its 45 pairs exceed maxPairs=6; " +
+    "plan has no cartesian") {
     val s = spark
     import s.implicits._
     import graft.operators.Relational
     import org.apache.spark.sql.functions.{col, lit}
     val hot = (1L to 10L).map(i => (i, s"n$i")).toDF("id", "nm")
     val guarded = Relational.fuzzyLink(hot, "id", "nm", lit("b"),
-      maxDist = 99, blockCap = 4, failOnCap = true)
+      maxDist = 99, maxPairs = 6L, failOnCap = true)
     val e = intercept[Exception] { guarded.collect() }
-    assert(e.getMessage.contains("blockCap"), e.getMessage)
+    assert(e.getMessage.contains("maxPairs"), e.getMessage)
+    // at the default budget the same block is fine: C(10,2)=45 pairs
+    assert(Relational.fuzzyLink(hot, "id", "nm", lit("b"),
+      maxDist = 99, failOnCap = true).count() == 45L)
     val plan = Relational.fuzzyLink(hot, "id", "nm", col("nm"), maxDist = 1)
       .queryExecution.executedPlan.toString()
     assert(!plan.contains("CartesianProduct"), plan)
@@ -214,26 +219,32 @@ class DataQualitySpec extends AnyFunSuite {
     import s.implicits._
     import org.apache.spark.sql.functions.{col, levenshtein, lit}
     import graft.operators.Relational
-    // 18-char names, dual block = first 14 ∪ last 4: edits planted in
-    // the prefix region (j12's documented miss class), the suffix
-    // region, ON the 14/15 boundary, and as insert/delete (length 17 —
-    // right-anchored suffix must still match); distractors differ by 2+.
+    // names of length 17-19, dual block = first 13 ∪ last 4 (split sum
+    // 17 = the MIN length, the completeness precondition): edits
+    // planted in the prefix region (j12's documented miss class), the
+    // suffix region, the uncovered-by-neither char 14, and as
+    // insert/delete (length 17 — right-anchored suffix must still
+    // match); a 19-char pair pins that LONG names are the safe case
+    // (r10's inverted guard raised on them); distractors differ by 2+.
     val cust = Seq(
       (1L, "Customer#000000001", "SEG1"), // base
       (2L, "Customer#000000009", "SEG1"), // sub at char 18 (suffix region)
       (3L, "Custxmer#000000001", "SEG1"), // sub at char 5 (prefix region)
-      (4L, "Customer#000100001", "SEG1"), // sub at char 13 (prefix region)
-      (5L, "Customer#000010001", "SEG1"), // sub at char 14 (last prefix ch)
+      (4L, "Customer#000100001", "SEG1"), // sub at char 13 (last prefix ch)
+      (5L, "Customer#000010001", "SEG1"), // sub at char 14 (neither key —
+                                          //   both passes still link it)
       (6L, "Customer#000001001", "SEG1"), // sub at char 15 (first suffix ch)
       (7L, "Customer#00000001",  "SEG1"), // deletion (len 17)
       (8L, "ustomer#000000001",  "SEG1"), // deletion at char 1 (len 17)
       (9L, "Customer#000000001", "SEG2"), // same name, other segment: no
-      (10L, "Cxstxmxr#000000001", "SEG1") // dist >= 2 from every row: the
+      (10L, "Cxstxmxr#000000001", "SEG1"), // dist >= 2 from every row: the
                                           // shared "0001" suffix makes it a
                                           // CANDIDATE the exact check kills
+      (11L, "XCustomer#00000001A", "SEG1"), // 19-char base (longer than the
+      (12L, "XCustomer#00000001B", "SEG1")  //   split sum: provably covered)
     ).toDF("cid", "c_name", "seg")
     val got = Relational.fuzzyLinkDual(cust, "cid", "c_name", col("seg"),
-        prefixLen = 14, suffixLen = 4, failOnCap = true)
+        prefixLen = 13, suffixLen = 4, failOnCap = true)
       .select(col("id_a"), col("id_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // the naive exhaustive pair set, replayed through Spark's own
@@ -247,16 +258,60 @@ class DataQualitySpec extends AnyFunSuite {
     // the j12 miss classes now link; cross-segment and dist-2 still don't
     assert(got.contains((1L, 3L)) && got.contains((1L, 4L)) &&
       got.contains((1L, 7L)) && got.contains((1L, 8L)))
+    assert(got.contains((11L, 12L)), "long names are the SAFE case")
     assert(!got.exists(p => p._1 == 9L || p._2 == 9L))
     assert(!got.exists(p => p._1 == 10L || p._2 == 10L))
-    // completeness precondition enforced in-plan: a 19-char name raises
-    val long = Seq((1L, "Customer#0000000001", "SEG1")) // 19 chars
+    // completeness precondition enforced in-plan: a name SHORTER than
+    // prefixLen+suffixLen raises (the unsafe case r10's inverted guard
+    // silently admitted)
+    val short = Seq((90L, "Customer#0000001", "SEG1")) // 16 chars < 17
       .toDF("cid", "c_name", "seg")
     val ex = intercept[Exception] {
-      Relational.fuzzyLinkDual(long.union(cust), "cid", "c_name",
-        col("seg"), prefixLen = 14, suffixLen = 4).count()
+      Relational.fuzzyLinkDual(short.union(cust), "cid", "c_name",
+        col("seg"), prefixLen = 13, suffixLen = 4).count()
     }
     assert(ex.getMessage.contains("completeness"), ex.getMessage)
+  }
+
+  test("dual-block UNSAFE short-name class raises instead of silently " +
+    "missing: equal-length names below the split sum differing at the " +
+    "prefix/suffix overlap position break BOTH keys") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, lit, substring, concat_ws}
+    import graft.operators.Relational
+    // 17-char names under a 14/4 split (sum 18 > 17): char 14 sits in
+    // the first 14 AND the last 4 — a substitution there changes both
+    // block keys, so without the guard this dist-1 pair is NEVER
+    // compared while the naive oracle links it (the r10 inversion's
+    // exact silent-miss shape, reconstructed here via raw fuzzyLink
+    // with the dual keys and NO length guard).
+    val cust = Seq(
+      (1L, "Customer#0000A001", "SEG1"),
+      (2L, "Customer#0000B001", "SEG1")
+    ).toDF("cid", "c_name", "seg")
+    val byPrefix = Relational.fuzzyLink(cust, "cid", "c_name",
+      concat_ws("|", col("seg"), substring(col("c_name"), 1, 14)), 1)
+    val bySuffix = Relational.fuzzyLink(cust, "cid", "c_name",
+      concat_ws("|", col("seg"), substring(col("c_name"), -4, 4)), 1)
+    assert(byPrefix.count() + bySuffix.count() == 0L,
+      "unguarded dual keys at 14/4 must MISS the char-14 pair (that is " +
+        "the hazard under test)")
+    // the guarded call turns that silent miss into an in-plan raise
+    val ex = intercept[Exception] {
+      Relational.fuzzyLinkDual(cust, "cid", "c_name", col("seg"),
+        prefixLen = 14, suffixLen = 4).count()
+    }
+    assert(ex.getMessage.contains("completeness"), ex.getMessage)
+    // and the planner refuses nothing: the derived split sums to the min
+    // length (15/2 here), restoring completeness for the same pair
+    val (pre, suf) = Relational.planDualSplit(cust, "c_name")
+    assert(pre + suf == 17, s"derived split must sum to min length: $pre/$suf")
+    val linked = Relational.fuzzyLinkDual(cust, "cid", "c_name", col("seg"),
+        prefixLen = pre, suffixLen = suf, failOnCap = true)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(linked == Set((1L, 2L)), s"derived split links the pair: $linked")
   }
 
   test("survivorship: rep supplies name+nation, balance is cluster max, " +
