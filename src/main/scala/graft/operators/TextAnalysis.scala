@@ -664,8 +664,9 @@ object TextAnalysis {
     * over the tiny scored frame — never a full sort of data rows.
     * Envelope: pair_n·N·10⁶ must fit a signed 64-bit long (holds to
     * ~3·10⁶ occurrences of the hottest pair at N = 10⁹ bigrams, or any
-    * pair at N ≤ 3·10⁶); breached it raises IN-PLAN rather than
-    * overflowing silently. Output: (prev, cur, pair_n, lift_ppm),
+    * pair at N ≤ 3·10⁶), and so must the denominator c_prev·c_cur
+    * (holds while both unigram counts stay under ~3·10⁹); either
+    * breached raises IN-PLAN rather than overflowing silently. Output: (prev, cur, pair_n, lift_ppm),
     * lift-desc with (prev, cur) tie-break. */
   def collocations(df: DataFrame, textCol: String,
                    minCount: Long = 5L, topK: Int = 20): DataFrame = {
@@ -691,6 +692,15 @@ object TextAnalysis {
             col("pair_n").cast("string"), lit(", N="),
             col("n_pairs").cast("string"), lit(")"))))
           .otherwise(col("pair_n")))
+      // the denominator rides the same envelope: c_prev·c_cur wraps
+      // negative above ~3e9·3e9 and would deflate lift_ppm silently
+      .withColumn("c_prev",
+        when(col("c_prev") > lit(Long.MaxValue) / col("c_cur"),
+          raise_error(concat(
+            lit("collocations: c_prev*c_cur overflows 64 bits (c_prev="),
+            col("c_prev").cast("string"), lit(", c_cur="),
+            col("c_cur").cast("string"), lit(")"))))
+          .otherwise(col("c_prev")))
       .select(col("prev"), col("cur"), col("pair_n"),
         expr("pair_n * n_pairs * 1000000L div (c_prev * c_cur)")
           .as("lift_ppm"))
