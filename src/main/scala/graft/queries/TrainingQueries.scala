@@ -152,6 +152,61 @@ object TrainingQueries {
        |WHERE (inter * 1000000) // n_a >= 600000
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- containment, PRODUCTION-capped sibling ------------------------------
+  /** The capped form of [[dedupContainment]] — the call a 100 TB corpus
+    * actually runs (r10 verdict task #6): `dfCap = 100` DROPS shingles
+    * whose document frequency exceeds the cap from both the prefix
+    * ranking and the posting side, bounding the candidate join's
+    * fan-out per shingle at df² ≤ 10⁴ where the uncapped-for-parity
+    * sibling squares unboundedly on boilerplate. The recall trade is
+    * STATED, not silent: the oracle replays the identical cap (df ≤
+    * 100 in its own ranking + posting CTEs), so a pair lost to the cap
+    * is lost on BOTH engines and the row still hash-matches —
+    * same grading pattern as `dedup_ngram_pairs`' capped PPJoin.
+    * Containment arithmetic is unchanged (exact intersection over FULL
+    * shingle sets; only candidate generation is capped). */
+  def dedupContainmentCapped(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        thresholdPpm = 600000L, dfCap = ContainDfCap, failOnCap = false)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val ContainDfCap = 100
+
+  val dedupContainmentCappedSql: String =
+    s"""WITH $shingleCtes,
+       |ex AS (
+       |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n, unnest(sh) AS h FROM sh
+       |), dfc AS (
+       |  SELECT h, COUNT(*) AS df FROM ex GROUP BY h
+       |  HAVING COUNT(*) <= $ContainDfCap
+       |), posted AS (
+       |  SELECT e.doc_id, e.n, e.h, d.df FROM ex e JOIN dfc d USING (h)
+       |), ranked AS (
+       |  SELECT doc_id, n, h, df,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY df, h) AS rn
+       |  FROM posted
+       |), pre AS (
+       |  SELECT doc_id, n, h FROM ranked
+       |  WHERE rn <= n - (600000 * n + 999999) // 1000000 + 1
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM pre a JOIN posted b
+       |    ON a.h = b.h
+       |   AND (a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id))
+       |), pairs AS (
+       |  SELECT c.id_a, c.id_b,
+       |         CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+       |         CAST(len(sa.sh) AS BIGINT) AS n_a,
+       |         CAST(len(sb.sh) AS BIGINT) AS n_b
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.id_a
+       |  JOIN sh sb ON sb.doc_id = c.id_b)
+       |SELECT id_a, id_b, inter, n_a, n_b,
+       |       (inter * 1000000) // n_a AS cont_ppm
+       |FROM pairs
+       |WHERE (inter * 1000000) // n_a >= 600000
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ---- near-dup probe against the STORED LSH index -------------------------
   /** The serving form of incremental near-dup: standing docs (ids ≢ 0
     * mod 10) are indexed ONCE — minhash signatures + bucketed band keys
@@ -469,6 +524,7 @@ object TrainingQueries {
     "dedup_lsh_indexed" -> (dedupLshIndexed _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_containment" -> (dedupContainment _),
+    "dedup_containment_capped" -> (dedupContainmentCapped _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_spans" -> (dedupSpans _),
@@ -483,6 +539,7 @@ object TrainingQueries {
     "dedup_lsh_indexed" -> dedupLshIndexedSql,
     "dedup_minhash_pairs" -> dedupMinhashPairsSql,
     "dedup_containment" -> dedupContainmentSql,
+    "dedup_containment_capped" -> dedupContainmentCappedSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_spans" -> dedupSpansSql,
