@@ -941,6 +941,62 @@ class StreamingSpec extends AnyFunSuite {
       r(1).asInstanceOf[Long]), "some trailing window exceeds its DAU")
   }
 
+  test("quantileDailyStream ≡ batch daily quantile-histogram sketches on " +
+    "real fixture events (final row per (day,key,qc), emitted once)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ev = graft.Tables.events(s, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 6)
+      .select(col("user_id"), col("ts").as("time"), col("event_id"), col("value"))
+    val rows = ev.collect().toSeq.map(r =>
+      Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    val prevProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val streamed = try {
+      val in = MemoryStream[Ev]
+      val q = Streams.quantileDailyStream(in.toDF(), "time", "user_id",
+          "value", "0 seconds")
+        .writeStream.format("memory").queryName("qh_par")
+        .outputMode("append").start()
+      // two batches so at least one day's buckets accumulate ACROSS
+      // batches — the shape the per-batch appender cannot produce as a
+      // single row
+      val (b1, b2) = rows.splitAt(rows.size / 2)
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      in.addData(Ev(999L, ts("2030-01-01 00:00:00"), 0L, 0.0)) // flush watermark
+      q.processAllAvailable()
+      val out = s.table("qh_par")
+        .filter(col("day_start") < ts("2029-01-01 00:00:00"))
+        .select(to_date(col("day_start")).as("day"), col("qkey"),
+          col("qc"), col("cnt"))
+        .collect().map(_.toSeq).toSet
+      q.stop()
+      out
+    } finally {
+      if (prevProvider.nonEmpty)
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+      else s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    // batch reference: the store's nightly build rule on the same rows,
+    // key cast to the stream's string key type
+    val batch = graft.operators.Relational.quantileDailySketches(
+        ev, "time", "user_id", "value")
+      .select(col("day"), col("key").cast("string").as("qkey"),
+        col("qc"), col("cnt"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream must equal batch: only-stream=${(streamed -- batch).take(3)} " +
+        s"only-batch=${(batch -- streamed).take(3)}")
+    assert(batch.map(_(0)).size >= 5, "multi-day fixture really exercised")
+    assert(batch.size > batch.map(_(0)).size,
+      "multiple buckets per day really exercised")
+  }
+
   test("sessionizeStream ≡ batch W8 sessionizer on real fixture events") {
     val s = spark
     import s.implicits._
