@@ -1,6 +1,39 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Re-time decision, extracted pure so BenchSpec can pin the r10 blind
+    * spot: re-time when steady exceeds its own cold pass, 1.5× the median
+    * base, OR 3× the committed prior-round steady for the same query.
+    * `medBase` must already be max(in-run median, prior median) — under
+    * sustained load the in-run median inflates with the suite, which is
+    * exactly when the trigger is needed (r10: whole suite 1.23× hot, only
+    * 18 queries re-timed). The prior trigger catches the query slow in
+    * BOTH passes that the first two structurally cannot
+    * (j12_entity_resolve: 25.6 s cold / 16.7 s steady vs 1.19 s prior —
+    * never re-timed in the r10 driver artifact). */
+  def shouldRetime(cold: Double, steady: Double, medBase: Double,
+                   prior: Option[Double]): Boolean =
+    steady > math.max(cold, 1.5 * medBase) ||
+      prior.exists(p => steady > 3.0 * p)
+
+  /** Join-strategy fingerprint of the FINAL (post-AQE) physical plan —
+    * recorded for re-timed queries so a slow artifact row distinguishes
+    * "box contention" (fingerprint matches the committed run) from "plan
+    * fell off broadcast" (it doesn't). Drives the plan to completion via
+    * its own QueryExecution (one extra bounded execution, re-timed
+    * queries only) because AQE finalizes join strategies at runtime. */
+  def planFingerprint(df: org.apache.spark.sql.DataFrame): String =
+    try {
+      df.queryExecution.toRdd.foreachPartition(_ => ())
+      val s = df.queryExecution.executedPlan.toString
+      Seq("BroadcastHashJoin" -> "BHJ", "SortMergeJoin" -> "SMJ",
+        "ShuffledHashJoin" -> "SHJ", "BroadcastNestedLoopJoin" -> "BNLJ",
+        "CartesianProduct" -> "CART")
+        .map { case (k, a) => a -> k.r.findAllMatchIn(s).length }
+        .collect { case (a, n) if n > 0 => s"$a:$n" }
+        .mkString("+") match { case "" => "nojoin"; case fp => fp }
+    } catch { case _: Throwable => "err" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -50,25 +83,58 @@ object Bench {
       val v = firstPass.map(_._4).sorted
       if (v.isEmpty) 0.0 else v(v.size / 2)
     }
+    // Cross-round anchors (r10 verdict tasks #2/#8): the committed prior
+    // steady map both (a) anchors the 1.5× median base — under sustained
+    // load the in-run median inflates with the suite, diluting the
+    // trigger exactly when it is needed — and (b) adds an absolute
+    // trigger (steady > 3× committed prior) that catches a query slow in
+    // BOTH passes, the blind spot the r10 driver artifact fell into.
+    // Prior only applies when benching the SF dir it was measured at.
+    val usePrior = sfDir == BenchPrior.sfDir
+    val medBase =
+      if (usePrior) math.max(medSteady, BenchPrior.median) else medSteady
+    def prior(name: String): Option[Double] =
+      if (usePrior) BenchPrior.steady.get(name) else None
     // Each re-timed query keeps its full observation list so a residual
     // steady>cold row in the artifact reads as "retried N times under
     // load, best shown" instead of silently odd (r9 verdict): the
-    // `retimed` map records {attempts, obs} for exactly the queries the
-    // self-defense fired on; tools/perf_row.py folds it into the README
-    // residual note.
-    val results: Seq[(String, (Double, Double, Seq[Double]))] = firstPass.map {
-      case (name, fn, c, s0) =>
+    // `retimed` map records {attempts, obs, plan} for exactly the
+    // queries the self-defense fired on (plan = post-AQE join-strategy
+    // fingerprint, so a residual row distinguishes contention from a
+    // broadcast that fell off); tools/perf_row.py folds it into the
+    // README residual note.
+    val results: Seq[(String, (Double, Double, Seq[Double], String))] =
+      firstPass.map { case (name, fn, c, s0) =>
         var obs = List(s0)
         var s = s0
         var attempts = 0
-        while (s > math.max(c, 1.5 * medSteady) && attempts < 2) {
+        while (shouldRetime(c, s, medBase, prior(name)) && attempts < 2) {
           val t = timed(fn); obs = obs :+ t; s = math.min(s, t)
           attempts += 1
         }
         if (s > c && attempts == 0) {
           val t = timed(fn); obs = obs :+ t; s = math.min(s, t)
         }
-        name -> (c, s, obs)
+        val fp = if (obs.size > 1) planFingerprint(fn(spark, sfDir)) else ""
+        name -> (c, s, obs, fp)
+      }
+    // Planning-floor probe (r10 verdict task #7): split one warmed
+    // mid-cost query into DRIVER-side planning (build the DataFrame +
+    // drive analysis/optimization/physical planning via executedPlan —
+    // no job runs) vs EXECUTION (the noop write on the pre-planned
+    // frame). ~0.4 s/query × 245 queries of suite total is floor, not
+    // compute; this measures where it lives. With Tables' resolved-plan
+    // memoization the repeated file-listing + footer-schema-inference
+    // share of that floor is paid once per (dir, table), not per query.
+    val floorProbe = {
+      val fn = SparkEntry.queries("a8_daily_rollup")
+      val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      df.queryExecution.executedPlan
+      val t1 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val t2 = System.nanoTime()
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
     }
     // 3-decimal times: ms resolution is below sandbox jitter, and the
     // driver's artifact keeps only the last 2,000 chars of this line —
@@ -76,14 +142,15 @@ object Bench {
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val cold = jmap(results.map { case (k, (c, _, _)) => k -> c })
-    val steady = jmap(results.map { case (k, (_, s, _)) => k -> s })
+    val cold = jmap(results.map { case (k, (c, _, _, _)) => k -> c })
+    val steady = jmap(results.map { case (k, (_, s, _, _)) => k -> s })
     val coldTotal = results.map(_._2._1).sum
     val steadyTotal = results.map(_._2._2).sum
     val retimed = results.collect {
-      case (k, (_, _, obs)) if obs.size > 1 =>
+      case (k, (_, _, obs, fp)) if obs.size > 1 =>
         "\"" + k + "\":{\"attempts\":" + (obs.size - 1) +
-          ",\"obs\":[" + obs.map(r3).mkString(",") + "]}"
+          ",\"obs\":[" + obs.map(r3).mkString(",") + "]" +
+          ",\"plan\":\"" + fp + "\"}"
     }.mkString("{", ",", "}")
     import org.apache.spark.sql.functions.{col, concat, explode, lit, regexp_replace, sequence, to_date}
     // Scratch-rooted: a shutdown hook deletes everything (incl. the
@@ -205,6 +272,18 @@ object Bench {
         salted.write.parquet(s"$dir/documents.parquet")
         amplify(Tables.embeddings(spark, sfDir), "vec_id", n)
           .write.parquet(s"$dir/embeddings.parquet")
+        // Customer registry for the linkage rows (r10 verdict task #5):
+        // ids amplified like the doc legs, names REGENERATED from the
+        // new id so the dense-sequential-decimal name structure — the
+        // thing the dual-block split discriminates on — replicates
+        // instead of duplicating (n copies of one name would be n-1
+        // planted dist-0 pairs per name, measuring corpus pathology,
+        // not the engine).
+        amplify(Tables.customer(spark, sfDir), "c_custkey", n)
+          .withColumn("c_name",
+            org.apache.spark.sql.functions.format_string(
+              "Customer#%09d", col("c_custkey")))
+          .write.parquet(s"$dir/customer.parquet")
         n -> dir
       }
       // Iterative graph ops (r9 verdict: fixpoint rounds over the edge
@@ -247,6 +326,33 @@ object Bench {
         val fn = SparkEntry.queries(qn)
         qn -> dirs.map { case (n, dir) => s"x$n" -> timedIn(dir)(fn) }
       }
+      // Entity-linkage curve (r10 verdict task #5): the slowest steady
+      // family, and the one whose dual-block growth is quadratic
+      // BETWEEN pair-budget raises — exactly what a scale curve should
+      // expose. Steady-state points (one untimed pass first, the graph-
+      // row discipline: linkage plans carry heavy codegen warmup that
+      // would read as a bogus x1 cliff), plus a measured block-size row:
+      // the max suffix-block row count per scale (the per-block pair
+      // cost driver, ~n/(|segments|·100) against dense decimal ids), so
+      // the artifact shows WHERE the quadratic term lives as n grows.
+      val linkageRows = Seq("j12_entity_resolve", "j14_entity_dual")
+        .map { qn =>
+          val fn = SparkEntry.queries(qn)
+          qn -> dirs.map { case (n, dir) =>
+            materialize(fn(spark, dir))
+            s"x$n" -> timedIn(dir)(fn)
+          }
+        }
+      val blockRow = "j14_suffix_block_rows" -> dirs.map { case (n, dir) =>
+        val cust = spark.read.parquet(s"$dir/customer.parquet")
+        val (_, suf) = graft.operators.Relational.planDualSplit(cust, "c_name")
+        val maxBlock = cust.groupBy(col("c_mktsegment"),
+            org.apache.spark.sql.functions.substring(col("c_name"), -suf, suf))
+          .count()
+          .agg(org.apache.spark.sql.functions.max(col("count")))
+          .collect()(0).getLong(0)
+        s"x$n" -> maxBlock.toDouble
+      }
       // Indexed BM25 timed as TWO rows (r8 verdict: the single row with a
       // swallowed-warmup first call was uninterpretable — ambiguous
       // whether a point timed build+serve or serve alone). `_build` is
@@ -278,7 +384,7 @@ object Bench {
           spark, docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", standPath))
         (n, rb, ap)
       }
-      perQuery ++ Seq(mining) ++ graphRows ++
+      perQuery ++ linkageRows ++ Seq(blockRow, mining) ++ graphRows ++
         Seq("cc_rounds" -> ccRounds.toSeq) ++ Seq(bmBuild, bmServe,
         "lsh_rebuild" -> lshCurve.map { case (n, rb, _) => s"x$n" -> rb },
         "lsh_append_1pct" -> lshCurve.map { case (n, _, ap) => s"x$n" -> ap })
@@ -290,7 +396,8 @@ object Bench {
     // (steady tail, steady_total, incremental, scaling) print last and
     // survive the tail capture; the cold map prints first and is
     // recoverable from bench_full.json, which holds the identical line.
-    val line = s"""{"metric":"total","value":${r3(coldTotal)},"unit":"sec","sf":"$sfDir","queries":$cold,"steady":$steady,"retimed":$retimed,"steady_total":${r3(steadyTotal)},"incremental":${jmap(incremental)},"scaling":$scalingJson}"""
+    val floorJson = s"""{"query":"a8_daily_rollup","plan":${r3(floorProbe._1)},"exec":${r3(floorProbe._2)}}"""
+    val line = s"""{"metric":"total","value":${r3(coldTotal)},"unit":"sec","sf":"$sfDir","queries":$cold,"steady":$steady,"retimed":$retimed,"steady_total":${r3(steadyTotal)},"floor":$floorJson,"incremental":${jmap(incremental)},"scaling":$scalingJson}"""
     println(line)
     // Final COMPACT line (r9 verdict): the driver's BENCH_r{N}.json keeps
     // only the last 2,000 chars of stdout, which truncates the 198-entry
@@ -299,7 +406,7 @@ object Bench {
     // checks (slowest-20 steady + count + total). bench_full.json stays
     // a single JSON object (the main line) for tools/perf_row.py.
     val slowest = results.sortBy(-_._2._2).take(20)
-      .map { case (k, (_, s, _)) => k -> s }
+      .map { case (k, (_, s, _, _)) => k -> s }
     val tailLine = s"""{"n_queries":${results.size},"steady_total":${r3(steadyTotal)},"slowest":${jmap(slowest)}}"""
     println(tailLine)
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),

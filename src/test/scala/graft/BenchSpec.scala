@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[Bench.shouldRetime]] — the contention self-defense decision —
+  * against the exact blind spot the r10 driver artifact exposed: a query
+  * uniformly slow in BOTH passes passes the steady-vs-cold and
+  * 1.5×-median triggers and lands in the artifact unchallenged. The
+  * cross-round prior (committed [[BenchPrior]] steady) is the anchor
+  * that catches it. */
+class BenchSpec extends AnyFunSuite {
+
+  test("r10 blind spot: j12-shaped slowdown (slow in BOTH passes) is " +
+    "caught ONLY by the 3x-prior trigger") {
+    // the literal r10 driver numbers: cold 25.6, steady 16.7, in-run
+    // median ~0.6, committed prior 1.19 — old rule never re-timed it
+    val cold = 25.6; val steady = 16.7; val med = 0.6
+    assert(!Bench.shouldRetime(cold, steady, med, None),
+      "without a prior the old heuristics accept it (the blind spot)")
+    assert(Bench.shouldRetime(cold, steady, med, Some(1.19)),
+      "3x committed prior must catch it")
+  }
+
+  test("in-run trigger fires on steady above BOTH cold and 1.5x the " +
+    "median base (max semantics — OR would negate the blind spot above)") {
+    assert(Bench.shouldRetime(cold = 1.0, steady = 1.2, medBase = 0.5,
+      prior = None), "steady above cold and above 1.5x base")
+    assert(Bench.shouldRetime(cold = 2.0, steady = 3.5, medBase = 2.0,
+      prior = None), "steady 3.5 > max(2.0, 3.0)")
+    // steady below cold is NOT an in-run trigger by itself: that is the
+    // j12 shape, which only the prior catches (main loop still grants
+    // one extra retry when steady > cold, outside shouldRetime)
+    assert(!Bench.shouldRetime(cold = 10.0, steady = 9.0, medBase = 2.0,
+      prior = None), "slow in both passes: accepted without a prior")
+    assert(!Bench.shouldRetime(cold = 10.0, steady = 2.9, medBase = 2.0,
+      prior = None), "within both envelopes: accepted")
+  }
+
+  test("prior trigger is an absolute floor, not a substitute: a query " +
+    "within 3x its prior but over the in-run envelope still re-times; " +
+    "one within every envelope does not") {
+    assert(Bench.shouldRetime(cold = 0.4, steady = 0.9, medBase = 0.5,
+      prior = Some(0.8)), "in-run trigger independent of prior")
+    assert(!Bench.shouldRetime(cold = 1.0, steady = 0.9, medBase = 0.7,
+      prior = Some(0.5)), "0.9 < 3x0.5 and below cold: accepted")
+  }
+
+  test("BenchPrior resource is the committed r10 steady map: 245 entries, " +
+    "median in the committed envelope, j12 prior present") {
+    assert(BenchPrior.steady.size == 245, BenchPrior.steady.size.toString)
+    assert(BenchPrior.median > 0.1 && BenchPrior.median < 2.0,
+      BenchPrior.median.toString)
+    assert(BenchPrior.steady.contains("j12_entity_resolve"))
+    // the anchor property: median base can only tighten, never loosen,
+    // the trigger vs a load-inflated in-run median
+    val inflatedMed = BenchPrior.median * 1.23 // r10's observed multiplier
+    assert(math.max(inflatedMed, BenchPrior.median) == inflatedMed &&
+      math.max(0.1, BenchPrior.median) == BenchPrior.median)
+  }
+}
