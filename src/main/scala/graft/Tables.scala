@@ -5,14 +5,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Loaders for the driver-generated testdata (TESTDATA.md).
   *
   * All reads are plain parquet scans; Catalyst pushes filters/pruning into
-  * the scan, so callers should NOT cache or materialize here. At cluster
+  * the scan, so callers should NOT cache or MATERIALIZE here. At cluster
   * scale these would be catalog tables partitioned by date — the query
   * surface below only relies on column pruning + predicate pushdown, both of
   * which work identically on partitioned layouts.
-  */
+  *
+  * The RESOLVED DataFrame (the analyzed logical plan — file listing +
+  * parquet-footer schema inference, NOT data) IS memoized per
+  * (session, dir, table): `spark.read.parquet` pays both eagerly on
+  * every call, and across a 246-query suite that planning-floor tax was
+  * re-paid hundreds of times for the same immutable inputs (r10 verdict
+  * task #7). Reusing the unresolved-relation-free plan changes no
+  * per-query physics — each query still gets its own Catalyst
+  * optimization, pushdown, and pruning against the shared relation, the
+  * exact semantics a shared catalog table would have. Keyed by session
+  * identity because a DataFrame is unusable after its session stops
+  * (test suites create/stop many). Inputs here are immutable testdata
+  * dirs; stores that mutate (PartitionedStore versions, index dirs)
+  * resolve their own paths and never go through this cache. */
 object Tables {
+  private val resolved =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    resolved.computeIfAbsent(
+      (spark, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
