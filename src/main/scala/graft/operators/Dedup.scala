@@ -234,6 +234,49 @@ object Dedup {
     jaccardVerify(cand, sh, threshold)
   }
 
+  /** SELF-EVALUATION of the banded-MinHash candidate generator — the
+    * "measure, don't guess" answer to "what recall does this band/row
+    * configuration actually buy on MY corpus?". Ground truth is the
+    * EXACT Jaccard-≥-threshold pair set, computed losslessly via a
+    * shingle posting join (a pair with J ≥ t > 0 shares ≥ 1 shingle, so
+    * posting candidates ⊇ truth — the same lossless-candidates-then-
+    * verify shape as [[containmentPairs]], which is why the oracle can
+    * state the naive all-pairs form). Against it, the banded candidate
+    * set (BEFORE Jaccard verification — the verify step makes final
+    * precision 1 by construction, so the interesting numbers are
+    * candidate-generation recall, which verification cannot recover,
+    * and raw-candidate precision, which prices the verification work).
+    * One row: (n_truth, tp, fn, n_cand, recall_ppm, precision_ppm),
+    * integer ppm with GREATEST(·,1) denominators so an empty corpus
+    * reads 0, never a divide error. Scale contract: the truth arm is
+    * Σ df² posting work — at 100 TB this runs over an eval SAMPLE
+    * (recall estimates concentrate fast), never the full corpus; the
+    * banded arm is the production shape either way. */
+  def lshRecallEval(df: DataFrame, idCol: String, textCol: String,
+                    threshold: Double, k: Int = 16, bands: Int = 4,
+                    bucketCap: Int = 1024,
+                    failOnCap: Boolean = false): DataFrame = {
+    val (cand, sh) = minhashCandidates(df, idCol, textCol, k, bands,
+      bucketCap, failOnCap)
+    val posted = sh.select(col("id"), explode(col("sh")).as("h"))
+    val truthCand = posted.as("a").join(posted.as("b"), "h")
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val truth = jaccardVerify(truthCand, sh, threshold)
+      .select(col("id_a"), col("id_b"))
+    val flagged = truth.join(cand.withColumn("in_cand", lit(1)),
+      Seq("id_a", "id_b"), "left")
+    val truthAgg = flagged.agg(
+      count(lit(1)).as("n_truth"), count(col("in_cand")).as("tp"))
+    val candAgg = cand.agg(count(lit(1)).as("n_cand"))
+    truthAgg.crossJoin(broadcast(candAgg))
+      .select(col("n_truth"), col("tp"),
+        (col("n_truth") - col("tp")).as("fn"), col("n_cand"),
+        expr("tp * 1000000L div greatest(n_truth, 1L)").as("recall_ppm"),
+        expr("tp * 1000000L div greatest(n_cand, 1L)").as("precision_ppm"))
+  }
+
   /** The LSH candidate block shared by [[minhashPairs]] and
     * [[containmentPairs]]: banded-signature bucket join with the
     * bounded-CollectTopK hot-bucket cap. Returns (candidate pairs,

@@ -219,6 +219,44 @@ object SimilarityQueries {
     "FROM cells e JOIN probes p ON e.cell = p.cell AND e.vec_id <> p.query_id",
     "FROM cells e JOIN probes p ON e.cell = p.cell AND e.vec_id <> p.query_id AND e.vec_id % 3 <> 1")
 
+  // ---- ANN recall@k self-evaluation -----------------------------------------
+  /** The engine measuring ITSELF: recall@$K of the IVF index exactly as
+    * `sim_ivf_topk` serves it (same seeded quantizer, $NCent cells,
+    * $NProbe probes) against exact brute-force cosine ground truth —
+    * THE standard ANN quality metric, and the number that tells an
+    * operator whether to spend nprobe or re-train the quantizer.
+    * Per-query rows (query_id, hits, recall_ppm): hits = |IVF top-k ∩
+    * exact top-k| by (query_id, vec_id) equi-join, recall as integer
+    * ppm by long floor division — both arms are already independently
+    * hash-graded (`sim_bruteforce_topk`, `sim_ivf_topk`), so their sets
+    * are bit-identical across engines and the intersection counts
+    * follow. Left join keeps 0-hit queries visible. Scale: ground
+    * truth is one corpus scan against the BROADCAST query sample
+    * (never corpus×corpus); the eval join touches 2·NQ·K rows. */
+  def evalAnnRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < NQ)
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", K)
+      .select(col("query_id"), col("vec_id"))
+    val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", K, NCent, NProbe)
+      .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1))
+    bf.join(ivf, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("hits"))
+      .withColumn("recall_ppm", expr(s"hits * 1000000L div ${K}L"))
+      .orderBy(col("query_id"))
+  }
+
+  val evalAnnRecallSql: String =
+    s"""WITH bf AS ($simBruteforceTopkSql),
+       |ivf AS ($simIvfTopkSql)
+       |SELECT b.query_id, COUNT(i.vec_id) AS hits,
+       |       COUNT(i.vec_id) * 1000000 // $K AS recall_ppm
+       |FROM bf b LEFT JOIN ivf i
+       |  ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+       |GROUP BY b.query_id
+       |ORDER BY b.query_id""".stripMargin
+
   // ---- k-means refinement step for the IVF coarse quantizer ----------------
   /** One Lloyd iteration over 1e-6-quantized coordinates — integer-exact
     * sums make the centroids independent of partitioning/summation order
@@ -555,6 +593,7 @@ object SimilarityQueries {
     "sim_pq_codes" -> (simPqCodes _),
     "sim_adc_topk" -> (simAdcTopk _),
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
+    "eval_ann_recall" -> (evalAnnRecall _),
     "mine_aligned_pairs" -> (mineAlignedPairs _),
     "mine_hard_negatives" -> (mineHardNegatives _),
     "sim_lsh_topk" -> (simLshTopk _),
@@ -572,6 +611,7 @@ object SimilarityQueries {
     "sim_pq_codes" -> simPqCodesSql,
     "sim_adc_topk" -> simAdcTopkSql,
     "sim_bruteforce_topk" -> simBruteforceTopkSql,
+    "eval_ann_recall" -> evalAnnRecallSql,
     "mine_aligned_pairs" -> mineAlignedPairsSql,
     "mine_hard_negatives" -> mineHardNegativesSql,
     "sim_lsh_topk" -> simLshTopkSql,

@@ -207,6 +207,42 @@ object TrainingQueries {
        |WHERE (inter * 1000000) // n_a >= 600000
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- LSH candidate-generation recall/precision eval ----------------------
+  /** The engine measuring ITSELF ([[graft.operators.Dedup.lshRecallEval]]):
+    * candidate-generation recall and raw-candidate precision of the
+    * EXACT banded-MinHash configuration `dedup_minhash_pairs` ships
+    * (k=16, bands=4, J ≥ 0.5), against exact-Jaccard ground truth
+    * computed losslessly by a shingle posting join. Why it is gradeable
+    * at all: the Spark truth arm's posting candidates provably contain
+    * every J ≥ 0.5 pair (such a pair shares ≥ 1 shingle), so the ORACLE
+    * states the naive all-pairs form — a truth-arm gap cannot
+    * self-confirm, the same adversarial-oracle pattern as
+    * `j14_entity_dual`. The banded arm reuses the graded
+    * candidate CTEs verbatim. Counts are exact integers; ppm by long
+    * floor division with GREATEST(·,1) denominators. */
+  def evalNeardupPr(s: SparkSession, d: String): DataFrame =
+    Dedup.lshRecallEval(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.5, k = 16, bands = 4, failOnCap = true)
+      .orderBy(col("n_truth"))
+
+  val evalNeardupPrSql: String =
+    s"""WITH $minhashCandCtes,
+       |truth AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+       |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |        (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.5
+       |), agg AS (
+       |  SELECT COUNT(*) AS n_truth, COUNT(c.id_a) AS tp
+       |  FROM truth t LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+       |), cagg AS (SELECT COUNT(*) AS n_cand FROM cand)
+       |SELECT n_truth, tp, n_truth - tp AS fn, n_cand,
+       |       tp * 1000000 // GREATEST(n_truth, 1) AS recall_ppm,
+       |       tp * 1000000 // GREATEST(n_cand, 1) AS precision_ppm
+       |FROM agg, cagg
+       |ORDER BY n_truth""".stripMargin
+
   // ---- near-dup probe against the STORED LSH index -------------------------
   /** The serving form of incremental near-dup: standing docs (ids ≢ 0
     * mod 10) are indexed ONCE — minhash signatures + bucketed band keys
@@ -525,6 +561,7 @@ object TrainingQueries {
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_containment_capped" -> (dedupContainmentCapped _),
+    "eval_neardup_pr" -> (evalNeardupPr _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_spans" -> (dedupSpans _),
@@ -540,6 +577,7 @@ object TrainingQueries {
     "dedup_minhash_pairs" -> dedupMinhashPairsSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_containment_capped" -> dedupContainmentCappedSql,
+    "eval_neardup_pr" -> evalNeardupPrSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_spans" -> dedupSpansSql,

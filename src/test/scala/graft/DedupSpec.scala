@@ -29,6 +29,24 @@ class DedupSpec extends AnyFunSuite {
     ).toDF("doc_id", "text", "n_chars")
   }
 
+  test("lshRecallEval: tp equals the verified LSH pair count by " +
+    "construction (cand ∩ truth is exactly what jaccardVerify grades), " +
+    "counts obey the confusion-matrix identities, planted pairs counted") {
+    val eval = Dedup.lshRecallEval(docs, "doc_id", "text", threshold = 0.5)
+      .collect()(0)
+    val nTruth = eval.getLong(0); val tp = eval.getLong(1)
+    val fn = eval.getLong(2); val nCand = eval.getLong(3)
+    val verified = Dedup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.5).count()
+    assert(tp == verified, s"tp=$tp verified=$verified")
+    assert(fn == nTruth - tp && tp <= nCand)
+    // the exact-dup pair (0,1) has J=1: in truth AND in cand (identical
+    // signatures share every band key), so both corners are non-trivial
+    assert(nTruth >= 1L && tp >= 1L)
+    assert(eval.getLong(4) == tp * 1000000L / math.max(nTruth, 1L))
+    assert(eval.getLong(5) == tp * 1000000L / math.max(nCand, 1L))
+  }
+
   test("exactDedup: canonical rep = min id, dup flagged") {
     val out = Dedup.exactDedup(docs, "doc_id", "text")
       .orderBy("doc_id").collect()

@@ -88,6 +88,34 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out(1).getLong(1) == 2L)                          // then orthogonal (0.0 > -1, null last)
   }
 
+  test("eval_ann_recall: hits equals the recomputed |IVF topk ∩ exact " +
+    "topk| per query on real fixture embeddings; one row per query; " +
+    "ppm is exact integer floor") {
+    val s = spark
+    val d = "/root/testdata/sf0.001"
+    val out = graft.queries.SimilarityQueries.evalAnnRecall(s, d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // recompute the intersection independently of the eval's join/agg
+    val emb = graft.Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+    def sets(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bf = sets(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("vec_id")))
+    val ivf = sets(Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 8, 2)
+      .select(col("query_id"), col("vec_id")))
+    assert(out.keySet == bf.keySet, "one row per brute-force query")
+    for ((qid, bfSet) <- bf) {
+      val hits = (bfSet intersect ivf.getOrElse(qid, Set.empty)).size.toLong
+      assert(out(qid)._1 == hits, s"q=$qid")
+      assert(out(qid)._2 == hits * 1000000L / 5L, s"q=$qid ppm")
+    }
+    // probe-limited IVF must actually lose something somewhere, or the
+    // eval is vacuous on this fixture
+    assert(out.values.exists(_._1 < 5L), "fixture exercises recall < 1")
+  }
+
   test("lshBucket: deterministic, opposite vectors land in complementary-ish buckets") {
     val b = vecs.select(col("vec_id"), Similarity.lshBucket(col("embedding"), 4).as("b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
