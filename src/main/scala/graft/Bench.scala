@@ -241,11 +241,23 @@ object Bench {
         dStand, "doc_id", "text", Seq.empty, phStandPath)
       val phAppend = timedOp(graft.operators.Search.appendPhraseIndex(
         spark, dDelta, "doc_id", "text", Seq.empty, phStandPath))
+      // Sixth leg: the char-trigram substring index (r11) — ~len(text)
+      // posting rows per doc, the heaviest write of the six; like the
+      // phrase leg there is no stats arithmetic, so the ratio isolates
+      // bucketed-postings + stored-field-meta delta cost.
+      val tgRebuild = timedOp(graft.operators.Search.writeTrigramIndex(
+        docs, "doc_id", "text", Seq.empty, tmp("bench_tg_rb")))
+      val tgStandPath = tmp("bench_tg_inc")
+      graft.operators.Search.writeTrigramIndex(
+        dStand, "doc_id", "text", Seq.empty, tgStandPath)
+      val tgAppend = timedOp(graft.operators.Search.appendTrigramIndex(
+        spark, dDelta, "doc_id", "text", Seq.empty, tgStandPath))
       Seq("bm25_rebuild" -> bmRebuild, "bm25_append_1pct" -> bmAppend,
         "ivf_rebuild" -> ivfRebuild, "ivf_append_1pct" -> ivfAppend,
         "lsh_rebuild" -> lshRebuild, "lsh_append_1pct" -> lshAppend,
         "qh_rebuild" -> qhRebuild, "qh_append_night" -> qhAppend,
-        "phrase_rebuild" -> phRebuild, "phrase_append_1pct" -> phAppend)
+        "phrase_rebuild" -> phRebuild, "phrase_append_1pct" -> phAppend,
+        "trigram_rebuild" -> tgRebuild, "trigram_append_1pct" -> tgAppend)
     }
     // Scaling curve: the "survives 100×" claim with numbers. The five
     // hottest steady operators re-timed on 1×/4×/20× corpora written as
@@ -372,6 +384,23 @@ object Bench {
         materialize(bmFn(spark, dir))
         s"x$n" -> timedIn(dir)(bmFn)
       }
+      // Trigram substring index, same two-row discipline: `_build` is the
+      // one-time ~len(text)-rows-per-doc posting write (the storage price
+      // of the substring verb), `_serve` the bucket-pruned candidate read
+      // + stored-field confirm — the claim is serve cost ∝ needle-trigram
+      // frequency (grows with the amplified corpus) while never re-reading
+      // raw text.
+      val trgmFn = SparkEntry.queries("search_substring_indexed")
+      val trgmBuild = "search_substring_indexed_build" -> dirs.map { case (n, dir) =>
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("source"))
+        s"x$n" -> timedOp(graft.operators.Search.writeTrigramIndex(
+          docs, "doc_id", "text", Seq("source"), tmp(s"bench_trgm_x${n}_build")))
+      }
+      val trgmServe = "search_substring_indexed_serve" -> dirs.map { case (n, dir) =>
+        materialize(trgmFn(spark, dir))
+        s"x$n" -> timedIn(dir)(trgmFn)
+      }
       val lshCurve = dirs.map { case (n, dir) =>
         val docs = spark.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), col("text"))
@@ -386,6 +415,7 @@ object Bench {
       }
       perQuery ++ linkageRows ++ Seq(blockRow, mining) ++ graphRows ++
         Seq("cc_rounds" -> ccRounds.toSeq) ++ Seq(bmBuild, bmServe,
+        trgmBuild, trgmServe,
         "lsh_rebuild" -> lshCurve.map { case (n, rb, _) => s"x$n" -> rb },
         "lsh_append_1pct" -> lshCurve.map { case (n, _, ap) => s"x$n" -> ap })
     }

@@ -353,4 +353,42 @@ object Graph {
       Checkpoints.release(e)
     }
   }
+
+  /** Link prediction by COMMON-NEIGHBOR count (Liben-Nowell & Kleinberg,
+    * "The Link Prediction Problem for Social Networks", CIKM 2003 — the
+    * baseline score every fancier predictor is judged against): for every
+    * NON-adjacent pair (a, b), the number of shared neighbors, global
+    * top-`topK` by (count desc, a, b). On the dup-candidate graph this
+    * reads as "dedup clusters about to merge" — two docs not yet linked
+    * but sharing many near-dup neighbors are the next edge a
+    * lower-threshold pass would add.
+    *
+    * Scale shape: the wedge join (sym ⋈ sym on the shared middle node)
+    * costs Σ_v deg(v)² — the inherent price of enumerating length-2
+    * paths, bounded by the max near-dup cluster size, not corpus size;
+    * adjacency is removed with one anti-join against the undirected edge
+    * set, and the global top-k is a TakeOrderedAndProject (never a
+    * full-width window). Output: (a, b, common). */
+  def commonNeighbors(edges: DataFrame, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be positive: $topK")
+    val e = edges.filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .distinct()
+      .localCheckpoint() // read three times: two wedge sides + anti-join
+    try {
+      val sym = e.select(col("a").as("s"), col("b").as("d"))
+        .unionByName(e.select(col("b").as("s"), col("a").as("d")))
+      val cand = sym.as("e1").join(sym.as("e2"),
+          col("e1.d") === col("e2.s") && col("e1.s") < col("e2.d"))
+        .select(col("e1.s").as("a"), col("e2.d").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+      cand.join(e, Seq("a", "b"), "left_anti")
+        .orderBy(col("common").desc, col("a"), col("b"))
+        .limit(topK)
+        .localCheckpoint() // tiny result outlives e's release
+    } finally {
+      Checkpoints.release(e)
+    }
+  }
 }

@@ -892,4 +892,175 @@ object Search {
       bm25ScoresFrom(tfq, dl, statsServe, qterms, idCol, k1, b),
       idCol, "score", k)
   }
+
+  // ---- character-trigram substring index -------------------------------------
+
+  /** Materialize a CHARACTER-TRIGRAM substring index (the pg_trgm idea:
+    * Postgres `contrib/pg_trgm` serves arbitrary `LIKE '%x%'` predicates
+    * from a trigram inverted index): one `(id, h)` row per DISTINCT
+    * char-3-gram hash of the text, hash-bucketed like the other stored
+    * families (bucket = pmod(h, nBuckets), a partition column), plus a
+    * `meta` component that carries `metaCols` AND the text itself — the
+    * stored-field copy the exact-confirm stage reads so serving never
+    * touches the raw corpus. Trigram hashing runs in the codegen kernel
+    * ([[graft.functions.CharNgramHashesExpr]]) — the same polynomial the
+    * serve side replays driver-side, so build and lookup can never skew.
+    * ~len(text) rows per doc: the storage price of substring search that
+    * no tokenized index (BM25/phrase) can answer — a needle crossing a
+    * token boundary ("ta str" inside "data stream") has no term to look
+    * up. Deletes reuse the layout-generic deletion-vector verb
+    * ([[deleteFromPhraseIndex]] touches only `meta` + `tombstones`). */
+  def writeTrigramIndex(docs: DataFrame, idCol: String, textCol: String,
+                        metaCols: Seq[String], path: String,
+                        nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    import graft.sources.PartitionedStore
+    import org.apache.spark.sql.graftExpr
+    val grams = graftExpr.column(graft.functions.CharNgramHashesExpr(
+      graftExpr.expression(col(textCol)), 3, distinct = true))
+    val postings = docs
+      .select(col(idCol), explode(grams).as("h"))
+    val mv = PartitionedStore.commitVersion(
+      docs.select((col(idCol) +: metaCols.map(col) :+ col(textCol)): _*),
+      s"$path/meta")
+    val sv = PartitionedStore.commitVersion(
+      docs.sparkSession.range(1).select(lit(nBuckets).as("n_buckets")),
+      s"$path/stats")
+    val pv = PartitionedStore.commitVersion(
+      postings
+        .withColumn("bucket", pmod(col("h"), lit(nBuckets.toLong)))
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("h"), col(idCol)),
+      s"$path/postings", partitionCols = Seq("bucket"))
+    PartitionedStore.publishComposite(path,
+      Map("postings" -> pv, "meta" -> mv, "stats" -> sv))
+  }
+
+  /** Incremental maintenance of a [[writeTrigramIndex]] layout — the
+    * nightly-delivery form, mirroring [[appendPhraseIndex]]: the delta's
+    * distinct trigram postings hash into the EXISTING bucket layout and
+    * append into those directories only, its meta rows (stored-field
+    * text included) append, and the composite republishes atomically —
+    * cost tracks the DELTA, the standing corpus is never re-read. Like
+    * the phrase index there are no corpus-level statistics (substring
+    * matching is exact, not scored), so append-equals-rebuild falls out
+    * of the layout with no arithmetic. Re-delivered ids drop via an
+    * anti-join against the served meta (idempotent delivery); a
+    * tombstoned id RAISES — an append resurrecting taken-down content
+    * must fail loudly. */
+  def appendTrigramIndex(spark: org.apache.spark.sql.SparkSession,
+                         delta: DataFrame, idCol: String, textCol: String,
+                         metaCols: Seq[String], path: String): Unit = {
+    import graft.sources.PartitionedStore
+    import org.apache.spark.sql.graftExpr
+    val served = PartitionedStore.readComposite(path)
+    val nBuckets = PartitionedStore
+      .readVersion(spark, s"$path/stats", Some(served("stats")))
+      .select(col("n_buckets")).collect()(0).getInt(0)
+    served.get("tombstones").foreach { tv =>
+      val tomb = PartitionedStore.readVersion(
+        spark, s"$path/tombstones", Some(tv))
+      val clash = delta.join(broadcast(tomb), Seq(idCol), "left_semi")
+        .select(col(idCol)).limit(3).collect()
+      if (clash.nonEmpty) throw new IllegalStateException(
+        s"append would resurrect tombstoned ids (e.g. ${clash.mkString(", ")})" +
+          s" at $path; compact the index to reclaim them first")
+    }
+    val existing = PartitionedStore
+      .readVersion(spark, s"$path/meta", Some(served("meta")))
+      .select(col(idCol))
+    val fresh = delta.join(existing, Seq(idCol), "left_anti")
+      .localCheckpoint() // read twice: meta append + postings explode
+    try {
+      if (fresh.isEmpty) return // fully re-delivered delta: no-op
+      val mv = PartitionedStore.commitVersion(
+        fresh.select((col(idCol) +: metaCols.map(col) :+ col(textCol)): _*),
+        s"$path/meta", append = true, parent = Some(served("meta")))
+      val grams = graftExpr.column(graft.functions.CharNgramHashesExpr(
+        graftExpr.expression(col(textCol)), 3, distinct = true))
+      val pv = PartitionedStore.commitVersion(
+        fresh.select(col(idCol), explode(grams).as("h"))
+          .withColumn("bucket", pmod(col("h"), lit(nBuckets.toLong)))
+          .repartition(col("bucket"))
+          .sortWithinPartitions(col("h"), col(idCol)),
+        s"$path/postings", append = true, parent = Some(served("postings")),
+        partitionCols = Seq("bucket"))
+      PartitionedStore.publishComposite(path,
+        served ++ Map("postings" -> pv, "meta" -> mv))
+    } finally Checkpoints.release(fresh)
+  }
+
+  /** Compact a [[writeTrigramIndex]] layout after appends/deletes —
+    * [[compactPhraseIndex]]'s discipline on the trigram layout: postings
+    * collapse to one clustered rewrite per bucket dir, meta coalesces,
+    * tombstoned rows are physically reclaimed from both components and
+    * the tombstone set leaves the composite (answers unchanged — serving
+    * already filtered them; the bytes and the re-append embargo are
+    * gone). Compacts the SERVED generation, never raw-latest. */
+  def compactTrigramIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Unit = {
+    import graft.sources.PartitionedStore
+    val served = PartitionedStore.readComposite(path)
+    val idCol = PartitionedStore
+      .readVersion(spark, s"$path/meta", Some(served("meta"))).columns.head
+    val minus = served.get("tombstones").map { tv =>
+      (PartitionedStore.readVersion(spark, s"$path/tombstones", Some(tv)),
+        Seq(idCol))
+    }
+    val pv = PartitionedStore.compactVersion(spark, s"$path/postings",
+      partitionCols = Seq("bucket"), sortCols = Seq("h", idCol),
+      version = Some(served("postings")), minus = minus)
+    val mv = PartitionedStore.compactVersion(spark, s"$path/meta",
+      version = Some(served("meta")), minus = minus)
+    PartitionedStore.publishComposite(path,
+      served - "tombstones" ++ Map("postings" -> pv, "meta" -> mv))
+  }
+
+  /** Arbitrary-substring lookup through a [[writeTrigramIndex]] layout —
+    * candidate-then-confirm, the pg_trgm serving shape: the needle's
+    * distinct trigram hashes compute DRIVER-SIDE through the very kernel
+    * the build used ([[graft.functions.HashOps.charNgramHashes]] — zero
+    * formula drift possible), the postings read prunes to those hashes'
+    * bucket dirs, and a doc is a candidate iff it holds ALL needle
+    * trigrams (count == |needle trigram set|; postings are distinct per
+    * (id, h) by construction, so a plain count is the distinct count).
+    * Candidates then confirm `contains(text, needle)` against the
+    * stored-field text in `meta` — hash collisions or trigram
+    * false-positives ("ab", "bc", "cd" present but never adjacent) cost
+    * one string scan over the candidate set, never a wrong row. Serve
+    * cost ∝ the needle trigrams' corpus frequency, never corpus size;
+    * the raw corpus is never read. Tombstoned docs leave before the
+    * confirm. Output: meta rows (id, metaCols, text) of true matches. */
+  def substringIndexLookup(spark: org.apache.spark.sql.SparkSession,
+                           path: String, needle: String, idCol: String,
+                           textCol: String): DataFrame = {
+    import graft.sources.PartitionedStore
+    require(needle.length >= 3,
+      s"needle must be at least 3 chars for trigram lookup: '$needle'")
+    val served = PartitionedStore.readComposite(path)
+    val nBuckets = PartitionedStore
+      .readVersion(spark, s"$path/stats", Some(served("stats")))
+      .select(col("n_buckets")).collect()(0).getInt(0)
+    val hashes = graft.functions.HashOps
+      .charNgramHashes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(needle),
+        3, distinct = true)
+      .toLongArray().toSeq
+    val buckets = hashes.map(h => java.lang.Math.floorMod(h, nBuckets.toLong))
+      .distinct
+    val cand0 = PartitionedStore.readVersion(spark, s"$path/postings",
+        Some(served("postings")))
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("h").isin(hashes: _*))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === hashes.length)
+      .select(col(idCol))
+    val cand = served.get("tombstones").fold(cand0) { tv =>
+      cand0.join(broadcast(PartitionedStore.readVersion(
+        spark, s"$path/tombstones", Some(tv))), Seq(idCol), "left_anti")
+    }
+    PartitionedStore.readVersion(spark, s"$path/meta", Some(served("meta")))
+      .join(cand, Seq(idCol), "left_semi")
+      .filter(contains(col(textCol), lit(needle)))
+  }
 }

@@ -487,7 +487,162 @@ object DataQualityQueries {
       |FROM agg JOIN segm USING (rep) JOIN customer c2 ON c2.c_custkey = agg.rep
       |ORDER BY entity_rep""".stripMargin
 
+  // ---- J15: sorted-neighborhood linkage ------------------------------------
+  private val SnWindow = 5
+
+  /** The THIRD classic blocking scheme, completing the linkage family
+    * (equality blocks = [[j10FuzzyLink]], provably-complete dual pass =
+    * [[j14EntityDual]]): sort by name, compare only records within
+    * [[SnWindow]] ranks ([[Relational.sortedNeighborhood]] — Hernández &
+    * Stolfo's Merge/Purge). Candidate count is window·n, LINEAR in
+    * corpus size where every equality block is quadratic in its block —
+    * the shape to reach for when no discriminating equality key exists.
+    * The oracle restates the same windowed semantics over a
+    * row_number() rank (the window is the stated recall contract, as
+    * j10's block is), so the scale-safe two-phase rank must agree with
+    * the naive global window rank for rank, pairing AND distance. */
+  def j15SortedNeighborhood(s: SparkSession, d: String): DataFrame =
+    Relational.sortedNeighborhood(
+      Tables.customer(s, d).withColumnRenamed("c_custkey", "cid"),
+      "cid", "c_name", window = SnWindow, maxDist = 1)
+      .withColumn("dist", col("dist").cast("long")) // DuckDB levenshtein is BIGINT
+      .orderBy(col("id_a"), col("id_b"))
+
+  val j15Sql: String =
+    s"""WITH r AS (
+       |  SELECT c_custkey AS cid, c_name,
+       |         row_number() OVER (ORDER BY c_name, c_custkey) AS rk
+       |  FROM customer)
+       |SELECT a.cid AS id_a, b.cid AS id_b,
+       |       a.c_name AS name_a, b.c_name AS name_b,
+       |       levenshtein(a.c_name, b.c_name) AS dist
+       |FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + $SnWindow
+       |WHERE levenshtein(a.c_name, b.c_name) <= 1
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- sorted-neighborhood recall self-evaluation ---------------------------
+  /** "Measure, don't guess" for [[j15SortedNeighborhood]]'s stated
+    * out-of-window miss class — the linkage sibling of `eval_neardup_pr`:
+    * recall of the window·n SNM candidate pass against the COMPLETE
+    * same-segment distance-1 truth set, where the engine's truth arm is
+    * the PROVEN dual block ([[Relational.fuzzyLinkDual]] — complete at
+    * distance 1 by theorem) and the oracle's truth arm is the naive
+    * O(n²) same-segment cross product, so neither a dual-block gap nor
+    * an SNM gap can self-confirm. One row of exact-integer confusion
+    * counts + recall ppm by long floor division — the number that tells
+    * an operator whether the window (or a second rotated-key pass) is
+    * worth its cost on THIS corpus. */
+  def evalSnmRecall(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val (pre, suf) = Relational.planDualSplit(cust, "c_name")
+    val truth = Relational.fuzzyLinkDual(
+      cust.withColumnRenamed("c_custkey", "cid"), "cid", "c_name",
+      col("c_mktsegment"), prefixLen = pre, suffixLen = suf,
+      failOnCap = true)
+      .select(col("id_a"), col("id_b")) // fuzzyLink emits id_a < id_b
+    val seg = cust.select(col("c_custkey"), col("c_mktsegment"))
+    val cand = Relational.sortedNeighborhood(
+      cust.withColumnRenamed("c_custkey", "cid"),
+      "cid", "c_name", window = SnWindow, maxDist = 1)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .join(seg.select(col("c_custkey").as("id_a"),
+        col("c_mktsegment").as("seg_a")), "id_a")
+      .join(seg.select(col("c_custkey").as("id_b"),
+        col("c_mktsegment").as("seg_b")), "id_b")
+      .filter(col("seg_a") === col("seg_b"))
+      .select(col("id_a"), col("id_b"))
+    val candR = cand.select(col("id_a").as("ca"), col("id_b").as("cb"))
+    val agg = truth.join(candR,
+        col("id_a") === col("ca") && col("id_b") === col("cb"), "left")
+      .agg(count(lit(1)).as("n_truth"), count(col("ca")).as("tp"))
+    val cagg = cand.agg(count(lit(1)).as("n_cand"))
+    agg.crossJoin(broadcast(cagg))
+      .select(col("n_truth"), col("tp"),
+        (col("n_truth") - col("tp")).as("fn"), col("n_cand"),
+        expr("tp * 1000000 DIV greatest(n_truth, 1)").as("recall_ppm"))
+      .orderBy(col("n_truth"))
+  }
+
+  val evalSnmRecallSql: String =
+    s"""WITH r AS (
+       |  SELECT c_custkey AS cid, c_name, c_mktsegment,
+       |         row_number() OVER (ORDER BY c_name, c_custkey) AS rk
+       |  FROM customer),
+       |cand AS (
+       |  SELECT LEAST(a.cid, b.cid) AS id_a, GREATEST(a.cid, b.cid) AS id_b
+       |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + $SnWindow
+       |  WHERE levenshtein(a.c_name, b.c_name) <= 1
+       |    AND a.c_mktsegment = b.c_mktsegment),
+       |truth AS (
+       |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+       |  FROM customer a JOIN customer b
+       |    ON a.c_mktsegment = b.c_mktsegment
+       |   AND a.c_custkey < b.c_custkey
+       |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+       |agg AS (
+       |  SELECT COUNT(*) AS n_truth, COUNT(c.id_a) AS tp
+       |  FROM truth t LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b),
+       |cagg AS (SELECT COUNT(*) AS n_cand FROM cand)
+       |SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(tp AS BIGINT) AS tp,
+       |       CAST(n_truth - tp AS BIGINT) AS fn,
+       |       CAST(n_cand AS BIGINT) AS n_cand,
+       |       CAST(tp * 1000000 // GREATEST(n_truth, 1) AS BIGINT) AS recall_ppm
+       |FROM agg, cagg
+       |ORDER BY n_truth""".stripMargin
+
+  // ---- J16: Bloom-reduced semi join -----------------------------------------
+  private val HighValue = 450000.0
+
+  /** The semi-join REDUCTION pattern — the single biggest shuffle lever
+    * on a 100 TB fact join: revenue rollup of lineitems belonging to
+    * high-value orders, where the fact side is pre-filtered by a Bloom
+    * sketch of the qualifying order keys ([[graft.operators.Dedup
+    * .bloomProbe]] — the sketch ships as a plan literal, the probe runs
+    * AT THE SCAN, no shuffle) before the exact semi join removes the
+    * sketch's false positives. False negatives are impossible, so the
+    * output is bit-identical to the plain semi join the oracle states —
+    * the Bloom stage is pure plan reduction, invisible to semantics:
+    * only the ~qualifying fraction (+3% fpp) of fact rows ever enters
+    * the join shuffle. Sketch sized by one COUNT planning read,
+    * memoized per dir; sums in DECIMAL(12,2), cast to double at the
+    * end (q1's parity discipline). */
+  private val bloomReduceCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
+  def j16BloomReduce(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.orders(s, d)
+      .filter(col("o_totalprice") >= HighValue)
+      .select(col("o_orderkey"))
+    val sketch = bloomReduceCache.computeIfAbsent(d, _ =>
+      graft.operators.Dedup.bloomBuild(dim, "o_orderkey",
+        math.max(dim.count(), 1L)))
+    val dec = (c: String) => col(c).cast("decimal(12,2)")
+    graft.operators.Dedup.bloomProbe(
+        Tables.lineitem(s, d), "l_orderkey", sketch)
+      .join(dim.withColumnRenamed("o_orderkey", "l_orderkey"),
+        Seq("l_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val j16Sql: String =
+    s"""SELECT l_returnflag,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       |  COUNT(*) AS count_order
+       |FROM lineitem l
+       |WHERE EXISTS (SELECT 1 FROM orders o
+       |              WHERE o.o_orderkey = l.l_orderkey
+       |                AND o.o_totalprice >= 4.5e5)
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "j15_sorted_neighborhood" -> (j15SortedNeighborhood _),
+    "eval_snm_recall" -> (evalSnmRecall _),
+    "j16_bloom_reduce" -> (j16BloomReduce _),
     "j13_golden_record" -> (j13GoldenRecord _),
     "dq_benford" -> (dqBenford _),
     "dq_expectations" -> (dqExpectations _),
@@ -500,6 +655,9 @@ object DataQualityQueries {
     "j14_entity_dual" -> (j14EntityDual _))
 
   val oracle: Map[String, String] = Map(
+    "j15_sorted_neighborhood" -> j15Sql,
+    "eval_snm_recall" -> evalSnmRecallSql,
+    "j16_bloom_reduce" -> j16Sql,
     "j13_golden_record" -> j13Sql,
     "dq_benford" -> dqBenfordSql,
     "dq_expectations" -> dqSql,

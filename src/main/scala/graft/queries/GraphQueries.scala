@@ -265,7 +265,37 @@ object GraphQueries {
        |${(1 to CoreRounds).map(kcoreIterSql).mkString(",\n")}
        |SELECT id AS doc_id, core_deg FROM kc$CoreRounds ORDER BY doc_id""".stripMargin
 
+  // ---- link prediction: common-neighbor scores -----------------------------
+  private val TopLinks = 20
+
+  /** Common-neighbor link prediction over the dup graph
+    * ([[Graph.commonNeighbors]]): the top-[[TopLinks]] NON-adjacent pairs
+    * ranked by shared-neighbor count — "the next edges a lower-threshold
+    * dedup pass would add", the standard triadic-closure read. The
+    * oracle enumerates length-2 paths over the same symmetric edge set
+    * and removes adjacency with NOT EXISTS — orientation-free, so a
+    * Spark-side wedge-orientation bug cannot self-confirm. Deterministic
+    * top-k: ties at the cut break by (a, b). */
+  def graphCommonNeighbors(s: SparkSession, d: String): DataFrame =
+    Graph.commonNeighbors(dupEdges(s, d), TopLinks)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("common"))
+      .orderBy(col("common").desc, col("doc_a"), col("doc_b"))
+
+  val graphCommonNeighborsSql: String =
+    s"""WITH ${SequenceQueries.dupGraphCtes},
+       |cn AS (
+       |  SELECT e1.s AS a, e2.d AS b, count(*) AS common
+       |  FROM sym e1 JOIN sym e2 ON e2.s = e1.d AND e1.s < e2.d
+       |  GROUP BY e1.s, e2.d
+       |)
+       |SELECT cn.a AS doc_a, cn.b AS doc_b, cn.common
+       |FROM cn
+       |WHERE NOT EXISTS (SELECT 1 FROM sym WHERE sym.s = cn.a AND sym.d = cn.b)
+       |ORDER BY common DESC, doc_a, doc_b
+       |LIMIT $TopLinks""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "graph_common_neighbors" -> (graphCommonNeighbors _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_lpa" -> (graphLpa _),
     "dedup_canonical" -> (dedupCanonical _),
@@ -274,6 +304,7 @@ object GraphQueries {
     "graph_kcore" -> (graphKcore _))
 
   val oracle: Map[String, String] = Map(
+    "graph_common_neighbors" -> graphCommonNeighborsSql,
     "graph_pagerank" -> graphPagerankSql,
     "graph_lpa" -> graphLpaSql,
     "dedup_canonical" -> dedupCanonicalSql,

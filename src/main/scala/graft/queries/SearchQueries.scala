@@ -670,7 +670,88 @@ object SearchQueries {
        |FROM vocab WHERE levenshtein(term, '$FuzzyTerm') <= 1
        |ORDER BY df DESC, term""".stripMargin
 
+  // ---- arbitrary-substring search (trigram index) ---------------------------
+  /** A needle CROSSING a token boundary ("ta stream b" spans
+    * "data stream big/batch/…") — the lookup no tokenized index (BM25,
+    * phrase, symdel) can serve, which is what earns the trigram family
+    * its storage. Length 11 → 9 driver-side trigram hashes. */
+  private val Needle = "ta stream b"
+
+  /** Baseline contrast arm: the full-corpus substring scan the trigram
+    * index replaces — one codegen `contains` pass, no index. This is the
+    * query shape that is O(corpus) at 100 TB; the `_indexed` twin below
+    * is the shape that is O(needle trigram frequency). */
+  def searchSubstringScan(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(contains(col("text"), lit(Needle)))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  val searchSubstringScanSql: String =
+    s"""SELECT doc_id, source FROM documents
+       |WHERE contains(text, '$Needle')
+       |ORDER BY doc_id""".stripMargin
+
+  private val trigramIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def trigramIndexPath(s: SparkSession, d: String): String =
+    trigramIndexCache.computeIfAbsent(d, _ => {
+      val p = graft.Scratch.dir("graft_trgm_idx")
+      Search.writeTrigramIndex(Tables.documents(s, d), "doc_id", "text",
+        Seq("source"), p)
+      p
+    })
+
+  /** [[searchSubstringScan]] through the SERVING path: the stored
+    * char-trigram index ([[Search.writeTrigramIndex]] — pg_trgm's idea as
+    * a bucketed parquet layout) prunes the read to the needle's trigram
+    * buckets, candidates hold ALL needle trigrams, and the exact confirm
+    * runs against the stored-field text in `meta` — the raw corpus is
+    * never re-scanned. Same independent substring-containment oracle as
+    * the scan arm, so the whole store-and-serve path must reproduce raw
+    * semantics exactly. */
+  def searchSubstringIndexed(s: SparkSession, d: String): DataFrame =
+    Search.substringIndexLookup(s, trigramIndexPath(s, d), Needle,
+        "doc_id", "text")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  // ---- substring search after a tombstone DELETE ----------------------------
+  private val TrgmDelMod = 20
+  private val TrgmDelRes = 8 // removes a doc the base needle query returns
+  private val trigramDelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The takedown verb on the trigram store: build, tombstone the
+    * `doc_id ≡ 8 (mod 20)` residue class (which removes a doc the base
+    * substring query returns — the delete visibly changes the answer),
+    * then serve the same needle. Deletion reuses the layout-generic
+    * deletion-vector verb ([[Search.deleteFromPhraseIndex]] — it touches
+    * only `meta` + `tombstones`, both of which this layout shares); the
+    * oracle restates substring containment over the corpus MINUS the
+    * residue class, i.e. the answer of an index rebuilt without the
+    * deleted docs. */
+  def searchSubstringDeleted(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val path = trigramDelCache.computeIfAbsent(d, _ => {
+      val p = graft.Scratch.dir("graft_trgm_del")
+      Search.writeTrigramIndex(docs, "doc_id", "text", Seq("source"), p)
+      Search.deleteFromPhraseIndex(s,
+        docs.filter(col("doc_id") % TrgmDelMod === TrgmDelRes)
+          .select(col("doc_id")), p)
+      p
+    })
+    Search.substringIndexLookup(s, path, Needle, "doc_id", "text")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+  val searchSubstringDeletedSql: String = searchSubstringScanSql.replace(
+    "FROM documents",
+    s"FROM (SELECT * FROM documents WHERE doc_id % $TrgmDelMod <> $TrgmDelRes) documents")
+
   val defs: Map[String, Q] = Map(
+    "search_substring_scan" -> (searchSubstringScan _),
+    "search_substring_indexed" -> (searchSubstringIndexed _),
+    "search_substring_deleted" -> (searchSubstringDeleted _),
     "search_fuzzy_term" -> (searchFuzzyTerm _),
     "search_phrase" -> (searchPhrase _),
     "search_phrase_indexed" -> (searchPhraseIndexed _),
@@ -688,6 +769,11 @@ object SearchQueries {
     "rag_retrieve_indexed" -> (ragRetrieveIndexed _))
 
   val oracle: Map[String, String] = Map(
+    "search_substring_scan" -> searchSubstringScanSql,
+    // serving-path twin: stored trigram index, identical answers — the
+    // same independent substring-containment oracle
+    "search_substring_indexed" -> searchSubstringScanSql,
+    "search_substring_deleted" -> searchSubstringDeletedSql,
     "search_fuzzy_term" -> searchFuzzyTermSql,
     "search_phrase" -> searchPhraseSql,
     // serving-path twin: stored positional index, identical answers —

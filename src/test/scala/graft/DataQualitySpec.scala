@@ -420,4 +420,32 @@ class DataQualitySpec extends AnyFunSuite {
     calm.foreach { r =>
       assert(r.getLong(7) == 0L && !r.getBoolean(8), r.toString) }
   }
+
+  test("sortedNeighborhood: two-phase rank equals the naive global rank " +
+    "— window pairs exact, id_a is the lower-rank side, the out-of-window " +
+    "miss class is missed, multi-range partitioning invariant") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Relational
+    // sorted by name: aaa(1) aab(2) aac(4) aaz(5) zzz(3)
+    val df = Seq((1L, "aaa"), (2L, "aab"), (3L, "zzz"), (4L, "aac"),
+      (5L, "aaz")).toDF("cid", "c_name")
+    def run(nRanges: Int) = Relational
+      .sortedNeighborhood(df, "cid", "c_name", window = 2, maxDist = 1,
+        nRanges = nRanges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    val expect = Set(
+      (1L, 2L, 1), // aaa~aab, ranks 1-2
+      (1L, 4L, 1), // aaa~aac, ranks 1-3
+      (2L, 4L, 1), // aab~aac, ranks 2-3
+      (2L, 5L, 1), // aab~aaz, ranks 2-4
+      (4L, 5L, 1)) // aac~aaz, ranks 3-4
+    assert(run(1) == expect)
+    // the stated miss class: aaa~aaz is distance 1 but 3 ranks apart —
+    // never compared (the window IS the recall contract)
+    assert(!run(1).contains((1L, 5L, 1)))
+    // offsets path: ranks must agree across range-partition counts
+    assert(run(3) == expect)
+    assert(run(4) == expect)
+  }
 }

@@ -208,4 +208,27 @@ class GraphSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(r3 == rep)
   }
+
+  test("commonNeighbors: non-adjacent pairs scored by shared-neighbor " +
+    "count, adjacency excluded, top-k ties cut by (a, b), duplicate and " +
+    "reversed input edges collapse") {
+    val s = spark
+    import s.implicits._
+    // 1-2-3-4 path plus 1-5-3: CN(1,3)={2,5}, CN(2,5)={1,3}, CN(2,4)={3},
+    // CN(4,5)={3}; (1,4) shares nothing; adjacent pairs never appear.
+    // (2,1) duplicates 1-2 reversed, (3,3) is a self-loop to drop.
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (5L, 3L),
+      (2L, 1L), (3L, 3L)).toDF("id_a", "id_b")
+    val top3 = Graph.commonNeighbors(es, topK = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(top3 == Seq((1L, 3L, 2L), (2L, 5L, 2L), (2L, 4L, 1L)))
+    val all = Graph.commonNeighbors(es, topK = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(all == Set((1L, 3L, 2L), (2L, 5L, 2L), (2L, 4L, 1L),
+      (4L, 5L, 1L)))
+    // partitioning-invariant
+    val rep = Graph.commonNeighbors(es.repartition(7), topK = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rep == top3)
+  }
 }

@@ -534,6 +534,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"must read only the shared phrase index: ${df.inputFiles.take(3).toSeq}")
   }
 
+  test("j16_bloom_reduce: the Bloom probe runs AT the fact scan — " +
+    "might_contain appears as a plan-literal filter, so only the " +
+    "qualifying fraction of lineitem ever enters the semi-join shuffle") {
+    val p = plan("j16_bloom_reduce")
+    assert(p.contains("might_contain"),
+      s"Bloom might_contain filter must be in the fact-side plan:\n${p.take(2000)}")
+    assert(p.contains("LeftSemi"),
+      "the exact semi join must follow the probe (false positives removed)")
+  }
+
+  test("search_substring_indexed: the needle serves from the STORED " +
+    "trigram index — postings prune to the needle trigrams' buckets, the " +
+    "raw corpus is never scanned (the confirm reads the stored-field " +
+    "text in meta)") {
+    val df = SparkEntry.queries("search_substring_indexed")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("bucket"),
+      s"needle-trigram bucket IN-list must reach the postings scan:\n$pf")
+    assert(df.inputFiles.nonEmpty &&
+      df.inputFiles.forall(_.contains("graft_trgm_idx")),
+      s"must read only the trigram index: ${df.inputFiles.take(3).toSeq}")
+  }
+
   test("search_fuzzy_term: the correction serves from the STORED " +
     "symmetric-delete index — variants prune to the query's buckets, " +
     "the vocabulary is never scanned") {

@@ -605,4 +605,97 @@ class SearchSpec extends AnyFunSuite {
       Seq("source"), inc)
     assert(serve(inc) == Seq((1L, "a"), (2L, "b2"), (4L, "d")))
   }
+
+  test("trigram index lifecycle: append equals rebuild; tombstone delete " +
+    "serves rebuild-without; appends refuse resurrection; compaction " +
+    "reclaims and re-opens the id") {
+    val s = spark
+    import s.implicits._
+    def docs(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "text", "source")
+    val all = docs(
+      (1L, "data stream big", "a"),
+      (2L, "delta strong wind", "b"),
+      (3L, "unrelated words entirely", "c"),
+      (4L, "ta strta str", "d"))
+    def serve(p: String): Seq[(Long, String)] =
+      Search.substringIndexLookup(s, p, "ta str", "doc_id", "text")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // --- append == rebuild
+    val inc = graft.Scratch.dir("graft_trgm_inc")
+    Search.writeTrigramIndex(all.filter($"doc_id" <= 2), "doc_id", "text",
+      Seq("source"), inc, nBuckets = 8)
+    Search.appendTrigramIndex(s, all.filter($"doc_id" > 2), "doc_id",
+      "text", Seq("source"), inc)
+    val full = graft.Scratch.dir("graft_trgm_full")
+    Search.writeTrigramIndex(all, "doc_id", "text", Seq("source"), full,
+      nBuckets = 8)
+    assert(serve(inc) == serve(full))
+    assert(serve(inc) == Seq((1L, "a"), (2L, "b"), (4L, "d")))
+    // re-delivered delta is a no-op (idempotent delivery)
+    Search.appendTrigramIndex(s, all.filter($"doc_id" > 2), "doc_id",
+      "text", Seq("source"), inc)
+    assert(serve(inc) == serve(full))
+    // --- tombstone delete == rebuild-without (layout-generic verb)
+    Search.deleteFromPhraseIndex(s, Seq(2L).toDF("doc_id"), inc)
+    val without = graft.Scratch.dir("graft_trgm_wo")
+    Search.writeTrigramIndex(all.filter($"doc_id" =!= 2), "doc_id", "text",
+      Seq("source"), without, nBuckets = 8)
+    assert(serve(inc) == serve(without))
+    assert(serve(inc) == Seq((1L, "a"), (4L, "d")))
+    // resurrection refused while the tombstone stands
+    val boom = intercept[IllegalStateException] {
+      Search.appendTrigramIndex(s,
+        docs((2L, "delta stream again", "b2")), "doc_id", "text",
+        Seq("source"), inc)
+    }
+    assert(boom.getMessage.contains("resurrect"))
+    // --- compaction physically reclaims; answers unchanged; id re-opens
+    Search.compactTrigramIndex(s, inc)
+    assert(serve(inc) == Seq((1L, "a"), (4L, "d")))
+    Search.appendTrigramIndex(s,
+      docs((2L, "delta stream again", "b2")), "doc_id", "text",
+      Seq("source"), inc)
+    assert(serve(inc) == Seq((1L, "a"), (2L, "b2"), (4L, "d")))
+  }
+
+  test("trigram substring index: candidate-then-confirm reproduces " +
+    "contains() exactly — boundary-crossing needles match, all-trigrams-" +
+    "present-but-not-adjacent does not, tombstones honored, short needle " +
+    "raises") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "data stream big", "a"),   // "ta str" crosses the token gap
+      (2L, "stream data big", "b"),   // same tokens, no "ta str"
+      (3L, "delta strong", "c"),      // also holds "ta str" — lta/str
+      (4L, "ta strta str", "d"),      // needle twice, no space tokens
+      // holds every trigram of "ta str" ("ta ", "a s", " st", "str")
+      // scattered but never adjacent: candidate that must FAIL confirm
+      (5L, "bta sa sq strq", "e"),
+      (6L, "nothing here", "f")
+    ).toDF("doc_id", "text", "source")
+    val p = graft.Scratch.dir("graft_trgm_spec")
+    Search.writeTrigramIndex(docs, "doc_id", "text", Seq("source"), p,
+      nBuckets = 8)
+    def ids(needle: String): Set[Long] =
+      Search.substringIndexLookup(s, p, needle, "doc_id", "text")
+        .collect().map(_.getLong(0)).toSet
+    def oracle(needle: String): Set[Long] = docs.collect()
+      .filter(_.getString(1).contains(needle)).map(_.getLong(0)).toSet
+    for (n <- Seq("ta str", "data", "str", "a stream b", "absent", "xyz"))
+      assert(ids(n) == oracle(n), s"needle '$n'")
+    assert(ids("ta str") == Set(1L, 3L, 4L))
+    // doc 5 holds all 4 trigrams of "ta str" — the confirm must drop it
+    assert(!ids("ta str").contains(5L))
+    intercept[IllegalArgumentException](ids("ab"))
+    // meta columns ride from the store, not from raw text
+    val rows = Search.substringIndexLookup(s, p, "ta str", "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "a"), (3L, "c"), (4L, "d")))
+    // the layout-generic takedown verb: delete doc 3, serve again
+    Search.deleteFromPhraseIndex(s, Seq(3L).toDF("doc_id"), p)
+    assert(ids("ta str") == Set(1L, 4L))
+  }
 }
