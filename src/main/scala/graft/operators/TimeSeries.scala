@@ -666,4 +666,54 @@ object TimeSeries {
         col("num").as("slope_num"), col("den").as("slope_den"),
         col("skey").as("slope_scaled"))
   }
+
+  /** Forecast-BASELINE evaluation (the M-competition discipline: a
+    * forecaster that cannot beat naive baselines is not a forecaster):
+    * per key, over the newest `evalDays` days, the total absolute error
+    * of the LAST-VALUE naive forecast (ŷ(d) = y(d−1)) vs the
+    * SEASONAL-naive forecast (ŷ(d) = y(d−season)) — the two baselines
+    * every published forecast eval reports, and the cheapest seasonality
+    * detector there is (snaive < naive ⇔ the weekly pattern carries more
+    * signal than yesterday). All integer: quantized daily sums, ABS
+    * differences, BIGINT totals — no division, no float (`sae` = summed
+    * absolute error; MAE's ranking is identical because both share the
+    * denominator). Eval days whose d−1 or d−season total is absent drop
+    * via the inner joins (stated: both engines replay the same rule).
+    *
+    * Scale shape: ONE aggregation of the raw stream to (key × day)
+    * rows; the two lag lookups are equi-joins of that tiny table against
+    * itself SHIFTED (date_add on the lag side — never a window sort over
+    * raw rows), the per-key max-day frame broadcasts. The daily rollup
+    * is checkpointed: three lineage forks would otherwise re-aggregate
+    * the raw stream three times. Output: (key, n_eval, sae_naive_q,
+    * sae_snaive_q, snaive_better). */
+  def naiveBaselineEval(df: DataFrame, keyCol: String, tsCol: String,
+                        valCol: String, season: Int,
+                        evalDays: Int): DataFrame = {
+    require(season >= 1 && evalDays >= 1,
+      s"season and evalDays must be positive: $season, $evalDays")
+    val daily = df
+      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .agg(sum(qval(col(valCol))).as("yv"))
+      .localCheckpoint() // read four times: eval days + 2 lags + max-day
+    try {
+      val maxd = broadcast(daily.groupBy(col("key"))
+        .agg(max(col("day")).as("maxd")))
+      val lag1 = daily.select(col("key"),
+        date_add(col("day"), 1).as("day"), col("yv").as("yv_lag1"))
+      val lagS = daily.select(col("key"),
+        date_add(col("day"), season).as("day"), col("yv").as("yv_lag_s"))
+      daily.join(lag1, Seq("key", "day"))
+        .join(lagS, Seq("key", "day"))
+        .join(maxd, "key")
+        .filter(col("day") > date_sub(col("maxd"), evalDays))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(abs(col("yv") - col("yv_lag1"))).as("sae_naive_q"),
+          sum(abs(col("yv") - col("yv_lag_s"))).as("sae_snaive_q"))
+        .withColumn("snaive_better",
+          col("sae_snaive_q") < col("sae_naive_q"))
+        .localCheckpoint() // tiny per-key result outlives daily's release
+    } finally Checkpoints.release(daily)
+  }
 }

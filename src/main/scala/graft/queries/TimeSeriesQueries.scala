@@ -634,7 +634,42 @@ object TimeSeriesQueries {
        |WHERE r.rk = (r.n_pairs + 1) // 2
        |ORDER BY key""".stripMargin
 
+  // ---- naive forecast baselines (the M-competition discipline) -------------
+  private val SnSeason = 7
+  private val SnEvalDays = 7
+
+  /** [[TimeSeries.naiveBaselineEval]] over daily value totals per event
+    * type: total absolute error of last-value naive vs seasonal(7)-naive
+    * over the newest 7 days — the two baselines ts_holt_eval's forecast
+    * must beat to matter, and the cheapest seasonality detector
+    * (snaive_better ⇔ the weekly pattern outpredicts yesterday). Exact
+    * integers end to end; eval days missing a lag drop on BOTH sides. */
+  def tsSnaiveEval(s: SparkSession, d: String): DataFrame =
+    TimeSeries.naiveBaselineEval(Tables.events(s, d), "event_type", "ts",
+        "value", season = SnSeason, evalDays = SnEvalDays)
+      .select(col("key").as("event_type"), col("n_eval"),
+        col("sae_naive_q"), col("sae_snaive_q"), col("snaive_better"))
+      .orderBy(col("event_type"))
+
+  val tsSnaiveEvalSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+       |         CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS yv
+       |  FROM $evWrap GROUP BY 1, 2),
+       |mx AS (SELECT key, max(day) AS maxd FROM daily GROUP BY key)
+       |SELECT d.key AS event_type, count(*) AS n_eval,
+       |       CAST(SUM(ABS(d.yv - p1.yv)) AS BIGINT) AS sae_naive_q,
+       |       CAST(SUM(ABS(d.yv - ps.yv)) AS BIGINT) AS sae_snaive_q,
+       |       SUM(ABS(d.yv - ps.yv)) < SUM(ABS(d.yv - p1.yv)) AS snaive_better
+       |FROM daily d
+       |JOIN daily p1 ON p1.key = d.key AND p1.day = d.day - 1
+       |JOIN daily ps ON ps.key = d.key AND ps.day = d.day - $SnSeason
+       |JOIN mx ON mx.key = d.key AND d.day > mx.maxd - $SnEvalDays
+       |GROUP BY d.key
+       |ORDER BY event_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "ts_snaive_eval" -> (tsSnaiveEval _),
     "ts_ohlc" -> (tsOhlc _),
     "ts_theil_sen" -> (tsTheilSen _),
     "ts_resample_ffill" -> (tsResampleFfill _),
@@ -655,6 +690,7 @@ object TimeSeriesQueries {
     "ts_mk_trend" -> (tsMkTrend _))
 
   val oracle: Map[String, String] = Map(
+    "ts_snaive_eval" -> tsSnaiveEvalSql,
     "ts_ohlc" -> tsOhlcSql,
     "ts_theil_sen" -> tsTheilSenSql,
     "ts_resample_ffill" -> tsResampleFfillSql,

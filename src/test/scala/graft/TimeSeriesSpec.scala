@@ -469,4 +469,37 @@ class TimeSeriesSpec extends AnyFunSuite {
       Seq(("x", 2L, 1L, 2L), ("y", 0L, 1L, 2L)))
     // TVD = sum(contrib) / (2*N1*N2) = 4/8 = 0.5: distributions (1,0) vs (.5,.5)
   }
+
+  test("naiveBaselineEval: a perfectly weekly series gives snaive zero " +
+    "error, a linear trend makes naive win; totals are exact quantized " +
+    "integers and eval days missing a lag drop") {
+    val s = spark
+    import s.implicits._
+    // 21 daily points per key, days 2024-01-01 .. 2024-01-21
+    val rows = (0 until 21).flatMap { i =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(i)
+      val t = ts(s"$day 12:00:00")
+      Seq(("seasonal", t, (i % 7 + 1).toDouble), // period-7 exact repeat
+        ("trend", t, i.toDouble))                // +1 per day
+    }
+    val df = rows.toDF("k", "t", "v")
+    val out = TimeSeries
+      .naiveBaselineEval(df, "k", "t", "v", season = 7, evalDays = 7)
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    // seasonal, eval days 15..21 (i=14..20): snaive exact (0); naive pays
+    // the 7→1 wrap (6) + six +1 steps = 12, ×1e6 quantization
+    // trend: naive +1/day ×7 = 7e6; snaive +7/day ×7 = 49e6
+    assert(out == Seq(
+      ("seasonal", 7L, 12000000L, 0L, true),
+      ("trend", 7L, 7000000L, 49000000L, false)))
+    // a key with only 5 days has NO eval day with a 7-day lag: no row
+    val short = (0 until 5).map { i =>
+      val day = java.time.LocalDate.of(2024, 2, 1).plusDays(i)
+      ("short", ts(s"$day 12:00:00"), 1.0)
+    }.toDF("k", "t", "v")
+    assert(TimeSeries.naiveBaselineEval(short, "k", "t", "v", 7, 7)
+      .count() == 0L)
+  }
 }
