@@ -83,6 +83,34 @@ object Mix {
     bottomKByHash(df.select(col(grpCol), col(idCol),
       sampleHash(col(textCol)).as("h")), grpCol, idCol, "h", k)
 
+  /** Deterministic WEIGHTED fixed-k sampling by hash priority — the
+    * weighted sibling of [[sampleFixedK]], in the priority-sampling
+    * shape (Ohlsson's sequential Poisson sampling / Duffield-Lund-Thorup
+    * priority sampling: draw u, keep the k smallest u/w — heavier items
+    * get smaller priorities, hence seats roughly proportional to
+    * weight): priority = scrambled content hash DIV weight, exact
+    * integer division (both engines floor on non-negative operands), no
+    * RNG, no seed plumbing — identical on any cluster size or engine and
+    * stable under reruns/backfills, the property the production pattern
+    * exists for. Non-positive weights raise IN-PLAN (a zero weight would
+    * divide-by-zero into an engine-specific null ordering). Same bounded
+    * CollectTopK plan as the unweighted sibling. Output:
+    * (grpCol, idCol, pr, rank). */
+  def sampleWeightedPriority(df: DataFrame, grpCol: String, idCol: String,
+                             textCol: String, weightCol: String,
+                             k: Int): DataFrame = {
+    val w = when(col(weightCol) <= 0, raise_error(concat(
+      lit(s"sampleWeightedPriority: non-positive weight in $weightCol — "),
+      col(weightCol).cast("string"))))
+      .otherwise(col(weightCol).cast("long"))
+    bottomKByHash(df.select(col(grpCol), col(idCol),
+        sampleHash(col(textCol)).as("h0"), w.as("w"))
+      .select(col(grpCol), col(idCol),
+        expr("h0 DIV w").as("pr")), // integer DIV: both engines floor on >= 0
+      grpCol, idCol, "pr", k)
+      .withColumnRenamed("h", "pr")
+  }
+
   /** The bottom-k core of [[sampleFixedK]] over PRE-hashed rows — the
     * serving half of the streaming sample leg, where candidates arrive
     * from a store instead of being hashed in-plan. Because bottom-k is

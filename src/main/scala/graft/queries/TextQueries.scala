@@ -236,6 +236,31 @@ object TextQueries {
        |  FROM hashed) t
        |WHERE rank <= $FixedK ORDER BY source, rank""".stripMargin
 
+  // ---- deterministic WEIGHTED sampling by hash priority ---------------------
+  /** Priority sampling ([[Mix.sampleWeightedPriority]]): per source, the
+    * [[FixedK]] docs with the smallest scrambled-hash DIV n_chars
+    * priority — longer docs proportionally likelier, zero RNG, stable
+    * under reruns. The oracle replays hash, DIV and the per-group
+    * window-rank definition verbatim. */
+  def sampleWeightedPriority(s: SparkSession, d: String): DataFrame =
+    Mix.sampleWeightedPriority(Tables.documents(s, d), "source", "doc_id",
+        "text", "n_chars", FixedK)
+      .orderBy(col("source"), col("rank"))
+  val sampleWeightedPrioritySql: String =
+    s"""WITH hashed AS (
+       |  SELECT source, doc_id,
+       |    (list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+       |      (acc, x) -> (acc*31 + x) % ${Dedup.HashMod})
+       |     * ${Mix.ScrambleM} % ${Dedup.HashMod}) * ${Mix.ScrambleM} % ${Dedup.HashMod}
+       |      // CAST(n_chars AS BIGINT) AS pr
+       |  FROM documents
+       |)
+       |SELECT source, doc_id, pr, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT source, doc_id, pr,
+       |    row_number() OVER (PARTITION BY source ORDER BY pr, doc_id) AS rank
+       |  FROM hashed) t
+       |WHERE rank <= $FixedK ORDER BY source, rank""".stripMargin
+
   // ---- exact top-fraction quality gate (two-phase, no global sort) ---------
   private val TopFrac = 0.2
 
@@ -1947,6 +1972,7 @@ object TextQueries {
     "stats_equidepth" -> (statsEquidepth _),
     "vocab_oov_by_domain" -> (vocabOovByDomain _),
     "sample_fixed_k" -> (sampleFixedK _),
+    "sample_weighted_priority" -> (sampleWeightedPriority _),
     "sample_systematic_w" -> (sampleSystematicW _),
     "text_hash_embed" -> (textHashEmbed _),
     "quality_classifier" -> (qualityClassifier _),
@@ -1997,6 +2023,7 @@ object TextQueries {
     "stats_equidepth" -> statsEquidepthSql,
     "vocab_oov_by_domain" -> vocabOovByDomainSql,
     "sample_fixed_k" -> sampleFixedKSql,
+    "sample_weighted_priority" -> sampleWeightedPrioritySql,
     "sample_systematic_w" -> sampleSystematicWSql,
     "text_hash_embed" -> textHashEmbedSql,
     "quality_classifier" -> qualityClassifierSql,

@@ -190,6 +190,37 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(big.map(_._3).toSeq == big.map(_._3).sorted.toSeq)
   }
 
+  test("sampleWeightedPriority: priorities are hash DIV weight replayed " +
+    "independently, heavier docs outrank smaller hashes, non-positive " +
+    "weight raises in-plan") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 12).map(i =>
+      (i.toLong, s"weighted sample doc $i", "g", (i % 4 + 1).toLong * 50))
+      .toDF("doc_id", "text", "source", "w")
+    val out = graft.operators.Mix
+      .sampleWeightedPriority(docs, "source", "doc_id", "text", "w", 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(_._3)
+    // independent replay: hash each text via the same kernel column,
+    // divide by weight in Scala, rank by (pr, id)
+    val hashes = docs.select(col("doc_id"),
+        graft.operators.Mix.sampleHash(col("text")).as("h"), col("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) / r.getLong(2)))
+    val want = hashes.sortBy { case (id, pr) => (pr, id) }.take(4)
+      .zipWithIndex.map { case ((id, pr), i) => (id, pr, i + 1) }
+    assert(out.toSeq == want.toSeq)
+    // zero weight raises rather than dividing into engine-specific nulls
+    val bad = docs.withColumn("w",
+      when(col("doc_id") === 3, lit(0L)).otherwise(col("w")))
+    val e = intercept[Exception] {
+      graft.operators.Mix
+        .sampleWeightedPriority(bad, "source", "doc_id", "text", "w", 4)
+        .collect()
+    }
+    assert(e.getMessage.contains("non-positive weight"))
+  }
+
   test("sampleSystematicW: picks ∝ weight, block decomposition ≡ naive cumsum") {
     val s = spark
     import s.implicits._
