@@ -1033,19 +1033,29 @@ object Search {
     * confirm. Output: meta rows (id, metaCols, text) of true matches. */
   def substringIndexLookup(spark: org.apache.spark.sql.SparkSession,
                            path: String, needle: String, idCol: String,
-                           textCol: String): DataFrame = {
+                           textCol: String,
+                           maxProbeTrigrams: Int = 16): DataFrame = {
     import graft.sources.PartitionedStore
     require(needle.length >= 3,
       s"needle must be at least 3 chars for trigram lookup: '$needle'")
+    require(maxProbeTrigrams >= 1,
+      s"maxProbeTrigrams must be positive: $maxProbeTrigrams")
     val served = PartitionedStore.readComposite(path)
     val nBuckets = PartitionedStore
       .readVersion(spark, s"$path/stats", Some(served("stats")))
       .select(col("n_buckets")).collect()(0).getInt(0)
+    // A long needle (a whole pasted paragraph) carries hundreds of
+    // trigrams; requiring ALL of them would widen the probe to most
+    // bucket dirs for no recall gain — any SUBSET of the needle's
+    // trigrams is already a sound candidate condition (a true match
+    // holds every one of them), and the exact confirm below restores
+    // full precision. Probe the maxProbeTrigrams smallest hashes
+    // (deterministic pick), bounding the read at ≤ that many dirs.
     val hashes = graft.functions.HashOps
       .charNgramHashes(
         org.apache.spark.unsafe.types.UTF8String.fromString(needle),
         3, distinct = true)
-      .toLongArray().toSeq
+      .toLongArray().toSeq.sorted.take(maxProbeTrigrams)
     val buckets = hashes.map(h => java.lang.Math.floorMod(h, nBuckets.toLong))
       .distinct
     val cand0 = PartitionedStore.readVersion(spark, s"$path/postings",

@@ -674,7 +674,10 @@ class SearchSpec extends AnyFunSuite {
       // holds every trigram of "ta str" ("ta ", "a s", " st", "str")
       // scattered but never adjacent: candidate that must FAIL confirm
       (5L, "bta sa sq strq", "e"),
-      (6L, "nothing here", "f")
+      (6L, "nothing here", "f"),
+      // long text: needles with > maxProbeTrigrams trigrams exercise
+      // the capped-probe path (subset candidates + exact confirm)
+      (7L, "the quick brown fox jumps over the lazy dog tonight", "g")
     ).toDF("doc_id", "text", "source")
     val p = graft.Scratch.dir("graft_trgm_spec")
     Search.writeTrigramIndex(docs, "doc_id", "text", Seq("source"), p,
@@ -684,7 +687,12 @@ class SearchSpec extends AnyFunSuite {
         .collect().map(_.getLong(0)).toSet
     def oracle(needle: String): Set[Long] = docs.collect()
       .filter(_.getString(1).contains(needle)).map(_.getLong(0)).toSet
-    for (n <- Seq("ta str", "data", "str", "a stream b", "absent", "xyz"))
+    for (n <- Seq("ta str", "data", "str", "a stream b", "absent", "xyz",
+        // 24+ trigrams: the capped probe (16 smallest hashes) must still
+        // match exactly, and a same-prefix wrong-tail long needle must
+        // die at the confirm even if every probed trigram is present
+        "quick brown fox jumps over the lazy",
+        "quick brown fox jumps over the hazy"))
       assert(ids(n) == oracle(n), s"needle '$n'")
     assert(ids("ta str") == Set(1L, 3L, 4L))
     // doc 5 holds all 4 trigrams of "ta str" — the confirm must drop it
