@@ -830,4 +830,32 @@ object TextAnalysis {
           (col("n_grams_a") + col("n_grams_b") -
             coalesce(col("n_shared"), lit(0L))).cast("double")).as("jaccard"))
   }
+
+  /** Reciprocal-rank fusion of several (id, score) signals — the quality
+    * sibling of [[Search.hybridRrf]]: each signal is first reduced to its
+    * global top-`poolK` through the bounded CollectTopK aggregation
+    * ([[Similarity.topKPerQuery]] with the signal ordinal as the query
+    * key — map-side partial top-k, so only |partitions|·|signals|·poolK
+    * narrow rows shuffle and NO full-width window ranks the corpus), then
+    * fused as rrf_micro = Σ 1_000_000 DIV (c + rank) over the signals
+    * that ranked the doc (standard top-k-list RRF: absence contributes
+    * 0). Integer DIV keeps both engines bit-identical. Output: one row
+    * per doc in ≥1 pool, with rank_<name> per signal (0 = not in that
+    * signal's pool) and rrf_micro. */
+  def rrfFuse(signals: Seq[(String, DataFrame)], idCol: String,
+              scoreCol: String, poolK: Int, c: Int): DataFrame = {
+    require(signals.nonEmpty && poolK >= 1 && c >= 1,
+      s"rrfFuse: need signals, poolK>=1, c>=1 (got ${signals.size}, $poolK, $c)")
+    val ranked = signals.zipWithIndex.map { case ((_, df), i) =>
+      Similarity.topKPerQuery(
+        df.select(lit(i).as("query_id"), col(idCol), col(scoreCol)),
+        idCol, scoreCol, poolK)
+    }.reduce(_ unionByName _)
+    val perSignal = signals.zipWithIndex.map { case ((name, _), i) =>
+      coalesce(max(when(col("query_id") === i, col("rank"))), lit(0))
+        .as(s"rank_$name")
+    }
+    val aggs = sum(expr(s"1000000 DIV ($c + rank)")).as("rrf_micro") +: perSignal
+    ranked.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -305,6 +305,23 @@ object InventoryQueries {
       |SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
       |ORDER BY o_custkey""".stripMargin
 
+  // ---- U4: INTERSECT — the retained-customer set --------------------------
+  /** u2's complement: customers active in BOTH 1995 and 1996 (retention,
+    * where u2 is churn). Spark `intersect` plans the same shuffled
+    * distinct-semi shape as EXCEPT; both sides dedup before the set op,
+    * so the result is key-distinct by construction. */
+  def u4Intersect(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey")).distinct()
+      .intersect(o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")).distinct())
+      .orderBy(col("o_custkey"))
+  }
+  val u4Sql =
+    """SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |INTERSECT
+      |SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      |ORDER BY o_custkey""".stripMargin
+
   // ---- T1: watermarked delta append (batch shape) ------------------------
   /** existing = events before Jan 15; incoming = Jan 10-20 batch. The
     * delta keeps only points newer than each user's stored max (late rows
@@ -377,6 +394,7 @@ object InventoryQueries {
     "w2_top200_orders" -> (w2Top200Orders _),
     "w3_tail_slice" -> (w3TailSlice _),
     "u2_except" -> (u2Except _),
+    "u4_intersect" -> (u4Intersect _),
     "t1_delta_append" -> (t1DeltaAppend _),
     "t2_staleness" -> (t2Staleness _))
 
@@ -398,6 +416,7 @@ object InventoryQueries {
     "w2_top200_orders" -> w2Sql,
     "w3_tail_slice" -> w3Sql,
     "u2_except" -> u2Sql,
+    "u4_intersect" -> u4Sql,
     "t1_delta_append" -> t1Sql,
     "t2_staleness" -> t2Sql)
 }

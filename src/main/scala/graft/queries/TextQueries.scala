@@ -1947,7 +1947,296 @@ object TextQueries {
       |GROUP BY t.pct, t.target_tokens
       |ORDER BY pct""".stripMargin
 
+  // ---- RRF ensemble of quality signals --------------------------------------
+  /** "Which docs do ALL the quality filters like?" — reciprocal-rank
+    * fusion of the three rankable signals this pack already grades
+    * individually: classifier margin (`quality_classifier`), DSIR weight
+    * (`quality_dsir`), and lexical richness (distinct/total tokens,
+    * integer permille). Each signal contributes its global top-100 via
+    * the bounded CollectTopK aggregation (never a full-width window —
+    * see [[graft.operators.TextAnalysis.rrfFuse]]); fusion is integer
+    * micro-RRF (Σ 10⁶ DIV (60+rank)), so parity is bitwise. The oracle
+    * restates all three rankings as naive row_number windows. */
+  private val RrfPoolK = 100
+  private val RrfC = 60
+  private val RrfOutK = 50
+
+  def qualityEnsembleRrf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val margin = TextAnalysis.hashedLinearClassifier(
+        docs.filter(col("doc_id") % 2 === 0)
+          .withColumn("is_en", col("lang") === "en"),
+        docs, "doc_id", "text", "is_en", ClsBuckets)
+      .select(col("doc_id"), col("margin").as("score"))
+    val dsir = TextAnalysis.dsirScore(docs.filter(col("lang") === "en"), docs,
+        "doc_id", "text", DsirBuckets)
+      .select(col("doc_id"), col("weight").as("score"))
+    val rich = docs.select(col("doc_id"),
+      expr("cast(size(array_distinct(split(trim(text), ' '))) as bigint) * 1000" +
+        " DIV cast(size(split(trim(text), ' ')) as bigint)").as("score"))
+    TextAnalysis.rrfFuse(
+        Seq("margin" -> margin, "dsir" -> dsir, "rich" -> rich),
+        "doc_id", "score", RrfPoolK, RrfC)
+      .select(col("doc_id"), col("rank_margin"), col("rank_dsir"),
+        col("rank_rich"), col("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(RrfOutK)
+  }
+  val qualityEnsembleRrfSql: String = {
+    val P = graft.operators.Dedup.HashMod
+    s"""WITH ktok AS (
+       |  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS t FROM documents
+       |), khash AS (
+       |  SELECT doc_id, lang,
+       |    list_reduce(list_transform(string_split(t,''), c -> CAST(ascii(c) AS BIGINT)),
+       |      (acc, x) -> (acc*31 + x) % $P) % $ClsBuckets AS b
+       |  FROM ktok
+       |), kcnt AS (
+       |  SELECT b, CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+       |         CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS cn
+       |  FROM khash WHERE doc_id % 2 = 0 GROUP BY b
+       |), ktot AS (
+       |  SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |         CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS nn
+       |  FROM khash WHERE doc_id % 2 = 0
+       |), kw AS (SELECT b, cp * nn - cn * np AS w FROM kcnt CROSS JOIN ktot
+       |), kinf AS (
+       |  SELECT h.doc_id, CAST(SUM(COALESCE(kw.w, 0)) AS BIGINT) AS margin
+       |  FROM khash h LEFT JOIN kw USING (b) GROUP BY h.doc_id
+       |), dtoks AS (
+       |  SELECT doc_id, lang, list_transform(string_split(trim(text), ' '),
+       |    s -> list_reduce(list_transform(string_split(s,''), c -> CAST(ascii(c) AS BIGINT)),
+       |      (acc, x) -> (acc*31 + x) % $P)) AS th
+       |  FROM documents
+       |), df0 AS (
+       |  SELECT doc_id, lang,
+       |    unnest(CASE WHEN len(th) >= 2 THEN list_transform(range(0, len(th)-1),
+       |      i -> list_reduce(th[i+1:i+2], (a,b) -> (a*131 + b) % $P) % $DsirBuckets)
+       |      ELSE [] END) AS b
+       |  FROM dtoks
+       |), dtc AS (SELECT b, COUNT(*) AS ct FROM df0 WHERE lang = 'en' GROUP BY b
+       |), drc AS (SELECT b, COUNT(*) AS cr FROM df0 GROUP BY b
+       |), dtot AS (
+       |  SELECT (SELECT COUNT(*) FROM df0 WHERE lang = 'en') AS nt,
+       |         (SELECT COUNT(*) FROM df0) AS nr
+       |), dw AS (
+       |  SELECT drc.b, COALESCE(dtc.ct, 0) * nr - drc.cr * nt AS w
+       |  FROM drc LEFT JOIN dtc USING (b) CROSS JOIN dtot
+       |), dper AS (
+       |  SELECT df0.doc_id, CAST(SUM(COALESCE(dw.w, 0)) AS BIGINT) AS weight
+       |  FROM df0 LEFT JOIN dw USING (b) GROUP BY df0.doc_id
+       |), dscore AS (
+       |  SELECT d.doc_id, COALESCE(dper.weight, 0) AS weight
+       |  FROM documents d LEFT JOIN dper ON dper.doc_id = d.doc_id
+       |), rich AS (
+       |  SELECT doc_id, CAST(len(list_distinct(string_split(trim(text), ' '))) * 1000
+       |    // len(string_split(trim(text), ' ')) AS BIGINT) AS score
+       |  FROM documents
+       |), u AS (
+       |  SELECT 0 AS sig, doc_id, rnk FROM (
+       |    SELECT doc_id, CAST(row_number() OVER (ORDER BY margin DESC, doc_id) AS INTEGER) AS rnk
+       |    FROM kinf) t WHERE rnk <= $RrfPoolK
+       |  UNION ALL
+       |  SELECT 1 AS sig, doc_id, rnk FROM (
+       |    SELECT doc_id, CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS INTEGER) AS rnk
+       |    FROM dscore) t WHERE rnk <= $RrfPoolK
+       |  UNION ALL
+       |  SELECT 2 AS sig, doc_id, rnk FROM (
+       |    SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+       |    FROM rich) t WHERE rnk <= $RrfPoolK
+       |)
+       |SELECT doc_id,
+       |  CAST(COALESCE(MAX(CASE WHEN sig = 0 THEN rnk END), 0) AS INTEGER) AS rank_margin,
+       |  CAST(COALESCE(MAX(CASE WHEN sig = 1 THEN rnk END), 0) AS INTEGER) AS rank_dsir,
+       |  CAST(COALESCE(MAX(CASE WHEN sig = 2 THEN rnk END), 0) AS INTEGER) AS rank_rich,
+       |  CAST(SUM(1000000 // ($RrfC + rnk)) AS BIGINT) AS rrf_micro
+       |FROM u GROUP BY doc_id
+       |ORDER BY rrf_micro DESC, doc_id LIMIT $RrfOutK""".stripMargin
+  }
+
+  // ---- langid agreement: word-profile vs char-trigram confusion matrix -----
+  /** The two language-ID implementations graded head-to-head: one
+    * confusion cell per (word-level prediction, char-level prediction)
+    * pair, with each side's true-positive count against the actual
+    * label. The disagreement cells are where a production pipeline would
+    * route docs to a slower third opinion. Both predictors are the
+    * EXACT graded pipelines (`text_langid`, `text_langid_chargram`);
+    * the oracle restates both end to end. */
+  def evalLangidConfusion(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val word = TextAnalysis.langId(docs, "doc_id", "text",
+        TextAnalysis.langProfiles(docs, "lang", "text", 20))
+      .select(col("doc_id"), col("pred_lang").as("pred_word"))
+    val char = textLangidChargram(s, d)
+      .select(col("doc_id"), col("pred_lang").as("pred_char"))
+    word.join(char, "doc_id")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("pred_word"), col("pred_char"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lang") === col("pred_word"), 1L).otherwise(0L))
+          .as("n_word_correct"),
+        sum(when(col("lang") === col("pred_char"), 1L).otherwise(0L))
+          .as("n_char_correct"))
+      .withColumn("agree", col("pred_word") === col("pred_char"))
+      .orderBy(col("pred_word"), col("pred_char"))
+  }
+  val evalLangidConfusionSql: String = {
+    val P = graft.operators.Dedup.HashMod
+    val tri = s"list_transform(range(1, greatest(length(text)-1, 1)), i -> list_reduce(list_transform(string_split(substr(text, i, 3), ''), c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc*31 + x) % $P))"
+    s"""WITH tok AS (
+       |  SELECT lang, unnest(string_split(trim(text), ' ')) AS token FROM documents
+       |), counts AS (
+       |  SELECT lang, token, count(*) AS cnt FROM tok GROUP BY lang, token
+       |), profiles AS (
+       |  SELECT lang, token FROM (
+       |    SELECT lang, token, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rn
+       |    FROM counts) t WHERE rn <= 20
+       |), doctok AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS token FROM documents
+       |), ovl AS (
+       |  SELECT d.doc_id, p.lang, count(*) AS overlap
+       |  FROM doctok d JOIN profiles p ON d.token = p.token
+       |  GROUP BY d.doc_id, p.lang
+       |), best AS (
+       |  SELECT doc_id, lang AS pred_lang FROM (
+       |    SELECT doc_id, lang,
+       |           row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, lang ASC) AS rn
+       |    FROM ovl) t WHERE rn = 1
+       |), tric AS (
+       |  SELECT lang, unnest($tri) AS h FROM documents
+       |), ccnt AS (SELECT lang, h, count(*) AS cnt FROM tric GROUP BY lang, h
+       |), cprof AS (
+       |  SELECT lang, h FROM (
+       |    SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, h ASC) AS rn
+       |    FROM ccnt) t WHERE rn <= 30
+       |), doctri AS (
+       |  SELECT doc_id, unnest(list_distinct($tri)) AS h FROM documents
+       |), covl AS (
+       |  SELECT d.doc_id, p.lang, count(*) AS overlap
+       |  FROM doctri d JOIN cprof p ON d.h = p.h GROUP BY d.doc_id, p.lang
+       |), cbest AS (
+       |  SELECT doc_id, lang AS pred_lang FROM (
+       |    SELECT doc_id, lang,
+       |           row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, lang ASC) AS rn
+       |    FROM covl) t WHERE rn = 1
+       |)
+       |SELECT pred_word, pred_char, n, n_word_correct, n_char_correct,
+       |       pred_word = pred_char AS agree
+       |FROM (
+       |  SELECT w.pred_lang AS pred_word, c.pred_lang AS pred_char,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN doc.lang = w.pred_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_word_correct,
+       |    CAST(SUM(CASE WHEN doc.lang = c.pred_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_char_correct
+       |  FROM best w JOIN cbest c ON c.doc_id = w.doc_id
+       |  JOIN documents doc ON doc.doc_id = w.doc_id
+       |  GROUP BY w.pred_lang, c.pred_lang) t
+       |ORDER BY pred_word, pred_char""".stripMargin
+  }
+
+  // ---- filter agreement: Cohen's kappa between two quality gates -----------
+  /** Do the Gopher rules and the DSIR importance gate agree beyond
+    * chance? Cohen's kappa over their boolean keep decisions, carried
+    * entirely in exact integers: po/pe as permille (truncating DIV),
+    * kappa reported as (κ+1)·1000 permille so the numerator stays
+    * non-negative (truncating integer division is floor-vs-zero
+    * ambiguous across engines only for negative operands — the offset
+    * removes the case rather than trusting either engine; the quantized
+    * value can exceed the exact κ+1 ceiling of 2000 slightly when po is
+    * high and pe truncates down — it is a deterministic quantization,
+    * not a probability). pe's
+    * marginal products reach n²·1000, so the plan raises loudly past
+    * n = 9·10⁷ rather than wrapping (same envelope style as
+    * collocations). */
+  def evalQualityKappa(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val g = SequenceQueries.gopherTable(docs)
+      .select(col("doc_id"), col("keep_gopher").as("keep_g"))
+    val ds = TextAnalysis.dsirScore(docs.filter(col("lang") === "en"), docs,
+        "doc_id", "text", DsirBuckets)
+      .select(col("doc_id"), col("keep").as("keep_d"))
+    val c = g.join(ds, "doc_id").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("keep_g") && col("keep_d"), 1L).otherwise(0L)).as("n11"),
+      sum(when(col("keep_g") && !col("keep_d"), 1L).otherwise(0L)).as("n10"),
+      sum(when(!col("keep_g") && col("keep_d"), 1L).otherwise(0L)).as("n01"),
+      sum(when(!col("keep_g") && !col("keep_d"), 1L).otherwise(0L)).as("n00"))
+    c.withColumn("n",
+        when(col("n") > lit(90000000L),
+          raise_error(concat(
+            lit("eval_quality_kappa: n^2 * 1000 overflows 64 bits (n="),
+            col("n").cast("string"), lit(")"))))
+          .otherwise(col("n")))
+      .withColumn("po_permille", expr("(n11+n00)*1000 DIV n"))
+      .withColumn("pe_permille",
+        expr("((n11+n10)*(n11+n01) + (n00+n01)*(n00+n10))*1000 DIV (n*n)"))
+      .withColumn("kappa_plus1_permille",
+        expr("CASE WHEN pe_permille = 1000 THEN 2000L" +
+          " ELSE (po_permille - pe_permille + 1000)*1000 DIV (1000 - pe_permille) END"))
+  }
+  val evalQualityKappaSql: String = {
+    val P = graft.operators.Dedup.HashMod
+    s"""WITH gcnt AS (
+       |  SELECT doc_id, t, COUNT(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents) x
+       |  GROUP BY doc_id, t
+       |), g AS (
+       |  SELECT doc_id,
+       |    (SUM(cnt) BETWEEN 10 AND 100000)
+       |      AND (CAST(SUM(length(t)*cnt) AS DOUBLE) / SUM(cnt) BETWEEN 2.0 AND 10.0)
+       |      AND CAST(SUM(CASE WHEN regexp_matches(t, '[a-z]') THEN cnt ELSE 0 END) AS DOUBLE) / SUM(cnt) >= 0.8
+       |      AND CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) <= 0.2
+       |      AND CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS DOUBLE) / SUM(cnt) <= 0.6
+       |      AS keep_g
+       |  FROM gcnt GROUP BY doc_id
+       |), dtoks AS (
+       |  SELECT doc_id, lang, list_transform(string_split(trim(text), ' '),
+       |    s -> list_reduce(list_transform(string_split(s,''), c -> CAST(ascii(c) AS BIGINT)),
+       |      (acc, x) -> (acc*31 + x) % $P)) AS th
+       |  FROM documents
+       |), df0 AS (
+       |  SELECT doc_id, lang,
+       |    unnest(CASE WHEN len(th) >= 2 THEN list_transform(range(0, len(th)-1),
+       |      i -> list_reduce(th[i+1:i+2], (a,b) -> (a*131 + b) % $P) % $DsirBuckets)
+       |      ELSE [] END) AS b
+       |  FROM dtoks
+       |), dtc AS (SELECT b, COUNT(*) AS ct FROM df0 WHERE lang = 'en' GROUP BY b
+       |), drc AS (SELECT b, COUNT(*) AS cr FROM df0 GROUP BY b
+       |), dtot AS (
+       |  SELECT (SELECT COUNT(*) FROM df0 WHERE lang = 'en') AS nt,
+       |         (SELECT COUNT(*) FROM df0) AS nr
+       |), dw AS (
+       |  SELECT drc.b, COALESCE(dtc.ct, 0) * nr - drc.cr * nt AS w
+       |  FROM drc LEFT JOIN dtc USING (b) CROSS JOIN dtot
+       |), dper AS (
+       |  SELECT df0.doc_id, CAST(SUM(COALESCE(dw.w, 0)) AS BIGINT) AS weight
+       |  FROM df0 LEFT JOIN dw USING (b) GROUP BY df0.doc_id
+       |), ds AS (
+       |  SELECT d.doc_id, COALESCE(dper.weight, 0) > 0 AS keep_d
+       |  FROM documents d LEFT JOIN dper ON dper.doc_id = d.doc_id
+       |), c AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN keep_g AND keep_d THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+       |    CAST(SUM(CASE WHEN keep_g AND NOT keep_d THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+       |    CAST(SUM(CASE WHEN NOT keep_g AND keep_d THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+       |    CAST(SUM(CASE WHEN NOT keep_g AND NOT keep_d THEN 1 ELSE 0 END) AS BIGINT) AS n00
+       |  FROM g JOIN ds USING (doc_id)
+       |), p AS (
+       |  SELECT n, n11, n10, n01, n00,
+       |    (n11+n00)*1000 // n AS po_permille,
+       |    ((n11+n10)*(n11+n01) + (n00+n01)*(n00+n10))*1000 // (n*n) AS pe_permille
+       |  FROM c
+       |)
+       |SELECT n, n11, n10, n01, n00, po_permille, pe_permille,
+       |  CASE WHEN pe_permille = 1000 THEN 2000
+       |       ELSE (po_permille - pe_permille + 1000)*1000 // (1000 - pe_permille) END
+       |    AS kappa_plus1_permille
+       |FROM p""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "quality_ensemble_rrf" -> (qualityEnsembleRrf _),
+    "eval_langid_confusion" -> (evalLangidConfusion _),
+    "eval_quality_kappa" -> (evalQualityKappa _),
     "vocab_coverage" -> (vocabCoverage _),
     "quality_calibration" -> (qualityCalibration _),
     "select_pareto" -> (selectPareto _),
@@ -1999,6 +2288,9 @@ object TextQueries {
     "text_fingerprint" -> (textFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "quality_ensemble_rrf" -> qualityEnsembleRrfSql,
+    "eval_langid_confusion" -> evalLangidConfusionSql,
+    "eval_quality_kappa" -> evalQualityKappaSql,
     "quality_calibration" -> qualityCalibrationSql,
     "vocab_coverage" -> vocabCoverageSql,
     "select_pareto" -> selectParetoSql,

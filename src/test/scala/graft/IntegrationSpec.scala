@@ -119,4 +119,18 @@ class IntegrationSpec extends AnyFunSuite {
     q.stop()
     assert(out.length == 2 && out.forall(_.getString(0) == "itemA"))
   }
+
+  test("U2/U4 set-op law: churn ∪ retention partitions the 1995 actives") {
+    val s = spark
+    val d = "/root/testdata/sf0.001"
+    val churn = graft.queries.InventoryQueries.u2Except(s, d)
+      .collect().map(_.getLong(0)).toSet
+    val retained = graft.queries.InventoryQueries.u4Intersect(s, d)
+      .collect().map(_.getLong(0)).toSet
+    val actives95 = graft.Tables.orders(s, d)
+      .filter(org.apache.spark.sql.functions.year(col("o_orderdate")) === 1995)
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    assert((churn intersect retained).isEmpty)
+    assert((churn union retained) == actives95)
+  }
 }

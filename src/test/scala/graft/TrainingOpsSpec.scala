@@ -1274,4 +1274,53 @@ class TrainingOpsSpec extends AnyFunSuite {
       (2L, 1L, 4L, 36L), (2L, 2L, 2L, 11L),
       (3L, 1L, 4L, 36L), (3L, 2L, 2L, 11L), (3L, 3L, 3L, 10L)))
   }
+
+  test("rrfFuse: pooled ranks, integer micro-RRF, absence contributes 0") {
+    val s = spark
+    import s.implicits._
+    // signal a ranks: 1→1, 2→2 (3 misses the pool at k=2);
+    // signal b ranks: 3→1, 1→2 (score tie at 7 broken by id: 1 before 2)
+    val a = Seq((1L, 10L), (2L, 8L), (3L, 5L)).toDF("doc_id", "score")
+    val b = Seq((1L, 7L), (2L, 7L), (3L, 9L)).toDF("doc_id", "score")
+    val out = TextAnalysis.rrfFuse(Seq("a" -> a, "b" -> b),
+        "doc_id", "score", poolK = 2, c = 60)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3)), r.getLong(1))).toMap
+    assert(out(1L) == ((1, 2), 1000000L / 61 + 1000000L / 62))
+    assert(out(2L) == ((2, 0), 1000000L / 62)) // absent from b's pool
+    assert(out(3L) == ((0, 1), 1000000L / 61))
+  }
+
+  test("eval_quality_kappa: cells partition n; kappa replays in exact integers") {
+    val r = graft.queries.TextQueries
+      .evalQualityKappa(spark, "/root/testdata/sf0.001").collect()
+    assert(r.length == 1)
+    val row = r.head
+    val Seq(n, n11, n10, n01, n00, po, pe, k1) =
+      (0 to 7).map(row.getLong(_))
+    assert(n11 + n10 + n01 + n00 == n && n > 0)
+    assert(po == (n11 + n00) * 1000 / n)
+    assert(pe == ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) * 1000 / (n * n))
+    assert(k1 == (if (pe == 1000) 2000L else (po - pe + 1000) * 1000 / (1000 - pe)))
+    // quantized form: po=1000 with pe truncated DOWN reads slightly above
+    // the exact κ+1 ceiling of 2000 (1000 + 10⁶/(1000−pe)) — bounded by
+    // the replay equality above, not by the exact-κ range
+    assert(k1 >= 0)
+  }
+
+  test("eval_langid_confusion: agree iff diagonal; correct counts bounded by n") {
+    val rows = graft.queries.TextQueries
+      .evalLangidConfusion(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, c, n) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(r.getBoolean(5) == (w == c))
+      assert(r.getLong(3) <= n && r.getLong(4) <= n && n > 0)
+      // a cell's word-side hits can only exist when actual == pred_word,
+      // which pins the diagonal cells' n_word_correct to n_char_correct
+      // equality direction: on the diagonal both predictors name the
+      // same lang, so the two counts must coincide
+      if (w == c) assert(r.getLong(3) == r.getLong(4))
+    }
+  }
 }
