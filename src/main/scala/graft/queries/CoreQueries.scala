@@ -46,6 +46,52 @@ object CoreQueries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // ---- Q3: shipping priority — the classic star join + top-k -------------
+  /** TPC-H Q3 shape over the testdata tables: filtered customer dim
+    * (broadcasts — ~300 rows per segment) × date-filtered orders ×
+    * ship-date-filtered lineitem, revenue per order as an EXACT
+    * DECIMAL(12,2) sum cast to double at the very end (the q1
+    * discipline: addition-order independence, identical IEEE doubles
+    * from identical decimals on both engines), then global top-10 by
+    * (revenue desc, orderkey) — Spark plans orderBy+limit as
+    * TakeOrderedAndProject (per-partition top-10 then a 10-row driver
+    * merge), never a global sort. Both date filters reach the parquet
+    * scans as pushed predicates. */
+  def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: String) => col(c).cast("decimal(12,2)")
+    val cut = lit("1998-06-01 00:00:00").cast("timestamp")
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec("l_extendedprice") *
+          (lit(1).cast("decimal(12,2)") - dec("l_discount")))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+  val q3ShippingPrioritySql: String =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
   // ---- W1: latest row per key (single-shuffle max(struct) agg) -----------
   def w1LatestEventPerUser(s: SparkSession, d: String): DataFrame =
     Relational.latestPerKey(
@@ -808,6 +854,7 @@ object CoreQueries {
     "a20_winsorize" -> (a20Winsorize _),
     "j11_interval_join" -> (j11IntervalJoin _),
     "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
     "snapshot_diff" -> (snapshotDiff _),
     "snapshot_restore" -> (snapshotRestore _),
     "snapshot_delete_rows" -> (snapshotDeleteRows _),
@@ -833,6 +880,7 @@ object CoreQueries {
     "a20_winsorize" -> a20WinsorizeSql,
     "j11_interval_join" -> j11IntervalJoinSql,
     "q1_pricing_summary" -> q1PricingSummarySql,
+    "q3_shipping_priority" -> q3ShippingPrioritySql,
     "snapshot_diff" -> snapshotDiffSql,
     "snapshot_restore" -> snapshotRestoreSql,
     "snapshot_delete_rows" -> snapshotDeleteRowsSql,

@@ -594,6 +594,18 @@ class PlanAuditSpec extends AnyFunSuite {
       "rolling serve must not scan the fact table")
   }
 
+  test("q3_shipping_priority: customer dim broadcasts, both date filters " +
+    "push to the parquet scans, top-10 is TakeOrdered not a global sort") {
+    val p = plan("q3_shipping_priority")
+    assert(countOf(p, "BroadcastHashJoin") >= 1, p)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must plan as TakeOrderedAndProject:\n$p")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("LessThan(o_orderdate") &&
+      pushed.contains("GreaterThan(l_shipdate"),
+      s"date predicates must reach the scans, got: $pushed")
+  }
+
   test("global sweep: no query plans an unbroadcast cartesian product") {
     // crossJoin against a broadcast side plans as BroadcastNestedLoopJoin
     // (fine — one side is tiny by construction); a CartesianProduct node
