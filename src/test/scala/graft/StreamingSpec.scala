@@ -1199,6 +1199,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(hits.contains(100L), s"streamed vector must be probe-reachable, got $hits")
   }
 
+  test("indexAppendStream: trigram substring leg stays query-fresh; " +
+    "serve ≡ batch rebuild over the union corpus") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    import graft.operators.Search
+    val standing = Seq((0L, "data stream processing"),
+      (1L, "weather report tonight")).toDF("doc_id", "text")
+    val path = tmp("tri_stream_idx")
+    Search.writeTrigramIndex(standing, "doc_id", "text", Nil, path)
+    val in = MemoryStream[LshDoc]
+    val q = Streams.indexAppendStream(in.toDF(), tmp("tri_stream_ckpt")) {
+      (sp, b) => Search.appendTrigramIndex(sp, b, "doc_id", "text", Nil, path)
+    }
+    in.addData(LshDoc(10L, "the data streamer arrives"))
+    q.processAllAvailable()
+    in.addData(LshDoc(11L, "more weather data streaming in"),
+      LshDoc(10L, "the data streamer arrives")) // verbatim re-delivery no-ops
+    q.processAllAvailable()
+    q.stop()
+    // the needle crosses a token boundary — the case no tokenized index
+    // can answer, and exactly what the trigram leg must keep fresh
+    val served = Search.substringIndexLookup(s, path, "ta str", "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rebuiltPath = tmp("tri_rebuild_idx")
+    Search.writeTrigramIndex(standing.union(Seq(
+        (10L, "the data streamer arrives"),
+        (11L, "more weather data streaming in")).toDF("doc_id", "text")),
+      "doc_id", "text", Nil, rebuiltPath)
+    val rebuilt = Search.substringIndexLookup(s, rebuiltPath, "ta str",
+        "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(served == rebuilt, s"streamed index diverged: $served vs $rebuilt")
+    assert(served == Set(0L, 10L, 11L), s"expected both streamed docs: $served")
+  }
+
   test("indexAppendStream: phrase leg — a streamed doc becomes phrase-" +
     "searchable, replays no-op, streamed equals a batch rebuild") {
     val s = spark
