@@ -347,7 +347,12 @@ object Bench {
       // the max suffix-block row count per scale (the per-block pair
       // cost driver, ~n/(|segments|·100) against dense decimal ids), so
       // the artifact shows WHERE the quadratic term lives as n grows.
-      val linkageRows = Seq("j12_entity_resolve", "j14_entity_dual")
+      // j17 rides the same curve as j14 deliberately: both are complete
+      // at distance 1 against the same unblocked oracle, so the pair of
+      // rows IS the scaling-law comparison (suffix-block occupancy grows
+      // with n; deletion-variant occupancy is alphabet-bounded)
+      val linkageRows = Seq("j12_entity_resolve", "j14_entity_dual",
+        "j17_entity_symdel")
         .map { qn =>
           val fn = SparkEntry.queries(qn)
           qn -> dirs.map { case (n, dir) =>

@@ -463,6 +463,70 @@ object Relational {
     (minLen - best, best)
   }
 
+  /** COMPLETE-recall fuzzy linkage at edit distance 1 via DELETION-
+    * ALGEBRA blocking — the SymSpell idea (Garbe 2012), lifted from term
+    * lookup ([[graft.operators.Search.writeSymDelIndex]]) to record
+    * linkage: two strings are within edit distance 1 IFF their deletion
+    * neighborhoods intersect, where the neighborhood of s is {s} ∪
+    * {s with one char deleted}. Proof by case: equal names share the
+    * identity variant; a substitution at position i makes both names'
+    * deletion-at-i variants coincide; an insertion/deletion pair makes
+    * the longer name's deletion at the inserted position equal the
+    * shorter name's identity. So blocking on (segment, variant) and
+    * confirming with levenshtein is LOSSLESS at distance 1 — the same
+    * theorem-grade completeness as [[fuzzyLinkDual]], with a different
+    * cost SHAPE: ~(len+1) variant rows per name, and a variant's block
+    * holds only the names one edit away from a fixed string — against
+    * decimal payloads that is ≤ ~10·len names per block (alphabet-
+    * bounded) REGARDLESS of corpus size, where the dual block's suffix
+    * half holds ~n/(|segments|·10^suffixLen) and fills as n grows (the
+    * r11 scaling curve's one superlinear row). Total pair work is
+    * therefore linear in n on dense-key corpora. The per-variant pair
+    * budget still raises loudly under `failOnCap` (a corpus of one
+    * repeated name puts all n rows in the identity variant's block — no
+    * blocking scheme saves a degenerate key, and this one says so
+    * in-plan). Pairs sharing several variants dedup BEFORE the
+    * levenshtein confirm, so each candidate pair is scored once.
+    * Output matches [[fuzzyLink]]: (id_a, id_b, name_a, name_b, dist). */
+  def fuzzyLinkSymDel(df: DataFrame, idCol: String, nameCol: String,
+                      segCol: Column,
+                      maxPairs: Long = MaxPairsDefault,
+                      failOnCap: Boolean = false): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(nameCol).as("name"),
+      segCol.as("seg"))
+    // i = 0 → identity variant; i in 1..len → deletion at position i
+    val variants = base
+      .select(col("id"), col("name"), col("seg"),
+        explode(sequence(lit(0), length(col("name")))).as("i"))
+      .select(col("id"), col("name"),
+        concat_ws("|", col("seg"),
+          when(col("i") === 0, col("name"))
+            .otherwise(expr(
+              "concat(substring(name, 1, i - 1), substring(name, i + 1, length(name)))")))
+          .as("bk"))
+    val guarded =
+      if (failOnCap) {
+        val counts = variants.groupBy(col("bk")).agg(count(lit(1)).as("bn"))
+        variants.join(counts, Seq("bk"))
+          .withColumn("name",
+            when(col("bn") * (col("bn") - 1L) / 2L > lit(maxPairs),
+              raise_error(concat(
+                lit(s"fuzzyLinkSymDel: variant pair count exceeded maxPairs=$maxPairs (bk="),
+                col("bk").cast("string"), lit(", rows="),
+                col("bn").cast("string"),
+                lit(") — a degenerate repeated key; dedup names first"))))
+              .otherwise(col("name")))
+          .drop("bn")
+      } else variants
+    guarded.as("a").join(guarded.as("b"), Seq("bk"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 1)
+  }
+
   /** Sorted-neighborhood record linkage (Hernández & Stolfo, "The
     * Merge/Purge Problem for Large Databases", SIGMOD 1995) — the THIRD
     * classic blocking scheme next to [[fuzzyLink]]'s equality blocks and

@@ -253,6 +253,45 @@ object DataQualityQueries {
       |FROM lbl l JOIN sizes ON sizes.rep = l.rep JOIN cust c2 ON c2.cid = l.rep
       |ORDER BY cid""".stripMargin
 
+  // ---- entity resolution, COMPLETE recall via deletion-algebra blocking ----
+  /** [[j14EntityDual]]'s claim — blocked recall ≡ naive-O(n²) recall at
+    * edit distance 1 — reached through a THIRD route with a different
+    * scaling law: SymSpell deletion-neighborhood blocking
+    * ([[graft.operators.Relational.fuzzyLinkSymDel]]). Where the dual
+    * block's suffix half fills as n grows (~n/(|segments|·100) rows per
+    * block — the r11 scaling curve's one superlinear row, 33.7× time at
+    * 20× rows), a deletion variant's block holds only the names ONE edit
+    * from a fixed string — alphabet-bounded (≤ ~10·len on decimal
+    * payloads) at ANY corpus size, so total pair work is linear in n.
+    * Storage trades for it: ~(len+1) variant rows per name, the
+    * standing-index shape the SymSpell term index already pays. Same
+    * deliberately UNblocked oracle as j14 — neither route's gap can
+    * self-confirm, and the two engines' routes are maximally different
+    * (variant explode + hash join vs naive cross product). Downstream
+    * identical to j12/j14: checkpointed closure, member counts, golden
+    * name. */
+  def j17EntitySymdel(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("cid"), col("c_name"))
+    val pairs = Relational.fuzzyLinkSymDel(
+      Tables.customer(s, d).withColumnRenamed("c_custkey", "cid"),
+      "cid", "c_name", col("c_mktsegment"), failOnCap = true)
+      .select(col("id_a"), col("id_b"))
+    val comps = graft.operators.Dedup.connectedComponents(
+      cust.select(col("cid").as("id")), pairs)
+    val sizes = comps.groupBy(col("rep")).agg(count(lit(1)).as("n_members"))
+    comps.join(sizes, "rep")
+      .join(cust.select(col("cid").as("rep"), col("c_name").as("golden_name")),
+        "rep")
+      .select(col("id").as("cid"), col("rep").as("entity_rep"),
+        col("n_members"), col("golden_name"))
+      .orderBy(col("cid"))
+  }
+
+  /** Same unblocked exhaustive statement as [[j14Sql]] — the graded claim
+    * is again that LOSSLESS blocking equals no blocking at all. */
+  val j17Sql: String = j14Sql
+
   // ---- sequence continuity: missing-id runs --------------------------------
   /** Gaps in the event_id sequence of the non-error event stream (error
     * ids are the planted holes — the generator's ids are dense, so the
@@ -652,7 +691,8 @@ object DataQualityQueries {
     "dq_independence" -> (dqIndependence _),
     "j10_fuzzy_link" -> (j10FuzzyLink _),
     "j12_entity_resolve" -> (j12EntityResolve _),
-    "j14_entity_dual" -> (j14EntityDual _))
+    "j14_entity_dual" -> (j14EntityDual _),
+    "j17_entity_symdel" -> (j17EntitySymdel _))
 
   val oracle: Map[String, String] = Map(
     "j15_sorted_neighborhood" -> j15Sql,
@@ -667,5 +707,6 @@ object DataQualityQueries {
     "dq_independence" -> dqIndependenceSql,
     "j10_fuzzy_link" -> j10Sql,
     "j12_entity_resolve" -> j12Sql,
-    "j14_entity_dual" -> j14Sql)
+    "j14_entity_dual" -> j14Sql,
+    "j17_entity_symdel" -> j17Sql)
 }

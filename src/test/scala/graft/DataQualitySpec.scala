@@ -273,6 +273,55 @@ class DataQualitySpec extends AnyFunSuite {
     assert(ex.getMessage.contains("completeness"), ex.getMessage)
   }
 
+  test("fuzzyLinkSymDel: deletion-neighborhood blocking equals the naive " +
+    "exhaustive distance-1 pair set — with no length precondition at all") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, levenshtein, lit}
+    import graft.operators.Relational
+    // the dual-block fixture PLUS the short name the dual block must
+    // reject (length < split sum) — deletion algebra has no such class:
+    // completeness holds at any length, which is exactly the advantage
+    val cust = Seq(
+      (1L, "Customer#000000001", "SEG1"),  // base
+      (2L, "Customer#000000009", "SEG1"),  // substitution, last char
+      (3L, "Custxmer#000000001", "SEG1"),  // substitution, char 5
+      (5L, "Customer#000010001", "SEG1"),  // substitution, char 14
+      (7L, "Customer#00000001",  "SEG1"),  // deletion (len 17)
+      (8L, "ustomer#000000001",  "SEG1"),  // deletion at char 1
+      (9L, "Customer#000000001", "SEG2"),  // same name, other segment: no
+      (10L, "Cxstxmxr#000000001", "SEG1"), // dist >= 2: candidate via
+                                           //   shared deletions? no — every
+                                           //   variant differs; never paired
+      (90L, "Customer#0000001", "SEG1"),   // 16 chars: dual-block-UNSAFE
+      (91L, "Customer#0000011", "SEG1")    //   length, dist 1 from 90
+    ).toDF("cid", "c_name", "seg")
+    val got = Relational.fuzzyLinkSymDel(cust, "cid", "c_name", col("seg"),
+        failOnCap = true)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = cust.as("a").join(cust.as("b"),
+        col("a.seg") === col("b.seg") && col("a.cid") < col("b.cid") &&
+          levenshtein(col("a.c_name"), col("b.c_name")) <= 1)
+      .select(col("a.cid"), col("b.cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive, s"blocked must equal exhaustive:\n got  $got\n want $naive")
+    assert(got.contains((90L, 91L)),
+      "the short-name pair the dual block must REJECT links fine here")
+    assert(got.contains((1L, 7L)) && got.contains((1L, 8L)), "indel pairs")
+    assert(!got.exists(p => p._1 == 9L || p._2 == 9L), "segment respected")
+    assert(!got.exists(p => p._1 == 10L || p._2 == 10L), "dist-2 killed")
+    // degenerate repeated key: all rows in the identity variant's block —
+    // the pair budget raises in-plan instead of going quadratic silently
+    val hot = (1L to 10L).map(i => (i, "SameName#0001", "SEG1"))
+      .toDF("cid", "c_name", "seg")
+    val ex = intercept[Exception] {
+      Relational.fuzzyLinkSymDel(hot, "cid", "c_name", col("seg"),
+        maxPairs = 10L, failOnCap = true).count()
+    }
+    assert(ex.getMessage.contains("maxPairs"), ex.getMessage)
+  }
+
   test("dual-block UNSAFE short-name class raises instead of silently " +
     "missing: equal-length names below the split sum differing at the " +
     "prefix/suffix overlap position break BOTH keys") {
