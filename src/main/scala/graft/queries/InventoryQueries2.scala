@@ -819,6 +819,41 @@ object InventoryQueries2 {
       |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---- A24: UNPIVOT — wide metrics melted back to long -------------------
+  /** a17's inverse verb: a per-day wide metric row (order count, distinct
+    * customers, exact total cents) melted to (day, metric, value) long
+    * form — the shape metric stores and ML feature tables ingest. Spark's
+    * native `unpivot` (Expand under the hood: one pass, rows×metrics
+    * output, no shuffle beyond the source agg); money goes through
+    * DECIMAL(12,2)·100 → BIGINT cents so the melted value column can be
+    * one exact integer type across heterogeneous metrics. Oracle states
+    * the UNION ALL arms the Expand must equal. */
+  def a24Unpivot(s: SparkSession, d: String): DataFrame = {
+    val wide = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        sum(col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("total_cents"))
+    wide.unpivot(
+        Array(col("day")),
+        Array(col("n_orders"), col("n_customers"), col("total_cents")),
+        "metric", "value")
+      .orderBy(col("day"), col("metric"))
+  }
+  val a24Sql: String =
+    """WITH d AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS total_cents
+      |  FROM orders GROUP BY 1)
+      |SELECT day, metric, value FROM (
+      |  SELECT day, 'n_orders' AS metric, n_orders AS value FROM d
+      |  UNION ALL SELECT day, 'n_customers', n_customers FROM d
+      |  UNION ALL SELECT day, 'total_cents', total_cents FROM d) u
+      |ORDER BY day, metric""".stripMargin
+
   // ---- J9: cross-modal join (documents ⋈ embeddings by id) -----------------
   /** The multimodal-lake join: text row + its embedding row in one pass;
     * adds the embedding norm and the doc's token count — the shape a
@@ -847,6 +882,7 @@ object InventoryQueries2 {
 
   val defs: Map[String, Q] = Map(
     "a17_pivot" -> (a17Pivot _),
+    "a24_unpivot" -> (a24Unpivot _),
     "j9_cross_modal" -> (j9CrossModal _),
     "a15_rollup" -> (a15Rollup _),
     "a21_cube" -> (a21Cube _),
@@ -881,6 +917,7 @@ object InventoryQueries2 {
 
   val oracle: Map[String, String] = Map(
     "a17_pivot" -> a17Sql,
+    "a24_unpivot" -> a24Sql,
     "j9_cross_modal" -> j9Sql,
     "a15_rollup" -> a15Sql,
     "a21_cube" -> a21Sql,

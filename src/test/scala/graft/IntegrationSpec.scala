@@ -133,4 +133,15 @@ class IntegrationSpec extends AnyFunSuite {
     assert((churn intersect retained).isEmpty)
     assert((churn union retained) == actives95)
   }
+
+  test("A24 unpivot law: 3 metric rows per day; melted values conserve the wide totals") {
+    val s = spark
+    val d = "/root/testdata/sf0.001"
+    val long = graft.queries.InventoryQueries2.a24Unpivot(s, d).collect()
+    val days = long.map(_.getDate(0)).distinct.length
+    assert(long.length == days * 3, s"expected 3 metrics per day: ${long.length} vs $days days")
+    val orderTotal = long.filter(_.getString(1) == "n_orders").map(_.getLong(2)).sum
+    assert(orderTotal == graft.Tables.orders(s, d).count(),
+      "melted n_orders must conserve the order count")
+  }
 }
