@@ -24,13 +24,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * dirs; stores that mutate (PartitionedStore versions, index dirs)
   * resolve their own paths and never go through this cache. */
 object Tables {
+  /** Cache bound: one Verify/Bench session touches well under 100
+    * (dir, table) keys, but a long-lived multi-session service would
+    * otherwise accumulate resolved plans (each pinning its session)
+    * without limit. LRU by ACCESS order so the hot suite keys survive
+    * churn; java LinkedHashMap's removeEldestEntry is the eviction
+    * hook, and every read goes through one lock — planning-path
+    * frequency (a few hundred lookups per suite), not per-row. */
+  private[graft] val MaxResolved = 256
   private val resolved =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, String), DataFrame]): Boolean =
+        size() > MaxResolved
+    }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    resolved.computeIfAbsent(
-      (spark, dir, name),
-      _ => spark.read.parquet(s"$dir/$name.parquet"))
+    resolved.synchronized {
+      val k = (spark, dir, name)
+      val hit = resolved.get(k)
+      if (hit != null) hit
+      else {
+        val df = spark.read.parquet(s"$dir/$name.parquet")
+        resolved.put(k, df)
+        df
+      }
+    }
+
+  private[graft] def cachedCount: Int = resolved.synchronized(resolved.size())
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -380,6 +380,39 @@ object Dedup {
       .filter(col("cont_ppm") >= thresholdPpm)
   }
 
+  /** Symmetric LOW-OVERLAP candidate mining: pairs sharing at least
+    * `minShared` distinct shingles whose document frequency lies in
+    * [dfMin, dfMax] — the "weak tie" graph that jaccard-thresholded
+    * near-dup mining structurally cannot produce (on a corpus whose
+    * duplicates are clique-forming copies, every jaccard graph closes
+    * all its wedges; the count-threshold graph keeps chains A–B–C with
+    * A,C unlinked, which is what link prediction ranks). Plain inverted
+    * index: explode shingles, df-window, self-join on the shingle, count
+    * per pair. The df WINDOW is the scale contract — df ≤ dfMax bounds
+    * pair generation at Σ_h C(df_h,2) ≤ postings·dfMax/2, LINEAR in
+    * corpus size for a constant cap (boilerplate shingles that would
+    * square are excluded by construction, and df < dfMin ones cannot
+    * pair at all); unlike [[containmentPairs]]' lossless-prefix claim
+    * this op's df window IS its stated semantics, so the oracle models
+    * the same window and no failOnCap arm is needed.
+    * Output: (id_a < id_b, shared ≥ minShared). */
+  def overlapPairs(df: DataFrame, idCol: String, textCol: String,
+                   minShared: Int, dfMin: Int = 2, dfMax: Int = 20): DataFrame = {
+    require(minShared >= 1 && dfMin >= 2 && dfMax >= dfMin,
+      s"bad overlap window: minShared=$minShared df=[$dfMin,$dfMax]")
+    val post = shingleTable(df, idCol, textCol)
+      .select(col("id"), explode(col("sh")).as("h"))
+    val window = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= lit(dfMin.toLong) && col("df") <= lit(dfMax.toLong))
+      .select(col("h"))
+    val kept = post.join(window, "h")
+    kept.as("a").join(kept.as("b"), Seq("h"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Incremental near-dup check: ONLY the incoming batch against the
     * standing corpus (plus nothing within either side) — the production
     * shape of corpus maintenance, where re-deduping 100 TB on every

@@ -494,20 +494,28 @@ object Relational {
                       failOnCap: Boolean = false): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(nameCol).as("name"),
       segCol.as("seg"))
-    // i = 0 → identity variant; i in 1..len → deletion at position i
+    // i = 0 → identity variant; i in 1..len → deletion at position i.
+    // The block key is the TWO-column pair (seg, variant), never a
+    // delimited concat: concat_ws("|", seg, variant) collides across
+    // segments when a segment or name contains the delimiter
+    // (seg="A", variant="B|C" vs seg="A|B", variant="C"), and the
+    // final levenshtein<=1 confirm does not recheck segment equality —
+    // such a collision would emit a cross-segment pair the unblocked
+    // oracle excludes (latent on delimiter-bearing corpora; pinned in
+    // RelationalSpec).
     val variants = base
       .select(col("id"), col("name"), col("seg"),
         explode(sequence(lit(0), length(col("name")))).as("i"))
-      .select(col("id"), col("name"),
-        concat_ws("|", col("seg"),
-          when(col("i") === 0, col("name"))
-            .otherwise(expr(
-              "concat(substring(name, 1, i - 1), substring(name, i + 1, length(name)))")))
+      .select(col("id"), col("name"), col("seg"),
+        when(col("i") === 0, col("name"))
+          .otherwise(expr(
+            "concat(substring(name, 1, i - 1), substring(name, i + 1, length(name)))"))
           .as("bk"))
     val guarded =
       if (failOnCap) {
-        val counts = variants.groupBy(col("bk")).agg(count(lit(1)).as("bn"))
-        variants.join(counts, Seq("bk"))
+        val counts = variants.groupBy(col("seg"), col("bk"))
+          .agg(count(lit(1)).as("bn"))
+        variants.join(counts, Seq("seg", "bk"))
           .withColumn("name",
             when(col("bn") * (col("bn") - 1L) / 2L > lit(maxPairs),
               raise_error(concat(
@@ -518,7 +526,7 @@ object Relational {
               .otherwise(col("name")))
           .drop("bn")
       } else variants
-    guarded.as("a").join(guarded.as("b"), Seq("bk"))
+    guarded.as("a").join(guarded.as("b"), Seq("seg", "bk"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.name").as("name_a"), col("b.name").as("name_b"))
@@ -552,17 +560,25 @@ object Relational {
     *    equality — shuffle on a dense integer key, no cartesian, no
     *    sort-merge range scan.
     * Output: (id_a, id_b, name_a, name_b, dist) with id_a the LOWER-RANK
-    * side, pairs unique by construction (ranks are unique). */
+    * side, pairs unique by construction (ranks are unique).
+    *
+    * `sortKey` (an expression over the caller's columns, default the
+    * name itself) is the Hernández–Stolfo seam: each multi-pass run
+    * re-sorts by a ROTATED key so a true pair far apart under one key
+    * gets a second chance under another — see
+    * [[sortedNeighborhoodMulti]]. */
   def sortedNeighborhood(df: DataFrame, idCol: String, nameCol: String,
                          window: Int, maxDist: Int,
-                         nRanges: Int = 32): DataFrame = {
+                         nRanges: Int = 32,
+                         sortKey: Option[Column] = None): DataFrame = {
     require(window >= 1, s"window must be positive: $window")
-    val parts = df.select(col(idCol).as("id"), col(nameCol).as("name"))
-      .repartitionByRange(nRanges, col("name"), col("id"))
+    val parts = df.select(col(idCol).as("id"), col(nameCol).as("name"),
+        sortKey.getOrElse(col(nameCol)).as("_sk"))
+      .repartitionByRange(nRanges, col("_sk"), col("id"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint() // rank + offsets must see the same boundaries
     try {
-      val w = Window.partitionBy(col("pid")).orderBy(col("name"), col("id"))
+      val w = Window.partitionBy(col("pid")).orderBy(col("_sk"), col("id"))
       val wo = Window.orderBy(col("pid"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = broadcast(parts.groupBy(col("pid"))
@@ -585,6 +601,39 @@ object Relational {
           col("dist"))
         .localCheckpoint() // small pair result outlives parts' release
     } finally Checkpoints.release(parts)
+  }
+
+  /** MULTI-PASS sorted neighborhood — the classic Hernández–Stolfo
+    * recall fix for [[sortedNeighborhood]]'s stated miss class (a true
+    * pair sorted more than `window` ranks apart under ONE key): run the
+    * single-pass scan once per sort key and union the pair sets. Each
+    * key induces a different neighborhood — e.g. the name itself groups
+    * shared PREFIXES while `reverse(name)` groups shared SUFFIXES, so a
+    * distance-1 pair differing in an early character (far apart by
+    * name) sits adjacent by reversed name. Cost is exactly
+    * `passes · window · n` candidate pairs — still linear in n, the
+    * measured recall lift per pass is `eval_snm_recall`'s job. Pairs
+    * are normalized to id_a = min(id) (a pair's lower-RANK side can
+    * flip between keys) and deduped, so each linked pair appears once
+    * regardless of how many passes caught it. */
+  def sortedNeighborhoodMulti(df: DataFrame, idCol: String, nameCol: String,
+                              window: Int, maxDist: Int,
+                              sortKeys: Seq[Column],
+                              nRanges: Int = 32): DataFrame = {
+    require(sortKeys.nonEmpty, "at least one sort key")
+    sortKeys
+      .map(k => sortedNeighborhood(df, idCol, nameCol, window, maxDist,
+        nRanges, Some(k)))
+      .map(p => p.select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        when(col("id_a") < col("id_b"), col("name_a"))
+          .otherwise(col("name_b")).as("name_a"),
+        when(col("id_a") < col("id_b"), col("name_b"))
+          .otherwise(col("name_a")).as("name_b"),
+        col("dist")))
+      .reduce(_ unionByName _)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Skew-safe aggregation: two-phase groupBy with a random-ish salt on the

@@ -910,12 +910,40 @@ object Search {
     * token boundary ("ta str" inside "data stream") has no term to look
     * up. Deletes reuse the layout-generic deletion-vector verb
     * ([[deleteFromPhraseIndex]] touches only `meta` + `tombstones`). */
-  def writeTrigramIndex(docs: DataFrame, idCol: String, textCol: String,
+  /** Intra-batch duplicate-id normalization for the trigram layout,
+    * where a doubled id is not merely wasteful but CORRUPTING:
+    * [[substringIndexLookup]]'s candidate test is `n_hit ==
+    * n_needle_grams` exactly, so a doc whose (id, h) postings were
+    * written twice counts 2× per gram and silently turns UNFINDABLE (a
+    * false negative, the worst failure mode an index can have). Exact
+    * duplicate rows (a re-delivered batch) collapse to one; an id that
+    * still appears twice carries CONFLICTING payloads, and that raises
+    * in-plan — gating the live text column so column pruning can never
+    * eliminate the guard — consistent with the tombstone-clash raise:
+    * ambiguous input fails loudly, never silently. One groupBy + join
+    * over the doc table (not the ~len(text)× larger postings). */
+  private def uniqueIdsOrRaise(df: DataFrame, idCol: String,
+                               textCol: String, ctx: String): DataFrame = {
+    val exact = df.dropDuplicates()
+    val counts = exact.groupBy(col(idCol)).agg(count(lit(1)).as("_nid"))
+    exact.join(counts, Seq(idCol))
+      .withColumn(textCol,
+        when(col("_nid") > 1, raise_error(concat(
+          lit(s"$ctx: conflicting rows for one $idCol within a batch (id="),
+          col(idCol).cast("string"),
+          lit(") — doubled postings would make exact-count matching " +
+            "silently unfindable; dedup the feed"))))
+          .otherwise(col(textCol)))
+      .drop("_nid")
+  }
+
+  def writeTrigramIndex(docs0: DataFrame, idCol: String, textCol: String,
                         metaCols: Seq[String], path: String,
                         nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     import graft.sources.PartitionedStore
     import org.apache.spark.sql.graftExpr
+    val docs = uniqueIdsOrRaise(docs0, idCol, textCol, "writeTrigramIndex")
     val grams = graftExpr.column(graft.functions.CharNgramHashesExpr(
       graftExpr.expression(col(textCol)), 3, distinct = true))
     val postings = docs
@@ -969,7 +997,11 @@ object Search {
     val existing = PartitionedStore
       .readVersion(spark, s"$path/meta", Some(served("meta")))
       .select(col(idCol))
-    val fresh = delta.join(existing, Seq(idCol), "left_anti")
+    // cross-BATCH re-delivery drops via the anti-join; INTRA-batch
+    // duplicates (the same id twice in one delta) would slip past it
+    // and double-write postings — normalized/raised by the shared guard
+    val fresh = uniqueIdsOrRaise(delta, idCol, textCol, "appendTrigramIndex")
+      .join(existing, Seq(idCol), "left_anti")
       .localCheckpoint() // read twice: meta append + postings explode
     try {
       if (fresh.isEmpty) return // fully re-delivered delta: no-op

@@ -559,6 +559,52 @@ object DataQualityQueries {
        |WHERE levenshtein(a.c_name, b.c_name) <= 1
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- J15b: multi-pass sorted neighborhood ---------------------------------
+  /** The Hernández–Stolfo MULTI-PASS recall fix shipped (r11 verdict
+    * task: the one linkage scheme whose recall contract was
+    * measured-but-not-closed): a second [[Relational.sortedNeighborhood]]
+    * pass sorted by the ROTATED key `reverse(c_name)` unioned with the
+    * first. The name key groups shared prefixes, so a distance-1 pair
+    * differing in an EARLY digit sorts ~10^k ranks apart and misses the
+    * window; under the reversed key that same pair shares its suffix and
+    * sits adjacent. Cost is exactly 2·window·n candidates — still
+    * linear; `eval_snm_recall` now grades the measured recall of BOTH
+    * schemes on the same fixture. Pairs are normalized to id_a < id_b
+    * (the lower-RANK side flips between keys) and deduped. */
+  def j15SnmMultipass(s: SparkSession, d: String): DataFrame =
+    Relational.sortedNeighborhoodMulti(
+      Tables.customer(s, d).withColumnRenamed("c_custkey", "cid"),
+      "cid", "c_name", window = SnWindow, maxDist = 1,
+      sortKeys = Seq(col("c_name"), reverse(col("c_name"))))
+      .withColumn("dist", col("dist").cast("long"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val j15MultipassSql: String =
+    s"""WITH r1 AS (
+       |  SELECT c_custkey AS cid, c_name,
+       |         row_number() OVER (ORDER BY c_name, c_custkey) AS rk
+       |  FROM customer),
+       |r2 AS (
+       |  SELECT c_custkey AS cid, c_name,
+       |         row_number() OVER (ORDER BY reverse(c_name), c_custkey) AS rk
+       |  FROM customer),
+       |p AS (
+       |  SELECT a.cid AS ia, b.cid AS ib, a.c_name AS na, b.c_name AS nb
+       |  FROM r1 a JOIN r1 b ON b.rk > a.rk AND b.rk <= a.rk + $SnWindow
+       |  WHERE levenshtein(a.c_name, b.c_name) <= 1
+       |  UNION ALL
+       |  SELECT a.cid, b.cid, a.c_name, b.c_name
+       |  FROM r2 a JOIN r2 b ON b.rk > a.rk AND b.rk <= a.rk + $SnWindow
+       |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+       |n AS (
+       |  SELECT DISTINCT LEAST(ia, ib) AS id_a, GREATEST(ia, ib) AS id_b,
+       |         CASE WHEN ia < ib THEN na ELSE nb END AS name_a,
+       |         CASE WHEN ia < ib THEN nb ELSE na END AS name_b
+       |  FROM p)
+       |SELECT id_a, id_b, name_a, name_b,
+       |       levenshtein(name_a, name_b) AS dist
+       |FROM n ORDER BY id_a, id_b""".stripMargin
+
   // ---- sorted-neighborhood recall self-evaluation ---------------------------
   /** "Measure, don't guess" for [[j15SortedNeighborhood]]'s stated
     * out-of-window miss class — the linkage sibling of `eval_neardup_pr`:
@@ -580,9 +626,9 @@ object DataQualityQueries {
       failOnCap = true)
       .select(col("id_a"), col("id_b")) // fuzzyLink emits id_a < id_b
     val seg = cust.select(col("c_custkey"), col("c_mktsegment"))
-    val cand = Relational.sortedNeighborhood(
-      cust.withColumnRenamed("c_custkey", "cid"),
-      "cid", "c_name", window = SnWindow, maxDist = 1)
+    // normalize a candidate pair set to id_a<id_b and keep same-segment
+    // pairs only (the truth set's segment scope)
+    def sameSeg(cand: DataFrame): DataFrame = cand
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .join(seg.select(col("c_custkey").as("id_a"),
@@ -591,16 +637,26 @@ object DataQualityQueries {
         col("c_mktsegment").as("seg_b")), "id_b")
       .filter(col("seg_a") === col("seg_b"))
       .select(col("id_a"), col("id_b"))
-    val candR = cand.select(col("id_a").as("ca"), col("id_b").as("cb"))
-    val agg = truth.join(candR,
-        col("id_a") === col("ca") && col("id_b") === col("cb"), "left")
-      .agg(count(lit(1)).as("n_truth"), count(col("ca")).as("tp"))
-    val cagg = cand.agg(count(lit(1)).as("n_cand"))
-    agg.crossJoin(broadcast(cagg))
-      .select(col("n_truth"), col("tp"),
-        (col("n_truth") - col("tp")).as("fn"), col("n_cand"),
-        expr("tp * 1000000 DIV greatest(n_truth, 1)").as("recall_ppm"))
-      .orderBy(col("n_truth"))
+    def confusionRow(scheme: String, cand: DataFrame): DataFrame = {
+      val candR = cand.select(col("id_a").as("ca"), col("id_b").as("cb"))
+      val agg = truth.join(candR,
+          col("id_a") === col("ca") && col("id_b") === col("cb"), "left")
+        .agg(count(lit(1)).as("n_truth"), count(col("ca")).as("tp"))
+      val cagg = cand.agg(count(lit(1)).as("n_cand"))
+      agg.crossJoin(broadcast(cagg))
+        .select(lit(scheme).as("scheme"), col("n_truth"), col("tp"),
+          (col("n_truth") - col("tp")).as("fn"), col("n_cand"),
+          expr("tp * 1000000 DIV greatest(n_truth, 1)").as("recall_ppm"))
+    }
+    val cid = cust.withColumnRenamed("c_custkey", "cid")
+    val single = sameSeg(Relational.sortedNeighborhood(
+      cid, "cid", "c_name", window = SnWindow, maxDist = 1))
+    val multi = sameSeg(Relational.sortedNeighborhoodMulti(
+      cid, "cid", "c_name", window = SnWindow, maxDist = 1,
+      sortKeys = Seq(col("c_name"), reverse(col("c_name")))))
+    confusionRow("single", single)
+      .unionByName(confusionRow("multi", multi))
+      .orderBy(col("scheme"))
   }
 
   val evalSnmRecallSql: String =
@@ -608,11 +664,23 @@ object DataQualityQueries {
        |  SELECT c_custkey AS cid, c_name, c_mktsegment,
        |         row_number() OVER (ORDER BY c_name, c_custkey) AS rk
        |  FROM customer),
+       |r2 AS (
+       |  SELECT c_custkey AS cid, c_name, c_mktsegment,
+       |         row_number() OVER (ORDER BY reverse(c_name), c_custkey) AS rk
+       |  FROM customer),
        |cand AS (
        |  SELECT LEAST(a.cid, b.cid) AS id_a, GREATEST(a.cid, b.cid) AS id_b
        |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + $SnWindow
        |  WHERE levenshtein(a.c_name, b.c_name) <= 1
        |    AND a.c_mktsegment = b.c_mktsegment),
+       |cand2 AS (
+       |  SELECT DISTINCT id_a, id_b FROM (
+       |    SELECT id_a, id_b FROM cand
+       |    UNION ALL
+       |    SELECT LEAST(a.cid, b.cid) AS id_a, GREATEST(a.cid, b.cid) AS id_b
+       |    FROM r2 a JOIN r2 b ON b.rk > a.rk AND b.rk <= a.rk + $SnWindow
+       |    WHERE levenshtein(a.c_name, b.c_name) <= 1
+       |      AND a.c_mktsegment = b.c_mktsegment)),
        |truth AS (
        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
        |  FROM customer a JOIN customer b
@@ -622,13 +690,25 @@ object DataQualityQueries {
        |agg AS (
        |  SELECT COUNT(*) AS n_truth, COUNT(c.id_a) AS tp
        |  FROM truth t LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b),
-       |cagg AS (SELECT COUNT(*) AS n_cand FROM cand)
-       |SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(tp AS BIGINT) AS tp,
+       |cagg AS (SELECT COUNT(*) AS n_cand FROM cand),
+       |agg2 AS (
+       |  SELECT COUNT(*) AS n_truth, COUNT(c.id_a) AS tp
+       |  FROM truth t LEFT JOIN cand2 c ON c.id_a = t.id_a AND c.id_b = t.id_b),
+       |cagg2 AS (SELECT COUNT(*) AS n_cand FROM cand2)
+       |SELECT 'single' AS scheme,
+       |       CAST(n_truth AS BIGINT) AS n_truth, CAST(tp AS BIGINT) AS tp,
        |       CAST(n_truth - tp AS BIGINT) AS fn,
        |       CAST(n_cand AS BIGINT) AS n_cand,
        |       CAST(tp * 1000000 // GREATEST(n_truth, 1) AS BIGINT) AS recall_ppm
        |FROM agg, cagg
-       |ORDER BY n_truth""".stripMargin
+       |UNION ALL
+       |SELECT 'multi' AS scheme,
+       |       CAST(n_truth AS BIGINT) AS n_truth, CAST(tp AS BIGINT) AS tp,
+       |       CAST(n_truth - tp AS BIGINT) AS fn,
+       |       CAST(n_cand AS BIGINT) AS n_cand,
+       |       CAST(tp * 1000000 // GREATEST(n_truth, 1) AS BIGINT) AS recall_ppm
+       |FROM agg2, cagg2
+       |ORDER BY scheme""".stripMargin
 
   // ---- J16: Bloom-reduced semi join -----------------------------------------
   private val HighValue = 450000.0
@@ -680,6 +760,7 @@ object DataQualityQueries {
 
   val defs: Map[String, Q] = Map(
     "j15_sorted_neighborhood" -> (j15SortedNeighborhood _),
+    "j15_snm_multipass" -> (j15SnmMultipass _),
     "eval_snm_recall" -> (evalSnmRecall _),
     "j16_bloom_reduce" -> (j16BloomReduce _),
     "j13_golden_record" -> (j13GoldenRecord _),
@@ -696,6 +777,7 @@ object DataQualityQueries {
 
   val oracle: Map[String, String] = Map(
     "j15_sorted_neighborhood" -> j15Sql,
+    "j15_snm_multipass" -> j15MultipassSql,
     "eval_snm_recall" -> evalSnmRecallSql,
     "j16_bloom_reduce" -> j16Sql,
     "j13_golden_record" -> j13Sql,

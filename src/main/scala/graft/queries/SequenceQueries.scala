@@ -457,6 +457,7 @@ object SequenceQueries {
     * dedup_clusters, split_leakage_safe, and GraphQueries' centrality
     * oracles so the edge derivation can never drift between them. */
   private[queries] val dupGraphCtes: String = {
+    val threshold = "0.5"
     val p = Dedup.HashMod
     s"""toks AS (
        |  SELECT doc_id, list_transform(string_split(trim(text), ' '),
@@ -482,7 +483,7 @@ object SequenceQueries {
        |), near AS (
        |  SELECT id_a, id_b FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
        |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-       |    (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) >= 0.5
+       |    (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) >= $threshold
        |), exact AS (
        |  SELECT MIN(doc_id) OVER (PARTITION BY md5(text)) AS id_a, doc_id AS id_b
        |  FROM documents QUALIFY doc_id <> id_a
