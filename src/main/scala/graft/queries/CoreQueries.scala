@@ -92,6 +92,52 @@ object CoreQueries {
       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
+  // ---- Q18: large-volume customers — group-by-HAVING semi join + top-k ---
+  /** TPC-H Q18 shape: orders whose lineitems sum past 300 units, joined
+    * back to customer, global top-100 by (totalprice desc, date). The
+    * classic text scans lineitem TWICE (HAVING subquery + outer sum);
+    * here ONE aggregation produces both the qualifying set and the sum —
+    * the qualifying orders are a vanishing fraction (473 of ~150k at
+    * sf0.1), so the join input collapses before any wide table moves.
+    * Quantity sums in exact DECIMAL(12,2) cast to double at the very end
+    * (q1 discipline); customer broadcasts; orderBy+limit plans as
+    * TakeOrderedAndProject, never a global sort. o_totalprice flows
+    * through unaggregated, so both engines hash the identical parquet
+    * double. */
+  def q18LargeVolume(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: String) => col(c).cast("decimal(12,2)")
+    val big = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec("l_quantity")).as("qty_dec"))
+      .filter(col("qty_dec") > lit(300).cast("decimal(12,2)"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"))
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_totalprice"),
+        col("qty_dec").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+        col("o_orderkey"))
+      .limit(100)
+  }
+  val q18LargeVolumeSql: String =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin
+
   // ---- W1: latest row per key (single-shuffle max(struct) agg) -----------
   def w1LatestEventPerUser(s: SparkSession, d: String): DataFrame =
     Relational.latestPerKey(
@@ -855,6 +901,7 @@ object CoreQueries {
     "j11_interval_join" -> (j11IntervalJoin _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q18_large_volume" -> (q18LargeVolume _),
     "snapshot_diff" -> (snapshotDiff _),
     "snapshot_restore" -> (snapshotRestore _),
     "snapshot_delete_rows" -> (snapshotDeleteRows _),
@@ -881,6 +928,7 @@ object CoreQueries {
     "j11_interval_join" -> j11IntervalJoinSql,
     "q1_pricing_summary" -> q1PricingSummarySql,
     "q3_shipping_priority" -> q3ShippingPrioritySql,
+    "q18_large_volume" -> q18LargeVolumeSql,
     "snapshot_diff" -> snapshotDiffSql,
     "snapshot_restore" -> snapshotRestoreSql,
     "snapshot_delete_rows" -> snapshotDeleteRowsSql,

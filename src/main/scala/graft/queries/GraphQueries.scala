@@ -272,6 +272,19 @@ object GraphQueries {
   private val CnDfMin = 2
   private val CnDfMax = 20
 
+  /** The weak-tie overlap edge list, mined once per (session, dir) and
+    * memoized as a localCheckpoint'd narrow pair table — the [[DupEdges]]
+    * discipline applied to the link-prediction substrate now that TWO
+    * graded queries (`graph_common_neighbors`, `graph_resource_alloc`)
+    * consume the identical derivation. */
+  private val overlapCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def overlapEdges(s: SparkSession, d: String): DataFrame =
+    overlapCache.getOrElseUpdate((s, d),
+      Dedup.overlapPairs(Tables.documents(s, d), "doc_id", "text",
+        minShared = CnMinShared, dfMin = CnDfMin, dfMax = CnDfMax)
+        .localCheckpoint())
+
   /** Common-neighbor link prediction ([[Graph.commonNeighbors]]) over
     * the WEAK-TIE overlap graph ([[Dedup.overlapPairs]]: pairs sharing
     * ≥ [[CnMinShared]] shingles of df ∈ [[[CnDfMin]], [[CnDfMax]]]) —
@@ -290,16 +303,17 @@ object GraphQueries {
     * Spark-side wedge-orientation bug cannot self-confirm. Deterministic
     * top-k: ties at the cut break by (a, b). */
   def graphCommonNeighbors(s: SparkSession, d: String): DataFrame =
-    Graph.commonNeighbors(
-      Dedup.overlapPairs(Tables.documents(s, d), "doc_id", "text",
-        minShared = CnMinShared, dfMin = CnDfMin, dfMax = CnDfMax),
-      TopLinks)
+    Graph.commonNeighbors(overlapEdges(s, d), TopLinks)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("common"))
       .orderBy(col("common").desc, col("doc_a"), col("doc_b"))
 
-  val graphCommonNeighborsSql: String = {
+  /** Shared oracle CTEs `toks → sym` for the WEAK-TIE overlap graph
+    * ([[Dedup.overlapPairs]] semantics restated): shingles, df-windowed
+    * postings, pairs by shared count, symmetrized. Reused by both link-
+    * prediction oracles so the edge derivation can never drift. */
+  private val overlapGraphCtes: String = {
     val p = graft.operators.Dedup.HashMod
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, list_transform(string_split(trim(text), ' '),
        |    s -> list_reduce(list_transform(string_split(s,''), c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc*31 + x) % $p)) AS th
        |  FROM documents
@@ -320,7 +334,12 @@ object GraphQueries {
        |), sym AS (
        |  SELECT id_a AS s, id_b AS d FROM near
        |  UNION ALL SELECT id_b, id_a FROM near
-       |), cn AS (
+       |)""".stripMargin
+  }
+
+  val graphCommonNeighborsSql: String =
+    s"""WITH $overlapGraphCtes,
+       |cn AS (
        |  SELECT e1.s AS a, e2.d AS b, count(*) AS common
        |  FROM sym e1 JOIN sym e2 ON e2.s = e1.d AND e1.s < e2.d
        |  GROUP BY e1.s, e2.d
@@ -330,10 +349,43 @@ object GraphQueries {
        |WHERE NOT EXISTS (SELECT 1 FROM sym WHERE sym.s = cn.a AND sym.d = cn.b)
        |ORDER BY common DESC, doc_a, doc_b
        |LIMIT $TopLinks""".stripMargin
-  }
+
+  // ---- link prediction: resource-allocation scores --------------------------
+  /** The degree-weighted refinement of common neighbors (Zhou–Lü–Zhang
+    * resource allocation, [[Graph.resourceAllocation]]): each shared
+    * neighbor z contributes ⌊10⁶/deg(z)⌋ ppm instead of 1 — a shared HUB
+    * (a boilerplate shingle-cluster center every doc touches) is
+    * discounted while a rare shared neighbor counts fully; Adamic–Adar's
+    * 1/log(deg) is the textbook alternative but needs libm, so RA's pure
+    * reciprocal is the oracle-exact sibling. Same weak-tie overlap graph
+    * and wedge machinery as `graph_common_neighbors`; integer ppm sums
+    * are order-independent, so both engines hash identically. */
+  def graphResourceAlloc(s: SparkSession, d: String): DataFrame =
+    Graph.resourceAllocation(overlapEdges(s, d), TopLinks)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("ra_ppm"), col("common"))
+      .orderBy(col("ra_ppm").desc, col("doc_a"), col("doc_b"))
+
+  val graphResourceAllocSql: String =
+    s"""WITH $overlapGraphCtes,
+       |deg AS (SELECT s AS z, count(*) AS dz FROM sym GROUP BY s),
+       |cn AS (
+       |  SELECT e1.s AS a, e2.d AS b,
+       |         CAST(SUM(1000000 // dz) AS BIGINT) AS ra_ppm,
+       |         count(*) AS common
+       |  FROM sym e1 JOIN sym e2 ON e2.s = e1.d AND e1.s < e2.d
+       |  JOIN deg ON deg.z = e1.d
+       |  GROUP BY e1.s, e2.d
+       |)
+       |SELECT cn.a AS doc_a, cn.b AS doc_b, cn.ra_ppm, cn.common
+       |FROM cn
+       |WHERE NOT EXISTS (SELECT 1 FROM sym WHERE sym.s = cn.a AND sym.d = cn.b)
+       |ORDER BY ra_ppm DESC, doc_a, doc_b
+       |LIMIT $TopLinks""".stripMargin
 
   val defs: Map[String, Q] = Map(
     "graph_common_neighbors" -> (graphCommonNeighbors _),
+    "graph_resource_alloc" -> (graphResourceAlloc _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_lpa" -> (graphLpa _),
     "dedup_canonical" -> (dedupCanonical _),
@@ -343,6 +395,7 @@ object GraphQueries {
 
   val oracle: Map[String, String] = Map(
     "graph_common_neighbors" -> graphCommonNeighborsSql,
+    "graph_resource_alloc" -> graphResourceAllocSql,
     "graph_pagerank" -> graphPagerankSql,
     "graph_lpa" -> graphLpaSql,
     "dedup_canonical" -> dedupCanonicalSql,

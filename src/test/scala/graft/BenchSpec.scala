@@ -45,9 +45,52 @@ class BenchSpec extends AnyFunSuite {
       prior = Some(0.5)), "0.9 < 3x0.5 and below cold: accepted")
   }
 
-  test("BenchPrior resource is the committed r10 steady map: 245 entries, " +
+  test("stage order: the compact tail line prints BEFORE any incremental/" +
+    "scaling leg (a timeout kill mid-scaling still tails into per-query " +
+    "data) AND re-emits as the true last line (r11: rc=124 zeroed the " +
+    "whole artifact)") {
+    val so = Bench.stageOrder
+    assert(so.head == "compact_early", so.toString)
+    assert(so.indexOf("compact_early") < so.indexOf("incremental"))
+    assert(so.indexOf("compact_early") < so.indexOf("scaling"))
+    assert(so.last == "compact_final", so.toString)
+    // main (the full JSON line / bench_full.json write) stays before the
+    // final compact line — the last-line contract of the driver capture
+    assert(so.indexOf("main") == so.size - 2)
+  }
+
+  test("budget guard: legs run while seconds remain at leg START; the " +
+    "rest are dropped BY NAME (loud, never silent), and a zero budget " +
+    "drops everything") {
+    var clock = 0.0
+    val ran = scala.collection.mutable.ListBuffer[String]()
+    def leg(name: String, cost: Double) =
+      name -> (() => { ran += name; clock += cost; name })
+    val legs = Seq(leg("a", 10), leg("b", 10), leg("c", 10))
+    val (done, dropped) = Bench.runWithBudget(legs, () => 15.0 - clock)
+    assert(done.map(_._1) == Seq("a", "b"), done.toString) // b STARTS at 10<15
+    assert(dropped == Seq("c"), dropped.toString)
+    assert(ran.toList == List("a", "b"))
+    val (d2, drop2) = Bench.runWithBudget(legs, () => 0.0)
+    assert(d2.isEmpty && drop2 == Seq("a", "b", "c"))
+  }
+
+  test("compact line schema: byte-compatible with the r10 contract on a " +
+    "healthy run; dropped_legs appears ONLY when legs were dropped") {
+    val slow = Seq("q1" -> 1.5, "q2" -> 0.25)
+    val healthy = Bench.compactLine(263, 204.428, slow, Seq.empty)
+    assert(healthy ==
+      """{"n_queries":263,"steady_total":204.428,"slowest":{"q1":1.500,"q2":0.250}}""",
+      healthy)
+    val degraded = Bench.compactLine(2, 3.0, slow, Seq("lsh_curve", "trgm_curve"))
+    assert(degraded.contains(""""dropped_legs":["lsh_curve","trgm_curve"]"""),
+      degraded)
+    assert(degraded.endsWith("""}}"""), "slowest stays the closing field")
+  }
+
+  test("BenchPrior resource is the committed r11 steady map: 263 entries, " +
     "median in the committed envelope, j12 prior present") {
-    assert(BenchPrior.steady.size == 245, BenchPrior.steady.size.toString)
+    assert(BenchPrior.steady.size == 263, BenchPrior.steady.size.toString)
     assert(BenchPrior.median > 0.1 && BenchPrior.median < 2.0,
       BenchPrior.median.toString)
     assert(BenchPrior.steady.contains("j12_entity_resolve"))

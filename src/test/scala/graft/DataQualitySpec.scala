@@ -322,6 +322,30 @@ class DataQualitySpec extends AnyFunSuite {
     assert(ex.getMessage.contains("maxPairs"), ex.getMessage)
   }
 
+  test("fuzzyLinkSymDel: delimiter-bearing segments/names cannot collide " +
+    "across segments (r11 ADVICE: a '|'-concat block key would link " +
+    "seg=S,name=x|q to seg=S|x,name=|q — distance 1, different segments)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Relational
+    // under a concat_ws("|", seg, variant) key, row 1's identity variant
+    // and row 2's delete-'|' variant both render "S|x|q", and
+    // lev("x|q","|q")=1 passes the confirm — emitting a cross-segment
+    // pair the unblocked same-segment oracle excludes. The two-COLUMN
+    // (seg, variant) join key cannot collide by construction.
+    val tricky = Seq(
+      (1L, "x|q", "S"),
+      (2L, "|q", "S|x"),
+      (3L, "x|r", "S") // same-seg control: lev("x|q","x|r")=1 must link
+    ).toDF("cid", "c_name", "seg")
+    val got = Relational.fuzzyLinkSymDel(tricky, "cid", "c_name",
+        col("seg"), failOnCap = true)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 3L)), got.toString)
+  }
+
   test("dual-block UNSAFE short-name class raises instead of silently " +
     "missing: equal-length names below the split sum differing at the " +
     "prefix/suffix overlap position break BOTH keys") {
@@ -496,5 +520,37 @@ class DataQualitySpec extends AnyFunSuite {
     // offsets path: ranks must agree across range-partition counts
     assert(run(3) == expect)
     assert(run(4) == expect)
+  }
+
+  test("sortedNeighborhoodMulti: the rotated reverse-name pass catches a " +
+    "first-character edit the name pass sorts out of window; pairs caught " +
+    "by BOTH passes dedup to one row; ids normalize to id_a < id_b with " +
+    "names swapped alongside") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, reverse}
+    import graft.operators.Relational
+    // name order: abc(1) abd(6) mmm(3) nnn(4) ooo(5) zbc(0) — the
+    // distance-1 pair (abc, zbc) sits 5 ranks apart (first-char edit =
+    // the single-pass miss class); reversed order: cba(1) cbz(0) dba(6)
+    // mmm nnn ooo puts it adjacent. (abc, abd) is window-close under
+    // BOTH keys — the dedup case. zbc carries id 0 so the reversed
+    // pass's lower-RANK side (cba, id 1) is the HIGHER id: the union
+    // must normalize ids AND names together.
+    val df = Seq((1L, "abc"), (0L, "zbc"), (3L, "mmm"), (4L, "nnn"),
+      (5L, "ooo"), (6L, "abd")).toDF("cid", "c_name")
+    def pairs(p: org.apache.spark.sql.DataFrame) =
+      p.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3))).toSet
+    val single = pairs(Relational.sortedNeighborhood(
+      df, "cid", "c_name", window = 2, maxDist = 1))
+    val multi = pairs(Relational.sortedNeighborhoodMulti(
+      df, "cid", "c_name", window = 2, maxDist = 1,
+      sortKeys = Seq(col("c_name"), reverse(col("c_name")))))
+    assert(single == Set((1L, 6L, "abc", "abd")), single.toString)
+    assert(multi == Set(
+      (1L, 6L, "abc", "abd"),       // caught by both passes, one row
+      (0L, 1L, "zbc", "abc")),      // reverse-pass catch, ids+names flipped
+      multi.toString)
   }
 }

@@ -231,4 +231,33 @@ class GraphSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(rep == top3)
   }
+
+  test("resourceAllocation: each shared neighbor contributes floor(1e6/deg) " +
+    "ppm — a hub center is discounted vs a rare one, adjacency excluded, " +
+    "top-k ties cut by (a, b)") {
+    val s = spark
+    import s.implicits._
+    // C4 cycle 1-2-3-4 plus spur 1-5. Degrees: deg(1)=3, deg(2)=deg(3)=
+    // deg(4)=2, deg(5)=1. Non-adjacent pairs:
+    //  (1,3): centers {2,4}, ra = 500000+500000 = 1000000, common 2
+    //  (2,4): centers {1,3}, ra = 333333+500000 = 833333, common 2
+    //    — same COMMON count as (1,3), but the hub center 1 discounts it:
+    //    exactly the refinement raw counts cannot express
+    //  (2,5), (4,5): center {1}, ra = 333333, common 1 — the ppm tie the
+    //    (a, b) cut must break deterministically
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 5L))
+      .toDF("id_a", "id_b")
+    def rows(k: Int) = Graph.resourceAllocation(es, topK = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(rows(10) == Seq(
+      (1L, 3L, 1000000L, 2L),
+      (2L, 4L, 833333L, 2L),
+      (2L, 5L, 333333L, 1L),
+      (4L, 5L, 333333L, 1L)))
+    assert(rows(3) == Seq(
+      (1L, 3L, 1000000L, 2L),
+      (2L, 4L, 833333L, 2L),
+      (2L, 5L, 333333L, 1L)), "tie at the cut breaks by (a, b)")
+  }
 }

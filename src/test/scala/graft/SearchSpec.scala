@@ -660,6 +660,45 @@ class SearchSpec extends AnyFunSuite {
     assert(serve(inc) == Seq((1L, "a"), (2L, "b2"), (4L, "d")))
   }
 
+  test("trigram index intra-batch duplicate ids (r11 ADVICE): verbatim " +
+    "re-delivered rows collapse — doubled (id,h) postings would make the " +
+    "exact-count candidate test silently UNFINDABLE — and conflicting " +
+    "payloads for one id raise in-plan") {
+    val s = spark
+    import s.implicits._
+    def docs(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "text", "source")
+    def serve(p: String): Set[Long] =
+      Search.substringIndexLookup(s, p, "ta str", "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // write path: doc 1 delivered twice verbatim IN ONE batch — before
+    // the guard its postings wrote twice and n_hit = 2× the needle gram
+    // count failed the exact-count match (a false negative)
+    val p = graft.Scratch.dir("graft_trgm_dupw")
+    Search.writeTrigramIndex(docs(
+      (1L, "data stream big", "a"),
+      (1L, "data stream big", "a"),
+      (2L, "other words entirely", "b")),
+      "doc_id", "text", Seq("source"), p, nBuckets = 8)
+    assert(serve(p) == Set(1L))
+    // append path: same intra-batch collapse (the cross-batch anti-join
+    // cannot see duplicates arriving together)
+    Search.appendTrigramIndex(s, docs(
+      (3L, "meta strip zone", "c"),
+      (3L, "meta strip zone", "c")),
+      "doc_id", "text", Seq("source"), p)
+    assert(serve(p) == Set(1L, 3L))
+    // conflicting payloads for one id: ambiguous input fails loudly
+    val ex = intercept[Exception] {
+      Search.writeTrigramIndex(docs(
+        (7L, "abc def ghi", "a"),
+        (7L, "zzz yyy xxx", "a")),
+        "doc_id", "text", Seq("source"),
+        graft.Scratch.dir("graft_trgm_dupc"), nBuckets = 8)
+    }
+    assert(ex.getMessage.contains("conflicting"), ex.getMessage)
+  }
+
   test("trigram substring index: candidate-then-confirm reproduces " +
     "contains() exactly — boundary-crossing needles match, all-trigrams-" +
     "present-but-not-adjacent does not, tombstones honored, short needle " +
