@@ -138,6 +138,65 @@ object CoreQueries {
       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
       |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin
 
+  // ---- Q5: local-supplier volume — the deepest join tree in the suite ----
+  /** TPC-H Q5 shape: revenue by nation where the customer and the
+    * supplier share a nation ("local supplier"), region- and date-
+    * filtered — a SIX-table tree (region→nation→{customer, supplier}→
+    * orders→lineitem) that exercises join ORDERING and broadcast at
+    * depth: region (5 rows), nation (25), supplier and the region-
+    * filtered customer all broadcast, so the only shuffle joins are the
+    * two fact-side equi joins (orders⋈lineitem), and the date filter
+    * reaches the orders scan as a pushed predicate. The c_nationkey =
+    * s_nationkey condition rides the lineitem⋈supplier join as a post-
+    * join filter against the broadcast customer row. Revenue in exact
+    * DECIMAL(12,2) cast to double at the very end (q1 discipline);
+    * deterministic total order by (revenue desc, n_name). */
+  def q5LocalSupplier(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: String) => col(c).cast("decimal(12,2)")
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1997-01-01 00:00:00").cast("timestamp")
+    val asiaNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(asiaNations),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec("l_extendedprice") *
+          (lit(1).cast("decimal(12,2)") - dec("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+  val q5LocalSupplierSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   // ---- W1: latest row per key (single-shuffle max(struct) agg) -----------
   def w1LatestEventPerUser(s: SparkSession, d: String): DataFrame =
     Relational.latestPerKey(
@@ -902,6 +961,7 @@ object CoreQueries {
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q18_large_volume" -> (q18LargeVolume _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
     "snapshot_diff" -> (snapshotDiff _),
     "snapshot_restore" -> (snapshotRestore _),
     "snapshot_delete_rows" -> (snapshotDeleteRows _),
@@ -929,6 +989,7 @@ object CoreQueries {
     "q1_pricing_summary" -> q1PricingSummarySql,
     "q3_shipping_priority" -> q3ShippingPrioritySql,
     "q18_large_volume" -> q18LargeVolumeSql,
+    "q5_local_supplier" -> q5LocalSupplierSql,
     "snapshot_diff" -> snapshotDiffSql,
     "snapshot_restore" -> snapshotRestoreSql,
     "snapshot_delete_rows" -> snapshotDeleteRowsSql,

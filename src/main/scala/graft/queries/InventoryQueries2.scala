@@ -408,6 +408,144 @@ object InventoryQueries2 {
        |FROM sessions GROUP BY user_id, session_no
        |ORDER BY user_id, session_no""".stripMargin
 
+  // ---- J18: interval-OVERLAP join (binned, lossless) -------------------------
+  /** Interval×interval overlap join — the join shape with NO equi key at
+    * all that [[j11_interval_join]]'s point-in-interval form only half
+    * covers: cross-USER session pairs that overlap in time (the
+    * "concurrent activity" read), top-100 by overlap duration. The scale
+    * trap is the naive θ-join (a cartesian under two range predicates);
+    * the classic fix is the same BINNING trick as j11 lifted to both
+    * sides: each session explodes to the HOUR buckets it covers, pairs
+    * equi-join on the bucket — LOSSLESS because two overlapping
+    * intervals both contain the overlap instant, which lies in a bucket
+    * both cover — dedup (a pair sharing several buckets collapses), then
+    * the EXACT overlap check and duration in integer microseconds. Pair
+    * fan-out per bucket is concurrency², the size of the true answer,
+    * not of the corpus; the oracle states the naive θ-join outright.
+    * Sessions come from the same chain `w8_sessionize` grades, so the
+    * two views can never disagree about what a session IS. */
+  def j18SessionOverlap(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val sess = w8Sessionize(s, d).select(col("user_id"), col("session_no"),
+      unix_micros(col("session_start")).as("s_us"),
+      unix_micros(col("session_end")).as("e_us"))
+    val binned = sess.withColumn("bin",
+      explode(sequence(expr(s"s_us div $hourUs"), expr(s"e_us div $hourUs"))))
+    val a = binned.select(col("user_id").as("user_a"),
+      col("session_no").as("session_a"), col("s_us").as("sa"),
+      col("e_us").as("ea"), col("bin"))
+    val b = binned.select(col("user_id").as("user_b"),
+      col("session_no").as("session_b"), col("s_us").as("sb"),
+      col("e_us").as("eb"), col("bin"))
+    a.join(b, Seq("bin")).filter(col("user_a") < col("user_b"))
+      .drop("bin")
+      .dropDuplicates("user_a", "session_a", "user_b", "session_b")
+      .withColumn("overlap_us",
+        least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")))
+      .filter(col("overlap_us") >= 0L)
+      .select(col("user_a"), col("session_a"), col("user_b"),
+        col("session_b"), col("overlap_us"))
+      .orderBy(col("overlap_us").desc, col("user_a"), col("session_a"),
+        col("user_b"), col("session_b"))
+      .limit(100)
+  }
+  val j18Sql: String =
+    s"""WITH ord AS (
+       |  SELECT user_id, ts, event_id,
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+       |  FROM $EventsSql
+       |), flagged AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 30*60*1000000
+       |                 THEN 1 ELSE 0 END AS new_session
+       |  FROM ord
+       |), sessions AS (
+       |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+       |  FROM flagged
+       |), sess AS (
+       |  SELECT user_id, session_no,
+       |    epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+       |  FROM sessions GROUP BY user_id, session_no
+       |)
+       |SELECT a.user_id AS user_a, a.session_no AS session_a,
+       |       b.user_id AS user_b, b.session_no AS session_b,
+       |       LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us) AS overlap_us
+       |FROM sess a JOIN sess b
+       |  ON a.user_id < b.user_id AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+       |ORDER BY overlap_us DESC, user_a, session_a, user_b, session_b
+       |LIMIT 100""".stripMargin
+
+  // ---- W19: peak concurrency by sweep line -----------------------------------
+  /** Peak concurrent sessions per day — the capacity-planning read, and
+    * the classic SWEEP-LINE decomposition: each (day-clipped) session
+    * becomes a +1 point at its start and a −1 at end+1 µs, net deltas
+    * collapse per (day, instant) so simultaneous starts/ends have no
+    * tie-order ambiguity, and the running sum's max over each day's
+    * points is the peak. Midnight-crossing sessions explode to their
+    * covered days with interval clipping, so a session counts toward
+    * every day it touches. The only window partitions by DAY over the
+    * collapsed point set (≤ 2·sessions rows, bounded by daily volume —
+    * the same envelope the sessionizer's per-user windows already
+    * accept; at extreme per-day volume the prefix sum decomposes
+    * two-phase like `Sequence.denseIds`). Integer µs end to end. */
+  def w19PeakConcurrency(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400L * 1000000L
+    val sess = w8Sessionize(s, d).select(
+      unix_micros(col("session_start")).as("s_us"),
+      unix_micros(col("session_end")).as("e_us"),
+      to_date(col("session_start")).as("d0"),
+      to_date(col("session_end")).as("d1"))
+    val perDay = sess.withColumn("day", explode(expr("sequence(d0, d1)")))
+      .withColumn("ds", unix_micros(col("day").cast("timestamp")))
+      .select(col("day"),
+        greatest(col("s_us"), col("ds")).as("cs"),
+        least(col("e_us"), col("ds") + lit(dayUs - 1L)).as("ce"))
+    val pts = perDay.select(col("day"), col("cs").as("t"), lit(1L).as("delta"))
+      .unionByName(perDay.select(col("day"), (col("ce") + 1L).as("t"),
+        lit(-1L).as("delta")))
+      .groupBy(col("day"), col("t")).agg(sum(col("delta")).as("net"))
+    val w = Window.partitionBy(col("day")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pts.withColumn("open", sum(col("net")).over(w))
+      .groupBy(col("day")).agg(max(col("open")).as("peak_concurrency"))
+      .orderBy(col("day"))
+  }
+  val w19Sql: String =
+    s"""WITH ord AS (
+       |  SELECT user_id, ts, event_id,
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+       |  FROM $EventsSql
+       |), flagged AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 30*60*1000000
+       |                 THEN 1 ELSE 0 END AS new_session
+       |  FROM ord
+       |), sessions AS (
+       |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+       |  FROM flagged
+       |), sess AS (
+       |  SELECT user_id, session_no,
+       |    epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us,
+       |    CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+       |  FROM sessions GROUP BY user_id, session_no
+       |), perday AS (
+       |  SELECT CAST(u.day AS DATE) AS day,
+       |    GREATEST(s_us, epoch_us(CAST(CAST(u.day AS DATE) AS TIMESTAMP))) AS cs,
+       |    LEAST(e_us, epoch_us(CAST(CAST(u.day AS DATE) AS TIMESTAMP)) + ${86400L * 1000000L - 1L}) AS ce
+       |  FROM sess, unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS u(day)
+       |), pts AS (
+       |  SELECT day, cs AS t, 1 AS delta FROM perday
+       |  UNION ALL SELECT day, ce + 1, -1 FROM perday
+       |), net AS (
+       |  SELECT day, t, CAST(SUM(delta) AS BIGINT) AS net FROM pts GROUP BY day, t
+       |), opn AS (
+       |  SELECT day, CAST(SUM(net) OVER (PARTITION BY day ORDER BY t
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open FROM net
+       |)
+       |SELECT day, MAX(open) AS peak_concurrency
+       |FROM opn GROUP BY day ORDER BY day""".stripMargin
+
   // ---- W10: sessionized conversion funnel ----------------------------------
   /** view → click → purchase with ORDER constraints inside a session:
     * the first click must follow the session's first view, the first
@@ -573,6 +711,47 @@ object InventoryQueries2 {
       |  GROUP BY d0)
       |SELECT dau.day AS day, dau.dau, wau.wau
       |FROM dau JOIN wau ON wau.day = dau.day
+      |ORDER BY day""".stripMargin
+
+  // ---- W18: cumulative distinct actives by first-seen decomposition ---------
+  /** Cumulative distinct users per day — the read whose NAIVE form (a
+    * running COUNT(DISTINCT) re-scanning history per day, or a distinct
+    * state store growing with the corpus) is a classic scale killer.
+    * The exact decomposition: a user counts toward day d iff their
+    * FIRST-seen day ≤ d, so one groupBy(user)→min(day) pass (shuffle on
+    * user, map-side combine) reduces the fact table to one row per
+    * user, per-day first-seen counts reduce THAT to one row per day,
+    * and the running sum runs over the ≤ |days| row table — the only
+    * window in the plan, over a frame bounded by the calendar, never
+    * the data. New-user count per day rides along for free (it IS the
+    * per-day first-seen count). */
+  def w18CumulativeActives(s: SparkSession, d: String): DataFrame = {
+    val firstSeen = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val perDay = firstSeen.groupBy(col("first_day")).agg(count(lit(1)).as("new_users"))
+    val days = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("day")) // ≤ |days| rows: the calendar, never the data
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    days.join(perDay, col("day") === col("first_day"), "left")
+      .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cum_actives", sum(col("new_users")).over(w))
+      .orderBy(col("day"))
+  }
+  val w18Sql: String =
+    """WITH fs AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      |  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+      |  GROUP BY user_id),
+      |pd AS (SELECT first_day, COUNT(*) AS new_users FROM fs GROUP BY first_day),
+      |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day
+      |  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events)
+      |SELECT day, COALESCE(new_users, 0) AS new_users,
+      |       CAST(SUM(COALESCE(new_users, 0)) OVER (ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_actives
+      |FROM days LEFT JOIN pd ON pd.first_day = days.day
       |ORDER BY day""".stripMargin
 
   // ---- W13: day-over-day movers ---------------------------------------------
@@ -889,6 +1068,9 @@ object InventoryQueries2 {
     "ab_lift" -> (abLift _),
     "a22_grouping_sets" -> (a22GroupingSets _),
     "w11_rolling_wau" -> (w11RollingWau _),
+    "w18_cumulative_actives" -> (w18CumulativeActives _),
+    "j18_session_overlap" -> (j18SessionOverlap _),
+    "w19_peak_concurrency" -> (w19PeakConcurrency _),
     "a16_approx_distinct" -> (a16ApproxDistinct _),
     "a18_approx_quantiles" -> (a18ApproxQuantiles _),
     "a14_quantiles" -> (a14Quantiles _),
@@ -924,6 +1106,9 @@ object InventoryQueries2 {
     "ab_lift" -> abLiftSql,
     "a22_grouping_sets" -> a22Sql,
     "w11_rolling_wau" -> w11Sql,
+    "w18_cumulative_actives" -> w18Sql,
+    "j18_session_overlap" -> j18Sql,
+    "w19_peak_concurrency" -> w19Sql,
     "a16_approx_distinct" -> a16Sql,
     "a18_approx_quantiles" -> a18Sql,
     "a14_quantiles" -> a14Sql,
