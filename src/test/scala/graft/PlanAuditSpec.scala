@@ -606,6 +606,41 @@ class PlanAuditSpec extends AnyFunSuite {
       s"date predicates must reach the scans, got: $pushed")
   }
 
+  test("q5_local_supplier: every dim side broadcasts (the only shuffle " +
+    "join is fact-side), the order-date filter reaches the scan") {
+    val p = plan("q5_local_supplier")
+    assert(countOf(p, "BroadcastHashJoin") >= 3,
+      s"region/nation/supplier/customer must broadcast:\n$p")
+    assert(countOf(p, "SortMergeJoin") + countOf(p, "ShuffledHashJoin") <= 1,
+      s"at most the orders-lineitem join may shuffle:\n$p")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(o_orderdate") &&
+      pushed.contains("LessThan(o_orderdate"),
+      s"date range must reach the orders scan, got: $pushed")
+  }
+
+  test("q18_large_volume: customer broadcasts, top-100 is TakeOrdered, " +
+    "ONE lineitem aggregation feeds both the HAVING set and the sum") {
+    val p = plan("q18_large_volume")
+    assert(countOf(p, "BroadcastHashJoin") >= 1, p)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must plan as TakeOrderedAndProject:\n$p")
+    // the single-aggregation shape: exactly one scan of lineitem — the
+    // classic doubled HAVING-subquery scan is the plan this query exists
+    // to avoid
+    assert(countOf(p, "lineitem.parquet") == 1,
+      s"lineitem must be scanned exactly once:\n$p")
+  }
+
+  test("j18_session_overlap: the interval overlap pairs by an EQUI join " +
+    "on the hour bucket — no nested-loop θ-join anywhere") {
+    val p = plan("j18_session_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the binned overlap join must stay an equi join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("global sweep: no query plans an unbroadcast cartesian product") {
     // crossJoin against a broadcast side plans as BroadcastNestedLoopJoin
     // (fine — one side is tiny by construction); a CartesianProduct node
