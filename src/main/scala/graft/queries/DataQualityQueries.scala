@@ -526,6 +526,41 @@ object DataQualityQueries {
       |FROM agg JOIN segm USING (rep) JOIN customer c2 ON c2.c_custkey = agg.rep
       |ORDER BY entity_rep""".stripMargin
 
+  // ---- k-anonymity audit ------------------------------------------------------
+  private val KAnon = 5L
+
+  /** k-anonymity audit (Sweeney 2002) — the training-data governance
+    * read the privacy pack's `text_pii_scrub` (content) doesn't cover:
+    * STRUCTURE. A record is re-identifiable when its quasi-identifier
+    * tuple — here (nation, segment, 1000-unit balance band) — is shared
+    * by fewer than k records; the report is one row per equivalence
+    * class with its size and the at-risk flag, the artifact a release
+    * gate suppresses or generalizes against. One groupBy, linear at any
+    * scale. The balance band dodges the signed-integer-division parity
+    * trap (Spark DIV truncates toward zero, DuckDB // floors — they
+    * disagree on negatives): cents shift by +10⁷ (acctbal > −10⁵ by
+    * TPC-H construction) so both engines divide NON-negative operands;
+    * the cents themselves come from floor(x·1e2) on the same IEEE
+    * double, identical on both engines. */
+  def dqKAnonymity(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("(CAST(floor(c_acctbal * 1e2) AS BIGINT) + 10000000) div 100000")
+          .as("bal_band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("at_risk", col("group_size") < KAnon)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+
+  val dqKAnonymitySql: String =
+    s"""SELECT c_nationkey, c_mktsegment,
+       |  (CAST(floor(c_acctbal * 1e2) AS BIGINT) + 10000000) // 100000 AS bal_band,
+       |  COUNT(*) AS group_size,
+       |  COUNT(*) < $KAnon AS at_risk
+       |FROM customer
+       |GROUP BY c_nationkey, c_mktsegment, bal_band
+       |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin
+
   // ---- J15: sorted-neighborhood linkage ------------------------------------
   private val SnWindow = 5
 
@@ -770,6 +805,7 @@ object DataQualityQueries {
     "dq_drift_tvd" -> (dqDriftTvd _),
     "dq_partition_skew" -> (dqPartitionSkew _),
     "dq_independence" -> (dqIndependence _),
+    "dq_k_anonymity" -> (dqKAnonymity _),
     "j10_fuzzy_link" -> (j10FuzzyLink _),
     "j12_entity_resolve" -> (j12EntityResolve _),
     "j14_entity_dual" -> (j14EntityDual _),
@@ -787,6 +823,7 @@ object DataQualityQueries {
     "dq_drift_tvd" -> dqDriftTvdSql,
     "dq_partition_skew" -> dqPartitionSkewSql,
     "dq_independence" -> dqIndependenceSql,
+    "dq_k_anonymity" -> dqKAnonymitySql,
     "j10_fuzzy_link" -> j10Sql,
     "j12_entity_resolve" -> j12Sql,
     "j14_entity_dual" -> j14Sql,
