@@ -488,10 +488,19 @@ object InventoryQueries2 {
     * the same envelope the sessionizer's per-user windows already
     * accept; at extreme per-day volume the prefix sum decomposes
     * two-phase like `Sequence.denseIds`). Integer µs end to end. */
-  def w19PeakConcurrency(s: SparkSession, d: String): DataFrame = {
+  def w19PeakConcurrency(s: SparkSession, d: String): DataFrame =
+    peakConcurrencyFrom(w8Sessionize(s, d))
+
+  /** The sweep-line core, split out so the spec can drive PLANTED
+    * intervals through the exact graded path (the oracle restates the
+    * same decomposition, so it alone cannot catch a shared-algorithm
+    * slip; the hand-checked fixture — simultaneous end/start instants,
+    * a midnight crosser — can). Input needs (session_start,
+    * session_end) timestamps; end-INCLUSIVE intervals. */
+  private[graft] def peakConcurrencyFrom(sessions: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dayUs = 86400L * 1000000L
-    val sess = w8Sessionize(s, d).select(
+    val sess = sessions.select(
       unix_micros(col("session_start")).as("s_us"),
       unix_micros(col("session_end")).as("e_us"),
       to_date(col("session_start")).as("d0"),

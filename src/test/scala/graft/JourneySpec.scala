@@ -215,4 +215,35 @@ class JourneySpec extends AnyFunSuite {
     // conservation: total permille = 1000 × purchases
     assert(out.values.map(_._2).sum == 4000L)
   }
+
+  test("peak concurrency sweep line: hand-checked peaks, end-INCLUSIVE " +
+    "instant where one session ends as another starts counts BOTH, " +
+    "midnight crosser contributes to both its days") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val sess = Seq(
+      // three overlapping sessions: peak 3 inside [10:20, 10:25]
+      ("2024-03-01 10:00:00", "2024-03-01 10:30:00"),
+      ("2024-03-01 10:15:00", "2024-03-01 10:45:00"),
+      ("2024-03-01 10:20:00", "2024-03-01 10:25:00"),
+      // D ends AT 11:10, E starts AT 11:10 — end-inclusive ⇒ 2 open
+      ("2024-03-01 11:00:00", "2024-03-01 11:10:00"),
+      ("2024-03-01 11:10:00", "2024-03-01 11:20:00"),
+      // midnight crosser: counts on Mar 1 AND Mar 2 (clipped)
+      ("2024-03-01 23:50:00", "2024-03-02 00:10:00"))
+      .toDF("a", "b")
+      .select(to_timestamp(col("a")).as("session_start"),
+        to_timestamp(col("b")).as("session_end"))
+    val got = graft.queries.InventoryQueries2.peakConcurrencyFrom(sess)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
+    assert(got == Seq("2024-03-01" -> 3L, "2024-03-02" -> 1L), got.toString)
+    // the tie instant really read 2, not 1: with the triple-overlap
+    // block removed, the Mar-1 peak becomes the 11:10 handover
+    val got2 = graft.queries.InventoryQueries2.peakConcurrencyFrom(
+        sess.filter(col("session_start") >= to_timestamp(
+          org.apache.spark.sql.functions.lit("2024-03-01 11:00:00"))))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
+    assert(got2 == Seq("2024-03-01" -> 2L, "2024-03-02" -> 1L), got2.toString)
+  }
 }
