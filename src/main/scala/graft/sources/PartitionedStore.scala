@@ -252,17 +252,64 @@ object PartitionedStore {
     * index appender must pass the version its readers serve, never the
     * raw latest, or a retry after a crashed-but-committed append would
     * silently stack on the orphan. Returns the new version number. */
+  /** SCHEMA GATE (the Delta transaction-log discipline reduced to a
+    * manifest header): each manifest carries its version's non-partition
+    * schema as a `#schema=` JSON line, and an APPEND whose DataFrame
+    * schema drifts from the served version fails HERE — before a byte of
+    * data is written — instead of publishing a poisoned version that
+    * crashes every later [[readVersion]] union. Retyped columns are
+    * never allowed (no union can serve two types under one name);
+    * added/removed columns only under explicit `allowSchemaEvolution =
+    * true`, in which case reads serve the union schema with nulls for
+    * the side that lacks the column, and the new manifest records the
+    * EVOLVED schema so the next append compares against it. Partition
+    * columns stay out of the comparison (partition directory values
+    * re-infer with narrower types on read — a false retype). The header
+    * costs one tiny manifest-line read per append, never a
+    * parquet-footer pass over parent dirs. */
   def commitVersion(df: DataFrame, path: String,
                     append: Boolean = false,
                     dropDirs: Seq[String] = Nil,
                     partitionCols: Seq[String] = Nil,
-                    parent: Option[Long] = None): Long = {
+                    parent: Option[Long] = None,
+                    allowSchemaEvolution: Boolean = false): Long = {
     val root = Paths.get(path)
     Files.createDirectories(root.resolve("_manifests"))
     Files.createDirectories(root.resolve("data"))
     val vs = versions(path)
     parent.foreach(p => require(vs.contains(p), s"parent version $p not in $vs"))
     val base = if (append) parent.orElse(vs.lastOption) else None
+    val cur = org.apache.spark.sql.types.StructType(
+      df.schema.filterNot(f => partitionCols.contains(f.name)))
+    // schema-drift gate: fail fast, BEFORE writing data (no orphan dir).
+    // Types compare with NULLABILITY widened recursively: parquet
+    // round-trips and per-batch inference flip containsNull inside
+    // array/map/struct types freely (an in-memory array<float> delta vs
+    // the written array<float,containsNull=true> header), and a
+    // nullability flip is not a retype — unions serve it fine.
+    val header = base.flatMap(pv => manifestSchema(path, pv)) match {
+      case Some(ps) =>
+        val psM = ps.map(f => f.name -> widenNulls(f.dataType)).toMap
+        val curM = cur.map(f => f.name -> widenNulls(f.dataType)).toMap
+        val retyped = (psM.keySet & curM.keySet)
+          .filter(n => psM(n) != curM(n))
+        require(retyped.isEmpty,
+          s"append retypes column(s) ${retyped.mkString(", ")} vs the served " +
+            s"version at $path — a union cannot serve two types under one " +
+            "name; write a fresh snapshot (append = false) instead")
+        val added = curM.keySet -- psM.keySet
+        val removed = psM.keySet -- curM.keySet
+        require((added.isEmpty && removed.isEmpty) || allowSchemaEvolution,
+          s"append schema drifts from the served version at $path (added: " +
+            s"${added.mkString(", ")}; removed: ${removed.mkString(", ")}) — " +
+            "published as-is this version would crash every readVersion " +
+            "union; pass allowSchemaEvolution = true to evolve deliberately " +
+            "(reads then null-fill the missing side) or align the delta")
+        // evolved header: parent fields in parent order, new fields appended
+        org.apache.spark.sql.types.StructType(
+          ps ++ cur.filterNot(f => psM.contains(f.name)))
+      case None => cur
+    }
     val v = vs.lastOption.getOrElse(0L) + 1
     val dirName = s"v$v-${java.util.UUID.randomUUID().toString.take(8)}"
     val w = df.write.mode(SaveMode.ErrorIfExists).option("compression", "zstd")
@@ -275,7 +322,8 @@ object PartitionedStore {
     require(unknown.isEmpty,
       s"dropDirs not in parent manifest: ${unknown.mkString(", ")}")
     val parentDirs = parentAll.filterNot(dropDirs.contains)
-    publishManifest(root, s"v$v.list", (parentDirs :+ dirName).mkString("\n"),
+    publishManifest(root, s"v$v.list",
+      (s"#schema=${header.json}" +: (parentDirs :+ dirName)).mkString("\n"),
       s"concurrent commit lost the race: version $v already published at $path")
     v
   }
@@ -320,11 +368,40 @@ object PartitionedStore {
       .toSeq.sorted
   }
 
-  private def manifestDirs(path: String, v: Long): Seq[String] =
+  /** Recursive nullability widening for the schema-gate comparison —
+    * nested containsNull/valueContainsNull/nullable flags are transport
+    * noise, not type identity. */
+  private def widenNulls(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.map(f =>
+        f.copy(dataType = widenNulls(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(widenNulls(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(widenNulls(m.keyType), widenNulls(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  private def manifestContent(path: String, v: Long): String =
     new String(Files.readAllBytes(
       Paths.get(path, "_manifests", s"v$v.list")),
       java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n").toSeq.filter(_.nonEmpty)
+
+  private def manifestDirs(path: String, v: Long): Seq[String] =
+    manifestContent(path, v)
+      .split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
+
+  /** The non-partition schema a committed version was published with
+    * (the `#schema=` manifest header) — None for manifests published
+    * before the header existed. */
+  private[graft] def manifestSchema(
+      path: String, v: Long): Option[org.apache.spark.sql.types.StructType] =
+    manifestContent(path, v).split("\n")
+      .find(_.startsWith("#schema="))
+      .map(l => org.apache.spark.sql.types.DataType
+        .fromJson(l.stripPrefix("#schema="))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
 
   /** Time-travel read: the table as of `version` (latest when None).
     * Each manifest dir is scanned as its own root and unioned — a
@@ -339,9 +416,13 @@ object PartitionedStore {
     require(vs.nonEmpty, s"no committed versions at $path")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
+    // allowMissingColumns: under explicit schema evolution (see the
+    // commitVersion gate) dirs may differ by ADDED/REMOVED columns — the
+    // union serves the superset schema with nulls for the lacking side.
+    // Drift never reaches here undeclared: the commit gate rejects it.
     manifestDirs(path, v)
       .map(d => spark.read.parquet(Paths.get(path, "data", d).toString))
-      .reduce(_.unionByName(_))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** The data directories a committed version comprises — the manifest
@@ -641,8 +722,10 @@ object PartitionedStore {
     val vs = versions(path)
     require(vs.contains(version), s"version $version not in $vs")
     val v = vs.last + 1
+    // byte-copy of the WHOLE manifest (incl. the #schema header), so the
+    // restored version keeps its schema lineage for later append gates
     publishManifest(Paths.get(path), s"v$v.list",
-      manifestDirs(path, version).mkString("\n"),
+      manifestContent(path, version),
       s"concurrent commit lost the race: version $v already published at $path")
     v
   }

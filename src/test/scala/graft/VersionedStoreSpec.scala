@@ -301,19 +301,55 @@ class VersionedStoreSpec extends AnyFunSuite {
       Set(("flag", "removed"), ("score", "removed")))
     // identical versions: empty diff
     assert(PartitionedStore.schemaDiff(spark, path, v3, v3).isEmpty)
-    // a version whose dirs DISAGREE on a column's type must throw loudly
-    // (naming the column) — readVersion's unionByName would fail on that
-    // same version, so an arbitrary fs.head pick would mask or misreport
-    // the very retype the diff exists to catch
-    val v4 = PartitionedStore.commitVersion(
-      Seq((4L, 7)).toDF("id", "score"), path, append = true)
-    PartitionedStore.commitVersion(
-      Seq((5L, 2.5)).toDF("id", "score"), path, append = true, parent = Some(v4))
-    val e = intercept[IllegalArgumentException] {
-      PartitionedStore.schemaDiff(spark, path, v3, v4 + 1)
+    // ---- the r12 schema gate: drift appends fail BEFORE publishing ----
+    // (previously this very test CONSTRUCTED a poisoned version through
+    // the public API — an appended drifting schema committed fine and
+    // then crashed every readVersion; the gate makes that unreachable)
+    val e1 = intercept[IllegalArgumentException] {
+      PartitionedStore.commitVersion(
+        Seq((4L, 7)).toDF("id", "score"), path, append = true)
     }
-    assert(e.getMessage.contains("score") &&
-      e.getMessage.contains("conflicting types"), e.getMessage)
+    assert(e1.getMessage.contains("drifts") &&
+      e1.getMessage.contains("allowSchemaEvolution"), e1.getMessage)
+    assert(PartitionedStore.versions(path).last == v3,
+      "a refused append must publish nothing")
+    // explicit evolution: commit succeeds, reads serve the union schema
+    // with nulls for the side lacking the column
+    val v4 = PartitionedStore.commitVersion(
+      Seq((4L, 7)).toDF("id", "score"), path, append = true,
+      allowSchemaEvolution = true)
+    val served = PartitionedStore.readVersion(s, path, Some(v4))
+    assert(served.columns.toSet == Set("id", "payload", "score"))
+    assert(served.count() == 2) // v3's row + the evolved append's row
+    assert(served.filter(col("id") === 3L)
+      .select(col("score")).collect()(0).isNullAt(0),
+      "pre-evolution rows null-fill the added column")
+    assert(PartitionedStore.schemaDiff(spark, path, v3, v4)
+      .exists(r => r._1 == "score" && r._2 == "added"))
+    // a RETYPE refuses even under explicit evolution — no union can
+    // serve two types under one name
+    val e2 = intercept[IllegalArgumentException] {
+      PartitionedStore.commitVersion(
+        Seq((5L, 2.5)).toDF("id", "score"), path, append = true,
+        parent = Some(v4), allowSchemaEvolution = true)
+    }
+    assert(e2.getMessage.contains("retypes"), e2.getMessage)
+    // a version whose dirs DISAGREE on a column's type must still throw
+    // loudly from schemaDiff (naming the column): unreachable through
+    // commitVersion since the gate, but a legacy/hand-built manifest can
+    // carry it, and an arbitrary fs.head pick would mask the retype
+    Seq((9L, 2.5)).toDF("id", "score")
+      .write.parquet(s"$path/data/vman-poison")
+    val vNext = PartitionedStore.versions(path).last + 1
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_manifests", s"v$vNext.list"),
+      (PartitionedStore.versionDirs(path, v4) :+ "vman-poison")
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e3 = intercept[IllegalArgumentException] {
+      PartitionedStore.schemaDiff(spark, path, v3, vNext)
+    }
+    assert(e3.getMessage.contains("score") &&
+      e3.getMessage.contains("conflicting types"), e3.getMessage)
   }
 
   test("truncating history then vacuuming reclaims unreferenced snapshot dirs") {
