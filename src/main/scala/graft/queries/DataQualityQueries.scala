@@ -684,13 +684,23 @@ object DataQualityQueries {
           expr("tp * 1000000 DIV greatest(n_truth, 1)").as("recall_ppm"))
     }
     val cid = cust.withColumnRenamed("c_custkey", "cid")
-    val single = sameSeg(Relational.sortedNeighborhood(
-      cid, "cid", "c_name", window = SnWindow, maxDist = 1))
-    val multi = sameSeg(Relational.sortedNeighborhoodMulti(
+    // the name-key pass is computed ONCE and reused by both schemes
+    // (sortedNeighborhood localCheckpoints its pair result, so the
+    // second consumer reads the checkpoint instead of re-running the
+    // rank + window join): multi = pass1 ∪ reverse-key pass, normalized
+    // + deduped — identical to sortedNeighborhoodMulti's pair set
+    val pass1 = Relational.sortedNeighborhood(
+      cid, "cid", "c_name", window = SnWindow, maxDist = 1)
+    val pass2 = Relational.sortedNeighborhood(
       cid, "cid", "c_name", window = SnWindow, maxDist = 1,
-      sortKeys = Seq(col("c_name"), reverse(col("c_name")))))
-    confusionRow("single", single)
-      .unionByName(confusionRow("multi", multi))
+      sortKey = Some(reverse(col("c_name"))))
+    val multiPairs = pass1.select(col("id_a"), col("id_b"))
+      .unionByName(pass2.select(col("id_a"), col("id_b")))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    confusionRow("single", sameSeg(pass1))
+      .unionByName(confusionRow("multi", sameSeg(multiPairs)))
       .orderBy(col("scheme"))
   }
 

@@ -437,12 +437,17 @@ object InventoryQueries2 {
     val b = binned.select(col("user_id").as("user_b"),
       col("session_no").as("session_b"), col("s_us").as("sb"),
       col("e_us").as("eb"), col("bin"))
+    // overlap confirm BEFORE the dedup shuffle: same-bucket pairs that
+    // don't actually overlap (disjoint within the hour) are the bulk of
+    // the binned candidates, and overlap_us is identical on every
+    // duplicate of a pair, so filtering first shrinks the dropDuplicates
+    // exchange without touching the answer
     a.join(b, Seq("bin")).filter(col("user_a") < col("user_b"))
-      .drop("bin")
-      .dropDuplicates("user_a", "session_a", "user_b", "session_b")
       .withColumn("overlap_us",
         least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")))
       .filter(col("overlap_us") >= 0L)
+      .drop("bin")
+      .dropDuplicates("user_a", "session_a", "user_b", "session_b")
       .select(col("user_a"), col("session_a"), col("user_b"),
         col("session_b"), col("overlap_us"))
       .orderBy(col("overlap_us").desc, col("user_a"), col("session_a"),
@@ -496,8 +501,23 @@ object InventoryQueries2 {
     * same decomposition, so it alone cannot catch a shared-algorithm
     * slip; the hand-checked fixture — simultaneous end/start instants,
     * a midnight crosser — can). Input needs (session_start,
-    * session_end) timestamps; end-INCLUSIVE intervals. */
-  private[graft] def peakConcurrencyFrom(sessions: DataFrame): DataFrame = {
+    * session_end) timestamps; end-INCLUSIVE intervals.
+    *
+    * The running sum is the TWO-PHASE prefix-sum decomposition (the
+    * `Sequence.denseIds` / `sortedNeighborhood` rank machinery): a
+    * `partitionBy(day)` window would put an entire day's points in ONE
+    * task — at 100 TB a day is billions of points, the single-task trap
+    * this repo bans. Instead points range-partition on (day, t) (the
+    * exchange is CHECKPOINTED: cumsum and offsets must see the same
+    * sampled boundaries), each partition cumsums its own (pid, day)
+    * slice, and a broadcast (pid, day)-subtotal table — ≤ nRanges·days
+    * rows, exclusive-prefix-summed per day over the pid order, the one
+    * documented tiny single-partition window — supplies each slice's
+    * starting offset. Equal (day, t) keys never split across range
+    * partitions (and are pre-collapsed anyway), so slice order IS sweep
+    * order. */
+  private[graft] def peakConcurrencyFrom(sessions: DataFrame,
+                                         nRanges: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dayUs = 86400L * 1000000L
     val sess = sessions.select(
@@ -514,11 +534,25 @@ object InventoryQueries2 {
       .unionByName(perDay.select(col("day"), (col("ce") + 1L).as("t"),
         lit(-1L).as("delta")))
       .groupBy(col("day"), col("t")).agg(sum(col("delta")).as("net"))
-    val w = Window.partitionBy(col("day")).orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    pts.withColumn("open", sum(col("net")).over(w))
-      .groupBy(col("day")).agg(max(col("open")).as("peak_concurrency"))
-      .orderBy(col("day"))
+    val parts = pts.repartitionByRange(nRanges, col("day"), col("t"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // cumsum + offsets must see the same boundaries
+    try {
+      val wIn = Window.partitionBy(col("pid"), col("day")).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wOff = Window.partitionBy(col("day")).orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = broadcast(parts.groupBy(col("pid"), col("day"))
+        .agg(sum(col("net")).as("sub"))
+        .withColumn("offset", coalesce(sum(col("sub")).over(wOff), lit(0L)))
+        .select(col("pid"), col("day"), col("offset")))
+      parts.withColumn("cum", sum(col("net")).over(wIn))
+        .join(offsets, Seq("pid", "day"))
+        .withColumn("open", col("cum") + col("offset"))
+        .groupBy(col("day")).agg(max(col("open")).as("peak_concurrency"))
+        .orderBy(col("day"))
+        .localCheckpoint() // small result outlives parts' release
+    } finally graft.operators.Checkpoints.release(parts)
   }
   val w19Sql: String =
     s"""WITH ord AS (
