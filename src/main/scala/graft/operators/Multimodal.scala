@@ -278,7 +278,14 @@ object Multimodal {
     * byte − 128. Per-channel mean (integer sum, one division) and peak
     * |amplitude| — engine-replayable. Mono input duplicates its channel
     * into both outputs. Malformed input fails loudly with the media id. */
-  private[graft] def parseWav(id: Long, b: Array[Byte]): WavFeatures = {
+  private case class WavGeom(sampleRate: Int, channels: Int,
+                             dataPos: Int, frames: Long)
+
+  /** RIFF chunk walk + format validation shared by every WAV consumer
+    * ([[parseWav]]'s whole-stream stats, [[wavWindowEnergy]]'s windows):
+    * returns the data-chunk geometry, raising loudly (with the media id)
+    * on anything malformed. */
+  private def parseWavHeader(id: Long, b: Array[Byte]): WavGeom = {
     def ascii4(p: Int) = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
     def u32(p: Int): Long = (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
       ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
@@ -318,6 +325,15 @@ object Multimodal {
       s"media $id: unsupported channel count $channels")
     val frames = dataLen / channels
     require(frames > 0, s"media $id: empty data chunk")
+    WavGeom(sampleRate, channels, dataPos, frames)
+  }
+
+  private[graft] def parseWav(id: Long, b: Array[Byte]): WavFeatures = {
+    val g = parseWavHeader(id, b)
+    val channels = g.channels
+    val sampleRate = g.sampleRate
+    val dataPos = g.dataPos
+    val frames = g.frames
     var (sl, sr, pl, pr) = (0L, 0L, 0L, 0L)
     var j = 0
     while (j < frames) {
@@ -338,6 +354,45 @@ object Multimodal {
   def decodeWav(media: Dataset[WavRecord]): Dataset[WavFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(r => parseWav(r.media_id, r.payload)))
+  }
+
+  case class WavWindow(media_id: Long, win_idx: Int, n_frames: Int,
+                       energy_l: Long, energy_r: Long)
+
+  /** WINDOWED audio energy — the spectrogram-precursor verb audio
+    * pipelines run before any model sees a sample (VAD gating, silence
+    * trimming, loudness segmentation): the real RIFF decode walked in
+    * non-overlapping `windowFrames`-frame windows, per window the exact
+    * integer energy Σ amplitude² per channel (8-bit PCM amplitudes are
+    * −128..127, so a window's energy fits a long at ANY window size) and
+    * the window's true frame count (the tail window is short, not
+    * padded — padding would bias a per-frame comparison). Same seam
+    * discipline as [[decodeWav]]: one decoder per partition, payloads
+    * never shuffle, only fixed-width window rows flow downstream —
+    * windows-per-media is duration/window, so output scales with AUDIO
+    * LENGTH, not payload bytes. */
+  def wavWindowEnergy(media: Dataset[WavRecord],
+                      windowFrames: Int): Dataset[WavWindow] = {
+    require(windowFrames >= 1, s"windowFrames must be positive: $windowFrames")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val b = r.payload
+      val g = parseWavHeader(r.media_id, b)
+      val nw = ((g.frames + windowFrames - 1) / windowFrames).toInt
+      (0 until nw).iterator.map { w =>
+        val lo = w.toLong * windowFrames
+        val hi = math.min(g.frames, lo + windowFrames)
+        var el = 0L; var er = 0L; var j = lo
+        while (j < hi) {
+          val l = (b(g.dataPos + g.channels * j.toInt) & 0xff) - 128
+          val rr = if (g.channels == 2)
+            (b(g.dataPos + 2 * j.toInt + 1) & 0xff) - 128 else l
+          el += l.toLong * l; er += rr.toLong * rr
+          j += 1
+        }
+        WavWindow(r.media_id, w, (hi - lo).toInt, el, er)
+      }
+    })
   }
 
   // ---- REAL codec: Y4M (YUV4MPEG2) video -----------------------------------

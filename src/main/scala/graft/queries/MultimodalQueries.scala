@@ -206,6 +206,66 @@ object MultimodalQueries {
       |  CAST(list_max(list_transform(range(0, nf), j -> abs(a[CAST(2*j+2 AS INTEGER)]))) AS BIGINT) AS peak_r
       |FROM amp ORDER BY media_id""".stripMargin
 
+  // ---- windowed audio energy: VAD-gate features over real WAV windows ------
+  private val EnergyWindow = 16
+
+  /** The spectrogram-precursor read ([[Multimodal.wavWindowEnergy]]):
+    * per non-overlapping [[EnergyWindow]]-frame window of each real WAV
+    * payload, the exact integer per-channel energy Σ amplitude² and a
+    * `below_avg` flag comparing the window's PER-FRAME energy against
+    * the media's own average — the integer cross-multiplied form
+    * (e_w·n_total < e_total·n_w), division-free, so the flag is
+    * hash-exact. This is what a silence-trim / VAD gate consumes; an
+    * absolute silence threshold would be vacuous on text-derived
+    * amplitudes (printable ASCII − 128 is never near zero), the
+    * relative flag splits windows meaningfully on any corpus. The
+    * oracle replays the byte-tiling arithmetic from the text alone, so
+    * a window-boundary or channel-interleave slip hash-mismatches. */
+  def mmWavEnergy(s: SparkSession, d: String): DataFrame = {
+    val win = Multimodal.wavWindowEnergy(Multimodal.asWav(
+        Multimodal.wavFromText(Tables.documents(s, d))), EnergyWindow)
+      .toDF()
+    val tot = win.groupBy(col("media_id")).agg(
+      sum(col("energy_l") + col("energy_r")).as("tot_e"),
+      sum(col("n_frames")).as("tot_n"))
+    win.join(tot, "media_id")
+      .withColumn("below_avg",
+        (col("energy_l") + col("energy_r")) * col("tot_n") <
+          col("tot_e") * col("n_frames"))
+      .select(col("media_id"), col("win_idx"), col("n_frames"),
+        col("energy_l"), col("energy_r"), col("below_avg"))
+      .orderBy(col("media_id"), col("win_idx"))
+  }
+  val mmWavEnergySql: String =
+    s"""WITH src AS (
+       |  SELECT doc_id AS media_id,
+       |         CAST(20 + doc_id % 50 AS BIGINT) AS nf, text
+       |  FROM documents WHERE length(text) > 0 AND strlen(text) = length(text)
+       |), amp AS (
+       |  SELECT media_id, nf,
+       |    list_transform(range(0, CAST(nf*2 AS INTEGER)), i ->
+       |      ascii(substring(text, CAST(1 + i % length(text) AS INTEGER), 1)) - 128) AS a
+       |  FROM src
+       |), win AS (
+       |  SELECT media_id, CAST(u.w AS INTEGER) AS win_idx,
+       |    CAST(LEAST(nf, (u.w + 1) * $EnergyWindow) - u.w * $EnergyWindow AS INTEGER) AS n_frames,
+       |    CAST(list_sum(list_transform(
+       |      range(CAST(u.w * $EnergyWindow AS INTEGER), CAST(LEAST(nf, (u.w + 1) * $EnergyWindow) AS INTEGER)),
+       |      j -> CAST(a[CAST(2*j+1 AS INTEGER)] AS BIGINT) * a[CAST(2*j+1 AS INTEGER)])) AS BIGINT) AS energy_l,
+       |    CAST(list_sum(list_transform(
+       |      range(CAST(u.w * $EnergyWindow AS INTEGER), CAST(LEAST(nf, (u.w + 1) * $EnergyWindow) AS INTEGER)),
+       |      j -> CAST(a[CAST(2*j+2 AS INTEGER)] AS BIGINT) * a[CAST(2*j+2 AS INTEGER)])) AS BIGINT) AS energy_r
+       |  FROM amp, unnest(range(0, CAST((nf + ${EnergyWindow - 1}) // $EnergyWindow AS INTEGER))) AS u(w)
+       |), tot AS (
+       |  SELECT media_id, CAST(SUM(energy_l + energy_r) AS BIGINT) AS tot_e,
+       |         CAST(SUM(n_frames) AS BIGINT) AS tot_n
+       |  FROM win GROUP BY media_id
+       |)
+       |SELECT win.media_id, win_idx, n_frames, energy_l, energy_r,
+       |       (energy_l + energy_r) * tot_n < tot_e * n_frames AS below_avg
+       |FROM win JOIN tot USING (media_id)
+       |ORDER BY media_id, win_idx""".stripMargin
+
   // ---- REAL Y4M video decode: frame walk + per-plane stats + fingerprints --
   /** Real YUV4MPEG2 payloads built in-plan (stream header + per-FRAME
     * C444 planes tiled continuously from the doc's bytes), decoded by the
@@ -376,6 +436,7 @@ object MultimodalQueries {
     "mm_decode_ppm" -> (mmDecodePpm _),
     "mm_phash_dedup" -> (mmPhashDedup _),
     "mm_decode_wav" -> (mmDecodeWav _),
+    "mm_wav_energy" -> (mmWavEnergy _),
     "mm_decode_video" -> (mmDecodeVideo _),
     "mm_frame_dedup" -> (mmFrameDedup _))
 
@@ -388,6 +449,7 @@ object MultimodalQueries {
     "mm_decode_ppm" -> mmDecodePpmSql,
     "mm_phash_dedup" -> mmPhashDedupSql,
     "mm_decode_wav" -> mmDecodeWavSql,
+    "mm_wav_energy" -> mmWavEnergySql,
     "mm_decode_video" -> mmDecodeVideoSql,
     "mm_frame_dedup" -> mmFrameDedupSql)
 }

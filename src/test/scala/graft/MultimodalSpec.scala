@@ -109,6 +109,22 @@ class MultimodalSpec extends AnyFunSuite {
       (0 - 2 + 3) / 3.0, (2 + 12 - 30) / 3.0, 3L, 30L))
   }
 
+  test("wavWindowEnergy: golden stream windowed at 2 frames — exact per-" +
+    "channel Σamp², short unpadded tail window, window boundaries honor " +
+    "channel interleave") {
+    val s = spark
+    import s.implicits._
+    // goldenWav amplitudes L: 0,−2,3; R: 2,12,−30 → window 2:
+    //   w0 frames{0,1}: el = 0+4 = 4,  er = 4+144 = 148, n = 2
+    //   w1 frame {2}:   el = 9,        er = 900,         n = 1 (tail)
+    val got = Multimodal.wavWindowEnergy(
+        Seq(Multimodal.WavRecord(9L, goldenWav)).toDS(), windowFrames = 2)
+      .collect().sortBy(_.win_idx).toSeq
+    assert(got == Seq(
+      Multimodal.WavWindow(9L, 0, 2, 4L, 148L),
+      Multimodal.WavWindow(9L, 1, 1, 9L, 900L)), got.toString)
+  }
+
   test("parseWav: mono duplicates its channel; malformed inputs fail loudly") {
     val fmtMono = le16b(1) ++ le16b(1) ++ le32b(8000) ++ le32b(8000) ++
       le16b(1) ++ le16b(8)
