@@ -88,9 +88,9 @@ class BenchSpec extends AnyFunSuite {
     assert(degraded.endsWith("""}}"""), "slowest stays the closing field")
   }
 
-  test("BenchPrior resource is the committed r12 steady map: 272 entries, " +
+  test("BenchPrior resource is the committed r12 steady map: 273 entries, " +
     "median in the committed envelope, j12 prior present") {
-    assert(BenchPrior.steady.size == 272, BenchPrior.steady.size.toString)
+    assert(BenchPrior.steady.size == 273, BenchPrior.steady.size.toString)
     assert(BenchPrior.median > 0.1 && BenchPrior.median < 2.0,
       BenchPrior.median.toString)
     assert(BenchPrior.steady.contains("j12_entity_resolve"))
