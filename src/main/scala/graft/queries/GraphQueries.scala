@@ -276,11 +276,14 @@ object GraphQueries {
     * memoized as a localCheckpoint'd narrow pair table — the [[DupEdges]]
     * discipline applied to the link-prediction substrate now that TWO
     * graded queries (`graph_common_neighbors`, `graph_resource_alloc`)
-    * consume the identical derivation. */
-  private val overlapCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+    * consume the identical derivation. BOUNDED (r12 ADVICE): the memo is
+    * a [[graft.operators.CheckpointMemo]] — LRU by access with the
+    * evicted entry's checkpoint blocks released — so a long-lived
+    * multi-dir service cannot accumulate checkpointed edge tables
+    * without limit (the leak class Tables' LRU bounds for plans). */
+  private[graft] val overlapCache = new graft.operators.CheckpointMemo()
   private def overlapEdges(s: SparkSession, d: String): DataFrame =
-    overlapCache.getOrElseUpdate((s, d),
+    overlapCache.getOrElseUpdate(s, d,
       Dedup.overlapPairs(Tables.documents(s, d), "doc_id", "text",
         minShared = CnMinShared, dfMin = CnDfMin, dfMax = CnDfMax)
         .localCheckpoint())
