@@ -535,6 +535,68 @@ object Relational {
       .filter(col("dist") <= 1)
   }
 
+  /** Interval×interval overlap self-join over sessions, binned lossless
+    * (each interval explodes to the `binUs` buckets it covers; two
+    * overlapping intervals both contain the overlap instant, which lies
+    * in a bucket both cover), with the repo's hot-bucket discipline the
+    * r12 verdict flagged as this operator's missing insurance: per-bin
+    * candidate fan-out is bn·(bn−1)/2 — the TRUE answer size on healthy
+    * data, but ONE viral bin at 100 TB (10⁵ concurrent sessions → 10¹⁰
+    * candidate pairs in one bucket) goes quadratic with no signal. Under
+    * `failOnCap` a bin whose pair bound exceeds `maxPairsPerBin` raises
+    * IN-PLAN (raise_error gating the LIVE start-time column, so pruning
+    * can never eliminate the guard) — the [[fuzzyLink]]/
+    * [[graft.operators.Dedup.minhashPairs]] failOnCap pattern. The
+    * mitigation at scale is a finer bin (minutes, not hours) or a
+    * concurrency pre-cap; the guard makes the choice loud instead of a
+    * silent quadratic stage.
+    *
+    * Input `sess`: (user_id, session_no, s_us, e_us) with micros
+    * endpoints, s_us ≤ e_us. Output: cross-USER candidate pairs
+    * (user_a, session_a, user_b, session_b, overlap_us ≥ 0), deduped
+    * across shared bins; un-ordered — callers rank/limit. The exact
+    * overlap confirm runs BEFORE the pair dedup exchange: same-bucket
+    * pairs that don't actually overlap are the bulk of the binned
+    * candidates, and overlap_us is identical on every duplicate of a
+    * pair, so filtering first shrinks the dropDuplicates shuffle
+    * without touching the answer. */
+  def sessionOverlapPairs(sess: DataFrame, binUs: Long,
+                          maxPairsPerBin: Long = MaxPairsDefault,
+                          failOnCap: Boolean = false): DataFrame = {
+    val binned = sess.select(col("user_id"), col("session_no"),
+        col("s_us"), col("e_us"))
+      .withColumn("bin",
+        explode(sequence(expr(s"s_us div $binUs"), expr(s"e_us div $binUs"))))
+    val guarded =
+      if (failOnCap) {
+        val counts = binned.groupBy(col("bin")).agg(count(lit(1)).as("bn"))
+        binned.join(counts, Seq("bin"))
+          .withColumn("s_us",
+            when(col("bn") * (col("bn") - 1L) / 2L > lit(maxPairsPerBin),
+              raise_error(concat(
+                lit(s"sessionOverlapPairs: bin pair bound exceeded maxPairsPerBin=$maxPairsPerBin (bin="),
+                col("bin").cast("string"), lit(", sessions="),
+                col("bn").cast("string"),
+                lit(") — use a finer bin or pre-cap concurrency"))))
+              .otherwise(col("s_us")))
+          .drop("bn")
+      } else binned
+    val a = guarded.select(col("user_id").as("user_a"),
+      col("session_no").as("session_a"), col("s_us").as("sa"),
+      col("e_us").as("ea"), col("bin"))
+    val b = guarded.select(col("user_id").as("user_b"),
+      col("session_no").as("session_b"), col("s_us").as("sb"),
+      col("e_us").as("eb"), col("bin"))
+    a.join(b, Seq("bin")).filter(col("user_a") < col("user_b"))
+      .withColumn("overlap_us",
+        least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")))
+      .filter(col("overlap_us") >= 0L)
+      .drop("bin")
+      .dropDuplicates("user_a", "session_a", "user_b", "session_b")
+      .select(col("user_a"), col("session_a"), col("user_b"),
+        col("session_b"), col("overlap_us"))
+  }
+
   /** Sorted-neighborhood record linkage (Hernández & Stolfo, "The
     * Merge/Purge Problem for Large Databases", SIGMOD 1995) — the THIRD
     * classic blocking scheme next to [[fuzzyLink]]'s equality blocks and

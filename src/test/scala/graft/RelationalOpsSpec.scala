@@ -131,6 +131,39 @@ class RelationalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionOverlapPairs failOnCap: a constructed viral bin (4 " +
+    "concurrent sessions, C(4,2)=6 > maxPairsPerBin=5) raises loudly " +
+    "in-plan; the same data under the default budget returns exact " +
+    "overlaps, cross-user only, deduped across shared bins") {
+    val s = spark
+    import s.implicits._
+    val binUs = 3600L * 1000000L
+    // users 1-4 all online in bin 0; user 1 has a second session in a
+    // quiet bin far away (also spans TWO bins → dedup exercised)
+    val sess = Seq(
+      (1L, 0L, 0L, 1000L),
+      (2L, 0L, 500L, 2000L),
+      (3L, 0L, 100L, 400L),
+      (4L, 0L, 5000L, 6000L), // same bin, overlaps nobody
+      (1L, 1L, 100L * binUs + 10L, 101L * binUs + 10L)
+    ).toDF("user_id", "session_no", "s_us", "e_us")
+    val hot = Relational.sessionOverlapPairs(sess, binUs,
+      maxPairsPerBin = 5L, failOnCap = true)
+    val e = intercept[Exception] { hot.collect() }
+    assert(e.getMessage.contains("maxPairsPerBin"), e.getMessage)
+    val ok = Relational.sessionOverlapPairs(sess, binUs, failOnCap = true)
+      .select("user_a", "session_a", "user_b", "session_b", "overlap_us")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // (1,2) overlap [500,1000]=500; (1,3) [100,400]=300; (2,3) touch at
+    // nothing... 3 ends 400 < 2 starts 500 → excluded; 4 overlaps none;
+    // the two-bin session pairs with nobody (quiet bins) and appears once
+    assert(ok == Set((1L, 0L, 2L, 0L, 500L), (1L, 0L, 3L, 0L, 300L)))
+    val plan = Relational.sessionOverlapPairs(sess, binUs)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("negative timestamps: truncating DIV is monotone, coverage holds") {
     val out = Relational.intervalJoin(
       pts(-15L, -10L, -6L, -5L, 0L), "t",
