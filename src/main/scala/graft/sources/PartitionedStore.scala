@@ -266,7 +266,31 @@ object PartitionedStore {
     * columns stay out of the comparison (partition directory values
     * re-infer with narrower types on read — a false retype). The header
     * costs one tiny manifest-line read per append, never a
-    * parquet-footer pass over parent dirs. */
+    * parquet-footer pass over parent dirs — except the one-time
+    * headerless-parent case below.
+    *
+    * Two r12-ADVICE refinements:
+    *  - HEADERLESS PARENT: a manifest published before the header
+    *    existed has no `#schema=` line; r12's gate silently skipped the
+    *    comparison there, so a drifting append onto a legacy parent
+    *    published AND read silently null-filled — the loud-failure
+    *    property gone exactly where the gate couldn't see. Now the
+    *    served schema is derived ONCE from the parent dirs' parquet
+    *    footers (planning cost bounded by the manifest length, paid only
+    *    on the first append onto a legacy parent) and recorded on the
+    *    new manifest so it is never repaid.
+    *  - SETTLED SHAPE after a removal evolution: the served header must
+    *    keep removed columns forever (old dirs still carry their values;
+    *    reads null-fill the new side), but r12's gate compared appends
+    *    against that superset, so every later append of the settled
+    *    narrower schema re-tripped the drift gate indefinitely. The
+    *    manifest now records the declared forward shape as a second
+    *    `#append_schema=` line (written only when it differs from the
+    *    served schema): an append matching EITHER the served schema
+    *    (rewrites — compaction, upserts touching wide dirs) or the
+    *    settled shape (the normal delta) passes without the flag;
+    *    anything else still requires explicit evolution, which
+    *    re-declares the settled shape as the new delta's schema. */
   def commitVersion(df: DataFrame, path: String,
                     append: Boolean = false,
                     dropDirs: Seq[String] = Nil,
@@ -287,7 +311,17 @@ object PartitionedStore {
     // array/map/struct types freely (an in-memory array<float> delta vs
     // the written array<float,containsNull=true> header), and a
     // nullability flip is not a retype — unions serve it fine.
-    val header = base.flatMap(pv => manifestSchema(path, pv)) match {
+    // the parent's served schema: the #schema header, or — headerless
+    // legacy parent — derived once from the parent dirs' footers via the
+    // same union readVersion would serve (schema-only: no job runs)
+    val servedOfParent: Option[org.apache.spark.sql.types.StructType] =
+      base.map { pv =>
+        manifestSchema(path, pv).getOrElse(
+          org.apache.spark.sql.types.StructType(
+            readVersion(df.sparkSession, path, Some(pv)).schema
+              .filterNot(f => partitionCols.contains(f.name))))
+      }
+    val (header, appendHeader) = servedOfParent match {
       case Some(ps) =>
         val psM = ps.map(f => f.name -> widenNulls(f.dataType)).toMap
         val curM = cur.map(f => f.name -> widenNulls(f.dataType)).toMap
@@ -297,18 +331,29 @@ object PartitionedStore {
           s"append retypes column(s) ${retyped.mkString(", ")} vs the served " +
             s"version at $path — a union cannot serve two types under one " +
             "name; write a fresh snapshot (append = false) instead")
-        val added = curM.keySet -- psM.keySet
-        val removed = psM.keySet -- curM.keySet
-        require((added.isEmpty && removed.isEmpty) || allowSchemaEvolution,
-          s"append schema drifts from the served version at $path (added: " +
-            s"${added.mkString(", ")}; removed: ${removed.mkString(", ")}) — " +
-            "published as-is this version would crash every readVersion " +
-            "union; pass allowSchemaEvolution = true to evolve deliberately " +
-            "(reads then null-fill the missing side) or align the delta")
-        // evolved header: parent fields in parent order, new fields appended
-        org.apache.spark.sql.types.StructType(
-          ps ++ cur.filterNot(f => psM.contains(f.name)))
-      case None => cur
+        val settled = base.flatMap(pv => manifestAppendSchema(path, pv))
+          .getOrElse(ps)
+        val settledNames = settled.map(_.name).toSet
+        val matches =
+          curM.keySet == psM.keySet || curM.keySet == settledNames
+        if (!matches) {
+          val added = curM.keySet -- settledNames
+          val removed = settledNames -- curM.keySet
+          require(allowSchemaEvolution,
+            s"append schema drifts from the served version at $path (added: " +
+              s"${added.mkString(", ")}; removed: ${removed.mkString(", ")}) — " +
+              "published as-is this version would crash every readVersion " +
+              "union; pass allowSchemaEvolution = true to evolve deliberately " +
+              "(reads then null-fill the missing side) or align the delta")
+        }
+        // served header: parent fields in parent order, new fields
+        // appended (removed fields STAY — old dirs carry their values);
+        // settled shape: an explicit evolution declares cur as the new
+        // delta schema, otherwise the declared shape carries forward
+        (org.apache.spark.sql.types.StructType(
+          ps ++ cur.filterNot(f => psM.contains(f.name))),
+          if (!matches) Some(cur) else Some(settled))
+      case None => (cur, None)
     }
     val v = vs.lastOption.getOrElse(0L) + 1
     val dirName = s"v$v-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -322,8 +367,14 @@ object PartitionedStore {
     require(unknown.isEmpty,
       s"dropDirs not in parent manifest: ${unknown.mkString(", ")}")
     val parentDirs = parentAll.filterNot(dropDirs.contains)
+    // the settled line is written only when it actually differs from the
+    // served schema — a healthy store's manifests stay one-header
+    val settledLine = appendHeader
+      .filter(_.map(_.name).toSet != header.map(_.name).toSet)
+      .map(a => s"#append_schema=${a.json}").toSeq
     publishManifest(root, s"v$v.list",
-      (s"#schema=${header.json}" +: (parentDirs :+ dirName)).mkString("\n"),
+      ((s"#schema=${header.json}" +: settledLine) ++ (parentDirs :+ dirName))
+        .mkString("\n"),
       s"concurrent commit lost the race: version $v already published at $path")
     v
   }
@@ -401,6 +452,17 @@ object PartitionedStore {
       .find(_.startsWith("#schema="))
       .map(l => org.apache.spark.sql.types.DataType
         .fromJson(l.stripPrefix("#schema="))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** The SETTLED delta schema a version declared (the `#append_schema=`
+    * manifest line) — present only after a removal evolution, where the
+    * served superset and the expected delta shape diverge. */
+  private[graft] def manifestAppendSchema(
+      path: String, v: Long): Option[org.apache.spark.sql.types.StructType] =
+    manifestContent(path, v).split("\n")
+      .find(_.startsWith("#append_schema="))
+      .map(l => org.apache.spark.sql.types.DataType
+        .fromJson(l.stripPrefix("#append_schema="))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
 
   /** Time-travel read: the table as of `version` (latest when None).
@@ -770,9 +832,12 @@ object PartitionedStore {
         .filter(matches).isEmpty
     }
     if (dirty.isEmpty) return (v, Nil)
+    // allowMissingColumns: under declared schema evolution dirty dirs may
+    // legitimately differ by added/removed columns — serve-identical
+    // null-fill, same as readVersion
     val survivors = dirty
       .map(d => spark.read.parquet(Paths.get(path, "data", d).toString))
-      .reduce(_.unionByName(_))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
       .filter(!matches)
     val nv = commitVersion(survivors, path, append = true,
       dropDirs = dirty, partitionCols = partitionCols, parent = Some(v))
@@ -810,12 +875,28 @@ object PartitionedStore {
       !spark.read.parquet(Paths.get(path, "data", dd).toString)
         .join(keys, Seq(keyCol), "left_semi").isEmpty
     }
+    // a drifting updates frame must fail loudly HERE, not null-fill its
+    // way into the store: the delta's shape must match one of the
+    // store's DECLARED shapes (served superset or settled delta schema)
+    // before any tolerant union runs. Headerless legacy stores have no
+    // declaration — there the merged result still passes through the
+    // commit gate's footer-derived comparison.
+    val declared = Seq(manifestSchema(path, v), manifestAppendSchema(path, v))
+      .flatten.map(_.map(_.name).toSet)
+    val upN = updates.schema.map(_.name).filterNot(partitionCols.contains).toSet
+    require(declared.isEmpty || declared.contains(upN),
+      s"upsert delta columns ${upN.mkString(", ")} match neither the served " +
+        s"nor the settled schema at $path — align the delta, or evolve " +
+        "deliberately via commitVersion(allowSchemaEvolution = true)")
+    // dirty-dir + merge unions tolerate declared evolution (dirs differ
+    // by evolved columns; null-fill is serve-identical — see deleteRows)
     val survivors = dirty
       .map(dd => spark.read.parquet(Paths.get(path, "data", dd).toString))
-      .reduceOption(_.unionByName(_))
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
       .map(_.join(keys, Seq(keyCol), "left_anti"))
     val merged = survivors
-      .map(_.unionByName(updates)).getOrElse(updates)
+      .map(_.unionByName(updates, allowMissingColumns = true))
+      .getOrElse(updates)
     val nv = commitVersion(merged, path, append = true,
       dropDirs = dirty, partitionCols = partitionCols, parent = Some(v))
     (nv, dirty)

@@ -352,6 +352,130 @@ class VersionedStoreSpec extends AnyFunSuite {
       e3.getMessage.contains("conflicting types"), e3.getMessage)
   }
 
+  test("headerless legacy parent (r12 ADVICE): the gate derives the served " +
+    "schema from parent-dir footers instead of silently skipping — a " +
+    "drifting append fails loudly, a clean append records the header") {
+    val s = spark; import s.implicits._
+    val path = Files.createTempDirectory("vstore").toString
+    // hand-built pre-header store: data dir + manifest with NO #schema line
+    Seq((1L, "a")).toDF("id", "payload")
+      .write.parquet(s"$path/data/legacy-dir")
+    Files.createDirectories(Paths.get(path, "_manifests"))
+    Files.write(Paths.get(path, "_manifests", "v1.list"),
+      "legacy-dir".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(PartitionedStore.manifestSchema(path, 1L).isEmpty)
+    // r12 behavior: this published silently and read null-filled; now loud
+    val e = intercept[IllegalArgumentException] {
+      PartitionedStore.commitVersion(
+        Seq((2L, 5)).toDF("id", "score"), path, append = true)
+    }
+    assert(e.getMessage.contains("drifts"), e.getMessage)
+    assert(PartitionedStore.versions(path) == Seq(1L),
+      "the refused append must publish nothing")
+    // retype against the footer-derived schema is equally fatal
+    val e2 = intercept[IllegalArgumentException] {
+      PartitionedStore.commitVersion(
+        Seq((2L, 7)).toDF("id", "payload"), path, append = true)
+    }
+    assert(e2.getMessage.contains("retypes"), e2.getMessage)
+    // a clean append passes and RECORDS the derived header — the footer
+    // pass is paid once, never again
+    val v2 = PartitionedStore.commitVersion(
+      Seq((2L, "b")).toDF("id", "payload"), path, append = true)
+    assert(PartitionedStore.manifestSchema(path, v2).exists(
+      _.map(_.name).toSet == Set("id", "payload")))
+    assert(PartitionedStore.readVersion(s, path, Some(v2)).count() == 2)
+  }
+
+  test("removal evolution settles (r12 ADVICE): the narrower delta shape " +
+    "is declared once; later narrow appends pass WITHOUT the flag, " +
+    "served reads keep the removed column, rewrites of the full served " +
+    "shape also pass, a third shape still trips the gate") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("vstore").toString
+    PartitionedStore.commitVersion(
+      Seq((1L, "a", 10)).toDF("id", "payload", "score"), path)
+    // removal evolution: drop `score` going forward
+    val v2 = PartitionedStore.commitVersion(
+      Seq((2L, "b")).toDF("id", "payload"), path, append = true,
+      allowSchemaEvolution = true)
+    // served header keeps the removed column (old dir carries values);
+    // the settled line records the narrow forward shape
+    assert(PartitionedStore.manifestSchema(path, v2).exists(
+      _.map(_.name).toSet == Set("id", "payload", "score")))
+    assert(PartitionedStore.manifestAppendSchema(path, v2).exists(
+      _.map(_.name).toSet == Set("id", "payload")))
+    // r12 behavior: this next narrow append re-tripped the gate forever
+    val v3 = PartitionedStore.commitVersion(
+      Seq((3L, "c")).toDF("id", "payload"), path, append = true)
+    val served = PartitionedStore.readVersion(s, path, Some(v3))
+    assert(served.columns.toSet == Set("id", "payload", "score"))
+    assert(served.filter(col("id") === 1L)
+      .select(col("score")).collect()(0).getInt(0) == 10,
+      "old rows keep their removed-column values")
+    assert(served.filter(col("id") === 3L)
+      .select(col("score")).collect()(0).isNullAt(0))
+    // the settled line carries forward across plain appends
+    assert(PartitionedStore.manifestAppendSchema(path, v3).isDefined)
+    // a rewrite producing the full SERVED shape (compaction) passes too
+    val v4 = PartitionedStore.compactVersion(s, path)
+    assert(PartitionedStore.readVersion(s, path, Some(v4)).count() == 3)
+    assert(PartitionedStore.manifestAppendSchema(path, v4).exists(
+      _.map(_.name).toSet == Set("id", "payload")),
+      "compaction must not un-settle the declared delta shape")
+    // ...so a narrow append STILL passes after compaction
+    val v5 = PartitionedStore.commitVersion(
+      Seq((4L, "d")).toDF("id", "payload"), path, append = true)
+    assert(PartitionedStore.readVersion(s, path, Some(v5)).count() == 4)
+    // a THIRD shape is genuine drift and still trips the gate
+    intercept[IllegalArgumentException] {
+      PartitionedStore.commitVersion(
+        Seq((5L, "x")).toDF("id", "other"), path, append = true)
+    }
+  }
+
+  test("schema header survives every rewrite verb (r12 verdict #6): " +
+    "upsert/delete/compact republishes carry #schema=, and a " +
+    "pre-evolution reader still unions post-compaction") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("vstore").toString
+    PartitionedStore.commitVersion(df(0 until 6), path)
+    // addition evolution, then exercise all three rewrite verbs
+    val v2 = PartitionedStore.commitVersion(
+      Seq((100L, "n", 1)).toDF("id", "payload", "score"), path,
+      append = true, allowSchemaEvolution = true)
+    val (v3, _) = PartitionedStore.upsertRows(s, path,
+      Seq((0L, "edited", 2)).toDF("id", "payload", "score"), "id")
+    val (v4, _) = PartitionedStore.deleteRows(s, path, col("id") === 1L)
+    val v5 = PartitionedStore.compactVersion(s, path)
+    Seq(v2, v3, v4, v5).foreach { v =>
+      assert(PartitionedStore.manifestSchema(path, v).isDefined,
+        s"version $v lost the #schema header through a rewrite")
+    }
+    assert(PartitionedStore.manifestSchema(path, v5).exists(
+      _.map(_.name).toSet == Set("id", "payload", "score")))
+    // evolution × compaction: a reader pinned to the PRE-evolution
+    // version still reads the original schema after every rewrite...
+    val pre = PartitionedStore.readVersion(s, path, Some(1L))
+    assert(pre.columns.toSet == Set("id", "payload") && pre.count() == 6)
+    // ...and the compacted head serves the evolved union with the
+    // upsert applied and the delete gone
+    val head = PartitionedStore.readVersion(s, path, Some(v5))
+    assert(head.count() == 6) // 6 - deleted(1) + appended(1)
+    assert(head.filter(col("id") === 0L)
+      .select(col("payload")).collect()(0).getString(0) == "edited")
+    assert(head.filter(col("id") === 1L).isEmpty)
+    // an upsert delta matching NEITHER declared shape fails loudly
+    // before any union can null-fill it into the store
+    val eUp = intercept[IllegalArgumentException] {
+      PartitionedStore.upsertRows(s, path,
+        Seq((2L, "zzz")).toDF("id", "other"), "id")
+    }
+    assert(eUp.getMessage.contains("neither the served"), eUp.getMessage)
+  }
+
   test("truncating history then vacuuming reclaims unreferenced snapshot dirs") {
     val path = Files.createTempDirectory("vstore").toString
     PartitionedStore.commitVersion(df(0 until 3), path)
