@@ -197,6 +197,123 @@ object CoreQueries {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  // ---- Q7: volume shipping — the symmetric-OR nation-pair predicate ----
+  /** TPC-H Q7 shape: bilateral trade volume between two named nations by
+    * ship year — the join-ladder rung Q1/Q3/Q5/Q18 don't exercise: a
+    * DISJUNCTIVE predicate ACROSS two broadcast dimension arms
+    * ((supp=A ∧ cust=B) ∨ (supp=B ∧ cust=A)). The scale-correct shape:
+    * each arm pre-filters its dim chain to the two nations BEFORE the
+    * fact joins (supplier⋈nation and customer⋈nation both collapse to
+    * the two-nation slice and broadcast), so the OR never degrades a
+    * join into a nested loop — it runs as a post-join filter against
+    * two broadcast-joined name columns, and the only shuffle join is
+    * orders⋈lineitem. The ship-date range reaches the lineitem scan as
+    * a pushed predicate. Revenue in exact DECIMAL(12,2) cast to double
+    * at the very end; year extracted as BIGINT to match DuckDB's
+    * EXTRACT. Group keys are the total order — deterministic. */
+  def q7VolumeShipping(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: String) => col(c).cast("decimal(12,2)")
+    val (na, nb) = ("NATION_1", "NATION_2")
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1998-01-01 00:00:00").cast("timestamp")
+    val twoNations = Tables.nation(s, d)
+      .filter(col("n_name") === na || col("n_name") === nb)
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(twoNations.select(col("n_nationkey"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(twoNations.select(col("n_nationkey"),
+        col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === na && col("cust_nation") === nb) ||
+        (col("supp_nation") === nb && col("cust_nation") === na))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(dec("l_extendedprice") *
+          (lit(1).cast("decimal(12,2)") - dec("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+  val q7VolumeShippingSql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(volume) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    EXTRACT(year FROM l_shipdate) AS l_year,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS volume
+      |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      |    AND c_nationkey = n2.n_nationkey
+      |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // ---- Q10: returned-item reporting — filtered fact + grouped top-k ----
+  /** TPC-H Q10 shape: revenue lost to returns by customer over one
+    * quarter, top-20 — the filtered-fact + wide-group + top-k rung:
+    * BOTH fact filters (the quarter on orders, returnflag on lineitem)
+    * push into their scans, the shuffle join is orders⋈lineitem only
+    * (customer and nation broadcast), and the limit plans as
+    * TakeOrderedAndProject — never a global sort of the grouped set.
+    * The testdata's trimmed customer schema drops address/phone/comment
+    * from the classic output list; group keys + revenue semantics are
+    * the classic ones. Deterministic: (revenue desc, c_custkey); custkey
+    * is unique per group. */
+  def q10ReturnedItems(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: String) => col(c).cast("decimal(12,2)")
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1996-04-01 00:00:00").cast("timestamp")
+    val cust = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(dec("l_extendedprice") *
+          (lit(1).cast("decimal(12,2)") - dec("l_discount")))
+        .cast("double").as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+  val q10ReturnedItemsSql: String =
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   // ---- W1: latest row per key (single-shuffle max(struct) agg) -----------
   def w1LatestEventPerUser(s: SparkSession, d: String): DataFrame =
     Relational.latestPerKey(
@@ -962,6 +1079,8 @@ object CoreQueries {
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q18_large_volume" -> (q18LargeVolume _),
     "q5_local_supplier" -> (q5LocalSupplier _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q10_returned_items" -> (q10ReturnedItems _),
     "snapshot_diff" -> (snapshotDiff _),
     "snapshot_restore" -> (snapshotRestore _),
     "snapshot_delete_rows" -> (snapshotDeleteRows _),
@@ -990,6 +1109,8 @@ object CoreQueries {
     "q3_shipping_priority" -> q3ShippingPrioritySql,
     "q18_large_volume" -> q18LargeVolumeSql,
     "q5_local_supplier" -> q5LocalSupplierSql,
+    "q7_volume_shipping" -> q7VolumeShippingSql,
+    "q10_returned_items" -> q10ReturnedItemsSql,
     "snapshot_diff" -> snapshotDiffSql,
     "snapshot_restore" -> snapshotRestoreSql,
     "snapshot_delete_rows" -> snapshotDeleteRowsSql,

@@ -632,6 +632,39 @@ class PlanAuditSpec extends AnyFunSuite {
       s"lineitem must be scanned exactly once:\n$p")
   }
 
+  test("q7_volume_shipping: the symmetric-OR nation-pair predicate rides " +
+    "two broadcast dim arms — the OR never degrades a join (no nested " +
+    "loop), the only shuffle join is fact-side, ship-date range pushed") {
+    val p = plan("q7_volume_shipping")
+    assert(countOf(p, "BroadcastHashJoin") >= 2,
+      s"both the supplier and customer nation arms must broadcast:\n$p")
+    assert(countOf(p, "SortMergeJoin") + countOf(p, "ShuffledHashJoin") <= 1,
+      s"at most the orders-lineitem join may shuffle:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the OR predicate must not degrade any join:\n$p")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("LessThan(l_shipdate"),
+      s"ship-date range must reach the lineitem scan, got: $pushed")
+  }
+
+  test("q10_returned_items: both fact filters push to their scans, " +
+    "customer+nation broadcast, top-20 is TakeOrdered not a global sort") {
+    val p = plan("q10_returned_items")
+    assert(countOf(p, "BroadcastHashJoin") >= 2,
+      s"customer and nation must broadcast:\n$p")
+    assert(countOf(p, "SortMergeJoin") + countOf(p, "ShuffledHashJoin") <= 1,
+      s"at most the orders-lineitem join may shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must plan as TakeOrderedAndProject:\n$p")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("EqualTo(l_returnflag,R)") &&
+      pushed.contains("GreaterThanOrEqual(o_orderdate") &&
+      pushed.contains("LessThan(o_orderdate"),
+      s"returnflag + order-date filters must reach the scans, got: $pushed")
+  }
+
   test("j18_session_overlap: the interval overlap pairs by an EQUI join " +
     "on the hour bucket — no nested-loop θ-join anywhere") {
     val p = plan("j18_session_overlap")
