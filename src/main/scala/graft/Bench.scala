@@ -46,6 +46,24 @@ object Bench {
   val stageOrder: Seq[String] =
     Seq("compact_early", "incremental", "scaling", "main", "compact_final")
 
+  /** SCALING LEG ORDER, pinned as data (r12 verdict task #1): the r12
+    * driver run overran its budget and the guard dropped the LAST two
+    * legs — which were exactly the two newest index families' only
+    * independent scaling evidence. Legs now run newest-evidence-first:
+    * corpus writes lead (everything depends on them; each dir write is
+    * itself budget-checked), then the r11/r12-new index curves
+    * (trgm/lsh), then mining+perquery (dedup_minhash_pairs — the r12
+    * contention-cliff question — rides here), then the linkage law,
+    * with long-stable legacy rows (graph, j12, bm25 — curves unchanged
+    * 4+ rounds) LAST to absorb any drop. A require in runScaling pins
+    * the real leg list to this order; BenchSpec asserts the discipline
+    * (corpus first, legacy absorbers last, mining before its
+    * edge-set consumers). */
+  val scalingLegOrder: Seq[String] = Seq(
+    "corpus", "corpus_link", "trgm_curve", "lsh_curve", "mining",
+    "perquery", "linkage_j17", "linkage_j14", "linkage_blocks", "graph",
+    "linkage_j12", "bm25_curve")
+
   /** Wall-clock budget guard over named legs — the repo's own "no silent
     * caps" rule applied to its benchmark (r11: the scaling block outgrew
     * the driver's time budget and the whole artifact died rc=124). Legs
@@ -359,8 +377,18 @@ object Bench {
     val scaleFactors = Seq(1, 4, 20)
     var scalingRows: Seq[(String, Seq[(String, Double)])] = Seq.empty
     var droppedLegs: Seq[String] = Seq.empty
+    var scalingRetimed: Seq[(String, Double)] = Seq.empty
     def runScaling(): Unit = {
-      val dirs = scaleFactors.map { n =>
+      // Amplified-corpus dirs are populated by the FIRST budget-guarded
+      // legs below (r12 ADVICE: the writes ran unconditionally before
+      // any secondsLeft() check, so a host-multiplier-inflated run still
+      // paid the most expensive unguarded work — the 20× parquet writes
+      // — even when every consuming leg was then dropped). The budget is
+      // monotone, so a dropped corpus leg implies every later consumer
+      // drops too, by name; the writes are priced as their own rows.
+      var dirs: Seq[(Int, String)] = Seq.empty
+      var linkDirs: Seq[(Int, String)] = Seq.empty
+      def writeCorpus(n: Int): (Int, String) = {
         val dir = tmp(s"bench_scale_x$n")
         val salted = amplify(Tables.documents(spark, sfDir), "doc_id", n)
           .withColumn("rep", (col("doc_id") % n).cast("string"))
@@ -383,21 +411,26 @@ object Bench {
           .write.parquet(s"$dir/customer.parquet")
         n -> dir
       }
-      // Linkage legs top out at x10 (r11 verdict task #1: the two x20
-      // rows alone cost 210 s timed + as much again in steady-state
-      // warmup and pushed the driver run past its timeout; the blocking-
-      // law comparison — j14's suffix-block occupancy creep vs j17's
-      // alphabet-bounded deletion blocks — is just as visible one step
-      // down the curve). x10 is a dedicated customer-only dir; the
-      // linkage queries read nothing else.
-      val linkDirs = {
-        val d10 = tmp("bench_scale_x10link")
-        amplify(Tables.customer(spark, sfDir), "c_custkey", 10)
-          .withColumn("c_name",
-            org.apache.spark.sql.functions.format_string(
-              "Customer#%09d", col("c_custkey")))
-          .write.parquet(s"$d10/customer.parquet")
-        dirs.take(2) :+ (10 -> d10)
+      // Scaling-point contention retry (r12 verdict task #2: the driver
+      // box timed dedup_minhash_pairs x20 at 50.3 s vs 4.07 s committed
+      // — a 12× leg-specific cliff the steady-pass re-timing machinery
+      // never protected scaling legs from): any point > 3× its committed
+      // prior re-times (≤2 attempts, best kept), the exact trigger the
+      // per-query pass uses; attempts land in `scaling_retimed` so a
+      // residual slow point reads as "retried under load", never
+      // silently quadratic-looking.
+      def timedPointR(leg: String, xn: String, t0: Double,
+                      again: () => Double): Double = {
+        val pr = if (usePrior) BenchPrior.scaling.get(leg).flatMap(_.get(xn))
+        else None
+        var t = t0
+        var attempts = 0
+        while (pr.exists(p => t > 3.0 * p) && attempts < 2) {
+          t = math.min(t, again()); attempts += 1
+        }
+        if (attempts > 0)
+          scalingRetimed = scalingRetimed :+ (s"$leg.$xn" -> attempts.toDouble)
+        t
       }
       // Iterative graph ops (r9 verdict: fixpoint rounds over the edge
       // set are the likeliest 100× risk and had no scale measurement).
@@ -415,90 +448,74 @@ object Bench {
       // PageRank and LPA run fixed 5 / 3 rounds by construction.
       val ccRounds = scala.collection.mutable.ListBuffer[(String, Double)]()
       // steady-state point discipline for iterative/linkage rows: one
-      // untimed pass first — otherwise the x1 point alone carries the
-      // plan's codegen/JIT warmup and reads as a bogus 5× cliff against
-      // x4 (observed: pagerank 4.4 s at x1 vs 0.9 at x4)
+      // untimed pass at the FIRST (cheapest) scale only — codegen/JIT
+      // warmup is PLAN-level, not data-level (the registered query plans
+      // identically at every scale; nothing caches across runs), so the
+      // r11-observed x1 cliff (pagerank 4.4 s cold vs 0.9 at x4) is
+      // fixed by one x1 warm pass, and re-warming every point — r12's
+      // protocol — only doubled the expensive linkage legs' wall cost
+      // (the budget overrun's biggest line item).
       def steadyRow(qn: String, ds: Seq[(Int, String)],
                     after: (Int, String) => Unit = (_, _) => ()) = {
         val fn = SparkEntry.queries(qn)
+        ds.headOption.foreach { case (_, dir) => materialize(fn(spark, dir)) }
         qn -> ds.map { case (n, dir) =>
-          materialize(fn(spark, dir))
-          val t = timedIn(dir)(fn)
+          val t = timedPointR(qn, s"x$n", timedIn(dir)(fn),
+            () => timedIn(dir)(fn))
           after(n, dir)
           s"x$n" -> t
         }
       }
+      // LEG ORDER is newest-evidence-first (r12 verdict task #1: the
+      // driver run overran its budget and the guard dropped the LAST two
+      // legs — which were exactly the two newest index families' only
+      // independent scaling evidence). Corpus writes lead (everything
+      // depends on them), then the legs whose evidence is newest, so any
+      // budget drop lands on long-stable legacy rows (bm25, j12) whose
+      // curves have matched for 4+ rounds. Pinned as data in
+      // [[scalingLegOrder]]; BenchSpec asserts the discipline.
+      val intraDropped = scala.collection.mutable.ListBuffer[String]()
       val legs: Seq[(String, () => Seq[(String, Seq[(String, Double)])])] = Seq(
-        "mining" -> (() => Seq("dup_edge_mining" -> dirs.map { case (n, dir) =>
-          s"x$n" -> timedOp { graft.queries.DupEdges.of(spark, dir); () }
-        })),
-        "graph" -> (() => {
-          val rows = Seq("dedup_clusters", "graph_pagerank", "graph_lpa",
-            "graph_bfs_hops", "graph_kcore").map { qn =>
-            steadyRow(qn, dirs, (n, _) =>
-              if (qn == "dedup_clusters")
-                ccRounds += (s"x$n" -> graft.operators.Dedup.lastCcRounds.toDouble))
-          }
-          rows :+ ("cc_rounds" -> ccRounds.toSeq)
-        }),
-        "perquery" -> (() => Seq("dedup_minhash_pairs",
-          "dedup_clusters_incremental", "sim_ivf_topk", "corpus_build")
-          .map { qn =>
-            val fn = SparkEntry.queries(qn)
-            qn -> dirs.map { case (n, dir) => s"x$n" -> timedIn(dir)(fn) }
-          }),
-        // Entity-linkage curve: the slowest steady family. j17 rides the
-        // same curve as j14 deliberately — both are complete at distance
-        // 1 against the same unblocked oracle, so the pair of rows IS the
-        // blocking-law comparison (suffix-block occupancy grows with n;
-        // deletion-variant occupancy is alphabet-bounded). The measured
-        // r11 law at x20 — j14 23.7× vs j17 16.9× for 20× data — named
-        // j17 the production arm; the comparison re-measures at x10 each
-        // round. The block-size row (max suffix-block rows per scale) is
-        // the per-block pair-cost driver, so the artifact shows WHERE
-        // j14's superlinear term lives as n grows.
-        "linkage_j14" -> (() => Seq(steadyRow("j14_entity_dual", linkDirs))),
-        "linkage_j17" -> (() => Seq(steadyRow("j17_entity_symdel", linkDirs))),
-        "linkage_blocks" -> (() => Seq(
-          "j14_suffix_block_rows" -> linkDirs.map { case (n, dir) =>
-            val cust = spark.read.parquet(s"$dir/customer.parquet")
-            val (_, suf) = graft.operators.Relational.planDualSplit(cust, "c_name")
-            val maxBlock = cust.groupBy(col("c_mktsegment"),
-                org.apache.spark.sql.functions.substring(col("c_name"), -suf, suf))
-              .count()
-              .agg(org.apache.spark.sql.functions.max(col("count")))
-              .collect()(0).getLong(0)
-            s"x$n" -> maxBlock.toDouble
+        // Each dir write re-checks the budget (r12 ADVICE asked for
+        // per-write granularity: the x20 write is the block's single
+        // most expensive unguarded step). The x1 write always runs —
+        // it is cheap and keeps every consumer leg meaningful — so an
+        // over-budget run degrades to a truncated curve (x1-only rows,
+        // drop recorded as corpus_x{n}) instead of an empty block.
+        "corpus" -> (() => Seq("scale_corpus_write" ->
+          scaleFactors.flatMap { n =>
+            if (n == 1 || secondsLeft() > 0) {
+              var d: (Int, String) = null
+              val t = timedOp { d = writeCorpus(n) }
+              dirs = dirs :+ d
+              Some(s"x$n" -> t)
+            } else { intraDropped += s"corpus_x$n"; None }
           })),
-        "linkage_j12" -> (() => Seq(steadyRow("j12_entity_resolve", dirs))),
-        // Indexed BM25 timed as TWO rows (r8 verdict: the single row with
-        // a swallowed-warmup first call was uninterpretable — ambiguous
-        // whether a point timed build+serve or serve alone). `_build` is
-        // the one-time corpus index write; the serve row first runs the
-        // registered query untimed so its memoized per-dir index exists
-        // (that build cost is exactly what `_build` prices), then times
-        // the pruned serving read — what production repeats. Nothing here
-        // swallows failures; a broken build fails the bench loudly.
-        "bm25_curve" -> (() => {
-          val bmFn = SparkEntry.queries("search_bm25_indexed")
-          Seq(
-            "search_bm25_indexed_build" -> dirs.map { case (n, dir) =>
-              val docs = spark.read.parquet(s"$dir/documents.parquet")
-                .select(col("doc_id"), col("text"))
-              s"x$n" -> timedOp(graft.operators.Search.writeBm25Index(
-                docs, "doc_id", "text", tmp(s"bench_bm25_x${n}_build")))
-            },
-            "search_bm25_indexed_serve" -> dirs.map { case (n, dir) =>
-              materialize(bmFn(spark, dir))
-              s"x$n" -> timedIn(dir)(bmFn)
-            })
-        }),
-        // Trigram substring index, same two-row discipline: `_build` is
-        // the one-time ~len(text)-rows-per-doc posting write (the storage
+        // Linkage legs top out at x10 (r11 verdict task #1: the two x20
+        // rows alone cost 210 s timed + warmup and pushed the driver run
+        // past its timeout; the blocking-law comparison — j14's
+        // suffix-block occupancy creep vs j17's alphabet-bounded
+        // deletion blocks — is just as visible one step down the curve).
+        // x10 is a dedicated customer-only dir; the linkage queries read
+        // nothing else.
+        "corpus_link" -> (() => Seq("scale_corpus_write_link" -> {
+          val d10 = tmp("bench_scale_x10link")
+          val t = timedOp {
+            amplify(Tables.customer(spark, sfDir), "c_custkey", 10)
+              .withColumn("c_name",
+                org.apache.spark.sql.functions.format_string(
+                  "Customer#%09d", col("c_custkey")))
+              .write.parquet(s"$d10/customer.parquet")
+          }
+          linkDirs = dirs.take(2) :+ (10 -> d10)
+          Seq("x10" -> t)
+        })),
+        // Trigram substring index, two-row discipline: `_build` is the
+        // one-time ~len(text)-rows-per-doc posting write (the storage
         // price of the substring verb), `_serve` the bucket-pruned
-        // candidate read + stored-field confirm — the claim is serve cost
-        // ∝ needle-trigram frequency (grows with the amplified corpus)
-        // while never re-reading raw text.
+        // candidate read + stored-field confirm — the claim is serve
+        // cost ∝ needle-trigram frequency (grows with the amplified
+        // corpus) while never re-reading raw text.
         "trgm_curve" -> (() => {
           val trgmFn = SparkEntry.queries("search_substring_indexed")
           Seq(
@@ -508,9 +525,13 @@ object Bench {
               s"x$n" -> timedOp(graft.operators.Search.writeTrigramIndex(
                 docs, "doc_id", "text", Seq("source"), tmp(s"bench_trgm_x${n}_build")))
             },
+            // serve warms PER DIR (unlike steadyRow's x1-only warm): the
+            // untimed pass builds the query's memoized per-dir index —
+            // data-level cost priced by `_build`, not plan warmup
             "search_substring_indexed_serve" -> dirs.map { case (n, dir) =>
               materialize(trgmFn(spark, dir))
-              s"x$n" -> timedIn(dir)(trgmFn)
+              s"x$n" -> timedPointR("search_substring_indexed_serve", s"x$n",
+                timedIn(dir)(trgmFn), () => timedIn(dir)(trgmFn))
             })
         }),
         // The LSH rebuild-vs-append pair rides the same curve: append
@@ -532,10 +553,97 @@ object Bench {
           Seq(
             "lsh_rebuild" -> lshCurve.map { case (n, rb, _) => s"x$n" -> rb },
             "lsh_append_1pct" -> lshCurve.map { case (n, _, ap) => s"x$n" -> ap })
+        }),
+        // One-time duplicate-edge mining priced as its own leg BEFORE
+        // its consumers (perquery's dedup_clusters_incremental and every
+        // graph row read the session-memoized edge set).
+        "mining" -> (() => Seq("dup_edge_mining" -> dirs.map { case (n, dir) =>
+          s"x$n" -> timedOp { graft.queries.DupEdges.of(spark, dir); () }
+        })),
+        // perquery runs ahead of the expensive linkage legs: it carries
+        // dedup_minhash_pairs — the leg whose x20 contention cliff (r12
+        // driver: 50.3 s vs 4.07 s committed) is this round's open
+        // question — so a budget drop can never consume its evidence.
+        "perquery" -> (() => Seq("dedup_minhash_pairs",
+          "dedup_clusters_incremental", "sim_ivf_topk", "corpus_build")
+          .map { qn =>
+            val fn = SparkEntry.queries(qn)
+            qn -> dirs.map { case (n, dir) =>
+              s"x$n" -> timedPointR(qn, s"x$n", timedIn(dir)(fn),
+                () => timedIn(dir)(fn))
+            }
+          }),
+        // Entity-linkage curve: the slowest steady family. j17 rides the
+        // same curve as j14 deliberately — both are complete at distance
+        // 1 against the same unblocked oracle, so the pair of rows IS the
+        // blocking-law comparison (suffix-block occupancy grows with n;
+        // deletion-variant occupancy is alphabet-bounded). The measured
+        // r11 law at x20 — j14 23.7× vs j17 16.9× for 20× data — named
+        // j17 the production arm; the comparison re-measures at x10 each
+        // round.
+        "linkage_j17" -> (() => Seq(steadyRow("j17_entity_symdel", linkDirs))),
+        "linkage_j14" -> (() => Seq(steadyRow("j14_entity_dual", linkDirs))),
+        // Block-size rows: max suffix-block rows per scale is the
+        // per-block pair-cost driver (WHERE j14's superlinear term
+        // lives) — but planDualSplit RE-DERIVES the suffix length per
+        // scale, so the row is non-monotone by construction (r12's
+        // 44→141→44); the derived split length rides alongside so the
+        // series decodes without cross-referencing the code.
+        "linkage_blocks" -> (() => {
+          val per = linkDirs.map { case (n, dir) =>
+            val cust = spark.read.parquet(s"$dir/customer.parquet")
+            val (_, suf) = graft.operators.Relational.planDualSplit(cust, "c_name")
+            val maxBlock = cust.groupBy(col("c_mktsegment"),
+                org.apache.spark.sql.functions.substring(col("c_name"), -suf, suf))
+              .count()
+              .agg(org.apache.spark.sql.functions.max(col("count")))
+              .collect()(0).getLong(0)
+            (s"x$n", suf.toDouble, maxBlock.toDouble)
+          }
+          Seq(
+            "j14_split_suffix_len" -> per.map { case (x, s2, _) => x -> s2 },
+            "j14_suffix_block_rows" -> per.map { case (x, _, b) => x -> b })
+        }),
+        "graph" -> (() => {
+          val rows = Seq("dedup_clusters", "graph_pagerank", "graph_lpa",
+            "graph_bfs_hops", "graph_kcore").map { qn =>
+            steadyRow(qn, dirs, (n, _) =>
+              if (qn == "dedup_clusters")
+                ccRounds += (s"x$n" -> graft.operators.Dedup.lastCcRounds.toDouble))
+          }
+          rows :+ ("cc_rounds" -> ccRounds.toSeq)
+        }),
+        // Long-stable legacy rows LAST — their curves have matched for
+        // 4+ rounds, so a budget drop here costs the least evidence.
+        "linkage_j12" -> (() => Seq(steadyRow("j12_entity_resolve", dirs))),
+        // Indexed BM25 timed as TWO rows (r8 verdict: the single row with
+        // a swallowed-warmup first call was uninterpretable — ambiguous
+        // whether a point timed build+serve or serve alone). `_build` is
+        // the one-time corpus index write; the serve row first runs the
+        // registered query untimed so its memoized per-dir index exists
+        // (that build cost is exactly what `_build` prices), then times
+        // the pruned serving read — what production repeats. Nothing here
+        // swallows failures; a broken build fails the bench loudly.
+        "bm25_curve" -> (() => {
+          val bmFn = SparkEntry.queries("search_bm25_indexed")
+          Seq(
+            "search_bm25_indexed_build" -> dirs.map { case (n, dir) =>
+              val docs = spark.read.parquet(s"$dir/documents.parquet")
+                .select(col("doc_id"), col("text"))
+              s"x$n" -> timedOp(graft.operators.Search.writeBm25Index(
+                docs, "doc_id", "text", tmp(s"bench_bm25_x${n}_build")))
+            },
+            "search_bm25_indexed_serve" -> dirs.map { case (n, dir) =>
+              materialize(bmFn(spark, dir))
+              s"x$n" -> timedPointR("search_bm25_indexed_serve", s"x$n",
+                timedIn(dir)(bmFn), () => timedIn(dir)(bmFn))
+            })
         }))
+      require(legs.map(_._1) == scalingLegOrder,
+        s"scaling leg plan drifted from the pinned order: ${legs.map(_._1)}")
       val (done, dropped) = runWithBudget(legs, secondsLeft _)
       scalingRows = done.flatMap(_._2)
-      droppedLegs = dropped
+      droppedLegs = intraDropped.toSeq ++ dropped
     }
     var incremental: Seq[(String, Double)] = Seq.empty
     // Field order in the main line is deliberate: the driver's
@@ -549,7 +657,10 @@ object Bench {
         .map { case (k, m) => "\"" + k + "\":" + jmap(m) }.mkString("{", ",", "}")
       val droppedJson = droppedLegs.map("\"" + _ + "\"").mkString("[", ",", "]")
       val floorJson = s"""{"query":"a8_daily_rollup","plan":${r3(floorProbe._1)},"exec":${r3(floorProbe._2)}}"""
-      val line = s"""{"metric":"total","value":${r3(coldTotal)},"unit":"sec","sf":"$sfDir","queries":$cold,"steady":$steady,"retimed":$retimed,"steady_total":${r3(steadyTotal)},"floor":$floorJson,"incremental":${jmap(incremental)},"scaling":$scalingJson,"scaling_dropped":$droppedJson}"""
+      // scaling_retimed: {"<row>.<xn>": attempts} for every scaling
+      // point the >3×-prior trigger re-timed — a residual slow point
+      // reads as "retried under load", never silently quadratic-looking
+      val line = s"""{"metric":"total","value":${r3(coldTotal)},"unit":"sec","sf":"$sfDir","queries":$cold,"steady":$steady,"retimed":$retimed,"steady_total":${r3(steadyTotal)},"floor":$floorJson,"incremental":${jmap(incremental)},"scaling":$scalingJson,"scaling_retimed":${jmap(scalingRetimed)},"scaling_dropped":$droppedJson}"""
       println(line)
       try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -88,6 +88,47 @@ class BenchSpec extends AnyFunSuite {
     assert(degraded.endsWith("""}}"""), "slowest stays the closing field")
   }
 
+  test("scaling leg order: newest-evidence-first (r12: the budget drop " +
+    "consumed the two newest index families' only independent scaling " +
+    "evidence) — corpus writes lead, mining precedes its edge-set " +
+    "consumers, legacy absorbers (graph, j12, bm25) close the list") {
+    val lo = Bench.scalingLegOrder
+    assert(lo.take(2) == Seq("corpus", "corpus_link"), lo.toString)
+    // the two legs the r12 driver run dropped run right after the corpus
+    assert(lo.indexOf("trgm_curve") < lo.indexOf("mining"), lo.toString)
+    assert(lo.indexOf("lsh_curve") < lo.indexOf("mining"), lo.toString)
+    // mining prices the memoized edge set BEFORE perquery
+    // (dedup_clusters_incremental) and the graph rows consume it
+    assert(lo.indexOf("mining") < lo.indexOf("perquery"), lo.toString)
+    assert(lo.indexOf("mining") < lo.indexOf("graph"), lo.toString)
+    // dedup_minhash_pairs (perquery) — the r12 contention-cliff question
+    // — runs before the expensive linkage legs so a drop never eats it
+    assert(lo.indexOf("perquery") < lo.indexOf("linkage_j17"), lo.toString)
+    // long-stable legacy rows absorb any drop
+    assert(lo.takeRight(3) == Seq("graph", "linkage_j12", "bm25_curve"),
+      lo.toString)
+  }
+
+  test("BenchPrior.scaling is the committed r12 scaling block (artifact " +
+    "of record, full curve incl. the legs the driver run dropped); " +
+    "non-timing rows excluded; the minhash-cliff anchor present") {
+    val sc = BenchPrior.scaling
+    assert(sc.size == 19, sc.size.toString)
+    assert(!sc.contains("cc_rounds") && !sc.contains("j14_suffix_block_rows"),
+      "counts are not seconds — retrying on them would be meaningless")
+    // the r12 cliff: driver 50.268 s vs this committed 4.072 s — the
+    // 3x-prior trigger must fire on the driver number
+    val mh = sc("dedup_minhash_pairs")("x20")
+    assert(mh == 4.072 && 50.268 > 3.0 * mh)
+    // the two legs missing from the r12 DRIVER artifact are anchored
+    // from the artifact of record
+    assert(sc.contains("search_substring_indexed_serve") &&
+      sc.contains("lsh_rebuild"))
+    // linkage priors carry the x10 top scale (r12 protocol)
+    assert(sc("j14_entity_dual").contains("x10") &&
+      sc("j17_entity_symdel").contains("x10"))
+  }
+
   test("BenchPrior resource is the committed r12 steady map: 273 entries, " +
     "median in the committed envelope, j12 prior present") {
     assert(BenchPrior.steady.size == 273, BenchPrior.steady.size.toString)
