@@ -614,6 +614,238 @@ object Streams {
         OutputMode.Append())
   }
 
+  // ---- peak concurrency, state-store-backed (streaming sweep line) -------
+
+  case class SessSlice(day_ms: Long, cs_us: Long, ce_us: Long)
+  case class PeakRow(day_start: java.sql.Timestamp, peak_concurrency: Long)
+
+  /** Per-day sweep-point state for [[peakConcurrencyStream]]: one
+    * MapState (instant µs → net ±1 delta — the collapsed sweep points
+    * the batch read builds with a groupBy), an event-time timer at the
+    * day's end, the [[WauKeeper]] late-row drop rule. On expiry the
+    * day's points replay in instant order (an in-memory sort of ≤
+    * 2·sessions-touching-the-day collapsed instants — the same per-day
+    * state envelope WauKeeper's distinct sets accept; the batch read's
+    * two-phase prefix sum is the extreme-volume arm) and the running
+    * sum's max emits ONCE as the day's peak. */
+  class PeakKeeper(dayMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessSlice, PeakRow] {
+    @transient private var net: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    @transient private var timerSet: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      net = getHandle.getMapState[Long, Long]("sweep_net",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      timerSet = getHandle.getValueState[Boolean]("timer_set",
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    private def bump(t: Long, d: Long): Unit = {
+      val prev = if (net.containsKey(t)) net.getValue(t) else 0L
+      net.updateValue(t, prev + d)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[SessSlice],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[PeakRow] = {
+      val dayEnd = key + dayMs
+      if (dayEnd <= timerValues.getCurrentWatermarkInMs()) return Iterator.empty
+      if (!timerSet.exists()) { getHandle.registerTimer(dayEnd); timerSet.update(true) }
+      rows.foreach { r => bump(r.cs_us, 1L); bump(r.ce_us + 1L, -1L) }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[PeakRow] = {
+      val pts = net.iterator().map(p => (p._1, p._2)).toArray.sortBy(_._1)
+      net.clear(); timerSet.clear()
+      if (pts.isEmpty) Iterator.empty
+      else {
+        var open = 0L; var peak = 0L
+        pts.foreach { case (_, d) => open += d; if (open > peak) peak = open }
+        Iterator.single(PeakRow(new java.sql.Timestamp(key), peak))
+      }
+    }
+  }
+
+  /** The streaming twin of the batch sweep-line read (`w19_peak_
+    * concurrency`), fed by SESSION rows (the `w8_sessionize` output
+    * shape — the same upstream the batch read consumes). The watermark
+    * rides on session_START: a day is final once the start-watermark
+    * passes its end, because any later session starts after the day and
+    * can never cover it — this is what makes exactly-once day emission
+    * EXACT even for midnight-crossing sessions, whose slices land in
+    * every covered day's state the moment the session arrives (no
+    * waiting on session_end, which is unbounded). Each session explodes
+    * in-plan to its covered days with interval clipping (the batch
+    * read's own projection, integer µs end to end); [[PeakKeeper]]
+    * holds the per-day collapsed sweep points and emits the day's peak
+    * once when the watermark passes its end. */
+  def peakConcurrencyStream(sessions: DataFrame, startCol: String,
+                            endCol: String, lateness: String): Dataset[PeakRow] = {
+    val s = sessions.sparkSession
+    import s.implicits._
+    val dayMs = 86400000L
+    val dayUs = 86400L * 1000000L
+    sessions.withWatermark(startCol, lateness)
+      .select(unix_micros(col(startCol)).as("s_us"),
+        unix_micros(col(endCol)).as("e_us"),
+        to_date(col(startCol)).as("d0"), to_date(col(endCol)).as("d1"))
+      .withColumn("day", explode(expr("sequence(d0, d1)")))
+      .withColumn("ds", unix_micros(col("day").cast("timestamp")))
+      .select((col("ds") / lit(1000L)).cast("long").as("day_ms"),
+        greatest(col("s_us"), col("ds")).as("cs_us"),
+        least(col("e_us"), col("ds") + lit(dayUs - 1L)).as("ce_us"))
+      .as[SessSlice]
+      .groupByKey(_.day_ms)
+      .transformWithState(new PeakKeeper(dayMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  // ---- cumulative distinct actives (first-seen decomposition) ------------
+
+  case class UserDay(user_id: Long, day_ms: Long)
+  case class DayCount(day_end: java.sql.Timestamp, day_ms: Long, add: Long)
+  case class CumRow(day_start: java.sql.Timestamp, new_users: Long,
+                    cum_actives: Long)
+
+  /** Per-user first-seen state for [[cumulativeActivesStream]] stage A:
+    * the user's min event-day (a single ValueState — the semantic FLOOR
+    * of cumulative-distinct: no exact form can forget a user it has
+    * seen) plus the pending timer instant. The timer sits at the END of
+    * the current min day and FOLLOWS it down if an earlier in-watermark
+    * day arrives (delete + re-register); when it fires the min is final
+    * — any later event for an earlier day would be behind the watermark
+    * — and exactly one (day_end, day, +1) row emits, after which the
+    * user's rows are ignored for good. */
+  class FirstSeenKeeper(dayMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserDay, DayCount] {
+    @transient private var minDay: org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var emitted: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      minDay = getHandle.getValueState[Long]("min_day",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      emitted = getHandle.getValueState[Boolean]("emitted",
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[UserDay],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[DayCount] = {
+      if (emitted.exists()) return Iterator.empty // first-seen already final
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val live = rows.map(_.day_ms).filter(_ + dayMs > wm) // WauKeeper late rule
+      if (live.isEmpty) return Iterator.empty
+      val dmin = live.min
+      if (!minDay.exists()) {
+        minDay.update(dmin); getHandle.registerTimer(dmin + dayMs)
+      } else if (dmin < minDay.get()) {
+        getHandle.deleteTimer(minDay.get() + dayMs)
+        minDay.update(dmin); getHandle.registerTimer(dmin + dayMs)
+      }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[DayCount] = {
+      val d = minDay.get()
+      emitted.update(true)
+      Iterator.single(DayCount(new java.sql.Timestamp(d + dayMs), d, 1L))
+    }
+  }
+
+  /** Stage B of [[cumulativeActivesStream]]: ONE global key over the
+    * per-day traffic stage A and the day-spine branch emit — ≤ one row
+    * per user LIFETIME plus one marker per day, never raw events — so
+    * the running total sees days in watermark order. MapState holds the
+    * pending per-day new-user counts (markers add 0 and only pin the
+    * day's existence — the zero-new-user day the batch read reports);
+    * on any day-end timer ALL matured days (end ≤ firing instant) flush
+    * in day order through the cum ValueState, each emitting exactly
+    * once — firing-order-independent when a watermark jump expires
+    * several days in one batch. */
+  class CumKeeper(dayMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, DayCount, CumRow] {
+    @transient private var pending: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    @transient private var cum: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      pending = getHandle.getMapState[Long, Long]("pending_days",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      cum = getHandle.getValueState[Long]("cum_actives",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[DayCount],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[CumRow] = {
+      rows.foreach { r =>
+        if (!pending.containsKey(r.day_ms)) {
+          pending.updateValue(r.day_ms, r.add)
+          getHandle.registerTimer(r.day_ms + dayMs)
+        } else pending.updateValue(r.day_ms, pending.getValue(r.day_ms) + r.add)
+      }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[CumRow] = {
+      val fireMs = expiredTimerInfo.getExpiryTimeInMs()
+      val matured = pending.iterator().map(p => (p._1, p._2)).toArray
+        .filter(_._1 + dayMs <= fireMs).sortBy(_._1)
+      val out = matured.map { case (d, n) =>
+        val c = (if (cum.exists()) cum.get() else 0L) + n
+        cum.update(c); pending.removeKey(d)
+        CumRow(new java.sql.Timestamp(d), n, c)
+      }
+      out.iterator
+    }
+  }
+
+  /** The streaming twin of the batch first-seen decomposition
+    * (`w18_cumulative_actives`): per day, the count of NEW users and
+    * the running distinct-actives total, each day emitted exactly once
+    * when the watermark passes its end. Three cooperating pieces, all
+    * watermark-driven: [[FirstSeenKeeper]] (keyed by user) finalizes
+    * each user's min event-day and emits one +1 row per user LIFETIME;
+    * a windowed count over the same source emits one 0-marker per
+    * OBSERVED day (so a day where every active is returning still
+    * reports new_users = 0, as the batch read does); their union feeds
+    * [[CumKeeper]]'s single global key — legitimate because its traffic
+    * is one row per user ever plus one per day, never raw events, and
+    * the cumulative total is inherently a single sequential fold over
+    * ≤ |days| rows (the batch plan's one tiny calendar window). Nothing
+    * re-counts history and no distinct-set ever re-shuffles: state is
+    * one small value per user (the exact semantic floor) plus live-day
+    * counters. */
+  def cumulativeActivesStream(events: DataFrame, tsCol: String,
+                              userCol: String, lateness: String): Dataset[CumRow] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val dayMs = 86400000L
+    val wmarked = events.withWatermark(tsCol, lateness)
+    val firstSeen = wmarked
+      .select(col(userCol).cast("long").as("user_id"),
+        unix_millis(date_trunc("DAY", col(tsCol))).as("day_ms"))
+      .as[UserDay]
+      .groupByKey(_.user_id)
+      .transformWithState(new FirstSeenKeeper(dayMs), "day_end",
+        OutputMode.Append())
+    val daySpine = wmarked
+      .groupBy(window(col(tsCol), "1 day")).agg(count(lit(1)))
+      .select(col("window.end").as("day_end"),
+        unix_millis(col("window.start")).as("day_ms"), lit(0L).as("add"))
+      .as[DayCount]
+    firstSeen.unionByName(daySpine)
+      .groupByKey(_ => 0L)
+      .transformWithState(new CumKeeper(dayMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** T5 — LIVE REPLAN between micro-batches, no stream restart
     * (cerebro.py:334-414's handle_tracked_items_changed): each batch
     * RE-READS the control table (the runtime master — tracked items with

@@ -1063,6 +1063,154 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == Set((3L, 7.0), (1L, 8.0)))
   }
 
+  test("peakConcurrencyStream ≡ batch W19 sweep line on real fixture " +
+    "sessions (exactly-once day emission)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val sess = graft.queries.InventoryQueries2.w8Sessionize(s, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 6)
+      .select(col("session_start"), col("session_end"))
+    // feed in start order — the upstream sessionizer emits sessions when
+    // the watermark passes, so a session stream ARRIVES roughly
+    // start-ordered; the raw (user, session_no) collect order would ship
+    // old-day sessions behind the advanced watermark, which the stated
+    // late-row contract drops (and the batch reference counts)
+    val rows = sess.orderBy(col("session_start")).collect().toSeq.map(r =>
+      Sess(r.getTimestamp(0), r.getTimestamp(1)))
+    val prevProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val streamed = try {
+      val in = MemoryStream[Sess]
+      val q = Streams.peakConcurrencyStream(in.toDF(), "session_start",
+          "session_end", "0 seconds")
+        .writeStream.format("memory").queryName("peak_par")
+        .outputMode("append").start()
+      // two batches so some day's sweep points accumulate ACROSS batches
+      val (b1, b2) = rows.splitAt(rows.size / 2)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      in.addData(Sess(ts("2030-01-01 00:00:00"), ts("2030-01-01 00:00:01")))
+      q.processAllAvailable()
+      val out = s.table("peak_par")
+        .filter(col("day_start") < ts("2029-01-01 00:00:00"))
+        .select(to_date(col("day_start")).as("day"), col("peak_concurrency"))
+        .collect().map(_.toSeq).toSet
+      q.stop()
+      out
+    } finally {
+      if (prevProvider.nonEmpty)
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+      else s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val batch = graft.queries.InventoryQueries2.peakConcurrencyFrom(sess)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream must equal batch: only-stream=${(streamed -- batch).take(3)} " +
+        s"only-batch=${(batch -- streamed).take(3)}")
+    assert(batch.size >= 5, "multi-day fixture really exercised")
+    assert(batch.exists(_(1).asInstanceOf[Long] > 1L),
+      "some real concurrency exercised")
+  }
+
+  test("peakConcurrencyStream boundary pin: midnight crosser counts toward " +
+    "BOTH days; end-inclusive touch overlaps; watermark on session_start " +
+    "finalizes a day even while a crosser's end is still open") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val prevProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Sess]
+      val q = Streams.peakConcurrencyStream(in.toDF(), "session_start",
+          "session_end", "0 seconds")
+        .writeStream.format("memory").queryName("peak_bnd")
+        .outputMode("append").start()
+      in.addData(
+        // midnight crosser: 23:00 Jan1 → 01:00 Jan2 (covers both days)
+        Sess(ts("2024-01-01 23:00:00"), ts("2024-01-02 01:00:00")),
+        // overlaps the crosser inside Jan1 → Jan1 peak 2
+        Sess(ts("2024-01-01 23:30:00"), ts("2024-01-01 23:45:00")),
+        // end-inclusive touch: starts the INSTANT the crosser ends → peak 2
+        Sess(ts("2024-01-02 01:00:00"), ts("2024-01-02 02:00:00")),
+        // disjoint tail on Jan2 (after the touch pair closed)
+        Sess(ts("2024-01-02 03:00:00"), ts("2024-01-02 03:10:00")))
+      q.processAllAvailable()
+      in.addData(Sess(ts("2030-01-01 00:00:00"), ts("2030-01-01 00:00:01")))
+      q.processAllAvailable()
+      val streamed = s.table("peak_bnd")
+        .filter(col("day_start") < ts("2029-01-01 00:00:00"))
+        .select(to_date(col("day_start")).as("day"), col("peak_concurrency"))
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+      q.stop()
+      assert(streamed == Set(("2024-01-01", 2L), ("2024-01-02", 2L)), streamed)
+    } finally {
+      if (prevProvider.nonEmpty)
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+      else s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("cumulativeActivesStream ≡ batch W18 first-seen decomposition on " +
+    "real fixture events (exactly-once ordered day emission, " +
+    "zero-new-user days included)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ev = graft.Tables.events(s, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 6)
+      .select(col("user_id"), col("ts").as("time"), col("event_id"), col("value"))
+    val rows = ev.collect().toSeq.map(r =>
+      Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    val prevProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val streamed = try {
+      val in = MemoryStream[Ev]
+      val q = Streams.cumulativeActivesStream(in.toDF(), "time", "user_id",
+          "0 seconds")
+        .writeStream.format("memory").queryName("cum_par")
+        .outputMode("append").start()
+      val (b1, b2) = rows.splitAt(rows.size / 2)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      in.addData(Ev(999L, ts("2030-01-01 00:00:00"), 0L, 0.0)) // flush watermark
+      q.processAllAvailable()
+      val out = s.table("cum_par")
+        .filter(col("day_start") < ts("2029-01-01 00:00:00"))
+        .select(to_date(col("day_start")).as("day"), col("new_users"),
+          col("cum_actives"))
+        .collect().map(_.toSeq).toSet
+      q.stop()
+      out
+    } finally {
+      if (prevProvider.nonEmpty)
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+      else s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    // batch reference: the W18 first-seen rule on the same rows
+    val firstSeen = ev.select(col("user_id"), to_date(col("time")).as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val perDay = firstSeen.groupBy(col("first_day"))
+      .agg(count(lit(1)).as("new_users"))
+    val days = ev.select(to_date(col("time")).as("day")).distinct()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val batch = days.join(perDay, col("day") === col("first_day"), "left")
+      .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cum_actives", sum(col("new_users")).over(w))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream must equal batch: only-stream=${(streamed -- batch).take(3)} " +
+        s"only-batch=${(batch -- streamed).take(3)}")
+    assert(batch.size >= 5, "multi-day fixture really exercised")
+    assert(batch.exists(_(1).asInstanceOf[Long] == 0L),
+      "a zero-new-user day (all actives returning) really exercised")
+  }
+
   test("sampleAppendStream: per-batch bottom-k candidates re-rank to the " +
     "whole-corpus sample; a verbatim re-delivered batch is absorbed") {
     val s = spark
@@ -1363,6 +1511,7 @@ class StreamingSpec extends AnyFunSuite {
 /** Top-level (not inner) so Spark can construct instances without an
   * outer-class scope when the MemoryStream round-trips it. */
 case class Ev(user_id: Long, time: Timestamp, event_id: Long, value: Double)
+case class Sess(session_start: Timestamp, session_end: Timestamp)
 case class SampleDoc(doc_id: Long, source: String, text: String)
 case class LshDoc(doc_id: Long, text: String)
 case class IvfVec(vec_id: Long, embedding: Array[Float])
