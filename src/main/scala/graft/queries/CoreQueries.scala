@@ -314,6 +314,109 @@ object CoreQueries {
       |GROUP BY c_custkey, c_name, c_acctbal, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  // ---- Q4: order-priority checking — correlated EXISTS as a semi join ----
+  /** TPC-H Q4 shape: orders in one quarter having at least one LATE
+    * lineitem, counted by priority — the correlated-EXISTS rung of the
+    * ladder. The testdata schema carries no l_commitdate/l_receiptdate,
+    * so "late" is adapted to `l_shipdate > o_orderdate + 90 days` (the
+    * same order↔line lateness semantics, stated identically in the
+    * oracle). Plan shape is the point: the EXISTS decorrelates to a
+    * LEFT SEMI join on orderkey with the cross-table date comparison as
+    * the join's residual condition — the fact table contributes each
+    * order at most once, no DISTINCT, no double scan. Two pushdowns
+    * reach the scans: the quarter on orders, and the IMPLIED lineitem
+    * bound `l_shipdate > quarter_lo + 90 days` (every qualifying line
+    * ships after it, since o_orderdate ≥ quarter_lo) — the conservative
+    * single-table consequence of a two-table predicate, which Catalyst
+    * cannot derive itself. */
+  def q4OrderPriority(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1996-04-01 00:00:00").cast("timestamp")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lo + expr("INTERVAL 90 DAYS"))
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+  val q4OrderPrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS order_count FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- Q21: suppliers who kept orders waiting — quantifiers as flags ----
+  /** TPC-H Q21 shape: suppliers in one nation whose line was late on a
+    * multi-supplier 'F' order where NO OTHER supplier was late —
+    * EXISTS + NOT EXISTS correlated self-joins on the same fact table,
+    * the heaviest quantifier shape in the benchmark (same adapted
+    * lateness rule as [[q4OrderPriority]]; the testdata schema has no
+    * commit/receipt dates). The classic text scans lineitem THREE times
+    * (l1, the EXISTS l2, the NOT EXISTS l3); here both quantifiers
+    * DECORRELATE into per-order supplier flags computed in ONE pass:
+    * collapse lines to (order, supplier, any_late, late_lines), count
+    * suppliers and late suppliers per order with windows over the
+    * collapsed table (per-order groups are a handful of rows — the
+    * bounded per-key window w8 already accepts, never corpus-wide), and
+    * the quantifiers become `n_supps > 1 AND n_late_supps = 1` on a row
+    * whose own flag is late. numwait counts s's late LINES (the classic
+    * l1 multiplicity), only the l1 supplier takes the nation filter —
+    * both quantifiers range over ALL suppliers. The oracle states the
+    * classic correlated form outright, so a decorrelation slip
+    * hash-mismatches. */
+  def q21SuppliersWaiting(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .filter(col("n_name") === "NATION_7").select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    val ordF = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val lines = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(ordF, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late", (col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 90 DAYS")).cast("long"))
+    val perSupp = lines.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("late_s"), sum(col("late")).as("late_lines"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    perSupp
+      .withColumn("n_supps", count(lit(1)).over(w))
+      .withColumn("n_late_supps", sum(col("late_s")).over(w))
+      .filter(col("late_s") === 1L && col("n_supps") > 1L &&
+        col("n_late_supps") === 1L)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(sum(col("late_lines")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+  val q21SuppliersWaitingSql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders, nation
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |  AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
   // ---- W1: latest row per key (single-shuffle max(struct) agg) -----------
   def w1LatestEventPerUser(s: SparkSession, d: String): DataFrame =
     Relational.latestPerKey(
@@ -1081,6 +1184,8 @@ object CoreQueries {
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q10_returned_items" -> (q10ReturnedItems _),
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q21_suppliers_waiting" -> (q21SuppliersWaiting _),
     "snapshot_diff" -> (snapshotDiff _),
     "snapshot_restore" -> (snapshotRestore _),
     "snapshot_delete_rows" -> (snapshotDeleteRows _),
@@ -1111,6 +1216,8 @@ object CoreQueries {
     "q5_local_supplier" -> q5LocalSupplierSql,
     "q7_volume_shipping" -> q7VolumeShippingSql,
     "q10_returned_items" -> q10ReturnedItemsSql,
+    "q4_order_priority" -> q4OrderPrioritySql,
+    "q21_suppliers_waiting" -> q21SuppliersWaitingSql,
     "snapshot_diff" -> snapshotDiffSql,
     "snapshot_restore" -> snapshotRestoreSql,
     "snapshot_delete_rows" -> snapshotDeleteRowsSql,

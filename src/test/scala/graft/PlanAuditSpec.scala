@@ -665,6 +665,40 @@ class PlanAuditSpec extends AnyFunSuite {
       s"returnflag + order-date filters must reach the scans, got: $pushed")
   }
 
+  test("q4_order_priority: the EXISTS decorrelates to a LEFT SEMI join " +
+    "with the cross-table date comparison as residual; the quarter AND " +
+    "the implied lineitem ship-date bound both reach their scans") {
+    val p = plan("q4_order_priority")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the residual date predicate must not degrade the join:\n$p")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(o_orderdate") &&
+      pushed.contains("LessThan(o_orderdate"),
+      s"the quarter must reach the orders scan, got: $pushed")
+    // the hand-derived single-table consequence of the two-table
+    // predicate (l_shipdate > quarter_lo + 90d) — Catalyst cannot infer
+    // it, so its presence pins OUR projection, not the optimizer's
+    assert(pushed.contains("GreaterThan(l_shipdate"),
+      s"the implied ship-date bound must reach the lineitem scan, got: $pushed")
+  }
+
+  test("q21_suppliers_waiting: both correlated quantifiers decorrelate " +
+    "into per-order flags over ONE lineitem scan (the classic form scans " +
+    "it three times); supplier broadcasts; top-100 is TakeOrdered") {
+    val p = plan("q21_suppliers_waiting")
+    assert(countOf(p, "lineitem.parquet") == 1,
+      s"lineitem must be scanned exactly once:\n$p")
+    assert(countOf(p, "BroadcastHashJoin") >= 1, p)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must plan as TakeOrderedAndProject:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("EqualTo(o_orderstatus,F)"),
+      s"the status filter must reach the orders scan, got: $pushed")
+  }
+
   test("j18_session_overlap: the interval overlap pairs by an EQUI join " +
     "on the hour bucket — no nested-loop θ-join anywhere") {
     val p = plan("j18_session_overlap")
