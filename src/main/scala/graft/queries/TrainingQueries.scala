@@ -553,7 +553,86 @@ object TrainingQueries {
     "WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0" +
       s" AND b.doc_id % $LshDelMod <> $LshDelRes")
 
+  // ---- intra-document n-gram repetition (the Gopher repetition family) ----
+  /** WITHIN-document repetition signals at the n-gram level (Rae et al.
+    * 2021 "Scaling Language Models: ... Gopher" §A1.1's repetition
+    * filters — looping generations, boilerplate chant, copy-paste spam):
+    * `gopherTable`'s unigram rep/top fractions miss a doc that cycles a
+    * PHRASE of distinct words ("buy now click here buy now click
+    * here…"), which bigram/trigram occurrence counts catch immediately.
+    * Per doc and n ∈ {2, 3}: total n-gram occurrences, the fraction of
+    * occurrences whose n-gram occurs ≥2× (duplicate-occurrence mass),
+    * and the top n-gram's occurrence share — integer ppm by long floor
+    * division (GREATEST(·,1) denominators so short docs read 0, never a
+    * divide error). POSITIONAL shingle hashes ([[Dedup.seqShingleHashes]],
+    * the codegen kernel — one array per row, no HOF lambda in the row
+    * path) make an occurrence a first-class row; both engines hash
+    * n-grams with the same 131-base fold of polyHash tokens, so hash
+    * collisions (if any) collapse identically on both sides. Scale: two
+    * explode+groupBy passes keyed by (doc, hash) — per-doc local work,
+    * shuffles bounded by token count, no cross-doc join anywhere. Docs
+    * shorter than n tokens carry zero occurrences (COALESCE'd 0s). */
+  def qualityRepNgrams(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    def metrics(n: Int) = {
+      val occ = docs.select(col("doc_id"),
+          explode(Dedup.seqShingleHashes(col("text"), n)).as("h"))
+        .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("occ"))
+      occ.groupBy(col("doc_id")).agg(
+        sum(col("occ")).as(s"n$n"),
+        expr("sum(CASE WHEN occ >= 2 THEN occ ELSE 0 END) * 1000000 " +
+          "div greatest(sum(occ), 1)").as(s"rep${n}_ppm"),
+        expr("max(occ) * 1000000 div greatest(sum(occ), 1)")
+          .as(s"top${n}_ppm"))
+    }
+    docs.select(col("doc_id"))
+      .join(metrics(2), Seq("doc_id"), "left")
+      .join(metrics(3), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        coalesce(col("rep2_ppm"), lit(0L)).as("rep2_ppm"),
+        coalesce(col("top2_ppm"), lit(0L)).as("top2_ppm"),
+        coalesce(col("n3"), lit(0L)).as("n3"),
+        coalesce(col("rep3_ppm"), lit(0L)).as("rep3_ppm"),
+        coalesce(col("top3_ppm"), lit(0L)).as("top3_ppm"))
+      .orderBy(col("doc_id"))
+  }
+  val qualityRepNgramsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_transform(string_split(trim(text), ' '), $polyHashLambda) AS th
+       |  FROM documents
+       |), g2 AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(th) >= 2 THEN
+       |    list_transform(range(0, len(th)-1), i -> (th[i+1]*131 + th[i+2]) % $P)
+       |    ELSE [] END) AS h FROM toks
+       |), g3 AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(th) >= 3 THEN
+       |    list_transform(range(0, len(th)-2),
+       |      i -> ((th[i+1]*131 + th[i+2]) % $P * 131 + th[i+3]) % $P)
+       |    ELSE [] END) AS h FROM toks
+       |), o2 AS (SELECT doc_id, h, COUNT(*) AS occ FROM g2 GROUP BY doc_id, h),
+       |o3 AS (SELECT doc_id, h, COUNT(*) AS occ FROM g3 GROUP BY doc_id, h),
+       |m2 AS (
+       |  SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n2,
+       |    CAST(SUM(CASE WHEN occ >= 2 THEN occ ELSE 0 END) * 1000000
+       |      // GREATEST(SUM(occ), 1) AS BIGINT) AS rep2_ppm,
+       |    CAST(MAX(occ) * 1000000 // GREATEST(SUM(occ), 1) AS BIGINT) AS top2_ppm
+       |  FROM o2 GROUP BY doc_id),
+       |m3 AS (
+       |  SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n3,
+       |    CAST(SUM(CASE WHEN occ >= 2 THEN occ ELSE 0 END) * 1000000
+       |      // GREATEST(SUM(occ), 1) AS BIGINT) AS rep3_ppm,
+       |    CAST(MAX(occ) * 1000000 // GREATEST(SUM(occ), 1) AS BIGINT) AS top3_ppm
+       |  FROM o3 GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(n2, 0) AS n2,
+       |  COALESCE(rep2_ppm, 0) AS rep2_ppm, COALESCE(top2_ppm, 0) AS top2_ppm,
+       |  COALESCE(n3, 0) AS n3,
+       |  COALESCE(rep3_ppm, 0) AS rep3_ppm, COALESCE(top3_ppm, 0) AS top3_ppm
+       |FROM documents d LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "quality_rep_ngrams" -> (qualityRepNgrams _),
     "dedup_lsh_deleted" -> (dedupLshDeleted _),
     "dedup_exact" -> (dedupExact _),
     "dedup_normalized" -> (dedupNormalized _),
@@ -570,6 +649,7 @@ object TrainingQueries {
     "dedup_ngram_pairs" -> (dedupNgramPairs _))
 
   val oracle: Map[String, String] = Map(
+    "quality_rep_ngrams" -> qualityRepNgramsSql,
     "dedup_lsh_deleted" -> dedupLshDeletedSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_normalized" -> dedupNormalizedSql,

@@ -1323,4 +1323,42 @@ class TrainingOpsSpec extends AnyFunSuite {
       if (w == c) assert(r.getLong(3) == r.getLong(4))
     }
   }
+  test("qualityRepNgrams: a cycling phrase is invisible to unigram " +
+    "rep (all-duplicate words) but saturates bigram/trigram repetition; " +
+    "distinct text reads 0; short docs read 0 occurrences, no divide") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_repng").toString
+    Seq(
+      // 4x cycle of a 3-word phrase: every bigram/trigram duplicated
+      (0L, "buy now here buy now here buy now here buy now here"),
+      // all-distinct tokens: zero repetition at every n
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      // one duplicated bigram in otherwise distinct text
+      (2L, "a b c a b"),
+      // 1 token: no bigrams at all
+      (3L, "solo"),
+      (4L, "")
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TrainingQueries.qualityRepNgrams(s2, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    // doc 0: 12 tokens -> 11 bigrams, all of the 3 distinct bigrams
+    // repeat (counts 4/4/3) -> rep2 = 10^6; trigrams 10, 3 distinct
+    // (4/3/3), all repeated -> rep3 = 10^6; top bigram 4/11
+    assert(out(0L) == (11L, 1000000L, 4L * 1000000L / 11L,
+      10L, 1000000L, 4L * 1000000L / 10L), out(0L).toString)
+    // doc 1: 5 bigrams / 4 trigrams, all unique
+    assert(out(1L) == (5L, 0L, 1000000L / 5L, 4L, 0L, 1000000L / 4L),
+      out(1L).toString)
+    // doc 2: bigrams ab bc ca ab -> "a b" twice of 4 -> rep2 500000,
+    // top2 500000; trigrams abc bca cab all unique
+    assert(out(2L) == (4L, 500000L, 500000L, 3L, 0L, 333333L),
+      out(2L).toString)
+    // short docs: zero occurrences, zero ppms (GREATEST guard)
+    assert(out(3L) == (0L, 0L, 0L, 0L, 0L, 0L))
+    assert(out(4L) == (0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
 }
