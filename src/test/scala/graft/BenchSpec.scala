@@ -109,29 +109,31 @@ class BenchSpec extends AnyFunSuite {
       lo.toString)
   }
 
-  test("BenchPrior.scaling is the committed r12 scaling block (artifact " +
-    "of record, full curve incl. the legs the driver run dropped); " +
-    "non-timing rows excluded; the minhash-cliff anchor present") {
+  test("BenchPrior.scaling is the committed scaling block (artifact of " +
+    "record, full curve incl. the corpus-write rows); non-timing rows " +
+    "excluded; the minhash-cliff anchor present") {
     val sc = BenchPrior.scaling
-    assert(sc.size == 19, sc.size.toString)
-    assert(!sc.contains("cc_rounds") && !sc.contains("j14_suffix_block_rows"),
-      "counts are not seconds — retrying on them would be meaningless")
-    // the r12 cliff: driver 50.268 s vs this committed 4.072 s — the
-    // 3x-prior trigger must fire on the driver number
+    assert(sc.size == 21, sc.size.toString)
+    assert(!sc.contains("cc_rounds") && !sc.contains("j14_suffix_block_rows") &&
+      !sc.contains("j14_split_suffix_len"),
+      "counts/lengths are not seconds — retrying on them would be meaningless")
+    // the r12-cliff property: the contended driver number (50.268 s)
+    // must trip the 3x trigger against any clean-box committed anchor
     val mh = sc("dedup_minhash_pairs")("x20")
-    assert(mh == 4.072 && 50.268 > 3.0 * mh)
-    // the two legs missing from the r12 DRIVER artifact are anchored
-    // from the artifact of record
+    assert(mh > 1.0 && mh < 12.0 && 50.268 > 3.0 * mh, mh.toString)
+    // the two legs missing from the r12 DRIVER artifact stay anchored
     assert(sc.contains("search_substring_indexed_serve") &&
       sc.contains("lsh_rebuild"))
+    // the corpus writes are priced (and retry-anchored) since r13
+    assert(sc.contains("scale_corpus_write"))
     // linkage priors carry the x10 top scale (r12 protocol)
     assert(sc("j14_entity_dual").contains("x10") &&
       sc("j17_entity_symdel").contains("x10"))
   }
 
-  test("BenchPrior resource is the committed r12 steady map: 273 entries, " +
+  test("BenchPrior resource is the committed r13 steady map: 278 entries, " +
     "median in the committed envelope, j12 prior present") {
-    assert(BenchPrior.steady.size == 273, BenchPrior.steady.size.toString)
+    assert(BenchPrior.steady.size == 278, BenchPrior.steady.size.toString)
     assert(BenchPrior.median > 0.1 && BenchPrior.median < 2.0,
       BenchPrior.median.toString)
     assert(BenchPrior.steady.contains("j12_entity_resolve"))
