@@ -680,7 +680,15 @@ object Streams {
     * in-plan to its covered days with interval clipping (the batch
     * read's own projection, integer µs end to end); [[PeakKeeper]]
     * holds the per-day collapsed sweep points and emits the day's peak
-    * once when the watermark passes its end. */
+    * once when the watermark passes its end.
+    *
+    * Input contract: a session SOURCE stream (the appended session
+    * table / CDC feed [[sessionizeStream]] writes), where this
+    * operator's `withWatermark` is the query's own event-time root —
+    * NOT the in-query output of a stateful sessionizer: chaining
+    * directly would let the raw-event watermark outrun the re-declared
+    * session_start watermark, and sessions would arrive behind it
+    * (measured: the chained query runs but every day drops as late). */
   def peakConcurrencyStream(sessions: DataFrame, startCol: String,
                             endCol: String, lateness: String): Dataset[PeakRow] = {
     val s = sessions.sparkSession
@@ -699,6 +707,125 @@ object Streams {
       .as[SessSlice]
       .groupByKey(_.day_ms)
       .transformWithState(new PeakKeeper(dayMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  // ---- cross-session overlap pairs, state-store-backed -------------------
+
+  case class BinnedSess(bin: Long, user_id: Long, session_no: Long,
+                        s_us: Long, e_us: Long)
+  case class OverlapPair(user_a: Long, session_a: Long, user_b: Long,
+                         session_b: Long, overlap_us: Long)
+
+  /** Per-bin open-session state for [[sessionOverlapStream]]: a
+    * ListState of the sessions covering this bin (bounded by bin
+    * concurrency — the same envelope the batch operator's per-bin
+    * fan-out has), a session counter driving the SAME hot-bin pair
+    * budget the batch verb raises in-plan (n·(n−1)/2 > maxPairs throws
+    * — a viral bin fails the query loudly, never silently quadratic),
+    * and an event-time timer at the bin's end. On expiry the bin's
+    * C(n,2) cross-user pairs enumerate ONCE, keep exact overlap ≥ 0,
+    * and a pair EMITS ONLY FROM THE BIN CONTAINING ITS OVERLAP-START
+    * INSTANT (max(s_a, s_b) lies in exactly one bin, and both sessions
+    * cover it) — exactly-once per pair by construction, with no
+    * dedup exchange at all, where the batch plan pays a
+    * dropDuplicates shuffle for the same guarantee. */
+  class OverlapKeeper(binUs: Long, maxPairsPerBin: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, BinnedSess, OverlapPair] {
+    @transient private var open: org.apache.spark.sql.streaming.ListState[BinnedSess] = _
+    @transient private var nOpen: org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var timerSet: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      open = getHandle.getListState[BinnedSess]("open_sessions",
+        org.apache.spark.sql.Encoders.product[BinnedSess],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      nOpen = getHandle.getValueState[Long]("n_open",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      timerSet = getHandle.getValueState[Boolean]("timer_set",
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[BinnedSess],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[OverlapPair] = {
+      val binEndMs = (key + 1L) * (binUs / 1000L)
+      if (binEndMs <= timerValues.getCurrentWatermarkInMs()) return Iterator.empty
+      if (!timerSet.exists()) { getHandle.registerTimer(binEndMs); timerSet.update(true) }
+      var n = if (nOpen.exists()) nOpen.get() else 0L
+      rows.foreach { r => open.appendValue(r); n += 1L }
+      if (n * (n - 1L) / 2L > maxPairsPerBin)
+        throw new IllegalStateException(
+          s"sessionOverlapStream: bin pair bound exceeded maxPairsPerBin=" +
+            s"$maxPairsPerBin (bin=$key, sessions=$n) — use a finer bin " +
+            "or pre-cap concurrency")
+      nOpen.update(n)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[OverlapPair] = {
+      val ss = open.get().toArray
+      open.clear(); nOpen.clear(); timerSet.clear()
+      val out = scala.collection.mutable.ListBuffer[OverlapPair]()
+      var i = 0
+      while (i < ss.length) {
+        var j = i + 1
+        while (j < ss.length) {
+          val (x, y) = (ss(i), ss(j))
+          if (x.user_id != y.user_id) {
+            val os = math.max(x.s_us, y.s_us)
+            val overlap = math.min(x.e_us, y.e_us) - os
+            // emit only from the overlap-start instant's bin: exactly
+            // one bin qualifies, and both sessions cover it
+            if (overlap >= 0L && os / binUs == key) {
+              val (a, b) = if (x.user_id < y.user_id) (x, y) else (y, x)
+              out += OverlapPair(a.user_id, a.session_no,
+                b.user_id, b.session_no, overlap)
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.iterator
+    }
+  }
+
+  /** The streaming twin of the batch binned interval-overlap join
+    * (`j18_session_overlap`'s
+    * [[graft.operators.Relational.sessionOverlapPairs]]): cross-user
+    * session pairs overlapping in time, emitted exactly once with the
+    * exact overlap duration in integer µs. Same lossless binning (a
+    * session lands in every `binUs` bucket it covers), same watermark
+    * lever as [[peakConcurrencyStream]] — the watermark rides on
+    * session_START, so a bin is final once the start-watermark passes
+    * its end (any later session starts after the bin and cannot cover
+    * it), midnight-crossing/long sessions notwithstanding. Same input
+    * contract too: a session SOURCE stream, not the in-query output of
+    * a stateful sessionizer. State per live bin is its session list
+    * (bin concurrency — the true fan-out driver), guarded by the exact
+    * batch pair budget; the per-pair dedup is FREE here (overlap-start
+    * bin rule) where the batch pays a shuffle. */
+  def sessionOverlapStream(sessions: DataFrame, userCol: String,
+                           sessionNoCol: String, startCol: String,
+                           endCol: String, binUs: Long, lateness: String,
+                           maxPairsPerBin: Long = 4096L): Dataset[OverlapPair] = {
+    val s = sessions.sparkSession
+    import s.implicits._
+    sessions.withWatermark(startCol, lateness)
+      .select(col(userCol).cast("long").as("user_id"),
+        col(sessionNoCol).cast("long").as("session_no"),
+        unix_micros(col(startCol)).as("s_us"),
+        unix_micros(col(endCol)).as("e_us"))
+      .withColumn("bin",
+        explode(sequence(expr(s"s_us div $binUs"), expr(s"e_us div $binUs"))))
+      .select(col("bin"), col("user_id"), col("session_no"),
+        col("s_us"), col("e_us"))
+      .as[BinnedSess]
+      .groupByKey(_.bin)
+      .transformWithState(new OverlapKeeper(binUs, maxPairsPerBin),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Append())
   }

@@ -1154,6 +1154,116 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionOverlapStream ≡ batch sessionOverlapPairs on real fixture " +
+    "sessions (exactly-once per pair via the overlap-start-bin rule, " +
+    "no dedup exchange)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val hourUs = 3600L * 1000000L
+    val sessFull = graft.queries.InventoryQueries2.w8Sessionize(s, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("session_no"),
+        col("session_start"), col("session_end"))
+    val rows = sessFull.orderBy(col("session_start")).collect().toSeq.map(r =>
+      FullSess(r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3)))
+    val prevProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val streamed = try {
+      val in = MemoryStream[FullSess]
+      val q = Streams.sessionOverlapStream(in.toDF(), "user_id", "session_no",
+          "session_start", "session_end", hourUs, "0 seconds")
+        .writeStream.format("memory").queryName("ovl_par")
+        .outputMode("append").start()
+      val (b1, b2) = rows.splitAt(rows.size / 2)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      in.addData(FullSess(999L, 0L, ts("2030-01-01 00:00:00"),
+        ts("2030-01-01 00:00:01")))
+      q.processAllAvailable()
+      val out = s.table("ovl_par").filter(col("user_a") < 999L)
+        .collect().map(_.toSeq).toSet
+      q.stop()
+      out
+    } finally {
+      if (prevProvider.nonEmpty)
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+      else s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val batch = graft.operators.Relational.sessionOverlapPairs(
+        sessFull.select(col("user_id"), col("session_no"),
+          unix_micros(col("session_start")).as("s_us"),
+          unix_micros(col("session_end")).as("e_us")),
+        binUs = hourUs)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream must equal batch: only-stream=${(streamed -- batch).take(3)} " +
+        s"only-batch=${(batch -- streamed).take(3)}")
+    assert(batch.size >= 10, "real overlap structure exercised")
+  }
+
+  test("sessionOverlapStream boundary pin: a pair sharing several bins " +
+    "emits ONCE from the overlap-start bin; an end-inclusive touch " +
+    "emits overlap 0; same-user session pairs never emit; a hot bin " +
+    "over the pair budget fails the query loudly") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val hourUs = 3600L * 1000000L
+    val prevProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[FullSess]
+      val q = Streams.sessionOverlapStream(in.toDF(), "user_id", "session_no",
+          "session_start", "session_end", hourUs, "0 seconds")
+        .writeStream.format("memory").queryName("ovl_bnd")
+        .outputMode("append").start()
+      in.addData(
+        // users 1 and 2 overlap for THREE shared hour bins (10:30-13:00)
+        FullSess(1L, 0L, ts("2024-01-01 10:00:00"), ts("2024-01-01 13:00:00")),
+        FullSess(2L, 0L, ts("2024-01-01 10:30:00"), ts("2024-01-01 14:00:00")),
+        // end-inclusive touch: user 3 starts the instant user 1 ends
+        FullSess(3L, 0L, ts("2024-01-01 13:00:00"), ts("2024-01-01 13:10:00")),
+        // same user, second session, overlapping user 2's: emits vs 2,
+        // never vs user 1's session 0 owner (distinct users required)
+        FullSess(1L, 1L, ts("2024-01-01 13:30:00"), ts("2024-01-01 13:40:00")))
+      q.processAllAvailable()
+      in.addData(FullSess(999L, 0L, ts("2030-01-01 00:00:00"),
+        ts("2030-01-01 00:00:01")))
+      q.processAllAvailable()
+      val out = s.table("ovl_bnd").filter(col("user_a") < 999L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      q.stop()
+      assert(out == Set(
+        (1L, 0L, 2L, 0L, 9000L * 1000000L),        // once, not 3x
+        (1L, 0L, 3L, 0L, 0L),                       // the touch instant
+        (2L, 0L, 3L, 0L, 600L * 1000000L),
+        (1L, 1L, 2L, 0L, 600L * 1000000L)), out)
+      // hot bin: 4 concurrent sessions -> C(4,2)=6 pairs > budget 5
+      val in2 = MemoryStream[FullSess]
+      val q2 = Streams.sessionOverlapStream(in2.toDF(), "user_id", "session_no",
+          "session_start", "session_end", hourUs, "0 seconds",
+          maxPairsPerBin = 5L)
+        .writeStream.format("memory").queryName("ovl_hot")
+        .outputMode("append").start()
+      in2.addData((1L to 4L).map(u =>
+        FullSess(u, 0L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00"))): _*)
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(err.getMessage.contains("pair bound exceeded") ||
+        Option(err.getCause).exists(_.getMessage.contains("pair bound exceeded")),
+        err.getMessage.take(300))
+      q2.stop()
+    } finally {
+      if (prevProvider.nonEmpty)
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+      else s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("cumulativeActivesStream ≡ batch W18 first-seen decomposition on " +
     "real fixture events (exactly-once ordered day emission, " +
     "zero-new-user days included)") {
@@ -1512,6 +1622,8 @@ class StreamingSpec extends AnyFunSuite {
   * outer-class scope when the MemoryStream round-trips it. */
 case class Ev(user_id: Long, time: Timestamp, event_id: Long, value: Double)
 case class Sess(session_start: Timestamp, session_end: Timestamp)
+case class FullSess(user_id: Long, session_no: Long,
+                    session_start: Timestamp, session_end: Timestamp)
 case class SampleDoc(doc_id: Long, source: String, text: String)
 case class LshDoc(doc_id: Long, text: String)
 case class IvfVec(vec_id: Long, embedding: Array[Float])
