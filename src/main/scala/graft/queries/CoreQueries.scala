@@ -417,6 +417,108 @@ object CoreQueries {
       |  AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
+  // ---- Q14: promo revenue share — conditional-sum ratio over a dim join --
+  /** TPC-H Q14 shape: the share of monthly revenue from PROMO parts —
+    * the conditional-sum RATIO rung (a CASE-gated sum divided by the
+    * total, the "what fraction of X is Y" read every marketing
+    * dashboard serves), and the first ladder rung exercising the PART
+    * dimension. One year of lineitem by ship month, part broadcast.
+    * Determinism discipline: revenue quantizes PER TERM to
+    * floor(ep·(1−disc)·100) cents — the identical IEEE double sequence
+    * on both engines, then integer sums (addition-order independent) —
+    * and the share is integer ppm by long floor division, never a
+    * double ratio of double sums. The month filter pushes to the
+    * lineitem scan. (Testdata p_type is the bare class name, so the
+    * classic `LIKE 'PROMO%'` is stated as equality.) */
+  def q14PromoShare(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1997-01-01 00:00:00").cast("timestamp")
+    val cents = floor(col("l_extendedprice") *
+      (lit(1.0) - col("l_discount")) * lit(100.0)).cast("long")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_partkey"), col("l_shipdate"), cents.as("cents"))
+    li.join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(to_date(date_trunc("MONTH", col("l_shipdate"))).as("month"))
+      .agg(sum(when(col("p_type") === "PROMO", col("cents")).otherwise(0L))
+          .as("promo_cents"),
+        sum(col("cents")).as("total_cents"))
+      .select(col("month"), col("promo_cents"), col("total_cents"),
+        expr("promo_cents * 1000000 div total_cents").as("promo_ppm"))
+      .orderBy(col("month"))
+  }
+  val q14PromoShareSql: String =
+    """WITH rev AS (
+      |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+      |    p_type,
+      |    CAST(FLOOR(l_extendedprice * (1e0 - l_discount) * 1e2) AS BIGINT) AS cents
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00')
+      |SELECT month,
+      |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS BIGINT) AS promo_cents,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+      |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) * 1000000
+      |    // SUM(cents) AS BIGINT) AS promo_ppm
+      |FROM rev GROUP BY month ORDER BY month""".stripMargin
+
+  // ---- Q22: dormant high-balance customers — scalar gate + anti join -----
+  /** TPC-H Q22 shape: customers whose balance sits above the
+    * positive-balance mean yet placed NO order — the global-scalar-
+    * subquery + anti-join rung (j7 exercises a scalar CTE, j3 an anti
+    * join; this is the classic composition of both). The testdata has
+    * no order-less customers at all, so the classic predicate is
+    * adapted to "no order in the final observed year" — the DORMANT
+    * high-balance read, stated identically in the oracle's NOT EXISTS.
+    * The determinism trap is the threshold itself: the classic
+    * `c_acctbal > (SELECT AVG(...))` is a raw-double sum whose value
+    * depends on addition order — Spark and DuckDB would disagree in
+    * ulps and flip boundary customers. Stated instead as the
+    * CROSS-MULTIPLIED integer form: cents·n > total_cents over
+    * floor(c_acctbal·100) — division-free, order-independent, and
+    * exactly "strictly above the mean" on 2-dp money. The scalar
+    * (n, total) pair broadcasts as a 1-row frame; the anti join's
+    * order-date filter pushes to the orders scan. */
+  def q22DormantBalance(s: SparkSession, d: String): DataFrame = {
+    val lastYear = lit("2001-01-01 00:00:00").cast("timestamp")
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"),
+        floor(col("c_acctbal") * lit(100.0)).cast("long").as("cents"))
+    val thresh = cust.filter(col("cents") > 0L)
+      .agg(count(lit(1)).as("n_pos"), sum(col("cents")).as("total_cents"))
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lastYear).select(col("o_custkey"))
+    cust.crossJoin(broadcast(thresh))
+      .filter(col("cents") * col("n_pos") > col("total_cents"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("cents")).as("totacctbal_cents"))
+      .orderBy(col("n_name"))
+  }
+  val q22DormantBalanceSql: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(FLOOR(c_acctbal * 1e2) AS BIGINT) AS cents
+      |  FROM customer),
+      |thresh AS (
+      |  SELECT COUNT(*) AS n_pos, CAST(SUM(cents) AS BIGINT) AS total_cents
+      |  FROM cust WHERE cents > 0)
+      |SELECT n_name, count(*) AS numcust,
+      |  CAST(SUM(cents) AS BIGINT) AS totacctbal_cents
+      |FROM cust, thresh, nation
+      |WHERE c_nationkey = n_nationkey
+      |  AND cents * n_pos > total_cents
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey
+      |      AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   // ---- W1: latest row per key (single-shuffle max(struct) agg) -----------
   def w1LatestEventPerUser(s: SparkSession, d: String): DataFrame =
     Relational.latestPerKey(
@@ -1186,6 +1288,8 @@ object CoreQueries {
     "q10_returned_items" -> (q10ReturnedItems _),
     "q4_order_priority" -> (q4OrderPriority _),
     "q21_suppliers_waiting" -> (q21SuppliersWaiting _),
+    "q14_promo_share" -> (q14PromoShare _),
+    "q22_dormant_balance" -> (q22DormantBalance _),
     "snapshot_diff" -> (snapshotDiff _),
     "snapshot_restore" -> (snapshotRestore _),
     "snapshot_delete_rows" -> (snapshotDeleteRows _),
@@ -1218,6 +1322,8 @@ object CoreQueries {
     "q10_returned_items" -> q10ReturnedItemsSql,
     "q4_order_priority" -> q4OrderPrioritySql,
     "q21_suppliers_waiting" -> q21SuppliersWaitingSql,
+    "q14_promo_share" -> q14PromoShareSql,
+    "q22_dormant_balance" -> q22DormantBalanceSql,
     "snapshot_diff" -> snapshotDiffSql,
     "snapshot_restore" -> snapshotRestoreSql,
     "snapshot_delete_rows" -> snapshotDeleteRowsSql,

@@ -699,6 +699,31 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the status filter must reach the orders scan, got: $pushed")
   }
 
+  test("q14_promo_share: part broadcasts, the ship-month range reaches " +
+    "the lineitem scan, no shuffle join anywhere (fact x broadcast dim)") {
+    val p = plan("q14_promo_share")
+    assert(countOf(p, "BroadcastHashJoin") >= 1, p)
+    assert(countOf(p, "SortMergeJoin") + countOf(p, "ShuffledHashJoin") == 0,
+      s"lineitem x broadcast part needs no shuffle join:\n$p")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("LessThan(l_shipdate"),
+      s"ship-date range must reach the lineitem scan, got: $pushed")
+  }
+
+  test("q22_dormant_balance: the scalar threshold rides a broadcast " +
+    "1-row frame (no cartesian), the anti join's date filter reaches " +
+    "the orders scan, nation broadcasts") {
+    val p = plan("q22_dormant_balance")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as anti join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the scalar crossJoin must broadcast:\n$p")
+    assert(countOf(p, "BroadcastHashJoin") >= 1, p)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(o_orderdate"),
+      s"the dormancy year must reach the orders scan, got: $pushed")
+  }
+
   test("j18_session_overlap: the interval overlap pairs by an EQUI join " +
     "on the hour bucket — no nested-loop θ-join anywhere") {
     val p = plan("j18_session_overlap")
