@@ -519,6 +519,500 @@ object CoreQueries {
       |      AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // ---- Q6: forecast revenue change — the pure scan-aggregate rung ---------
+  /** TPC-H Q6 shape: revenue that would have been earned had discounts in
+    * a band been dropped — one year of lineitem, a discount band, a
+    * quantity cap, NO join at all. The rung exists to pin the floor of
+    * the ladder: every predicate reaches the parquet scan as a pushed
+    * filter and the whole query is one WholeStageCodegen scan-agg with a
+    * single-row exchange. Revenue quantizes per term to exact integers —
+    * cents × discount-hundredths (units of 10⁻⁴ dollars) — so the sum is
+    * addition-order independent; the discount-band comparison is on the
+    * RAW double (both engines compare the identical parquet double to
+    * the identical IEEE literal, stated in e-notation for DuckDB). */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1997-01-01 00:00:00").cast("timestamp")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .select((floor(col("l_extendedprice") * lit(100.0)).cast("long") *
+        floor(col("l_discount") * lit(100.0)).cast("long")).as("rev_u"))
+      .agg(sum(col("rev_u")).as("revenue_u"), count(lit(1)).as("n_lines"))
+  }
+  val q6ForecastRevenueSql: String =
+    """SELECT
+      |  CAST(SUM(CAST(FLOOR(l_extendedprice * 1e2) AS BIGINT) *
+      |           CAST(FLOOR(l_discount * 1e2) AS BIGINT)) AS BIGINT) AS revenue_u,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 5e-2 AND l_discount <= 7e-2
+      |  AND l_quantity < 24""".stripMargin
+
+  // ---- Q12: priority by return class — the two-bucket conditional count --
+  /** TPC-H Q12 shape: for returned/accepted lines shipped in one year,
+    * how many belong to HIGH-priority orders vs the rest — the
+    * CASE-counted two-bucket rung (classic Q12 buckets by ship mode;
+    * the testdata has no shipmode column, so the line class is
+    * l_returnflag, stated identically in the oracle). The fact-fact join
+    * (orders × lineitem) stays a shuffle join by design — at 100 TB
+    * neither side broadcasts — while both lineitem predicates push to
+    * the scan. Counts are exact longs; no float leaves the plan. */
+  def q12PriorityClasses(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1997-01-01 00:00:00").cast("timestamp")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+        col("l_returnflag").isin("A", "R"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val hi_pri = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(hi_pri, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi_pri, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+  val q12PriorityClassesSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND l_returnflag IN ('A','R')
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- Q13: customer order-count distribution — the double aggregation ---
+  /** TPC-H Q13 shape: the distribution of per-customer order counts
+    * (including zero-order customers) — the LEFT-OUTER + double-GROUP-BY
+    * rung. The classic text left-joins customer to the FULL filtered
+    * orders table and counts after the join; here the count pushes
+    * BELOW the join — orders aggregates to (custkey, n) first, so the
+    * outer join moves one row per customer instead of one per order
+    * (answer-identical: the outer count only needs the per-key totals;
+    * absent keys coalesce to 0). At 100 TB that turns a
+    * customer × orders row explosion into customer × distinct-custkey.
+    * The priority filter stands in for the classic comment exclusion
+    * and pushes to the orders scan. */
+  def q13CustDist(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.orders(s, d)
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(cnt, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+  val q13CustDistSql: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey
+      |    AND o_orderpriority <> '4-NOT SPECIFIED'
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ---- Q15: top supplier — the scalar-max re-probe (ties included) -------
+  /** TPC-H Q15 shape: the supplier(s) with the maximum revenue over one
+    * quarter — the grouped-agg + scalar-max-equality rung the classic
+    * text writes as a view read twice. The per-supplier revenue
+    * aggregates once; its global max rides a broadcast 1-row frame back
+    * over the same aggregate (ties survive, unlike a LIMIT 1), and only
+    * the winners join the supplier dim. Revenue is the exact integer
+    * cents × (100 − discount-hundredths) form (10⁻⁴ dollars), so the
+    * max-equality is an integer compare — a double-sum max would flip
+    * winners between engines on ulps. */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1996-04-01 00:00:00").cast("timestamp")
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_suppkey"),
+        (floor(col("l_extendedprice") * lit(100.0)).cast("long") *
+          (lit(100L) - floor(col("l_discount") * lit(100.0)).cast("long")))
+          .as("rev_u"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("rev_u")).as("total_revenue_u"))
+    val mx = rev.agg(max(col("total_revenue_u")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue_u") === col("mx"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue_u"))
+      .orderBy(col("s_suppkey"))
+  }
+  val q15TopSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice * 1e2) AS BIGINT) *
+      |      (100 - CAST(FLOOR(l_discount * 1e2) AS BIGINT))) AS BIGINT)
+      |      AS total_revenue_u
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue_u
+      |FROM supplier, rev
+      |WHERE s_suppkey = l_suppkey
+      |  AND total_revenue_u = (SELECT MAX(total_revenue_u) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---- Q19: discounted-parts revenue — the disjunctive-arm predicate -----
+  /** TPC-H Q19 shape: revenue from three brand/size/quantity arms OR'd
+    * together — the rung where a naive plan degrades the join to a
+    * nested loop. The join stays a pure equi join on partkey (part
+    * broadcasts); the three-arm disjunction is a post-join residual
+    * filter, and the hand-derived single-table consequence of the arms
+    * (quantity ≤ the widest arm's cap — Catalyst cannot infer it from
+    * an OR across tables) pushes to the lineitem scan. Revenue in the
+    * exact integer 10⁻⁴-dollar form. */
+  def q19DiscountedParts(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .select(col("l_partkey"), col("l_quantity"),
+        (floor(col("l_extendedprice") * lit(100.0)).cast("long") *
+          (lit(100L) - floor(col("l_discount") * lit(100.0)).cast("long")))
+          .as("rev_u"))
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val arms =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 20) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#4" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(20, 30))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(arms)
+      .agg(sum(col("rev_u")).as("revenue_u"), count(lit(1)).as("n_lines"))
+  }
+  val q19DiscountedPartsSql: String =
+    """SELECT
+      |  CAST(SUM(CAST(FLOOR(l_extendedprice * 1e2) AS BIGINT) *
+      |    (100 - CAST(FLOOR(l_discount * 1e2) AS BIGINT))) AS BIGINT)
+      |    AS revenue_u,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |        AND l_quantity BETWEEN 1 AND 11)
+      |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+      |        AND l_quantity BETWEEN 10 AND 20)
+      |    OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 25
+      |        AND l_quantity BETWEEN 20 AND 30))""".stripMargin
+
+  // ---- Q17: small-quantity revenue — the per-group scalar gate -----------
+  /** TPC-H Q17 shape: revenue lost to orders below a fifth of their
+    * part's average quantity — the correlated-per-group-scalar rung.
+    * The part filter (Brand#23, small sizes) is collected at the driver
+    * as a key list (a planning boundary: 10 keys at sf0.01, 160 at
+    * sf0.1 — the same probe-cell discipline as the IVF queries), so
+    * BOTH passes over lineitem carry a pushed `l_partkey IN (...)`
+    * scan filter instead of a join-then-discard. The gate is the
+    * cross-multiplied integer form: qty·5·n < Σqty per part (exactly
+    * "below 0.2 of the mean" on integer quantities — a double avg
+    * would flip boundary lines between engines). The per-part stats
+    * frame is tiny and broadcasts back onto the lines. */
+  def q17SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val keys = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#23" && col("p_size") <= 10)
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSeq.sorted
+    val lines = Tables.lineitem(s, d)
+      .filter(col("l_partkey").isin(keys: _*))
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        floor(col("l_extendedprice") * lit(100.0)).cast("long").as("cents"))
+    val stats = lines.groupBy(col("l_partkey").as("k"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("totq"))
+    lines.join(broadcast(stats), col("l_partkey") === col("k"))
+      .filter(col("qty") * lit(5L) * col("n") < col("totq"))
+      .agg(sum(col("cents")).as("total_cents"), count(lit(1)).as("n_small"))
+      .select(col("total_cents"), col("n_small"),
+        expr("total_cents div 7").as("avg_yearly_cents"))
+  }
+  val q17SmallQtyRevenueSql: String =
+    """WITH l AS (
+      |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(FLOOR(l_extendedprice * 1e2) AS BIGINT) AS cents
+      |  FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part
+      |    WHERE p_brand = 'Brand#23' AND p_size <= 10)),
+      |st AS (SELECT l_partkey AS k, COUNT(*) AS n,
+      |         CAST(SUM(qty) AS BIGINT) AS totq
+      |       FROM l GROUP BY 1)
+      |SELECT CAST(SUM(cents) AS BIGINT) AS total_cents,
+      |  COUNT(*) AS n_small,
+      |  CAST(SUM(cents) // 7 AS BIGINT) AS avg_yearly_cents
+      |FROM l JOIN st ON l_partkey = k
+      |WHERE qty * 5 * n < totq""".stripMargin
+
+  // ---- Q2: minimum-cost supplier — argmin per part over derived pairs ----
+  /** TPC-H Q2 shape: for each qualifying part, the cheapest qualifying
+    * supplier — the correlated-MIN rung. The testdata has no partsupp
+    * table, so the part–supplier relation is DERIVED as the distinct
+    * (l_partkey, l_suppkey) pairs actually shipped (one dedup shuffle),
+    * and supplier account balance (integer cents) stands in for supply
+    * cost. Instead of the classic aggregate-then-rejoin (two passes +
+    * a second join), ONE aggregation takes min(struct(cents, suppkey,
+    * name, nation)) per part — the (cents, suppkey) prefix is a unique
+    * total order, so the argmin is deterministic and the payload rides
+    * along for free; the oracle states the same rule as row_number()=1.
+    * Part and the region-filtered supplier arm broadcast. */
+  def q2MinCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val eur = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "EUROPE").select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        floor(col("s_acctbal") * lit(100.0)).cast("long").as("acctbal_cents"))
+    val parts = Tables.part(s, d)
+      .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+      .select(col("p_partkey"))
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"))
+      .agg(min(struct(col("acctbal_cents"), col("s_suppkey"),
+        col("s_name"), col("n_name"))).as("m"))
+      .select(col("m.acctbal_cents").as("acctbal_cents"),
+        col("m.s_name").as("s_name"), col("m.n_name").as("n_name"),
+        col("p_partkey"), col("m.s_suppkey").as("s_suppkey"))
+      .orderBy(col("acctbal_cents").desc, col("p_partkey"))
+      .limit(100)
+  }
+  val q2MinCostSupplierSql: String =
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |eur AS (
+      |  SELECT s_suppkey, s_name, n_name,
+      |    CAST(FLOOR(s_acctbal * 1e2) AS BIGINT) AS acctbal_cents
+      |  FROM supplier, nation, region
+      |  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |    AND r_name = 'EUROPE'),
+      |cand AS (
+      |  SELECT p_partkey, acctbal_cents, s_suppkey, s_name, n_name,
+      |    row_number() OVER (PARTITION BY p_partkey
+      |      ORDER BY acctbal_cents, s_suppkey) AS rn
+      |  FROM ps
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN eur ON l_suppkey = s_suppkey
+      |  WHERE p_size = 15 AND p_type = 'STANDARD')
+      |SELECT acctbal_cents, s_name, n_name, p_partkey, s_suppkey
+      |FROM cand WHERE rn = 1
+      |ORDER BY acctbal_cents DESC, p_partkey LIMIT 100""".stripMargin
+
+  // ---- Q16: supplier-count distribution — count-distinct + NOT IN --------
+  /** TPC-H Q16 shape: how many distinct suppliers can ship each
+    * (brand, size) class, excluding flagged suppliers — the
+    * COUNT(DISTINCT) + NOT-IN rung. The part–supplier relation is the
+    * derived distinct shipped pairs (as in Q2); the exclusion set is
+    * the negative-balance suppliers (the testdata's stand-in for the
+    * classic complaint-comment scan) applied as a broadcast LEFT ANTI
+    * join — never a NOT IN subquery that degrades to a nested loop.
+    * The count-distinct shuffles once on (brand, size). */
+  def q16SupplierCounts(s: SparkSession, d: String): DataFrame = {
+    val flagged = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val p = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#45" &&
+        col("p_size").isin(1, 5, 10, 15, 20, 25))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+  val q16SupplierCountsSql: String =
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      |SELECT p_brand, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM ps JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#45'
+      |  AND p_size IN (1, 5, 10, 15, 20, 25)
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+
+  // ---- Q11: important parts — group sum vs a global-fraction gate --------
+  /** TPC-H Q11 shape: parts whose total shipped value exceeds a fraction
+    * of the whole corpus's value — the HAVING-vs-global-scalar rung.
+    * Classic Q11 prices partsupp stock; here value is shipped revenue
+    * per part (the derived-fact analogue), and the gate is "above 1.2×
+    * the mean part value", stated scale-free so it binds at every SF
+    * (a fixed fraction of the global total selects nothing once the
+    * part universe grows 10×). Determinism: the gate cross-multiplies
+    * integers — value·n·5 > total·6 — never dividing; the global
+    * (n, total) pair rides a broadcast 1-row frame. The per-part
+    * aggregate feeds both sides, at the price of one repeated scan —
+    * the same two-pass shape as the classic HAVING subquery. */
+  def q11ImportantParts(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+        (floor(col("l_extendedprice") * lit(100.0)).cast("long") *
+          (lit(100L) - floor(col("l_discount") * lit(100.0)).cast("long")))
+          .as("rev_u"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("rev_u")).as("value_u"))
+    val tot = v.agg(count(lit(1)).as("n_parts"),
+      sum(col("value_u")).as("total_u"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("value_u") * col("n_parts") * lit(5L) >
+        col("total_u") * lit(6L))
+      .select(col("l_partkey").as("p_partkey"), col("value_u"))
+      .orderBy(col("value_u").desc, col("p_partkey"))
+  }
+  val q11ImportantPartsSql: String =
+    """WITH v AS (
+      |  SELECT l_partkey AS p_partkey,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice * 1e2) AS BIGINT) *
+      |      (100 - CAST(FLOOR(l_discount * 1e2) AS BIGINT))) AS BIGINT)
+      |      AS value_u
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT COUNT(*) AS n_parts, CAST(SUM(value_u) AS BIGINT)
+      |        AS total_u FROM v)
+      |SELECT p_partkey, value_u
+      |FROM v, t
+      |WHERE value_u * n_parts * 5 > total_u * 6
+      |ORDER BY value_u DESC, p_partkey""".stripMargin
+
+  // ---- Q8: market share — the nested two-arm ratio by year ---------------
+  /** TPC-H Q8 shape: one supplier nation's share of a region's market
+    * for one part class, by order year — the CASE-share-over-join-tree
+    * rung (Q14's conditional ratio lifted onto Q5's join tree). The
+    * fact chain shuffles once (lineitem × date-bounded orders); part,
+    * the region-filtered customer arm, and the supplier→nation arm all
+    * broadcast. The share is integer ppm of exact 10⁻⁴-dollar units —
+    * numerator and denominator aggregate in the same pass. */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1998-01-01 00:00:00").cast("timestamp")
+    val asiaCust = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val suppNation = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (floor(col("l_extendedprice") * lit(100.0)).cast("long") *
+          (lit(100L) - floor(col("l_discount") * lit(100.0)).cast("long")))
+          .as("rev_u"))
+      .join(broadcast(Tables.part(s, d)
+        .filter(col("p_type") === "STANDARD").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_5", col("rev_u"))
+          .otherwise(0L)).as("nation_u"),
+        sum(col("rev_u")).as("total_u"))
+      .select(col("o_year"), col("nation_u"), col("total_u"),
+        expr("nation_u * 1000000 div total_u").as("mkt_share_ppm"))
+      .orderBy(col("o_year"))
+  }
+  val q8MarketShareSql: String =
+    """WITH rev AS (
+      |  SELECT EXTRACT(year FROM o_orderdate) AS o_year, n2.n_name AS supp_nation,
+      |    CAST(FLOOR(l_extendedprice * 1e2) AS BIGINT) *
+      |      (100 - CAST(FLOOR(l_discount * 1e2) AS BIGINT)) AS rev_u
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+      |SELECT o_year,
+      |  CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev_u ELSE 0 END)
+      |    AS BIGINT) AS nation_u,
+      |  CAST(SUM(rev_u) AS BIGINT) AS total_u,
+      |  CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev_u ELSE 0 END)
+      |    * 1000000 // SUM(rev_u) AS BIGINT) AS mkt_share_ppm
+      |FROM rev GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  // ---- Q9: product-class profit — expression profit by nation × year -----
+  /** TPC-H Q9 shape: profit on one product class by supplier nation and
+    * order year. Classic Q9 prices cost from partsupp; the testdata
+    * stand-in is the part's retail price times quantity (stated
+    * identically in the oracle), so profit = revenue − retail·qty, an
+    * all-integer expression in 10⁻⁴-dollar units that can go negative
+    * — the rung where the aggregate is an EXPRESSION over two tables'
+    * columns, not a bare column. The part-name class filter is the
+    * classic LIKE '%green%' form (here '%gear%'). One fact shuffle
+    * (lineitem × orders); part and the supplier→nation arm broadcast. */
+  def q9ProductProfit(s: SparkSession, d: String): DataFrame = {
+    val suppNation = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val profit =
+      (floor(col("l_extendedprice") * lit(100.0)).cast("long") *
+        (lit(100L) - floor(col("l_discount") * lit(100.0)).cast("long"))) -
+      (floor(col("p_retailprice") * lit(100.0)).cast("long") *
+        col("l_quantity").cast("long") * lit(100L))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .filter(col("p_name").like("%gear%"))
+        .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), profit.as("profit_u"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(col("profit_u")).as("profit_u"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+  val q9ProductProfitSql: String =
+    """SELECT n_name, EXTRACT(year FROM o_orderdate) AS o_year,
+      |  CAST(SUM(CAST(FLOOR(l_extendedprice * 1e2) AS BIGINT) *
+      |      (100 - CAST(FLOOR(l_discount * 1e2) AS BIGINT)) -
+      |      CAST(FLOOR(p_retailprice * 1e2) AS BIGINT) *
+      |      CAST(l_quantity AS BIGINT) * 100) AS BIGINT) AS profit_u
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%gear%'
+      |GROUP BY n_name, o_year
+      |ORDER BY n_name, o_year DESC""".stripMargin
+
   // ---- W1: latest row per key (single-shuffle max(struct) agg) -----------
   def w1LatestEventPerUser(s: SparkSession, d: String): DataFrame =
     Relational.latestPerKey(
@@ -1290,6 +1784,17 @@ object CoreQueries {
     "q21_suppliers_waiting" -> (q21SuppliersWaiting _),
     "q14_promo_share" -> (q14PromoShare _),
     "q22_dormant_balance" -> (q22DormantBalance _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q12_priority_classes" -> (q12PriorityClasses _),
+    "q13_custdist" -> (q13CustDist _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q19_discounted_parts" -> (q19DiscountedParts _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q16_supplier_counts" -> (q16SupplierCounts _),
+    "q11_important_parts" -> (q11ImportantParts _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q9_product_profit" -> (q9ProductProfit _),
     "snapshot_diff" -> (snapshotDiff _),
     "snapshot_restore" -> (snapshotRestore _),
     "snapshot_delete_rows" -> (snapshotDeleteRows _),
@@ -1324,6 +1829,17 @@ object CoreQueries {
     "q21_suppliers_waiting" -> q21SuppliersWaitingSql,
     "q14_promo_share" -> q14PromoShareSql,
     "q22_dormant_balance" -> q22DormantBalanceSql,
+    "q6_forecast_revenue" -> q6ForecastRevenueSql,
+    "q12_priority_classes" -> q12PriorityClassesSql,
+    "q13_custdist" -> q13CustDistSql,
+    "q15_top_supplier" -> q15TopSupplierSql,
+    "q19_discounted_parts" -> q19DiscountedPartsSql,
+    "q17_small_qty_revenue" -> q17SmallQtyRevenueSql,
+    "q2_min_cost_supplier" -> q2MinCostSupplierSql,
+    "q16_supplier_counts" -> q16SupplierCountsSql,
+    "q11_important_parts" -> q11ImportantPartsSql,
+    "q8_market_share" -> q8MarketShareSql,
+    "q9_product_profit" -> q9ProductProfitSql,
     "snapshot_diff" -> snapshotDiffSql,
     "snapshot_restore" -> snapshotRestoreSql,
     "snapshot_delete_rows" -> snapshotDeleteRowsSql,

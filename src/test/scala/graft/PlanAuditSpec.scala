@@ -724,6 +724,146 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the dormancy year must reach the orders scan, got: $pushed")
   }
 
+  test("q6_forecast_revenue: the ladder floor — every predicate reaches " +
+    "the scan, zero joins, one scan-aggregate pipeline") {
+    val p = plan("q6_forecast_revenue")
+    assert(!p.contains("Join"), s"Q6 must not join anything:\n$p")
+    assert(countOf(p, "lineitem.parquet") == 1, p)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("LessThan(l_shipdate") &&
+      pushed.contains("GreaterThanOrEqual(l_discount") &&
+      pushed.contains("LessThanOrEqual(l_discount") &&
+      pushed.contains("LessThan(l_quantity"),
+      s"all five predicates must reach the scan, got: $pushed")
+  }
+
+  test("q12_priority_classes: both lineitem predicates push; the " +
+    "fact-fact join never degrades (no nested loop / cartesian)") {
+    val p = plan("q12_priority_classes")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("In(l_returnflag"),
+      s"ship-date range + returnflag set must reach the scan, got: $pushed")
+  }
+
+  test("q13_custdist: the count pushes BELOW the outer join — orders " +
+    "aggregates to per-custkey counts before meeting customer, and the " +
+    "priority exclusion reaches the orders scan") {
+    val p = plan("q13_custdist")
+    assert(countOf(p, "orders.parquet") == 1 &&
+      countOf(p, "customer.parquet") == 1, p)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("Not(EqualTo(o_orderpriority"),
+      s"the priority exclusion must reach the orders scan, got: $pushed")
+    // agg-below-join: the LEFT OUTER join consumes an aggregate, so the
+    // plan carries ≥2 hash aggregates BEFORE any join-side sort/exchange
+    // of raw orders rows — pinned via the exchange count: per-custkey
+    // agg + outer join + per-count agg is ≤3 hash exchanges total
+    assert(countOf(p, "Exchange hashpartitioning") <= 3,
+      s"agg-below-join shape must hold:\n$p")
+  }
+
+  test("q15_top_supplier: the scalar max rides a broadcast 1-row frame " +
+    "(no cartesian), the quarter pushes to the scan, supplier broadcasts") {
+    val p = plan("q15_top_supplier")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(countOf(p, "BroadcastHashJoin") >= 1, p)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("LessThan(l_shipdate"),
+      s"the quarter must reach the lineitem scan, got: $pushed")
+  }
+
+  test("q19_discounted_parts: the disjunctive arms stay a residual over " +
+    "ONE broadcast equi join (no nested loop), and the hand-derived " +
+    "quantity superset bound reaches the lineitem scan") {
+    val p = plan("q19_discounted_parts")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the OR must not degrade the join:\n$p")
+    assert(countOf(p, "BroadcastHashJoin") >= 1, p)
+    assert(countOf(p, "SortMergeJoin") + countOf(p, "ShuffledHashJoin") == 0,
+      s"lineitem x broadcast part needs no shuffle join:\n$p")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(l_quantity") &&
+      pushed.contains("LessThanOrEqual(l_quantity"),
+      s"the quantity superset bound must reach the scan, got: $pushed")
+  }
+
+  test("q17_small_qty_revenue: the collected part keys reach BOTH " +
+    "lineitem passes as pushed In-filters; the per-part stats broadcast") {
+    // sf0.001's part table has NO Brand#23 small-size rows, so the key
+    // list folds to an empty In and the scans prune away entirely —
+    // plan against sf0.01 (10 keys; the planning-time part read is tiny)
+    val p = SparkEntry.queries("q17_small_qty_revenue")(
+      spark, "/root/testdata/sf0.01").queryExecution.executedPlan.toString
+    val pushedIn = p.linesIterator
+      .filter(l => l.contains("PushedFilters") && l.contains("In(l_partkey"))
+      .size
+    assert(pushedIn == 2,
+      s"both lineitem scans must carry the pushed key list:\n$p")
+    assert(countOf(p, "BroadcastHashJoin") >= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q2_min_cost_supplier: ONE aggregation takes the argmin (no " +
+    "rejoin of the aggregate), part + the region arm broadcast, the " +
+    "distinct pair dedup is the only wide exchange before the top-k") {
+    val p = plan("q2_min_cost_supplier")
+    assert(countOf(p, "BroadcastHashJoin") >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(countOf(p, "lineitem.parquet") == 1,
+      s"the derived pair relation must scan lineitem once:\n$p")
+  }
+
+  test("q16_supplier_counts: the exclusion set applies as a broadcast " +
+    "LEFT ANTI (never a nested-loop NOT IN), the size set pushes to the " +
+    "part scan") {
+    val p = plan("q16_supplier_counts")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("In(p_size"),
+      s"the size set must reach the part scan, got: $pushed")
+  }
+
+  test("q11_important_parts: the global (n, total) gate rides a " +
+    "broadcast 1-row frame — no cartesian anywhere") {
+    val p = plan("q11_important_parts")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(countOf(p, "BroadcastNestedLoopJoin") <= 1,
+      s"only the broadcast scalar frame may nested-loop:\n$p")
+  }
+
+  test("q8_market_share: part, the region-filtered customer arm and the " +
+    "supplier arm all broadcast; at most one shuffle join (the fact " +
+    "chain); the date range reaches the orders scan") {
+    val p = plan("q8_market_share")
+    assert(countOf(p, "BroadcastHashJoin") >= 3, p)
+    assert(countOf(p, "SortMergeJoin") + countOf(p, "ShuffledHashJoin") <= 1,
+      s"at most the orders-lineitem join may shuffle:\n$p")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(o_orderdate") &&
+      pushed.contains("LessThan(o_orderdate"),
+      s"the date range must reach the orders scan, got: $pushed")
+  }
+
+  test("q9_product_profit: the name-class LIKE pushes to the part scan " +
+    "as a contains filter; dims broadcast; at most one shuffle join") {
+    val p = plan("q9_product_profit")
+    assert(countOf(p, "BroadcastHashJoin") >= 2, p)
+    assert(countOf(p, "SortMergeJoin") + countOf(p, "ShuffledHashJoin") <= 1,
+      s"at most the orders-lineitem join may shuffle:\n$p")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("StringContains(p_name,gear)"),
+      s"the LIKE class filter must reach the part scan, got: $pushed")
+  }
+
   test("j18_session_overlap: the interval overlap pairs by an EQUI join " +
     "on the hour bucket — no nested-loop θ-join anywhere") {
     val p = plan("j18_session_overlap")
