@@ -723,13 +723,29 @@ object CoreQueries {
     * cross-multiplied integer form: qty·5·n < Σqty per part (exactly
     * "below 0.2 of the mean" on integer quantities — a double avg
     * would flip boundary lines between engines). The per-part stats
-    * frame is tiny and broadcasts back onto the lines. */
+    * frame is tiny and broadcasts back onto the lines.
+    *
+    * Insurance: the pushed-In plan is only sane while the key list is
+    * small (160 keys at sf0.1; a multi-thousand-literal In bloats the
+    * plan and the filter evaluates per row-group with no benefit once
+    * it stops pruning). Past `q17MaxPushdownKeys` (default 1000,
+    * sys-prop overridable for the parity spec) the part filter stays
+    * distributed as a broadcast semi join — identical rows, no driver
+    * round-trip ever exceeding the cap. */
   def q17SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
-    val keys = Tables.part(s, d)
+    val maxKeys =
+      sys.props.getOrElse("graft.q17.maxPushdownKeys", "1000").toInt
+    val partFilter = Tables.part(s, d)
       .filter(col("p_brand") === "Brand#23" && col("p_size") <= 10)
-      .select(col("p_partkey")).collect().map(_.getLong(0)).toSeq.sorted
-    val lines = Tables.lineitem(s, d)
-      .filter(col("l_partkey").isin(keys: _*))
+      .select(col("p_partkey"))
+    val keys = partFilter.limit(maxKeys + 1)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val fact = Tables.lineitem(s, d)
+    val filtered =
+      if (keys.size <= maxKeys) fact.filter(col("l_partkey").isin(keys: _*))
+      else fact.join(broadcast(partFilter),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+    val lines = filtered
       .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
         floor(col("l_extendedprice") * lit(100.0)).cast("long").as("cents"))
     val stats = lines.groupBy(col("l_partkey").as("k"))

@@ -809,6 +809,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q17_small_qty_revenue: past the key cap the part filter falls " +
+    "back to a broadcast semi join — identical answer, no giant In list") {
+    val dir = "/root/testdata/sf0.01"
+    val viaPushdown =
+      SparkEntry.queries("q17_small_qty_revenue")(spark, dir).collect()
+    sys.props("graft.q17.maxPushdownKeys") = "1"
+    try {
+      val q = SparkEntry.queries("q17_small_qty_revenue")(spark, dir)
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("In(l_partkey"),
+        s"over the cap no key list may push:\n$p")
+      assert(p.contains("LeftSemi"),
+        s"over the cap the part filter must be a semi join:\n$p")
+      assert(q.collect().toSeq == viaPushdown.toSeq,
+        "fallback arm must return the identical row")
+    } finally sys.props.remove("graft.q17.maxPushdownKeys")
+  }
+
   test("q2_min_cost_supplier: ONE aggregation takes the argmin (no " +
     "rejoin of the aggregate), part + the region arm broadcast, the " +
     "distinct pair dedup is the only wide exchange before the top-k") {
