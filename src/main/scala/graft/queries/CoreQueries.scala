@@ -1029,6 +1029,67 @@ object CoreQueries {
       |GROUP BY n_name, o_year
       |ORDER BY n_name, o_year DESC""".stripMargin
 
+  // ---- Q20: dominant suppliers — the nested per-pair threshold rung ------
+  /** TPC-H Q20 shape, the last rung of the ladder: suppliers in one
+    * nation who DOMINATE some part of a name class — shipped more than
+    * half that part's total volume in one year (classic Q20 gates
+    * partsupp availability against half the shipped volume; with no
+    * partsupp the same nested-correlated-threshold shape reads
+    * dominance from the derived shipped volumes, stated identically in
+    * the oracle). The two aggregation levels NEST — per-(part, supplier)
+    * then per-part — so the part totals re-aggregate the pair frame
+    * instead of re-scanning lineitem; the gate cross-multiplies
+    * (2·qty96 > tot96, never a double fraction); the name-class filter
+    * applies as a broadcast semi join (3,330 keys at sf0.1 — past the
+    * Q17 pushdown cap by design, exercising the other arm of that
+    * discipline); supplier and nation broadcast at the end. */
+  def q20DominantSuppliers(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1997-01-01 00:00:00").cast("timestamp")
+    val redParts = Tables.part(s, d)
+      .filter(col("p_name").like("red%")).select(col("p_partkey"))
+    val pairs = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty96"))
+    val tot = pairs.groupBy(col("l_partkey").as("k"))
+      .agg(sum(col("qty96")).as("tot96"))
+    val natSupp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .filter(col("n_name") === "NATION_3").select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    pairs.join(tot, col("l_partkey") === col("k"))
+      .filter(col("qty96") * lit(2L) > col("tot96"))
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_dominant_parts"))
+      .orderBy(col("s_suppkey"))
+  }
+  val q20DominantSuppliersSql: String =
+    """WITH l AS (
+      |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_partkey IN (SELECT p_partkey FROM part
+      |      WHERE p_name LIKE 'red%')),
+      |pairs AS (
+      |  SELECT l_partkey, l_suppkey, CAST(SUM(qty) AS BIGINT) AS qty96
+      |  FROM l GROUP BY 1, 2),
+      |tot AS (SELECT l_partkey AS k, CAST(SUM(qty96) AS BIGINT) AS tot96
+      |        FROM pairs GROUP BY 1)
+      |SELECT s_suppkey, s_name, COUNT(*) AS n_dominant_parts
+      |FROM pairs
+      |JOIN tot ON l_partkey = k
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE 2 * qty96 > tot96 AND n_name = 'NATION_3'
+      |GROUP BY s_suppkey, s_name
+      |ORDER BY s_suppkey""".stripMargin
+
   // ---- W1: latest row per key (single-shuffle max(struct) agg) -----------
   def w1LatestEventPerUser(s: SparkSession, d: String): DataFrame =
     Relational.latestPerKey(
@@ -1811,6 +1872,7 @@ object CoreQueries {
     "q11_important_parts" -> (q11ImportantParts _),
     "q8_market_share" -> (q8MarketShare _),
     "q9_product_profit" -> (q9ProductProfit _),
+    "q20_dominant_suppliers" -> (q20DominantSuppliers _),
     "snapshot_diff" -> (snapshotDiff _),
     "snapshot_restore" -> (snapshotRestore _),
     "snapshot_delete_rows" -> (snapshotDeleteRows _),
@@ -1856,6 +1918,7 @@ object CoreQueries {
     "q11_important_parts" -> q11ImportantPartsSql,
     "q8_market_share" -> q8MarketShareSql,
     "q9_product_profit" -> q9ProductProfitSql,
+    "q20_dominant_suppliers" -> q20DominantSuppliersSql,
     "snapshot_diff" -> snapshotDiffSql,
     "snapshot_restore" -> snapshotRestoreSql,
     "snapshot_delete_rows" -> snapshotDeleteRowsSql,

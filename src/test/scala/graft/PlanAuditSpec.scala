@@ -882,6 +882,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the LIKE class filter must reach the part scan, got: $pushed")
   }
 
+  test("q20_dominant_suppliers: the part totals re-aggregate the pair " +
+    "frame (lineitem scanned once per pass, never three times as in the " +
+    "classic nested-IN form); the name-class filter is a broadcast semi " +
+    "join; the ship year pushes to the scan") {
+    val p = plan("q20_dominant_suppliers")
+    assert(p.contains("LeftSemi"),
+      s"the name-class filter must be a semi join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // pairs feeds both the gate side and the per-part totals: two scans
+    // of lineitem (the classic HAVING-subquery double pass), never three
+    assert(countOf(p, "lineitem.parquet") <= 2,
+      s"the nested aggregation must not triple-scan lineitem:\n$p")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("LessThan(l_shipdate"),
+      s"the ship year must reach the lineitem scan, got: $pushed")
+  }
+
   test("j18_session_overlap: the interval overlap pairs by an EQUI join " +
     "on the hour bucket — no nested-loop θ-join anywhere") {
     val p = plan("j18_session_overlap")
