@@ -21,18 +21,21 @@ import graft.operators.Dedup
   * memo key is the session INSTANCE, so a restarted session can never
   * serve another session's dropped checkpoint blocks.
   *
-  * Lifecycle: entries live for the session — deliberate. The edge list
-  * is narrow rows of id pairs (O(dup pairs), a vanishing fraction of
-  * corpus bytes), and pinning it is exactly what lets the five later
-  * consumers skip the corpus-sized mining pass. This is the in-process
-  * twin of serving candidates from the materialized LSH index
-  * ([[graft.operators.Dedup.writeLshIndex]]): derive once, serve many. */
+  * Lifecycle: a BOUNDED [[graft.operators.CheckpointMemo]] (the r12
+  * `overlapCache` lesson applied to its own elder: LRU by access,
+  * eviction releases the evicted frame's checkpoint blocks). The edge
+  * list is narrow rows of id pairs (O(dup pairs), a vanishing fraction
+  * of corpus bytes) and the suite's working set is a handful of dirs,
+  * so the bound never fires in practice — but a long-lived multi-dir
+  * service no longer accumulates pinned blocks without limit. This is
+  * the in-process twin of serving candidates from the materialized LSH
+  * index ([[graft.operators.Dedup.writeLshIndex]]): derive once,
+  * serve many. */
 object DupEdges {
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val cache = new graft.operators.CheckpointMemo()
 
   def of(s: SparkSession, d: String): DataFrame =
-    cache.getOrElseUpdate((s, d), {
+    cache.getOrElseUpdate(s, d, {
       val docs = Tables.documents(s, d)
       val exactEdges = Dedup.exactDedup(docs, "doc_id", "text")
         .filter(col("is_dup"))
