@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Relational
@@ -367,6 +367,90 @@ object InventoryQueries2 {
        |  CASE WHEN vb AND vf THEN CASE WHEN fwd_nearer THEN f_tsn ELSE b_tsn END
        |       WHEN vb THEN b_tsn WHEN vf THEN f_tsn END AS view_ts_u
        |FROM pick ORDER BY event_id""".stripMargin
+
+  // ---- J19: point-in-time feature assembly (the feature-store read) -------
+  /** The leakage-safe training-set assembly every tabular-ML pipeline
+    * runs: label events (purchases) joined to TWO feature sources, each
+    * under its own availability rule —
+    *  (1) a STREAMING feature: the latest view at-or-before the label
+    *      instant, with its staleness age in exact µs;
+    *  (2) a BATCH feature: per-(user, day) click aggregates that only
+    *      become servable at the NEXT UTC midnight (avail_us = day end)
+    *      — the "nightly job" contract, so a label never reads a
+    *      same-day partial aggregate (the classic leakage bug where
+    *      train-time joins see a full day the serving path hasn't
+    *      finished computing).
+    * Both matches are [[graft.operators.Relational.asofJoin]]s (one
+    * shuffle + bounded per-key sort each, no range explosion); the
+    * leakage invariant is ENFORCED IN-PLAN, not assumed: a matched
+    * feature timestamp after its label raises before any row ships
+    * (the failOnCap discipline applied to time-travel). Missing history
+    * stays NULL — no silent zero-fill that a model would read as
+    * signal. Age math in integer µs; click values quantize to cents. */
+  def j19PitFeatures(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+    val labels = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("ts"), col("event_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"),
+        col("ts_us").as("view_us"), col("event_id").as("view_id"),
+        col("value").as("view_value"))
+    val daily = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), to_date(col("ts")).as("feature_day"))
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(floor(col("value") * lit(100.0)).cast("long")).as("click_cents"))
+      .withColumn("ts_us",
+        unix_micros(col("feature_day").cast("timestamp")) + lit(86400000000L))
+      .withColumn("avail_us", col("ts_us"))
+    val withView = graft.operators.Relational
+      .asofJoin(labels, views, Seq("user_id"), "ts_us",
+        rightPayload = Seq("view_value", "view_us"), rightOrd = "view_id")
+      .select(col("user_id"), col("ts_us"), col("ts"), col("event_id"),
+        col("_match.view_value").as("view_value"),
+        (col("ts_us") - col("_match.view_us")).as("view_age_us"))
+    val gate = (c: Column, what: String) => when(c,
+      raise_error(concat(lit(s"[j19] leakage: $what after its label for event "),
+        col("event_id")))).otherwise(lit(null))
+    graft.operators.Relational
+      .asofJoin(withView, daily, Seq("user_id"), "ts_us",
+        rightPayload = Seq("n_clicks", "click_cents", "avail_us"),
+        rightOrd = "feature_day")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("view_value"),
+        coalesce(gate(col("view_age_us") < 0L, "view"),
+          col("view_age_us")).as("view_age_us"),
+        col("_match.feature_day").as("feature_day"),
+        col("_match.n_clicks").as("n_clicks"),
+        coalesce(gate(col("_match.avail_us") > col("ts_us"), "daily feature"),
+          col("_match.click_cents")).as("click_cents"))
+      .orderBy(col("event_id"))
+  }
+  val j19Sql: String =
+    s"""WITH p AS (SELECT user_id, ts, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       |                  event_id
+       |           FROM $EventsSql WHERE event_type = 'purchase'),
+       |v AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS v_us,
+       |             event_id AS view_id, value AS view_value
+       |      FROM $EventsSql WHERE event_type = 'view'),
+       |cf AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS feature_day,
+       |         COUNT(*) AS n_clicks,
+       |         CAST(SUM(CAST(FLOOR(value * 1e2) AS BIGINT)) AS BIGINT) AS click_cents,
+       |         CAST(epoch_us(CAST(date_trunc('day', ts) AS DATE)
+       |           + INTERVAL 1 DAY) AS BIGINT) AS avail_us
+       |       FROM $EventsSql WHERE event_type = 'click' GROUP BY 1, 2)
+       |SELECT p.event_id, p.user_id, p.ts,
+       |  m1.view_value, p.ts_us - m1.v_us AS view_age_us,
+       |  m2.feature_day, m2.n_clicks, m2.click_cents
+       |FROM p
+       |LEFT JOIN LATERAL (
+       |  SELECT view_value, v_us FROM v
+       |  WHERE v.user_id = p.user_id AND v.v_us <= p.ts_us
+       |  ORDER BY v.v_us DESC, view_id DESC LIMIT 1) m1 ON true
+       |LEFT JOIN LATERAL (
+       |  SELECT feature_day, n_clicks, click_cents FROM cf
+       |  WHERE cf.user_id = p.user_id AND cf.avail_us <= p.ts_us
+       |  ORDER BY cf.feature_day DESC LIMIT 1) m2 ON true
+       |ORDER BY p.event_id""".stripMargin
 
   // ---- W8: gap-based sessionization (30-min inactivity closes a session) ---
   def w8Sessionize(s: SparkSession, d: String): DataFrame = {
@@ -1109,6 +1193,7 @@ object InventoryQueries2 {
     "text_vocab_topk" -> (textVocabTopk _),
     "w7_asof_join" -> (w7AsofJoin _),
     "w9_asof_nearest" -> (w9AsofNearest _),
+    "j19_pit_features" -> (j19PitFeatures _),
     "a2_max_watermark" -> (a2MaxWatermark _),
     "a13_invariants" -> (a13Invariants _),
     "f10_currency_map" -> (f10CurrencyMap _),
@@ -1147,6 +1232,7 @@ object InventoryQueries2 {
     "text_vocab_topk" -> textVocabTopkSql,
     "w7_asof_join" -> w7Sql,
     "w9_asof_nearest" -> w9Sql,
+    "j19_pit_features" -> j19Sql,
     "a2_max_watermark" -> a2Sql,
     "a13_invariants" -> a13Sql,
     "f10_currency_map" -> f10Sql,

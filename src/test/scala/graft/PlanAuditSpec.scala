@@ -910,6 +910,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("j19_pit_features: both point-in-time matches are asof windows " +
+    "(one key shuffle + bounded per-key sort each), never a range join " +
+    "that explodes, and the label/view/click filters push to the scans") {
+    val p = plan("j19_pit_features")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"PIT matching must not degrade to a range nested loop:\n$p")
+    assert(countOf(p, "Window") >= 2,
+      s"both asof matches ride per-key running windows:\n$p")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("EqualTo(event_type,purchase)") &&
+      pushed.contains("EqualTo(event_type,view)") &&
+      pushed.contains("EqualTo(event_type,click)"),
+      s"all three type filters must reach the scans, got: $pushed")
+  }
+
   test("global sweep: no query plans an unbroadcast cartesian product") {
     // crossJoin against a broadcast side plans as BroadcastNestedLoopJoin
     // (fine — one side is tiny by construction); a CartesianProduct node

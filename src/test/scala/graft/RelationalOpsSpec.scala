@@ -38,6 +38,54 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(out == Set(5L, 9L, 10L, 19L, 24L)) // 4 before, 25=hi out, 30 out
   }
 
+  /** j19_pit_features leakage semantics on a constructed events fixture:
+    * same-day batch features are INVISIBLE (the nightly-job contract),
+    * prior-day features visible, the midnight boundary inclusive (a day
+    * that ended exactly AT the label instant is fully computed), and
+    * missing history stays NULL — never zero-filled. */
+  test("j19_pit_features: same-day clicks invisible, prior-day visible, " +
+    "midnight boundary inclusive, missing history null") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("j19fix").toString
+    def ts(str: String) = java.sql.Timestamp.valueOf(str)
+    // (event_id, user_id, event_type, value, ts)
+    Seq(
+      // u1: label day2 noon; views 11:00 (before) and 13:00 (after);
+      // clicks day1 (3 of them) + day2 10:00 (same day — must not count)
+      (1L, 1L, "purchase", 1.0, ts("2024-01-02 12:00:00")),
+      (2L, 1L, "view", 5.0, ts("2024-01-02 11:00:00")),
+      (3L, 1L, "view", 8.0, ts("2024-01-02 13:00:00")),
+      (4L, 1L, "click", 1.1, ts("2024-01-01 01:00:00")),
+      (5L, 1L, "click", 2.2, ts("2024-01-01 02:00:00")),
+      (6L, 1L, "click", 3.3, ts("2024-01-01 03:00:00")),
+      (7L, 1L, "click", 9.9, ts("2024-01-02 10:00:00")),
+      // u2: label with NO prior views or clicks anywhere
+      (8L, 2L, "purchase", 1.0, ts("2024-01-01 08:00:00")),
+      (9L, 2L, "view", 7.0, ts("2024-01-01 09:00:00")),
+      // u3: label exactly AT midnight; clicks the previous day — the
+      // day ends exactly at the label instant and must be visible
+      (10L, 3L, "purchase", 1.0, ts("2024-01-03 00:00:00")),
+      (11L, 3L, "click", 4.0, ts("2024-01-02 23:59:59")))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = queries.InventoryQueries2.j19PitFeatures(s, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val u1 = out(1L)
+    assert(u1.getDouble(3) == 5.0, "latest at-or-before view wins")
+    assert(u1.getLong(4) == 3600L * 1000000L, "staleness in exact us")
+    assert(u1.getDate(5).toString == "2024-01-01" &&
+      u1.getLong(6) == 3L && u1.getLong(7) == 110L + 220L + 330L,
+      s"day-1 clicks only (same-day day-2 click must be invisible): $u1")
+    val u2 = out(8L)
+    assert(u2.isNullAt(3) && u2.isNullAt(4) && u2.isNullAt(5) &&
+      u2.isNullAt(6) && u2.isNullAt(7),
+      s"missing history must stay NULL, never zero-filled: $u2")
+    val u3 = out(10L)
+    assert(u3.getDate(5).toString == "2024-01-02" && u3.getLong(6) == 1L,
+      s"a day ending exactly at the label instant is visible: $u3")
+  }
+
   test("each matching (point, interval) pair appears exactly once") {
     val out = Relational.intervalJoin(
       pts(0L, 7L, 13L), "t",
