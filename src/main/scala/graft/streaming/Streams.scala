@@ -1481,4 +1481,154 @@ object Streams {
           PollerStatus(item, st.failures, st.cooldownMultiplier)
       }
   }
+
+  // ---- point-in-time feature serving (the online feature store) ----------
+
+  case class PitEvent(user_id: Long, ts_us: Long, event_id: Long,
+                      etype: String, value: Double)
+  case class PitViewRec(ts_us: Long, view_id: Long, value: Double)
+  case class PitClickAcc(n: Long, cents: Long)
+  case class PitPend(ts_us: Long, event_id: Long)
+  case class PitRow(event_id: Long, user_id: Long,
+                    view_value: Option[Double], view_age_us: Option[Long],
+                    feature_day_us: Option[Long], n_clicks: Option[Long],
+                    click_cents: Option[Long])
+
+  /** Per-user feature state for [[pitFeaturesStream]] — the ONLINE side
+    * of the `j19_pit_features` offline assembly, holding exactly what a
+    * feature store's serving tier holds:
+    *  - the recent VIEW tail (the streaming feature; pruned after each
+    *    emission to the latest view at-or-before the oldest pending
+    *    label plus everything newer — the candidate set any remaining
+    *    or future label can still match);
+    *  - per-day CLICK accumulators (the batch feature; once a label
+    *    fires at time T, every day ending ≤ T is complete, and all but
+    *    the latest such day can never be the as-of match for any
+    *    remaining label — they fold away);
+    *  - PENDING labels, each with an event-time timer one ms past its
+    *    instant: a label only assembles once the watermark passes it,
+    *    so every feature row at-or-before the label has arrived
+    *    (rows later than the watermark are dropped — the WauKeeper
+    *    rule; the batch read is the complete-history arm).
+    * Emission replays the batch rule exactly: latest (ts, view_id)
+    * view at-or-before the label; latest click day whose END ≤ the
+    * label instant (same-day partials stay invisible — the nightly-job
+    * contract); missing history emits NULL, never a zero-fill. */
+  class PitKeeper(dayUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, PitEvent, PitRow] {
+    @transient private var views: org.apache.spark.sql.streaming.ListState[PitViewRec] = _
+    @transient private var days: org.apache.spark.sql.streaming.MapState[Long, PitClickAcc] = _
+    @transient private var pending: org.apache.spark.sql.streaming.ListState[PitPend] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      views = getHandle.getListState[PitViewRec]("views",
+        org.apache.spark.sql.Encoders.product[PitViewRec],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      days = getHandle.getMapState[Long, PitClickAcc]("day_clicks",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.product[PitClickAcc],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      pending = getHandle.getListState[PitPend]("pending_labels",
+        org.apache.spark.sql.Encoders.product[PitPend],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[PitEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[PitRow] = {
+      rows.foreach { e =>
+        e.etype match {
+          case "view" =>
+            views.appendValue(PitViewRec(e.ts_us, e.event_id, e.value))
+          case "click" =>
+            val day = e.ts_us - java.lang.Math.floorMod(e.ts_us, dayUs)
+            val prev = if (days.containsKey(day)) days.getValue(day)
+                       else PitClickAcc(0L, 0L)
+            days.updateValue(day, PitClickAcc(prev.n + 1L,
+              prev.cents + math.floor(e.value * 100.0).toLong))
+          case "purchase" =>
+            pending.appendValue(PitPend(e.ts_us, e.event_id))
+            // +1 ms: the watermark must pass the label INSTANT, not its
+            // truncated millisecond, before assembly
+            getHandle.registerTimer(e.ts_us / 1000L + 1L)
+          case _ => () // signup/error carry no feature or label role
+        }
+      }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[PitRow] = {
+      val t = expiredTimerInfo.getExpiryTimeInMs()
+      val pend = pending.get().toArray
+      val (fire, keep) = pend.partition(p => p.ts_us / 1000L + 1L <= t)
+      if (fire.isEmpty) return Iterator.empty
+      val vs = views.get().toArray
+      val ds = days.iterator().map(p => (p._1, p._2)).toArray
+      val out = fire.sortBy(_.event_id).map { p =>
+        val v = vs.filter(_.ts_us <= p.ts_us) match {
+          case e if e.isEmpty => None
+          case e => Some(e.maxBy(r => (r.ts_us, r.view_id)))
+        }
+        val d = ds.filter(_._1 + dayUs <= p.ts_us) match {
+          case e if e.isEmpty => None
+          case e => Some(e.maxBy(_._1))
+        }
+        PitRow(p.event_id, key,
+          v.map(_.value), v.map(r => p.ts_us - r.ts_us),
+          d.map(_._1), d.map(_._2.n), d.map(_._2.cents))
+      }
+      pending.clear(); keep.foreach(pending.appendValue)
+      // prune at min(watermark, oldest remaining label), never further:
+      // at-or-before that horizon only the single latest feature row can
+      // still be an as-of match for any remaining or future label — but
+      // an OPEN day (past the watermark) must stay accumulating even
+      // when nothing is pending, or a partial current day would
+      // supersede the complete prior day the next label needs; and a
+      // still-pending label (a same-trigger watermark jump can finalize
+      // days PAST a label whose timer hasn't run yet) pins everything
+      // at-or-before its own instant
+      val horizon = math.min(timerValues.getCurrentWatermarkInMs() * 1000L,
+        if (keep.nonEmpty) keep.map(_.ts_us).min else Long.MaxValue)
+      val (vPast, vLive) = vs.partition(_.ts_us <= horizon)
+      views.clear()
+      (vPast.sortBy(r => (r.ts_us, r.view_id)).lastOption.toSeq ++ vLive)
+        .foreach(views.appendValue)
+      val (dPast, dLive) = ds.partition(_._1 + dayUs <= horizon)
+      days.clear()
+      (dPast.sortBy(_._1).lastOption.toSeq ++ dLive)
+        .foreach { case (k2, v2) => days.updateValue(k2, v2) }
+      out.iterator
+    }
+  }
+
+  /** The streaming twin of the batch point-in-time feature assembly
+    * (`j19_pit_features`): labels assembled against the SAME two
+    * availability rules — latest view at-or-before the label instant,
+    * latest FULLY-ENDED click day (avail = next UTC midnight) — from
+    * per-user state instead of asof joins, emitted exactly once when
+    * the watermark passes the label. This is the online/offline parity
+    * a feature store exists to guarantee: the row this stream serves
+    * for a label is byte-identical to the row the batch assembly
+    * computes for the training set (parity-pinned in StreamingSpec).
+    * Input: the raw event stream (all types interleaved); watermark on
+    * the event ts is the query's event-time root. */
+  def pitFeaturesStream(events: DataFrame, tsCol: String,
+                        lateness: String): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.withWatermark(tsCol, lateness)
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type").as("etype"), col("value").cast("double").as("value"))
+      .as[PitEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new PitKeeper(86400L * 1000000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+      .toDF()
+      .select(col("event_id"), col("user_id"), col("view_value"),
+        col("view_age_us"),
+        to_date(timestamp_micros(col("feature_day_us"))).as("feature_day"),
+        col("n_clicks"), col("click_cents"))
+  }
 }

@@ -1154,6 +1154,56 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("pitFeaturesStream ≡ batch j19_pit_features on real fixture events " +
+    "(online/offline feature parity: every label emitted exactly once " +
+    "with the identical assembled row)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val evRows = graft.Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .orderBy(col("ts"), col("event_id")).collect().toSeq
+      .map(r => RawEv(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val prevProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val streamed = try {
+      val in = MemoryStream[RawEv]
+      val q = Streams.pitFeaturesStream(in.toDF(), "ts", "0 seconds")
+        .writeStream.format("memory").queryName("pit_par")
+        .outputMode("append").start()
+      val third = evRows.size / 3
+      val (b1, rest) = evRows.splitAt(third)
+      val (b2, b3) = rest.splitAt(third)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      in.addData(b3: _*); q.processAllAvailable()
+      // watermark flush: a far-future non-label event fires every timer
+      in.addData(RawEv(999L, ts("2030-01-01 00:00:00"), 999999L, "signup", 0.0))
+      q.processAllAvailable()
+      val out = s.table("pit_par").filter(col("user_id") < 999L)
+        .collect().map(_.toSeq).toSet
+      q.stop()
+      out
+    } finally {
+      if (prevProvider.nonEmpty)
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+      else s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val batch = graft.queries.InventoryQueries2.j19PitFeatures(s, dir)
+      .drop("ts") // the stream emits the label id, not its display ts
+      .collect().map(_.toSeq).toSet
+    assert(streamed.size == batch.size,
+      s"every label exactly once: stream=${streamed.size} batch=${batch.size}")
+    assert(streamed == batch,
+      s"online must equal offline: only-stream=${(streamed -- batch).take(3)} " +
+        s"only-batch=${(batch -- streamed).take(3)}")
+    assert(batch.size >= 50, "real label volume exercised")
+  }
+
   test("sessionOverlapStream ≡ batch sessionOverlapPairs on real fixture " +
     "sessions (exactly-once per pair via the overlap-start-bin rule, " +
     "no dedup exchange)") {
@@ -1628,3 +1678,5 @@ case class SampleDoc(doc_id: Long, source: String, text: String)
 case class LshDoc(doc_id: Long, text: String)
 case class IvfVec(vec_id: Long, embedding: Array[Float])
 case class KmvEvt(ts: Timestamp, uk: String)
+case class RawEv(user_id: Long, ts: Timestamp, event_id: Long,
+                 event_type: String, value: Double)
