@@ -131,9 +131,9 @@ class BenchSpec extends AnyFunSuite {
       sc("j17_entity_symdel").contains("x10"))
   }
 
-  test("BenchPrior resource is the committed r13-close steady map: 291 " +
+  test("BenchPrior resource is the committed r13-close steady map: 293 " +
     "entries, median in the committed envelope, j12 prior present") {
-    assert(BenchPrior.steady.size == 291, BenchPrior.steady.size.toString)
+    assert(BenchPrior.steady.size == 293, BenchPrior.steady.size.toString)
     assert(BenchPrior.median > 0.1 && BenchPrior.median < 2.0,
       BenchPrior.median.toString)
     assert(BenchPrior.steady.contains("j12_entity_resolve"))
