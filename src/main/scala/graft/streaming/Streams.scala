@@ -1514,15 +1514,19 @@ object Streams {
     * view at-or-before the label; latest click day whose END ≤ the
     * label instant (same-day partials stay invisible — the nightly-job
     * contract); missing history emits NULL, never a zero-fill. */
-  class PitKeeper(dayUs: Long)
+  class PitKeeper(dayUs: Long, maxViewTail: Long = 65536L)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, PitEvent, PitRow] {
     @transient private var views: org.apache.spark.sql.streaming.ListState[PitViewRec] = _
+    @transient private var nViews: org.apache.spark.sql.streaming.ValueState[Long] = _
     @transient private var days: org.apache.spark.sql.streaming.MapState[Long, PitClickAcc] = _
     @transient private var pending: org.apache.spark.sql.streaming.ListState[PitPend] = _
     override def init(outputMode: OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
       views = getHandle.getListState[PitViewRec]("views",
         org.apache.spark.sql.Encoders.product[PitViewRec],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      nViews = getHandle.getValueState[Long]("n_views",
+        org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.streaming.TTLConfig.NONE)
       days = getHandle.getMapState[Long, PitClickAcc]("day_clicks",
         org.apache.spark.sql.Encoders.scalaLong,
@@ -1534,9 +1538,20 @@ object Streams {
     }
     override def handleInputRows(key: Long, rows: Iterator[PitEvent],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[PitRow] = {
+      var n = if (nViews.exists()) nViews.get() else 0L
       rows.foreach { e =>
         e.etype match {
           case "view" =>
+            // the view-tail budget (the failOnCap discipline): the tail
+            // is bounded by a user's view volume inside the watermark
+            // lag, which one bot user can blow up silently — fail loudly
+            // instead of growing per-key state without limit
+            n += 1L
+            if (n > maxViewTail)
+              throw new IllegalStateException(
+                s"pitFeaturesStream: view tail exceeded maxViewTail=" +
+                  s"$maxViewTail for user=$key — shorten the lateness " +
+                  "window or pre-aggregate bot-grade view volume")
             views.appendValue(PitViewRec(e.ts_us, e.event_id, e.value))
           case "click" =>
             val day = e.ts_us - java.lang.Math.floorMod(e.ts_us, dayUs)
@@ -1552,6 +1567,7 @@ object Streams {
           case _ => () // signup/error carry no feature or label role
         }
       }
+      nViews.update(n)
       Iterator.empty
     }
     override def handleExpiredTimer(key: Long,
@@ -1590,8 +1606,10 @@ object Streams {
         if (keep.nonEmpty) keep.map(_.ts_us).min else Long.MaxValue)
       val (vPast, vLive) = vs.partition(_.ts_us <= horizon)
       views.clear()
-      (vPast.sortBy(r => (r.ts_us, r.view_id)).lastOption.toSeq ++ vLive)
-        .foreach(views.appendValue)
+      val keptViews =
+        vPast.sortBy(r => (r.ts_us, r.view_id)).lastOption.toSeq ++ vLive
+      keptViews.foreach(views.appendValue)
+      nViews.update(keptViews.size.toLong)
       val (dPast, dLive) = ds.partition(_._1 + dayUs <= horizon)
       days.clear()
       (dPast.sortBy(_._1).lastOption.toSeq ++ dLive)
@@ -1612,7 +1630,8 @@ object Streams {
     * Input: the raw event stream (all types interleaved); watermark on
     * the event ts is the query's event-time root. */
   def pitFeaturesStream(events: DataFrame, tsCol: String,
-                        lateness: String): DataFrame = {
+                        lateness: String,
+                        maxViewTail: Long = 65536L): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
     events.withWatermark(tsCol, lateness)
@@ -1622,7 +1641,7 @@ object Streams {
         col("event_type").as("etype"), col("value").cast("double").as("value"))
       .as[PitEvent]
       .groupByKey(_.user_id)
-      .transformWithState(new PitKeeper(86400L * 1000000L),
+      .transformWithState(new PitKeeper(86400L * 1000000L, maxViewTail),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Append())
       .toDF()

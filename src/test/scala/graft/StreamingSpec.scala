@@ -1204,6 +1204,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.size >= 50, "real label volume exercised")
   }
 
+  test("pitFeaturesStream view-tail budget: a bot-grade view burst past " +
+    "maxViewTail fails the query loudly, never silent state growth") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val prevProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[RawEv]
+      val q = Streams.pitFeaturesStream(in.toDF(), "ts", "0 seconds",
+          maxViewTail = 8L)
+        .writeStream.format("memory").queryName("pit_hot")
+        .outputMode("append").start()
+      in.addData((1L to 9L).map(i =>
+        RawEv(1L, ts("2024-01-01 10:00:00"), i, "view", 1.0)): _*)
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(err.getMessage.contains("view tail exceeded") ||
+        Option(err.getCause).exists(_.getMessage.contains("view tail exceeded")),
+        err.getMessage.take(300))
+      q.stop()
+    } finally {
+      if (prevProvider.nonEmpty)
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+      else s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("sessionOverlapStream ≡ batch sessionOverlapPairs on real fixture " +
     "sessions (exactly-once per pair via the overlap-start-bin rule, " +
     "no dedup exchange)") {
