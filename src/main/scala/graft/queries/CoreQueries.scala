@@ -874,40 +874,48 @@ object CoreQueries {
     * per part (the derived-fact analogue), and the gate is "above 1.2×
     * the mean part value", stated scale-free so it binds at every SF
     * (a fixed fraction of the global total selects nothing once the
-    * part universe grows 10×). Determinism: the gate cross-multiplies
-    * integers — value·n·5 > total·6 — never dividing; the global
-    * (n, total) pair rides a broadcast 1-row frame. The per-part
-    * aggregate feeds both sides, at the price of one repeated scan —
-    * the same two-pass shape as the classic HAVING subquery. */
+    * part universe grows 10×). Determinism AND 100 TB overflow safety:
+    * the naive cross-multiplied gate (value·n·5 > total·6) silently
+    * WRAPS a non-ANSI long once per-part value (~10⁹) meets warehouse
+    * part counts (~10¹⁰) — wrong rows with no error — so the gate is
+    * the exactly-equivalent floor-division form value·5 >
+    * (total·6) div n (for positive integers, value·5·n > total·6 ⟺
+    * value·5 > ⌊total·6/n⌋: if value·5 ≥ q+1 then LHS ≥ (q+1)·n >
+    * q·n + r; if value·5 ≤ q it is ≤ q·n ≤ total·6), in whole-DOLLAR
+    * units (floor(ep·(1−disc))) so every intermediate keeps ~100×
+    * headroom at 100 TB (total ~10¹⁶·6, value·5 ~10¹⁰). Floor
+    * division on positive longs is identical in both engines. The
+    * global (n, total) pair rides a broadcast 1-row frame; the
+    * per-part aggregate feeds both sides, at the price of one
+    * repeated scan — the same two-pass shape as the classic HAVING
+    * subquery. */
   def q11ImportantParts(s: SparkSession, d: String): DataFrame = {
     val v = Tables.lineitem(s, d)
       .select(col("l_partkey"),
-        (floor(col("l_extendedprice") * lit(100.0)).cast("long") *
-          (lit(100L) - floor(col("l_discount") * lit(100.0)).cast("long")))
-          .as("rev_u"))
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("long").as("rev_d"))
       .groupBy(col("l_partkey"))
-      .agg(sum(col("rev_u")).as("value_u"))
+      .agg(sum(col("rev_d")).as("value_d"))
     val tot = v.agg(count(lit(1)).as("n_parts"),
-      sum(col("value_u")).as("total_u"))
+      sum(col("value_d")).as("total_d"))
     v.crossJoin(broadcast(tot))
-      .filter(col("value_u") * col("n_parts") * lit(5L) >
-        col("total_u") * lit(6L))
-      .select(col("l_partkey").as("p_partkey"), col("value_u"))
-      .orderBy(col("value_u").desc, col("p_partkey"))
+      .filter(col("value_d") * lit(5L) >
+        expr("(total_d * 6) div n_parts"))
+      .select(col("l_partkey").as("p_partkey"), col("value_d"))
+      .orderBy(col("value_d").desc, col("p_partkey"))
   }
   val q11ImportantPartsSql: String =
     """WITH v AS (
       |  SELECT l_partkey AS p_partkey,
-      |    CAST(SUM(CAST(FLOOR(l_extendedprice * 1e2) AS BIGINT) *
-      |      (100 - CAST(FLOOR(l_discount * 1e2) AS BIGINT))) AS BIGINT)
-      |      AS value_u
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice * (1e0 - l_discount))
+      |      AS BIGINT)) AS BIGINT) AS value_d
       |  FROM lineitem GROUP BY 1),
-      |t AS (SELECT COUNT(*) AS n_parts, CAST(SUM(value_u) AS BIGINT)
-      |        AS total_u FROM v)
-      |SELECT p_partkey, value_u
+      |t AS (SELECT COUNT(*) AS n_parts, CAST(SUM(value_d) AS BIGINT)
+      |        AS total_d FROM v)
+      |SELECT p_partkey, value_d
       |FROM v, t
-      |WHERE value_u * n_parts * 5 > total_u * 6
-      |ORDER BY value_u DESC, p_partkey""".stripMargin
+      |WHERE value_d * 5 > (total_d * 6) // n_parts
+      |ORDER BY value_d DESC, p_partkey""".stripMargin
 
   // ---- Q8: market share — the nested two-arm ratio by year ---------------
   /** TPC-H Q8 shape: one supplier nation's share of a region's market
