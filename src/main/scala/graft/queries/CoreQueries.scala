@@ -525,11 +525,14 @@ object CoreQueries {
     * quantity cap, NO join at all. The rung exists to pin the floor of
     * the ladder: every predicate reaches the parquet scan as a pushed
     * filter and the whole query is one WholeStageCodegen scan-agg with a
-    * single-row exchange. Revenue quantizes per term to exact integers —
-    * cents × discount-hundredths (units of 10⁻⁴ dollars) — so the sum is
-    * addition-order independent; the discount-band comparison is on the
-    * RAW double (both engines compare the identical parquet double to
-    * the identical IEEE literal, stated in e-notation for DuckDB). */
+    * single-row exchange. Revenue quantizes per term to exact integer
+    * CENTS — floor(ep·disc·100), the q14 discipline — so the sum is
+    * addition-order independent AND overflow-proof at 100 TB (a
+    * cents×disc-hundredths product form carries only ~9× headroom on
+    * this global sum at warehouse row counts; cents keep ~2000×); the
+    * discount-band comparison is on the RAW double (both engines
+    * compare the identical parquet double to the identical IEEE
+    * literal, stated in e-notation for DuckDB). */
   def q6ForecastRevenue(s: SparkSession, d: String): DataFrame = {
     val lo = lit("1996-01-01 00:00:00").cast("timestamp")
     val hi = lit("1997-01-01 00:00:00").cast("timestamp")
@@ -537,14 +540,14 @@ object CoreQueries {
       .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
-      .select((floor(col("l_extendedprice") * lit(100.0)).cast("long") *
-        floor(col("l_discount") * lit(100.0)).cast("long")).as("rev_u"))
-      .agg(sum(col("rev_u")).as("revenue_u"), count(lit(1)).as("n_lines"))
+      .select(floor(col("l_extendedprice") * col("l_discount") * lit(100.0))
+        .cast("long").as("rev_c"))
+      .agg(sum(col("rev_c")).as("revenue_c"), count(lit(1)).as("n_lines"))
   }
   val q6ForecastRevenueSql: String =
     """SELECT
-      |  CAST(SUM(CAST(FLOOR(l_extendedprice * 1e2) AS BIGINT) *
-      |           CAST(FLOOR(l_discount * 1e2) AS BIGINT)) AS BIGINT) AS revenue_u,
+      |  CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 1e2) AS BIGINT))
+      |    AS BIGINT) AS revenue_c,
       |  COUNT(*) AS n_lines
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -675,15 +678,16 @@ object CoreQueries {
     * broadcasts); the three-arm disjunction is a post-join residual
     * filter, and the hand-derived single-table consequence of the arms
     * (quantity ≤ the widest arm's cap — Catalyst cannot infer it from
-    * an OR across tables) pushes to the lineitem scan. Revenue in the
-    * exact integer 10⁻⁴-dollar form. */
+    * an OR across tables) pushes to the lineitem scan. Revenue in
+    * exact integer CENTS (per-term floor, the q14 discipline — the
+    * 10⁻⁴-dollar product form leaves only ~3× headroom on this sum at
+    * 100 TB row counts; cents keep ~300×). */
   def q19DiscountedParts(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
       .select(col("l_partkey"), col("l_quantity"),
-        (floor(col("l_extendedprice") * lit(100.0)).cast("long") *
-          (lit(100L) - floor(col("l_discount") * lit(100.0)).cast("long")))
-          .as("rev_u"))
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(100.0)).cast("long").as("rev_c"))
     val p = Tables.part(s, d)
       .select(col("p_partkey"), col("p_brand"), col("p_size"))
     val arms =
@@ -695,13 +699,12 @@ object CoreQueries {
         col("l_quantity").between(20, 30))
     li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .filter(arms)
-      .agg(sum(col("rev_u")).as("revenue_u"), count(lit(1)).as("n_lines"))
+      .agg(sum(col("rev_c")).as("revenue_c"), count(lit(1)).as("n_lines"))
   }
   val q19DiscountedPartsSql: String =
     """SELECT
-      |  CAST(SUM(CAST(FLOOR(l_extendedprice * 1e2) AS BIGINT) *
-      |    (100 - CAST(FLOOR(l_discount * 1e2) AS BIGINT))) AS BIGINT)
-      |    AS revenue_u,
+      |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1e0 - l_discount) * 1e2)
+      |    AS BIGINT)) AS BIGINT) AS revenue_c,
       |  COUNT(*) AS n_lines
       |FROM lineitem, part
       |WHERE l_partkey = p_partkey
@@ -923,8 +926,10 @@ object CoreQueries {
     * rung (Q14's conditional ratio lifted onto Q5's join tree). The
     * fact chain shuffles once (lineitem × date-bounded orders); part,
     * the region-filtered customer arm, and the supplier→nation arm all
-    * broadcast. The share is integer ppm of exact 10⁻⁴-dollar units —
-    * numerator and denominator aggregate in the same pass. */
+    * broadcast. The share is integer ppm of exact per-term CENTS (the
+    * q14 discipline — the 10⁻⁴-dollar product form leaves only ~3×
+    * headroom on the per-year sums at 100 TB row counts; cents keep
+    * ~300×), numerator and denominator aggregated in the same pass. */
   def q8MarketShare(s: SparkSession, d: String): DataFrame = {
     val lo = lit("1996-01-01 00:00:00").cast("timestamp")
     val hi = lit("1998-01-01 00:00:00").cast("timestamp")
@@ -946,9 +951,8 @@ object CoreQueries {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-        (floor(col("l_extendedprice") * lit(100.0)).cast("long") *
-          (lit(100L) - floor(col("l_discount") * lit(100.0)).cast("long")))
-          .as("rev_u"))
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(100.0)).cast("long").as("rev_c"))
       .join(broadcast(Tables.part(s, d)
         .filter(col("p_type") === "STANDARD").select(col("p_partkey"))),
         col("l_partkey") === col("p_partkey"))
@@ -956,18 +960,18 @@ object CoreQueries {
       .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
-      .agg(sum(when(col("supp_nation") === "NATION_5", col("rev_u"))
-          .otherwise(0L)).as("nation_u"),
-        sum(col("rev_u")).as("total_u"))
-      .select(col("o_year"), col("nation_u"), col("total_u"),
-        expr("nation_u * 1000000 div total_u").as("mkt_share_ppm"))
+      .agg(sum(when(col("supp_nation") === "NATION_5", col("rev_c"))
+          .otherwise(0L)).as("nation_c"),
+        sum(col("rev_c")).as("total_c"))
+      .select(col("o_year"), col("nation_c"), col("total_c"),
+        expr("nation_c * 1000000 div total_c").as("mkt_share_ppm"))
       .orderBy(col("o_year"))
   }
   val q8MarketShareSql: String =
     """WITH rev AS (
       |  SELECT EXTRACT(year FROM o_orderdate) AS o_year, n2.n_name AS supp_nation,
-      |    CAST(FLOOR(l_extendedprice * 1e2) AS BIGINT) *
-      |      (100 - CAST(FLOOR(l_discount * 1e2) AS BIGINT)) AS rev_u
+      |    CAST(FLOOR(l_extendedprice * (1e0 - l_discount) * 1e2) AS BIGINT)
+      |      AS rev_c
       |  FROM lineitem
       |  JOIN part ON l_partkey = p_partkey
       |  JOIN orders ON l_orderkey = o_orderkey
@@ -980,11 +984,11 @@ object CoreQueries {
       |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
       |SELECT o_year,
-      |  CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev_u ELSE 0 END)
-      |    AS BIGINT) AS nation_u,
-      |  CAST(SUM(rev_u) AS BIGINT) AS total_u,
-      |  CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev_u ELSE 0 END)
-      |    * 1000000 // SUM(rev_u) AS BIGINT) AS mkt_share_ppm
+      |  CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev_c ELSE 0 END)
+      |    AS BIGINT) AS nation_c,
+      |  CAST(SUM(rev_c) AS BIGINT) AS total_c,
+      |  CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev_c ELSE 0 END)
+      |    * 1000000 // SUM(rev_c) AS BIGINT) AS mkt_share_ppm
       |FROM rev GROUP BY o_year ORDER BY o_year""".stripMargin
 
   // ---- Q9: product-class profit — expression profit by nation × year -----
@@ -992,11 +996,14 @@ object CoreQueries {
     * order year. Classic Q9 prices cost from partsupp; the testdata
     * stand-in is the part's retail price times quantity (stated
     * identically in the oracle), so profit = revenue − retail·qty, an
-    * all-integer expression in 10⁻⁴-dollar units that can go negative
-    * — the rung where the aggregate is an EXPRESSION over two tables'
-    * columns, not a bare column. The part-name class filter is the
-    * classic LIKE '%green%' form (here '%gear%'). One fact shuffle
-    * (lineitem × orders); part and the supplier→nation arm broadcast. */
+    * all-integer CENTS expression that can go negative — the rung
+    * where the aggregate is an EXPRESSION over two tables' columns,
+    * not a bare column (cents per the q14 discipline: the 10⁻⁴-dollar
+    * product form leaves only ~16× headroom on the per-(nation, year)
+    * sums at 100 TB row counts; cents keep ~1600×). The part-name
+    * class filter is the classic LIKE '%green%' form (here '%gear%').
+    * One fact shuffle (lineitem × orders); part and the
+    * supplier→nation arm broadcast. */
   def q9ProductProfit(s: SparkSession, d: String): DataFrame = {
     val suppNation = Tables.supplier(s, d)
       .join(broadcast(Tables.nation(s, d)
@@ -1004,30 +1011,30 @@ object CoreQueries {
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name"))
     val profit =
-      (floor(col("l_extendedprice") * lit(100.0)).cast("long") *
-        (lit(100L) - floor(col("l_discount") * lit(100.0)).cast("long"))) -
+      floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+        lit(100.0)).cast("long") -
       (floor(col("p_retailprice") * lit(100.0)).cast("long") *
-        col("l_quantity").cast("long") * lit(100L))
+        col("l_quantity").cast("long"))
     Tables.lineitem(s, d)
       .join(broadcast(Tables.part(s, d)
         .filter(col("p_name").like("%gear%"))
         .select(col("p_partkey"), col("p_retailprice"))),
         col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey"), col("l_suppkey"), profit.as("profit_u"))
+      .select(col("l_orderkey"), col("l_suppkey"), profit.as("profit_c"))
       .join(Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
-      .agg(sum(col("profit_u")).as("profit_u"))
+      .agg(sum(col("profit_c")).as("profit_c"))
       .orderBy(col("n_name"), col("o_year").desc)
   }
   val q9ProductProfitSql: String =
     """SELECT n_name, EXTRACT(year FROM o_orderdate) AS o_year,
-      |  CAST(SUM(CAST(FLOOR(l_extendedprice * 1e2) AS BIGINT) *
-      |      (100 - CAST(FLOOR(l_discount * 1e2) AS BIGINT)) -
+      |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1e0 - l_discount) * 1e2)
+      |      AS BIGINT) -
       |      CAST(FLOOR(p_retailprice * 1e2) AS BIGINT) *
-      |      CAST(l_quantity AS BIGINT) * 100) AS BIGINT) AS profit_u
+      |      CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_c
       |FROM lineitem
       |JOIN part ON l_partkey = p_partkey
       |JOIN orders ON l_orderkey = o_orderkey
