@@ -491,9 +491,11 @@ object Bench {
               Some(s"x$n" -> t)
             } else { intraDropped += s"corpus_x$n"; None }
           })),
-        // Linkage legs top out at x10 (r11 verdict task #1: the two x20
-        // rows alone cost 210 s timed + warmup and pushed the driver run
-        // past its timeout; the blocking-law comparison — j14's
+        // Linkage legs top out at x10 — and since r14 only j17 rides it
+        // (r11 verdict task #1: the two x20 rows alone cost 210 s timed +
+        // warmup and pushed the driver run past its timeout; r13 task #1
+        // then trimmed j14 to x4 — see the linkage_j14 leg below; the
+        // blocking-law comparison — j14's
         // suffix-block occupancy creep vs j17's alphabet-bounded
         // deletion blocks — is just as visible one step down the curve).
         // x10 is a dedicated customer-only dir; the linkage queries read
@@ -582,7 +584,17 @@ object Bench {
         // j17 the production arm; the comparison re-measures at x10 each
         // round.
         "linkage_j17" -> (() => Seq(steadyRow("j17_entity_symdel", linkDirs))),
-        "linkage_j14" -> (() => Seq(steadyRow("j14_entity_dual", linkDirs))),
+        // j14 tops out at x4 (r13 verdict task #1): the quadratic CONTRAST
+        // arm's x10 point cost 60.4 s committed / 88.8 s on the driver box
+        // — the single priciest bench row, and under a 1.4× host
+        // multiplier it alone burned ~2 min of the 1,500 s budget. The
+        // blocking-law crossover is already visible at x4 (17.1 s vs
+        // j17's 11.5 s); j17 — the linear-law production arm — alone
+        // rides x10. The occupancy diagnostic below still measures j14's
+        // suffix blocks at x10 (a group-count, not a pair join), so the
+        // quadratic DRIVER stays on the curve without paying for it.
+        "linkage_j14" -> (() =>
+          Seq(steadyRow("j14_entity_dual", linkDirs.takeWhile(_._1 <= 4)))),
         // Block-size rows: max suffix-block rows per scale is the
         // per-block pair-cost driver (WHERE j14's superlinear term
         // lives) — but planDualSplit RE-DERIVES the suffix length per

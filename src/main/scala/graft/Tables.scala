@@ -39,6 +39,8 @@ object Tables {
           e: java.util.Map.Entry[(SparkSession, String, String), DataFrame]): Boolean =
         size() > MaxResolved
     }
+  graft.operators.CacheRegistry.register("tables.resolved", MaxResolved,
+    () => resolved.synchronized(resolved.size()))
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     resolved.synchronized {

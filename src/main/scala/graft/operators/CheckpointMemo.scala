@@ -23,7 +23,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * bound of 64 keys an eviction only fires after 64 DISTINCT
   * (session, dir) pairs — far past any suite or service working set —
   * so the race is theoretical, and the bound is the point. */
-final class CheckpointMemo(maxEntries: Int = 64) {
+final class CheckpointMemo(name: String, maxEntries: Int = 64) {
   private val memo =
     new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
       16, 0.75f, true) {
@@ -31,11 +31,16 @@ final class CheckpointMemo(maxEntries: Int = 64) {
           e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
         if (size() > maxEntries) {
           // Best-effort: a stopped session throws on unpersist; the entry
-          // must still drop or the map wedges at capacity.
-          try Checkpoints.release(e.getValue) catch { case _: Throwable => () }
+          // must still drop or the map wedges at capacity. NonFatal only —
+          // a VM error (OOM, thread interrupt) must propagate, not be
+          // eaten by cache bookkeeping.
+          try Checkpoints.release(e.getValue)
+          catch { case scala.util.control.NonFatal(_) => () }
           true
         } else false
     }
+
+  CacheRegistry.register(name, maxEntries, () => memo.synchronized(memo.size()))
 
   /** Memoized checkpoint build. `build` MUST return the frame
     * localCheckpoint() itself returned (the [[Checkpoints.release]]
@@ -54,7 +59,8 @@ final class CheckpointMemo(maxEntries: Int = 64) {
       memo.synchronized {
         val winner = memo.get(k)
         if (winner != null) {
-          try Checkpoints.release(built) catch { case _: Throwable => () }
+          try Checkpoints.release(built)
+          catch { case scala.util.control.NonFatal(_) => () }
           winner
         } else { memo.put(k, built); built }
       }

@@ -258,13 +258,66 @@ object Dedup {
                     failOnCap: Boolean = false): DataFrame = {
     val (cand, sh) = minhashCandidates(df, idCol, textCol, k, bands,
       bucketCap, failOnCap)
+    recallConfusion(exactTruthPairs(sh, threshold), cand)
+  }
+
+  /** Multiplicative-hash document sample gate shared by the sampled eval
+    * and its oracle twin: Knuth's 2654435761 residue mod [[HashMod]],
+    * keep `sampleKeep` of `sampleMod` residue classes. Pure integer
+    * arithmetic on positive operands — engine-identical, zero RNG — and
+    * decorrelated from id ASSIGNMENT order (consecutive ids land in
+    * different classes), unlike a bare `id % mod`. */
+  val SampleHashA = 2654435761L
+  private def inDocSample(id: Column, sampleMod: Int, sampleKeep: Int): Column =
+    (id * lit(SampleHashA)) % lit(HashMod) % lit(sampleMod.toLong) <
+      lit(sampleKeep.toLong)
+
+  /** SAMPLED-TRUTH form of [[lshRecallEval]] — the shape a 100 TB corpus
+    * actually runs (the full arm's scale contract made concrete). The
+    * banded candidate generator still runs over the FULL corpus — that
+    * is the production mining pass being measured — but exact-Jaccard
+    * ground truth is computed only over a deterministic hash-sample of
+    * documents ([[inDocSample]]: keep 2 of 5 residue classes by
+    * default), and recall/precision are read off the sampled PAIR set
+    * (both endpoints in-sample). Every sampled truth pair is equally a
+    * full-corpus truth pair and its candidate status is unchanged by
+    * sampling (band keys are per-doc), so sampled recall is an unbiased
+    * estimate of full-corpus candidate recall, at truth cost
+    * fraction² ≈ 16% of the full arm's Σ df² posting work — the knob a
+    * warehouse turns all the way down to a fixed eval-sample size.
+    * Output schema identical to the full arm; graded against a DuckDB
+    * twin that replays the identical residue gate. */
+  def lshRecallEvalSampled(df: DataFrame, idCol: String, textCol: String,
+                           threshold: Double, k: Int = 16, bands: Int = 4,
+                           sampleMod: Int = 5, sampleKeep: Int = 2,
+                           bucketCap: Int = 1024,
+                           failOnCap: Boolean = false): DataFrame = {
+    val (cand, sh) = minhashCandidates(df, idCol, textCol, k, bands,
+      bucketCap, failOnCap)
+    val shS = sh.filter(inDocSample(col("id"), sampleMod, sampleKeep))
+    val candS = cand.filter(
+      inDocSample(col("id_a"), sampleMod, sampleKeep) &&
+        inDocSample(col("id_b"), sampleMod, sampleKeep))
+    recallConfusion(exactTruthPairs(shS, threshold), candS)
+  }
+
+  /** Exact Jaccard-≥-threshold ground truth over a shingle table, via
+    * the lossless posting join (a pair with J ≥ t > 0 shares ≥ 1
+    * shingle, so posting candidates ⊇ truth). */
+  private def exactTruthPairs(sh: DataFrame, threshold: Double): DataFrame = {
     val posted = sh.select(col("id"), explode(col("sh")).as("h"))
     val truthCand = posted.as("a").join(posted.as("b"), "h")
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val truth = jaccardVerify(truthCand, sh, threshold)
-      .select(col("id_a"), col("id_b"))
+    jaccardVerify(truthCand, sh, threshold).select(col("id_a"), col("id_b"))
+  }
+
+  /** One confusion row (n_truth, tp, fn, n_cand, recall_ppm,
+    * precision_ppm) from a truth pair set and a candidate pair set —
+    * integer ppm with GREATEST(·,1) denominators so an empty corpus
+    * reads 0, never a divide error. */
+  private def recallConfusion(truth: DataFrame, cand: DataFrame): DataFrame = {
     val flagged = truth.join(cand.withColumn("in_cand", lit(1)),
       Seq("id_a", "id_b"), "left")
     val truthAgg = flagged.agg(

@@ -734,10 +734,14 @@ object CoreQueries {
     * it stops pruning). Past `q17MaxPushdownKeys` (default 1000,
     * sys-prop overridable for the parity spec) the part filter stays
     * distributed as a broadcast semi join — identical rows, no driver
-    * round-trip ever exceeding the cap. */
-  def q17SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
-    val maxKeys =
-      sys.props.getOrElse("graft.q17.maxPushdownKeys", "1000").toInt
+    * round-trip ever exceeding the cap. The cap is a real parameter
+    * (sys-prop only as the registry default) so the fallback-parity spec
+    * can pass it explicitly instead of mutating global JVM state. */
+  def q17SmallQtyRevenue(s: SparkSession, d: String): DataFrame =
+    q17SmallQtyRevenue(s, d,
+      sys.props.getOrElse("graft.q17.maxPushdownKeys", "1000").toInt)
+
+  def q17SmallQtyRevenue(s: SparkSession, d: String, maxKeys: Int): DataFrame = {
     val partFilter = Tables.part(s, d)
       .filter(col("p_brand") === "Brand#23" && col("p_size") <= 10)
       .select(col("p_partkey"))
@@ -1400,7 +1404,7 @@ object CoreQueries {
     * round-trips, footer reads — from growing with APPEND COUNT while
     * content stays fixed. */
   private val snapCompactCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.operators.DirMemo[String]("core.snapCompactCache")
 
   def snapshotCompact(s: SparkSession, d: String): DataFrame = {
     import graft.sources.PartitionedStore
@@ -1452,7 +1456,7 @@ object CoreQueries {
     * holds. At 100 TB this is reading a rectangle instead of a
     * stripe. */
   private val zorderCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.operators.DirMemo[String]("core.zorderCache")
 
   def o9ZorderScan(s: SparkSession, d: String): DataFrame = {
     import graft.sources.PartitionedStore
@@ -1550,7 +1554,7 @@ object CoreQueries {
     * hash-mismatch. Commits memoized per corpus (a snapshot is
     * committed once by definition). */
   private val snapDiffCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.operators.DirMemo[String]("core.snapDiffCache")
 
   /** RESTORE served through the read path: v1 = the stable doc bulk,
     * v2 = an appended delta, v3 = `restoreVersion(v1)` — a metadata-only
@@ -1561,7 +1565,7 @@ object CoreQueries {
     * hash-mismatches. Rolled-over history stays readable
     * (VersionedStoreSpec pins that plus vacuum safety). */
   private val snapRestoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.operators.DirMemo[String]("core.snapRestoreCache")
 
   def snapshotRestore(s: SparkSession, d: String): DataFrame = {
     import graft.sources.PartitionedStore
@@ -1604,7 +1608,7 @@ object CoreQueries {
     * the dirty dir, kept a matching row, or leaked the pre-delete dir
     * hash-mismatches. */
   private val snapDeleteCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.operators.DirMemo[String]("core.snapDeleteCache")
 
   private def snapDeleteStore(s: SparkSession, d: String): String =
     snapDeleteCache.computeIfAbsent(d, _ => {
@@ -1683,7 +1687,7 @@ object CoreQueries {
     * hash-mismatches. VersionedStoreSpec pins time travel, the
     * insert-only-rewrites-nothing contract, and empty-delta no-op. */
   private val snapUpsertCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.operators.DirMemo[String]("core.snapUpsertCache")
 
   private def snapUpsertStore(s: SparkSession, d: String): String =
     snapUpsertCache.computeIfAbsent(d, _ => {
@@ -1881,7 +1885,8 @@ object CoreQueries {
     "q13_custdist" -> (q13CustDist _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q19_discounted_parts" -> (q19DiscountedParts _),
-    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "q17_small_qty_revenue" ->
+      ((s: SparkSession, d: String) => q17SmallQtyRevenue(s, d)),
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q16_supplier_counts" -> (q16SupplierCounts _),
     "q11_important_parts" -> (q11ImportantParts _),

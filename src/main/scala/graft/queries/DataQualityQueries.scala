@@ -772,7 +772,7 @@ object DataQualityQueries {
     * memoized per dir; sums in DECIMAL(12,2), cast to double at the
     * end (q1's parity discipline). */
   private val bloomReduceCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+    new graft.operators.DirMemo[Array[Byte]]("dq.bloomReduceCache")
 
   def j16BloomReduce(s: SparkSession, d: String): DataFrame = {
     val dim = Tables.orders(s, d)

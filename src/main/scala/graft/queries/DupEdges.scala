@@ -32,7 +32,7 @@ import graft.operators.Dedup
   * index ([[graft.operators.Dedup.writeLshIndex]]): derive once,
   * serve many. */
 object DupEdges {
-  private val cache = new graft.operators.CheckpointMemo()
+  private val cache = new graft.operators.CheckpointMemo("queries.dupEdges")
 
   def of(s: SparkSession, d: String): DataFrame =
     cache.getOrElseUpdate(s, d, {

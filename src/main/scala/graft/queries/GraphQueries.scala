@@ -281,7 +281,8 @@ object GraphQueries {
     * evicted entry's checkpoint blocks released — so a long-lived
     * multi-dir service cannot accumulate checkpointed edge tables
     * without limit (the leak class Tables' LRU bounds for plans). */
-  private[graft] val overlapCache = new graft.operators.CheckpointMemo()
+  private[graft] val overlapCache =
+    new graft.operators.CheckpointMemo("graph.overlapCache")
   private def overlapEdges(s: SparkSession, d: String): DataFrame =
     overlapCache.getOrElseUpdate(s, d,
       Dedup.overlapPairs(Tables.documents(s, d), "doc_id", "text",

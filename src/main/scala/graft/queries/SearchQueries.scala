@@ -104,7 +104,7 @@ object SearchQueries {
     * pruned directory reads. The in-run temp-dir write exists to exercise
     * that path end-to-end against the same oracle as search_bm25. */
   private val bm25IndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.operators.DirMemo[String]("search.bm25IndexCache")
 
   def searchBm25Indexed(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -402,7 +402,7 @@ object SearchQueries {
     * identical to the derive-in-run variant, so they share one oracle;
     * the artifact build is memoized per corpus like the index queries. */
   private val ragIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    new graft.operators.DirMemo[(String, String)]("search.ragIndexCache")
 
   def ragRetrieveIndexed(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -456,7 +456,7 @@ object SearchQueries {
     * class avoids doc_id < NQ so the query set is the standard one.
     * Build+delete memoized per corpus: repeat calls measure serving. */
   private val bm25DelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.operators.DirMemo[String]("search.bm25DelCache")
   private val DelMod = 20
   private val DelRes = 13
 
@@ -520,7 +520,7 @@ object SearchQueries {
 
   // ---- phrase search through the stored positional index -------------------
   private val phraseIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.operators.DirMemo[String]("search.phraseIndexCache")
 
   /** [[searchPhrase]] through the SERVING path: the positional inverted
     * index ([[Search.writePhraseIndex]] — one (id, pos, term) row per
@@ -549,7 +549,7 @@ object SearchQueries {
   private val PhraseDelMod = 20
   private val PhraseDelRes = 11
   private val phraseDelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.operators.DirMemo[String]("search.phraseDelCache")
 
   /** The takedown verb on the POSITIONAL index: build, tombstone the
     * `doc_id ≡ 11 (mod 20)` residue class (which removes a doc the base
@@ -634,7 +634,7 @@ object SearchQueries {
   // ---- typo-tolerant term lookup via the symmetric-delete index ------------
   private val FuzzyTerm = "streem"
   private val symDelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.operators.DirMemo[String]("search.symDelCache")
 
   /** Spell-correction candidates for a misspelled query term ("streem"),
     * served from the stored symmetric-delete vocabulary index
@@ -692,7 +692,7 @@ object SearchQueries {
        |ORDER BY doc_id""".stripMargin
 
   private val trigramIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.operators.DirMemo[String]("search.trigramIndexCache")
   private def trigramIndexPath(s: SparkSession, d: String): String =
     trigramIndexCache.computeIfAbsent(d, _ => {
       val p = graft.Scratch.dir("graft_trgm_idx")
@@ -719,7 +719,7 @@ object SearchQueries {
   private val TrgmDelMod = 20
   private val TrgmDelRes = 8 // removes a doc the base needle query returns
   private val trigramDelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.operators.DirMemo[String]("search.trigramDelCache")
 
   /** The takedown verb on the trigram store: build, tombstone the
     * `doc_id ≡ 8 (mod 20)` residue class (which removes a doc the base

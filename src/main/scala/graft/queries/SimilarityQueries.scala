@@ -559,7 +559,7 @@ object SimilarityQueries {
     * hash-mismatches. Build+delete memoized per corpus like the other
     * index queries: repeat calls measure the serving probe. */
   private val ivfDelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.operators.DirMemo[String]("sim.ivfDelCache")
   private val DelMod = 20
   private val DelRes = 3
 

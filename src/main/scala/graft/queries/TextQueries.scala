@@ -399,7 +399,7 @@ object TextQueries {
 
   // ---- stored daily CMS sketches: span frequencies without fact re-reads ---
   private val cmsStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.operators.DirMemo[String]("text.cmsStoreCache")
 
   /** The STORED-sketch serving path of [[sketchCmsTopk]] and the
     * frequency leg of the persisted-sketch lifecycle (Bloom membership,
@@ -709,7 +709,7 @@ object TextQueries {
 
   // ---- stored daily KMV sketches: span cardinality without fact re-reads ---
   private val kmvStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.operators.DirMemo[String]("text.kmvStoreCache")
 
   /** Distinct active (user, event_type) combos served from STORED daily
     * KMV partials — the cardinality twin of [[sketchCmsIncremental]]:
@@ -794,7 +794,7 @@ object TextQueries {
     * events because span-of-dailies ≡ span build exactly. */
   // ---- rolling-window distinct from stored daily KMV sketches --------------
   private val kmvUserStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.operators.DirMemo[String]("text.kmvUserStoreCache")
 
   /** Stored per-day KMV user sketches — the rolling read's serving
     * state. Built once per corpus ([[Relational.kmvDailySketches]] on
@@ -887,7 +887,7 @@ object TextQueries {
 
   // ---- stored daily quantile histograms: span percentiles, oracle-exact ----
   private val qhStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.operators.DirMemo[String]("text.qhStoreCache")
 
   /** The QUANTILE leg of the persisted-sketch family — the read an
     * A9-style volatility dashboard actually serves ("p95 value per
@@ -1641,7 +1641,7 @@ object TextQueries {
     * memoized per corpus like the other index queries: steady runs
     * measure scoring against the stored model, the production cost. */
   private val lmModelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.operators.DirMemo[String]("text.lmModelCache")
 
   def textLmCross(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)

@@ -243,6 +243,54 @@ object TrainingQueries {
        |FROM agg, cagg
        |ORDER BY n_truth""".stripMargin
 
+  // ---- LSH recall eval, SAMPLED-truth production arm -----------------------
+  /** The 100 TB shape of [[evalNeardupPr]] graded as its own query (r13
+    * verdict task #2): the full arm's Σ df² exact-truth join over the
+    * whole corpus is an EVAL luxury — at warehouse scale the truth arm
+    * runs over a deterministic document sample while candidate
+    * generation stays the full production pass. Here the sample keeps
+    * 2 of 5 multiplicative-hash residue classes
+    * ([[graft.operators.Dedup.SampleHashA]] — engine-identical integer
+    * math, zero RNG), truth is exact Jaccard over sampled docs only, and
+    * the confusion counts are read off pairs with BOTH endpoints
+    * in-sample — an unbiased estimate of full-corpus candidate recall at
+    * ~16% of the truth cost (fraction²). The oracle replays the
+    * identical residue gate; `DedupSpec` pins sampled ≈ full recall at
+    * sf0.01. Same adversarial-oracle pattern as the full arm: the truth
+    * side is stated naively (all sampled pairs), so a truth-arm gap
+    * cannot self-confirm. */
+  def evalNeardupPrSampled(s: SparkSession, d: String): DataFrame =
+    Dedup.lshRecallEvalSampled(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.5, k = 16, bands = 4, sampleMod = 5, sampleKeep = 2,
+        failOnCap = true)
+      .orderBy(col("n_truth"))
+
+  private val sampleGate =
+    s"* ${Dedup.SampleHashA} % $P % 5 < 2"
+
+  val evalNeardupPrSampledSql: String =
+    s"""WITH $minhashCandCtes,
+       |samp AS (
+       |  SELECT doc_id, sh FROM sh WHERE doc_id $sampleGate
+       |), truth AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM samp a JOIN samp b ON a.doc_id < b.doc_id
+       |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+       |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |        (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.5
+       |), cands AS (
+       |  SELECT id_a, id_b FROM cand
+       |  WHERE id_a $sampleGate AND id_b $sampleGate
+       |), agg AS (
+       |  SELECT COUNT(*) AS n_truth, COUNT(c.id_a) AS tp
+       |  FROM truth t LEFT JOIN cands c ON c.id_a = t.id_a AND c.id_b = t.id_b
+       |), cagg AS (SELECT COUNT(*) AS n_cand FROM cands)
+       |SELECT n_truth, tp, n_truth - tp AS fn, n_cand,
+       |       tp * 1000000 // GREATEST(n_truth, 1) AS recall_ppm,
+       |       tp * 1000000 // GREATEST(n_cand, 1) AS precision_ppm
+       |FROM agg, cagg
+       |ORDER BY n_truth""".stripMargin
+
   // ---- near-dup probe against the STORED LSH index -------------------------
   /** The serving form of incremental near-dup: standing docs (ids ≢ 0
     * mod 10) are indexed ONCE — minhash signatures + bucketed band keys
@@ -255,7 +303,7 @@ object TrainingQueries {
     * banding + agreement arithmetic, so a stale or torn index read would
     * hash-mismatch. Index build memoized per corpus like the BM25/IVF
     * queries: repeat calls measure the probe, which is the serving cost. */
-  private val lshIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val lshIndexCache = new graft.operators.DirMemo[String]("training.lshIndexCache")
 
   def dedupLshIndexed(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -430,7 +478,7 @@ object TrainingQueries {
     * the corpus pass; repeat calls (bench steady runs) measure what every
     * night after the first measures: the delta probe + verify join. */
   private val bloomStanding =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Array[Byte])]()
+    new graft.operators.DirMemo[(DataFrame, Array[Byte])]("training.bloomStanding")
 
   def dedupBloomIncremental(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -527,7 +575,7 @@ object TrainingQueries {
     * standing (7 mod 30 is never 0 mod 10). Build+delete memoized per
     * corpus: repeat calls measure the probe. */
   private val lshDelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.operators.DirMemo[String]("training.lshDelCache")
   private val LshDelMod = 30
   private val LshDelRes = 7
 
@@ -641,6 +689,7 @@ object TrainingQueries {
     "dedup_containment" -> (dedupContainment _),
     "dedup_containment_capped" -> (dedupContainmentCapped _),
     "eval_neardup_pr" -> (evalNeardupPr _),
+    "eval_neardup_pr_sampled" -> (evalNeardupPrSampled _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_spans" -> (dedupSpans _),
@@ -658,6 +707,7 @@ object TrainingQueries {
     "dedup_containment" -> dedupContainmentSql,
     "dedup_containment_capped" -> dedupContainmentCappedSql,
     "eval_neardup_pr" -> evalNeardupPrSql,
+    "eval_neardup_pr_sampled" -> evalNeardupPrSampledSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_spans" -> dedupSpansSql,

@@ -73,7 +73,11 @@ final class SlidingWindowLog(val maxGrants: Int, val windowMillis: Long) {
 /** Test seam: named manual clocks (millis) the source reads instead of
   * the wall clock — deterministic rate-limit tests, no sleeps. */
 object GraftClocks {
-  private val clocks = new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+  // Bounded like every process-lifetime cache (CacheRegistry): a clock
+  // evicted past 256 distinct test keys just restarts at 0 on next use —
+  // a determinism seam, not correctness state.
+  private val clocks =
+    new graft.operators.DirMemo[AtomicLong]("sources.graftClocks", 256)
   def manual(key: String): AtomicLong =
     clocks.computeIfAbsent(key, _ => new AtomicLong(0L))
 }

@@ -303,6 +303,9 @@ object Streams {
     val retainMs = intervalMillis(windowLen) + intervalMillis(lateness)
     // (w_start, w_end, item) -> count; merged under its own lock (foreachBatch
     // runs serially per query, but push targets may read concurrently)
+    // cache-exempt: instance-scoped (one per started query, dies with it,
+    // never process-lifetime) and watermark-pruned in lockstep with the
+    // upstream aggregation's retained windows (filterInPlace below)
     val panel = scala.collection.mutable.Map.empty[(Long, Long, String), Long]
     stream.withWatermark(tsCol, lateness)
       .groupBy(window(col(tsCol), windowLen, slide), col(itemCol))

@@ -47,6 +47,34 @@ class DedupSpec extends AnyFunSuite {
     assert(eval.getLong(5) == tp * 1000000L / math.max(nCand, 1L))
   }
 
+  test("lshRecallEvalSampled ≈ lshRecallEval at sf0.01: the sampled-truth " +
+    "production arm (truth over a 2-of-5 hash-sample, candidates the full " +
+    "corpus pass) estimates full-corpus candidate recall within one-pair " +
+    "granularity of the sampled estimate") {
+    val d = "/root/testdata/sf0.01"
+    val corpus = graft.Tables.documents(spark, d)
+    val full = Dedup.lshRecallEval(corpus, "doc_id", "text",
+      threshold = 0.5).collect()(0)
+    val samp = Dedup.lshRecallEvalSampled(corpus, "doc_id", "text",
+      threshold = 0.5).collect()(0)
+    // non-degenerate: the sample must keep real truth pairs, else the
+    // estimate is vacuous (observed 5 of 25 full truth pairs at sf0.01)
+    assert(samp.getLong(0) >= 1L, s"sampled n_truth=${samp.getLong(0)}")
+    assert(samp.getLong(2) == samp.getLong(0) - samp.getLong(1))
+    // sampled candidate pairs are a strict subset of the full pass's
+    assert(samp.getLong(3) <= full.getLong(3))
+    // STATED tolerance: the sampled estimate is quantized at
+    // 10^6 / n_truth_sampled ppm — one truth pair flipping in or out of
+    // the candidate set moves it by exactly that much, so agreement
+    // within one pair is the strongest claim the sample size supports
+    // (observed: full 960000 ppm vs sampled 1000000 ppm, Δ = 40000)
+    val tol = 1000000L / samp.getLong(0)
+    val delta = math.abs(samp.getLong(4) - full.getLong(4))
+    assert(delta <= tol,
+      s"sampled recall ${samp.getLong(4)} vs full ${full.getLong(4)} " +
+        s"ppm: |Δ|=$delta exceeds one-pair granularity $tol")
+  }
+
   test("exactDedup: canonical rep = min id, dup flagged") {
     val out = Dedup.exactDedup(docs, "doc_id", "text")
       .orderBy("doc_id").collect()
@@ -461,6 +489,52 @@ class DedupSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(bloomRowA.getAs[Array[Byte]]("sketch"),
         bloomRowB.getAs[Array[Byte]]("sketch")),
       "append-merged sketch must be byte-identical to the rebuild's")
+  }
+
+  test("LSH lifecycle recall pin (r13 verdict task #8): after a chained " +
+    "append→delete→compact on a real corpus, planted-probe recall is 100% " +
+    "of a fresh rebuild's — every surviving doc still found, every " +
+    "reclaimed doc gone, answers equal the rebuild's bit for bit") {
+    val s = spark
+    import s.implicits._
+    def tmp() = java.nio.file.Files.createTempDirectory("graft_lsh_cycle").toString
+    val corpus = graft.Tables.documents(s, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .filter(size(split(col("text"), " ")) >= 3) // shingle-able docs only
+    val standing = corpus.filter(col("doc_id") % 10 < 7)
+    val delta = corpus.filter(col("doc_id") % 10 === 7)
+    val dead = standing.filter(col("doc_id") % 10 === 1)
+    val path = tmp()
+    Dedup.writeLshIndex(standing, "doc_id", "text", path)
+    Dedup.appendLshIndex(s, delta, "doc_id", "text", path)
+    Dedup.deleteFromLshIndex(s, dead.select(col("doc_id")), path)
+    Dedup.compactLshIndex(s, path)
+    val surviving = standing.unionByName(delta)
+      .filter(col("doc_id") % 10 =!= 1)
+    val rebuilt = tmp()
+    Dedup.writeLshIndex(surviving, "doc_id", "text", rebuilt)
+    // planted truth: exact copies of every 3rd surviving doc (standing
+    // AND appended generations) under fresh ids must each find their
+    // source at est 1.0 (an exact copy shares every band key); copies
+    // of reclaimed docs must find nothing at all
+    val probes = surviving.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val deadProbes = dead
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    def hits(p: String, d: org.apache.spark.sql.DataFrame) =
+      Dedup.probeLshIndex(s, p, d, "doc_id", "text", 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cycled = hits(path, probes)
+    assert(cycled == hits(rebuilt, probes),
+      "lifecycle index must answer exactly like the rebuild")
+    val wanted = probes.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val found = cycled.filter(h => h._1 == h._2 + 1000000L && h._3 == 1.0)
+      .map(_._1)
+    assert(found == wanted,
+      s"planted recall must be 100%: missing ${(wanted -- found).take(5)}")
+    assert(hits(path, deadProbes).forall(h => h._1 != h._2 + 2000000L),
+      "no reclaimed doc may still be findable after the cycle")
+    assert(wanted.nonEmpty && dead.count() > 0, "fixture non-degenerate")
   }
 
   test("normalizedDedup: casing/punctuation/whitespace variants collapse; distinct texts stay apart") {

@@ -814,17 +814,16 @@ class PlanAuditSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.01"
     val viaPushdown =
       SparkEntry.queries("q17_small_qty_revenue")(spark, dir).collect()
-    sys.props("graft.q17.maxPushdownKeys") = "1"
-    try {
-      val q = SparkEntry.queries("q17_small_qty_revenue")(spark, dir)
-      val p = q.queryExecution.executedPlan.toString
-      assert(!p.contains("In(l_partkey"),
-        s"over the cap no key list may push:\n$p")
-      assert(p.contains("LeftSemi"),
-        s"over the cap the part filter must be a semi join:\n$p")
-      assert(q.collect().toSeq == viaPushdown.toSeq,
-        "fallback arm must return the identical row")
-    } finally sys.props.remove("graft.q17.maxPushdownKeys")
+    // cap passed explicitly — no sys-prop mutation, so this test cannot
+    // cross-contaminate a concurrently running suite in the same JVM
+    val q = graft.queries.CoreQueries.q17SmallQtyRevenue(spark, dir, maxKeys = 1)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("In(l_partkey"),
+      s"over the cap no key list may push:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"over the cap the part filter must be a semi join:\n$p")
+    assert(q.collect().toSeq == viaPushdown.toSeq,
+      "fallback arm must return the identical row")
   }
 
   test("q2_min_cost_supplier: ONE aggregation takes the argmin (no " +

@@ -53,7 +53,7 @@ class TablesSpec extends AnyFunSuite {
     def ckptRdd(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.analyzed
         .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd
-    val memo = new graft.operators.CheckpointMemo(maxEntries = 2)
+    val memo = new graft.operators.CheckpointMemo("spec.tablesFixture", maxEntries = 2)
     var builds = 0
     def build(n: Int) = { builds += 1; Seq((n.toLong, "v")).toDF("id", "v").localCheckpoint() }
     val hot = memo.getOrElseUpdate(s, "hot", build(0))

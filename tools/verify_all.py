@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""One-command full correctness grade at EVERY scale the driver grades —
+the r10 lesson ("sf0.01-green can hide scale-only oracle divergence")
+promoted from a checklist practice to a tool (r13 verdict task #7).
+
+For each data dir: runs the Spark dump (graft.Verify) then the DuckDB
+compare (tools/check.py), and fails loudly — nonzero exit + a per-dir
+summary — if ANY query fails at ANY scale. Usage:
+
+    python3 tools/verify_all.py [dir ...]
+
+Defaults to /root/testdata/sf0.01 AND /root/testdata/sf0.1 (the two
+scales the round-close gate requires). The sf0.1 DuckDB pass takes
+>10 min; run backgrounded and read the tail.
+"""
+import os
+import subprocess
+import sys
+
+def main():
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    results = []
+    for d in dirs:
+        tag = os.path.basename(d.rstrip("/"))
+        out = f"/tmp/verify_all_{tag}"
+        print(f"== {d} -> {out}", flush=True)
+        dump = subprocess.run(
+            ["sbt", "-batch", f"runMain graft.Verify {d} {out}"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        if dump.returncode != 0:
+            results.append((d, f"Verify dump failed rc={dump.returncode}"))
+            continue
+        check = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "check.py"),
+             d, out],
+            capture_output=True, text=True)
+        tail = (check.stdout.strip().splitlines() or ["<no output>"])[-1]
+        fails = [l for l in check.stdout.splitlines() if l.startswith("FAIL")]
+        results.append((d, tail if check.returncode == 0
+                        else tail + " | " + "; ".join(fails[:5])))
+        for line in fails:
+            print(line, flush=True)
+        print(f"== {d}: {tail}", flush=True)
+    print("\n==== verify_all summary")
+    bad = False
+    for d, r in results:
+        ok = r.endswith("0 fail")
+        bad |= not ok
+        print(f"{'PASS' if ok else 'FAIL'} {d}: {r}")
+    sys.exit(1 if bad else 0)
+
+if __name__ == "__main__":
+    main()
