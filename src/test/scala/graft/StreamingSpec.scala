@@ -1299,6 +1299,62 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("PeakKeeper adversarial property: random session sets (midnight " +
+    "crossers, touches, dups), random batch splits and intra-batch " +
+    "shuffles — stream ≡ the graded W19 batch sweep line, seeded and " +
+    "deterministic") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val prevProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      for (seed <- Seq(7L, 83L, 419L)) {
+        val rnd = new scala.util.Random(seed)
+        val base = ts("2024-03-01 00:00:00").getTime
+        val sessions = (1 to 30 + rnd.nextInt(30)).map { _ =>
+          val start = base + rnd.nextInt(3 * 86400 * 1000).toLong
+          // durations up to ~30 h so midnight crossers are guaranteed
+          Sess(new Timestamp(start),
+            new Timestamp(start + 1000L + rnd.nextInt(30 * 3600 * 1000)))
+        }
+        val sorted = sessions.sortBy(_.session_start.getTime)
+        val nCuts = 1 + rnd.nextInt(3)
+        val cuts = (Seq(0, sorted.size) ++
+          Seq.fill(nCuts)(rnd.nextInt(sorted.size + 1))).distinct.sorted
+        val batches = cuts.sliding(2).collect {
+          case Seq(a, b) if b > a => rnd.shuffle(sorted.slice(a, b))
+        }.toSeq
+        val in = MemoryStream[Sess]
+        val qn = s"peak_prop_$seed"
+        val q = Streams.peakConcurrencyStream(in.toDF(), "session_start",
+            "session_end", "0 seconds")
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        in.addData(Sess(ts("2030-01-01 00:00:00"), ts("2030-01-01 00:00:01")))
+        q.processAllAvailable()
+        val got = s.table(qn)
+          .filter(col("day_start") < ts("2029-01-01 00:00:00"))
+          .select(to_date(col("day_start")).as("day"), col("peak_concurrency"))
+          .collect().map(_.toSeq).toSet
+        q.stop()
+        val want = graft.queries.InventoryQueries2
+          .peakConcurrencyFrom(sessions.toDF())
+          .collect().map(_.toSeq).toSet
+        assert(got == want, s"seed=$seed: only-stream=${(got -- want).take(3)} " +
+          s"only-batch=${(want -- got).take(3)}")
+        assert(want.exists(_(1).asInstanceOf[Long] > 1L),
+          s"seed=$seed: fixture must exercise real concurrency")
+      }
+    } finally {
+      if (prevProvider.nonEmpty)
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+      else s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("pitFeaturesStream view-tail budget: a bot-grade view burst past " +
     "maxViewTail fails the query loudly, never silent state growth") {
     val s = spark
