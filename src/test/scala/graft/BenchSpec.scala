@@ -132,12 +132,14 @@ class BenchSpec extends AnyFunSuite {
     // (60.4 s committed / 88.8 s driver) and the blocking-law crossover
     // is already visible at x4
     assert(sc("j17_entity_symdel").contains("x10"))
-    assert(sc("j14_entity_dual").contains("x4"))
+    assert(sc("j14_entity_dual").contains("x4") &&
+      !sc("j14_entity_dual").contains("x10"),
+      "the j14 x10 point must stay retired (budget insurance)")
   }
 
-  test("BenchPrior resource is the committed r13-close steady map: 293 " +
+  test("BenchPrior resource is the committed r14-close steady map: 294 " +
     "entries, median in the committed envelope, j12 prior present") {
-    assert(BenchPrior.steady.size == 293, BenchPrior.steady.size.toString)
+    assert(BenchPrior.steady.size == 294, BenchPrior.steady.size.toString)
     assert(BenchPrior.median > 0.1 && BenchPrior.median < 2.0,
       BenchPrior.median.toString)
     assert(BenchPrior.steady.contains("j12_entity_resolve"))

@@ -1433,6 +1433,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.size >= 10, "real overlap structure exercised")
   }
 
+  test("OverlapKeeper adversarial property: random session sets (bin " +
+    "spanners, touches, same-user pairs), random batch splits and " +
+    "intra-batch shuffles — stream ≡ the graded batch overlap pairs, " +
+    "seeded and deterministic") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val hourUs = 3600L * 1000000L
+    val prevProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      for (seed <- Seq(13L, 59L, 271L)) {
+        val rnd = new scala.util.Random(seed)
+        val base = ts("2024-03-01 00:00:00").getTime
+        val perUserNo = scala.collection.mutable.Map.empty[Long, Long]
+        val sessions = (1 to 25 + rnd.nextInt(20)).map { _ =>
+          val u = 1L + rnd.nextInt(5)
+          val no = perUserNo.updateWith(u)(c => Some(c.getOrElse(0L) + 1L)).get
+          val start = base + rnd.nextInt(2 * 86400 * 1000).toLong
+          // durations up to ~6 h so pairs span several hour bins
+          FullSess(u, no, new Timestamp(start),
+            new Timestamp(start + 1000L + rnd.nextInt(6 * 3600 * 1000)))
+        }
+        val sorted = sessions.sortBy(x => (x.session_start.getTime, x.user_id,
+          x.session_no))
+        val nCuts = 1 + rnd.nextInt(3)
+        val cuts = (Seq(0, sorted.size) ++
+          Seq.fill(nCuts)(rnd.nextInt(sorted.size + 1))).distinct.sorted
+        val batches = cuts.sliding(2).collect {
+          case Seq(a, b) if b > a => rnd.shuffle(sorted.slice(a, b))
+        }.toSeq
+        val in = MemoryStream[FullSess]
+        val qn = s"ovl_prop_$seed"
+        val q = Streams.sessionOverlapStream(in.toDF(), "user_id", "session_no",
+            "session_start", "session_end", hourUs, "0 seconds")
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        val sentinelUser = sessions.map(_.user_id).max + 1L
+        in.addData(FullSess(sentinelUser, 0L, ts("2030-01-01 00:00:00"),
+          ts("2030-01-01 00:00:01")))
+        q.processAllAvailable()
+        val got = s.table(qn).filter(col("user_a") < sentinelUser)
+          .collect().map(_.toSeq).toSet
+        q.stop()
+        val want = graft.operators.Relational.sessionOverlapPairs(
+            sessions.toDF().select(col("user_id"), col("session_no"),
+              unix_micros(col("session_start")).as("s_us"),
+              unix_micros(col("session_end")).as("e_us")),
+            binUs = hourUs)
+          .collect().map(_.toSeq).toSet
+        assert(got == want, s"seed=$seed: only-stream=${(got -- want).take(3)} " +
+          s"only-batch=${(want -- got).take(3)}")
+        assert(want.nonEmpty, s"seed=$seed: fixture must produce real overlaps")
+      }
+    } finally {
+      if (prevProvider.nonEmpty)
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+      else s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("sessionOverlapStream boundary pin: a pair sharing several bins " +
     "emits ONCE from the overlap-start bin; an end-inclusive touch " +
     "emits overlap 0; same-user session pairs never emit; a hot bin " +
