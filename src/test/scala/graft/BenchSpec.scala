@@ -137,9 +137,9 @@ class BenchSpec extends AnyFunSuite {
       "the j14 x10 point must stay retired (budget insurance)")
   }
 
-  test("BenchPrior resource is the committed r14-close steady map: 294 " +
+  test("BenchPrior resource is the committed r14-close steady map: 295 " +
     "entries, median in the committed envelope, j12 prior present") {
-    assert(BenchPrior.steady.size == 294, BenchPrior.steady.size.toString)
+    assert(BenchPrior.steady.size == 295, BenchPrior.steady.size.toString)
     assert(BenchPrior.median > 0.1 && BenchPrior.median < 2.0,
       BenchPrior.median.toString)
     assert(BenchPrior.steady.contains("j12_entity_resolve"))

@@ -553,4 +553,35 @@ class DataQualitySpec extends AnyFunSuite {
       (0L, 1L, "zbc", "abc")),      // reverse-pass catch, ids+names flipped
       multi.toString)
   }
+
+  test("evalSnmRecallSampled ≈ evalSnmRecall at sf0.01 (the 100 TB " +
+    "sampled-truth arm): per scheme, the 2-of-5-sample recall estimate " +
+    "sits within its own binomial 2σ of the full-corpus recall, and the " +
+    "candidate pass stays the full-corpus ranking") {
+    val d = "/root/testdata/sf0.01"
+    def byScheme(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))).toMap
+    val full = byScheme(graft.queries.DataQualityQueries.evalSnmRecall(spark, d))
+    val samp = byScheme(
+      graft.queries.DataQualityQueries.evalSnmRecallSampled(spark, d))
+    for (scheme <- Seq("single", "multi")) {
+      val (nF, _, _, rF) = full(scheme)
+      val (nS, tpS, nCandS, rS) = samp(scheme)
+      // non-degenerate and internally consistent
+      assert(nS >= 30L, s"$scheme: sample must keep real truth pairs ($nS)")
+      assert(nS < nF, s"$scheme: sampled truth must be a strict subsample")
+      assert(tpS <= nCandS)
+      // STATED tolerance: the sampled recall is a binomial estimate over
+      // n_truth_sampled trials at the full-arm rate, so 2σ =
+      // 2·sqrt(r(1−r)/n)·10⁶ ppm bounds it (observed at sf0.01:
+      // single 243,103 vs 267,288 — Δ 24,185 ≈ 1.3σ at n=580;
+      // multi 432,758 vs 455,322 — Δ 22,564 ≈ 1.1σ)
+      val p = rF.toDouble / 1e6
+      val tol = (2e6 * math.sqrt(p * (1 - p) / nS)).ceil.toLong
+      val delta = math.abs(rS - rF)
+      assert(delta <= tol,
+        s"$scheme: sampled $rS vs full $rF ppm — |Δ|=$delta > 2σ=$tol at n=$nS")
+    }
+  }
 }

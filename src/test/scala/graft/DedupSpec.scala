@@ -372,14 +372,19 @@ class DedupSpec extends AnyFunSuite {
   test("Checkpoints.release frees checkpoint blocks that Dataset.unpersist cannot touch") {
     val s = spark
     import s.implicits._
-    val before = s.sparkContext.getPersistentRDDs.size
+    // Track THIS checkpoint's RDD id, not global counts: earlier tests'
+    // index builds release their checkpoints NON-blocking, so unrelated
+    // entries can disappear from getPersistentRDDs between snapshots
+    // (seen once as a full-suite flake at 451 tests).
+    val beforeIds = s.sparkContext.getPersistentRDDs.keySet
     val df = s.range(1000).toDF("id").localCheckpoint()
-    assert(s.sparkContext.getPersistentRDDs.size == before + 1)
+    val newIds = s.sparkContext.getPersistentRDDs.keySet -- beforeIds
+    assert(newIds.size == 1, s"exactly one new persisted RDD: $newIds")
     df.unpersist() // CacheManager no-op: checkpoint blocks are not cache entries
-    assert(s.sparkContext.getPersistentRDDs.size == before + 1,
+    assert((s.sparkContext.getPersistentRDDs.keySet & newIds) == newIds,
       "unpersist() must not (and does not) release checkpoint storage")
     graft.operators.Checkpoints.release(df)
-    assert(s.sparkContext.getPersistentRDDs.size == before,
+    assert((s.sparkContext.getPersistentRDDs.keySet & newIds).isEmpty,
       "release must drop the LogicalRDD's persisted blocks")
   }
 
