@@ -41,6 +41,17 @@ class CacheAuditSpec extends AnyFunSuite {
     "operators/CheckpointMemo.scala",
     "Tables.scala")
 
+  /** Pure matcher behind the sweep so its accept/reject behavior is
+    * itself testable: a constructor line offends unless a
+    * `cache-exempt:` marker sits on it or within the 4 lines above. */
+  private def offendersIn(lines: Vector[String], rel: String): List[String] =
+    lines.zipWithIndex.collect {
+      case (line, i) if cachePatterns.exists(line.contains) &&
+        !(math.max(0, i - 4) to i)
+          .exists(j => lines(j).contains("cache-exempt:")) =>
+        s"$rel:${i + 1}: ${line.trim.take(80)}"
+    }.toList
+
   test("source sweep: every mutable-map constructor in main source is a " +
     "registered cache implementation or an explicitly justified " +
     "cache-exempt site (instance-scoped + pruned)") {
@@ -52,21 +63,40 @@ class CacheAuditSpec extends AnyFunSuite {
       .flatMap { p =>
         val rel = root.relativize(p).toString
         if (implFiles.contains(rel)) Iterator.empty
-        else {
-          val lines = java.nio.file.Files.readAllLines(p).asScala.toVector
-          lines.zipWithIndex.collect {
-            case (line, i) if cachePatterns.exists(line.contains) &&
-              // marker on the line or within the 4 lines above it
-              !(math.max(0, i - 4) to i)
-                .exists(j => lines(j).contains("cache-exempt:")) =>
-              s"$rel:${i + 1}: ${line.trim.take(80)}"
-          }
-        }
+        else offendersIn(
+          java.nio.file.Files.readAllLines(p).asScala.toVector, rel)
       }.toList
     assert(offenders.isEmpty,
       "unregistered process-lifetime cache candidates (use DirMemo/" +
         "CheckpointMemo, or justify with a 'cache-exempt:' comment):\n" +
         offenders.mkString("\n"))
+  }
+
+  test("the sweep matcher itself: a pasted raw ConcurrentHashMap memo is " +
+    "FLAGGED; a marked instance-scoped map is accepted; a marker too far " +
+    "above (>4 lines) does not leak its exemption; prose mentioning a map " +
+    "type never trips it") {
+    val offender = Vector(
+      "  private val newCache =",
+      "    new java.util.concurrent.ConcurrentHashMap[String, String]()")
+    assert(offendersIn(offender, "f.scala").size == 1,
+      "an unmarked raw memo must be flagged")
+    val marked = Vector(
+      "  // cache-exempt: instance-scoped, watermark-pruned",
+      "  val panel = scala.collection.mutable.Map.empty[(Long, Long), Long]")
+    assert(offendersIn(marked, "f.scala").isEmpty,
+      "a justified site must be accepted")
+    val farMarker = Vector(
+      "  // cache-exempt: something else entirely",
+      "", "", "", "", "",
+      "    new java.util.LinkedHashMap[String, String](16, 0.75f, true)")
+    assert(offendersIn(farMarker, "f.scala").size == 1,
+      "an exemption must not leak past its 4-line window")
+    val prose = Vector(
+      "  * `ConcurrentHashMap[String, _]` memos the query packs held:",
+      "  * the TrieMap.getOrElseUpdate shape leaks checkpoints")
+    assert(offendersIn(prose, "f.scala").isEmpty,
+      "scaladoc prose must never trip the constructor patterns")
   }
 
   test("runtime bounds: every registered cache declares a sane bound and " +
