@@ -52,15 +52,35 @@ final class DirMemo[V](name: String, maxEntries: Int = 64,
     }
   }
 
-  /** CHM-compute semantics for the validate-or-rebuild pattern (`remap`
-    * sees the cached value or null and returns the value to keep). The
-    * remap runs under the memo lock: every current use is a cheap
-    * liveness check that only rebuilds when the cached value is stale,
-    * and lock-free double-checking would let a stale hit win the race. */
-  def compute(k: String, remap: (String, V) => V): V = memo.synchronized {
-    val v = remap(k, memo.get(k))
-    memo.put(k, v)
-    v
+  /** Validate-or-rebuild with the SAME build-outside-the-lock discipline
+    * as [[computeIfAbsent]]: only the (cheap) `isLive` predicate runs
+    * under the lock — e.g. "is the cached frame's SparkContext still
+    * running" — never `build`, which may be a multi-second Spark job.
+    * On a stale or missing entry the build runs unlocked, then re-locks
+    * and double-checks: a concurrently installed LIVE winner beats our
+    * build (ours is handed to `onEvict`); a stale incumbent is evicted
+    * and replaced. At most one value per key survives; stale and losing
+    * values always pass through `safeEvict`, so resource-holding values
+    * (checkpointed frames) are released on every exit path. */
+  def computeValidated(k: String, isLive: V => Boolean,
+                       build: String => V): V = {
+    val hit = memo.synchronized {
+      val v = memo.get(k)
+      if (v != null && isLive(v)) v else null.asInstanceOf[V]
+    }
+    if (hit != null) hit
+    else {
+      val built = build(k)
+      memo.synchronized {
+        val winner = memo.get(k)
+        if (winner != null && isLive(winner)) { safeEvict(built); winner }
+        else {
+          if (winner != null) safeEvict(winner)
+          memo.put(k, built)
+          built
+        }
+      }
+    }
   }
 
   private[graft] def size: Int = memo.synchronized(memo.size())

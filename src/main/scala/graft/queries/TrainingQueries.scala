@@ -477,8 +477,12 @@ object TrainingQueries {
     * artifact, [[Dedup.bloomWriteSketch]]). The first call per dir pays
     * the corpus pass; repeat calls (bench steady runs) measure what every
     * night after the first measures: the delta probe + verify join. */
+  // onEvict releases the checkpointed frame's executor blocks — unlike
+  // the path-only memos, LRU-dropping this entry without it would leak
+  // the blocks in block storage (the very class DirMemo exists to close).
   private val bloomStanding =
-    new graft.operators.DirMemo[(DataFrame, Array[Byte])]("training.bloomStanding")
+    new graft.operators.DirMemo[(DataFrame, Array[Byte])]("training.bloomStanding",
+      onEvict = { case (df, _) => graft.operators.Checkpoints.release(df) })
 
   def dedupBloomIncremental(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -487,12 +491,12 @@ object TrainingQueries {
         .select(col("doc_id"), md5(col("chunk_text")).as("chunk_hash"))
     // unlike the path-only index caches, this one holds a live
     // checkpointed DataFrame — bound to the SparkContext that built it.
-    // compute() (not computeIfAbsent) so a stale entry from a stopped
-    // context is rebuilt instead of crashing the verify join
-    val (oldKeyed, sketch) = bloomStanding.compute(d, (_, cached) =>
-      if (cached != null &&
-          !cached._1.sparkSession.sparkContext.isStopped) cached
-      else {
+    // computeValidated: the isStopped liveness probe runs under the memo
+    // lock (cheap), but the corpus pass + checkpoint + Bloom build run
+    // OUTSIDE it, so a cold build never serializes unrelated dirs.
+    val (oldKeyed, sketch) = bloomStanding.computeValidated(d,
+      isLive = { case (df, _) => !df.sparkSession.sparkContext.isStopped },
+      build = _ => {
         val corpus = chunks(docs.filter(col("doc_id") % 5 =!= 0)).localCheckpoint()
         (corpus, Dedup.bloomBuild(corpus, "chunk_hash", expectedItems = 100000L))
       })

@@ -75,7 +75,12 @@ final class SlidingWindowLog(val maxGrants: Int, val windowMillis: Long) {
 object GraftClocks {
   // Bounded like every process-lifetime cache (CacheRegistry): a clock
   // evicted past 256 distinct test keys just restarts at 0 on next use —
-  // a determinism seam, not correctness state.
+  // a determinism seam, not correctness state. ALIASING caveat: a holder
+  // of a previously returned AtomicLong keeps ticking the evicted
+  // instance while a later manual(key) call mints a fresh one at 0 — two
+  // live clocks for one key. The source side is immune (its now() calls
+  // manual(key) on EVERY read, never caching the AtomicLong); test
+  // drivers touching >256 clock keys in one JVM must do the same.
   private val clocks =
     new graft.operators.DirMemo[AtomicLong]("sources.graftClocks", 256)
   def manual(key: String): AtomicLong =

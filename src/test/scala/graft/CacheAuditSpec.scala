@@ -148,8 +148,40 @@ class CacheAuditSpec extends AnyFunSuite {
     // registry sees the fixture and its live size
     val e = CacheRegistry.all.find(_.name == "spec.dirMemoFixture").get
     assert(e.maxEntries == 2 && e.size() == 2)
-    // compute(): remap sees null for a missing key, cached value after
-    assert(m.compute("d", (_, cur) => if (cur == null) "vd" else cur) == "vd")
-    assert(m.compute("d", (_, cur) => { assert(cur == "vd"); cur }) == "vd")
+    // computeValidated(): miss builds; live hit skips the build; stale
+    // hit rebuilds AND releases the stale value through onEvict
+    assert(m.computeValidated("d", _ => true, _ => "vd") == "vd")
+    assert(m.computeValidated("d", _ => true,
+      _ => fail("live hit must not rebuild")) == "vd")
+    assert(m.computeValidated("d", _ => false, _ => "vd2") == "vd2")
+    assert(evicted.contains("vd"), s"stale value must be released: $evicted")
+  }
+
+  test("DirMemo.computeValidated builds OUTSIDE the lock: two dirs can " +
+    "build concurrently (builds holding the memo lock would deadlock " +
+    "this cross-latch handshake)") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val m = new DirMemo[String]("spec.dirMemoConcurrent", 4)
+    val aIn = new CountDownLatch(1)
+    val bIn = new CountDownLatch(1)
+    // each build signals entry then waits for the OTHER build to enter:
+    // possible only if neither holds the memo lock while building.
+    @volatile var handshake = true
+    def build(mine: CountDownLatch, theirs: CountDownLatch)(k: String) = {
+      mine.countDown()
+      if (!theirs.await(10, TimeUnit.SECONDS)) handshake = false
+      "v" + k
+    }
+    val ta = new Thread(() =>
+      m.computeValidated("a", _ => true, build(aIn, bIn)))
+    val tb = new Thread(() =>
+      m.computeValidated("b", _ => true, build(bIn, aIn)))
+    ta.start(); tb.start()
+    ta.join(15000); tb.join(15000)
+    assert(!ta.isAlive && !tb.isAlive, "builds serialized under the lock")
+    assert(handshake, "cross-latch handshake timed out: a build blocked " +
+      "the other key's build — a Spark job must never run under the lock")
+    assert(m.computeIfAbsent("a", _ => fail("a was built")) == "va")
+    assert(m.computeIfAbsent("b", _ => fail("b was built")) == "vb")
   }
 }

@@ -28,7 +28,8 @@ def main():
             ["sbt", "-batch", f"runMain graft.Verify {d} {out}"],
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
         if dump.returncode != 0:
-            results.append((d, f"Verify dump failed rc={dump.returncode}"))
+            results.append((d, dump.returncode,
+                            f"Verify dump failed rc={dump.returncode}"))
             continue
         check = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__), "check.py"),
@@ -36,17 +37,21 @@ def main():
             capture_output=True, text=True)
         tail = (check.stdout.strip().splitlines() or ["<no output>"])[-1]
         fails = [l for l in check.stdout.splitlines() if l.startswith("FAIL")]
-        results.append((d, tail if check.returncode == 0
+        # PASS is check.py's return code, recorded verbatim — never a
+        # string match on the summary line (a format drift to "10 fail"
+        # must not read as PASS).
+        results.append((d, check.returncode,
+                        tail if check.returncode == 0
                         else tail + " | " + "; ".join(fails[:5])))
         for line in fails:
             print(line, flush=True)
-        print(f"== {d}: {tail}", flush=True)
+        print(f"== {d}: rc={check.returncode} {tail}", flush=True)
     print("\n==== verify_all summary")
     bad = False
-    for d, r in results:
-        ok = r.endswith("0 fail")
+    for d, rc, r in results:
+        ok = rc == 0
         bad |= not ok
-        print(f"{'PASS' if ok else 'FAIL'} {d}: {r}")
+        print(f"{'PASS' if ok else 'FAIL'} {d} (rc={rc}): {r}")
     sys.exit(1 if bad else 0)
 
 if __name__ == "__main__":
