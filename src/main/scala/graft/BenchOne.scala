@@ -1,20 +1,24 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
 
-/** Standalone re-measure of ONE registered query: N timed passes with
-  * post-AQE join-strategy fingerprints per pass — the adjudication tool
-  * the r10 verdict asked for when two artifacts disagree on a single
-  * query (j12_entity_resolve: 1.19 s committed vs 16.7 s in the driver
-  * run). Run on an idle box; identical session config to [[Bench]] so a
-  * divergence is the query, not the harness.
+/** Targeted re-timer for bench triage: times the named queries (cold +
+  * three steady passes) with exactly [[Bench]]'s measurement discipline
+  * (noop-sink materialization, entry-query warmup, same session conf) so
+  * a single suspicious number from a full run can be re-measured on a
+  * quiet box in seconds instead of re-running the whole suite. Usage:
   *
-  * Usage: runMain graft.BenchOne <query_name> [n_passes=5] */
+  *   sbt -batch "runMain graft.BenchOne rag_retrieve rag_retrieve_indexed"
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+  * SPARK_GRAFT_CPUS (default 32 — triage wants the bench box shape).
+  * Output: one BENCHONE line per query; not part of the driver contract.
+  */
 object BenchOne {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val n = if (args.length > 1) args(1).toInt else 5
+    require(args.nonEmpty, "usage: BenchOne <queryName> [more...]")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,17 +26,22 @@ object BenchOne {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
-    val obs = (1 to n).map { i =>
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      val t = (System.nanoTime() - t0) / 1e9
-      val fp = Bench.planFingerprint(fn(spark, sfDir))
-      println(f"""{"pass":$i,"sec":$t%.3f,"plan":"$fp"}""")
-      t
+    spark.sparkContext.setLogLevel("ERROR")
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    try { materialize(SparkEntry.entry(spark)) } catch { case _: Throwable => () }
+    args.foreach { q =>
+      val fn = SparkEntry.queries.getOrElse(q,
+        sys.error(s"unknown query '$q' — not in SparkEntry.queries"))
+      def t(): Double = {
+        val t0 = System.nanoTime()
+        materialize(fn(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = t(); val s = Seq(t(), t(), t())
+      println(f"BENCHONE $q%s cold=$cold%.3f steady_min=${s.min}%.3f " +
+        s"steady=${s.map(x => f"$x%.3f").mkString("[", ",", "]")}")
     }
-    println(f"""{"query":"$name","sf":"$sfDir","best":${obs.min}%.3f,"worst":${obs.max}%.3f}""")
     spark.stop()
   }
 }

@@ -1571,7 +1571,38 @@ object Streams {
         }
       }
       nViews.update(n)
+      // Label-less keys must prune too (r15): most real users never
+      // purchase, and without this a label-less key accumulates views
+      // and days FOREVER — the per-key state leak the maxViewTail
+      // budget exists to reject, just slower. When nothing is pending
+      // the safe horizon is the watermark itself (a future label
+      // arrives strictly after it — the same assumption the timer
+      // path's min(watermark, …) already makes); when labels ARE
+      // pending, their timers prune at the tighter horizon anyway.
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      if (wmUs > 0L && !pending.get().hasNext) pruneTo(wmUs)
       Iterator.empty
+    }
+    /** Prune per-key state to `horizon` (µs): at-or-before the horizon
+      * only the single LATEST view and the single latest COMPLETE day
+      * can still be the as-of match for any remaining or future label,
+      * so everything older folds away; rows past the horizon (incl.
+      * open days) stay untouched. Shared by the timer path (horizon =
+      * min(watermark, oldest remaining label)) and the label-less
+      * input path (horizon = watermark). */
+    private def pruneTo(horizon: Long): Unit = {
+      val vs = views.get().toArray
+      val (vPast, vLive) = vs.partition(_.ts_us <= horizon)
+      views.clear()
+      val keptViews =
+        vPast.sortBy(r => (r.ts_us, r.view_id)).lastOption.toSeq ++ vLive
+      keptViews.foreach(views.appendValue)
+      nViews.update(keptViews.size.toLong)
+      val ds = days.iterator().map(p => (p._1, p._2)).toArray
+      val (dPast, dLive) = ds.partition(_._1 + dayUs <= horizon)
+      days.clear()
+      (dPast.sortBy(_._1).lastOption.toSeq ++ dLive)
+        .foreach { case (k2, v2) => days.updateValue(k2, v2) }
     }
     override def handleExpiredTimer(key: Long,
         timerValues: org.apache.spark.sql.streaming.TimerValues,
@@ -1607,16 +1638,7 @@ object Streams {
       // at-or-before its own instant
       val horizon = math.min(timerValues.getCurrentWatermarkInMs() * 1000L,
         if (keep.nonEmpty) keep.map(_.ts_us).min else Long.MaxValue)
-      val (vPast, vLive) = vs.partition(_.ts_us <= horizon)
-      views.clear()
-      val keptViews =
-        vPast.sortBy(r => (r.ts_us, r.view_id)).lastOption.toSeq ++ vLive
-      keptViews.foreach(views.appendValue)
-      nViews.update(keptViews.size.toLong)
-      val (dPast, dLive) = ds.partition(_._1 + dayUs <= horizon)
-      days.clear()
-      (dPast.sortBy(_._1).lastOption.toSeq ++ dLive)
-        .foreach { case (k2, v2) => days.updateValue(k2, v2) }
+      pruneTo(horizon)
       out.iterator
     }
   }

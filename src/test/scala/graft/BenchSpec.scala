@@ -94,6 +94,10 @@ class BenchSpec extends AnyFunSuite {
     "consumers, legacy absorbers (graph, j12, bm25) close the list") {
     val lo = Bench.scalingLegOrder
     assert(lo.take(2) == Seq("corpus", "corpus_link"), lo.toString)
+    // r15: the feature-store curve is the newest evidence — it rides
+    // right behind the corpus writes (its own events-only dirs are
+    // written inside the leg, each write budget-checked)
+    assert(lo.indexOf("pit_curve") == 2, lo.toString)
     // the two legs the r12 driver run dropped run right after the corpus
     assert(lo.indexOf("trgm_curve") < lo.indexOf("mining"), lo.toString)
     assert(lo.indexOf("lsh_curve") < lo.indexOf("mining"), lo.toString)
@@ -107,6 +111,27 @@ class BenchSpec extends AnyFunSuite {
     // long-stable legacy rows absorb any drop
     assert(lo.takeRight(3) == Seq("graph", "linkage_j12", "bm25_curve"),
       lo.toString)
+  }
+
+  test("bench_exempt contrast arms: every exempt query stays GRADED " +
+    "(still in SparkEntry.queries with an oracleSql twin), its timed " +
+    "replacement evidence exists (sampled twin / scaling leg), and the " +
+    "sampled arms themselves are never exempt") {
+    val ex = Bench.benchExempt
+    assert(ex == Set("eval_neardup_pr", "eval_snm_recall",
+      "j14_entity_dual"), ex.toString)
+    ex.foreach { q =>
+      assert(SparkEntry.queries.contains(q), s"$q dropped from grading")
+      assert(SparkEntry.oracleSql.contains(q), s"$q lost its oracle twin")
+    }
+    // the timed replacements: sampled twins stay in the timed pass...
+    Seq("eval_neardup_pr_sampled", "eval_snm_recall_sampled").foreach { q =>
+      assert(SparkEntry.queries.contains(q) && !ex(q), q)
+    }
+    // ...and the j14-vs-j17 law comparison stays in the scaling block
+    assert(Bench.scalingLegOrder.contains("linkage_j14"),
+      "exempting j14 steady must not retire its scaling leg")
+    assert(Bench.scalingLegOrder.contains("linkage_j17"))
   }
 
   test("BenchPrior.scaling is the committed scaling block (artifact of " +

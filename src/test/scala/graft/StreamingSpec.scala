@@ -1385,6 +1385,76 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("PitKeeper state-size observation (r14 verdict task #4): after a " +
+    "full fixture replay plus a label-less flush batch, every key's " +
+    "retained state is the pruned constant — pending empty, ≤1 view, " +
+    "≤1 complete click day — read back from the checkpoint via the " +
+    "statestore source; hundreds of ingested rows fold to O(keys)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val evRows = graft.Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .orderBy(col("ts"), col("event_id")).collect().toSeq
+      .map(r => RawEv(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val nViewsIngested = evRows.count(_.event_type == "view")
+    assert(nViewsIngested >= 100, "fixture must carry real view volume")
+    val users = evRows.map(_.user_id).distinct.sorted
+    val ck = java.nio.file.Files.createTempDirectory("pit_state_ck").toString
+    val prevProvider = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[RawEv]
+      val q = Streams.pitFeaturesStream(in.toDF(), "ts", "0 seconds")
+        .writeStream.format("memory").queryName("pit_state")
+        .option("checkpointLocation", ck)
+        .outputMode("append").start()
+      in.addData(evRows: _*); q.processAllAvailable()
+      // watermark flush fires every remaining label timer...
+      val sentinelUser = users.max + 1L
+      in.addData(RawEv(sentinelUser, ts("2030-01-01 00:00:00"), 999999L,
+        "signup", 0.0))
+      q.processAllAvailable()
+      // ...then one label-LESS event per key under the flushed watermark
+      // drives the input-path prune for EVERY key — including keys whose
+      // last activity predates their final watermark (exactly the
+      // label-less-user shape that leaked state before r15)
+      in.addData(users.zipWithIndex.map { case (u, i) =>
+        RawEv(u, ts("2030-01-02 00:00:00"), 1000000L + i, "signup", 0.0)
+      }: _*)
+      q.processAllAvailable()
+      q.stop()
+      def state(v: String) = s.read.format("statestore")
+        .option("path", ck).option("stateVarName", v).load()
+      assert(state("pending_labels").count() == 0L,
+        "every label emitted exactly once and cleared")
+      val viewCounts = state("views").groupBy(col("key"))
+        .agg(count(lit(1)).as("n")).collect()
+      assert(viewCounts.forall(_.getAs[Long]("n") <= 1L),
+        s"≤1 retained view per key after the flush: " +
+          viewCounts.map(_.toSeq).mkString(", "))
+      val retainedViews = viewCounts.map(_.getAs[Long]("n")).sum
+      assert(retainedViews <= users.size.toLong,
+        s"retained=$retainedViews keys=${users.size}")
+      assert(retainedViews * 10 <= nViewsIngested.toLong,
+        s"state must FOLD, not mirror: retained=$retainedViews of " +
+          s"$nViewsIngested ingested views")
+      val dayCounts = state("day_clicks").groupBy(col("key"))
+        .agg(count(lit(1)).as("n")).collect()
+      assert(dayCounts.forall(_.getAs[Long]("n") <= 1L),
+        s"≤1 retained click day per key after the flush: " +
+          dayCounts.map(_.toSeq).mkString(", "))
+    } finally {
+      if (prevProvider.nonEmpty)
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+      else s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("sessionOverlapStream ≡ batch sessionOverlapPairs on real fixture " +
     "sessions (exactly-once per pair via the overlap-start-bin rule, " +
     "no dedup exchange)") {
