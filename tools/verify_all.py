@@ -31,9 +31,13 @@ def main():
             results.append((d, dump.returncode,
                             f"Verify dump failed rc={dump.returncode}"))
             continue
+        # --cache: oracle results memoized by (testdata fingerprint, SQL)
+        # — the sf0.1 DuckDB pass is >10 min cold, seconds warm; a
+        # testdata regeneration invalidates loudly (check.py prints
+        # ORACLE CACHE INVALIDATED and re-runs everything fresh)
         check = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__), "check.py"),
-             d, out],
+             "--cache", d, out],
             capture_output=True, text=True)
         tail = (check.stdout.strip().splitlines() or ["<no output>"])[-1]
         fails = [l for l in check.stdout.splitlines() if l.startswith("FAIL")]
