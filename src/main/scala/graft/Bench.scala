@@ -84,6 +84,26 @@ object Bench {
   val benchExempt: Set[String] =
     Set("eval_neardup_pr", "eval_snm_recall", "j14_entity_dual")
 
+  /** Cumulative shuffle-WRITE-bytes tally (r15): the scaling block's
+    * time curves carry the documented ±1.2–1.5× host multiplier, but
+    * BYTES don't — the same plan over the same data shuffles the same
+    * volume on a quiet or a loaded box (AQE coalescing changes partition
+    * counts, never volume), so the `<row>_shuf_mb` series is the
+    * load-immune twin of each time law: if shuffle volume is linear in
+    * the scale factor and time is not, the residual is the box, not the
+    * plan. Listener-bus delivery is async; readers poll-stabilize via
+    * [[Bench.main]]'s drain helper rather than touching private bus
+    * APIs. */
+  private[graft] final class ShuffleTally
+      extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+    }
+  }
+
   /** Wall-clock budget guard over named legs — the repo's own "no silent
     * caps" rule applied to its benchmark (r11: the scaling block outgrew
     * the driver's time budget and the whole artifact died rc=124). Legs
@@ -398,6 +418,23 @@ object Bench {
     var scalingRows: Seq[(String, Seq[(String, Double)])] = Seq.empty
     var droppedLegs: Seq[String] = Seq.empty
     var scalingRetimed: Seq[(String, Double)] = Seq.empty
+    // shuffle-bytes tally for the steadyRow scaling rows (see
+    // [[ShuffleTally]]): deltas read by poll-stabilizing the async
+    // listener counter — two consecutive equal reads 50 ms apart, 2 s
+    // cap (task-end events drain in ms; the cap only bounds a wedged bus)
+    val shuffleTally = new ShuffleTally
+    spark.sparkContext.addSparkListener(shuffleTally)
+    def drainShuffleBytes(): Long = {
+      var prev = shuffleTally.bytes.get()
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 2000) {
+        Thread.sleep(50); waited += 50
+        val cur = shuffleTally.bytes.get()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      prev
+    }
     def runScaling(): Unit = {
       // Amplified-corpus dirs are populated by the FIRST budget-guarded
       // legs below (r12 ADVICE: the writes ran unconditionally before
@@ -475,13 +512,25 @@ object Bench {
       // fixed by one x1 warm pass, and re-warming every point — r12's
       // protocol — only doubled the expensive linkage legs' wall cost
       // (the budget overrun's biggest line item).
+      // per-point shuffle-write MB for every steadyRow point, divided by
+      // the attempt count when the contention retry re-ran a point (same
+      // op, same bytes per run — the division is exact); emitted as
+      // parallel `<row>_shuf_mb` scaling rows, the load-immune IO law
+      // beside each time law
+      val shufMb = scala.collection.mutable.ListBuffer[(String, String, Double)]()
       def steadyRow(qn: String, ds: Seq[(Int, String)],
                     after: (Int, String) => Unit = (_, _) => ()) = {
         val fn = SparkEntry.queries(qn)
         ds.headOption.foreach { case (_, dir) => materialize(fn(spark, dir)) }
         qn -> ds.map { case (n, dir) =>
+          val b0 = drainShuffleBytes()
           val t = timedPointR(qn, s"x$n", timedIn(dir)(fn),
             () => timedIn(dir)(fn))
+          val b1 = drainShuffleBytes()
+          val attempts = 1 + scalingRetimed
+            .collectFirst { case (k, a) if k == s"$qn.x$n" => a.toInt }
+            .getOrElse(0)
+          shufMb += ((qn, s"x$n", (b1 - b0).toDouble / attempts / 1e6))
           after(n, dir)
           s"x$n" -> t
         }
@@ -706,7 +755,11 @@ object Bench {
       require(legs.map(_._1) == scalingLegOrder,
         s"scaling leg plan drifted from the pinned order: ${legs.map(_._1)}")
       val (done, dropped) = runWithBudget(legs, secondsLeft _)
-      scalingRows = done.flatMap(_._2)
+      val shufRows: Seq[(String, Seq[(String, Double)])] =
+        shufMb.toSeq.groupBy(_._1).toSeq.sortBy(_._1).map { case (qn, pts) =>
+          (qn + "_shuf_mb") -> pts.map { case (_, xn, mb) => xn -> mb }
+        }
+      scalingRows = done.flatMap(_._2) ++ shufRows
       droppedLegs = intraDropped.toSeq ++ dropped
     }
     var incremental: Seq[(String, Double)] = Seq.empty

@@ -138,7 +138,10 @@ class BenchSpec extends AnyFunSuite {
     "record, full curve incl. the corpus-write rows); non-timing rows " +
     "excluded; the minhash-cliff anchor present") {
     val sc = BenchPrior.scaling
-    assert(sc.size == 21, sc.size.toString)
+    assert(sc.size == 23, sc.size.toString)
+    // r15: the feature-store curve + its corpus-write row are anchored
+    assert(sc("j19_pit_features").contains("x10") &&
+      sc.contains("scale_corpus_write_pit"))
     assert(!sc.contains("cc_rounds") && !sc.contains("j14_suffix_block_rows") &&
       !sc.contains("j14_split_suffix_len"),
       "counts/lengths are not seconds — retrying on them would be meaningless")
@@ -162,9 +165,12 @@ class BenchSpec extends AnyFunSuite {
       "the j14 x10 point must stay retired (budget insurance)")
   }
 
-  test("BenchPrior resource is the committed r14-close steady map: 295 " +
-    "entries, median in the committed envelope, j12 prior present") {
-    assert(BenchPrior.steady.size == 295, BenchPrior.steady.size.toString)
+  test("BenchPrior resource is the committed r15-close steady map: 292 " +
+    "entries (295 graded minus the 3 bench-exempt contrast arms), " +
+    "median in the committed envelope, j12 prior present") {
+    assert(BenchPrior.steady.size == 292, BenchPrior.steady.size.toString)
+    assert(Bench.benchExempt.forall(q => !BenchPrior.steady.contains(q)),
+      "exempt arms must not anchor a retime trigger they never run")
     assert(BenchPrior.median > 0.1 && BenchPrior.median < 2.0,
       BenchPrior.median.toString)
     assert(BenchPrior.steady.contains("j12_entity_resolve"))

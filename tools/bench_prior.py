@@ -19,7 +19,10 @@ def main() -> None:
     artifact, note = sys.argv[1], sys.argv[2]
     d = json.load(open(artifact))
     steady = dict(sorted(d["steady"].items()))
-    scaling = {k: v for k, v in d["scaling"].items() if k not in NON_TIMING_ROWS}
+    # *_shuf_mb rows are shuffle VOLUME (deterministic, load-immune) —
+    # not seconds; retrying on them would be meaningless, like cc_rounds
+    scaling = {k: v for k, v in d["scaling"].items()
+               if k not in NON_TIMING_ROWS and not k.endswith("_shuf_mb")}
     sf = d["sf"]
 
     steady_lines = ",\n".join(f'    "{k}" -> {v}' for k, v in steady.items())
