@@ -134,6 +134,39 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.scalingLegOrder.contains("linkage_j17"))
   }
 
+  test("ShuffleTally: a shuffling job accrues write bytes; a narrow job " +
+    "accrues none (the load-immune volume twin the scaling rows emit " +
+    "as <row>_shuf_mb)") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    val tally = new Bench.ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    // the same poll-stabilize discipline Bench.main uses (listener bus
+    // delivery is async): two consecutive equal reads 50 ms apart
+    def drain(): Long = {
+      var prev = tally.bytes.get(); var stable = 0; var waited = 0
+      while (stable < 2 && waited < 4000) {
+        Thread.sleep(50); waited += 50
+        val cur = tally.bytes.get()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      prev
+    }
+    (1 to 10000).toDF("x")
+      .groupBy((org.apache.spark.sql.functions.col("x") % 7).as("k"))
+      .count().collect()
+    val afterShuffle = drain()
+    assert(afterShuffle > 0L, "a groupBy must write shuffle bytes")
+    (1 to 1000).toDF("y")
+      .select(org.apache.spark.sql.functions.col("y") * 2).collect()
+    assert(drain() == afterShuffle,
+      "a narrow map job must not move the shuffle tally")
+  }
+
   test("BenchPrior.scaling is the committed scaling block (artifact of " +
     "record, full curve incl. the corpus-write rows); non-timing rows " +
     "excluded; the minhash-cliff anchor present") {
