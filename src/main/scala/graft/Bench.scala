@@ -97,10 +97,19 @@ object Bench {
   private[graft] final class ShuffleTally
       extends org.apache.spark.scheduler.SparkListener {
     val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    /** memory+disk bytes SPILLED, whole-run: the artifact's `spill_mb`
+      * field. The partition-sizing claim ("partitions fit in executor
+      * memory at the target SF") was asserted prose until r15 — this
+      * measures it every run; a nonzero value names the round that
+      * outgrew its shuffle-partition count. */
+    val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
     override def onTaskEnd(
         t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
-      if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      if (m != null) {
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
     }
   }
 
@@ -188,6 +197,13 @@ object Bench {
         "org.apache.spark.sql.execution.window.WindowExec",
         org.apache.logging.log4j.Level.ERROR)
     } catch { case _: Throwable => () }
+    // Registered BEFORE any timed work so the whole run feeds both
+    // counters: per-point shuffle WRITE deltas for the `<row>_shuf_mb`
+    // scaling twins, and the run-wide `spill_mb` field (see
+    // [[ShuffleTally]] — the measured form of the "partitions fit in
+    // executor memory at this SF" sizing claim).
+    val shuffleTally = new ShuffleTally
+    spark.sparkContext.addSparkListener(shuffleTally)
     // Full materialization, not count(): under count() Catalyst prunes
     // every unevaluated projection, so projection-heavy queries (parser /
     // hash kernels) would be benchmarked with their kernels optimized
@@ -418,12 +434,9 @@ object Bench {
     var scalingRows: Seq[(String, Seq[(String, Double)])] = Seq.empty
     var droppedLegs: Seq[String] = Seq.empty
     var scalingRetimed: Seq[(String, Double)] = Seq.empty
-    // shuffle-bytes tally for the steadyRow scaling rows (see
-    // [[ShuffleTally]]): deltas read by poll-stabilizing the async
-    // listener counter — two consecutive equal reads 50 ms apart, 2 s
-    // cap (task-end events drain in ms; the cap only bounds a wedged bus)
-    val shuffleTally = new ShuffleTally
-    spark.sparkContext.addSparkListener(shuffleTally)
+    // deltas read by poll-stabilizing the async listener counter — two
+    // consecutive equal reads 50 ms apart, 2 s cap (task-end events
+    // drain in ms; the cap only bounds a wedged bus)
     def drainShuffleBytes(): Long = {
       var prev = shuffleTally.bytes.get()
       var stable = 0
@@ -779,7 +792,11 @@ object Bench {
       // reads as "retried under load", never silently quadratic-looking
       val exemptJson =
         benchExempt.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val line = s"""{"metric":"total","value":${r3(coldTotal)},"unit":"sec","sf":"$sfDir","queries":$cold,"steady":$steady,"retimed":$retimed,"steady_total":${r3(steadyTotal)},"floor":$floorJson,"incremental":${jmap(incremental)},"scaling":$scalingJson,"scaling_retimed":${jmap(scalingRetimed)},"scaling_dropped":$droppedJson,"bench_exempt":$exemptJson}"""
+      // drain first: the last scaling leg's task-end events may still be
+      // in flight on the listener bus
+      drainShuffleBytes()
+      val spillMb = shuffleTally.spilled.get().toDouble / 1e6
+      val line = s"""{"metric":"total","value":${r3(coldTotal)},"unit":"sec","sf":"$sfDir","queries":$cold,"steady":$steady,"retimed":$retimed,"steady_total":${r3(steadyTotal)},"floor":$floorJson,"incremental":${jmap(incremental)},"scaling":$scalingJson,"scaling_retimed":${jmap(scalingRetimed)},"scaling_dropped":$droppedJson,"bench_exempt":$exemptJson,"spill_mb":${r3(spillMb)}}"""
       println(line)
       // bench_full.json is the BUILDER's artifact of record (BenchPrior
       // and the README perf row derive from it) — a possibly-contended

@@ -165,6 +165,8 @@ class BenchSpec extends AnyFunSuite {
       .select(org.apache.spark.sql.functions.col("y") * 2).collect()
     assert(drain() == afterShuffle,
       "a narrow map job must not move the shuffle tally")
+    assert(tally.spilled.get() == 0L,
+      "tiny in-memory jobs must not spill (the artifact's spill_mb field)")
   }
 
   test("BenchPrior.scaling is the committed scaling block (artifact of " +
