@@ -103,6 +103,13 @@ object Bench {
       * measures it every run; a nonzero value names the round that
       * outgrew its shuffle-partition count. */
     val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
+    /** Monotone task-end counter — the drain's stabilization signal.
+      * Stabilizing on `bytes` alone would exit early past trailing
+      * events that spill without writing shuffle bytes (read-side
+      * sort/agg spill), under-reporting exactly the number `spill_mb`
+      * exists to catch. INCREMENTED LAST so a drain that observes a
+      * stable event count observes the matching bytes/spilled values. */
+    val taskEnds = new java.util.concurrent.atomic.AtomicLong(0L)
     override def onTaskEnd(
         t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
@@ -110,6 +117,7 @@ object Bench {
         bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
       }
+      taskEnds.incrementAndGet()
     }
   }
 
@@ -434,19 +442,20 @@ object Bench {
     var scalingRows: Seq[(String, Seq[(String, Double)])] = Seq.empty
     var droppedLegs: Seq[String] = Seq.empty
     var scalingRetimed: Seq[(String, Double)] = Seq.empty
-    // deltas read by poll-stabilizing the async listener counter — two
-    // consecutive equal reads 50 ms apart, 2 s cap (task-end events
-    // drain in ms; the cap only bounds a wedged bus)
+    // deltas read by poll-stabilizing the async listener TASK-END count
+    // (not the byte counter: spill-only trailing events never move
+    // bytes) — two consecutive equal reads 50 ms apart, 2 s cap
+    // (task-end events drain in ms; the cap only bounds a wedged bus)
     def drainShuffleBytes(): Long = {
-      var prev = shuffleTally.bytes.get()
+      var prev = shuffleTally.taskEnds.get()
       var stable = 0
       var waited = 0
       while (stable < 2 && waited < 2000) {
         Thread.sleep(50); waited += 50
-        val cur = shuffleTally.bytes.get()
+        val cur = shuffleTally.taskEnds.get()
         if (cur == prev) stable += 1 else { stable = 0; prev = cur }
       }
-      prev
+      shuffleTally.bytes.get()
     }
     def runScaling(): Unit = {
       // Amplified-corpus dirs are populated by the FIRST budget-guarded

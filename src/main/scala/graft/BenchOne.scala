@@ -39,8 +39,12 @@ object BenchOne {
         (System.nanoTime() - t0) / 1e9
       }
       val cold = t(); val s = Seq(t(), t(), t())
+      // post-AQE join-strategy fingerprint (Bench.planFingerprint): a
+      // triage re-time must distinguish "same plan, so contention" from
+      // "a broadcast fell off" — times alone can't (the r10 lesson)
+      val fp = Bench.planFingerprint(fn(spark, sfDir))
       println(f"BENCHONE $q%s cold=$cold%.3f steady_min=${s.min}%.3f " +
-        s"steady=${s.map(x => f"$x%.3f").mkString("[", ",", "]")}")
+        s"steady=${s.map(x => f"$x%.3f").mkString("[", ",", "]")} plan=$fp")
     }
     spark.stop()
   }

@@ -61,7 +61,14 @@ final class DirMemo[V](name: String, maxEntries: Int = 64,
     * build (ours is handed to `onEvict`); a stale incumbent is evicted
     * and replaced. At most one value per key survives; stale and losing
     * values always pass through `safeEvict`, so resource-holding values
-    * (checkpointed frames) are released on every exit path. */
+    * (checkpointed frames) are released on every exit path.
+    *
+    * Prefer PATH values + [[computeIfAbsent]] where possible: a scratch
+    * path is session-independent and eviction-safe by construction (the
+    * r15 bloomStanding migration), so it needs no liveness predicate.
+    * This method is for values that genuinely must be session-bound
+    * (live frames, open handles) — it is spec-covered
+    * (CacheAuditSpec) and currently has no production caller. */
   def computeValidated(k: String, isLive: V => Boolean,
                        build: String => V): V = {
     val hit = memo.synchronized {

@@ -472,34 +472,39 @@ object TrainingQueries {
   private val BloomChunkW = 32
 
   /** Standing-corpus serving state per data dir: the chunked+keyed corpus
-    * frame (checkpointed once) and its Bloom sketch — exactly what a
-    * nightly pipeline holds between deliveries (the sketch as a stored
-    * artifact, [[Dedup.bloomWriteSketch]]). The first call per dir pays
-    * the corpus pass; repeat calls (bench steady runs) measure what every
-    * night after the first measures: the delta probe + verify join. */
-  // onEvict releases the checkpointed frame's executor blocks — unlike
-  // the path-only memos, LRU-dropping this entry without it would leak
-  // the blocks in block storage (the very class DirMemo exists to close).
+    * written ONCE to scratch parquet, plus its Bloom sketch — exactly
+    * what a nightly pipeline holds between deliveries (the sketch as a
+    * stored artifact, [[Dedup.bloomWriteSketch]]). The first call per dir
+    * pays the corpus pass; repeat calls (bench steady runs) measure what
+    * every night after the first measures: the delta probe + verify join.
+    *
+    * The value is a scratch PATH, not a live frame — the same
+    * eviction-safe shape as every other per-dir index memo. An earlier
+    * revision memoized a `localCheckpoint`ed DataFrame with an `onEvict`
+    * that unpersisted it, but that turns LRU eviction into a
+    * use-after-release hazard: a caller still holding the LAZY plan that
+    * embeds the frame loses the checkpoint blocks (lineage is truncated,
+    * so they cannot be recomputed) when 64 other dirs churn the memo. A
+    * path has neither that problem nor the frame's session-liveness
+    * coupling: the artifact outlives eviction (reclaimed by
+    * [[graft.Scratch]]'s shutdown hook), and ANY session can read it, so
+    * plain `computeIfAbsent` suffices — no staleness predicate at all. */
   private val bloomStanding =
-    new graft.operators.DirMemo[(DataFrame, Array[Byte])]("training.bloomStanding",
-      onEvict = { case (df, _) => graft.operators.Checkpoints.release(df) })
+    new graft.operators.DirMemo[(String, Array[Byte])]("training.bloomStanding")
 
   def dedupBloomIncremental(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     def chunks(df: DataFrame) =
       graft.operators.Sequence.chunkTokens(df, "doc_id", "text", BloomChunkW, BloomChunkW)
         .select(col("doc_id"), md5(col("chunk_text")).as("chunk_hash"))
-    // unlike the path-only index caches, this one holds a live
-    // checkpointed DataFrame — bound to the SparkContext that built it.
-    // computeValidated: the isStopped liveness probe runs under the memo
-    // lock (cheap), but the corpus pass + checkpoint + Bloom build run
-    // OUTSIDE it, so a cold build never serializes unrelated dirs.
-    val (oldKeyed, sketch) = bloomStanding.computeValidated(d,
-      isLive = { case (df, _) => !df.sparkSession.sparkContext.isStopped },
-      build = _ => {
-        val corpus = chunks(docs.filter(col("doc_id") % 5 =!= 0)).localCheckpoint()
-        (corpus, Dedup.bloomBuild(corpus, "chunk_hash", expectedItems = 100000L))
-      })
+    val (path, sketch) = bloomStanding.computeIfAbsent(d, _ => {
+      val p = graft.Scratch.dir("bloom_standing")
+      chunks(docs.filter(col("doc_id") % 5 =!= 0))
+        .write.parquet(s"$p/chunks.parquet")
+      val written = s.read.parquet(s"$p/chunks.parquet")
+      (p, Dedup.bloomBuild(written, "chunk_hash", expectedItems = 100000L))
+    })
+    val oldKeyed = s.read.parquet(s"$path/chunks.parquet")
     Dedup.bloomMembershipWith(
         chunks(docs.filter(col("doc_id") % 5 === 0)),
         oldKeyed, "doc_id", "chunk_hash", sketch)

@@ -1591,18 +1591,26 @@ object Streams {
       * min(watermark, oldest remaining label)) and the label-less
       * input path (horizon = watermark). */
     private def pruneTo(horizon: Long): Unit = {
+      // no-op guard: once a key is at its pruned constant (≤1 past view,
+      // ≤1 complete day), every further batch would clear-and-rewrite
+      // identical state — on RocksDB that is pure tombstone/changelog
+      // churn for nothing, and the input path calls this per batch
       val vs = views.get().toArray
       val (vPast, vLive) = vs.partition(_.ts_us <= horizon)
-      views.clear()
-      val keptViews =
-        vPast.sortBy(r => (r.ts_us, r.view_id)).lastOption.toSeq ++ vLive
-      keptViews.foreach(views.appendValue)
-      nViews.update(keptViews.size.toLong)
+      if (vPast.length > 1) {
+        views.clear()
+        val keptViews =
+          vPast.sortBy(r => (r.ts_us, r.view_id)).lastOption.toSeq ++ vLive
+        keptViews.foreach(views.appendValue)
+        nViews.update(keptViews.size.toLong)
+      }
       val ds = days.iterator().map(p => (p._1, p._2)).toArray
       val (dPast, dLive) = ds.partition(_._1 + dayUs <= horizon)
-      days.clear()
-      (dPast.sortBy(_._1).lastOption.toSeq ++ dLive)
-        .foreach { case (k2, v2) => days.updateValue(k2, v2) }
+      if (dPast.length > 1) {
+        days.clear()
+        (dPast.sortBy(_._1).lastOption.toSeq ++ dLive)
+          .foreach { case (k2, v2) => days.updateValue(k2, v2) }
+      }
     }
     override def handleExpiredTimer(key: Long,
         timerValues: org.apache.spark.sql.streaming.TimerValues,

@@ -19,12 +19,20 @@ import sys, json, glob, os, hashlib
 import duckdb
 import pandas as pd
 
+# Folded into every cache key: a DuckDB upgrade is exactly the
+# engine-divergence class the oracle-parity rules exist for (decimal,
+# libm, recursive-union behavior shift between versions), and a cached
+# PASS from the old engine must not vouch for the new one. Bump the
+# schema constant when check.py's own normalize/compare logic changes.
+CACHE_SCHEMA = "v1"
+ENGINE_TAG = f"duckdb={duckdb.__version__};schema={CACHE_SCHEMA}"
+
 def dir_fingerprint(sfdir):
     ents = []
     for p in sorted(glob.glob(os.path.join(sfdir, "*.parquet"))):
         st = os.stat(p)
         ents.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
-    return sfdir + "|" + ";".join(ents)
+    return ENGINE_TAG + "|" + sfdir + "|" + ";".join(ents)
 
 def main():
     args = [a for a in sys.argv[1:] if a != "--cache"]
@@ -42,9 +50,10 @@ def main():
         if os.path.exists(fp_file):
             old = open(fp_file).read()
             if old != fp:
-                print(f"ORACLE CACHE INVALIDATED for {sfdir}: testdata "
-                      "changed (size/mtime fingerprint flipped) — all "
-                      "oracle queries re-run fresh", flush=True)
+                print(f"ORACLE CACHE INVALIDATED for {sfdir}: testdata or "
+                      "oracle engine changed (size/mtime/duckdb-version "
+                      "fingerprint flipped) — all oracle queries re-run "
+                      "fresh", flush=True)
         with open(fp_file, "w") as f:
             f.write(fp)
     con = duckdb.connect()
