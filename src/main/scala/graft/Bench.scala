@@ -534,25 +534,31 @@ object Bench {
       // fixed by one x1 warm pass, and re-warming every point — r12's
       // protocol — only doubled the expensive linkage legs' wall cost
       // (the budget overrun's biggest line item).
-      // per-point shuffle-write MB for every steadyRow point, divided by
-      // the attempt count when the contention retry re-ran a point (same
-      // op, same bytes per run — the division is exact); emitted as
-      // parallel `<row>_shuf_mb` scaling rows, the load-immune IO law
-      // beside each time law
+      // per-point shuffle-write MB for EVERY timed scaling point,
+      // divided by the attempt count when the contention retry re-ran a
+      // point (same op, same bytes per run — the division is exact);
+      // emitted as parallel `<row>_shuf_mb` scaling rows, the load-
+      // immune IO law beside each time law. Untimed warm/standing-index
+      // passes stay outside the wrap, so serve volumes price serving
+      // reads only, never their one-time builds.
       val shufMb = scala.collection.mutable.ListBuffer[(String, String, Double)]()
+      def volPoint(row: String, xn: String)(body: => Double): Double = {
+        val b0 = drainShuffleBytes()
+        val t = body
+        val b1 = drainShuffleBytes()
+        val attempts = 1 + scalingRetimed
+          .collectFirst { case (k, a) if k == s"$row.$xn" => a.toInt }
+          .getOrElse(0)
+        shufMb += ((row, xn, (b1 - b0).toDouble / attempts / 1e6))
+        t
+      }
       def steadyRow(qn: String, ds: Seq[(Int, String)],
                     after: (Int, String) => Unit = (_, _) => ()) = {
         val fn = SparkEntry.queries(qn)
         ds.headOption.foreach { case (_, dir) => materialize(fn(spark, dir)) }
         qn -> ds.map { case (n, dir) =>
-          val b0 = drainShuffleBytes()
-          val t = timedPointR(qn, s"x$n", timedIn(dir)(fn),
-            () => timedIn(dir)(fn))
-          val b1 = drainShuffleBytes()
-          val attempts = 1 + scalingRetimed
-            .collectFirst { case (k, a) if k == s"$qn.x$n" => a.toInt }
-            .getOrElse(0)
-          shufMb += ((qn, s"x$n", (b1 - b0).toDouble / attempts / 1e6))
+          val t = volPoint(qn, s"x$n")(
+            timedPointR(qn, s"x$n", timedIn(dir)(fn), () => timedIn(dir)(fn)))
           after(n, dir)
           s"x$n" -> t
         }
@@ -647,16 +653,19 @@ object Bench {
             "search_substring_indexed_build" -> dirs.map { case (n, dir) =>
               val docs = spark.read.parquet(s"$dir/documents.parquet")
                 .select(col("doc_id"), col("text"), col("source"))
-              s"x$n" -> timedOp(graft.operators.Search.writeTrigramIndex(
-                docs, "doc_id", "text", Seq("source"), tmp(s"bench_trgm_x${n}_build")))
+              s"x$n" -> volPoint("search_substring_indexed_build", s"x$n")(
+                timedOp(graft.operators.Search.writeTrigramIndex(
+                  docs, "doc_id", "text", Seq("source"),
+                  tmp(s"bench_trgm_x${n}_build"))))
             },
             // serve warms PER DIR (unlike steadyRow's x1-only warm): the
             // untimed pass builds the query's memoized per-dir index —
             // data-level cost priced by `_build`, not plan warmup
             "search_substring_indexed_serve" -> dirs.map { case (n, dir) =>
               materialize(trgmFn(spark, dir))
-              s"x$n" -> timedPointR("search_substring_indexed_serve", s"x$n",
-                timedIn(dir)(trgmFn), () => timedIn(dir)(trgmFn))
+              s"x$n" -> volPoint("search_substring_indexed_serve", s"x$n")(
+                timedPointR("search_substring_indexed_serve", s"x$n",
+                  timedIn(dir)(trgmFn), () => timedIn(dir)(trgmFn)))
             })
         }),
         // The LSH rebuild-vs-append pair rides the same curve: append
@@ -666,13 +675,16 @@ object Bench {
           val lshCurve = dirs.map { case (n, dir) =>
             val docs = spark.read.parquet(s"$dir/documents.parquet")
               .select(col("doc_id"), col("text"))
-            val rb = timedOp(graft.operators.Dedup.writeLshIndex(
-              docs, "doc_id", "text", tmp(s"bench_lsh_x${n}_rb")))
+            val rb = volPoint("lsh_rebuild", s"x$n")(
+              timedOp(graft.operators.Dedup.writeLshIndex(
+                docs, "doc_id", "text", tmp(s"bench_lsh_x${n}_rb"))))
             val standPath = tmp(s"bench_lsh_x${n}_inc")
             graft.operators.Dedup.writeLshIndex(
               docs.filter(col("doc_id") % 100 =!= 0), "doc_id", "text", standPath)
-            val ap = timedOp(graft.operators.Dedup.appendLshIndex(
-              spark, docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", standPath))
+            val ap = volPoint("lsh_append_1pct", s"x$n")(
+              timedOp(graft.operators.Dedup.appendLshIndex(
+                spark, docs.filter(col("doc_id") % 100 === 0),
+                "doc_id", "text", standPath)))
             (n, rb, ap)
           }
           Seq(
@@ -683,7 +695,8 @@ object Bench {
         // its consumers (perquery's dedup_clusters_incremental and every
         // graph row read the session-memoized edge set).
         "mining" -> (() => Seq("dup_edge_mining" -> dirs.map { case (n, dir) =>
-          s"x$n" -> timedOp { graft.queries.DupEdges.of(spark, dir); () }
+          s"x$n" -> volPoint("dup_edge_mining", s"x$n")(
+            timedOp { graft.queries.DupEdges.of(spark, dir); () })
         })),
         // perquery runs ahead of the expensive linkage legs: it carries
         // dedup_minhash_pairs — the leg whose x20 contention cliff (r12
@@ -694,8 +707,9 @@ object Bench {
           .map { qn =>
             val fn = SparkEntry.queries(qn)
             qn -> dirs.map { case (n, dir) =>
-              s"x$n" -> timedPointR(qn, s"x$n", timedIn(dir)(fn),
-                () => timedIn(dir)(fn))
+              s"x$n" -> volPoint(qn, s"x$n")(
+                timedPointR(qn, s"x$n", timedIn(dir)(fn),
+                  () => timedIn(dir)(fn)))
             }
           }),
         // Entity-linkage curve: the slowest steady family. j17 rides the
@@ -765,13 +779,15 @@ object Bench {
             "search_bm25_indexed_build" -> dirs.map { case (n, dir) =>
               val docs = spark.read.parquet(s"$dir/documents.parquet")
                 .select(col("doc_id"), col("text"))
-              s"x$n" -> timedOp(graft.operators.Search.writeBm25Index(
-                docs, "doc_id", "text", tmp(s"bench_bm25_x${n}_build")))
+              s"x$n" -> volPoint("search_bm25_indexed_build", s"x$n")(
+                timedOp(graft.operators.Search.writeBm25Index(
+                  docs, "doc_id", "text", tmp(s"bench_bm25_x${n}_build"))))
             },
             "search_bm25_indexed_serve" -> dirs.map { case (n, dir) =>
               materialize(bmFn(spark, dir))
-              s"x$n" -> timedPointR("search_bm25_indexed_serve", s"x$n",
-                timedIn(dir)(bmFn), () => timedIn(dir)(bmFn))
+              s"x$n" -> volPoint("search_bm25_indexed_serve", s"x$n")(
+                timedPointR("search_bm25_indexed_serve", s"x$n",
+                  timedIn(dir)(bmFn), () => timedIn(dir)(bmFn)))
             })
         }))
       require(legs.map(_._1) == scalingLegOrder,
