@@ -1023,44 +1023,113 @@ object Dedup {
   /** Connected components over near-dup pair edges — the step that turns
     * pairwise dedup output into CLUSTERS with one canonical doc each
     * (min id). Iterated min-label propagation to fixpoint: each round,
-    * every vertex takes the min label among itself and its neighbors.
-    * Converges in ≤ diameter rounds — near-dup clusters are shallow (a
-    * dup of a dup of X is ≈ X), so a handful of distributed rounds; each
-    * round is one join + one aggregation, labels are (long, long) pairs
-    * and are locally checkpointed so the plan doesn't grow with rounds.
-    * For adversarially deep graphs use [[connectedComponentsStar]] —
-    * same interface, diameter-independent rounds.
+    * every vertex takes the min label among itself and its neighbors,
+    * then follows its label one hop through the label table (pointer
+    * jumping), so convergence takes ~log₂(diameter) rounds; labels are
+    * (long, long) pairs and are locally checkpointed so the plan doesn't
+    * grow with rounds. [[connectedComponentsStar]] is the alternative
+    * implementation with a different per-round shape (edge-set
+    * contraction instead of a label table) — kept as the parity check
+    * and for graphs where shrinking the EDGE set beats shrinking the
+    * round count.
+    *
+    * SHUFFLE shape (reworked r16 — the volume twins caught the old form
+    * re-exchanging the full symmetric edge set EVERY round, Θ(E·rounds)
+    * bytes, j17's dominant volume term at x10, and executing the EDGE
+    * PLAN twice through the symmetrizing union):
+    *  - symmetrization is one explode over the edge rows (single
+    *    execution of the possibly-expensive upstream pair plan), then
+    *    hash-partitioned by src ONCE and locally checkpointed;
+    *    LogicalRDD preserves the partitioning, so the per-round join
+    *    probes it in place instead of re-shuffling it;
+    *  - propagation is FRONTIER-based: only vertices whose label
+    *    IMPROVED last round re-broadcast to their neighbors (a vertex
+    *    with an unchanged label has nothing new to tell them — the
+    *    min-label fixpoint is reached exactly when no label improves);
+    *  - each round ends with a POINTER-JUMPING shortcut (rep ←
+    *    labels(rep).rep, a label-table self-join — V-sized, tiny next
+    *    to E): propagation distance doubles per round, so convergence
+    *    takes ~log(diameter) rounds instead of diameter. On giant
+    *    components (the j17 linkage graph: 30k-node components) this is
+    *    the difference between 11 and ~5 E-sized propagation rounds —
+    *    the dominant volume term, since the frontier does NOT shrink
+    *    while ever-smaller minima keep arriving.
+    * Same fixpoint as the all-vertices form: labels are monotone
+    * non-increasing (a shortcut target labels(rep) is always in the
+    * same component and ≤ rep), every improvement re-propagates, so the
+    * converged labels are the component minima (parity vs the unblocked
+    * oracle is graded on every cluster query; DedupSpec pins star-CC
+    * parity).
     *
     * Output: (id, rep) for EVERY vertex, rep = min id of its component. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
+    val sym = org.apache.spark.sql.graftRdd.localCheckpointPartitioned(
+      edges
+        .select(explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        // explicit partition COUNT (REPARTITION_BY_NUM): exempt from AQE
+        // coalescing, so the declared partitioning below matches every
+        // round's 32-partition join requirement exactly
+        .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions,
+          col("src")),
+      // partitioning-DECLARING checkpoint: a plain localCheckpoint under
+      // AQE reports UnknownPartitioning, and every round then silently
+      // re-exchanges the full edge set — the Θ(E·rounds) volume term
+      // (measured: a constant edge-sized shuffle per round at 10× sf0.1)
+      Seq("src"))
     // iterate ONLY over vertices that touch an edge — the dup subgraph is
     // a vanishing fraction of the corpus, so the rounds run on it alone;
-    // isolated vertices are trivially their own rep and join back below
+    // isolated vertices are trivially their own rep and join back below.
+    // distinct() over the src column keeps labels co-partitioned with sym.
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("rep")).localCheckpoint()
-    var converged = false
+    // the frame whose plan ROOT is the live checkpoint — what
+    // Checkpoints.release takes (labels/frontier are projections of it)
+    var ck = labels
+    // round 0: every touched vertex is its own candidate min — the whole
+    // label set is the frontier (each edge fires exactly once here; later
+    // rounds only re-fire edges whose src improved)
+    var frontier = labels
+    var converged = frontier.limit(1).isEmpty // empty graph: no rounds
     var iter = 0
     while (!converged && iter < maxIter) {
-      val prop = sym.join(labels.select(col("id").as("src"), col("rep")), "src")
-        .select(col("dst").as("id"), col("rep"), lit(false).as("own"))
-      // convergence folds INTO the label aggregation: the vertex's own
-      // row is tagged, so min(own rep) recovers the previous label in the
-      // same groupBy — no per-round join + count job against the old
-      // labels; the check is a limit-1 scan of the checkpointed result
-      val next = labels.select(col("id"), col("rep"), lit(true).as("own"))
-        .union(prop)
-        .groupBy(col("id"))
-        .agg(min(col("rep")).as("rep"),
-          min(when(col("own"), col("rep"))).as("old_rep"))
-        .select(col("id"), col("rep"), (col("rep") =!= col("old_rep")).as("changed"))
+      val prop = sym
+        .join(frontier.select(col("id").as("src"), col("rep")), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("rep")).as("cand"))
+      // merge: both sides hash-partitioned by id (labels by construction
+      // + checkpoint-preserved; prop by its groupBy), so the join moves
+      // no bytes — only the frontier-sized prop exchange above does
+      val merged = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("cand"), col("rep"))).as("rep0"),
+          coalesce(col("cand") < col("rep"), lit(false)).as("ch0"))
+      // pointer jump: follow rep0 one hop through the PREVIOUS label
+      // table (rep0 is always a touched vertex id, so the lookup is
+      // total; labels(x).rep ≤ x keeps monotonicity). Jumping through
+      // the CHECKPOINTED labels — not through `merged` itself — matters:
+      // a merged self-join would execute the prop join twice (exchange
+      // reuse is not reliable here — measured as every round's prop
+      // exchange written twice), where the checkpoint is materialized
+      // and free to probe. One round of staleness costs a constant
+      // factor in rounds, not the log law. Both the edge hop and this
+      // label hop mark the frontier — a vertex improved either way has
+      // news for its neighbors next round.
+      val next = merged.join(
+          labels.select(col("id").as("jid"), col("rep").as("jrep")),
+          col("rep0") === col("jid"), "left")
+        .select(col("id"),
+          least(col("rep0"), coalesce(col("jrep"), col("rep0"))).as("rep"),
+          (col("ch0") ||
+            coalesce(col("jrep") < col("rep0"), lit(false))).as("changed"))
         .localCheckpoint()
-      converged = next.filter(col("changed")).limit(1).isEmpty
-      Checkpoints.release(labels) // next is materialized; don't pin every round's copy
-      labels = next
+      frontier = next.filter(col("changed")).select(col("id"), col("rep"))
+      converged = frontier.limit(1).isEmpty
+      Checkpoints.release(ck) // next is materialized; don't pin every round's copy
+      ck = next
+      labels = next.select(col("id"), col("rep"))
       iter += 1
     }
     // a silent partial result would be WRONG labels (and diverge from the
@@ -1085,11 +1154,12 @@ object Dedup {
 
   /** Large-star/small-star connected components (Kiveris, Lattanzi,
     * Mirrokni, Rastogi, Vassilvitskii — "Connected Components in
-    * MapReduce and Beyond", SoCC 2014): the diameter-INDEPENDENT
+    * MapReduce and Beyond", SoCC 2014): the edge-contraction
     * alternative to [[connectedComponents]]' min-label propagation.
-    * Min-label needs one round per hop of component diameter — fine for
-    * shallow near-dup clusters, fatal for chain-shaped components (a
-    * 10⁶-doc boilerplate chain would need 10⁶ rounds). Alternating
+    * (Since the r16 pointer-jumping shortcut, min-label also converges
+    * in O(log d) rounds on deep chains — the two now differ in per-round
+    * SHAPE, label-table hops vs edge-set contraction, not in whether
+    * deep graphs converge; the parity spec pins they agree.) Alternating
     * large-star (attach each node's LARGER neighbors to its neighborhood
     * minimum) and small-star (attach its smaller-or-equal neighbors
     * likewise) converges to min-rooted stars in O(log²n) rounds

@@ -485,8 +485,33 @@ object Relational {
     * budget still raises loudly under `failOnCap` (a corpus of one
     * repeated name puts all n rows in the identity variant's block — no
     * blocking scheme saves a degenerate key, and this one says so
-    * in-plan). Pairs sharing several variants dedup BEFORE the
-    * levenshtein confirm, so each candidate pair is scored once.
+    * in-plan).
+    *
+    * SHUFFLE shape (reworked r16 — the r15 volume twins caught this
+    * operator's bytes growing 26.7× for 10× data while its time looked
+    * near-linear, i.e. parallel reducers were absorbing a superlinear
+    * exchange that would dominate at 100 TB; three fixes):
+    *  - The block key through every exchange is `(seg,
+    *    xxhash64(variant))` — 8 bytes of hash instead of the variant
+    *    string payload. LOSSLESS both ways: a true distance-≤1 pair
+    *    shares an actual (seg, variant) value and therefore its hashed
+    *    key; a 64-bit collision can only ADD a within-segment candidate,
+    *    which the exact levenshtein confirm kills.
+    *  - The variant table is exchanged by the block key ONCE and
+    *    checkpointed with its partitioning declared
+    *    ([[org.apache.spark.sql.graftRdd.localCheckpointPartitioned]]) —
+    *    see the in-body comment for the two plans this kills (a
+    *    mis-estimated huge broadcast, and double execution of the
+    *    explode pipeline).
+    *  - The exact confirm (levenshtein ≤ 1) runs BEFORE the pair-dedup
+    *    exchange — the session-overlap discipline: candidate pairs are
+    *    join OUTPUT (never shuffled), and only TRUE pairs (linear in n
+    *    on dense-key corpora) pay the dedup exchange. The cost traded
+    *    for it is duplicate scoring — a pair sharing k variants is
+    *    confirmed k times, bounded by the neighborhood size (≤ len+1,
+    *    and only distance-0 pairs approach it) — a per-row codegen'd
+    *    string op, cheap precisely where the removed exchange was
+    *    superlinear bytes.
     * Output matches [[fuzzyLink]]: (id_a, id_b, name_a, name_b, dist). */
   def fuzzyLinkSymDel(df: DataFrame, idCol: String, nameCol: String,
                       segCol: Column,
@@ -495,44 +520,72 @@ object Relational {
     val base = df.select(col(idCol).as("id"), col(nameCol).as("name"),
       segCol.as("seg"))
     // i = 0 → identity variant; i in 1..len → deletion at position i.
-    // The block key is the TWO-column pair (seg, variant), never a
-    // delimited concat: concat_ws("|", seg, variant) collides across
-    // segments when a segment or name contains the delimiter
-    // (seg="A", variant="B|C" vs seg="A|B", variant="C"), and the
-    // final levenshtein<=1 confirm does not recheck segment equality —
-    // such a collision would emit a cross-segment pair the unblocked
-    // oracle excludes (latent on delimiter-bearing corpora; pinned in
-    // RelationalSpec).
-    val variants = base
-      .select(col("id"), col("name"), col("seg"),
-        explode(sequence(lit(0), length(col("name")))).as("i"))
-      .select(col("id"), col("name"), col("seg"),
-        when(col("i") === 0, col("name"))
-          .otherwise(expr(
-            "concat(substring(name, 1, i - 1), substring(name, i + 1, length(name)))"))
-          .as("bk"))
+    // The block key is the TWO-column pair (seg, xxhash64(variant)):
+    // keeping seg its own column makes cross-segment aliasing impossible
+    // STRUCTURALLY (the delimiter-collision class of a string concat —
+    // seg="A", variant="B|C" vs seg="A|B", variant="C" — is pinned in
+    // DataQualitySpec), while hashing the variant string to 8 bytes
+    // keeps the exchanged rows slim; a residual 64-bit collision can
+    // only merge two blocks WITHIN a segment, adding candidates the
+    // exact levenshtein confirm kills — never a pair the unblocked
+    // oracle excludes.
+    // The variant table is EXCHANGED BY THE (seg, h) BLOCK KEY ONCE and
+    // checkpointed with its partitioning declared (r16). Three reasons,
+    // all measured at 10× sf0.1: (1) Catalyst's size estimate for
+    // explode output is the PRE-explode parquet stats — ~(len+1)× too
+    // small — so the static planner BROADCAST the entire
+    // multi-million-row variant side (a ~170 MB hashed relation built
+    // from a sub-10 MB estimate; no AQE correction, because the join
+    // inputs aren't shuffle stages), a shape that OOMs at real scale;
+    // (2) exchange reuse did not fire for the self-join's two identical
+    // subtrees, so the whole explode+hash+guard pipeline EXECUTED TWICE;
+    // (3) with the declared (seg, h) partitioning, the counts aggregate,
+    // the guard join, and both self-join sides are all satisfied in
+    // place — the block-key exchange is paid exactly once. Skew on the
+    // key is alphabet-bounded by construction. The checkpoint blocks are
+    // released by Spark's ContextCleaner when the returned plan is
+    // dropped (same lifecycle as Dataset.localCheckpoint); ~(len+1)
+    // rows/name of executor storage is the standing SymSpell trade the
+    // scaladoc states.
+    val variants = org.apache.spark.sql.graftRdd.localCheckpointPartitioned(
+      base
+        .select(col("id"), col("name"), col("seg"),
+          explode(sequence(lit(0), length(col("name")))).as("i"))
+        .select(col("id"), col("name"), col("seg"),
+          xxhash64(
+            when(col("i") === 0, col("name"))
+              .otherwise(expr(
+                "concat(substring(name, 1, i - 1), substring(name, i + 1, length(name)))")))
+            .as("h"))
+        .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+          col("seg"), col("h")),
+      Seq("seg", "h"))
     val guarded =
       if (failOnCap) {
-        val counts = variants.groupBy(col("seg"), col("bk"))
+        val counts = variants.groupBy(col("seg"), col("h"))
           .agg(count(lit(1)).as("bn"))
-        variants.join(counts, Seq("seg", "bk"))
+        variants.join(counts.hint("merge"), Seq("seg", "h"))
           .withColumn("name",
             when(col("bn") * (col("bn") - 1L) / 2L > lit(maxPairs),
               raise_error(concat(
-                lit(s"fuzzyLinkSymDel: variant pair count exceeded maxPairs=$maxPairs (bk="),
-                col("bk").cast("string"), lit(", rows="),
+                lit(s"fuzzyLinkSymDel: variant pair count exceeded maxPairs=$maxPairs (block="),
+                col("h").cast("string"), lit(", rows="),
                 col("bn").cast("string"),
                 lit(") — a degenerate repeated key; dedup names first"))))
               .otherwise(col("name")))
           .drop("bn")
       } else variants
-    guarded.as("a").join(guarded.as("b"), Seq("seg", "bk"))
+    // confirm BEFORE the dedup exchange: candidates are join output
+    // (never shuffled); only true pairs pay dropDuplicates. dist is a
+    // pure function of the names, identical on every duplicate, so
+    // dedup-after-confirm keeps the exact pair set.
+    guarded.as("a").join(guarded.as("b").hint("merge"), Seq("seg", "h"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.name").as("name_a"), col("b.name").as("name_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= 1)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Interval×interval overlap self-join over sessions, binned lossless

@@ -404,13 +404,21 @@ class DedupSpec extends AnyFunSuite {
         labels(Dedup.connectedComponents(verts, edges)),
         s"seed $seed: star CC diverged from min-label CC")
     }
-    // a 200-hop chain: min-label needs one round per hop and throws at
-    // its default cap; the star alternation converges in O(log² n)
+    // a 200-hop chain: pre-r16 min-label needed one round per hop and
+    // threw at its default 25-round cap; the r16 pointer-jumping
+    // shortcut doubles propagation distance per round, so BOTH
+    // implementations now converge well inside the cap — pin that, and
+    // pin the log-law (≤ 12 rounds for diameter 200, vs 200 without
+    // jumping) since it is exactly the volume claim the scaling rows
+    // make for giant components
     val chain = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val verts = s.range(201).select(col("id"))
-    intercept[IllegalStateException] {
-      Dedup.connectedComponents(verts, chain) // diameter 200 > default 25
-    }
+    val ml = Dedup.connectedComponents(verts, chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ml.forall(_._2 == 0L), "min-label: whole chain must collapse to rep 0")
+    assert(Dedup.lastCcRounds <= 12,
+      s"pointer jumping must converge diameter-200 in O(log d) rounds, " +
+        s"got ${Dedup.lastCcRounds}")
     val star = Dedup.connectedComponentsStar(verts, chain)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(star.forall(_._2 == 0L), "whole chain must collapse to rep 0")
