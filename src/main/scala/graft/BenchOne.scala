@@ -29,7 +29,24 @@ object BenchOne {
     spark.sparkContext.setLogLevel("ERROR")
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // per-run shuffle-write volume (r16): the instant plan-vs-host
+    // discriminator — volume is deterministic across runs while time
+    // carries the host multiplier, so a triage session reads shuf_mb
+    // first and only then argues about seconds
+    val tally = new Bench.ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    def drain(): Long = {
+      var prev = tally.taskEnds.get(); var stable = 0; var waited = 0
+      while (stable < 2 && waited < 2000) {
+        Thread.sleep(50); waited += 50
+        val cur = tally.taskEnds.get()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      tally.bytes.get()
+    }
     try { materialize(SparkEntry.entry(spark)) } catch { case _: Throwable => () }
+    // args may repeat — "q control q control q" interleaves a suspect
+    // with its control for a repeated-median measurement on one window
     args.foreach { q =>
       val fn = SparkEntry.queries.getOrElse(q,
         sys.error(s"unknown query '$q' — not in SparkEntry.queries"))
@@ -38,13 +55,17 @@ object BenchOne {
         materialize(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
-      val cold = t(); val s = Seq(t(), t(), t())
+      val cold = t()
+      val b0 = drain()
+      val s = Seq(t(), t(), t())
+      val shufMb = (drain() - b0).toDouble / 3e6 // per-steady-run MB
       // post-AQE join-strategy fingerprint (Bench.planFingerprint): a
       // triage re-time must distinguish "same plan, so contention" from
       // "a broadcast fell off" — times alone can't (the r10 lesson)
       val fp = Bench.planFingerprint(fn(spark, sfDir))
       println(f"BENCHONE $q%s cold=$cold%.3f steady_min=${s.min}%.3f " +
-        s"steady=${s.map(x => f"$x%.3f").mkString("[", ",", "]")} plan=$fp")
+        s"steady=${s.map(x => f"$x%.3f").mkString("[", ",", "]")} " +
+        f"shuf_mb=$shufMb%.3f plan=$fp")
     }
     spark.stop()
   }

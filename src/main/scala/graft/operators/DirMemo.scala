@@ -39,6 +39,20 @@ final class DirMemo[V](name: String, maxEntries: Int = 64,
 
   CacheRegistry.register(name, maxEntries, () => memo.synchronized(memo.size()))
 
+  /** Build-outside-the-lock memoization: the lock is held only for map
+    * reads/writes, never across `build` (which may be a multi-second
+    * Spark job — holding the lock across one would serialize unrelated
+    * dirs; the cross-latch handshake in CacheAuditSpec pins this). A
+    * losing concurrent build passes through `onEvict`.
+    *
+    * On validate-or-rebuild (the r14 `computeValidated` experiment,
+    * removed in r16 with no production caller ever materializing):
+    * prefer PATH values — a scratch path is session-independent and
+    * eviction-safe by construction (the r15 bloomStanding migration) —
+    * and for values that must be session-bound, key the memo by the
+    * session INSTANCE ([[CheckpointMemo]]'s shape: a restarted session
+    * misses instead of serving dropped blocks), which makes a liveness
+    * predicate structurally unnecessary. */
   def computeIfAbsent(k: String, build: String => V): V = {
     val hit = memo.synchronized(memo.get(k))
     if (hit != null) hit
@@ -48,44 +62,6 @@ final class DirMemo[V](name: String, maxEntries: Int = 64,
         val winner = memo.get(k)
         if (winner != null) { safeEvict(built); winner }
         else { memo.put(k, built); built }
-      }
-    }
-  }
-
-  /** Validate-or-rebuild with the SAME build-outside-the-lock discipline
-    * as [[computeIfAbsent]]: only the (cheap) `isLive` predicate runs
-    * under the lock — e.g. "is the cached frame's SparkContext still
-    * running" — never `build`, which may be a multi-second Spark job.
-    * On a stale or missing entry the build runs unlocked, then re-locks
-    * and double-checks: a concurrently installed LIVE winner beats our
-    * build (ours is handed to `onEvict`); a stale incumbent is evicted
-    * and replaced. At most one value per key survives; stale and losing
-    * values always pass through `safeEvict`, so resource-holding values
-    * (checkpointed frames) are released on every exit path.
-    *
-    * Prefer PATH values + [[computeIfAbsent]] where possible: a scratch
-    * path is session-independent and eviction-safe by construction (the
-    * r15 bloomStanding migration), so it needs no liveness predicate.
-    * This method is for values that genuinely must be session-bound
-    * (live frames, open handles) — it is spec-covered
-    * (CacheAuditSpec) and currently has no production caller. */
-  def computeValidated(k: String, isLive: V => Boolean,
-                       build: String => V): V = {
-    val hit = memo.synchronized {
-      val v = memo.get(k)
-      if (v != null && isLive(v)) v else null.asInstanceOf[V]
-    }
-    if (hit != null) hit
-    else {
-      val built = build(k)
-      memo.synchronized {
-        val winner = memo.get(k)
-        if (winner != null && isLive(winner)) { safeEvict(built); winner }
-        else {
-          if (winner != null) safeEvict(winner)
-          memo.put(k, built)
-          built
-        }
       }
     }
   }

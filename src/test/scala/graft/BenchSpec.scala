@@ -108,9 +108,12 @@ class BenchSpec extends AnyFunSuite {
     // dedup_minhash_pairs (perquery) — the r12 contention-cliff question
     // — runs before the expensive linkage legs so a drop never eats it
     assert(lo.indexOf("perquery") < lo.indexOf("linkage_j17"), lo.toString)
-    // long-stable legacy rows absorb any drop
-    assert(lo.takeRight(3) == Seq("graph", "linkage_j12", "bm25_curve"),
-      lo.toString)
+    // long-stable legacy rows absorb any drop; the spill probe closes
+    // the list (r16): it deliberately saturates execution memory, so
+    // running it LAST means it cannot contaminate any law leg, and a
+    // budget drop costs a diagnostic, never a law
+    assert(lo.takeRight(4) == Seq("graph", "linkage_j12", "bm25_curve",
+      "spill_probe"), lo.toString)
   }
 
   test("bench_exempt contrast arms: every exempt query stays GRADED " +
@@ -145,16 +148,20 @@ class BenchSpec extends AnyFunSuite {
     import spark.implicits._
     val tally = new Bench.ShuffleTally
     spark.sparkContext.addSparkListener(tally)
-    // the same poll-stabilize discipline Bench.main uses (listener bus
-    // delivery is async): two consecutive equal reads 50 ms apart
+    // the same poll-stabilize discipline Bench.main uses: stabilize on
+    // the monotone TASK-END count, not on bytes (r15 ADVICE: bytes
+    // starts at 0, so two 0==0 reads before the groupBy's async events
+    // deliver would exit early under load — a flaky false failure, and
+    // it contradicted the taskEnds discipline the production drain
+    // documents), then read bytes once stable
     def drain(): Long = {
-      var prev = tally.bytes.get(); var stable = 0; var waited = 0
+      var prev = tally.taskEnds.get(); var stable = 0; var waited = 0
       while (stable < 2 && waited < 4000) {
         Thread.sleep(50); waited += 50
-        val cur = tally.bytes.get()
+        val cur = tally.taskEnds.get()
         if (cur == prev) stable += 1 else { stable = 0; prev = cur }
       }
-      prev
+      tally.bytes.get()
     }
     (1 to 10000).toDF("x")
       .groupBy((org.apache.spark.sql.functions.col("x") % 7).as("k"))
@@ -167,6 +174,25 @@ class BenchSpec extends AnyFunSuite {
       "a narrow map job must not move the shuffle tally")
     assert(tally.spilled.get() == 0L,
       "tiny in-memory jobs must not spill (the artifact's spill_mb field)")
+    // r16 (steady_shuf_mb map): volume is the load-immune per-query
+    // signal precisely because the SAME plan over the SAME data writes
+    // the SAME bytes — pin that determinism at the tally level: two
+    // runs of one shuffling query produce byte-identical drained
+    // deltas. The frame is REBUILT per run (a def, exactly like the
+    // bench re-invoking the registered query fn): re-collecting one
+    // DataFrame instance would skip the map stage off its still-live
+    // shuffle files and measure 0.
+    def q = (1 to 20000).toDF("x")
+      .groupBy((org.apache.spark.sql.functions.col("x") % 97).as("k"))
+      .agg(org.apache.spark.sql.functions.sum("x"))
+    val base = drain()
+    q.collect()
+    val d1 = drain() - base
+    q.collect()
+    val d2 = drain() - base - d1
+    assert(d1 > 0L, "the volume query must shuffle")
+    assert(d1 == d2,
+      s"same plan + same data must shuffle identical bytes: $d1 vs $d2")
   }
 
   test("BenchPrior.scaling is the committed scaling block (artifact of " +

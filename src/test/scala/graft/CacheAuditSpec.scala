@@ -148,16 +148,9 @@ class CacheAuditSpec extends AnyFunSuite {
     // registry sees the fixture and its live size
     val e = CacheRegistry.all.find(_.name == "spec.dirMemoFixture").get
     assert(e.maxEntries == 2 && e.size() == 2)
-    // computeValidated(): miss builds; live hit skips the build; stale
-    // hit rebuilds AND releases the stale value through onEvict
-    assert(m.computeValidated("d", _ => true, _ => "vd") == "vd")
-    assert(m.computeValidated("d", _ => true,
-      _ => fail("live hit must not rebuild")) == "vd")
-    assert(m.computeValidated("d", _ => false, _ => "vd2") == "vd2")
-    assert(evicted.contains("vd"), s"stale value must be released: $evicted")
   }
 
-  test("DirMemo.computeValidated builds OUTSIDE the lock: two dirs can " +
+  test("DirMemo.computeIfAbsent builds OUTSIDE the lock: two dirs can " +
     "build concurrently (builds holding the memo lock would deadlock " +
     "this cross-latch handshake)") {
     import java.util.concurrent.{CountDownLatch, TimeUnit}
@@ -173,9 +166,9 @@ class CacheAuditSpec extends AnyFunSuite {
       "v" + k
     }
     val ta = new Thread(() =>
-      m.computeValidated("a", _ => true, build(aIn, bIn)))
+      m.computeIfAbsent("a", build(aIn, bIn)))
     val tb = new Thread(() =>
-      m.computeValidated("b", _ => true, build(bIn, aIn)))
+      m.computeIfAbsent("b", build(bIn, aIn)))
     ta.start(); tb.start()
     ta.join(15000); tb.join(15000)
     assert(!ta.isAlive && !tb.isAlive, "builds serialized under the lock")

@@ -13,7 +13,11 @@ are excluded -- retrying on them would be meaningless.
 import json
 import sys
 
-NON_TIMING_ROWS = {"cc_rounds", "j14_suffix_block_rows", "j14_split_suffix_len"}
+NON_TIMING_ROWS = {"cc_rounds", "j14_suffix_block_rows", "j14_split_suffix_len",
+                   # spill_probe rows are a memory-boundary diagnostic
+                   # (spilled MB / capacity / probe times) -- retrying a
+                   # probe on a prior anchor would be meaningless
+                   "spill_probe", "spill_probe_sec", "spill_probe_capacity_mb"}
 
 def main() -> None:
     artifact, note = sys.argv[1], sys.argv[2]

@@ -15,24 +15,34 @@ cache-hit FAIL is re-run against fresh DuckDB before being reported, so
 a parquet round-trip artifact can never fail a healthy query. Without
 the flag, behavior is byte-identical to before.
 """
-import sys, json, glob, os, hashlib
+import sys, json, glob, os, hashlib, inspect
 import duckdb
 import pandas as pd
 
 # Folded into every cache key: a DuckDB upgrade is exactly the
 # engine-divergence class the oracle-parity rules exist for (decimal,
 # libm, recursive-union behavior shift between versions), and a cached
-# PASS from the old engine must not vouch for the new one. Bump the
-# schema constant when check.py's own normalize/compare logic changes.
+# PASS from the old engine must not vouch for the new one. The compare
+# logic itself is part of the engine: a hash of compare()+normalize()'s
+# SOURCE is folded in below (r15 ADVICE) so an edit to the comparison
+# semantics auto-invalidates every cached verdict — the manual
+# CACHE_SCHEMA bump stays only for changes OUTSIDE those two functions
+# (e.g. the column-sort discipline in main()).
 CACHE_SCHEMA = "v1"
-ENGINE_TAG = f"duckdb={duckdb.__version__};schema={CACHE_SCHEMA}"
+
+
+def _compare_logic_hash():
+    src = inspect.getsource(compare) + inspect.getsource(normalize)
+    return hashlib.sha256(src.encode()).hexdigest()[:16]
 
 def dir_fingerprint(sfdir):
+    engine_tag = (f"duckdb={duckdb.__version__};schema={CACHE_SCHEMA};"
+                  f"compare={_compare_logic_hash()}")
     ents = []
     for p in sorted(glob.glob(os.path.join(sfdir, "*.parquet"))):
         st = os.stat(p)
         ents.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
-    return ENGINE_TAG + "|" + sfdir + "|" + ";".join(ents)
+    return engine_tag + "|" + sfdir + "|" + ";".join(ents)
 
 def main():
     args = [a for a in sys.argv[1:] if a != "--cache"]
