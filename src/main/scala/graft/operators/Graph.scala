@@ -37,6 +37,40 @@ import org.apache.spark.sql.functions._
   * the miss (`dedup_canonical` uses 0). */
 object Graph {
 
+  /** Symmetrized, deduplicated, hash-partitioned, checkpointed edge list
+    * — the per-round join input every fixpoint op here probes (r16;
+    * previously each op built this as `union` of two projections +
+    * `distinct` + plain `localCheckpoint`, which (a) executed the
+    * possibly-expensive upstream edge plan TWICE through the union and
+    * (b) lost the partitioning at the checkpoint — under AQE
+    * `localCheckpoint` reports UnknownPartitioning — so EVERY round
+    * silently re-exchanged the full edge set, the Θ(E·rounds) term the
+    * volume twins exposed on [[Dedup.connectedComponents]]).
+    *
+    * One explode pass symmetrizes (single execution of the edge plan);
+    * the (src, dst) dedup pays its own exchange, then the `partKey`
+    * repartition runs LAST so the physical layout the declared
+    * checkpoint ([[org.apache.spark.sql.graftRdd.localCheckpointPartitioned]])
+    * describes is exactly true — the declaring repartition must be the
+    * final exchange (a dedup AFTER it would leave rows hash-placed by
+    * (src, dst) under a declaration of `partKey`: a silent
+    * wrong-co-partitioning hazard, caught in plan review before it
+    * shipped). Callers pass the key their per-round join probes on
+    * (src for pagerank/bfs/kcore, dst for LPA's vote join). */
+  private[graft] def symEdges(edges: DataFrame,
+                              partKey: String = "src"): DataFrame =
+    org.apache.spark.sql.graftRdd.localCheckpointPartitioned(
+      edges.filter(col("id_a") =!= col("id_b"))
+        .select(explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .dropDuplicates("src", "dst")
+        .repartition(
+          edges.sparkSession.sessionState.conf.numShufflePartitions,
+          col(partKey)),
+      Seq(partKey))
+
   /** Fixed-point mass scale: total graph mass starts at ~Quantum, so
     * with damping 85/100 a share times dampNum stays far under 2⁶³. */
   val Quantum: Long = 1000000000000L
@@ -54,14 +88,11 @@ object Graph {
     require(iterations >= 0, s"iterations must be >= 0: $iterations")
     require(dampNum > 0 && dampNum < dampDen,
       s"damping must satisfy 0 < dampNum < dampDen: $dampNum/$dampDen")
-    val undirected = edges.filter(col("id_a") =!= col("id_b"))
     // one (src, dst) row per direction per distinct undirected edge —
-    // the per-round join input, checkpointed once, released at the end
-    val sym = undirected
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(undirected.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint()
+    // the per-round join input, checkpointed once WITH its src
+    // partitioning declared (every round's shares join probes it in
+    // place), released at the end
+    val sym = symEdges(edges)
     try {
       val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
         .select(col("src").as("id"), col("outdeg"))
@@ -121,18 +152,21 @@ object Graph {
     * edge-incident nodes. */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
-    val undirected = edges.filter(col("id_a") =!= col("id_b"))
-    val sym = undirected
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(undirected.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint()
+    // keyed by dst: the per-round join probes votes on dst (labels are
+    // looked up for the VOTED-FOR endpoint)
+    val sym = symEdges(edges, "dst")
     try {
       val nodes = sym.select(col("src").as("id")).distinct()
-      // self-vote rides as a loop edge so each round is ONE join
-      val votes = sym
-        .unionByName(nodes.select(col("id").as("src"), col("id").as("dst")))
-        .localCheckpoint()
+      // self-vote rides as a loop edge so each round is ONE join; same
+      // declared-dst-partitioning checkpoint as sym so rounds probe it
+      // in place
+      val votes = org.apache.spark.sql.graftRdd.localCheckpointPartitioned(
+        sym
+          .unionByName(nodes.select(col("id").as("src"), col("id").as("dst")))
+          .repartition(
+            edges.sparkSession.sessionState.conf.numShufflePartitions,
+            col("dst")),
+        Seq("dst"))
       try {
         var labels = nodes.select(col("id"), col("id").as("lbl"))
           .localCheckpoint()
@@ -181,12 +215,7 @@ object Graph {
     * reached at hop k ≤ maxHops at k. Unreached nodes are absent. */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
-    val undirected = edges.filter(col("id_a") =!= col("id_b"))
-    val sym = undirected
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(undirected.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint()
+    val sym = symEdges(edges)
     try {
       var dist = seeds.select(col("id"), lit(0L).as("hops"))
         .distinct().localCheckpoint()
@@ -252,12 +281,10 @@ object Graph {
   def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
-    val undirected = edges.filter(col("id_a") =!= col("id_b"))
-    val sym = undirected
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(undirected.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint()
+    // src-keyed: the first (src) semi-join probes sym in place each
+    // round; the dst semi then exchanges the already-src-FILTERED frame,
+    // which shrinks monotonically with the surviving subgraph
+    val sym = symEdges(edges)
     try {
       // each round's checkpoint doubles as the survivor set (its `id`
       // column) and the candidate output (its `core_deg` column); the

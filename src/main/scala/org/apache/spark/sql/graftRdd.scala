@@ -38,6 +38,25 @@ object graftRdd {
     val ds = df.asInstanceOf[ClassicDataset[Row]]
     val spark = ds.sparkSession
     val qe = ds.queryExecution
+    // the declaring repartition must be the plan ROOT: any operator
+    // after it that exchanges (a dropDuplicates, a join) would leave the
+    // physical layout keyed differently from the declaration — a silent
+    // wrong-co-partitioning hazard. Enforced loudly, like
+    // Checkpoints.release's root check.
+    qe.analyzed match {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression =>
+        val names = r.partitionExpressions.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
+        }
+        require(names == keys,
+          s"localCheckpointPartitioned: plan root repartitions by $names " +
+            s"but declares $keys — the declaring repartition must be the " +
+            "LAST operator and match the declared keys")
+      case other => throw new IllegalArgumentException(
+        "localCheckpointPartitioned expects the frame's plan root to be " +
+          s"the declaring repartition(n, ${keys.mkString(", ")}); got " +
+          s"${other.nodeName}. Put .repartition(n, keys…) last.")
+    }
     // same discipline as Dataset.localCheckpoint: unsafe rows are reused
     // buffers, copy before persisting; count() makes it eager
     val rdd = qe.toRdd.map(_.copy()).localCheckpoint()
