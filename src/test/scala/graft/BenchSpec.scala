@@ -224,9 +224,19 @@ class BenchSpec extends AnyFunSuite {
     assert(sc("j14_entity_dual").contains("x4") &&
       !sc("j14_entity_dual").contains("x10"),
       "the j14 x10 point must stay retired (budget insurance)")
+    // r16: j12 (the single-pass contrast arm to j15_snm_multipass) got
+    // the same trim — its superlinear windowed-pair law is visible at
+    // x4; the x20 point was the block's second-priciest row
+    assert(sc("j12_entity_resolve").contains("x4") &&
+      !sc("j12_entity_resolve").contains("x20"),
+      "the j12 x20 point must stay retired (budget insurance)")
+    // r16 spill-probe rows never anchor a retry
+    assert(!sc.contains("spill_probe") && !sc.contains("spill_probe_sec") &&
+      !sc.contains("spill_probe_capacity_mb"),
+      "probe diagnostics are not retry anchors")
   }
 
-  test("BenchPrior resource is the committed r15-close steady map: 292 " +
+  test("BenchPrior resource is the committed r16-close steady map: 292 " +
     "entries (295 graded minus the 3 bench-exempt contrast arms), " +
     "median in the committed envelope, j12 prior present") {
     assert(BenchPrior.steady.size == 292, BenchPrior.steady.size.toString)
