@@ -925,6 +925,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"all three type filters must reach the scans, got: $pushed")
   }
 
+  test("fuzzyLinkSymDel: the variant table never broadcasts and is " +
+    "exchanged by the block key exactly once (r16 — Catalyst estimates " +
+    "explode output from PRE-explode stats, ~(len+1)x too small, and " +
+    "would broadcast the multi-million-row variant side: an OOM shape " +
+    "at real scale; the merge hints + declared-partitioning checkpoint " +
+    "pin the scale-safe shape)") {
+    import org.apache.spark.sql.functions.col
+    val cust = Tables.customer(spark, d).withColumnRenamed("c_custkey", "cid")
+    val pairs = graft.operators.Relational.fuzzyLinkSymDel(
+      cust, "cid", "c_name", col("c_mktsegment"), failOnCap = true)
+      .select(col("id_a"), col("id_b"))
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(countOf(p, "BroadcastExchange") == 0,
+      s"no side of the symdel joins may broadcast (estimator-unsafe):\n$p")
+    // the checkpointed variant table is the join input everywhere; the
+    // only hash exchange left in the pairs plan is the pair dedup
+    assert(countOf(p, "Exchange hashpartitioning") <= 1,
+      s"variant exchanges must be paid once inside the checkpoint, " +
+        s"leaving only the pair dedup:\n$p")
+  }
+
   test("global sweep: no query plans an unbroadcast cartesian product") {
     // crossJoin against a broadcast side plans as BroadcastNestedLoopJoin
     // (fine — one side is tiny by construction); a CartesianProduct node
