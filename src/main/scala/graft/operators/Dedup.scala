@@ -1116,14 +1116,19 @@ object Dedup {
       // and free to probe. One round of staleness costs a constant
       // factor in rounds, not the log law. Both the edge hop and this
       // label hop mark the frontier — a vertex improved either way has
-      // news for its neighbors next round.
-      val next = merged.join(
+      // news for its neighbors next round. ROUND 0 SKIPS the jump: the
+      // previous table is the identity labeling, so the hop is a
+      // provable no-op — and round 0 is the full-frontier (most
+      // expensive) round, so the skipped join is the priciest one.
+      val next = (if (iter == 0) merged
+        .select(col("id"), col("rep0").as("rep"), col("ch0").as("changed"))
+      else merged.join(
           labels.select(col("id").as("jid"), col("rep").as("jrep")),
           col("rep0") === col("jid"), "left")
         .select(col("id"),
           least(col("rep0"), coalesce(col("jrep"), col("rep0"))).as("rep"),
           (col("ch0") ||
-            coalesce(col("jrep") < col("rep0"), lit(false))).as("changed"))
+            coalesce(col("jrep") < col("rep0"), lit(false))).as("changed")))
         .localCheckpoint()
       frontier = next.filter(col("changed")).select(col("id"), col("rep"))
       converged = frontier.limit(1).isEmpty
