@@ -388,6 +388,50 @@ class DedupSpec extends AnyFunSuite {
       "release must drop the LogicalRDD's persisted blocks")
   }
 
+  test("localCheckpointPartitioned: declares the hash partitioning a " +
+    "plain localCheckpoint loses under AQE, keyed reads plan ZERO " +
+    "exchanges, rows round-trip exactly, misuse throws, release works") {
+    val s = spark
+    val base = s.range(0, 5000)
+      .select(col("id").as("k"), (col("id") * 3).as("v"))
+    // CONTROL: the plain checkpoint reports UnknownPartitioning — the
+    // exact behavior the helper exists to fix (if a Spark upgrade ever
+    // starts preserving it, this assert says the helper can retire)
+    val plain = base.repartition(2, col("k")).localCheckpoint()
+    assert(plain.queryExecution.executedPlan.outputPartitioning.toString
+      .contains("UnknownPartitioning"),
+      plain.queryExecution.executedPlan.outputPartitioning.toString)
+    graft.operators.Checkpoints.release(plain)
+    val ck = org.apache.spark.sql.graftRdd.localCheckpointPartitioned(
+      base.repartition(2, col("k")), Seq("k"))
+    assert(ck.queryExecution.executedPlan.outputPartitioning.toString
+      .startsWith("hashpartitioning(k"),
+      ck.queryExecution.executedPlan.outputPartitioning.toString)
+    // a keyed aggregate over the checkpoint needs no exchange at all
+    val agg = ck.groupBy("k").count()
+    agg.collect()
+    assert(!agg.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      agg.queryExecution.executedPlan.toString)
+    // rows survive the copy+checkpoint byte-exactly
+    assert(ck.count() == 5000)
+    assert(ck.filter(col("v") =!= col("k") * 3).isEmpty,
+      "payload must round-trip the internal-row copy")
+    // misuse guards: the declaring repartition must be the plan ROOT
+    // with exactly the declared keys (a dedup/join after it would leave
+    // rows physically keyed differently than declared)
+    intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graftRdd.localCheckpointPartitioned(
+        base.repartition(2, col("k")).dropDuplicates("k"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graftRdd.localCheckpointPartitioned(
+        base.repartition(2, col("v")), Seq("k"))
+    }
+    // root is a LogicalRDD: Checkpoints.release accepts it
+    graft.operators.Checkpoints.release(ck)
+  }
+
   test("connectedComponentsStar: labels match min-label CC on random graphs; deep chains converge") {
     val s = spark
     import s.implicits._
