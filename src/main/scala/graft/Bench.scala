@@ -60,9 +60,9 @@ object Bench {
     * (corpus first, legacy absorbers last, mining before its
     * edge-set consumers). */
   val scalingLegOrder: Seq[String] = Seq(
-    "corpus", "corpus_link", "pit_curve", "trgm_curve", "lsh_curve",
-    "mining", "perquery", "linkage_j17", "linkage_j14", "linkage_blocks",
-    "graph", "linkage_j12", "bm25_curve", "spill_probe")
+    "corpus", "corpus_link", "pit_curve", "intervals_curve", "trgm_curve",
+    "lsh_curve", "mining", "perquery", "linkage_j17", "linkage_j14",
+    "linkage_blocks", "graph", "linkage_j12", "bm25_curve", "spill_probe")
 
   /** CONTRAST-ARM bench exemptions (r14 verdict tasks #3/#8): these
     * queries stay fully GRADED (Verify runs them; each keeps its
@@ -496,6 +496,7 @@ object Bench {
       // drops too, by name; the writes are priced as their own rows.
       var dirs: Seq[(Int, String)] = Seq.empty
       var linkDirs: Seq[(Int, String)] = Seq.empty
+      var pitDirs: Seq[(Int, String)] = Seq.empty
       def writeCorpus(n: Int): (Int, String) = {
         val dir = tmp(s"bench_scale_x$n")
         val salted = amplify(Tables.documents(spark, sfDir), "doc_id", n)
@@ -649,7 +650,6 @@ object Bench {
         // and per-key work is constant by construction. Newest evidence
         // in the block, so it rides right behind the corpus writes.
         "pit_curve" -> (() => {
-          var pitDirs: Seq[(Int, String)] = Seq.empty
           val writes = Seq(1, 4, 10).flatMap { n =>
             if (n == 1 || secondsLeft() > 0) {
               val dir = tmp(s"bench_scale_x${n}pit")
@@ -670,6 +670,24 @@ object Bench {
           Seq("scale_corpus_write_pit" -> writes,
             steadyRow("j19_pit_features", pitDirs))
         }),
+        // Interval-join family curve (r16): the two biggest steady
+        // volume rows with no scaling evidence — both read only events,
+        // so they ride the pit dirs (user keys ×n at constant per-key
+        // depth, which scales per-bin CONCURRENCY linearly: exactly the
+        // dimension the binned interval ops must survive).
+        //  - w19_peak_concurrency (sweep line, two-phase prefix sum —
+        //    the no-single-task-window claim): expected near-linear;
+        //    x1/x4/x10.
+        //  - j18_session_overlap: per-bin pair fan-out is concurrency²
+        //    — the TRUE answer size grows quadratically in the user
+        //    factor by construction, so like the other quadratic
+        //    contrast arms (j12, j14) it tops out at x4; the failOnCap
+        //    bin budget stays armed, so a viral bin raises loudly
+        //    instead of silently going quadratic past the budget.
+        "intervals_curve" -> (() => Seq(
+          steadyRow("w19_peak_concurrency", pitDirs),
+          steadyRow("j18_session_overlap",
+            pitDirs.takeWhile(_._1 <= 4)))),
         // Trigram substring index, two-row discipline: `_build` is the
         // one-time ~len(text)-rows-per-doc posting write (the storage
         // price of the substring verb), `_serve` the bucket-pruned

@@ -98,6 +98,10 @@ class BenchSpec extends AnyFunSuite {
     // right behind the corpus writes (its own events-only dirs are
     // written inside the leg, each write budget-checked)
     assert(lo.indexOf("pit_curve") == 2, lo.toString)
+    // r16: the interval-join family rides the pit dirs, so it must run
+    // AFTER pit_curve (which writes them) and stays near the front as
+    // the round's newest evidence
+    assert(lo.indexOf("intervals_curve") == 3, lo.toString)
     // the two legs the r12 driver run dropped run right after the corpus
     assert(lo.indexOf("trgm_curve") < lo.indexOf("mining"), lo.toString)
     assert(lo.indexOf("lsh_curve") < lo.indexOf("mining"), lo.toString)
