@@ -203,7 +203,12 @@ class BenchSpec extends AnyFunSuite {
     "record, full curve incl. the corpus-write rows); non-timing rows " +
     "excluded; the minhash-cliff anchor present") {
     val sc = BenchPrior.scaling
-    assert(sc.size == 23, sc.size.toString)
+    assert(sc.size == 25, sc.size.toString)
+    // r16: the interval family is anchored (w19 full curve, j18 trimmed
+    // to x4 like the other quadratic-true-answer contrast arms)
+    assert(sc("w19_peak_concurrency").contains("x10"))
+    assert(sc("j18_session_overlap").contains("x4") &&
+      !sc("j18_session_overlap").contains("x10"))
     // r15: the feature-store curve + its corpus-write row are anchored
     assert(sc("j19_pit_features").contains("x10") &&
       sc.contains("scale_corpus_write_pit"))
