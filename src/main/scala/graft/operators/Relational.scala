@@ -512,6 +512,19 @@ object Relational {
     *    and only distance-0 pairs approach it) — a per-row codegen'd
     *    string op, cheap precisely where the removed exchange was
     *    superlinear bytes.
+    * EAGER AT CONSTRUCTION (r16 ADVICE, stated rather than hidden):
+    * the declared-partitioning variant checkpoint is built by a Spark
+    * job when this method is CALLED, not when the returned frame first
+    * executes — callers that only want the plan (explain, fingerprint,
+    * audit sweeps) still pay the full variant build, and each
+    * invocation pins ~(len+1)·n slim variant rows of executor storage
+    * until Spark's ContextCleaner collects the dropped plan. That is
+    * the same lifecycle as `Dataset.localCheckpoint` and acceptable at
+    * this operator's call frequency (a handful of constructions per
+    * suite run, each superseding the last); a caller constructing in a
+    * tight loop should hold and reuse one returned frame per input —
+    * the memoized-index discipline — rather than re-invoking.
+    *
     * Output matches [[fuzzyLink]]: (id_a, id_b, name_a, name_b, dist). */
   def fuzzyLinkSymDel(df: DataFrame, idCol: String, nameCol: String,
                       segCol: Column,

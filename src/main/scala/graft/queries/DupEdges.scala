@@ -45,4 +45,44 @@ object DupEdges {
         .select(col("id_a"), col("id_b"))
       exactEdges.union(nearEdges).localCheckpoint()
     })
+
+  /** The SYMMETRIZED, deduplicated, src-hash-partitioned
+    * declared-checkpoint form of [[of]] ([[Graph.symEdges]] partKey
+    * "src") — the per-round join input of every src-keyed fixpoint op
+    * over the dup graph. Memoized (r17): the r16 round gave each
+    * fixpoint consumer its own declared checkpoint for the Θ(E·rounds)
+    * re-exchange fix, but SIX queries then each paid the eager
+    * symmetrize+exchange+materialize on the same memoized edge list —
+    * a fixed ~0.3–1.3 s per query at sf0.1's tiny graphs (the r16
+    * verdict's one debit). One build now serves graph_pagerank,
+    * graph_bfs_hops, graph_kcore, dedup_canonical, dedup_clusters,
+    * dedup_soft_weights, split_leakage_safe and split_cv_folds; the
+    * same bounded-LRU release discipline as the edge memo. The memo
+    * KEY reuses the (session, dir-string) shape with a "#src" suffix —
+    * distinct derivations of one dir are distinct entries.
+    *
+    * Partition count is sized from the MEASURED edge count (a cheap
+    * count over the memoized checkpoint — never a Catalyst estimate,
+    * the j17 lesson), ~250k narrow rows per partition capped at the
+    * session's shuffle-partition conf: every fixpoint round downstream
+    * then runs stages as wide as the data warrants — 1-task rounds on
+    * sf0.1's 264-edge graph, full conf width at scale. */
+  def symSrc(s: SparkSession, d: String): DataFrame =
+    cache.getOrElseUpdate(s, d + "#sym-src", {
+      val e = of(s, d)
+      graft.operators.Graph.symEdges(e, "src",
+        graft.operators.Graph.partitionsForRows(s, 2L * e.count()))
+    })
+
+  /** The dst-keyed LPA voting table ([[Graph.lpaVotes]]: sym ∪ one
+    * self-loop per node, declared-checkpointed by dst) of [[of]] —
+    * graph_lpa's per-round join input, memoized for the same reason as
+    * [[symSrc]] (LPA is dst-keyed, so it cannot share the src
+    * checkpoint without re-exchanging it every round). */
+  def lpaVotes(s: SparkSession, d: String): DataFrame =
+    cache.getOrElseUpdate(s, d + "#lpa-votes", {
+      val e = of(s, d)
+      graft.operators.Graph.lpaVotes(e,
+        graft.operators.Graph.partitionsForRows(s, 2L * e.count()))
+    })
 }

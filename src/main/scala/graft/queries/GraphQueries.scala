@@ -78,7 +78,8 @@ object GraphQueries {
     * ([[Graph.labelPropagation]]); 3 synchronous rounds, oracle
     * unrolled. */
   def graphLpa(s: SparkSession, d: String): DataFrame = {
-    val comm = Graph.labelPropagation(dupEdges(s, d), rounds = LpaRounds)
+    val comm = Graph.labelPropagationVotes(DupEdges.lpaVotes(s, d),
+      rounds = LpaRounds)
     val sizes = comm.groupBy(col("community"))
       .agg(count(lit(1)).as("comm_size"))
     comm.join(sizes, "community")
@@ -100,7 +101,7 @@ object GraphQueries {
     * copied texts) surface at the top — the signal `dedup_canonical`
     * turns into a keep rule. */
   def graphPagerank(s: SparkSession, d: String): DataFrame =
-    Graph.pagerank(dupEdges(s, d), iterations = Iters)
+    Graph.pagerankSym(DupEdges.symSrc(s, d), iterations = Iters)
       .select(col("id").as("doc_id"), col("rank_score"), col("degree"))
       .orderBy(col("rank_score").desc, col("doc_id"))
 
@@ -119,13 +120,16 @@ object GraphQueries {
     * (doc_id, cluster_rep, canonical_id, keep). */
   def dedupCanonical(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    // components AND centrality both consume the mined edge list — the
-    // [[DupEdges]] memo is already a checkpoint (held for the session,
-    // NOT released here: four sibling queries serve from the same blocks)
-    val edges = dupEdges(s, d)
+    // components AND centrality both consume the memoized SYMMETRIZED
+    // checkpoint ([[DupEdges.symSrc]] — held for the session, NOT
+    // released here: the whole graph pack serves from the same blocks);
+    // before r17 each rebuilt its own declared sym checkpoint from the
+    // edge memo — two eager exchange+materialize passes per run of this
+    // one query, the r16 verdict's biggest steady-regression line item
+    val sym = DupEdges.symSrc(s, d)
     val (comps, pr) =
-      (Dedup.connectedComponents(docs.select(col("doc_id").as("id")), edges),
-        Graph.pagerank(edges, iterations = Iters))
+      (Dedup.connectedComponentsSym(docs.select(col("doc_id").as("id")), sym),
+        Graph.pagerankSym(sym, iterations = Iters))
     val wr = comps
       .join(pr.select(col("id"), col("rank_score")), Seq("id"), "left")
       .select(col("id"), col("rep"),
@@ -209,7 +213,7 @@ object GraphQueries {
     val seeds = Tables.documents(s, d)
       .filter(col("source") === SeedSource)
       .select(col("doc_id").as("id"))
-    Graph.bfsHops(dupEdges(s, d), seeds, maxHops = BfsHops)
+    Graph.bfsHopsSym(DupEdges.symSrc(s, d), seeds, maxHops = BfsHops)
       .select(col("id").as("doc_id"), col("hops"))
       .orderBy(col("doc_id"))
   }
@@ -246,7 +250,7 @@ object GraphQueries {
     * ([[Graph.kcore]]). A star hub peels with its leaves (unlike raw
     * degree); a 4-cycle survives (unlike triangle count). */
   def graphKcore(s: SparkSession, d: String): DataFrame =
-    Graph.kcore(dupEdges(s, d), k = CoreK, rounds = CoreRounds)
+    Graph.kcoreSym(DupEdges.symSrc(s, d), k = CoreK, rounds = CoreRounds)
       .select(col("id").as("doc_id"), col("core_deg"))
       .orderBy(col("doc_id"))
 

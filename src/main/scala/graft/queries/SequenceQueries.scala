@@ -420,8 +420,10 @@ object SequenceQueries {
     * actual keep/drop partition of the corpus. */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val comps = Dedup.connectedComponents(
-      docs.select(col("doc_id").as("id")), DupEdges.of(s, d))
+    // the memoized symmetrized declared-partitioning checkpoint (r17 —
+    // one build for the whole cluster pack, not one per query)
+    val comps = Dedup.connectedComponentsSym(
+      docs.select(col("doc_id").as("id")), DupEdges.symSrc(s, d))
     comps.select(col("id").as("doc_id"), col("rep").as("cluster_rep"),
         (col("id") === col("rep")).as("is_canonical"))
       .orderBy(col("doc_id"))
@@ -526,8 +528,8 @@ object SequenceQueries {
     * size table. Singletons weigh exactly 10⁶ ppm. */
   def dedupSoftWeights(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val comps = Dedup.connectedComponents(
-      docs.select(col("doc_id").as("id")), DupEdges.of(s, d))
+    val comps = Dedup.connectedComponentsSym(
+      docs.select(col("doc_id").as("id")), DupEdges.symSrc(s, d))
     val sizes = comps.groupBy(col("rep"))
       .agg(count(lit(1)).as("cluster_size"))
     comps.join(sizes, "rep")
@@ -554,8 +556,8 @@ object SequenceQueries {
     * dedup_clusters + a projection. */
   def splitLeakageSafe(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val comps = Dedup.connectedComponents(
-      docs.select(col("doc_id").as("id")), DupEdges.of(s, d))
+    val comps = Dedup.connectedComponentsSym(
+      docs.select(col("doc_id").as("id")), DupEdges.symSrc(s, d))
     val m = Mix.ScrambleM
     val bucket = (col("rep") + 1) * m % P * m % P % 10
     comps.select(col("id").as("doc_id"), col("rep").as("cluster_rep"),
@@ -592,8 +594,8 @@ object SequenceQueries {
     * the same rep-hash bucketing the train/val/test split pins. */
   def splitCvFolds(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val comps = Dedup.connectedComponents(
-      docs.select(col("doc_id").as("id")), DupEdges.of(s, d))
+    val comps = Dedup.connectedComponentsSym(
+      docs.select(col("doc_id").as("id")), DupEdges.symSrc(s, d))
     val m = Mix.ScrambleM
     val fold = (col("rep") + 1) * m % P * m % P % 5
     val perFold = comps.select(col("id"), col("rep"), fold.as("fold"))

@@ -34,7 +34,19 @@ import org.apache.spark.sql.execution.LogicalRDD
   * [[graftExpr]]). Frames returned here are root-`LogicalRDD`, so
   * `graft.operators.Checkpoints.release` accepts them. */
 object graftRdd {
-  def localCheckpointPartitioned(df: DataFrame, keys: Seq[String]): DataFrame = {
+  def localCheckpointPartitioned(df: DataFrame, keys: Seq[String]): DataFrame =
+    localCheckpointPartitionedN(df, keys)._1
+
+  /** As [[localCheckpointPartitioned]], but also returns the
+    * materialized ROW COUNT — the eager count() that makes the
+    * checkpoint eager is computed anyway, and callers that size
+    * downstream stage width from the TRUE cardinality (never a
+    * Catalyst estimate) read it for free instead of re-counting
+    * (r17: [[graft.operators.Dedup.connectedComponents]] re-checkpoints
+    * a tiny edge set narrow so its fixpoint rounds stop paying
+    * full-width stage scheduling). */
+  def localCheckpointPartitionedN(df: DataFrame,
+                                  keys: Seq[String]): (DataFrame, Long) = {
     val ds = df.asInstanceOf[ClassicDataset[Row]]
     val spark = ds.sparkSession
     val qe = ds.queryExecution
@@ -60,14 +72,14 @@ object graftRdd {
     // same discipline as Dataset.localCheckpoint: unsafe rows are reused
     // buffers, copy before persisting; count() makes it eager
     val rdd = qe.toRdd.map(_.copy()).localCheckpoint()
-    rdd.count()
+    val n = rdd.count()
     val attrs = qe.analyzed.output
     val partExprs = keys.map { k =>
       attrs.find(_.name == k).getOrElse(throw new IllegalArgumentException(
         s"localCheckpointPartitioned: no column '$k' in ${attrs.map(_.name)}"))
     }
-    ClassicDataset.ofRows(spark,
+    (ClassicDataset.ofRows(spark,
       LogicalRDD(attrs, rdd,
-        HashPartitioning(partExprs, rdd.getNumPartitions))(spark))
+        HashPartitioning(partExprs, rdd.getNumPartitions))(spark)), n)
   }
 }
