@@ -632,7 +632,14 @@ object SequenceQueries {
     * mod 10), α=0.5 temperature sampling, then greedy 500-token budget
     * selection per source among the surviving candidates. A user of the
     * reference-plus-training-pipeline runs this INSTEAD of six jobs. The
-    * clustering stage iterates internally (checkpointed CC rounds); every
+    * clustering stage iterates internally (checkpointed CC rounds) over
+    * the per-session [[DupEdges]] symmetrized memo (r17 — the edge
+    * derivation here was character-identical to DupEdges' and re-ran the
+    * expensive minhash mining every execution; the bench's mining leg
+    * already prices `DupEdges.of` as its own row, and this leg's stated
+    * semantics — "every DupEdges consumer measures fixpoint + serve cost
+    * over the session-memoized edge set" — now actually includes this
+    * consumer); every
     * other stage is one declarative subtree, the doc_id-keyed joins
     * co-partition, and the documents scans are pruned re-reads — cheap by
     * design (the shingle kernels recompute rather than cache, see
@@ -641,12 +648,8 @@ object SequenceQueries {
   def corpusBuild(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val isTrain = col("doc_id") % 10 =!= 0
-    val exactEdges = Dedup.exactDedup(docs, "doc_id", "text").filter(col("is_dup"))
-      .select(col("rep_id").as("id_a"), col("doc_id").as("id_b"))
-    val nearEdges = Dedup.minhashPairs(docs, "doc_id", "text",
-      threshold = 0.5, k = 16, bands = 4, failOnCap = true).select(col("id_a"), col("id_b"))
-    val comps = Dedup.connectedComponents(
-        docs.select(col("doc_id").as("id")), exactEdges.union(nearEdges))
+    val comps = Dedup.connectedComponentsSym(
+        docs.select(col("doc_id").as("id")), DupEdges.symSrc(s, d))
       .select(col("id").as("doc_id"), (col("id") =!= col("rep")).as("is_cluster_dup"))
     val qual = qualityGopher(s, d)
       .select(col("doc_id"), col("keep_gopher").as("keep_quality"))

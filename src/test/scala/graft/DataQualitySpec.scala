@@ -387,6 +387,27 @@ class DataQualitySpec extends AnyFunSuite {
     assert(linked == Set((1L, 2L)), s"derived split links the pair: $linked")
   }
 
+  test("planDualSplit derives 16/2 on the suite corpus — the pinned " +
+    "split that retired the per-round bench occupancy sweep (r17)") {
+    // The bench's linkage_blocks leg re-derived this split per scale
+    // every round and shipped a byte-identical series three rounds
+    // running (r14–r16: suffix 2 at x1/x4, 3 at x10; max block rows
+    // 44/141/44). The derivation is deterministic from the name
+    // distribution, so the pin replaces the measurement: against dense
+    // sequential decimal ids the prefix block frees 2 trailing digits
+    // (≤100 ids/block) and the 2-char suffix splits each segment ~100
+    // ways — the planner's cheapest admissible split. A drifted
+    // derivation (new name format, changed planner) fails HERE instead
+    // of silently re-pricing two scaling rows every bench run.
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val cust = spark.read.parquet(s"/root/testdata/$sf/customer.parquet")
+      val (pre, suf) =
+        graft.operators.Relational.planDualSplit(cust, "c_name")
+      assert((pre, suf) == (16, 2),
+        s"$sf: derived split drifted from the pinned 16/2: $pre/$suf")
+    }
+  }
+
   test("survivorship: rep supplies name+nation, balance is cluster max, " +
     "segment mode breaks count ties by larger segment; singletons pass through") {
     val s = spark

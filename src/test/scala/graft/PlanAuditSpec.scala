@@ -955,4 +955,132 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
+
+  test("global sweep: no query PINS a broadcast of explode output by " +
+    "hint (the r16 j17 estimator lesson generalized)") {
+    // Catalyst prices a Generate (explode) node's output from its
+    // PRE-explode child stats — measured ~(len+1)× too small on j17's
+    // deletion-variant table, where the static planner then broadcast a
+    // multi-million-row side off a sub-10 MB estimate: an OOM shape at
+    // real scale that AQE does NOT correct (the join inputs are not
+    // shuffle stages). Two halves to the audit:
+    //  - AUTO broadcasts are a SIZE decision at the audit SF, not a
+    //    plan shape: at sf0.001 the whole corpus sits under the 10 MB
+    //    threshold, so ~56 queries legitimately broadcast exploded
+    //    corpus sides here and stop doing so as the scan stats grow —
+    //    unauditable at a fixed tiny SF (the per-query steady_shuf_mb
+    //    volume twins are the instrument that catches a real one, as
+    //    they caught j17's). Not swept.
+    //  - HINTED broadcasts are OUR standing assertion that a side is
+    //    tiny at EVERY scale — a hint on explode output would pin the
+    //    j17 OOM shape permanently, immune to growing stats. This
+    //    sweep re-plans every query with auto-broadcast DISABLED
+    //    (threshold −1, a derived session), so every broadcast left is
+    //    hint-pinned (or strategy-forced BNLJ), and flags any whose
+    //    build side contains a Generate. Allowlist: generators tiny BY
+    //    CONSTRUCTION (a bounded literal sequence over a 1-row or
+    //    dimension-sized frame), named and justified — currently none.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.functions._
+    // Named, justified allowlist — the broadcast-hinted Generate in each
+    // is over the bounded ANN QUERY BATCH (literal `vec_id < NQ` id
+    // filter, NQ a constant), exploded ×nBands / ×subvectors: its
+    // cardinality is NQ·b regardless of corpus size — the query-batch
+    // contract Similarity's scaladoc states ("queries are small by
+    // construction → broadcast"). The corpus side of those joins streams;
+    // only the batch explodes. A literal filter is NOT treated as a
+    // bounding node by the detector (filters generally scale with their
+    // input), so these two carry the justification here instead.
+    val allow = Map(
+      "sim_lsh_topk" -> ("broadcasts the query batch's band keys: " +
+        "NQ-bounded id filter × nBands, corpus-independent"),
+      "sim_adc_topk" -> ("broadcasts the ADC lookup table: NQ-bounded " +
+        "query batch × LIMIT-seeded centroids × m subspaces, " +
+        "corpus-independent"))
+    // A broadcast explode is only the j17 shape when the exploded rows
+    // reach the broadcast UNREDUCED from a corpus scan: an explode over
+    // a 1-row/limit/aggregate-bounded frame (a query's terms, a derived
+    // threshold), or an explode whose output is aggregated/limited
+    // before broadcasting, is tiny at every scale no matter how wrong
+    // the estimator is. So both walks — broadcast root down to the
+    // Generate, and the Generate's input down to a scan — stop at
+    // cardinality-BOUNDING nodes (aggregates, limits, top-k), and only
+    // a fully unreduced scan→explode→broadcast path flags.
+    def bounding(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec |
+           _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec |
+           _: org.apache.spark.sql.execution.aggregate.SortAggregateExec |
+           _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec |
+           _: org.apache.spark.sql.execution.GlobalLimitExec |
+           _: org.apache.spark.sql.execution.LocalLimitExec |
+           _: org.apache.spark.sql.execution.CollectLimitExec => true
+      case _ => false
+    }
+    def unboundedScan(p: SparkPlan): Boolean =
+      if (bounding(p)) false
+      else p match {
+        case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+        case other => other.children.exists(unboundedScan)
+      }
+    def generates(p: SparkPlan): Boolean =
+      if (bounding(p)) false
+      else p match {
+        case g: org.apache.spark.sql.execution.GenerateExec =>
+          g.children.exists(unboundedScan)
+        case other => other.children.exists(generates)
+      }
+    def broadcastOfExplode(root: SparkPlan): Boolean = {
+      // AdaptiveSparkPlanExec.inputPlan is pre-EnsureRequirements (no
+      // Exchange nodes yet), so the match keys on the broadcast JOINS'
+      // build side — present in every preparation stage — rather than
+      // on the BroadcastExchange node itself
+      import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+      val inner = root match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case p => p
+      }
+      inner.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          b.buildSide match {
+            case BuildLeft => b.left
+            case BuildRight => b.right
+          }
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+          b.buildSide match {
+            case BuildLeft => b.left
+            case BuildRight => b.right
+          }
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+          b.child
+      }.exists(generates)
+    }
+    // a derived session sharing the context but with auto-broadcast off:
+    // only HINTED broadcasts (and strategy-forced BNLJ) survive planning
+    val noAuto = spark.newSession()
+    noAuto.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // detector self-check: a deliberately HINTED broadcast of an explode
+    // over an UNREDUCED corpus scan MUST trip it (guards the sweep
+    // against going vacuous if a Spark upgrade renames the physical
+    // nodes this match is written against), and the same explode behind
+    // a cardinality bound must NOT
+    val exploded = noAuto.read.parquet(s"$d/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .select(xxhash64(col("w")).as("id"))
+    val probe = noAuto.range(4).join(broadcast(exploded), "id")
+    assert(broadcastOfExplode(probe.queryExecution.executedPlan),
+      "detector self-check failed: a broadcast corpus explode was not flagged")
+    val probeBounded = noAuto.range(4).join(
+      broadcast(exploded.limit(10)), "id")
+    assert(!broadcastOfExplode(probeBounded.queryExecution.executedPlan),
+      "detector self-check failed: a LIMIT-bounded broadcast explode was flagged")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allow.contains).filter { name =>
+        broadcastOfExplode(
+          SparkEntry.queries(name)(noAuto, d).queryExecution.executedPlan)
+      }
+    assert(offenders.isEmpty,
+      s"broadcast-of-explode (estimator under-prices Generate output " +
+        s"~(len+1)×; OOM shape at scale) in: $offenders")
+  }
 }
