@@ -362,10 +362,14 @@ object Relational {
               .otherwise(col("name")))
           .drop("bn")
       } else side
+    // thresholded levenshtein (r17): the banded early-exit form computes
+    // O(len·maxDist) cells instead of the full len² DP and returns −1
+    // above the threshold — for kept pairs the value equals the plain
+    // distance, so filter(>= 0) keeps the exact pair set and dist column
     guarded.as("a").join(guarded.as("b"), Seq("bk"))
       .filter(col("a.id") < col("b.id"))
-      .withColumn("dist", levenshtein(col("a.name"), col("b.name")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("a.name"), col("b.name"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.name").as("name_a"), col("b.name").as("name_b"), col("dist"))
   }
@@ -596,8 +600,8 @@ object Relational {
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.name").as("name_a"), col("b.name").as("name_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= 1)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 1))
+      .filter(col("dist") >= 0) // thresholded: −1 encodes dist > 1 (r17)
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -694,11 +698,24 @@ object Relational {
     * name itself) is the Hernández–Stolfo seam: each multi-pass run
     * re-sorts by a ROTATED key so a true pair far apart under one key
     * gets a second chance under another — see
-    * [[sortedNeighborhoodMulti]]. */
+    * [[sortedNeighborhoodMulti]].
+    *
+    * `idGate` (r17): optional id-level predicate applied to BOTH pair
+    * endpoints AFTER ranking but BEFORE the window equi-join and the
+    * levenshtein confirm. Ranks are computed over the FULL input (window
+    * membership depends on the global sort, so gating must not re-rank),
+    * and a pair survives the gate exactly when both endpoints pass —
+    * identical to filtering the returned pairs on
+    * `gate(id_a) && gate(id_b)`, but the join and the per-pair distance
+    * work run on the gated fraction only (guide §2.3: filter before the
+    * exchange). The sampled recall evals keep ~2/5 of ids, so their SNM
+    * candidate pass drops to fraction² ≈ 16% of the pair work without
+    * changing one output row. */
   def sortedNeighborhood(df: DataFrame, idCol: String, nameCol: String,
                          window: Int, maxDist: Int,
                          nRanges: Int = 32,
-                         sortKey: Option[Column] = None): DataFrame = {
+                         sortKey: Option[Column] = None,
+                         idGate: Option[Column => Column] = None): DataFrame = {
     require(window >= 1, s"window must be positive: $window")
     val parts = df.select(col(idCol).as("id"), col(nameCol).as("name"),
         sortKey.getOrElse(col(nameCol)).as("_sk"))
@@ -713,18 +730,21 @@ object Relational {
         .agg(count(lit(1)).as("cnt"))
         .withColumn("offset", coalesce(sum(col("cnt")).over(wo), lit(0L)))
         .select(col("pid"), col("offset")))
-      val ranked = parts
+      val rankedAll = parts
         .withColumn("rk", row_number().over(w).cast("long"))
         .join(offsets, "pid")
         .select(col("id"), col("name"), (col("offset") + col("rk")).as("rk"))
+      // gate AFTER ranking (global ranks unchanged), BEFORE pair fan-out
+      val ranked = idGate.map(g => rankedAll.filter(g(col("id"))))
+        .getOrElse(rankedAll)
       val probes = ranked
         .withColumn("rk_b", explode(sequence(col("rk") + 1, col("rk") + window)))
         .select(col("id").as("id_a"), col("name").as("name_a"), col("rk_b"))
       val targets = ranked.select(col("id").as("id_b"),
         col("name").as("name_b"), col("rk").as("rk_b"))
       probes.join(targets, "rk_b")
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-        .filter(col("dist") <= maxDist)
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+        .filter(col("dist") >= 0) // thresholded: −1 encodes dist > maxDist
         .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
           col("dist"))
         .localCheckpoint() // small pair result outlives parts' release

@@ -836,8 +836,8 @@ object Search {
       .filter(col("bucket").isin(qbuckets: _*))
       .join(broadcast(qdf), "variant")
       .select(col("term"), col("df")).distinct()
-      .withColumn("dist", levenshtein(col("term"), lit(query)))
-      .filter(col("dist") <= 1)
+      .withColumn("dist", levenshtein(col("term"), lit(query), 1))
+      .filter(col("dist") >= 0) // thresholded: −1 encodes dist > 1 (r17)
   }
 
   private def bm25IndexServe(spark: org.apache.spark.sql.SparkSession,

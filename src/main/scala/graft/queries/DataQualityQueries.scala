@@ -783,11 +783,18 @@ object DataQualityQueries {
           expr("tp * 1000000 DIV greatest(n_truth, 1)").as("recall_ppm"))
     }
     val cid = cust.withColumnRenamed("c_custkey", "cid")
+    // the sampled eval only ever reads pairs with BOTH endpoints
+    // in-sample, so the SNM passes gate endpoints after ranking and
+    // before the window join + levenshtein (r17, guide §2.3): candidate
+    // status of an in-sample pair is unchanged (global ranks computed
+    // over the full corpus), but the per-pair work drops to fraction²
+    val gate: Column => Column = inSample
     val pass1 = Relational.sortedNeighborhood(
-      cid, "cid", "c_name", window = SnWindow, maxDist = 1)
+      cid, "cid", "c_name", window = SnWindow, maxDist = 1,
+      idGate = Some(gate))
     val pass2 = Relational.sortedNeighborhood(
       cid, "cid", "c_name", window = SnWindow, maxDist = 1,
-      sortKey = Some(reverse(col("c_name"))))
+      sortKey = Some(reverse(col("c_name"))), idGate = Some(gate))
     val multiPairs = pass1.select(col("id_a"), col("id_b"))
       .unionByName(pass2.select(col("id_a"), col("id_b")))
       .select(least(col("id_a"), col("id_b")).as("id_a"),

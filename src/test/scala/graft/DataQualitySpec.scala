@@ -605,4 +605,70 @@ class DataQualitySpec extends AnyFunSuite {
         s"$scheme: sampled $rS vs full $rF ppm — |Δ|=$delta > 2σ=$tol at n=$nS")
     }
   }
+
+  test("thresholded levenshtein (r17 confirm-path form): equals the plain " +
+    "distance whenever the plain distance is within the threshold, and " +
+    "returns −1 above it — so filter(thresholded >= 0) keeps exactly the " +
+    "filter(plain <= maxDist) pair set with identical dist values") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, levenshtein}
+    // adversarial shapes around the band edges: equal, 1-sub, 1-del,
+    // 1-ins, 2-edits, length gaps beyond the threshold, empty strings,
+    // and the TPC-H-like shared-prefix names the linkage ops see
+    val pairs = Seq(
+      ("abc", "abc"), ("abc", "abd"), ("abc", "ab"), ("abc", "abcd"),
+      ("abc", "add"), ("abc", "xyz"), ("", ""), ("", "a"), ("", "ab"),
+      ("Customer#000000001", "Customer#000000002"),
+      ("Customer#000000001", "Customer#000000011"),
+      ("Customer#000000001", "Customer#100000002"),
+      ("aaaaaaaaaa", "aaaaabaaaa"), ("aaaaaaaaaa", "bbbbbbbbbb"),
+      ("short", "muchlongerstring")).toDF("a", "b")
+    for (th <- Seq(1, 2)) {
+      val got = pairs.select(col("a"), col("b"),
+          levenshtein(col("a"), col("b")).as("plain"),
+          levenshtein(col("a"), col("b"), th).as("thr"))
+        .collect()
+      got.foreach { r =>
+        val (plain, thr) = (r.getInt(2), r.getInt(3))
+        if (plain <= th) assert(thr == plain,
+          s"${r.getString(0)}|${r.getString(1)} th=$th: $thr != $plain")
+        else assert(thr == -1,
+          s"${r.getString(0)}|${r.getString(1)} th=$th: expected -1, got $thr")
+      }
+    }
+  }
+
+  test("sortedNeighborhood idGate: gated pass == ungated pass filtered on " +
+    "both endpoints (ranks computed over the FULL input), across range " +
+    "partition counts") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Relational
+    // sorted: aaa(1) aab(2) aac(4) aaz(5) zzz(3); gate keeps even ids.
+    // Pair (2,4) is the only all-even window pair — and note rank
+    // adjacency depends on ODD rows staying in the ranking: a gate that
+    // (wrongly) filtered before ranking would bring aab..aaz within
+    // window 1 of each other and change nothing here, so use window=1
+    // where ungated ranks matter: under window=1 (2,4) are adjacent
+    // ranks 2,3 — kept; (4, something even) has no even neighbor.
+    val df = Seq((1L, "aaa"), (2L, "aab"), (3L, "zzz"), (4L, "aac"),
+      (5L, "aaz")).toDF("cid", "c_name")
+    val gate: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => c % 2 === 0
+    for (nR <- Seq(1, 3)) {
+      val ungated = Relational
+        .sortedNeighborhood(df, "cid", "c_name", window = 2, maxDist = 1,
+          nRanges = nR)
+        .filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+      val gated = Relational
+        .sortedNeighborhood(df, "cid", "c_name", window = 2, maxDist = 1,
+          nRanges = nR, idGate = Some(gate))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+      assert(gated == ungated, s"nRanges=$nR: $gated != $ungated")
+      assert(gated == Set((2L, 4L, 1)), gated.toString)
+    }
+  }
 }
