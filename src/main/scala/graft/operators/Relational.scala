@@ -633,10 +633,25 @@ object Relational {
   def sessionOverlapPairs(sess: DataFrame, binUs: Long,
                           maxPairsPerBin: Long = MaxPairsDefault,
                           failOnCap: Boolean = false): DataFrame = {
-    val binned = sess.select(col("user_id"), col("session_no"),
-        col("s_us"), col("e_us"))
-      .withColumn("bin",
-        explode(sequence(expr(s"s_us div $binUs"), expr(s"e_us div $binUs"))))
+    // The binned table feeds FOUR consumers (the per-bin counts
+    // aggregate, the guard join's probe side, and both self-join sides)
+    // and its lineage embeds the caller's whole session derivation — at
+    // j18 that is the full events scan + two sessionization windows, so
+    // an unpersisted sub-plan re-ran the chain once per consumer (only
+    // the bottom exchange was sharable via ReusedExchange). One declared
+    // (bin)-partitioned checkpoint (r17, the fuzzyLinkSymDel discipline:
+    // EAGER at construction, blocks released by ContextCleaner when the
+    // returned plan is dropped) computes the chain once and satisfies
+    // the counts aggregate, the guard join and the self-join in place —
+    // the bin-key exchange is paid exactly once.
+    val binned = org.apache.spark.sql.graftRdd.localCheckpointPartitioned(
+      sess.select(col("user_id"), col("session_no"),
+          col("s_us"), col("e_us"))
+        .withColumn("bin",
+          explode(sequence(expr(s"s_us div $binUs"), expr(s"e_us div $binUs"))))
+        .repartition(sess.sparkSession.sessionState.conf.numShufflePartitions,
+          col("bin")),
+      Seq("bin"))
     val guarded =
       if (failOnCap) {
         val counts = binned.groupBy(col("bin")).agg(count(lit(1)).as("bn"))

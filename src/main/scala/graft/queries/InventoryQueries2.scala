@@ -594,11 +594,17 @@ object InventoryQueries2 {
       unix_micros(col("session_end")).as("e_us"),
       to_date(col("session_start")).as("d0"),
       to_date(col("session_end")).as("d1"))
+    // checkpointed (r17): the union below reads perDay TWICE, and its
+    // lineage embeds the caller's whole session derivation (at w19 the
+    // full events scan + two sessionization windows) — without the
+    // checkpoint both union sides re-ran the chain. Narrow day-clipped
+    // interval rows, one per (session, covered day).
     val perDay = sess.withColumn("day", explode(expr("sequence(d0, d1)")))
       .withColumn("ds", unix_micros(col("day").cast("timestamp")))
       .select(col("day"),
         greatest(col("s_us"), col("ds")).as("cs"),
         least(col("e_us"), col("ds") + lit(dayUs - 1L)).as("ce"))
+      .localCheckpoint()
     val pts = perDay.select(col("day"), col("cs").as("t"), lit(1L).as("delta"))
       .unionByName(perDay.select(col("day"), (col("ce") + 1L).as("t"),
         lit(-1L).as("delta")))
@@ -620,8 +626,11 @@ object InventoryQueries2 {
         .withColumn("open", col("cum") + col("offset"))
         .groupBy(col("day")).agg(max(col("open")).as("peak_concurrency"))
         .orderBy(col("day"))
-        .localCheckpoint() // small result outlives parts' release
-    } finally graft.operators.Checkpoints.release(parts)
+        .localCheckpoint() // small result outlives parts'/perDay's release
+    } finally {
+      graft.operators.Checkpoints.release(parts)
+      graft.operators.Checkpoints.release(perDay)
+    }
   }
   val w19Sql: String =
     s"""WITH ord AS (
