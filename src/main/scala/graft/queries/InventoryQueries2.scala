@@ -802,10 +802,11 @@ object InventoryQueries2 {
     * 7 days (WAU) — the engagement read every product dashboard serves.
     * Sliding DISTINCT cannot partial-aggregate like a sum, so the
     * trailing count comes from re-counting the deduplicated
-    * (day, user) pair table against a BROADCAST day spine (a
-    * calendar-sized nested-loop against |days| rows — the fact table is
-    * touched once for the distinct-pair projection, and everything
-    * after is |days|·|users-per-week| narrow rows, never raw events).
+    * (day, user) pair table against a BROADCAST day spine (each pair
+    * explodes to its ≤7 serveable days and equi-joins the spine — the
+    * fact table is touched once for the distinct-pair projection, and
+    * everything after is |days|·|users-per-week| narrow rows, never raw
+    * events).
     * Gap days (no events) get no row — stated semantics, day spine =
     * observed days. */
   def w11RollingWau(s: SparkSession, d: String): DataFrame = {
@@ -813,8 +814,13 @@ object InventoryQueries2 {
       .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
     val days = du.select(col("day")).distinct()
     val dau = du.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
-    val wau = broadcast(days.select(col("day").as("d0")))
-      .join(du, col("day").between(date_sub(col("d0"), 6), col("d0")))
+    // trailing-window membership as an EQUI join (r17): each (day, user)
+    // row explodes to the ≤7 spine days it counts toward and equi-joins
+    // the broadcast spine — O(pairs·7) instead of the nested-loop's
+    // O(pairs·days) predicate sweep; identical (d0, user) pair set
+    val wau = du
+      .withColumn("d0", explode(expr("sequence(day, date_add(day, 6))")))
+      .join(broadcast(days.select(col("day").as("d0"))), "d0")
       .groupBy(col("d0"))
       .agg(countDistinct(col("user_id")).as("wau"))
       .select(col("d0").as("day"), col("wau"))

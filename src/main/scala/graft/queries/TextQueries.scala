@@ -818,8 +818,9 @@ object TextQueries {
     * smallest of its own day — the same algebra that makes merged-daily
     * ≡ whole-span), so each day's estimate re-aggregates ≤ 7k stored
     * sketch rows and the fact table is NEVER re-read at serve (the plan
-    * pin: every input file is the sketch store). Day spine × sketch
-    * rows is a broadcast range join over the tiny spine; the per-day
+    * pin: every input file is the sketch store). Window membership is
+    * an explode-to-serveable-days EQUI join against the tiny broadcast
+    * spine (r17; was a nested-loop range join); the per-day
     * k-min selection is a window over sketch rows only (calendar × k,
     * never data rows). The ORACLE replays the whole computation from
     * raw events per window — an independent formulation, so the
@@ -830,8 +831,14 @@ object TextQueries {
     val daily = graft.sources.PartitionedStore
       .readVersion(s, kmvUserStore(s, d))
     val spine = broadcast(daily.select(col("day").as("d")).distinct())
+    // trailing-window membership restated as an EQUI join (r17): each
+    // sketch row explodes to the ≤7 spine days it can serve (d ∈
+    // [day, day+6]) and equi-joins the spine — O(rows·7) codegen'd
+    // fan-out instead of the BroadcastNestedLoopJoin's O(rows·days)
+    // predicate sweep; the matched (d, row) pair set is identical
     val wnd = daily
-      .join(spine, datediff(col("d"), col("day")).between(0, 6))
+      .withColumn("d", explode(expr("sequence(day, date_add(day, 6))")))
+      .join(spine, "d")
       .select(col("d"), col("hv")).distinct()
     val w = Window.partitionBy(col("d")).orderBy(col("hv"))
     wnd.withColumn("rn", row_number().over(w))
@@ -1034,8 +1041,12 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     val stored = PartitionedStore.readVersion(s, qhStore(s, d))
     val spine = broadcast(stored.select(col("day").as("d")).distinct())
+    // same equi-join restatement as sketchKmvRolling (r17): explode to
+    // the ≤7 serveable spine days, equi-join — kills the
+    // BroadcastNestedLoopJoin's rows×days predicate sweep
     val wnd = stored
-      .join(spine, datediff(col("d"), col("day")).between(0, 6))
+      .withColumn("d", explode(expr("sequence(day, date_add(day, 6))")))
+      .join(spine, "d")
       .groupBy(col("d"), col("key"), col("qc"))
       .agg(sum(col("cnt")).as("cnt"))
     val byQc = Window.partitionBy(col("d"), col("key")).orderBy(col("qc"))
