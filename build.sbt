@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench contract: the compact JSON line must be the LAST line on
+// stdout under `sbt -batch "runMain graft.Bench"`. Two sbt behaviors broke
+// that for five rounds (BENCH_r13..r17 all have parsed:null): the forked
+// JVM's stdout was routed through sbt's logger (every line "[info]"-
+// prefixed), and sbt appended its own "[success] Total time ..." trailer
+// after the run. StdoutOutput passes the forked process's stdout/stderr
+// through unprefixed; showSuccess drops the trailer.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -17,7 +17,8 @@ NON_TIMING_ROWS = {"cc_rounds", "j14_suffix_block_rows", "j14_split_suffix_len",
                    # spill_probe rows are a memory-boundary diagnostic
                    # (spilled MB / capacity / probe times) -- retrying a
                    # probe on a prior anchor would be meaningless
-                   "spill_probe", "spill_probe_sec", "spill_probe_capacity_mb"}
+                   "spill_probe", "spill_probe_sec", "spill_probe_capacity_mb",
+                   "spill_probe_capacity_ub_mb"}
 
 def main() -> None:
     artifact, note = sys.argv[1], sys.argv[2]
@@ -25,8 +26,11 @@ def main() -> None:
     steady = dict(sorted(d["steady"].items()))
     # *_shuf_mb rows are shuffle VOLUME (deterministic, load-immune) —
     # not seconds; retrying on them would be meaningless, like cc_rounds
+    # `_true_pairs` twins (r17) are untimed per-dir pair COUNTS — like
+    # `_shuf_mb` they are laws beside the time rows, not seconds
     scaling = {k: v for k, v in d["scaling"].items()
-               if k not in NON_TIMING_ROWS and not k.endswith("_shuf_mb")}
+               if k not in NON_TIMING_ROWS and not k.endswith("_shuf_mb")
+               and not k.endswith("_true_pairs")}
     sf = d["sf"]
 
     steady_lines = ",\n".join(f'    "{k}" -> {v}' for k, v in steady.items())
