@@ -716,14 +716,25 @@ object Bench {
         //    x1/x4/x10.
         //  - j18_session_overlap: per-bin pair fan-out is concurrency²
         //    — the TRUE answer size grows quadratically in the user
-        //    factor by construction, so like the other quadratic
-        //    contrast arms (j12, j14) it tops out at x4; the failOnCap
-        //    bin budget stays armed, so a viral bin raises loudly
-        //    instead of silently going quadratic past the budget.
-        "intervals_curve" -> (() => Seq(
-          steadyRow("w19_peak_concurrency", pitDirs),
-          steadyRow("j18_session_overlap",
-            pitDirs.takeWhile(_._1 <= 4)))),
+        //    factor by construction. r18 (verdict item 3): extended to
+        //    x10 WITH a `_true_pairs` twin so the r17 checkpoint's
+        //    volume trade decodes as bytes-per-pair (the dedup exchange
+        //    is pair-set-bound; the x4 point alone read as "volume
+        //    doubled" without the 16× pair-growth denominator). The
+        //    x10 point is cheap in time (x4 ran 1.9 s) and safe on the
+        //    failOnCap budget (max 168 sessions/bin at sf0.1 → ~1,680
+        //    at x10 ≪ the 4,096 bin cap); the budget stays armed, so a
+        //    viral bin raises loudly instead of silently going
+        //    quadratic. Pair counts run UNTIMED after each timed point
+        //    (outside volPoint's drains), the linkage-leg discipline.
+        "intervals_curve" -> (() => {
+          val pts = scala.collection.mutable.ListBuffer[(String, Double)]()
+          val w19 = steadyRow("w19_peak_concurrency", pitDirs)
+          val j18 = steadyRow("j18_session_overlap", pitDirs, (n, dir) =>
+            pts += (s"x$n" -> graft.queries.InventoryQueries2
+              .j18OverlapPairs(spark, dir).count().toDouble))
+          Seq(w19, j18, "j18_session_overlap_true_pairs" -> pts.toSeq)
+        }),
         // Trigram substring index, two-row discipline: `_build` is the
         // one-time ~len(text)-rows-per-doc posting write (the storage
         // price of the substring verb), `_serve` the bucket-pruned

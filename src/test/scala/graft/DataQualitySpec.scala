@@ -670,5 +670,29 @@ class DataQualitySpec extends AnyFunSuite {
       assert(gated == ungated, s"nRanges=$nR: $gated != $ungated")
       assert(gated == Set((2L, 4L, 1)), gated.toString)
     }
+    // r17 ADVICE: the fixture above cannot catch a gate wrongly applied
+    // BEFORE ranking (its two even ids are rank-adjacent in the full
+    // ranking too). Here they are 2 full ranks apart with an odd row
+    // between: full ranking aaa(2) aab(1) aac(4) zzz(3); under window=1
+    // the correct gate-after-ranking yields NO pair, while gating
+    // before ranking would collapse the evens to adjacent ranks and
+    // wrongly emit (2, 4) — dist(aaa, aac) = 1 passes the confirm, so
+    // only the rank distance keeps it out.
+    val df1 = Seq((2L, "aaa"), (1L, "aab"), (4L, "aac"), (3L, "zzz"))
+      .toDF("cid", "c_name")
+    for (nR <- Seq(1, 3)) {
+      val ungated1 = Relational
+        .sortedNeighborhood(df1, "cid", "c_name", window = 1, maxDist = 1,
+          nRanges = nR)
+        .filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+      val gated1 = Relational
+        .sortedNeighborhood(df1, "cid", "c_name", window = 1, maxDist = 1,
+          nRanges = nR, idGate = Some(gate))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+      assert(gated1 == ungated1, s"nRanges=$nR: $gated1 != $ungated1")
+      assert(gated1.isEmpty,
+        s"nRanges=$nR: pre-rank gating would emit (2,4); got $gated1")
+    }
   }
 }

