@@ -221,13 +221,19 @@ object Relational {
     val q = df.select(col(grpCol).as("g"), col(idCol).as("id"),
       quantCol.as("qc"))
     // lower median of a grouped integer column via histogram crossing:
-    // first bucket whose cumulative count reaches ⌈n/2⌉ = (n+1) DIV 2
+    // first bucket whose cumulative count reaches ⌈n/2⌉ = (n+1) DIV 2.
+    // n rides a whole-partition window over the SAME per-group
+    // partitioning as the prefix sum (r18): the previous separate
+    // groupBy(g) aggregate + join cost one more aggregation job and a
+    // broadcast build per crossing — at the measured ~0.1 s/job floor
+    // that was most of this operator's exec time; both windows share
+    // one exchange of the tiny histogram, and n is byte-identical.
     def crossing(vals: DataFrame, valCol: String, outCol: String): DataFrame = {
       val hist = vals.groupBy(col("g"), col(valCol)).agg(count(lit(1)).as("cnt"))
-      val n = hist.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
       val w = Window.partitionBy(col("g")).orderBy(col(valCol))
+      val wAll = Window.partitionBy(col("g"))
       hist.withColumn("cum", sum(col("cnt")).over(w))
-        .join(n, "g")
+        .withColumn("n", sum(col("cnt")).over(wAll))
         .filter(col("cum") >= expr("(n + 1) DIV 2") &&
           col("cum") - col("cnt") < expr("(n + 1) DIV 2"))
         .select(col("g"), col(valCol).as(outCol))
@@ -259,10 +265,14 @@ object Relational {
     val q = df.select(col(grpCol).as("g"), col(idCol).as("id"),
       quantCol.as("qc"))
     val hist = q.groupBy(col("g"), col("qc")).agg(count(lit(1)).as("cnt"))
-    val n = hist.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+    // n via a whole-partition window on the same per-group exchange as
+    // the prefix sum (r18, the madOutliers crossing rationale): drops
+    // the separate groupBy(g) aggregate + join — one fewer aggregation
+    // job and broadcast build; n is byte-identical.
     val w = Window.partitionBy(col("g")).orderBy(col("qc"))
+    val wAll = Window.partitionBy(col("g"))
     val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
-      .join(n, "g")
+      .withColumn("n", sum(col("cnt")).over(wAll))
       .withColumn("lo_rank", expr(s"(n * $pNum + $pDen - 1) DIV $pDen"))
       .withColumn("hi_rank", col("n") - col("lo_rank") + 1L)
     def cutoff(rank: Column, out: String): DataFrame = cum

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Relational
@@ -21,26 +21,57 @@ object CoreQueries {
   /** events table ends 2024-01-30T23:57; fixed "now" for range queries. */
   val AsOf = "2024-01-31 00:00:00"
 
+  /** r18: exact integer-cents quantization replacing the DECIMAL(12,2)
+    * internals in the revenue/quantity sums (guide §1.2 step 2: the
+    * per-row decimal multiply+sum was the single-task hot loop — the q1
+    * agg measured 0.97 s decimal vs 0.28 s long, outputs bit-identical).
+    * Money columns are exact 2-decimal values stored as doubles
+    * (measured: max |x·100 − round(x·100)| ≤ 1e-9 across lineitem and
+    * events at sf0.1), so rint(x·100) recovers the exact cent integer
+    * tie-free — NEVER floor(x·100), which loses 1 ulp on values like
+    * 8.32 whose double sits just below the true cent (the CAST TO
+    * DECIMAL these sums replace rounds, so floor would change results).
+    * The per-row product cents·(100−disc%) is an exact ≤1.05e9 integer;
+    * the long sum is exact up to ~8.8e9 rows PER GROUP (the same
+    * documented envelope as the repo's floor(x·1e6) convention — beyond
+    * it, widen the sum to DECIMAL(38,0); Spark's old decimal(22,2) sum
+    * overflowed to NULL past ITS envelope just as silently). The final
+    * CAST(sum AS DOUBLE)/1e4 (or /1e2) is one correctly-rounded
+    * conversion of the same exact rational the decimal internals
+    * carried, so the emitted doubles are IDENTICAL bit for bit (both
+    * engines round-to-nearest on the single division; long→double and
+    * hugeint→double conversions are correctly rounded in both). DuckDB
+    * twin: CAST(round(x * 1.0e2) AS BIGINT) — round-half-away vs rint's
+    * half-even never disagree off ties, and ties cannot arise from
+    * 2-decimal inputs. */
+  private def cents(c: String): Column =
+    expr(s"cast(rint($c * 1.0e2) as long)")
+  /** sum of exact 4-decimal-fixed-point revenue units:
+    * cents(price) · (100 − cents(discount)); divide by 1.0e4 as double
+    * at the very end. */
+  private def revenueQ: Column =
+    sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+
   // ---- flagship: TPC-H-Q1-shaped pricing summary (A8/A9 agg family) ------
   def q1PricingSummary(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
-    val dec = (c: String) => col(c).cast("decimal(12,2)")
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec("l_quantity")).cast("double").as("sum_qty"),
-        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
-        sum(dec("l_extendedprice") * (lit(1).cast("decimal(12,2)") - dec("l_discount")))
-          .cast("double").as("sum_disc_price"),
-        round(sum(dec("l_quantity")).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        (sum(cents("l_quantity")).cast("double") / lit(1.0e2)).as("sum_qty"),
+        (sum(cents("l_extendedprice")).cast("double") / lit(1.0e2))
+          .as("sum_base_price"),
+        (revenueQ.cast("double") / lit(1.0e4)).as("sum_disc_price"),
+        round(sum(cents("l_quantity")).cast("double") / lit(1.0e2)
+          / count(lit(1)), 6).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
   val q1PricingSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
-      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+      |  CAST(SUM(CAST(round(l_quantity * 1.0e2) AS BIGINT)) AS DOUBLE) / 1.0e2 AS sum_qty,
+      |  CAST(SUM(CAST(round(l_extendedprice * 1.0e2) AS BIGINT)) AS DOUBLE) / 1.0e2 AS sum_base_price,
+      |  CAST(SUM(CAST(round(l_extendedprice * 1.0e2) AS BIGINT) * (100 - CAST(round(l_discount * 1.0e2) AS BIGINT))) AS DOUBLE) / 1.0e4 AS sum_disc_price,
+      |  ROUND(CAST(SUM(CAST(round(l_quantity * 1.0e2) AS BIGINT)) AS DOUBLE) / 1.0e2 / COUNT(*), 6) AS avg_qty,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
@@ -50,15 +81,14 @@ object CoreQueries {
   /** TPC-H Q3 shape over the testdata tables: filtered customer dim
     * (broadcasts — ~300 rows per segment) × date-filtered orders ×
     * ship-date-filtered lineitem, revenue per order as an EXACT
-    * DECIMAL(12,2) sum cast to double at the very end (the q1
-    * discipline: addition-order independence, identical IEEE doubles
-    * from identical decimals on both engines), then global top-10 by
+    * exact integer-cents sum cast to double at the very end (the q1
+    * discipline, r18 quantized form — addition-order independence,
+    * identical IEEE doubles on both engines), then global top-10 by
     * (revenue desc, orderkey) — Spark plans orderBy+limit as
     * TakeOrderedAndProject (per-partition top-10 then a 10-row driver
     * merge), never a global sort. Both date filters reach the parquet
     * scans as pushed predicates. */
   def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
-    val dec = (c: String) => col(c).cast("decimal(12,2)")
     val cut = lit("1998-06-01 00:00:00").cast("timestamp")
     val cust = Tables.customer(s, d)
       .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
@@ -70,9 +100,7 @@ object CoreQueries {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(dec("l_extendedprice") *
-          (lit(1).cast("decimal(12,2)") - dec("l_discount")))
-        .cast("double").as("revenue"))
+      .agg((revenueQ.cast("double") / lit(1.0e4)).as("revenue"))
       .select(col("l_orderkey"), col("revenue"),
         col("o_orderdate").cast("date").as("o_orderdate"),
         col("o_orderpriority"))
@@ -81,8 +109,8 @@ object CoreQueries {
   }
   val q3ShippingPrioritySql: String =
     """SELECT l_orderkey,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-      |    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      |  CAST(SUM(CAST(round(l_extendedprice * 1.0e2) AS BIGINT) *
+      |    (100 - CAST(round(l_discount * 1.0e2) AS BIGINT))) AS DOUBLE) / 1.0e4 AS revenue,
       |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
       |FROM customer, orders, lineitem
       |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
@@ -99,18 +127,17 @@ object CoreQueries {
     * here ONE aggregation produces both the qualifying set and the sum —
     * the qualifying orders are a vanishing fraction (473 of ~150k at
     * sf0.1), so the join input collapses before any wide table moves.
-    * Quantity sums in exact DECIMAL(12,2) cast to double at the very end
-    * (q1 discipline); customer broadcasts; orderBy+limit plans as
+    * Quantity sums in exact integer cents cast to double at the very
+    * end (q1 discipline); customer broadcasts; orderBy+limit plans as
     * TakeOrderedAndProject, never a global sort. o_totalprice flows
     * through unaggregated, so both engines hash the identical parquet
     * double. */
   def q18LargeVolume(s: SparkSession, d: String): DataFrame = {
-    val dec = (c: String) => col(c).cast("decimal(12,2)")
     val big = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_quantity"))
       .groupBy(col("l_orderkey"))
-      .agg(sum(dec("l_quantity")).as("qty_dec"))
-      .filter(col("qty_dec") > lit(300).cast("decimal(12,2)"))
+      .agg(sum(cents("l_quantity")).as("qty_c"))
+      .filter(col("qty_c") > lit(30000L)) // 300 units, exact in cents
     val ord = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
         col("o_totalprice"))
@@ -121,7 +148,7 @@ object CoreQueries {
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate").cast("date").as("o_orderdate"),
         col("o_totalprice"),
-        col("qty_dec").cast("double").as("sum_qty"))
+        (col("qty_c").cast("double") / lit(1.0e2)).as("sum_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderdate"),
         col("o_orderkey"))
       .limit(100)
@@ -129,11 +156,11 @@ object CoreQueries {
   val q18LargeVolumeSql: String =
     """SELECT c_name, c_custkey, o_orderkey,
       |  CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |  CAST(SUM(CAST(round(l_quantity * 1.0e2) AS BIGINT)) AS DOUBLE) / 1.0e2 AS sum_qty
       |FROM customer, orders, lineitem
       |WHERE o_orderkey IN (
       |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-      |    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+      |    HAVING SUM(CAST(round(l_quantity * 1.0e2) AS BIGINT)) > 30000)
       |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
       |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin
@@ -149,10 +176,9 @@ object CoreQueries {
     * reaches the orders scan as a pushed predicate. The c_nationkey =
     * s_nationkey condition rides the lineitem⋈supplier join as a post-
     * join filter against the broadcast customer row. Revenue in exact
-    * DECIMAL(12,2) cast to double at the very end (q1 discipline);
+    * integer cents cast to double at the very end (q1 discipline);
     * deterministic total order by (revenue desc, n_name). */
   def q5LocalSupplier(s: SparkSession, d: String): DataFrame = {
-    val dec = (c: String) => col(c).cast("decimal(12,2)")
     val lo = lit("1996-01-01 00:00:00").cast("timestamp")
     val hi = lit("1997-01-01 00:00:00").cast("timestamp")
     val asiaNations = Tables.nation(s, d)
@@ -178,15 +204,13 @@ object CoreQueries {
       .join(broadcast(asiaNations),
         col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum(dec("l_extendedprice") *
-          (lit(1).cast("decimal(12,2)") - dec("l_discount")))
-        .cast("double").as("revenue"))
+      .agg((revenueQ.cast("double") / lit(1.0e4)).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
   val q5LocalSupplierSql: String =
     """SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-      |    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |  CAST(SUM(CAST(round(l_extendedprice * 1.0e2) AS BIGINT) *
+      |    (100 - CAST(round(l_discount * 1.0e2) AS BIGINT))) AS DOUBLE) / 1.0e4 AS revenue
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -208,11 +232,10 @@ object CoreQueries {
     * join into a nested loop — it runs as a post-join filter against
     * two broadcast-joined name columns, and the only shuffle join is
     * orders⋈lineitem. The ship-date range reaches the lineitem scan as
-    * a pushed predicate. Revenue in exact DECIMAL(12,2) cast to double
+    * a pushed predicate. Revenue in exact integer cents cast to double
     * at the very end; year extracted as BIGINT to match DuckDB's
     * EXTRACT. Group keys are the total order — deterministic. */
   def q7VolumeShipping(s: SparkSession, d: String): DataFrame = {
-    val dec = (c: String) => col(c).cast("decimal(12,2)")
     val (na, nb) = ("NATION_1", "NATION_2")
     val lo = lit("1996-01-01 00:00:00").cast("timestamp")
     val hi = lit("1998-01-01 00:00:00").cast("timestamp")
@@ -240,19 +263,17 @@ object CoreQueries {
         (col("supp_nation") === nb && col("cust_nation") === na))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
-      .agg(sum(dec("l_extendedprice") *
-          (lit(1).cast("decimal(12,2)") - dec("l_discount")))
-        .cast("double").as("revenue"))
+      .agg((revenueQ.cast("double") / lit(1.0e4)).as("revenue"))
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
   val q7VolumeShippingSql: String =
     """SELECT supp_nation, cust_nation, l_year,
-      |  CAST(SUM(volume) AS DOUBLE) AS revenue
+      |  CAST(SUM(volume) AS DOUBLE) / 1.0e4 AS revenue
       |FROM (
       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       |    EXTRACT(year FROM l_shipdate) AS l_year,
-      |    CAST(l_extendedprice AS DECIMAL(12,2)) *
-      |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS volume
+      |    CAST(round(l_extendedprice * 1.0e2) AS BIGINT) *
+      |      (100 - CAST(round(l_discount * 1.0e2) AS BIGINT)) AS volume
       |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
       |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
       |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
@@ -276,7 +297,6 @@ object CoreQueries {
     * the classic ones. Deterministic: (revenue desc, c_custkey); custkey
     * is unique per group. */
   def q10ReturnedItems(s: SparkSession, d: String): DataFrame = {
-    val dec = (c: String) => col(c).cast("decimal(12,2)")
     val lo = lit("1996-01-01 00:00:00").cast("timestamp")
     val hi = lit("1996-04-01 00:00:00").cast("timestamp")
     val cust = Tables.customer(s, d)
@@ -293,9 +313,7 @@ object CoreQueries {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-      .agg(sum(dec("l_extendedprice") *
-          (lit(1).cast("decimal(12,2)") - dec("l_discount")))
-        .cast("double").as("revenue"))
+      .agg((revenueQ.cast("double") / lit(1.0e4)).as("revenue"))
       .select(col("c_custkey"), col("c_name"), col("revenue"),
         col("c_acctbal"), col("n_name"))
       .orderBy(col("revenue").desc, col("c_custkey"))
@@ -303,8 +321,8 @@ object CoreQueries {
   }
   val q10ReturnedItemsSql: String =
     """SELECT c_custkey, c_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-      |    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      |  CAST(SUM(CAST(round(l_extendedprice * 1.0e2) AS BIGINT) *
+      |    (100 - CAST(round(l_discount * 1.0e2) AS BIGINT))) AS DOUBLE) / 1.0e4 AS revenue,
       |  c_acctbal, n_name
       |FROM customer, orders, lineitem, nation
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
