@@ -356,12 +356,18 @@ object Relational {
                 failOnCap: Boolean = false): DataFrame = {
     val side = df.select(col(idCol).as("id"), col(nameCol).as("name"),
       blockKey.as("bk"))
+    // Per-block count via a whole-partition WINDOW (r18, the
+    // fuzzyLinkSymDel rationale): the groupBy + join guard cost an
+    // extra aggregation and join per self-join side; the window's
+    // bk exchange is the same one the self-join needs, so both sides
+    // share it (ReusedExchange) and bn is byte-identical. The guard
+    // still gates the LIVE name column, so column pruning can never
+    // eliminate the raise_error.
     val guarded =
       if (failOnCap) {
-        val counts = side.groupBy(col("bk")).agg(count(lit(1)).as("bn"))
-        // the guard gates the LIVE name column (not a dropped helper), so
-        // column pruning can never eliminate the raise_error
-        side.join(counts, Seq("bk"))
+        side
+          .withColumn("bn",
+            count(lit(1)).over(Window.partitionBy(col("bk"))))
           .withColumn("name",
             when(col("bn") * (col("bn") - 1L) / 2L > lit(maxPairs),
               raise_error(concat(
@@ -587,11 +593,17 @@ object Relational {
         .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
           col("seg"), col("h")),
       Seq("seg", "h"))
+    // The per-block count rides a whole-partition WINDOW over the
+    // checkpoint's declared (seg, h) partitioning (r18) — the previous
+    // groupBy + merge-join guard re-aggregated and re-joined the
+    // variant table once per self-join side; the window is one sorted
+    // pass per side with zero new exchanges (the declared partitioning
+    // satisfies its distribution), and bn is byte-identical.
     val guarded =
       if (failOnCap) {
-        val counts = variants.groupBy(col("seg"), col("h"))
-          .agg(count(lit(1)).as("bn"))
-        variants.join(counts.hint("merge"), Seq("seg", "h"))
+        variants
+          .withColumn("bn", count(lit(1)).over(
+            Window.partitionBy(col("seg"), col("h"))))
           .withColumn("name",
             when(col("bn") * (col("bn") - 1L) / 2L > lit(maxPairs),
               raise_error(concat(
@@ -662,10 +674,16 @@ object Relational {
         .repartition(sess.sparkSession.sessionState.conf.numShufflePartitions,
           col("bin")),
       Seq("bin"))
+    // Per-bin count via a whole-partition WINDOW on the checkpoint's
+    // declared bin partitioning (r18, the fuzzyLinkSymDel rationale):
+    // the groupBy + join guard re-aggregated and re-joined the binned
+    // table once per self-join side; the window is one sorted pass per
+    // side, zero new exchanges, bn byte-identical.
     val guarded =
       if (failOnCap) {
-        val counts = binned.groupBy(col("bin")).agg(count(lit(1)).as("bn"))
-        binned.join(counts, Seq("bin"))
+        binned
+          .withColumn("bn",
+            count(lit(1)).over(Window.partitionBy(col("bin"))))
           .withColumn("s_us",
             when(col("bn") * (col("bn") - 1L) / 2L > lit(maxPairsPerBin),
               raise_error(concat(
